@@ -1,13 +1,43 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Dedup, EventsOps, IngestOps, Relational, Similarity, TextOps}
+
+/** Driver contract — see SURVEY.md §7 and the stub comments. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on sf0.001: the star join + grouped aggregation of
+    * SURVEY.md §7.3 — lineitem⋈orders⋈customer⋈nation with broadcast dims.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val l = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** One entry per implemented operator (SURVEY.md §2a fidelity +
+    * §2b relational/extension surface).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.all ++ EventsOps.all ++ TextOps.all ++ Dedup.all ++
+      Similarity.all ++ IngestOps.all
+
+  /** DuckDB-runnable oracle SQL per query; hash-heavy signature queries are
+    * intentionally omitted (rows-only check).
+    */
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ EventsOps.oracles ++ TextOps.oracles ++
+      Dedup.oracles ++ Similarity.oracles ++ IngestOps.oracles
 }

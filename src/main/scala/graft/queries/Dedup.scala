@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Near-duplicate detection for training-data curation, built to the scale
+  * contract: NEVER an all-pairs cross join. Every fuzzy method reduces to
+  * "compute a per-document signature (narrow, codegen'd), shuffle once on a
+  * bucket key, compare only within buckets" — the LSH pattern that holds at
+  * 100 TB because candidate generation is O(n · bands), not O(n²).
+  *
+  * Signatures use xxhash64 (codegen'd Catalyst expression) — deterministic
+  * across runs/executors, no fitted model state.
+  */
+object Dedup {
+
+  import TextOps.{normText, wsTokens}
+
+  /** Distinct word-token set per doc — the shingle universe for MinHash /
+    * Jaccard. (Unigram shingles; word n-grams are `shingles(c, n)`.)
+    */
+  def tokenSet(c: Column): Column = array_distinct(wsTokens(normText(c)))
+
+  /** Word n-gram shingles. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = wsTokens(normText(c))
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** MinHash signature of an array of shingles: sig(j) = min over shingles
+    * of xxhash64(j, shingle). One narrow projection — k hash passes fused by
+    * codegen; no shuffle, no fitted model.
+    */
+  def minhashSig(shingleCol: Column, k: Int): Column =
+    array((0 until k).map(j =>
+      array_min(transform(shingleCol, s => xxhash64(lit(j), s)))): _*)
+
+  /** LSH band key: hash of each r-slice of the signature. */
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map(b =>
+      xxhash64(lit(b), slice(sig, b * rows + 1, rows))): _*)
+
+  private val K = 32; private val BANDS = 8; private val ROWS = 4
+
+  /** MinHash + LSH candidate pairs with signature-estimated Jaccard.
+    * Pipeline: per-doc signature (narrow) -> explode 8 band keys -> shuffle
+    * on (band, key) -> within-bucket pairing -> distinct pairs -> estimate
+    * similarity from the signatures. Output ordered, deterministic.
+    */
+  def q40MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val sigs = d.select(col("doc_id"), minhashSig(tokenSet(col("text")), K).as("sig"))
+      .withColumn("bands", bandKeys(col("sig"), BANDS, ROWS))
+    val buckets = sigs.select(col("doc_id"), col("sig"), posexplode(col("bands")).as(Seq("band", "key")))
+    val a = buckets.select(col("band"), col("key"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = buckets.select(col("band"), col("key"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / K).as("est_jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(round(max(col("est_jaccard")), 4).as("est_jaccard"))
+      .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
+      .limit(100)
+  }
+
+  /** Exact n-gram (token-set) Jaccard within blocks. Blocking key = lang —
+    * the standard "never cross the full corpus" guard; within-block pairing
+    * is a shuffled equi-join on the block key.
+    */
+  def q41NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), tokenSet(col("text")).as("toks"))
+    val a = d.select(col("lang"), col("doc_id").as("id_a"), col("toks").as("toks_a"))
+    val b = d.select(col("lang"), col("doc_id").as("id_b"), col("toks").as("toks_b"))
+    a.join(b, Seq("lang"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("lang"), col("id_a"), col("id_b"),
+        round(
+          size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_union(col("toks_a"), col("toks_b"))), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(50)
+  }
+
+  /** SimHash: 64-bit signature where bit i is the sign of the weighted sum
+    * of token-hash bits. Computed per-row with typed Scala (narrow map — the
+    * per-record imperative case); bucketed by the top 16 bits for banding.
+    */
+  def simhash64(tokens: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      // FNV-1a 64-bit — stable scalar hash, no Spark dependency
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < t.length) { h ^= t.charAt(i); h *= 0x100000001b3L; i += 1 }
+      var bit = 0
+      while (bit < 64) { if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1; bit += 1 }
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) { if (acc(bit) >= 0) out |= (1L << bit); bit += 1 }
+    out
+  }
+
+  def q42Simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), wsTokens(normText(col("text"))).as("toks"))
+      .as[(Long, Seq[String])]
+    d.map { case (id, toks) => (id, simhash64(toks)) }
+      .toDF("doc_id", "simhash")
+      .withColumn("bucket", shiftrightunsigned(col("simhash"), 48))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup pairs: bucket by top-16 bits, compare hamming distance
+    * within buckets only (bit_count of xor — codegen'd).
+    */
+  def q43SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = q42Simhash(spark, dir)
+    val a = sigs.select(col("bucket"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = sigs.select(col("bucket"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .orderBy(col("hamming"), col("id_a"), col("id_b"))
+      .limit(100)
+  }
+
+  /** Embedding near-dup: random-hyperplane LSH buckets (deterministic seeded
+    * planes), cosine computed only within buckets. The 100 TB path: one
+    * narrow signature pass + one shuffle on the 6-bit bucket key.
+    */
+  def q44EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val withB = Similarity.withBucket(e, nBits = 6)
+      .select(col("bucket"), col("vec_id"), Similarity.unitVec(col("embedding")).as("unit"))
+    val a = withB.select(col("bucket"), col("vec_id").as("id_a"), col("unit").as("u_a"))
+    val b = withB.select(col("bucket"), col("vec_id").as("id_b"), col("unit").as("u_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(Similarity.dot(col("u_a"), col("u_b")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+      .limit(50)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_dedup_minhash_lsh" -> q40MinhashLsh _,
+    "q41_dedup_ngram_jaccard" -> q41NgramJaccard _,
+    "q42_dedup_simhash" -> q42Simhash _,
+    "q43_dedup_simhash_pairs" -> q43SimhashPairs _,
+    "q44_dedup_embedding" -> q44EmbeddingNearDup _)
+
+  /** Jaccard is SQL-expressible — oracle it; the hash-based signatures are
+    * engine-specific (xxhash64/FNV) so those get rows-only checks.
+    */
+  val oracles: Map[String, String] = Map(
+    "q41_dedup_ngram_jaccard" ->
+      """SELECT lang, id_a, id_b, jaccard FROM (
+        |  SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+        |  FROM (SELECT doc_id, lang, list_distinct(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'), t -> t <> '')) AS toks FROM documents) a
+        |  JOIN (SELECT doc_id, lang, list_distinct(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'), t -> t <> '')) AS toks FROM documents) b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin)
+}

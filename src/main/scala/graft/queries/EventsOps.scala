@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream analytics as *batch* plans over the `events` table. The same
+  * aggregations run incrementally under Structured Streaming via
+  * [[graft.streaming.EventStream]] — identical windowing semantics, so batch
+  * results double as the streaming oracle.
+  *
+  * Window starts are emitted as epoch seconds (BIGINT): stable across
+  * Spark's micro-second and the oracle's nano-second timestamp precision.
+  */
+object EventsOps {
+
+  /** Tumbling 1-hour windows per event type: `window()` is a projection (no
+    * extra shuffle beyond the group-by); epoch-aligned so it equals
+    * date_trunc('hour').
+    */
+  def q20HourlyAgg(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    e.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("w.start").cast("long").as("hour_ts"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("hour_ts"), col("event_type"))
+  }
+
+  val q20Sql: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS hour_ts, event_type,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin
+
+  /** Semi-structured extraction: pull `k` out of the JSON props column with
+    * a codegen'd regexp (no UDF), bucket, aggregate.
+    */
+  def q21JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    e.select(
+        (regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long") % 10).as("k_bucket"),
+        col("value"))
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("k_bucket"))
+  }
+
+  val q21Sql: String =
+    """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k_bucket,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin
+
+  /** Sessionization: lag-based gap detection (30 min), one shuffle on
+    * user_id; the classic scale shape for clickstream session counts.
+    */
+  def q22Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.select(
+        col("user_id"),
+        when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 1800L * 1000000L, 1L)
+          .otherwise(0L).as("new_session"))
+      .groupBy(col("user_id"))
+      .agg((sum(col("new_session")) + 1L).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val q22Sql: String =
+    """SELECT user_id, sum(new_session) + 1 AS n_sessions, count(*) AS n_events
+      |FROM (
+      |  SELECT user_id,
+      |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Top event per user by value: dense window top-1 (argmax shape). */
+  def q23TopEventPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+    e.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
+      .orderBy(col("user_id"))
+  }
+
+  val q23Sql: String =
+    """SELECT user_id, event_id, event_type, round(value, 2) AS value
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+      |  FROM events)
+      |WHERE rk = 1 ORDER BY user_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_events_hourly" -> q20HourlyAgg _,
+    "q21_events_json" -> q21JsonExtract _,
+    "q22_events_sessionize" -> q22Sessionize _,
+    "q23_events_top_per_user" -> q23TopEventPerUser _)
+
+  val oracles: Map[String, String] = Map(
+    "q20_events_hourly" -> q20Sql,
+    "q21_events_json" -> q21Sql,
+    "q22_events_sessionize" -> q22Sql,
+    "q23_events_top_per_user" -> q23Sql)
+}

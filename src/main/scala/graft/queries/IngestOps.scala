@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ingest.BatchPipeline
+import graft.ingest.Parsers._
+
+/** The reference's ingestion semantics (SURVEY.md §2a P1-P14) exposed as
+  * oracle-checkable queries: re-synthesize text lines from a parquet table,
+  * push them through the real parse -> coerce -> route -> summarize pipeline,
+  * and the oracle simply recomputes the expected outcome relationally.
+  * Round-tripping `double -> string -> double` is exact (Java shortest
+  * round-trip formatting), so values hash-match the originals.
+  */
+object IngestOps {
+
+  import BatchPipeline._
+
+  private def customerLines(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer").select(
+      col("c_custkey").cast("long").as("rec_key"),
+      concat_ws(",",
+        col("c_custkey").cast("string"), col("c_name"),
+        col("c_nationkey").cast("string"), col("c_acctbal").cast("string"),
+        col("c_mktsegment")).as("rec"))
+
+  private val custSpec = CsvSpec(
+    headers = Vector("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    types = Some(Vector("number", "string", "number", "number", "string")))
+
+  /** P1/P2/P5/P8 — CSV parse + type coercion round-trip on customer. */
+  def q60CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lines = customerLines(spark, dir)
+      .as[(Long, String)].map { case (k, l) => graft.ingest.RecData("customer.csv", l, k) }
+    parseCsv(lines, custSpec)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q60Sql: String =
+    """SELECT CAST(c_custkey AS DOUBLE) AS c_custkey, c_name,
+      |  CAST(c_nationkey AS DOUBLE) AS c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** P4/P7 — fixed-width parse round-trip on nation. String fields keep
+    * their padding (the reference does not trim FW strings —
+    * `lib/parsers.js:250`), mirrored by rpad in the oracle.
+    */
+  def q61FwRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spec = FwSpec(Vector(
+      FwField("n_nationkey", "number", 1, 4),
+      FwField("n_name", "string", 5, 24),
+      FwField("n_regionkey", "number", 25, 28)))
+    val lines = Tables(spark, dir, "nation").select(
+        col("n_nationkey").cast("long").as("k"),
+        concat(
+          lpad(col("n_nationkey").cast("string"), 4, "0"),
+          rpad(col("n_name"), 20, " "),
+          lpad(col("n_regionkey").cast("string"), 4, "0")).as("rec"))
+      .as[(Long, String)].map { case (k, l) => graft.ingest.RecData("nation.fwv", l, k) }
+    parseFw(lines, spec)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  val q61Sql: String =
+    """SELECT CAST(n_nationkey AS DOUBLE) AS n_nationkey,
+      |  rpad(n_name, 20, ' ') AS n_name,
+      |  CAST(n_regionkey AS DOUBLE) AS n_regionkey
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  /** P5/P10 — error capture + routing: corrupt every 10th record's numeric
+    * field deterministically; FAILED/SUCCESS counts must match the oracle's
+    * relational restatement. Verifies "record errors never fail the job".
+    */
+  def q62RouteStatus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lines = Tables(spark, dir, "customer").select(
+        col("c_custkey").cast("long").as("k"),
+        concat_ws(",",
+          col("c_custkey").cast("string"), col("c_name"),
+          when(col("c_custkey") % 10 === 0, lit("notanum"))
+            .otherwise(col("c_acctbal").cast("string"))).as("rec"))
+      .as[(Long, String)].map { case (k, l) => graft.ingest.RecData("customer.csv", l, k) }
+    val spec = CsvSpec(
+      headers = Vector("c_custkey", "c_name", "c_acctbal"),
+      types = Some(Vector("number", "string", "number")))
+    route(parseCsv(lines, spec))
+      .groupBy(col("statusText").as("status_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("status_text"))
+  }
+
+  val q62Sql: String =
+    """SELECT CASE WHEN c_custkey % 10 = 0 THEN 'FAILED' ELSE 'SUCCESS' END AS status_text,
+      |  count(*) AS n
+      |FROM customer GROUP BY 1 ORDER BY status_text""".stripMargin
+
+  /** P13/P14 — the BatchRun summary contract: one row with
+    * total/success/failure counts (`common/models/batch-run.json:7-19`).
+    */
+  def q63RunSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lines = Tables(spark, dir, "customer").select(
+        col("c_custkey").cast("long").as("k"),
+        concat_ws(",",
+          col("c_custkey").cast("string"),
+          when(col("c_custkey") % 7 === 0, lit("oops")).otherwise(lit("true"))).as("rec"))
+      .as[(Long, String)].map { case (k, l) => graft.ingest.RecData("customer.csv", l, k) }
+    val spec = CsvSpec(
+      headers = Vector("c_custkey", "flag"),
+      types = Some(Vector("number", "boolean")))
+    runSummary(route(parseCsv(lines, spec)), "customer.csv", 0L, 0L)
+      .select(col("totalRecordCount"), col("successCount"), col("failureCount"))
+  }
+
+  val q63Sql: String =
+    """SELECT count(*) AS totalRecordCount,
+      |  sum(CASE WHEN c_custkey % 7 <> 0 THEN 1 ELSE 0 END) AS successCount,
+      |  sum(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END) AS failureCount
+      |FROM customer""".stripMargin
+
+  /** P3 — non-comma delimiter path (plain split, no quoting). */
+  def q64DelimitedParse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lines = Tables(spark, dir, "part").select(
+        col("p_partkey").cast("long").as("k"),
+        concat_ws("|",
+          col("p_partkey").cast("string"), col("p_name"), col("p_brand"),
+          col("p_size").cast("string")).as("rec"))
+      .as[(Long, String)].map { case (k, l) => graft.ingest.RecData("part.psv", l, k) }
+    val spec = CsvSpec(
+      headers = Vector("p_partkey", "p_name", "p_brand", "p_size"),
+      types = Some(Vector("number", "string", "string", "number")),
+      delimiter = "|")
+    parseCsv(lines, spec)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q64Sql: String =
+    """SELECT CAST(p_partkey AS DOUBLE) AS p_partkey, p_name, p_brand,
+      |  CAST(p_size AS DOUBLE) AS p_size
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** P12 — BatchStatus audit rows for the corrupted-customer job. */
+  def q65BatchStatus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lines = Tables(spark, dir, "customer").select(
+        col("c_custkey").cast("long").as("k"),
+        concat_ws(",",
+          col("c_custkey").cast("string"),
+          when(col("c_custkey") % 10 === 0, lit("notanum"))
+            .otherwise(col("c_acctbal").cast("string"))).as("rec"))
+      .as[(Long, String)].map { case (k, l) => graft.ingest.RecData("customer.csv", l, k) }
+    val spec = CsvSpec(
+      headers = Vector("c_custkey", "c_acctbal"),
+      types = Some(Vector("number", "number")))
+    batchStatus(route(parseCsv(lines, spec)))
+      .select(col("rec_id"), col("status_text"), col("status_code").cast("long").as("status_code"))
+      .orderBy(col("rec_id"))
+  }
+
+  val q65Sql: String =
+    """SELECT c_custkey AS rec_id,
+      |  CASE WHEN c_custkey % 10 = 0 THEN 'FAILED' ELSE 'SUCCESS' END AS status_text,
+      |  CAST(CASE WHEN c_custkey % 10 = 0 THEN 422 ELSE 200 END AS BIGINT) AS status_code
+      |FROM customer ORDER BY rec_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_csv_roundtrip" -> q60CsvRoundtrip _,
+    "q61_fw_roundtrip" -> q61FwRoundtrip _,
+    "q62_route_status" -> q62RouteStatus _,
+    "q63_run_summary" -> q63RunSummary _,
+    "q64_delimited_parse" -> q64DelimitedParse _,
+    "q65_batch_status" -> q65BatchStatus _)
+
+  val oracles: Map[String, String] = Map(
+    "q60_csv_roundtrip" -> q60Sql,
+    "q61_fw_roundtrip" -> q61Sql,
+    "q62_route_status" -> q62Sql,
+    "q63_run_summary" -> q63Sql,
+    "q64_delimited_parse" -> q64Sql,
+    "q65_batch_status" -> q65Sql)
+}

@@ -1,0 +1,396 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational query surface (SURVEY.md §2b) — declarative DataFrame plans so
+  * Catalyst does pushdown/pruning/join-selection, Tungsten does codegen.
+  *
+  * Scale notes baked into each plan:
+  *   - dimension joins (region/nation/supplier/part) are `broadcast()` —
+  *     at 100 TB the fact side never shuffles for a star join;
+  *   - aggregates are partial (map-side combine) by construction;
+  *   - every double aggregate is rounded so results are stable across
+  *     partial-aggregation orders (and across Spark vs the DuckDB oracle);
+  *   - every query ends in an explicit orderBy on a unique key so results
+  *     are deterministic for hash comparison.
+  */
+object Relational {
+
+  private def r2(c: Column) = round(c, 2)
+
+  /** TPC-H Q1-style pricing summary: one scan, partial hash agg, tiny
+    * shuffle (few groups). Filter + column pruning push to parquet.
+    */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        r2(sum(col("l_quantity"))).as("sum_qty"),
+        r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+        r2(avg(col("l_quantity"))).as("avg_qty"),
+        r2(avg(col("l_extendedprice"))).as("avg_price"),
+        r2(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 2) AS avg_qty,
+      |  round(avg(l_extendedprice), 2) AS avg_price,
+      |  round(avg(l_discount), 2) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Selective filter + narrow projection: PushedFilters + 3-column
+    * ReadSchema at the parquet scan — verified in RelationalSpec.
+    */
+  def q02FilterProject(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    l.filter(col("l_quantity") > 45 && col("l_discount") >= 0.05)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        // per-row scalar math: identical IEEE ops on any engine, so no
+        // rounding — exact equality is stabler than a round() boundary
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice * (1 - l_discount) AS revenue
+      |FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Star-dimension join chain with explicit broadcasts: customer (fact-ish)
+    * never shuffles; nation/region stream through as broadcast hash joins.
+    */
+  def q03BroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    val r = Tables(spark, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), r2(sum(col("c_acctbal"))).as("sum_acctbal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q03Sql: String =
+    """SELECT r_name, n_name, count(*) AS n_customers,
+      |  round(sum(c_acctbal), 2) AS sum_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  /** Fact-to-fact join (lineitem x orders): shuffle hash/sort-merge on the
+    * join key — at scale both sides pre-shuffle on l_orderkey/o_orderkey,
+    * which bucketing on orderkey would eliminate entirely.
+    */
+  def q04StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q04Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Window function: top-3 orders per customer by totalprice. One shuffle
+    * on o_custkey; rank ties broken by orderkey for determinism.
+    */
+  def q05WindowTopk(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"), r2(col("o_totalprice")).as("totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  val q05Sql: String =
+    """SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) AS totalprice
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders)
+      |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
+
+  /** Global sort + limit: Spark plans TakeOrderedAndProject — a per-partition
+    * top-k then a driver merge of k*partitions rows, never a full sort.
+    */
+  def q06SortLimit(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    l.select(col("l_orderkey"), col("l_linenumber"), r2(col("l_extendedprice")).as("price"))
+      .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(25)
+  }
+
+  val q06Sql: String =
+    """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+      |FROM lineitem
+      |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 25""".stripMargin
+
+  /** Set op: customers that do have orders, as INTERSECT (dedups both sides;
+    * Spark plans a hash aggregate + semi join under AQE).
+    */
+  def q07SetIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders").select(col("o_custkey").as("custkey"))
+    val c = Tables(spark, dir, "customer").select(col("c_custkey").as("custkey"))
+    o.intersect(c).orderBy(col("custkey"))
+  }
+
+  val q07Sql: String =
+    """SELECT o_custkey AS custkey FROM orders
+      |INTERSECT
+      |SELECT c_custkey AS custkey FROM customer
+      |ORDER BY custkey""".stripMargin
+
+  /** Set op: customers with no orders via EXCEPT. */
+  def q08SetExcept(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer").select(col("c_custkey").as("custkey"))
+    val o = Tables(spark, dir, "orders").select(col("o_custkey").as("custkey"))
+    c.except(o).orderBy(col("custkey"))
+  }
+
+  val q08Sql: String =
+    """SELECT c_custkey AS custkey FROM customer
+      |EXCEPT
+      |SELECT o_custkey AS custkey FROM orders
+      |ORDER BY custkey""".stripMargin
+
+  /** Multi-dimensional agg: ROLLUP — Spark expands grouping sets in a single
+    * Expand + hash agg (one shuffle). NULLS FIRST pinned on both sides.
+    */
+  def q09Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), r2(sum(col("o_totalprice"))).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  val q09Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Anti join: customers with no orders — Spark broadcast/shuffled
+    * LeftAnti, no materialized subquery.
+    */
+  def q10AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Semi join: suppliers in nations that have customers — LeftSemi with a
+    * broadcast right side.
+    */
+  def q11SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables(spark, dir, "supplier")
+    val c = Tables(spark, dir, "customer")
+    s.join(broadcast(c), s("s_nationkey") === c("c_nationkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q11Sql: String =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = s_nationkey)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Exact dedup with a deterministic survivor: group-by the natural key and
+    * keep min(id) — the scale-safe restatement of dropDuplicates (one
+    * shuffle on the dedup key, map-side partial min).
+    */
+  def q12DedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
+  val q12Sql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  /** CUBE over part attributes — grouping-sets expansion, single shuffle. */
+  def q13Cube(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+    p.cube(col("p_brand"), col("p_type"))
+      .agg(count(lit(1)).as("n_parts"), r2(avg(col("p_retailprice"))).as("avg_price"))
+      .orderBy(col("p_brand").asc_nulls_first, col("p_type").asc_nulls_first)
+  }
+
+  val q13Sql: String =
+    """SELECT p_brand, p_type, count(*) AS n_parts,
+      |  round(avg(p_retailprice), 2) AS avg_price
+      |FROM part GROUP BY CUBE (p_brand, p_type)
+      |ORDER BY p_brand ASC NULLS FIRST, p_type ASC NULLS FIRST""".stripMargin
+
+  /** Correlated scalar-subquery shape: each customer's order count + spend
+    * (left outer agg-join; Catalyst rewrites the subquery to exactly this).
+    */
+  def q14OuterJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), r2(sum(col("o_totalprice"))).as("spend"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .select(
+        col("c_custkey"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).as("spend"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q14Sql: String =
+    """SELECT c_custkey,
+      |  coalesce(n_orders, 0) AS n_orders,
+      |  coalesce(spend, 0.0) AS spend
+      |FROM customer LEFT JOIN (
+      |  SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+      |  FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Distinct-count + approx distinct side by side (approx not compared —
+    * exact column drives the oracle; HLL++ is the 100 TB cardinality path).
+    */
+  def q15DistinctCount(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    l.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"), count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q15Sql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Union-all of two branch aggregates (branch reuse; no dedup shuffle). */
+  def q16UnionAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val hi = o.filter(col("o_totalprice") > 300000)
+      .select(lit("high").as("bucket"), col("o_orderkey"))
+    val lo = o.filter(col("o_totalprice") < 20000)
+      .select(lit("low").as("bucket"), col("o_orderkey"))
+    hi.unionAll(lo).orderBy(col("bucket"), col("o_orderkey"))
+  }
+
+  val q16Sql: String =
+    """SELECT 'high' AS bucket, o_orderkey FROM orders WHERE o_totalprice > 300000
+      |UNION ALL
+      |SELECT 'low' AS bucket, o_orderkey FROM orders WHERE o_totalprice < 20000
+      |ORDER BY bucket, o_orderkey""".stripMargin
+
+  /** Running/cumulative window over an unbounded preceding frame, plus lag —
+    * the order-history shape (one shuffle on custkey).
+    */
+  def q17RunningWindow(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.select(
+        col("o_custkey"), col("o_orderkey"),
+        r2(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))).as("cum_spend"),
+        coalesce(lag(col("o_orderkey"), 1).over(w), lit(-1L)).as("prev_orderkey"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q17Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend,
+      |  coalesce(lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), -1) AS prev_orderkey
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Date/scalar-function surface: extract parts, conditional CASE buckets. */
+  def q18DateBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    o.select(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mth"),
+        when(col("o_totalprice") >= 200000, "big").otherwise("small").as("size_bucket"))
+      .groupBy(col("yr"), col("mth"), col("size_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("yr"), col("mth"), col("size_bucket"))
+  }
+
+  val q18Sql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mth,
+      |  CASE WHEN o_totalprice >= 200000 THEN 'big' ELSE 'small' END AS size_bucket,
+      |  count(*) AS n
+      |FROM orders GROUP BY 1, 2, 3 ORDER BY yr, mth, size_bucket""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01PricingSummary _,
+    "q02_filter_project" -> q02FilterProject _,
+    "q03_broadcast_join" -> q03BroadcastJoin _,
+    "q04_star_join" -> q04StarJoin _,
+    "q05_window_topk" -> q05WindowTopk _,
+    "q06_sort_limit" -> q06SortLimit _,
+    "q07_set_intersect" -> q07SetIntersect _,
+    "q08_set_except" -> q08SetExcept _,
+    "q09_rollup" -> q09Rollup _,
+    "q10_anti_join" -> q10AntiJoin _,
+    "q11_semi_join" -> q11SemiJoin _,
+    "q12_dedup_exact" -> q12DedupExact _,
+    "q13_cube" -> q13Cube _,
+    "q14_outer_join_agg" -> q14OuterJoinAgg _,
+    "q15_distinct_count" -> q15DistinctCount _,
+    "q16_union_all" -> q16UnionAll _,
+    "q17_running_window" -> q17RunningWindow _,
+    "q18_date_buckets" -> q18DateBuckets _)
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_project" -> q02Sql,
+    "q03_broadcast_join" -> q03Sql,
+    "q04_star_join" -> q04Sql,
+    "q05_window_topk" -> q05Sql,
+    "q06_sort_limit" -> q06Sql,
+    "q07_set_intersect" -> q07Sql,
+    "q08_set_except" -> q08Sql,
+    "q09_rollup" -> q09Sql,
+    "q10_anti_join" -> q10Sql,
+    "q11_semi_join" -> q11Sql,
+    "q12_dedup_exact" -> q12Sql,
+    "q13_cube" -> q13Sql,
+    "q14_outer_join_agg" -> q14Sql,
+    "q15_distinct_count" -> q15Sql,
+    "q16_union_all" -> q16Sql,
+    "q17_running_window" -> q17Sql,
+    "q18_date_buckets" -> q18Sql)
+}

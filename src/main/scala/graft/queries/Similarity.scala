@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), pure `functions._` arithmetic (zip_with/aggregate are
+  * codegen'd — no UDF in the scoring loop).
+  *
+  * Scale design: the query set is small and BROADCAST; the corpus streams
+  * through one narrow scoring pass and a per-query top-k window. That is the
+  * correct 1000-executor plan for brute force (no corpus shuffle at all —
+  * the only shuffle is the top-k on the tiny query-id key). The LSH and IVF
+  * variants then cut the scored fraction of the corpus, which is what makes
+  * repeated querying cheap at 100 TB.
+  */
+object Similarity {
+
+  /** Element-wise arithmetic in double (matches any double-based oracle). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  def unitVec(v: Column): Column = {
+    val d = toDouble(v)
+    transform(d, x => x / norm(d))
+  }
+
+  def cosine(a: Column, b: Column): Column = {
+    val da = toDouble(a); val db = toDouble(b)
+    dot(da, db) / (norm(da) * norm(db))
+  }
+
+  /** Deterministic random hyperplanes: `nBits` planes of dimension `dim`,
+    * seeded — identical across executors/runs without any fitted state.
+    */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-random-projection bucket id (0 .. 2^nBits-1) as a narrow
+    * projection: nBits dot products against literal plane vectors.
+    */
+  def withBucket(df: DataFrame, nBits: Int, vecCol: String = "embedding", dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nBits, dim)
+    val bucket = (0 until nBits).map { i =>
+      val plane = array(planes(i).map(lit): _*)
+      when(dot(toDouble(col(vecCol)), plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn("bucket", bucket)
+  }
+
+  private def queriesSet(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
+    Tables(spark, dir, "embeddings").filter(col("vec_id") < n)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+
+  /** Brute-force exact cosine top-k: broadcast queries x corpus scan, then
+    * top-5 per query (window on query_id).
+    */
+  def q50KnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables(spark, dir, "embeddings")
+    val q = queriesSet(spark, dir)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosine(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q50Sql: String =
+    """SELECT query_id, rk, neighbor_id, cosine FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(list_zip(q.embedding, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cosine,
+      |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |      list_sum(list_transform(list_zip(q.embedding, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC, c.vec_id) AS BIGINT) AS rk
+      |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+      |  JOIN embeddings c ON c.vec_id <> q.vec_id)
+      |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** LSH-bucketed ANN: queries only score their own hyperplane bucket —
+    * the scale path (scored fraction ~= 1/2^nBits). Approximate by
+    * construction; rows-only check.
+    */
+  def q51KnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = withBucket(Tables(spark, dir, "embeddings"), nBits = 4)
+    val q = withBucket(
+      Tables(spark, dir, "embeddings").filter(col("vec_id") < 10), nBits = 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosine(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** IVF-style partitioned search: per-label centroids (the "coarse
+    * quantizer" — here the given label clustering), each vector scored
+    * against every centroid; emits the assignment + distance-to-own-centroid
+    * — the build side of an IVF index, and a k-means assignment step.
+    */
+  def q52IvfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    // centroid per label: element-wise mean = posexplode + avg per (label, pos)
+    val cent = e.select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .select(col("label").as("c_label"), transform(col("pairs"), p => p.getField("cx")).as("centroid"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("c_label"))
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        cosine(col("embedding"), col("centroid")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("c_label").as("assigned_label"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_knn_brute" -> q50KnnBrute _,
+    "q51_knn_lsh" -> q51KnnLsh _,
+    "q52_ivf_assign" -> q52IvfAssign _)
+
+  val oracles: Map[String, String] = Map(
+    "q50_knn_brute" -> q50Sql)
+}

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for the training-data pipeline, all built from
+  * codegen'd `org.apache.spark.sql.functions` — no UDFs in the hot path, so
+  * every query stays inside WholeStageCodegen and scales linearly with
+  * input bytes (scan-bound at 100 TB).
+  */
+object TextOps {
+
+  /** Normalized text: lowercase, collapse whitespace, trim. */
+  def normText(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whitespace tokens with empties removed. */
+  def wsTokens(c: Column): Column = filter(split(c, "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish subword-ish token count: word chars runs + single punctuation
+    * marks, the standard pre-tokenizer regex shape.
+    */
+  def regexTokenCount(c: Column): Column =
+    size(filter(split(c, "(?=[^\\w])|(?<=[^\\w])"), t => length(trim(t)) > 0))
+
+  /** Term frequencies across the corpus: explode + count — the scale path
+    * is partial aggregation per partition then one shuffle on token.
+    */
+  def q30TokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.select(explode(wsTokens(normText(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+  }
+
+  val q30Sql: String =
+    """SELECT token, count(*) AS n FROM (
+      |  SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS token
+      |  FROM documents)
+      |WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin
+
+  /** Per-document quality features: token count, char count, average word
+    * length, stopword ratio, all-scalar single pass.
+    */
+  def q31QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+    val toks = wsTokens(normText(col("text")))
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isInCollection(stop)))
+    d.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        nTok.cast("long").as("n_tokens"),
+        // per-row int/int division: identical IEEE result on any engine
+        (length(regexp_replace(col("text"), "\\s", "")).cast("double") / greatest(nTok, lit(1))).as("avg_word_len"),
+        (nStop.cast("double") / greatest(nTok, lit(1))).as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q31Sql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / greatest(len(toks), 1) AS avg_word_len,
+      |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+      |    / greatest(len(toks), 1) AS stopword_ratio
+      |FROM (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'), t -> t <> '') AS toks
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprint: md5 of normalized text — the exact-dedup content
+    * key (md5 is identical across engines, so it oracles cleanly; xxhash64
+    * is the cheaper in-engine variant used by Dedup).
+    */
+  def q32Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"), md5(normText(col("text"))).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q32Sql: String =
+    """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Language-ID: character/stopword n-gram heuristic, deterministic.
+    * Scores each language by stopword hits + diacritic signal; emits the
+    * argmax. Expressed as a codegen'd CASE cascade (no UDF). No SQL oracle
+    * (heuristic, not ANSI-expressible compactly) — rows-only check.
+    */
+  def q33LangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val t = normText(col("text"))
+    def hits(words: Seq[String]): Column =
+      words.map(w => when(t.rlike(s"\\b$w\\b"), 1).otherwise(0)).reduce(_ + _)
+    val enScore = hits(Seq("the", "and", "of", "to", "a", "is"))
+    val esScore = hits(Seq("el", "la", "de", "que", "y", "en")) +
+      when(t.rlike("[áéíóúñ¿¡]"), 3).otherwise(0)
+    val deScore = hits(Seq("der", "die", "das", "und", "ist", "nicht")) +
+      when(t.rlike("[äöüß]"), 3).otherwise(0)
+    val frScore = hits(Seq("le", "les", "des", "est", "une", "et")) +
+      when(t.rlike("[àâçèêëîïôùû]"), 2).otherwise(0)
+    d.select(
+        col("doc_id"), col("lang").as("declared_lang"),
+        when(enScore >= esScore && enScore >= deScore && enScore >= frScore && enScore > 0, "en")
+          .when(esScore >= deScore && esScore >= frScore && esScore > 0, "es")
+          .when(deScore >= frScore && deScore > 0, "de")
+          .when(frScore > 0, "fr")
+          .otherwise("und").as("detected_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** N-char-gram profile per document: leading char bigrams as a language
+    * signature (the n-gram half of lang-ID), token-level.
+    */
+  def q34CharNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.select(explode(wsTokens(normText(col("text")))).as("token"))
+      .filter(length(col("token")) >= 2)
+      .select(substring(col("token"), 1, 2).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(30)
+  }
+
+  val q34Sql: String =
+    """SELECT bigram, count(*) AS n FROM (
+      |  SELECT substring(token, 1, 2) AS bigram FROM (
+      |    SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS token
+      |    FROM documents)
+      |  WHERE length(token) >= 2)
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30""".stripMargin
+
+  /** Corpus stats by language and source — the monitoring rollup a training
+    * pipeline runs per ingest batch.
+    */
+  def q35CorpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(length(col("text"))), 2).as("avg_text_len"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val q35Sql: String =
+    """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      |  round(avg(length(text)), 2) AS avg_text_len
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  /** Regex token counting (BPE-ish pre-tokenizer) per doc. */
+  def q36TokenCountRegex(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"), regexTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_token_counts" -> q30TokenCounts _,
+    "q31_quality_score" -> q31QualityScore _,
+    "q32_fingerprint" -> q32Fingerprint _,
+    "q33_lang_id" -> q33LangId _,
+    "q34_char_ngrams" -> q34CharNgrams _,
+    "q35_corpus_stats" -> q35CorpusStats _,
+    "q36_token_count_regex" -> q36TokenCountRegex _)
+
+  val oracles: Map[String, String] = Map(
+    "q30_token_counts" -> q30Sql,
+    "q31_quality_score" -> q31Sql,
+    "q32_fingerprint" -> q32Sql,
+    "q34_char_ngrams" -> q34Sql,
+    "q35_corpus_stats" -> q35Sql)
+}
