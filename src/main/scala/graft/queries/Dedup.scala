@@ -47,12 +47,12 @@ object Dedup {
 
   private val K = 32; private val BANDS = 8; private val ROWS = 4
 
-  /** MinHash + LSH candidate pairs with signature-estimated Jaccard.
-    * Pipeline: per-doc signature (narrow) -> explode 8 band keys -> shuffle
-    * on (band, key) -> within-bucket pairing -> distinct pairs -> estimate
-    * similarity from the signatures. Output ordered, deterministic.
+  /** MinHash + LSH candidate pairs with signature-estimated Jaccard —
+    * un-limited. Pipeline: per-doc signature (narrow) -> explode 8 band
+    * keys -> shuffle on (band, key) -> within-bucket pairing -> distinct
+    * pairs -> estimate similarity from the signatures.
     */
-  def q40MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
     val sigs = d.select(col("doc_id"), minhashSig(tokenSet(col("text")), K).as("sig"))
       .withColumn("bands", bandKeys(col("sig"), BANDS, ROWS))
@@ -66,9 +66,13 @@ object Dedup {
           lit(0), (acc, v) => acc + v).cast("double") / K).as("est_jaccard"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(round(max(col("est_jaccard")), 4).as("est_jaccard"))
+  }
+
+  /** Query surface for the candidates: top pairs, deterministic order. */
+  def q40MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashCandidates(spark, dir)
       .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
       .limit(100)
-  }
 
   /** Exact n-gram (token-set) Jaccard within blocks. Blocking key = lang —
     * the standard "never cross the full corpus" guard; within-block pairing

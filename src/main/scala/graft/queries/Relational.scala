@@ -169,17 +169,18 @@ object Relational {
       |SELECT c_custkey AS custkey FROM customer
       |ORDER BY custkey""".stripMargin
 
-  /** Set op: customers with no orders via EXCEPT. */
+  /** Set op via EXCEPT: customers who never placed a high-value order. */
   def q08SetExcept(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables(spark, dir, "customer").select(col("c_custkey").as("custkey"))
-    val o = Tables(spark, dir, "orders").select(col("o_custkey").as("custkey"))
+    val o = Tables(spark, dir, "orders").filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("custkey"))
     c.except(o).orderBy(col("custkey"))
   }
 
   val q08Sql: String =
     """SELECT c_custkey AS custkey FROM customer
       |EXCEPT
-      |SELECT o_custkey AS custkey FROM orders
+      |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
       |ORDER BY custkey""".stripMargin
 
   /** Multi-dimensional agg: ROLLUP — Spark expands grouping sets in a single
@@ -198,12 +199,13 @@ object Relational {
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
-  /** Anti join: customers with no orders — Spark broadcast/shuffled
-    * LeftAnti, no materialized subquery.
+  /** Anti join: customers with no high-value orders — Spark
+    * broadcast/shuffled LeftAnti, no materialized subquery. The filter on
+    * the right side pushes below the join.
     */
   def q10AntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables(spark, dir, "customer")
-    val o = Tables(spark, dir, "orders")
+    val o = Tables(spark, dir, "orders").filter(col("o_totalprice") > 400000)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
@@ -211,7 +213,7 @@ object Relational {
 
   val q10Sql: String =
     """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
       |ORDER BY c_custkey""".stripMargin
 
   /** Semi join: suppliers in nations that have customers — LeftSemi with a

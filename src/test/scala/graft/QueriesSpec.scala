@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries._
+
+/** Behavior checks of the query surface on sf0.001 (correctness vs the
+  * DuckDB oracle is the driver's gate; these cover invariants the oracle
+  * can't express and cross-checks against spark.sql restatements).
+  */
+class QueriesSpec extends SparkTestBase {
+
+  test("entry flagship query returns grouped revenue rows") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("n_name")).distinct.length == rows.length)
+  }
+
+  test("every registered query runs non-empty on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("q01 matches a spark.sql restatement of the same aggregation") {
+    Tables(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin).collect()
+    val viaDf = Relational.q01PricingSummary(spark, sfDir)
+      .select("l_returnflag", "l_linestatus", "sum_qty").collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaDf.map(_.toSeq).toSeq)
+  }
+
+  test("knn brute-force: per-query neighbors are distinct, ranked, self-free") {
+    val rows = Similarity.q50KnnBrute(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 5)
+      assert(rs.map(_.getAs[Long]("neighbor_id")).distinct.length == 5)
+      assert(!rs.map(_.getAs[Long]("neighbor_id")).contains(q), "self must be excluded")
+      val cosines = rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b }, "descending by cosine")
+    }
+  }
+
+  test("knn lsh neighbors score no higher than brute-force rank-1") {
+    val brute = Similarity.q50KnnBrute(spark, sfDir).filter(col("rk") === 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cosine")).toMap
+    val lsh = Similarity.q51KnnLsh(spark, sfDir).filter(col("rk") === 1).collect()
+    lsh.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert(r.getAs[Double]("cosine") <= brute(q) + 1e-9)
+    }
+  }
+
+  test("minhash est_jaccard within [0,1] and symmetric pair ids ordered") {
+    val rows = Dedup.q40MinhashLsh(spark, sfDir).collect()
+    rows.foreach { r =>
+      val j = r.getAs[Double]("est_jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+    }
+  }
+
+  test("minhash LSH candidates cover nearly all high exact-jaccard pairs") {
+    // all-pairs exact token-set jaccard at sf0.001 (500 docs — fine in test)
+    val toks = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), Dedup.tokenSet(col("text")).as("t"))
+    val a = toks.select(col("doc_id").as("id_a"), col("t").as("ta"))
+    val b = toks.select(col("doc_id").as("id_b"), col("t").as("tb"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb")))).as("j"))
+      .filter(col("j") >= 0.8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val cand = Dedup.minhashCandidates(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val missed = exact -- cand
+    // b=8, r=4 banding: P(miss | J=0.8) = (1 - 0.8^4)^8 ≈ 1.5% per pair
+    assert(exact.nonEmpty, "test needs high-similarity pairs in the corpus")
+    assert(missed.size <= math.max(2, exact.size / 20),
+      s"LSH missed ${missed.size} of ${exact.size} high-similarity pairs: $missed")
+  }
+
+  test("simhash is deterministic and bucket = top 16 bits") {
+    val a = Dedup.q42Simhash(spark, sfDir).collect()
+    val b = Dedup.q42Simhash(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    a.take(20).foreach { r =>
+      assert(r.getAs[Long]("bucket") == (r.getAs[Long]("simhash") >>> 48))
+    }
+  }
+
+  test("simhash pairs hamming distance is within [0, 64] and ascending") {
+    val h = Dedup.q43SimhashPairs(spark, sfDir).collect().map(_.getAs[Long]("hamming"))
+    assert(h.forall(x => x >= 0 && x <= 64))
+    assert(h.zip(h.tail).forall { case (x, y) => x <= y })
+  }
+
+  test("ivf assignment: every vector assigned exactly one centroid") {
+    val rows = Similarity.q52IvfAssign(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == rows.length)
+    assert(rows.forall(r => r.getAs[Double]("cosine") >= -1.0001 && r.getAs[Double]("cosine") <= 1.0001))
+  }
+
+  test("lang-id emits a language for every doc, deterministic") {
+    val rows = TextOps.q33LangId(spark, sfDir).collect()
+    assert(rows.length == Tables(spark, sfDir, "documents").count())
+    val langs = rows.map(_.getAs[String]("detected_lang")).toSet
+    assert(langs.subsetOf(Set("en", "es", "de", "fr", "und")))
+  }
+
+  test("dedup exact keeps one survivor per distinct text") {
+    val total = Tables(spark, sfDir, "documents").select("text").distinct().count()
+    assert(Relational.q12DedupExact(spark, sfDir).count() == total)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStream
+
+/** Structured Streaming: the streaming hourly aggregation over a file source
+  * must converge to the same result as the batch aggregation — batch is the
+  * oracle for the stream.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  test("streaming hourly agg converges to the batch result") {
+    val tmp = Files.createTempDirectory("graft-stream")
+    val inDir = tmp.resolve("in").toString
+    val outDir = tmp.resolve("out").toString
+    val ckDir = tmp.resolve("ck").toString
+
+    // stage the events table as the file-source input (ts already micros)
+    val events = Tables(spark, sfDir, "events")
+    events.repartition(4).write.parquet(inDir)
+
+    val stream = EventStream.readEventStream(spark, inDir, maxFilesPerTrigger = 2)
+    val q = EventStream.startParquetSink(EventStream.hourlyAgg(stream), outDir, ckDir)
+    q.processAllAvailable()
+    q.stop()
+
+    // append mode emits a window only after the watermark passes its end, so
+    // the emitted set is a prefix of the batch result — but every emitted
+    // row must carry exactly the batch-computed count
+    val got = spark.read.parquet(outDir)
+      .select(col("hour_start").cast("long").as("h"), col("event_type"), col("n_events"))
+      .collect().map(_.toSeq).toSet
+    val batchAll = events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").cast("long").as("h"), col("event_type"), col("n_events"))
+      .collect().map(_.toSeq).toSet
+
+    assert(got.nonEmpty, "stream must emit at least the early closed windows")
+    assert(got.subsetOf(batchAll), "every emitted window must equal its batch count")
+  }
+
+  test("stateful sessionization matches the batch sessionize counts") {
+    import graft.queries.EventsOps
+    val events = Tables(spark, sfDir, "events")
+    val streamed = EventStream.sessionize(spark, events)
+      .collect().map(r => (r.getAs[Long]("userId"), r.getAs[Long]("nSessions"), r.getAs[Long]("nEvents"))).toSet
+    val batch = EventsOps.q22Sessionize(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toSet
+    assert(streamed == batch)
+  }
+}
