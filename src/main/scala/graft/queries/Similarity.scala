@@ -27,15 +27,20 @@ object Similarity {
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
-  def unitVec(v: Column): Column = {
-    val d = toDouble(v)
-    transform(d, x => x / norm(d))
-  }
+  import graft.functions.ColFns.bound
 
-  def cosine(a: Column, b: Column): Column = {
-    val da = toDouble(a); val db = toDouble(b)
-    dot(da, db) / (norm(da) * norm(db))
-  }
+  /** Unit-normalize: vector and its norm are lambda-bound so the norm's dot
+    * product is computed once per row, not once per element.
+    */
+  def unitVec(v: Column): Column =
+    bound(toDouble(v)) { d =>
+      bound(sqrt(dot(d, d))) { n => transform(d, x => x / n) }
+    }
+
+  def cosine(a: Column, b: Column): Column =
+    bound(toDouble(a)) { da =>
+      bound(toDouble(b)) { db => dot(da, db) / (norm(da) * norm(db)) }
+    }
 
   /** Deterministic random hyperplanes: `nBits` planes of dimension `dim`,
     * seeded — identical across executors/runs without any fitted state.

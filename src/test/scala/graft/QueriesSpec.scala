@@ -72,9 +72,10 @@ class QueriesSpec extends SparkTestBase {
   }
 
   test("minhash LSH candidates cover nearly all high exact-jaccard pairs") {
-    // all-pairs exact token-set jaccard at sf0.001 (500 docs — fine in test)
+    // all-pairs exact 3-gram-shingle jaccard at sf0.001 (500 docs — fine in
+    // test); must match the shingling the candidates are built from
     val toks = Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), Dedup.tokenSet(col("text")).as("t"))
+      .select(col("doc_id"), array_distinct(Dedup.shingles(col("text"), 3)).as("t"))
     val a = toks.select(col("doc_id").as("id_a"), col("t").as("ta"))
     val b = toks.select(col("doc_id").as("id_b"), col("t").as("tb"))
     val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
