@@ -62,6 +62,15 @@ object Similarity {
     df.withColumn("bucket", bucket)
   }
 
+  /** Hot-path cosine: the native codegen'd expression (VectorExpressions).
+    * The HOF (`cosine`) variant above is kept for contexts without
+    * registration; both compute identical doubles.
+    */
+  private def nativeCosine(spark: SparkSession)(a: Column, b: Column): Column = {
+    graft.functions.VectorExpressions.register(spark)
+    graft.functions.VectorExpressions.cosineSim(a, b)
+  }
+
   private def queriesSet(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
     Tables(spark, dir, "embeddings").filter(col("vec_id") < n)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -74,7 +83,7 @@ object Similarity {
     val q = queriesSet(spark, dir)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), cosine(col("q_emb"), col("embedding")).as("cos"))
+      .select(col("query_id"), col("vec_id"), nativeCosine(spark)(col("q_emb"), col("embedding")).as("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("query_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
@@ -108,7 +117,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     corpus.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), cosine(col("q_emb"), col("embedding")).as("cos"))
+      .select(col("query_id"), col("vec_id"), nativeCosine(spark)(col("q_emb"), col("embedding")).as("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("query_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),

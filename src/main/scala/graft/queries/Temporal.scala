@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Temporal/advanced relational operators the reference lacks entirely
+  * (SURVEY.md §2b): as-of join, range join, pivot, grouping sets, exact
+  * percentiles, argmax, string-function surface.
+  */
+object Temporal {
+
+  /** AS-OF join: for each event, the most recent order (by date) of the
+    * same customer at or before the event time.
+    *
+    * Spark-first implementation — the union + last(ignoreNulls) window
+    * pattern: tag both streams, sort within key by time (orders before
+    * events on ties), carry the last order date forward. ONE shuffle on the
+    * key, linear in input — vs the naive inequality join which is
+    * O(events x orders) per key. This is the scale path for as-of joins on
+    * billions of rows.
+    */
+  def q70AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"),
+        col("event_id"), lit(null).cast("long").as("order_t"), lit(1).as("is_event"))
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey").as("k"), unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+        lit(null).cast("long").as("event_id"), unix_micros(col("o_orderdate").cast("timestamp")).as("order_t"),
+        lit(0).as("is_event"))
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("is_event"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.unionByName(o)
+      .withColumn("last_order_t", last(col("order_t"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1 && col("last_order_t").isNotNull)
+      .select(col("event_id"), col("k").as("user_id"),
+        (col("last_order_t") / 1000000L).cast("long").as("last_order_epoch"))
+      .orderBy(col("event_id"))
+  }
+
+  val q70Sql: String =
+    """SELECT e.event_id, e.user_id,
+      |  epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 1000000 AS last_order_epoch
+      |FROM events e ASOF JOIN orders o
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
+  /** Range join: pairs of events by the same user within 5 minutes.
+    * Scale path: bucketize time to 5-minute cells, explode the left side to
+    * its cell and the next, equi-join on (user, cell), filter the exact
+    * predicate, dedup — candidate pairs are O(events x density), never the
+    * full per-user cross product.
+    */
+  def q71RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bucketUs = 300L * 1000000L
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+    val a = ev.select(col("user_id"), col("event_id").as("id_a"), col("t").as("t_a"),
+        explode(array((col("t") / bucketUs).cast("long"),
+          (col("t") / bucketUs).cast("long") + 1)).as("cell"))
+    val b = ev.select(col("user_id"), col("event_id").as("id_b"), col("t").as("t_b"),
+        (col("t") / bucketUs).cast("long").as("cell"))
+    a.join(b, Seq("user_id", "cell"))
+      .filter(col("id_a") < col("id_b") && abs(col("t_a") - col("t_b")) <= bucketUs)
+      .select(col("user_id"), col("id_a"), col("id_b")).distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_close_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  val q71Sql: String =
+    """SELECT a.user_id, count(*) AS n_close_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+      |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
+
+  /** PIVOT: order counts per priority, one column per status. Explicit
+    * value list keeps the plan single-pass (no distinct-scan).
+    */
+  def q72Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q72Sql: String =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** GROUPING SETS (beyond rollup/cube): independent slices in one pass —
+    * Spark expands once and hash-aggregates with a single shuffle.
+    */
+  def q73GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("graft_orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  val q73Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Exact percentiles per group (sort-based agg; at 100 TB switch to
+    * approx_percentile — same API shape, sketch-mergeable).
+    */
+  def q74Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    l.groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q74Sql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+      |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Argmax/argmin: each customer's biggest order via max_by — single
+    * hash-agg, no window, no self-join.
+    */
+  def q75Argmax(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    o.groupBy(col("o_custkey"))
+      .agg(
+        expr("max_by(o_orderkey, o_totalprice)").as("biggest_order"),
+        expr("min_by(o_orderkey, o_totalprice)").as("smallest_order"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q75Sql: String =
+    """SELECT o_custkey,
+      |  arg_max(o_orderkey, o_totalprice) AS biggest_order,
+      |  arg_min(o_orderkey, o_totalprice) AS smallest_order,
+      |  round(max(o_totalprice), 2) AS max_price
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** Scalar string-function surface: case, substring, replace, concat,
+    * LIKE-filter — all codegen'd builtins.
+    */
+  def q76StringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+    p.filter(col("p_name").like("%widget%"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_name"), 1, 4).as("name_prefix"),
+        regexp_replace(col("p_name"), "widget", "gadget").as("renamed"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        length(col("p_name")).cast("long").as("name_len"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q76Sql: String =
+    """SELECT p_partkey,
+      |  upper(p_name) AS name_upper,
+      |  substring(p_name, 1, 4) AS name_prefix,
+      |  regexp_replace(p_name, 'widget', 'gadget', 'g') AS renamed,
+      |  concat_ws('/', p_brand, p_type) AS brand_type,
+      |  CAST(length(p_name) AS BIGINT) AS name_len
+      |FROM part WHERE p_name LIKE '%widget%' ORDER BY p_partkey""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_asof_join" -> q70AsofJoin _,
+    "q71_range_join" -> q71RangeJoin _,
+    "q72_pivot" -> q72Pivot _,
+    "q73_grouping_sets" -> q73GroupingSets _,
+    "q74_percentiles" -> q74Percentiles _,
+    "q75_argmax" -> q75Argmax _,
+    "q76_string_funcs" -> q76StringFuncs _)
+
+  val oracles: Map[String, String] = Map(
+    "q70_asof_join" -> q70Sql,
+    "q71_range_join" -> q71Sql,
+    "q72_pivot" -> q72Sql,
+    "q73_grouping_sets" -> q73Sql,
+    "q74_percentiles" -> q74Sql,
+    "q75_argmax" -> q75Sql,
+    "q76_string_funcs" -> q76Sql)
+}
