@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import graft.queries._
+
+/** Physical-plan quality gates: at 100 TB the PLAN is the product. These
+  * assert the properties the scale design depends on — filters reaching the
+  * parquet scan, pruned read schemas, broadcast joins where intended,
+  * bounded shuffle counts, whole-stage codegen on the hot paths.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def executed(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  /** AQE's toString prints the final plan followed by "== Initial Plan ==";
+    * assertions must only look at the final part.
+    */
+  private def finalPlan(df: DataFrame): String =
+    executed(df).toString.split("== Initial Plan ==")(0)
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case _ => Seq(p)
+    }
+    self ++ p.children.flatMap(collectAll) ++ p.subqueries.flatMap(collectAll)
+  }
+
+  test("q02 filter+project: predicates pushed to parquet, schema pruned to 4 columns") {
+    val s = formatted(Relational.q02FilterProject(spark, sfDir))
+    assert(s.contains("PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_discount)"),
+      s"expected pushed filters in:\n$s")
+    assert(s.contains("GreaterThan(l_quantity,45"), s"range filter must push:\n$s")
+    // only the 4 referenced columns are read, not all 11
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).get
+    assert(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+      .count(readSchema.contains) == 5 && !readSchema.contains("l_shipdate"),
+      s"read schema must be pruned: $readSchema")
+  }
+
+  test("q03 dimension joins are broadcast, zero shuffle on the fact side before agg") {
+    val df = Relational.q03BroadcastJoin(spark, sfDir)
+    df.collect() // finalize AQE
+    // look at the final AQE plan only (toString appends "== Initial Plan ==")
+    val s = executed(df).toString.split("== Initial Plan ==")(0)
+    assert("BroadcastHashJoin".r.findAllIn(s).length == 2,
+      s"both nation and region joins must be broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"no sort-merge join expected:\n$s")
+  }
+
+  test("q01 aggregation: partial + final hash aggregate (map-side combine)") {
+    val s = executed(Relational.q01PricingSummary(spark, sfDir)).toString
+    assert(s.contains("HashAggregate"), s"expected hash agg:\n$s")
+    assert(s.contains("partial_sum") || s.contains("partial"), s"expected partial agg:\n$s")
+  }
+
+  test("q06 sort+limit plans TakeOrderedAndProject, not a global sort") {
+    val s = executed(Relational.q06SortLimit(spark, sfDir)).toString
+    assert(s.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$s")
+  }
+
+  test("knn brute force: corpus side has no shuffle before scoring (queries broadcast)") {
+    val df = Similarity.q50KnnBrute(spark, sfDir)
+    df.collect()
+    val s = executed(df).toString.split("== Initial Plan ==")(0)
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      s"query set must broadcast:\n$s")
+    // the only hash-partitioning shuffle allowed is the per-query top-k window
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(s).length
+    assert(shuffles <= 1, s"corpus must not shuffle for brute-force scoring; got $shuffles in:\n$s")
+  }
+
+  test("native cosine_similarity participates in whole-stage codegen") {
+    graft.functions.VectorExpressions.register(spark)
+    val e = Tables(spark, sfDir, "embeddings")
+    val scored = e.select(graft.functions.VectorExpressions.cosineSim(
+      org.apache.spark.sql.functions.col("embedding"),
+      org.apache.spark.sql.functions.col("embedding")).as("c"))
+    // `*` prefix / "codegen id" mark WholeStageCodegen participation
+    val s = executed(scored).toString
+    assert(s.contains("*(1) Project") || s.contains("* Project"),
+      s"expected codegen'd projection:\n$s")
+    assert(formatted(scored).contains("codegen id"), "formatted plan must show a codegen span")
+    val vals = scored.collect().map(_.getDouble(0))
+    assert(vals.forall(v => math.abs(v - 1.0) < 1e-9), "self-cosine must be 1")
+  }
+
+  test("minhash signature stage is a single narrow projection (no shuffle before banding)") {
+    val sigs = Tables(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        Dedup.minhashSig(Dedup.shingles(org.apache.spark.sql.functions.col("text"), 3), 32).as("sig"))
+    val nodes = collectAll(executed(sigs))
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeLike]), "signatures must not shuffle")
+  }
+
+  test("ingest parse pipeline stays shuffle-free until the summary agg") {
+    import graft.ingest.BatchPipeline._
+    import graft.ingest.Parsers._
+    val spec = CsvSpec(Vector("a", "b"), Some(Vector("string", "number")))
+    val routed = route(parseCsv(fromLines(spark, Seq("x,1", "y,2")), spec))
+    val nodes = collectAll(executed(routed))
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "parse+route is embarrassingly parallel — no shuffle allowed")
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{Sinks, Sources}
+
+class SourcesSpec extends SparkTestBase {
+
+  test("csv source: PERMISSIVE mode captures corrupt records as rows") {
+    val dir = Files.createTempDirectory("graft-csv")
+    Files.write(dir.resolve("d.csv"), "1,aa\n2,bb\nnotanum,cc\n".getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    val df = Sources.csv(spark, dir.toString, schema)
+    val rows = df.collect()
+    assert(rows.length == 3)
+    assert(rows.count(r => !r.isNullAt(2)) == 1, "one corrupt record captured, job not failed")
+  }
+
+  test("json lines source with declared schema") {
+    val dir = Files.createTempDirectory("graft-json")
+    Files.write(dir.resolve("d.json"), """{"id":1,"v":"a"}
+{"id":2,"v":"b"}
+""".getBytes)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    assert(Sources.jsonLines(spark, dir.toString, schema).count() == 2)
+  }
+
+  test("binary file source reads payload bytes with glob pruning") {
+    val dir = Files.createTempDirectory("graft-bin")
+    Files.write(dir.resolve("a.img"), Array[Byte](1, 2, 3))
+    Files.write(dir.resolve("b.txt"), Array[Byte](9))
+    val df = Sources.binaryFiles(spark, dir.toString, glob = "*.img")
+    val rows = df.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Array[Byte]]("content").toSeq == Seq[Byte](1, 2, 3))
+  }
+
+  test("partitioned parquet sink enables partition pruning on read") {
+    val out = Files.createTempDirectory("graft-part").toString
+    Sinks.partitionedParquet(
+      Tables(spark, sfDir, "orders"), out, Seq("o_orderstatus"))
+    val pruned = spark.read.parquet(out).filter(col("o_orderstatus") === "F")
+    val s = pruned.queryExecution.executedPlan.toString
+    // partition filter appears as a pruning predicate, not a data filter
+    assert(s.contains("PartitionFilters") && s.contains("o_orderstatus"), s)
+    assert(pruned.count() ==
+      Tables(spark, sfDir, "orders").filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("bucketed table join on bucket key plans without shuffling the bucketed side") {
+    spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS graft_lineitem_bkt")
+    // a previously failed run can leave the managed location behind
+    Seq("graft_orders_bkt", "graft_lineitem_bkt").foreach { t =>
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    Sinks.bucketedTable(Tables(spark, sfDir, "orders"), "graft_orders_bkt", "o_orderkey", 4)
+    Sinks.bucketedTable(Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity"),
+      "graft_lineitem_bkt", "l_orderkey", 4)
+    val j = spark.table("graft_lineitem_bkt")
+      .join(spark.table("graft_orders_bkt"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").count()
+    j.collect()
+    val nodes = j.queryExecution.executedPlan.toString
+    // with matching bucketing on both sides the join itself needs no exchange
+    assert(!nodes.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed join must not re-shuffle the fact side:\n$nodes")
+  }
+}
