@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Aggregators
+import graft.ingest.ProgressReporter
+import graft.operators.SkewJoin
+
+class OperatorsSpec extends SparkTestBase {
+
+  test("Welford variance aggregator matches built-in var_samp/stddev") {
+    import org.apache.spark.sql.functions.udaf
+    val welford = udaf(Aggregators.WelfordVariance)
+    val l = Tables(spark, sfDir, "lineitem")
+    val got = l.agg(welford(col("l_extendedprice")).as("m")).select("m.*").collect().head
+    val exp = l.agg(
+      count(lit(1)), avg("l_extendedprice"), var_samp("l_extendedprice"), stddev("l_extendedprice"))
+      .collect().head
+    assert(got.getAs[Long]("n") == exp.getLong(0))
+    assert(math.abs(got.getAs[Double]("mean") - exp.getDouble(1)) < 1e-6)
+    assert(math.abs(got.getAs[Double]("variance") - exp.getDouble(2)) < 1e-3)
+    assert(math.abs(got.getAs[Double]("stddev") - exp.getDouble(3)) < 1e-6)
+  }
+
+  test("bounded distinct aggregator is deterministic across partitionings") {
+    import org.apache.spark.sql.functions.udaf
+    val bd = udaf(new Aggregators.BoundedDistinct(5))
+    def run(parts: Int) = Tables(spark, sfDir, "documents").repartition(parts)
+      .groupBy("lang").agg(bd(col("source")).as("sample"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(run(2) == run(7))
+  }
+
+  test("salted join equals the plain join result") {
+    val l = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    val o = Tables(spark, sfDir, "orders").select("o_orderkey", "o_orderpriority")
+    val plain = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("q"))
+      .collect().map(_.toSeq).toSet
+    val salted = SkewJoin.saltedJoin(l, o, "l_orderkey", "o_orderkey", saltFactor = 4)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("q"))
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
+  test("progress reporter aggregates task input metrics (P17)") {
+    val rep = new ProgressReporter(progressIntervalMillis = 0, onReport = _ => ())
+    val detach = rep.attach(spark)
+    try {
+      Tables(spark, sfDir, "lineitem").agg(sum("l_quantity")).collect()
+      // listener events are delivered asynchronously — poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (rep.snapshot.recordsRead < 6000 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val s = rep.snapshot
+      assert(s.tasksCompleted > 0)
+      assert(s.recordsRead >= 6000, s"expected the lineitem rows to be counted: $s")
+    } finally detach()
+  }
+}
