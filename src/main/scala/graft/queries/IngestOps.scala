@@ -171,7 +171,37 @@ object IngestOps {
       |  CAST(CASE WHEN c_custkey % 10 = 0 THEN 422 ELSE 200 END AS BIGINT) AS status_code
       |FROM customer ORDER BY rec_id""".stripMargin
 
+  /** P9 — the custom-parser hook surface as an oracle query: a client
+    * "key=value;..." line format parsed by a user-supplied function through
+    * `parseCustom`, with the reference's ignore contract (records whose
+    * payload AND error are both null are silently skipped —
+    * `lib/batchProcessing.js:336`).
+    */
+  def q66CustomParser(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lines = Tables(spark, dir, "supplier").select(
+        col("s_suppkey").cast("long").as("k"),
+        concat_ws(";",
+          concat(lit("key="), col("s_suppkey").cast("string")),
+          concat(lit("bal="), col("s_acctbal").cast("string"))).as("rec"))
+      .as[(Long, String)].map { case (k, l) => graft.ingest.RecData("supplier.kv", l, k) }
+    val parsed = parseCustom(lines, Seq("s_suppkey", "s_acctbal"), Seq("number", "number")) { rd =>
+      val kv = rd.rec.split(";").map(_.split("=", 2)).collect { case Array(a, b) => a -> b }.toMap
+      val key = kv.get("key").map(_.toDouble)
+      if (key.exists(_ % 5 == 0)) (None, None) // ignore every 5th supplier
+      else (Some(Seq(key.orNull, kv.get("bal").map(_.toDouble).orNull)), None)
+    }
+    route(parsed).filter(col("statusText") === "SUCCESS")
+      .select(col("s_suppkey"), col("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q66Sql: String =
+    """SELECT CAST(s_suppkey AS DOUBLE) AS s_suppkey, s_acctbal
+      |FROM supplier WHERE s_suppkey % 5 <> 0 ORDER BY s_suppkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_custom_parser" -> q66CustomParser _,
     "q60_csv_roundtrip" -> q60CsvRoundtrip _,
     "q61_fw_roundtrip" -> q61FwRoundtrip _,
     "q62_route_status" -> q62RouteStatus _,
@@ -180,6 +210,7 @@ object IngestOps {
     "q65_batch_status" -> q65BatchStatus _)
 
   val oracles: Map[String, String] = Map(
+    "q66_custom_parser" -> q66Sql,
     "q60_csv_roundtrip" -> q60Sql,
     "q61_fw_roundtrip" -> q61Sql,
     "q62_route_status" -> q62Sql,

@@ -356,7 +356,22 @@ object Relational {
       |  count(*) AS n
       |FROM orders GROUP BY 1, 2, 3 ORDER BY yr, mth, size_bucket""".stripMargin
 
+  /** Sketch aggregations — the 100 TB cardinality/quantile path (HLL++ and
+    * KLL-style, mergeable, fixed memory). Approximation is engine-specific,
+    * so no SQL oracle; the test suite bounds the error against exact.
+    */
+  def q19ApproxSketches(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    l.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2).as("approx_p50"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_approx_sketches" -> q19ApproxSketches _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
     "q03_broadcast_join" -> q03BroadcastJoin _,

@@ -121,6 +121,15 @@ class QueriesSpec extends SparkTestBase {
     assert(langs.subsetOf(Set("en", "es", "de", "fr", "und")))
   }
 
+  test("approx sketches stay within tolerance of exact aggregates") {
+    Relational.q19ApproxSketches(spark, sfDir).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.10,
+        s"HLL estimate $approx too far from $exact")
+    }
+  }
+
   test("dedup exact keeps one survivor per distinct text") {
     val total = Tables(spark, sfDir, "documents").select("text").distinct().count()
     assert(Relational.q12DedupExact(spark, sfDir).count() == total)
