@@ -171,10 +171,38 @@ object TextOps {
     "q35_corpus_stats" -> q35CorpusStats _,
     "q36_token_count_regex" -> q36TokenCountRegex _)
 
+  /** The lang-ID heuristic is deterministic regex scoring, so it oracles:
+    * identical word-boundary hits and diacritic bonuses restated in SQL.
+    */
+  val q33Sql: String = {
+    def hits(words: Seq[String]): String =
+      words.map(w => s"(CASE WHEN regexp_matches(t, '\\b$w\\b') THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH n AS (
+       |  SELECT doc_id, lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents
+       |), s AS (
+       |  SELECT doc_id, lang,
+       |    ${hits(Seq("the", "and", "of", "to", "a", "is"))} AS en,
+       |    ${hits(Seq("el", "la", "de", "que", "y", "en"))} +
+       |      (CASE WHEN regexp_matches(t, '[áéíóúñ¿¡]') THEN 3 ELSE 0 END) AS es,
+       |    ${hits(Seq("der", "die", "das", "und", "ist", "nicht"))} +
+       |      (CASE WHEN regexp_matches(t, '[äöüß]') THEN 3 ELSE 0 END) AS de,
+       |    ${hits(Seq("le", "les", "des", "est", "une", "et"))} +
+       |      (CASE WHEN regexp_matches(t, '[àâçèêëîïôùû]') THEN 2 ELSE 0 END) AS fr
+       |  FROM n)
+       |SELECT doc_id, lang AS declared_lang,
+       |  CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+       |       WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+       |       WHEN de >= fr AND de > 0 THEN 'de'
+       |       WHEN fr > 0 THEN 'fr'
+       |       ELSE 'und' END AS detected_lang
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q30_token_counts" -> q30Sql,
     "q31_quality_score" -> q31Sql,
     "q32_fingerprint" -> q32Sql,
+    "q33_lang_id" -> q33Sql,
     "q34_char_ngrams" -> q34Sql,
     "q35_corpus_stats" -> q35Sql)
 }
