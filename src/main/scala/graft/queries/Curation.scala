@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** End-to-end training-data curation shapes: the composite pipelines a
+  * 100 TB data-curation job actually runs — text quality gates joined with
+  * embedding-space structure, per-source quotas, contamination-style
+  * fingerprint checks.
+  */
+object Curation {
+
+  import TextOps.{normText, wsTokens}
+
+  /** Quality-gated multimodal join: documents that pass text-quality
+    * filters, joined 1:1 to their embedding row, rolled up per (lang,
+    * label). The doc side prunes columns + filters before the join; the
+    * embedding side carries only (vec_id, label).
+    */
+  def q80CurationJoin(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val e = Tables(spark, dir, "embeddings").select(col("vec_id"), col("label"))
+    val toks = wsTokens(normText(col("text")))
+    val quality = d
+      .select(col("doc_id"), col("lang"), size(toks).as("n_tokens"))
+      .filter(col("n_tokens") >= 10)
+    quality.join(e, quality("doc_id") === e("vec_id"))
+      .groupBy(col("lang"), col("label"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("n_tokens")), 2).as("avg_tokens"))
+      .orderBy(col("lang"), col("label"))
+  }
+
+  val q80Sql: String =
+    """SELECT lang, label, count(*) AS n_docs, round(avg(n_tokens), 2) AS avg_tokens
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'), t -> t <> '')) AS n_tokens
+      |  FROM documents) d
+      |JOIN embeddings e ON d.doc_id = e.vec_id
+      |WHERE n_tokens >= 10
+      |GROUP BY lang, label ORDER BY lang, label""".stripMargin
+
+  /** Per-source sampling quota: keep at most k docs per source, smallest
+    * doc_id first — the dataset-mixing primitive (window top-k per group,
+    * one shuffle on source).
+    */
+  def q81SourceQuota(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    d.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("source"), col("rk").cast("long").as("rk"), col("doc_id"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val q81Sql: String =
+    """SELECT source, CAST(rk AS BIGINT) AS rk, doc_id FROM (
+      |  SELECT source, doc_id, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 3 ORDER BY source, rk""".stripMargin
+
+  /** Contamination check: which eval-set fingerprints appear in the corpus —
+    * fingerprint both sides (md5 of the normalized leading-bigram prefix,
+    * the n-gram-overlap style of decontamination), broadcast the small eval
+    * set, semi-join. Here the "eval set" is every 50th doc.
+    */
+  private def prefixFp = md5(concat_ws(" ", slice(wsTokens(normText(col("text"))), 1, 2)))
+
+  def q82Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val corpus = d.filter(col("doc_id") % 50 =!= 0).select(col("doc_id"), prefixFp.as("fp"))
+    val eval = d.filter(col("doc_id") % 50 === 0).select(prefixFp.as("fp"))
+    corpus.join(broadcast(eval), Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q82Sql: String =
+    """WITH fps AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_slice(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'), t -> t <> ''), 1, 2), ' ')) AS fp
+      |  FROM documents)
+      |SELECT doc_id, fp FROM fps c
+      |WHERE doc_id % 50 <> 0
+      |  AND EXISTS (SELECT 1 FROM fps e WHERE e.doc_id % 50 = 0 AND e.fp = c.fp)
+      |ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_curation_join" -> q80CurationJoin _,
+    "q81_source_quota" -> q81SourceQuota _,
+    "q82_contamination" -> q82Contamination _)
+
+  val oracles: Map[String, String] = Map(
+    "q80_curation_join" -> q80Sql,
+    "q81_source_quota" -> q81Sql,
+    "q82_contamination" -> q82Sql)
+}

@@ -43,6 +43,29 @@ class StreamingSpec extends SparkTestBase {
     assert(got.subsetOf(batchAll), "every emitted window must equal its batch count")
   }
 
+  test("streaming CSV ingest routes records exactly like the batch parser") {
+    import graft.ingest.Parsers.CsvSpec
+    val tmp = Files.createTempDirectory("graft-ingest")
+    val inDir = tmp.resolve("in"); Files.createDirectory(inDir)
+    val outDir = tmp.resolve("out").toString
+    val ckDir = tmp.resolve("ck").toString
+    Files.write(inDir.resolve("a.csv"), "k1,10\nk2,bad\nk3,30\n".getBytes)
+    Files.write(inDir.resolve("b.csv"), "k4,40\nk5,oops\n".getBytes)
+
+    val spec = CsvSpec(Vector("key", "amount"), Some(Vector("string", "number")))
+    val routed = EventStream.csvIngestStream(spark, inDir.toString, spec, maxFilesPerTrigger = 1)
+    val q = EventStream.startParquetSink(
+      routed.select("key", "amount", "statusText"), outDir, ckDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.read.parquet(outDir).collect()
+    assert(rows.length == 5)
+    val byKey = rows.map(r => r.getAs[String]("key") -> r.getAs[String]("statusText")).toMap
+    assert(byKey == Map("k1" -> "SUCCESS", "k2" -> "FAILED", "k3" -> "SUCCESS",
+      "k4" -> "SUCCESS", "k5" -> "FAILED"))
+  }
+
   test("stateful sessionization matches the batch sessionize counts") {
     import graft.queries.EventsOps
     val events = Tables(spark, sfDir, "events")
