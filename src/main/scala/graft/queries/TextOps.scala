@@ -18,11 +18,12 @@ object TextOps {
   /** Whitespace tokens with empties removed. */
   def wsTokens(c: Column): Column = filter(split(c, "\\s+"), t => length(t) > 0)
 
-  /** BPE-ish subword-ish token count: word chars runs + single punctuation
-    * marks, the standard pre-tokenizer regex shape.
+  /** BPE-ish pre-tokenizer token count: word-char runs plus single
+    * punctuation marks — `regexp_extract_all` with the same pattern is
+    * portable across engines (no lookbehind).
     */
   def regexTokenCount(c: Column): Column =
-    size(filter(split(c, "(?=[^\\w])|(?<=[^\\w])"), t => length(trim(t)) > 0))
+    size(regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0)))
 
   /** Term frequencies across the corpus: explode + count — the scale path
     * is partial aggregation per partition then one shuffle on token.
@@ -204,5 +205,9 @@ object TextOps {
     "q32_fingerprint" -> q32Sql,
     "q33_lang_id" -> q33Sql,
     "q34_char_ngrams" -> q34Sql,
-    "q35_corpus_stats" -> q35Sql)
+    "q35_corpus_stats" -> q35Sql,
+    "q36_token_count_regex" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }
