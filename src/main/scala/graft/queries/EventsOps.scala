@@ -94,13 +94,44 @@ object EventsOps {
       |  FROM events)
       |WHERE rk = 1 ORDER BY user_id""".stripMargin
 
+  /** Native session windows (30-min gap): Spark's `session_window` merges
+    * events into dynamic windows in one aggregation; the oracle restates it
+    * with the lag + cumulative-sum idiom — identical session boundaries.
+    */
+  def q24SessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    e.groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("user_id"),
+        (unix_micros(col("w.start")) / 1000000L).cast("long").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val q24Sql: String =
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM events),
+      |y AS (
+      |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x)
+      |SELECT user_id, epoch_us(min(ts)) // 1000000 AS session_start,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_session_window" -> q24SessionWindow _,
     "q20_events_hourly" -> q20HourlyAgg _,
     "q21_events_json" -> q21JsonExtract _,
     "q22_events_sessionize" -> q22Sessionize _,
     "q23_events_top_per_user" -> q23TopEventPerUser _)
 
   val oracles: Map[String, String] = Map(
+    "q24_session_window" -> q24Sql,
     "q20_events_hourly" -> q20Sql,
     "q21_events_json" -> q21Sql,
     "q22_events_sessionize" -> q22Sql,
