@@ -142,6 +142,31 @@ object Dedup {
       .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
       .limit(100)
 
+  /** The user-facing dedup operator: remove near-duplicates above a
+    * similarity threshold, keeping the smallest doc_id of each duplicate
+    * group (greedy by id: a doc is dropped iff it is near-dup of ANY
+    * smaller-id doc — deterministic, one anti-join, no iterative
+    * connected-components pass; at 100 TB this is the standard
+    * single-sweep policy).
+    */
+  def dedupDocuments(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val losers = minhashCandidates(spark, dir)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_b").as("doc_id")) // id_a < id_b: the larger id loses
+      .distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Surviving-corpus summary after near-dup removal (rows-only check —
+    * candidates are hash-based; invariants tested in QueriesSpec).
+    */
+  def q45DedupApply(spark: SparkSession, dir: String): DataFrame =
+    dedupDocuments(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+
   /** Exact n-gram (token-set) Jaccard within blocks. Blocking key =
     * (lang, source) — the standard "never cross the full corpus" guard;
     * block sizes stay O(corpus / #blocks) so the within-block pairing
@@ -230,6 +255,7 @@ object Dedup {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_minhash_lsh" -> q40MinhashLsh _,
     "q41_dedup_ngram_jaccard" -> q41NgramJaccard _,
+    "q45_dedup_apply" -> q45DedupApply _,
     "q42_dedup_simhash" -> q42Simhash _,
     "q43_dedup_simhash_pairs" -> q43SimhashPairs _,
     "q44_dedup_embedding" -> q44EmbeddingNearDup _)

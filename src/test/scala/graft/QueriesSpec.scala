@@ -93,6 +93,20 @@ class QueriesSpec extends SparkTestBase {
       s"LSH missed ${missed.size} of ${exact.size} high-similarity pairs: $missed")
   }
 
+  test("dedupDocuments keeps the smallest id of every near-dup pair") {
+    val survivors = Dedup.dedupDocuments(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pairs = Dedup.minhashCandidates(spark, sfDir)
+      .filter(col("est_jaccard") >= 0.8).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(survivors.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(!survivors.contains(b), s"larger id $b of near-dup pair ($a,$b) must be dropped")
+    }
+    val total = Tables(spark, sfDir, "documents").count()
+    assert(survivors.size == total - pairs.map(_._2).distinct.length)
+  }
+
   test("simhash is deterministic and bucket = top 16 bits") {
     val a = Dedup.q42Simhash(spark, sfDir).collect()
     val b = Dedup.q42Simhash(spark, sfDir).collect()
