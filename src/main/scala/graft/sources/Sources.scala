@@ -43,6 +43,12 @@ object Sources {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 
+  /** ORC with declared schema — same pushdown/pruning properties as
+    * parquet; interoperability format for Hive-era lakes.
+    */
+  def orc(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame =
+    schema.fold(spark.read.orc(path))(s => spark.read.schema(s).orc(path))
+
   /** Whole-file binary payloads (images/audio/video) as rows:
     * (path, modificationTime, length, content) — feeds
     * graft.multimodal.Multimodal. `pathGlobFilter` prunes by extension

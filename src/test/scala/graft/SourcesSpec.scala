@@ -40,6 +40,16 @@ class SourcesSpec extends SparkTestBase {
     assert(rows.head.getAs[Array[Byte]]("content").toSeq == Seq[Byte](1, 2, 3))
   }
 
+  test("orc round-trip preserves rows and pushes filters") {
+    val out = Files.createTempDirectory("graft-orc").toString + "/t"
+    Tables(spark, sfDir, "nation").write.orc(out)
+    val back = Sources.orc(spark, out).filter(col("n_regionkey") === 1)
+    val s = back.queryExecution.executedPlan.toString
+    assert(s.contains("PushedFilters") && s.contains("n_regionkey"), s)
+    assert(back.count() ==
+      Tables(spark, sfDir, "nation").filter(col("n_regionkey") === 1).count())
+  }
+
   test("partitioned parquet sink enables partition pruning on read") {
     val out = Files.createTempDirectory("graft-part").toString
     Sinks.partitionedParquet(
