@@ -89,6 +89,34 @@ object Multimodal {
       .select(col("media_id"), col("media_type"), col("chunk_idx"),
         col("payload").substr(col("chunk_offset") * chunkBytes + 1, lit(chunkBytes)).as("chunk"))
 
+  /** Resize/transcode shape: payload -> payload per-partition transform with
+    * updated metadata. The codec call is STUBBED (`resizeStub` — no image
+    * libs in this environment): deterministic byte sampling stands in for
+    * pixel resampling, so the Spark-side plumbing (schema, partition
+    * batching, metadata update) is real and testable; swap the stub for an
+    * ImageIO/FFmpeg call to productionize.
+    */
+  def resizeStub(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val targetLen = math.max(1, targetW * targetH / 8)
+    val out = new Array[Byte](targetLen)
+    var i = 0
+    while (i < targetLen) {
+      out(i) = if (payload.isEmpty) 0 else payload((i.toLong * payload.length / targetLen).toInt)
+      i += 1
+    }
+    out
+  }
+
+  def resizeImages(media: Dataset[MediaRecord], targetW: Int, targetH: Int)(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      if (m.mediaType == "image")
+        m.copy(payload = resizeStub(m.payload, targetW, targetH), width = targetW, height = targetH)
+      else m
+    })
+  }
+
   /** Metadata-only pruning: the scan a curation job runs BEFORE any decode —
     * predicate pushdown on typed metadata avoids ever reading payload bytes
     * for filtered-out rows (column pruning keeps `payload` out of the scan).

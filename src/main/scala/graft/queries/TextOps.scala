@@ -163,7 +163,60 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken): rolling
+    * Rabin-Karp hashes over character k-grams, then the minimum hash in
+    * each sliding window of w — a position-robust fingerprint set whose
+    * overlap survives local edits (the plagiarism/near-dup standard).
+    * Scalar-heavy per-row loop -> typed Scala (see Dedup.minhashSigRows).
+    */
+  def winnowingFingerprint(text: String, k: Int = 5, w: Int = 4): Array[Long] = {
+    val t = text.toLowerCase.replaceAll("\\s+", " ").trim
+    if (t.length < k) return Array(t.hashCode.toLong)
+    val B = 257L; val M = 1000000007L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow = pow * B % M; i += 1 }
+    val n = t.length - k + 1
+    val hs = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * B + t.charAt(i)) % M; i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < n) {
+      h = ((h - t.charAt(i - 1) * pow % M + M * B) % M * B + t.charAt(i + k - 1)) % M
+      hs(i) = h
+      i += 1
+    }
+    // min per window of w, record-rightmost-on-tie (standard winnowing)
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var s = 0
+    while (s + w <= n) {
+      var m = hs(s); var j = s + 1
+      while (j < s + w) { if (hs(j) <= m) m = hs(j); j += 1 }
+      out += m
+      s += 1
+    }
+    if (out.isEmpty) Array(hs.min) else out.toArray
+  }
+
+  /** Per-doc winnowing fingerprint count + first selected hash — rows-only
+    * (engine-specific hashing); determinism + edit-robustness tested.
+    */
+  def q37Winnowing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val fp = winnowingFingerprint(t)
+        (id, fp.length.toLong, fp.head)
+      }
+      .toDF("doc_id", "n_fingerprints", "first_fp")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_winnowing" -> q37Winnowing _,
     "q30_token_counts" -> q30TokenCounts _,
     "q31_quality_score" -> q31QualityScore _,
     "q32_fingerprint" -> q32Fingerprint _,

@@ -44,6 +44,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(sizes.last <= 64 && sizes.last > 0)
   }
 
+  test("resize transform updates payload and metadata for images only") {
+    implicit val s = spark
+    val resized = resizeImages(mediaDs, 16, 16).collect()
+    resized.foreach { m =>
+      if (m.mediaType == "image") {
+        assert(m.width == 16 && m.height == 16)
+        assert(m.payload.length == 32) // 16*16/8
+      } else assert(m.width != 16 || m.payload.length != 32)
+    }
+    // deterministic
+    val again = resizeImages(mediaDs.repartition(5), 16, 16).collect()
+      .map(m => m.mediaId -> m.payload.toSeq).toMap
+    assert(resized.map(m => m.mediaId -> m.payload.toSeq).toMap == again)
+  }
+
   test("metadata pruning filters without touching payload bytes") {
     val df = mediaDs.toDF("media_id", "media_type", "payload", "width", "height", "sample_rate_hz")
     val pruned = filterByMeta(df, minW = 64, minH = 64)

@@ -135,6 +135,19 @@ class QueriesSpec extends SparkTestBase {
     assert(langs.subsetOf(Set("en", "es", "de", "fr", "und")))
   }
 
+  test("winnowing fingerprints overlap heavily under local edits") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val edited = base.replace("lazy", "sleepy") // one word changed
+    val a = TextOps.winnowingFingerprint(base).toSet
+    val b = TextOps.winnowingFingerprint(edited).toSet
+    val overlap = a.intersect(b).size.toDouble / math.max(a.size, b.size)
+    assert(overlap >= 0.5, s"local edit must preserve most fingerprints, got $overlap")
+    assert(TextOps.winnowingFingerprint(base).toSeq == TextOps.winnowingFingerprint(base).toSeq)
+    // unrelated text shares (almost) nothing
+    val c = TextOps.winnowingFingerprint("completely different words appear in this sentence entirely").toSet
+    assert(a.intersect(c).size <= 1)
+  }
+
   test("approx sketches stay within tolerance of exact aggregates") {
     Relational.q19ApproxSketches(spark, sfDir).collect().foreach { r =>
       val approx = r.getAs[Long]("approx_parts").toDouble
