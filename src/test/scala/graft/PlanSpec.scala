@@ -91,6 +91,33 @@ class PlanSpec extends SparkTestBase {
     assert(vals.forall(v => math.abs(v - 1.0) < 1e-9), "self-cosine must be 1")
   }
 
+  test("GraftExtensions injects native functions into a session built with withExtensions") {
+    // getOrCreate returns the shared session (ignoring extensions), so
+    // clear active/default first — the new session reuses the SparkContext
+    // but runs the extension injections
+    val shared = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      // SQL-text path resolves through the injected registry entry
+      val v = s2.sql("SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").collect().head.getDouble(0)
+      assert(math.abs(v - 1.0) < 1e-12)
+      val d = s2.sql("SELECT dot_product(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS d")
+        .collect().head.getDouble(0)
+      assert(math.abs(d - 6.0) < 1e-12)
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(shared)
+      org.apache.spark.sql.SparkSession.setDefaultSession(shared)
+    }
+  }
+
   test("minhash signature stage is a single narrow projection (no shuffle before banding)") {
     val sigs = Tables(spark, sfDir, "documents")
       .select(org.apache.spark.sql.functions.col("doc_id"),
