@@ -1,0 +1,105 @@
+package graft
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.BatchPipeline._
+import graft.ingest.Parsers.{CsvSpec, FwSpec}
+import graft.ingest.{BatchConfig, RecData}
+
+/** The reference's one public API, re-expressed:
+  * `processFile(filePath, options, jobService, cb)`
+  * (`lib/batchProcessing.js:130`, exported at `:735`) becomes a synchronous
+  * call returning the run summary, with the same observable outputs — target
+  * records, per-record BatchStatus rows, one BatchRun row — written as
+  * columnar tables instead of per-record REST calls.
+  *
+  * Correspondence:
+  *   - `jobService.onEachRecord`  -> [[Parser.Custom]]
+  *   - built-in csv/fw parsers    -> [[Parser.Csv]] / [[Parser.Fw]]
+  *   - `jobService.onStart/onEnd` -> [[graft.ingest.BatchPipeline.Hooks]]
+  *   - `options` + env precedence -> [[graft.ingest.BatchConfig]]
+  *   - fatal-vs-record errors     -> config errors throw here (driver-side,
+  *     before any task runs); data errors land in BatchStatus and never
+  *     abort the run (`README.md:100-101` contract)
+  */
+object BatchJob {
+
+  sealed trait Parser
+  object Parser {
+    final case class Csv(spec: CsvSpec) extends Parser
+    final case class Fw(spec: FwSpec) extends Parser
+    final case class Custom(names: Seq[String], types: Seq[String],
+        fn: RecData => (Option[Seq[Any]], Option[String])) extends Parser
+  }
+
+  /** The BatchRun row (`common/models/batch-run.json:7-19`). */
+  final case class RunSummary(
+      runId: String,
+      filePath: String,
+      totalRecordCount: Long,
+      successCount: Long,
+      failureCount: Long,
+      ignoredCount: Long,
+      startTimeMillis: Long,
+      endTimeMillis: Long,
+      durationMillis: Long)
+
+  final case class Sinks(
+      targetPath: Option[String] = None, // parsed SUCCESS records
+      statusPath: Option[String] = None, // per-record BatchStatus audit
+      runPath: Option[String] = None)    // one-row BatchRun summary
+
+  /** Process one line-delimited file end-to-end. */
+  def processFile(
+      spark: SparkSession,
+      filePath: String,
+      parser: Parser,
+      sinks: Sinks = Sinks(),
+      config: BatchConfig = BatchConfig.load(),
+      hooks: Hooks = Hooks()): RunSummary = {
+
+    val runId = UUID.randomUUID().toString
+    val start = System.currentTimeMillis()
+    hooks.onStart()
+
+    val lines = textSource(spark, filePath)
+    val parsed: DataFrame = parser match {
+      case Parser.Csv(spec) => parseCsv(lines, spec)
+      case Parser.Fw(spec)  => parseFw(lines, spec)
+      case Parser.Custom(names, types, fn) => parseCustom(lines, names, types)(fn)
+    }
+    val routed = route(parsed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sinks.targetPath.foreach { p =>
+        successes(routed).drop("_error", "statusText")
+          .withColumn("run_id", lit(runId))
+          .write.mode("append").parquet(p)
+      }
+      sinks.statusPath.foreach { p =>
+        batchStatus(routed, config.batchResultLogItems)
+          .withColumn("run_id", lit(runId))
+          .write.mode("append").parquet(p)
+      }
+      val counts = routed.groupBy(col("statusText")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val end = System.currentTimeMillis()
+      val summary = RunSummary(
+        runId, filePath,
+        totalRecordCount = counts.getOrElse("SUCCESS", 0L) + counts.getOrElse("FAILED", 0L),
+        successCount = counts.getOrElse("SUCCESS", 0L),
+        failureCount = counts.getOrElse("FAILED", 0L),
+        ignoredCount = counts.getOrElse("IGNORED", 0L),
+        startTimeMillis = start, endTimeMillis = end, durationMillis = end - start)
+      sinks.runPath.foreach { p =>
+        import spark.implicits._
+        Seq(summary).toDS().write.mode("append").parquet(p)
+      }
+      hooks.onEnd()
+      summary
+    } finally routed.unpersist()
+  }
+}
