@@ -82,6 +82,46 @@ object EventStream {
       .toDF()
   }
 
+  /** Per-session rows via flatMapGroupsWithState: unlike [[sessionize]]
+    * (one running row per user), this EMITS one row per completed session —
+    * the shape downstream session-analytics tables want. State holds only
+    * the open session; closed sessions flush to the output iterator.
+    */
+  final case class SessionRow(userId: Long, startUs: Long, endUs: Long, nEvents: Long)
+  final case class OpenSession(startUs: Long, lastUs: Long, nEvents: Long)
+
+  def sessionRows(spark: SparkSession, events: DataFrame, gapUs: Long = 1800L * 1000000L): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[OpenSession]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          val closed = Seq.newBuilder[SessionRow]
+          var open = state.getOption
+          sorted.foreach { ts =>
+            open match {
+              case Some(o) if ts - o.lastUs <= gapUs =>
+                open = Some(o.copy(lastUs = ts, nEvents = o.nEvents + 1))
+              case Some(o) =>
+                closed += SessionRow(userId, o.startUs, o.lastUs, o.nEvents)
+                open = Some(OpenSession(ts, ts, 1))
+              case None =>
+                open = Some(OpenSession(ts, ts, 1))
+            }
+          }
+          open.foreach(state.update)
+          // bounded batch: flush the still-open session too so batch-mode
+          // output is complete; a true stream would rely on a timeout
+          val tail = open.map(o => SessionRow(userId, o.startUs, o.lastUs, o.nEvents)).toSeq
+          (closed.result() ++ tail).iterator
+      }
+      .toDF()
+  }
+
   /** Streaming ingest: the reference's entire job as an unbounded stream —
     * watch a directory for line files, parse each record with the fidelity
     * CSV parser, route, and (caller-side) sink status + data. Replaces the

@@ -43,6 +43,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(salted == plain)
   }
 
+  test("int8 quantization keeps dequantized cosine within 1% of exact") {
+    import graft.functions.Quantize
+    import graft.queries.Similarity
+    val e = Tables(spark, sfDir, "embeddings").limit(200)
+    val q = Quantize.withQuantized(e)
+    val scored = q.select(
+      Similarity.cosine(col("embedding"), col("embedding")).as("exact_self"),
+      Similarity.dot(Quantize.dequantize(col("q_vec"), col("q_scale")),
+        Similarity.toDouble(col("embedding"))).as("dq_dot"),
+      Similarity.dot(Similarity.toDouble(col("embedding")), Similarity.toDouble(col("embedding"))).as("ex_dot"))
+      .collect()
+    scored.foreach { r =>
+      assert(math.abs(r.getAs[Double]("exact_self") - 1.0) < 1e-9)
+      val rel = math.abs(r.getAs[Double]("dq_dot") - r.getAs[Double]("ex_dot")) /
+        math.max(r.getAs[Double]("ex_dot"), 1e-9)
+      assert(rel < 0.01, s"dequantized dot off by $rel")
+    }
+    // storage check: quantized column is tinyint
+    assert(q.schema("q_vec").dataType.simpleString == "array<tinyint>")
+  }
+
   test("progress reporter aggregates task input metrics (P17)") {
     val rep = new ProgressReporter(progressIntervalMillis = 0, onReport = _ => ())
     val detach = rep.attach(spark)

@@ -66,6 +66,29 @@ class StreamingSpec extends SparkTestBase {
       "k4" -> "SUCCESS", "k5" -> "FAILED"))
   }
 
+  test("flatMapGroupsWithState session rows agree with window-based session counts") {
+    import graft.queries.EventsOps
+    val events = Tables(spark, sfDir, "events")
+    val rows = EventStream.sessionRows(spark, events).collect()
+    // per-user session count and event totals must match the SQL-window path
+    val byUser = rows.groupBy(_.getAs[Long]("userId"))
+      .map { case (u, rs) => (u, rs.length.toLong, rs.map(_.getAs[Long]("nEvents")).sum) }
+      .toSet
+    val batch = EventsOps.q22Sessionize(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events")))
+      .toSet
+    assert(byUser == batch)
+    // sessions are well-formed: start <= end, events >= 1, no overlaps per user
+    rows.groupBy(_.getAs[Long]("userId")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("startUs"))
+      sorted.foreach(r => assert(r.getAs[Long]("startUs") <= r.getAs[Long]("endUs")))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getAs[Long]("endUs") < b.getAs[Long]("startUs"))
+        case _ =>
+      }
+    }
+  }
+
   test("stateful sessionization matches the batch sessionize counts") {
     import graft.queries.EventsOps
     val events = Tables(spark, sfDir, "events")
