@@ -150,10 +150,35 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Quantized brute-force ANN: corpus stored int8 (4x smaller), scored by
+    * dequantized dot against unit-normalized queries — the memory-bound
+    * regime's standard trade (recall loss <1%, rows-only check; top-1
+    * agreement vs exact is asserted in QueriesSpec).
+    */
+  def q53KnnQuantized(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Quantize
+    val corpus = Quantize.withQuantized(Tables(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("q_vec"), col("q_scale"))
+    val q = queriesSet(spark, dir)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(Quantize.dequantize(col("q_vec"), col("q_scale")), toDouble(col("q_emb"))) /
+          (sqrt(dot(Quantize.dequantize(col("q_vec"), col("q_scale")),
+            Quantize.dequantize(col("q_vec"), col("q_scale")))) *
+           norm(toDouble(col("q_emb"))))).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_knn_brute" -> q50KnnBrute _,
     "q51_knn_lsh" -> q51KnnLsh _,
-    "q52_ivf_assign" -> q52IvfAssign _)
+    "q52_ivf_assign" -> q52IvfAssign _,
+    "q53_knn_quantized" -> q53KnnQuantized _)
 
   val oracles: Map[String, String] = Map(
     "q50_knn_brute" -> q50Sql)

@@ -62,6 +62,15 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("quantized knn finds (nearly) the same top-1 neighbors as exact") {
+    val exact = Similarity.q50KnnBrute(spark, sfDir).filter(col("rk") === 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val quant = Similarity.q53KnnQuantized(spark, sfDir).filter(col("rk") === 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val agree = exact.keys.count(k => quant.get(k) == exact.get(k))
+    assert(agree >= exact.size - 1, s"top-1 agreement $agree/${exact.size} too low")
+  }
+
   test("minhash est_jaccard within [0,1] and symmetric pair ids ordered") {
     val rows = Dedup.q40MinhashLsh(spark, sfDir).collect()
     rows.foreach { r =>
