@@ -126,6 +126,14 @@ class PlanSpec extends SparkTestBase {
     assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeLike]), "signatures must not shuffle")
   }
 
+  test("tpch q5 six-table join broadcasts all three dimensions") {
+    val df = TpchStyle.q91TpchQ5(spark, sfDir)
+    df.collect()
+    val s = executed(df).toString.split("== Initial Plan ==")(0)
+    assert("BroadcastHashJoin".r.findAllIn(s).length >= 3,
+      s"supplier, nation and region must broadcast:\n$s")
+  }
+
   test("ingest parse pipeline stays shuffle-free until the summary agg") {
     import graft.ingest.BatchPipeline._
     import graft.ingest.Parsers._

@@ -40,6 +40,27 @@ class SourcesSpec extends SparkTestBase {
     assert(rows.head.getAs[Array[Byte]]("content").toSeq == Seq[Byte](1, 2, 3))
   }
 
+  test("differential: Spark CSV reader and fidelity tokenizer agree on RFC lines, diverge on single quotes") {
+    import graft.ingest.Parsers
+    val rfc = Seq(
+      """a,b,c""",
+      """x,"quoted,comma",z""",
+      """1, spaced ,3""",
+      """,,""")
+    val dir = Files.createTempDirectory("graft-diff")
+    Files.write(dir.resolve("d.csv"), rfc.mkString("\n").getBytes)
+    val schema = StructType(Seq("c1", "c2", "c3").map(StructField(_, StringType)))
+    val sparkRows = Sources.csv(spark, dir.toString, schema.add("_corrupt_record", StringType))
+      .select("c1", "c2", "c3").collect()
+      .map(r => (0 to 2).map(i => Option(r.getString(i)).getOrElse("")).toVector)
+    val mine = rfc.map(l => Parsers.tokenizeCsv(l).get.map(_.trim))
+    // Spark keeps surrounding spaces by default; normalize both to trimmed
+    assert(sparkRows.map(_.map(_.trim)).toSeq == mine)
+    // the reference extension: single-quoted fields — OUR parser honors them
+    // (lib/parsers.js:153), Spark's RFC reader does not
+    assert(Parsers.tokenizeCsv("a,'b,c',d").contains(Vector("a", "b,c", "d")))
+  }
+
   test("orc round-trip preserves rows and pushes filters") {
     val out = Files.createTempDirectory("graft-orc").toString + "/t"
     Tables(spark, sfDir, "nation").write.orc(out)
