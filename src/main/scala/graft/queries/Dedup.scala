@@ -174,9 +174,16 @@ object Dedup {
     * Lang-only blocking measured 36 s at sf0.1 (5k-doc blocks -> 125M
     * pairs); (lang, source) keeps blocks ~50 docs.
     */
-  def q41NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def q41NgramJaccard(spark: SparkSession, dir: String, maxBlock: Int = 1024): DataFrame = {
+    // Block-size cap: within-block pairing is O(block²), so an uncapped hot
+    // block (a skewed ("en","web") at 100 TB is the whole corpus) is a
+    // quadratic scale-killer. Oversized blocks are dropped, same policy as
+    // the LSH maxBucket guard above; q41DroppedBlocks reports what was cut.
     val d = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), tokenSet(col("text")).as("toks"))
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"), col("source"))))
+      .filter(col("bsz") <= maxBlock)
     val a = d.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("toks").as("toks_a"))
     val b = d.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("toks").as("toks_b"))
     a.join(b, Seq("lang", "source"))
@@ -188,6 +195,16 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(50)
   }
+
+  /** Blocks q41 dropped under its cap — surface them so truncation is never
+    * silent (a dropped block means "this slice needs LSH, not exact pairing").
+    */
+  def q41DroppedBlocks(spark: SparkSession, dir: String, maxBlock: Int = 1024): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("block_size"))
+      .filter(col("block_size") > maxBlock)
+      .orderBy(col("block_size").desc, col("lang"), col("source"))
 
   /** SimHash: 64-bit signature where bit i is the sign of the weighted sum
     * of token-hash bits. Computed per-row with typed Scala (narrow map — the
@@ -254,7 +271,7 @@ object Dedup {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_minhash_lsh" -> q40MinhashLsh _,
-    "q41_dedup_ngram_jaccard" -> q41NgramJaccard _,
+    "q41_dedup_ngram_jaccard" -> ((s: SparkSession, dir: String) => q41NgramJaccard(s, dir)),
     "q45_dedup_apply" -> q45DedupApply _,
     "q42_dedup_simhash" -> q42Simhash _,
     "q43_dedup_simhash_pairs" -> q43SimhashPairs _,

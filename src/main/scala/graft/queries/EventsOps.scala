@@ -68,11 +68,14 @@ object EventsOps {
       .orderBy(col("user_id"))
   }
 
+  // Lag window ordered by epoch_us(ts) so DuckDB sorts on the same µs-truncated
+  // key Spark sees (events.parquet is ns-precision; Tables floors ns→µs —
+  // events equal at µs but distinct at ns would otherwise sort differently).
   val q22Sql: String =
     """SELECT user_id, sum(new_session) + 1 AS n_sessions, count(*) AS n_events
       |FROM (
       |  SELECT user_id,
-      |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+      |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) > 1800000000
       |         THEN 1 ELSE 0 END AS new_session
       |  FROM events)
       |GROUP BY user_id ORDER BY user_id""".stripMargin
@@ -109,15 +112,18 @@ object EventsOps {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  // `>=`: session_window's gap is end-exclusive (a gap of exactly 30 min
+  // starts a new session), and the lag window orders by epoch_us(ts) so both
+  // engines sort on the µs-truncated key (see q22Sql).
   val q24Sql: String =
     """WITH x AS (
       |  SELECT user_id, event_id, ts, value,
-      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) >= 1800000000
       |         THEN 1 ELSE 0 END AS ns
       |  FROM events),
       |y AS (
-      |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM x)
       |SELECT user_id, epoch_us(min(ts)) // 1000000 AS session_start,
       |  count(*) AS n_events, round(sum(value), 2) AS sum_value

@@ -118,10 +118,12 @@ object IngestOps {
       .select(col("totalRecordCount"), col("successCount"), col("failureCount"))
   }
 
+  // CAST(... AS BIGINT): DuckDB's sum over an INT CASE yields HUGEINT, which
+  // hash-mismatches Spark's BIGINT even when the counts are equal.
   val q63Sql: String =
     """SELECT count(*) AS totalRecordCount,
-      |  sum(CASE WHEN c_custkey % 7 <> 0 THEN 1 ELSE 0 END) AS successCount,
-      |  sum(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END) AS failureCount
+      |  CAST(sum(CASE WHEN c_custkey % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS successCount,
+      |  CAST(sum(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS failureCount
       |FROM customer""".stripMargin
 
   /** P3 — non-comma delimiter path (plain split, no quoting). */

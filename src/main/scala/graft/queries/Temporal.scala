@@ -52,6 +52,12 @@ object Temporal {
     * its cell and the next, equi-join on (user, cell), filter the exact
     * predicate, dedup — candidate pairs are O(events x density), never the
     * full per-user cross product.
+    *
+    * Pairing is on TIME order ((t_a, id_a) < (t_b, id_b) lexicographically),
+    * not id order: with the a-side as the earlier event, the later event's
+    * cell is always cell(t_a) or cell(t_a)+1, so exploding to those two cells
+    * is complete regardless of whether ids are monotone in ts. The output
+    * pair is then re-oriented to (min id, max id) to match the oracle.
     */
   def q71RangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val bucketUs = 300L * 1000000L
@@ -63,8 +69,12 @@ object Temporal {
     val b = ev.select(col("user_id"), col("event_id").as("id_b"), col("t").as("t_b"),
         (col("t") / bucketUs).cast("long").as("cell"))
     a.join(b, Seq("user_id", "cell"))
-      .filter(col("id_a") < col("id_b") && abs(col("t_a") - col("t_b")) <= bucketUs)
-      .select(col("user_id"), col("id_a"), col("id_b")).distinct()
+      .filter(
+        (col("t_a") < col("t_b") || (col("t_a") === col("t_b") && col("id_a") < col("id_b"))) &&
+        col("t_b") - col("t_a") <= bucketUs)
+      .select(col("user_id"),
+        least(col("id_a"), col("id_b")).as("id_lo"),
+        greatest(col("id_a"), col("id_b")).as("id_hi")).distinct()
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_close_pairs"))
       .orderBy(col("user_id"))
   }

@@ -143,17 +143,24 @@ object TextOps {
     */
   def q35CorpusStats(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
+    // avg in integer hundredths ((100*sum) div n): exact on both engines,
+    // where round(avg,2) sits on float boundaries and DuckDB's sum over INT
+    // yields HUGEINT — both hash-mismatch vs Spark.
     d.groupBy(col("lang"), col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
-        round(avg(length(col("text"))), 2).as("avg_text_len"))
+        sum(length(col("text"))).as("total_text_len"))
+      .select(
+        col("lang"), col("source"), col("n_docs"), col("total_chars"),
+        expr("(total_text_len * 100L) div n_docs").as("avg_text_len_c"))
       .orderBy(col("lang"), col("source"))
   }
 
   val q35Sql: String =
-    """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
-      |  round(avg(length(text)), 2) AS avg_text_len
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(length(text)) AS BIGINT) * 100 // count(*) AS avg_text_len_c
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
   /** Regex token counting (BPE-ish pre-tokenizer) per doc. */
