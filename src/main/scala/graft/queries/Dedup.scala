@@ -158,14 +158,33 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
-  /** Surviving-corpus summary after near-dup removal (rows-only check —
-    * candidates are hash-based; invariants tested in QueriesSpec).
+  /** Where q45 materializes its loser set so the oracle can read it back. */
+  val q45LosersPath: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q45_losers"
+
+  /** Surviving-corpus summary after near-dup removal. The loser set is
+    * hash-based (engine-private, ScalaTest-covered invariants); the APPLY
+    * step — anti-join + survivor aggregation — is driver-checked by
+    * materializing the losers as parquet the oracle reads back.
     */
-  def q45DedupApply(spark: SparkSession, dir: String): DataFrame =
-    dedupDocuments(spark, dir)
+  def q45DedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val losers = minhashCandidates(spark, dir)
+      .filter(col("est_jaccard") >= 0.8)
+      .select(col("id_b").as("doc_id")) // id_a < id_b: the larger id loses
+      .distinct()
+    losers.coalesce(1).write.mode("overwrite").parquet(q45LosersPath)
+    docs.join(spark.read.parquet(q45LosersPath), Seq("doc_id"), "left_anti")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy(col("lang"))
+  }
+
+  val q45Sql: String =
+    s"""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM read_parquet('$q45LosersPath/*.parquet'))
+       |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Exact n-gram (token-set) Jaccard within blocks. Blocking key =
     * (lang, source) — the standard "never cross the full corpus" guard;
@@ -206,23 +225,35 @@ object Dedup {
       .filter(col("block_size") > maxBlock)
       .orderBy(col("block_size").desc, col("lang"), col("source"))
 
-  /** SimHash: 64-bit signature where bit i is the sign of the weighted sum
-    * of token-hash bits. Computed per-row with typed Scala (narrow map — the
+  /** 60-bit token hash = first 15 hex chars of MD5. Chosen over FNV/xxhash
+    * because BOTH engines compute it exactly — DuckDB:
+    * `('0x' || substr(md5(t), 1, 15))::BIGINT` — which makes the whole
+    * SimHash signature oracle-checkable, and 60 bits keeps it positive in a
+    * signed BIGINT on both sides.
+    */
+  def md5Hash60(md: java.security.MessageDigest, s: String): Long = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** SimHash: 60-bit signature where bit i is the sign of the summed token
+    * hash bits. Computed per-row with typed Scala (narrow map — the
     * per-record imperative case); bucketed by the top 16 bits for banding.
     */
-  def simhash64(tokens: Seq[String]): Long = {
-    val acc = new Array[Int](64)
+  def simhash60(tokens: Seq[String]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val acc = new Array[Int](60)
     tokens.foreach { t =>
-      // FNV-1a 64-bit — stable scalar hash, no Spark dependency
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < t.length) { h ^= t.charAt(i); h *= 0x100000001b3L; i += 1 }
+      val h = md5Hash60(md, t)
       var bit = 0
-      while (bit < 64) { if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1; bit += 1 }
+      while (bit < 60) { if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1; bit += 1 }
     }
     var out = 0L
     var bit = 0
-    while (bit < 64) { if (acc(bit) >= 0) out |= (1L << bit); bit += 1 }
+    while (bit < 60) { if (acc(bit) >= 0) out |= (1L << bit); bit += 1 }
     out
   }
 
@@ -231,11 +262,39 @@ object Dedup {
     val d = Tables(spark, dir, "documents")
       .select(col("doc_id"), wsTokens(normText(col("text"))).as("toks"))
       .as[(Long, Seq[String])]
-    d.map { case (id, toks) => (id, simhash64(toks)) }
+    d.map { case (id, toks) => (id, simhash60(toks)) }
       .toDF("doc_id", "simhash")
-      .withColumn("bucket", shiftrightunsigned(col("simhash"), 48))
+      .withColumn("bucket", shiftrightunsigned(col("simhash"), 44))
       .orderBy(col("doc_id"))
   }
+
+  /** Shared oracle CTEs recomputing the md5-based SimHash signature in SQL:
+    * per-token 60-bit hash, per-bit signed counts, sign-bit assembly.
+    */
+  private val simhashSigSql: String = {
+    val sums = (0 until 60).map(b =>
+      s"CAST(sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$b").mkString(", ")
+    val bits = (0 until 60).map(b => s"(CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+')) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks WHERE tok <> ''),
+       |bitsums AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $bits AS simhash FROM bitsums)""".stripMargin
+  }
+
+  val q42Sql: String =
+    s"""WITH $simhashSigSql
+       |SELECT doc_id, simhash, simhash >> 44 AS bucket FROM sig ORDER BY doc_id""".stripMargin
+
+  val q43Sql: String =
+    s"""WITH $simhashSigSql,
+       |sb AS (SELECT doc_id, simhash, simhash >> 44 AS bucket FROM sig)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM sb a JOIN sb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |ORDER BY hamming, id_a, id_b LIMIT 100""".stripMargin
 
   /** SimHash near-dup pairs: bucket by top-16 bits, compare hamming distance
     * within buckets only (bit_count of xor — codegen'd).
@@ -259,14 +318,30 @@ object Dedup {
   def q44EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
     val withB = Similarity.withBucket(e, nBits = 6)
-      .select(col("bucket"), col("vec_id"), Similarity.unitVec(col("embedding")).as("unit"))
-    val a = withB.select(col("bucket"), col("vec_id").as("id_a"), col("unit").as("u_a"))
-    val b = withB.select(col("bucket"), col("vec_id").as("id_b"), col("unit").as("u_b"))
+      .select(col("bucket"), col("vec_id"), col("embedding"))
+    val a = withB.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = withB.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(Similarity.dot(col("u_a"), col("u_b")), 4).as("cosine"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("e_a"), col("e_b")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
       .limit(50)
+  }
+
+  /** Oracle: recompute the hyperplane bucket in SQL from the same seeded
+    * plane literals ([[Similarity.bucketSql]]) and the pair cosine with the
+    * q50-proven fold order.
+    */
+  val q44Sql: String = {
+    val cos = "list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))" +
+      " / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))" +
+      " * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cos, 4) AS cosine
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.vec_id < b.vec_id
+       | AND ${Similarity.bucketSql("a.embedding", 6)} = ${Similarity.bucketSql("b.embedding", 6)}
+       |ORDER BY cosine DESC, id_a, id_b LIMIT 50""".stripMargin
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -277,10 +352,16 @@ object Dedup {
     "q43_dedup_simhash_pairs" -> q43SimhashPairs _,
     "q44_dedup_embedding" -> q44EmbeddingNearDup _)
 
-  /** Jaccard is SQL-expressible — oracle it; the hash-based signatures are
-    * engine-specific (xxhash64/FNV) so those get rows-only checks.
+  /** Everything except the xxhash64-based MinHash/LSH candidates (q40) is
+    * oracle-checked: Jaccard and pair cosines restate directly in SQL, the
+    * SimHash signature is md5-based specifically so DuckDB can recompute it,
+    * and q45's loser set round-trips through parquet.
     */
   val oracles: Map[String, String] = Map(
+    "q42_dedup_simhash" -> q42Sql,
+    "q43_dedup_simhash_pairs" -> q43Sql,
+    "q44_dedup_embedding" -> q44Sql,
+    "q45_dedup_apply" -> q45Sql,
     "q41_dedup_ngram_jaccard" ->
       """SELECT lang, id_a, id_b, jaccard FROM (
         |  SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,

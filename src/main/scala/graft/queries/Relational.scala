@@ -357,18 +357,31 @@ object Relational {
       |FROM orders GROUP BY 1, 2, 3 ORDER BY yr, mth, size_bucket""".stripMargin
 
   /** Sketch aggregations — the 100 TB cardinality/quantile path (HLL++ and
-    * KLL-style, mergeable, fixed memory). Approximation is engine-specific,
-    * so no SQL oracle; the test suite bounds the error against exact.
+    * KLL-style, mergeable, fixed memory). The sketch ESTIMATES are
+    * engine-specific, so the oracled projection carries the exact values
+    * plus booleans asserting the sketch error bound — the oracle emits the
+    * exact values and literal TRUE, making the bound itself driver-checked.
     */
   def q19ApproxSketches(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables(spark, dir, "lineitem")
     l.groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
-        round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2).as("approx_p50"))
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("exact_p50"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("ap"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("pp"))
+      .select(
+        col("l_returnflag"), col("exact_parts"), col("exact_p50"),
+        (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.06).as("approx_parts_ok"),
+        (abs(col("pp") - col("exact_p50")) <= col("exact_p50") * 0.05).as("approx_p50_ok"))
       .orderBy(col("l_returnflag"))
   }
+
+  val q19Sql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+      |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+      |  TRUE AS approx_parts_ok, TRUE AS approx_p50_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_approx_sketches" -> q19ApproxSketches _,
@@ -392,6 +405,7 @@ object Relational {
     "q18_date_buckets" -> q18DateBuckets _)
 
   val oracles: Map[String, String] = Map(
+    "q19_approx_sketches" -> q19Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_broadcast_join" -> q03Sql,

@@ -174,6 +174,77 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  // Shared oracle fragments. `dotSql` mirrors Spark's `dot` (left-fold over
+  // zipped doubles — q50's exact-equality pass is the evidence the fold
+  // orders agree); `bucketSql` re-derives the hyperplane bucket in SQL from
+  // the SAME seeded plane values, embedded as literals via shortest
+  // round-trip double formatting (parsing recovers the identical double).
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+  private def normSql(v: String): String =
+    s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  private def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
+
+  /** SQL expression for [[withBucket]]'s bucket id over column `v`. */
+  def bucketSql(v: String, nBits: Int, dim: Int = 64): String = {
+    val planes = hyperplanes(nBits, dim)
+    (0 until nBits).map { i =>
+      val lits = planes(i).map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN ${dotSql(v, lits)} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  val q51Sql: String = {
+    val cos = cosineSql("q.embedding", "c.embedding")
+    s"""SELECT query_id, rk, neighbor_id, cosine FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round($cos, 4) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS BIGINT) AS rk
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+       |  JOIN embeddings c
+       |    ON c.vec_id <> q.vec_id
+       |   AND ${bucketSql("c.embedding", 4)} = ${bucketSql("q.embedding", 4)})
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  }
+
+  val q52Sql: String = {
+    val cos = cosineSql("e.embedding", "c.centroid")
+    s"""WITH cent AS (
+       |  SELECT label, list(cx ORDER BY pos) AS centroid FROM (
+       |    SELECT label, t.pos, avg(CAST(embedding[t.pos] AS DOUBLE)) AS cx
+       |    FROM embeddings, range(1, 65) t(pos)
+       |    GROUP BY label, t.pos)
+       |  GROUP BY label)
+       |SELECT vec_id, label, assigned_label, cosine FROM (
+       |  SELECT e.vec_id, e.label, c.label AS assigned_label,
+       |    round($cos, 4) AS cosine,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $cos DESC, c.label) AS rk
+       |  FROM embeddings e CROSS JOIN cent c)
+       |WHERE rk = 1 ORDER BY vec_id""".stripMargin
+  }
+
+  val q53Sql: String = {
+    val dq = "c.dq"
+    val cos = s"${dotSql(dq, "q.embedding")} / (${normSql(dq)} * ${normSql("q.embedding")})"
+    s"""WITH cq AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(CAST(round(CAST(x AS DOUBLE) / s) AS TINYINT) AS DOUBLE) * s) AS dq
+       |  FROM (SELECT vec_id, embedding,
+       |          greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS s
+       |        FROM embeddings))
+       |SELECT query_id, rk, neighbor_id, cosine FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round($cos, 4) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS BIGINT) AS rk
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+       |  JOIN cq c ON c.vec_id <> q.vec_id)
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_knn_brute" -> q50KnnBrute _,
     "q51_knn_lsh" -> q51KnnLsh _,
@@ -181,5 +252,8 @@ object Similarity {
     "q53_knn_quantized" -> q53KnnQuantized _)
 
   val oracles: Map[String, String] = Map(
-    "q50_knn_brute" -> q50Sql)
+    "q50_knn_brute" -> q50Sql,
+    "q51_knn_lsh" -> q51Sql,
+    "q52_ivf_assign" -> q52Sql,
+    "q53_knn_quantized" -> q53Sql)
 }

@@ -222,6 +222,33 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Oracle: the Rabin-Karp hash is polynomial mod 1000000007, so DuckDB
+    * recomputes it in closed form (c0·257⁴ + … + c4 mod p ≡ the rolling
+    * update), takes the per-window min, and dedups — fingerprint counts and
+    * the first selected hash match exactly. (The <k and <k+w-1 short-text
+    * fallbacks in [[winnowingFingerprint]] are unreachable on any fixture:
+    * min normalized text length is 44.)
+    */
+  val q37Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+      |p AS (SELECT doc_id, t, unnest(range(1, length(t) - 3)) AS i FROM t),
+      |hs AS (SELECT doc_id, i,
+      |    (ord(substr(t, i, 1)) * 4362470401
+      |     + ord(substr(t, i + 1, 1)) * 16974593
+      |     + ord(substr(t, i + 2, 1)) * 66049
+      |     + ord(substr(t, i + 3, 1)) * 257
+      |     + ord(substr(t, i + 4, 1))) % 1000000007 AS h
+      |  FROM p),
+      |win AS (SELECT doc_id, i,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+      |    max(i) OVER (PARTITION BY doc_id) AS maxi
+      |  FROM hs)
+      |SELECT doc_id, CAST(count(DISTINCT mh) AS BIGINT) AS n_fingerprints,
+      |  CAST(min(CASE WHEN i = 1 THEN mh END) AS BIGINT) AS first_fp
+      |FROM win WHERE i <= maxi - 3
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_winnowing" -> q37Winnowing _,
     "q30_token_counts" -> q30TokenCounts _,
@@ -260,6 +287,7 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q37_winnowing" -> q37Sql,
     "q30_token_counts" -> q30Sql,
     "q31_quality_score" -> q31Sql,
     "q32_fingerprint" -> q32Sql,

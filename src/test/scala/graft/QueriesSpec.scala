@@ -116,12 +116,14 @@ class QueriesSpec extends SparkTestBase {
     assert(survivors.size == total - pairs.map(_._2).distinct.length)
   }
 
-  test("simhash is deterministic and bucket = top 16 bits") {
+  test("simhash is deterministic and bucket = top 16 of 60 bits") {
     val a = Dedup.q42Simhash(spark, sfDir).collect()
     val b = Dedup.q42Simhash(spark, sfDir).collect()
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
     a.take(20).foreach { r =>
-      assert(r.getAs[Long]("bucket") == (r.getAs[Long]("simhash") >>> 48))
+      val sh = r.getAs[Long]("simhash")
+      assert(sh >= 0L && sh < (1L << 60), "60-bit signature stays positive")
+      assert(r.getAs[Long]("bucket") == (sh >>> 44))
     }
   }
 
@@ -158,11 +160,12 @@ class QueriesSpec extends SparkTestBase {
   }
 
   test("approx sketches stay within tolerance of exact aggregates") {
-    Relational.q19ApproxSketches(spark, sfDir).collect().foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.10,
-        s"HLL estimate $approx too far from $exact")
+    val rows = Relational.q19ApproxSketches(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("approx_parts_ok"), s"HLL bound violated: $r")
+      assert(r.getAs[Boolean]("approx_p50_ok"), s"percentile bound violated: $r")
+      assert(r.getAs[Long]("exact_parts") > 0)
     }
   }
 
