@@ -59,10 +59,10 @@ object Temporal {
     * is complete regardless of whether ids are monotone in ts. The output
     * pair is then re-oriented to (min id, max id) to match the oracle.
     */
-  def q71RangeJoin(spark: SparkSession, dir: String): DataFrame = {
-    val bucketUs = 300L * 1000000L
-    val ev = Tables(spark, dir, "events")
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+  /** Core of q71 over any (user_id, event_id, t) frame — factored out so the
+    * completeness proof (any id/time order) is testable on synthetic data.
+    */
+  def closePairCounts(ev: DataFrame, bucketUs: Long): DataFrame = {
     val a = ev.select(col("user_id"), col("event_id").as("id_a"), col("t").as("t_a"),
         explode(array((col("t") / bucketUs).cast("long"),
           (col("t") / bucketUs).cast("long") + 1)).as("cell"))
@@ -78,6 +78,12 @@ object Temporal {
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_close_pairs"))
       .orderBy(col("user_id"))
   }
+
+  def q71RangeJoin(spark: SparkSession, dir: String): DataFrame =
+    closePairCounts(
+      Tables(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t")),
+      bucketUs = 300L * 1000000L)
 
   val q71Sql: String =
     """SELECT a.user_id, count(*) AS n_close_pairs

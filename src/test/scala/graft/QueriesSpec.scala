@@ -173,4 +173,44 @@ class QueriesSpec extends SparkTestBase {
     val total = Tables(spark, sfDir, "documents").select("text").distinct().count()
     assert(Relational.q12DedupExact(spark, sfDir).count() == total)
   }
+
+  test("range-join pairing is complete when event ids are NOT monotone in ts") {
+    val s = spark
+    import s.implicits._
+    val bucket = 100L
+    // ids deliberately anti-correlated with time, pairs straddling cell
+    // boundaries both ways, plus an exact-boundary gap and a tie.
+    val rows = Seq(
+      (1L, 10L, 950L), (1L, 2L, 1010L),  // smaller id LATER, straddles cell 9/10
+      (1L, 7L, 199L), (1L, 3L, 205L),    // straddle, reversed ids
+      (2L, 5L, 0L), (2L, 4L, 100L),      // exact-boundary gap == bucket
+      (2L, 9L, 300L), (2L, 8L, 300L),    // tie in t
+      (3L, 1L, 0L), (3L, 6L, 500L))      // far apart: no pair
+      .toDF("user_id", "event_id", "t")
+    val got = Temporal.closePairCounts(rows, bucket)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force oracle
+    val evs = rows.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = evs.flatMap { case (u, i, t) =>
+      evs.collect { case (u2, i2, t2) if u2 == u && i < i2 && math.abs(t - t2) <= bucket => u }
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got == expect, s"got $got expect $expect")
+  }
+
+  test("q41 block cap drops oversized blocks and reports them") {
+    // cap of 3 at sf0.001: every (lang, source) block bigger than 3 must be
+    // excluded from pairing and surfaced by q41DroppedBlocks
+    val dropped = Dedup.q41DroppedBlocks(spark, sfDir, maxBlock = 3)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[String]("source"))).toSet
+    assert(dropped.nonEmpty, "fixture has blocks larger than 3")
+    val blocks = Tables(spark, sfDir, "documents")
+      .groupBy(col("lang"), col("source")).count().collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) -> r.getAs[Long]("count")).toMap
+    assert(dropped == blocks.filter(_._2 > 3).keySet)
+    // the capped query only pairs within surviving blocks
+    val pairsLangs = Dedup.q41NgramJaccard(spark, sfDir, maxBlock = 3)
+      .collect().map(_.getAs[String]("lang")).toSet
+    val survivorLangs = blocks.collect { case ((l, _), n) if n <= 3 => l }.toSet
+    assert(pairsLangs.subsetOf(survivorLangs))
+  }
 }
