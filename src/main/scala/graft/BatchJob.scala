@@ -50,7 +50,8 @@ object BatchJob {
   final case class Sinks(
       targetPath: Option[String] = None, // parsed SUCCESS records
       statusPath: Option[String] = None, // per-record BatchStatus audit
-      runPath: Option[String] = None)    // one-row BatchRun summary
+      runPath: Option[String] = None,    // one-row BatchRun summary
+      rest: Option[graft.ingest.RestSink.RestOptions] = None) // P11 per-record REST channel
 
   /** Process one line-delimited file end-to-end. */
   def processFile(
@@ -73,6 +74,19 @@ object BatchJob {
     }
     val routed = route(parsed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The REST channel (P11): POST each SUCCESS-parsed record's JSON; its
+    // per-record HTTP outcome then drives the status rows and run counters,
+    // exactly like the reference counts `statusCode === 200`
+    // (lib/batchProcessing.js:679,700). Persisted because both the status
+    // sink and the counters consume it — recomputing would re-send.
+    val restResults = sinks.rest.map { ro =>
+      val dataCols = parsed.columns
+        .filterNot(Set("_file", "_rec_id", "_error").contains).map(col)
+      graft.ingest.RestSink
+        .send(successes(routed), col("_rec_id"), to_json(struct(dataCols: _*)), ro)
+        .toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     try {
       sinks.targetPath.foreach { p =>
         successes(routed).drop("_error", "statusText")
@@ -80,18 +94,30 @@ object BatchJob {
           .write.mode("append").parquet(p)
       }
       sinks.statusPath.foreach { p =>
-        batchStatus(routed, config.batchResultLogItems)
-          .withColumn("run_id", lit(runId))
-          .write.mode("append").parquet(p)
+        val base = batchStatus(routed, config.batchResultLogItems)
+        val withHttp = restResults.fold(base) { r =>
+          base.join(
+              r.select(col("rec_id"),
+                col("status_code").cast("int").as("http_code"),
+                col("status_text").as("http_status"), col("error").as("http_error")),
+              Seq("rec_id"), "left")
+            .select(col("file_name"), col("rec_id"),
+              coalesce(col("http_status"), col("status_text")).as("status_text"),
+              coalesce(col("http_code"), col("status_code")).as("status_code"),
+              coalesce(col("http_error"), col("error")).as("error"))
+        }
+        withHttp.withColumn("run_id", lit(runId)).write.mode("append").parquet(p)
       }
       val counts = routed.groupBy(col("statusText")).count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val parsedOk = counts.getOrElse("SUCCESS", 0L)
+      val httpOk = restResults.map(_.filter(col("status_code") === 200).count())
       val end = System.currentTimeMillis()
       val summary = RunSummary(
         runId, filePath,
-        totalRecordCount = counts.getOrElse("SUCCESS", 0L) + counts.getOrElse("FAILED", 0L),
-        successCount = counts.getOrElse("SUCCESS", 0L),
-        failureCount = counts.getOrElse("FAILED", 0L),
+        totalRecordCount = parsedOk + counts.getOrElse("FAILED", 0L),
+        successCount = httpOk.getOrElse(parsedOk),
+        failureCount = counts.getOrElse("FAILED", 0L) + httpOk.map(parsedOk - _).getOrElse(0L),
         ignoredCount = counts.getOrElse("IGNORED", 0L),
         startTimeMillis = start, endTimeMillis = end, durationMillis = end - start)
       sinks.runPath.foreach { p =>
@@ -100,6 +126,9 @@ object BatchJob {
       }
       hooks.onEnd()
       summary
-    } finally routed.unpersist()
+    } finally {
+      restResults.foreach(_.unpersist())
+      routed.unpersist()
+    }
   }
 }

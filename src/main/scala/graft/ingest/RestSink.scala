@@ -1,0 +1,136 @@
+package graft.ingest
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+import java.util.concurrent.{ConcurrentHashMap, Semaphore}
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** P11 — the reference's per-record REST output channel
+  * (`lib/batchProcessing.js:666-700`), re-expressed as a `mapPartitions`
+  * sink with one pooled HTTP client per partition, plus P15's rate
+  * limiting (`:87-91`: Bottleneck `maxConcurrent`/`minTime`).
+  *
+  * Fidelity points mirrored from the reference:
+  *   - URL assembly `appBaseURL + '/' + modelAPI + '?access_token=...'`
+  *     with precedence env > options for base/api/token
+  *     (`:610,634,648`; the per-record payload override level collapses
+  *     into the job level here because the payload is engine-built);
+  *   - method from options (`:649`), default `Cookie` header plus
+  *     additional headers (`:657-663`);
+  *   - 10 s request timeout (`:671`);
+  *   - SUCCESS iff HTTP 200, anything else (or a transport error) is
+  *     FAILED and never aborts the run (`:679,700`);
+  *   - missing appBaseURL/modelAPI/method aborts the JOB driver-side with
+  *     the reference's error text (`:456,634,650`) — config errors are
+  *     fatal, data errors are per-record.
+  *
+  * Scale semantics: the limiter state is per JVM, i.e. per executor — on a
+  * cluster the aggregate rate is `executors × maxConcurrent` in-flight and
+  * `executors / minTime` starts/ms; divide the configured budget by the
+  * executor count to hold a global SLA. (The reference is single-process,
+  * so local[n] reproduces its behavior exactly.)
+  */
+object RestSink {
+
+  final case class RestOptions(
+      appBaseUrl: Option[String] = None,
+      modelApi: Option[String] = None,
+      method: Option[String] = None,
+      headers: Map[String, String] = Map.empty,
+      accessToken: Option[String] = None,
+      timeoutMillis: Int = 10000, // lib/batchProcessing.js:671
+      maxConcurrent: Int = 80,    // :87
+      minTimeMillis: Int = 20)    // :89
+
+  final case class RestResult(
+      rec_id: Long,
+      status_code: Int, // 0 = transport error, no HTTP response
+      status_text: String,
+      error: String,
+      response_body: String)
+
+  /** Reference default header (`lib/batchProcessing.js:657`). */
+  val DefaultCookieHeader: (String, String) =
+    "Cookie" -> "Content-Type=application/json; charset=encoding; Accept=application/json"
+
+  /** Driver-side config resolution; throws the reference's fatal messages. */
+  def resolveUrl(o: RestOptions, env: Map[String, String] = sys.env): String = {
+    val base = env.get("APP_BASE_URL").orElse(o.appBaseUrl).getOrElse(throw new IllegalArgumentException(
+      "appBaseURL is not specified in env variable (APP_BASE_URL) or options. Aborting job."))
+    val api = env.get("MODEL_API").orElse(o.modelApi).getOrElse(throw new IllegalArgumentException(
+      "modelAPI is neither specified in environment variable (MODEL_API) nor processFile options nor passed in payload. Aborting job."))
+    val token = env.get("ACCESS_TOKEN").orElse(o.accessToken)
+    base + (if (api.startsWith("/")) "" else "/") + api +
+      token.map("?access_token=" + _).getOrElse("")
+  }
+
+  def resolveMethod(o: RestOptions): String =
+    o.method.getOrElse(throw new IllegalArgumentException(
+      "method is neither specified in processFile options nor passed in payload. Aborting job.")).toUpperCase
+
+  /** P15 — per-JVM limiter: a semaphore bounds in-flight requests
+    * (`maxConcurrent`) and a paced start time enforces `minTime` between
+    * request starts (Bottleneck's semantics). Keyed by config so distinct
+    * jobs don't share state.
+    */
+  private object Throttle {
+    final class State(maxConcurrent: Int, minTime: Long) {
+      val sem = new Semaphore(maxConcurrent)
+      private var nextStart = 0L
+      def pace(): Unit = {
+        val wait = this.synchronized {
+          val now = System.currentTimeMillis()
+          val at = math.max(now, nextStart)
+          nextStart = at + minTime
+          at - now
+        }
+        if (wait > 0) Thread.sleep(wait)
+      }
+    }
+    private val states = new ConcurrentHashMap[(Int, Int), State]()
+    def forConfig(maxConcurrent: Int, minTime: Int): State =
+      states.computeIfAbsent((maxConcurrent, minTime),
+        _ => new State(maxConcurrent, minTime.toLong))
+  }
+
+  /** POST/PUT/... one JSON body per record; returns per-record results.
+    * The caller should persist the result before running multiple actions
+    * on it — each recomputation would re-send the requests.
+    */
+  def send(records: DataFrame, recId: Column, body: Column,
+           opts: RestOptions, env: Map[String, String] = sys.env): Dataset[RestResult] = {
+    val url = resolveUrl(opts, env)
+    val method = resolveMethod(opts)
+    val headers = (Map(DefaultCookieHeader) ++ opts.headers).toSeq
+    val timeout = opts.timeoutMillis
+    val (maxConc, minTime) = (opts.maxConcurrent, opts.minTimeMillis)
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.select(recId.cast("long"), body.cast("string")).as[(Long, String)]
+      .mapPartitions { it =>
+        val client = HttpClient.newBuilder()
+          .connectTimeout(Duration.ofMillis(timeout)).build()
+        val limiter = Throttle.forConfig(maxConc, minTime)
+        it.map { case (id, payload) =>
+          limiter.pace()
+          limiter.sem.acquire()
+          try {
+            val b = HttpRequest.newBuilder(URI.create(url))
+              .timeout(Duration.ofMillis(timeout))
+              .method(method, HttpRequest.BodyPublishers.ofString(if (payload == null) "" else payload))
+            headers.foreach { case (k, v) => b.header(k, v) }
+            val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+            val ok = resp.statusCode() == 200
+            RestResult(id, resp.statusCode(), if (ok) "SUCCESS" else "FAILED",
+              if (ok) null else resp.body(), resp.body())
+          } catch {
+            case e: Exception =>
+              RestResult(id, 0, "FAILED", String.valueOf(e.getMessage), null)
+          } finally limiter.sem.release()
+        }
+      }
+  }
+}
