@@ -27,9 +27,15 @@ final case class RecData(fileName: String, rec: String, recId: Long)
 object BatchPipeline {
 
   /** P1 — line-delimited text scan producing `Dataset[RecData]` with exact
-    * 1-based file-order line numbers. `zipWithIndex` is a narrow
-    * transformation (one count job to size partition offsets, no shuffle) —
-    * cheap at any scale. Multi-file globs order by (file, offset).
+    * 1-based line numbers for a SINGLE file (what [[graft.BatchJob.processFile]]
+    * reads, like the reference's line-reader). `zipWithIndex` is a narrow
+    * transformation (one count job to size partition offsets, no shuffle).
+    *
+    * The single-file guarantee holds because Spark packs a file's splits in
+    * offset order: equal-size body splits keep enumeration order under the
+    * stable length-descending sort and the smaller tail split sorts last,
+    * which IS the file end. For multi-file globs the interleaving across
+    * files does NOT follow (file, offset) — use [[textSourcePerFile]] there.
     */
   def textSource(spark: SparkSession, path: String): Dataset[RecData] = {
     import spark.implicits._
@@ -39,6 +45,25 @@ object BatchPipeline {
       RecData(r.getString(0), r.getString(1), i + 1)
     }
     spark.createDataset(withId)
+  }
+
+  /** P1 for multi-file globs: per-file 1-based line numbers via one
+    * shuffle-by-file window. The global zip index preserves WITHIN-file
+    * order (see [[textSource]]), so partitioning by file and numbering in
+    * global-index order recovers each file's exact lineNr — the reference's
+    * per-file recId semantics — regardless of how files interleave.
+    */
+  def textSourcePerFile(spark: SparkSession, path: String): Dataset[RecData] = {
+    import spark.implicits._
+    val fileOf = input_file_name()
+    val raw = spark.read.textFile(path).select(fileOf.as("fileName"), col("value").as("rec"))
+    val withIdx = spark.createDataset(
+      raw.rdd.zipWithIndex.map { case (r, i) => (r.getString(0), r.getString(1), i) })
+      .toDF("fileName", "rec", "gidx")
+    val w = Window.partitionBy(col("fileName")).orderBy(col("gidx"))
+    withIdx
+      .select(col("fileName"), col("rec"), row_number().over(w).cast("long").as("recId"))
+      .as[RecData]
   }
 
   /** In-memory variant for already-loaded lines (tests, re-synthesized CSV). */

@@ -60,33 +60,51 @@ object Parsers {
           catch { case _: NumberFormatException => None }
         else None
       radix("0x", 16).orElse(radix("0b", 2)).orElse(radix("0o", 8)).orElse {
-        // JS rejects trailing garbage ("12abc"), leading/trailing signs are
-        // fine; Java's Double.parseDouble accepts a trailing d/f suffix that
-        // JS does not, so reject alpha suffixes explicitly.
-        val last = s.charAt(s.length - 1)
-        if (last == 'd' || last == 'D' || last == 'f' || last == 'F') None
-        else try Some(java.lang.Double.parseDouble(s)) catch { case _: NumberFormatException => None }
+        val lower = s.toLowerCase
+        // A failed radix literal is NaN in JS — it must not fall through to
+        // parseDouble, which would accept hex-float forms like "0x1.8p1".
+        if (lower.startsWith("0x") || lower.startsWith("0b") || lower.startsWith("0o")) None
+        else {
+          // JS rejects trailing garbage ("12abc"), leading/trailing signs are
+          // fine; Java's Double.parseDouble accepts a trailing d/f suffix that
+          // JS does not, so reject alpha suffixes explicitly.
+          val last = s.charAt(s.length - 1)
+          if (last == 'd' || last == 'D' || last == 'f' || last == 'F') None
+          else
+            try {
+              val d = java.lang.Double.parseDouble(s)
+              // parseDouble accepts the literal "NaN"/"+NaN"/"-NaN"; JS's
+              // isNaN check makes those a 'did not match type number' error.
+              if (d.isNaN) None else Some(d)
+            } catch { case _: NumberFormatException => None }
+        }
       }
     }
   }
 
-  /** Coerce one raw field per the declared type. Left = error message. */
-  def coerce(raw: String, declaredType: String, errPrefix: String, posInfo: String = ""): Either[String, FieldValue] =
+  /** Coerce one raw field per the declared type. Left = error message.
+    * `rawForMsg` is the ORIGINAL (untrimmed) token: the reference reports
+    * `fValue1`, the pre-trim value, in type errors (`lib/parsers.js:116,127`).
+    */
+  def coerce(raw: String, declaredType: String, errPrefix: String, posInfo: String = "",
+             rawForMsg: String = null): Either[String, FieldValue] = {
+    val msgVal = if (rawForMsg == null) raw else rawForMsg
     declaredType.toLowerCase.trim match {
       case "string" => Right(SVal(raw))
       case "number" =>
         jsNumber(raw).map(NVal(_): FieldValue).toRight(
-          s"$errPrefix: Data of fieldValue '$raw'$posInfo did not match type 'number'")
+          s"$errPrefix: Data of fieldValue '$msgVal'$posInfo did not match type 'number'")
       case "boolean" =>
         raw.toLowerCase match {
           case "true"  => Right(BVal(true))
           case "false" => Right(BVal(false))
-          case _ => Left(s"$errPrefix: Data of fieldValue '$raw'$posInfo did not match type 'boolean'. " +
+          case _ => Left(s"$errPrefix: Data of fieldValue '$msgVal'$posInfo did not match type 'boolean'. " +
             "Only true, false, TRUE, FALSE are accepted as type boolean.")
         }
       case other =>
         Left(s"$errPrefix: Specified DataType ('$other') is neither string nor number nor boolean.")
     }
+  }
 
   // ---------------------------------------------------------------- CSV
 
@@ -112,6 +130,9 @@ object Parsers {
     * Returns None for a malformed line (unbalanced quote, bare backslash).
     */
   def tokenizeCsv(line: String): Option[Vector[String]] = {
+    // Empty/whitespace-only line => ZERO tokens (the reference's re_value
+    // has a (?!\s*$) guard, so cSVtoArray('') is [] — lib/parsers.js:151,156).
+    if (line.forall(Character.isWhitespace)) return Some(Vector.empty)
     val out = Vector.newBuilder[String]
     val n = line.length
     var i = 0
@@ -179,13 +200,22 @@ object Parsers {
       case Some(tokens) =>
         val nH = spec.headers.length
         var error: Option[String] = None
-        if (tokens.length > nH || (tokens.length < nH && !spec.ignoreExtraHeaders))
-          error = Some(s"parseCSV: Mis-match between fieldCount (${tokens.length}) and headerCount ($nH). " +
-            s"Headers: '${spec.headers.mkString(",")}'")
-        spec.types.foreach { ts =>
-          if (error.isEmpty && (tokens.length > ts.length || (tokens.length < ts.length && !spec.ignoreExtraHeaderDataTypes)))
-            error = Some(s"parseCSV: Mis-match between fieldCount (${tokens.length}) and headerDataTypeCount (${ts.length}). " +
-              s"HeaderDataTypes: '${ts.mkString(",")}'")
+        // The reference runs ALL checks inside fieldValues.forEach
+        // (lib/parsers.js:94-110): ZERO tokens (empty line) means zero
+        // iterations — no mismatch error, an empty-json SUCCESS record.
+        if (tokens.nonEmpty) {
+          if (tokens.length > nH || (tokens.length < nH && !spec.ignoreExtraHeaders)) {
+            val suffix = if (tokens.length < nH) " Try setting options.ignoreExtraHeaders to true" else ""
+            error = Some(s"parseCSV: Mis-match between fieldCount (${tokens.length}) and headerCount ($nH). " +
+              s"Headers: '${spec.headers.mkString(",")}'" + suffix)
+          }
+          spec.types.foreach { ts =>
+            if (error.isEmpty && (tokens.length > ts.length || (tokens.length < ts.length && !spec.ignoreExtraHeaderDataTypes))) {
+              val suffix = if (tokens.length < ts.length) " Try setting options.ignoreExtraHeaderDataTypes to true" else ""
+              error = Some(s"parseCSV: Mis-match between fieldCount (${tokens.length}) and headerDataTypeCount (${ts.length}). " +
+                s"HeaderDataTypes: '${ts.mkString(",")}'" + suffix)
+            }
+          }
         }
         val out = Vector.newBuilder[Option[FieldValue]]
         var i = 0
@@ -193,7 +223,7 @@ object Parsers {
           if (error.isEmpty && i < tokens.length) {
             val raw = tokens(i).trim // lib/parsers.js:97
             val typ = spec.types.map(_(i)).getOrElse("string")
-            coerce(raw, typ, "parseCSV") match {
+            coerce(raw, typ, "parseCSV", rawForMsg = tokens(i)) match {
               case Right(v)  => out += Some(v)
               case Left(err) => error = Some(err); out += None
             }

@@ -72,6 +72,24 @@ class BatchPipelineSpec extends SparkTestBase {
     assert(got.head.fileName.endsWith("in.txt"))
   }
 
+  test("textSourcePerFile: per-file 1-based recIds across a multi-file glob (P1)") {
+    val dir = Files.createTempDirectory("graft-multi")
+    // deliberately different sizes so Spark's length-desc split packing
+    // interleaves them away from enumeration order
+    Files.write(dir.resolve("a.txt"), (1 to 150).map(i => s"a$i").mkString("\n").getBytes)
+    Files.write(dir.resolve("b.txt"), (1 to 7).map(i => s"b$i").mkString("\n").getBytes)
+    Files.write(dir.resolve("c.txt"), (1 to 40).map(i => s"c$i").mkString("\n").getBytes)
+    val byFile = textSourcePerFile(spark, s"$dir/*.txt").collect()
+      .groupBy(r => r.fileName.substring(r.fileName.lastIndexOf('/') + 1))
+    assert(byFile.keySet == Set("a.txt", "b.txt", "c.txt"))
+    byFile.foreach { case (name, rows) =>
+      val sorted = rows.sortBy(_.recId)
+      assert(sorted.map(_.recId).toSeq == (1L to rows.length).toSeq, s"$name ids contiguous")
+      val prefix = name.charAt(0)
+      sorted.foreach(r => assert(r.rec == s"$prefix${r.recId}", s"$name line ${r.recId}"))
+    }
+  }
+
   test("fixed-width pipeline end-to-end") {
     val fwSpec = FwSpec(Vector(
       FwField("id", "number", 1, 3),

@@ -68,6 +68,17 @@ class ParsersSpec extends AnyFunSuite {
     assert(jsNumber("Infinity").contains(Double.PositiveInfinity))
   }
 
+  test("jsNumber: literal NaN and failed radix literals are errors like JS Number()") {
+    assert(jsNumber("NaN").isEmpty)   // Java parseDouble would accept these
+    assert(jsNumber("+NaN").isEmpty)
+    assert(jsNumber("-NaN").isEmpty)
+    assert(jsNumber("0x1.8p1").isEmpty) // Java hex-float; JS Number() => NaN
+    assert(jsNumber("0xzz").isEmpty)
+    assert(jsNumber("0b102").isEmpty)
+    assert(jsNumber("0x").isEmpty)
+    assert(jsNumber("-0x10").isEmpty) // JS: sign + radix prefix is NaN
+  }
+
   // ------------------------------------------------ coercion
 
   test("boolean accepts only true/false any case (lib/parsers.js:118-127)") {
@@ -102,6 +113,26 @@ class ParsersSpec extends AnyFunSuite {
   test("field/header count mismatch is a record error") {
     val r = parseCsvLine(spec)("x,1")
     assert(r.error.exists(_.contains("Mis-match between fieldCount")))
+    assert(r.error.exists(_.endsWith(" Try setting options.ignoreExtraHeaders to true")),
+      "fewer-fields mismatch carries the reference's hint suffix (lib/parsers.js:103)")
+    val more = parseCsvLine(spec)("a,1,true,extra")
+    assert(more.error.exists(e => e.contains("Mis-match") && !e.contains("Try setting")),
+      "more-fields mismatch has no hint suffix")
+  }
+
+  test("empty line is zero tokens -> empty-json SUCCESS (lib/parsers.js:151,156)") {
+    assert(tokenizeCsv("").contains(Vector.empty))
+    assert(tokenizeCsv("   ").contains(Vector.empty))
+    val r = parseCsvLine(spec)("")
+    assert(r.error.isEmpty, "zero forEach iterations means zero errors")
+    assert(r.fields.forall(_.isEmpty))
+  }
+
+  test("type errors report the original untrimmed token (lib/parsers.js:116)") {
+    // only quoted fields can carry surrounding whitespace through tokenizing
+    val r = parseCsvLine(spec)("""x," nope ",true""")
+    assert(r.error.exists(_.contains("fieldValue ' nope '")),
+      s"expected untrimmed token in ${r.error}")
   }
 
   test("ignoreExtraHeaders tolerates fewer fields than headers") {
@@ -161,7 +192,8 @@ class ParsersSpec extends AnyFunSuite {
       val line = fields.mkString(",")
       val parsed = tokenizeCsv(line)
       assert(parsed.isDefined, s"line <$line>")
-      assert(parsed.get == fields, s"line <$line>")
+      if (line.forall(_.isWhitespace)) assert(parsed.get == Vector.empty) // zero-token rule
+      else assert(parsed.get == fields, s"line <$line>")
     }
   }
 
