@@ -29,13 +29,18 @@ object Bench {
       .groupBy("t").count().orderBy(desc("count")).limit(5).collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      (name, (System.nanoTime() - t0) / 1e9, rows)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, secs, _) => "\"" + k + "\":" + secs }
+      .mkString("{", ",", "}")
+    // result-row counts alongside (separate key keeps the driver's
+    // queries-as-seconds schema intact) so rec/s ratios vs BASELINE.md are
+    // computable mechanically per round
+    val rows = results.map { case (k, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -315,9 +315,9 @@ object Dedup {
     * planes), cosine computed only within buckets. The 100 TB path: one
     * narrow signature pass + one shuffle on the 6-bit bucket key.
     */
-  def q44EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingNearDup(spark: SparkSession, dir: String, nBits: Int): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
-    val withB = Similarity.withBucket(e, nBits = 6)
+    val withB = Similarity.withBucket(e, nBits = nBits)
       .select(col("bucket"), col("vec_id"), col("embedding"))
     val a = withB.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
     val b = withB.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
@@ -328,6 +328,9 @@ object Dedup {
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
       .limit(50)
   }
+
+  def q44EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDup(spark, dir, nBits = 6)
 
   /** Oracle: recompute the hyperplane bucket in SQL from the same seeded
     * plane literals ([[Similarity.bucketSql]]) and the pair cosine with the

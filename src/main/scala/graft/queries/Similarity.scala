@@ -106,13 +106,15 @@ object Similarity {
       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
   /** LSH-bucketed ANN: queries only score their own hyperplane bucket —
-    * the scale path (scored fraction ~= 1/2^nBits). Approximate by
-    * construction; rows-only check.
+    * the scale path (scored fraction ~= 1/2^nBits). nBits is the
+    * recall-vs-cost dial: more bits = smaller scored fraction and more
+    * shuffle parallelism, lower recall (recall curve asserted in
+    * QueriesSpec at two settings).
     */
-  def q51KnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = withBucket(Tables(spark, dir, "embeddings"), nBits = 4)
+  def knnLsh(spark: SparkSession, dir: String, nBits: Int): DataFrame = {
+    val corpus = withBucket(Tables(spark, dir, "embeddings"), nBits = nBits)
     val q = withBucket(
-      Tables(spark, dir, "embeddings").filter(col("vec_id") < 10), nBits = 4)
+      Tables(spark, dir, "embeddings").filter(col("vec_id") < 10), nBits = nBits)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     corpus.join(broadcast(q), Seq("bucket"))
@@ -124,6 +126,9 @@ object Similarity {
         round(col("cos"), 4).as("cosine"))
       .orderBy(col("query_id"), col("rk"))
   }
+
+  def q51KnnLsh(spark: SparkSession, dir: String): DataFrame =
+    knnLsh(spark, dir, nBits = 4)
 
   /** IVF-style partitioned search: per-label centroids (the "coarse
     * quantizer" — here the given label clustering), each vector scored

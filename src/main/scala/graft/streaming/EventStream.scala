@@ -122,6 +122,58 @@ object EventStream {
       .toDF()
   }
 
+  /** True-streaming sessionization: watermark + event-time state timeout, so
+    * an idle user's open session closes (and its state evicts) once the
+    * watermark passes lastTs + gap — bounded state on an unbounded stream,
+    * unlike [[sessionRows]] which flushes opens per batch and never evicts.
+    * Late events within the watermark merge into the open session;
+    * later-than-watermark events are dropped by Spark before the state op.
+    */
+  def sessionRowsWatermarked(
+      spark: SparkSession, events: DataFrame,
+      gapUs: Long = 1800L * 1000000L, watermark: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    val gapMs = gapUs / 1000L
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val o = state.get
+            state.remove()
+            Iterator.single(SessionRow(userId, o.startUs, o.lastUs, o.nEvents))
+          } else {
+            val sorted = rows.map(_._3).toSeq.sorted
+            val closed = Seq.newBuilder[SessionRow]
+            var open = state.getOption
+            sorted.foreach { ts =>
+              open match {
+                case Some(o) if ts - o.lastUs <= gapUs =>
+                  open = Some(OpenSession(math.min(o.startUs, ts),
+                    math.max(o.lastUs, ts), o.nEvents + 1))
+                case Some(o) =>
+                  closed += SessionRow(userId, o.startUs, o.lastUs, o.nEvents)
+                  open = Some(OpenSession(ts, ts, 1))
+                case None =>
+                  open = Some(OpenSession(ts, ts, 1))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              // close the session when the WATERMARK (not wall clock) passes
+              // the gap after its last event
+              state.setTimeoutTimestamp(o.lastUs / 1000L + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+      .toDF()
+  }
+
   /** Streaming ingest: the reference's entire job as an unbounded stream —
     * watch a directory for line files, parse each record with the fidelity
     * CSV parser, route, and (caller-side) sink status + data. Replaces the

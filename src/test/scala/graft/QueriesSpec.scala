@@ -174,6 +174,53 @@ class QueriesSpec extends SparkTestBase {
     assert(Relational.q12DedupExact(spark, sfDir).count() == total)
   }
 
+  test("LSH recall curve: knnLsh recall@5 vs exact at two nBits settings") {
+    val dir = "/root/testdata/sf0.01" // 500 vectors: stable recall statistics
+    val exact = Similarity.q50KnnBrute(spark, dir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    def recallAt(nBits: Int): Double = {
+      val got = Similarity.knnLsh(spark, dir, nBits).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+      val per = exact.map { case (q, e) =>
+        got.getOrElse(q, Set.empty).intersect(e).size.toDouble / e.size }
+      per.sum / per.size
+    }
+    val r1 = recallAt(1) // half the corpus scored
+    val r4 = recallAt(4) // 1/16 scored
+    // Fixture geometry: nearest neighbors are near-orthogonal (top-1 cosine
+    // 0.32-0.49 => per-bit same-side prob ~0.6), so recall decays ~0.6^bits;
+    // assert the curve shape and a >>random floor, not fantasy targets.
+    val randomRecall = 5.0 / 499.0
+    assert(r1 >= r4 - 1e-9, s"coarser buckets cannot lower recall: r1=$r1 r4=$r4")
+    assert(r1 >= 0.4, s"1-bit recall@5 too low: $r1")
+    assert(r4 >= 3 * randomRecall, s"4-bit recall@5 not above random: $r4")
+  }
+
+  test("embedding near-dup recall: top exact pairs survive bucketing at two nBits") {
+    val dir = "/root/testdata/sf0.01"
+    // exact top-20 cosine pairs, brute force (500 vectors -> 125k pairs)
+    val e = Tables(spark, dir, "embeddings")
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    val exactTop = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Similarity.cosine(col("e_a"), col("e_b")).as("cos"))
+      .orderBy(col("cos").desc, col("id_a"), col("id_b")).limit(20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nBits: Int): Double = {
+      val got = Dedup.embeddingNearDup(spark, dir, nBits).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      exactTop.intersect(got).size.toDouble / exactTop.size
+    }
+    val r3 = recall(3)
+    val r6 = recall(6)
+    // same near-orthogonal geometry as above: assert curve shape plus a
+    // floor far above the random-50-pairs baseline (50/124750 ~= 0.0004)
+    assert(r3 >= r6 - 1e-9, s"fewer bits cannot lower pair recall: r3=$r3 r6=$r6")
+    assert(r3 >= 0.04, s"3-bit near-dup recall not above random: $r3")
+  }
+
   test("range-join pairing is complete when event ids are NOT monotone in ts") {
     val s = spark
     import s.implicits._

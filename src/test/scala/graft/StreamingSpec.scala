@@ -98,4 +98,49 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toSet
     assert(streamed == batch)
   }
+
+  test("watermarked sessionization: late events merge, idle sessions time out and evict") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val tmp = Files.createTempDirectory("graft-wm")
+
+    val base = 1700000000L * 1000000L // epoch micros
+    def ev(userId: Long, offsetMin: Long): (Long, java.sql.Timestamp) =
+      (userId, new java.sql.Timestamp(base / 1000L + offsetMin * 60000L))
+
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = in.toDF().toDF("user_id", "ts")
+    val out = EventStream.sessionRowsWatermarked(spark, events,
+      gapUs = 1800L * 1000000L, watermark = "10 minutes")
+    val q = out.writeStream
+      .outputMode("append").format("memory").queryName("wm_sessions")
+      .option("checkpointLocation", tmp.resolve("ck").toString)
+      .start()
+    try {
+      // batch 1: user 1 opens a session at t+0 and t+20min
+      in.addData(ev(1, 0), ev(1, 20))
+      q.processAllAvailable()
+      // batch 2: an OUT-OF-ORDER event at t+15min merges into the open
+      // session instead of starting a new one (watermark after batch 1 is
+      // max(ts)-10min = t+10min, so t+15min is safely inside it)
+      in.addData(ev(1, 15))
+      q.processAllAvailable()
+      assert(spark.table("wm_sessions").isEmpty, "session still open, nothing emitted")
+      // batch 3: another user far in the future advances the watermark past
+      // t+20min + 30min gap => user 1's session times out, emits, evicts
+      in.addData(ev(2, 600))
+      q.processAllAvailable()
+      in.addData(ev(2, 601)) // one more batch so the timeout fires post-watermark-update
+      q.processAllAvailable()
+      val rows = spark.table("wm_sessions").collect()
+      assert(rows.length == 1, s"expected exactly the timed-out session, got ${rows.toSeq}")
+      val r = rows.head
+      assert(r.getAs[Long]("userId") == 1L)
+      assert(r.getAs[Long]("startUs") == base)
+      assert(r.getAs[Long]("endUs") == base + 20L * 60000000L)
+      assert(r.getAs[Long]("nEvents") == 3L, "late in-watermark event must have merged")
+    } finally q.stop()
+  }
 }
