@@ -49,13 +49,16 @@ object Dedup {
         j => array_min(transform(sh, s => xxhash64(j, s))))
     }
 
-  /** LSH band keys: hash of each r-slice of the signature, signature bound
-    * once per row.
+  /** LSH band keys: md5_60 of "b:sig[slice] csv" per band — all codegen'd
+    * builtins (md5/conv/concat_ws), signature bound once per row, and
+    * recomputable verbatim in DuckDB (see q40Sql).
     */
   def bandKeys(sig: Column, bands: Int, rows: Int): Column =
     bound(sig) { s =>
       transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(s, b * rows + 1, lit(rows))))
+        b => conv(substring(md5(concat(b.cast("string"), lit(":"),
+          concat_ws(",", transform(slice(s, b * rows + 1, lit(rows)), x => x.cast("string"))))),
+          1, 15), 16, 10).cast("long"))
     }
 
   private val K = 32; private val BANDS = 8; private val ROWS = 4
@@ -66,26 +69,26 @@ object Dedup {
     * (measured 3.4 s -> sub-second for the sf0.1 signature pass). Tokens
     * match `shingles()` exactly: lowercase, split on whitespace, distinct
     * word n-grams.
+    *
+    * Hash family: h_j(s) = md5_60("j|s") — one md5 per (hash fn, shingle),
+    * like the SimHash switch above, so DuckDB recomputes the SIGNATURES and
+    * BAND KEYS exactly and q40 gets a full oracle. (~k md5/shingle instead
+    * of 1 FNV + k splitmix: measured ~0.4 s extra across sf0.1's 5k docs on
+    * 32 threads — the price of a driver-checked LSH pipeline.)
     */
   def minhashSigRows(spark: SparkSession, docs: DataFrame, n: Int, k: Int): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
       val sh: Iterator[String] =
         if (toks.length < n) Iterator(toks.mkString(" "))
         else (0 to toks.length - n).iterator.map(i => toks.slice(i, i + n).mkString(" ")).distinct
       val sig = Array.fill(k)(Long.MaxValue)
       sh.foreach { s =>
-        // FNV-1a base hash, then k splitmix64-style derived hash functions
-        var base = 0xcbf29ce484222325L
-        var ci = 0
-        while (ci < s.length) { base ^= s.charAt(ci); base *= 0x100000001b3L; ci += 1 }
         var j = 0
         while (j < k) {
-          var h = base ^ (j * 0x9e3779b97f4a7c15L)
-          h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
-          h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
-          h ^= h >>> 31
+          val h = md5Hash60(md, j.toString + "|" + s)
           if (h < sig(j)) sig(j) = h
           j += 1
         }
@@ -141,6 +144,40 @@ object Dedup {
     minhashCandidates(spark, dir)
       .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
       .limit(100)
+
+  /** Full SQL restatement of the MinHash+LSH pipeline: md5-derived hash
+    * family (h_j = md5_60("j|shingle")) and band keys make every stage —
+    * signatures, banding, bucket cap, pair dedup, signature-match estimate —
+    * exactly recomputable in DuckDB.
+    */
+  val q40Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), t -> t <> '') AS tl
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2] AS s
+       |    FROM (SELECT doc_id, tl, unnest(range(1, len(tl) - 1)) AS i FROM toks WHERE len(tl) >= 3)
+       |    UNION ALL
+       |    SELECT doc_id, array_to_string(tl, ' ') AS s FROM toks WHERE len(tl) < 3)),
+       |hj AS (
+       |  SELECT doc_id, j, min(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || s), 1, 15))::BIGINT) AS h
+       |  FROM sh, range($K) r(j) GROUP BY doc_id, j),
+       |sigs AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM hj GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b,
+       |    ('0x' || substr(md5(CAST(b AS VARCHAR) || ':' ||
+       |      array_to_string(list_transform(sig[b*$ROWS+1 : b*$ROWS+$ROWS], x -> CAST(x AS VARCHAR)), ',')), 1, 15))::BIGINT AS key
+       |  FROM sigs, range($BANDS) rb(b)),
+       |bsz AS (SELECT b, key, count(*) AS n FROM bands GROUP BY b, key),
+       |bk AS (SELECT bands.doc_id, bands.b, bands.key FROM bands JOIN bsz USING (b, key) WHERE bsz.n <= 256),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |  FROM bk a JOIN bk b2 ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id)
+       |SELECT id_a, id_b,
+       |  round(CAST(len(list_filter(range(1, ${K + 1}), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $K, 4) AS est_jaccard
+       |FROM pairs p JOIN sigs sa ON sa.doc_id = p.id_a JOIN sigs sb ON sb.doc_id = p.id_b
+       |ORDER BY est_jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
 
   /** The user-facing dedup operator: remove near-duplicates above a
     * similarity threshold, keeping the smallest doc_id of each duplicate
@@ -355,12 +392,13 @@ object Dedup {
     "q43_dedup_simhash_pairs" -> q43SimhashPairs _,
     "q44_dedup_embedding" -> q44EmbeddingNearDup _)
 
-  /** Everything except the xxhash64-based MinHash/LSH candidates (q40) is
-    * oracle-checked: Jaccard and pair cosines restate directly in SQL, the
-    * SimHash signature is md5-based specifically so DuckDB can recompute it,
-    * and q45's loser set round-trips through parquet.
+  /** Every dedup query is oracle-checked: Jaccard and pair cosines restate
+    * directly in SQL, the SimHash and MinHash hash families are md5-based
+    * specifically so DuckDB can recompute signatures and band keys, and
+    * q45's loser set round-trips through parquet.
     */
   val oracles: Map[String, String] = Map(
+    "q40_dedup_minhash_lsh" -> q40Sql,
     "q42_dedup_simhash" -> q42Sql,
     "q43_dedup_simhash_pairs" -> q43Sql,
     "q44_dedup_embedding" -> q44Sql,
