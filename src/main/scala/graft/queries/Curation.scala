@@ -88,13 +88,40 @@ object Curation {
       |  AND EXISTS (SELECT 1 FROM fps e WHERE e.doc_id % 50 = 0 AND e.fp = c.fp)
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic stratified train/val/test split: bucket = md5(doc_id)
+    * mod 100, 80/10/10 — reproducible across runs/engines with no stored
+    * assignment table (the property a 100 TB pipeline needs: any job can
+    * recompute membership from the id alone). Emits per-(source, split)
+    * counts as the stratification check.
+    */
+  def q84TrainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long") % 100
+    Tables(spark, dir, "documents")
+      .select(col("source"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  val q84Sql: String =
+    """SELECT source, split, count(*) AS n_docs FROM (
+      |  SELECT source,
+      |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT source, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+      |        FROM documents))
+      |GROUP BY source, split ORDER BY source, split""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_curation_join" -> q80CurationJoin _,
     "q81_source_quota" -> q81SourceQuota _,
-    "q82_contamination" -> q82Contamination _)
+    "q82_contamination" -> q82Contamination _,
+    "q84_train_split" -> q84TrainSplit _)
 
   val oracles: Map[String, String] = Map(
     "q80_curation_join" -> q80Sql,
     "q81_source_quota" -> q81Sql,
-    "q82_contamination" -> q82Sql)
+    "q82_contamination" -> q82Sql,
+    "q84_train_split" -> q84Sql)
 }

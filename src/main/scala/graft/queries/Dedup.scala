@@ -195,9 +195,14 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
-  /** Where q45 materializes its loser set so the oracle can read it back. */
-  val q45LosersPath: String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_q45_losers"
+  /** Where q45 materializes its loser set so the oracle can read it back.
+    * Suffixed with the sf dir so a bench run at another scale factor between
+    * the Verify dump and the DuckDB compare cannot clobber the sf0.01 file
+    * the oracle reads.
+    */
+  def q45LosersPathFor(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q45_losers_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
 
   /** Surviving-corpus summary after near-dup removal. The loser set is
     * hash-based (engine-private, ScalaTest-covered invariants); the APPLY
@@ -210,17 +215,20 @@ object Dedup {
       .filter(col("est_jaccard") >= 0.8)
       .select(col("id_b").as("doc_id")) // id_a < id_b: the larger id loses
       .distinct()
-    losers.coalesce(1).write.mode("overwrite").parquet(q45LosersPath)
-    docs.join(spark.read.parquet(q45LosersPath), Seq("doc_id"), "left_anti")
+    val losersPath = q45LosersPathFor(dir)
+    losers.coalesce(1).write.mode("overwrite").parquet(losersPath)
+    docs.join(spark.read.parquet(losersPath), Seq("doc_id"), "left_anti")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy(col("lang"))
   }
 
+  // The driver's DuckDB compare always runs at sf0.01, so the oracle reads
+  // that scale factor's materialized loser set.
   val q45Sql: String =
     s"""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
        |FROM documents
-       |WHERE doc_id NOT IN (SELECT doc_id FROM read_parquet('$q45LosersPath/*.parquet'))
+       |WHERE doc_id NOT IN (SELECT doc_id FROM read_parquet('${q45LosersPathFor("/root/testdata/sf0.01")}/*.parquet'))
        |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Exact n-gram (token-set) Jaccard within blocks. Blocking key =

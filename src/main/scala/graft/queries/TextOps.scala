@@ -222,6 +222,36 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram-rarity score — the cheap LM-quality proxy a curation pipeline
+    * runs before any model-based scoring: how common a document's tokens are
+    * in its own corpus (low mean frequency = rare/noisy text). The unigram
+    * table is one hash aggregation; the rejoin is a shuffled equi-join on the
+    * token key that AQE can broadcast when the vocabulary is small. Scored in
+    * exact integer space (mean corpus frequency in thousandths via integer
+    * division) so the oracle hash-matches — no floating log/perplexity drift.
+    */
+  def q38UnigramRarity(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val toks = d.select(col("doc_id"), explode(wsTokens(normText(col("text")))).as("t"))
+    val cnt = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    toks.join(cnt, "t")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("total_tok_freq"))
+      .select(col("doc_id"), col("n_tokens"), col("total_tok_freq"),
+        expr("(total_tok_freq * 1000L) div n_tokens").as("mean_freq_m"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q38Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS t
+      |  FROM documents),
+      |tk AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+      |cnt AS (SELECT t, count(*) AS c FROM tk GROUP BY t)
+      |SELECT doc_id, count(*) AS n_tokens, CAST(sum(c) AS BIGINT) AS total_tok_freq,
+      |  CAST(sum(c) AS BIGINT) * 1000 // count(*) AS mean_freq_m
+      |FROM tk JOIN cnt USING (t) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Oracle: the Rabin-Karp hash is polynomial mod 1000000007, so DuckDB
     * recomputes it in closed form (c0·257⁴ + … + c4 mod p ≡ the rolling
     * update), takes the per-window min, and dedups — fingerprint counts and
@@ -250,6 +280,7 @@ object TextOps {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_unigram_rarity" -> q38UnigramRarity _,
     "q37_winnowing" -> q37Winnowing _,
     "q30_token_counts" -> q30TokenCounts _,
     "q31_quality_score" -> q31QualityScore _,
@@ -287,6 +318,7 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q38_unigram_rarity" -> q38Sql,
     "q37_winnowing" -> q37Sql,
     "q30_token_counts" -> q30Sql,
     "q31_quality_score" -> q31Sql,
