@@ -78,6 +78,10 @@ object Dedup {
     */
   def minhashSigRows(spark: SparkSession, docs: DataFrame, n: Int, k: Int): DataFrame = {
     import spark.implicits._
+    // md5("j|" ++ shingle) via two update() calls: ASCII prefix bytes concat
+    // with the shingle's UTF-8 bytes exactly like hashing the joined string,
+    // but without a per-(j, shingle) string allocation.
+    val prefixes = Array.tabulate(k)(j => (j.toString + "|").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
@@ -86,9 +90,12 @@ object Dedup {
         else (0 to toks.length - n).iterator.map(i => toks.slice(i, i + n).mkString(" ")).distinct
       val sig = Array.fill(k)(Long.MaxValue)
       sh.foreach { s =>
+        val sBytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         var j = 0
         while (j < k) {
-          val h = md5Hash60(md, j.toString + "|" + s)
+          md.update(prefixes(j))
+          md.update(sBytes)
+          val h = hash60(md.digest())
           if (h < sig(j)) sig(j) = h
           j += 1
         }
@@ -276,8 +283,11 @@ object Dedup {
     * SimHash signature oracle-checkable, and 60 bits keeps it positive in a
     * signed BIGINT on both sides.
     */
-  def md5Hash60(md: java.security.MessageDigest, s: String): Long = {
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  def md5Hash60(md: java.security.MessageDigest, s: String): Long =
+    hash60(md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
+  /** First 15 hex chars (60 bits) of an md5 digest. */
+  private def hash60(d: Array[Byte]): Long = {
     var h = 0L
     var i = 0
     while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
