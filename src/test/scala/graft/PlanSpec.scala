@@ -143,4 +143,22 @@ class PlanSpec extends SparkTestBase {
     assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeLike]),
       "parse+route is embarrassingly parallel — no shuffle allowed")
   }
+
+  test("q83 media stats: chunk explode is narrow, exactly one shuffle (the group-by)") {
+    val df = MultimodalOps.q83MediaStats(spark, sfDir)
+    df.collect()
+    val shuffles = collectAll(executed(df)).count(_.isInstanceOf[ShuffleExchangeLike])
+    // one exchange for groupBy(media_type) + one for the tiny orderBy;
+    // posexplode of chunk offsets must not add any
+    assert(shuffles <= 2, s"chunk sampling must stay narrow, saw $shuffles shuffles")
+  }
+
+  test("q84 train split: md5 bucketing is a pure projection, single aggregation shuffle") {
+    val df = Curation.q84TrainSplit(spark, sfDir)
+    df.collect()
+    val s = executed(df).toString.split("== Initial Plan ==")(0)
+    assert(s.contains("HashAggregate"), s"expected hash agg:\n$s")
+    val shuffles = collectAll(executed(df)).count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles <= 2, s"split assignment must not shuffle, saw $shuffles")
+  }
 }
