@@ -174,6 +174,18 @@ object EventStream {
       .toDF()
   }
 
+  /** Streaming exact dedup: keep the first occurrence per key, with state
+    * bounded by the watermark — `dropDuplicatesWithinWatermark` evicts a
+    * key's dedup state once the watermark passes its event time plus the
+    * delay, so an unbounded stream doesn't accumulate unbounded state (the
+    * streaming analogue of q12's batch exact dedup; duplicates farther
+    * apart than the watermark are the accepted trade at scale).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming ingest: the reference's entire job as an unbounded stream —
     * watch a directory for line files, parse each record with the fidelity
     * CSV parser, route, and (caller-side) sink status + data. Replaces the

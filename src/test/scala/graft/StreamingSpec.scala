@@ -99,6 +99,33 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("streaming dedup drops within-watermark duplicates, keeps one row per key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val tmp = Files.createTempDirectory("graft-dedup")
+    val base = 1700000000L * 1000L // epoch millis
+    def ev(id: Long, offsetSec: Long): (Long, java.sql.Timestamp, String) =
+      (id, new java.sql.Timestamp(base + offsetSec * 1000L), s"payload-$id")
+
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = EventStream.dedupStream(
+      in.toDF().toDF("event_id", "ts", "payload"), Seq("event_id"), watermark = "10 minutes")
+    val q = out.writeStream
+      .outputMode("append").format("memory").queryName("dedup_stream")
+      .option("checkpointLocation", tmp.resolve("ck").toString)
+      .start()
+    try {
+      in.addData(ev(1, 0), ev(2, 5), ev(1, 10)) // dup of 1 in same batch
+      q.processAllAvailable()
+      in.addData(ev(2, 20), ev(3, 30)) // dup of 2 across batches + new key
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect().map(_.getAs[Long]("event_id"))
+      assert(ids.sorted.toSeq == Seq(1L, 2L, 3L), s"one row per key, got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("watermarked sessionization: late events merge, idle sessions time out and evict") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
