@@ -34,8 +34,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // resolve runtime placeholders (e.g. q45's per-sf losers path) so the
+    // dumped SQL is correct for THIS run's scale factor
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        val sql = v.replace(graft.queries.Dedup.Q45LosersToken,
+          graft.queries.Dedup.q45LosersPathFor(sfDir))
+        s"${q(k)}: ${q(sql)}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

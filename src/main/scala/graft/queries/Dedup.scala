@@ -230,12 +230,15 @@ object Dedup {
       .orderBy(col("lang"))
   }
 
-  // The driver's DuckDB compare always runs at sf0.01, so the oracle reads
-  // that scale factor's materialized loser set.
+  /** Placeholder [[graft.Verify]] substitutes with the actual per-sf losers
+    * path at dump time, so the oracle compares correctly at ANY scale factor.
+    */
+  val Q45LosersToken = "__Q45_LOSERS__"
+
   val q45Sql: String =
     s"""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
        |FROM documents
-       |WHERE doc_id NOT IN (SELECT doc_id FROM read_parquet('${q45LosersPathFor("/root/testdata/sf0.01")}/*.parquet'))
+       |WHERE doc_id NOT IN (SELECT doc_id FROM read_parquet('$Q45LosersToken/*.parquet'))
        |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Exact n-gram (token-set) Jaccard within blocks. Blocking key =
