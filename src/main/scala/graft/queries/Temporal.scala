@@ -194,6 +194,63 @@ object Temporal {
       |  CAST(length(p_name) AS BIGINT) AS name_len
       |FROM part WHERE p_name LIKE '%widget%' ORDER BY p_partkey""".stripMargin
 
+  /** RANGE-frame window (value-based, vs q17's ROWS frame): per customer,
+    * the rolling count/sum of orders within the trailing 30 DAYS of each
+    * order — the interval-window semantics a ROWS frame cannot express
+    * (ties on the order day all join the frame). Sums in exact integer
+    * cents so frame-internal float ordering can't drift vs the oracle.
+    */
+  def q77RangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-30L, 0L)
+    o.select(col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).as("n_orders_30d"),
+        sum(col("cents")).over(w).as("cents_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q77Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  count(*) OVER w AS n_orders_30d,
+      |  CAST(sum(cents) OVER w AS BIGINT) AS cents_30d
+      |FROM (SELECT o_custkey, o_orderkey,
+      |        date_diff('day', DATE '1992-01-01', o_orderdate) AS day,
+      |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |      FROM orders)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY day RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** FULL OUTER join + null-side handling: customers with no orders AND
+    * (synthetic) orders whose customer is filtered out both survive — the
+    * join type q14's left-outer shape doesn't cover.
+    */
+  def q78FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+      .filter(col("c_custkey") % 3 =!= 0) // drop a third: orphan orders appear
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val o = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_mktsegment"), lit("NO_CUSTOMER")).as("segment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy(col("custkey"))
+  }
+
+  val q78Sql: String =
+    """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+      |  coalesce(c.c_mktsegment, 'NO_CUSTOMER') AS segment,
+      |  coalesce(o.n_orders, 0) AS n_orders
+      |FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 <> 0) c
+      |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+      |  ON c.c_custkey = o.o_custkey
+      |ORDER BY custkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_asof_join" -> q70AsofJoin _,
     "q71_range_join" -> q71RangeJoin _,
@@ -201,7 +258,9 @@ object Temporal {
     "q73_grouping_sets" -> q73GroupingSets _,
     "q74_percentiles" -> q74Percentiles _,
     "q75_argmax" -> q75Argmax _,
-    "q76_string_funcs" -> q76StringFuncs _)
+    "q76_string_funcs" -> q76StringFuncs _,
+    "q77_range_window" -> q77RangeWindow _,
+    "q78_full_outer" -> q78FullOuter _)
 
   val oracles: Map[String, String] = Map(
     "q70_asof_join" -> q70Sql,
@@ -210,5 +269,7 @@ object Temporal {
     "q73_grouping_sets" -> q73Sql,
     "q74_percentiles" -> q74Sql,
     "q75_argmax" -> q75Sql,
-    "q76_string_funcs" -> q76Sql)
+    "q76_string_funcs" -> q76Sql,
+    "q77_range_window" -> q77Sql,
+    "q78_full_outer" -> q78Sql)
 }
