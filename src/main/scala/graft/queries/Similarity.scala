@@ -155,6 +155,65 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** IVF SEARCH — the complement of [[q52IvfAssign]]'s index build: each
+    * query probes its `nprobe`=2 nearest centroids and scores ONLY those
+    * label lists. At 100 TB this is the ANN scale path beyond LSH: the
+    * corpus is partitioned (bucketed) by assigned label, so a probe reads
+    * 2/k of the data; centroids and probe lists are tiny broadcasts.
+    */
+  def q54IvfSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val cent = e.select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .select(col("label").as("c_label"), transform(col("pairs"), p => p.getField("cx")).as("centroid"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("pcos").desc, col("c_label"))
+    val probes = queriesSet(spark, dir)
+      .crossJoin(broadcast(cent))
+      .select(col("query_id"), col("q_emb"), col("c_label"),
+        cosine(col("q_emb"), col("centroid")).as("pcos"))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= 2)
+      .select(col("query_id"), col("q_emb"), col("c_label").as("label"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(probes), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosine(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q54Sql: String = {
+    val pcos = cosineSql("q.embedding", "c.centroid")
+    val cos = cosineSql("q.embedding", "e.embedding")
+    s"""WITH cent AS (
+       |  SELECT label, list(cx ORDER BY pos) AS centroid FROM (
+       |    SELECT label, t.pos, avg(CAST(embedding[t.pos] AS DOUBLE)) AS cx
+       |    FROM embeddings, range(1, 65) t(pos)
+       |    GROUP BY label, t.pos)
+       |  GROUP BY label),
+       |probes AS (
+       |  SELECT query_id, label FROM (
+       |    SELECT q.vec_id AS query_id, c.label,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY $pcos DESC, c.label) AS prk
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) q CROSS JOIN cent c)
+       |  WHERE prk <= 2)
+       |SELECT query_id, rk, neighbor_id, cosine FROM (
+       |  SELECT p.query_id, e.vec_id AS neighbor_id,
+       |    round($cos, 4) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY p.query_id ORDER BY $cos DESC, e.vec_id) AS BIGINT) AS rk
+       |  FROM probes p
+       |  JOIN embeddings e ON e.label = p.label
+       |  JOIN embeddings q ON q.vec_id = p.query_id
+       |  WHERE e.vec_id <> p.query_id)
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  }
+
   /** Quantized brute-force ANN: corpus stored int8 (4x smaller), scored by
     * dequantized dot against unit-normalized queries — the memory-bound
     * regime's standard trade (recall loss <1%, rows-only check; top-1
@@ -254,11 +313,13 @@ object Similarity {
     "q50_knn_brute" -> q50KnnBrute _,
     "q51_knn_lsh" -> q51KnnLsh _,
     "q52_ivf_assign" -> q52IvfAssign _,
-    "q53_knn_quantized" -> q53KnnQuantized _)
+    "q53_knn_quantized" -> q53KnnQuantized _,
+    "q54_ivf_search" -> q54IvfSearch _)
 
   val oracles: Map[String, String] = Map(
     "q50_knn_brute" -> q50Sql,
     "q51_knn_lsh" -> q51Sql,
     "q52_ivf_assign" -> q52Sql,
-    "q53_knn_quantized" -> q53Sql)
+    "q53_knn_quantized" -> q53Sql,
+    "q54_ivf_search" -> q54Sql)
 }

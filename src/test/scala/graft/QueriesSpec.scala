@@ -174,6 +174,20 @@ class QueriesSpec extends SparkTestBase {
     assert(Relational.q12DedupExact(spark, sfDir).count() == total)
   }
 
+  test("ivf search: 5 in-probe neighbors per query, none beats brute-force rank-1") {
+    val brute1 = Similarity.q50KnnBrute(spark, sfDir).collect()
+      .filter(_.getAs[Long]("rk") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cosine")).toMap
+    val rows = Similarity.q54IvfSearch(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == brute1.keySet, "every query must return probe results")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 5)
+      rs.foreach(r => assert(r.getAs[Double]("cosine") <= brute1(q) + 1e-9,
+        s"IVF can't find a better neighbor than exact brute force for query $q"))
+    }
+  }
+
   test("LSH recall curve: knnLsh recall@5 vs exact at two nBits settings") {
     val dir = "/root/testdata/sf0.01" // 500 vectors: stable recall statistics
     val exact = Similarity.q50KnnBrute(spark, dir).collect()
