@@ -129,7 +129,43 @@ object EventsOps {
       |  count(*) AS n_events, round(sum(value), 2) AS sum_value
       |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
+  /** Funnel / sequential-pattern step: view -> purchase conversions within
+    * 30 minutes, per user. The scale shape: one shuffle on user_id, a lag-1
+    * window over (type-filtered) events — never a self-join of the event
+    * stream against itself. Conversion timing compared in µs on both
+    * engines (see q22's ordering note).
+    */
+  def q25Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    e.select(col("user_id"), col("event_type"), col("t"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        lag(col("t"), 1).over(w).as("prev_t"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
+        sum(when(col("event_type") === "purchase" && col("prev_type") === "view" &&
+          col("t") - col("prev_t") <= 1800L * 1000000L, 1L).otherwise(0L)).as("n_conversions"))
+      .orderBy(col("user_id"))
+  }
+
+  val q25Sql: String =
+    """SELECT user_id,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' AND prev_type = 'view'
+      |                 AND t - prev_t <= 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_conversions
+      |FROM (
+      |  SELECT user_id, event_type, epoch_us(ts) AS t,
+      |    lag(event_type) OVER w AS prev_type,
+      |    lag(epoch_us(ts)) OVER w AS prev_t
+      |  FROM events WHERE event_type IN ('view', 'purchase')
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_funnel" -> q25Funnel _,
     "q24_session_window" -> q24SessionWindow _,
     "q20_events_hourly" -> q20HourlyAgg _,
     "q21_events_json" -> q21JsonExtract _,
@@ -137,6 +173,7 @@ object EventsOps {
     "q23_events_top_per_user" -> q23TopEventPerUser _)
 
   val oracles: Map[String, String] = Map(
+    "q25_funnel" -> q25Sql,
     "q24_session_window" -> q24Sql,
     "q20_events_hourly" -> q20Sql,
     "q21_events_json" -> q21Sql,
