@@ -383,7 +383,33 @@ object Relational {
       |  TRUE AS approx_parts_ok, TRUE AS approx_p50_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Statistical aggregates — corr/covar/stddev per group, the profiling
+    * pass a feature-engineering pipeline runs. All are one-pass mergeable
+    * aggregates (partial moments map-side, like sum/avg). Rounded to 4 dp:
+    * values are O(1)-magnitude ratios, so cross-engine partial-sum ordering
+    * drift (~1e-12 relative) never reaches the rounding boundary.
+    */
+  def q26GroupStats(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    l.groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("covar_qty_disc"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_discount")), 4).as("var_disc"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q26Sql: String =
+    """SELECT l_returnflag,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |  round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc,
+      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  round(var_samp(l_discount), 4) AS var_disc
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_group_stats" -> q26GroupStats _,
     "q19_approx_sketches" -> q19ApproxSketches _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
@@ -405,6 +431,7 @@ object Relational {
     "q18_date_buckets" -> q18DateBuckets _)
 
   val oracles: Map[String, String] = Map(
+    "q26_group_stats" -> q26Sql,
     "q19_approx_sketches" -> q19Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,
