@@ -43,6 +43,40 @@ class OperatorsSpec extends SparkTestBase {
     assert(salted == plain)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
+    val s = spark
+    import s.implicits._
+    // one dominant key so one shuffle partition dwarfs the median; thresholds
+    // lowered so local-scale data triggers the same runtime re-plan a hot key
+    // at 100 TB would
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val big = s.range(0, 200000)
+        .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          concat(lit("x"), col("id")).as("payload"))
+      val small = s.range(0, 2000).select(col("id").as("k2"), (col("id") * 2).as("v"))
+      // collect() the join itself: a separate count() would run a different
+      // query execution (leaving this plan un-finalized), and a same-key
+      // aggregation downstream would make AQE SKIP the skew split to
+      // preserve the join's output partitioning
+      val joined = big.join(small, col("k") === col("k2"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("skew=true"),
+        s"AQE must annotate and split the skewed join partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("int8 quantization keeps dequantized cosine within 1% of exact") {
     import graft.functions.Quantize
     import graft.queries.Similarity
