@@ -297,6 +297,59 @@ object Dedup {
     (h << 4) | ((d(7) & 0xf0L) >>> 4)
   }
 
+  /** Connected components over a near-dup pair list: min-label propagation
+    * (each node repeatedly adopts the smallest component id among itself
+    * and its neighbors) — the clustering policy when "duplicate of a
+    * duplicate" chains must collapse into ONE surviving doc per cluster,
+    * vs [[dedupDocuments]]'s single-sweep greedy policy.
+    *
+    * Scale shape: each iteration is one shuffled equi-join + one min-agg;
+    * convergence needs O(graph diameter) rounds (near-dup clusters are
+    * shallow — a handful), and the driver only ever sees a changed-count.
+    * This is the Pregel-style iteration Spark runs driver-coordinated.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("comp"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("comp")).as("newComp"))
+      val joined = labels.withColumnRenamed("comp", "oldComp")
+        .join(prop, "id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = joined.filter(col("newComp") < col("oldComp")).count()
+      val next = joined.select(col("id"), col("newComp").as("comp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before unpersisting the parent
+      labels.unpersist()
+      joined.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster-aware dedup: drop every doc that is not the minimum id of its
+    * near-dup connected component (docs in no pair survive untouched).
+    */
+  def dedupDocumentsCC(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val pairs = minhashCandidates(spark, dir).filter(col("est_jaccard") >= threshold)
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** SimHash: 60-bit signature where bit i is the sign of the summed token
     * hash bits. Computed per-row with typed Scala (narrow map — the
     * per-record imperative case); bucketed by the top 16 bits for banding.

@@ -116,6 +116,29 @@ class QueriesSpec extends SparkTestBase {
     assert(survivors.size == total - pairs.map(_._2).distinct.length)
   }
 
+  test("connected components collapse duplicate chains to one survivor per cluster") {
+    val s = spark
+    import s.implicits._
+    // two chains and one isolated pair: {1-2, 2-3, 3-4}, {10-11}, {20-21, 21-22}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // cluster-aware dedup keeps exactly one doc per component: the greedy
+    // policy would also drop 3 and 4 here, but via chain membership, not
+    // direct similarity — CC makes the cluster explicit
+    val survivors = Dedup.dedupDocumentsCC(spark, sfDir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val ccLosers = Dedup.connectedComponents(
+      Dedup.minhashCandidates(spark, sfDir).filter(col("est_jaccard") >= 0.8))
+      .filter(col("id") =!= col("comp")).collect().map(_.getAs[Long]("id")).toSet
+    assert(survivors.intersect(ccLosers).isEmpty)
+    val total = Tables(spark, sfDir, "documents").count()
+    assert(survivors.size == total - ccLosers.size)
+  }
+
   test("simhash is deterministic and bucket = top 16 of 60 bits") {
     val a = Dedup.q42Simhash(spark, sfDir).collect()
     val b = Dedup.q42Simhash(spark, sfDir).collect()
