@@ -47,11 +47,26 @@ object BatchJob {
       endTimeMillis: Long,
       durationMillis: Long)
 
+  /** External-database target channel — the reference is tested against a
+    * memory/Mongo/Postgres/Oracle backend matrix
+    * (`test/datasources.mongo.js:19-28`, `test/datasources.postgres.js`,
+    * `test/datasources.oracle.js`); Spark's built-in `jdbc` format is the
+    * equivalent: any backend with a JDBC driver jar on the executor
+    * classpath plugs in via `url` + `properties` (driver class, creds),
+    * no engine change. Writes shard per-partition (one connection per
+    * task), the at-scale shape for bulk DB loads.
+    */
+  final case class JdbcSink(
+      url: String,
+      table: String,
+      properties: Map[String, String] = Map.empty)
+
   final case class Sinks(
       targetPath: Option[String] = None, // parsed SUCCESS records
       statusPath: Option[String] = None, // per-record BatchStatus audit
       runPath: Option[String] = None,    // one-row BatchRun summary
-      rest: Option[graft.ingest.RestSink.RestOptions] = None) // P11 per-record REST channel
+      rest: Option[graft.ingest.RestSink.RestOptions] = None, // P11 per-record REST channel
+      jdbc: Option[JdbcSink] = None)     // external-DB target channel
 
   /** Process one line-delimited file end-to-end. */
   def processFile(
@@ -65,6 +80,13 @@ object BatchJob {
     val runId = UUID.randomUUID().toString
     val start = System.currentTimeMillis()
     hooks.onStart()
+
+    // BatchRun lifecycle with the reference's optimistic-lock `_version`
+    // threading (lib/batchProcessing.js:288,548): insert the PROCESSING row
+    // first and hold its version; the end-of-run stats update must present
+    // it, so a concurrent writer with a stale version fails loudly.
+    val runStore = sinks.runPath.map(p => new graft.ingest.BatchRunStore(spark, p))
+    val runVersion = runStore.map(_.insert(runId, filePath, start))
 
     val lines = textSource(spark, filePath)
     val parsed: DataFrame = parser match {
@@ -93,6 +115,13 @@ object BatchJob {
           .withColumn("run_id", lit(runId))
           .write.mode("append").parquet(p)
       }
+      sinks.jdbc.foreach { j =>
+        val props = new java.util.Properties()
+        j.properties.foreach { case (k, v) => props.setProperty(k, v) }
+        successes(routed).drop("_error", "statusText")
+          .withColumn("run_id", lit(runId))
+          .write.mode("append").jdbc(j.url, j.table, props)
+      }
       sinks.statusPath.foreach { p =>
         val base = batchStatus(routed, config.batchResultLogItems)
         val withHttp = restResults.fold(base) { r =>
@@ -120,9 +149,15 @@ object BatchJob {
         failureCount = counts.getOrElse("FAILED", 0L) + httpOk.map(parsedOk - _).getOrElse(0L),
         ignoredCount = counts.getOrElse("IGNORED", 0L),
         startTimeMillis = start, endTimeMillis = end, durationMillis = end - start)
-      sinks.runPath.foreach { p =>
-        import spark.implicits._
-        Seq(summary).toDS().write.mode("append").parquet(p)
+      runStore.foreach { st =>
+        st.update(runId, runVersion.get) { row =>
+          row.copy(status = "COMPLETED",
+            totalRecordCount = summary.totalRecordCount,
+            successCount = summary.successCount,
+            failureCount = summary.failureCount,
+            ignoredCount = summary.ignoredCount,
+            endTimeMillis = end, durationMillis = end - start)
+        }
       }
       hooks.onEnd()
       summary

@@ -15,6 +15,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Engine-private stages some oracles read back as parquet (q45/q46
+    // loser sets): materialized here, once, so query fns stay read-only
+    // and Bench times operators rather than writes.
+    graft.queries.Dedup.materializers.foreach { m =>
+      try m(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] materializer failed: ${e.getMessage}")
+      }
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -34,12 +43,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // resolve runtime placeholders (e.g. q45's per-sf losers path) so the
-    // dumped SQL is correct for THIS run's scale factor
+    // resolve runtime placeholders (per-sf loser paths) so the dumped SQL
+    // is correct for THIS run's scale factor
+    val tokens = Seq(
+      graft.queries.Dedup.Q45LosersToken -> graft.queries.Dedup.q45LosersPathFor(sfDir),
+      graft.queries.Dedup.Q46LosersToken -> graft.queries.Dedup.q46LosersPathFor(sfDir))
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
-        val sql = v.replace(graft.queries.Dedup.Q45LosersToken,
-          graft.queries.Dedup.q45LosersPathFor(sfDir))
+        val sql = tokens.foldLeft(v) { case (s, (tok, path)) => s.replace(tok, path) }
         s"${q(k)}: ${q(sql)}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -89,12 +89,72 @@ object Multimodal {
       .select(col("media_id"), col("media_type"), col("chunk_idx"),
         col("payload").substr(col("chunk_offset") * chunkBytes + 1, lit(chunkBytes)).as("chunk"))
 
-  /** Resize/transcode shape: payload -> payload per-partition transform with
-    * updated metadata. The codec call is STUBBED (`resizeStub` — no image
-    * libs in this environment): deterministic byte sampling stands in for
-    * pixel resampling, so the Spark-side plumbing (schema, partition
-    * batching, metadata update) is real and testable; swap the stub for an
-    * ImageIO/FFmpeg call to productionize.
+  /** Real JDK image codec — no external deps: `javax.imageio` decodes and
+    * re-encodes PNG, `java.awt.Graphics2D` resamples bilinearly. This is
+    * the production decode path for image payloads; audio/video would slot
+    * an FFmpeg-style decoder behind the same [[MediaDecoder]] seam.
+    */
+  object ImageCodec {
+
+    /** Deterministic synthetic PNG: a gradient keyed on (x, y, seed), so a
+      * decoded pixel — and therefore the decoded WIDTH and HEIGHT — is
+      * recomputable from the seed alone. Tests and oracles restate the
+      * geometry arithmetically while the bytes round-trip a REAL encoder.
+      */
+    def synthPng(w: Int, h: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = ((x * 31 + y * 17 + seed) % 256).toInt & 0xff
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(img)
+    }
+
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** None when no registered reader recognizes the payload (ImageIO.read
+      * returns null) — the caller's signal to fall back or route the record
+      * to a failure channel.
+      */
+    def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+
+    /** Decoded (width, height), or None for undecodable payloads. */
+    def dims(payload: Array[Byte]): Option[(Int, Int)] =
+      decode(payload).map(img => (img.getWidth, img.getHeight))
+
+    def resize(img: java.awt.image.BufferedImage, tw: Int, th: Int): java.awt.image.BufferedImage = {
+      val out = new java.awt.image.BufferedImage(tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, tw, th, null)
+      g.dispose()
+      out
+    }
+
+    /** decode → bilinear resize → re-encode; None if the payload is not a
+      * decodable image.
+      */
+    def resizePng(payload: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] =
+      decode(payload).map(img => encodePng(resize(img, tw, th)))
+  }
+
+  /** Byte-sampling fallback for payloads NO registered codec can decode
+    * (kept so the resize transform is total: undecodable media degrades to
+    * a deterministic sample instead of failing the task — route on the
+    * metadata if a pipeline wants decode failures surfaced instead).
     */
   def resizeStub(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
     val targetLen = math.max(1, targetW * targetH / 8)
@@ -107,12 +167,22 @@ object Multimodal {
     out
   }
 
+  /** Per-partition image resize: REAL ImageIO decode → bilinear resample →
+    * PNG re-encode for decodable payloads; the deterministic byte-sampling
+    * fallback for opaque ones. Embarrassingly parallel (no shuffle); one
+    * codec context per task, rows streamed through.
+    */
   def resizeImages(media: Dataset[MediaRecord], targetW: Int, targetH: Int)(
       implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
     media.mapPartitions(_.map { m =>
       if (m.mediaType == "image")
-        m.copy(payload = resizeStub(m.payload, targetW, targetH), width = targetW, height = targetH)
+        ImageCodec.resizePng(m.payload, targetW, targetH) match {
+          case Some(png) => m.copy(payload = png, width = targetW, height = targetH)
+          case None =>
+            m.copy(payload = resizeStub(m.payload, targetW, targetH),
+              width = targetW, height = targetH)
+        }
       else m
     })
   }

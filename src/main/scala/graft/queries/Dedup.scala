@@ -211,20 +211,30 @@ object Dedup {
     s"${System.getProperty("java.io.tmpdir")}/graft_q45_losers_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
 
-  /** Surviving-corpus summary after near-dup removal. The loser set is
-    * hash-based (engine-private, ScalaTest-covered invariants); the APPLY
-    * step — anti-join + survivor aggregation — is driver-checked by
-    * materializing the losers as parquet the oracle reads back.
-    */
-  def q45DedupApply(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val losers = minhashCandidates(spark, dir)
+  /** Greedy-policy loser set (deterministic from the corpus alone). */
+  def q45Losers(spark: SparkSession, dir: String): DataFrame =
+    minhashCandidates(spark, dir)
       .filter(col("est_jaccard") >= 0.8)
       .select(col("id_b").as("doc_id")) // id_a < id_b: the larger id loses
       .distinct()
-    val losersPath = q45LosersPathFor(dir)
-    losers.coalesce(1).write.mode("overwrite").parquet(losersPath)
-    docs.join(spark.read.parquet(losersPath), Seq("doc_id"), "left_anti")
+
+  /** Verify-time hook: materialize the loser set the oracle reads back.
+    * Kept OUT of the query fn so Bench times the dedup apply itself, not a
+    * parquet write, and written unpartitioned (no coalesce(1) single-task
+    * funnel — the oracle globs the directory).
+    */
+  def q45MaterializeLosers(spark: SparkSession, dir: String): Unit =
+    q45Losers(spark, dir).write.mode("overwrite").parquet(q45LosersPathFor(dir))
+
+  /** Surviving-corpus summary after near-dup removal. The loser set is
+    * hash-based (engine-private, ScalaTest-covered invariants); the APPLY
+    * step — anti-join + survivor aggregation — is driver-checked because
+    * [[q45MaterializeLosers]] dumps the identical deterministic loser set
+    * as parquet at Verify time for the oracle to read back.
+    */
+  def q45DedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    docs.join(q45Losers(spark, dir), Seq("doc_id"), "left_anti")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy(col("lang"))
@@ -248,7 +258,13 @@ object Dedup {
     * Lang-only blocking measured 36 s at sf0.1 (5k-doc blocks -> 125M
     * pairs); (lang, source) keeps blocks ~50 docs.
     */
-  def q41NgramJaccard(spark: SparkSession, dir: String, maxBlock: Int = 1024): DataFrame = {
+  /** Shared block cap for q41 — referenced by BOTH the Spark side and the
+    * generated oracle SQL so the cap can never silently diverge between the
+    * engines at a scale factor where a (lang, source) block exceeds it.
+    */
+  val Q41MaxBlock = 1024
+
+  def q41NgramJaccard(spark: SparkSession, dir: String, maxBlock: Int = Q41MaxBlock): DataFrame = {
     // Block-size cap: within-block pairing is O(block²), so an uncapped hot
     // block (a skewed ("en","web") at 100 TB is the whole corpus) is a
     // quadratic scale-killer. Oversized blocks are dropped, same policy as
@@ -309,29 +325,36 @@ object Dedup {
     * This is the Pregel-style iteration Spark runs driver-coordinated.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Explode each pair into both directed edges in ONE scan — a self-union
+    // would recompute the (expensive) candidate-pair pipeline twice when
+    // the cache is first populated.
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cached = labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      val prop = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("comp"))
-        .union(labels)
-        .groupBy(col("id")).agg(min(col("comp")).as("newComp"))
-      val joined = labels.withColumnRenamed("comp", "oldComp")
-        .join(prop, "id")
+      // One join + one aggregation per round: each node's self row carries
+      // its current label in `own` (null on neighbor rows), so min(comp)
+      // gives the propagated label and max(own) recovers the old one —
+      // no second join to detect convergence.
+      val contrib = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("comp"), lit(null).cast("long").as("own"))
+        .union(labels.select(col("id"), col("comp"), col("comp").as("own")))
+      val next = contrib.groupBy(col("id"))
+        .agg(min(col("comp")).as("newComp"), max(col("own")).as("oldComp"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = joined.filter(col("newComp") < col("oldComp")).count()
-      val next = joined.select(col("id"), col("newComp").as("comp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before unpersisting the parent
-      labels.unpersist()
-      joined.unpersist()
-      labels = next
+      // ONE driver action per round: the convergence count also
+      // materializes `next`, so the parent cache can be dropped safely
+      changed = next.filter(col("newComp") < col("oldComp")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("id"), col("newComp").as("comp"))
       i += 1
     }
     edges.unpersist()
@@ -341,14 +364,52 @@ object Dedup {
   /** Cluster-aware dedup: drop every doc that is not the minimum id of its
     * near-dup connected component (docs in no pair survive untouched).
     */
-  def dedupDocumentsCC(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val pairs = minhashCandidates(spark, dir).filter(col("est_jaccard") >= threshold)
-    val losers = connectedComponents(pairs)
+  def dedupDocumentsCC(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    Tables(spark, dir, "documents")
+      .join(ccLosers(spark, dir, threshold), Seq("doc_id"), "left_anti")
+
+  /** Non-survivors under the connected-components policy: every doc that is
+    * not the minimum id of its near-dup component (deterministic from the
+    * corpus alone, like [[q45Losers]]).
+    */
+  def ccLosers(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    connectedComponents(
+        minhashCandidates(spark, dir).filter(col("est_jaccard") >= threshold))
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
-    docs.join(losers, Seq("doc_id"), "left_anti")
-  }
+
+  /** Where q46 materializes its CC loser set for the oracle (per-sf path,
+    * same clobber-proofing as [[q45LosersPathFor]]).
+    */
+  def q46LosersPathFor(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q46_losers_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Placeholder [[graft.Verify]] substitutes with the per-sf CC losers
+    * path at dump time.
+    */
+  val Q46LosersToken = "__Q46_LOSERS__"
+
+  def q46MaterializeLosers(spark: SparkSession, dir: String): Unit =
+    ccLosers(spark, dir).write.mode("overwrite").parquet(q46LosersPathFor(dir))
+
+  /** Surviving-corpus summary under the cluster-collapse (connected
+    * components) policy — the driver-checked row for [[dedupDocumentsCC]]:
+    * chains of near-dups collapse to ONE survivor per component, so where a
+    * doc's smallest component member is not a direct neighbor this summary
+    * differs from q45's greedy sweep.
+    */
+  def q46DedupCC(spark: SparkSession, dir: String): DataFrame =
+    dedupDocumentsCC(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+
+  val q46Sql: String =
+    s"""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM read_parquet('$Q46LosersToken/*.parquet'))
+       |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** SimHash: 60-bit signature where bit i is the sign of the summed token
     * hash bits. Computed per-row with typed Scala (narrow map — the
@@ -462,6 +523,7 @@ object Dedup {
     "q40_dedup_minhash_lsh" -> q40MinhashLsh _,
     "q41_dedup_ngram_jaccard" -> ((s: SparkSession, dir: String) => q41NgramJaccard(s, dir)),
     "q45_dedup_apply" -> q45DedupApply _,
+    "q46_dedup_cc" -> q46DedupCC _,
     "q42_dedup_simhash" -> q42Simhash _,
     "q43_dedup_simhash_pairs" -> q43SimhashPairs _,
     "q44_dedup_embedding" -> q44EmbeddingNearDup _)
@@ -477,13 +539,35 @@ object Dedup {
     "q43_dedup_simhash_pairs" -> q43Sql,
     "q44_dedup_embedding" -> q44Sql,
     "q45_dedup_apply" -> q45Sql,
-    "q41_dedup_ngram_jaccard" ->
-      """SELECT lang, id_a, id_b, jaccard FROM (
-        |  SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
-        |    round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |      / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
-        |  FROM (SELECT doc_id, lang, source, list_distinct(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'), t -> t <> '')) AS toks FROM documents) a
-        |  JOIN (SELECT doc_id, lang, source, list_distinct(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'), t -> t <> '')) AS toks FROM documents) b
-        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
-        |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin)
+    "q46_dedup_cc" -> q46Sql,
+    "q41_dedup_ngram_jaccard" -> q41SqlFor(Q41MaxBlock))
+
+  /** Verify-time side-effects: engine-private stages the oracles read back
+    * as parquet — run once at dump time, never inside a query fn.
+    */
+  val materializers: Seq[(SparkSession, String) => Unit] =
+    Seq(q45MaterializeLosers _, q46MaterializeLosers _)
+
+  /** q41 oracle parameterized on the block cap — mirrors the Spark side's
+    * `bsz <= maxBlock` window filter (cf. q40Sql's bsz/bk CTEs) so oracle
+    * equivalence holds by construction at ANY scale factor, and so a
+    * low-cap differential run (maxBlock=8 both sides) can exercise the
+    * dropped-block path against DuckDB directly.
+    */
+  def q41SqlFor(maxBlock: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, source,
+       |    list_distinct(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), t -> t <> '')) AS toks
+       |  FROM documents),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT t.*, count(*) OVER (PARTITION BY lang, source) AS bsz FROM toks t)
+       |  WHERE bsz <= $maxBlock)
+       |SELECT lang, id_a, id_b, jaccard FROM (
+       |  SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+       |    round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+       |  FROM capped a JOIN capped b
+       |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+       |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin
 }

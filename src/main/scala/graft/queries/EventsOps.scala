@@ -72,7 +72,7 @@ object EventsOps {
   // key Spark sees (events.parquet is ns-precision; Tables floors ns→µs —
   // events equal at µs but distinct at ns would otherwise sort differently).
   val q22Sql: String =
-    """SELECT user_id, sum(new_session) + 1 AS n_sessions, count(*) AS n_events
+    """SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
       |FROM (
       |  SELECT user_id,
       |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) > 1800000000

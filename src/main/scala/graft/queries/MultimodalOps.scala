@@ -55,9 +55,65 @@ object MultimodalOps {
        |  CAST(sum(least($ChunkBytes, len - off * $ChunkBytes)) AS BIGINT) AS sampled_bytes
        |FROM c GROUP BY media_type ORDER BY media_type""".stripMargin
 
+  private val TargetW = 24
+  private val TargetH = 20
+
+  /** Honest end-to-end image pipeline with a REAL codec (JDK ImageIO, zero
+    * external deps): synthesize a PNG per selected doc with geometry keyed
+    * on doc_id, decode it back (orig dims come from the DECODER, not the
+    * formula), push it through [[Multimodal.resizeImages]] (ImageIO decode →
+    * bilinear resample → PNG re-encode), then decode the RESIZED bytes for
+    * their dims. The oracle restates the whole thing arithmetically from
+    * doc_id — any stubbed step would break the decoded-dimension equality.
+    *
+    * Scale shape: both branches are narrow per-partition codec passes (no
+    * shuffle until the final groupBy on a tiny key); the equi-join on
+    * media_id is the only pairing and both sides are the same filtered slice.
+    */
+  def q85ImageResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    def media = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = 16 + (id % 17).toInt
+        val h = 16 + (id % 13).toInt
+        Multimodal.MediaRecord(id, "image", Multimodal.ImageCodec.synthPng(w, h, id), w, h, 0)
+      }
+    val orig = media.map { m =>
+      val (ow, oh) = Multimodal.ImageCodec.dims(m.payload).getOrElse((-1, -1))
+      (m.mediaId, ow, oh)
+    }.toDF("media_id", "orig_w", "orig_h")
+    val resized = Multimodal.resizeImages(media, TargetW, TargetH).map { m =>
+      val (rw, rh) = Multimodal.ImageCodec.dims(m.payload).getOrElse((-1, -1))
+      (m.mediaId, rw, rh)
+    }.toDF("media_id", "res_w", "res_h")
+    orig.join(resized, "media_id")
+      .groupBy((col("media_id") % 17).as("wb"))
+      .agg(
+        count(lit(1)).as("n_images"),
+        sum(col("orig_w")).as("sum_orig_w"),
+        sum(col("orig_h")).as("sum_orig_h"),
+        sum(col("res_w")).as("sum_res_w"),
+        sum(col("res_h")).as("sum_res_h"))
+      .orderBy(col("wb"))
+  }
+
+  val q85Sql: String =
+    s"""SELECT doc_id % 17 AS wb, count(*) AS n_images,
+       |  CAST(sum(16 + doc_id % 17) AS BIGINT) AS sum_orig_w,
+       |  CAST(sum(16 + doc_id % 13) AS BIGINT) AS sum_orig_h,
+       |  CAST(count(*) * $TargetW AS BIGINT) AS sum_res_w,
+       |  CAST(count(*) * $TargetH AS BIGINT) AS sum_res_h
+       |FROM documents WHERE doc_id % 10 = 0
+       |GROUP BY wb ORDER BY wb""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q83_media_stats" -> q83MediaStats _)
+    "q83_media_stats" -> q83MediaStats _,
+    "q85_image_resize" -> q85ImageResize _)
 
   val oracles: Map[String, String] = Map(
-    "q83_media_stats" -> q83Sql)
+    "q83_media_stats" -> q83Sql,
+    "q85_image_resize" -> q85Sql)
 }

@@ -42,9 +42,20 @@ class BatchJobSpec extends SparkTestBase {
     val status = spark.read.parquet(sinks.statusPath.get)
     assert(status.count() == 50)
     assert(status.filter(col("status_text") === "FAILED").count() == 5)
-    val run = spark.read.parquet(sinks.runPath.get).collect().head
-    assert(run.getAs[String]("runId") == summary.runId)
-    assert(run.getAs[Long]("successCount") == 45)
+    // run row is version-threaded: insert at v1 (PROCESSING), stats update
+    // at v2 (COMPLETED) — the reference's POST-then-PUT-with-_version flow
+    val store = new graft.ingest.BatchRunStore(spark, sinks.runPath.get)
+    val run = store.current(summary.runId).get
+    assert(run.successCount == 45)
+    assert(run.version == 2 && run.status == "COMPLETED")
+    assert(spark.read.parquet(sinks.runPath.get).count() == 2) // full audit history retained
+    // optimistic lock: an update presenting the stale version is rejected
+    assertThrows[java.util.ConcurrentModificationException] {
+      store.update(summary.runId, expectedVersion = 1L)(identity)
+    }
+    // ...and presenting the current version succeeds and bumps it
+    assert(store.update(summary.runId, expectedVersion = 2L)(_.copy(status = "FAILED")) == 3L)
+    assert(store.current(summary.runId).get.status == "FAILED")
   }
 
   test("processFile: custom parser with ignores, append across two runs") {
@@ -73,6 +84,36 @@ class BatchJobSpec extends SparkTestBase {
     val summary = BatchJob.processFile(spark, in.toString, BatchJob.Parser.Fw(spec))
     assert(summary.successCount == 3)
     assert(summary.failureCount == 1)
+  }
+
+  test("processFile: JDBC sink writes target rows to an embedded SQL database") {
+    // gated on driver presence: Derby ships with the Spark distribution
+    // here; any other backend (Postgres/Oracle — the reference's matrix)
+    // is the same channel with a different url/driver property
+    val hasDerby =
+      try { Class.forName("org.apache.derby.jdbc.EmbeddedDriver"); true }
+      catch { case _: ClassNotFoundException => false }
+    assume(hasDerby, "no embedded JDBC driver on classpath")
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val dir = Files.createTempDirectory("graft-jdbc")
+    val in = dir.resolve("batch.csv")
+    Files.write(in, (1 to 20).map(i => s"k$i,$i.5").mkString("\n").getBytes)
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val summary = BatchJob.processFile(
+      spark, in.toString,
+      BatchJob.Parser.Csv(CsvSpec(Vector("key", "amount"), Some(Vector("string", "number")))),
+      BatchJob.Sinks(jdbc = Some(BatchJob.JdbcSink(url, "batch_target"))))
+    assert(summary.successCount == 20)
+    val props = new java.util.Properties()
+    val back = spark.read.jdbc(url, "batch_target", props)
+    assert(back.count() == 20)
+    assert(back.columns.toSet == Set("_file", "_rec_id", "key", "amount", "run_id"))
+    assert(back.agg(sum(col("amount"))).collect().head.getDouble(0) == (1 to 20).map(_ + 0.5).sum)
+    // append semantics across runs, like the parquet sinks
+    BatchJob.processFile(spark, in.toString,
+      BatchJob.Parser.Csv(CsvSpec(Vector("key", "amount"), Some(Vector("string", "number")))),
+      BatchJob.Sinks(jdbc = Some(BatchJob.JdbcSink(url, "batch_target"))))
+    assert(spark.read.jdbc(url, "batch_target", props).count() == 40)
   }
 
   test("processFile: config errors are job-fatal before any task (reference contract)") {

@@ -59,6 +59,16 @@ def main():
             print(f"ORACLE_ERROR       {name}: {e}")
             n_fail += 1
             continue
+        # The driver's hash covers VALUE TYPES, not just values: DuckDB
+        # HUGEINT (arrow decimal128) from an untyped sum() hash-mismatches a
+        # Spark BIGINT even when every value is identical (q63/q35/q22).
+        # Fail here so the local gate catches what value-compare can't.
+        import pyarrow.types as pat
+        hazards = [f.name for f in duck_tbl.schema if pat.is_decimal(f.type)]
+        if hazards:
+            print(f"TYPE_HAZARD        {name}: decimal/hugeint cols {hazards} — cast in the oracle")
+            n_fail += 1
+            continue
         sc, sr = norm(spark_tbl)
         dc, dr = norm(duck_tbl)
         if sc != dc:
