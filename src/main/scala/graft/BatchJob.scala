@@ -68,6 +68,25 @@ object BatchJob {
       rest: Option[graft.ingest.RestSink.RestOptions] = None, // P11 per-record REST channel
       jdbc: Option[JdbcSink] = None)     // external-DB target channel
 
+  /** Fold per-record HTTP outcomes into BatchStatus rows: the REST
+    * channel's code/text/error win over the parse-stage values, exactly
+    * like the reference counts `statusCode === 200` per record
+    * (`lib/batchProcessing.js:679,700`). Shared by the batch path and the
+    * streaming foreachBatch path so batch runs oracle the stream.
+    */
+  def statusWithHttp(base: DataFrame, restResults: Option[DataFrame]): DataFrame =
+    restResults.fold(base) { r =>
+      base.join(
+          r.select(col("rec_id"),
+            col("status_code").cast("int").as("http_code"),
+            col("status_text").as("http_status"), col("error").as("http_error")),
+          Seq("rec_id"), "left")
+        .select(col("file_name"), col("rec_id"),
+          coalesce(col("http_status"), col("status_text")).as("status_text"),
+          coalesce(col("http_code"), col("status_code")).as("status_code"),
+          coalesce(col("http_error"), col("error")).as("error"))
+    }
+
   /** Process one line-delimited file end-to-end. */
   def processFile(
       spark: SparkSession,
@@ -123,19 +142,8 @@ object BatchJob {
           .write.mode("append").jdbc(j.url, j.table, props)
       }
       sinks.statusPath.foreach { p =>
-        val base = batchStatus(routed, config.batchResultLogItems)
-        val withHttp = restResults.fold(base) { r =>
-          base.join(
-              r.select(col("rec_id"),
-                col("status_code").cast("int").as("http_code"),
-                col("status_text").as("http_status"), col("error").as("http_error")),
-              Seq("rec_id"), "left")
-            .select(col("file_name"), col("rec_id"),
-              coalesce(col("http_status"), col("status_text")).as("status_text"),
-              coalesce(col("http_code"), col("status_code")).as("status_code"),
-              coalesce(col("http_error"), col("error")).as("error"))
-        }
-        withHttp.withColumn("run_id", lit(runId)).write.mode("append").parquet(p)
+        statusWithHttp(batchStatus(routed, config.batchResultLogItems), restResults)
+          .withColumn("run_id", lit(runId)).write.mode("append").parquet(p)
       }
       val counts = routed.groupBy(col("statusText")).count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale smoke for the dedup family: evidence that "bucketed, not
+  * all-pairs" holds beyond the driver's sf0.1.
+  *
+  * Synthesizes an sf1-class documents table by tiling sf0.1 ten times with
+  * (a) a doc_id offset per replica and (b) a per-replica alphabet ROTATION
+  * of the text. A character bijection preserves token equality — and
+  * therefore shingle sets, MinHash signatures and Jaccard — WITHIN a
+  * replica exactly, while making cross-replica tokens disjoint, so the
+  * near-dup density per document is unchanged and a bucketed pipeline
+  * should scale ~linearly in corpus size. (Naive tiling without the
+  * rotation would make every replica a near-dup of every other and grow
+  * the pair graph quadratically — a different workload, not a scale-up.)
+  *
+  * Prints ONE JSON line with per-query seconds at 1× and 10×, the ratio,
+  * and the 10× dropped-block/bucket tallies; exits non-zero if any query's
+  * ratio exceeds SuperLinearBound (10× data with 2.5× headroom for fixed
+  * per-job overhead).
+  */
+object ScaleSmoke {
+
+  private val Replicas = 10
+  private val IdStride = 10000000L
+  private val SuperLinearBound = 25.0
+
+  def synthesize(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+    val docs = Tables(spark, baseDir, "documents")
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val reps = (0 until Replicas).map { i =>
+      val rot = alpha.drop(i) + alpha.take(i)
+      docs.select(docs.columns.map {
+        case "doc_id" => (col("doc_id") + lit(i * IdStride)).as("doc_id")
+        case "text"   => translate(col("text"), alpha, rot).as("text")
+        case c        => col(c)
+      }: _*)
+    }
+    reps.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  private def time(f: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val rows = f
+    ((System.nanoTime() - t0) / 1e9, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scaledDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale10x"
+    synthesize(spark, baseDir, scaledDir)
+
+    val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "q40_dedup_minhash_lsh" -> queries_q40 _,
+      "q41_dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => graft.queries.Dedup.q41NgramJaccard(s, d)),
+      "q45_dedup_apply" -> (graft.queries.Dedup.q45DedupApply _))
+    // warm up codegen/session on the small side first
+    queries.foreach { case (_, fn) => fn(spark, baseDir).count() }
+
+    val results = queries.map { case (name, fn) =>
+      val (t1, r1) = time(fn(spark, baseDir).count())
+      val (t10, r10) = time(fn(spark, scaledDir).count())
+      (name, t1, t10, r1, r10)
+    }
+    val dropped10 = graft.queries.Dedup.q41DroppedBlocks(spark, scaledDir).count()
+
+    val parts = results.map { case (name, t1, t10, r1, r10) =>
+      s""""$name":{"t1x":$t1,"t10x":$t10,"ratio":${t10 / t1},"rows1x":$r1,"rows10x":$r10}"""
+    }
+    println(s"""{"metric":"scale_smoke","base":"$baseDir","replicas":$Replicas,""" +
+      s""""q41_dropped_blocks_10x":$dropped10,${parts.mkString(",")}}""")
+
+    val blown = results.filter { case (_, t1, t10, _, _) => t10 / t1 > SuperLinearBound }
+    if (blown.nonEmpty) {
+      blown.foreach { case (name, t1, t10, _, _) =>
+        System.err.println(f"[scale-smoke] $name super-linear: ${t10 / t1}%.1fx (1x=$t1%.2fs 10x=$t10%.2fs)")
+      }
+      spark.stop()
+      sys.exit(1)
+    }
+    spark.stop()
+  }
+
+  private def queries_q40(s: SparkSession, d: String): DataFrame =
+    graft.queries.Dedup.q40MinhashLsh(s, d)
+}

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
@@ -220,6 +220,53 @@ object EventStream {
         Row.fromSeq("stream" +: 0L +: vals :+ p.error.orNull)
       }(org.apache.spark.sql.Encoders.row(schema))
     BatchPipeline.route(parsed)
+  }
+
+  /** The reference's ENTIRE job lifecycle as an unbounded stream: watch a
+    * directory for line files, parse + route each record with the fidelity
+    * CSV parser ([[csvIngestStream]]), POST every SUCCESS record through the
+    * per-record REST channel, and append BatchStatus audit rows with the
+    * HTTP outcomes folded in — `foreachBatch` reuses the batch sink code
+    * (`RestSink.send`, `batchStatus`, `BatchJob.statusWithHttp`) verbatim,
+    * so a batch `processFile` run over the same fixture is the stream's
+    * oracle. Checkpointing makes file ingest exactly-once; the REST POSTs
+    * are at-least-once on micro-batch retry, same as the reference's
+    * resume-after-crash replays.
+    */
+  def csvJobStream(
+      spark: SparkSession,
+      watchDir: String,
+      spec: graft.ingest.Parsers.CsvSpec,
+      restOpts: graft.ingest.RestSink.RestOptions,
+      statusPath: String,
+      checkpointDir: String,
+      restEnv: Map[String, String] = sys.env): StreamingQuery = {
+    import graft.ingest.BatchPipeline.{batchStatus, successes}
+    csvIngestStream(spark, watchDir, spec).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // csvIngestStream leaves _rec_id at 0 (exact file-order ids are a
+        // batch-mode guarantee); the REST/status join needs ids unique
+        // WITHIN the micro-batch, which monotonically_increasing_id gives
+        // in this (batch) context. (run_id, rec_id) is then unique overall.
+        val routed = batch
+          .withColumn("_rec_id", monotonically_increasing_id())
+          .persist()
+        try {
+          val rest = graft.ingest.RestSink
+            .send(successes(routed), col("_rec_id"),
+              to_json(struct(spec.headers.map(col): _*)), restOpts, restEnv)
+            .toDF().persist()
+          try
+            graft.BatchJob.statusWithHttp(batchStatus(routed), Some(rest))
+              .withColumn("run_id", lit(s"stream-$batchId"))
+              .write.mode("append").parquet(statusPath)
+          finally rest.unpersist()
+        } finally routed.unpersist()
+        ()
+      }
+      .start()
   }
 
   /** Write helper: exactly-once parquet sink with checkpointing. */

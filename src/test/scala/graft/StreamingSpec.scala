@@ -170,4 +170,72 @@ class StreamingSpec extends SparkTestBase {
       assert(r.getAs[Long]("nEvents") == 3L, "late in-watermark event must have merged")
     } finally q.stop()
   }
+
+  /** Minimal HTTP stub (same contract as RestSinkSpec's): `fail` decides
+    * per-body whether to return 500.
+    */
+  private def withStubServer(fail: String => Boolean)(run: String => Unit): Unit = {
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    val server = com.sun.net.httpserver.HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val code = if (fail(body)) 500 else 200
+      val resp = """{"ok":true}""".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(code, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    server.start()
+    try run(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  test("csvJobStream runs the full reference lifecycle as a stream; batch processFile is the oracle") {
+    import graft.ingest.Parsers.CsvSpec
+    import graft.ingest.RestSink.RestOptions
+    // same 50/50 HTTP failure mix as the batch REST E2E
+    val failRe = "\"key\":\"B\\d*[02468]\"".r
+    val fail = (body: String) => failRe.findFirstIn(body).isDefined
+    val spec = CsvSpec(headers = Vector("key", "value"))
+
+    // the stream side: fixture staged in two chunks -> two+ micro-batches
+    withStubServer(fail) { base =>
+      val tmp = Files.createTempDirectory("graft-stream-job")
+      val inDir = Files.createDirectory(tmp.resolve("in"))
+      val all = Files.readAllLines(
+        java.nio.file.Paths.get("/root/reference/test/batch-100.csv"))
+      Files.write(inDir.resolve("part1.csv"), all.subList(0, 60))
+      val opts = RestOptions(appBaseUrl = Some(base), modelApi = Some("/api/TestData"),
+        method = Some("POST"), minTimeMillis = 0, maxConcurrent = 78)
+      val q = EventStream.csvJobStream(spark, inDir.toString, spec, opts,
+        statusPath = s"$tmp/status", checkpointDir = s"$tmp/ck", restEnv = Map.empty)
+      try {
+        q.processAllAvailable()
+        Files.write(inDir.resolve("part2.csv"), all.subList(60, 100))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val status = spark.read.parquet(s"$tmp/status")
+      assert(status.count() == 100, "every fixture record must get a status row")
+      assert(status.select("run_id").distinct().count() >= 2, "two staged files -> >= 2 micro-batches")
+      val streamOk = status.filter(col("status_code") === 200).count()
+      val streamFail = status.filter(col("status_code") === 500).count()
+      assert(status.filter(col("status_text") === "FAILED" && col("error").isNotNull).count() == streamFail)
+
+      // the batch side over the same fixture + same failure mix is the oracle
+      withStubServer(fail) { base2 =>
+        val summary = BatchJob.processFile(
+          spark, "/root/reference/test/batch-100.csv",
+          BatchJob.Parser.Csv(spec),
+          BatchJob.Sinks(rest = Some(RestOptions(appBaseUrl = Some(base2),
+            modelApi = Some("/api/TestData"), method = Some("POST"),
+            minTimeMillis = 0, maxConcurrent = 79))))
+        assert(summary.successCount == streamOk, s"stream 200s ($streamOk) != batch ($summary)")
+        assert(summary.failureCount == streamFail)
+        assert(summary.totalRecordCount == 100)
+      }
+    }
+  }
 }
