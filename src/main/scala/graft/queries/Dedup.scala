@@ -121,7 +121,32 @@ object Dedup {
     *   - the bucket self-join carries only (band, key, doc_id); the
     *     32-element signatures join back AFTER pair dedup.
     */
-  def minhashCandidates(spark: SparkSession, dir: String, maxBucket: Int = 256): DataFrame = {
+  /** Session-scoped memo of the candidate-pair frame per (session, dir,
+    * cap): q40, q45 (greedy apply) and q46 (connected components) all
+    * consume the SAME signature → banding → pairing stage. At 100 TB that
+    * stage is materialized once as a signature/pair table and every dedup
+    * policy reads it — the memo is the in-session analogue, so the stage
+    * computes once per corpus instead of once per query. Keyed on the
+    * session object: a fresh session rebuilds rather than reading another
+    * session's cached plan.
+    */
+  private val candCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+
+  /** Drop all memoized candidate frames — benchmarks that must time the
+    * COLD build (e.g. [[graft.ScaleSmoke]]) call this between measurements.
+    */
+  def clearCandidateCache(): Unit = {
+    candCache.values.forEach(df => { df.unpersist(); () })
+    candCache.clear()
+  }
+
+  def minhashCandidates(spark: SparkSession, dir: String, maxBucket: Int = 256): DataFrame =
+    candCache.computeIfAbsent((spark, dir, maxBucket), _ =>
+      buildMinhashCandidates(spark, dir, maxBucket)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def buildMinhashCandidates(spark: SparkSession, dir: String, maxBucket: Int): DataFrame = {
     val d = Tables(spark, dir, "documents")
     // the signature frame feeds three plan branches (banding + both sides of
     // the pair-signature join); persist so it computes once (~32 longs/doc)

@@ -279,7 +279,57 @@ object TextOps {
       |FROM win WHERE i <= maxi - 3
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** C4-style repetition filter: the fraction of a document's word
+    * TRIGRAMS that are repeats of an earlier trigram in the same document —
+    * the classic "remove boilerplate / TV-static text" quality signal for
+    * training-data curation. Per-lang aggregate plus a flagged-doc count at
+    * the 10% threshold; the dup fraction is kept integer-exact (basis
+    * points via `div`) so both engines compare without float rounding.
+    * Pure narrow projection + one aggregation shuffle.
+    */
+  def q39Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"), col("lang"),
+        split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ").as("toks"))
+      .withColumn("grams",
+        when(size(col("toks")) >= 3,
+          expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+          .otherwise(expr("array()")))
+      .select(col("lang"),
+        size(col("grams")).as("n_grams"),
+        size(array_distinct(col("grams"))).as("n_uniq"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("total_grams"),
+        sum(col("n_grams") - col("n_uniq")).as("dup_grams"),
+        // greatest(n_grams, 1): zero-gram docs can't flag, and neither
+        // engine hits integer division by zero
+        sum(when(expr("((n_grams - n_uniq) * 10000) div greatest(n_grams, 1)") > 1000, 1L)
+          .otherwise(0L)).as("n_flagged"))
+      .orderBy(col("lang"))
+  }
+
+  val q39Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN len(toks) >= 3
+      |         THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |         ELSE [] END AS grams
+      |  FROM t),
+      |s AS (SELECT lang, len(grams) AS n_grams, len(list_distinct(grams)) AS n_uniq FROM g)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_grams) AS BIGINT) AS total_grams,
+      |  CAST(sum(n_grams - n_uniq) AS BIGINT) AS dup_grams,
+      |  CAST(count(*) FILTER (WHERE (n_grams - n_uniq) * 10000 // greatest(n_grams, 1) > 1000) AS BIGINT) AS n_flagged
+      |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_repetition" -> q39Repetition _,
     "q38_unigram_rarity" -> q38UnigramRarity _,
     "q37_winnowing" -> q37Winnowing _,
     "q30_token_counts" -> q30TokenCounts _,
@@ -318,6 +368,7 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q39_repetition" -> q39Sql,
     "q38_unigram_rarity" -> q38Sql,
     "q37_winnowing" -> q37Sql,
     "q30_token_counts" -> q30Sql,
