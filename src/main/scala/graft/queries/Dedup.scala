@@ -70,18 +70,17 @@ object Dedup {
     * match `shingles()` exactly: lowercase, split on whitespace, distinct
     * word n-grams.
     *
-    * Hash family: h_j(s) = md5_60("j|s") — one md5 per (hash fn, shingle),
-    * like the SimHash switch above, so DuckDB recomputes the SIGNATURES and
-    * BAND KEYS exactly and q40 gets a full oracle. (~k md5/shingle instead
-    * of 1 FNV + k splitmix: measured ~0.4 s extra across sf0.1's 5k docs on
-    * 32 threads — the price of a driver-checked LSH pipeline.)
+    * Hash family: Kirsch-Mitzenmacher double hashing over ONE md5 per
+    * shingle — h_j(s) = (h1 + j·h2) mod 2^60 with h1 = the digest's first
+    * 60 bits and h2 = its next 52 bits. One digest per shingle instead of
+    * k (a 32× cut of the dominant signature-pass cost), and every quantity
+    * is a hex-substring of md5(s) plus BIGINT-safe arithmetic (j·h2 < 2^57,
+    * sums < 2^61 — no overflow in DuckDB, whose BIGINT overflow THROWS), so
+    * the SIGNATURES and BAND KEYS stay exactly recomputable in SQL and q40
+    * keeps its full oracle.
     */
   def minhashSigRows(spark: SparkSession, docs: DataFrame, n: Int, k: Int): DataFrame = {
     import spark.implicits._
-    // md5("j|" ++ shingle) via two update() calls: ASCII prefix bytes concat
-    // with the shingle's UTF-8 bytes exactly like hashing the joined string,
-    // but without a per-(j, shingle) string allocation.
-    val prefixes = Array.tabulate(k)(j => (j.toString + "|").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
@@ -90,19 +89,23 @@ object Dedup {
         else (0 to toks.length - n).iterator.map(i => toks.slice(i, i + n).mkString(" ")).distinct
       val sig = Array.fill(k)(Long.MaxValue)
       sh.foreach { s =>
-        val sBytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val d = md.digest()
+        val h1 = hash60(d)
+        val h2 = hash52(d)
+        var h = h1
         var j = 0
         while (j < k) {
-          md.update(prefixes(j))
-          md.update(sBytes)
-          val h = hash60(md.digest())
           if (h < sig(j)) sig(j) = h
+          h = (h + h2) & Mask60 // (h1 + j·h2) mod 2^60, incrementally
           j += 1
         }
       }
       (id, sig)
     }.toDF("doc_id", "sig")
   }
+
+  private val Mask60 = (1L << 60) - 1
 
   /** MinHash + LSH candidate pairs with signature-estimated Jaccard —
     * un-limited. Pipeline: per-doc signature over word 3-gram shingles
@@ -178,7 +181,8 @@ object Dedup {
       .limit(100)
 
   /** Full SQL restatement of the MinHash+LSH pipeline: md5-derived hash
-    * family (h_j = md5_60("j|shingle")) and band keys make every stage —
+    * family (h_j = (md5_60(shingle) + j·md5_52(shingle)) mod 2^60, the
+    * Kirsch-Mitzenmacher double hash) and band keys make every stage —
     * signatures, banding, bucket cap, pair dedup, signature-match estimate —
     * exactly recomputable in DuckDB.
     */
@@ -192,9 +196,14 @@ object Dedup {
        |    FROM (SELECT doc_id, tl, unnest(range(1, len(tl) - 1)) AS i FROM toks WHERE len(tl) >= 3)
        |    UNION ALL
        |    SELECT doc_id, array_to_string(tl, ' ') AS s FROM toks WHERE len(tl) < 3)),
+       |hs AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+       |    ('0x' || substr(md5(s), 17, 13))::BIGINT AS h2
+       |  FROM sh),
        |hj AS (
-       |  SELECT doc_id, j, min(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || s), 1, 15))::BIGINT) AS h
-       |  FROM sh, range($K) r(j) GROUP BY doc_id, j),
+       |  SELECT doc_id, j, min((h1 + j * h2) % 1152921504606846976) AS h
+       |  FROM hs, range($K) r(j) GROUP BY doc_id, j),
        |sigs AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM hj GROUP BY doc_id),
        |bands AS (
        |  SELECT doc_id, b,
@@ -336,6 +345,17 @@ object Dedup {
     var i = 0
     while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
     (h << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** Hex chars 17-29 (52 bits) of an md5 digest — the `h2` stride of the
+    * double-hashing family; 52 bits keeps j·h2 (j < 32) under 2^57 so the
+    * oracle's BIGINT arithmetic cannot overflow.
+    */
+  private def hash52(d: Array[Byte]): Long = {
+    var h = 0L
+    var i = 8
+    while (i < 14) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(14) & 0xf0L) >>> 4)
   }
 
   /** Connected components over a near-dup pair list: min-label propagation
