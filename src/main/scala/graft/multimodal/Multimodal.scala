@@ -151,6 +151,60 @@ object Multimodal {
       decode(payload).map(img => encodePng(resize(img, tw, th)))
   }
 
+  /** Real JDK audio codec — `javax.sound.sampled` writes and reads WAV
+    * (16-bit mono PCM) with zero external deps: the audio analogue of
+    * [[ImageCodec]], making the audio leg of the multimodal pipeline honest
+    * end-to-end. Video remains the documented stub (no container parser in
+    * the JDK).
+    */
+  object AudioCodec {
+
+    /** Deterministic synthetic WAV: sample i is a sawtooth keyed on
+      * (i + seed) mod 256, scaled to 16 bits — so frame counts, sample rate
+      * AND the sum of absolute sample values are recomputable from the seed
+      * alone while the bytes round-trip a REAL encoder.
+      */
+    def synthWav(rate: Int, nSamples: Int, seed: Long): Array[Byte] = {
+      val data = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val v = (((i + seed) % 256) - 128).toInt
+        val s = (v * 256).toShort
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode a WAV payload: (sampleRateHz, nFrames, sum of |sample|), or
+      * None when no reader recognizes the bytes.
+      */
+    def decode(payload: Array[Byte]): Option[(Int, Long, Long)] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        val bytes = ais.readAllBytes()
+        var sumAbs = 0L
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
+          sumAbs += math.abs(s.toLong)
+          i += 2
+        }
+        Some((fmt.getSampleRate.toInt, bytes.length / 2L, sumAbs))
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+  }
+
   /** Byte-sampling fallback for payloads NO registered codec can decode
     * (kept so the resize transform is total: undecodable media degrades to
     * a deterministic sample instead of failing the task — route on the

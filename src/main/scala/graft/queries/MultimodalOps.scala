@@ -109,11 +109,54 @@ object MultimodalOps {
        |FROM documents WHERE doc_id % 10 = 0
        |GROUP BY wb ORDER BY wb""".stripMargin
 
+  /** Honest end-to-end AUDIO pipeline with a REAL codec (JDK
+    * javax.sound.sampled): synthesize a 16-bit mono WAV per selected doc
+    * with geometry keyed on doc_id, decode it back, and aggregate the
+    * DECODED sample rate, frame count and sum-of-|sample| — all three
+    * recomputable arithmetically in the oracle, so any stubbed step breaks
+    * the equality. Narrow per-partition codec pass, one group-by shuffle.
+    */
+  def q86AudioStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        // key the rate on (id/10) % 5: the % 10 == 0 slice makes id % 5
+        // degenerate (always 0), which would collapse the grouping
+        val rate = 8000 + ((id / 10) % 5).toInt * 1000
+        val n = 4000 + (id % 97).toInt
+        val wav = Multimodal.AudioCodec.synthWav(rate, n, id)
+        val (decRate, decFrames, decSumAbs) =
+          Multimodal.AudioCodec.decode(wav).getOrElse((-1, -1L, -1L))
+        // rate as long: the oracle's `8000 + (doc_id % 5) * 1000` is BIGINT
+        // and the driver's hash covers value types
+        (decRate.toLong, decFrames, decSumAbs)
+      }
+      .toDF("rate", "n_frames", "sum_abs")
+      .groupBy(col("rate"))
+      .agg(
+        count(lit(1)).as("n_clips"),
+        sum(col("n_frames")).as("total_frames"),
+        sum(col("sum_abs")).as("total_abs"))
+      .orderBy(col("rate"))
+  }
+
+  val q86Sql: String =
+    """SELECT 8000 + ((doc_id // 10) % 5) * 1000 AS rate, count(*) AS n_clips,
+      |  CAST(sum(4000 + doc_id % 97) AS BIGINT) AS total_frames,
+      |  CAST(sum(list_sum(list_transform(range(0, 4000 + doc_id % 97),
+      |        i -> abs((i + doc_id) % 256 - 128))) * 256) AS BIGINT) AS total_abs
+      |FROM documents WHERE doc_id % 10 = 0
+      |GROUP BY rate ORDER BY rate""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_media_stats" -> q83MediaStats _,
-    "q85_image_resize" -> q85ImageResize _)
+    "q85_image_resize" -> q85ImageResize _,
+    "q86_audio_stats" -> q86AudioStats _)
 
   val oracles: Map[String, String] = Map(
     "q83_media_stats" -> q83Sql,
-    "q85_image_resize" -> q85Sql)
+    "q85_image_resize" -> q85Sql,
+    "q86_audio_stats" -> q86Sql)
 }

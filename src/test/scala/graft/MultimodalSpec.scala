@@ -92,6 +92,21 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("AudioCodec round-trips real WAVs: encode -> decode recovers rate, frames, samples") {
+    val wav = AudioCodec.synthWav(rate = 11000, nSamples = 4321, seed = 9L)
+    // RIFF/WAVE magic proves a real encoder ran
+    assert(wav(0) == 'R'.toByte && wav(1) == 'I'.toByte && wav(2) == 'F'.toByte && wav(3) == 'F'.toByte)
+    assert(new String(wav.slice(8, 12)) == "WAVE")
+    val (rate, frames, sumAbs) = AudioCodec.decode(wav).get
+    assert(rate == 11000 && frames == 4321L)
+    // sum of |sample| is the synthesis arithmetic: sum |((i+9) % 256) - 128| * 256
+    val expected = (0 until 4321).map(i => math.abs(((i + 9) % 256) - 128).toLong).sum * 256
+    assert(sumAbs == expected, s"decoded $sumAbs != synthesized $expected")
+    // deterministic; undecodable payloads are None, not an exception
+    assert(AudioCodec.synthWav(11000, 4321, 9L).toSeq == wav.toSeq)
+    assert(AudioCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("metadata pruning filters without touching payload bytes") {
     val df = mediaDs.toDF("media_id", "media_type", "payload", "width", "height", "sample_rate_hz")
     val pruned = filterByMeta(df, minW = 64, minH = 64)
