@@ -124,7 +124,7 @@ object BatchJob {
       val dataCols = parsed.columns
         .filterNot(Set("_file", "_rec_id", "_error").contains).map(col)
       graft.ingest.RestSink
-        .send(successes(routed), col("_rec_id"), to_json(struct(dataCols: _*)), ro)
+        .send(successes(routed), col("_rec_id"), to_json(struct(dataCols.toIndexedSeq: _*)), ro)
         .toDF()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }

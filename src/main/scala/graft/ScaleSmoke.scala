@@ -32,7 +32,7 @@ object ScaleSmoke {
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     val reps = (0 until Replicas).map { i =>
       val rot = alpha.drop(i) + alpha.take(i)
-      docs.select(docs.columns.map {
+      docs.select(docs.columns.toIndexedSeq.map {
         case "doc_id" => (col("doc_id") + lit(i * IdStride)).as("doc_id")
         case "text"   => translate(col("text"), alpha, rot).as("text")
         case c        => col(c)

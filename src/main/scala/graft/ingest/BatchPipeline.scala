@@ -41,7 +41,7 @@ object BatchPipeline {
     import spark.implicits._
     val fileOf = input_file_name()
     val raw = spark.read.textFile(path).select(fileOf.as("fileName"), col("value").as("rec"))
-    val withId = raw.rdd.zipWithIndex.map { case (r, i) =>
+    val withId = raw.rdd.zipWithIndex().map { case (r, i) =>
       RecData(r.getString(0), r.getString(1), i + 1)
     }
     spark.createDataset(withId)
@@ -58,7 +58,7 @@ object BatchPipeline {
     val fileOf = input_file_name()
     val raw = spark.read.textFile(path).select(fileOf.as("fileName"), col("value").as("rec"))
     val withIdx = spark.createDataset(
-      raw.rdd.zipWithIndex.map { case (r, i) => (r.getString(0), r.getString(1), i) })
+      raw.rdd.zipWithIndex().map { case (r, i) => (r.getString(0), r.getString(1), i) })
       .toDF("fileName", "rec", "gidx")
     val w = Window.partitionBy(col("fileName")).orderBy(col("gidx"))
     withIdx

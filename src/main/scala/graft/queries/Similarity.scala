@@ -56,7 +56,7 @@ object Similarity {
   def withBucket(df: DataFrame, nBits: Int, vecCol: String = "embedding", dim: Int = 64): DataFrame = {
     val planes = hyperplanes(nBits, dim)
     val bucket = (0 until nBits).map { i =>
-      val plane = array(planes(i).map(lit): _*)
+      val plane = array(planes(i).toIndexedSeq.map(lit): _*)
       when(dot(toDouble(col(vecCol)), plane) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     df.withColumn("bucket", bucket)
