@@ -97,6 +97,29 @@ object EventsOps {
       |  FROM events)
       |WHERE rk = 1 ORDER BY user_id""".stripMargin
 
+  /** Top-3 events per user through the CUSTOM physical operator
+    * ([[graft.plans.TopK.perKey]] — logical node + strategy + bounded-heap
+    * SparkPlan): one hash exchange, NO per-partition sort, no rank column.
+    * The oracle restates it with the window idiom, so the driver checks the
+    * custom operator against the classic plan's semantics exactly.
+    */
+  def q87TopKNative(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    graft.plans.TopK.perKey(e, Seq("user_id"),
+        Seq("value" -> false, "event_id" -> true), k = 3)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("user_id"), col("value").desc, col("event_id"))
+  }
+
+  val q87Sql: String =
+    """SELECT user_id, event_id, event_type, round(value, 2) AS value
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+      |  FROM events)
+      |WHERE rk <= 3 ORDER BY user_id, round(value, 2) DESC, event_id""".stripMargin
+
   /** Native session windows (30-min gap): Spark's `session_window` merges
     * events into dynamic windows in one aggregation; the oracle restates it
     * with the lag + cumulative-sum idiom — identical session boundaries.
@@ -170,7 +193,8 @@ object EventsOps {
     "q20_events_hourly" -> q20HourlyAgg _,
     "q21_events_json" -> q21JsonExtract _,
     "q22_events_sessionize" -> q22Sessionize _,
-    "q23_events_top_per_user" -> q23TopEventPerUser _)
+    "q23_events_top_per_user" -> q23TopEventPerUser _,
+    "q87_topk_native" -> q87TopKNative _)
 
   val oracles: Map[String, String] = Map(
     "q25_funnel" -> q25Sql,
@@ -178,5 +202,6 @@ object EventsOps {
     "q20_events_hourly" -> q20Sql,
     "q21_events_json" -> q21Sql,
     "q22_events_sessionize" -> q22Sql,
-    "q23_events_top_per_user" -> q23Sql)
+    "q23_events_top_per_user" -> q23Sql,
+    "q87_topk_native" -> q87Sql)
 }

@@ -98,6 +98,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(q.schema("q_vec").dataType.simpleString == "array<tinyint>")
   }
 
+  test("TopK.perKey equals the window row_number idiom, any partitioning, any k") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    for (k <- Seq(1, 3, 7); parts <- Seq(3, 16)) {
+      val got = graft.plans.TopK
+        .perKey(e.repartition(parts), Seq("user_id"), Seq("value" -> false, "event_id" -> true), k)
+        .collect().map(_.toSeq).toSet
+      val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+      val want = e.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .drop("rk").collect().map(_.toSeq).toSet
+      assert(got == want, s"k=$k parts=$parts: custom operator diverged from window idiom")
+    }
+    // ascending order and k larger than any group: identity modulo per-key cap
+    val all = graft.plans.TopK
+      .perKey(e, Seq("user_id"), Seq("event_id" -> true), k = 1000000)
+      .count()
+    assert(all == e.count(), "k >= group size must keep every row")
+  }
+
   test("progress reporter aggregates task input metrics (P17)") {
     val rep = new ProgressReporter(progressIntervalMillis = 0, onReport = _ => ())
     val detach = rep.attach(spark)

@@ -161,4 +161,26 @@ class PlanSpec extends SparkTestBase {
     val shuffles = collectAll(executed(df)).count(_.isInstanceOf[ShuffleExchangeLike])
     assert(shuffles <= 2, s"split assignment must not shuffle, saw $shuffles")
   }
+
+  test("custom TopKPerKeyExec plans with one exchange and NO sort/window before it") {
+    import org.apache.spark.sql.functions._
+    val e = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val df = graft.plans.TopK.perKey(e, Seq("user_id"),
+      Seq("value" -> false, "event_id" -> true), k = 2)
+    df.collect()
+    // the final AQE plan string prints query-stage contents, which node
+    // traversal does not reach
+    val s = finalPlan(df)
+    assert(s.contains("TopKPerKey"),
+      s"custom physical operator must appear in the executed plan:\n$s")
+    // EnsureRequirements satisfies ClusteredDistribution with ONE hash
+    // exchange on the keys...
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(s).size == 1,
+      s"exactly the hash exchange the distribution requires:\n$s")
+    // ...and the bounded heap replaces the window idiom's per-partition
+    // sort and rank entirely
+    assert(!s.contains("Window"), s"no window operator in the plan:\n$s")
+    assert(!s.contains("Sort "), s"no sort may feed the top-k operator:\n$s")
+  }
 }
