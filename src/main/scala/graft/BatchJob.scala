@@ -169,6 +169,23 @@ object BatchJob {
       }
       hooks.onEnd()
       summary
+    } catch {
+      // The reference finalizes the run row EVEN on failure — its end-of-job
+      // PUT always fires and carries the error text
+      // (lib/batchProcessing.js:548). Mirror that: mark FAILED with the
+      // error before rethrowing, so a crashed job never leaves the run
+      // stuck at PROCESSING v1. The status write itself is best-effort —
+      // the original failure is what propagates.
+      case e: Throwable =>
+        val end = System.currentTimeMillis()
+        runStore.foreach { st =>
+          try st.update(runId, runVersion.get) { row =>
+            row.copy(status = "FAILED",
+              error = Some(Option(e.getMessage).getOrElse(e.getClass.getName)),
+              endTimeMillis = end, durationMillis = end - start)
+          } catch { case _: Throwable => () }
+        }
+        throw e
     } finally {
       restResults.foreach(_.unpersist())
       routed.unpersist()

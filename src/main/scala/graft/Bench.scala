@@ -32,15 +32,31 @@ object Bench {
       val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       (name, (System.nanoTime() - t0) / 1e9, rows)
     }
-    val qs = results.map { case (k, secs, _) => "\"" + k + "\":" + secs }
-      .mkString("{", ",", "}")
-    // result-row counts alongside (separate key keeps the driver's
-    // queries-as-seconds schema intact) so rec/s ratios vs BASELINE.md are
-    // computable mechanically per round
-    val rows = results.map { case (k, _, n) => "\"" + k + "\":" + n }
-      .mkString("{", ",", "}")
+    // The driver keeps only the last ~2000 chars of sbt output, and the
+    // "[success] Total time" trailer eats ~80 of them. A line with 70+ full
+    // query names plus a rows map is >3 KB and gets truncated from the
+    // front (rounds 1-3 all recorded parsed:null). So stdout gets ONE
+    // compact line — short qNN keys (the unique prefix of every query
+    // name), 3-decimal seconds, no rows map — and the full detail (full
+    // names, row counts, raw seconds) goes to BENCH_DETAIL.json on disk.
+    def fmt(secs: Double): String = BigDecimal(secs)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, secs, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(secs)
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"sf":"$sfDir"}""")
+    val detailQs = results.map { case (k, secs, _) => "\"" + k + "\":" + secs }
+      .mkString("{", ",", "}")
+    val detailRows = results.map { case (k, _, n) => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detailQs,"rows":$detailRows,"sf":"$sfDir"}"""
+    val out = new java.io.PrintWriter("BENCH_DETAIL.json")
+    try out.println(detail) finally out.close()
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    require(line.length < 1800, s"bench line ${line.length} chars breaches tail budget")
+    println(line)
     spark.stop()
   }
 }

@@ -79,7 +79,12 @@ final class BatchRunStore(spark: SparkSession, path: String) {
     * contract of the reference's PUT-with-`_version`). Returns the new
     * version.
     */
-  def update(runId: String, expectedVersion: Long)(f: BatchRunRow => BatchRunRow): Long = {
+  def update(runId: String, expectedVersion: Long)(f: BatchRunRow => BatchRunRow): Long = synchronized {
+    // `synchronized` makes check-then-append atomic within this JVM (the
+    // harness's single-driver reality). Cross-process writers aren't
+    // serialized by it, so after the append we re-read and fail LOUDLY if
+    // two writers landed rows at the same bumped version — a detected
+    // conflict must surface, not resolve to an arbitrary winner.
     val cur = current(runId).getOrElse(throw new IllegalStateException(NoVersionMsg))
     if (cur.version != expectedVersion)
       throw new java.util.ConcurrentModificationException(
@@ -87,6 +92,14 @@ final class BatchRunStore(spark: SparkSession, path: String) {
           s"found ${cur.version} — run row was updated concurrently")
     val next = f(cur).copy(runId = runId, version = expectedVersion + 1)
     Seq(next).toDS().write.mode("append").parquet(path)
+    val dup = readAll()
+      .filter(col("runId") === runId && col("version") === next.version)
+      .count()
+    if (dup > 1)
+      throw new java.util.ConcurrentModificationException(
+        s"BatchRun $runId version conflict: $dup writers appended version " +
+          s"${next.version} — store requires a transactional backend for " +
+          "multi-process writers")
     next.version
   }
 }

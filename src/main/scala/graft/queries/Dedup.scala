@@ -131,23 +131,35 @@ object Dedup {
     * policy reads it — the memo is the in-session analogue, so the stage
     * computes once per corpus instead of once per query. Keyed on the
     * session object: a fresh session rebuilds rather than reading another
-    * session's cached plan.
+    * session's cached plan. Entries of stopped sessions are evicted on the
+    * next lookup, so the map cannot pin dead sessions for the JVM lifetime.
+    *
+    * Staleness hazard (deliberate, same as a materialized signature table):
+    * rewriting the parquet under `dir` within a session keeps serving the
+    * cached candidate pairs until [[clearCandidateCache]] is called — the
+    * cache key is the path, not the file contents.
     */
   private val candCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
 
   /** Drop all memoized candidate frames — benchmarks that must time the
     * COLD build (e.g. [[graft.ScaleSmoke]]) call this between measurements.
+    * Unpersist is best-effort per entry (a stopped session throws from
+    * unpersist; that must not leave the map half-cleared).
     */
   def clearCandidateCache(): Unit = {
-    candCache.values.forEach(df => { df.unpersist(); () })
+    candCache.values.forEach { df =>
+      try df.unpersist() catch { case _: Throwable => () }
+    }
     candCache.clear()
   }
 
-  def minhashCandidates(spark: SparkSession, dir: String, maxBucket: Int = 256): DataFrame =
+  def minhashCandidates(spark: SparkSession, dir: String, maxBucket: Int = 256): DataFrame = {
+    candCache.keySet.removeIf { case (s, _, _) => s.sparkContext.isStopped }
     candCache.computeIfAbsent((spark, dir, maxBucket), _ =>
       buildMinhashCandidates(spark, dir, maxBucket)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   private def buildMinhashCandidates(spark: SparkSession, dir: String, maxBucket: Int): DataFrame = {
     val d = Tables(spark, dir, "documents")
