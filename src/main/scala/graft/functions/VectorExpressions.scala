@@ -130,6 +130,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[VectorExpressions.DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => VectorExpressions.DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("mg_topk"),
+      new ExpressionInfo(classOf[MisraGriesTopK].getName, "mg_topk"),
+      (exprs: Seq[Expression]) =>
+        MisraGriesTopK(exprs(0), exprs(1).eval().asInstanceOf[Int])))
     // whole-operator extension: the bounded-heap top-k-per-key physical
     // operator (graft.plans.TopKPerKey) planned session-wide
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

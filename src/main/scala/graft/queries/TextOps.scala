@@ -304,8 +304,10 @@ object TextOps {
         sum(col("n_grams")).as("total_grams"),
         sum(col("n_grams") - col("n_uniq")).as("dup_grams"),
         // greatest(n_grams, 1): zero-gram docs can't flag, and neither
-        // engine hits integer division by zero
-        sum(when(expr("((n_grams - n_uniq) * 10000) div greatest(n_grams, 1)") > 1000, 1L)
+        // engine hits integer division by zero. BIGINT before the *10000:
+        // size() is Int and DuckDB len() is BIGINT — without the cast a
+        // doc with >~214k duplicate trigrams wraps on the Spark side only
+        sum(when(expr("(CAST(n_grams - n_uniq AS BIGINT) * 10000) div greatest(n_grams, 1)") > 1000, 1L)
           .otherwise(0L)).as("n_flagged"))
       .orderBy(col("lang"))
   }
@@ -328,7 +330,45 @@ object TextOps {
       |  CAST(count(*) FILTER (WHERE (n_grams - n_uniq) * 10000 // greatest(n_grams, 1) > 1000) AS BIGINT) AS n_flagged
       |FROM s GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q29: per-language heavy-hitter tokens via the native Misra-Gries
+    * sketch aggregate ([[graft.functions.MisraGriesTopK]]). k=64 exceeds
+    * the corpus vocabulary, so the sketch runs in its exact regime and the
+    * counts equal a full groupBy — which is what the oracle restates. The
+    * lossy regime (k below distinct count: frequency guarantee, bounded
+    * undercount) is covered in OperatorsSpec.
+    *
+    * Scale shape: per-partition state is <= k counters regardless of input
+    * size; the shuffle moves one k-entry summary per partition per lang —
+    * top tokens over 100 TB without shuffling the token stream.
+    */
+  def q29HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.HeavyHitters.register(spark)
+    val d = Tables(spark, dir, "documents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("cnt").desc, col("token"))
+    d.select(col("lang"), explode(wsTokens(normText(col("text")))).as("token"))
+      .groupBy(col("lang"))
+      .agg(call_function("mg_topk", col("token"), lit(64)).as("hh"))
+      .select(col("lang"), explode(col("hh")).as("e"))
+      .select(col("lang"), col("e.token").as("token"), col("e.est").as("cnt"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val q29Sql: String =
+    """SELECT lang, token, cnt, rk FROM (
+      |  SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt,
+      |    row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, token) AS rk
+      |  FROM (
+      |    SELECT lang,
+      |      unnest(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'), x -> x <> '')) AS token
+      |    FROM documents)
+      |  GROUP BY lang, token)
+      |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_heavy_hitters" -> q29HeavyHitters _,
     "q39_repetition" -> q39Repetition _,
     "q38_unigram_rarity" -> q38UnigramRarity _,
     "q37_winnowing" -> q37Winnowing _,
@@ -368,6 +408,7 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q29_heavy_hitters" -> q29Sql,
     "q39_repetition" -> q39Sql,
     "q38_unigram_rarity" -> q38Sql,
     "q37_winnowing" -> q37Sql,

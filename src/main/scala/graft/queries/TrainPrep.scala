@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.ColFns
+
+/** Training-data preparation operators: corpus-level boilerplate removal,
+  * document chunking, and sequence packing — the steps between a deduped
+  * corpus and a tokenizer-ready training shard.
+  *
+  * All three are pure declarative pipelines (explode + window + one keyed
+  * shuffle each); at 100 TB each stage is scan-bound with a single
+  * aggregation shuffle, and the chunk/pack geometry is deterministic from
+  * (doc_id, token count) alone so shards are reproducible without any
+  * driver-side state.
+  */
+object TrainPrep {
+
+  /** Span width (tokens) for boilerplate detection and the cross-doc
+    * frequency threshold above which a span counts as boilerplate.
+    */
+  val SpanW = 8
+  val BoilerThreshold = 2
+
+  /** Chunk window/stride (tokens) for q48. */
+  val ChunkW = 32
+  val ChunkStride = 24
+
+  /** Token budget per packed sequence for q49. */
+  val PackBudget = 512
+
+  /** q47: C4-style boilerplate span removal, adapted to span granularity
+    * (the synthetic docs are single-line, so the "line" unit is a fixed
+    * 8-token span). A span is boilerplate when its exact text occurs in >=
+    * [[BoilerThreshold]] DISTINCT documents corpus-wide. Per document:
+    * total complete spans, boilerplate spans, and tokens kept after
+    * dropping them.
+    *
+    * Scale shape: one explode (narrow), one count-distinct aggregation on
+    * span text (the only shuffle that grows with corpus size), one
+    * broadcast-able join back (the boilerplate span dictionary is tiny by
+    * construction — it is the FREQUENT spans), one per-doc re-aggregation.
+    */
+  def q47BoilerplateSpans(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val toksD = d.select(col("doc_id"),
+        ColFns.bound(TextOps.wsTokens(TextOps.normText(col("text")))) { toks =>
+          struct(toks.as("toks"), size(toks).as("n_toks"))
+        }.as("t"))
+      .select(col("doc_id"), col("t.toks").as("toks"), col("t.n_toks").as("n_toks"))
+    val spans = toksD
+      .select(col("doc_id"), col("n_toks"),
+        explode(when(col("n_toks") >= SpanW,
+            expr(s"transform(sequence(0, n_toks div $SpanW - 1), i -> concat_ws(' ', slice(toks, i*$SpanW+1, $SpanW)))"))
+          .otherwise(expr("array()"))).as("span"))
+    // The dictionary joined back is ONLY the spans above the threshold —
+    // boilerplate is frequent-by-definition, so this side stays orders of
+    // magnitude smaller than the span stream and is usually broadcast-able
+    // (AQE picks that up from its post-filter size).
+    val boiler = spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= BoilerThreshold)
+      .select(col("span"), lit(1L).as("is_boiler"))
+    val perDoc = spans.join(boiler, Seq("span"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+    toksD.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        (col("n_toks").cast("long") - lit(SpanW.toLong) * coalesce(col("n_boiler"), lit(0L))).as("toks_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q47Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |tt AS (SELECT doc_id, toks, len(toks) AS n_toks FROM t),
+       |s AS (
+       |  SELECT doc_id, unnest(CASE WHEN n_toks >= $SpanW
+       |    THEN list_transform(range(0, n_toks // $SpanW),
+       |           i -> array_to_string(toks[i*$SpanW+1 : i*$SpanW+$SpanW], ' '))
+       |    ELSE [] END) AS span
+       |  FROM tt),
+       |c AS (SELECT span, count(DISTINCT doc_id) AS nd FROM s GROUP BY span),
+       |p AS (
+       |  SELECT s.doc_id, count(*) AS n_spans,
+       |    sum(CASE WHEN c.nd >= $BoilerThreshold THEN 1 ELSE 0 END) AS n_boiler
+       |  FROM s JOIN c USING (span) GROUP BY s.doc_id)
+       |SELECT tt.doc_id,
+       |  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(coalesce(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+       |  CAST(tt.n_toks - $SpanW * coalesce(p.n_boiler, 0) AS BIGINT) AS toks_kept
+       |FROM tt LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** q48: chunk every document into overlapping token windows
+    * ([[ChunkW]]-token window, [[ChunkStride]]-token stride — the shape a
+    * context-window tokenization pass emits). Each chunk row carries a
+    * 16-hex md5 fingerprint of its text, so the oracle verifies the exact
+    * chunk CONTENT, not just the geometry.
+    *
+    * Narrow explode per doc — no shuffle at all until a consumer
+    * aggregates; chunk identity is (doc_id, chunk_idx), recomputable from
+    * the source row alone.
+    */
+  def q48Chunking(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"),
+        ColFns.bound(TextOps.wsTokens(TextOps.normText(col("text")))) { toks =>
+          struct(toks.as("toks"), size(toks).as("n_toks"))
+        }.as("t"))
+      .select(col("doc_id"), col("t.toks").as("toks"), col("t.n_toks").as("n_toks"))
+      .filter(col("n_toks") > 0)
+      .select(col("doc_id"), col("toks"), col("n_toks"),
+        explode(expr(s"sequence(0, n_toks - 1, $ChunkStride)")).as("s"))
+      .select(col("doc_id"),
+        expr(s"s div $ChunkStride").cast("long").as("chunk_idx"),
+        least(lit(ChunkW), col("n_toks") - col("s")).cast("long").as("chunk_len"),
+        substring(md5(expr(s"concat_ws(' ', slice(toks, s + 1, $ChunkW))")), 1, 16).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val q48Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |tt AS (SELECT doc_id, toks, len(toks) AS n_toks FROM t WHERE len(toks) > 0),
+       |c AS (SELECT doc_id, toks, n_toks, unnest(range(0, n_toks, $ChunkStride)) AS s FROM tt)
+       |SELECT doc_id,
+       |  CAST(s // $ChunkStride AS BIGINT) AS chunk_idx,
+       |  CAST(least($ChunkW, n_toks - s) AS BIGINT) AS chunk_len,
+       |  substr(md5(array_to_string(toks[s+1 : s+$ChunkW], ' ')), 1, 16) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** q49: sequence packing — assign documents to fixed-token-budget packs
+    * ([[PackBudget]] tokens) by contiguous greedy fill per language, in
+    * doc_id order. A document's pack is the budget bin its START offset
+    * (running token count before it) lands in; documents straddling a
+    * boundary belong to the pack they start in (the reader splits them).
+    *
+    * The assignment is a pure prefix-sum: recomputable from (lang, doc_id,
+    * n_toks) with one window pass — no driver loop, no bin state. At 100 TB
+    * the window partitions by lang (or by a (lang, shard) composite for
+    * balance) and the per-pack aggregation reuses the same partitioning, so
+    * the whole operator is one shuffle.
+    */
+  def q49SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    d.select(col("doc_id"), col("lang"),
+        TextOps.regexTokenCount(col("text")).cast("long").as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      // integer div, not `/` — double division would lose exactness past
+      // 2^53 cumulative tokens (reachable at 100 TB)
+      .withColumn("pack_id", expr(s"(cum - n_toks) div $PackBudget"))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("pack_toks"),
+        min(col("doc_id")).as("doc_lo"),
+        max(col("doc_id")).as("doc_hi"))
+      .orderBy(col("lang"), col("pack_id"))
+  }
+
+  val q49Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, n_toks,
+       |    CAST(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM t)
+       |SELECT lang,
+       |  CAST((cum - n_toks) // $PackBudget AS BIGINT) AS pack_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS pack_toks,
+       |  min(doc_id) AS doc_lo, max(doc_id) AS doc_hi
+       |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_boilerplate_spans" -> q47BoilerplateSpans _,
+    "q48_chunking" -> q48Chunking _,
+    "q49_sequence_packing" -> q49SequencePacking _)
+
+  val oracles: Map[String, String] = Map(
+    "q47_boilerplate_spans" -> q47Sql,
+    "q48_chunking" -> q48Sql,
+    "q49_sequence_packing" -> q49Sql)
+}

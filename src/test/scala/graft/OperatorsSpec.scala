@@ -119,6 +119,105 @@ class OperatorsSpec extends SparkTestBase {
     assert(all == e.count(), "k >= group size must keep every row")
   }
 
+  test("misra-gries sketch: exact regime matches a full groupBy across partitionings") {
+    graft.functions.HeavyHitters.register(spark)
+    val d = Tables(spark, sfDir, "documents")
+    val toks = d.select(col("lang"),
+      explode(graft.queries.TextOps.wsTokens(
+        graft.queries.TextOps.normText(col("text")))).as("token"))
+    val exact = toks.groupBy("lang", "token").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (parts <- Seq(1, 3, 8)) {
+      val got = toks.repartition(parts)
+        .groupBy("lang").agg(call_function("mg_topk", col("token"), lit(64)).as("hh"))
+        .select(col("lang"), explode(col("hh")).as("e"))
+        .select(col("lang"), col("e.token"), col("e.est"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == exact, s"parts=$parts: k above the vocab must be exact")
+    }
+  }
+
+  test("misra-gries sketch: lossy regime keeps heavy items with bounded undercount") {
+    graft.functions.HeavyHitters.register(spark)
+    val s = spark
+    import s.implicits._
+    // skewed stream: "hot" appears 400 of n=490 times; 30 cold items x3 each
+    val rows = Seq.fill(400)("hot") ++ (1 to 30).flatMap(i => Seq.fill(3)(s"cold$i"))
+    val n = rows.size
+    val k = 4
+    val df = rows.toDF("token").repartition(7)
+    val got = df.agg(call_function("mg_topk", col("token"), lit(k)).as("hh"))
+      .select(explode(col("hh")).as("e")).select(col("e.token"), col("e.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size <= k, "summary may never exceed k entries")
+    // frequency guarantee: any item with count > n/(k+1) must survive
+    assert(got.contains("hot"), s"heavy item dropped: $got")
+    // estimates never overcount, and undercount at most n/(k+1)
+    assert(got("hot") <= 400L)
+    assert(got("hot") >= 400L - n / (k + 1), s"undercount bound violated: $got")
+  }
+
+  test("q48 chunk geometry tiles every document: stride layout and full coverage") {
+    val chunks = graft.queries.TrainPrep.q48Chunking(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val nToks = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), size(graft.queries.TextOps.wsTokens(
+        graft.queries.TextOps.normText(col("text")))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet == nToks.filter(_._2 > 0).keySet)
+    val W = graft.queries.TrainPrep.ChunkW
+    val St = graft.queries.TrainPrep.ChunkStride
+    byDoc.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // indices are 0..m-1 dense; every chunk is full-width except possibly
+      // the trailing ones; the last chunk reaches exactly the doc end
+      assert(sorted.map(_._2) == (0L until sorted.size.toLong))
+      sorted.foreach { case (_, idx, len) =>
+        assert(len == math.min(W.toLong, nToks(doc) - idx * St), s"doc $doc idx $idx")
+      }
+      val (_, lastIdx, lastLen) = sorted.last
+      assert(lastIdx * St + lastLen == nToks(doc), s"doc $doc does not cover its tail")
+    }
+  }
+
+  test("q49 packs are contiguous id-ranges per lang and conserve token counts") {
+    val packs = graft.queries.TrainPrep.q49SequencePacking(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val totalToks = Tables(spark, sfDir, "documents")
+      .select(graft.queries.TextOps.regexTokenCount(col("text")).cast("long").as("n"))
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(packs.map(_._4).sum == totalToks, "packing must conserve every token")
+    packs.groupBy(_._1).foreach { case (lang, ps) =>
+      val sorted = ps.sortBy(_._2).toList
+      // pack ids ascend and doc ranges are disjoint and ordered: greedy
+      // contiguous fill never interleaves documents between packs
+      sorted.sliding(2).foreach {
+        case Seq((_, p1, _, _, _, hi1), (_, p2, _, _, lo2, _)) =>
+          assert(p1 < p2, s"$lang pack ids must ascend")
+          assert(hi1 < lo2, s"$lang doc ranges must be disjoint ordered")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q47 boilerplate accounting is internally consistent per document") {
+    val rows = graft.queries.TrainPrep.q47BoilerplateSpans(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nToks = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), size(graft.queries.TextOps.wsTokens(
+        graft.queries.TextOps.normText(col("text")))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._1).toSet == nToks.keySet, "every document gets a row")
+    rows.foreach { case (doc, nSpans, nBoiler, kept) =>
+      assert(nSpans == nToks(doc) / graft.queries.TrainPrep.SpanW, s"doc $doc span count")
+      assert(nBoiler >= 0 && nBoiler <= nSpans, s"doc $doc boiler bounds")
+      assert(kept == nToks(doc) - graft.queries.TrainPrep.SpanW * nBoiler, s"doc $doc token accounting")
+    }
+    // the fixture has cross-doc repeated spans — the operator must fire
+    assert(rows.map(_._3).sum > 0, "expected at least one boilerplate span in the corpus")
+  }
+
   test("progress reporter aggregates task input metrics (P17)") {
     val rep = new ProgressReporter(progressIntervalMillis = 0, onReport = _ => ())
     val detach = rep.attach(spark)
