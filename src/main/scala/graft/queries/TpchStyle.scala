@@ -106,13 +106,99 @@ object TpchStyle {
       |GROUP BY c_custkey, c_name, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** Q18-style (large-volume customer): orders whose total lineitem
+    * quantity clears a threshold, joined back to orders + customer. The
+    * shape stresses aggregate-then-join ordering: the quantity rollup runs
+    * FIRST (one shuffle on l_orderkey), the HAVING filter collapses it to a
+    * handful of hot orders, and only those survivors join — at 100 TB the
+    * pre-aggregation is the difference between joining a handful of rows
+    * and joining the whole lineitem table.
+    *
+    * Quantities compare in integer cents (sum of per-row
+    * `CAST(round(q*100) AS BIGINT)`) so the HAVING boundary cannot drift
+    * between engines on float summation order.
+    */
+  def q93TpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_cents"))
+      .filter(col("qty_cents") > 20000L)
+    big.join(o, big("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        (unix_micros(col("o_orderdate").cast("timestamp")) / 1000000L).cast("long").as("orderdate_epoch"),
+        col("o_totalprice"), col("qty_cents"))
+      .orderBy(col("qty_cents").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q93Sql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey, CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+      |  FROM lineitem GROUP BY l_orderkey HAVING qty_cents > 20000)
+      |SELECT c_name, c_custkey, o_orderkey,
+      |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 1000000 AS orderdate_epoch,
+      |  o_totalprice, qty_cents
+      |FROM big
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY qty_cents DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** Q22-style (global sales opportunity): positive-balance customers above
+    * the average balance with NO urgent-priority order, rolled up per
+    * nation. Two classic sub-plans in one query: a one-row scalar subquery
+    * (the average) distributed as a broadcast cross join, and a left-anti
+    * join against a filtered fact table. Balances compare in integer cents
+    * — the average is `sum(cents) div count`, so the threshold is the same
+    * BIGINT in both engines regardless of summation order.
+    */
+  def q94TpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+      .withColumn("cc", expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+    val n = Tables(spark, dir, "nation")
+    // scalar subquery as a broadcast one-row frame: every executor gets the
+    // threshold without a driver round-trip
+    val thr = c.filter(col("cc") > 0L)
+      .agg(expr("CAST(sum(cc) AS BIGINT) div count(*)").as("thr"))
+    val urgent = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(thr))
+      .filter(col("cc") > col("thr"))
+      .join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"), sum(col("cc")).as("totacctbal_cents"))
+      .orderBy(col("n_name"))
+  }
+
+  val q94Sql: String =
+    """WITH c AS (
+      |  SELECT *, CAST(round(c_acctbal * 100) AS BIGINT) AS cc FROM customer),
+      |t AS (SELECT CAST(sum(cc) AS BIGINT) // count(*) AS thr FROM c WHERE cc > 0)
+      |SELECT n_name,
+      |  CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(sum(cc) AS BIGINT) AS totacctbal_cents
+      |FROM c, t
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE cc > thr AND NOT EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_tpch_q3" -> q90TpchQ3 _,
     "q91_tpch_q5" -> q91TpchQ5 _,
-    "q92_tpch_q10" -> q92TpchQ10 _)
+    "q92_tpch_q10" -> q92TpchQ10 _,
+    "q93_tpch_q18" -> q93TpchQ18 _,
+    "q94_tpch_q22" -> q94TpchQ22 _)
 
   val oracles: Map[String, String] = Map(
     "q90_tpch_q3" -> q90Sql,
     "q91_tpch_q5" -> q91Sql,
-    "q92_tpch_q10" -> q92Sql)
+    "q92_tpch_q10" -> q92Sql,
+    "q93_tpch_q18" -> q93Sql,
+    "q94_tpch_q22" -> q94Sql)
 }
