@@ -65,7 +65,15 @@ object ScaleSmoke {
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q40_dedup_minhash_lsh" -> queries_q40 _,
       "q41_dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => graft.queries.Dedup.q41NgramJaccard(s, d)),
-      "q45_dedup_apply" -> (graft.queries.Dedup.q45DedupApply _))
+      "q45_dedup_apply" -> (graft.queries.Dedup.q45DedupApply _),
+      // iterative CC: 10x edges but the same cluster diameters (the
+      // alphabet rotation keeps clusters replica-local), so rounds stay
+      // constant and the loop should scale with the per-round joins
+      "q46_dedup_cc" -> (graft.queries.Dedup.q46DedupCC _),
+      // boilerplate spans: the explode + count-distinct shuffle grows 10x;
+      // rotated replicas keep span frequencies replica-local, so the
+      // boilerplate dictionary grows linearly, never quadratically
+      "q47_boilerplate_spans" -> (graft.queries.TrainPrep.q47BoilerplateSpans _))
     // warm up codegen/session on the small side first
     queries.foreach { case (_, fn) => fn(spark, baseDir).count() }
 
