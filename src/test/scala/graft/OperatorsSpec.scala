@@ -77,6 +77,39 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    // Spark's InjectRuntimeFilter builds a bloom filter from the selective
+    // (dimension) side of a shuffle join and pushes a might_contain()
+    // predicate into the fact scan — the runtime analogue of a semi-join
+    // reduction, and at 100 TB the difference between shuffling the whole
+    // fact table and shuffling the matching slice. Thresholds are sized for
+    // 10 GB scans; lower them so local-scale data exercises the same rule.
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB")
+    val saved = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val l = Tables(s, sfDir, "lineitem")
+      val o = Tables(s, sfDir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.toLowerCase.contains("bloom") || optimized.contains("might_contain"),
+        s"expected an injected runtime bloom filter in:\n$optimized")
+      // and the filtered result still equals the un-filtered join
+      val n = joined.collect().map(r => r.getLong(1)).sum
+      val expected = l.join(o, l("l_orderkey") === o("o_orderkey")).count()
+      assert(n == expected, "bloom filter must not change results")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("int8 quantization keeps dequantized cosine within 1% of exact") {
     import graft.functions.Quantize
     import graft.queries.Similarity
