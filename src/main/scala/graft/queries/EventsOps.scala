@@ -187,7 +187,52 @@ object EventsOps {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q95: time-series resample + forward-fill — regularize the irregular
+    * event stream onto an hourly grid per user, carrying the last observed
+    * value forward across gaps (the feature-store / training-window shape).
+    *
+    * Scale shape: the per-(user, hour) "last observation" is one window
+    * pass over events; the grid is `users x hours` — exactly the OUTPUT
+    * size, so nothing here is super-linear — and the fill is one more
+    * window pass partitioned by user. No self-joins, no per-user driver
+    * loops; at 100 TB the grid cross join broadcasts the tiny hour axis.
+    */
+  def q95ResampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val pick = Window.partitionBy(col("user_id"), col("h"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val hourly = e
+      .withColumn("h", date_trunc("hour", col("ts")))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("h"), col("value").as("v_last"))
+    val hours = spark.range(1).select(explode(expr(
+      "sequence(timestamp'2024-01-01 00:00:00', timestamp'2024-01-03 23:00:00', interval 1 hour)")).as("h"))
+    val grid = e.select(col("user_id")).distinct().crossJoin(broadcast(hours))
+    val fill = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("v_ffill", last(col("v_last"), ignoreNulls = true).over(fill))
+      .select(col("user_id"), col("h").cast("long").as("hour_ts"), col("v_ffill"))
+      .orderBy(col("user_id"), col("hour_ts"))
+  }
+
+  val q95Sql: String =
+    """WITH hourly AS (
+      |  SELECT user_id, h, value AS v_last FROM (
+      |    SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, value,
+      |      row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) WHERE rn = 1),
+      |users AS (SELECT DISTINCT user_id FROM events),
+      |grid AS (SELECT user_id, unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-03 23:00:00', INTERVAL 1 HOUR)) AS h FROM users)
+      |SELECT g.user_id, epoch_us(g.h) // 1000000 AS hour_ts,
+      |  last_value(v_last IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+      |FROM grid g LEFT JOIN hourly USING (user_id, h)
+      |ORDER BY user_id, hour_ts""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_resample_ffill" -> q95ResampleFfill _,
     "q25_funnel" -> q25Funnel _,
     "q24_session_window" -> q24SessionWindow _,
     "q20_events_hourly" -> q20HourlyAgg _,
@@ -197,6 +242,7 @@ object EventsOps {
     "q87_topk_native" -> q87TopKNative _)
 
   val oracles: Map[String, String] = Map(
+    "q95_resample_ffill" -> q95Sql,
     "q25_funnel" -> q25Sql,
     "q24_session_window" -> q24Sql,
     "q20_events_hourly" -> q20Sql,

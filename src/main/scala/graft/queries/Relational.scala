@@ -408,7 +408,44 @@ object Relational {
       |  round(var_samp(l_discount), 4) AS var_disc
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q96: the full ranking-window surface in one pass — rank, dense_rank,
+    * ntile, percent_rank, cume_dist, lag, lead over a per-customer order
+    * timeline. One window definition, one shuffle on the partition key;
+    * the ORDER BY (o_orderdate, o_orderkey) is a total order, so every
+    * ranking function is deterministic (no tie ambiguity to drift between
+    * engines). percent_rank/cume_dist are pure integer-ratio doubles —
+    * bit-identical across engines.
+    */
+  def q96WindowRanks(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("prk"),
+        cume_dist().over(w).as("cd"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q96Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  rank() OVER w AS rk,
+      |  dense_rank() OVER w AS drk,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS prk,
+      |  cume_dist() OVER w AS cd,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_totalprice, 1) OVER w AS next_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_window_ranks" -> q96WindowRanks _,
     "q26_group_stats" -> q26GroupStats _,
     "q19_approx_sketches" -> q19ApproxSketches _,
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -431,6 +468,7 @@ object Relational {
     "q18_date_buckets" -> q18DateBuckets _)
 
   val oracles: Map[String, String] = Map(
+    "q96_window_ranks" -> q96Sql,
     "q26_group_stats" -> q26Sql,
     "q19_approx_sketches" -> q19Sql,
     "q01_pricing_summary" -> q01Sql,
