@@ -192,6 +192,36 @@ class StreamingSpec extends SparkTestBase {
     finally server.stop(0)
   }
 
+  test("mg_topk heavy-hitters sketch aggregates incrementally under streaming (exact regime)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    graft.functions.HeavyHitters.register(spark)
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // a TypedImperativeAggregate's buffer must serialize through the state
+    // store between micro-batches — this is the distributed-merge path the
+    // batch tests can't exercise. k=32 exceeds the 3-token universe, so the
+    // sketch is exact and the converged counts must equal plain arithmetic.
+    val in = MemoryStream[String]
+    val agg = in.toDF().toDF("token")
+      .groupBy()
+      .agg(call_function("mg_topk", col("token"), lit(32)).as("hh"))
+    val q = agg.writeStream
+      .outputMode("complete").format("memory").queryName("hh_stream")
+      .start()
+    try {
+      in.addData(Seq.fill(10)("a") ++ Seq.fill(5)("b"): _*)
+      q.processAllAvailable()
+      in.addData(Seq.fill(7)("b") ++ Seq.fill(3)("c"): _*)
+      q.processAllAvailable()
+      val got = s.sql("SELECT explode(hh) AS e FROM hh_stream")
+        .select(col("e.token"), col("e.est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("a" -> 10L, "b" -> 12L, "c" -> 3L),
+        s"sketch must accumulate across micro-batches, got $got")
+    } finally q.stop()
+  }
+
   test("csvJobStream runs the full reference lifecycle as a stream; batch processFile is the oracle") {
     import graft.ingest.Parsers.CsvSpec
     import graft.ingest.RestSink.RestOptions
