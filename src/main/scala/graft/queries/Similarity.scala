@@ -309,7 +309,108 @@ object Similarity {
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
   }
 
+  /** q55: MMR (maximal marginal relevance) diversity re-rank — the standard
+    * two-stage retrieval tail: a cheap candidate stage (brute-force top-8
+    * per query here; IVF/LSH at scale) followed by a greedy selection that
+    * trades relevance against redundancy:
+    * `mmr = lambda*rel - (1-lambda)*max(sim to already-selected)`.
+    *
+    * The greedy loop is UNROLLED to a fixed selection count (4), which is
+    * what makes it a pure dataflow program: each step is one small join on
+    * query_id (candidate sets are k-bounded per query, so the join input is
+    * |queries| x k rows regardless of corpus size) plus one aggregation and
+    * one row_number — and lets the oracle restate the exact same greedy
+    * steps as chained CTEs. Ties break on vec_id in both engines, so the
+    * selection is fully deterministic.
+    */
+  def q55MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    // both weights as the same decimal literals the oracle uses: computing
+    // (1 - 0.7) in Scala yields 0.30000000000000004, a DIFFERENT double
+    // than the 0.3 literal DuckDB parses, and the score hash would drift
+    val lam = 0.7
+    val oneMinusLam = 0.3
+    val corpus = Tables(spark, dir, "embeddings")
+    val q = queriesSet(spark, dir)
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("vec_id"))
+    val cands = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"),
+        nativeCosine(spark)(col("q_emb"), col("embedding")).as("rel"))
+      .withColumn("crk", row_number().over(wTop))
+      .filter(col("crk") <= 8)
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("rel"))
+      .persist()
+    val wPick = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+    // step 1: pure relevance
+    var selected = cands
+      .withColumn("score", col("rel"))
+      .withColumn("prk", row_number().over(wPick))
+      .filter(col("prk") === 1)
+      .select(col("query_id"), col("vec_id"), col("embedding"), lit(1L).as("sel_rk"), col("score"))
+    var all = selected
+    for (step <- 2 to 4) {
+      val rem = cands.join(all.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"), "left_anti")
+      val scored = rem.as("r")
+        .join(all.select(col("query_id"), col("vec_id").as("s_id"), col("embedding").as("s_emb")), Seq("query_id"))
+        .select(col("query_id"), col("r.vec_id").as("vec_id"), col("r.rel").as("rel"),
+          nativeCosine(spark)(col("r.embedding"), col("s_emb")).as("sim"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(first(col("rel")).as("rel"), max(col("sim")).as("max_sim"))
+        .withColumn("score", lit(lam) * col("rel") - lit(oneMinusLam) * col("max_sim"))
+        .withColumn("prk", row_number().over(wPick))
+        .filter(col("prk") === 1)
+      val next = scored
+        .join(cands.select(col("query_id"), col("vec_id"), col("embedding")), Seq("query_id", "vec_id"))
+        .select(col("query_id"), col("vec_id"), col("embedding"), lit(step.toLong).as("sel_rk"), col("score"))
+      all = all.unionByName(next)
+    }
+    all.select(col("query_id"), col("sel_rk"), col("vec_id").as("neighbor_id"),
+        round(col("score"), 4).as("mmr_score"))
+      .orderBy(col("query_id"), col("sel_rk"))
+  }
+
+  /** The oracle restates the same unrolled greedy selection as chained
+    * CTEs; the cosine is the q50-proven exact SQL restatement.
+    */
+  val q55Sql: String = {
+    def cos(a: String, b: String): String =
+      s"""(list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |  * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+    def step(i: Int): String = {
+      val prev = (1 until i).map(j => s"SELECT query_id, vec_id FROM sel$j").mkString(" UNION ALL ")
+      s"""sel$i AS (
+         |  SELECT query_id, vec_id, embedding, rel, 0.7 * rel - 0.3 * max_sim AS score FROM (
+         |    SELECT r.query_id, r.vec_id, any_value(r.embedding) AS embedding,
+         |      first(r.rel) AS rel, max(${cos("r.embedding", "s.embedding")}) AS max_sim
+         |    FROM (SELECT c.* FROM cand c ANTI JOIN ($prev) p USING (query_id, vec_id)) r
+         |    JOIN (SELECT query_id, embedding FROM ($prev) p JOIN cand USING (query_id, vec_id)) s
+         |      USING (query_id)
+         |    GROUP BY r.query_id, r.vec_id)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) = 1)""".stripMargin
+    }
+    s"""WITH cand AS (
+       |  SELECT query_id, vec_id, embedding, rel FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS vec_id, c.embedding AS embedding,
+       |      ${cos("q.embedding", "c.embedding")} AS rel
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+       |    JOIN embeddings c ON c.vec_id <> q.vec_id)
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) <= 8),
+       |sel1 AS (
+       |  SELECT query_id, vec_id, embedding, rel, rel AS score FROM cand
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) = 1),
+       |${step(2)},
+       |${step(3)},
+       |${step(4)}
+       |SELECT query_id, sel_rk, vec_id AS neighbor_id, round(score, 4) AS mmr_score FROM (
+       |  SELECT query_id, vec_id, CAST(1 AS BIGINT) AS sel_rk, score FROM sel1
+       |  UNION ALL SELECT query_id, vec_id, 2, score FROM sel2
+       |  UNION ALL SELECT query_id, vec_id, 3, score FROM sel3
+       |  UNION ALL SELECT query_id, vec_id, 4, score FROM sel4)
+       |ORDER BY query_id, sel_rk""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_mmr_rerank" -> q55MmrRerank _,
     "q50_knn_brute" -> q50KnnBrute _,
     "q51_knn_lsh" -> q51KnnLsh _,
     "q52_ivf_assign" -> q52IvfAssign _,
@@ -317,6 +418,7 @@ object Similarity {
     "q54_ivf_search" -> q54IvfSearch _)
 
   val oracles: Map[String, String] = Map(
+    "q55_mmr_rerank" -> q55Sql,
     "q50_knn_brute" -> q50Sql,
     "q51_knn_lsh" -> q51Sql,
     "q52_ivf_assign" -> q52Sql,
