@@ -361,7 +361,13 @@ object Similarity {
       val next = scored
         .join(cands.select(col("query_id"), col("vec_id"), col("embedding")), Seq("query_id", "vec_id"))
         .select(col("query_id"), col("vec_id"), col("embedding"), lit(step.toLong).as("sel_rk"), col("score"))
-      all = all.unionByName(next)
+      // each step references `all` twice (remaining-set anti-join + the
+      // selected side of the similarity join), so an un-truncated plan
+      // doubles per step — 2^k analysis/execution blowup. The selection
+      // state is queries x step rows; materialize it and cut the lineage
+      // (measured: 7.3 s -> 3.0 s at sf0.1; the remainder is the greedy
+      // loop's per-round scheduling floor, same as connected components)
+      all = all.unionByName(next).localCheckpoint(true)
     }
     all.select(col("query_id"), col("sel_rk"), col("vec_id").as("neighbor_id"),
         round(col("score"), 4).as("mmr_score"))
