@@ -190,6 +190,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(got("hot") >= 400L - n / (k + 1), s"undercount bound violated: $got")
   }
 
+  test("q55 MMR: dense ranks, distinct picks, relevance-first, score dominated by pick 1") {
+    val mmr = graft.queries.Similarity.q55MmrRerank(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val brute1 = graft.queries.Similarity.q50KnnBrute(spark, sfDir)
+      .filter(col("rk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    mmr.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L), s"query $q dense sel_rk")
+      assert(rows.map(_._3).distinct.length == 4, s"query $q picks must be distinct")
+      val first = rows.find(_._2 == 1L).get
+      // step 1 is pure relevance, so it must equal brute-force rank 1
+      assert(first._3 == brute1(q), s"query $q first pick must be the top neighbor")
+      // score_i = 0.7*rel - 0.3*max_sim <= rel <= rel_1 = score_1
+      assert(rows.forall(_._4 <= first._4 + 1e-9), s"query $q score 1 must dominate")
+    }
+  }
+
   test("q48 chunk geometry tiles every document: stride layout and full coverage") {
     val chunks = graft.queries.TrainPrep.q48Chunking(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
