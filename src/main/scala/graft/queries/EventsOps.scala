@@ -187,6 +187,29 @@ object EventsOps {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q28: pattern-based redaction — the masking/scrubbing pass a
+    * training-data pipeline runs before payloads leave the trust boundary.
+    * Digit runs in the semi-structured `props` column are masked and the
+    * replacement count is kept for audit. Pure codegen'd `regexp_replace` /
+    * `regexp_extract_all` — a narrow projection that is scan-bound at any
+    * scale (the same shape covers emails/phones/ids: only the pattern
+    * changes; kept simple here so the regex dialect is identical between
+    * Java and the oracle's RE2).
+    */
+  def q28Redact(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    e.select(col("event_id"),
+        regexp_replace(col("props"), "[0-9]", "#").as("props_redacted"),
+        size(regexp_extract_all(col("props"), lit("[0-9]"), lit(0))).cast("long").as("n_masked"))
+      .orderBy(col("event_id"))
+  }
+
+  val q28Sql: String =
+    """SELECT event_id,
+      |  regexp_replace(props, '[0-9]', '#', 'g') AS props_redacted,
+      |  CAST(len(regexp_extract_all(props, '[0-9]')) AS BIGINT) AS n_masked
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** q95: time-series resample + forward-fill — regularize the irregular
     * event stream onto an hourly grid per user, carrying the last observed
     * value forward across gaps (the feature-store / training-window shape).
@@ -232,6 +255,7 @@ object EventsOps {
       |ORDER BY user_id, hour_ts""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_redact" -> q28Redact _,
     "q95_resample_ffill" -> q95ResampleFfill _,
     "q25_funnel" -> q25Funnel _,
     "q24_session_window" -> q24SessionWindow _,
@@ -242,6 +266,7 @@ object EventsOps {
     "q87_topk_native" -> q87TopKNative _)
 
   val oracles: Map[String, String] = Map(
+    "q28_redact" -> q28Sql,
     "q95_resample_ffill" -> q95Sql,
     "q25_funnel" -> q25Sql,
     "q24_session_window" -> q24Sql,

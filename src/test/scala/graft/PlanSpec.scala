@@ -153,6 +153,32 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles <= 2, s"chunk sampling must stay narrow, saw $shuffles shuffles")
   }
 
+  test("q49 packing: prefix-sum window and per-pack agg share one hash exchange") {
+    val df = TrainPrep.q49SequencePacking(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    // hash(lang) partitioning from the window satisfies the (lang, pack_id)
+    // clustering of the aggregation, so the whole operator is ONE hash
+    // shuffle (plus the final presentation sort)
+    assert("Exchange hashpartitioning".r.findAllIn(s).length == 1,
+      s"window and agg must share one hash exchange:\n$s")
+  }
+
+  test("q95 resample: grid hour axis is broadcast, two window passes, no event self-join") {
+    val df = EventsOps.q95ResampleFfill(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      s"the tiny hour axis must broadcast into the grid cross join:\n$s")
+    assert("Window \\[".r.findAllIn(s).length == 2,
+      s"exactly last-per-hour + forward-fill window passes expected:\n$s")
+    // Spark turns the rn=1 filter into a WindowGroupLimit: per-hour top-1
+    // is pruned partially BEFORE the shuffle — better than a full window
+    assert(s.contains("WindowGroupLimit"),
+      s"the rn=1 pick should plan as a group limit:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no unbroadcast cartesian allowed:\n$s")
+  }
+
   test("q84 train split: md5 bucketing is a pure projection, single aggregation shuffle") {
     val df = Curation.q84TrainSplit(spark, sfDir)
     df.collect()
