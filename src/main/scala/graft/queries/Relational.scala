@@ -408,6 +408,30 @@ object Relational {
       |  round(var_samp(l_discount), 4) AS var_disc
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q27: the SALTED skew-mitigation join, driver-checked — the Spark side
+    * runs [[graft.operators.SkewJoin.saltedJoin]] (hot keys split across
+    * `saltFactor` synthetic partitions, the other side replicated) and the
+    * oracle restates the PLAIN join: salting must be invisible in the
+    * result, which is exactly the property that makes it safe to deploy on
+    * a 100 TB key distribution you haven't profiled.
+    */
+  def q27SkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+    graft.operators.SkewJoin.saltedJoin(l, o, "l_orderkey", "o_orderkey", saltFactor = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q27Sql: String =
+    """SELECT o_orderpriority,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** q96: the full ranking-window surface in one pass — rank, dense_rank,
     * ntile, percent_rank, cume_dist, lag, lead over a per-customer order
     * timeline. One window definition, one shuffle on the partition key;
@@ -445,6 +469,7 @@ object Relational {
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_skew_salted" -> q27SkewSalted _,
     "q96_window_ranks" -> q96WindowRanks _,
     "q26_group_stats" -> q26GroupStats _,
     "q19_approx_sketches" -> q19ApproxSketches _,
@@ -468,6 +493,7 @@ object Relational {
     "q18_date_buckets" -> q18DateBuckets _)
 
   val oracles: Map[String, String] = Map(
+    "q27_skew_salted" -> q27Sql,
     "q96_window_ranks" -> q96Sql,
     "q26_group_stats" -> q26Sql,
     "q19_approx_sketches" -> q19Sql,
