@@ -107,28 +107,35 @@ object BatchJob {
     val runStore = sinks.runPath.map(p => new graft.ingest.BatchRunStore(spark, p))
     val runVersion = runStore.map(_.insert(runId, filePath, start))
 
-    val lines = textSource(spark, filePath)
-    val parsed: DataFrame = parser match {
-      case Parser.Csv(spec) => parseCsv(lines, spec)
-      case Parser.Fw(spec)  => parseFw(lines, spec)
-      case Parser.Custom(names, types, fn) => parseCustom(lines, names, types)(fn)
-    }
-    val routed = route(parsed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // The REST channel (P11): POST each SUCCESS-parsed record's JSON; its
-    // per-record HTTP outcome then drives the status rows and run counters,
-    // exactly like the reference counts `statusCode === 200`
-    // (lib/batchProcessing.js:679,700). Persisted because both the status
-    // sink and the counters consume it — recomputing would re-send.
-    val restResults = sinks.rest.map { ro =>
-      val dataCols = parsed.columns
-        .filterNot(Set("_file", "_rec_id", "_error").contains).map(col)
-      graft.ingest.RestSink
-        .send(successes(routed), col("_rec_id"), to_json(struct(dataCols.toIndexedSeq: _*)), ro)
-        .toDF()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
+    // The try opens IMMEDIATELY after the run-row insert: a missing input
+    // file or an AnalysisException thrown while CONSTRUCTING the pipeline
+    // (textSource/parse/route) must also finalize the run as FAILED, not
+    // leave it stuck at PROCESSING v1. The persisted frames are tracked in
+    // vars so the finally can unpersist whichever ones exist.
+    var routed: DataFrame = null
+    var restResults: Option[DataFrame] = None
     try {
+      val lines = textSource(spark, filePath)
+      val parsed: DataFrame = parser match {
+        case Parser.Csv(spec) => parseCsv(lines, spec)
+        case Parser.Fw(spec)  => parseFw(lines, spec)
+        case Parser.Custom(names, types, fn) => parseCustom(lines, names, types)(fn)
+      }
+      routed = route(parsed)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // The REST channel (P11): POST each SUCCESS-parsed record's JSON; its
+      // per-record HTTP outcome then drives the status rows and run counters,
+      // exactly like the reference counts `statusCode === 200`
+      // (lib/batchProcessing.js:679,700). Persisted because both the status
+      // sink and the counters consume it — recomputing would re-send.
+      restResults = sinks.rest.map { ro =>
+        val dataCols = parsed.columns
+          .filterNot(Set("_file", "_rec_id", "_error").contains).map(col)
+        graft.ingest.RestSink
+          .send(successes(routed), col("_rec_id"), to_json(struct(dataCols.toIndexedSeq: _*)), ro)
+          .toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
       sinks.targetPath.foreach { p =>
         successes(routed).drop("_error", "statusText")
           .withColumn("run_id", lit(runId))
@@ -187,8 +194,9 @@ object BatchJob {
         }
         throw e
     } finally {
+      // guard: a construction-phase failure may leave either frame unbuilt
       restResults.foreach(_.unpersist())
-      routed.unpersist()
+      if (routed != null) routed.unpersist()
     }
   }
 }

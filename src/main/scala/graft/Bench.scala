@@ -41,6 +41,10 @@ object Bench {
     // names, row counts, raw seconds) goes to BENCH_DETAIL.json on disk.
     def fmt(secs: Double): String = BigDecimal(secs)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // the compact line keys by qNN prefix — a duplicate prefix would emit
+    // duplicate JSON keys and last-wins parsing would drop a measurement
+    require(results.map(_._1.takeWhile(_ != '_')).distinct.size == results.size,
+      "duplicate qNN prefix among query names — compact bench keys would collide")
     val qs = results.map { case (k, secs, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt(secs)
     }.mkString("{", ",", "}")

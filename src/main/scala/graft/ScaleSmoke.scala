@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** 10× scale smoke for the dedup family: evidence that "bucketed, not
-  * all-pairs" holds beyond the driver's sf0.1.
+/** 10× scale smoke for the heavy pipelines: evidence that "bucketed, not
+  * all-pairs" (dedup) and "one bounded shuffle" (train-prep, re-rank) hold
+  * beyond the driver's sf0.1.
   *
   * Synthesizes an sf1-class documents table by tiling sf0.1 ten times with
   * (a) a doc_id offset per replica and (b) a per-replica alphabet ROTATION
@@ -15,6 +16,17 @@ import org.apache.spark.sql.functions._
   * should scale ~linearly in corpus size. (Naive tiling without the
   * rotation would make every replica a near-dup of every other and grow
   * the pair graph quadratically — a different workload, not a scale-up.)
+  * The embeddings table tiles with a vec_id offset (the q55 corpus); the
+  * query set (vec_id < 10) stays fixed, so the candidate stage scales with
+  * corpus size and the greedy loop must stay corpus-independent.
+  *
+  * A second, SKEWED 10× documents table forces every document into ONE
+  * language — the adversarial shape for per-lang prefix sums. q97's
+  * (lang, shard) composite key must stay ~linear on it (the whole point of
+  * sharded packing); q49's lang-only key is measured on the same corpus as
+  * the unsharded contrast row (reported, also ratio-gated — at test scale
+  * one 600k-row window task finishes, the 100 TB argument is the KEY, and
+  * the JSON shows the two keys side by side).
   *
   * Prints ONE JSON line with per-query seconds at 1× and 10×, the ratio,
   * and the 10× dropped-block/bucket tallies; exits non-zero if any query's
@@ -40,7 +52,23 @@ object ScaleSmoke {
     }
     reps.reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val embs = Tables(spark, baseDir, "embeddings")
+    (0 until Replicas).map { i =>
+      embs.select(embs.columns.toIndexedSeq.map {
+        case "vec_id" => (col("vec_id") + lit(i * IdStride)).as("vec_id")
+        case c        => col(c)
+      }: _*)
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
+
+  /** The skew corpus: the 10× documents with every row forced into ONE
+    * language — a 100%-dominant-language shape.
+    */
+  def synthesizeSkewed(spark: SparkSession, scaledDir: String, outDir: String): Unit =
+    Tables(spark, scaledDir, "documents")
+      .withColumn("lang", lit("zz"))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
   private def time(f: => Long): (Double, Long) = {
     val t0 = System.nanoTime()
@@ -60,30 +88,43 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
 
     val scaledDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale10x"
+    val skewedDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale10x_skew"
     synthesize(spark, baseDir, scaledDir)
+    synthesizeSkewed(spark, scaledDir, skewedDir)
 
-    val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-      "q40_dedup_minhash_lsh" -> queries_q40 _,
-      "q41_dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => graft.queries.Dedup.q41NgramJaccard(s, d)),
-      "q45_dedup_apply" -> (graft.queries.Dedup.q45DedupApply _),
+    // (name, query, the 10x-side directory it runs against)
+    val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+      ("q40_dedup_minhash_lsh", graft.queries.Dedup.q40MinhashLsh _, scaledDir),
+      ("q41_dedup_ngram_jaccard",
+        (s: SparkSession, d: String) => graft.queries.Dedup.q41NgramJaccard(s, d), scaledDir),
+      ("q45_dedup_apply", graft.queries.Dedup.q45DedupApply _, scaledDir),
       // iterative CC: 10x edges but the same cluster diameters (the
       // alphabet rotation keeps clusters replica-local), so rounds stay
       // constant and the loop should scale with the per-round joins
-      "q46_dedup_cc" -> (graft.queries.Dedup.q46DedupCC _),
+      ("q46_dedup_cc", graft.queries.Dedup.q46DedupCC _, scaledDir),
       // boilerplate spans: the explode + count-distinct shuffle grows 10x;
       // rotated replicas keep span frequencies replica-local, so the
       // boilerplate dictionary grows linearly, never quadratically
-      "q47_boilerplate_spans" -> (graft.queries.TrainPrep.q47BoilerplateSpans _))
+      ("q47_boilerplate_spans", graft.queries.TrainPrep.q47BoilerplateSpans _, scaledDir),
+      // train-prep packing: one prefix-sum shuffle — must scale with rows
+      ("q49_sequence_packing", graft.queries.TrainPrep.q49SequencePacking _, scaledDir),
+      // MMR: candidate stage linear in corpus, greedy loop corpus-independent
+      ("q55_mmr_rerank", graft.queries.Similarity.q55MmrRerank _, scaledDir),
+      // sharded packing under TOTAL language skew: the (lang, shard) key
+      // keeps the prefix sum fanned out when lang alone would be one task
+      ("q97_sharded_packing_skewed", graft.queries.TrainPrep.q97ShardedPacking _, skewedDir),
+      // the unsharded contrast row on the SAME skewed corpus
+      ("q49_packing_skewed", graft.queries.TrainPrep.q49SequencePacking _, skewedDir))
     // warm up codegen/session on the small side first
-    queries.foreach { case (_, fn) => fn(spark, baseDir).count() }
+    queries.foreach { case (_, fn, _) => fn(spark, baseDir).count() }
 
-    val results = queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn, bigDir) =>
       // each measurement times the COLD shared-stage build, not the
       // session memo of the MinHash candidate frame
       graft.queries.Dedup.clearCandidateCache()
       val (t1, r1) = time(fn(spark, baseDir).count())
       graft.queries.Dedup.clearCandidateCache()
-      val (t10, r10) = time(fn(spark, scaledDir).count())
+      val (t10, r10) = time(fn(spark, bigDir).count())
       (name, t1, t10, r1, r10)
     }
     val dropped10 = graft.queries.Dedup.q41DroppedBlocks(spark, scaledDir).count()
@@ -104,7 +145,4 @@ object ScaleSmoke {
     }
     spark.stop()
   }
-
-  private def queries_q40(s: SparkSession, d: String): DataFrame =
-    graft.queries.Dedup.q40MinhashLsh(s, d)
 }

@@ -4,6 +4,36 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness.
+    */
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** The full oracle map as a JSON object, with runtime placeholders
+    * (per-sf loser paths) resolved for `sfDir` — shared by the driver dump
+    * below and the in-build oracle type lint (OracleLintSpec).
+    */
+  def oracleJson(sfDir: String): String = {
+    val tokens = Seq(
+      graft.queries.Dedup.Q45LosersToken -> graft.queries.Dedup.q45LosersPathFor(sfDir),
+      graft.queries.Dedup.Q46LosersToken -> graft.queries.Dedup.q46LosersPathFor(sfDir))
+    SparkEntry.oracleSql
+      .map { case (k, v) =>
+        val sql = tokens.foldLeft(v) { case (s, (tok, path)) => s.replace(tok, path) }
+        s"${q(k)}: ${q(sql)}"
+      }.mkString("{", ",", "}")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -31,29 +61,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     // resolve runtime placeholders (per-sf loser paths) so the dumped SQL
     // is correct for THIS run's scale factor
-    val tokens = Seq(
-      graft.queries.Dedup.Q45LosersToken -> graft.queries.Dedup.q45LosersPathFor(sfDir),
-      graft.queries.Dedup.Q46LosersToken -> graft.queries.Dedup.q46LosersPathFor(sfDir))
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) =>
-        val sql = tokens.foldLeft(v) { case (s, (tok, path)) => s.replace(tok, path) }
-        s"${q(k)}: ${q(sql)}"
-      }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson(sfDir))
     spark.stop()
   }
 }

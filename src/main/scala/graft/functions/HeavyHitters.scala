@@ -131,11 +131,34 @@ case class MisraGriesTopK(
 
 object HeavyHitters {
 
+  /** Resolve the `k` argument of `mg_topk(col, k)`: must be a foldable
+    * integral literal > 0. INT and BIGINT literals both work (a bare
+    * `CAST(64 AS BIGINT)` previously died in an opaque ClassCastException);
+    * anything else fails with an error naming the function.
+    */
+  def resolveK(e: Expression): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        "mg_topk(col, k): k must be a foldable integer literal, got " + e.sql)
+    val k = e.eval() match {
+      case i: Int  => i.toLong
+      case l: Long => l
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case other => throw new IllegalArgumentException(
+        "mg_topk(col, k): k must be an integer literal, got " +
+          (if (other == null) "NULL" else other.getClass.getSimpleName) + s" (${e.sql})")
+    }
+    if (k <= 0 || k > Int.MaxValue)
+      throw new IllegalArgumentException(
+        s"mg_topk(col, k): k must be in [1, ${Int.MaxValue}], got $k")
+    k.toInt
+  }
+
   /** Register `mg_topk(col, k)` in the session registry (idempotent). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("mg_topk",
       { exprs: Seq[Expression] =>
-        val k = exprs(1).eval().asInstanceOf[Int]
-        MisraGriesTopK(exprs(0), k)
+        MisraGriesTopK(exprs(0), resolveK(exprs(1)))
       }, "built-in")
 }

@@ -133,7 +133,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("mg_topk"),
       new ExpressionInfo(classOf[MisraGriesTopK].getName, "mg_topk"),
       (exprs: Seq[Expression]) =>
-        MisraGriesTopK(exprs(0), exprs(1).eval().asInstanceOf[Int])))
+        MisraGriesTopK(exprs(0), HeavyHitters.resolveK(exprs(1)))))
     // whole-operator extension: the bounded-heap top-k-per-key physical
     // operator (graft.plans.TopKPerKey) planned session-wide
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

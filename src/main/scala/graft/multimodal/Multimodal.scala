@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * The Spark-side architecture is real and tested — schema contract,
   * partition sizing, batched decode via `mapPartitions` (the Scala analogue
   * of Python's `mapInPandas`: one decoder instantiation per partition, not
-  * per row), feature columns as `array<float>`. The actual codec call is
-  * stubbed behind [[MediaDecoder]] (no image/audio libs in this
-  * environment) with a deterministic fake for tests; swapping in a real
-  * JNI/Java decoder is a one-class change.
+  * per row), feature columns as `array<float>`. All three modalities decode
+  * with REAL zero-dependency JDK codecs: [[ImageCodec]] (PNG via
+  * `javax.imageio`), [[AudioCodec]] (WAV PCM via `javax.sound.sampled`),
+  * [[VideoCodec]] (multi-frame animated GIF via `javax.imageio`). The
+  * generic [[MediaDecoder]] seam stays pluggable for heavier external
+  * codecs (FFmpeg JNI etc.); [[FakeDecoder]] is its deterministic test
+  * stand-in.
   */
 object Multimodal {
 
@@ -154,8 +157,7 @@ object Multimodal {
   /** Real JDK audio codec — `javax.sound.sampled` writes and reads WAV
     * (16-bit mono PCM) with zero external deps: the audio analogue of
     * [[ImageCodec]], making the audio leg of the multimodal pipeline honest
-    * end-to-end. Video remains the documented stub (no container parser in
-    * the JDK).
+    * end-to-end. The video leg uses [[VideoCodec]] (animated GIF frames).
     */
   object AudioCodec {
 
@@ -203,6 +205,80 @@ object Multimodal {
         case _: javax.sound.sampled.UnsupportedAudioFileException => None
         case _: java.io.IOException => None
       }
+  }
+
+  /** Real JDK "video" codec: animated GIF via `javax.imageio` — the one
+    * multi-frame container the JDK reads AND writes with zero external
+    * deps. This makes the frame-extraction leg of the video pipeline honest
+    * end-to-end (decode → per-frame geometry → frame sampling); a real
+    * deployment slots an MP4/FFmpeg demuxer behind the same seam, the
+    * Spark-side shape (narrow per-partition decode, one row per frame)
+    * is identical.
+    */
+  object VideoCodec {
+
+    /** Deterministic synthetic animated GIF: `nFrames` frames of `w`x`h`,
+      * frame f's pixels keyed on (x, y, f, seed). Geometry (frame count,
+      * per-frame width/height) is recomputable from the seed alone while
+      * the bytes round-trip a REAL multi-frame encoder — same honesty
+      * pattern as [[ImageCodec.synthPng]] / [[AudioCodec.synthWav]].
+      * (Pixel VALUES are not asserted: GIF is palette-quantized.)
+      */
+    def synthGif(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = ((x * 31 + y * 17 + f * 53 + seed) % 256).toInt & 0xff
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
+      bos.toByteArray
+    }
+
+    /** Decode every frame's (width, height) from a multi-frame payload, in
+      * frame order; None when no registered reader recognizes the bytes.
+      */
+    def frameDims(payload: Array[Byte]): Option[Seq[(Int, Int)]] =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); None }
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            Some((0 until n).map { i =>
+              val img = reader.read(i)
+              (img.getWidth, img.getHeight)
+            })
+          } finally {
+            reader.dispose()
+            iis.close()
+          }
+        }
+      } catch { case _: java.io.IOException => None }
   }
 
   /** Byte-sampling fallback for payloads NO registered codec can decode

@@ -20,16 +20,31 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * the discarded 99.9% dominates. [[TopKPerKeyExec]] declares the same
   * `ClusteredDistribution` (so EnsureRequirements plans the one required
   * hash exchange) but replaces sort+rank with a single streaming pass
-  * holding a bounded heap per key: time O(n log k) with no sort buffer,
-  * memory O(distinct keys in partition × k) — the shape that survives a
-  * 1000-executor scale-up.
+  * holding a bounded heap per key: time O(n log k) with no sort buffer.
+  *
+  * MEMORY BOUND: the in-memory state is at most `maxKeys` keys × (k row
+  * copies + heap/map overhead) — with the default cap of 2^20 keys, k = 10
+  * and 100-byte rows that is ~1 GB worst case; size `maxKeys` to the
+  * executor when rows are wider. When a partition holds MORE distinct keys
+  * than `maxKeys`, the operator does NOT grow (the failure mode the window
+  * idiom survives by spilling its sort): rows of keys first seen after the
+  * cap is reached are spilled RAW to a local temp file, and the file is
+  * re-processed with a fresh bounded map after the in-map keys emit. A key
+  * is either fully heap-processed in some pass or fully deferred to a later
+  * one (admission happens only on first sight), so each pass completes
+  * ≥ maxKeys keys exactly and the recursion terminates in
+  * ⌈distinctKeys / maxKeys⌉ passes — memory stays O(maxKeys × k) while
+  * extra I/O is paid only by the overflow tail (zero spill on the normal
+  * path).
   */
 final case class TopKPerKeyNode(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    maxKeys: Int,
     child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
+  require(maxKeys > 0, s"maxKeys must be positive, got $maxKeys")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
@@ -39,8 +54,8 @@ final case class TopKPerKeyNode(
 /** Planner rule: the logical node has exactly one physical realization. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case TopKPerKeyNode(keys, order, k, maxKeys, child) =>
+      TopKPerKeyExec(keys, order, k, maxKeys, planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -49,6 +64,7 @@ final case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    maxKeys: Int,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -70,8 +86,12 @@ final case class TopKPerKeyExec(
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    val maxK = maxKeys
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, schema)
+      // identity projection: guarantees an UnsafeRow for the spill encoder
+      // even if an upstream operator emits another InternalRow flavor
+      val toUnsafe = UnsafeProjection.create(schema.map(a => a: Expression), schema)
       // codegen'd comparator following the requested sort order: rows that
       // compare SMALLER are "better" (earlier in the sorted output)
       val cmp = GenerateOrdering.generate(sortOrder, schema)
@@ -81,22 +101,76 @@ final case class TopKPerKeyExec(
       val worstFirst = new Ordering[InternalRow] {
         override def compare(a: InternalRow, b: InternalRow): Int = cmp.compare(a, b)
       }
-      val heaps = scala.collection.mutable.LinkedHashMap
-        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val key = keyProj(row) // reused buffer: copy only on first sight
-        heaps.get(key) match {
-          case Some(pq) =>
-            if (pq.size < limit) pq.enqueue(row.copy())
-            else if (cmp.compare(row, pq.head) < 0) { pq.dequeue(); pq.enqueue(row.copy()) }
-          case None =>
-            val pq = scala.collection.mutable.PriorityQueue.empty[InternalRow](worstFirst)
-            pq.enqueue(row.copy())
-            heaps.put(key.copy(), pq)
+      val nFields = schema.length
+      val spillFiles = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          spillFiles.foreach(f => if (f.exists()) f.delete())
+        })
+
+      def readSpill(f: java.io.File): Iterator[InternalRow] = {
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(new java.io.FileInputStream(f), 1 << 16))
+        new Iterator[InternalRow] {
+          private var nextSize = readSize()
+          private def readSize(): Int =
+            try in.readInt()
+            catch { case _: java.io.EOFException => in.close(); -1 }
+          override def hasNext: Boolean = nextSize >= 0
+          override def next(): InternalRow = {
+            val bytes = new Array[Byte](nextSize)
+            in.readFully(bytes)
+            val row = new UnsafeRow(nFields)
+            row.pointTo(bytes, nextSize)
+            nextSize = readSize()
+            row
+          }
         }
       }
-      // per key, emit best-first (dequeueAll yields worst-first)
-      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+
+      // One bounded pass: heap-process the first maxK keys seen; spill the
+      // raw rows of every later-arriving key; recurse on the spill. A key's
+      // rows are never split across the map and the spill (admission is
+      // decided once, at first sight), so per-pass emissions are exact.
+      def boundedPass(rows: Iterator[InternalRow]): Iterator[InternalRow] = {
+        val heaps = scala.collection.mutable.LinkedHashMap
+          .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+        var spillFile: java.io.File = null
+        var spillOut: java.io.DataOutputStream = null
+        val writeBuffer = new Array[Byte](4096)
+        rows.foreach { row =>
+          val key = keyProj(row) // reused buffer: copy only on first sight
+          heaps.get(key) match {
+            case Some(pq) =>
+              if (pq.size < limit) pq.enqueue(row.copy())
+              else if (cmp.compare(row, pq.head) < 0) { pq.dequeue(); pq.enqueue(row.copy()) }
+            case None if heaps.size < maxK =>
+              val pq = scala.collection.mutable.PriorityQueue.empty[InternalRow](worstFirst)
+              pq.enqueue(row.copy())
+              heaps.put(key.copy(), pq)
+            case None =>
+              if (spillOut == null) {
+                spillFile = java.io.File.createTempFile("graft-topk-spill-", ".bin")
+                spillFiles += spillFile
+                spillOut = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+                  new java.io.FileOutputStream(spillFile), 1 << 16))
+              }
+              val u = row match {
+                case ur: UnsafeRow => ur
+                case other => toUnsafe(other)
+              }
+              spillOut.writeInt(u.getSizeInBytes)
+              u.writeToStream(spillOut, writeBuffer)
+          }
+        }
+        if (spillOut != null) spillOut.close()
+        // per key, emit best-first (dequeueAll yields worst-first)
+        val emitted = heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+        if (spillFile == null) emitted
+        else emitted ++ boundedPass(readSpill(spillFile))
+      }
+
+      boundedPass(iter)
     }, preservesPartitioning = true)
   }
 }
@@ -108,15 +182,23 @@ final case class TopKPerKeyExec(
   */
 object TopK {
 
+  /** Default in-memory key cap per partition (see the memory-bound note on
+    * [[TopKPerKeyNode]]): 2^20 keys × k rows each. Raise for small rows /
+    * big executors, lower for very wide rows.
+    */
+  val DefaultMaxKeys: Int = 1 << 20
+
   /** Top `k` rows per `keyCols` group ordered by `orderCols`
     * ((column, ascending) pairs — give a total order, e.g. a unique
-    * tiebreak column, for deterministic output).
+    * tiebreak column, for deterministic output). `maxKeys` caps the
+    * per-partition in-memory key map; overflow keys defer to spill passes.
     */
   def perKey(
       df: DataFrame,
       keyCols: Seq[String],
       orderCols: Seq[(String, Boolean)],
-      k: Int): DataFrame = {
+      k: Int,
+      maxKeys: Int = DefaultMaxKeys): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
@@ -129,6 +211,6 @@ object TopK {
       SortOrder(attr(c), if (asc) Ascending else Descending)
     }
     org.apache.spark.sql.classic.GraftPlanBridge.ofRows(
-      spark, TopKPerKeyNode(keyCols.map(attr), order, k, analyzed))
+      spark, TopKPerKeyNode(keyCols.map(attr), order, k, maxKeys, analyzed))
   }
 }

@@ -219,6 +219,10 @@ object EventsOps {
     * size, so nothing here is super-linear — and the fill is one more
     * window pass partitioned by user. No self-joins, no per-user driver
     * loops; at 100 TB the grid cross join broadcasts the tiny hour axis.
+    *
+    * The hour axis is DERIVED from the data (one-row min/max agg broadcast
+    * as a cross join, the q94 scalar-subquery idiom) — no fixture-bound
+    * date literals, so the operator is correct on any input range.
     */
   def q95ResampleFfill(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "events")
@@ -229,8 +233,11 @@ object EventsOps {
       .withColumn("rn", row_number().over(pick))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("h"), col("value").as("v_last"))
-    val hours = spark.range(1).select(explode(expr(
-      "sequence(timestamp'2024-01-01 00:00:00', timestamp'2024-01-03 23:00:00', interval 1 hour)")).as("h"))
+    val bounds = e.agg(
+      date_trunc("hour", min(col("ts"))).as("h_lo"),
+      date_trunc("hour", max(col("ts"))).as("h_hi"))
+    val hours = bounds.select(explode(
+      expr("sequence(h_lo, h_hi, interval 1 hour)")).as("h"))
     val grid = e.select(col("user_id")).distinct().crossJoin(broadcast(hours))
     val fill = Window.partitionBy(col("user_id")).orderBy(col("h"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -247,7 +254,9 @@ object EventsOps {
       |      row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC) AS rn
       |    FROM events) WHERE rn = 1),
       |users AS (SELECT DISTINCT user_id FROM events),
-      |grid AS (SELECT user_id, unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-03 23:00:00', INTERVAL 1 HOUR)) AS h FROM users)
+      |bounds AS (SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS h_lo,
+      |                  CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS h_hi FROM events),
+      |grid AS (SELECT user_id, unnest(generate_series(h_lo, h_hi, INTERVAL 1 HOUR)) AS h FROM users, bounds)
       |SELECT g.user_id, epoch_us(g.h) // 1000000 AS hour_ts,
       |  last_value(v_last IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.h
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill

@@ -202,7 +202,62 @@ object IngestOps {
     """SELECT CAST(s_suppkey AS DOUBLE) AS s_suppkey, s_acctbal
       |FROM supplier WHERE s_suppkey % 5 <> 0 ORDER BY s_suppkey""".stripMargin
 
+  /** q89: the STREAMING job lifecycle as a driver-checked row — a bounded
+    * replay of [[graft.streaming.EventStream.csvIngestStream]] over a
+    * deterministic fixture. The fixture (customer CSV lines, every 10th
+    * acctbal corrupted — q62's corruption) is written as FOUR text files and
+    * streamed with `maxFilesPerTrigger = 2`, so the replay crosses at least
+    * two real micro-batches; each micro-batch's routed records append
+    * per-record (c_custkey, status_text) via `foreachBatch` — the same
+    * incremental path a production stream runs — and the merged sink must
+    * equal the oracle's one-shot relational restatement over the same
+    * fixture, regardless of how the files were batched.
+    *
+    * Everything is re-runnable: fixture/checkpoint/sink live under a per-sf
+    * tmp root wiped at entry, so a second call replays from scratch.
+    */
+  def q89StreamReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q89_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val watch = s"$base/watch"
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    val baseDir = new java.io.File(base)
+    if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+    Tables(spark, dir, "customer").select(
+        concat_ws(",",
+          col("c_custkey").cast("string"),
+          when(col("c_custkey") % 10 === 0, lit("notanum"))
+            .otherwise(col("c_acctbal").cast("string"))).as("value"))
+      .repartition(4)
+      .write.text(watch)
+    val spec = CsvSpec(
+      headers = Vector("c_custkey", "c_acctbal"),
+      types = Some(Vector("number", "number")))
+    val q = graft.streaming.EventStream.csvIngestStream(spark, watch, spec, maxFilesPerTrigger = 2)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // c_custkey survives on FAILED rows: the corruption is in the LAST
+        // field and parse retains fields before the first error, so every
+        // status row keys back to its source record
+        batch.select(col("c_custkey"), col("statusText").as("status_text"))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(out).orderBy(col("c_custkey"), col("status_text"))
+  }
+
+  val q89Sql: String =
+    """SELECT CAST(c_custkey AS DOUBLE) AS c_custkey,
+      |  CASE WHEN c_custkey % 10 = 0 THEN 'FAILED' ELSE 'SUCCESS' END AS status_text
+      |FROM customer ORDER BY c_custkey, status_text""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_stream_replay" -> q89StreamReplay _,
     "q66_custom_parser" -> q66CustomParser _,
     "q60_csv_roundtrip" -> q60CsvRoundtrip _,
     "q61_fw_roundtrip" -> q61FwRoundtrip _,
@@ -212,6 +267,7 @@ object IngestOps {
     "q65_batch_status" -> q65BatchStatus _)
 
   val oracles: Map[String, String] = Map(
+    "q89_stream_replay" -> q89Sql,
     "q66_custom_parser" -> q66Sql,
     "q60_csv_roundtrip" -> q60Sql,
     "q61_fw_roundtrip" -> q61Sql,

@@ -150,13 +150,53 @@ object MultimodalOps {
       |FROM documents WHERE doc_id % 10 = 0
       |GROUP BY rate ORDER BY rate""".stripMargin
 
+  /** Honest end-to-end VIDEO pipeline with a REAL multi-frame codec (JDK
+    * animated GIF — the one container `javax.imageio` both writes and
+    * reads): synthesize an animated GIF per selected doc with frame count
+    * and geometry keyed on doc_id, decode EVERY frame back, and emit one
+    * row per decoded frame with its decoded dimensions. The oracle restates
+    * frame fan-out and geometry arithmetically from doc_id — a stubbed
+    * decode (or a reader that missed frames) would break the per-row
+    * equality. Narrow per-partition codec pass; frame explosion happens
+    * executor-side (no shuffle until the final sort).
+    */
+  def q88VideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val w = 12 + (id % 11).toInt
+        val h = 12 + (id % 7).toInt
+        val nf = 2 + (id % 3).toInt
+        val gif = Multimodal.VideoCodec.synthGif(w, h, nf, id)
+        val frames = Multimodal.VideoCodec.frameDims(gif).getOrElse(Seq.empty)
+        frames.zipWithIndex.map { case ((fw, fh), i) =>
+          (id, i.toLong, fw.toLong, fh.toLong, frames.length.toLong)
+        }
+      }
+      .toDF("media_id", "frame_idx", "frame_w", "frame_h", "n_frames")
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  val q88Sql: String =
+    """SELECT doc_id AS media_id,
+      |  unnest(range(0, 2 + doc_id % 3)) AS frame_idx,
+      |  CAST(12 + doc_id % 11 AS BIGINT) AS frame_w,
+      |  CAST(12 + doc_id % 7 AS BIGINT) AS frame_h,
+      |  CAST(2 + doc_id % 3 AS BIGINT) AS n_frames
+      |FROM documents WHERE doc_id % 10 = 0
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_media_stats" -> q83MediaStats _,
     "q85_image_resize" -> q85ImageResize _,
-    "q86_audio_stats" -> q86AudioStats _)
+    "q86_audio_stats" -> q86AudioStats _,
+    "q88_video_frames" -> q88VideoFrames _)
 
   val oracles: Map[String, String] = Map(
     "q83_media_stats" -> q83Sql,
     "q85_image_resize" -> q85Sql,
-    "q86_audio_stats" -> q86Sql)
+    "q86_audio_stats" -> q86Sql,
+    "q88_video_frames" -> q88Sql)
 }

@@ -329,6 +329,10 @@ object Similarity {
     // than the 0.3 literal DuckDB parses, and the score hash would drift
     val lam = 0.7
     val oneMinusLam = 0.3
+    // snapshot so every block the greedy loop persists/checkpoints can be
+    // released before returning — a long-lived session must not accumulate
+    // candidate caches per invocation (r4 ADVICE)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val corpus = Tables(spark, dir, "embeddings")
     val q = queriesSet(spark, dir)
     val wTop = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("vec_id"))
@@ -369,9 +373,22 @@ object Similarity {
       // loop's per-round scheduling floor, same as connected components)
       all = all.unionByName(next).localCheckpoint(true)
     }
-    all.select(col("query_id"), col("sel_rk"), col("vec_id").as("neighbor_id"),
+    val out = all.select(col("query_id"), col("sel_rk"), col("vec_id").as("neighbor_id"),
         round(col("score"), 4).as("mmr_score"))
       .orderBy(col("query_id"), col("sel_rk"))
+    // The selection is |queries| x k rows BY CONSTRUCTION — independent of
+    // corpus size — so it is safe to re-root the result as a local relation
+    // and release every block this call persisted (the candidate cache and
+    // each step's localCheckpoint; a checkpointed RDD cannot be unpersisted
+    // while a returned frame still depends on it, hence the re-root). Net
+    // persisted RDDs across a call: zero (asserted in OperatorsSpec).
+    val rows = out.collect()
+    cands.unpersist(blocking = true)
+    val sc = spark.sparkContext
+    (sc.getPersistentRDDs.keySet -- persistedBefore).foreach { id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true))
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   /** The oracle restates the same unrolled greedy selection as chained

@@ -186,13 +186,72 @@ object TrainPrep {
        |  min(doc_id) AS doc_lo, max(doc_id) AS doc_hi
        |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin
 
+  /** Shard fan-out inside each language for q97. */
+  val NShards = 8
+
+  /** q97: SHARDED sequence packing — the skew-proof variant of [[q49SequencePacking]]
+    * for corpora where one language dominates (a 90%-English 100 TB corpus
+    * would serialize q49's per-lang prefix sum through ONE task). Documents
+    * shard by a hash of doc_id WITHIN each language, the prefix sum runs per
+    * (lang, shard), and a pack's identity is (lang, shard, pack_id) — every
+    * shard fills its own budget bins independently, so the window
+    * parallelism is langs x [[NShards]] regardless of language skew, and the
+    * assignment stays recomputable from (doc_id, token count) alone (no
+    * driver state, reproducible shards).
+    *
+    * The shard hash is the md5-60bit family shared with the oracle (the
+    * dedup/banding trick): both engines compute
+    * `int(md5(doc_id)[0:15 hex]) % NShards`, so DuckDB restates the exact
+    * shard arithmetic. At a real deployment NShards scales with
+    * dominant-language volume / target-task size (SURVEY §9).
+    */
+  def q97ShardedPacking(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    d.select(col("doc_id"), col("lang"),
+        TextOps.regexTokenCount(col("text")).cast("long").as("n_toks"))
+      .withColumn("shard",
+        expr(s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % $NShards"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      // integer div for the same 2^53 reason as q49
+      .withColumn("pack_id", expr(s"(cum - n_toks) div $PackBudget"))
+      .groupBy(col("lang"), col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("pack_toks"),
+        min(col("doc_id")).as("doc_lo"),
+        max(col("doc_id")).as("doc_hi"))
+      .orderBy(col("lang"), col("shard"), col("pack_id"))
+  }
+
+  val q97Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_toks,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % $NShards AS shard
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, shard, n_toks,
+       |    CAST(sum(n_toks) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM t)
+       |SELECT lang, shard,
+       |  CAST((cum - n_toks) // $PackBudget AS BIGINT) AS pack_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS pack_toks,
+       |  min(doc_id) AS doc_lo, max(doc_id) AS doc_hi
+       |FROM c GROUP BY lang, shard, pack_id ORDER BY lang, shard, pack_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_boilerplate_spans" -> q47BoilerplateSpans _,
     "q48_chunking" -> q48Chunking _,
-    "q49_sequence_packing" -> q49SequencePacking _)
+    "q49_sequence_packing" -> q49SequencePacking _,
+    "q97_sharded_packing" -> q97ShardedPacking _)
 
   val oracles: Map[String, String] = Map(
     "q47_boilerplate_spans" -> q47Sql,
     "q48_chunking" -> q48Sql,
-    "q49_sequence_packing" -> q49Sql)
+    "q49_sequence_packing" -> q49Sql,
+    "q97_sharded_packing" -> q97Sql)
 }

@@ -207,6 +207,34 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("q55 MMR releases every block it persists: no net cached RDDs per call") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = graft.queries.Similarity.q55MmrRerank(spark, sfDir)
+    assert(out.count() == 40L, "10 queries x 4 picks expected")
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"q55 left persisted RDDs behind: ${leaked.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("TopK.perKey with maxKeys far below distinct keys spills and matches the window idiom") {
+    import org.apache.spark.sql.expressions.Window
+    // ~5000 distinct keys against a 64-key in-memory cap: every partition
+    // is forced through many spill passes and must still emit exactly the
+    // window idiom's rows
+    val e = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("k", col("event_id") % 5000)
+    val got = graft.plans.TopK
+      .perKey(e.repartition(3), Seq("k"), Seq("value" -> false, "event_id" -> true),
+        k = 2, maxKeys = 64)
+      .collect().map(_.toSeq).toSet
+    val w = Window.partitionBy(col("k")).orderBy(col("value").desc, col("event_id"))
+    val want = e.withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+      .drop("rk").collect().map(_.toSeq).toSet
+    assert(got == want, "spill path diverged from the window idiom")
+  }
+
   test("q48 chunk geometry tiles every document: stride layout and full coverage") {
     val chunks = graft.queries.TrainPrep.q48Chunking(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq

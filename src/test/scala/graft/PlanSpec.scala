@@ -164,6 +164,22 @@ class PlanSpec extends SparkTestBase {
       s"window and agg must share one hash exchange:\n$s")
   }
 
+  test("q97 sharded packing: ONE exchange, keyed on (lang, shard) — the skew-proof key") {
+    val df = TrainPrep.q97ShardedPacking(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    // the prefix-sum window partitions by (lang, shard) and the per-pack
+    // aggregation reuses that clustering, so — like q49 — the operator is
+    // ONE hash shuffle; unlike q49, the key fans a dominant language out
+    // across NShards tasks
+    val hashEx = "Exchange hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(s).toSeq
+    assert(hashEx.length == 1,
+      s"window and agg must share one hash exchange:\n$s")
+    val key = hashEx.head.group(1)
+    assert(key.contains("lang") && key.contains("shard"),
+      s"exchange must be keyed on (lang, shard), got: $key\n$s")
+  }
+
   test("q95 resample: grid hour axis is broadcast, two window passes, no event self-join") {
     val df = EventsOps.q95ResampleFfill(spark, sfDir)
     df.collect()
