@@ -376,12 +376,19 @@ object Dedup {
     * duplicate" chains must collapse into ONE surviving doc per cluster,
     * vs [[dedupDocuments]]'s single-sweep greedy policy.
     *
-    * Scale shape: each propagation step is one shuffled equi-join + one
-    * min-agg, and each DRIVER round composes two steps into a single
-    * action, so convergence needs O(graph diameter) steps but only half
-    * that many scheduling round-trips (near-dup clusters are shallow — a
-    * handful of steps), and the driver only ever sees a changed-count.
+    * Scale shape: each iteration is one shuffled equi-join + one min-agg;
+    * convergence needs O(graph diameter) rounds (near-dup clusters are
+    * shallow — a handful), and the driver only ever sees a changed-count.
     * This is the Pregel-style iteration Spark runs driver-coordinated.
+    *
+    * MEASURED AND REJECTED: composing TWO propagation steps per driver
+    * action (to halve the per-round scheduling floor) made sf0.1 q46 go
+    * 7.5 s → 13.1 s. The step-1 labels feed BOTH step-2 branches (the join
+    * and the union), and a lazily-persisted frame referenced twice inside
+    * ONE action computes twice — the cache only helps ACROSS actions, and
+    * exchange reuse does not cover the post-shuffle aggregate. Forcing the
+    * intermediate with its own count() restores one action per step, i.e.
+    * the original loop. One step per action is the floor-minimal shape.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // Explode each pair into both directed edges in ONE scan — a self-union
@@ -405,33 +412,19 @@ object Dedup {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      // TWO min-label propagation steps composed per driver action: at
-      // small scale each action pays a fixed ~1 s planning/scheduling
-      // floor, so folding two steps into one materialized plan halves the
-      // floor without changing the fixed point. The intermediate step-1
-      // labels are (lazily) persisted because BOTH step-2 branches consume
-      // them — the cache makes the doubled reference one compute, and it is
-      // dropped as soon as the action finishes.
-      val l1 = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("comp"))
-        .union(labels.select(col("id"), col("comp")))
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // step 2 carries step-1's label in `own` (null on neighbor rows), so
-      // min(comp) is the propagated label and max(own) the step-1 one — the
-      // convergence count sees any SECOND-step change. Zero second-step
-      // changes means step 1 already reached the fixed point (propagation
-      // is monotone), so stopping there is exact.
-      val contrib = edges.join(l1, edges("dst") === l1("id"))
+      // One join + one aggregation per round: each node's self row carries
+      // its current label in `own` (null on neighbor rows), so min(comp)
+      // gives the propagated label and max(own) recovers the old one —
+      // no second join to detect convergence.
+      val contrib = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("comp"), lit(null).cast("long").as("own"))
-        .union(l1.select(col("id"), col("comp"), col("comp").as("own")))
+        .union(labels.select(col("id"), col("comp"), col("comp").as("own")))
       val next = contrib.groupBy(col("id"))
         .agg(min(col("comp")).as("newComp"), max(col("own")).as("oldComp"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // ONE driver action per round: the convergence count also
-      // materializes `next`, so the parent caches can be dropped safely
+      // materializes `next`, so the parent cache can be dropped safely
       changed = next.filter(col("newComp") < col("oldComp")).count()
-      l1.unpersist()
       cached.unpersist()
       cached = next
       labels = next.select(col("id"), col("newComp").as("comp"))
