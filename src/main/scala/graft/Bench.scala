@@ -18,7 +18,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: any WARN line landing between queries eats into the
+    // driver's ~2000-char output tail and can push the result line out
+    spark.sparkContext.setLogLevel("ERROR")
     // warm up the session: scheduler, codegen compiler (incl. the
     // regex/explode-heavy text pipeline shapes), parquet footer reads
     spark.range(1000000L).selectExpr("sum(id)").collect()

@@ -110,6 +110,16 @@ object ScaleSmoke {
       ("q49_sequence_packing", graft.queries.TrainPrep.q49SequencePacking _, scaledDir),
       // MMR: candidate stage linear in corpus, greedy loop corpus-independent
       ("q55_mmr_rerank", graft.queries.Similarity.q55MmrRerank _, scaledDir),
+      // BM25: term-filtered postings + broadcasts — must stay scan-bound
+      ("q56_bm25_search", graft.queries.CorpusOps.q56Bm25 _, scaledDir),
+      // decontamination: corpus explode grows 10x; the benchmark dictionary
+      // (every-37th doc) also tiles 10x here, so this measures the
+      // WORST-case variant (real eval sets stay fixed while the corpus
+      // grows, which can only be cheaper)
+      ("q58_decontaminate", graft.queries.CorpusOps.q58Decontaminate _, scaledDir),
+      // k-means step: broadcast model + scan-side argmax + one rollup —
+      // must scale with the corpus scan
+      ("q67_kmeans_step", graft.queries.Similarity.q67KmeansStep _, scaledDir),
       // sharded packing under TOTAL language skew: the (lang, shard) key
       // keeps the prefix sum fanned out when lang alone would be one task
       ("q97_sharded_packing_skewed", graft.queries.TrainPrep.q97ShardedPacking _, skewedDir),

@@ -155,10 +155,16 @@ object HeavyHitters {
     k.toInt
   }
 
-  /** Register `mg_topk(col, k)` in the session registry (idempotent). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction("mg_topk",
-      { exprs: Seq[Expression] =>
-        MisraGriesTopK(exprs(0), resolveK(exprs(1)))
-      }, "built-in")
+  /** Register `mg_topk(col, k)` in the session registry (idempotent —
+    * skip-if-present so repeated calls don't log replacement WARNs into
+    * the driver's bounded output tail).
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("mg_topk")))
+      reg.createOrReplaceTempFunction("mg_topk",
+        { exprs: Seq[Expression] =>
+          MisraGriesTopK(exprs(0), resolveK(exprs(1)))
+        }, "built-in")
+  }
 }

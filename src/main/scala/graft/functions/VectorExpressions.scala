@@ -102,10 +102,16 @@ object VectorExpressions {
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cosine_similarity",
-      { exprs: Seq[Expression] => CosineSimilarity(exprs(0), exprs(1)) }, "built-in")
-    reg.createOrReplaceTempFunction("dot_product",
-      { exprs: Seq[Expression] => DotProduct(exprs(0), exprs(1)) }, "built-in")
+    // skip-if-present: createOrReplaceTempFunction logs a WARN per
+    // replacement, and query fns call register() per invocation — 90
+    // queries of WARN lines were enough to push the bench's one-line JSON
+    // out of the driver's bounded output tail
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity")))
+      reg.createOrReplaceTempFunction("cosine_similarity",
+        { exprs: Seq[Expression] => CosineSimilarity(exprs(0), exprs(1)) }, "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product")))
+      reg.createOrReplaceTempFunction("dot_product",
+        { exprs: Seq[Expression] => DotProduct(exprs(0), exprs(1)) }, "built-in")
   }
 
   /** Column-API entry points (register(spark) must have run in the session).

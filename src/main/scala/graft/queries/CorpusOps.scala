@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-construction operators a training-data pipeline runs between
+  * cleaning and export: lexical retrieval (BM25), mixture rebalancing
+  * (temperature sampling), benchmark decontamination at n-gram granularity,
+  * and deterministic shard assignment for the final training shuffle.
+  *
+  * Cross-engine exactness discipline (every query here is hash-compared
+  * against DuckDB): all scores are built from integer aggregates combined
+  * with only IEEE-correctly-rounded operations (`+ - * /`, `sqrt`,
+  * int64→double conversion) — never `ln`/`exp`/`pow`, whose libm results
+  * may differ by an ulp between the JVM and DuckDB's C runtime. BM25's log
+  * IDF is replaced by its rational core for this reason (documented at
+  * [[q56Bm25]]).
+  */
+object CorpusOps {
+
+  import TextOps.{normText, wsTokens}
+
+  /** md5-derived 60-bit non-negative hash of a column — the engine-portable
+    * hash family shared with q84/q97 (DuckDB restates it verbatim as
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`).
+    */
+  private def h60(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  // ---------------------------------------------------------------------
+  // q56: BM25 keyword search (rational-IDF variant)
+  // ---------------------------------------------------------------------
+
+  /** Query terms: literal keywords from the corpus vocabulary. At scale the
+    * term list is the small side by construction (a user query), so the
+    * token filter prunes the exploded stream BEFORE any shuffle.
+    */
+  private val Q56Terms = Seq("vector", "merge", "stream")
+
+  /** BM25 top-10 docs per query term, k1 = 6/5, b = 3/4.
+    *
+    * Exactness: the standard `ln((N - n_t + 0.5) / (n_t + 0.5) + 1)` IDF is
+    * replaced by its rational core `(2(N - n_t) + 1) / (2 n_t + 1)` — same
+    * monotonicity in n_t (so the SAME ranking per term), but expressible as
+    * one BIGINT numerator and denominator. With k1 = 6/5, b = 3/4 and
+    * avgdl = T/N (T = corpus tokens, N = docs):
+    *
+    *   score = 44·f·T·(2(N − n_t) + 1)
+    *         / [(20·f·T + 6·T + 18·dl·N) · (2·n_t + 1)]
+    *
+    * — every factor an exact BIGINT, the final value ONE double division
+    * (IEEE-exact on both engines). Overflow headroom: the numerator is
+    * ≈ 88·f·T·N; at 100 TB (T ≈ 2·10¹³, N ≈ 10¹¹) per-shard scoring (the
+    * deployment §9 pattern) keeps it under 2⁶³.
+    *
+    * Scale shape: corpus stats (N, T) are a one-row broadcast agg (the q94
+    * scalar-subquery idiom); the explode is filtered to query terms before
+    * the (doc_id, token) shuffle, so shuffle bytes are O(matching
+    * postings), not O(corpus tokens); the doc-length lookup BROADCASTS the
+    * tiny postings frame against the corpus scan (the big side never
+    * shuffles); df comes from a window over the already-tiny joined frame.
+    */
+  def q56Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val docs = d.select(col("doc_id"),
+      size(wsTokens(normText(col("text")))).cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
+    val tf = d
+      .select(col("doc_id"), explode(wsTokens(normText(col("text")))).as("token"))
+      .filter(col("token").isin(Q56Terms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("f"))
+    val postings = docs.join(broadcast(tf), Seq("doc_id"))
+    val nT = count(lit(1)).over(Window.partitionBy(col("token")))
+    val scored = postings.crossJoin(broadcast(stats))
+      .withColumn("n_t", nT)
+      .withColumn("num",
+        lit(44L) * col("f") * col("n_tokens") * (lit(2L) * (col("n_docs") - col("n_t")) + lit(1L)))
+      .withColumn("den",
+        (lit(20L) * col("f") * col("n_tokens") + lit(6L) * col("n_tokens")
+          + lit(18L) * col("dl") * col("n_docs")) * (lit(2L) * col("n_t") + lit(1L)))
+      .withColumn("score", col("num").cast("double") / col("den").cast("double"))
+    val rk = row_number().over(
+      Window.partitionBy(col("token")).orderBy(col("score").desc, col("doc_id")))
+    scored.withColumn("rk", rk.cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("token"), col("rk"), col("doc_id"), col("score"))
+      .orderBy(col("token"), col("rk"))
+  }
+
+  val q56Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'), t -> t <> '')) AS dl
+      |  FROM documents),
+      |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_tokens FROM docs),
+      |tf AS (
+      |  SELECT doc_id, token, count(*) AS f FROM (
+      |    SELECT doc_id,
+      |      unnest(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'), t -> t <> '')) AS token
+      |    FROM documents)
+      |  WHERE token IN ('vector', 'merge', 'stream')
+      |  GROUP BY doc_id, token),
+      |scored AS (
+      |  SELECT t.token, t.doc_id,
+      |    CAST(44 * t.f * s.n_tokens * (2 * (s.n_docs - count(*) OVER (PARTITION BY t.token)) + 1) AS DOUBLE)
+      |    / CAST((20 * t.f * s.n_tokens + 6 * s.n_tokens + 18 * d.dl * s.n_docs)
+      |           * (2 * count(*) OVER (PARTITION BY t.token) + 1) AS DOUBLE) AS score
+      |  FROM tf t JOIN docs d USING (doc_id) CROSS JOIN stats s)
+      |SELECT token, CAST(rk AS BIGINT) AS rk, doc_id, score FROM (
+      |  SELECT token, doc_id, score,
+      |    row_number() OVER (PARTITION BY token ORDER BY score DESC, doc_id) AS rk
+      |  FROM scored)
+      |WHERE rk <= 10 ORDER BY token, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q57: temperature (sqrt) mixture rebalancing
+  // ---------------------------------------------------------------------
+
+  /** Per-language sqrt-temperature downsampling (the α = 0.5 mixture-
+    * rebalancing rule): a language with n docs keeps each doc with
+    * probability min(1, sqrt(C / n)), C = 100 — expected kept count
+    * min(n, sqrt(C·n)), i.e. dominant languages are suppressed toward the
+    * square root of their size while small ones pass through whole.
+    *
+    * Membership is decided per doc by the recomputable md5-60-bit hash
+    * fraction (same determinism contract as the q84 split: any job can
+    * recompute the sample from the id alone — no stored assignment table,
+    * which at 100 TB means the sample is a FILTER, not a materialization).
+    * Exactness: p = least(1.0, sqrt(100.0 / n)) uses only correctly-rounded
+    * ops; the hash fraction divides a 60-bit integer by 2⁶⁰ (exact).
+    * Scale shape: one tiny per-lang count agg broadcast back, then a pure
+    * scan-side projection + filter; the final per-lang rollup partial-aggs.
+    */
+  def q57TemperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("p_keep", least(lit(1.0), sqrt(lit(100.0) / col("n_docs"))))
+    val hashFrac = h60(col("doc_id")).cast("double") / lit(1152921504606846976.0) // 2^60
+    d.join(broadcast(counts), Seq("lang"))
+      .withColumn("keep", hashFrac < col("p_keep"))
+      .groupBy(col("lang"))
+      .agg(
+        first(col("n_docs")).as("n_docs"),
+        count(when(col("keep"), lit(1))).as("n_kept"),
+        first(col("p_keep")).as("p_keep"))
+      .orderBy(col("lang"))
+  }
+
+  val q57Sql: String =
+    """WITH counts AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |    least(1.0, sqrt(100.0 / count(*))) AS p_keep
+      |  FROM documents GROUP BY lang)
+      |SELECT d.lang, c.n_docs,
+      |  count(CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+      |             / 1152921504606846976.0 < c.p_keep THEN 1 END) AS n_kept,
+      |  c.p_keep
+      |FROM documents d JOIN counts c USING (lang)
+      |GROUP BY d.lang, c.n_docs, c.p_keep ORDER BY d.lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q58: n-gram benchmark decontamination
+  // ---------------------------------------------------------------------
+
+  /** Benchmark decontamination at 4-gram granularity (the GPT-3/PaLM-style
+    * n-gram overlap rule, scaled down from 13-grams to suit the fixture's
+    * ~100-token small-vocabulary docs): every corpus doc sharing at least
+    * one 4-token shingle with the benchmark set (here: every 37th doc) is
+    * reported with its distinct-overlap count.
+    *
+    * Scale shape: the benchmark side is SMALL BY CONSTRUCTION (eval sets
+    * are fixed-size, not corpus-sized) — its distinct shingle dictionary is
+    * built once and broadcast, so the corpus side never shuffles its
+    * exploded shingles: explode → broadcast-hash-join → per-doc partial
+    * count-distinct. The corpus side's only wide exchange is the per-doc_id
+    * aggregation of MATCHED shingles (rare by definition). A bloom-filter
+    * pre-pass adds nothing here because the broadcast join IS already the
+    * exact set-membership test at dictionary sizes an eval set can reach.
+    */
+  def q58Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val sh = d.select(col("doc_id"), explode(Dedup.shingles(col("text"), 4)).as("sh"))
+    val bench = sh.filter(col("doc_id") % 37 === 0).select(col("sh")).distinct()
+    sh.filter(col("doc_id") % 37 =!= 0)
+      .join(broadcast(bench), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q58Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'), t -> t <> '') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_distinct([array_to_string(toks[i:i+3], ' ') FOR i IN range(1, CAST(len(toks) AS INTEGER) - 2)]) END) AS sh
+      |  FROM toks),
+      |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 37 = 0)
+      |SELECT c.doc_id, count(DISTINCT c.sh) AS n_hits
+      |FROM sh c JOIN bench b USING (sh)
+      |WHERE c.doc_id % 37 <> 0
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q59: deterministic shard assignment for training export
+  // ---------------------------------------------------------------------
+
+  /** The final training-data "global shuffle": every doc gets a
+    * (shard, position) from the md5-60-bit hash — shard = h mod 16,
+    * position = rank of h within the shard (doc_id tiebreak). The ordering
+    * is pseudo-random but fully deterministic and recomputable, which is
+    * what a resumable 100 TB export needs: any writer can regenerate its
+    * shard's exact order with no coordination.
+    *
+    * Scale shape: ONE hash-partition exchange on shard (parallelism =
+    * shard count — sized to the output file count at scale, the §9 knob),
+    * per-shard sort bounded by shard size = n/16 with hash-uniform
+    * (skew-free) occupancy; no global sort, no driver state.
+    */
+  def q59ShardExport(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), h60(col("doc_id")).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(16L)))
+    val pos = row_number().over(
+      Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+    d.withColumn("pos", pos.cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val q59Sql: String =
+    """SELECT shard, CAST(pos AS BIGINT) AS pos, doc_id FROM (
+      |  SELECT doc_id, h % 16 AS shard,
+      |    row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS pos
+      |  FROM (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |        FROM documents))
+      |ORDER BY shard, pos""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_bm25_search" -> q56Bm25 _,
+    "q57_temperature_sample" -> q57TemperatureSample _,
+    "q58_decontaminate" -> q58Decontaminate _,
+    "q59_shard_export" -> q59ShardExport _)
+
+  val oracles: Map[String, String] = Map(
+    "q56_bm25_search" -> q56Sql,
+    "q57_temperature_sample" -> q57Sql,
+    "q58_decontaminate" -> q58Sql,
+    "q59_shard_export" -> q59Sql)
+}

@@ -192,13 +192,15 @@ object Dedup {
       .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
       .limit(100)
 
-  /** Full SQL restatement of the MinHash+LSH pipeline: md5-derived hash
-    * family (h_j = (md5_60(shingle) + j·md5_52(shingle)) mod 2^60, the
-    * Kirsch-Mitzenmacher double hash) and band keys make every stage —
-    * signatures, banding, bucket cap, pair dedup, signature-match estimate —
-    * exactly recomputable in DuckDB.
+  /** Full SQL restatement of the MinHash+LSH candidate pipeline (shared by
+    * q40 and q68): md5-derived hash family (h_j = (md5_60(shingle) +
+    * j·md5_52(shingle)) mod 2^60, the Kirsch-Mitzenmacher double hash) and
+    * band keys make every stage — signatures, banding, bucket cap, pair
+    * dedup, signature-match estimate — exactly recomputable in DuckDB.
+    * Ends with the `ests` CTE (id_a, id_b, est_jaccard); callers append
+    * their own tail (and optional further CTEs).
     */
-  val q40Sql: String =
+  private val minhashCoreSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), t -> t <> '') AS tl
        |  FROM documents),
@@ -226,11 +228,61 @@ object Dedup {
        |bk AS (SELECT bands.doc_id, bands.b, bands.key FROM bands JOIN bsz USING (b, key) WHERE bsz.n <= 256),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-       |  FROM bk a JOIN bk b2 ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id)
-       |SELECT id_a, id_b,
-       |  round(CAST(len(list_filter(range(1, ${K + 1}), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $K, 4) AS est_jaccard
-       |FROM pairs p JOIN sigs sa ON sa.doc_id = p.id_a JOIN sigs sb ON sb.doc_id = p.id_b
+       |  FROM bk a JOIN bk b2 ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id),
+       |ests AS (
+       |  SELECT id_a, id_b,
+       |    round(CAST(len(list_filter(range(1, ${K + 1}), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $K, 4) AS est_jaccard
+       |  FROM pairs p JOIN sigs sa ON sa.doc_id = p.id_a JOIN sigs sb ON sb.doc_id = p.id_b)""".stripMargin
+
+  val q40Sql: String =
+    s"""$minhashCoreSql
+       |SELECT id_a, id_b, est_jaccard FROM ests
        |ORDER BY est_jaccard DESC, id_a, id_b LIMIT 100""".stripMargin
+
+  /** Incremental dedup: match a NEW batch (doc_id ≡ 0 mod 3 stands in for
+    * "today's crawl") against the EXISTING corpus (everything else) — for
+    * each new doc, its best existing near-duplicate at est_jaccard ≥ 0.5,
+    * from the same MinHash+LSH candidate machinery as q40.
+    *
+    * This is the shape a 100 TB pipeline actually runs day to day: the
+    * existing side's signatures and band keys live in a materialized
+    * signature store (the in-session [[minhashCandidates]] memo is its
+    * stand-in — same contract: hash once, reuse every batch), so only the
+    * new batch is shingled/hashed, and banding joins new band keys against
+    * the stored ones. Cross-batch candidate generation stays bucket-local
+    * (never all-pairs), and the per-new-doc argmax is a window over the
+    * already-tiny match set.
+    */
+  def q68IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val isNewA = col("id_a") % 3 === 0
+    val isNewB = col("id_b") % 3 === 0
+    val matches = minhashCandidates(spark, dir)
+      .filter(isNewA =!= isNewB)
+      .select(
+        when(isNewA, col("id_a")).otherwise(col("id_b")).as("new_id"),
+        when(isNewA, col("id_b")).otherwise(col("id_a")).as("existing_id"),
+        col("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("new_id"))
+      .orderBy(col("est_jaccard").desc, col("existing_id"))
+    matches.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("new_id"), col("existing_id"), col("est_jaccard"))
+      .orderBy(col("new_id"))
+  }
+
+  val q68Sql: String =
+    s"""$minhashCoreSql,
+       |split AS (
+       |  SELECT CASE WHEN id_a % 3 = 0 THEN id_a ELSE id_b END AS new_id,
+       |         CASE WHEN id_a % 3 = 0 THEN id_b ELSE id_a END AS existing_id,
+       |         est_jaccard
+       |  FROM ests
+       |  WHERE (id_a % 3 = 0) <> (id_b % 3 = 0) AND est_jaccard >= 0.5)
+       |SELECT new_id, existing_id, est_jaccard FROM (
+       |  SELECT split.*, row_number() OVER (PARTITION BY new_id ORDER BY est_jaccard DESC, existing_id) AS rk
+       |  FROM split)
+       |WHERE rk = 1 ORDER BY new_id""".stripMargin
 
   /** The user-facing dedup operator: remove near-duplicates above a
     * similarity threshold, keeping the smallest doc_id of each duplicate
@@ -599,7 +651,8 @@ object Dedup {
     "q46_dedup_cc" -> q46DedupCC _,
     "q42_dedup_simhash" -> q42Simhash _,
     "q43_dedup_simhash_pairs" -> q43SimhashPairs _,
-    "q44_dedup_embedding" -> q44EmbeddingNearDup _)
+    "q44_dedup_embedding" -> q44EmbeddingNearDup _,
+    "q68_incremental_dedup" -> q68IncrementalDedup _)
 
   /** Every dedup query is oracle-checked: Jaccard and pair cosines restate
     * directly in SQL, the SimHash and MinHash hash families are md5-based
@@ -613,7 +666,8 @@ object Dedup {
     "q44_dedup_embedding" -> q44Sql,
     "q45_dedup_apply" -> q45Sql,
     "q46_dedup_cc" -> q46Sql,
-    "q41_dedup_ngram_jaccard" -> q41SqlFor(Q41MaxBlock))
+    "q41_dedup_ngram_jaccard" -> q41SqlFor(Q41MaxBlock),
+    "q68_incremental_dedup" -> q68Sql)
 
   /** Verify-time side-effects: engine-private stages the oracles read back
     * as parquet — run once at dump time, never inside a query fn.

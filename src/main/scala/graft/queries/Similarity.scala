@@ -432,13 +432,90 @@ object Similarity {
        |ORDER BY query_id, sel_rk""".stripMargin
   }
 
+  /** One k-means Lloyd refinement step over the embedding corpus — the
+    * building block of semantic (cluster-then-dedup) curation: assign every
+    * vector to its nearest current centroid (the q52 assignment), then emit
+    * the per-cluster per-dimension QUANTIZED component sums + member counts
+    * — i.e. the sufficient statistics of the updated centroids
+    * (new centroid[d] = sum_q/2^20/n), kept as exact BIGINTs rather than
+    * divided, so the result is bit-identical on any engine and any
+    * partitioning.
+    *
+    * Exactness: each component is `round(CAST(float AS DOUBLE) · 2^20)` — a
+    * float's mantissa shifted, so the product is exact and the rounded
+    * value integral; integral doubles sum exactly (every partial sum
+    * ≪ 2^53) in ANY order, making the aggregation deterministic despite
+    * Spark's partial-agg ordering. This is the same fixed-point trick as
+    * q53's int8 quantization, applied to the reduce side.
+    *
+    * Scale shape: centroids are a tiny broadcast — ONE row carrying the
+    * full (label, centroid) array, so the per-vector argmax is a pure
+    * scan-side array fold (array_max over per-centroid (cos, label)
+    * structs): the corpus is NEVER shuffled or row-multiplied for
+    * assignment (unlike the window-argmax idiom, which reshuffles k×corpus
+    * rows on vec_id). The only wide exchange is the (cluster, dim)
+    * partial-agg rollup, k × dim rows out of each partition. An actual
+    * k-means LOOP at 100 TB iterates exactly this step with the sums
+    * collected to the driver (k × dim doubles — trivially small) and
+    * re-broadcast.
+    */
+  def q67KmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val cent = e.select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .select(col("label").as("c_label"), transform(col("pairs"), p => p.getField("cx")).as("centroid"))
+    // one row, k (label, centroid) structs — the whole "model" broadcasts
+    val centsRow = cent.agg(collect_list(struct(col("c_label"), col("centroid"))).as("cents"))
+    // per-row argmax: max (cos, -label) struct = highest cosine, smallest
+    // label on ties — the same order the window/oracle restatement uses.
+    // (struct fields built inside a HOF lambda lose their aliases and
+    // surface as col1/col2 — referenced positionally below)
+    val best = graft.functions.ColFns.bound(col("cents")) { cs =>
+      array_max(transform(cs, c =>
+        struct(cosine(col("embedding"), c.getField("centroid")),
+          -c.getField("c_label"))))
+    }
+    e.crossJoin(broadcast(centsRow))
+      .select((-best.getField("col2")).as("cluster"),
+        posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), (col("pos") + 1).cast("long").as("pos"))
+      .agg(sum(round(col("x") * lit(1048576.0), 0)).cast("long").as("sum_q"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy(col("cluster"), col("pos"))
+  }
+
+  val q67Sql: String = {
+    val cos = cosineSql("e.embedding", "c.centroid")
+    s"""WITH cent AS (
+       |  SELECT label, list(cx ORDER BY pos) AS centroid FROM (
+       |    SELECT label, t.pos, avg(CAST(embedding[t.pos] AS DOUBLE)) AS cx
+       |    FROM embeddings, range(1, 65) t(pos)
+       |    GROUP BY label, t.pos)
+       |  GROUP BY label),
+       |assigned AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT e.vec_id, c.label AS cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $cos DESC, c.label) AS rk
+       |    FROM embeddings e CROSS JOIN cent c)
+       |  WHERE rk = 1)
+       |SELECT a.cluster, t.pos,
+       |  CAST(sum(round(CAST(e.embedding[t.pos] AS DOUBLE) * 1048576)) AS BIGINT) AS sum_q,
+       |  count(*) AS n_vecs
+       |FROM assigned a JOIN embeddings e USING (vec_id), range(1, 65) t(pos)
+       |GROUP BY a.cluster, t.pos ORDER BY cluster, pos""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_mmr_rerank" -> q55MmrRerank _,
     "q50_knn_brute" -> q50KnnBrute _,
     "q51_knn_lsh" -> q51KnnLsh _,
     "q52_ivf_assign" -> q52IvfAssign _,
     "q53_knn_quantized" -> q53KnnQuantized _,
-    "q54_ivf_search" -> q54IvfSearch _)
+    "q54_ivf_search" -> q54IvfSearch _,
+    "q67_kmeans_step" -> q67KmeansStep _)
 
   val oracles: Map[String, String] = Map(
     "q55_mmr_rerank" -> q55Sql,
@@ -446,5 +523,6 @@ object Similarity {
     "q51_knn_lsh" -> q51Sql,
     "q52_ivf_assign" -> q52Sql,
     "q53_knn_quantized" -> q53Sql,
-    "q54_ivf_search" -> q54Sql)
+    "q54_ivf_search" -> q54Sql,
+    "q67_kmeans_step" -> q67Sql)
 }

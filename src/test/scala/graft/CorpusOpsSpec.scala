@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.CorpusOps
+
+/** Invariants for the corpus-construction operators (q56-q59) that the
+  * DuckDB oracle can't express: ranking structure, sampling monotonicity,
+  * benchmark exclusion, shard density/determinism.
+  */
+class CorpusOpsSpec extends SparkTestBase {
+
+  test("q56 BM25: dense ranks per term, scores positive and non-increasing") {
+    val rows = CorpusOps.q56Bm25(spark, sfDir)
+      .select("token", "rk", "doc_id", "score").collect()
+    assert(rows.nonEmpty)
+    val byTerm = rows.groupBy(_.getAs[String]("token"))
+    assert(byTerm.keySet == Set("vector", "merge", "stream"))
+    byTerm.foreach { case (term, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to sorted.length).toSeq,
+        s"$term ranks must be dense from 1")
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.forall(s => s > 0.0 && s.isFinite), s"$term scores must be positive")
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"$term scores must be non-increasing in rank")
+    }
+  }
+
+  test("q56 BM25: matches a direct in-memory recomputation of the rational-core formula") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("t").trim.split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    val n = docs.size.toLong
+    val tTotal = docs.values.map(_.length.toLong).sum
+    val expected = Seq("merge", "stream", "vector").flatMap { term =>
+      val fs = docs.view.mapValues(_.count(_ == term).toLong).filter(_._2 > 0).toMap
+      val nT = fs.size.toLong
+      fs.toSeq.map { case (id, f) =>
+        val dl = docs(id).length.toLong
+        val num = 44L * f * tTotal * (2L * (n - nT) + 1L)
+        val den = (20L * f * tTotal + 6L * tTotal + 18L * dl * n) * (2L * nT + 1L)
+        (term, id, num.toDouble / den.toDouble)
+      }.sortBy { case (_, id, s) => (-s, id) }.take(10).zipWithIndex
+        .map { case ((tm, id, s), i) => (tm, (i + 1).toLong, id, s) }
+    }
+    val actual = CorpusOps.q56Bm25(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("rk"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+    assert(actual == expected)
+  }
+
+  test("q57 temperature sampling: caps dominant languages, passes small ones whole") {
+    val rows = CorpusOps.q57TemperatureSample(spark, sfDir).collect()
+    val byLang = rows.map(r => r.getAs[String]("lang") ->
+      ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"), r.getAs[Double]("p_keep")))).toMap
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, (n, kept, p)) =>
+      assert(kept <= n, s"$lang kept more than it has")
+      if (n <= 100) {
+        assert(p == 1.0, s"$lang under cap must keep everything (p=$p)")
+        assert(kept == n, s"$lang under cap must keep all $n docs, kept $kept")
+      } else {
+        assert(p < 1.0, s"$lang over cap must be downsampled (p=$p)")
+        assert(kept < n, s"$lang over cap must drop something")
+        // sampling noise bound: expected kept = n*p, hash family is uniform;
+        // allow 5 sigma of Binomial(n, p)
+        val expect = n * p
+        val sigma = math.sqrt(n * p * (1 - p))
+        assert(math.abs(kept - expect) <= 5 * sigma + 1,
+          s"$lang kept=$kept far from expectation $expect")
+      }
+    }
+    // en dominates every fixture scale; it must be the downsampled one
+    assert(byLang("en")._3 < 1.0, "en must be over the cap in the fixture")
+  }
+
+  test("q57 sampling membership is recomputable from doc_id alone") {
+    // run twice; the kept counts must be bit-identical (no RNG state)
+    val a = CorpusOps.q57TemperatureSample(spark, sfDir).collect().map(_.toSeq).toSeq
+    val b = CorpusOps.q57TemperatureSample(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("q58 decontamination: never flags benchmark docs, every hit count positive") {
+    val rows = CorpusOps.q58Decontaminate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 37 != 0, "benchmark docs are not corpus docs")
+      assert(r.getAs[Long]("n_hits") >= 1)
+    }
+    // the fixture plants near-duplicate docs: at least one corpus doc must
+    // share many (>5) benchmark shingles, not just singleton collisions
+    assert(rows.exists(_.getAs[Long]("n_hits") > 5),
+      "planted near-dups of benchmark docs must surface with high overlap")
+  }
+
+  test("q59 shard export: dense positions per shard, conservation, run-to-run determinism") {
+    val rows = CorpusOps.q59ShardExport(spark, sfDir).collect()
+    val total = Tables(spark, sfDir, "documents").count()
+    assert(rows.length.toLong == total, "every doc gets exactly one (shard, pos)")
+    val shards = rows.map(_.getAs[Long]("shard")).distinct
+    assert(shards.forall(s => s >= 0 && s < 16))
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (s, rs) =>
+      val ps = rs.map(_.getAs[Long]("pos")).sorted.toSeq
+      assert(ps == (1L to ps.length).toSeq, s"shard $s positions must be dense from 1")
+    }
+    // assignment is a pure function of doc_id — a rerun (fresh shuffles,
+    // fresh task scheduling) must yield the identical export order
+    val again = CorpusOps.q59ShardExport(spark, sfDir).collect()
+    assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
+
+  test("q59 shard occupancy is hash-uniform (no shard more than 3x the mean)") {
+    val occ = CorpusOps.q59ShardExport(spark, sfDir).groupBy("shard").count().collect()
+      .map(_.getAs[Long]("count"))
+    val mean = occ.sum.toDouble / occ.length
+    assert(occ.forall(_ <= 3 * mean), s"skewed shard occupancy: ${occ.mkString(",")}")
+  }
+
+  test("q67 k-means step: conservation, per-cluster consistency, bit-exact reruns") {
+    val rows = graft.queries.Similarity.q67KmeansStep(spark, sfDir).collect()
+    val nVecs = Tables(spark, sfDir, "embeddings").count()
+    val labels = Tables(spark, sfDir, "embeddings").select("label").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val byCluster = rows.groupBy(_.getAs[Int]("cluster"))
+    assert(byCluster.keySet.subsetOf(labels), "clusters come from the seed label set")
+    byCluster.foreach { case (c, rs) =>
+      assert(rs.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to 64L), s"cluster $c covers all 64 dims")
+      assert(rs.map(_.getAs[Long]("n_vecs")).distinct.length == 1,
+        s"cluster $c member count must be identical across dims")
+    }
+    val sizes = byCluster.values.map(_.head.getAs[Long]("n_vecs")).sum
+    assert(sizes == nVecs, "every vector lands in exactly one cluster")
+    // the determinism claim: integral-valued double sums are exact in any
+    // aggregation order, so a rerun (fresh partial-agg schedule) is
+    // bit-identical
+    val again = graft.queries.Similarity.q67KmeansStep(spark, sfDir).collect()
+    assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
+
+  test("q68 incremental dedup: new-vs-existing split respected, one best match per new doc") {
+    val rows = graft.queries.Dedup.q68IncrementalDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the fixture's planted near-dups must cross the batch split")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("new_id") % 3 == 0, "left side must be from the new batch")
+      assert(r.getAs[Long]("existing_id") % 3 != 0, "right side must be from the existing corpus")
+      assert(r.getAs[Double]("est_jaccard") >= 0.5)
+    }
+    val ids = rows.map(_.getAs[Long]("new_id"))
+    assert(ids.distinct.length == ids.length, "exactly one best match per new doc")
+    // every reported match must exist in the full candidate set with the
+    // same estimate (incremental = restriction of the batch pipeline, never
+    // new pairs)
+    val cands = graft.queries.Dedup.minhashCandidates(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("est_jaccard"))
+      .toMap
+    rows.foreach { r =>
+      val a = math.min(r.getAs[Long]("new_id"), r.getAs[Long]("existing_id"))
+      val b = math.max(r.getAs[Long]("new_id"), r.getAs[Long]("existing_id"))
+      assert(cands.get((a, b)).contains(r.getAs[Double]("est_jaccard")),
+        s"match ($a, $b) must come from the shared candidate machinery")
+    }
+  }
+}

@@ -225,4 +225,69 @@ class PlanSpec extends SparkTestBase {
     assert(!s.contains("Window"), s"no window operator in the plan:\n$s")
     assert(!s.contains("Sort "), s"no sort may feed the top-k operator:\n$s")
   }
+
+  test("q56 BM25: postings and stats broadcast — the corpus never sort-merge joins") {
+    val df = CorpusOps.q56Bm25(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    // the doc-length lookup broadcasts the term-filtered postings frame;
+    // the one-row (N, T) stats frame broadcasts into the scoring projection
+    assert(s.contains("BroadcastHashJoin"),
+      s"postings join must broadcast the tiny filtered side:\n$s")
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      s"corpus stats must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"no corpus-wide sort-merge join allowed:\n$s")
+  }
+
+  test("q57 temperature sampling: per-lang rates broadcast back, membership is scan-side") {
+    val df = CorpusOps.q57TemperatureSample(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    assert(s.contains("BroadcastHashJoin"),
+      s"the tiny per-lang rate frame must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"no wide join allowed:\n$s")
+    // counts agg + final rollup are the only wide exchanges; the keep
+    // decision itself adds none
+    val shuffles = collectAll(executed(df)).count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles <= 3, s"membership must not shuffle the corpus, saw $shuffles:\n$s")
+  }
+
+  test("q58 decontamination: benchmark shingle dictionary broadcasts against the corpus") {
+    val df = CorpusOps.q58Decontaminate(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    assert(s.contains("BroadcastHashJoin"),
+      s"the benchmark dictionary is small by construction and must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"the corpus shingle stream must never shuffle for the membership test:\n$s")
+  }
+
+  test("q59 shard export: one hash exchange on shard, no extra sorts beyond the window") {
+    val df = CorpusOps.q59ShardExport(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    val hashEx = "Exchange hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(s).toSeq
+    assert(hashEx.length == 1, s"exactly one hash exchange expected:\n$s")
+    assert(hashEx.head.group(1).contains("shard"),
+      s"the exchange must be keyed on shard, got: ${hashEx.head.group(1)}\n$s")
+    // one per-shard sort for the window, one range exchange for the
+    // presentation order — nothing else
+    assert("Exchange rangepartitioning".r.findAllIn(s).length <= 1,
+      s"only the presentation sort may range-partition:\n$s")
+  }
+
+  test("q67 k-means step: assignment is a scan-side array argmax — corpus never shuffles on vec_id") {
+    val df = Similarity.q67KmeansStep(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    // the one-row centroid model broadcasts; the per-vector argmax is an
+    // array fold, NOT a k-fanout + window re-shuffle
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      s"centroid model must broadcast:\n$s")
+    assert(!s.contains("Window"), s"no window argmax over the corpus allowed:\n$s")
+    assert(!"Exchange hashpartitioning\\(vec_id".r.findAllIn(s).hasNext,
+      s"the corpus must not shuffle on vec_id for assignment:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"no wide join allowed:\n$s")
+  }
 }
