@@ -141,7 +141,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) =>
         MisraGriesTopK(exprs(0), HeavyHitters.resolveK(exprs(1)))))
     // whole-operator extension: the bounded-heap top-k-per-key physical
-    // operator (graft.plans.TopKPerKey) planned session-wide
+    // operator (graft.plans.TopKPerKey) planned session-wide, plus the
+    // optimizer rule that rewrites the row_number-window top-k idiom onto it
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
   }
 }

@@ -51,11 +51,18 @@ final case class TopKPerKeyNode(
     copy(child = newChild)
 }
 
-/** Planner rule: the logical node has exactly one physical realization. */
+/** Planner rule: the logical node plans as PARTIAL + FINAL — a map-side
+  * bounded-heap pass before the exchange (top-k is mergeable: the global
+  * top-k of a key is a subset of every partition's local per-key top-k), so
+  * shuffle bytes drop to ≤ k rows per key per input task. This is the
+  * heap-based analogue of the optimizer's WindowGroupLimit map-side prune,
+  * without the sort the window idiom still pays afterwards.
+  */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, maxKeys, child) =>
-      TopKPerKeyExec(keys, order, k, maxKeys, planLater(child)) :: Nil
+      TopKPerKeyExec(keys, order, k, maxKeys,
+        TopKPerKeyExec(keys, order, k, maxKeys, planLater(child), partial = true)) :: Nil
     case _ => Nil
   }
 }
@@ -65,16 +72,22 @@ final case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     maxKeys: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  /** All rows of a key must meet in one partition; EnsureRequirements
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
+
+  /** Final: all rows of a key must meet in one partition; EnsureRequirements
     * inserts the hash exchange (or reuses the child's partitioning when it
-    * already clusters on the keys — e.g. a bucketed source).
+    * already clusters on the keys — e.g. a bucketed source). Partial: runs
+    * wherever the child's rows already are.
     */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
 
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
@@ -128,6 +141,33 @@ final case class TopKPerKeyExec(
         }
       }
 
+      // Map-side partial pass: prune admitted keys to their local top-k;
+      // FORWARD rows of keys beyond the cap unpruned (a partial pass may
+      // emit extra rows — the final pass reduces them — so overflow costs
+      // shuffle bytes, never memory or spill I/O).
+      def partialPass(rows: Iterator[InternalRow]): Iterator[InternalRow] = {
+        val heaps = scala.collection.mutable.LinkedHashMap
+          .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+        val passThrough = rows.flatMap { row =>
+          val key = keyProj(row)
+          heaps.get(key) match {
+            case Some(pq) =>
+              if (pq.size < limit) { pq.enqueue(row.copy()); Nil }
+              else if (cmp.compare(row, pq.head) < 0) {
+                pq.dequeue(); pq.enqueue(row.copy()); Nil
+              } else Nil
+            case None if heaps.size < maxK =>
+              val pq = scala.collection.mutable.PriorityQueue.empty[InternalRow](worstFirst)
+              pq.enqueue(row.copy())
+              heaps.put(key.copy(), pq)
+              Nil
+            case None => row :: Nil // overflow: forward for the final pass
+          }
+        }
+        // heaps drain only after passThrough exhausts (iterator ++ is lazy)
+        passThrough ++ heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+      }
+
       // One bounded pass: heap-process the first maxK keys seen; spill the
       // raw rows of every later-arriving key; recurse on the spill. A key's
       // rows are never split across the map and the spill (admission is
@@ -170,8 +210,77 @@ final case class TopKPerKeyExec(
         else emitted ++ boundedPass(readSpill(spillFile))
       }
 
-      boundedPass(iter)
+      if (partial) partialPass(iter) else boundedPass(iter)
     }, preservesPartitioning = true)
+  }
+}
+
+/** Optimizer rule completing the whole-operator stack (LogicalPlan + Rule +
+  * Strategy + SparkPlan): rewrites the idiomatic window top-k —
+  *
+  *   Project(cols…, Filter(rk <= k, Window([row_number() OVER
+  *     (PARTITION BY p ORDER BY o)] AS rk, child)))
+  *
+  * — into `Project(cols…, TopKPerKeyNode(p, o, k, child))` whenever the rank
+  * column itself is not in the projection, so EXISTING queries written with
+  * the standard idiom get the bounded-heap partial+final operator (no sort,
+  * map-side prune) without being rewritten by hand.
+  *
+  * Applies only when: exactly one window expression and it is row_number()
+  * with the default RowFrame; the filter is a simple rank bound (<=, <,
+  * = 1, or the reversed comparisons); the partition spec is non-empty (the
+  * global case already plans as TakeOrderedAndProject); and the projection
+  * references only the window child's columns. An intervening
+  * WindowGroupLimit (inserted by InferWindowGroupLimit before user rules
+  * run) is absorbed — its map-side prune is subsumed by the partial pass.
+  *
+  * Determinism note: like row_number itself, result SETS are only
+  * deterministic when the order gives a total order per key (unique
+  * tiebreak); the rewrite neither adds nor removes that requirement.
+  *
+  * Enable per session via `TopK.enableRewrite(spark)` (public
+  * `spark.experimental.extraOptimizations` hook) or cluster-wide through
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+object TopKRewriteRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window, WindowGroupLimit}
+
+  private def rankLimit(cond: Expression, rk: ExprId): Option[Int] = cond match {
+    case LessThanOrEqual(a: AttributeReference, Literal(k: Int, _)) if a.exprId == rk => Some(k)
+    case LessThan(a: AttributeReference, Literal(k: Int, _)) if a.exprId == rk => Some(k - 1)
+    case EqualTo(a: AttributeReference, Literal(k: Int, _)) if a.exprId == rk && k == 1 => Some(1)
+    case GreaterThanOrEqual(Literal(k: Int, _), a: AttributeReference) if a.exprId == rk => Some(k)
+    case GreaterThan(Literal(k: Int, _), a: AttributeReference) if a.exprId == rk => Some(k - 1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projectList, Filter(cond, w: Window))
+        if w.windowExpressions.length == 1 && w.partitionSpec.nonEmpty =>
+      w.windowExpressions.head match {
+        case alias @ Alias(WindowExpression(RowNumber(),
+            WindowSpecDefinition(_, _, SpecifiedWindowFrame(
+              org.apache.spark.sql.catalyst.expressions.RowFrame,
+              UnboundedPreceding, CurrentRow))), _) =>
+          rankLimit(cond, alias.exprId) match {
+            case Some(k) if k > 0 &&
+                !projectList.exists(_.references.exists(_.exprId == alias.exprId)) &&
+                projectList.forall(_.references.subsetOf(w.child.outputSet)) =>
+              // absorb the InferWindowGroupLimit prune if one was inserted:
+              // the partial heap pass replaces it
+              val base = w.child match {
+                case wgl: WindowGroupLimit => wgl.child
+                case c => c
+              }
+              Project(projectList,
+                TopKPerKeyNode(w.partitionSpec, w.orderSpec, k, TopK.DefaultMaxKeys, base))
+            case _ => p
+          }
+        case _ => p
+      }
   }
 }
 
@@ -187,6 +296,16 @@ object TopK {
     * big executors, lower for very wide rows.
     */
   val DefaultMaxKeys: Int = 1 << 20
+
+  /** Opt in to [[TopKRewriteRule]] (and the strategy it needs) for a
+    * session built without GraftExtensions.
+    */
+  def enableRewrite(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
+    if (!spark.experimental.extraOptimizations.contains(TopKRewriteRule))
+      spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+ TopKRewriteRule
+  }
 
   /** Top `k` rows per `keyCols` group ordered by `orderCols`
     * ((column, ascending) pairs — give a total order, e.g. a unique

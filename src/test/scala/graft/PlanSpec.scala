@@ -277,6 +277,51 @@ class PlanSpec extends SparkTestBase {
       s"only the presentation sort may range-partition:\n$s")
   }
 
+  test("TopKRewriteRule: the row_number window idiom auto-plans as the native top-k operator") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    graft.plans.TopK.enableRewrite(s2)
+    def idiom(sess: org.apache.spark.sql.SparkSession) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+      Tables(sess, sfDir, "events")
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select("user_id", "event_id", "value")
+    }
+    val rewritten = idiom(s2)
+    rewritten.collect()
+    val s = finalPlan(rewritten)
+    assert(s.contains("TopKPerKey"), s"idiom must plan on the native operator:\n$s")
+    assert(!s.contains("Window"), s"the window must be fully replaced:\n$s")
+    // the partial pass sits BELOW the exchange, the final pass above — the
+    // plan string prints top-down: final, then exchange, then partial
+    assert(s.indexOf("TopKPerKey") < s.indexOf("Exchange hashpartitioning")
+      && s.indexOf("Exchange hashpartitioning") < s.indexOf("TopKPerKeyPartial"),
+      s"expected final / exchange / partial order:\n$s")
+    // bit-for-bit the same rows as the un-rewritten idiom (total order)
+    val expected = idiom(spark).collect().map(_.toSeq).sortBy(_.toString)
+    val actual = rewritten.collect().map(_.toSeq).sortBy(_.toString)
+    assert(actual.toSeq == expected.toSeq)
+  }
+
+  test("TopKRewriteRule leaves the plan alone when the rank column is kept") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    graft.plans.TopK.enableRewrite(s2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+    val df = Tables(s2, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2) // rk survives into the output: not rewritable
+    df.collect()
+    val s = finalPlan(df)
+    assert(s.contains("Window"), s"rank-preserving query must keep its window:\n$s")
+    assert(!s.contains("TopKPerKey"), s"no rewrite when rk is in the output:\n$s")
+  }
+
   test("q67 k-means step: assignment is a scan-side array argmax — corpus never shuffles on vec_id") {
     val df = Similarity.q67KmeansStep(spark, sfDir)
     df.collect()
