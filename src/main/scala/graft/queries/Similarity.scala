@@ -135,23 +135,51 @@ object Similarity {
     * against every centroid; emits the assignment + distance-to-own-centroid
     * — the build side of an IVF index, and a k-means assignment step.
     */
-  def q52IvfAssign(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir, "embeddings")
-    // centroid per label: element-wise mean = posexplode + avg per (label, pos)
-    val cent = e.select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+  /** Per-label mean centroids: (c_label, centroid double[64]) — the shared
+    * deterministic "index" of the IVF/k-means/PQ legs (q52, q54, q67, q69).
+    */
+  private def labelCentroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
       .agg(avg(col("x")).as("cx"))
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
       .select(col("label").as("c_label"), transform(col("pairs"), p => p.getField("cx")).as("centroid"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("c_label"))
-    e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("label"), col("c_label"),
-        cosine(col("embedding"), col("centroid")).as("cos"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("label"), col("c_label").as("assigned_label"),
-        round(col("cos"), 4).as("cosine"))
+
+  /** The centroid set as ONE broadcastable row of (c_label, centroid,
+    * cnorm) structs — precomputed norms so per-row folds never re-derive
+    * them.
+    */
+  private def centsModel(e: DataFrame): DataFrame =
+    labelCentroids(e)
+      .select(col("c_label"), col("centroid"), norm(toDouble(col("centroid"))).as("cnorm"))
+      .agg(collect_list(struct(col("c_label"), col("centroid"), col("cnorm"))).as("cents"))
+
+  /** Scan-side nearest-centroid argmax over the broadcast `cents` column:
+    * max (cos, -label) struct = highest cosine, smallest label on ties —
+    * identical selection (and bit-identical cos: same IEEE op composition)
+    * to the row_number-window idiom the oracles restate, without shuffling
+    * or row-multiplying the corpus. Lambda-built struct fields surface
+    * positionally: col1 = cos, col2 = -label.
+    */
+  private def bestCentroid: Column =
+    bound(toDouble(col("embedding"))) { de =>
+      bound(norm(de)) { ne =>
+        bound(col("cents")) { cs =>
+          array_max(transform(cs, c =>
+            struct(dot(de, c.getField("centroid")) / (ne * c.getField("cnorm")),
+              -c.getField("c_label"))))
+        }
+      }
+    }
+
+  def q52IvfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    e.crossJoin(broadcast(centsModel(e)))
+      .select(col("vec_id"), col("label"), bestCentroid.as("best"))
+      .select(col("vec_id"), col("label"),
+        (-col("best.col2")).as("assigned_label"),
+        round(col("best.col1"), 4).as("cosine"))
       .orderBy(col("vec_id"))
   }
 
@@ -163,12 +191,7 @@ object Similarity {
     */
   def q54IvfSearch(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
-    val cent = e.select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("x")).as("cx"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
-      .select(col("label").as("c_label"), transform(col("pairs"), p => p.getField("cx")).as("centroid"))
+    val cent = labelCentroids(e)
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("pcos").desc, col("c_label"))
     val probes = queriesSet(spark, dir)
       .crossJoin(broadcast(cent))
@@ -461,41 +484,12 @@ object Similarity {
     */
   def q67KmeansStep(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
-    val cent = e.select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("x")).as("cx"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
-      .select(col("label").as("c_label"), transform(col("pairs"), p => p.getField("cx")).as("centroid"))
-    // one row, k (label, centroid, cnorm) structs — the whole "model"
-    // broadcasts; centroid norms are precomputed HERE so the per-row fold
-    // below never re-derives them (k × dim ops saved per corpus row)
-    val centsRow = cent
-      .select(col("c_label"), col("centroid"),
-        norm(toDouble(col("centroid"))).as("cnorm"))
-      .agg(collect_list(struct(col("c_label"), col("centroid"), col("cnorm"))).as("cents"))
-    // per-row argmax: max (cos, -label) struct = highest cosine, smallest
-    // label on ties — the same order the window/oracle restatement uses.
-    // The embedding's double cast and norm are lambda-bound ONCE per row;
-    // cos = dot/(ne * cnorm) composes the identical IEEE ops as cosine(),
-    // so the oracle restatement is unchanged. (struct fields built inside a
-    // HOF lambda lose their aliases and surface as col1/col2 — referenced
-    // positionally below)
-    val best = graft.functions.ColFns.bound(toDouble(col("embedding"))) { de =>
-      graft.functions.ColFns.bound(norm(de)) { ne =>
-        graft.functions.ColFns.bound(col("cents")) { cs =>
-          array_max(transform(cs, c =>
-            struct(dot(de, c.getField("centroid")) / (ne * c.getField("cnorm")),
-              -c.getField("c_label"))))
-        }
-      }
-    }
     // the argmax must be SELECTed below the posexplode: a generator select
     // puts its sibling expressions in the Project ABOVE the Generate, which
     // would re-evaluate the k-cosine fold once per exploded dimension
     // (measured 64x: 27 s -> 1.5 s at sf0.1 for this split)
-    e.crossJoin(broadcast(centsRow))
-      .select((-best.getField("col2")).as("cluster"), col("embedding"))
+    e.crossJoin(broadcast(centsModel(e)))
+      .select((-bestCentroid.getField("col2")).as("cluster"), col("embedding"))
       .select(col("cluster"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
       .groupBy(col("cluster"), (col("pos") + 1).cast("long").as("pos"))
       .agg(sum(round(col("x") * lit(1048576.0), 0)).cast("long").as("sum_q"),
@@ -524,6 +518,120 @@ object Similarity {
        |GROUP BY a.cluster, t.pos ORDER BY cluster, pos""".stripMargin
   }
 
+  private val PqM = 4      // subspaces
+  private val PqSubDim = 16 // dims per subspace (4 x 16 = 64)
+
+  /** Product-quantization ANN with ADC (asymmetric distance computation) —
+    * the FAISS-style scale path that completes the compression ladder after
+    * int8 (q53): the corpus is stored as M=4 one-byte-ish code ids per
+    * vector (16× smaller than float32), and each query scores the whole
+    * corpus through a tiny per-query lookup table instead of touching raw
+    * vectors.
+    *
+    * Codebooks: per-label subvector means (the same deterministic seed
+    * structure as q52/q67 — no trained state), label-sorted so code POSITION
+    * is engine-independent. Encode: per subspace, argmin L2² to a code
+    * (ties to the smallest label). Search: approx dot(q, e) =
+    * Σ_s lut[s][code_s(e)] — the 4 terms are added in explicit fixed order,
+    * so the score is bit-deterministic and the DuckDB oracle restates it
+    * with 4 pivoted joins.
+    *
+    * Scale shape: the codebook model is ONE broadcast row (M × k × subdim
+    * doubles); encoding is scan-side (no corpus shuffle — same gate as
+    * q50); per-query LUTs are M × k dots computed once per query, so
+    * scoring the corpus reads only the 4-code column — at 100 TB the
+    * corpus' float vectors are read ONCE (encode, amortized across every
+    * future query) and searches run on the 16×-compressed codes.
+    */
+  def q69PqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    // label-sorted codes: position i in this list <-> i-th smallest label
+    val codesRow = labelCentroids(e)
+      .agg(array_sort(collect_list(struct(col("c_label"), col("centroid")))).as("codes"))
+
+    def subSlice(v: Column, s: Column): Column = slice(v, s * PqSubDim + 1, lit(PqSubDim))
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+    // encode: per subspace the POSITION of the argmin-L2² code (struct min:
+    // smallest distance, then smallest position = smallest label; lambda
+    // structs surface as col1/col2)
+    val enc = e.crossJoin(broadcast(codesRow)).select(col("vec_id"),
+      bound(toDouble(col("embedding"))) { de =>
+        bound(col("codes")) { cs =>
+          // i + 0: a bare lambda variable would name the struct field after
+          // itself (x_NN); an arithmetic expression gets the positional col2
+          transform(sequence(lit(0), lit(PqM - 1)), s =>
+            array_min(transform(sequence(lit(1), size(cs)), i =>
+              struct(l2sq(subSlice(de, s), subSlice(element_at(cs, i).getField("centroid"), s)), i + lit(0))))
+              .getField("col2"))
+        }
+      }.as("pqcode"))
+
+    // ADC lookup tables: per query, M × nCodes subspace dot products
+    val luts = queriesSet(spark, dir).crossJoin(broadcast(codesRow)).select(col("query_id"),
+      bound(toDouble(col("q_emb"))) { dq =>
+        bound(col("codes")) { cs =>
+          transform(sequence(lit(0), lit(PqM - 1)), s =>
+            transform(sequence(lit(1), size(cs)), i =>
+              dot(subSlice(dq, s), subSlice(element_at(cs, i).getField("centroid"), s))))
+        }
+      }.as("lut"))
+
+    // explicit 4-term sum: fixed association order on both engines
+    val score = (0 until PqM).map { s =>
+      element_at(element_at(col("lut"), s + 1), element_at(col("pqcode"), s + 1).cast("int"))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+    enc.crossJoin(broadcast(luts))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", score)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("neighbor_id"), col("score"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q69Sql: String = {
+    def sl(v: String) = s"$v[s.s*$PqSubDim+1 : s.s*$PqSubDim+$PqSubDim]"
+    val l2 = s"list_sum(list_transform(list_zip(${sl("e.embedding")}, ${sl("c.centroid")}), " +
+      "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    val dotq = s"list_sum(list_transform(list_zip(${sl("q.embedding")}, ${sl("c.centroid")}), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    s"""WITH cent AS (
+       |  SELECT label, list(cx ORDER BY pos) AS centroid FROM (
+       |    SELECT label, t.pos, avg(CAST(embedding[t.pos] AS DOUBLE)) AS cx
+       |    FROM embeddings, range(1, 65) t(pos)
+       |    GROUP BY label, t.pos)
+       |  GROUP BY label),
+       |enc AS (
+       |  SELECT vec_id, s, label AS code FROM (
+       |    SELECT e.vec_id, s.s, c.label,
+       |      row_number() OVER (PARTITION BY e.vec_id, s.s ORDER BY $l2 ASC, c.label) AS rk
+       |    FROM embeddings e CROSS JOIN range(0, $PqM) s(s) CROSS JOIN cent c)
+       |  WHERE rk = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, s.s, c.label, $dotq AS v
+       |  FROM embeddings q CROSS JOIN range(0, $PqM) s(s) CROSS JOIN cent c
+       |  WHERE q.vec_id < 10),
+       |scored AS (
+       |  SELECT l0.query_id, e0.vec_id, l0.v + l1.v + l2.v + l3.v AS score
+       |  FROM (SELECT vec_id, code FROM enc WHERE s = 0) e0
+       |  JOIN (SELECT vec_id, code FROM enc WHERE s = 1) e1 USING (vec_id)
+       |  JOIN (SELECT vec_id, code FROM enc WHERE s = 2) e2 USING (vec_id)
+       |  JOIN (SELECT vec_id, code FROM enc WHERE s = 3) e3 USING (vec_id)
+       |  JOIN lut l0 ON l0.s = 0 AND l0.label = e0.code
+       |  JOIN lut l1 ON l1.s = 1 AND l1.label = e1.code AND l1.query_id = l0.query_id
+       |  JOIN lut l2 ON l2.s = 2 AND l2.label = e2.code AND l2.query_id = l0.query_id
+       |  JOIN lut l3 ON l3.s = 3 AND l3.label = e3.code AND l3.query_id = l0.query_id)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, score FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rk
+       |  FROM scored WHERE vec_id <> query_id)
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_mmr_rerank" -> q55MmrRerank _,
     "q50_knn_brute" -> q50KnnBrute _,
@@ -531,7 +639,8 @@ object Similarity {
     "q52_ivf_assign" -> q52IvfAssign _,
     "q53_knn_quantized" -> q53KnnQuantized _,
     "q54_ivf_search" -> q54IvfSearch _,
-    "q67_kmeans_step" -> q67KmeansStep _)
+    "q67_kmeans_step" -> q67KmeansStep _,
+    "q69_pq_search" -> q69PqSearch _)
 
   val oracles: Map[String, String] = Map(
     "q55_mmr_rerank" -> q55Sql,
@@ -540,5 +649,6 @@ object Similarity {
     "q52_ivf_assign" -> q52Sql,
     "q53_knn_quantized" -> q53Sql,
     "q54_ivf_search" -> q54Sql,
-    "q67_kmeans_step" -> q67Sql)
+    "q67_kmeans_step" -> q67Sql,
+    "q69_pq_search" -> q69Sql)
 }

@@ -140,6 +140,32 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
   }
 
+  test("q69 PQ search: dense ranks, above-random recall vs the exact baseline") {
+    val pq = graft.queries.Similarity.q69PqSearch(spark, sfDir).collect()
+    val exact = graft.queries.Similarity.q50KnnBrute(spark, sfDir).collect()
+    val byQ = pq.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to sorted.length).toSeq,
+        s"query $q ranks must be dense")
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q approx scores must be non-increasing")
+      assert(!rs.exists(_.getAs[Long]("neighbor_id") == q), "self never returned")
+    }
+    // ADC over 10 coarse codes per subspace on this fixture's
+    // near-orthogonal vectors: recall is structurally modest; the gate is
+    // way-above-random (random top-5 of ~500 ~= 0.01)
+    val exactByQ = exact.groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val recalls = exactByQ.map { case (q, ex) =>
+      val got = byQ.getOrElse(q, Array.empty).map(_.getAs[Long]("neighbor_id")).toSet
+      (ex intersect got).size.toDouble / ex.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg > 0.03, s"PQ recall $avg must beat the random baseline by >3x")
+  }
+
   test("q68 incremental dedup: new-vs-existing split respected, one best match per new doc") {
     val rows = graft.queries.Dedup.q68IncrementalDedup(spark, sfDir).collect()
     assert(rows.nonEmpty, "the fixture's planted near-dups must cross the batch split")

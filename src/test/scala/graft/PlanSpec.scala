@@ -322,6 +322,17 @@ class PlanSpec extends SparkTestBase {
     assert(!s.contains("TopKPerKey"), s"no rewrite when rk is in the output:\n$s")
   }
 
+  test("q69 PQ search: codebook and LUTs broadcast, corpus never shuffles for encoding") {
+    val df = Similarity.q69PqSearch(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      s"codebook model and per-query LUTs must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"no wide join allowed:\n$s")
+    assert(!"Exchange hashpartitioning\\(vec_id".r.findAllIn(s).hasNext,
+      s"the corpus must not shuffle for encoding; only scored pairs move:\n$s")
+  }
+
   test("q67 k-means step: assignment is a scan-side array argmax — corpus never shuffles on vec_id") {
     val df = Similarity.q67KmeansStep(spark, sfDir)
     df.collect()
