@@ -120,6 +120,8 @@ object ScaleSmoke {
       // k-means step: broadcast model + scan-side argmax + one rollup —
       // must scale with the corpus scan
       ("q67_kmeans_step", graft.queries.Similarity.q67KmeansStep _, scaledDir),
+      // PQ: scan-side encoding + LUT scoring — linear in the corpus
+      ("q69_pq_search", graft.queries.Similarity.q69PqSearch _, scaledDir),
       // sharded packing under TOTAL language skew: the (lang, shard) key
       // keeps the prefix sum fanned out when lang alone would be one task
       ("q97_sharded_packing_skewed", graft.queries.TrainPrep.q97ShardedPacking _, skewedDir),

@@ -120,6 +120,37 @@ object EventsOps {
       |  FROM events)
       |WHERE rk <= 3 ORDER BY user_id, round(value, 2) DESC, event_id""".stripMargin
 
+  /** [[graft.plans.TopKRewriteRule]] exercised END-TO-END as a correctness
+    * row: the plain row_number window idiom runs in a rewrite-enabled child
+    * session, a hard require() proves the optimizer actually retargeted the
+    * plan onto `TopKPerKeyNode` (otherwise this row would silently test the
+    * window idiom it replaces), and the oracle restates the un-rewritten
+    * idiom — the rewrite must be invisible in the result. Complements q87,
+    * which drives the operator through the explicit `TopK.perKey` API.
+    */
+  def q79TopkRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = spark.newSession()
+    graft.plans.TopK.enableRewrite(s2)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value").asc, col("event_id"))
+    val df = Tables(s2, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select(col("user_id"), col("event_id"), round(col("value"), 2).as("value"))
+      .orderBy(col("user_id"), col("event_id"))
+    require(df.queryExecution.optimizedPlan.collectFirst {
+      case n: graft.plans.TopKPerKeyNode => n
+    }.nonEmpty, "q79 must exercise TopKRewriteRule: the window idiom did not rewrite")
+    df
+  }
+
+  val q79Sql: String =
+    """SELECT user_id, event_id, round(value, 2) AS value
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY value ASC, event_id) AS rk
+      |  FROM events)
+      |WHERE rk <= 2 ORDER BY user_id, event_id""".stripMargin
+
   /** Native session windows (30-min gap): Spark's `session_window` merges
     * events into dynamic windows in one aggregation; the oracle restates it
     * with the lag + cumulative-sum idiom — identical session boundaries.
@@ -272,7 +303,8 @@ object EventsOps {
     "q21_events_json" -> q21JsonExtract _,
     "q22_events_sessionize" -> q22Sessionize _,
     "q23_events_top_per_user" -> q23TopEventPerUser _,
-    "q87_topk_native" -> q87TopKNative _)
+    "q87_topk_native" -> q87TopKNative _,
+    "q79_topk_rewrite" -> q79TopkRewrite _)
 
   val oracles: Map[String, String] = Map(
     "q28_redact" -> q28Sql,
@@ -283,5 +315,6 @@ object EventsOps {
     "q21_events_json" -> q21Sql,
     "q22_events_sessionize" -> q22Sql,
     "q23_events_top_per_user" -> q23Sql,
-    "q87_topk_native" -> q87Sql)
+    "q87_topk_native" -> q87Sql,
+    "q79_topk_rewrite" -> q79Sql)
 }
