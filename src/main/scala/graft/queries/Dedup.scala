@@ -271,6 +271,70 @@ object Dedup {
       .orderBy(col("new_id"))
   }
 
+  /** Semantic dedup, SemDeDup-style (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space (the shared k-means assignment machinery —
+    * scan-side argmax against the broadcast centroid model), then rank
+    * pairwise cosines ONLY within each cluster and surface the top
+    * per-cluster near-duplicate pairs (id_a < id_b: the id_b side is the
+    * dedup candidate, id_a its survivor). Ranked rather than thresholded —
+    * this fixture's embedding space is near-orthogonal by construction, so
+    * a fixed cosine cut would be degenerate; real deployments set the
+    * threshold on this same ranked list.
+    *
+    * Scale shape: the blocking IS the clustering — pairwise work is
+    * per-cluster O((n/k)²), never corpus all-pairs, and k is the dial that
+    * bounds the block (SemDeDup's own argument); assignment adds no corpus
+    * shuffle (PlanSpec-gated for q67), and the per-cluster ranking windows
+    * shuffle only pair ids + scores.
+    */
+  def q98SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables(spark, dir, "embeddings")
+    val assigned = e.crossJoin(broadcast(Similarity.centsModel(e)))
+      .select(col("vec_id"), col("embedding"),
+        (-Similarity.bestCentroid.getField("col2")).as("cluster"))
+    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("cos").desc, col("id_a"), col("id_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("emb_a"), col("emb_b")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("cluster"), col("rk").cast("long").as("rk"),
+        col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("cluster"), col("rk"))
+  }
+
+  val q98Sql: String = {
+    def cosPair(x: String, y: String): String =
+      s"list_sum(list_transform(list_zip($x, $y), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))" +
+        s" / (sqrt(list_sum(list_transform($x, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))" +
+        s" * sqrt(list_sum(list_transform($y, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))"
+    val assignCos = cosPair("e.embedding", "c.centroid")
+    val pairCos = cosPair("ea.embedding", "eb.embedding")
+    s"""WITH cent AS (
+       |  SELECT label, list(cx ORDER BY pos) AS centroid FROM (
+       |    SELECT label, t.pos, avg(CAST(embedding[t.pos] AS DOUBLE)) AS cx
+       |    FROM embeddings, range(1, 65) t(pos)
+       |    GROUP BY label, t.pos)
+       |  GROUP BY label),
+       |assigned AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT e.vec_id, c.label AS cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $assignCos DESC, c.label) AS rk
+       |    FROM embeddings e CROSS JOIN cent c)
+       |  WHERE rk = 1)
+       |SELECT cluster, CAST(rk AS BIGINT) AS rk, id_a, id_b, cosine FROM (
+       |  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round($pairCos, 4) AS cosine,
+       |    row_number() OVER (PARTITION BY a.cluster ORDER BY $pairCos DESC, a.vec_id, b.vec_id) AS rk
+       |  FROM assigned a JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id)
+       |WHERE rk <= 3 ORDER BY cluster, rk""".stripMargin
+  }
+
   val q68Sql: String =
     s"""$minhashCoreSql,
        |split AS (
@@ -652,7 +716,8 @@ object Dedup {
     "q42_dedup_simhash" -> q42Simhash _,
     "q43_dedup_simhash_pairs" -> q43SimhashPairs _,
     "q44_dedup_embedding" -> q44EmbeddingNearDup _,
-    "q68_incremental_dedup" -> q68IncrementalDedup _)
+    "q68_incremental_dedup" -> q68IncrementalDedup _,
+    "q98_semantic_dedup" -> q98SemanticDedup _)
 
   /** Every dedup query is oracle-checked: Jaccard and pair cosines restate
     * directly in SQL, the SimHash and MinHash hash families are md5-based
@@ -667,7 +732,8 @@ object Dedup {
     "q45_dedup_apply" -> q45Sql,
     "q46_dedup_cc" -> q46Sql,
     "q41_dedup_ngram_jaccard" -> q41SqlFor(Q41MaxBlock),
-    "q68_incremental_dedup" -> q68Sql)
+    "q68_incremental_dedup" -> q68Sql,
+    "q98_semantic_dedup" -> q98Sql)
 
   /** Verify-time side-effects: engine-private stages the oracles read back
     * as parquet — run once at dump time, never inside a query fn.

@@ -138,7 +138,7 @@ object Similarity {
   /** Per-label mean centroids: (c_label, centroid double[64]) — the shared
     * deterministic "index" of the IVF/k-means/PQ legs (q52, q54, q67, q69).
     */
-  private def labelCentroids(e: DataFrame): DataFrame =
+  private[queries] def labelCentroids(e: DataFrame): DataFrame =
     e.select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
       .agg(avg(col("x")).as("cx"))
@@ -150,7 +150,7 @@ object Similarity {
     * cnorm) structs — precomputed norms so per-row folds never re-derive
     * them.
     */
-  private def centsModel(e: DataFrame): DataFrame =
+  private[queries] def centsModel(e: DataFrame): DataFrame =
     labelCentroids(e)
       .select(col("c_label"), col("centroid"), norm(toDouble(col("centroid"))).as("cnorm"))
       .agg(collect_list(struct(col("c_label"), col("centroid"), col("cnorm"))).as("cents"))
@@ -162,7 +162,7 @@ object Similarity {
     * or row-multiplying the corpus. Lambda-built struct fields surface
     * positionally: col1 = cos, col2 = -label.
     */
-  private def bestCentroid: Column =
+  private[queries] def bestCentroid: Column =
     bound(toDouble(col("embedding"))) { de =>
       bound(norm(de)) { ne =>
         bound(col("cents")) { cs =>

@@ -166,6 +166,28 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(avg > 0.03, s"PQ recall $avg must beat the random baseline by >3x")
   }
 
+  test("q98 semantic dedup: pairs stay inside their cluster, ranks dense, cosines non-increasing") {
+    val rows = graft.queries.Dedup.q98SemanticDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // cluster membership per the engine's own assignment (q52 restated)
+    val assign = graft.queries.Similarity.q52IvfAssign(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("assigned_label")).toMap
+    rows.foreach { r =>
+      val c = r.getAs[Int]("cluster")
+      assert(assign(r.getAs[Long]("id_a")) == c && assign(r.getAs[Long]("id_b")) == c,
+        "both pair members must be assigned to the pair's cluster")
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+    }
+    rows.groupBy(_.getAs[Int]("cluster")).foreach { case (c, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to sorted.length).toSeq,
+        s"cluster $c ranks must be dense")
+      val cs = sorted.map(_.getAs[Double]("cosine"))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y },
+        s"cluster $c cosines must be non-increasing")
+    }
+  }
+
   test("q68 incremental dedup: new-vs-existing split respected, one best match per new doc") {
     val rows = graft.queries.Dedup.q68IncrementalDedup(spark, sfDir).collect()
     assert(rows.nonEmpty, "the fixture's planted near-dups must cross the batch split")
