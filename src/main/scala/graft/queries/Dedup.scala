@@ -298,7 +298,9 @@ object Dedup {
       .partitionBy(col("cluster")).orderBy(col("cos").desc, col("id_a"), col("id_b"))
     a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", Similarity.cosine(col("emb_a"), col("emb_b")))
+      // native codegen'd cosine: float-float inputs, identical doubles to
+      // the HOF form (q50's exact oracle pass is the proof) at codegen speed
+      .withColumn("cos", Similarity.nativeCosine(spark)(col("emb_a"), col("emb_b")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("cluster"), col("rk").cast("long").as("rk"),
@@ -685,7 +687,7 @@ object Dedup {
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Similarity.cosine(col("e_a"), col("e_b")), 4).as("cosine"))
+        round(Similarity.nativeCosine(spark)(col("e_a"), col("e_b")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
       .limit(50)
   }

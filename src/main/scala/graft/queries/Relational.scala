@@ -468,10 +468,48 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  private val Q99Cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Single-pass column profiler — the validation stage a data pipeline
+    * runs before a training job consumes a table: per column, row count,
+    * null count, exact distinct count, min and max. ALL metrics for ALL
+    * columns come from ONE scan (one aggregate with an Expand for the
+    * multi-column distincts, then a `stack` unpivot) — at 100 TB the
+    * difference between this and the naive per-column loop is reading the
+    * table once vs once per column. Exactness: counts are integers, min/max
+    * of doubles are element selections — nothing order-sensitive anywhere.
+    */
+  def q99Profile(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val aggs = Q99Cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_cnt"),
+        countDistinct(col(c)).as(s"${c}_dst"),
+        min(col(c)).cast("double").as(s"${c}_min"),
+        max(col(c)).cast("double").as(s"${c}_max"))
+    }
+    val one = l.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    one.selectExpr("n_rows",
+        s"stack(${Q99Cols.length}, " + Q99Cols.map(c =>
+          s"'$c', ${c}_cnt, ${c}_dst, ${c}_min, ${c}_max").mkString(", ") +
+          ") AS (col_name, n_present, n_distinct, min_v, max_v)")
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_present")).as("n_nulls"),
+        col("n_distinct"), col("min_v"), col("max_v"))
+      .orderBy(col("col_name"))
+  }
+
+  val q99Sql: String = Q99Cols.map { c =>
+    s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+       |  count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
+       |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
+       |FROM lineitem""".stripMargin
+  }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_skew_salted" -> q27SkewSalted _,
     "q96_window_ranks" -> q96WindowRanks _,
     "q26_group_stats" -> q26GroupStats _,
+    "q99_profile" -> q99Profile _,
     "q19_approx_sketches" -> q19ApproxSketches _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
@@ -496,6 +534,7 @@ object Relational {
     "q27_skew_salted" -> q27Sql,
     "q96_window_ranks" -> q96Sql,
     "q26_group_stats" -> q26Sql,
+    "q99_profile" -> q99Sql,
     "q19_approx_sketches" -> q19Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,

@@ -66,7 +66,7 @@ object Similarity {
     * The HOF (`cosine`) variant above is kept for contexts without
     * registration; both compute identical doubles.
     */
-  private def nativeCosine(spark: SparkSession)(a: Column, b: Column): Column = {
+  private[queries] def nativeCosine(spark: SparkSession)(a: Column, b: Column): Column = {
     graft.functions.VectorExpressions.register(spark)
     graft.functions.VectorExpressions.cosineSim(a, b)
   }
