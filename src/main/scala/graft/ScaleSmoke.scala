@@ -122,6 +122,14 @@ object ScaleSmoke {
       ("q67_kmeans_step", graft.queries.Similarity.q67KmeansStep _, scaledDir),
       // PQ: scan-side encoding + LUT scoring — linear in the corpus
       ("q69_pq_search", graft.queries.Similarity.q69PqSearch _, scaledDir),
+      // CDC chunking: one explode + one doc_id exchange shared by both
+      // window passes — must scale with total token count. (q98 SemDeDup is
+      // deliberately NOT ratio-gated here: its per-cluster pair search is
+      // O((n/k)²) with k fixed by the fixture's label count, so a 10× tile
+      // grows pair work ~100× BY DESIGN — SemDeDup's published answer is to
+      // scale k with n, a knob this fixture's label-derived centroids
+      // don't expose.)
+      ("q100_cdc_chunking", graft.queries.TrainPrep.q100CdcChunking _, scaledDir),
       // sharded packing under TOTAL language skew: the (lang, shard) key
       // keeps the prefix sum fanned out when lang alone would be one task
       ("q97_sharded_packing_skewed", graft.queries.TrainPrep.q97ShardedPacking _, skewedDir),

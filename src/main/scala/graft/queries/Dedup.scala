@@ -200,7 +200,7 @@ object Dedup {
     * Ends with the `ests` CTE (id_a, id_b, est_jaccard); callers append
     * their own tail (and optional further CTEs).
     */
-  private val minhashCoreSql: String =
+  private[queries] val minhashCoreSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), t -> t <> '') AS tl
        |  FROM documents),

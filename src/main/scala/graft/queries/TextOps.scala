@@ -367,7 +367,79 @@ object TextOps {
       |  GROUP BY lang, token)
       |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
 
+  /** q102: collocation mining — the Church–Hanks (1990) association pass a
+    * phrase/tokenizer-merge pipeline runs over the corpus: for every
+    * adjacent token bigram seen at least [[Q102MinCount]] times, its LIFT
+    * (= exp(PMI)) = P(ab) / (P(a)·P(b)), top 50 strongest associations.
+    *
+    * Lift rather than log-PMI keeps the arithmetic engine-portable: every
+    * input is an exact integer count, the products are formed as doubles in
+    * a fixed association order, and ONE division closes it — bit-identical
+    * in DuckDB, where log() would be library-rounding-dependent.
+    *
+    * Scale shape: the bigram explode is NARROW (zip of the token array with
+    * its own tail — no window, no per-doc shuffle); unigram and bigram
+    * counts each partial-aggregate map-side then shuffle vocab-sized keys;
+    * the two count joins key on tokens (vocab-sized right sides, AQE
+    * broadcasts them when small); corpus totals are one-row broadcasts.
+    * Nothing in the plan scales with corpus size except the scan and the
+    * vocab-keyed aggregations.
+    */
+  def q102Collocations(spark: SparkSession, dir: String): DataFrame =
+    collocations(Tables(spark, dir, "documents"))
+
+  /** The collocation pass over any frame with a `text` column — extracted
+    * so the lift arithmetic is testable on constructed corpora.
+    */
+  def collocations(d: DataFrame): DataFrame = {
+    val toks = d.select(wsTokens(normText(col("text"))).as("tl"))
+    val n1 = greatest(size(col("tl")) - 1, lit(0))
+    val bigrams = toks
+      .select(explode(zip_with(
+        slice(col("tl"), lit(1), n1), slice(col("tl"), lit(2), n1),
+        (x, y) => struct(x.as("t1"), y.as("t2")))).as("bg"))
+      .select(col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+    val uni = toks.select(explode(col("tl")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val totTok = uni.agg(sum(col("n")).as("n_tok"))
+    val bg = bigrams.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n_ab"))
+    val totBg = bg.agg(sum(col("n_ab")).as("n_bg"))
+    bg.filter(col("n_ab") >= Q102MinCount)
+      .join(uni.select(col("t").as("t1"), col("n").as("n_a")), Seq("t1"))
+      .join(uni.select(col("t").as("t2"), col("n").as("n_b")), Seq("t2"))
+      .crossJoin(broadcast(totTok))
+      .crossJoin(broadcast(totBg))
+      .select(col("t1"), col("t2"), col("n_ab"),
+        ((col("n_ab").cast("double") * col("n_tok") * col("n_tok"))
+          / (col("n_bg").cast("double") * col("n_a") * col("n_b"))).as("lift"))
+      .orderBy(col("lift").desc, col("t1"), col("t2"))
+      .limit(50)
+  }
+
+  private val Q102MinCount = 5
+
+  val q102Sql: String =
+    s"""WITH toks AS (
+       |  SELECT list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS tl
+       |  FROM documents),
+       |bigrams AS (
+       |  SELECT tl[i] AS t1, tl[i+1] AS t2
+       |  FROM (SELECT tl, unnest(range(1, len(tl))) AS i FROM toks)),
+       |uni AS (
+       |  SELECT t, count(*) AS n FROM (SELECT unnest(tl) AS t FROM toks) GROUP BY t),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tok FROM uni),
+       |bg AS (SELECT t1, t2, count(*) AS n_ab FROM bigrams GROUP BY t1, t2),
+       |totbg AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_bg FROM bg)
+       |SELECT t1, t2, n_ab,
+       |  (CAST(n_ab AS DOUBLE) * n_tok * n_tok) / (CAST(n_bg AS DOUBLE) * n_a * n_b) AS lift
+       |FROM (
+       |  SELECT bg.t1, bg.t2, CAST(bg.n_ab AS BIGINT) AS n_ab, ua.n AS n_a, ub.n AS n_b
+       |  FROM bg JOIN uni ua ON ua.t = bg.t1 JOIN uni ub ON ub.t = bg.t2
+       |  WHERE bg.n_ab >= $Q102MinCount), tot, totbg
+       |ORDER BY lift DESC, t1, t2 LIMIT 50""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_collocations" -> q102Collocations _,
     "q29_heavy_hitters" -> q29HeavyHitters _,
     "q39_repetition" -> q39Repetition _,
     "q38_unigram_rarity" -> q38UnigramRarity _,
@@ -408,6 +480,7 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q102_collocations" -> q102Sql,
     "q29_heavy_hitters" -> q29Sql,
     "q39_repetition" -> q39Sql,
     "q38_unigram_rarity" -> q38Sql,

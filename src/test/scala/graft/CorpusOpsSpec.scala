@@ -211,6 +211,39 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(conserved == base.trim.split("\\s+").length.toLong, "token conservation per doc")
   }
 
+  test("q101 triangles: K4 + pendant path — exact counts and clustering coefficients") {
+    val s = spark
+    import s.implicits._
+    // K4 on {1,2,3,4} (every node in 3 triangles, lcc 1) plus the path
+    // 4-5-6 (5 and 6 in no triangle; 4's lcc drops to 3 of C(4,2)=6 wedges)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("id_a", "id_b")
+    val rows = graft.queries.GraphOps.triangleStats(edges).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("degree"), r.getAs[Long]("triangles"), r.getAs[Double]("lcc")))).toMap
+    assert(byId(1L) == ((3L, 3L, 1.0)) && byId(2L) == ((3L, 3L, 1.0)) && byId(3L) == ((3L, 3L, 1.0)))
+    assert(byId(4L) == ((4L, 3L, 0.5)), "node 4: 3 triangles over C(4,2)=6 wedges")
+    assert(byId(5L) == ((2L, 0L, 0.0)) && byId(6L) == ((1L, 0L, 0.0)))
+    assert(rows.map(_.getAs[Long]("triangles")).sum == 12L, "4 triangles x 3 incidences")
+  }
+
+  test("q102 collocations: an always-adjacent pair tops the list, lift matches the closed form") {
+    val s = spark
+    import s.implicits._
+    // "alpha beta" always adjacent (6x), filler tokens all distinct; the
+    // pair's lift = n_ab*N^2 / (n_bg*n_a*n_b) with every count known
+    val docs = (0 until 6).map(i => (i.toLong, s"alpha beta f${i}a f${i}b f${i}c")).toDF("doc_id", "text")
+    val rows = graft.queries.TextOps.collocations(docs).collect()
+    val top = rows.head
+    assert((top.getAs[String]("t1"), top.getAs[String]("t2")) == (("alpha", "beta")))
+    assert(top.getAs[Long]("n_ab") == 6L)
+    val n = 30.0; val nBg = 24.0
+    assert(top.getAs[Double]("lift") == 6.0 * n * n / (nBg * 6.0 * 6.0),
+      "lift must equal the closed-form count ratio")
+    assert(rows.length == 1, "every other bigram is below the min-count cut")
+  }
+
   test("q68 incremental dedup: new-vs-existing split respected, one best match per new doc") {
     val rows = graft.queries.Dedup.q68IncrementalDedup(spark, sfDir).collect()
     assert(rows.nonEmpty, "the fixture's planted near-dups must cross the batch split")
