@@ -240,6 +240,34 @@ class PlanSpec extends SparkTestBase {
       s"no corpus-wide sort-merge join allowed:\n$s")
   }
 
+  test("q102 collocations: bigram build is narrow, totals broadcast, no cartesian blowup") {
+    val df = TextOps.q102Collocations(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    // the bigram flatten is zip_with over the token array — a Generate
+    // directly over the scan with NO window pass, so no per-doc exchange
+    // may appear between the scan and the first (partial) aggregation
+    assert(!s.contains("Window"), s"bigram build must not use a window pass:\n$s")
+    // one-row corpus totals enter as broadcast nested-loop joins, and the
+    // vocab-sized unigram sides broadcast under AQE — never a corpus-wide
+    // sort-merge join
+    assert(s.contains("BroadcastNestedLoopJoin"), s"one-row totals must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no cartesian product allowed:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"count joins must broadcast at this scale:\n$s")
+  }
+
+  test("q101 triangles: every join keys on ids — no adjacency list ever crosses a shuffle") {
+    val df = GraphOps.q101Triangles(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    // wedge + closing-edge joins carry (id, id, deg)-shaped rows only; a
+    // collect_list/explode adjacency pattern here would put whole neighbor
+    // lists on the wire and die on the first hub at scale
+    assert(!s.contains("collect_list"), s"no adjacency-list aggregation allowed:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"all graph joins must be equi-joins on id keys:\n$s")
+  }
+
   test("q57 temperature sampling: per-lang rates broadcast back, membership is scan-side") {
     val df = CorpusOps.q57TemperatureSample(spark, sfDir)
     df.collect()
