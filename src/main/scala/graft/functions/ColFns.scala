@@ -18,4 +18,15 @@ object ColFns {
     */
   def bound(c: Column)(body: Column => Column): Column =
     element_at(transform(array(c), x => body(x)), 1)
+
+  /** md5-derived non-negative 60-bit hash — THE engine-portable hash family
+    * every sampling/sharding/banding operator shares (q84 split, q97
+    * shards, q57 sampling, q100 CDC boundaries, LSH band keys). DuckDB
+    * restates it verbatim as `('0x' || substr(md5(x), 1, 15))::BIGINT`; the
+    * 1..15 hex substring and base conversion here must stay in lockstep
+    * with every one of those oracle restatements, which is why this lives
+    * in exactly one place.
+    */
+  def h60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 }

@@ -116,14 +116,41 @@ final case class TopKPerKeyExec(
       }
       val nFields = schema.length
       val spillFiles = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+      // readers still open if the consumer abandons the output iterator
+      // early (limit(), task kill): closed by the completion listener so
+      // neither the fd nor (on filesystems that refuse to unlink open
+      // files) the spill file outlives the task
+      val openReaders = scala.collection.mutable.ArrayBuffer.empty[java.io.Closeable]
       Option(org.apache.spark.TaskContext.get()).foreach(
         _.addTaskCompletionListener[Unit] { _ =>
+          openReaders.foreach(r => try r.close() catch { case _: java.io.IOException => () })
           spillFiles.foreach(f => if (f.exists()) f.delete())
         })
+
+      // Spill lands in the executor's configured scratch space
+      // (spark.local.dir — the disks sized for shuffle/spill), NOT
+      // java.io.tmpdir, which on real clusters is commonly a small root
+      // partition or memory-backed tmpfs. Multiple dirs rotate by
+      // partition id, mirroring how Spark's own spills spread I/O.
+      def newSpillFile(): java.io.File = {
+        val dirs = Option(org.apache.spark.SparkEnv.get)
+          .flatMap(env => env.conf.getOption("spark.local.dir"))
+          .getOrElse(System.getProperty("java.io.tmpdir"))
+          .split(",").map(_.trim).filter(_.nonEmpty)
+          .map(new java.io.File(_)).filter(d => d.isDirectory && d.canWrite)
+        val pid = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
+        val dir =
+          if (dirs.nonEmpty) dirs(pid % dirs.length)
+          else new java.io.File(System.getProperty("java.io.tmpdir"))
+        val f = java.io.File.createTempFile("graft-topk-spill-", ".bin", dir)
+        spillFiles += f
+        f
+      }
 
       def readSpill(f: java.io.File): Iterator[InternalRow] = {
         val in = new java.io.DataInputStream(
           new java.io.BufferedInputStream(new java.io.FileInputStream(f), 1 << 16))
+        openReaders += in
         new Iterator[InternalRow] {
           private var nextSize = readSize()
           private def readSize(): Int =
@@ -190,8 +217,7 @@ final case class TopKPerKeyExec(
               heaps.put(key.copy(), pq)
             case None =>
               if (spillOut == null) {
-                spillFile = java.io.File.createTempFile("graft-topk-spill-", ".bin")
-                spillFiles += spillFile
+                spillFile = newSpillFile()
                 spillOut = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
                   new java.io.FileOutputStream(spillFile), 1 << 16))
               }

@@ -23,12 +23,8 @@ object CorpusOps {
 
   import TextOps.{normText, wsTokens}
 
-  /** md5-derived 60-bit non-negative hash of a column — the engine-portable
-    * hash family shared with q84/q97 (DuckDB restates it verbatim as
-    * `('0x' || substr(md5(x), 1, 15))::BIGINT`).
-    */
-  private def h60(c: org.apache.spark.sql.Column) =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+  /** The engine-portable md5-60 hash family, shared via [[ColFns.h60]]. */
+  private def h60(c: org.apache.spark.sql.Column) = graft.functions.ColFns.h60(c)
 
   // ---------------------------------------------------------------------
   // q56: BM25 keyword search (rational-IDF variant)
@@ -131,7 +127,11 @@ object CorpusOps {
     * recompute the sample from the id alone — no stored assignment table,
     * which at 100 TB means the sample is a FILTER, not a materialization).
     * Exactness: p = least(1.0, sqrt(100.0 / n)) uses only correctly-rounded
-    * ops; the hash fraction divides a 60-bit integer by 2⁶⁰ (exact).
+    * ops; the hash fraction divides a 60-bit integer by 2⁶⁰. Hashes within
+    * 128 of 2⁶⁰ round UP to exactly 1.0 in double (ulp there is 256), so
+    * the p_keep >= 1 case is short-circuited explicitly — otherwise an
+    * under-cap language could drop ~1e-16 of its docs, violating the
+    * pass-through-whole contract.
     * Scale shape: one tiny per-lang count agg broadcast back, then a pure
     * scan-side projection + filter; the final per-lang rollup partial-aggs.
     */
@@ -141,7 +141,7 @@ object CorpusOps {
       .withColumn("p_keep", least(lit(1.0), sqrt(lit(100.0) / col("n_docs"))))
     val hashFrac = h60(col("doc_id")).cast("double") / lit(1152921504606846976.0) // 2^60
     d.join(broadcast(counts), Seq("lang"))
-      .withColumn("keep", hashFrac < col("p_keep"))
+      .withColumn("keep", col("p_keep") >= 1.0 || hashFrac < col("p_keep"))
       .groupBy(col("lang"))
       .agg(
         first(col("n_docs")).as("n_docs"),
@@ -156,7 +156,8 @@ object CorpusOps {
       |    least(1.0, sqrt(100.0 / count(*))) AS p_keep
       |  FROM documents GROUP BY lang)
       |SELECT d.lang, c.n_docs,
-      |  count(CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+      |  count(CASE WHEN c.p_keep >= 1.0
+      |             OR CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
       |             / 1152921504606846976.0 < c.p_keep THEN 1 END) AS n_kept,
       |  c.p_keep
       |FROM documents d JOIN counts c USING (lang)

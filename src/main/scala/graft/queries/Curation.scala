@@ -95,8 +95,7 @@ object Curation {
     * counts as the stratification check.
     */
   def q84TrainSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket =
-      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long") % 100
+    val bucket = graft.functions.ColFns.h60(col("doc_id")) % 100
     Tables(spark, dir, "documents")
       .select(col("source"),
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))

@@ -56,9 +56,8 @@ object Dedup {
   def bandKeys(sig: Column, bands: Int, rows: Int): Column =
     bound(sig) { s =>
       transform(sequence(lit(0), lit(bands - 1)),
-        b => conv(substring(md5(concat(b.cast("string"), lit(":"),
-          concat_ws(",", transform(slice(s, b * rows + 1, lit(rows)), x => x.cast("string"))))),
-          1, 15), 16, 10).cast("long"))
+        b => graft.functions.ColFns.h60(concat(b.cast("string"), lit(":"),
+          concat_ws(",", transform(slice(s, b * rows + 1, lit(rows)), x => x.cast("string"))))))
     }
 
   private val K = 32; private val BANDS = 8; private val ROWS = 4

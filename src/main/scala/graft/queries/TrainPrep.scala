@@ -213,8 +213,7 @@ object TrainPrep {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     d.select(col("doc_id"), col("lang"),
         TextOps.regexTokenCount(col("text")).cast("long").as("n_toks"))
-      .withColumn("shard",
-        expr(s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % $NShards"))
+      .withColumn("shard", graft.functions.ColFns.h60(col("doc_id")) % NShards)
       .withColumn("cum", sum(col("n_toks")).over(w))
       // integer div for the same 2^53 reason as q49
       .withColumn("pack_id", expr(s"(cum - n_toks) div $PackBudget"))
@@ -278,7 +277,7 @@ object TrainPrep {
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val bigram = concat(lag(col("t"), 1).over(wOrd), lit(" "), col("t"))
     val flag = when(lag(col("t"), 1).over(wOrd).isNull, lit(0))
-      .otherwise((conv(substring(md5(bigram), 1, 15), 16, 10).cast("long") % CdcD === 0).cast("int"))
+      .otherwise((graft.functions.ColFns.h60(bigram) % CdcD === 0).cast("int"))
     toks.withColumn("flag", flag)
       .withColumn("chunk_id",
         sum(col("flag")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
