@@ -294,7 +294,40 @@ object EventsOps {
       |FROM grid g LEFT JOIN hourly USING (user_id, h)
       |ORDER BY user_id, hour_ts""".stripMargin
 
+  /** q103: retention cohort analysis — the product-analytics staple
+    * (D1/D7/D30 retention): cohort a user by FIRST-ACTIVE day, then count
+    * distinct users active at each day offset from their cohort. One
+    * triangular matrix row per (cohort_date, day_offset).
+    *
+    * Scale shape: the cohort frame is one user-keyed agg (users-sized, far
+    * smaller than events); the join back to activity co-locates on user_id
+    * — at 100 TB both sides hash-partition on user_id and the cohort side
+    * is the output of the SAME keyed shuffle, so AQE reuses the exchange.
+    * The final count-distinct is per-(cohort, offset) — partial aggregation
+    * dedupes (user, cohort, offset) map-side before the last shuffle. All
+    * arithmetic is date subtraction: exact integers end to end.
+    */
+  def q103RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort_date"))
+    e.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_date"),
+        datediff(col("d"), col("cohort_date")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_date"), col("day_offset"))
+  }
+
+  val q103Sql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |c AS (SELECT user_id, min(d) AS cohort_date FROM e GROUP BY user_id)
+      |SELECT c.cohort_date, CAST(e.d - c.cohort_date AS BIGINT) AS day_offset,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_date, day_offset""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_retention_cohorts" -> q103RetentionCohorts _,
     "q28_redact" -> q28Redact _,
     "q95_resample_ffill" -> q95ResampleFfill _,
     "q25_funnel" -> q25Funnel _,
@@ -307,6 +340,7 @@ object EventsOps {
     "q79_topk_rewrite" -> q79TopkRewrite _)
 
   val oracles: Map[String, String] = Map(
+    "q103_retention_cohorts" -> q103Sql,
     "q28_redact" -> q28Sql,
     "q95_resample_ffill" -> q95Sql,
     "q25_funnel" -> q25Sql,

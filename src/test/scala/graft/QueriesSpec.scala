@@ -297,4 +297,28 @@ class QueriesSpec extends SparkTestBase {
     val survivorLangs = blocks.collect { case ((l, _), n) if n <= 3 => l }.toSet
     assert(pairsLangs.subsetOf(survivorLangs))
   }
+
+  test("q103 retention: day-0 equals cohort size, retention never exceeds it, offsets bounded") {
+    val rows = graft.queries.EventsOps.q103RetentionCohorts(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[java.sql.Date]("cohort_date"))
+    // every user is active on their first-seen day by construction, so the
+    // day-0 cell IS the cohort size and no later cell can exceed it
+    byCohort.foreach { case (c, rs) =>
+      val day0 = rs.find(_.getAs[Long]("day_offset") == 0L)
+        .map(_.getAs[Long]("n_users"))
+      assert(day0.nonEmpty, s"cohort $c must have a day-0 row")
+      assert(rs.forall(_.getAs[Long]("n_users") <= day0.get),
+        s"cohort $c: retention above cohort size")
+      assert(rs.forall(_.getAs[Long]("day_offset") >= 0L), "offsets are non-negative")
+    }
+    // total user-days conserve: sum of all cells = distinct (user, day) pairs
+    val expected = graft.Tables(spark, sfDir, "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")).as("d"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == expected,
+      "cells must partition the distinct (user, active-day) set")
+  }
 }
