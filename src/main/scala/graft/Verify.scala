@@ -54,7 +54,13 @@ object Verify {
         System.err.println(s"[verify] materializer failed: ${e.getMessage}")
       }
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration escape hatch, mirroring Bench: SPARK_GRAFT_ONLY=q104
+    // dumps just those prefixes; unset (the driver's invocation) dumps all
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

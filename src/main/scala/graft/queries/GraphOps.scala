@@ -122,9 +122,101 @@ object GraphOps {
        |FROM deg d LEFT JOIN pernode p ON p.id = d.id
        |ORDER BY doc_id""".stripMargin
 
+  /** Micro-units per unit of PageRank mass: ranks live in BIGINT
+    * millionths so every iteration is exact-integer arithmetic.
+    */
+  private[queries] val PrScale = 1000000L
+
+  /** Damping factor 0.85 expressed as the exact integer pair 85/100. */
+  private[queries] val PrIters = 3
+
+  /** Integer-exact PageRank over an undirected edge list (`id_a < id_b`,
+    * one row per edge): rank mass in BIGINT micro-units, teleport term
+    * `0.15 * 10^6 = 150000`, and each neighbor contribution computed as
+    * `(rank * 85) div (100 * deg)` — a single integral division, so the
+    * per-node sum is order-independent and bit-identical however Spark
+    * schedules the partial aggregates (the same determinism trick as the
+    * q67 k-means quantized sums, but with no quantization error model at
+    * all: the ENGINE's arithmetic is the spec, and the oracle restates it
+    * verbatim with DuckDB's `//`).
+    *
+    * Shape per iteration: one node-sized join (ranks onto the
+    * degree-annotated adjacency, keyed on `src`) + one edge-keyed agg
+    * (`dst`) — the standard power-iteration shuffle budget, same as one
+    * connected-components round (q46). The degree-annotated adjacency
+    * subplan is IDENTICAL in every iteration, so Spark's ReuseExchange
+    * dedupes its shuffle across the unrolled plan (a deployment running
+    * until convergence would persist it partitioned by `src` instead —
+    * the same materialized-artifact move as the MinHash signature table);
+    * ranks are node-sized. Iteration count is fixed ([[PrIters]]) — plan
+    * depth is bounded and known at submit time, no driver-side
+    * convergence loop.
+    */
+  def pagerankStats(edges: DataFrame, iters: Int = PrIters): DataFrame = {
+    val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val adjDeg = adj.join(deg, Seq("src"))
+    var ranks = deg.select(col("src").as("id"), lit(PrScale).as("rank"))
+    for (_ <- 1 to iters) {
+      ranks = adjDeg.join(ranks, col("src") === col("id"))
+        .select(col("dst"), expr("(rank * 85) div (100 * deg)").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
+        .select(col("dst").as("id"), (lit(PrScale * 15 / 100) + col("inflow")).as("rank"))
+    }
+    deg.select(col("src").as("doc_id"), col("deg").as("degree"))
+      .join(ranks, col("doc_id") === col("id"))
+      .select(col("doc_id"), col("degree"), col("rank").as("rank_micro"),
+        (col("rank") / lit(PrScale.toDouble)).as("rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q104: PageRank centrality of the MinHash near-dup graph — which
+    * documents sit at the CENTER of duplication mass. Complements q46
+    * (which docs are connected) and q101 (how clique-like the
+    * neighborhood is): a template hub that thousands of docs near-match
+    * accumulates rank from all of them, so sorting by rank surfaces the
+    * canonical copies worth keeping (or the spam templates worth killing)
+    * first. [[PrIters]] fixed iterations over edges at
+    * est_jaccard >= [[TriThreshold]].
+    */
+  def q104Pagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankStats(Dedup.minhashCandidates(spark, dir)
+      .filter(col("est_jaccard") >= TriThreshold))
+
+  /** Oracle: the shared minhash CTE chain, then the three power-iteration
+    * steps unrolled as CTEs with the identical integer arithmetic
+    * (`//` = integral division on BIGINT in DuckDB; both operands are
+    * positive, so it equals Spark's `div`). `sum()` over BIGINT widens to
+    * HUGEINT in DuckDB, hence the explicit casts back.
+    */
+  val q104Sql: String = {
+    def step(prev: String, next: String): String =
+      s"""$next AS (
+         |  SELECT a.dst AS id,
+         |    CAST(150000 + sum((r.rank * 85) // (100 * d.deg)) AS BIGINT) AS rank
+         |  FROM adj a JOIN deg d ON d.src = a.src JOIN $prev r ON r.id = a.src
+         |  GROUP BY a.dst)""".stripMargin
+    s"""${Dedup.minhashCoreSql},
+       |edges AS (SELECT id_a, id_b FROM ests WHERE est_jaccard >= $TriThreshold),
+       |adj AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |        UNION ALL SELECT id_b AS src, id_a AS dst FROM edges),
+       |deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY src),
+       |r0 AS (SELECT src AS id, CAST($PrScale AS BIGINT) AS rank FROM deg),
+       |${step("r0", "r1")},
+       |${step("r1", "r2")},
+       |${step("r2", "r3")}
+       |SELECT d.src AS doc_id, d.deg AS degree, r.rank AS rank_micro,
+       |  r.rank / $PrScale.0 AS rank
+       |FROM deg d JOIN r3 r ON r.id = d.src
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q101_triangles" -> q101Triangles _)
+    "q101_triangles" -> q101Triangles _,
+    "q104_pagerank" -> q104Pagerank _)
 
   val oracles: Map[String, String] = Map(
-    "q101_triangles" -> q101Sql)
+    "q101_triangles" -> q101Sql,
+    "q104_pagerank" -> q104Sql)
 }

@@ -228,6 +228,31 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("triangles")).sum == 12L, "4 triangles x 3 incidences")
   }
 
+  test("q104 pagerank: K4 + pendant path — exact micro-ranks match the hand-rolled iteration") {
+    val s = spark
+    import s.implicits._
+    // Same graph as the triangle test. Expected values are the 3-step
+    // integer power iteration computed by hand: r(v) = 150000 +
+    // sum((r(u)*85) div (100*deg(u))) from r0 = 10^6 — symmetric K4 nodes
+    // tie, the hub (4) leads, the pendant tail (6) trails, and floor
+    // losses keep total mass just under 6 * 10^6.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("id_a", "id_b")
+    val rows = graft.queries.GraphOps.pagerankStats(edges).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank_micro")).toMap
+    val expected = Map(1L -> 1014166L, 2L -> 1014166L, 3L -> 1014166L,
+      4L -> 1382600L, 5L -> 1024723L, 6L -> 550163L)
+    assert(byId == expected, s"exact integer ranks: $byId")
+    // determinism across partitionings: the integral arithmetic makes the
+    // result independent of how partial sums are scheduled
+    val re = graft.queries.GraphOps.pagerankStats(edges.repartition(7)).collect()
+    assert(re.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank_micro")).toMap == expected)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rank") == r.getAs[Long]("rank_micro") / 1e6)
+    }
+  }
+
   test("q102 collocations: an always-adjacent pair tops the list, lift matches the closed form") {
     val s = spark
     import s.implicits._
