@@ -112,15 +112,57 @@ object Curation {
       |        FROM documents))
       |GROUP BY source, split ORDER BY source, split""".stripMargin
 
+  /** Exactly-n-per-stratum draw size for q105. */
+  private[graft] val Q105SampleN = 20
+
+  /** q105: deterministic fixed-size per-source sample — the eval-set /
+    * human-review draw: exactly [[Q105SampleN]] docs per source, chosen as
+    * the smallest md5-60 hashes of `doc_id`. Complements the other two
+    * sampling shapes: q57 is RATE-based (a keep-probability filter, output
+    * size binomial) and q84 is an ASSIGNMENT (every doc gets a split);
+    * this one guarantees the exact count a labeling budget needs, still
+    * stateless — membership is recomputable from `doc_id` alone, so the
+    * same draw reproduces on any cluster with no stored sample table.
+    *
+    * Executed through the native [[graft.plans.TopK.perKey]] physical
+    * operator: one hash exchange on `source`, map-side partial heaps prune
+    * to ≤ n rows per stratum per task BEFORE the shuffle, no sort, no rank
+    * column — at 100 TB the shuffle carries ~n·sources·tasks rows, not the
+    * corpus, which is precisely the smallest-k-by-hash access pattern the
+    * operator was built for.
+    */
+  def q105GroupSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.ColFns.h60(col("doc_id")).as("h"))
+    graft.plans.TopK.perKey(d, Seq("source"),
+        Seq("h" -> true, "doc_id" -> true), k = Q105SampleN)
+      .select(col("source"), col("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** Oracle: the classic window idiom over the same shared hash family —
+    * the native operator must be invisible in the result.
+    */
+  val q105Sql: String =
+    s"""SELECT source, doc_id FROM (
+       |  SELECT source, doc_id, row_number() OVER (
+       |    PARTITION BY source
+       |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= $Q105SampleN ORDER BY source, doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_curation_join" -> q80CurationJoin _,
     "q81_source_quota" -> q81SourceQuota _,
     "q82_contamination" -> q82Contamination _,
-    "q84_train_split" -> q84TrainSplit _)
+    "q84_train_split" -> q84TrainSplit _,
+    "q105_group_sample" -> q105GroupSample _)
 
   val oracles: Map[String, String] = Map(
     "q80_curation_join" -> q80Sql,
     "q81_source_quota" -> q81Sql,
     "q82_contamination" -> q82Sql,
-    "q84_train_split" -> q84Sql)
+    "q84_train_split" -> q84Sql,
+    "q105_group_sample" -> q105Sql)
 }

@@ -326,6 +326,51 @@ object EventsOps {
       |FROM e JOIN c USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_date, day_offset""".stripMargin
 
+  /** q106: first-order Markov transition matrix over per-user event
+    * sequences — the path-analysis staple behind "what do users do after
+    * X" and behavioral anomaly scoring. One lag window per user (ordered
+    * by ts with event_id as the total-order tiebreak) pairs each event
+    * with its predecessor; the (from, to) counts then aggregate on
+    * event-type² keys — a matrix-sized frame however large the stream —
+    * and the row-conditional probability normalizes by the from-state
+    * total via a window over that tiny frame.
+    *
+    * Shuffle budget: ONE user-keyed exchange for the lag (the same
+    * clustering q22/q23/q24 share), then aggregation onto a key space
+    * bounded by the event-type vocabulary squared. Exact: counts are
+    * BIGINT; p_trans is one correctly-rounded division.
+    */
+  def q106MarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = e
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+    val counts = trans
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val wf = Window.partitionBy(col("from_type"))
+    counts
+      .withColumn("n_from", sum(col("n_trans")).over(wf))
+      .withColumn("p_trans", col("n_trans").cast("double") / col("n_from"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q106Sql: String =
+    """SELECT from_type, to_type, n_trans,
+      |  CAST(sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+      |  CAST(n_trans AS DOUBLE) / CAST(sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS p_trans
+      |FROM (
+      |  SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n_trans
+      |  FROM (
+      |    SELECT event_type,
+      |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |    FROM events)
+      |  WHERE prev_type IS NOT NULL
+      |  GROUP BY prev_type, event_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_retention_cohorts" -> q103RetentionCohorts _,
     "q28_redact" -> q28Redact _,
@@ -337,7 +382,8 @@ object EventsOps {
     "q22_events_sessionize" -> q22Sessionize _,
     "q23_events_top_per_user" -> q23TopEventPerUser _,
     "q87_topk_native" -> q87TopKNative _,
-    "q79_topk_rewrite" -> q79TopkRewrite _)
+    "q79_topk_rewrite" -> q79TopkRewrite _,
+    "q106_markov_transitions" -> q106MarkovTransitions _)
 
   val oracles: Map[String, String] = Map(
     "q103_retention_cohorts" -> q103Sql,
@@ -350,5 +396,7 @@ object EventsOps {
     "q22_events_sessionize" -> q22Sql,
     "q23_events_top_per_user" -> q23Sql,
     "q87_topk_native" -> q87Sql,
-    "q79_topk_rewrite" -> q79Sql)
+    "q79_topk_rewrite" -> q79Sql,
+    "q106_markov_transitions" -> q106Sql)
+
 }

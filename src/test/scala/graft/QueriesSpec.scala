@@ -298,6 +298,47 @@ class QueriesSpec extends SparkTestBase {
     assert(pairsLangs.subsetOf(survivorLangs))
   }
 
+  test("q105 group sample: exactly n per source, equals the window idiom, draw is stable") {
+    val rows = Curation.q105GroupSample(spark, sfDir).collect()
+    val perSource = rows.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    val sourceSizes = Tables(spark, sfDir, "documents")
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    sourceSizes.foreach { case (src, n) =>
+      val expect = math.min(n, Curation.Q105SampleN.toLong)
+      assert(perSource.getOrElse(src, 0) == expect,
+        s"source $src: drew ${perSource.getOrElse(src, 0)}, expected $expect of $n")
+    }
+    // the native-operator draw must equal the classic window idiom exactly
+    val h = graft.functions.ColFns.h60(col("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(h.asc, col("doc_id").asc)
+    val idiom = Tables(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"),
+        org.apache.spark.sql.functions.row_number().over(w).as("rk"))
+      .filter(col("rk") <= Curation.Q105SampleN)
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+    assert(rows.map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet == idiom)
+  }
+
+  test("q106 markov: row-conditional probabilities normalize, transitions conserve") {
+    val rows = graft.queries.EventsOps.q106MarkovTransitions(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (ft, rs) =>
+      val nFrom = rs.head.getAs[Long]("n_from")
+      assert(rs.map(_.getAs[Long]("n_trans")).sum == nFrom,
+        s"$ft: n_from must equal the sum of its transition counts")
+      val pSum = rs.map(_.getAs[Double]("p_trans")).sum
+      assert(math.abs(pSum - 1.0) < 1e-9, s"$ft: probabilities sum to $pSum")
+    }
+    // each user's first event has no predecessor, so total transitions =
+    // total events - distinct users
+    val e = Tables(spark, sfDir, "events")
+    val expected = e.count() - e.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_trans")).sum == expected)
+  }
+
   test("q103 retention: day-0 equals cohort size, retention never exceeds it, offsets bounded") {
     val rows = graft.queries.EventsOps.q103RetentionCohorts(spark, sfDir).collect()
     assert(rows.nonEmpty)
