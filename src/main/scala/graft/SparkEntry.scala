@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{CorpusOps, Curation, Dedup, EventsOps, GraphOps, IngestOps, MultimodalOps, Relational, Similarity, Temporal, TextOps, TpchStyle, TrainPrep}
+import graft.queries.{CorpusOps, Curation, Dedup, EventsOps, GraphOps, IngestOps, LayoutOps, MultimodalOps, Relational, Similarity, Temporal, TextOps, TpchStyle, TrainPrep}
 
 /** Driver contract — see SURVEY.md §7 and the stub comments. */
 object SparkEntry {
@@ -32,12 +32,12 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ EventsOps.all ++ TextOps.all ++ Dedup.all ++
-      Similarity.all ++ IngestOps.all ++ Temporal.all ++ Curation.all ++ TpchStyle.all ++ MultimodalOps.all ++ TrainPrep.all ++ CorpusOps.all ++ GraphOps.all
+      Similarity.all ++ IngestOps.all ++ Temporal.all ++ Curation.all ++ TpchStyle.all ++ MultimodalOps.all ++ TrainPrep.all ++ CorpusOps.all ++ GraphOps.all ++ LayoutOps.all
 
   /** DuckDB-runnable oracle SQL per query; hash-heavy signature queries are
     * intentionally omitted (rows-only check).
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventsOps.oracles ++ TextOps.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ IngestOps.oracles ++ Temporal.oracles ++ Curation.oracles ++ TpchStyle.oracles ++ MultimodalOps.oracles ++ TrainPrep.oracles ++ CorpusOps.oracles ++ GraphOps.oracles
+      Dedup.oracles ++ Similarity.oracles ++ IngestOps.oracles ++ Temporal.oracles ++ Curation.oracles ++ TpchStyle.oracles ++ MultimodalOps.oracles ++ TrainPrep.oracles ++ CorpusOps.oracles ++ GraphOps.oracles ++ LayoutOps.oracles
 }

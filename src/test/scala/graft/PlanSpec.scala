@@ -180,6 +180,17 @@ class PlanSpec extends SparkTestBase {
       s"exchange must be keyed on (lang, shard), got: $key\n$s")
   }
 
+  test("q107 zorder: bounds broadcast into the scan, one agg exchange, curve math stays in codegen") {
+    val df = graft.queries.LayoutOps.q107ZorderLayout(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      s"the one-row min/max bounds frame must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no unbroadcast cartesian allowed:\n$s")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(s).length
+    assert(exchanges == 1, s"exactly the zcell agg exchange expected, got $exchanges:\n$s")
+  }
+
   test("q95 resample: grid hour axis is broadcast, two window passes, no event self-join") {
     val df = EventsOps.q95ResampleFfill(spark, sfDir)
     df.collect()

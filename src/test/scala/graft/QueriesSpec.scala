@@ -339,6 +339,30 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_trans")).sum == expected)
   }
 
+  test("q107 zorder: every cell's raw span is bounded in BOTH dimensions, rows conserve") {
+    val rows = LayoutOps.q107ZorderLayout(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val l = Tables(spark, sfDir, "lineitem")
+    val b = l.agg(min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).collect()(0)
+    val (rx, ry) = (b.getLong(1) - b.getLong(0), b.getLong(3) - b.getLong(2))
+    // a 12-bit cell fixes the top 6 normalized bits of each coordinate, so
+    // the raw preimage span per cell is <= range * 2^10 / 65535 (+2 slack
+    // for the integral-normalization rounding at both cell edges)
+    val (bx, by) = (rx * 1024 / 65535 + 2, ry * 1024 / 65535 + 2)
+    rows.foreach { r =>
+      val spanPk = r.getAs[Long]("max_pk") - r.getAs[Long]("min_pk")
+      val spanSk = r.getAs[Long]("max_sk") - r.getAs[Long]("min_sk")
+      assert(spanPk <= bx, s"cell ${r.getAs[Long]("zcell")}: partkey span $spanPk > $bx")
+      assert(spanSk <= by, s"cell ${r.getAs[Long]("zcell")}: suppkey span $spanSk > $by")
+    }
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == l.count(),
+      "cells must partition the table")
+    // the single-column-sort counterexample: ordering by partkey alone
+    // leaves suppkey unclustered — its per-cell span covers ~the full range
+    assert(rows.exists(_.getAs[Long]("n_rows") > 1), "cells must actually group rows")
+  }
+
   test("q103 retention: day-0 equals cohort size, retention never exceeds it, offsets bounded") {
     val rows = graft.queries.EventsOps.q103RetentionCohorts(spark, sfDir).collect()
     assert(rows.nonEmpty)
