@@ -186,6 +186,39 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream INTERVAL join — the q25 view→purchase funnel as a true
+    * two-stream join: each view matches purchases by the same user landing
+    * in `[view.ts, view.ts + window]`. Both sides carry watermarks and the
+    * join condition bounds event time in both directions, which is what
+    * lets the state store evict: a buffered view is dropped once the
+    * purchase-side watermark passes `view.ts + window`, a buffered
+    * purchase once the view-side watermark passes its ts — state is
+    * watermark-bounded, not stream-length-bounded, the requirement for an
+    * unbounded 100 TB/day event feed. Inner-join matches emit as soon as
+    * both sides arrive (watermarks gate only eviction), so a bounded
+    * replay emits exactly the batch join's rows.
+    */
+  def intervalJoinStream(
+      views: DataFrame,
+      purchases: DataFrame,
+      window: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermark)
+    v.join(p,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $window"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+        col("v_ts"), col("p_ts"))
+  }
+
   /** Streaming ingest: the reference's entire job as an unbounded stream —
     * watch a directory for line files, parse each record with the fidelity
     * CSV parser, route, and (caller-side) sink status + data. Replaces the

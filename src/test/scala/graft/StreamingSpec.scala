@@ -99,6 +99,43 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join emits exactly the batch join's view→purchase pairs") {
+    val tmp = Files.createTempDirectory("graft-ssjoin")
+    val (vDir, pDir) = (tmp.resolve("views").toString, tmp.resolve("purch").toString)
+    val outDir = tmp.resolve("out").toString
+    val ckDir = tmp.resolve("ck").toString
+
+    val events = Tables(spark, sfDir, "events")
+    events.filter(col("event_type") === "view").repartition(3).write.parquet(vDir)
+    events.filter(col("event_type") === "purchase").repartition(3).write.parquet(pDir)
+
+    val joined = EventStream.intervalJoinStream(
+      EventStream.readEventStream(spark, vDir, maxFilesPerTrigger = 2),
+      EventStream.readEventStream(spark, pDir, maxFilesPerTrigger = 2))
+    val q = EventStream.startParquetSink(joined, outDir, ckDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(outDir)
+      .select("view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch restatement of the identical interval join
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val batch = v.join(p,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 30 minutes"))
+      .select("view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture must contain in-window view→purchase pairs")
+    assert(got == batch,
+      s"inner stream-stream join must emit exactly the batch matches (got ${got.size}, want ${batch.size})")
+  }
+
   test("streaming dedup drops within-watermark duplicates, keeps one row per key") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
