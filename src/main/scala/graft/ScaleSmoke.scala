@@ -130,6 +130,10 @@ object ScaleSmoke {
       // scale k with n, a knob this fixture's label-derived centroids
       // don't expose.)
       ("q100_cdc_chunking", graft.queries.TrainPrep.q100CdcChunking _, scaledDir),
+      // pagerank: fixed-iteration power iteration over the near-dup edge
+      // list; rotated replicas tile edges linearly (clusters stay
+      // replica-local), so each round's join + agg must scale with edges
+      ("q104_pagerank", graft.queries.GraphOps.q104Pagerank _, scaledDir),
       // sharded packing under TOTAL language skew: the (lang, shard) key
       // keeps the prefix sum fanned out when lang alone would be one task
       ("q97_sharded_packing_skewed", graft.queries.TrainPrep.q97ShardedPacking _, skewedDir),
