@@ -505,7 +505,41 @@ object Relational {
        |FROM lineitem""".stripMargin
   }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
 
+  /** Equi-width bin count for q109. */
+  private[graft] val Q109Bins = 16L
+
+  /** q109: equi-width histogram of `l_extendedprice` — the distribution
+    * profile q99's min/max can't show (skew, modality, outlier mass).
+    * Prices quantize to integer cents, the [min, max] range derives from
+    * a broadcast one-row agg (no fixture literals), and the bin index is
+    * ONE integral multiply-divide — so unlike float `width_bucket`
+    * arithmetic, bin membership is bit-exact and engine-portable. One
+    * scan + one [[Q109Bins]]-keyed aggregation; per-bin min/max double as
+    * the zonemap audit of each bucket.
+    */
+  def q109Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables(spark, dir, "lineitem")
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val bounds = cents.agg(min(col("cents")).as("minc"), max(col("cents")).as("maxc"))
+    cents.crossJoin(broadcast(bounds))
+      // divisor range+1 puts max in the last bin with no clamp branch
+      .withColumn("bin",
+        expr(s"((cents - minc) * $Q109Bins) div greatest(1, maxc - minc + 1)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      .orderBy(col("bin"))
+  }
+
+  val q109Sql: String =
+    s"""WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+       |b AS (SELECT min(cents) AS minc, max(cents) AS maxc FROM c)
+       |SELECT ((cents - minc) * $Q109Bins) // greatest(1, maxc - minc + 1) AS bin,
+       |  count(*) AS n_rows, min(cents) AS min_cents, max(cents) AS max_cents
+       |FROM c, b GROUP BY 1 ORDER BY bin""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_histogram" -> q109Histogram _,
     "q27_skew_salted" -> q27SkewSalted _,
     "q96_window_ranks" -> q96WindowRanks _,
     "q26_group_stats" -> q26GroupStats _,
@@ -535,6 +569,7 @@ object Relational {
     "q96_window_ranks" -> q96Sql,
     "q26_group_stats" -> q26Sql,
     "q99_profile" -> q99Sql,
+    "q109_histogram" -> q109Sql,
     "q19_approx_sketches" -> q19Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,

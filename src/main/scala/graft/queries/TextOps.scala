@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -438,7 +439,66 @@ object TextOps {
        |  WHERE bg.n_ab >= $Q102MinCount), tot, totbg
        |ORDER BY lift DESC, t1, t2 LIMIT 50""".stripMargin
 
+  /** Keywords reported per document by q108. */
+  private[graft] val Q108TopK = 3
+
+  /** q108: TF-IDF keyword extraction — the top-[[Q108TopK]] most
+    * characteristic terms per document, the tagging/faceting staple (and
+    * the classical baseline sparse retrieval and topic labeling build
+    * on). Score = tf × the RATIONAL IDF core q56 introduced,
+    * `(2(N−df)+1)/(2df+1)` — BIGINT-exact numerator, one final
+    * correctly-rounded division, so ranks are bit-identical across
+    * engines with no libm `ln` in sight.
+    *
+    * Shape: one token explode → (doc, term) partial-agg for tf; df
+    * reduces the tf frame onto vocab-sized keys and joins back
+    * term-keyed (vocab-sized right side — AQE broadcasts it); N is a
+    * one-row broadcast. The per-doc top-k is the row_number window that
+    * [[graft.plans.TopKRewriteRule]] retargets onto the native heap
+    * operator when enabled — and Spark's own WindowGroupLimit prunes it
+    * map-side regardless, so the sort never sees discarded rows.
+    */
+  def q108Keywords(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val tf = d
+      .select(col("doc_id"), explode(wsTokens(normText(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * (lit(2L) * (col("n_docs") - col("df")) + lit(1L))).cast("double")
+          / (lit(2L) * col("df") + lit(1L)).cast("double"))
+    val rk = row_number().over(
+      Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term")))
+    scored.withColumn("rk", rk.cast("long"))
+      .filter(col("rk") <= Q108TopK)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val q108Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), t -> t <> '')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    CAST(tf.tf * (2 * (n.n_docs - df.df) + 1) AS DOUBLE)
+       |      / CAST(2 * df.df + 1 AS DOUBLE) AS score
+       |  FROM tf JOIN df USING (term), n)
+       |SELECT doc_id, rk, term, tf, df, score FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rk
+       |  FROM scored)
+       |WHERE rk <= $Q108TopK ORDER BY doc_id, rk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_keywords" -> q108Keywords _,
     "q102_collocations" -> q102Collocations _,
     "q29_heavy_hitters" -> q29HeavyHitters _,
     "q39_repetition" -> q39Repetition _,
@@ -480,6 +540,7 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q108_keywords" -> q108Sql,
     "q102_collocations" -> q102Sql,
     "q29_heavy_hitters" -> q29Sql,
     "q39_repetition" -> q39Sql,

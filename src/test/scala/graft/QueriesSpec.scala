@@ -339,6 +339,44 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_trans")).sum == expected)
   }
 
+  test("q108 keywords: dense ranks per doc, scores non-increasing, df consistent") {
+    val rows = TextOps.q108Keywords(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rk"))
+      assert(byRank.map(_.getAs[Long]("rk")).toSeq == (1L to byRank.length),
+        s"doc $id: ranks must be dense from 1")
+      val scores = byRank.map(_.getAs[Double]("score")).toSeq
+      assert(scores == scores.sorted.reverse, s"doc $id: scores must be non-increasing")
+      assert(byRank.length <= TextOps.Q108TopK, s"doc $id: more than top-k keywords")
+    }
+    // a term's df must be the same wherever it appears
+    rows.groupBy(_.getAs[String]("term")).foreach { case (t, rs) =>
+      assert(rs.map(_.getAs[Long]("df")).distinct.length == 1, s"term $t: inconsistent df")
+    }
+  }
+
+  test("q109 histogram: bins in range, rows conserve, per-bin min/max nested in bin edges") {
+    val rows = Relational.q109Histogram(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val b = r.getAs[Long]("bin"); b >= 0 && b < Relational.Q109Bins
+    })
+    val l = Tables(spark, sfDir, "lineitem")
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == l.count(), "bins must partition the rows")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_cents") <= r.getAs[Long]("max_cents"))
+    }
+    // bins are ordered and non-overlapping: each bin's max < next bin's min
+    val sorted = rows.sortBy(_.getAs[Long]("bin"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("max_cents") < b.getAs[Long]("min_cents"),
+          "equi-width bins must not overlap in value space")
+      case _ =>
+    }
+  }
+
   test("q107 zorder: every cell's raw span is bounded in BOTH dimensions, rows conserve") {
     val rows = LayoutOps.q107ZorderLayout(spark, sfDir).collect()
     assert(rows.nonEmpty)
