@@ -256,7 +256,56 @@ object IngestOps {
       |  CASE WHEN c_custkey % 10 = 0 THEN 'FAILED' ELSE 'SUCCESS' END AS status_text
       |FROM customer ORDER BY c_custkey, status_text""".stripMargin
 
+  /** q110: snapshot diff — the CDC/anti-entropy primitive: given
+    * yesterday's and today's corpus snapshots, emit every key that was
+    * added, removed, or changed (content compared by row hash, never by
+    * payload equality — only keys + md5s cross the wire). The two
+    * snapshots are carved deterministically from the fixture so the
+    * oracle can restate them: A = doc_id % 3 ≠ 0, B = doc_id % 4 ≠ 0
+    * with text revised where doc_id % 5 = 0.
+    *
+    * Shape: one full-outer join co-partitioned on the snapshot key. At
+    * 100 TB both snapshots live bucketed by key (`Sinks.bucketed`), the
+    * exchange disappears entirely, and the diff is a zero-shuffle
+    * streaming merge of key+hash columns — the scan reads two narrow
+    * columns however wide the documents are.
+    */
+  def q110SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val a = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("h_a"))
+    val b = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      .select(col("doc_id"),
+        md5(when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" rev"))).otherwise(col("text"))).as("h_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h_a").isNull, "added")
+          .when(col("h_b").isNull, "removed")
+          .when(col("h_a") =!= col("h_b"), "changed")
+          .otherwise("same"))
+      .filter(col("status") =!= "same")
+      .select(col("doc_id"), col("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q110Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id, md5(text) AS h_a FROM documents WHERE doc_id % 3 <> 0),
+      |b AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev' ELSE text END) AS h_b
+      |  FROM documents WHERE doc_id % 4 <> 0)
+      |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |  CASE WHEN a.doc_id IS NULL THEN 'added'
+      |       WHEN b.doc_id IS NULL THEN 'removed'
+      |       WHEN a.h_a <> b.h_b THEN 'changed' END AS status
+      |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+      |WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h_a <> b.h_b
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_snapshot_diff" -> q110SnapshotDiff _,
     "q89_stream_replay" -> q89StreamReplay _,
     "q66_custom_parser" -> q66CustomParser _,
     "q60_csv_roundtrip" -> q60CsvRoundtrip _,
@@ -267,6 +316,7 @@ object IngestOps {
     "q65_batch_status" -> q65BatchStatus _)
 
   val oracles: Map[String, String] = Map(
+    "q110_snapshot_diff" -> q110Sql,
     "q89_stream_replay" -> q89Sql,
     "q66_custom_parser" -> q66Sql,
     "q60_csv_roundtrip" -> q60Sql,

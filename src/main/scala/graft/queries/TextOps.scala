@@ -497,8 +497,78 @@ object TextOps {
        |  FROM scored)
        |WHERE rk <= $Q108TopK ORDER BY doc_id, rk""".stripMargin
 
+  /** q111: typo-pair mining over the corpus vocabulary — SymSpell-style
+    * (Garbe's deletion-neighborhood method): two terms are within
+    * Levenshtein distance d iff they share a string in each other's
+    * depth-≤d deletion sets, so candidate generation is a JOIN ON DELETION
+    * VARIANT over the vocabulary — never an all-pairs distance matrix.
+    * The exact `levenshtein(t1, t2)` filter then runs only on candidate
+    * pairs. This is the vocabulary-normalization / OCR-noise step of a
+    * corpus-cleaning pipeline: merge "recieve" into "receive" before
+    * counting anything.
+    *
+    * Scale shape: the vocabulary (not the corpus) fans out ~L²/2 variants
+    * per term, the join keys on short variant strings, and the corpus
+    * contributes only its token-count aggregation. At 100 TB the knobs
+    * are a min-count cut and a variant-bucket cap (exactly the LSH
+    * `maxBucket` move) for ultra-short variants.
+    */
+  def q111TypoPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val vocab = d
+      .select(explode(wsTokens(normText(col("text")))).as("term"))
+      .filter(length(col("term")).between(3, 20))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    // depth-0/1/2 deletion variants, deduped; SQL-expr substring supports
+    // column positions (the DSL overload takes only Int)
+    val variants = expr(
+      """array_distinct(concat(
+        |  array(term),
+        |  transform(sequence(1, length(term)), i ->
+        |    concat(substring(term, 1, i-1), substring(term, i+1))),
+        |  flatten(transform(sequence(1, length(term)), i ->
+        |    transform(sequence(1, length(term) - 1), j ->
+        |      concat(
+        |        substring(concat(substring(term, 1, i-1), substring(term, i+1)), 1, j-1),
+        |        substring(concat(substring(term, 1, i-1), substring(term, i+1)), j+1)))))
+        |))""".stripMargin)
+    val dels = vocab.select(col("term"), col("n"), explode(variants).as("v"))
+    val a = dels.select(col("term").as("t1"), col("n").as("n1"), col("v"))
+    val b = dels.select(col("term").as("t2"), col("n").as("n2"), col("v"))
+    a.join(b, Seq("v")).filter(col("t1") < col("t2"))
+      .select(col("t1"), col("t2"), col("n1"), col("n2")).distinct()
+      .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("long"))
+      .filter(col("dist").between(1, 2))
+      .orderBy(col("t1"), col("t2"))
+  }
+
+  val q111Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'), t -> t <> '')) AS term
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT term, count(*) AS n FROM toks
+      |  WHERE length(term) BETWEEN 3 AND 20 GROUP BY term),
+      |dels AS (
+      |  SELECT term, n, unnest(list_distinct(
+      |    [term]
+      |    || list_transform(range(1, length(term) + 1), i ->
+      |         substr(term, 1, CAST(i - 1 AS INT)) || substr(term, CAST(i + 1 AS INT)))
+      |    || flatten(list_transform(range(1, length(term) + 1), i ->
+      |         list_transform(range(1, length(term)), j ->
+      |           substr(substr(term, 1, CAST(i - 1 AS INT)) || substr(term, CAST(i + 1 AS INT)), 1, CAST(j - 1 AS INT))
+      |           || substr(substr(term, 1, CAST(i - 1 AS INT)) || substr(term, CAST(i + 1 AS INT)), CAST(j + 1 AS INT)))))
+      |  )) AS v
+      |  FROM vocab)
+      |SELECT t1, t2, n1, n2, CAST(levenshtein(t1, t2) AS BIGINT) AS dist FROM (
+      |  SELECT DISTINCT a.term AS t1, b.term AS t2, a.n AS n1, b.n AS n2
+      |  FROM dels a JOIN dels b ON a.v = b.v AND a.term < b.term)
+      |WHERE levenshtein(t1, t2) BETWEEN 1 AND 2
+      |ORDER BY t1, t2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q108_keywords" -> q108Keywords _,
+    "q111_typo_pairs" -> q111TypoPairs _,
     "q102_collocations" -> q102Collocations _,
     "q29_heavy_hitters" -> q29HeavyHitters _,
     "q39_repetition" -> q39Repetition _,
@@ -541,6 +611,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q108_keywords" -> q108Sql,
+    "q111_typo_pairs" -> q111Sql,
     "q102_collocations" -> q102Sql,
     "q29_heavy_hitters" -> q29Sql,
     "q39_repetition" -> q39Sql,

@@ -339,6 +339,54 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_trans")).sum == expected)
   }
 
+  test("q110 snapshot diff: statuses follow the modular carve exactly") {
+    val rows = IngestOps.q110SnapshotDiff(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, st) = (r.getAs[Long]("doc_id"), r.getAs[String]("status"))
+      st match {
+        case "added"   => assert(id % 3 == 0 && id % 4 != 0, s"$id wrongly added")
+        case "removed" => assert(id % 3 != 0 && id % 4 == 0, s"$id wrongly removed")
+        case "changed" => assert(id % 3 != 0 && id % 4 != 0 && id % 5 == 0, s"$id wrongly changed")
+        case other     => fail(s"unexpected status $other")
+      }
+    }
+    // completeness: every id that SHOULD differ is reported
+    val ids = Tables(spark, sfDir, "documents").select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val expected = ids.count(id => (id % 3 == 0 && id % 4 != 0) ||
+      (id % 3 != 0 && id % 4 == 0) || (id % 3 != 0 && id % 4 != 0 && id % 5 == 0))
+    assert(rows.length == expected, "diff must report every divergent key exactly once")
+  }
+
+  test("q111 typo pairs: deletion-neighborhood candidates find every brute-force pair") {
+    val rows = TextOps.q111TypoPairs(spark, sfDir).collect()
+    val got = rows.map(r => (r.getAs[String]("t1"), r.getAs[String]("t2"),
+      r.getAs[Long]("dist"))).toSet
+    // brute force over the same vocabulary (tiny at test scale): SymSpell
+    // candidates must be COMPLETE for levenshtein <= 2
+    val vocab = Tables(spark, sfDir, "documents")
+      .select(explode(TextOps.wsTokens(TextOps.normText(col("text")))).as("t"))
+      .filter(length(col("t")).between(3, 20))
+      .distinct().collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      x <- vocab; y <- vocab if x < y
+      dist = lev(x, y) if dist >= 1 && dist <= 2
+    } yield (x, y, dist.toLong)).toSet
+    assert(got == brute,
+      s"SymSpell candidates must match brute force: missing ${brute -- got}, extra ${got -- brute}")
+    assert(got.nonEmpty, "fixture vocabulary must contain near-miss pairs")
+  }
+
   test("q108 keywords: dense ranks per doc, scores non-increasing, df consistent") {
     val rows = TextOps.q108Keywords(spark, sfDir).collect()
     assert(rows.nonEmpty)
