@@ -180,6 +180,44 @@ class PlanSpec extends SparkTestBase {
       s"exchange must be keyed on (lang, shard), got: $key\n$s")
   }
 
+  test("q104 pagerank: id-keyed joins only, adjacency exchange reused across iterations") {
+    val df = graft.queries.GraphOps.q104Pagerank(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"power iteration must stay equi-keyed:\n$s")
+    // the shared MinHash candidate stage is session-memoized — every
+    // iteration must read it from cache, not re-derive signatures (at this
+    // scale AQE broadcasts the tiny per-iteration sides, so cache reuse is
+    // the reuse that matters; shuffle-level ReusedExchange appears once the
+    // adjacency outgrows the broadcast threshold)
+    assert(s.contains("TableCacheQueryStage") || s.contains("InMemoryTableScan"),
+      s"iterations must reuse the cached candidate stage:\n$s")
+  }
+
+  test("q110 snapshot diff: two narrow snapshot sides, key-equi full outer, no payload shuffle") {
+    val df = graft.queries.IngestOps.q110SnapshotDiff(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    assert(s.contains("FullOuter"), s"diff must plan as a full-outer join:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"diff must stay key-equi:\n$s")
+    // only (doc_id, md5) columns may cross the exchange — the text payload
+    // is hashed before the shuffle, so no plan node carries `text` above a
+    // project (the scan reads it, the exchange must not)
+    val exchangeLines = s.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty && exchangeLines.forall(l => !l.contains("text")),
+      s"snapshot exchanges must carry key+hash only:\n$s")
+  }
+
+  test("q111 typo pairs: candidate join is variant-equi, never all-pairs") {
+    val df = graft.queries.TextOps.q111TypoPairs(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"SymSpell candidates must come from the deletion-variant equi-join:\n$s")
+  }
+
   test("q107 zorder: bounds broadcast into the scan, one agg exchange, curve math stays in codegen") {
     val df = graft.queries.LayoutOps.q107ZorderLayout(spark, sfDir)
     df.collect()
