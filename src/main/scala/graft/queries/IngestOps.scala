@@ -256,6 +256,50 @@ object IngestOps {
       |  CASE WHEN c_custkey % 10 = 0 THEN 'FAILED' ELSE 'SUCCESS' END AS status_text
       |FROM customer ORDER BY c_custkey, status_text""".stripMargin
 
+  /** q112: the stream-stream INTERVAL join driver-checked — stage the
+    * events fixture as two file streams (views, purchases), run
+    * [[graft.streaming.EventStream.intervalJoinStream]] through real
+    * micro-batches (maxFilesPerTrigger=2 over 3-file sides, so matches
+    * necessarily span batches and the join STATE STORE does real work),
+    * and return the appended sink. The oracle is the plain batch interval
+    * join in SQL — the streaming machinery must be invisible in the
+    * result, which is exactly the contract that lets one declarative join
+    * serve both the 100 TB backfill and the live feed.
+    */
+  def q112StreamJoinReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q112_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val baseDir = new java.io.File(base)
+    if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+    val events = Tables(spark, dir, "events")
+    events.filter(col("event_type") === "view")
+      .repartition(3).write.parquet(s"$base/views")
+    events.filter(col("event_type") === "purchase")
+      .repartition(3).write.parquet(s"$base/purch")
+    val joined = graft.streaming.EventStream.intervalJoinStream(
+      graft.streaming.EventStream.readEventStream(spark, s"$base/views", maxFilesPerTrigger = 2),
+      graft.streaming.EventStream.readEventStream(spark, s"$base/purch", maxFilesPerTrigger = 2))
+    val q = joined
+      .select(col("user_id"), col("view_id"), col("purchase_id"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .format("parquet")
+      .option("path", s"$base/out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(s"$base/out")
+      .orderBy(col("view_id"), col("purchase_id"))
+  }
+
+  val q112Sql: String =
+    """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+      |FROM events v JOIN events p
+      |  ON v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND v.user_id = p.user_id
+      | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+      |ORDER BY view_id, purchase_id""".stripMargin
+
   /** q110: snapshot diff — the CDC/anti-entropy primitive: given
     * yesterday's and today's corpus snapshots, emit every key that was
     * added, removed, or changed (content compared by row hash, never by
@@ -306,6 +350,7 @@ object IngestOps {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_snapshot_diff" -> q110SnapshotDiff _,
+    "q112_stream_join_replay" -> q112StreamJoinReplay _,
     "q89_stream_replay" -> q89StreamReplay _,
     "q66_custom_parser" -> q66CustomParser _,
     "q60_csv_roundtrip" -> q60CsvRoundtrip _,
@@ -317,6 +362,7 @@ object IngestOps {
 
   val oracles: Map[String, String] = Map(
     "q110_snapshot_diff" -> q110Sql,
+    "q112_stream_join_replay" -> q112Sql,
     "q89_stream_replay" -> q89Sql,
     "q66_custom_parser" -> q66Sql,
     "q60_csv_roundtrip" -> q60Sql,
