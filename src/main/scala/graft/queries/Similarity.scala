@@ -632,7 +632,51 @@ object Similarity {
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
   }
 
+  /** q113: hard-negative mining for contrastive training — per query, the
+    * top-5 most-similar corpus items with a DIFFERENT label. Same-label
+    * neighbors are positives; the highest-cosine cross-label items are
+    * the negatives that actually move a contrastive loss (easy negatives
+    * are near-orthogonal and teach nothing). Same plan shape as q50: the
+    * query set broadcasts, the corpus NEVER shuffles, the label
+    * inequality is a scan-side filter, and the per-query top-5 is a
+    * WindowGroupLimit-pruned window — at 100 TB this is mined per
+    * training batch against the full corpus scan, or against an IVF/PQ
+    * candidate pool exactly as q54/q69 restrict q50.
+    */
+  def q113HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables(spark, dir, "embeddings")
+    val q = Tables(spark, dir, "embeddings").filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(q), col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        nativeCosine(spark)(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("neighbor_id"), col("label").cast("long").as("neg_label"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q113Sql: String =
+    """SELECT query_id, rk, neighbor_id, neg_label, cosine FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CAST(c.label AS BIGINT) AS neg_label,
+      |    round(list_sum(list_transform(list_zip(q.embedding, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cosine,
+      |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |      list_sum(list_transform(list_zip(q.embedding, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC, c.vec_id) AS BIGINT) AS rk
+      |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+      |  JOIN embeddings c ON c.label <> q.label)
+      |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_hard_negatives" -> q113HardNegatives _,
     "q55_mmr_rerank" -> q55MmrRerank _,
     "q50_knn_brute" -> q50KnnBrute _,
     "q51_knn_lsh" -> q51KnnLsh _,
@@ -643,6 +687,7 @@ object Similarity {
     "q69_pq_search" -> q69PqSearch _)
 
   val oracles: Map[String, String] = Map(
+    "q113_hard_negatives" -> q113Sql,
     "q55_mmr_rerank" -> q55Sql,
     "q50_knn_brute" -> q50Sql,
     "q51_knn_lsh" -> q51Sql,

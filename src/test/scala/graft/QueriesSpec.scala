@@ -339,6 +339,25 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_trans")).sum == expected)
   }
 
+  test("q113 hard negatives: every neighbor is cross-label, ranks dense, cosines non-increasing") {
+    val rows = Similarity.q113HardNegatives(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val labels = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val n = r.getAs[Long]("neighbor_id")
+      assert(labels(n).toLong == r.getAs[Long]("neg_label"))
+      assert(labels(q) != labels(n), s"query $q drew a same-label neighbor $n")
+    }
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rk"))
+      assert(byRank.map(_.getAs[Long]("rk")).toSeq == (1L to byRank.length))
+      val cos = byRank.map(_.getAs[Double]("cosine")).toSeq
+      assert(cos == cos.sorted.reverse, s"query $q: cosines must be non-increasing")
+    }
+  }
+
   test("q110 snapshot diff: statuses follow the modular carve exactly") {
     val rows = IngestOps.q110SnapshotDiff(spark, sfDir).collect()
     assert(rows.nonEmpty)
