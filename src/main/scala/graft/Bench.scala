@@ -31,10 +31,9 @@ object Bench {
       .groupBy("t").count().orderBy(desc("count")).limit(5).collect()
     // local-iteration escape hatch: SPARK_GRAFT_ONLY=q46,q55 times just
     // those prefixes; unset (the driver's invocation) runs everything
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val keep = SparkEntry.onlyFilter()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .filter { case (name, _) => keep(name) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }

@@ -34,6 +34,16 @@ object SparkEntry {
     Relational.all ++ EventsOps.all ++ TextOps.all ++ Dedup.all ++
       Similarity.all ++ IngestOps.all ++ Temporal.all ++ Curation.all ++ TpchStyle.all ++ MultimodalOps.all ++ TrainPrep.all ++ CorpusOps.all ++ GraphOps.all ++ LayoutOps.all
 
+  /** The `SPARK_GRAFT_ONLY=q46,q55` local-iteration filter Bench and
+    * Verify share: keep queries whose name starts with any listed prefix;
+    * unset (the driver's invocation) keeps everything.
+    */
+  def onlyFilter(): String => Boolean = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    name => only.forall(_.exists(name.startsWith))
+  }
+
   /** DuckDB-runnable oracle SQL per query; hash-heavy signature queries are
     * intentionally omitted (rows-only check).
     */

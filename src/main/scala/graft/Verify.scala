@@ -54,12 +54,10 @@ object Verify {
         System.err.println(s"[verify] materializer failed: ${e.getMessage}")
       }
     }
-    // local-iteration escape hatch, mirroring Bench: SPARK_GRAFT_ONLY=q104
-    // dumps just those prefixes; unset (the driver's invocation) dumps all
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // local-iteration escape hatch shared with Bench (SparkEntry.onlyFilter)
+    val keep = SparkEntry.onlyFilter()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .filter { case (name, _) => keep(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

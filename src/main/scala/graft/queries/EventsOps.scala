@@ -365,7 +365,7 @@ object EventsOps {
       |  SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n_trans
       |  FROM (
       |    SELECT event_type,
-      |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |      lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
       |    FROM events)
       |  WHERE prev_type IS NOT NULL
       |  GROUP BY prev_type, event_type)

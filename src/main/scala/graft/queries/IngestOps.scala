@@ -288,16 +288,25 @@ object IngestOps {
       .option("path", s"$base/out")
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(s"$base/out")
+    // explicit schema: a zero-match replay leaves only _spark_metadata in
+    // the sink, and schema inference would throw where the oracle happily
+    // returns 0 rows
+    spark.read
+      .schema("user_id BIGINT, view_id BIGINT, purchase_id BIGINT")
+      .parquet(s"$base/out")
       .orderBy(col("view_id"), col("purchase_id"))
   }
 
+  // epoch_us(): the engine joins on µs-truncated timestamps (Tables
+  // converts the fixture's ns), so the oracle must compare at the same
+  // precision — the same convention every event-window oracle follows
   val q112Sql: String =
     """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
       |FROM events v JOIN events p
       |  ON v.event_type = 'view' AND p.event_type = 'purchase'
       | AND v.user_id = p.user_id
-      | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+      | AND epoch_us(p.ts) >= epoch_us(v.ts)
+      | AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000
       |ORDER BY view_id, purchase_id""".stripMargin
 
   /** q110: snapshot diff — the CDC/anti-entropy primitive: given

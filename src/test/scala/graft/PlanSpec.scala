@@ -203,11 +203,24 @@ class PlanSpec extends SparkTestBase {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
       s"diff must stay key-equi:\n$s")
     // only (doc_id, md5) columns may cross the exchange — the text payload
-    // is hashed before the shuffle, so no plan node carries `text` above a
-    // project (the scan reads it, the exchange must not)
-    val exchangeLines = s.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(exchangeLines.nonEmpty && exchangeLines.forall(l => !l.contains("text")),
-      s"snapshot exchanges must carry key+hash only:\n$s")
+    // is hashed below the shuffle. Checked on the exchange nodes' OUTPUT
+    // ATTRIBUTES (the simpleString line never lists columns, so a string
+    // match would be vacuous); AQE wraps exchanges in query stages, so the
+    // traversal unwraps those explicitly.
+    def deep(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p +: kids.flatMap(deep)
+    }
+    val exchanges = deep(executed(df)).collect { case e: ShuffleExchangeLike => e }
+    assert(exchanges.nonEmpty, s"expected at least one exchange in:\n$s")
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"snapshot exchanges must carry key+hash only, got ${e.output.map(_.name)}")
+    }
   }
 
   test("q111 typo pairs: candidate join is variant-equi, never all-pairs") {
