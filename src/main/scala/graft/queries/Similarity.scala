@@ -632,6 +632,55 @@ object Similarity {
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
   }
 
+  /** q114: MULTI-PROBE LSH ANN (Lv et al., VLDB'07) — each query scores
+    * its own hyperplane bucket plus the `nBits` buckets at Hamming
+    * distance 1, recovering most of the recall single-probe LSH (q51)
+    * loses at the same table count: a near-neighbor that lands across one
+    * hyperplane is found by flipping that one bit, and a second hash
+    * table is never built. Engine shape: the probe set is an
+    * nBits+1-row EXPLODE of the broadcast query side joined EQUI on
+    * bucket — the corpus still never shuffles and the scored fraction is
+    * ~(nBits+1)/2^nBits instead of 1/2^nBits. The oracle restates
+    * membership as `bit_count(xor(buckets)) <= 1` — equivalent
+    * set-theoretically, deliberately not the join shape (oracles state
+    * semantics, plans state scale).
+    */
+  def q114MultiprobeLsh(spark: SparkSession, dir: String): DataFrame = {
+    val nBits = 4
+    val corpus = withBucket(Tables(spark, dir, "embeddings"), nBits = nBits)
+    val q0 = withBucket(
+      Tables(spark, dir, "embeddings").filter(col("vec_id") < 10), nBits = nBits)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+    val flips = array((lit(0L) +: (0 until nBits).map(i => lit(1L << i))): _*)
+    val probes = q0
+      .withColumn("flip", explode(flips))
+      .select(col("query_id"), col("q_emb"),
+        col("bucket").bitwiseXOR(col("flip")).as("bucket"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        nativeCosine(spark)(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q114Sql: String = {
+    val cos = cosineSql("q.embedding", "c.embedding")
+    s"""SELECT query_id, rk, neighbor_id, cosine FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round($cos, 4) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS BIGINT) AS rk
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+       |  JOIN embeddings c
+       |    ON c.vec_id <> q.vec_id
+       |   AND bit_count(xor(${bucketSql("c.embedding", 4)}, ${bucketSql("q.embedding", 4)})) <= 1)
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  }
+
   /** q113: hard-negative mining for contrastive training — per query, the
     * top-5 most-similar corpus items with a DIFFERENT label. Same-label
     * neighbors are positives; the highest-cosine cross-label items are
@@ -677,6 +726,7 @@ object Similarity {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_hard_negatives" -> q113HardNegatives _,
+    "q114_multiprobe_lsh" -> q114MultiprobeLsh _,
     "q55_mmr_rerank" -> q55MmrRerank _,
     "q50_knn_brute" -> q50KnnBrute _,
     "q51_knn_lsh" -> q51KnnLsh _,
@@ -688,6 +738,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q113_hard_negatives" -> q113Sql,
+    "q114_multiprobe_lsh" -> q114Sql,
     "q55_mmr_rerank" -> q55Sql,
     "q50_knn_brute" -> q50Sql,
     "q51_knn_lsh" -> q51Sql,

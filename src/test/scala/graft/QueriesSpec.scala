@@ -339,6 +339,28 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_trans")).sum == expected)
   }
 
+  test("q114 multi-probe LSH: recall vs exact top-5 at least matches single-probe") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(Similarity.q50KnnBrute(spark, sfDir))
+    val single = pairs(Similarity.q51KnnLsh(spark, sfDir))
+    val multi = pairs(Similarity.q114MultiprobeLsh(spark, sfDir))
+    val rSingle = (exact & single).size.toDouble / exact.size
+    val rMulti = (exact & multi).size.toDouble / exact.size
+    assert(rMulti >= rSingle,
+      s"probing Hamming-1 buckets must not lose recall: multi=$rMulti single=$rSingle")
+    assert(rMulti > 0.0, "multi-probe must find some exact neighbors")
+    // every multi-probe result must come from a bucket within Hamming
+    // distance 1 of its query's bucket (the probe contract)
+    val buckets = Similarity.withBucket(Tables(spark, sfDir, "embeddings"), nBits = 4)
+      .select(col("vec_id"), col("bucket")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    multi.foreach { case (q, n) =>
+      assert(java.lang.Long.bitCount(buckets(q) ^ buckets(n)) <= 1,
+        s"neighbor $n of query $q outside the probe set")
+    }
+  }
+
   test("q113 hard negatives: every neighbor is cross-label, ranks dense, cosines non-increasing") {
     val rows = Similarity.q113HardNegatives(spark, sfDir).collect()
     assert(rows.nonEmpty)
