@@ -538,7 +538,52 @@ object Relational {
        |  count(*) AS n_rows, min(cents) AS min_cents, max(cents) AS max_cents
        |FROM c, b GROUP BY 1 ORDER BY bin""".stripMargin
 
+  /** q115: distribution drift between two time slices of the event stream
+    * — the data-quality monitor a daily ingest runs before training on a
+    * new batch: bin `value` into 16 equi-width cents buckets over GLOBAL
+    * broadcast bounds (both slices binned identically — the invariant
+    * drift comparison needs), split events by even/odd day, and emit per
+    * bin the two counts plus the chi-square-style contribution
+    * `(n_a − n_b)² / (n_a + n_b)`. Counts are BIGINT-exact; the
+    * contribution is per-row scalar math (one multiply, one divide) — bit
+    * identical across engines with no order-sensitive float sum. One scan
+    * + one 16-key aggregation, same shape as q109.
+    */
+  def q115DriftDetect(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        (dayofmonth(col("ts")) % 2).as("slice"))
+    val bounds = e.agg(min(col("cents")).as("minc"), max(col("cents")).as("maxc"))
+    e.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        expr(s"((cents - minc) * $Q109Bins) div greatest(1, maxc - minc + 1)"))
+      .groupBy(col("bin"))
+      .agg(
+        count(when(col("slice") === 0, lit(1))).as("n_even"),
+        count(when(col("slice") === 1, lit(1))).as("n_odd"))
+      .withColumn("contrib",
+        (col("n_even") - col("n_odd")).cast("double") * (col("n_even") - col("n_odd"))
+          / (col("n_even") + col("n_odd")))
+      .orderBy(col("bin"))
+  }
+
+  val q115Sql: String =
+    s"""WITH c AS (
+       |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+       |    day(ts) % 2 AS slice
+       |  FROM events),
+       |b AS (SELECT min(cents) AS minc, max(cents) AS maxc FROM c)
+       |SELECT bin, n_even, n_odd,
+       |  CAST(n_even - n_odd AS DOUBLE) * (n_even - n_odd) / (n_even + n_odd) AS contrib
+       |FROM (
+       |  SELECT ((cents - minc) * $Q109Bins) // greatest(1, maxc - minc + 1) AS bin,
+       |    count(CASE WHEN slice = 0 THEN 1 END) AS n_even,
+       |    count(CASE WHEN slice = 1 THEN 1 END) AS n_odd
+       |  FROM c, b GROUP BY 1)
+       |ORDER BY bin""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_drift_detect" -> q115DriftDetect _,
     "q109_histogram" -> q109Histogram _,
     "q27_skew_salted" -> q27SkewSalted _,
     "q96_window_ranks" -> q96WindowRanks _,
@@ -570,6 +615,7 @@ object Relational {
     "q26_group_stats" -> q26Sql,
     "q99_profile" -> q99Sql,
     "q109_histogram" -> q109Sql,
+    "q115_drift_detect" -> q115Sql,
     "q19_approx_sketches" -> q19Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,

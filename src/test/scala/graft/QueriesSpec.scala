@@ -339,6 +339,18 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_trans")).sum == expected)
   }
 
+  test("q115 drift: slice counts conserve, contribution matches the closed form per bin") {
+    val rows = Relational.q115DriftDetect(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(r => r.getAs[Long]("n_even") + r.getAs[Long]("n_odd")).sum
+    assert(total == Tables(spark, sfDir, "events").count(), "bins must partition the events")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("n_even"), r.getAs[Long]("n_odd"))
+      val expect = (a - b).toDouble * (a - b) / (a + b)
+      assert(r.getAs[Double]("contrib") == expect, s"bin ${r.getAs[Long]("bin")}: contrib mismatch")
+    }
+  }
+
   test("q114 multi-probe LSH: recall vs exact top-5 at least matches single-probe") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
