@@ -49,6 +49,17 @@ object Sources {
   def orc(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame =
     schema.fold(spark.read.orc(path))(s => spark.read.schema(s).orc(path))
 
+  /** XML documents as rows — Spark 4 ships the XML data source in core
+    * (`rowTag` selects the repeating record element). The legacy-feed
+    * format of the enterprise world the reference lives in; schema
+    * declared, PERMISSIVE like csv/json.
+    */
+  def xml(spark: SparkSession, path: String, rowTag: String,
+          schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.format("xml").option("rowTag", rowTag)
+    schema.fold(r.load(path))(s => r.schema(s).load(path))
+  }
+
   /** Whole-file binary payloads (images/audio/video) as rows:
     * (path, modificationTime, length, content) — feeds
     * graft.multimodal.Multimodal. `pathGlobFilter` prunes by extension

@@ -71,6 +71,20 @@ class SourcesSpec extends SparkTestBase {
       Tables(spark, sfDir, "nation").filter(col("n_regionkey") === 1).count())
   }
 
+  test("xml round-trip preserves rows and values (Spark 4 core xml source)") {
+    val out = Files.createTempDirectory("graft-xml").toString + "/t"
+    val nation = Tables(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    nation.write.format("xml").option("rowTag", "nation").save(out)
+    val back = Sources.xml(spark, out, rowTag = "nation",
+      schema = Some(nation.schema))
+    val got = back.collect().map(r =>
+      (r.getAs[Long]("n_nationkey"), r.getAs[String]("n_name"), r.getAs[Long]("n_regionkey"))).toSet
+    val want = nation.collect().map(r =>
+      (r.getAs[Long]("n_nationkey"), r.getAs[String]("n_name"), r.getAs[Long]("n_regionkey"))).toSet
+    assert(got == want, "xml round-trip must preserve every row")
+  }
+
   test("partitioned parquet sink enables partition pruning on read") {
     val out = Files.createTempDirectory("graft-part").toString
     Sinks.partitionedParquet(
