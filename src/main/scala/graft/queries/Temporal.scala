@@ -251,7 +251,46 @@ object Temporal {
       |  ON c.c_custkey = o.o_custkey
       |ORDER BY custkey""".stripMargin
 
+  /** q116: per-group winsorization audit — the outlier-clipping step a
+    * feature pipeline runs before normalization: per language, the
+    * p05/p95 bounds of `n_chars` (exact `percentile`, the same
+    * Spark↔DuckDB `quantile_cont` alignment q74 proved) and how many
+    * documents fall outside each tail. Bounds come from one tiny
+    * lang-keyed agg broadcast back; the clip comparison is a scan-side
+    * filter — counts only, no order-sensitive float sum anywhere. At
+    * 100 TB swap `percentile` for `approx_percentile` (same API, sketch
+    * -mergeable) and nothing else changes.
+    */
+  def q116Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val bounds = d.groupBy(col("lang")).agg(
+      expr("percentile(n_chars, 0.05)").as("p05"),
+      expr("percentile(n_chars, 0.95)").as("p95"))
+    d.join(broadcast(bounds), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("n_chars") < col("p05"), lit(1))).as("n_below"),
+        count(when(col("n_chars") > col("p95"), lit(1))).as("n_above"),
+        round(first(col("p05")), 2).as("p05"),
+        round(first(col("p95")), 2).as("p95"))
+      .orderBy(col("lang"))
+  }
+
+  val q116Sql: String =
+    """WITH b AS (
+      |  SELECT lang, quantile_cont(n_chars, 0.05) AS p05,
+      |         quantile_cont(n_chars, 0.95) AS p95
+      |  FROM documents GROUP BY lang)
+      |SELECT d.lang, count(*) AS n_docs,
+      |  count(CASE WHEN n_chars < p05 THEN 1 END) AS n_below,
+      |  count(CASE WHEN n_chars > p95 THEN 1 END) AS n_above,
+      |  round(p05, 2) AS p05, round(p95, 2) AS p95
+      |FROM documents d JOIN b USING (lang)
+      |GROUP BY d.lang, p05, p95 ORDER BY d.lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_winsorize" -> q116Winsorize _,
     "q70_asof_join" -> q70AsofJoin _,
     "q71_range_join" -> q71RangeJoin _,
     "q72_pivot" -> q72Pivot _,
@@ -263,6 +302,7 @@ object Temporal {
     "q78_full_outer" -> q78FullOuter _)
 
   val oracles: Map[String, String] = Map(
+    "q116_winsorize" -> q116Sql,
     "q70_asof_join" -> q70Sql,
     "q71_range_join" -> q71Sql,
     "q72_pivot" -> q72Sql,

@@ -339,6 +339,21 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_trans")).sum == expected)
   }
 
+  test("q116 winsorize: tails bounded near 5%, bounds ordered") {
+    val rows = Temporal.q116Winsorize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(r.getAs[Double]("p05") <= r.getAs[Double]("p95"))
+      // strictly-outside-the-quantile counts can't exceed the tail mass
+      // (plus one row of interpolation slack)
+      assert(r.getAs[Long]("n_below") <= n * 5 / 100 + 1,
+        s"${r.getAs[String]("lang")}: low tail too heavy")
+      assert(r.getAs[Long]("n_above") <= n * 5 / 100 + 1,
+        s"${r.getAs[String]("lang")}: high tail too heavy")
+    }
+  }
+
   test("q115 drift: slice counts conserve, contribution matches the closed form per bin") {
     val rows = Relational.q115DriftDetect(spark, sfDir).collect()
     assert(rows.nonEmpty)
