@@ -371,8 +371,39 @@ object EventsOps {
       |  GROUP BY prev_type, event_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** q117: rolling 7-day distinct active users per day (WAU) — the
+    * sliding count-distinct that naive windowing cannot do (distinct is
+    * not subtractable, so no running-frame trick works). The scalable
+    * shape: reduce to (user, day) presence first (the only big shuffle,
+    * and it's a shrinking one), then EXPLODE each presence row to the ≤ 7
+    * window-end days it contributes to and count-distinct per day — work
+    * is 7 × |user-days|, never events × window. Day arithmetic is exact
+    * integer date math; the contribution range is clipped to observed
+    * days so the output grid is data-derived.
+    */
+  def q117RollingDau(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val userDays = e.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val maxDay = userDays.agg(max(col("d")).as("max_d"))
+    userDays.crossJoin(broadcast(maxDay))
+      .withColumn("end_d", explode(expr(
+        "sequence(d, least(date_add(d, 6), max_d), interval 1 day)")))
+      .groupBy(col("end_d").as("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .orderBy(col("day"))
+  }
+
+  val q117Sql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |m AS (SELECT max(d) AS max_d FROM ud)
+      |SELECT CAST(end_d AS DATE) AS day, count(DISTINCT user_id) AS wau FROM (
+      |  SELECT user_id, unnest(range(d, least(d + 7, max_d + 1), INTERVAL 1 DAY)) AS end_d
+      |  FROM ud, m)
+      |GROUP BY 1 ORDER BY day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_retention_cohorts" -> q103RetentionCohorts _,
+    "q117_rolling_dau" -> q117RollingDau _,
     "q28_redact" -> q28Redact _,
     "q95_resample_ffill" -> q95ResampleFfill _,
     "q25_funnel" -> q25Funnel _,
@@ -387,6 +418,7 @@ object EventsOps {
 
   val oracles: Map[String, String] = Map(
     "q103_retention_cohorts" -> q103Sql,
+    "q117_rolling_dau" -> q117Sql,
     "q28_redact" -> q28Sql,
     "q95_resample_ffill" -> q95Sql,
     "q25_funnel" -> q25Sql,

