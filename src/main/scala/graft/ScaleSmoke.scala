@@ -134,6 +134,12 @@ object ScaleSmoke {
       // list; rotated replicas tile edges linearly (clusters stay
       // replica-local), so each round's join + agg must scale with edges
       ("q104_pagerank", graft.queries.GraphOps.q104Pagerank _, scaledDir),
+      // TF-IDF keywords: tf/df aggs + vocab-keyed join-back — scan-bound
+      ("q108_keywords", graft.queries.TextOps.q108Keywords _, scaledDir),
+      // SymSpell typo mining: rotated replicas make vocabularies disjoint,
+      // so the deletion-variant join grows linearly in vocab, never
+      // quadratically in pairs
+      ("q111_typo_pairs", graft.queries.TextOps.q111TypoPairs _, scaledDir),
       // sharded packing under TOTAL language skew: the (lang, shard) key
       // keeps the prefix sum fanned out when lang alone would be one task
       ("q97_sharded_packing_skewed", graft.queries.TrainPrep.q97ShardedPacking _, skewedDir),
