@@ -75,20 +75,29 @@ object Similarity {
     Tables(spark, dir, "embeddings").filter(col("vec_id") < n)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
 
+  /** Shared tail of every ANN leg: rank a scored (query_id, vec_id, cos)
+    * frame top-5 per query and project the contract columns. One place so
+    * the rank order (cos desc, vec_id) and the 4-decimal output rounding
+    * can never drift between the brute/LSH/multi-probe variants.
+    */
+  private def rankTop5(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Brute-force exact cosine top-k: broadcast queries x corpus scan, then
     * top-5 per query (window on query_id).
     */
   def q50KnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Tables(spark, dir, "embeddings")
     val q = queriesSet(spark, dir)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), nativeCosine(spark)(col("q_emb"), col("embedding")).as("cos"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("query_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 4).as("cosine"))
-      .orderBy(col("query_id"), col("rk"))
+    rankTop5(corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        nativeCosine(spark)(col("q_emb"), col("embedding")).as("cos")))
   }
 
   val q50Sql: String =
@@ -116,15 +125,10 @@ object Similarity {
     val q = withBucket(
       Tables(spark, dir, "embeddings").filter(col("vec_id") < 10), nBits = nBits)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    corpus.join(broadcast(q), Seq("bucket"))
+    rankTop5(corpus.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), nativeCosine(spark)(col("q_emb"), col("embedding")).as("cos"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("query_id"), col("rk").cast("long").as("rk"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 4).as("cosine"))
-      .orderBy(col("query_id"), col("rk"))
+      .select(col("query_id"), col("vec_id"),
+        nativeCosine(spark)(col("q_emb"), col("embedding")).as("cos")))
   }
 
   def q51KnnLsh(spark: SparkSession, dir: String): DataFrame =
@@ -656,16 +660,10 @@ object Similarity {
       .withColumn("flip", explode(flips))
       .select(col("query_id"), col("q_emb"),
         col("bucket").bitwiseXOR(col("flip")).as("bucket"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    corpus.join(broadcast(probes), Seq("bucket"))
+    rankTop5(corpus.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        nativeCosine(spark)(col("q_emb"), col("embedding")).as("cos"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("query_id"), col("rk").cast("long").as("rk"),
-        col("vec_id").as("neighbor_id"), round(col("cos"), 4).as("cosine"))
-      .orderBy(col("query_id"), col("rk"))
+        nativeCosine(spark)(col("q_emb"), col("embedding")).as("cos")))
   }
 
   val q114Sql: String = {
