@@ -180,6 +180,31 @@ class PlanSpec extends SparkTestBase {
       s"exchange must be keyed on (lang, shard), got: $key\n$s")
   }
 
+  test("q108 keywords: vocab join-back broadcasts, per-doc top-k prunes via WindowGroupLimit") {
+    val df = TextOps.q108Keywords(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    assert(s.contains("WindowGroupLimit"),
+      s"the rk <= k filter must plan as a group limit (map-side prune):\n$s")
+    assert(!s.contains("CartesianProduct"), s"no cartesian (the n_docs frame must broadcast):\n$s")
+    assert(s.contains("BroadcastExchange") || s.contains("BroadcastNestedLoopJoin"),
+      s"the one-row corpus count must broadcast:\n$s")
+  }
+
+  test("q113/q114: query sides broadcast, corpus never shuffles before scoring") {
+    for (df <- Seq(Similarity.q113HardNegatives(spark, sfDir),
+                   Similarity.q114MultiprobeLsh(spark, sfDir))) {
+      df.collect()
+      val s = finalPlan(df)
+      assert(s.contains("BroadcastExchange") || s.contains("BroadcastNestedLoopJoin"),
+        s"query/probe side must broadcast:\n$s")
+      assert(!s.contains("CartesianProduct"), s"no unbroadcast cartesian:\n$s")
+      // the only hash exchange allowed is the per-query top-k (query_id key)
+      val shuffles = collectAll(executed(df)).count(_.isInstanceOf[ShuffleExchangeLike])
+      assert(shuffles <= 2, s"corpus must not shuffle for scoring, saw $shuffles exchanges")
+    }
+  }
+
   test("q104 pagerank: id-keyed joins only, adjacency exchange reused across iterations") {
     val df = graft.queries.GraphOps.q104Pagerank(spark, sfDir)
     df.collect()
