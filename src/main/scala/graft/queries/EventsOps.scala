@@ -401,9 +401,42 @@ object EventsOps {
       |  FROM ud, m)
       |GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** q118: top user journeys — the 10 most frequent 3-step event-type
+    * paths across all user sequences (q106's transition matrix extended
+    * to path n-grams: "what do users DO", not just "what follows what").
+    * Two lags over the one user-keyed window every sessionization op
+    * shares, then aggregation onto an event-type³ key space — tiny
+    * however long the stream — and a TopK-shaped limit.
+    */
+  def q118EventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.select(
+        lag(col("event_type"), 2).over(w).as("s1"),
+        lag(col("event_type"), 1).over(w).as("s2"),
+        col("event_type").as("s3"))
+      .filter(col("s1").isNotNull && col("s2").isNotNull)
+      .groupBy(col("s1"), col("s2"), col("s3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+      .limit(10)
+  }
+
+  val q118Sql: String =
+    """SELECT s1, s2, s3, count(*) AS n FROM (
+      |  SELECT
+      |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS s1,
+      |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS s2,
+      |    event_type AS s3
+      |  FROM events)
+      |WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+      |GROUP BY s1, s2, s3
+      |ORDER BY n DESC, s1, s2, s3 LIMIT 10""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_retention_cohorts" -> q103RetentionCohorts _,
     "q117_rolling_dau" -> q117RollingDau _,
+    "q118_event_paths" -> q118EventPaths _,
     "q28_redact" -> q28Redact _,
     "q95_resample_ffill" -> q95ResampleFfill _,
     "q25_funnel" -> q25Funnel _,
@@ -419,6 +452,7 @@ object EventsOps {
   val oracles: Map[String, String] = Map(
     "q103_retention_cohorts" -> q103Sql,
     "q117_rolling_dau" -> q117Sql,
+    "q118_event_paths" -> q118Sql,
     "q28_redact" -> q28Sql,
     "q95_resample_ffill" -> q95Sql,
     "q25_funnel" -> q25Sql,

@@ -312,7 +312,66 @@ object TrainPrep {
        |  substr(md5(array_to_string(list(t ORDER BY pos), ' ')), 1, 16) AS chunk_md5
        |FROM chunked GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Synthetic arrival batches for q119 (doc_id mod — recomputable). */
+  private[graft] val NoveltyBatches = 5
+
+  /** q119: crawl novelty rate — per ingest batch, what fraction of its
+    * distinct [[SpanW]]-token spans was NEVER seen in any earlier batch.
+    * The metric an ingestion pipeline watches daily: novelty collapsing
+    * toward zero means the crawler is re-fetching the same content and
+    * the marginal data is duplicate mass, not new training signal.
+    * Batches are carved from doc_id (recomputable); presence reduces to
+    * DISTINCT (batch, span) before anything joins, and the first-seen
+    * batch is one min-agg on span keys — the same span-keyed shuffle q47
+    * already pays, reused as a time axis. At scale the span→first_batch
+    * table is the persisted artifact (same move as the MinHash signature
+    * store) and each day's batch joins against it incrementally.
+    */
+  def q119NoveltyRate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val toksD = d.select(col("doc_id"),
+        ColFns.bound(TextOps.wsTokens(TextOps.normText(col("text")))) { toks =>
+          struct(toks.as("toks"), size(toks).as("n_toks"))
+        }.as("t"))
+      .select(col("doc_id"), col("t.toks").as("toks"), col("t.n_toks").as("n_toks"))
+    val presence = toksD
+      .select((col("doc_id") % NoveltyBatches).as("batch"),
+        explode(when(col("n_toks") >= SpanW,
+            expr(s"transform(sequence(0, n_toks div $SpanW - 1), i -> concat_ws(' ', slice(toks, i*$SpanW+1, $SpanW)))"))
+          .otherwise(expr("array()"))).as("span"))
+      .distinct()
+    val first = presence.groupBy(col("span")).agg(min(col("batch")).as("first_batch"))
+    presence.join(first, Seq("span"))
+      .groupBy(col("batch"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        count(when(col("batch") === col("first_batch"), lit(1))).as("n_new"))
+      .withColumn("novelty", col("n_new").cast("double") / col("n_spans"))
+      .orderBy(col("batch"))
+  }
+
+  val q119Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |tt AS (SELECT doc_id, toks, len(toks) AS n_toks FROM t),
+       |s AS (
+       |  SELECT DISTINCT doc_id % $NoveltyBatches AS batch,
+       |    unnest(CASE WHEN n_toks >= $SpanW
+       |      THEN list_transform(range(0, n_toks // $SpanW),
+       |             i -> array_to_string(toks[i*$SpanW+1 : i*$SpanW+$SpanW], ' '))
+       |      ELSE [] END) AS span
+       |  FROM tt),
+       |f AS (SELECT span, min(batch) AS first_batch FROM s GROUP BY span)
+       |SELECT batch, count(*) AS n_spans,
+       |  count(CASE WHEN batch = first_batch THEN 1 END) AS n_new,
+       |  CAST(count(CASE WHEN batch = first_batch THEN 1 END) AS DOUBLE) / count(*) AS novelty
+       |FROM s JOIN f USING (span)
+       |GROUP BY batch ORDER BY batch""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_novelty_rate" -> q119NoveltyRate _,
     "q47_boilerplate_spans" -> q47BoilerplateSpans _,
     "q48_chunking" -> q48Chunking _,
     "q49_sequence_packing" -> q49SequencePacking _,
@@ -320,6 +379,7 @@ object TrainPrep {
     "q100_cdc_chunking" -> q100CdcChunking _)
 
   val oracles: Map[String, String] = Map(
+    "q119_novelty_rate" -> q119Sql,
     "q47_boilerplate_spans" -> q47Sql,
     "q48_chunking" -> q48Sql,
     "q49_sequence_packing" -> q49Sql,

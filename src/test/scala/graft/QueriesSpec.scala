@@ -339,6 +339,39 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_trans")).sum == expected)
   }
 
+  test("q118 event paths: top-10 agrees with a brute-force trigram count") {
+    val rows = graft.queries.EventsOps.q118EventPaths(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val seqs = Tables(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).values
+    val counts = collection.mutable.Map[(String, String, String), Long]()
+    seqs.foreach { evs =>
+      val ordered = evs.sortBy(e => (e._2, e._3)).map(_._4)
+      ordered.sliding(3).filter(_.length == 3).foreach { t =>
+        val k = (t(0), t(1), t(2)); counts(k) = counts.getOrElse(k, 0L) + 1
+      }
+    }
+    val brute = counts.toSeq.sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(10)
+    val got = rows.map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getAs[Long]("n"))).toSeq
+    assert(got == brute, s"top-10 paths must match brute force:\n$got\nvs\n$brute")
+  }
+
+  test("q119 novelty: batch 0 is fully novel, rates bounded, counts consistent") {
+    val rows = graft.queries.TrainPrep.q119NoveltyRate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val b0 = rows.find(_.getAs[Long]("batch") == 0L).get
+    assert(b0.getAs[Long]("n_new") == b0.getAs[Long]("n_spans"),
+      "everything in the first batch is first-seen by definition")
+    rows.foreach { r =>
+      val (n, nn) = (r.getAs[Long]("n_spans"), r.getAs[Long]("n_new"))
+      assert(nn >= 0 && nn <= n)
+      assert(r.getAs[Double]("novelty") == nn.toDouble / n)
+    }
+  }
+
   test("q117 rolling WAU: brute-force recomputation agrees on every day") {
     val rows = graft.queries.EventsOps.q117RollingDau(spark, sfDir).collect()
       .map(r => r.getAs[java.sql.Date]("day").toLocalDate -> r.getAs[Long]("wau")).toMap
