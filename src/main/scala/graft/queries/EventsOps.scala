@@ -433,10 +433,68 @@ object EventsOps {
       |GROUP BY s1, s2, s3
       |ORDER BY n DESC, s1, s2, s3 LIMIT 10""".stripMargin
 
+  /** q120: event-rate anomaly detection — per (event_type, hour), the
+    * z-score of that hour's count against its TRAILING 6-hour window
+    * (frame excludes the current row, so a spike can't mask itself). The
+    * monitoring alarm over the same hourly rollup q20 computes: rate
+    * spikes flag bot traffic or broken producers before they poison a
+    * training snapshot. Sufficient statistics are integer window sums
+    * (`Σn`, `Σn²` — BIGINT-exact in any accumulation order); mean and
+    * variance derive per row as `(6·Σn² − (Σn)²)/36`, so the only float
+    * ops are two correctly-rounded divisions, one subtract and one sqrt,
+    * written identically in the oracle. Frame-incomplete leading hours
+    * are dropped rather than scored against a short baseline.
+    */
+  def q120RateAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val hourly = e.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long").as("hour_ts"), col("event_type"), col("n"))
+    val win = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
+      .rowsBetween(-6, -1)
+    hourly
+      .withColumn("n_frame", count(col("n")).over(win))
+      .withColumn("s1", sum(col("n")).over(win))
+      .withColumn("s2", sum(col("n") * col("n")).over(win))
+      .filter(col("n_frame") === 6)
+      .withColumn("z",
+        when(expr("6 * s2 - s1 * s1 > 0"),
+          (col("n") - col("s1") / lit(6.0))
+            // 36.0D: a bare `36.0` in Spark SQL is a DECIMAL literal and
+            // the division would run in decimal, not IEEE double
+            / sqrt(expr("(6 * s2 - s1 * s1) / 36.0D")))
+          .otherwise(lit(0.0)))
+      .withColumn("is_spike", abs(col("z")) > 3.0)
+      .select(col("hour_ts"), col("event_type"), col("n"), col("z"), col("is_spike"))
+      .orderBy(col("hour_ts"), col("event_type"))
+  }
+
+  val q120Sql: String =
+    """SELECT hour_ts, event_type, n,
+      |  CASE WHEN 6 * s2 - s1 * s1 > 0
+      |       THEN (n - s1 / 6.0) / sqrt((6 * s2 - s1 * s1) / 36.0)
+      |       ELSE 0.0 END AS z,
+      |  abs(CASE WHEN 6 * s2 - s1 * s1 > 0
+      |       THEN (n - s1 / 6.0) / sqrt((6 * s2 - s1 * s1) / 36.0)
+      |       ELSE 0.0 END) > 3.0 AS is_spike
+      |FROM (
+      |  SELECT hour_ts, event_type, n,
+      |    count(n) OVER win AS n_frame,
+      |    CAST(sum(n) OVER win AS BIGINT) AS s1,
+      |    CAST(sum(n * n) OVER win AS BIGINT) AS s2
+      |  FROM (
+      |    SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS hour_ts,
+      |      event_type, count(*) AS n
+      |    FROM events GROUP BY 1, 2)
+      |  WINDOW win AS (PARTITION BY event_type ORDER BY hour_ts
+      |                 ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+      |WHERE n_frame = 6 ORDER BY hour_ts, event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_retention_cohorts" -> q103RetentionCohorts _,
     "q117_rolling_dau" -> q117RollingDau _,
     "q118_event_paths" -> q118EventPaths _,
+    "q120_rate_anomaly" -> q120RateAnomaly _,
     "q28_redact" -> q28Redact _,
     "q95_resample_ffill" -> q95ResampleFfill _,
     "q25_funnel" -> q25Funnel _,
@@ -453,6 +511,7 @@ object EventsOps {
     "q103_retention_cohorts" -> q103Sql,
     "q117_rolling_dau" -> q117Sql,
     "q118_event_paths" -> q118Sql,
+    "q120_rate_anomaly" -> q120Sql,
     "q28_redact" -> q28Sql,
     "q95_resample_ffill" -> q95Sql,
     "q25_funnel" -> q25Sql,

@@ -339,6 +339,36 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_trans")).sum == expected)
   }
 
+  test("q120 rate anomaly: z matches a scala recomputation from the frame sums") {
+    val rows = graft.queries.EventsOps.q120RateAnomaly(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // rebuild the trailing-6 frame per type from the hourly counts and
+    // recompute z with the same arithmetic
+    val hourly = Tables(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long").as("h"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val expected = hourly.flatMap { case (et, hs) =>
+      hs.indices.drop(6).map { i =>
+        val frame = hs.slice(i - 6, i).map(_._3)
+        val (s1, s2) = (frame.sum, frame.map(x => x * x).sum)
+        val z = if (6 * s2 - s1 * s1 > 0)
+          (hs(i)._3 - s1 / 6.0) / math.sqrt((6 * s2 - s1 * s1) / 36.0)
+        else 0.0
+        (et, hs(i)._2) -> z
+      }
+    }
+    rows.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[Long]("hour_ts"))
+      assert(expected.contains(k), s"unexpected row $k")
+      assert(r.getAs[Double]("z") == expected(k), s"$k: z mismatch")
+      assert(r.getAs[Boolean]("is_spike") == (math.abs(expected(k)) > 3.0))
+    }
+    assert(rows.length == expected.size, "every frame-complete hour must be scored")
+  }
+
   test("q118 event paths: top-10 agrees with a brute-force trigram count") {
     val rows = graft.queries.EventsOps.q118EventPaths(spark, sfDir).collect()
     assert(rows.length == 10)
