@@ -243,13 +243,56 @@ object CorpusOps {
       |        FROM documents))
       |ORDER BY shard, pos""".stripMargin
 
+  /** Postings-list cap per term for q121. */
+  private[graft] val Q121MaxPostings = 20
+
+  /** q121: inverted-index construction — the index-build half of the
+    * retrieval stack whose query half is q56 BM25: per term, its document
+    * frequency, total term frequency, and the first [[Q121MaxPostings]]
+    * doc ids of its SORTED postings list as an array column. The cap
+    * bounds row width for the head of the Zipf curve (a stopword's full
+    * postings list is corpus-sized — a real index shards those across
+    * segment files, so the preview cap is the honest single-row cut);
+    * `df` always reflects the FULL count. One explode, one (doc, term)
+    * partial agg, one term-keyed agg — vocab-sized output. The postings
+    * render as a comma-joined string (a parquet index would store the
+    * array; the driver's hash gate compares scalars, so the query
+    * serializes deterministically).
+    */
+  def q121InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"), explode(wsTokens(normText(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("ttf"),
+        concat_ws(",",
+          slice(sort_array(collect_list(col("doc_id"))), 1, Q121MaxPostings)).as("postings"))
+      .orderBy(col("term"))
+  }
+
+  val q121Sql: String =
+    s"""SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf,
+       |  array_to_string((list(doc_id ORDER BY doc_id))[1:$Q121MaxPostings], ',') AS postings
+       |FROM (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id,
+       |      unnest(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), t -> t <> '')) AS term
+       |    FROM documents)
+       |  GROUP BY doc_id, term)
+       |GROUP BY term ORDER BY term""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_inverted_index" -> q121InvertedIndex _,
     "q56_bm25_search" -> q56Bm25 _,
     "q57_temperature_sample" -> q57TemperatureSample _,
     "q58_decontaminate" -> q58Decontaminate _,
     "q59_shard_export" -> q59ShardExport _)
 
   val oracles: Map[String, String] = Map(
+    "q121_inverted_index" -> q121Sql,
     "q56_bm25_search" -> q56Sql,
     "q57_temperature_sample" -> q57Sql,
     "q58_decontaminate" -> q58Sql,

@@ -339,6 +339,23 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_trans")).sum == expected)
   }
 
+  test("q121 inverted index: df/ttf consistent with tokens, postings sorted and capped") {
+    val rows = CorpusOps.q121InvertedIndex(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val tokTotal = Tables(spark, sfDir, "documents")
+      .select(explode(TextOps.wsTokens(TextOps.normText(col("text")))).as("t"))
+      .count()
+    assert(rows.map(_.getAs[Long]("ttf")).sum == tokTotal,
+      "total term frequency must conserve the token stream")
+    rows.foreach { r =>
+      val ids = r.getAs[String]("postings").split(",").map(_.toLong)
+      assert(ids.length <= 20 && ids.length.toLong <= r.getAs[Long]("df"))
+      assert(ids.sameElements(ids.sorted), "postings must be sorted")
+      assert(ids.distinct.length == ids.length, "postings must be distinct doc ids")
+      assert(r.getAs[Long]("df") >= 1 && r.getAs[Long]("ttf") >= r.getAs[Long]("df"))
+    }
+  }
+
   test("q120 rate anomaly: z matches a scala recomputation from the frame sums") {
     val rows = graft.queries.EventsOps.q120RateAnomaly(spark, sfDir).collect()
     assert(rows.nonEmpty)
