@@ -152,8 +152,51 @@ object Curation {
        |  FROM documents)
        |WHERE rk <= $Q105SampleN ORDER BY source, doc_id""".stripMargin
 
+  /** q122: source-mixture concentration (Gini index) per language — the
+    * governance dial for "is this language's data all coming from one
+    * crawl?": 0 = every source contributes equally, →1 = one source
+    * dominates. Computed from the exact rank formula
+    * `G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n` over per-source doc counts sorted
+    * ascending — all sums BIGINT-exact, two correctly-rounded divisions
+    * and one subtract at the end. The per-lang frame is sources-sized
+    * (tiny), so the rank window costs nothing; the only corpus-scale work
+    * is the (lang, source) count.
+    */
+  def q122SourceGini(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir, "documents")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("x"), col("source"))
+    counts.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_sources"),
+        sum(col("x")).as("n_docs"),
+        sum(col("i") * col("x")).as("s1"))
+      .withColumn("gini",
+        (col("s1") * 2L).cast("double") / (col("n_sources") * col("n_docs"))
+          - (col("n_sources") + 1L).cast("double") / col("n_sources"))
+      .select(col("lang"), col("n_sources"), col("n_docs"), col("gini"))
+      .orderBy(col("lang"))
+  }
+
+  val q122Sql: String =
+    """SELECT lang, n_sources, n_docs,
+      |  CAST(s1 * 2 AS DOUBLE) / (n_sources * n_docs)
+      |    - CAST(n_sources + 1 AS DOUBLE) / n_sources AS gini
+      |FROM (
+      |  SELECT lang, count(*) AS n_sources,
+      |    CAST(sum(x) AS BIGINT) AS n_docs,
+      |    CAST(sum(i * x) AS BIGINT) AS s1
+      |  FROM (
+      |    SELECT lang, x,
+      |      CAST(row_number() OVER (PARTITION BY lang ORDER BY x, source) AS BIGINT) AS i
+      |    FROM (SELECT lang, source, count(*) AS x FROM documents GROUP BY lang, source))
+      |  GROUP BY lang)
+      |ORDER BY lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_curation_join" -> q80CurationJoin _,
+    "q122_source_gini" -> q122SourceGini _,
     "q81_source_quota" -> q81SourceQuota _,
     "q82_contamination" -> q82Contamination _,
     "q84_train_split" -> q84TrainSplit _,
@@ -161,6 +204,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "q80_curation_join" -> q80Sql,
+    "q122_source_gini" -> q122Sql,
     "q81_source_quota" -> q81Sql,
     "q82_contamination" -> q82Sql,
     "q84_train_split" -> q84Sql,

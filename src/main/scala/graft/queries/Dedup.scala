@@ -709,7 +709,60 @@ object Dedup {
        |ORDER BY cosine DESC, id_a, id_b LIMIT 50""".stripMargin
   }
 
+  /** SimHash hamming cut for a q123 "near-dup" verdict (of 60 bits). */
+  private[graft] val Q123Hamming = 16L
+
+  /** q123: dedup-method agreement — the operational report that tells you
+    * whether MinHash (est_jaccard ≥ 0.5) and SimHash (hamming ≤
+    * [[Q123Hamming]] within top-16-bit buckets) are flagging the SAME
+    * pairs: `both` is the high-confidence kill list, the `*_only` counts
+    * calibrate the two thresholds against each other before anyone
+    * deletes 10% of a 100 TB corpus on one method's say-so. One
+    * full-outer join of two pair sets that are already bucket-bounded —
+    * the report costs less than either detector.
+    */
+  def q123DedupAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val mh = minhashCandidates(spark, dir)
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), lit(1).as("mh"))
+    val sigs = q42Simhash(spark, dir)
+    val a = sigs.select(col("bucket"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = sigs.select(col("bucket"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    val sh = a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b") &&
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= Q123Hamming)
+      .select(col("id_a"), col("id_b"), lit(1).as("sh"))
+    mh.join(sh, Seq("id_a", "id_b"), "full_outer")
+      .withColumn("method",
+        when(col("mh").isNotNull && col("sh").isNotNull, "both")
+          .when(col("mh").isNotNull, "minhash_only")
+          .otherwise("simhash_only"))
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("method"))
+  }
+
+  // the two shared CTE chains both define a `toks` CTE — the simhash chain
+  // is renamed when composed so the combined WITH stays well-formed
+  val q123Sql: String =
+    s"""$minhashCoreSql,
+       |mh AS (SELECT id_a, id_b FROM ests WHERE est_jaccard >= 0.5),
+       |${simhashSigSql.replace("toks", "shtoks")},
+       |sb AS (SELECT doc_id, simhash, simhash >> 44 AS bucket FROM sig),
+       |shp AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sb a JOIN sb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $Q123Hamming)
+       |SELECT method, count(*) AS n_pairs FROM (
+       |  SELECT CASE
+       |    WHEN m.id_a IS NOT NULL AND s.id_a IS NOT NULL THEN 'both'
+       |    WHEN m.id_a IS NOT NULL THEN 'minhash_only'
+       |    ELSE 'simhash_only' END AS method
+       |  FROM mh m FULL OUTER JOIN shp s ON m.id_a = s.id_a AND m.id_b = s.id_b)
+       |GROUP BY method ORDER BY method""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_dedup_agreement" -> q123DedupAgreement _,
     "q40_dedup_minhash_lsh" -> q40MinhashLsh _,
     "q41_dedup_ngram_jaccard" -> ((s: SparkSession, dir: String) => q41NgramJaccard(s, dir)),
     "q45_dedup_apply" -> q45DedupApply _,
@@ -726,6 +779,7 @@ object Dedup {
     * q45's loser set round-trips through parquet.
     */
   val oracles: Map[String, String] = Map(
+    "q123_dedup_agreement" -> q123Sql,
     "q40_dedup_minhash_lsh" -> q40Sql,
     "q42_dedup_simhash" -> q42Sql,
     "q43_dedup_simhash_pairs" -> q43Sql,

@@ -339,6 +339,17 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_trans")).sum == expected)
   }
 
+  test("q123 dedup agreement: class counts partition both methods' pair sets") {
+    val rows = Dedup.q123DedupAgreement(spark, sfDir).collect()
+      .map(r => r.getAs[String]("method") -> r.getAs[Long]("n_pairs")).toMap
+    assert(rows.nonEmpty)
+    val mhTotal = Dedup.minhashCandidates(spark, sfDir)
+      .filter(col("est_jaccard") >= 0.5).count()
+    assert(rows.getOrElse("both", 0L) + rows.getOrElse("minhash_only", 0L) == mhTotal,
+      "both + minhash_only must partition the minhash pair set")
+    assert(rows.values.forall(_ > 0))
+  }
+
   test("q121 inverted index: df/ttf consistent with tokens, postings sorted and capped") {
     val rows = CorpusOps.q121InvertedIndex(spark, sfDir).collect()
     assert(rows.nonEmpty)
