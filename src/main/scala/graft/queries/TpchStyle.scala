@@ -188,17 +188,112 @@ object TpchStyle {
       |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** Q7-style (volume shipping): revenue flowing between one ordered pair
+    * of nations per ship year — supplier nation on the lineitem side,
+    * customer nation on the order side, both directions of the
+    * (NATION_1, NATION_2) pair kept as separate groups. The classic
+    * two-dimension join stress: the SAME broadcast nation table joins
+    * twice under different roles, and the pair predicate must apply
+    * AFTER both roles resolve (it references columns of both branches).
+    *
+    * Revenue sums in integer cents (per-row `round(price·(1−disc)·100)`
+    * BIGINT) so no float summation order can drift between engines —
+    * tighter than Q3/Q5's round-at-the-end idiom. Headroom: 2⁶³ cents
+    * ≈ 9·10¹⁶ dollars — safe at any corpus size.
+    */
+  def q124TpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val s = Tables(spark, dir, "supplier")
+    val n = Tables(spark, dir, "nation")
+    val sn = n.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val cn = n.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(sn), s("s_nationkey") === col("sn_key"))
+      .join(broadcast(cn), c("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .as("revenue_cents"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q124Sql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+      |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      |GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** Q14-style (promotion effect): per ship month, the share of revenue on
+    * PROMO-type parts in basis points. The part join is the selective
+    * dimension broadcast; the monthly rollup is one shuffle on a
+    * dates-sized key space.
+    *
+    * The ratio is exact: both revenue legs sum as BIGINT cents, the
+    * numerator scales by 10⁴ while still integral, and the ONLY float op
+    * is the final correctly-rounded division — a ratio of two
+    * order-sensitive double sums would not hash-match cross-engine, this
+    * does. Headroom: 10⁴ · promo cents stays under 2⁶³ up to ~9·10¹²
+    * dollars of monthly promo revenue.
+    */
+  def q125TpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val p = Tables(spark, dir, "part")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .withColumn("rev_cents", expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long").as("ym"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev_cents")).otherwise(0L)).as("promo_cents"),
+        sum(col("rev_cents")).as("total_cents"))
+      .withColumn("promo_bp",
+        round((col("promo_cents") * 10000L).cast("double") / col("total_cents"), 4))
+      .orderBy(col("ym"))
+  }
+
+  val q125Sql: String =
+    """SELECT ym, promo_cents, total_cents,
+      |  round(CAST(promo_cents * 10000 AS DOUBLE) / total_cents, 4) AS promo_bp
+      |FROM (
+      |  SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+      |    CAST(sum(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+      |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1)
+      |ORDER BY ym""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_tpch_q3" -> q90TpchQ3 _,
     "q91_tpch_q5" -> q91TpchQ5 _,
     "q92_tpch_q10" -> q92TpchQ10 _,
     "q93_tpch_q18" -> q93TpchQ18 _,
-    "q94_tpch_q22" -> q94TpchQ22 _)
+    "q94_tpch_q22" -> q94TpchQ22 _,
+    "q124_tpch_q7" -> q124TpchQ7 _,
+    "q125_tpch_q14" -> q125TpchQ14 _)
 
   val oracles: Map[String, String] = Map(
     "q90_tpch_q3" -> q90Sql,
     "q91_tpch_q5" -> q91Sql,
     "q92_tpch_q10" -> q92Sql,
     "q93_tpch_q18" -> q93Sql,
-    "q94_tpch_q22" -> q94Sql)
+    "q94_tpch_q22" -> q94Sql,
+    "q124_tpch_q7" -> q124Sql,
+    "q125_tpch_q14" -> q125Sql)
 }
