@@ -188,13 +188,20 @@ object TpchStyle {
       |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
-  /** Q7-style (volume shipping): revenue flowing between one ordered pair
+  /** Q7-style (volume shipping): revenue flowing between one unordered pair
     * of nations per ship year — supplier nation on the lineitem side,
-    * customer nation on the order side, both directions of the
-    * (NATION_1, NATION_2) pair kept as separate groups. The classic
-    * two-dimension join stress: the SAME broadcast nation table joins
-    * twice under different roles, and the pair predicate must apply
-    * AFTER both roles resolve (it references columns of both branches).
+    * customer nation on the order side, both directions of the pair kept as
+    * separate groups. The classic two-dimension join stress: the SAME
+    * broadcast nation table joins twice under different roles, and the pair
+    * predicate must apply AFTER both roles resolve.
+    *
+    * The pair is DERIVED FROM THE DATA — the highest-traffic cross-nation
+    * pair in the date window (ties broken by name) — so the query is
+    * non-empty at every fixture scale; a hardcoded pair is unsatisfiable on
+    * the 10-supplier sf0.001 fixture. The fact scans ONCE: the first rollup
+    * groups to (supp, cust, year) — a nations²·years-sized frame — and both
+    * the pair derivation and the final filter run over that tiny persisted
+    * aggregate, so the derivation costs no second pass over 100 TB.
     *
     * Revenue sums in integer cents (per-row `round(price·(1−disc)·100)`
     * BIGINT) so no float summation order can drift between engines —
@@ -211,34 +218,55 @@ object TpchStyle {
     val n = Tables(spark, dir, "nation")
     val sn = n.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
     val cn = n.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
+    val agg = l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
       .join(broadcast(sn), s("s_nationkey") === col("sn_key"))
       .join(broadcast(cn), c("c_nationkey") === col("cn_key"))
-      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
-      .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
-        .as("revenue_cents"))
+      .agg(
+        sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          .as("revenue_cents"),
+        count(lit(1)).as("cnt"))
+      .persist() // ≤ nations²·years rows — pennies at any corpus size
+    val pair = agg
+      .groupBy(least(col("supp_nation"), col("cust_nation")).as("na"),
+        greatest(col("supp_nation"), col("cust_nation")).as("nb"))
+      .agg(sum(col("cnt")).as("pair_cnt"))
+      .orderBy(col("pair_cnt").desc, col("na"), col("nb"))
+      .limit(1)
+      .select(col("na"), col("nb"))
+    agg.join(broadcast(pair),
+        (col("supp_nation") === col("na") && col("cust_nation") === col("nb")) ||
+        (col("supp_nation") === col("nb") && col("cust_nation") === col("na")))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"), col("revenue_cents"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
   val q124Sql: String =
-    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-      |  year(l_shipdate) AS l_year,
-      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
-      |FROM lineitem
-      |JOIN orders ON l_orderkey = o_orderkey
-      |JOIN customer ON o_custkey = c_custkey
-      |JOIN supplier ON l_suppkey = s_suppkey
-      |JOIN nation sn ON s_nationkey = sn.n_nationkey
-      |JOIN nation cn ON c_nationkey = cn.n_nationkey
-      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
-      |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-      |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
-      |GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+    """WITH agg AS (
+      |  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |    year(l_shipdate) AS l_year,
+      |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |    count(*) AS cnt
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |    AND sn.n_name <> cn.n_name
+      |  GROUP BY 1, 2, 3),
+      |pair AS (
+      |  SELECT least(supp_nation, cust_nation) AS na, greatest(supp_nation, cust_nation) AS nb
+      |  FROM agg GROUP BY 1, 2 ORDER BY sum(cnt) DESC, na, nb LIMIT 1)
+      |SELECT supp_nation, cust_nation, l_year, revenue_cents
+      |FROM agg, pair
+      |WHERE (supp_nation = na AND cust_nation = nb)
+      |   OR (supp_nation = nb AND cust_nation = na)
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
   /** Q14-style (promotion effect): per ship month, the share of revenue on
@@ -246,12 +274,11 @@ object TpchStyle {
     * dimension broadcast; the monthly rollup is one shuffle on a
     * dates-sized key space.
     *
-    * The ratio is exact: both revenue legs sum as BIGINT cents, the
-    * numerator scales by 10⁴ while still integral, and the ONLY float op
-    * is the final correctly-rounded division — a ratio of two
-    * order-sensitive double sums would not hash-match cross-engine, this
-    * does. Headroom: 10⁴ · promo cents stays under 2⁶³ up to ~9·10¹²
-    * dollars of monthly promo revenue.
+    * The ratio is fully integral: both revenue legs sum as BIGINT cents
+    * and the share is emitted as integer basis points
+    * (`promo·10⁴ div total`) — no float op anywhere, so no
+    * engine-dependent rounding can drift the hash. Headroom: 10⁴ · promo
+    * cents stays under 2⁶³ up to ~9·10¹² dollars of monthly promo revenue.
     */
   def q125TpchQ14(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables(spark, dir, "lineitem")
@@ -262,14 +289,13 @@ object TpchStyle {
       .agg(
         sum(when(col("p_type") === "PROMO", col("rev_cents")).otherwise(0L)).as("promo_cents"),
         sum(col("rev_cents")).as("total_cents"))
-      .withColumn("promo_bp",
-        round((col("promo_cents") * 10000L).cast("double") / col("total_cents"), 4))
+      .withColumn("promo_bp", expr("promo_cents * 10000 div total_cents"))
       .orderBy(col("ym"))
   }
 
   val q125Sql: String =
     """SELECT ym, promo_cents, total_cents,
-      |  round(CAST(promo_cents * 10000 AS DOUBLE) / total_cents, 4) AS promo_bp
+      |  promo_cents * 10000 // total_cents AS promo_bp
       |FROM (
       |  SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ym,
       |    CAST(sum(CASE WHEN p_type = 'PROMO'
