@@ -7,8 +7,28 @@ import org.apache.spark.sql.SparkSession
   * Queries run in sorted name order after a session warmup, so per-query
   * numbers are comparable across rounds (the first query no longer absorbs
   * session/codegen startup).
+  *
+  * Every query starts COLD: a sweep before each run drops the memoized
+  * dedup candidate frames, every cached Dataset, and every persisted RDD.
+  * Round 5 showed why — suite order let q1xx queries pre-build caches that
+  * made q40 read 8× fast while the accumulated blocks inflated the
+  * untouched q28–q46 block 3.5–4× vs its cold times. Cold per-query
+  * numbers are the round-over-round regression signal; within-query
+  * caching (build-then-consume in one plan) is untouched.
   */
 object Bench {
+
+  /** Drop every cross-query warm path: memoized candidate frames, cached
+    * Datasets, persisted RDDs. Blocking=false — eviction need not finish
+    * before the next query starts timing its own work.
+    */
+  private def coldSweep(spark: SparkSession): Unit = {
+    graft.queries.Dedup.clearCandidateCache()
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -35,6 +55,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => keep(name) }
       .map { case (name, fn) =>
+      coldSweep(spark)
       val t0 = System.nanoTime()
       val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       (name, (System.nanoTime() - t0) / 1e9, rows)

@@ -305,6 +305,120 @@ object TpchStyle {
       |  GROUP BY 1)
       |ORDER BY ym""".stripMargin
 
+  /** Register the TPC-H tables as temp views so q126–q128 can be written as
+    * LITERAL correlated-subquery SQL — the point of these three rows is that
+    * Catalyst's decorrelation (RewriteCorrelatedScalarSubquery /
+    * RewritePredicateSubquery) turns the per-row subplans into
+    * aggregate+join, which PlanSpec gates. View names are prefixed to stay
+    * out of any user namespace.
+    */
+  private def tpchViews(spark: SparkSession, dir: String): Unit =
+    Seq("lineitem", "orders", "customer", "supplier", "part").foreach { t =>
+      Tables(spark, dir, t).createOrReplaceTempView(s"graft_tpch_$t")
+    }
+
+  /** Q17-style (small-quantity-order revenue): lineitems whose quantity is
+    * below a fifth of their part's average order quantity, for one brand.
+    * Written as the classic CORRELATED SCALAR AGGREGATE subquery — Catalyst
+    * decorrelates it into a per-part aggregate joined back to the fact
+    * (PlanSpec asserts no scalar-subquery survives optimization); a naive
+    * per-row subplan would re-scan lineitem once per row and can never run
+    * at 100 TB.
+    *
+    * Integral throughout: quantities in BIGINT cents and the threshold is
+    * `sum div (5·count)` — integer floor identical in both engines, so the
+    * predicate boundary cannot drift on float division.
+    */
+  def q126TpchQ17(spark: SparkSession, dir: String): DataFrame = {
+    tpchViews(spark, dir)
+    spark.sql(
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  CAST(count(*) AS BIGINT) AS small_lines
+        |FROM graft_tpch_lineitem l
+        |JOIN graft_tpch_part p ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#13'
+        |  AND CAST(round(l.l_quantity * 100) AS BIGINT) <
+        |    (SELECT sum(CAST(round(l2.l_quantity * 100) AS BIGINT)) div (5 * count(*))
+        |     FROM graft_tpch_lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+  }
+
+  val q126Sql: String =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+      |  CAST(count(*) AS BIGINT) AS small_lines
+      |FROM lineitem l
+      |JOIN part p ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#13'
+      |  AND CAST(round(l.l_quantity * 100) AS BIGINT) <
+      |    (SELECT sum(CAST(round(l2.l_quantity * 100) AS BIGINT)) // (5 * count(*))
+      |     FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
+  /** Q21-style (suppliers who kept orders waiting): on finished orders,
+    * suppliers whose lineitem came back returned while NO other supplier on
+    * the same order had a return — EXISTS and NOT EXISTS correlated against
+    * the SAME fact table, the canonical semi-join + anti-join decorrelation
+    * pair. (The original's commit/receipt-date lag is restated on
+    * l_returnflag — the fixture has no receipt dates.) Catalyst rewrites
+    * both subqueries into one semi and one anti hash join on l_orderkey;
+    * PlanSpec gates that no per-row subplan survives.
+    */
+  def q127TpchQ21(spark: SparkSession, dir: String): DataFrame = {
+    tpchViews(spark, dir)
+    spark.sql(
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM graft_tpch_supplier s
+        |JOIN graft_tpch_lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN graft_tpch_orders o ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM graft_tpch_lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_tpch_lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)
+  }
+
+  val q127Sql: String =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
+  /** Q4-style (order priority checking): orders of one year with at least
+    * one returned lineitem, counted per priority — the plain EXISTS
+    * decorrelation (one semi join, no agg in the subquery). The original's
+    * commit-before-receipt predicate is restated on l_returnflag. */
+  def q128TpchQ4(spark: SparkSession, dir: String): DataFrame = {
+    tpchViews(spark, dir)
+    spark.sql(
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM graft_tpch_orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM graft_tpch_lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val q128Sql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_tpch_q3" -> q90TpchQ3 _,
     "q91_tpch_q5" -> q91TpchQ5 _,
@@ -312,7 +426,10 @@ object TpchStyle {
     "q93_tpch_q18" -> q93TpchQ18 _,
     "q94_tpch_q22" -> q94TpchQ22 _,
     "q124_tpch_q7" -> q124TpchQ7 _,
-    "q125_tpch_q14" -> q125TpchQ14 _)
+    "q125_tpch_q14" -> q125TpchQ14 _,
+    "q126_tpch_q17" -> q126TpchQ17 _,
+    "q127_tpch_q21" -> q127TpchQ21 _,
+    "q128_tpch_q4" -> q128TpchQ4 _)
 
   val oracles: Map[String, String] = Map(
     "q90_tpch_q3" -> q90Sql,
@@ -321,5 +438,8 @@ object TpchStyle {
     "q93_tpch_q18" -> q93Sql,
     "q94_tpch_q22" -> q94Sql,
     "q124_tpch_q7" -> q124Sql,
-    "q125_tpch_q14" -> q125Sql)
+    "q125_tpch_q14" -> q125Sql,
+    "q126_tpch_q17" -> q126Sql,
+    "q127_tpch_q21" -> q127Sql,
+    "q128_tpch_q4" -> q128Sql)
 }

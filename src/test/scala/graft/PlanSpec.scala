@@ -461,4 +461,32 @@ class PlanSpec extends SparkTestBase {
       s"the corpus must not shuffle on vec_id for assignment:\n$s")
     assert(!s.contains("SortMergeJoin"), s"no wide join allowed:\n$s")
   }
+
+  test("q126 TPC-H Q17: correlated scalar agg decorrelates to aggregate+join, not a per-row subplan") {
+    val df = TpchStyle.q126TpchQ17(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan
+    // RewriteCorrelatedScalarSubquery must have eliminated the correlated
+    // scalar subquery: a surviving one re-runs a lineitem scan PER ROW
+    assert(!opt.toString.contains("scalar-subquery"),
+      s"correlated scalar subquery survived optimization:\n$opt")
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    assert(opt.collect { case a: Aggregate => a }.size >= 2,
+      s"expected the per-part average as its own Aggregate:\n$opt")
+    assert(opt.collect { case j: Join => j }.nonEmpty,
+      s"expected the decorrelated aggregate joined back to the fact:\n$opt")
+    df.collect() // and it runs
+  }
+
+  test("q127 TPC-H Q21: EXISTS / NOT EXISTS decorrelate to one semi and one anti join") {
+    val df = TpchStyle.q127TpchQ21(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    val types = opt.collect { case j: Join => j.joinType }
+    assert(types.contains(LeftSemi), s"EXISTS must plan as a semi join, got $types:\n$opt")
+    assert(types.contains(LeftAnti), s"NOT EXISTS must plan as an anti join, got $types:\n$opt")
+    assert(!opt.toString.contains("exists-subquery"),
+      s"predicate subquery survived optimization:\n$opt")
+    df.collect()
+  }
 }
