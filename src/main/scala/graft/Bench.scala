@@ -20,9 +20,10 @@ object Bench {
 
   /** Drop every cross-query warm path: memoized candidate frames, cached
     * Datasets, persisted RDDs. Blocking=false — eviction need not finish
-    * before the next query starts timing its own work.
+    * before the next query starts timing its own work. Shared with
+    * ScaleSmoke so both harnesses time the same cold shape.
     */
-  private def coldSweep(spark: SparkSession): Unit = {
+  private[graft] def coldSweep(spark: SparkSession): Unit = {
     graft.queries.Dedup.clearCandidateCache()
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values

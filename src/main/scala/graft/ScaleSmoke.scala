@@ -145,15 +145,19 @@ object ScaleSmoke {
       ("q97_sharded_packing_skewed", graft.queries.TrainPrep.q97ShardedPacking _, skewedDir),
       // the unsharded contrast row on the SAME skewed corpus
       ("q49_packing_skewed", graft.queries.TrainPrep.q49SequencePacking _, skewedDir))
+    // SPARK_GRAFT_ONLY re-measures a subset (same filter Bench/Verify use)
+    val keep = SparkEntry.onlyFilter()
+    val kept = queries.filter { case (name, _, _) => keep(name) }
     // warm up codegen/session on the small side first
-    queries.foreach { case (_, fn, _) => fn(spark, baseDir).count() }
+    kept.foreach { case (_, fn, _) => fn(spark, baseDir).count() }
 
-    val results = queries.map { case (name, fn, bigDir) =>
-      // each measurement times the COLD shared-stage build, not the
-      // session memo of the MinHash candidate frame
-      graft.queries.Dedup.clearCandidateCache()
+    val results = kept.map { case (name, fn, bigDir) =>
+      // each measurement times the COLD shared-stage build: Bench's full
+      // sweep (candidate memo + cached Datasets + persisted RDDs), so no
+      // ratio is distorted by what an earlier pipeline left in memory
+      Bench.coldSweep(spark)
       val (t1, r1) = time(fn(spark, baseDir).count())
-      graft.queries.Dedup.clearCandidateCache()
+      Bench.coldSweep(spark)
       val (t10, r10) = time(fn(spark, bigDir).count())
       (name, t1, t10, r1, r10)
     }

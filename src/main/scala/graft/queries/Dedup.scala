@@ -761,6 +761,102 @@ object Dedup {
        |  FROM mh m FULL OUTER JOIN shp s ON m.id_a = s.id_a AND m.id_b = s.id_b)
        |GROUP BY method ORDER BY method""".stripMargin
 
+  /** q130 knobs: anchors are [[Q130K]]-token shingles; anchors occurring
+    * more than [[Q130AnchorCap]] times corpus-wide are dropped (boilerplate
+    * — they would fan the anchor join out quadratically and a span made
+    * ONLY of such text is exactly what q47 already measures); a shared
+    * span counts when it reaches [[Q130MinSpan]] tokens.
+    */
+  private[graft] val Q130K = 5
+  private[graft] val Q130MinSpan = 10L
+  private[graft] val Q130AnchorCap = 64L
+
+  /** q130: SUBSTRING-level exact dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better") — find every ≥
+    * [[Q130MinSpan]]-token span shared verbatim between two documents, the
+    * train-data staple the doc-level family (exact/MinHash/SimHash/
+    * semantic) cannot see: two long articles sharing one lifted paragraph
+    * are NOT near-dups, but the paragraph still leaks across a train/test
+    * split and gets memorized.
+    *
+    * Engine restatement of their suffix-array scan: anchor on every
+    * [[Q130K]]-token shingle (narrow scan-side explode), bucket the corpus
+    * by anchor text — the ONE shuffle, never all-pairs; a corpus-frequency
+    * cap bounds each bucket and drops boilerplate anchors — then extend
+    * matches WITHOUT re-touching text: positions of matching anchors for a
+    * doc pair lie on a diagonal (pa − pb); consecutive positions on one
+    * diagonal are one contiguous shared span of (run + K − 1) tokens, found
+    * by the classic gaps-and-islands `pa − row_number()` grouping. Keys
+    * after the anchor join are (doc_a, doc_b, diag) — output-sized, so the
+    * span extension adds no corpus-sized shuffle. At 100 TB the anchor
+    * table is the big intermediate: it is a projection of (hash, doc, pos)
+    * — ~16 bytes/token — and the cap is enforced before any pairing.
+    *
+    * Emits per ordered pair the longest shared span and how many distinct
+    * maximal ≥-threshold spans exist — the review list a curation pass
+    * cuts from.
+    */
+  def q130SubstringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringSpans(Tables(spark, dir, "documents"))
+
+  /** The q130 pipeline over any (doc_id, text) frame — split out so the
+    * planted-duplicate spec can feed a hand-built corpus.
+    */
+  private[graft] def substringSpans(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("l"))
+      .filter(size(col("l")) >= Q130K)
+    val sh = d
+      .select(col("doc_id"), explode(sequence(lit(1), size(col("l")) - (Q130K - 1))).as("pos"), col("l"))
+      .select(col("doc_id"), col("pos"),
+        array_join(slice(col("l"), col("pos"), lit(Q130K)), " ").as("sh"))
+    // corpus-frequency cap: one count over the anchor bucketing the join
+    // needs anyway; > cap ⇒ boilerplate, dropped BEFORE any pairing
+    val capped = sh
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("cnt") <= Q130AnchorCap)
+      .select(col("doc_id"), col("pos"), col("sh"))
+    val a = capped.select(col("sh"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+    val b = capped.select(col("sh"), col("doc_id").as("doc_b"), col("pos").as("pb"))
+    val m = a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+    val wRun = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pa"))
+    val spans = m.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("run_id", col("pa") - row_number().over(wRun))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("run_id"))
+      .agg((count(lit(1)) + (Q130K - 1)).as("span_tokens"))
+    spans.groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("span_tokens")).as("max_span_tokens"),
+        sum(when(col("span_tokens") >= Q130MinSpan, 1L).otherwise(0L)).as("n_spans"))
+      .filter(col("max_span_tokens") >= Q130MinSpan)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q130Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l FROM documents),
+       |sh AS (
+       |  SELECT doc_id, i AS pos, array_to_string(l[i : i + ${Q130K - 1}], ' ') AS sh
+       |  FROM d, unnest(range(1, len(l) - ${Q130K - 2})) t(i)
+       |  QUALIFY count(*) OVER (PARTITION BY sh) <= $Q130AnchorCap),
+       |m AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |runs AS (
+       |  SELECT doc_a, doc_b, pa - pb AS diag,
+       |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS run_id
+       |  FROM m),
+       |spans AS (
+       |  SELECT doc_a, doc_b, count(*) + ${Q130K - 1} AS span_tokens
+       |  FROM runs GROUP BY doc_a, doc_b, diag, run_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(max(span_tokens) AS BIGINT) AS max_span_tokens,
+       |  CAST(count(*) FILTER (WHERE span_tokens >= $Q130MinSpan) AS BIGINT) AS n_spans
+       |FROM spans GROUP BY doc_a, doc_b HAVING max(span_tokens) >= $Q130MinSpan
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_dedup_agreement" -> q123DedupAgreement _,
     "q40_dedup_minhash_lsh" -> q40MinhashLsh _,
@@ -771,7 +867,8 @@ object Dedup {
     "q43_dedup_simhash_pairs" -> q43SimhashPairs _,
     "q44_dedup_embedding" -> q44EmbeddingNearDup _,
     "q68_incremental_dedup" -> q68IncrementalDedup _,
-    "q98_semantic_dedup" -> q98SemanticDedup _)
+    "q98_semantic_dedup" -> q98SemanticDedup _,
+    "q130_substring_dedup" -> q130SubstringDedup _)
 
   /** Every dedup query is oracle-checked: Jaccard and pair cosines restate
     * directly in SQL, the SimHash and MinHash hash families are md5-based
@@ -788,7 +885,8 @@ object Dedup {
     "q46_dedup_cc" -> q46Sql,
     "q41_dedup_ngram_jaccard" -> q41SqlFor(Q41MaxBlock),
     "q68_incremental_dedup" -> q68Sql,
-    "q98_semantic_dedup" -> q98Sql)
+    "q98_semantic_dedup" -> q98Sql,
+    "q130_substring_dedup" -> q130Sql)
 
   /** Verify-time side-effects: engine-private stages the oracles read back
     * as parquet — run once at dump time, never inside a query fn.

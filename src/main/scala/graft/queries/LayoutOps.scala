@@ -55,6 +55,31 @@ object LayoutOps {
     * cell-keyed aggregation (≤ 2^[[Q107BucketBits]] keys); nothing about
     * the shape changes at 1000× the rows.
     */
+  /** The z-order WRITE path q107 audits: Morton-key `df` on (xCol, yCol)
+    * with data-derived bounds, range-partition by the key into `nFiles`
+    * files, sort within each — the OPTIMIZE ZORDER analogue. Every output
+    * file covers a contiguous zkey range, so its parquet footer min/max is
+    * tight in BOTH dimensions at once and a 2-dim box predicate skips the
+    * row groups whose cells miss the box (gate: PlanSpec scan-metrics
+    * test). At 100 TB this replaces the read-side audit: pay the one
+    * range exchange at write time, every future 2-dim scan prunes.
+    */
+  def writeZordered(df: DataFrame, xCol: String, yCol: String,
+      outPath: String, nFiles: Int = 16): Unit = {
+    val bounds = df.agg(
+      min(col(xCol)).as("minx"), max(col(xCol)).as("maxx"),
+      min(col(yCol)).as("miny"), max(col(yCol)).as("maxy"))
+    val xn = expr(s"(($xCol - minx) * 65535) div greatest(1, maxx - minx)")
+    val yn = expr(s"(($yCol - miny) * 65535) div greatest(1, maxy - miny)")
+    df.crossJoin(broadcast(bounds))
+      .withColumn("zkey", morton2(xn, yn))
+      .drop("minx", "maxx", "miny", "maxy")
+      .repartitionByRange(nFiles, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .drop("zkey")
+      .write.mode("overwrite").parquet(outPath)
+  }
+
   def q107ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables(spark, dir, "lineitem")
     val bounds = l.agg(

@@ -193,17 +193,25 @@ object Similarity {
     * corpus is partitioned (bucketed) by assigned label, so a probe reads
     * 2/k of the data; centroids and probe lists are tiny broadcasts.
     */
-  def q54IvfSearch(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir, "embeddings")
-    val cent = labelCentroids(e)
+  /** Coarse IVF probe stage shared by q54, q129, and their specs: per
+    * query the `nprobe` nearest centroid lists, as (query_id, q_emb,
+    * label) rows ready to equi-join the corpus on its list id.
+    */
+  private[graft] def ivfProbes(spark: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
+    val cent = labelCentroids(Tables(spark, dir, "embeddings"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("pcos").desc, col("c_label"))
-    val probes = queriesSet(spark, dir)
+    queriesSet(spark, dir)
       .crossJoin(broadcast(cent))
       .select(col("query_id"), col("q_emb"), col("c_label"),
         cosine(col("q_emb"), col("centroid")).as("pcos"))
       .withColumn("prk", row_number().over(wProbe))
-      .filter(col("prk") <= 2)
+      .filter(col("prk") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("c_label").as("label"))
+  }
+
+  def q54IvfSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val probes = ivfProbes(spark, dir)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     e.join(broadcast(probes), Seq("label"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -547,49 +555,69 @@ object Similarity {
     * corpus' float vectors are read ONCE (encode, amortized across every
     * future query) and searches run on the 16×-compressed codes.
     */
-  def q69PqSearch(spark: SparkSession, dir: String): DataFrame = {
+  private def pqSubSlice(v: Column, s: Column): Column = slice(v, s * PqSubDim + 1, lit(PqSubDim))
+  private def pqL2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** PQ encode column — per subspace the POSITION of the argmin-L2² code
+    * (struct min: smallest distance, then smallest position = smallest
+    * label; lambda structs surface as col1/col2). Expects `embedding` plus
+    * the broadcast `codes` column. Shared by q69 and q129.
+    */
+  private[queries] def pqCodeCol: Column =
+    bound(toDouble(col("embedding"))) { de =>
+      bound(col("codes")) { cs =>
+        // i + 0: a bare lambda variable would name the struct field after
+        // itself (x_NN); an arithmetic expression gets the positional col2
+        transform(sequence(lit(0), lit(PqM - 1)), s =>
+          array_min(transform(sequence(lit(1), size(cs)), i =>
+            struct(pqL2sq(pqSubSlice(de, s), pqSubSlice(element_at(cs, i).getField("centroid"), s)), i + lit(0))))
+            .getField("col2"))
+      }
+    }
+
+  /** ADC lookup-table column — per query, M × nCodes subspace dot products.
+    * Expects `q_emb` plus the broadcast `codes` column.
+    */
+  private[queries] def pqLutCol: Column =
+    bound(toDouble(col("q_emb"))) { dq =>
+      bound(col("codes")) { cs =>
+        transform(sequence(lit(0), lit(PqM - 1)), s =>
+          transform(sequence(lit(1), size(cs)), i =>
+            dot(pqSubSlice(dq, s), pqSubSlice(element_at(cs, i).getField("centroid"), s))))
+      }
+    }
+
+  /** ADC score: explicit 4-term sum — fixed association order on both
+    * engines. Expects `lut` and `pqcode` columns.
+    */
+  private def pqAdcScore: Column = (0 until PqM).map { s =>
+    element_at(element_at(col("lut"), s + 1), element_at(col("pqcode"), s + 1).cast("int"))
+  }.reduce(_ + _)
+
+  /** The whole-corpus ADC-scored frame behind q69: every (query, vector)
+    * pair with its fixed-order 4-term LUT score, plus the vector's IVF
+    * list id. Split out so the q129 composition spec can assert q129 ==
+    * this frame restricted to the probed lists, score-exact.
+    */
+  private[graft] def pqScored(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
     // label-sorted codes: position i in this list <-> i-th smallest label
     val codesRow = labelCentroids(e)
       .agg(array_sort(collect_list(struct(col("c_label"), col("centroid")))).as("codes"))
-
-    def subSlice(v: Column, s: Column): Column = slice(v, s * PqSubDim + 1, lit(PqSubDim))
-    def l2sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
-
-    // encode: per subspace the POSITION of the argmin-L2² code (struct min:
-    // smallest distance, then smallest position = smallest label; lambda
-    // structs surface as col1/col2)
-    val enc = e.crossJoin(broadcast(codesRow)).select(col("vec_id"),
-      bound(toDouble(col("embedding"))) { de =>
-        bound(col("codes")) { cs =>
-          // i + 0: a bare lambda variable would name the struct field after
-          // itself (x_NN); an arithmetic expression gets the positional col2
-          transform(sequence(lit(0), lit(PqM - 1)), s =>
-            array_min(transform(sequence(lit(1), size(cs)), i =>
-              struct(l2sq(subSlice(de, s), subSlice(element_at(cs, i).getField("centroid"), s)), i + lit(0))))
-              .getField("col2"))
-        }
-      }.as("pqcode"))
-
-    // ADC lookup tables: per query, M × nCodes subspace dot products
-    val luts = queriesSet(spark, dir).crossJoin(broadcast(codesRow)).select(col("query_id"),
-      bound(toDouble(col("q_emb"))) { dq =>
-        bound(col("codes")) { cs =>
-          transform(sequence(lit(0), lit(PqM - 1)), s =>
-            transform(sequence(lit(1), size(cs)), i =>
-              dot(subSlice(dq, s), subSlice(element_at(cs, i).getField("centroid"), s))))
-        }
-      }.as("lut"))
-
-    // explicit 4-term sum: fixed association order on both engines
-    val score = (0 until PqM).map { s =>
-      element_at(element_at(col("lut"), s + 1), element_at(col("pqcode"), s + 1).cast("int"))
-    }.reduce(_ + _)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+    val enc = e.crossJoin(broadcast(codesRow))
+      .select(col("vec_id"), col("label"), pqCodeCol.as("pqcode"))
+    val luts = queriesSet(spark, dir).crossJoin(broadcast(codesRow))
+      .select(col("query_id"), pqLutCol.as("lut"))
     enc.crossJoin(broadcast(luts))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("score", score)
+      .withColumn("score", pqAdcScore)
+      .select(col("query_id"), col("vec_id"), col("label"), col("score"))
+  }
+
+  def q69PqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+    pqScored(spark, dir)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("query_id"), col("rk").cast("long").as("rk"),
@@ -629,6 +657,94 @@ object Similarity {
        |  JOIN lut l1 ON l1.s = 1 AND l1.label = e1.code AND l1.query_id = l0.query_id
        |  JOIN lut l2 ON l2.s = 2 AND l2.label = e2.code AND l2.query_id = l0.query_id
        |  JOIN lut l3 ON l3.s = 3 AND l3.label = e3.code AND l3.query_id = l0.query_id)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, score FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rk
+       |  FROM scored WHERE vec_id <> query_id)
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** q129: IVF-PQ COMPOSED search — the production ANN layout (Jégou et
+    * al., TPAMI'11; the FAISS `IVFxx,PQyy` index): q54's coarse probe and
+    * q69's ADC scoring STACKED in one plan. Each query probes its
+    * nprobe=2 nearest centroid lists, and ADC-scores ONLY the PQ codes of
+    * vectors in those lists — q54 reads full vectors for the probed 2/k of
+    * the corpus, q69 reads compressed codes for ALL of it; this reads
+    * compressed codes for 2/k of it.
+    *
+    * Engine shape: centroids, probe lists, and per-query LUTs are tiny
+    * broadcasts (probes ⋈ luts is a query-count-sized frame joined on
+    * query_id BEFORE touching the corpus); the corpus encodes scan-side
+    * and joins the broadcast probe side EQUI on its IVF list id — the
+    * corpus never shuffles (PlanSpec gate), and at 100 TB a search touches
+    * (nprobe/k) · (1/16th-sized) codes. Same integral tie-breaks and
+    * fixed-association ADC sum as q69, so the oracle hash-matches.
+    */
+  def q129IvfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val codesRow = labelCentroids(e)
+      .agg(array_sort(collect_list(struct(col("c_label"), col("centroid")))).as("codes"))
+    // coarse probe (the q54 stage): top-2 centroid lists per query
+    val probes = ivfProbes(spark, dir)
+    // per-query ADC LUTs, attached to the probe rows BEFORE the corpus join
+    val probeLuts = probes.crossJoin(broadcast(codesRow))
+      .select(col("query_id"), col("label"), pqLutCol.as("lut"))
+    // scan-side PQ encode, keeping the IVF list id for the probe equi-join
+    val enc = e.crossJoin(broadcast(codesRow))
+      .select(col("vec_id"), col("label"), pqCodeCol.as("pqcode"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+    enc.join(broadcast(probeLuts), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", pqAdcScore)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("neighbor_id"), col("score"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q129Sql: String = {
+    def sl(v: String) = s"$v[s.s*$PqSubDim+1 : s.s*$PqSubDim+$PqSubDim]"
+    val l2 = s"list_sum(list_transform(list_zip(${sl("e.embedding")}, ${sl("c.centroid")}), " +
+      "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    val dotq = s"list_sum(list_transform(list_zip(${sl("q.embedding")}, ${sl("c.centroid")}), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    val pcos = cosineSql("q.embedding", "c.centroid")
+    s"""WITH cent AS (
+       |  SELECT label, list(cx ORDER BY pos) AS centroid FROM (
+       |    SELECT label, t.pos, avg(CAST(embedding[t.pos] AS DOUBLE)) AS cx
+       |    FROM embeddings, range(1, 65) t(pos)
+       |    GROUP BY label, t.pos)
+       |  GROUP BY label),
+       |probes AS (
+       |  SELECT query_id, label FROM (
+       |    SELECT q.vec_id AS query_id, c.label,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY $pcos DESC, c.label) AS prk
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+       |    CROSS JOIN (SELECT label, centroid FROM cent) c(label, centroid))
+       |  WHERE prk <= 2),
+       |enc AS (
+       |  SELECT vec_id, s, label AS code FROM (
+       |    SELECT e.vec_id, s.s, c.label,
+       |      row_number() OVER (PARTITION BY e.vec_id, s.s ORDER BY $l2 ASC, c.label) AS rk
+       |    FROM embeddings e CROSS JOIN range(0, $PqM) s(s) CROSS JOIN cent c)
+       |  WHERE rk = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, s.s, c.label, $dotq AS v
+       |  FROM embeddings q CROSS JOIN range(0, $PqM) s(s) CROSS JOIN cent c
+       |  WHERE q.vec_id < 10),
+       |scored AS (
+       |  SELECT l0.query_id, e0.vec_id, l0.v + l1.v + l2.v + l3.v AS score
+       |  FROM (SELECT vec_id, code FROM enc WHERE s = 0) e0
+       |  JOIN (SELECT vec_id, code FROM enc WHERE s = 1) e1 USING (vec_id)
+       |  JOIN (SELECT vec_id, code FROM enc WHERE s = 2) e2 USING (vec_id)
+       |  JOIN (SELECT vec_id, code FROM enc WHERE s = 3) e3 USING (vec_id)
+       |  JOIN embeddings ev ON ev.vec_id = e0.vec_id
+       |  JOIN probes p ON p.label = ev.label
+       |  JOIN lut l0 ON l0.s = 0 AND l0.label = e0.code AND l0.query_id = p.query_id
+       |  JOIN lut l1 ON l1.s = 1 AND l1.label = e1.code AND l1.query_id = p.query_id
+       |  JOIN lut l2 ON l2.s = 2 AND l2.label = e2.code AND l2.query_id = p.query_id
+       |  JOIN lut l3 ON l3.s = 3 AND l3.label = e3.code AND l3.query_id = p.query_id)
        |SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, score FROM (
        |  SELECT query_id, vec_id AS neighbor_id, score,
        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rk
@@ -732,7 +848,8 @@ object Similarity {
     "q53_knn_quantized" -> q53KnnQuantized _,
     "q54_ivf_search" -> q54IvfSearch _,
     "q67_kmeans_step" -> q67KmeansStep _,
-    "q69_pq_search" -> q69PqSearch _)
+    "q69_pq_search" -> q69PqSearch _,
+    "q129_ivf_pq_search" -> q129IvfPqSearch _)
 
   val oracles: Map[String, String] = Map(
     "q113_hard_negatives" -> q113Sql,
@@ -744,5 +861,6 @@ object Similarity {
     "q53_knn_quantized" -> q53Sql,
     "q54_ivf_search" -> q54Sql,
     "q67_kmeans_step" -> q67Sql,
-    "q69_pq_search" -> q69Sql)
+    "q69_pq_search" -> q69Sql,
+    "q129_ivf_pq_search" -> q129Sql)
 }

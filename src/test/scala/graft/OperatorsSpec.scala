@@ -310,4 +310,32 @@ class OperatorsSpec extends SparkTestBase {
       assert(s.recordsRead >= 6000, s"expected the lineitem rows to be counted: $s")
     } finally detach()
   }
+
+  test("q130 substring dedup finds a planted shared span, exact length, and nothing else") {
+    val s = spark
+    import s.implicits._
+    // 30-token span planted inside two otherwise-disjoint documents at
+    // DIFFERENT offsets; doc 3 shares nothing ≥ Q130MinSpan with anyone
+    val span = (1 to 30).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $span delta epsilon"),
+      (2L, s"${(1 to 12).map(i => s"pre$i").mkString(" ")} $span tail1 tail2"),
+      (3L, (1 to 40).map(i => s"solo$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = graft.queries.Dedup.substringSpans(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 30L, 1L)),
+      s"expected exactly the planted (1,2) pair with a 30-token maximal span: ${got.toSeq}")
+    // shifting one interior token breaks the span into two halves — the
+    // extension must NOT bridge a mismatch
+    val broken = span.split(" ").updated(14, "mutant").mkString(" ")
+    val docs2 = Seq(
+      (1L, s"alpha beta gamma $span delta epsilon"),
+      (2L, s"prefix $broken suffix")).toDF("doc_id", "text")
+    val got2 = graft.queries.Dedup.substringSpans(docs2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // halves are 14 and 15 tokens: max span 15, and both clear the ≥10 bar
+    assert(got2.toSeq == Seq((1L, 2L, 15L, 2L)),
+      s"a single mutated token must split the span into its two halves: ${got2.toSeq}")
+  }
 }

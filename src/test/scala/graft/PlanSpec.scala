@@ -462,6 +462,95 @@ class PlanSpec extends SparkTestBase {
     assert(!s.contains("SortMergeJoin"), s"no wide join allowed:\n$s")
   }
 
+  test("z-order write path: a 2-dim box predicate skips most row groups at scan time") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.{col, max}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val l = Tables(spark, sfDir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    val total = l.count()
+    LayoutOps.writeZordered(l, "l_partkey", "l_suppkey", s"$tmp/zordered", nFiles = 16)
+    l.repartition(16).write.mode("overwrite").parquet(s"$tmp/shuffled")
+    // corner box: bottom ~1/8 of each dimension — a z-ordered layout keeps
+    // it in a handful of cells; a shuffled layout smears it over every file
+    val (px, sy) = {
+      val r = l.agg(max(col("l_partkey")), max(col("l_suppkey"))).collect()(0)
+      (r.getLong(0) / 8, r.getLong(1) / 8)
+    }
+    def scanned(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .filter(col("l_partkey") <= px && col("l_suppkey") <= sy)
+      df.collect()
+      val scan = collectAll(executed(df)).collectFirst { case f: FileSourceScanExec => f }.get
+      assert(scan.metadata("PushedFilters").contains("LessThanOrEqual(l_partkey"),
+        "box predicate must push to parquet")
+      // rows the parquet reader actually materialized — with these file
+      // sizes each file is one row group, so this IS file-level skipping
+      scan.metrics("numOutputRows").value
+    }
+    val z = scanned(s"$tmp/zordered")
+    val r = scanned(s"$tmp/shuffled")
+    assert(r > total / 2, s"shuffled layout should read most row groups, read $r of $total")
+    assert(z * 4 <= r, s"z-ordered scan must skip ≥4× vs shuffled: z=$z shuffled=$r")
+    assert(z < total / 4, s"z-ordered scan must read a minority of rows: z=$z of $total")
+  }
+
+  test("CBO: ANALYZE column stats let a filtered fact broadcast with NO hint") {
+    val s = spark
+    s.sql("DROP TABLE IF EXISTS graft_cbo_lineitem")
+    s.sql("DROP TABLE IF EXISTS graft_cbo_orders")
+    Tables(s, sfDir, "lineitem").write.saveAsTable("graft_cbo_lineitem")
+    Tables(s, sfDir, "orders").write.saveAsTable("graft_cbo_orders")
+    // static plans (pre-AQE): the decision a 100×-scale compile must get
+    // right from stats alone, before any runtime size is known
+    def staticPlan(): String = {
+      // o.* keeps the orders side full-width: column pruning alone must
+      // not shrink either side under the threshold — only the stats may
+      val df = s.sql(
+        """SELECT o.*, l.l_quantity
+          |FROM graft_cbo_orders o JOIN graft_cbo_lineitem l ON o.o_orderkey = l.l_orderkey
+          |WHERE l.l_quantity > 49.5""".stripMargin)
+      df.queryExecution.sparkPlan.toString
+    }
+    val keys = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> (8 * 1024).toString)
+    val saved = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      val noStats = staticPlan()
+      assert(noStats.contains("SortMergeJoin"),
+        s"without stats the 2%-selective filter still looks table-sized — expected SMJ:\n$noStats")
+      s.sql("ANALYZE TABLE graft_cbo_lineitem COMPUTE STATISTICS FOR COLUMNS l_quantity, l_orderkey")
+      s.sql("ANALYZE TABLE graft_cbo_orders COMPUTE STATISTICS")
+      val withStats = staticPlan()
+      assert(withStats.contains("BroadcastHashJoin"),
+        s"with column stats the filtered side estimates tiny — expected broadcast, no hint:\n$withStats")
+    } finally {
+      saved.foreach { case (k, v) => v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+      s.sql("DROP TABLE IF EXISTS graft_cbo_lineitem")
+      s.sql("DROP TABLE IF EXISTS graft_cbo_orders")
+    }
+  }
+
+  test("q129 IVF-PQ: probes and LUTs broadcast, corpus encodes scan-side and never shuffles") {
+    val df = Similarity.q129IvfPqSearch(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    assert(s.contains("BroadcastExchange"),
+      s"probe+LUT side must broadcast into the corpus scan:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"no wide join allowed:\n$s")
+    assert(!"Exchange hashpartitioning\\(vec_id".r.findAllIn(s).hasNext,
+      s"the corpus must not shuffle for encoding; only probed scored rows move:\n$s")
+  }
+
+  test("q130 substring dedup: anchors pair via equi-join — never a cartesian / nested-loop explosion") {
+    val df = Dedup.q130SubstringDedup(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    assert(!s.contains("CartesianProduct"), s"all-pairs cartesian in the span extender:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin"), s"non-equi pair join:\n$s")
+  }
+
   test("q126 TPC-H Q17: correlated scalar agg decorrelates to aggregate+join, not a per-row subplan") {
     val df = TpchStyle.q126TpchQ17(spark, sfDir)
     val opt = df.queryExecution.optimizedPlan

@@ -211,6 +211,39 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q129 IVF-PQ: hits stay in probed lists, and equal q69's ADC ranking restricted to them") {
+    val dir = "/root/testdata/sf0.01" // 500 vectors, ~38 per list
+    val probeLabels = Similarity.ivfProbes(spark, dir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Number]("label").longValue).toSet).toMap
+    val corpusLabel = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("label").longValue).toMap
+    val comp = Similarity.q129IvfPqSearch(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("score")))
+    assert(comp.map(_._1).toSet == probeLabels.keySet, "every query must return composed results")
+    comp.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length == 5, s"query $q returned ${rs.length} rows")
+      rs.foreach { case (_, _, n, _) => assert(probeLabels(q).contains(corpusLabel(n)),
+        s"query $q hit $n outside its probed lists ${probeLabels(q)}") }
+    }
+    // composition exactness: the two stages stack without interference —
+    // q129 IS q69's whole-corpus ADC ranking restricted to the probed
+    // lists, score-identical (same codes, same LUTs, same fixed-order sum)
+    val expected = Similarity.pqScored(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Number]("label").longValue, r.getAs[Double]("score")))
+      .filter { case (q, _, lbl, _) => probeLabels(q).contains(lbl) }
+      .groupBy(_._1).toSeq
+      .flatMap { case (q, rows) =>
+        rows.sortBy { case (_, v, _, s) => (-s, v) }.take(5).zipWithIndex
+          .map { case ((_, v, _, s), i) => (q, i + 1L, v, s) }
+      }.toSet
+    assert(comp.toSet == expected,
+      s"composed search must equal restrict-then-rank: ${comp.toSet.diff(expected)} vs ${expected.diff(comp.toSet)}")
+  }
+
   test("LSH recall curve: knnLsh recall@5 vs exact at two nBits settings") {
     val dir = "/root/testdata/sf0.01" // 500 vectors: stable recall statistics
     val exact = Similarity.q50KnnBrute(spark, dir).collect()
