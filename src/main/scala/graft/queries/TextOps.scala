@@ -566,7 +566,93 @@ object TextOps {
       |WHERE levenshtein(t1, t2) BETWEEN 1 AND 2
       |ORDER BY t1, t2""".stripMargin
 
+  /** q132: BPE merge-pair learning (Sennrich et al. 2016) — the first 3
+    * merges of byte-pair-encoding vocabulary training, the step every
+    * tokenizer build runs before a model ever sees data. Words (freq ≥ 5)
+    * become space-joined character-symbol strings; each iteration counts
+    * adjacent symbol pairs weighted by word frequency, takes the top pair
+    * (count desc, then pair text — exact-integer tie-break), and merges it
+    * via space-delimited LITERAL replace (both engines scan left-to-right,
+    * non-overlapping, and the surrounding-space delimiters make a symbol
+    * boundary unmistakable).
+    *
+    * Engine shape: the words frame is VOCAB-sized (distinct words ×
+    * symbol string), never corpus-sized — the only corpus-scale work is
+    * the one word-count aggregation every text query already does. Pair
+    * counting is a narrow explode over vocab rows onto symbol-pair keys;
+    * the chosen pair is a broadcast one-row frame (persisted: three
+    * unrolled iterations would otherwise recompute the lineage
+    * exponentially). At a real 30k-merge build the pair table is collected
+    * driver-side after this same distributed count — the demonstrated
+    * step IS the distributed half.
+    */
+  def q132BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMerges(Tables(spark, dir, "documents"))
+
+  /** The q132 pipeline over any frame with a `text` column — split out so
+    * the closed-form spec can feed a corpus whose merges are hand-derivable.
+    */
+  private[graft] def bpeMerges(docs: DataFrame): DataFrame = {
+    val words0 = docs
+      .select(explode(wsTokens(normText(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= 5)
+      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("sym"), col("freq"))
+    def pairs(words: DataFrame): DataFrame =
+      words.select(col("freq"), split(trim(col("sym")), " ").as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(ss) - 1), i -> struct(element_at(ss, i) AS a, element_at(ss, i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+    def top1(p: DataFrame): DataFrame =
+      p.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+    def merge(words: DataFrame, t: DataFrame): DataFrame =
+      words.crossJoin(broadcast(t))
+        .select(expr("replace(sym, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')").as("sym"),
+          col("freq"))
+    def rule(t: DataFrame, i: Int): DataFrame =
+      t.select(lit(i).as("iter"), col("a").as("sym_a"), col("b").as("sym_b"),
+        col("cnt").as("pair_count"))
+    val t1 = top1(pairs(words0)).persist() // one row — pennies, swept by Bench
+    val w1 = merge(words0, t1)
+    val t2 = top1(pairs(w1)).persist()
+    val w2 = merge(w1, t2)
+    val t3 = top1(pairs(w2))
+    rule(t1, 1).unionByName(rule(t2, 2)).unionByName(rule(t3, 3)).orderBy(col("iter"))
+  }
+
+  val q132Sql: String = {
+    def p(w: String) =
+      s"""SELECT ss[i] AS a, ss[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(trim(sym), ' ') AS ss, freq FROM $w),
+         |       unnest(range(1, len(ss))) t(i)
+         |  GROUP BY 1, 2""".stripMargin
+    def m(w: String, t: String) =
+      s"SELECT replace(sym, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS sym, freq FROM $w, $t"
+    s"""WITH w0 AS (
+       |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym, freq FROM (
+       |    SELECT w, count(*) AS freq FROM (
+       |      SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+')) AS w
+       |      FROM documents)
+       |    WHERE w <> '' GROUP BY w HAVING count(*) >= 5)),
+       |p1 AS (${p("w0")}),
+       |t1 AS (SELECT * FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+       |w1 AS (${m("w0", "t1")}),
+       |p2 AS (${p("w1")}),
+       |t2 AS (SELECT * FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+       |w2 AS (${m("w1", "t2")}),
+       |p3 AS (${p("w2")}),
+       |t3 AS (SELECT * FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)
+       |SELECT * FROM (
+       |  SELECT 1 AS iter, a AS sym_a, b AS sym_b, cnt AS pair_count FROM t1
+       |  UNION ALL SELECT 2, a, b, cnt FROM t2
+       |  UNION ALL SELECT 3, a, b, cnt FROM t3)
+       |ORDER BY iter""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_bpe_merges" -> q132BpeMerges _,
     "q108_keywords" -> q108Keywords _,
     "q111_typo_pairs" -> q111TypoPairs _,
     "q102_collocations" -> q102Collocations _,
@@ -610,6 +696,7 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q132_bpe_merges" -> q132Sql,
     "q108_keywords" -> q108Sql,
     "q111_typo_pairs" -> q111Sql,
     "q102_collocations" -> q102Sql,

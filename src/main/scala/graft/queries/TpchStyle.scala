@@ -419,6 +419,49 @@ object TpchStyle {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Q20-style (excess-inventory suppliers): suppliers who shipped more
+    * than 75% of some contested part's total 1996 volume — a nested
+    * decorrelation stress one level past q126: an IN subquery whose
+    * HAVING holds TWO correlated scalar aggregate subqueries (the part's
+    * total volume and its distinct-supplier count) over the same filtered
+    * fact. Catalyst must decorrelate all three levels into aggregates +
+    * joins; any surviving per-row subplan re-scans lineitem per group.
+    * (The original's part-name LIKE + availqty predicate is restated on
+    * the shipped-volume share — the fixture has no partsupp table.)
+    * Integral throughout: quantities in BIGINT cents, share test is
+    * `4·supplier_sum > 3·part_sum` — no division anywhere.
+    */
+  def q131TpchQ20(spark: SparkSession, dir: String): DataFrame = {
+    tpchViews(spark, dir)
+    spark.sql(
+      """WITH lf AS (
+        |  SELECT l_suppkey, l_partkey, CAST(round(l_quantity * 100) AS BIGINT) AS qc
+        |  FROM graft_tpch_lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01')
+        |SELECT s_suppkey, s_name
+        |FROM graft_tpch_supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lf l1
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING 4 * sum(qc) > 3 * (SELECT sum(qc) FROM lf l2 WHERE l2.l_partkey = l1.l_partkey)
+        |     AND (SELECT count(DISTINCT l_suppkey) FROM lf l3 WHERE l3.l_partkey = l1.l_partkey) >= 2)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  val q131Sql: String =
+    """WITH lf AS (
+      |  SELECT l_suppkey, l_partkey, CAST(round(l_quantity * 100) AS BIGINT) AS qc
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01')
+      |SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lf l1
+      |  GROUP BY l_suppkey, l_partkey
+      |  HAVING 4 * sum(qc) > 3 * (SELECT sum(qc) FROM lf l2 WHERE l2.l_partkey = l1.l_partkey)
+      |     AND (SELECT count(DISTINCT l_suppkey) FROM lf l3 WHERE l3.l_partkey = l1.l_partkey) >= 2)
+      |ORDER BY s_suppkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_tpch_q3" -> q90TpchQ3 _,
     "q91_tpch_q5" -> q91TpchQ5 _,
@@ -429,7 +472,8 @@ object TpchStyle {
     "q125_tpch_q14" -> q125TpchQ14 _,
     "q126_tpch_q17" -> q126TpchQ17 _,
     "q127_tpch_q21" -> q127TpchQ21 _,
-    "q128_tpch_q4" -> q128TpchQ4 _)
+    "q128_tpch_q4" -> q128TpchQ4 _,
+    "q131_tpch_q20" -> q131TpchQ20 _)
 
   val oracles: Map[String, String] = Map(
     "q90_tpch_q3" -> q90Sql,
@@ -441,5 +485,6 @@ object TpchStyle {
     "q125_tpch_q14" -> q125Sql,
     "q126_tpch_q17" -> q126Sql,
     "q127_tpch_q21" -> q127Sql,
-    "q128_tpch_q4" -> q128Sql)
+    "q128_tpch_q4" -> q128Sql,
+    "q131_tpch_q20" -> q131Sql)
 }

@@ -311,6 +311,22 @@ class OperatorsSpec extends SparkTestBase {
     } finally detach()
   }
 
+  test("q132 BPE learns the hand-derivable merge sequence on a constructed corpus") {
+    val s = spark
+    import s.implicits._
+    // abcd appears 8x, xy 6x (both clear the freq>=5 bar). Distinct letters
+    // make every merge unambiguous: (a,b) wins round 1 on the (a,b)/(b,c)/
+    // (c,d) tie by pair text, then (ab,c) by 'ab' < 'c', then (abc,d) —
+    // xy's 6 never reaches the top
+    val docs = Seq(
+      (1L, "abcd abcd abcd abcd xy xy xy"),
+      (2L, "abcd abcd abcd abcd xy xy xy")).toDF("doc_id", "text")
+    val got = graft.queries.TextOps.bpeMerges(docs)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "a", "b", 8L), (2, "ab", "c", 8L), (3, "abc", "d", 8L)),
+      s"unexpected merge sequence: ${got.toSeq}")
+  }
+
   test("q130 substring dedup finds a planted shared span, exact length, and nothing else") {
     val s = spark
     import s.implicits._

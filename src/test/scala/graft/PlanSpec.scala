@@ -566,6 +566,46 @@ class PlanSpec extends SparkTestBase {
     df.collect() // and it runs
   }
 
+  test("q131 TPC-H Q20: nested IN + two correlated scalar aggs fully decorrelate") {
+    val df = TpchStyle.q131TpchQ20(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan
+    assert(!opt.toString.contains("scalar-subquery") && !opt.toString.contains("in-subquery"),
+      s"a correlated subplan survived optimization:\n$opt")
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    assert(opt.collect { case j: Join => j.joinType }.contains(LeftSemi),
+      s"the IN must plan as a semi join:\n$opt")
+    assert(opt.collect { case a: Aggregate => a }.size >= 3,
+      s"expected the per-part total, distinct-supplier count, and group agg as Aggregates:\n$opt")
+    df.collect()
+  }
+
+  test("runtime bloom filter: a selective dim filter injects a probe into the fact-side scan") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val s = spark
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // fixture-sized tables: drop the 10 GB application-side floor and
+      // broadcast threshold so the shuffle-join path (where the bloom
+      // filter pays for itself at 100 TB) is what gets planned
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      val part = Tables(s, sfDir, "part").filter(col("p_type") === "PROMO")
+      val l = Tables(s, sfDir, "lineitem")
+      val df = l.join(part, l("l_partkey") === part("p_partkey"))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"expected InjectRuntimeFilter to add a bloom probe on l_partkey:\n$opt")
+      df.collect()
+    } finally {
+      saved.foreach { case (k, v) => v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+    }
+  }
+
   test("q127 TPC-H Q21: EXISTS / NOT EXISTS decorrelate to one semi and one anti join") {
     val df = TpchStyle.q127TpchQ21(spark, sfDir)
     val opt = df.queryExecution.optimizedPlan
