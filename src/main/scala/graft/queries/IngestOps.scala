@@ -357,7 +357,100 @@ object IngestOps {
       |WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h_a <> b.h_b
       |ORDER BY doc_id""".stripMargin
 
+  /** q133: stream-static enrichment replayed through real micro-batches —
+    * the lookup join every event pipeline runs, driver-checked. Purchases
+    * stream from a 3-file fixture (maxFilesPerTrigger=2 ⇒ ≥ 2 genuine
+    * micro-batches); the static user→tier dimension (derived
+    * deterministically from the same fixture so the oracle can restate
+    * it) broadcasts into every batch via [[graft.streaming.EventStream
+    * .enrichStream]]. No stream state, no watermark — the plan per batch
+    * is one broadcast hash join, so the sink equals the batch join
+    * row-for-row, which is exactly what the oracle asserts.
+    */
+  def q133StreamEnrichReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q133_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val baseDir = new java.io.File(base)
+    if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+    val events = Tables(spark, dir, "events")
+    events.filter(col("event_type") === "purchase")
+      .repartition(3).write.parquet(s"$base/purch")
+    val dim = events.select(col("user_id")).distinct()
+      .withColumn("tier", concat(lit("tier_"), pmod(col("user_id"), lit(3))))
+    val enriched = graft.streaming.EventStream.enrichStream(
+      graft.streaming.EventStream.readEventStream(spark, s"$base/purch", maxFilesPerTrigger = 2),
+      dim, "user_id")
+    val q = enriched
+      .select(col("event_id"), col("user_id"), col("tier"), col("value"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .format("parquet")
+      .option("path", s"$base/out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read
+      .schema("event_id BIGINT, user_id BIGINT, tier STRING, value DOUBLE")
+      .parquet(s"$base/out")
+      .orderBy(col("event_id"))
+  }
+
+  val q133Sql: String =
+    """SELECT event_id, user_id, 'tier_' || CAST(user_id % 3 AS VARCHAR) AS tier, value
+      |FROM events WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
+  /** q134: CDC MERGE apply — the day-2 companion of q110's diff: apply a
+    * changes feed (upserts + deletes) to a snapshot and emit the next
+    * snapshot with each row's provenance. Same deterministic fixture
+    * carving as q110 so the oracle restates it: snapshot = doc_id % 3 ≠ 0;
+    * changes = upsert " v2" text where doc_id % 4 = 0, delete where
+    * doc_id % 7 = 0 (delete wins on overlap; deletes of absent keys are
+    * no-ops).
+    *
+    * Shape: ONE full-outer join co-partitioned on the key — the MERGE
+    * INTO kernel. At 100 TB both sides live bucketed by key
+    * (`Sinks.bucketed`), the exchange vanishes, and only keys + hashes +
+    * the changed payloads move; the output partitioning matches the
+    * snapshot's so the next merge reuses it.
+    */
+  def q134CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val snap = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .select(col("doc_id"), col("text"))
+    val changes = d
+      .filter(pmod(col("doc_id"), lit(4)) === 0 || pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit("delete")).otherwise(lit("upsert")).as("op"),
+        concat(col("text"), lit(" v2")).as("new_text"))
+    snap.join(changes, Seq("doc_id"), "full_outer")
+      .filter(col("op").isNull || col("op") === "upsert")
+      .select(col("doc_id"),
+        md5(coalesce(col("new_text"), col("text"))).as("h"),
+        when(col("op").isNull, "kept")
+          .when(col("text").isNull, "inserted")
+          .otherwise("updated").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q134Sql: String =
+    """WITH snap AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+      |ch AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+      |    text || ' v2' AS new_text
+      |  FROM documents WHERE doc_id % 4 = 0 OR doc_id % 7 = 0)
+      |SELECT doc_id, md5(coalesce(new_text, text)) AS h,
+      |  CASE WHEN op IS NULL THEN 'kept'
+      |       WHEN text IS NULL THEN 'inserted'
+      |       ELSE 'updated' END AS status
+      |FROM snap FULL OUTER JOIN ch USING (doc_id)
+      |WHERE op IS NULL OR op = 'upsert'
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_stream_enrich_replay" -> q133StreamEnrichReplay _,
+    "q134_cdc_apply" -> q134CdcApply _,
     "q110_snapshot_diff" -> q110SnapshotDiff _,
     "q112_stream_join_replay" -> q112StreamJoinReplay _,
     "q89_stream_replay" -> q89StreamReplay _,
@@ -370,6 +463,8 @@ object IngestOps {
     "q65_batch_status" -> q65BatchStatus _)
 
   val oracles: Map[String, String] = Map(
+    "q133_stream_enrich_replay" -> q133Sql,
+    "q134_cdc_apply" -> q134Sql,
     "q110_snapshot_diff" -> q110Sql,
     "q112_stream_join_replay" -> q112Sql,
     "q89_stream_replay" -> q89Sql,

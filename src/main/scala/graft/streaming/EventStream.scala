@@ -46,6 +46,17 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("hour_start"), col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment: every micro-batch of the stream equi-joins
+    * the broadcast STATIC dimension — the lookup-table join every event
+    * pipeline runs (user → tier, device → model). The static side plans
+    * once and broadcasts into each micro-batch; no stream state, no
+    * watermark — a map-side hash lookup at any stream length. At 100 TB
+    * the dim refreshes by restarting the query (or via a rocksdb state
+    * join if it must be transactional with the stream).
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key))
+
   /** Sliding-window variant (1 hour window, 15 min slide). */
   def slidingAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
