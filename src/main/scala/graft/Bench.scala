@@ -68,8 +68,10 @@ object Bench {
     // compact line — short qNN keys (the unique prefix of every query
     // name), 3-decimal seconds, no rows map — and the full detail (full
     // names, row counts, raw seconds) goes to BENCH_DETAIL.json on disk.
+    // 2 decimals: the compact line is budgeted (the require below); raw
+    // nanosecond values live in BENCH_DETAIL.json
     def fmt(secs: Double): String = BigDecimal(secs)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     // the compact line keys by qNN prefix — a duplicate prefix would emit
     // duplicate JSON keys and last-wins parsing would drop a measurement
     require(results.map(_._1.takeWhile(_ != '_')).distinct.size == results.size,
@@ -86,8 +88,9 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$detailQs,"rows":$detailRows,"sf":"$sfDir"}"""
     val out = new java.io.PrintWriter("BENCH_DETAIL.json")
     try out.println(detail) finally out.close()
+    val sfName = new java.io.File(sfDir).getName // basename: every char counts
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     require(line.length < 1800, s"bench line ${line.length} chars breaches tail budget")
     println(line)
     spark.stop()
