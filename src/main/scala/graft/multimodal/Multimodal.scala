@@ -205,6 +205,41 @@ object Multimodal {
         case _: javax.sound.sampled.UnsupportedAudioFileException => None
         case _: java.io.IOException => None
       }
+
+    /** Decimate-by-2 resample: decode, keep every 2nd frame, re-encode at
+      * half the rate through the REAL encoder — the bandwidth-halving
+      * normalization an audio corpus runs before feature extraction. A
+      * production resampler low-pass-filters first; plain decimation keeps
+      * every surviving sample integral so the q135 oracle can restate the
+      * output arithmetically, while the bytes still round-trip
+      * `javax.sound.sampled` end-to-end.
+      */
+    def resampleHalf(payload: Array[Byte]): Option[Array[Byte]] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        val kept = (n + 1) / 2
+        val out = new Array[Byte](kept * 2)
+        var j = 0
+        while (j < kept) {
+          out(2 * j) = bytes(4 * j)
+          out(2 * j + 1) = bytes(4 * j + 1)
+          j += 1
+        }
+        val fmt2 = new javax.sound.sampled.AudioFormat(fmt.getSampleRate / 2, 16, 1, true, false)
+        val ais2 = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(out), fmt2, kept.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais2, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Some(bos.toByteArray)
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
   }
 
   /** Real JDK "video" codec: animated GIF via `javax.imageio` — the one

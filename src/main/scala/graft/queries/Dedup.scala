@@ -432,11 +432,18 @@ object Dedup {
     // block (a skewed ("en","web") at 100 TB is the whole corpus) is a
     // quadratic scale-killer. Oversized blocks are dropped, same policy as
     // the LSH maxBucket guard above; q41DroppedBlocks reports what was cut.
+    // block sizes as a TINY broadcast agg, not a corpus-wide window: the
+    // window variant sorted every token array inside WindowExec just to
+    // count block members — a full-corpus sort whose spill behavior made
+    // 10× smoke times swing 4×. The agg shuffles (lang, source, 1) only.
+    val keep = Tables(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBlock)
+      .select(col("lang"), col("source"))
     val d = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), tokenSet(col("text")).as("toks"))
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"), col("source"))))
-      .filter(col("bsz") <= maxBlock)
+      .join(broadcast(keep), Seq("lang", "source"))
     val a = d.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("toks").as("toks_a"))
     val b = d.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("toks").as("toks_b"))
     a.join(b, Seq("lang", "source"))

@@ -188,13 +188,57 @@ object MultimodalOps {
       |FROM documents WHERE doc_id % 10 = 0
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  /** q135: audio RESAMPLE pipeline, honest end-to-end — synthesize a WAV
+    * per selected doc (rate/length/samples keyed on doc_id, the q86
+    * fixture), run it through `AudioCodec.resampleHalf` (decode → decimate
+    * by 2 → RE-ENCODE through the real `javax.sound.sampled` writer), then
+    * decode the RESULT and aggregate per output rate. The oracle restates
+    * the surviving samples arithmetically — every 2nd sample of the
+    * sawtooth — so a stubbed resampler, a dropped header, or an
+    * off-by-one in the decimation breaks the hash. Narrow per-partition
+    * codec pass; the only shuffle is the final rate-keyed rollup.
+    */
+  def q135AudioResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val rate = 8000 + ((id / 10) % 5).toInt * 1000
+        val n = 4000 + (id % 97).toInt
+        val wav = Multimodal.AudioCodec.synthWav(rate, n, id)
+        val half = Multimodal.AudioCodec.resampleHalf(wav).getOrElse(Array.empty[Byte])
+        val (outRate, outFrames, outSumAbs) =
+          Multimodal.AudioCodec.decode(half).getOrElse((-1, -1L, -1L))
+        (outRate.toLong, outFrames, outSumAbs)
+      }
+      .toDF("rate_out", "n_frames", "sum_abs")
+      .groupBy(col("rate_out"))
+      .agg(
+        count(lit(1)).as("n_clips"),
+        sum(col("n_frames")).as("total_frames"),
+        sum(col("sum_abs")).as("total_abs"))
+      .orderBy(col("rate_out"))
+  }
+
+  val q135Sql: String =
+    """SELECT (8000 + ((doc_id // 10) % 5) * 1000) // 2 AS rate_out,
+      |  count(*) AS n_clips,
+      |  CAST(sum((4000 + doc_id % 97 + 1) // 2) AS BIGINT) AS total_frames,
+      |  CAST(sum(list_sum(list_transform(range(0, (4000 + doc_id % 97 + 1) // 2),
+      |        j -> abs((2 * j + doc_id) % 256 - 128))) * 256) AS BIGINT) AS total_abs
+      |FROM documents WHERE doc_id % 10 = 0
+      |GROUP BY rate_out ORDER BY rate_out""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_audio_resample" -> q135AudioResample _,
     "q83_media_stats" -> q83MediaStats _,
     "q85_image_resize" -> q85ImageResize _,
     "q86_audio_stats" -> q86AudioStats _,
     "q88_video_frames" -> q88VideoFrames _)
 
   val oracles: Map[String, String] = Map(
+    "q135_audio_resample" -> q135Sql,
     "q83_media_stats" -> q83Sql,
     "q85_image_resize" -> q85Sql,
     "q86_audio_stats" -> q86Sql,

@@ -107,6 +107,20 @@ class MultimodalSpec extends SparkTestBase {
     assert(AudioCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("AudioCodec.resampleHalf halves rate, keeps every 2nd sample, survives re-encode") {
+    import graft.multimodal.Multimodal.AudioCodec
+    val (rate, n, seed) = (8000, 1001, 42L) // odd n: kept = (n+1)/2 = 501
+    val wav = AudioCodec.synthWav(rate, n, seed)
+    val half = AudioCodec.resampleHalf(wav).get
+    val (outRate, outFrames, outSumAbs) = AudioCodec.decode(half).get
+    assert(outRate == rate / 2, s"rate must halve: $outRate")
+    assert(outFrames == (n + 1) / 2, s"frames must decimate to ceil(n/2): $outFrames")
+    val expectedSum = (0 until (n + 1) / 2)
+      .map(j => math.abs(((2 * j + seed) % 256 - 128) * 256)).sum
+    assert(outSumAbs == expectedSum,
+      s"decimated sample sum must match the even-index sawtooth: $outSumAbs vs $expectedSum")
+  }
+
   test("metadata pruning filters without touching payload bytes") {
     val df = mediaDs.toDF("media_id", "media_type", "payload", "width", "height", "sample_rate_hz")
     val pruned = filterByMeta(df, minW = 64, minH = 64)
