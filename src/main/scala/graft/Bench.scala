@@ -66,7 +66,7 @@ object Bench {
     // query names plus a rows map is >3 KB and gets truncated from the
     // front (rounds 1-3 all recorded parsed:null). So stdout gets ONE
     // compact line — short qNN keys (the unique prefix of every query
-    // name), 3-decimal seconds, no rows map — and the full detail (full
+    // name), 2-decimal seconds, no rows map — and the full detail (full
     // names, row counts, raw seconds) goes to BENCH_DETAIL.json on disk.
     // 2 decimals: the compact line is budgeted (the require below); raw
     // nanosecond values live in BENCH_DETAIL.json

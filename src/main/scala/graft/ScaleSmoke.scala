@@ -161,13 +161,20 @@ object ScaleSmoke {
       val (t10, r10) = time(fn(spark, bigDir).count())
       (name, t1, t10, r1, r10)
     }
-    val dropped10 = graft.queries.Dedup.q41DroppedBlocks(spark, scaledDir).count()
+    // only meaningful (and only worth the count) when q41 actually ran;
+    // -1 = not measured this invocation
+    val dropped10 =
+      if (kept.exists(_._1.startsWith("q41")))
+        graft.queries.Dedup.q41DroppedBlocks(spark, scaledDir).count()
+      else -1L
 
     val parts = results.map { case (name, t1, t10, r1, r10) =>
       s""""$name":{"t1x":$t1,"t10x":$t10,"ratio":${t10 / t1},"rows1x":$r1,"rows10x":$r10}"""
     }
+    // parts may be empty under SPARK_GRAFT_ONLY — prefix each entry with
+    // its own comma so the JSON never grows a trailing one
     println(s"""{"metric":"scale_smoke","base":"$baseDir","replicas":$Replicas,""" +
-      s""""q41_dropped_blocks_10x":$dropped10,${parts.mkString(",")}}""")
+      s""""q41_dropped_blocks_10x":$dropped10""" + parts.map("," + _).mkString + "}")
 
     val blown = results.filter { case (_, t1, t10, _, _) => t10 / t1 > SuperLinearBound }
     if (blown.nonEmpty) {

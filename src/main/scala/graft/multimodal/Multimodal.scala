@@ -219,6 +219,11 @@ object Multimodal {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(payload))
         val fmt = ais.getFormat
+        // the stride math below is 16-bit mono little-endian; any other
+        // decodable format would silently produce garbage samples, so
+        // refuse it the same way an unreadable payload is refused
+        if (fmt.getChannels != 1 || fmt.getSampleSizeInBits != 16 || fmt.isBigEndian)
+          return None
         val bytes = ais.readAllBytes()
         val n = bytes.length / 2
         val kept = (n + 1) / 2

@@ -799,9 +799,14 @@ object Dedup {
     * table is the big intermediate: it is a projection of (hash, doc, pos)
     * — ~16 bytes/token — and the cap is enforced before any pairing.
     *
-    * Emits per ordered pair the longest shared span and how many distinct
-    * maximal ≥-threshold spans exist — the review list a curation pass
-    * cuts from.
+    * Emits per ordered pair the longest shared span and how many maximal
+    * ≥-threshold ALIGNMENT runs exist — the review list a curation pass
+    * cuts from. n_spans counts runs per diagonal: internally-periodic
+    * shared text ("x y x y …") matches at several alignments and
+    * contributes one run per alignment, so treat n_spans as a match-mass
+    * indicator, not a count of disjoint regions (max_span_tokens is the
+    * per-pair severity number; disjoint-region counting would need
+    * interval merging across diagonals for marginal review value).
     */
   def q130SubstringDedup(spark: SparkSession, dir: String): DataFrame =
     substringSpans(Tables(spark, dir, "documents"))

@@ -64,8 +64,11 @@ object LayoutOps {
     * test). At 100 TB this replaces the read-side audit: pay the one
     * range exchange at write time, every future 2-dim scan prunes.
     */
-  def writeZordered(df: DataFrame, xCol: String, yCol: String,
-      outPath: String, nFiles: Int = 16): Unit = {
+  /** Attach the 32-bit Morton `zkey` over (xCol, yCol) with data-derived
+    * broadcast bounds — the ONE quantize+interleave ladder shared by the
+    * q107 audit and the write path, so they can never disagree on the key.
+    */
+  private[queries] def withZkey(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val bounds = df.agg(
       min(col(xCol)).as("minx"), max(col(xCol)).as("maxx"),
       min(col(yCol)).as("miny"), max(col(yCol)).as("maxy"))
@@ -74,22 +77,19 @@ object LayoutOps {
     df.crossJoin(broadcast(bounds))
       .withColumn("zkey", morton2(xn, yn))
       .drop("minx", "maxx", "miny", "maxy")
+  }
+
+  def writeZordered(df: DataFrame, xCol: String, yCol: String,
+      outPath: String, nFiles: Int = 16): Unit =
+    withZkey(df, xCol, yCol)
       .repartitionByRange(nFiles, col("zkey"))
       .sortWithinPartitions(col("zkey"))
       .drop("zkey")
       .write.mode("overwrite").parquet(outPath)
-  }
 
   def q107ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables(spark, dir, "lineitem")
-    val bounds = l.agg(
-      min(col("l_partkey")).as("minx"), max(col("l_partkey")).as("maxx"),
-      min(col("l_suppkey")).as("miny"), max(col("l_suppkey")).as("maxy"))
-    val xn = expr("((l_partkey - minx) * 65535) div greatest(1, maxx - minx)")
-    val yn = expr("((l_suppkey - miny) * 65535) div greatest(1, maxy - miny)")
-    l.select(col("l_partkey"), col("l_suppkey"))
-      .crossJoin(broadcast(bounds))
-      .withColumn("zkey", morton2(xn, yn))
+    withZkey(l.select(col("l_partkey"), col("l_suppkey")), "l_partkey", "l_suppkey")
       .withColumn("zcell", expr(s"zkey div ${1L << (32 - Q107BucketBits)}"))
       .groupBy(col("zcell"))
       .agg(

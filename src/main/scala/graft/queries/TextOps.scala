@@ -572,9 +572,11 @@ object TextOps {
     * become space-joined character-symbol strings; each iteration counts
     * adjacent symbol pairs weighted by word frequency, takes the top pair
     * (count desc, then pair text — exact-integer tie-break), and merges it
-    * via space-delimited LITERAL replace (both engines scan left-to-right,
-    * non-overlapping, and the surrounding-space delimiters make a symbol
-    * boundary unmistakable).
+    * via space-delimited LITERAL replace applied to FIXPOINT (4 nested
+    * passes: a single pass consumes the shared delimiter space between
+    * consecutive occurrences, so " a b a b " would merge only alternately;
+    * the fixpoint equals greedy left-to-right BPE, and both engines scan
+    * identically).
     *
     * Engine shape: the words frame is VOCAB-sized (distinct words ×
     * symbol string), never corpus-sized — the only corpus-scale work is
@@ -607,10 +609,16 @@ object TextOps {
         .agg(sum(col("freq")).as("cnt"))
     def top1(p: DataFrame): DataFrame =
       p.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-    def merge(words: DataFrame, t: DataFrame): DataFrame =
-      words.crossJoin(broadcast(t))
-        .select(expr("replace(sym, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')").as("sym"),
-          col("freq"))
+    // 4 nested literal replaces: one pass consumes the shared delimiter
+    // space, so consecutive occurrences (" a b a b ") merge alternately —
+    // each pass halves the leftovers, so 4 passes reach the fixpoint for
+    // up to 16 consecutive pair occurrences (far past any real word).
+    // True BPE greedy-left-to-right equals this fixpoint.
+    def merge(words: DataFrame, t: DataFrame): DataFrame = {
+      val one = "replace(%s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')"
+      val four = Iterator.iterate("sym")(s => one.format(s)).drop(4).next()
+      words.crossJoin(broadcast(t)).select(expr(four).as("sym"), col("freq"))
+    }
     def rule(t: DataFrame, i: Int): DataFrame =
       t.select(lit(i).as("iter"), col("a").as("sym_a"), col("b").as("sym_b"),
         col("cnt").as("pair_count"))
@@ -628,8 +636,11 @@ object TextOps {
          |  FROM (SELECT string_split(trim(sym), ' ') AS ss, freq FROM $w),
          |       unnest(range(1, len(ss))) t(i)
          |  GROUP BY 1, 2""".stripMargin
-    def m(w: String, t: String) =
-      s"SELECT replace(sym, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS sym, freq FROM $w, $t"
+    def m(w: String, t: String) = {
+      val one = "replace(%s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')"
+      val four = Iterator.iterate("sym")(s => one.format(s)).drop(4).next()
+      s"SELECT $four AS sym, freq FROM $w, $t"
+    }
     s"""WITH w0 AS (
        |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym, freq FROM (
        |    SELECT w, count(*) AS freq FROM (

@@ -325,6 +325,14 @@ class OperatorsSpec extends SparkTestBase {
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(got.toSeq == Seq((1, "a", "b", 8L), (2, "ab", "c", 8L), (3, "abc", "d", 8L)),
       s"unexpected merge sequence: ${got.toSeq}")
+    // consecutive occurrences of the winning pair must merge COMPLETELY
+    // (the fixpoint-replace property): "ababab" has (a,b) 3x per word and
+    // all three merge in round 1, leaving (ab,ab) as round 2's winner
+    val docs2 = Seq((1L, Seq.fill(7)("ababab").mkString(" "))).toDF("doc_id", "text")
+    val got2 = graft.queries.TextOps.bpeMerges(docs2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got2.toSeq == Seq((1, "a", "b", 21L), (2, "ab", "ab", 14L), (3, "abab", "ab", 7L)),
+      s"consecutive pairs must merge to fixpoint: ${got2.toSeq}")
   }
 
   test("q130 substring dedup finds a planted shared span, exact length, and nothing else") {
