@@ -140,6 +140,16 @@ object ScaleSmoke {
       // so the deletion-variant join grows linearly in vocab, never
       // quadratically in pairs
       ("q111_typo_pairs", graft.queries.TextOps.q111TypoPairs _, scaledDir),
+      // substring dedup: rotation keeps anchors replica-local, so the
+      // anchor buckets (and the diagonal-run extension) grow linearly —
+      // the all-pairs failure mode this pipeline is built to avoid
+      ("q130_substring_dedup", graft.queries.Dedup.q130SubstringDedup _, scaledDir),
+      // IVF-PQ composed: queries fixed, corpus 10x — encode is scan-bound
+      // and the ADC stage reads (nprobe/k) of 10x the codes
+      ("q129_ivf_pq_search", graft.queries.Similarity.q129IvfPqSearch _, scaledDir),
+      // BPE merges: rotated replicas make vocabularies disjoint, so the
+      // vocab-sized symbol frame and pair tables tile ~10x, never more
+      ("q132_bpe_merges", graft.queries.TextOps.q132BpeMerges _, scaledDir),
       // sharded packing under TOTAL language skew: the (lang, shard) key
       // keeps the prefix sum fanned out when lang alone would be one task
       ("q97_sharded_packing_skewed", graft.queries.TrainPrep.q97ShardedPacking _, skewedDir),
