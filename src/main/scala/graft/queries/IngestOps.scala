@@ -409,26 +409,31 @@ object IngestOps {
     * no-ops).
     *
     * Shape: ONE full-outer join co-partitioned on the key — the MERGE
-    * INTO kernel. At 100 TB both sides live bucketed by key
-    * (`Sinks.bucketed`), the exchange vanishes, and only keys + hashes +
-    * the changed payloads move; the output partitioning matches the
-    * snapshot's so the next merge reuses it.
+    * INTO kernel — with content hashed BELOW the join, so only keys +
+    * 16-byte hashes ever cross the exchange. At 100 TB both sides live
+    * bucketed by key (`Sinks.bucketed`), the exchange vanishes entirely,
+    * and the output partitioning matches the snapshot's so the next merge
+    * reuses it.
     */
   def q134CdcApply(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
+    // hash BELOW the join (q110's idiom): only keys + 16-byte hashes cross
+    // the exchange — at 100 TB the merge's shuffle cost is two narrow
+    // columns however wide the documents are (plan-gated: no text column
+    // above the scan)
     val snap = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), md5(col("text")).as("h_old"))
     val changes = d
       .filter(pmod(col("doc_id"), lit(4)) === 0 || pmod(col("doc_id"), lit(7)) === 0)
       .select(col("doc_id"),
         when(pmod(col("doc_id"), lit(7)) === 0, lit("delete")).otherwise(lit("upsert")).as("op"),
-        concat(col("text"), lit(" v2")).as("new_text"))
+        md5(concat(col("text"), lit(" v2"))).as("h_new"))
     snap.join(changes, Seq("doc_id"), "full_outer")
       .filter(col("op").isNull || col("op") === "upsert")
       .select(col("doc_id"),
-        md5(coalesce(col("new_text"), col("text"))).as("h"),
+        coalesce(col("h_new"), col("h_old")).as("h"),
         when(col("op").isNull, "kept")
-          .when(col("text").isNull, "inserted")
+          .when(col("h_old").isNull, "inserted")
           .otherwise("updated").as("status"))
       .orderBy(col("doc_id"))
   }

@@ -248,6 +248,27 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q134 CDC apply: merge exchanges carry key+hash only — payloads hash below the join") {
+    val df = graft.queries.IngestOps.q134CdcApply(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    assert(s.contains("FullOuter"), s"merge must plan as a full-outer join:\n$s")
+    def deep(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p +: kids.flatMap(deep)
+    }
+    val exchanges = deep(executed(df)).collect { case e: ShuffleExchangeLike => e }
+    assert(exchanges.nonEmpty, s"expected at least one exchange in:\n$s")
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"merge exchanges must carry key+hash only, got ${e.output.map(_.name)}")
+    }
+  }
+
   test("q111 typo pairs: candidate join is variant-equi, never all-pairs") {
     val df = graft.queries.TextOps.q111TypoPairs(spark, sfDir)
     df.collect()
