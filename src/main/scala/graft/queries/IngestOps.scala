@@ -453,7 +453,85 @@ object IngestOps {
       |WHERE op IS NULL OR op = 'upsert'
       |ORDER BY doc_id""".stripMargin
 
+  /** q140 — DECLARATIVE session-window replay: the native `session_window`
+    * groupBy (EventStream.sessionWindowAgg) run as a real watermarked
+    * append-mode stream over ≥2 micro-batches, then compared against the
+    * batch gaps-and-islands restatement in DuckDB. Append mode only emits
+    * a session once the watermark passes its close, so the fixture appends
+    * one far-future sentinel event in a file forced to be the LAST batch
+    * (later modification time — FileStreamSource orders by mod time): its
+    * arrival advances the watermark past every real session's end + gap,
+    * the no-data micro-batch flushes the state store, and the sentinel
+    * itself is filtered back out of the sink. Exactly the production
+    * pattern for draining a bounded replay of an unbounded pipeline.
+    *
+    * Scale: state is one merging window per OPEN session (Catalyst's
+    * MergingSessionsExec), evicted at watermark — memory tracks concurrent
+    * active users, never stream length.
+    */
+  def q140SessionWindowReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q140_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val baseDir = new java.io.File(base)
+    if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+    val events = Tables(spark, dir, "events")
+    events.repartition(3).write.parquet(s"$base/in")
+    val maxUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    // sentinel: one far-future event that closes every real session once
+    // its watermark (sentinel - 3650d) passes max real ts + gap
+    val sentinelUs = maxUs + 4000L * 86400L * 1000000L
+    events.limit(1)
+      .select(lit(-1L).as("event_id"), timestamp_micros(lit(sentinelUs)).as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("").as("props"))
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    // force the sentinel's file(s) to sort AFTER the real batch in the
+    // FileStreamSource mod-time order
+    val files = new java.io.File(s"$base/in").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.lastModified())
+    files.lastOption.foreach(f => f.setLastModified(files.head.lastModified() + 600000L))
+    val sessions = graft.streaming.EventStream.sessionWindowAgg(
+      graft.streaming.EventStream.readEventStream(spark, s"$base/in", maxFilesPerTrigger = 2),
+      gap = "30 minutes", watermark = "3650 days")
+    val q = sessions.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .format("parquet")
+      .option("path", s"$base/out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read
+      .schema("user_id BIGINT, start_us BIGINT, end_us BIGINT, n_events BIGINT")
+      .parquet(s"$base/out")
+      .filter(col("user_id") >= 0L)
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
+  /** Gaps-and-islands restatement: new session when the in-user gap
+    * EXCEEDS 30 min (exact-gap events merge — session_window intervals
+    * touch and MergingSessions treats touching as overlapping; verified
+    * against the streaming operator in StreamingSpec).
+    */
+  val q140Sql: String =
+    """WITH f AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, ts_us,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM f)
+      |SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, start_us""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_session_window_replay" -> q140SessionWindowReplay _,
     "q133_stream_enrich_replay" -> q133StreamEnrichReplay _,
     "q134_cdc_apply" -> q134CdcApply _,
     "q110_snapshot_diff" -> q110SnapshotDiff _,
@@ -468,6 +546,7 @@ object IngestOps {
     "q65_batch_status" -> q65BatchStatus _)
 
   val oracles: Map[String, String] = Map(
+    "q140_session_window_replay" -> q140Sql,
     "q133_stream_enrich_replay" -> q133Sql,
     "q134_cdc_apply" -> q134Sql,
     "q110_snapshot_diff" -> q110Sql,

@@ -462,6 +462,89 @@ object TpchStyle {
       |     AND (SELECT count(DISTINCT l_suppkey) FROM lf l3 WHERE l3.l_partkey = l1.l_partkey) >= 2)
       |ORDER BY s_suppkey""".stripMargin
 
+  /** Q15-style (top supplier): per-supplier revenue over one quarter in a
+    * derived view consumed TWICE — once grouped, once inside the scalar
+    * `= (SELECT max(...))` subquery. The classic view-vs-its-own-max
+    * shape: Catalyst plans the subquery as an uncorrelated one-row
+    * aggregate (a broadcast, not a per-row rescan) and AQE reuses the
+    * exchange under both consumers. Revenue is exact-integral micro-units
+    * — cents × (10000 − discount basis points) — so the max and the
+    * equality cannot drift on float summation order across engines.
+    */
+  def q138TpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    tpchViews(spark, dir)
+    spark.sql(
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |             (10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS BIGINT)
+        |      AS rev_micro
+        |  FROM graft_tpch_lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, rev_micro
+        |FROM graft_tpch_supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE rev_micro = (SELECT max(rev_micro) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  val q138Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |             (10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS BIGINT)
+      |      AS rev_micro
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, rev_micro
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE rev_micro = (SELECT max(rev_micro) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q11-style (important stock): parts whose revenue exceeds 1.5× the
+    * MEAN part revenue — a grouped HAVING tested against TWO uncorrelated
+    * scalar subqueries (global revenue sum, global part count). (The
+    * original runs on partsupp value with a fixed fraction; the fixture
+    * has no partsupp, and a fixed share threshold empties as the part
+    * count grows, so the threshold is data-derived — scale-invariant by
+    * construction.) The share predicate is pure integer
+    * cross-multiplication (`2·part_sum·n_parts > 3·total`) — no division
+    * — and Catalyst must plan both global aggregates as broadcast
+    * one-row subplans feeding every group's HAVING, never per-group
+    * rescans.
+    */
+  def q139TpchQ11(spark: SparkSession, dir: String): DataFrame = {
+    tpchViews(spark, dir)
+    spark.sql(
+      """WITH lv AS (
+        |  SELECT l_partkey,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS rc
+        |  FROM graft_tpch_lineitem)
+        |SELECT l_partkey, CAST(sum(rc) AS BIGINT) AS part_rev_cents
+        |FROM lv
+        |GROUP BY l_partkey
+        |HAVING 2 * CAST(sum(rc) AS BIGINT) *
+        |    (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lv) >
+        |  3 * (SELECT CAST(sum(rc) AS BIGINT) FROM lv)
+        |ORDER BY part_rev_cents DESC, l_partkey""".stripMargin)
+  }
+
+  val q139Sql: String =
+    """WITH lv AS (
+      |  SELECT l_partkey,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS rc
+      |  FROM lineitem)
+      |SELECT l_partkey, CAST(sum(rc) AS BIGINT) AS part_rev_cents
+      |FROM lv
+      |GROUP BY l_partkey
+      |HAVING 2 * CAST(sum(rc) AS BIGINT) *
+      |    (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lv) >
+      |  3 * (SELECT CAST(sum(rc) AS BIGINT) FROM lv)
+      |ORDER BY part_rev_cents DESC, l_partkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_tpch_q3" -> q90TpchQ3 _,
     "q91_tpch_q5" -> q91TpchQ5 _,
@@ -473,7 +556,9 @@ object TpchStyle {
     "q126_tpch_q17" -> q126TpchQ17 _,
     "q127_tpch_q21" -> q127TpchQ21 _,
     "q128_tpch_q4" -> q128TpchQ4 _,
-    "q131_tpch_q20" -> q131TpchQ20 _)
+    "q131_tpch_q20" -> q131TpchQ20 _,
+    "q138_tpch_q15" -> q138TpchQ15 _,
+    "q139_tpch_q11" -> q139TpchQ11 _)
 
   val oracles: Map[String, String] = Map(
     "q90_tpch_q3" -> q90Sql,
@@ -486,5 +571,7 @@ object TpchStyle {
     "q126_tpch_q17" -> q126Sql,
     "q127_tpch_q21" -> q127Sql,
     "q128_tpch_q4" -> q128Sql,
-    "q131_tpch_q20" -> q131Sql)
+    "q131_tpch_q20" -> q131Sql,
+    "q138_tpch_q15" -> q138Sql,
+    "q139_tpch_q11" -> q139Sql)
 }

@@ -185,6 +185,27 @@ object EventStream {
       .toDF()
   }
 
+  /** DECLARATIVE sessionization: Spark's native `session_window` operator —
+    * the same per-user gap-merge [[sessionRowsWatermarked]] hand-rolls in
+    * flatMapGroupsWithState, but expressed as a groupBy so Catalyst owns the
+    * state layout (MergingSessionsExec merges overlapping windows in the
+    * state store) and append-mode emission follows the watermark. Sessions
+    * are `[ts, ts+gap)` intervals and TOUCHING intervals merge: an event at
+    * exactly the previous ts + gap joins the session, one microsecond past
+    * it splits (pinned by StreamingSpec's boundary test, so the batch/oracle
+    * restatement must use strict `> gap` as its new-session test).
+    */
+  def sessionWindowAgg(
+      events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+
   /** Streaming exact dedup: keep the first occurrence per key, with state
     * bounded by the watermark — `dropDuplicatesWithinWatermark` evicts a
     * key's dedup state once the watermark passes its event time plus the

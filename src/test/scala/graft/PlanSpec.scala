@@ -639,4 +639,40 @@ class PlanSpec extends SparkTestBase {
       s"predicate subquery survived optimization:\n$opt")
     df.collect()
   }
+
+  test("q138 TPC-H Q15: the view-max scalar subquery stays UNcorrelated — one-shot, no per-row rescan") {
+    val df = TpchStyle.q138TpchQ15(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan
+    // an uncorrelated scalar subquery is fine at scale (executed once,
+    // result broadcast); a correlated one would print outer(...) refs
+    assert(opt.toString.contains("scalar-subquery"),
+      s"expected the max(rev) as a scalar subquery:\n$opt")
+    assert(!opt.toString.contains("outer("),
+      s"the Q15 subquery must not be correlated:\n$opt")
+    df.collect()
+  }
+
+  test("q139 TPC-H Q11: both global-aggregate scalar subqueries are uncorrelated one-row plans") {
+    val df = TpchStyle.q139TpchQ11(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan
+    assert(!opt.toString.contains("outer("),
+      s"a HAVING subquery became correlated — per-group rescan at scale:\n$opt")
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    assert(opt.collect { case a: Aggregate => a }.nonEmpty, s"grouped HAVING lost its Aggregate:\n$opt")
+    df.collect()
+  }
+
+  test("q136 KMV: the per-group k-smallest filter compiles to WindowGroupLimit (map-side top-k)") {
+    val s = finalPlan(SketchOps.q136KmvDistinct(spark, sfDir))
+    assert(s.contains("WindowGroupLimit"),
+      s"rn<=k must prune via WindowGroupLimit before the exchange:\n$s")
+  }
+
+  test("q137 CMS: the probe joins the 256-row counter table by broadcast, never a shuffle") {
+    val df = SketchOps.q137CmsHeavyHitters(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    assert(s.contains("BroadcastHashJoin"),
+      s"counter table must broadcast into the probe:\n$s")
+  }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.SketchOps
+
+/** Semantic guarantees of the deterministic sketches (q136 KMV, q137 CMS)
+  * — the bounds the estimates are USEFUL for, beyond the oracle's
+  * bit-exactness.
+  */
+class SketchSpec extends SparkTestBase {
+
+  test("CMS estimate is one-sided: est >= true count for EVERY key, not just the reported top-5") {
+    val e = Tables(spark, sfDir, "events")
+    val truth = e.groupBy(col("user_id")).agg(count(lit(1)).as("true_cnt"))
+    val est = SketchOps.cmsEstimate(truth, SketchOps.cmsCounters(e))
+    val bad = est.filter(col("est_cnt") < col("true_cnt")).count()
+    assert(bad == 0L, s"$bad keys under-estimated — collisions can only ADD in a CMS")
+    // and the sketch is genuinely tiny
+    assert(SketchOps.cmsCounters(e).count() <= 256L)
+  }
+
+  test("KMV with fewer than k distinct keys IS the exact set (est == exact, n_mins == exact)") {
+    val tmp = Files.createTempDirectory("graft-kmv").toString
+    // events fixture with 3 distinct users; ts written as LONG nanos, the
+    // on-disk shape Tables.events expects
+    spark.range(40).select(
+        col("id").as("event_id"),
+        (lit(1700000000L * 1000000000L) + col("id") * 1000000000L).as("ts"),
+        pmod(col("id"), lit(3L)).as("user_id"),
+        lit("click").as("event_type"),
+        lit(1.0).as("value"), lit("").as("props"))
+      .write.parquet(s"$tmp/events.parquet")
+    val rows = SketchOps.q136KmvDistinct(spark, tmp).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_mins") == 3L)
+    assert(r.getAs[Long]("est_distinct") == 3L, "below k the sketch is exact")
+    assert(r.getAs[Long]("exact_distinct") == 3L)
+  }
+
+  test("KMV at k=8 lands within 4x of the true cardinality on the fixture (deterministic)") {
+    val rows = SketchOps.q136KmvDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_distinct").toDouble
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      assert(est >= exact / 4 && est <= exact * 4,
+        s"${r.getAs[String]("event_type")}: est $est vs exact $exact — k=8 should land within 4x")
+    }
+  }
+}

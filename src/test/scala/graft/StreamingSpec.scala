@@ -305,4 +305,34 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("session_window boundary: an exact-gap event MERGES, one microsecond past it SPLITS") {
+    val s = spark
+    import s.implicits._
+    val g = 1800L * 1000000L // 30 min in us
+    // user 1: 0, +gap (merges), +2*gap+1us from the second (splits)
+    val df = Seq((1L, 0L), (1L, g), (1L, 2L * g + 1000000L))
+      .toDF("user_id", "us")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(col("us")))
+    val rows = EventStream.sessionWindowAgg(df, gap = "30 minutes")
+      .orderBy(col("start_us")).collect()
+    assert(rows.length == 2, s"expected 2 sessions, got ${rows.toSeq}")
+    assert(rows(0).getAs[Long]("n_events") == 2L,
+      "the exact-gap event must merge into the first session")
+    assert(rows(0).getAs[Long]("start_us") == 0L && rows(0).getAs[Long]("end_us") == g)
+    assert(rows(1).getAs[Long]("n_events") == 1L && rows(1).getAs[Long]("start_us") == 2L * g + 1000000L)
+  }
+
+  test("q140 streaming session_window replay equals the batch session_window result") {
+    val streamed = graft.queries.IngestOps.q140SessionWindowReplay(spark, sfDir)
+      .collect().map(_.toSeq)
+    val batch = EventStream.sessionWindowAgg(
+        graft.Tables(spark, sfDir, "events"), gap = "30 minutes")
+      .orderBy(col("user_id"), col("start_us"))
+      .collect().map(_.toSeq)
+    assert(streamed.length == batch.length,
+      s"streamed ${streamed.length} sessions vs batch ${batch.length}")
+    assert(streamed.toSeq == batch.toSeq,
+      "the watermarked append-mode replay must emit exactly the batch sessions")
+  }
 }
