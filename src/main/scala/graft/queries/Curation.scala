@@ -194,7 +194,75 @@ object Curation {
       |  GROUP BY lang)
       |ORDER BY lang""".stripMargin
 
+  /** q144 — weighted PRIORITY SAMPLING, Duffield–Lund–Thorup 2007 (JACM
+    * 54(6)): the weighted-without-replacement sampler whose k-item sample
+    * supports unbiased subset-sum estimates — the principled version of
+    * "sample training docs proportional to length". Each doc gets priority
+    * p = w / u with u = (h+1)/2^60 from the engine's deterministic md5_60
+    * hash (no RNG — reruns and both engines agree bitwise); the k = 10
+    * highest-priority docs are the sample, the (k+1)-th priority is the
+    * threshold τ, and each sampled doc's Horvitz–Thompson weight estimate
+    * is ŵ = max(w, τ) — summing ŵ over any subset of the sample unbiasedly
+    * estimates that subset's true total weight. ŵ stays per-row (10 rows)
+    * so the output has NO order-sensitive float aggregate; the only float
+    * ops are per-row `*`/`/`/`max`, correctly rounded identically in both
+    * engines.
+    *
+    * Scale: the top-(k+1) is a global TakeOrderedAndProject — per-partition
+    * heaps of k+1 rows, one tiny reduce; no shuffle of the corpus, no RNG
+    * state, and adding a shard re-ranks by the same deterministic hash
+    * (the sample is a function OF THE DATA, so it is mergeable:
+    * union-then-re-top-k, same as KMV).
+    */
+  def q144PrioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val pr = d.select(
+        col("doc_id"),
+        greatest(length(col("text")), lit(1)).cast("long").as("w"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .select(col("doc_id"), col("w"),
+        (col("w").cast("double") * lit(1152921504606846976L).cast("double") /
+          (col("h") + lit(1L)).cast("double")).as("priority"))
+    val top = pr.orderBy(col("priority").desc, col("doc_id")).limit(11)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("priority").desc, col("doc_id"))))
+    // agg-to-one-row so a corpus smaller than k+1 yields tau = 0 (every
+    // item sampled with probability 1, ŵ = w) instead of an empty join
+    val tau = top.agg(coalesce(
+      min(when(col("rn") === 11, col("priority"))), lit(0.0)).as("tau"))
+    top.filter(col("rn") <= 10)
+      .crossJoin(broadcast(tau))
+      .select(col("doc_id"), col("w"), col("priority"), col("tau"),
+        greatest(col("w").cast("double"), col("tau")).as("w_hat"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q144Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CAST(greatest(length(text), 1) AS BIGINT) AS w,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM documents),
+      |pr AS (
+      |  SELECT doc_id, w,
+      |    CAST(w AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) /
+      |      CAST(h + 1 AS DOUBLE) AS priority
+      |  FROM p),
+      |t AS (SELECT * FROM pr ORDER BY priority DESC, doc_id LIMIT 11),
+      |r AS (
+      |  SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+      |  FROM t),
+      |tau AS (
+      |  SELECT coalesce(min(CASE WHEN rn = 11 THEN priority END), 0.0) AS tau
+      |  FROM r)
+      |SELECT doc_id, w, priority, tau,
+      |  greatest(CAST(w AS DOUBLE), tau) AS w_hat
+      |FROM r, tau WHERE rn <= 10
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_priority_sample" -> q144PrioritySample _,
     "q80_curation_join" -> q80CurationJoin _,
     "q122_source_gini" -> q122SourceGini _,
     "q81_source_quota" -> q81SourceQuota _,
@@ -203,6 +271,7 @@ object Curation {
     "q105_group_sample" -> q105GroupSample _)
 
   val oracles: Map[String, String] = Map(
+    "q144_priority_sample" -> q144Sql,
     "q80_curation_join" -> q80Sql,
     "q122_source_gini" -> q122Sql,
     "q81_source_quota" -> q81Sql,

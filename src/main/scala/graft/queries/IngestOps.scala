@@ -453,6 +453,77 @@ object IngestOps {
       |WHERE op IS NULL OR op = 'upsert'
       |ORDER BY doc_id""".stripMargin
 
+  /** q145 — INCREMENTAL VIEW MAINTENANCE of a materialized aggregate
+    * under q134's CDC feed: the per-lang (doc count, char count) rollup is
+    * maintained by aggregating ONLY the changes — delete subtracts the old
+    * row's contribution, update contributes the length delta, insert adds
+    * the new row — and merging the langs-sized delta into the old
+    * aggregate. The Spark side is the INCREMENTAL path; the DuckDB oracle
+    * is the FULL RECOMPUTE over the merged snapshot — so the driver's
+    * hash-match IS the IVM identity (old ⊕ Δ(changes) = recompute(new)),
+    * proved cross-engine. Count and sum are self-maintainable aggregates
+    * (no rescan needed for deletes, unlike min/max); all arithmetic is
+    * exact integers.
+    *
+    * Scale: this is why a 100 TB nightly rollup doesn't rescan 100 TB —
+    * the only change-driven work is one changes-sized join against the
+    * snapshot BY KEY (co-partitioned/bucketed exactly like q134's merge)
+    * plus a langs-sized merge; the old aggregate is the already-
+    * materialized table being maintained (recomputed here only because the
+    * fixture materializes nothing).
+    */
+  def q145IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val snap = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("len"))
+    val oldAgg = snap.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_chars"))
+    val changes = d
+      .filter(pmod(col("doc_id"), lit(4)) === 0 || pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("doc_id"), col("lang"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit("delete")).otherwise(lit("upsert")).as("op"),
+        (length(col("text")) + lit(3)).cast("long").as("new_len"))
+    val delta = changes
+      .join(snap.select(col("doc_id"), col("len").as("old_len")), Seq("doc_id"), "left")
+      .select(col("lang"),
+        when(col("op") === "delete",
+          when(col("old_len").isNotNull, -1L).otherwise(0L))
+          .otherwise(when(col("old_len").isNull, 1L).otherwise(0L)).as("dd"),
+        when(col("op") === "delete",
+          when(col("old_len").isNotNull, -col("old_len")).otherwise(lit(0L)))
+          .otherwise(when(col("old_len").isNull, col("new_len"))
+            .otherwise(col("new_len") - col("old_len"))).as("dc"))
+      .groupBy(col("lang"))
+      .agg(sum(col("dd")).as("dd"), sum(col("dc")).as("dc"))
+    oldAgg.join(delta, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("dd"), lit(0L))).as("n_docs"),
+        (coalesce(col("n_chars"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("n_chars"))
+      .filter(col("n_docs") > 0L)
+      .orderBy(col("lang"))
+  }
+
+  /** Full recompute over the merged snapshot — deliberately NOT the
+    * incremental computation: hash-equality proves the IVM identity.
+    */
+  val q145Sql: String =
+    """WITH snap AS (
+      |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 <> 0),
+      |ch AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+      |    text || ' v2' AS new_text
+      |  FROM documents WHERE doc_id % 4 = 0 OR doc_id % 7 = 0),
+      |m AS (
+      |  SELECT coalesce(ch.lang, snap.lang) AS lang,
+      |    coalesce(new_text, snap.text) AS text
+      |  FROM snap FULL OUTER JOIN ch USING (doc_id)
+      |  WHERE op IS NULL OR op = 'upsert')
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+      |FROM m GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** q140 — DECLARATIVE session-window replay: the native `session_window`
     * groupBy (EventStream.sessionWindowAgg) run as a real watermarked
     * append-mode stream over ≥2 micro-batches, then compared against the
@@ -532,6 +603,7 @@ object IngestOps {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q140_session_window_replay" -> q140SessionWindowReplay _,
+    "q145_incremental_agg" -> q145IncrementalAgg _,
     "q133_stream_enrich_replay" -> q133StreamEnrichReplay _,
     "q134_cdc_apply" -> q134CdcApply _,
     "q110_snapshot_diff" -> q110SnapshotDiff _,
@@ -547,6 +619,7 @@ object IngestOps {
 
   val oracles: Map[String, String] = Map(
     "q140_session_window_replay" -> q140Sql,
+    "q145_incremental_agg" -> q145Sql,
     "q133_stream_enrich_replay" -> q133Sql,
     "q134_cdc_apply" -> q134Sql,
     "q110_snapshot_diff" -> q110Sql,

@@ -170,11 +170,191 @@ object SketchOps {
       |GROUP BY p.user_id, p.true_cnt
       |ORDER BY p.true_cnt DESC, p.user_id""".stripMargin
 
+  /** q141 — KMV set algebra (theta-sketch-style union/intersection over
+    * the q136 sketches), Beyer et al. 2007 / Dasgupta et al. 2016: for
+    * every event-type pair, merge the two k-min sketches by
+    * union-then-truncate to the k=8 smallest distinct hashes — the merged
+    * sketch is EXACTLY the KMV sketch of the union, so
+    * est_union = (k−1)·2^60 div h_k as in q136. Intersection uses the
+    * ratio estimator: of the union's k-mins, count those present in BOTH
+    * input sketches; est_intersect = matches·est_union div k. Membership
+    * needs only the input SKETCHES, not the full sets: a hash among the k
+    * smallest of A∪B that belongs to A is necessarily among the k smallest
+    * of A (fewer than k union hashes below it ⇒ fewer than k of A's).
+    *
+    * This is why mergeable sketches matter at 100 TB: audience overlap
+    * across N segments needs only the N·k-hash sketch table — the
+    * pairwise stage never rescans the corpus. The exact union/intersection
+    * counts ride along (one distinct-pairs frame) so every row exhibits
+    * its own estimate-vs-truth gap; at scale you'd drop the exact half.
+    * All arithmetic is integral — the oracle restates the sketch
+    * bit-for-bit.
+    */
+  def q141KmvSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val h = e.select(
+        col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val mins = h.withColumn("rn", row_number().over(w)).filter(col("rn") <= 8)
+      .select(col("event_type"), col("h"))
+    val types = mins.select(col("event_type")).distinct()
+    val tp = types.as("l")
+      .join(types.as("r"), col("l.event_type") < col("r.event_type"))
+      .select(col("l.event_type").as("type_a"), col("r.event_type").as("type_b"))
+    def tagged(src: Int, side: String) = tp
+      .join(mins.withColumnRenamed("event_type", side), Seq(side))
+      .select(col("type_a"), col("type_b"), col("h"), lit(src).as("src"))
+    val merged = tagged(1, "type_a").unionByName(tagged(2, "type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("h"))
+      .agg(max(when(col("src") === 1, 1).otherwise(0)).as("in_a"),
+        max(when(col("src") === 2, 1).otherwise(0)).as("in_b"))
+    val wp = Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("h"))
+    val sk = merged.withColumn("rn", row_number().over(wp)).filter(col("rn") <= 8)
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("k_eff"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("k_matches"))
+      .withColumn("est_union",
+        when(col("k_eff") === 8L, expr("8070450532247928832 div kth_hash"))
+          .otherwise(col("k_eff")))
+      // below k the merged sketch IS the exact hash-set union, so
+      // k_matches is the exact intersection — no scaling
+      .withColumn("est_intersect",
+        when(col("k_eff") === 8L, expr("k_matches * est_union div 8"))
+          .otherwise(col("k_matches")))
+    val dtu = e.select(col("event_type"), col("user_id")).distinct()
+    def utagged(src: Int, side: String) = tp
+      .join(dtu.withColumnRenamed("event_type", side), Seq(side))
+      .select(col("type_a"), col("type_b"), col("user_id"), lit(src).as("src"))
+    val ex = utagged(1, "type_a").unionByName(utagged(2, "type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("user_id"))
+      .agg(max(when(col("src") === 1, 1).otherwise(0)).as("in_a"),
+        max(when(col("src") === 2, 1).otherwise(0)).as("in_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("exact_intersect"))
+    sk.join(ex, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("k_matches"),
+        col("est_union"), col("est_intersect"),
+        col("exact_union"), col("exact_intersect"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val q141Sql: String =
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |  FROM h),
+      |mins AS (SELECT event_type, h FROM r WHERE rn <= 8),
+      |tp AS (
+      |  SELECT l.event_type AS type_a, r2.event_type AS type_b
+      |  FROM (SELECT DISTINCT event_type FROM mins) l
+      |  JOIN (SELECT DISTINCT event_type FROM mins) r2
+      |    ON l.event_type < r2.event_type),
+      |m AS (
+      |  SELECT type_a, type_b, h,
+      |    max(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS in_a,
+      |    max(CASE WHEN src = 2 THEN 1 ELSE 0 END) AS in_b
+      |  FROM (
+      |    SELECT tp.type_a, tp.type_b, mins.h, 1 AS src
+      |    FROM tp JOIN mins ON mins.event_type = tp.type_a
+      |    UNION ALL
+      |    SELECT tp.type_a, tp.type_b, mins.h, 2 AS src
+      |    FROM tp JOIN mins ON mins.event_type = tp.type_b)
+      |  GROUP BY type_a, type_b, h),
+      |u AS (
+      |  SELECT *, row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+      |  FROM m),
+      |sk AS (
+      |  SELECT type_a, type_b, max(h) AS kth_hash,
+      |    CAST(count(*) AS BIGINT) AS k_eff,
+      |    CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS k_matches
+      |  FROM u WHERE rn <= 8 GROUP BY type_a, type_b),
+      |est AS (
+      |  SELECT type_a, type_b, k_matches,
+      |    CASE WHEN k_eff = 8 THEN 8070450532247928832 // kth_hash
+      |         ELSE k_eff END AS est_union,
+      |    CASE WHEN k_eff = 8
+      |         THEN k_matches * (8070450532247928832 // kth_hash) // 8
+      |         ELSE k_matches END AS est_intersect
+      |  FROM sk),
+      |dtu AS (SELECT DISTINCT event_type, user_id FROM events),
+      |exm AS (
+      |  SELECT type_a, type_b, user_id,
+      |    max(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS in_a,
+      |    max(CASE WHEN src = 2 THEN 1 ELSE 0 END) AS in_b
+      |  FROM (
+      |    SELECT tp.type_a, tp.type_b, d.user_id, 1 AS src
+      |    FROM tp JOIN dtu d ON d.event_type = tp.type_a
+      |    UNION ALL
+      |    SELECT tp.type_a, tp.type_b, d.user_id, 2 AS src
+      |    FROM tp JOIN dtu d ON d.event_type = tp.type_b)
+      |  GROUP BY type_a, type_b, user_id),
+      |ex AS (
+      |  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS exact_union,
+      |    CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS exact_intersect
+      |  FROM exm GROUP BY type_a, type_b)
+      |SELECT e.type_a, e.type_b, k_matches, est_union, est_intersect,
+      |  exact_union, exact_intersect
+      |FROM est e JOIN ex USING (type_a, type_b)
+      |ORDER BY type_a, type_b""".stripMargin
+
+  /** q143 — the CMS built as STREAMING STATE: the same d×w counter table
+    * as q137, but accumulated by a watermark-free streaming aggregation
+    * over ≥ 2 real micro-batches (maxFilesPerTrigger=1 over a 3-file
+    * fixture), complete-mode to a memory sink. Because CMS counters only
+    * ADD, the streaming state store IS the sketch — each micro-batch folds
+    * its partial counts into 256 rows of state, which is why a sketch can
+    * summarize an unbounded stream in bounded memory (the whole point of
+    * CMS in production telemetry). The final probe (same top-5 heavy
+    * hitters, same broadcast join) must equal q137's batch answer
+    * bit-for-bit — so this row REUSES q137's oracle SQL verbatim: how the
+    * counters were accumulated is invisible to the sketch.
+    */
+  def q143StreamingCms(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q143_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val baseDir = new java.io.File(base)
+    if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+    val e = Tables(spark, dir, "events")
+    e.repartition(3).write.parquet(s"$base/in")
+    val stream = graft.streaming.EventStream
+      .readEventStream(spark, s"$base/in", maxFilesPerTrigger = 1)
+    val view = "graft_q143_cms_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val q = cmsCounters(stream).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(view)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val top = e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("user_id"))
+      .limit(5)
+    cmsEstimate(top, spark.table(view))
+      .orderBy(col("true_cnt").desc, col("user_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_kmv_distinct" -> q136KmvDistinct _,
-    "q137_cms_heavy_hitters" -> q137CmsHeavyHitters _)
+    "q137_cms_heavy_hitters" -> q137CmsHeavyHitters _,
+    "q141_kmv_set_ops" -> q141KmvSetOps _,
+    "q143_streaming_cms" -> q143StreamingCms _)
 
   val oracles: Map[String, String] = Map(
     "q136_kmv_distinct" -> q136Sql,
-    "q137_cms_heavy_hitters" -> q137Sql)
+    "q137_cms_heavy_hitters" -> q137Sql,
+    "q141_kmv_set_ops" -> q141Sql,
+    "q143_streaming_cms" -> q137Sql)
 }

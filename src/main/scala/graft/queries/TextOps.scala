@@ -591,10 +591,23 @@ object TextOps {
   def q132BpeMerges(spark: SparkSession, dir: String): DataFrame =
     bpeMerges(Tables(spark, dir, "documents"))
 
-  /** The q132 pipeline over any frame with a `text` column — split out so
-    * the closed-form spec can feed a corpus whose merges are hand-derivable.
+  /** The 4-nested-literal-replace merge application: one pass consumes
+    * the shared delimiter space, so consecutive occurrences (" a b a b ")
+    * merge alternately — each pass halves the leftovers, so 4 passes reach
+    * the fixpoint for up to 16 consecutive pair occurrences (far past any
+    * real word). True BPE greedy-left-to-right equals this fixpoint.
     */
-  private[graft] def bpeMerges(docs: DataFrame): DataFrame = {
+  private val bpeReplace4: String = {
+    val one = "replace(%s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')"
+    Iterator.iterate("sym")(s => one.format(s)).drop(4).next()
+  }
+
+  /** Learn the first 3 BPE merge pairs over `docs` — returns the three
+    * one-row (a, b, cnt) merge tables in application order, each persisted
+    * (three unrolled iterations would otherwise recompute the lineage
+    * exponentially; pennies, swept by Bench).
+    */
+  private[graft] def bpeLearn(docs: DataFrame): Seq[DataFrame] = {
     val words0 = docs
       .select(explode(wsTokens(normText(col("text")))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
@@ -609,24 +622,24 @@ object TextOps {
         .agg(sum(col("freq")).as("cnt"))
     def top1(p: DataFrame): DataFrame =
       p.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-    // 4 nested literal replaces: one pass consumes the shared delimiter
-    // space, so consecutive occurrences (" a b a b ") merge alternately —
-    // each pass halves the leftovers, so 4 passes reach the fixpoint for
-    // up to 16 consecutive pair occurrences (far past any real word).
-    // True BPE greedy-left-to-right equals this fixpoint.
-    def merge(words: DataFrame, t: DataFrame): DataFrame = {
-      val one = "replace(%s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')"
-      val four = Iterator.iterate("sym")(s => one.format(s)).drop(4).next()
-      words.crossJoin(broadcast(t)).select(expr(four).as("sym"), col("freq"))
-    }
-    def rule(t: DataFrame, i: Int): DataFrame =
-      t.select(lit(i).as("iter"), col("a").as("sym_a"), col("b").as("sym_b"),
-        col("cnt").as("pair_count"))
-    val t1 = top1(pairs(words0)).persist() // one row — pennies, swept by Bench
+    def merge(words: DataFrame, t: DataFrame): DataFrame =
+      words.crossJoin(broadcast(t)).select(expr(bpeReplace4).as("sym"), col("freq"))
+    val t1 = top1(pairs(words0)).persist()
     val w1 = merge(words0, t1)
     val t2 = top1(pairs(w1)).persist()
     val w2 = merge(w1, t2)
-    val t3 = top1(pairs(w2))
+    val t3 = top1(pairs(w2)).persist()
+    Seq(t1, t2, t3)
+  }
+
+  /** The q132 pipeline over any frame with a `text` column — split out so
+    * the closed-form spec can feed a corpus whose merges are hand-derivable.
+    */
+  private[graft] def bpeMerges(docs: DataFrame): DataFrame = {
+    def rule(t: DataFrame, i: Int): DataFrame =
+      t.select(lit(i).as("iter"), col("a").as("sym_a"), col("b").as("sym_b"),
+        col("cnt").as("pair_count"))
+    val Seq(t1, t2, t3) = bpeLearn(docs)
     rule(t1, 1).unionByName(rule(t2, 2)).unionByName(rule(t3, 3)).orderBy(col("iter"))
   }
 
@@ -662,7 +675,106 @@ object TextOps {
        |ORDER BY iter""".stripMargin
   }
 
+  /** q142 — BPE ENCODING: apply q132's three learned merges to tokenize
+    * the corpus, closing the tokenizer loop (learn → encode → count). The
+    * merges are re-learned from the freq ≥ 5 vocabulary, then applied —
+    * in learned order, same fixpoint replace — to EVERY distinct word
+    * (rare words never inform merges but still get encoded, exactly as a
+    * real tokenizer treats OOV-ish tails). Per-language output: word
+    * occurrences, characters, post-BPE tokens, and tokens-per-100-chars
+    * in integral basis points — the compression dial a tokenizer build
+    * watches.
+    *
+    * Engine shape: encoding runs ONCE per distinct word on the vocab-sized
+    * frame (each merge a broadcast one-row crossJoin — scan-side string
+    * rewrite, no shuffle), then joins back to the (lang, word, freq)
+    * frame, which AQE broadcasts when the vocab is small relative to the
+    * corpus. The only corpus-scale work is the word-count aggregation —
+    * the same economics as q132's learning half.
+    */
+  def q142BpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(Tables(spark, dir, "documents"))
+
+  /** q142 over any frame with `lang` and `text` columns — split out so the
+    * closed-form spec can hand-derive token counts.
+    */
+  private[graft] def bpeEncode(d: DataFrame): DataFrame = {
+    val Seq(t1, t2, t3) = bpeLearn(d)
+    val lw = d.select(col("lang"), explode(wsTokens(normText(col("text")))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("freq"))
+    val vocab = lw.select(col("w")).distinct()
+      .select(col("w"),
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("sym"))
+    val encoded = Seq(t1, t2, t3).foldLeft(vocab)((v, t) =>
+      v.crossJoin(broadcast(t.select(col("a"), col("b"))))
+        .select(col("w"), expr(bpeReplace4).as("sym")))
+    val tok = encoded.select(col("w"),
+      size(split(trim(col("sym")), " ")).cast("long").as("n_tok"))
+    lw.join(tok, Seq("w"))
+      .groupBy(col("lang"))
+      .agg(sum(col("freq")).as("n_words"),
+        sum(col("freq") * length(col("w")).cast("long")).as("n_chars"),
+        sum(col("freq") * col("n_tok")).as("n_tokens"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_tokens"),
+        expr("n_tokens * 10000 div n_chars").as("tok_per_char_bp"))
+      .orderBy(col("lang"))
+  }
+
+  val q142Sql: String = {
+    val four = bpeReplace4
+    s"""WITH w0 AS (
+       |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym, freq FROM (
+       |    SELECT w, count(*) AS freq FROM (
+       |      SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+')) AS w
+       |      FROM documents)
+       |    WHERE w <> '' GROUP BY w HAVING count(*) >= 5)),
+       |p1 AS (
+       |  SELECT ss[i] AS a, ss[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT string_split(trim(sym), ' ') AS ss, freq FROM w0),
+       |       unnest(range(1, len(ss))) t(i)
+       |  GROUP BY 1, 2),
+       |t1 AS (SELECT * FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+       |w1 AS (SELECT $four AS sym, freq FROM w0, t1),
+       |p2 AS (
+       |  SELECT ss[i] AS a, ss[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT string_split(trim(sym), ' ') AS ss, freq FROM w1),
+       |       unnest(range(1, len(ss))) t(i)
+       |  GROUP BY 1, 2),
+       |t2 AS (SELECT * FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+       |w2 AS (SELECT $four AS sym, freq FROM w1, t2),
+       |p3 AS (
+       |  SELECT ss[i] AS a, ss[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT string_split(trim(sym), ' ') AS ss, freq FROM w2),
+       |       unnest(range(1, len(ss))) t(i)
+       |  GROUP BY 1, 2),
+       |t3 AS (SELECT * FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+       |lw AS (
+       |  SELECT lang, w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT lang,
+       |      unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE w <> '' GROUP BY lang, w),
+       |v0 AS (
+       |  SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym
+       |  FROM (SELECT DISTINCT w FROM lw)),
+       |v1 AS (SELECT w, $four AS sym FROM v0, t1),
+       |v2 AS (SELECT w, $four AS sym FROM v1, t2),
+       |v3 AS (SELECT w, $four AS sym FROM v2, t3),
+       |tok AS (SELECT w, CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_tok FROM v3),
+       |agg AS (
+       |  SELECT lang,
+       |    CAST(sum(freq) AS BIGINT) AS n_words,
+       |    CAST(sum(freq * length(w)) AS BIGINT) AS n_chars,
+       |    CAST(sum(freq * n_tok) AS BIGINT) AS n_tokens
+       |  FROM lw JOIN tok USING (w) GROUP BY lang)
+       |SELECT lang, n_words, n_chars, n_tokens,
+       |  n_tokens * 10000 // n_chars AS tok_per_char_bp
+       |FROM agg
+       |ORDER BY lang""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_bpe_encode" -> q142BpeEncode _,
     "q132_bpe_merges" -> q132BpeMerges _,
     "q108_keywords" -> q108Keywords _,
     "q111_typo_pairs" -> q111TypoPairs _,
@@ -708,6 +820,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q132_bpe_merges" -> q132Sql,
+    "q142_bpe_encode" -> q142Sql,
     "q108_keywords" -> q108Sql,
     "q111_typo_pairs" -> q111Sql,
     "q102_collocations" -> q102Sql,

@@ -335,6 +335,69 @@ class OperatorsSpec extends SparkTestBase {
       s"consecutive pairs must merge to fixpoint: ${got2.toSeq}")
   }
 
+  test("q142 BPE encode yields hand-derivable token counts on a constructed corpus") {
+    val s = spark
+    import s.implicits._
+    // same corpus as the q132 spec: merges are (a,b), (ab,c), (abc,d), so
+    // "abcd" encodes to ONE token and "xy" stays two ("x y" never merges).
+    // Per lang: 4 abcd + 3 xy = 7 words, 4*4+3*2 = 22 chars,
+    // 4*1+3*2 = 10 tokens, 10*10000 div 22 = 4545 bp
+    val docs = Seq(
+      (1L, "en", "abcd abcd abcd abcd xy xy xy"),
+      (2L, "fr", "abcd abcd abcd abcd xy xy xy")).toDF("doc_id", "lang", "text")
+    val got = graft.queries.TextOps.bpeEncode(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("en", 7L, 22L, 10L, 4545L), ("fr", 7L, 22L, 10L, 4545L)),
+      s"unexpected encode stats: ${got.toSeq}")
+  }
+
+  test("q144 priority sample: tau bounds, HT weights, and the below-k degenerate case") {
+    val rows = graft.queries.Curation.q144PrioritySample(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val tau = rows.head.getAs[Double]("tau")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("priority") >= tau,
+        "every sampled priority must be at or above the (k+1)-th")
+      assert(r.getAs[Double]("w_hat") >= r.getAs[Long]("w").toDouble,
+        "the Horvitz-Thompson estimate max(w, tau) can never shrink a weight")
+    }
+    // below k+1 docs: every item is sampled with probability 1, so tau = 0
+    // and the weight estimates are the exact weights
+    val tmp = java.nio.file.Files.createTempDirectory("graft-psample").toString
+    spark.range(4).select(
+        col("id").as("doc_id"), lit("en").as("lang"), lit("s").as("source"),
+        concat_ws(" ", lit("alpha"), col("id").cast("string")).as("text"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val small = graft.queries.Curation.q144PrioritySample(spark, tmp).collect()
+    assert(small.length == 4)
+    small.foreach { r =>
+      assert(r.getAs[Double]("tau") == 0.0)
+      assert(r.getAs[Double]("w_hat") == r.getAs[Long]("w").toDouble)
+    }
+  }
+
+  test("q145 IVM: the incremental path equals a full Spark-side recompute of the merged snapshot") {
+    val d = Tables(spark, sfDir, "documents")
+    val snap = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val ch = d.filter(pmod(col("doc_id"), lit(4)) === 0 || pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("doc_id"), col("lang").as("ch_lang"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit("delete")).otherwise(lit("upsert")).as("op"),
+        concat(col("text"), lit(" v2")).as("new_text"))
+    val recompute = snap.join(ch, Seq("doc_id"), "full_outer")
+      .filter(col("op").isNull || col("op") === "upsert")
+      .select(coalesce(col("ch_lang"), col("lang")).as("lang"),
+        length(coalesce(col("new_text"), col("text"))).cast("long").as("len"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_chars"))
+      .orderBy(col("lang")).collect().map(_.toSeq)
+    val incremental = graft.queries.IngestOps.q145IncrementalAgg(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(incremental.toSeq == recompute.toSeq,
+      "old agg + delta(changes) must equal recompute(merged snapshot)")
+  }
+
   test("q130 substring dedup finds a planted shared span, exact length, and nothing else") {
     val s = spark
     import s.implicits._

@@ -668,6 +668,24 @@ class PlanSpec extends SparkTestBase {
       s"rn<=k must prune via WindowGroupLimit before the exchange:\n$s")
   }
 
+  test("q141 KMV set ops: every pairwise stage joins off a broadcast sketch/pair frame — no sort-merge, no cartesian") {
+    val df = SketchOps.q141KmvSetOps(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    assert(!s.contains("SortMergeJoin"),
+      s"a sketch-sized frame fell into a sort-merge join:\n$s")
+    assert(!s.contains("CartesianProduct"),
+      s"the type-pair stage must stay a broadcast nested loop over the tiny type list:\n$s")
+  }
+
+  test("q144 priority sample: the global top-(k+1) plans as TakeOrderedAndProject, never a full sort") {
+    val df = graft.queries.Curation.q144PrioritySample(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    assert(s.contains("TakeOrderedAndProject"),
+      s"LIMIT k+1 over the priority order must be a per-partition heap + tiny reduce:\n$s")
+  }
+
   test("q137 CMS: the probe joins the 256-row counter table by broadcast, never a shuffle") {
     val df = SketchOps.q137CmsHeavyHitters(spark, sfDir)
     df.collect()

@@ -41,6 +41,38 @@ class SketchSpec extends SparkTestBase {
     assert(r.getAs[Long]("exact_distinct") == 3L)
   }
 
+  test("q141 set algebra: estimates bracket truth, and below k the merged sketch is EXACT") {
+    val rows = SketchOps.q141KmvSetOps(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (eu, xu) = (r.getAs[Long]("est_union"), r.getAs[Long]("exact_union"))
+      val (ei, xi) = (r.getAs[Long]("est_intersect"), r.getAs[Long]("exact_intersect"))
+      assert(xi <= xu, "an intersection can never exceed its union")
+      assert(ei <= eu, "the ratio estimator is capped by the union estimate")
+      assert(eu >= xu / 4 && eu <= xu * 4,
+        s"${r.getAs[String]("type_a")}x${r.getAs[String]("type_b")}: est_union $eu vs exact $xu")
+    }
+    // constructed corpus: 2 types sharing 2 of 3 users — under k distinct
+    // hashes, so union-and-truncate degenerates to the exact set algebra
+    val tmp = Files.createTempDirectory("graft-kmv-setops").toString
+    spark.range(60).select(
+        col("id").as("event_id"),
+        (lit(1700000000L * 1000000000L) + col("id") * 1000000000L).as("ts"),
+        pmod(col("id"), lit(3L)).as("user_id"),
+        when(pmod(col("id"), lit(3L)) === 2L, lit("only_a"))
+          .otherwise(when(pmod(col("id"), lit(6L)) < 3L, lit("a")).otherwise(lit("b")))
+          .as("event_type"),
+        lit(1.0).as("value"), lit("").as("props"))
+      .write.parquet(s"$tmp/events.parquet")
+    val small = SketchOps.q141KmvSetOps(spark, tmp).collect()
+    small.foreach { r =>
+      assert(r.getAs[Long]("est_union") == r.getAs[Long]("exact_union"),
+        s"below k the union estimate must be exact: $r")
+      assert(r.getAs[Long]("est_intersect") == r.getAs[Long]("exact_intersect"),
+        s"below k the intersection estimate must be exact: $r")
+    }
+  }
+
   test("KMV at k=8 lands within 4x of the true cardinality on the fixture (deterministic)") {
     val rows = SketchOps.q136KmvDistinct(spark, sfDir).collect()
     assert(rows.nonEmpty)

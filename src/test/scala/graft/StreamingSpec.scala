@@ -323,6 +323,15 @@ class StreamingSpec extends SparkTestBase {
     assert(rows(1).getAs[Long]("n_events") == 1L && rows(1).getAs[Long]("start_us") == 2L * g + 1000000L)
   }
 
+  test("q143 streaming-state CMS probe equals the batch sketch bit-for-bit") {
+    val streamed = graft.queries.SketchOps.q143StreamingCms(spark, sfDir)
+      .collect().map(_.toSeq)
+    val batch = graft.queries.SketchOps.q137CmsHeavyHitters(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq,
+      "how the counters were accumulated must be invisible to the sketch")
+  }
+
   test("q140 streaming session_window replay equals the batch session_window result") {
     val streamed = graft.queries.IngestOps.q140SessionWindowReplay(spark, sfDir)
       .collect().map(_.toSeq)
