@@ -60,6 +60,20 @@ object ScaleSmoke {
       }: _*)
     }.reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // events tile with event_id AND user_id offsets (distinct users per
+    // type grow 10x — the sketch-build workload scales, the sketch state
+    // does not). ts is read as RAW nanos (not via Tables.events) so the
+    // tiled table keeps the LONG shape Tables expects on read-back.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    (0 until Replicas).map { i =>
+      ev.select(ev.columns.toIndexedSeq.map {
+        case "event_id" => (col("event_id") + lit(i * IdStride)).as("event_id")
+        case "user_id"  => (col("user_id") + lit(i * IdStride)).as("user_id")
+        case c          => col(c)
+      }: _*)
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
   /** The skew corpus: the 10× documents with every row forced into ONE
@@ -150,6 +164,18 @@ object ScaleSmoke {
       // BPE merges: rotated replicas make vocabularies disjoint, so the
       // vocab-sized symbol frame and pair tables tile ~10x, never more
       ("q132_bpe_merges", graft.queries.TextOps.q132BpeMerges _, scaledDir),
+      // KMV sketch build: 10x distinct users per type, but the exchange
+      // still carries <= k rows per (partition, group) via WindowGroupLimit
+      // — the build must stay scan-bound (the exact-count rider is the
+      // expensive half and also tiles linearly)
+      ("q136_kmv_distinct", graft.queries.SketchOps.q136KmvDistinct _, scaledDir),
+      // CMS build: 256 counters regardless of corpus — the purest
+      // "sketch state is corpus-independent" row; must scale with the scan
+      ("q137_cms_heavy_hitters", graft.queries.SketchOps.q137CmsHeavyHitters _, scaledDir),
+      // BPE encode: rotated replicas make vocabularies disjoint, so the
+      // vocab frame tiles ~10x and encoding stays vocab-sized, never
+      // corpus-rowed
+      ("q142_bpe_encode", graft.queries.TextOps.q142BpeEncode _, scaledDir),
       // sharded packing under TOTAL language skew: the (lang, shard) key
       // keeps the prefix sum fanned out when lang alone would be one task
       ("q97_sharded_packing_skewed", graft.queries.TrainPrep.q97ShardedPacking _, skewedDir),
