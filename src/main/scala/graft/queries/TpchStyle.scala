@@ -313,7 +313,7 @@ object TpchStyle {
     * out of any user namespace.
     */
   private def tpchViews(spark: SparkSession, dir: String): Unit =
-    Seq("lineitem", "orders", "customer", "supplier", "part").foreach { t =>
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation", "region").foreach { t =>
       Tables(spark, dir, t).createOrReplaceTempView(s"graft_tpch_$t")
     }
 
@@ -545,7 +545,170 @@ object TpchStyle {
       |  3 * (SELECT CAST(sum(rc) AS BIGINT) FROM lv)
       |ORDER BY part_rev_cents DESC, l_partkey""".stripMargin
 
+  /** Q13-style (customer order distribution): the histogram-of-counts
+    * double aggregation over a LEFT OUTER join — zero-order customers MUST
+    * survive into the c_count = 0 bucket, which an inner join silently
+    * drops (the classic Q13 trap). The exclusion predicate lives in the
+    * JOIN CONDITION, not a WHERE (a WHERE would turn the outer join
+    * inner); the fixture lacks o_comment so the excluded class is urgent
+    * orders. Both aggregations key on bounded domains (customers, then
+    * distinct counts) — no wide rows, no skew.
+    */
+  def q146TpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    c.join(o,
+        c("c_custkey") === o("o_custkey") && o("o_orderpriority") =!= "1-URGENT",
+        "left_outer")
+      .groupBy(c("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q146Sql: String =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q19-style (discounted revenue, disjunctive predicates): the OR-of-ANDs
+    * over brand × size × quantity ranges that stresses disjunctive
+    * predicate handling — the filter references BOTH tables, so it can only
+    * apply above the join; the join itself must still broadcast the dim.
+    * Revenue in exact integral micro-units (cents × basis points).
+    */
+  def q147TpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val p = Tables(spark, dir, "part")
+    def clause(brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand &&
+        col("p_size").between(szLo, szHi) && col("l_quantity").between(qLo, qHi)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .filter(clause("Brand#1", 1, 15, 1, 20) ||
+        clause("Brand#2", 10, 30, 5, 30) ||
+        clause("Brand#3", 20, 50, 10, 40))
+      .agg(
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+          "(10000 - CAST(round(l_discount * 10000) AS BIGINT))")).as("revenue_micro"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q147Sql: String =
+    """SELECT
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |           (10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS BIGINT)
+      |    AS revenue_micro,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 5 AND 30)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 10 AND 40)""".stripMargin
+
+  /** Q8-style (national market share): per order-year, every supplier
+    * nation's share of ASIA-customer PROMO-part revenue — the 8-table join
+    * with nation in TWO roles (customer's, aliased apart from supplier's).
+    * Emitting ALL nations' shares (the original picks one) keeps the row
+    * set non-empty at every fixture scale — the q124 lesson. Share is
+    * integral basis points via `vol div (year_total div 10000)` — dividing
+    * the DENOMINATOR first keeps every intermediate under 2^63 no matter
+    * the corpus (numerator·10⁴ would overflow first at ~10¹⁵ micro-units).
+    */
+  def q148TpchQ8(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val c = Tables(spark, dir, "customer")
+    val s = Tables(spark, dir, "supplier")
+    val n = Tables(spark, dir, "nation")
+    val custNation = n.select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+    val suppNation = n.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val r = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val p = Tables(spark, dir, "part").filter(col("p_type") === "PROMO")
+    val vol = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(custNation), c("c_nationkey") === col("cn_key"))
+      .join(broadcast(r), col("cn_region") === col("r_regionkey"))
+      .join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(suppNation), s("s_nationkey") === col("sn_key"))
+      .select(year(col("o_orderdate")).cast("long").as("o_year"), col("supp_nation"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+          "(10000 - CAST(round(l_discount * 10000) AS BIGINT))").as("vol"))
+      .groupBy(col("o_year"), col("supp_nation"))
+      .agg(sum(col("vol")).as("nation_vol_micro"))
+    vol.withColumn("year_vol_micro",
+        sum(col("nation_vol_micro")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("o_year"))))
+      .select(col("o_year"), col("supp_nation"), col("nation_vol_micro"),
+        expr("nation_vol_micro div (year_vol_micro div 10000)").as("share_bp"))
+      .orderBy(col("o_year"), col("supp_nation"))
+  }
+
+  val q148Sql: String =
+    """WITH vol AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |    sn.n_name AS supp_nation,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |             (10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS BIGINT)
+      |      AS nation_vol_micro
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN region ON cn.n_regionkey = r_regionkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY 1, 2)
+      |SELECT o_year, supp_nation, nation_vol_micro,
+      |  CAST(nation_vol_micro //
+      |    (sum(nation_vol_micro) OVER (PARTITION BY o_year) // 10000) AS BIGINT)
+      |    AS share_bp
+      |FROM vol
+      |ORDER BY o_year, supp_nation""".stripMargin
+
+  /** Q6-style (forecast revenue change): the canonical pure scan-filter-agg
+    * — every predicate (date range, discount band, quantity cap) must reach
+    * the parquet scan as a pushed filter (PlanSpec-gated); at 100 TB this
+    * query IS its scan, and row-group statistics prune most of it.
+    */
+  def q149TpchQ6(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+          "CAST(round(l_discount * 10000) AS BIGINT)")).as("revenue_micro"),
+        count(lit(1)).as("n_lines"))
+
+  val q149Sql: String =
+    """SELECT
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |           CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT)
+      |    AS revenue_micro,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_tpch_q13" -> q146TpchQ13 _,
+    "q147_tpch_q19" -> q147TpchQ19 _,
+    "q148_tpch_q8" -> q148TpchQ8 _,
+    "q149_tpch_q6" -> q149TpchQ6 _,
     "q90_tpch_q3" -> q90TpchQ3 _,
     "q91_tpch_q5" -> q91TpchQ5 _,
     "q92_tpch_q10" -> q92TpchQ10 _,
@@ -561,6 +724,10 @@ object TpchStyle {
     "q139_tpch_q11" -> q139TpchQ11 _)
 
   val oracles: Map[String, String] = Map(
+    "q146_tpch_q13" -> q146Sql,
+    "q147_tpch_q19" -> q147Sql,
+    "q148_tpch_q8" -> q148Sql,
+    "q149_tpch_q6" -> q149Sql,
     "q90_tpch_q3" -> q90Sql,
     "q91_tpch_q5" -> q91Sql,
     "q92_tpch_q10" -> q92Sql,

@@ -686,6 +686,43 @@ class PlanSpec extends SparkTestBase {
       s"LIMIT k+1 over the priority order must be a per-partition heap + tiny reduce:\n$s")
   }
 
+  test("q149 TPC-H Q6: every predicate reaches the parquet scan as a pushed filter") {
+    val df = TpchStyle.q149TpchQ6(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    val pushed = s.linesIterator.filter(_.contains("PushedFilters")).mkString
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(pushed.contains(c), s"$c not pushed to the scan:\n$s")
+    }
+  }
+
+  test("q147 TPC-H Q19: the disjunctive filter doesn't defeat the broadcast dim join") {
+    val df = TpchStyle.q147TpchQ19(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    assert(s.contains("BroadcastHashJoin"),
+      s"part must broadcast under the OR-of-ANDs predicate:\n$s")
+  }
+
+  test("q146 TPC-H Q13: the exclusion predicate keeps the join LEFT OUTER, and buckets conserve customers") {
+    val df = TpchStyle.q146TpchQ13(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftOuter"),
+      s"the exclusion predicate must live in the join condition, not re-plan as inner:\n$opt")
+    val total = df.collect().map(_.getAs[Long]("custdist")).sum
+    val nCust = Tables(spark, sfDir, "customer").count()
+    assert(total == nCust, s"every customer lands in exactly one bucket: $total vs $nCust")
+  }
+
+  test("q148 TPC-H Q8: all five dims broadcast into the fact spine, no cartesian") {
+    val df = TpchStyle.q148TpchQ8(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    assert(!s.contains("CartesianProduct"), s"cartesian in the 8-table join:\n$s")
+    val nBroadcast = s.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin")
+    assert(nBroadcast >= 4, s"expected >= 4 broadcast dim joins, saw $nBroadcast:\n$s")
+  }
+
   test("q137 CMS: the probe joins the 256-row counter table by broadcast, never a shuffle") {
     val df = SketchOps.q137CmsHeavyHitters(spark, sfDir)
     df.collect()
