@@ -212,11 +212,114 @@ object GraphOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Peel rounds for the q150 bounded 2-core (fixed, like [[PrIters]]). */
+  private[queries] val CoreK = 2
+  private[queries] val PeelRounds = 3
+
+  /** Bounded k-core peel over an undirected edge list: [[PeelRounds]]
+    * rounds of "drop every node whose CURRENT degree < k, drop its edges,
+    * recount" — the third graph-iteration shape beside min-label
+    * propagation (q46 CC) and power iteration (q104), and the standard
+    * density filter (Seidman 1983, cores; Matula–Beck 1983, peeling): the
+    * 2-core strips TAILS and CHAINS off the near-dup graph, leaving only
+    * the cyclic template-spam mass that triangle counting then classifies.
+    *
+    * Shape per round: one degree agg + two LEFT SEMI joins keyed on node
+    * ids — exactly a q46 round's shuffle budget; nodes only ever LEAVE, so
+    * every round's frames shrink. Fixed round count keeps plan depth
+    * bounded (the q104 idiom); a full-fixpoint deployment would loop
+    * driver-side with persist like the CC loop — OperatorsSpec proves the
+    * fixture converges inside [[PeelRounds]], and the row is defined as
+    * the [[PeelRounds]]-round peel either way.
+    *
+    * Each round's edge frame is PERSISTED (and released once consumed):
+    * round r references its input three times (degree count + two semi
+    * joins), so an unpersisted unroll would re-execute the upstream
+    * candidate pipeline 3^rounds times — the same lineage-blowup q104
+    * sidesteps via ReuseExchange and q55 via truncation. Edge frames only
+    * shrink, so the footprint is one edge list at a time.
+    */
+  def kcoreStats(edges: DataFrame, k: Int = CoreK, rounds: Int = PeelRounds): DataFrame = {
+    def degrees(e: DataFrame): DataFrame =
+      e.select(explode(array(col("u"), col("v"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val e0 = edges.select(col("id_a").as("u"), col("id_b").as("v")).persist()
+    val deg0 = degrees(e0)
+    var e = e0
+    for (_ <- 1 to rounds) {
+      val prev = e
+      val keep = degrees(e).filter(col("deg") >= k)
+      e = e.join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
+        .persist()
+      e.count() // materialize before the previous round's blocks release
+      // e0 stays: deg0 (the output's degree column) still reads it
+      if (prev ne e0) prev.unpersist(false)
+    }
+    val core = degrees(e)
+    deg0.select(col("id").as("doc_id"), col("deg").as("degree"))
+      .join(core.select(col("id").as("doc_id"), col("deg").as("core_degree")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("core_degree"), lit(0L)).as("core_degree"),
+        when(col("core_degree").isNotNull, 1L).otherwise(0L).as("in_core"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q150: the bounded 2-core of the MinHash near-dup graph — every
+    * incident doc with its original degree, its degree inside the peeled
+    * core (0 if peeled), and the membership flag.
+    */
+  def q150Kcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreStats(Dedup.minhashCandidates(spark, dir)
+      .filter(col("est_jaccard") >= TriThreshold))
+
+  /** Oracle: the shared minhash CTE chain, then the three peel rounds
+    * unrolled — each round recounts degrees and keeps edges whose BOTH
+    * endpoints clear k, identical set algebra in both engines. Round CTEs
+    * are MATERIALIZED and the endpoint filter is a pair of hash JOINs, not
+    * IN-subqueries: each round references its predecessor three times, and
+    * DuckDB inlining that chain re-executes the minhash pipeline 3^rounds
+    * times (measured: minutes → 0.3 s), the exact oracle-side analogue of
+    * the persist-per-round the Spark side needs.
+    */
+  val q150Sql: String = {
+    def round(e: String, d: String, ke: String, en: String): String =
+      s"""$d AS (
+         |  SELECT id, count(*) AS deg FROM (
+         |    SELECT u AS id FROM $e UNION ALL SELECT v FROM $e)
+         |  GROUP BY id),
+         |$ke AS MATERIALIZED (SELECT id FROM $d WHERE deg >= $CoreK),
+         |$en AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM $e e
+         |  JOIN $ke a ON a.id = e.u JOIN $ke b ON b.id = e.v)""".stripMargin
+    s"""${Dedup.minhashCoreSql},
+       |e0 AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM ests WHERE est_jaccard >= $TriThreshold),
+       |d0 AS MATERIALIZED (
+       |  SELECT id, count(*) AS deg FROM (
+       |    SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0)
+       |  GROUP BY id),
+       |${round("e0", "dd1", "k1", "e1")},
+       |${round("e1", "dd2", "k2", "e2")},
+       |${round("e2", "dd3", "k3", "e3")},
+       |core AS (
+       |  SELECT id, count(*) AS deg FROM (
+       |    SELECT u AS id FROM e3 UNION ALL SELECT v FROM e3)
+       |  GROUP BY id)
+       |SELECT d0.id AS doc_id, d0.deg AS degree,
+       |  COALESCE(c.deg, 0) AS core_degree,
+       |  CAST(CASE WHEN c.deg IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_core
+       |FROM d0 LEFT JOIN core c ON c.id = d0.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_triangles" -> q101Triangles _,
-    "q104_pagerank" -> q104Pagerank _)
+    "q104_pagerank" -> q104Pagerank _,
+    "q150_kcore" -> q150Kcore _)
 
   val oracles: Map[String, String] = Map(
     "q101_triangles" -> q101Sql,
-    "q104_pagerank" -> q104Sql)
+    "q104_pagerank" -> q104Sql,
+    "q150_kcore" -> q150Sql)
 }

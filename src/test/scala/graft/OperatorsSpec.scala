@@ -398,6 +398,28 @@ class OperatorsSpec extends SparkTestBase {
       "old agg + delta(changes) must equal recompute(merged snapshot)")
   }
 
+  test("q150 k-core peels a closed-form graph and the fixture converges inside PeelRounds") {
+    val s = spark
+    import s.implicits._
+    // triangle {1,2,3} + tail 3-4-5: the 2-core is exactly the triangle;
+    // 5 (deg 1) peels in round 1, then 4 (deg 2 -> 1) peels in round 2
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val rows = graft.queries.GraphOps.kcoreStats(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1L, 2L, 2L, 1L), (2L, 2L, 2L, 1L), (3L, 3L, 2L, 1L),
+      (4L, 2L, 0L, 0L), (5L, 1L, 0L, 0L)),
+      s"unexpected 2-core: ${rows.toSeq}")
+    // fixture convergence: one extra round changes nothing, so the
+    // 3-round row IS the fixpoint 2-core on this data
+    val e = graft.queries.Dedup.minhashCandidates(spark, sfDir)
+      .filter(col("est_jaccard") >= 0.5)
+    val r3 = graft.queries.GraphOps.kcoreStats(e).collect().map(_.toSeq)
+    val r4 = graft.queries.GraphOps.kcoreStats(e, rounds = 4).collect().map(_.toSeq)
+    assert(r3.toSeq == r4.toSeq, "the fixture peel must converge inside PeelRounds")
+  }
+
   test("q130 substring dedup finds a planted shared span, exact length, and nothing else") {
     val s = spark
     import s.implicits._
