@@ -176,6 +176,10 @@ object ScaleSmoke {
       // vocab frame tiles ~10x and encoding stays vocab-sized, never
       // corpus-rowed
       ("q142_bpe_encode", graft.queries.TextOps.q142BpeEncode _, scaledDir),
+      // k-core peel: rotated replicas tile edges linearly with unchanged
+      // cluster shapes, so each peel round's degree agg + semi joins must
+      // scale with edges and the round count stays constant (q46's logic)
+      ("q150_kcore", graft.queries.GraphOps.q150Kcore _, scaledDir),
       // sharded packing under TOTAL language skew: the (lang, shard) key
       // keeps the prefix sum fanned out when lang alone would be one task
       ("q97_sharded_packing_skewed", graft.queries.TrainPrep.q97ShardedPacking _, skewedDir),
