@@ -346,15 +346,101 @@ object SketchOps {
       .orderBy(col("true_cnt").desc, col("user_id"))
   }
 
+  /** q151 — ROLLING-WINDOW distinct via merged DAILY sketches: build one
+    * KMV sketch per day (k=8 smallest distinct user hashes), then answer
+    * every 7-day window by merging its ≤7 daily sketches
+    * (union-then-truncate) — the production pattern behind "pre-aggregate
+    * daily sketch tables, answer ANY window without rescanning events".
+    * Sound because a hash among the window's k smallest is among its own
+    * day's k smallest, so the union of daily sketches always contains the
+    * window's true k-mins (same argument as q141's set algebra, applied
+    * across time instead of across segments). The exact 7-day rolling
+    * distinct (q117's shape) rides along as truth.
+    *
+    * Scale: the merge stage touches only days×k sketch rows — re-answering
+    * a quarter of windows over a year of 100 TB events is a 365×8-row job;
+    * the exact rider is the expensive half and exists only to exhibit the
+    * gap. SketchSpec proves the merge identity: merged-daily == built
+    * directly from each window's full hash set, bit-for-bit.
+    */
+  def q151RollingKmv(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val dh = e.select(to_date(col("ts")).as("d"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val maxDay = dh.agg(max(col("d")).as("max_d"))
+    val wd = Window.partitionBy(col("d")).orderBy(col("h"))
+    val daily = dh.withColumn("rn", row_number().over(wd)).filter(col("rn") <= 8)
+      .select(col("d"), col("h"))
+    val merged = daily.crossJoin(broadcast(maxDay))
+      .withColumn("day", explode(expr(
+        "sequence(d, least(date_add(d, 6), max_d), interval 1 day)")))
+      .select(col("day"), col("h")).distinct()
+    val wm = Window.partitionBy(col("day")).orderBy(col("h"))
+    val sk = merged.withColumn("rn", row_number().over(wm)).filter(col("rn") <= 8)
+      .groupBy(col("day"))
+      .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("n_mins"))
+    val exact = e.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .crossJoin(broadcast(maxDay))
+      .withColumn("day", explode(expr(
+        "sequence(d, least(date_add(d, 6), max_d), interval 1 day)")))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("exact_wau"))
+    sk.join(exact, Seq("day"))
+      .select(col("day"), col("n_mins"),
+        when(col("n_mins") === 8L, expr("8070450532247928832 div kth_hash"))
+          .otherwise(col("n_mins")).as("est_wau"),
+        col("exact_wau"))
+      .orderBy(col("day"))
+  }
+
+  val q151Sql: String =
+    """WITH dh AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS d,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events),
+      |m AS (SELECT max(d) AS max_d FROM dh),
+      |daily AS (
+      |  SELECT d, h FROM (
+      |    SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS rn
+      |    FROM dh)
+      |  WHERE rn <= 8),
+      |win AS (
+      |  SELECT DISTINCT CAST(day AS DATE) AS day, h FROM (
+      |    SELECT h, unnest(range(d, least(d + 7, max_d + 1), INTERVAL 1 DAY)) AS day
+      |    FROM daily, m)),
+      |sk AS (
+      |  SELECT day, max(h) AS kth_hash, CAST(count(*) AS BIGINT) AS n_mins
+      |  FROM (
+      |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+      |    FROM win)
+      |  WHERE rn <= 8 GROUP BY day),
+      |ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |ex AS (
+      |  SELECT CAST(day AS DATE) AS day,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_wau
+      |  FROM (
+      |    SELECT user_id, unnest(range(d, least(d + 7, max_d + 1), INTERVAL 1 DAY)) AS day
+      |    FROM ud, m)
+      |  GROUP BY 1)
+      |SELECT s.day, n_mins,
+      |  CASE WHEN n_mins = 8 THEN 8070450532247928832 // kth_hash
+      |       ELSE n_mins END AS est_wau,
+      |  exact_wau
+      |FROM sk s JOIN ex USING (day)
+      |ORDER BY day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_kmv_distinct" -> q136KmvDistinct _,
     "q137_cms_heavy_hitters" -> q137CmsHeavyHitters _,
     "q141_kmv_set_ops" -> q141KmvSetOps _,
-    "q143_streaming_cms" -> q143StreamingCms _)
+    "q143_streaming_cms" -> q143StreamingCms _,
+    "q151_rolling_kmv" -> q151RollingKmv _)
 
   val oracles: Map[String, String] = Map(
     "q136_kmv_distinct" -> q136Sql,
     "q137_cms_heavy_hitters" -> q137Sql,
     "q141_kmv_set_ops" -> q141Sql,
-    "q143_streaming_cms" -> q137Sql)
+    "q143_streaming_cms" -> q137Sql,
+    "q151_rolling_kmv" -> q151Sql)
 }

@@ -73,6 +73,35 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("q151 merge identity: merged daily sketches == a sketch built directly from each window's full hash set") {
+    val e = Tables(spark, sfDir, "events")
+    // direct per-window sketch: every (window, hash) pair from scratch —
+    // the expensive path q151's daily-merge replaces
+    val dh = e.select(to_date(col("ts")).as("d"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val maxDay = dh.agg(max(col("d")).as("max_d"))
+    val wm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day")).orderBy(col("h"))
+    val direct = dh.crossJoin(broadcast(maxDay))
+      .withColumn("day", explode(expr(
+        "sequence(d, least(date_add(d, 6), max_d), interval 1 day)")))
+      .select(col("day"), col("h")).distinct()
+      .withColumn("rn", row_number().over(wm)).filter(col("rn") <= 8)
+      .groupBy(col("day"))
+      .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("n_mins"))
+      .select(col("day"), col("n_mins"),
+        when(col("n_mins") === 8L, expr("8070450532247928832 div kth_hash"))
+          .otherwise(col("n_mins")).as("est_wau"))
+      .orderBy(col("day")).collect().map(_.toSeq)
+    val merged = SketchOps.q151RollingKmv(spark, sfDir)
+      .select(col("day"), col("n_mins"), col("est_wau"))
+      .collect().map(_.toSeq)
+    assert(merged.toSeq == direct.toSeq,
+      "union-then-truncate of daily k-mins must equal the window's own KMV sketch")
+  }
+
   test("KMV at k=8 lands within 4x of the true cardinality on the fixture (deterministic)") {
     val rows = SketchOps.q136KmvDistinct(spark, sfDir).collect()
     assert(rows.nonEmpty)
