@@ -257,13 +257,20 @@ object GraphOps {
       if (prev ne e0) prev.unpersist(false)
     }
     val core = degrees(e)
-    deg0.select(col("id").as("doc_id"), col("deg").as("degree"))
+    // materialize the nodes-sized output eagerly (lineage truncated), then
+    // release EVERY edge frame — without this, e0 and the final round's
+    // list stay pinned for the session (the q55 net-zero-persist doctrine)
+    val out = deg0.select(col("id").as("doc_id"), col("deg").as("degree"))
       .join(core.select(col("id").as("doc_id"), col("deg").as("core_degree")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("degree"),
         coalesce(col("core_degree"), lit(0L)).as("core_degree"),
         when(col("core_degree").isNotNull, 1L).otherwise(0L).as("in_core"))
       .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    e0.unpersist(false)
+    if (e ne e0) e.unpersist(false)
+    out
   }
 
   /** q150: the bounded 2-core of the MinHash near-dup graph — every

@@ -551,17 +551,22 @@ object IngestOps {
     // sentinel: one far-future event that closes every real session once
     // its watermark (sentinel - 3650d) passes max real ts + gap
     val sentinelUs = maxUs + 4000L * 86400L * 1000000L
+    // record the real batch's files BEFORE the sentinel write: an mtime
+    // tie (coarse-granularity filesystems) must not let a REAL file get
+    // bumped past the sentinel, or its events would be dropped as late
+    def parts() = new java.io.File(s"$base/in").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val realFiles = parts().map(_.getName).toSet
     events.limit(1)
       .select(lit(-1L).as("event_id"), timestamp_micros(lit(sentinelUs)).as("ts"),
         lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
         lit(0.0).as("value"), lit("").as("props"))
       .coalesce(1).write.mode("append").parquet(s"$base/in")
-    // force the sentinel's file(s) to sort AFTER the real batch in the
-    // FileStreamSource mod-time order
-    val files = new java.io.File(s"$base/in").listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .sortBy(_.lastModified())
-    files.lastOption.foreach(f => f.setLastModified(files.head.lastModified() + 600000L))
+    // force exactly the sentinel's new file(s) to sort AFTER the real
+    // batch in the FileStreamSource mod-time order
+    val maxReal = parts().filter(f => realFiles(f.getName)).map(_.lastModified()).max
+    parts().filterNot(f => realFiles(f.getName))
+      .foreach(f => f.setLastModified(maxReal + 600000L))
     val sessions = graft.streaming.EventStream.sessionWindowAgg(
       graft.streaming.EventStream.readEventStream(spark, s"$base/in", maxFilesPerTrigger = 2),
       gap = "30 minutes", watermark = "3650 days")

@@ -197,8 +197,9 @@ object Similarity {
     * query the `nprobe` nearest centroid lists, as (query_id, q_emb,
     * label) rows ready to equi-join the corpus on its list id.
     */
-  private[graft] def ivfProbes(spark: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
-    val cent = labelCentroids(Tables(spark, dir, "embeddings"))
+  private[graft] def ivfProbes(spark: SparkSession, dir: String, nprobe: Int = 2,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(labelCentroids(Tables(spark, dir, "embeddings")))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("pcos").desc, col("c_label"))
     queriesSet(spark, dir)
       .crossJoin(broadcast(cent))
@@ -682,10 +683,13 @@ object Similarity {
     */
   def q129IvfPqSearch(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
-    val codesRow = labelCentroids(e)
+    // ONE centroid aggregation feeds the codebook, the LUTs and the coarse
+    // probe (persisted: label-count × 64 doubles — pennies, swept by Bench)
+    val cent = labelCentroids(e).persist()
+    val codesRow = cent
       .agg(array_sort(collect_list(struct(col("c_label"), col("centroid")))).as("codes"))
     // coarse probe (the q54 stage): top-2 centroid lists per query
-    val probes = ivfProbes(spark, dir)
+    val probes = ivfProbes(spark, dir, centroids = Some(cent))
     // per-query ADC LUTs, attached to the probe rows BEFORE the corpus join
     val probeLuts = probes.crossJoin(broadcast(codesRow))
       .select(col("query_id"), col("label"), pqLutCol.as("lut"))

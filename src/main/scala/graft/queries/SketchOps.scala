@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,6 +25,30 @@ import graft.Tables
   */
 object SketchOps {
 
+  /** k for every KMV sketch in this module, and the estimate numerator
+    * (k−1)·2^60 — ONE definition each, interpolated into both the Spark
+    * expressions and the oracle SQL so the two sides cannot drift.
+    */
+  private[graft] val KmvK = 8
+  private[graft] val KmvNum: Long = (KmvK - 1).toLong * (1L << 60)
+
+  /** The module's 60-bit md5 hash (the dedup stack's shared family). */
+  private def md5_60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** The KMV build: keep the k smallest `h` per partition group. */
+  private def kMins(df: DataFrame, parts: String*): DataFrame = {
+    val w = Window.partitionBy(parts.map(col): _*).orderBy(col("h"))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK).drop("rn")
+  }
+
+  /** The KMV estimate off an aggregated (kth_hash, n-mins) pair: exact
+    * below k, (k−1)·2^60 div h_k at k.
+    */
+  private def kmvEstimate(nMins: Column): Column =
+    when(nMins === KmvK.toLong, expr(s"$KmvNum div kth_hash")).otherwise(nMins)
+
   /** q136 — KMV (k-minimum-values) distinct-count sketch, Bar-Yossef et
     * al. 2002: per event_type, hash every user_id with md5_60, keep the
     * k=8 smallest DISTINCT hash values; the k-th smallest estimates the
@@ -45,13 +69,9 @@ object SketchOps {
     */
   def q136KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "events")
-    val h = e.select(
-        col("event_type"),
-        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-          .cast("long").as("h"))
+    val h = e.select(col("event_type"), md5_60(col("user_id")).as("h"))
       .distinct()
-    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
-    val mins = h.withColumn("rn", row_number().over(w)).filter(col("rn") <= 8)
+    val mins = kMins(h, "event_type")
     val kth = mins.groupBy(col("event_type"))
       .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("n_mins"))
     val exact = e.groupBy(col("event_type"))
@@ -59,15 +79,13 @@ object SketchOps {
     kth.join(exact, "event_type")
       .select(
         col("event_type"), col("kth_hash"), col("n_mins"),
-        when(col("n_mins") === 8L,
-          expr("8070450532247928832 div kth_hash"))
-          .otherwise(col("n_mins")).as("est_distinct"),
+        kmvEstimate(col("n_mins")).as("est_distinct"),
         col("exact_distinct"))
       .orderBy(col("event_type"))
   }
 
   val q136Sql: String =
-    """WITH h AS (
+    s"""WITH h AS (
       |  SELECT DISTINCT event_type,
       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
       |  FROM events),
@@ -77,12 +95,12 @@ object SketchOps {
       |  FROM h),
       |k AS (
       |  SELECT event_type, max(h) AS kth_hash, CAST(count(*) AS BIGINT) AS n_mins
-      |  FROM r WHERE rn <= 8 GROUP BY event_type),
+      |  FROM r WHERE rn <= $KmvK GROUP BY event_type),
       |ex AS (
       |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
       |  FROM events GROUP BY event_type)
       |SELECT event_type, kth_hash, n_mins,
-      |  CASE WHEN n_mins = 8 THEN 8070450532247928832 // kth_hash
+      |  CASE WHEN n_mins = $KmvK THEN $KmvNum // kth_hash
       |       ELSE n_mins END AS est_distinct,
       |  exact_distinct
       |FROM k JOIN ex USING (event_type)
@@ -192,14 +210,9 @@ object SketchOps {
     */
   def q141KmvSetOps(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "events")
-    val h = e.select(
-        col("event_type"),
-        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-          .cast("long").as("h"))
+    val h = e.select(col("event_type"), md5_60(col("user_id")).as("h"))
       .distinct()
-    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
-    val mins = h.withColumn("rn", row_number().over(w)).filter(col("rn") <= 8)
-      .select(col("event_type"), col("h"))
+    val mins = kMins(h, "event_type")
     val types = mins.select(col("event_type")).distinct()
     val tp = types.as("l")
       .join(types.as("r"), col("l.event_type") < col("r.event_type"))
@@ -211,19 +224,17 @@ object SketchOps {
       .groupBy(col("type_a"), col("type_b"), col("h"))
       .agg(max(when(col("src") === 1, 1).otherwise(0)).as("in_a"),
         max(when(col("src") === 2, 1).otherwise(0)).as("in_b"))
-    val wp = Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("h"))
-    val sk = merged.withColumn("rn", row_number().over(wp)).filter(col("rn") <= 8)
+    val sk = kMins(merged, "type_a", "type_b")
       .groupBy(col("type_a"), col("type_b"))
       .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("k_eff"),
         sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
           .as("k_matches"))
-      .withColumn("est_union",
-        when(col("k_eff") === 8L, expr("8070450532247928832 div kth_hash"))
-          .otherwise(col("k_eff")))
+      .withColumn("est_union", kmvEstimate(col("k_eff")))
       // below k the merged sketch IS the exact hash-set union, so
       // k_matches is the exact intersection — no scaling
       .withColumn("est_intersect",
-        when(col("k_eff") === 8L, expr("k_matches * est_union div 8"))
+        when(col("k_eff") === KmvK.toLong,
+          expr(s"k_matches * est_union div $KmvK"))
           .otherwise(col("k_matches")))
     val dtu = e.select(col("event_type"), col("user_id")).distinct()
     def utagged(src: Int, side: String) = tp
@@ -245,7 +256,7 @@ object SketchOps {
   }
 
   val q141Sql: String =
-    """WITH h AS (
+    s"""WITH h AS (
       |  SELECT DISTINCT event_type,
       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
       |  FROM events),
@@ -253,7 +264,7 @@ object SketchOps {
       |  SELECT event_type, h,
       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
       |  FROM h),
-      |mins AS (SELECT event_type, h FROM r WHERE rn <= 8),
+      |mins AS (SELECT event_type, h FROM r WHERE rn <= $KmvK),
       |tp AS (
       |  SELECT l.event_type AS type_a, r2.event_type AS type_b
       |  FROM (SELECT DISTINCT event_type FROM mins) l
@@ -278,13 +289,13 @@ object SketchOps {
       |    CAST(count(*) AS BIGINT) AS k_eff,
       |    CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
       |      AS k_matches
-      |  FROM u WHERE rn <= 8 GROUP BY type_a, type_b),
+      |  FROM u WHERE rn <= $KmvK GROUP BY type_a, type_b),
       |est AS (
       |  SELECT type_a, type_b, k_matches,
-      |    CASE WHEN k_eff = 8 THEN 8070450532247928832 // kth_hash
+      |    CASE WHEN k_eff = $KmvK THEN $KmvNum // kth_hash
       |         ELSE k_eff END AS est_union,
-      |    CASE WHEN k_eff = 8
-      |         THEN k_matches * (8070450532247928832 // kth_hash) // 8
+      |    CASE WHEN k_eff = $KmvK
+      |         THEN k_matches * ($KmvNum // kth_hash) // $KmvK
       |         ELSE k_matches END AS est_intersect
       |  FROM sk),
       |dtu AS (SELECT DISTINCT event_type, user_id FROM events),
@@ -365,20 +376,15 @@ object SketchOps {
     */
   def q151RollingKmv(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "events")
-    val dh = e.select(to_date(col("ts")).as("d"),
-        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-          .cast("long").as("h"))
+    val dh = e.select(to_date(col("ts")).as("d"), md5_60(col("user_id")).as("h"))
       .distinct()
     val maxDay = dh.agg(max(col("d")).as("max_d"))
-    val wd = Window.partitionBy(col("d")).orderBy(col("h"))
-    val daily = dh.withColumn("rn", row_number().over(wd)).filter(col("rn") <= 8)
-      .select(col("d"), col("h"))
+    val daily = kMins(dh, "d")
     val merged = daily.crossJoin(broadcast(maxDay))
       .withColumn("day", explode(expr(
         "sequence(d, least(date_add(d, 6), max_d), interval 1 day)")))
       .select(col("day"), col("h")).distinct()
-    val wm = Window.partitionBy(col("day")).orderBy(col("h"))
-    val sk = merged.withColumn("rn", row_number().over(wm)).filter(col("rn") <= 8)
+    val sk = kMins(merged, "day")
       .groupBy(col("day"))
       .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("n_mins"))
     val exact = e.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
@@ -388,14 +394,13 @@ object SketchOps {
       .groupBy(col("day")).agg(countDistinct(col("user_id")).as("exact_wau"))
     sk.join(exact, Seq("day"))
       .select(col("day"), col("n_mins"),
-        when(col("n_mins") === 8L, expr("8070450532247928832 div kth_hash"))
-          .otherwise(col("n_mins")).as("est_wau"),
+        kmvEstimate(col("n_mins")).as("est_wau"),
         col("exact_wau"))
       .orderBy(col("day"))
   }
 
   val q151Sql: String =
-    """WITH dh AS (
+    s"""WITH dh AS (
       |  SELECT DISTINCT CAST(ts AS DATE) AS d,
       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
       |  FROM events),
@@ -404,7 +409,7 @@ object SketchOps {
       |  SELECT d, h FROM (
       |    SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS rn
       |    FROM dh)
-      |  WHERE rn <= 8),
+      |  WHERE rn <= $KmvK),
       |win AS (
       |  SELECT DISTINCT CAST(day AS DATE) AS day, h FROM (
       |    SELECT h, unnest(range(d, least(d + 7, max_d + 1), INTERVAL 1 DAY)) AS day
@@ -414,7 +419,7 @@ object SketchOps {
       |  FROM (
       |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
       |    FROM win)
-      |  WHERE rn <= 8 GROUP BY day),
+      |  WHERE rn <= $KmvK GROUP BY day),
       |ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
       |ex AS (
       |  SELECT CAST(day AS DATE) AS day,
@@ -424,7 +429,7 @@ object SketchOps {
       |    FROM ud, m)
       |  GROUP BY 1)
       |SELECT s.day, n_mins,
-      |  CASE WHEN n_mins = 8 THEN 8070450532247928832 // kth_hash
+      |  CASE WHEN n_mins = $KmvK THEN $KmvNum // kth_hash
       |       ELSE n_mins END AS est_wau,
       |  exact_wau
       |FROM sk s JOIN ex USING (day)

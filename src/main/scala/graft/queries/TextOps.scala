@@ -607,10 +607,17 @@ object TextOps {
     * (three unrolled iterations would otherwise recompute the lineage
     * exponentially; pennies, swept by Bench).
     */
-  private[graft] def bpeLearn(docs: DataFrame): Seq[DataFrame] = {
-    val words0 = docs
+  private[graft] def bpeLearn(docs: DataFrame): Seq[DataFrame] =
+    bpeLearnFromVocab(docs
       .select(explode(wsTokens(normText(col("text")))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq")))
+
+  /** [[bpeLearn]] over a pre-aggregated global (w, freq) vocabulary — so a
+    * caller that already paid the corpus tokenize pass (q142) can learn
+    * from it instead of scanning the corpus a second time.
+    */
+  private[graft] def bpeLearnFromVocab(wordFreq: DataFrame): Seq[DataFrame] = {
+    val words0 = wordFreq
       .filter(col("freq") >= 5)
       .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("sym"), col("freq"))
     def pairs(words: DataFrame): DataFrame =
@@ -699,9 +706,14 @@ object TextOps {
     * closed-form spec can hand-derive token counts.
     */
   private[graft] def bpeEncode(d: DataFrame): DataFrame = {
-    val Seq(t1, t2, t3) = bpeLearn(d)
+    // ONE corpus tokenize pass: the per-(lang, word) frame both feeds the
+    // final per-lang sums and rolls up to the global vocabulary the merges
+    // are learned from (persisted — vocab-sized, referenced twice)
     val lw = d.select(col("lang"), explode(wsTokens(normText(col("text")))).as("w"))
       .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("freq"))
+      .persist()
+    val Seq(t1, t2, t3) = bpeLearnFromVocab(
+      lw.groupBy(col("w")).agg(sum(col("freq")).as("freq")))
     val vocab = lw.select(col("w")).distinct()
       .select(col("w"),
         concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("sym"))
