@@ -503,6 +503,73 @@ object IngestOps {
       .orderBy(col("lang"))
   }
 
+  /** q152 — q145's rollup maintained as STREAMING state: the CDC feed
+    * arrives as a parquet file stream (maxFilesPerTrigger=1, ≥ 3 real
+    * micro-batches) and foreachBatch applies EXACTLY the batch IVM step to
+    * each slice — classify the batch's changes against the static
+    * snapshot, aggregate the langs-sized delta, merge into the current
+    * rollup, write the next VERSION (v0 seeded from the snapshot; each
+    * batch reads v_i and writes v_{i+1} — the versioned-table discipline a
+    * transactional store gives you at 100 TB). Deltas are additive and
+    * each doc appears in one batch, so ANY partitioning of the feed into
+    * micro-batches lands on the same final rollup — which is why the row
+    * reuses q145's full-recompute oracle verbatim: the driver's hash-match
+    * proves the streamed incremental path equals the recompute, the
+    * exactly-once argument every streaming materialized view rests on.
+    */
+  def q152StreamingIvm(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q152_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val baseDir = new java.io.File(base)
+    if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+    val d = Tables(spark, dir, "documents")
+    val snap = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("len"))
+    // seed v0 = the materialized rollup being maintained
+    snap.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_chars"))
+      .write.parquet(s"$base/rollup/v0")
+    // the changes feed, split into 3 files = 3 micro-batches
+    d.filter(pmod(col("doc_id"), lit(4)) === 0 || pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("doc_id"), col("lang"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit("delete")).otherwise(lit("upsert")).as("op"),
+        (length(col("text")) + lit(3)).cast("long").as("new_len"))
+      .repartition(3).write.parquet(s"$base/changes")
+    val feed = spark.readStream
+      .schema("doc_id BIGINT, lang STRING, op STRING, new_len BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/changes")
+    var lastVersion = 0L
+    val q = feed.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val cur = spark.read.parquet(s"$base/rollup/v$id")
+        val delta = batch
+          .join(snap.select(col("doc_id"), col("len").as("old_len")), Seq("doc_id"), "left")
+          .select(col("lang"),
+            when(col("op") === "delete",
+              when(col("old_len").isNotNull, -1L).otherwise(0L))
+              .otherwise(when(col("old_len").isNull, 1L).otherwise(0L)).as("dd"),
+            when(col("op") === "delete",
+              when(col("old_len").isNotNull, -col("old_len")).otherwise(lit(0L)))
+              .otherwise(when(col("old_len").isNull, col("new_len"))
+                .otherwise(col("new_len") - col("old_len"))).as("dc"))
+          .groupBy(col("lang"))
+          .agg(sum(col("dd")).as("dd"), sum(col("dc")).as("dc"))
+        cur.join(delta, Seq("lang"), "full_outer")
+          .select(col("lang"),
+            (coalesce(col("n_docs"), lit(0L)) + coalesce(col("dd"), lit(0L))).as("n_docs"),
+            (coalesce(col("n_chars"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("n_chars"))
+          .write.parquet(s"$base/rollup/v${id + 1}")
+        lastVersion = id + 1
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(s"$base/rollup/v$lastVersion")
+      .filter(col("n_docs") > 0L)
+      .orderBy(col("lang"))
+  }
+
   /** Full recompute over the merged snapshot — deliberately NOT the
     * incremental computation: hash-equality proves the IVM identity.
     */
@@ -609,6 +676,7 @@ object IngestOps {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q140_session_window_replay" -> q140SessionWindowReplay _,
     "q145_incremental_agg" -> q145IncrementalAgg _,
+    "q152_streaming_ivm" -> q152StreamingIvm _,
     "q133_stream_enrich_replay" -> q133StreamEnrichReplay _,
     "q134_cdc_apply" -> q134CdcApply _,
     "q110_snapshot_diff" -> q110SnapshotDiff _,
@@ -625,6 +693,7 @@ object IngestOps {
   val oracles: Map[String, String] = Map(
     "q140_session_window_replay" -> q140Sql,
     "q145_incremental_agg" -> q145Sql,
+    "q152_streaming_ivm" -> q145Sql,
     "q133_stream_enrich_replay" -> q133Sql,
     "q134_cdc_apply" -> q134Sql,
     "q110_snapshot_diff" -> q110Sql,

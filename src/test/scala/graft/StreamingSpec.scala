@@ -332,6 +332,15 @@ class StreamingSpec extends SparkTestBase {
       "how the counters were accumulated must be invisible to the sketch")
   }
 
+  test("q152 streamed IVM over micro-batched changes equals the one-shot batch IVM") {
+    val streamed = graft.queries.IngestOps.q152StreamingIvm(spark, sfDir)
+      .collect().map(_.toSeq)
+    val batch = graft.queries.IngestOps.q145IncrementalAgg(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq,
+      "any micro-batch partitioning of the feed must land on the same rollup")
+  }
+
   test("q140 streaming session_window replay equals the batch session_window result") {
     val streamed = graft.queries.IngestOps.q140SessionWindowReplay(spark, sfDir)
       .collect().map(_.toSeq)
