@@ -36,12 +36,18 @@ object SketchOps {
   private def md5_60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
-  /** The KMV build: keep the k smallest `h` per partition group. */
-  private def kMins(df: DataFrame, parts: String*): DataFrame = {
+  /** Keep the k smallest `h` per partition group — the bottom-k-by-hash
+    * build every coordinated sketch here shares (KMV mins, q153's sample).
+    */
+  private[graft] def bottomK(df: DataFrame, k: Int, parts: String*): DataFrame = {
     val w = Window.partitionBy(parts.map(col): _*).orderBy(col("h"))
     df.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= KmvK).drop("rn")
+      .filter(col("rn") <= k).drop("rn")
   }
+
+  /** The KMV build: keep the k smallest `h` per partition group. */
+  private def kMins(df: DataFrame, parts: String*): DataFrame =
+    bottomK(df, KmvK, parts: _*)
 
   /** The KMV estimate off an aggregated (kth_hash, n-mins) pair: exact
     * below k, (k−1)·2^60 div h_k at k.
@@ -435,17 +441,97 @@ object SketchOps {
       |FROM sk s JOIN ex USING (day)
       |ORDER BY day""".stripMargin
 
+  /** Sample size for q153's coordinated quantile sample. */
+  private[graft] val SampleK = 64
+
+  /** q153 — quantile estimation from a COORDINATED bottom-k-by-hash row
+    * sample (Cohen 1997 / Cohen–Kaplan 2007 coordinated sampling): per
+    * event_type, the 64 rows with the smallest md5_60(event_id) are a
+    * deterministic uniform sample (the hash is the permutation), and the
+    * sample's percentile_disc estimates the population's. The same
+    * union-then-truncate argument as KMV makes the sample MERGEABLE: a
+    * row among a group's global bottom-64 is among its own shard's
+    * bottom-64, so shard samples re-top-k to exactly the global sample
+    * (SketchSpec proves the identity on an event_id-parity split). This is
+    * the deterministic, oracle-able analogue of a KLL/t-digest quantile
+    * sketch — and unlike those, bit-restatable in DuckDB.
+    *
+    * Estimates and truth are both percentile_disc (an ELEMENT of the
+    * data, picked by rank — no interpolation arithmetic), so every value
+    * crosses engines exactly; the exact side ranks the full partition and
+    * is the expensive half, riding along only to exhibit the gap.
+    */
+  def q153SampleQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val h = e.select(col("event_type"), col("value"), md5_60(col("event_id")).as("h"))
+    def disc(df: DataFrame, prefix: String): DataFrame = {
+      val wv = Window.partitionBy(col("event_type")).orderBy(col("value"), col("h"))
+      val wn = Window.partitionBy(col("event_type"))
+      df.withColumn("vrn", row_number().over(wv))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy(col("event_type"))
+        .agg(
+          max(when(col("vrn") === expr("CAST(ceil(n * 0.5) AS BIGINT)"), col("value")))
+            .as(s"${prefix}_p50"),
+          max(when(col("vrn") === expr("CAST(ceil(n * 0.9) AS BIGINT)"), col("value")))
+            .as(s"${prefix}_p90"),
+          count(lit(1)).as(s"${prefix}_n"))
+    }
+    disc(bottomK(h, SampleK, "event_type"), "est")
+      .join(disc(h, "exact"), Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
+  val q153Sql: String =
+    s"""WITH h AS (
+      |  SELECT event_type, value,
+      |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events),
+      |samp AS (
+      |  SELECT event_type, value, h FROM (
+      |    SELECT event_type, value, h,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |    FROM h)
+      |  WHERE rn <= $SampleK),
+      |est AS (
+      |  SELECT event_type,
+      |    max(CASE WHEN vrn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS est_p50,
+      |    max(CASE WHEN vrn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END) AS est_p90,
+      |    CAST(count(*) AS BIGINT) AS est_n
+      |  FROM (
+      |    SELECT event_type, value,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY value, h) AS vrn,
+      |      count(*) OVER (PARTITION BY event_type) AS n
+      |    FROM samp)
+      |  GROUP BY event_type),
+      |ex AS (
+      |  SELECT event_type,
+      |    max(CASE WHEN vrn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS exact_p50,
+      |    max(CASE WHEN vrn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END) AS exact_p90,
+      |    CAST(count(*) AS BIGINT) AS exact_n
+      |  FROM (
+      |    SELECT event_type, value,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY value, h) AS vrn,
+      |      count(*) OVER (PARTITION BY event_type) AS n
+      |    FROM h)
+      |  GROUP BY event_type)
+      |SELECT event_type, est_p50, est_p90, est_n, exact_p50, exact_p90, exact_n
+      |FROM est JOIN ex USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_kmv_distinct" -> q136KmvDistinct _,
     "q137_cms_heavy_hitters" -> q137CmsHeavyHitters _,
     "q141_kmv_set_ops" -> q141KmvSetOps _,
     "q143_streaming_cms" -> q143StreamingCms _,
-    "q151_rolling_kmv" -> q151RollingKmv _)
+    "q151_rolling_kmv" -> q151RollingKmv _,
+    "q153_sample_quantiles" -> q153SampleQuantiles _)
 
   val oracles: Map[String, String] = Map(
     "q136_kmv_distinct" -> q136Sql,
     "q137_cms_heavy_hitters" -> q137Sql,
     "q141_kmv_set_ops" -> q141Sql,
     "q143_streaming_cms" -> q137Sql,
-    "q151_rolling_kmv" -> q151Sql)
+    "q151_rolling_kmv" -> q151Sql,
+    "q153_sample_quantiles" -> q153Sql)
 }

@@ -102,6 +102,37 @@ class SketchSpec extends SparkTestBase {
       "union-then-truncate of daily k-mins must equal the window's own KMV sketch")
   }
 
+  test("q153 sample is coordinated: shard bottom-k samples re-top-k to exactly the global sample") {
+    val e = Tables(spark, sfDir, "events")
+    val h = e.select(col("event_type"), col("value"),
+      conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val direct = SketchOps.bottomK(h, 64, "event_type")
+      .orderBy(col("event_type"), col("h")).collect().map(_.toSeq)
+    // two "shards" by event_id parity — their bottom-64s unioned and
+    // re-truncated must equal the single-pass sample bit-for-bit
+    val ids = e.select(col("event_type"), col("value"), col("event_id"),
+      conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val shards = Seq(0L, 1L).map { p =>
+      SketchOps.bottomK(ids.filter(pmod(col("event_id"), lit(2L)) === p), 64, "event_type")
+    }
+    val merged = SketchOps.bottomK(
+        shards.reduce(_.unionByName(_)).select(col("event_type"), col("value"), col("h")),
+        64, "event_type")
+      .orderBy(col("event_type"), col("h")).collect().map(_.toSeq)
+    assert(merged.toSeq == direct.toSeq,
+      "union-then-re-top-k of shard samples must equal the global bottom-k sample")
+    // and the estimates bracket sanely: an order-statistic estimate is an
+    // actual population value between the group's min and max
+    val rows = SketchOps.q153SampleQuantiles(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("est_p50") <= r.getAs[Double]("est_p90"))
+      assert(r.getAs[Double]("exact_p50") <= r.getAs[Double]("exact_p90"))
+      assert(r.getAs[Long]("est_n") == 64L)
+    }
+  }
+
   test("KMV at k=8 lands within 4x of the true cardinality on the fixture (deterministic)") {
     val rows = SketchOps.q136KmvDistinct(spark, sfDir).collect()
     assert(rows.nonEmpty)
