@@ -206,6 +206,26 @@ object Multimodal {
         case _: java.io.IOException => None
       }
 
+    /** Decode a WAV payload to its 16-bit mono samples, or None when no
+      * reader recognizes the bytes.
+      */
+    def decodeSamples(payload: Array[Byte]): Option[Array[Short]] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val bytes = ais.readAllBytes()
+        val out = new Array[Short](bytes.length / 2)
+        var i = 0
+        while (i + 1 < bytes.length) {
+          out(i / 2) = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
+          i += 2
+        }
+        Some(out)
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+
     /** Decimate-by-2 resample: decode, keep every 2nd frame, re-encode at
       * half the rate through the REAL encoder — the bandwidth-halving
       * normalization an audio corpus runs before feature extraction. A

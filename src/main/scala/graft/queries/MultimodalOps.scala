@@ -230,17 +230,93 @@ object MultimodalOps {
       |FROM documents WHERE doc_id % 10 = 0
       |GROUP BY rate_out ORDER BY rate_out""".stripMargin
 
+  /** q154 — audio ENERGY SEGMENTATION (the VAD / speech-segmentation
+    * analogue): per clip, a real WAV round-trip (synth keyed on doc_id →
+    * REAL `javax.sound.sampled` decode), then gaps-and-islands over the
+    * DECODED samples — a run of consecutive |sample| ≥ 16384 is one "voiced"
+    * segment. Emits per clip the segment count, voiced-sample total, and
+    * longest run: the features a speech-corpus curation pass gates on
+    * (clips with no voiced runs, or one unbroken run, are suspect). The
+    * oracle re-derives the same islands arithmetic from the synth formula
+    * — a stubbed decode or an off-by-one in the run scan breaks equality.
+    *
+    * Scale: the codec + segment scan is a NARROW per-row pass (per-
+    * partition imperative code, the multimodal family's pattern) — no
+    * shuffle until the final sort; per-clip state is one running counter
+    * however long the clip.
+    */
+  def q154AudioSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val rate = 8000 + ((id / 10) % 5).toInt * 1000
+        val n = 4000 + (id % 97).toInt
+        val wav = Multimodal.AudioCodec.synthWav(rate, n, id)
+        val samples = Multimodal.AudioCodec.decodeSamples(wav).getOrElse(Array.empty[Short])
+        var nLoud = 0L; var nSeg = 0L; var longest = 0L; var run = 0L
+        var i = 0
+        while (i < samples.length) {
+          if (math.abs(samples(i).toInt) >= 16384) {
+            if (run == 0L) nSeg += 1L
+            run += 1L; nLoud += 1L
+            if (run > longest) longest = run
+          } else run = 0L
+          i += 1
+        }
+        (id, samples.length.toLong, nLoud, nSeg, longest)
+      }
+      .toDF("doc_id", "n_samples", "n_loud", "n_segments", "longest_run")
+      .orderBy(col("doc_id"))
+  }
+
+  val q154Sql: String =
+    """WITH clips AS (
+      |  SELECT doc_id, 4000 + doc_id % 97 AS n
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |s AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN abs((i + doc_id) % 256 - 128) >= 64 THEN 1 ELSE 0 END AS loud
+      |  FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM clips)),
+      |g AS (
+      |  SELECT doc_id, i, loud,
+      |    CASE WHEN loud = 1 AND
+      |      coalesce(lag(loud) OVER (PARTITION BY doc_id ORDER BY i), 0) = 0
+      |      THEN 1 ELSE 0 END AS st
+      |  FROM s),
+      |seg AS (
+      |  SELECT doc_id, loud,
+      |    sum(st) OVER (PARTITION BY doc_id ORDER BY i) AS sid
+      |  FROM g),
+      |runs AS (
+      |  SELECT doc_id, sid, count(*) AS len
+      |  FROM seg WHERE loud = 1 GROUP BY doc_id, sid),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+      |    CAST(sum(len) AS BIGINT) AS n_loud,
+      |    CAST(max(len) AS BIGINT) AS longest_run
+      |  FROM runs GROUP BY doc_id)
+      |SELECT c.doc_id, CAST(c.n AS BIGINT) AS n_samples,
+      |  coalesce(n_loud, 0) AS n_loud,
+      |  coalesce(n_segments, 0) AS n_segments,
+      |  coalesce(longest_run, 0) AS longest_run
+      |FROM clips c LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_audio_resample" -> q135AudioResample _,
     "q83_media_stats" -> q83MediaStats _,
     "q85_image_resize" -> q85ImageResize _,
     "q86_audio_stats" -> q86AudioStats _,
-    "q88_video_frames" -> q88VideoFrames _)
+    "q88_video_frames" -> q88VideoFrames _,
+    "q154_audio_segments" -> q154AudioSegments _)
 
   val oracles: Map[String, String] = Map(
     "q135_audio_resample" -> q135Sql,
     "q83_media_stats" -> q83Sql,
     "q85_image_resize" -> q85Sql,
     "q86_audio_stats" -> q86Sql,
-    "q88_video_frames" -> q88Sql)
+    "q88_video_frames" -> q88Sql,
+    "q154_audio_segments" -> q154Sql)
 }

@@ -11,6 +11,29 @@ class MultimodalSpec extends SparkTestBase {
 
   private lazy val sparkStable = spark
 
+  test("decodeSamples round-trips synthWav bit-for-bit (q154's decode path)") {
+    val wav = graft.multimodal.Multimodal.AudioCodec.synthWav(8000, 1000, 42L)
+    val s = graft.multimodal.Multimodal.AudioCodec.decodeSamples(wav).get
+    assert(s.length == 1000)
+    (0 until 1000).foreach { i =>
+      assert(s(i) == ((((i + 42) % 256) - 128) * 256).toShort,
+        s"sample $i decoded ${s(i)}")
+    }
+  }
+
+  test("q154 segment invariants: runs partition the loud samples, every clip has voiced runs") {
+    val rows = graft.queries.MultimodalOps.q154AudioSegments(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, loud, segs, longest) = (r.getAs[Long]("n_samples"), r.getAs[Long]("n_loud"),
+        r.getAs[Long]("n_segments"), r.getAs[Long]("longest_run"))
+      assert(loud <= n && longest <= loud, s"bounds violated: $r")
+      assert(segs >= 1L && longest >= 1L,
+        s"a >=4000-sample sawtooth must contain voiced runs: $r")
+      assert(loud <= segs * longest, s"runs can't average past the longest: $r")
+    }
+  }
+
   private def mediaDs = {
     import sparkStable.implicits._
     val rnd = new scala.util.Random(42)
