@@ -304,13 +304,81 @@ object MultimodalOps {
       |FROM clips c LEFT JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q155 — PERCEPTUAL-HASH IMAGE DEDUP (dHash, Krawetz 2013: the
+    * difference-hash every image-dedup pipeline starts with): per selected
+    * doc, a real PNG round-trip (synth keyed on doc_id % 7 →
+    * `javax.imageio` decode), then a 9×7 grid of DECODED grayscale pixels
+    * sampled at gx·(w−1) div 8 × gy·(h−1) div 7 and 8×7 = 56
+    * brighter-than-right-neighbor bits packed into a BIGINT — identical
+    * geometry survives the hash, so the doc_id % 7 replica classes
+    * collapse to exactly 7 buckets with their canonical (min) doc ids: the
+    * multimodal × dedup crossover, exact-dedup's hash-groupBy applied to
+    * image CONTENT instead of bytes. (56 bits, not 64, so the pack can
+    * never touch BIGINT's sign bit in either engine.) PNG is lossless and
+    * the frame is TYPE_INT_RGB, so decoded pixels are bit-exact — the
+    * oracle re-derives every sampled pixel from the synth formula, and a
+    * stubbed decode or a mis-sampled grid breaks the bucket structure.
+    *
+    * Scale: hashing is the same narrow per-partition codec pass as
+    * q83–q88; the dedup is a 56-bit-key groupBy — exact dedup economics
+    * however many images.
+    */
+  def q155ImageDhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 5)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val k = id % 7
+        val (w, h) = (40 + k.toInt, 30 + k.toInt)
+        val png = Multimodal.ImageCodec.synthPng(w, h, k)
+        val img = Multimodal.ImageCodec.decode(png).get
+        var hash = 0L
+        var gy = 0
+        while (gy < 7) {
+          val y = gy * (h - 1) / 7
+          var gx = 0
+          while (gx < 8) {
+            val pa = img.getRGB(gx * (w - 1) / 8, y) & 0xff
+            val pb = img.getRGB((gx + 1) * (w - 1) / 8, y) & 0xff
+            if (pb > pa) hash |= 1L << (gy * 8 + gx)
+            gx += 1
+          }
+          gy += 1
+        }
+        (id, hash)
+      }
+      .toDF("doc_id", "dhash")
+      .groupBy(col("dhash"))
+      .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("canonical_doc_id"))
+      .orderBy(col("dhash"))
+  }
+
+  val q155Sql: String =
+    """WITH img AS (
+      |  SELECT doc_id, doc_id % 7 AS k, 40 + doc_id % 7 AS w, 30 + doc_id % 7 AS h
+      |  FROM documents WHERE doc_id % 10 = 5),
+      |bits AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN
+      |        ((((gx + 1) * (w - 1) // 8) * 31 + (gy * (h - 1) // 7) * 17 + k) % 256) >
+      |        (((gx * (w - 1) // 8) * 31 + (gy * (h - 1) // 7) * 17 + k) % 256)
+      |      THEN (CAST(1 AS BIGINT) << (gy * 8 + gx)) ELSE 0 END) AS BIGINT) AS dhash
+      |  FROM img, unnest(range(0, 8)) t1(gx), unnest(range(0, 7)) t2(gy)
+      |  GROUP BY doc_id)
+      |SELECT dhash, CAST(count(*) AS BIGINT) AS n_images,
+      |  min(doc_id) AS canonical_doc_id
+      |FROM bits GROUP BY dhash
+      |ORDER BY dhash""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_audio_resample" -> q135AudioResample _,
     "q83_media_stats" -> q83MediaStats _,
     "q85_image_resize" -> q85ImageResize _,
     "q86_audio_stats" -> q86AudioStats _,
     "q88_video_frames" -> q88VideoFrames _,
-    "q154_audio_segments" -> q154AudioSegments _)
+    "q154_audio_segments" -> q154AudioSegments _,
+    "q155_image_dhash_dedup" -> q155ImageDhashDedup _)
 
   val oracles: Map[String, String] = Map(
     "q135_audio_resample" -> q135Sql,
@@ -318,5 +386,6 @@ object MultimodalOps {
     "q85_image_resize" -> q85Sql,
     "q86_audio_stats" -> q86Sql,
     "q88_video_frames" -> q88Sql,
-    "q154_audio_segments" -> q154Sql)
+    "q154_audio_segments" -> q154Sql,
+    "q155_image_dhash_dedup" -> q155Sql)
 }

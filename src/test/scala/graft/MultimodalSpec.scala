@@ -21,6 +21,23 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("q155 dhash buckets are exactly the doc_id % 7 replica classes with their min-doc canonicals") {
+    val rows = graft.queries.MultimodalOps.q155ImageDhashDedup(spark, sfDir).collect()
+    assert(rows.length == 7, s"7 distinct images must yield 7 buckets, got ${rows.length}")
+    assert(rows.map(_.getAs[Long]("dhash")).distinct.length == 7,
+      "distinct content must hash apart")
+    val expected = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") % 10 === 5)
+      .groupBy((col("doc_id") % 7).as("k"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("canon"))
+      .collect().map(r => r.getAs[Long]("canon") -> r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      val canon = r.getAs[Long]("canonical_doc_id")
+      assert(expected.get(canon).contains(r.getAs[Long]("n_images")),
+        s"bucket $r must match its replica class ${expected.get(canon)}")
+    }
+  }
+
   test("q154 segment invariants: runs partition the loud samples, every clip has voiced runs") {
     val rows = graft.queries.MultimodalOps.q154AudioSegments(spark, sfDir).collect()
     assert(rows.nonEmpty)
