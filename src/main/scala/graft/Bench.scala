@@ -66,12 +66,14 @@ object Bench {
     // query names plus a rows map is >3 KB and gets truncated from the
     // front (rounds 1-3 all recorded parsed:null). So stdout gets ONE
     // compact line — short qNN keys (the unique prefix of every query
-    // name), 2-decimal seconds, no rows map — and the full detail (full
-    // names, row counts, raw seconds) goes to BENCH_DETAIL.json on disk.
-    // 2 decimals: the compact line is budgeted (the require below); raw
-    // nanosecond values live in BENCH_DETAIL.json
-    def fmt(secs: Double): String = BigDecimal(secs)
-      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    // name), 1-decimal seconds (155 queries × 2-decimal entries breached
+    // the 1800-char budget at q154), no rows map — and the full detail
+    // (full names, row counts, raw nanosecond seconds) goes to
+    // BENCH_DETAIL.json on disk; read THAT for sub-0.1 s comparisons.
+    def fmt(secs: Double): String = {
+      val s = BigDecimal(secs).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    }
     // the compact line keys by qNN prefix — a duplicate prefix would emit
     // duplicate JSON keys and last-wins parsing would drop a measurement
     require(results.map(_._1.takeWhile(_ != '_')).distinct.size == results.size,
