@@ -519,13 +519,77 @@ object SketchOps {
       |FROM est JOIN ex USING (event_type)
       |ORDER BY event_type""".stripMargin
 
+  /** q156 — JOIN-SIZE ESTIMATION via the CMS inner product (Alon–Matias–
+    * Szegedy 1996 frequency moments; Cormode–Muthukrishnan 2005 §4.2): the
+    * size of an equi-join is Σ_k f_A(k)·f_B(k), and the bucket-wise inner
+    * product of the two sides' CMS counter rows over-estimates it
+    * (collisions only add cross terms), so min over the d hash rows is a
+    * one-sided upper bound — the sketch-based cardinality estimate a
+    * cost-based planner consults BEFORE running a join it might regret.
+    * Sides: high-value events ⋈ click/view events on user_id. The exact
+    * size rides along computed the scalable way (per-key frequency join,
+    * never the materialized join — at sf0.1 the join itself would be ~10⁸
+    * rows). Sketch path cost: two 256-int summaries + a 256-row join —
+    * and the counters are the SAME mergeable tables q137/q143 build, so
+    * per-day sketches answer any date-range join-size question later.
+    * (At a true 100 TB side, widen w so bucket products stay under 2^63 —
+    * the one dial this fixture doesn't need.)
+    */
+  def q156CmsJoinSize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val a = e.filter(col("value") > 0.5).select(col("user_id"))
+    val b = e.filter(col("event_type").isin("click", "view")).select(col("user_id"))
+    val prod = cmsCounters(a).as("x")
+      .join(cmsCounters(b).as("y"),
+        col("x.j") === col("y.j") && col("x.bucket") === col("y.bucket"))
+      .groupBy(col("x.j"))
+      .agg(sum(col("x.cnt") * col("y.cnt")).as("ip"))
+      .agg(min(col("ip")).as("est_join_size"))
+    val exact = a.groupBy(col("user_id")).agg(count(lit(1)).as("na"))
+      .join(b.groupBy(col("user_id")).agg(count(lit(1)).as("nb")), Seq("user_id"))
+      .agg(sum(col("na") * col("nb")).as("exact_join_size"))
+    prod.crossJoin(exact)
+  }
+
+  val q156Sql: String =
+    """WITH ha AS (
+      |  SELECT user_id,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h1,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 17, 13))::BIGINT AS h2
+      |  FROM events WHERE value > 0.5),
+      |hb AS (
+      |  SELECT user_id,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h1,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 17, 13))::BIGINT AS h2
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |j AS (SELECT unnest([0, 1, 2, 3]) AS j),
+      |ca AS (
+      |  SELECT j, (h1 + j * h2) % 64 AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM ha CROSS JOIN j GROUP BY j, bucket),
+      |cb AS (
+      |  SELECT j, (h1 + j * h2) % 64 AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM hb CROSS JOIN j GROUP BY j, bucket),
+      |ip AS (
+      |  SELECT ca.j, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS ip
+      |  FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket
+      |  GROUP BY ca.j),
+      |est AS (SELECT min(ip) AS est_join_size FROM ip),
+      |ex AS (
+      |  SELECT CAST(sum(na * nb) AS BIGINT) AS exact_join_size FROM (
+      |    SELECT user_id, CAST(count(*) AS BIGINT) AS na FROM ha GROUP BY user_id) fa
+      |  JOIN (
+      |    SELECT user_id, CAST(count(*) AS BIGINT) AS nb FROM hb GROUP BY user_id) fb
+      |  USING (user_id))
+      |SELECT est_join_size, exact_join_size FROM est, ex""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_kmv_distinct" -> q136KmvDistinct _,
     "q137_cms_heavy_hitters" -> q137CmsHeavyHitters _,
     "q141_kmv_set_ops" -> q141KmvSetOps _,
     "q143_streaming_cms" -> q143StreamingCms _,
     "q151_rolling_kmv" -> q151RollingKmv _,
-    "q153_sample_quantiles" -> q153SampleQuantiles _)
+    "q153_sample_quantiles" -> q153SampleQuantiles _,
+    "q156_cms_join_size" -> q156CmsJoinSize _)
 
   val oracles: Map[String, String] = Map(
     "q136_kmv_distinct" -> q136Sql,
@@ -533,5 +597,6 @@ object SketchOps {
     "q141_kmv_set_ops" -> q141Sql,
     "q143_streaming_cms" -> q137Sql,
     "q151_rolling_kmv" -> q151Sql,
-    "q153_sample_quantiles" -> q153Sql)
+    "q153_sample_quantiles" -> q153Sql,
+    "q156_cms_join_size" -> q156Sql)
 }

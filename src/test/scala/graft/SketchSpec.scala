@@ -133,6 +133,15 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("q156 CMS inner product is a one-sided upper bound on the exact join size") {
+    val r = SketchOps.q156CmsJoinSize(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (est, exact) = (r.head.getAs[Long]("est_join_size"), r.head.getAs[Long]("exact_join_size"))
+    assert(exact > 0L, "the fixture sides must actually join")
+    assert(est >= exact, s"collision cross-terms only ADD: est $est < exact $exact")
+    assert(est <= exact * 4, s"d=4 min should stay within 4x on the fixture: est $est vs $exact")
+  }
+
   test("KMV at k=8 lands within 4x of the true cardinality on the fixture (deterministic)") {
     val rows = SketchOps.q136KmvDistinct(spark, sfDir).collect()
     assert(rows.nonEmpty)
