@@ -207,20 +207,30 @@ object Multimodal {
       }
 
     /** Decode a WAV payload to its 16-bit mono samples, or None when no
-      * reader recognizes the bytes.
+      * reader recognizes the bytes OR the stream is not 16-bit
+      * little-endian signed mono PCM — the little-endian short assembly
+      * below would silently produce garbage samples for an 8-bit,
+      * big-endian, or stereo stream, so the format is validated first
+      * (the sibling decode() reads getFormat for its stats the same way).
       */
     def decodeSamples(payload: Array[Byte]): Option[Array[Short]] =
       try {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(payload))
-        val bytes = ais.readAllBytes()
-        val out = new Array[Short](bytes.length / 2)
-        var i = 0
-        while (i + 1 < bytes.length) {
-          out(i / 2) = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
-          i += 2
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+          fmt.getChannels != 1 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val bytes = ais.readAllBytes()
+          val out = new Array[Short](bytes.length / 2)
+          var i = 0
+          while (i + 1 < bytes.length) {
+            out(i / 2) = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
+            i += 2
+          }
+          Some(out)
         }
-        Some(out)
       } catch {
         case _: javax.sound.sampled.UnsupportedAudioFileException => None
         case _: java.io.IOException => None

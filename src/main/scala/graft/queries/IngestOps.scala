@@ -539,7 +539,6 @@ object IngestOps {
       .schema("doc_id BIGINT, lang STRING, op STRING, new_len BIGINT")
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$base/changes")
-    var lastVersion = 0L
     val q = feed.writeStream
       .option("checkpointLocation", s"$base/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -561,10 +560,16 @@ object IngestOps {
             (coalesce(col("n_docs"), lit(0L)) + coalesce(col("dd"), lit(0L))).as("n_docs"),
             (coalesce(col("n_chars"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("n_chars"))
           .write.parquet(s"$base/rollup/v${id + 1}")
-        lastVersion = id + 1
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+    // The latest version is derived by LISTING the rollup dir after the
+    // stream has stopped — not by reading a var mutated on the micro-batch
+    // thread (no cross-thread visibility guarantee for a captured local)
+    // and independent of batch-id numbering, so a resumed checkpoint whose
+    // ids don't start at 0 still resolves the newest rollup.
+    val lastVersion = new java.io.File(s"$base/rollup").listFiles()
+      .map(_.getName.stripPrefix("v").toLong).max
     spark.read.parquet(s"$base/rollup/v$lastVersion")
       .filter(col("n_docs") > 0L)
       .orderBy(col("lang"))

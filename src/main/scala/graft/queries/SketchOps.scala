@@ -237,10 +237,15 @@ object SketchOps {
           .as("k_matches"))
       .withColumn("est_union", kmvEstimate(col("k_eff")))
       // below k the merged sketch IS the exact hash-set union, so
-      // k_matches is the exact intersection — no scaling
+      // k_matches is the exact intersection — no scaling. Division runs
+      // BEFORE the multiply: est_union can reach ~7·2^60 when kth_hash is
+      // pathologically small, and k_matches·est_union would wrap a Long
+      // (silently here, loudly in DuckDB — the engines would diverge);
+      // (est_union div k)·k_matches stays under 2^63 and loses at most
+      // k−1 per factor of precision.
       .withColumn("est_intersect",
         when(col("k_eff") === KmvK.toLong,
-          expr(s"k_matches * est_union div $KmvK"))
+          expr(s"est_union div $KmvK * k_matches"))
           .otherwise(col("k_matches")))
     val dtu = e.select(col("event_type"), col("user_id")).distinct()
     def utagged(src: Int, side: String) = tp
@@ -301,7 +306,7 @@ object SketchOps {
       |    CASE WHEN k_eff = $KmvK THEN $KmvNum // kth_hash
       |         ELSE k_eff END AS est_union,
       |    CASE WHEN k_eff = $KmvK
-      |         THEN k_matches * ($KmvNum // kth_hash) // $KmvK
+      |         THEN ($KmvNum // kth_hash) // $KmvK * k_matches
       |         ELSE k_matches END AS est_intersect
       |  FROM sk),
       |dtu AS (SELECT DISTINCT event_type, user_id FROM events),

@@ -198,10 +198,15 @@ object TpchStyle {
     * The pair is DERIVED FROM THE DATA — the highest-traffic cross-nation
     * pair in the date window (ties broken by name) — so the query is
     * non-empty at every fixture scale; a hardcoded pair is unsatisfiable on
-    * the 10-supplier sf0.001 fixture. The fact scans ONCE: the first rollup
-    * groups to (supp, cust, year) — a nations²·years-sized frame — and both
-    * the pair derivation and the final filter run over that tiny persisted
-    * aggregate, so the derivation costs no second pass over 100 TB.
+    * the 10-supplier sf0.001 fixture. The fact scans ONCE and the whole
+    * query is ONE pipelined job: the first rollup groups to (supp, cust,
+    * year) — a nations²·years-sized frame — and the pair derivation is two
+    * WINDOW passes over that tiny aggregate (pair totals, then a global
+    * rank), never a persist/self-join split. (The previous shape persisted
+    * the aggregate and joined it against its own grouped argmax — an
+    * InMemoryRelation boundary that broke one job into three sequential
+    * ones AND leaked the persisted frame into the session cache; measured
+    * 3.6 s quiet vs 0.9 s for this window form at sf0.1.)
     *
     * Revenue sums in integer cents (per-row `round(price·(1−disc)·100)`
     * BIGINT) so no float summation order can drift between engines —
@@ -230,17 +235,19 @@ object TpchStyle {
         sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
           .as("revenue_cents"),
         count(lit(1)).as("cnt"))
-      .persist() // ≤ nations²·years rows — pennies at any corpus size
-    val pair = agg
-      .groupBy(least(col("supp_nation"), col("cust_nation")).as("na"),
-        greatest(col("supp_nation"), col("cust_nation")).as("nb"))
-      .agg(sum(col("cnt")).as("pair_cnt"))
-      .orderBy(col("pair_cnt").desc, col("na"), col("nb"))
-      .limit(1)
-      .select(col("na"), col("nb"))
-    agg.join(broadcast(pair),
-        (col("supp_nation") === col("na") && col("cust_nation") === col("nb")) ||
-        (col("supp_nation") === col("nb") && col("cust_nation") === col("na")))
+    // pair selection over the ≤ nations²·years aggregate: pair totals via a
+    // (na, nb) window, winner via a global dense_rank — all rows of the
+    // winning unordered pair share one (pair_cnt, na, nb), so rank 1 IS the
+    // orderBy-limit-1 semantics including its tie break. The single-
+    // partition window exchange carries a nations²·years frame — pennies.
+    import org.apache.spark.sql.expressions.Window
+    agg
+      .withColumn("na", least(col("supp_nation"), col("cust_nation")))
+      .withColumn("nb", greatest(col("supp_nation"), col("cust_nation")))
+      .withColumn("pair_cnt", sum(col("cnt")).over(Window.partitionBy(col("na"), col("nb"))))
+      .withColumn("rk", dense_rank().over(
+        Window.orderBy(col("pair_cnt").desc, col("na"), col("nb"))))
+      .filter(col("rk") === 1)
       .select(col("supp_nation"), col("cust_nation"), col("l_year"), col("revenue_cents"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }

@@ -217,6 +217,19 @@ class OperatorsSpec extends SparkTestBase {
       s"q55 left persisted RDDs behind: ${leaked.toSeq.sorted.mkString(", ")}")
   }
 
+  test("q124 TPC-H Q7 runs as one plan: no net persisted RDDs per call") {
+    // the round-6 regression was a .persist() on the tiny (supp, cust,
+    // year) aggregate that split the job in three AND leaked into the
+    // session cache on every call; the window rewrite must leave nothing
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = graft.queries.TpchStyle.q124TpchQ7(spark, sfDir)
+    assert(out.count() > 0L, "q124 must be non-empty at every fixture scale")
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"q124 left persisted RDDs behind: ${leaked.toSeq.sorted.mkString(", ")}")
+  }
+
   test("TopK.perKey with maxKeys far below distinct keys spills and matches the window idiom") {
     import org.apache.spark.sql.expressions.Window
     // ~5000 distinct keys against a 64-key in-memory cap: every partition
