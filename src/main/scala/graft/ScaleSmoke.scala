@@ -101,6 +101,11 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // ratios time the COLD candidate build on BOTH sides — a signature
+    // store left behind by a Bench run at the 1× dir would fake the 1× time
+    // and blow every dedup/graph ratio past the gate
+    graft.queries.Dedup.signatureStoreEnabled = false
+
     val scaledDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale10x"
     val skewedDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale10x_skew"
     synthesize(spark, baseDir, scaledDir)

@@ -156,22 +156,98 @@ object Dedup {
   def minhashCandidates(spark: SparkSession, dir: String, maxBucket: Int = 256): DataFrame = {
     candCache.keySet.removeIf { case (s, _, _) => s.sparkContext.isStopped }
     candCache.computeIfAbsent((spark, dir, maxBucket), _ =>
-      buildMinhashCandidates(spark, dir, maxBucket)
+      storedCandidates(spark, dir, maxBucket)
+        .getOrElse(buildMinhashCandidates(spark, dir, maxBucket))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
-  private def buildMinhashCandidates(spark: SparkSession, dir: String, maxBucket: Int): DataFrame = {
-    val d = Tables(spark, dir, "documents")
-    // the signature frame feeds three plan branches (banding + both sides of
-    // the pair-signature join); persist so it computes once (~32 longs/doc)
-    val sigs = minhashSigRows(spark, d, n = 3, k = K)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = sigs
+  /** Bump when the signature pipeline (hash family, shingle n, K/BANDS/ROWS,
+    * pair schema) changes shape — a store written by older code must read as
+    * ABSENT, never as silently-wrong candidates.
+    */
+  private val StoreFormatVersion = 1
+
+  /** On-disk signature store root for one (corpus, cap): the SURVEY §9
+    * artifact. `sigs/` is the per-doc MinHash signature table; `bands/` the
+    * exploded (band, key, doc_id) banding table, partitioned by `band` —
+    * local-mode's analogue of warehouse `bucketBy(n, "key")` (hive bucketing
+    * needs a metastore table; partition-pruned parquet gives the same
+    * read-side file locality); `pairs/` the deduped candidate pairs with
+    * signature-estimated Jaccard that every dedup/graph policy consumes.
+    */
+  def signatureStorePathFor(dir: String, maxBucket: Int = 256): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_sigstore_v${StoreFormatVersion}_mb${maxBucket}_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Query prefixes that consume [[minhashCandidates]] — harnesses consult
+    * this to decide whether a run needs the signature store at all.
+    */
+  val candidateConsumers: Set[String] =
+    Set("q40", "q45", "q46", "q68", "q101", "q104", "q123", "q150")
+
+  /** Kill switch for the store READ path. [[graft.ScaleSmoke]] sets it false:
+    * its 1×-vs-10× ratios time the COLD candidate build on both sides, and a
+    * store left behind by a Bench run at the 1× dir would fake the 1× time
+    * and blow every ratio past the gate.
+    */
+  @volatile private[graft] var signatureStoreEnabled = true
+
+  /** Materialize the signature store for a corpus: one Scala-side hashing
+    * pass writes `sigs/`, then banding + pairing derive `bands/` and
+    * `pairs/` FROM the written signatures (the artifact is its own input —
+    * no second hashing pass). Called once per corpus at ingest time
+    * (Verify's materializer hook; Bench's untimed setup); every
+    * [[minhashCandidates]] consumer — q40/q45/q46/q68 dedup policies, the
+    * q101/q104/q150 graph family, q123 calibration — then reads `pairs/`
+    * instead of re-running signature → banding → pairing cold. At 100 TB
+    * this is the difference between one corpus-sized hashing job per
+    * INGEST and one per QUERY; incremental batches (q68's shape) hash only
+    * the new batch and bucket-join its band keys against `bands/`.
+    */
+  def writeSignatureStore(spark: SparkSession, dir: String, maxBucket: Int = 256): Unit = {
+    val store = signatureStorePathFor(dir, maxBucket)
+    minhashSigRows(spark, Tables(spark, dir, "documents"), n = 3, k = K)
+      .write.mode("overwrite").parquet(s"$store/sigs")
+    val sigs = spark.read.parquet(s"$store/sigs")
+    bandBuckets(sigs, maxBucket)
+      .write.mode("overwrite").partitionBy("band").parquet(s"$store/bands")
+    val buckets = spark.read.parquet(s"$store/bands")
+      .select(col("band"), col("key"), col("doc_id"))
+    pairCandidates(sigs, buckets)
+      .write.mode("overwrite").parquet(s"$store/pairs")
+  }
+
+  /** `pairs/` read-back, or None when the store is absent, disabled, or
+    * older than the corpus parquet (a rewritten corpus must never serve
+    * stale candidates — same freshness contract a warehouse table carries).
+    */
+  private def storedCandidates(spark: SparkSession, dir: String, maxBucket: Int): Option[DataFrame] = {
+    val success = new java.io.File(s"${signatureStorePathFor(dir, maxBucket)}/pairs/_SUCCESS")
+    if (signatureStoreEnabled && success.exists() &&
+      success.lastModified >= latestMtime(new java.io.File(s"$dir/documents.parquet")))
+      Some(spark.read.parquet(s"${signatureStorePathFor(dir, maxBucket)}/pairs"))
+    else None
+  }
+
+  private def latestMtime(f: java.io.File): Long =
+    if (!f.exists()) 0L
+    else if (f.isFile) f.lastModified
+    else (f.lastModified +: f.listFiles().map(latestMtime)).max
+
+  /** Cap-filtered (band, key, doc_id) banding of a signature frame. */
+  private def bandBuckets(sigs: DataFrame, maxBucket: Int): DataFrame =
+    sigs
       .select(col("doc_id"), posexplode(bandKeys(col("sig"), BANDS, ROWS)).as(Seq("band", "key")))
       .withColumn("bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
       .filter(col("bsz") <= maxBucket)
       .select(col("band"), col("key"), col("doc_id"))
+
+  /** Bucket-local pairing + signature-match estimate over prepared
+    * signature and banding frames — shared by the cold build and the store
+    * writer so the two paths cannot diverge.
+    */
+  private def pairCandidates(sigs: DataFrame, buckets: DataFrame): DataFrame = {
     val pairs = buckets.as("a")
       .join(buckets.as("b"), Seq("band", "key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -183,6 +259,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / K, 4).as("est_jaccard"))
+  }
+
+  private def buildMinhashCandidates(spark: SparkSession, dir: String, maxBucket: Int): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    // the signature frame feeds three plan branches (banding + both sides of
+    // the pair-signature join); persist so it computes once (~32 longs/doc)
+    val sigs = minhashSigRows(spark, d, n = 3, k = K)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairCandidates(sigs, bandBuckets(sigs, maxBucket))
   }
 
   /** Query surface for the candidates: top pairs, deterministic order. */
@@ -901,10 +986,13 @@ object Dedup {
     "q130_substring_dedup" -> q130Sql)
 
   /** Verify-time side-effects: engine-private stages the oracles read back
-    * as parquet — run once at dump time, never inside a query fn.
+    * as parquet — run once at dump time, never inside a query fn. The
+    * signature store writes FIRST so the loser-set materializers (and every
+    * query fn after them) consume the artifact rather than rebuilding the
+    * candidate pipeline.
     */
   val materializers: Seq[(SparkSession, String) => Unit] =
-    Seq(q45MaterializeLosers _, q46MaterializeLosers _)
+    Seq((s, d) => writeSignatureStore(s, d), q45MaterializeLosers _, q46MaterializeLosers _)
 
   /** q41 oracle parameterized on the block cap — mirrors the Spark side's
     * `bsz <= maxBlock` window filter (cf. q40Sql's bsz/bk CTEs) so oracle

@@ -483,6 +483,35 @@ class PlanSpec extends SparkTestBase {
     assert(!s.contains("SortMergeJoin"), s"no wide join allowed:\n$s")
   }
 
+  test("signature store: consumers scan pairs/, never documents, and match the cold build") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    Dedup.writeSignatureStore(spark, sfDir)
+    Dedup.clearCandidateCache()
+    val cand = Dedup.minhashCandidates(spark, sfDir)
+    // the analyzed plan's ONLY file source must be the store's pairs/ —
+    // a documents scan would mean the signature pipeline recomputed
+    val paths = cand.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+    assert(paths.nonEmpty && paths.forall(_.contains("graft_sigstore")),
+      s"store-backed candidates must scan only pairs/, scanned: ${paths.mkString(", ")}")
+    assert(!paths.exists(_.contains("documents")),
+      s"store-backed candidates must not rescan the corpus: ${paths.mkString(", ")}")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2)).toSeq
+    val fromStore = keyed(cand)
+    // the artifact must be bit-identical to the cold in-session pipeline
+    Dedup.signatureStoreEnabled = false
+    Dedup.clearCandidateCache()
+    val cold =
+      try keyed(Dedup.minhashCandidates(spark, sfDir))
+      finally { Dedup.signatureStoreEnabled = true; Dedup.clearCandidateCache() }
+    assert(fromStore == cold, "store read-back must equal the cold candidate build")
+  }
+
   test("z-order write path: a 2-dim box predicate skips most row groups at scan time") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.functions.{col, max}
