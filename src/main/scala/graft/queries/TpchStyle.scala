@@ -711,6 +711,216 @@ object TpchStyle {
       |  AND l_discount BETWEEN 0.05 AND 0.07
       |  AND l_quantity < 24""".stripMargin
 
+  /** The fixture ships no `partsupp` table, so it is DERIVED — exactly, in
+    * both engines: the key set is the distinct (l_partkey, l_suppkey) pairs
+    * that actually traded, and the two measures are md5-hash functions of
+    * the key (the q84 split idiom): ps_supplycost_cents = 100 + h60(pk:sk)
+    * % 90000, ps_availqty = 1 + h60("a:"+pk:sk) % 9999. Any job — Spark or
+    * the DuckDB oracle — recomputes the identical table from lineitem
+    * alone, which is what unblocks TPC-H Q2/Q9/Q16 with no fixture change.
+    * At 100 TB the derivation is one distinct over a two-column projection
+    * (shuffle on the pair key) — partsupp-sized, not lineitem-sized.
+    */
+  private def partsupp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ColFns.h60
+    val key = concat(col("ps_partkey").cast("string"), lit(":"), col("ps_suppkey").cast("string"))
+    Tables(spark, dir, "lineitem")
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_supplycost_cents", lit(100L) + h60(key) % 90000L)
+      .withColumn("ps_availqty", lit(1L) + h60(concat(lit("a:"), key)) % 9999L)
+  }
+
+  /** The oracle-side derivation — MUST stay in lockstep with [[partsupp]]. */
+  private val partsuppSql: String =
+    """partsupp AS (
+      |  SELECT ps_partkey, ps_suppkey,
+      |    100 + ('0x' || substr(md5(CAST(ps_partkey AS VARCHAR) || ':' || CAST(ps_suppkey AS VARCHAR)), 1, 15))::BIGINT % 90000 AS ps_supplycost_cents,
+      |    1 + ('0x' || substr(md5('a:' || CAST(ps_partkey AS VARCHAR) || ':' || CAST(ps_suppkey AS VARCHAR)), 1, 15))::BIGINT % 9999 AS ps_availqty
+      |  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem))""".stripMargin
+
+  /** Q2-style (minimum-cost supplier): for large parts of one type, the
+    * ASIA supplier whose supply cost is the part's regional minimum — the
+    * classic correlated scalar-MIN subquery over the SAME four-table join
+    * as the outer query. Catalyst decorrelates it into a per-part min
+    * aggregate joined back (PlanSpec-gated: no per-part rescans survive);
+    * the supplier/nation/region dims broadcast on both legs. Ordered by
+    * the unique (s_acctbal desc, p_partkey, s_name) so the LIMIT boundary
+    * cannot drift when two suppliers tie on a hash-derived cost.
+    */
+  def q157TpchQ2(spark: SparkSession, dir: String): DataFrame = {
+    tpchViews(spark, dir)
+    partsupp(spark, dir).createOrReplaceTempView("graft_tpch_partsupp")
+    spark.sql(
+      """SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost_cents
+        |FROM graft_tpch_partsupp
+        |JOIN graft_tpch_part ON p_partkey = ps_partkey
+        |JOIN graft_tpch_supplier ON s_suppkey = ps_suppkey
+        |JOIN graft_tpch_nation ON s_nationkey = n_nationkey
+        |JOIN graft_tpch_region ON n_regionkey = r_regionkey
+        |WHERE p_size >= 40 AND p_type = 'LARGE' AND r_name = 'ASIA'
+        |  AND ps_supplycost_cents = (
+        |    SELECT min(ps2.ps_supplycost_cents)
+        |    FROM graft_tpch_partsupp ps2
+        |    JOIN graft_tpch_supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        |    JOIN graft_tpch_nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN graft_tpch_region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA')
+        |ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 100""".stripMargin)
+  }
+
+  val q157Sql: String =
+    s"""WITH $partsuppSql
+       |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost_cents
+       |FROM partsupp
+       |JOIN part ON p_partkey = ps_partkey
+       |JOIN supplier ON s_suppkey = ps_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE p_size >= 40 AND p_type = 'LARGE' AND r_name = 'ASIA'
+       |  AND ps_supplycost_cents = (
+       |    SELECT min(ps2.ps_supplycost_cents)
+       |    FROM partsupp ps2
+       |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+       |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+       |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+       |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA')
+       |ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 100""".stripMargin
+
+  /** Q9-style (product-type profit): per supplier nation × order year, the
+    * profit on widget parts — revenue minus supply cost × quantity, the
+    * one TPC-H shape where the FACT joins partsupp on the COMPOSITE
+    * (partkey, suppkey) key. Join order matters at 100 TB: part filters
+    * first and broadcasts (it gates the fact early), supplier/nation
+    * broadcast, and only the two fact-sized joins — orders on orderkey,
+    * partsupp on the pair key — shuffle (PlanSpec-gated). Profit is exact
+    * integral micro-units (10⁻⁴ $): round(rev·100)·100 −
+    * ps_supplycost_cents · round(qty·100).
+    */
+  def q158TpchQ9(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders")
+    val s = Tables(spark, dir, "supplier")
+    val n = Tables(spark, dir, "nation")
+    val p = Tables(spark, dir, "part").filter(col("p_name").contains("widget"))
+    val ps = partsupp(spark, dir)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(ps, l("l_partkey") === ps("ps_partkey") && l("l_suppkey") === ps("ps_suppkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) * 100") -
+          col("ps_supplycost_cents") * expr("CAST(round(l_quantity * 100) AS BIGINT)"))
+        .as("profit_micro"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
+  val q158Sql: String =
+    s"""WITH $partsuppSql
+       |SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) * 100
+       |    - ps_supplycost_cents * CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+       |    AS profit_micro
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE '%widget%'
+       |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin
+
+  /** Q16-style (parts/supplier relationship): distinct supplier count per
+    * (brand, type, size) bucket over partsupp, excluding one brand, one
+    * type, a size list, and flagged suppliers (the fixture lacks
+    * s_comment; negative account balance stands in for the complaints
+    * filter, as a left-anti join against a tiny supplier subset). The
+    * count-distinct aggregates over partsupp-sized input — never touches
+    * the fact beyond the derivation.
+    */
+  def q159TpchQ16(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(3, 9, 14, 19, 23, 36, 45, 49)
+    val p = Tables(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(sizes: _*))
+    val excl = Tables(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val ps = partsupp(spark, dir)
+    ps.join(broadcast(p), ps("ps_partkey") === p("p_partkey"))
+      .join(excl, ps("ps_suppkey") === excl("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val q159Sql: String =
+    s"""WITH $partsuppSql
+       |SELECT p_brand, p_type, p_size,
+       |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM partsupp JOIN part ON p_partkey = ps_partkey
+       |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+       |  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+       |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       |GROUP BY 1, 2, 3
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** Q12-style (shipping-mode priority): line counts by ship mode and
+    * order-priority class for lines received in one year. The fixture has
+    * no l_shipmode / l_commitdate / l_receiptdate — all three are
+    * md5-hash-DERIVED per line (the partsupp idiom): mode = hash-pick of
+    * {MAIL, SHIP, TRUCK}, commit = shipdate + 1..25 days, receipt =
+    * shipdate + 1..30 days; the Q12 predicate (commit < receipt, shipped
+    * before commit, MAIL/SHIP only) and the high/low priority split then
+    * run verbatim. Scan-side derivation — no extra join, no shuffle
+    * beyond the orders join and the 3-row rollup.
+    */
+  def q160TpchQ12(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ColFns.h60
+    val lk = concat(col("l_orderkey").cast("string"), lit(":"), col("l_linenumber").cast("string"))
+    val l = Tables(spark, dir, "lineitem")
+      .withColumn("l_shipmode",
+        element_at(array(lit("MAIL"), lit("SHIP"), lit("TRUCK")),
+          (h60(concat(lit("m:"), lk)) % 3 + 1).cast("int")))
+      .withColumn("l_commitdate",
+        date_add(col("l_shipdate").cast("date"), (h60(concat(lit("c:"), lk)) % 25 + 1).cast("int")))
+      .withColumn("l_receiptdate",
+        date_add(col("l_shipdate").cast("date"), (h60(concat(lit("r:"), lk)) % 30 + 1).cast("int")))
+      .filter(col("l_shipmode").isin("MAIL", "SHIP") &&
+        col("l_commitdate") < col("l_receiptdate") &&
+        col("l_shipdate").cast("date") < col("l_commitdate") &&
+        year(col("l_receiptdate")) === 1996)
+    val o = Tables(spark, dir, "orders")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_shipmode"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("low_line_count"))
+      .orderBy(col("l_shipmode"))
+  }
+
+  val q160Sql: String =
+    """WITH l AS (
+      |  SELECT l_orderkey,
+      |    CASE ('0x' || substr(md5('m:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % 3
+      |      WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' ELSE 'TRUCK' END AS l_shipmode,
+      |    CAST(l_shipdate AS DATE) AS sd,
+      |    CAST(l_shipdate AS DATE) + CAST(('0x' || substr(md5('c:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % 25 + 1 AS INTEGER) AS l_commitdate,
+      |    CAST(l_shipdate AS DATE) + CAST(('0x' || substr(md5('r:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % 30 + 1 AS INTEGER) AS l_receiptdate
+      |  FROM lineitem)
+      |SELECT l_shipmode,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM l JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipmode IN ('MAIL', 'SHIP')
+      |  AND l_commitdate < l_receiptdate
+      |  AND sd < l_commitdate
+      |  AND year(l_receiptdate) = 1996
+      |GROUP BY l_shipmode ORDER BY l_shipmode""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_tpch_q13" -> q146TpchQ13 _,
     "q147_tpch_q19" -> q147TpchQ19 _,
@@ -728,7 +938,11 @@ object TpchStyle {
     "q128_tpch_q4" -> q128TpchQ4 _,
     "q131_tpch_q20" -> q131TpchQ20 _,
     "q138_tpch_q15" -> q138TpchQ15 _,
-    "q139_tpch_q11" -> q139TpchQ11 _)
+    "q139_tpch_q11" -> q139TpchQ11 _,
+    "q157_tpch_q2" -> q157TpchQ2 _,
+    "q158_tpch_q9" -> q158TpchQ9 _,
+    "q159_tpch_q16" -> q159TpchQ16 _,
+    "q160_tpch_q12" -> q160TpchQ12 _)
 
   val oracles: Map[String, String] = Map(
     "q146_tpch_q13" -> q146Sql,
@@ -747,5 +961,9 @@ object TpchStyle {
     "q128_tpch_q4" -> q128Sql,
     "q131_tpch_q20" -> q131Sql,
     "q138_tpch_q15" -> q138Sql,
-    "q139_tpch_q11" -> q139Sql)
+    "q139_tpch_q11" -> q139Sql,
+    "q157_tpch_q2" -> q157Sql,
+    "q158_tpch_q9" -> q158Sql,
+    "q159_tpch_q16" -> q159Sql,
+    "q160_tpch_q12" -> q160Sql)
 }

@@ -630,6 +630,25 @@ class PlanSpec extends SparkTestBase {
     df.collect()
   }
 
+  test("q157 TPC-H Q2: correlated scalar MIN decorrelates; q158 Q9 joins shuffle only on the two fact keys") {
+    val q2 = TpchStyle.q157TpchQ2(spark, sfDir)
+    val opt2 = q2.queryExecution.optimizedPlan
+    assert(!opt2.toString.contains("scalar-subquery"),
+      s"Q2's correlated min survived optimization (per-part rescans):\n$opt2")
+    q2.collect()
+    val q9 = TpchStyle.q158TpchQ9(spark, sfDir)
+    val s = finalPlan(q9)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"Q9 must never plan a cartesian:\n$s")
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 3,
+      s"part/supplier/nation must broadcast in Q9:\n$s")
+    // the only shuffled joins are the fact-sized ones: orders on
+    // l_orderkey, partsupp on the composite (partkey, suppkey) pair
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(s).size <= 2,
+      s"Q9 must shuffle at most the orders + partsupp joins:\n$s")
+    q9.collect()
+  }
+
   test("runtime bloom filter: a selective dim filter injects a probe into the fact-side scan") {
     import org.apache.spark.sql.functions.{col, count, lit}
     val s = spark
