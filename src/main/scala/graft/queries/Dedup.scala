@@ -183,7 +183,7 @@ object Dedup {
     * this to decide whether a run needs the signature store at all.
     */
   val candidateConsumers: Set[String] =
-    Set("q40", "q45", "q46", "q68", "q101", "q104", "q123", "q150")
+    Set("q40", "q45", "q46", "q68", "q101", "q104", "q123", "q150", "q161")
 
   /** Kill switch for the store READ path. [[graft.ScaleSmoke]] sets it false:
     * its 1×-vs-10× ratios time the COLD candidate build on both sides, and a
@@ -217,17 +217,28 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$store/pairs")
   }
 
-  /** `pairs/` read-back, or None when the store is absent, disabled, or
-    * older than the corpus parquet (a rewritten corpus must never serve
-    * stale candidates — same freshness contract a warehouse table carries).
+  /** One store table read back, or None when the store is absent, disabled,
+    * or older than the corpus parquet (a rewritten corpus must never serve
+    * stale state — same freshness contract a warehouse table carries).
     */
-  private def storedCandidates(spark: SparkSession, dir: String, maxBucket: Int): Option[DataFrame] = {
-    val success = new java.io.File(s"${signatureStorePathFor(dir, maxBucket)}/pairs/_SUCCESS")
+  private def storedPart(spark: SparkSession, dir: String, maxBucket: Int, part: String): Option[DataFrame] = {
+    val path = s"${signatureStorePathFor(dir, maxBucket)}/$part"
+    val success = new java.io.File(s"$path/_SUCCESS")
     if (signatureStoreEnabled && success.exists() &&
       success.lastModified >= latestMtime(new java.io.File(s"$dir/documents.parquet")))
-      Some(spark.read.parquet(s"${signatureStorePathFor(dir, maxBucket)}/pairs"))
+      Some(spark.read.parquet(path))
     else None
   }
+
+  private def storedCandidates(spark: SparkSession, dir: String, maxBucket: Int): Option[DataFrame] =
+    storedPart(spark, dir, maxBucket, "pairs")
+
+  /** The corpus signature table: the store's `sigs/` when fresh (hash once
+    * per INGEST, the artifact's whole point), else one in-session pass.
+    */
+  private[queries] def corpusSigs(spark: SparkSession, dir: String): DataFrame =
+    storedPart(spark, dir, 256, "sigs").getOrElse(
+      minhashSigRows(spark, Tables(spark, dir, "documents"), n = 3, k = K))
 
   private def latestMtime(f: java.io.File): Long =
     if (!f.exists()) 0L
@@ -284,8 +295,12 @@ object Dedup {
     * Ends with the `ests` CTE (id_a, id_b, est_jaccard); callers append
     * their own tail (and optional further CTEs).
     */
-  private[queries] val minhashCoreSql: String =
-    s"""WITH toks AS (
+  /** The signature + banding prefix (CTEs `toks` → `sigs` → `bands`) —
+    * shared by the within-corpus candidate chain below and the
+    * cross-corpus linkage oracle, which caps and pairs DIFFERENTLY.
+    */
+  private[queries] val minhashSigBandsSql: String =
+    s"""toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), t -> t <> '') AS tl
        |  FROM documents),
        |sh AS (
@@ -307,7 +322,10 @@ object Dedup {
        |  SELECT doc_id, b,
        |    ('0x' || substr(md5(CAST(b AS VARCHAR) || ':' ||
        |      array_to_string(list_transform(sig[b*$ROWS+1 : b*$ROWS+$ROWS], x -> CAST(x AS VARCHAR)), ',')), 1, 15))::BIGINT AS key
-       |  FROM sigs, range($BANDS) rb(b)),
+       |  FROM sigs, range($BANDS) rb(b))""".stripMargin
+
+  private[queries] val minhashCoreSql: String =
+    s"""WITH $minhashSigBandsSql,
        |bsz AS (SELECT b, key, count(*) AS n FROM bands GROUP BY b, key),
        |bk AS (SELECT bands.doc_id, bands.b, bands.key FROM bands JOIN bsz USING (b, key) WHERE bsz.n <= 256),
        |pairs AS (
@@ -954,6 +972,105 @@ object Dedup {
        |FROM spans GROUP BY doc_a, doc_b HAVING max(span_tokens) >= $Q130MinSpan
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** A-side source prefixes for q161 — the "new crawl feed" corpus. */
+  private[graft] val Q161ASources = Seq("src0", "src1", "src2", "src3", "src4")
+  private[graft] val Q161Threshold = 0.5
+
+  /** Cross-corpus fuzzy record linkage over precomputed signature frames:
+    * band A's keys against B's (A×B only — never within-corpus), cap each
+    * side's oversized buckets, dedup candidate ids, estimate Jaccard from
+    * the signatures, then keep each LEFT row's best match at or above the
+    * threshold (argmax per id_a, ties to the smallest id_b). The entity-
+    * resolution shape [[minhashCandidates]] cannot express: its pairs are
+    * one corpus joined to itself on `id_a < id_b`, while linkage joins TWO
+    * differently-keyed datasets and must answer "which existing record is
+    * THIS new record", one row per matched left id.
+    *
+    * Scale shape: candidate generation is bucket-local on both sides
+    * (O(|A|·bands + |B|·bands) exploded rows, one shuffle on the band
+    * key), per-side caps bound every bucket join, and the per-left argmax
+    * windows over the already-tiny match set. With B's signatures served
+    * from the on-disk store, a daily A-batch hashes only itself — the q68
+    * incremental contract, generalized to two corpora.
+    */
+  def linkBySigs(sigsA: DataFrame, sigsB: DataFrame, threshold: Double,
+      maxBucket: Int = 256): DataFrame = {
+    def bands(sigs: DataFrame) = sigs
+      .select(col("doc_id"), posexplode(bandKeys(col("sig"), BANDS, ROWS)).as(Seq("band", "key")))
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
+      .filter(col("bsz") <= maxBucket)
+      .select(col("band"), col("key"), col("doc_id"))
+    val cand = bands(sigsA).withColumnRenamed("doc_id", "id_a")
+      .join(bands(sigsB).withColumnRenamed("doc_id", "id_b"), Seq("band", "key"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val scored = cand
+      .join(sigsA.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigsB.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / K, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id_a"))
+      .orderBy(col("est_jaccard").desc, col("id_b"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** Record linkage over two (doc_id, text) frames — signatures computed
+    * in-session on both sides (the spec's planted-match entry point).
+    */
+  def linkCorpora(spark: SparkSession, a: DataFrame, b: DataFrame,
+      threshold: Double, maxBucket: Int = 256): DataFrame =
+    linkBySigs(minhashSigRows(spark, a, n = 3, k = K),
+      minhashSigRows(spark, b, n = 3, k = K), threshold, maxBucket)
+
+  /** q161: link the [[Q161ASources]] slice (a "new crawl feed") against the
+    * REST of the corpus — for each feed doc, its best existing match at
+    * est_jaccard ≥ [[Q161Threshold]]. Both sides' signatures come from
+    * [[corpusSigs]] (the store when fresh), so the query costs banding +
+    * bucket joins, not a hashing pass.
+    */
+  def q161RecordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val sigs = corpusSigs(spark, dir).join(src, "doc_id")
+    val isA = col("source").isin(Q161ASources: _*)
+    linkBySigs(
+        sigs.filter(isA).select(col("doc_id"), col("sig")),
+        sigs.filter(!isA).select(col("doc_id"), col("sig")),
+        Q161Threshold)
+      .orderBy(col("id_a"))
+  }
+
+  val q161Sql: String = {
+    val inA = Q161ASources.map(s => s"'$s'").mkString(", ")
+    s"""WITH $minhashSigBandsSql,
+       |src AS (SELECT doc_id, source IN ($inA) AS is_a FROM documents),
+       |ba AS (
+       |  SELECT b, key, doc_id FROM (
+       |    SELECT bands.*, count(*) OVER (PARTITION BY b, key) AS n
+       |    FROM bands JOIN src USING (doc_id) WHERE is_a)
+       |  WHERE n <= 256),
+       |bb AS (
+       |  SELECT b, key, doc_id FROM (
+       |    SELECT bands.*, count(*) OVER (PARTITION BY b, key) AS n
+       |    FROM bands JOIN src USING (doc_id) WHERE NOT is_a)
+       |  WHERE n <= 256),
+       |cand AS (
+       |  SELECT DISTINCT ba.doc_id AS id_a, bb.doc_id AS id_b
+       |  FROM ba JOIN bb ON ba.b = bb.b AND ba.key = bb.key),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    round(CAST(len(list_filter(range(1, ${K + 1}), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $K, 4) AS est_jaccard
+       |  FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b)
+       |SELECT id_a, id_b, est_jaccard FROM (
+       |  SELECT scored.*, row_number() OVER (PARTITION BY id_a ORDER BY est_jaccard DESC, id_b) AS rk
+       |  FROM scored WHERE est_jaccard >= $Q161Threshold)
+       |WHERE rk = 1 ORDER BY id_a""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_dedup_agreement" -> q123DedupAgreement _,
     "q40_dedup_minhash_lsh" -> q40MinhashLsh _,
@@ -965,7 +1082,8 @@ object Dedup {
     "q44_dedup_embedding" -> q44EmbeddingNearDup _,
     "q68_incremental_dedup" -> q68IncrementalDedup _,
     "q98_semantic_dedup" -> q98SemanticDedup _,
-    "q130_substring_dedup" -> q130SubstringDedup _)
+    "q130_substring_dedup" -> q130SubstringDedup _,
+    "q161_record_linkage" -> q161RecordLinkage _)
 
   /** Every dedup query is oracle-checked: Jaccard and pair cosines restate
     * directly in SQL, the SimHash and MinHash hash families are md5-based
@@ -983,7 +1101,8 @@ object Dedup {
     "q41_dedup_ngram_jaccard" -> q41SqlFor(Q41MaxBlock),
     "q68_incremental_dedup" -> q68Sql,
     "q98_semantic_dedup" -> q98Sql,
-    "q130_substring_dedup" -> q130Sql)
+    "q130_substring_dedup" -> q130Sql,
+    "q161_record_linkage" -> q161Sql)
 
   /** Verify-time side-effects: engine-private stages the oracles read back
     * as parquet — run once at dump time, never inside a query fn. The

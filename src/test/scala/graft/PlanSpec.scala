@@ -483,6 +483,12 @@ class PlanSpec extends SparkTestBase {
     assert(!s.contains("SortMergeJoin"), s"no wide join allowed:\n$s")
   }
 
+  test("q161 record linkage: bucket-joined A x B, never a cartesian") {
+    val s = finalPlan(Dedup.q161RecordLinkage(spark, sfDir))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"cross-corpus candidates must come from the band-key equi-join:\n$s")
+  }
+
   test("signature store: consumers scan pairs/, never documents, and match the cold build") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     Dedup.writeSignatureStore(spark, sfDir)

@@ -139,6 +139,33 @@ class QueriesSpec extends SparkTestBase {
     assert(survivors.size == total - ccLosers.size)
   }
 
+  test("record linkage recovers every planted A->B match and nothing else") {
+    val s = spark
+    import s.implicits._
+    // 30 distinctive pseudo-word tokens per base doc; B's matches edit ONE
+    // trailing token (shingle Jaccard ~0.89 — banding recall ~99.96%)
+    def text(seed: Long, n: Int = 30) = (0 until n).map(j => s"w${seed * 37 + j}").mkString(" ")
+    val a = Seq(
+      1L -> text(1), 2L -> text(2), 3L -> text(3),
+      6L -> text(6) // planted NON-match: nothing similar on the B side
+    ).toDF("doc_id", "text")
+    val b = Seq(
+      // doc 1 has TWO candidates: an exact copy (est 1.0, smaller id) and
+      // an edit — argmax + the id tie-break must pick the copy either way
+      101L -> text(1),
+      105L -> (text(1).split(" ").dropRight(1).mkString(" ") + " edited"),
+      102L -> (text(2).split(" ").dropRight(1).mkString(" ") + " edited"),
+      103L -> (text(3).split(" ").dropRight(1).mkString(" ") + " edited"),
+      200L -> text(50), 201L -> text(51) // unrelated B records
+    ).toDF("doc_id", "text")
+    val out = graft.queries.Dedup.linkCorpora(spark, a, b, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), s"exactly the planted matches, got $out")
+    assert(out(1L)._1 == 101L && out(1L)._2 == 1.0, s"doc 1 must link to its exact copy, got ${out(1L)}")
+    assert(out(2L)._1 == 102L && out(3L)._1 == 103L, s"edited copies must link back, got $out")
+    assert(out.values.forall(_._2 >= 0.5), s"every match clears the threshold: $out")
+  }
+
   test("simhash is deterministic and bucket = top 16 of 60 bits") {
     val a = Dedup.q42Simhash(spark, sfDir).collect()
     val b = Dedup.q42Simhash(spark, sfDir).collect()
