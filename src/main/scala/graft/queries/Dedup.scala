@@ -517,40 +517,88 @@ object Dedup {
        |WHERE doc_id NOT IN (SELECT doc_id FROM read_parquet('$Q45LosersToken/*.parquet'))
        |GROUP BY lang ORDER BY lang""".stripMargin
 
-  /** Exact n-gram (token-set) Jaccard within blocks. Blocking key =
-    * (lang, source) — the standard "never cross the full corpus" guard;
-    * block sizes stay O(corpus / #blocks) so the within-block pairing
-    * (a shuffled equi-join on the block key) is linear-ish in the corpus.
-    * Lang-only blocking measured 36 s at sf0.1 (5k-doc blocks -> 125M
-    * pairs); (lang, source) keeps blocks ~50 docs.
+  /** Exact n-gram (token-set) Jaccard within CONTENT-REFINED blocks. The
+    * block key is (lang, source, band, min-token-hash): metadata alone is
+    * not a scale-safe blocking key — a (lang, source) slice grows with the
+    * corpus (at 100 TB, ("en", "web") IS the corpus), so within-block
+    * pairing on it is quadratic in corpus density. Composing in the
+    * per-band MINIMUM token hash (the 1-row MinHash of the token set, KM
+    * double-hash family — h_b(t) = md5_60(t) + b·md5_52(t) mod 2^60) makes
+    * the block content-defined: docs pair only when they agree on a band's
+    * min token, which near-dups do with probability ≈ their Jaccard per
+    * band ([[Q41Bands]] = 2 bands ⇒ recall 1−(1−j)² — 96% at j = 0.8,
+    * higher for the top-of-list pairs the query surfaces), while unrelated
+    * docs land in different buckets. Bucket sizes then track near-dup
+    * CLUSTER sizes, not corpus density — pair work stays ~linear as the
+    * corpus grows (the round-6 smoke showed the metadata-only key going
+    * 14× super-linear at 10× density; this is the fix). Scoring is still
+    * EXACT token-set Jaccard — only candidate generation is LSH-refined.
     */
-  /** Shared block cap for q41 — referenced by BOTH the Spark side and the
-    * generated oracle SQL so the cap can never silently diverge between the
-    * engines at a scale factor where a (lang, source) block exceeds it.
+  /** Shared knobs for q41 — referenced by BOTH the Spark side and the
+    * generated oracle SQL so they can never silently diverge between the
+    * engines at any scale factor.
     */
   val Q41MaxBlock = 1024
+  private[graft] val Q41Bands = 2
+
+  /** The q41 bucket frame: one row per (doc, band) with the composite
+    * content block key — shared by the pairing query and the dropped-block
+    * audit. Typed Scala map for the hashing (the [[minhashSigRows]]
+    * rationale: Catalyst higher-order functions interpret per element — a
+    * per-token md5 loop is strictly faster as a typed map; measured 3.8 s
+    * → ~1 s for the sf0.1 bucket pass). One md5 per token, both KM hash
+    * legs read from the digest; tokens match [[tokenSet]] exactly.
+    */
+  private def q41Buckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Q41Bands
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .as[(Long, String, String, String)]
+      .flatMap { case (id, lang, src, text) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+        if (toks.isEmpty) Iterator.empty
+        else {
+          val mins = Array.fill(bands)(Long.MaxValue)
+          toks.foreach { t =>
+            val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val h2 = hash52(d)
+            var h = hash60(d)
+            var b = 0
+            while (b < bands) {
+              if (h < mins(b)) mins(b) = h
+              h = (h + h2) & Mask60 // (h1 + b·h2) mod 2^60, incrementally
+              b += 1
+            }
+          }
+          (0 until bands).iterator.map(b => (id, lang, src, b, mins(b)))
+        }
+      }
+      .toDF("doc_id", "lang", "source", "band", "minh")
+  }
 
   def q41NgramJaccard(spark: SparkSession, dir: String, maxBlock: Int = Q41MaxBlock): DataFrame = {
-    // Block-size cap: within-block pairing is O(block²), so an uncapped hot
-    // block (a skewed ("en","web") at 100 TB is the whole corpus) is a
-    // quadratic scale-killer. Oversized blocks are dropped, same policy as
-    // the LSH maxBucket guard above; q41DroppedBlocks reports what was cut.
-    // block sizes as a TINY broadcast agg, not a corpus-wide window: the
-    // window variant sorted every token array inside WindowExec just to
-    // count block members — a full-corpus sort whose spill behavior made
-    // 10× smoke times swing 4×. The agg shuffles (lang, source, 1) only.
-    val keep = Tables(spark, dir, "documents")
-      .groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("bsz"))
+    // Bucket cap — same policy as the LSH maxBucket guard: a bucket bigger
+    // than the cap means a near-dup cluster (or boilerplate min token) too
+    // hot for exact pairing; it is dropped and q41DroppedBlocks reports it.
+    val capped = q41Buckets(spark, dir)
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"), col("source"), col("band"), col("minh"))))
       .filter(col("bsz") <= maxBlock)
-      .select(col("lang"), col("source"))
-    val d = Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("source"), tokenSet(col("text")).as("toks"))
-      .join(broadcast(keep), Seq("lang", "source"))
-    val a = d.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("toks").as("toks_a"))
-    val b = d.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("toks").as("toks_b"))
-    a.join(b, Seq("lang", "source"))
+      .select(col("lang"), col("source"), col("band"), col("minh"), col("doc_id"))
+    val key = Seq("lang", "source", "band", "minh")
+    val pairs = capped.withColumnRenamed("doc_id", "id_a")
+      .join(capped.withColumnRenamed("doc_id", "id_b"), key)
       .filter(col("id_a") < col("id_b"))
+      .select(col("lang"), col("id_a"), col("id_b"))
+      .distinct()
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokenSet(col("text")).as("toks"))
+    pairs
+      .join(toks.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(toks.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), "id_b")
       .select(col("lang"), col("id_a"), col("id_b"),
         round(
           size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
@@ -559,15 +607,16 @@ object Dedup {
       .limit(50)
   }
 
-  /** Blocks q41 dropped under its cap — surface them so truncation is never
-    * silent (a dropped block means "this slice needs LSH, not exact pairing").
+  /** Buckets q41 dropped under its cap — surface them so truncation is
+    * never silent (a dropped bucket means "this min-token cluster needs
+    * the full-signature LSH pipeline, not exact pairing").
     */
-  def q41DroppedBlocks(spark: SparkSession, dir: String, maxBlock: Int = 1024): DataFrame =
-    Tables(spark, dir, "documents")
-      .groupBy(col("lang"), col("source"))
+  def q41DroppedBlocks(spark: SparkSession, dir: String, maxBlock: Int = Q41MaxBlock): DataFrame =
+    q41Buckets(spark, dir)
+      .groupBy(col("lang"), col("source"), col("band"), col("minh"))
       .agg(count(lit(1)).as("block_size"))
       .filter(col("block_size") > maxBlock)
-      .orderBy(col("block_size").desc, col("lang"), col("source"))
+      .orderBy(col("block_size").desc, col("lang"), col("source"), col("band"), col("minh"))
 
   /** 60-bit token hash = first 15 hex chars of MD5. Chosen over FNV/xxhash
     * because BOTH engines compute it exactly — DuckDB:
@@ -1113,26 +1162,40 @@ object Dedup {
   val materializers: Seq[(SparkSession, String) => Unit] =
     Seq((s, d) => writeSignatureStore(s, d), q45MaterializeLosers _, q46MaterializeLosers _)
 
-  /** q41 oracle parameterized on the block cap — mirrors the Spark side's
-    * `bsz <= maxBlock` window filter (cf. q40Sql's bsz/bk CTEs) so oracle
-    * equivalence holds by construction at ANY scale factor, and so a
-    * low-cap differential run (maxBlock=8 both sides) can exercise the
-    * dropped-block path against DuckDB directly.
+  /** q41 oracle parameterized on the bucket cap — recomputes the composite
+    * (lang, source, band, min-token-hash) block key and the `bsz <=
+    * maxBlock` filter verbatim, so oracle equivalence holds by construction
+    * at ANY scale factor, and a low-cap differential run (maxBlock=8 both
+    * sides) can exercise the dropped-bucket path against DuckDB directly.
     */
   def q41SqlFor(maxBlock: Int): String =
     s"""WITH toks AS (
        |  SELECT doc_id, lang, source,
        |    list_distinct(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), t -> t <> '')) AS toks
        |  FROM documents),
+       |tok AS (SELECT doc_id, lang, source, unnest(toks) AS t FROM toks),
+       |th AS (
+       |  SELECT doc_id, lang, source,
+       |    ('0x' || substr(md5(t), 1, 15))::BIGINT AS h1,
+       |    ('0x' || substr(md5(t), 17, 13))::BIGINT AS h2
+       |  FROM tok),
+       |mins AS (
+       |  SELECT doc_id, lang, source, b, min((h1 + b * h2) % 1152921504606846976) AS minh
+       |  FROM th, range($Q41Bands) r(b) GROUP BY 1, 2, 3, 4),
        |capped AS (
        |  SELECT * FROM (
-       |    SELECT t.*, count(*) OVER (PARTITION BY lang, source) AS bsz FROM toks t)
-       |  WHERE bsz <= $maxBlock)
-       |SELECT lang, id_a, id_b, jaccard FROM (
-       |  SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
-       |    round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-       |      / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
-       |  FROM capped a JOIN capped b
-       |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+       |    SELECT m.*, count(*) OVER (PARTITION BY lang, source, b, minh) AS bsz FROM mins m)
+       |  WHERE bsz <= $maxBlock),
+       |pairs AS (
+       |  SELECT DISTINCT a.lang, a.doc_id AS id_a, b2.doc_id AS id_b
+       |  FROM capped a JOIN capped b2
+       |    ON a.lang = b2.lang AND a.source = b2.source AND a.b = b2.b
+       |   AND a.minh = b2.minh AND a.doc_id < b2.doc_id)
+       |SELECT pairs.lang AS lang, id_a, id_b,
+       |  round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) AS jaccard
+       |FROM pairs
+       |JOIN toks ta ON ta.doc_id = pairs.id_a
+       |JOIN toks tb ON tb.doc_id = pairs.id_b
        |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin
 }
