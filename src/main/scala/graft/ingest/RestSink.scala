@@ -143,12 +143,25 @@ object RestSink {
         _ => new State(maxConcurrent, minTime.toLong))
   }
 
+  /** Header carrying the per-record replay key when the caller supplies
+    * one — the receiver deduplicates on it, turning the channel's
+    * at-least-once delivery into exactly-once EFFECT.
+    */
+  val IdempotencyHeader = "Idempotency-Key"
+
   /** POST/PUT/... one JSON body per record; returns per-record results.
     * The caller should persist the result before running multiple actions
     * on it — each recomputation would re-send the requests.
+    *
+    * `idempotencyKey` (optional, per record) is sent as the
+    * [[IdempotencyHeader]] header: a replayed delivery carries the SAME
+    * key, so a deduplicating receiver applies each record once no matter
+    * how many times a micro-batch retry re-sends it ([[graft.streaming
+    * .EventStream.csvJobStream]] passes (runId, recId)).
     */
   def send(records: DataFrame, recId: Column, body: Column,
-           opts: RestOptions, env: Map[String, String] = sys.env): Dataset[RestResult] = {
+           opts: RestOptions, env: Map[String, String] = sys.env,
+           idempotencyKey: Option[Column] = None): Dataset[RestResult] = {
     val url = resolveUrl(opts, env)
     val method = resolveMethod(opts)
     val headers = (Map(DefaultCookieHeader) ++ opts.headers).toSeq
@@ -156,12 +169,14 @@ object RestSink {
     val (maxConc, minTime) = (opts.maxConcurrent, opts.minTimeMillis)
     val spark = records.sparkSession
     import spark.implicits._
-    records.select(recId.cast("long"), body.cast("string")).as[(Long, String)]
+    val keyCol = idempotencyKey.getOrElse(lit(null)).cast("string")
+    records.select(recId.cast("long"), body.cast("string"), keyCol)
+      .as[(Long, String, String)]
       .mapPartitions { it =>
         val client = HttpClient.newBuilder()
           .connectTimeout(Duration.ofMillis(timeout)).build()
         val limiter = Throttle.forConfig(maxConc, minTime)
-        it.map { case (id, payload) =>
+        it.map { case (id, payload, key) =>
           limiter.pace()
           limiter.sem.acquire()
           try {
@@ -169,6 +184,7 @@ object RestSink {
               .timeout(Duration.ofMillis(timeout))
               .method(method, HttpRequest.BodyPublishers.ofString(if (payload == null) "" else payload))
             headers.foreach { case (k, v) => b.header(k, v) }
+            if (key != null) b.header(IdempotencyHeader, key)
             val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
             val ok = resp.statusCode() == 200
             RestResult(id, resp.statusCode(), if (ok) "SUCCESS" else "FAILED",

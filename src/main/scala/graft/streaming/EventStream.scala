@@ -295,8 +295,14 @@ object EventStream {
     * (`RestSink.send`, `batchStatus`, `BatchJob.statusWithHttp`) verbatim,
     * so a batch `processFile` run over the same fixture is the stream's
     * oracle. Checkpointing makes file ingest exactly-once; the REST POSTs
-    * are at-least-once on micro-batch retry, same as the reference's
-    * resume-after-crash replays.
+    * are at-least-once on micro-batch retry — but each carries a
+    * (runId, recId) Idempotency-Key header, so a deduplicating receiver
+    * (the reference's BatchStatus-under-failure contract) applies every
+    * record exactly once — and the status sink OVERWRITES its own batch's
+    * run_id partition (dynamic partition overwrite) instead of appending,
+    * so a replayed batch converges to the same rows rather than
+    * duplicating them. StreamingSpec proves both by deleting the last
+    * checkpoint commit and re-running the batch for real.
     */
   def csvJobStream(
       spark: SparkSession,
@@ -315,18 +321,29 @@ object EventStream {
         // batch-mode guarantee); the REST/status join needs ids unique
         // WITHIN the micro-batch, which monotonically_increasing_id gives
         // in this (batch) context. (run_id, rec_id) is then unique overall.
+        // the replay key: batchId is stable across retries of the same
+        // micro-batch, and the file source re-serves the same files in the
+        // same splits, so monotonically_increasing_id reproduces the same
+        // per-record ids — (runId, recId) names the same record on replay
+        val runId = s"stream-$batchId"
         val routed = batch
           .withColumn("_rec_id", monotonically_increasing_id())
           .persist()
         try {
           val rest = graft.ingest.RestSink
             .send(successes(routed), col("_rec_id"),
-              to_json(struct(spec.headers.map(col): _*)), restOpts, restEnv)
+              to_json(struct(spec.headers.map(col): _*)), restOpts, restEnv,
+              idempotencyKey = Some(concat_ws(":", lit(runId), col("_rec_id"))))
             .toDF().persist()
           try
             graft.BatchJob.statusWithHttp(batchStatus(routed), Some(rest))
-              .withColumn("run_id", lit(s"stream-$batchId"))
-              .write.mode("append").parquet(statusPath)
+              .withColumn("run_id", lit(runId))
+              .write.mode("overwrite")
+              // idempotent replay: overwrite ONLY this batch's partition —
+              // a re-run converges; other batches' rows are untouched
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("run_id")
+              .parquet(statusPath)
           finally rest.unpersist()
         } finally routed.unpersist()
         ()

@@ -306,6 +306,73 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("csvJobStream replay: a crashed micro-batch re-runs and CONVERGES — keyed POSTs, no duplicate status rows") {
+    import graft.ingest.Parsers.CsvSpec
+    import graft.ingest.RestSink
+    import graft.ingest.RestSink.RestOptions
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    val spec = CsvSpec(headers = Vector("key", "value"))
+    // a stub that DEDUPLICATES on the Idempotency-Key header — the
+    // reference's BatchStatus-under-failure contract: deliveries are
+    // at-least-once, effects must be exactly-once
+    val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+    val applied = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      requests.incrementAndGet()
+      val key = ex.getRequestHeaders.getFirst(RestSink.IdempotencyHeader)
+      if (key != null) applied.add(key)
+      val resp = """{"ok":true}""".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val tmp = Files.createTempDirectory("graft-stream-replay")
+      val inDir = Files.createDirectory(tmp.resolve("in"))
+      val all = Files.readAllLines(
+        java.nio.file.Paths.get("/root/reference/test/batch-100.csv"))
+      Files.write(inDir.resolve("part1.csv"), all.subList(0, 40))
+      val opts = RestOptions(appBaseUrl = Some(base), modelApi = Some("/api/TestData"),
+        method = Some("POST"), minTimeMillis = 0, maxConcurrent = 80)
+      def run(): Unit = {
+        val q = EventStream.csvJobStream(spark, inDir.toString, spec, opts,
+          statusPath = s"$tmp/status", checkpointDir = s"$tmp/ck", restEnv = Map.empty)
+        try q.processAllAvailable() finally q.stop()
+      }
+      run()
+      val firstRequests = requests.get()
+      assert(firstRequests == 40 && applied.size == 40,
+        s"first run: every record POSTs once with a distinct key, got $firstRequests/${applied.size}")
+      // crash injection: side effects landed but the commit marker didn't —
+      // delete the newest commit; on restart the engine re-runs that batch
+      // with the SAME batchId against the SAME files, for real
+      val commits = new java.io.File(s"$tmp/ck/commits").listFiles()
+        .filter(_.getName.forall(_.isDigit))
+      val last = commits.map(_.getName.toInt).max
+      assert(new java.io.File(s"$tmp/ck/commits/$last").delete())
+      // the local checksum FS shadows every file with .N.crc — leave it
+      // behind and the re-commit's rename fails as a spurious concurrent-
+      // modification error
+      new java.io.File(s"$tmp/ck/commits/.$last.crc").delete()
+      run()
+      assert(requests.get() == 2 * firstRequests,
+        s"the batch must really re-POST (at-least-once), got ${requests.get()}")
+      assert(applied.size == firstRequests,
+        s"every replayed POST carried an already-seen (runId, recId) key — zero new effects, got ${applied.size}")
+      // the status sink overwrote its own run_id partition: converged rows
+      val status = spark.read.parquet(s"$tmp/status")
+      assert(status.count() == 40, s"one status row per record, got ${status.count()}")
+      assert(status.groupBy(col("run_id"), col("rec_id")).count()
+        .filter(col("count") > 1).count() == 0, "no duplicate (run_id, rec_id) after replay")
+    } finally server.stop(0)
+  }
+
   test("session_window boundary: an exact-gap event MERGES, one microsecond past it SPLITS") {
     val s = spark
     import s.implicits._
