@@ -56,15 +56,24 @@ object Verify {
     }
     // local-iteration escape hatch shared with Bench (SparkEntry.onlyFilter)
     val keep = SparkEntry.onlyFilter()
-    SparkEntry.queries
+    val rowCounts = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => keep(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      .flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        Some(name -> spark.read.parquet(s"$outDir/$name").count())
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        None
       }
     }
+    // per-query row counts of the DUMPED parquet — the cross-harness drift
+    // artifact: at the same scale factor these must equal Bench's counted
+    // rows (BENCH_DETAIL.json "rows") and the oracle's row counts; any
+    // disagreement is nondeterminism between the harnesses
+    Files.writeString(Paths.get(s"$outDir/rows.json"),
+      rowCounts.map { case (k, n) => s"${q(k)}: $n" }.mkString("{", ",", "}"))
     // resolve runtime placeholders (per-sf loser paths) so the dumped SQL
     // is correct for THIS run's scale factor
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson(sfDir))

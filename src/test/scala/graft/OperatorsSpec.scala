@@ -217,6 +217,26 @@ class OperatorsSpec extends SparkTestBase {
       s"q55 left persisted RDDs behind: ${leaked.toSeq.sorted.mkString(", ")}")
   }
 
+  test("bench count path equals verify dump path row-for-row on drift-prone queries") {
+    // Bench counts fn(...).count(); Verify materializes fn(...) to parquet.
+    // A count-only plan may prune work a full materialization runs, so a
+    // nondeterministic stage could diverge the two harnesses silently —
+    // this pins the drift-prone shapes: store-backed candidates, driver-
+    // side loops, hash sampling, derived-column TPC-H, cross-corpus
+    // linkage, a streaming replay.
+    val probe = Seq("q40_dedup_minhash_lsh", "q55_mmr_rerank", "q57_temperature_sample",
+      "q105_group_sample", "q124_tpch_q7", "q161_record_linkage", "q89_stream_replay")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    probe.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val counted = fn(spark, sfDir).count()
+      fn(spark, sfDir).write.mode("overwrite").parquet(s"$tmp/$name")
+      val dumped = spark.read.parquet(s"$tmp/$name").count()
+      assert(counted == dumped,
+        s"$name: bench count path ($counted) != verify dump path ($dumped)")
+    }
+  }
+
   test("q124 TPC-H Q7 runs as one plan: no net persisted RDDs per call") {
     // the round-6 regression was a .persist() on the tiny (supp, cust,
     // year) aggregate that split the job in three AND leaked into the
