@@ -284,17 +284,107 @@ object CorpusOps {
        |  GROUP BY doc_id, term)
        |GROUP BY term ORDER BY term""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q162: hybrid retrieval — reciprocal-rank fusion of dense + lexical
+  // ---------------------------------------------------------------------
+
+  /** RRF constant (Cormack et al. 2009's k = 60) and result depth. */
+  private[graft] val Q162RrfK = 60
+  private[graft] val Q162TopK = 5
+
+  /** q162: HYBRID query-by-example retrieval — the production ranker shape
+    * where a dense leg (embedding cosine) and a lexical leg (MinHash
+    * signature similarity from the on-disk store) each rank the corpus per
+    * query doc, and reciprocal-rank fusion combines them:
+    * score = Σ_legs 1/(k + rank_leg), k = [[Q162RrfK]] — rank-based, so no
+    * score calibration between legs is needed (the reason RRF is the
+    * default fusion everywhere). A doc missing from a leg (the lexical leg
+    * is SPARSE — only banded candidates rank) contributes nothing from it.
+    *
+    * Exactness: each leg's rank is an integer; per-row 1/(k+r) is one
+    * correctly-rounded division and the fused score adds the two terms —
+    * all per-row scalar math, bit-identical cross-engine. Queries are
+    * embeddings with vec_id < 10 (doc_id ≡ vec_id in the fixture).
+    *
+    * Scale shape: the dense leg here is the brute q50 baseline (broadcast
+    * queries, corpus never shuffles for scoring) so the oracle can restate
+    * it exactly; at 100 TB each leg is already a top-k' LIST (IVF-PQ q129
+    * for dense, the banded store pairs for lexical — both built), and the
+    * fusion below is unchanged: it only ever touches queries × k' rows.
+    */
+  def q162HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val corpus = e.select(col("vec_id").as("doc_id"), col("embedding").as("d_emb"))
+    val wD = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("doc_id"))
+    val dense = corpus.crossJoin(broadcast(queries))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("cos", Similarity.nativeCosine(spark)(col("q_emb"), col("d_emb")))
+      .withColumn("r_dense", row_number().over(wD))
+      .select(col("query_id"), col("doc_id"), col("r_dense"))
+    val cand = Dedup.minhashCandidates(spark, dir)
+    // pairs are unordered; expose each pair from its query side (a pair of
+    // two query docs contributes one row per side)
+    val lex0 = cand.filter(col("id_a") < 10)
+      .select(col("id_a").as("query_id"), col("id_b").as("doc_id"), col("est_jaccard"))
+      .unionByName(cand.filter(col("id_b") < 10)
+        .select(col("id_b").as("query_id"), col("id_a").as("doc_id"), col("est_jaccard")))
+    val wL = Window.partitionBy(col("query_id")).orderBy(col("est_jaccard").desc, col("doc_id"))
+    val lex = lex0.withColumn("r_lex", row_number().over(wL))
+      .select(col("query_id"), col("doc_id"), col("r_lex"))
+    val wF = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id"))
+    dense.join(lex, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(Q162RrfK) + col("r_dense")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(Q162RrfK) + col("r_lex")), lit(0.0)))
+      .withColumn("rk", row_number().over(wF).cast("long"))
+      .filter(col("rk") <= Q162TopK)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("rrf").as("rrf_score"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q162Sql: String = {
+    val cos = "list_sum(list_transform(list_zip(q.embedding, d.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))" +
+      " / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))" +
+      " * sqrt(list_sum(list_transform(d.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    s"""${Dedup.minhashCoreSql},
+       |lex0 AS (
+       |  SELECT id_a AS query_id, id_b AS doc_id, est_jaccard FROM ests WHERE id_a < 10
+       |  UNION ALL
+       |  SELECT id_b AS query_id, id_a AS doc_id, est_jaccard FROM ests WHERE id_b < 10),
+       |lex AS (
+       |  SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY est_jaccard DESC, doc_id) AS r_lex
+       |  FROM lex0),
+       |dense AS (
+       |  SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, d.vec_id) AS r_dense
+       |  FROM embeddings q JOIN embeddings d ON d.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       |fused AS (
+       |  SELECT query_id, doc_id,
+       |    coalesce(1.0 / ($Q162RrfK + r_dense), 0) + coalesce(1.0 / ($Q162RrfK + r_lex), 0) AS rrf
+       |  FROM dense FULL OUTER JOIN lex USING (query_id, doc_id))
+       |SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id, rrf AS rrf_score FROM (
+       |  SELECT fused.*, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rk
+       |  FROM fused)
+       |WHERE rk <= $Q162TopK ORDER BY query_id, rk""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_inverted_index" -> q121InvertedIndex _,
     "q56_bm25_search" -> q56Bm25 _,
     "q57_temperature_sample" -> q57TemperatureSample _,
     "q58_decontaminate" -> q58Decontaminate _,
-    "q59_shard_export" -> q59ShardExport _)
+    "q59_shard_export" -> q59ShardExport _,
+    "q162_hybrid_rrf" -> q162HybridRrf _)
 
   val oracles: Map[String, String] = Map(
     "q121_inverted_index" -> q121Sql,
     "q56_bm25_search" -> q56Sql,
     "q57_temperature_sample" -> q57Sql,
     "q58_decontaminate" -> q58Sql,
-    "q59_shard_export" -> q59Sql)
+    "q59_shard_export" -> q59Sql,
+    "q162_hybrid_rrf" -> q162Sql)
 }

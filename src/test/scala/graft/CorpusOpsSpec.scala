@@ -292,4 +292,31 @@ class CorpusOpsSpec extends SparkTestBase {
         s"match ($a, $b) must come from the shared candidate machinery")
     }
   }
+
+  test("q162 hybrid RRF: full depth per query, fused score monotone, bounded by the two-leg maximum") {
+    import graft.queries.CorpusOps
+    val rows = CorpusOps.q162HybridRrf(spark, sfDir).collect()
+    val k = CorpusOps.Q162RrfK
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == (0L until 10L).toSet, "every query doc must rank")
+    val maxRrf = 2.0 / (k + 1)
+    byQuery.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to CorpusOps.Q162TopK.toLong),
+        s"query $q must emit exactly ranks 1..${CorpusOps.Q162TopK}")
+      val scores = sorted.map(_.getAs[Double]("rrf_score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q fused scores must be non-increasing down the list")
+      assert(scores.forall(s => s > 0.0 && s <= maxRrf + 1e-12),
+        s"query $q scores must lie in (0, 2/(k+1)]: ${scores.toSeq}")
+      // the dense leg ranks the whole corpus, so every result doc is a real
+      // corpus doc distinct from the query
+      assert(sorted.forall(_.getAs[Long]("doc_id") != q))
+    }
+    // a doc that leads BOTH legs gets the maximum possible fused score and
+    // must sit at rk 1 — check wherever the fixture produces one
+    rows.filter(r => math.abs(r.getAs[Double]("rrf_score") - maxRrf) < 1e-12)
+      .foreach(r => assert(r.getAs[Long]("rk") == 1L,
+        s"double-leg leader must fuse to rank 1: $r"))
+  }
 }
