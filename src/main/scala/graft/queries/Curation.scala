@@ -261,7 +261,72 @@ object Curation {
       |FROM r, tau WHERE rn <= 10
       |ORDER BY doc_id""".stripMargin
 
+  /** q163: TOKEN-BUDGET ALLOCATION across sources by exact integer
+    * water-filling — the mixture-design step after quality gating: given
+    * per-source token capacities and a total training budget B (here the
+    * data-derived `total div 2`), saturate small sources (alloc = cap) and
+    * level the rest at a common water line λ so Σ alloc = B EXACTLY.
+    * Closed form over the sources-sized frame, no iteration: sort by cap
+    * ascending, K = the largest prefix whose sources saturate at their own
+    * exclusion level (cap_i · (m−i) ≤ B − prefix_i — monotone in i, so K
+    * is well-defined), λ = (B − prefix_K) div (m−K), and the division
+    * remainder goes one token each to the first (B − prefix_K) mod (m−K)
+    * uncapped sources in the same order, making the budget exact in
+    * integers. Every quantity is BIGINT arithmetic over a sources-sized
+    * window — identical in both engines, and the whole allocator costs one
+    * corpus scan (the capacity agg) plus a tiny single-partition window.
+    */
+  def q163TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val caps = Tables(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(sum(size(wsTokens(normText(col("text")))).cast("long")).as("cap"))
+    val b = caps.agg(expr("CAST(sum(cap) AS BIGINT) div 2").as("budget"))
+    val ord = Window.orderBy(col("cap"), col("source"))
+    val whole = Window.partitionBy()
+    val idx = caps.crossJoin(broadcast(b))
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("pref", sum(col("cap")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("m", count(lit(1)).over(whole).cast("long"))
+      .withColumn("sat", col("cap") * (col("m") - col("i")) <= col("budget") - col("pref"))
+      .withColumn("kk", coalesce(max(when(col("sat"), col("i"))).over(whole), lit(0L)))
+      // pref is monotone in i, so max over satisfying rows IS pref at K
+      .withColumn("pk", coalesce(max(when(col("sat"), col("pref"))).over(whole), lit(0L)))
+    idx
+      .withColumn("alloc",
+        when(col("i") <= col("kk"), col("cap"))
+          .otherwise(expr("(budget - pk) div (m - kk)") +
+            when(col("i") - col("kk") <= expr("(budget - pk) % (m - kk)"), 1L).otherwise(0L)))
+      .select(col("source"), col("cap").as("cap_tokens"), col("alloc").as("alloc_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val q163Sql: String =
+    """WITH caps AS (
+      |  SELECT source,
+      |    CAST(sum(len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'), t -> t <> ''))) AS BIGINT) AS cap
+      |  FROM documents GROUP BY source),
+      |b AS (SELECT CAST(sum(cap) AS BIGINT) // 2 AS budget FROM caps),
+      |idx AS (
+      |  SELECT source, cap, budget,
+      |    row_number() OVER (ORDER BY cap, source) AS i,
+      |    CAST(sum(cap) OVER (ORDER BY cap, source ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pref,
+      |    count(*) OVER () AS m
+      |  FROM caps, b),
+      |k AS (
+      |  SELECT
+      |    coalesce(max(CASE WHEN cap * (m - i) <= budget - pref THEN i END), 0) AS kk,
+      |    coalesce(max(CASE WHEN cap * (m - i) <= budget - pref THEN pref END), 0) AS pk
+      |  FROM idx)
+      |SELECT source, cap AS cap_tokens,
+      |  CAST(CASE WHEN i <= kk THEN cap
+      |       ELSE (budget - pk) // (m - kk)
+      |            + (CASE WHEN i - kk <= (budget - pk) % (m - kk) THEN 1 ELSE 0 END)
+      |  END AS BIGINT) AS alloc_tokens
+      |FROM idx, k ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_token_budget" -> q163TokenBudget _,
     "q144_priority_sample" -> q144PrioritySample _,
     "q80_curation_join" -> q80CurationJoin _,
     "q122_source_gini" -> q122SourceGini _,
@@ -271,6 +336,7 @@ object Curation {
     "q105_group_sample" -> q105GroupSample _)
 
   val oracles: Map[String, String] = Map(
+    "q163_token_budget" -> q163Sql,
     "q144_priority_sample" -> q144Sql,
     "q80_curation_join" -> q80Sql,
     "q122_source_gini" -> q122Sql,

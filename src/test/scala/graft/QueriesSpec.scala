@@ -357,6 +357,26 @@ class QueriesSpec extends SparkTestBase {
     assert(pairs.forall(r => r.getAs[Double]("jaccard") >= 0.0 && r.getAs[Double]("jaccard") <= 1.0))
   }
 
+  test("q163 water-fill: budget met exactly, caps respected, water line flat") {
+    val rows = Curation.q163TokenBudget(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("cap_tokens"), r.getAs[Long]("alloc_tokens")))
+    val total = rows.map(_._2).sum
+    assert(rows.map(_._3).sum == total / 2, "allocations must hit the budget EXACTLY")
+    rows.foreach { case (s, cap, alloc) =>
+      assert(alloc <= cap && alloc >= 0, s"$s: alloc $alloc must lie in [0, cap=$cap]")
+    }
+    val uncapped = rows.filter { case (_, cap, alloc) => alloc < cap }
+    assert(uncapped.nonEmpty, "a half-capacity budget must leave some source unsaturated")
+    val allocs = uncapped.map(_._3)
+    assert(allocs.max - allocs.min <= 1,
+      s"uncapped sources must sit on one water line (±1 remainder token): ${uncapped.toSeq}")
+    // water-filling order: every saturated cap fits under the water line
+    rows.filter { case (_, cap, alloc) => alloc == cap }
+      .foreach { case (s, cap, _) =>
+        assert(cap <= allocs.max, s"saturated source $s (cap=$cap) must sit below the line ${allocs.max}")
+      }
+  }
+
   test("q105 group sample: exactly n per source, equals the window idiom, draw is stable") {
     val rows = Curation.q105GroupSample(spark, sfDir).collect()
     val perSource = rows.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
