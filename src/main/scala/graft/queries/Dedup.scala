@@ -183,7 +183,7 @@ object Dedup {
     * this to decide whether a run needs the signature store at all.
     */
   val candidateConsumers: Set[String] =
-    Set("q40", "q45", "q46", "q68", "q101", "q104", "q123", "q150", "q161", "q162")
+    Set("q40", "q45", "q46", "q68", "q101", "q104", "q123", "q150", "q161", "q162", "q164")
 
   /** Kill switch for the store READ path. [[graft.ScaleSmoke]] sets it false:
     * its 1×-vs-10× ratios time the COLD candidate build on both sides, and a
@@ -1021,6 +1021,67 @@ object Dedup {
        |FROM spans GROUP BY doc_a, doc_b HAVING max(span_tokens) >= $Q130MinSpan
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Where q164 materializes the near-dup component table for the oracle
+    * (per-sf path, same clobber-proofing as [[q45LosersPathFor]]).
+    */
+  def q164CompsPathFor(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q164_comps_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Placeholder [[graft.Verify]] substitutes with the per-sf comps path. */
+  val Q164CompsToken = "__Q164_COMPS__"
+
+  def q164MaterializeComps(spark: SparkSession, dir: String): Unit =
+    connectedComponents(
+        minhashCandidates(spark, dir).filter(col("est_jaccard") >= 0.5))
+      .write.mode("overwrite").parquet(q164CompsPathFor(dir))
+
+  /** Per-doc (comp, split) assignment for q164 — the LEAKAGE-SAFE train/
+    * val/test split: q84's md5-bucket rule, but keyed on the near-dup
+    * CONNECTED COMPONENT id instead of the doc id, so a document and every
+    * transitive near-duplicate of it land in the SAME split by
+    * construction. Doc-keyed splitting leaks: a near-dup pair split across
+    * train and test means the model is evaluated on paraphrases of its
+    * training data — the contamination q58 hunts between corpus and
+    * benchmarks, recreated INSIDE the corpus by the split itself. Docs in
+    * no near-dup pair are their own singleton component (comp = doc_id).
+    */
+  private[graft] def q164DocSplits(spark: SparkSession, dir: String): DataFrame = {
+    val comps = connectedComponents(
+        minhashCandidates(spark, dir).filter(col("est_jaccard") >= 0.5))
+      .withColumnRenamed("id", "doc_id")
+    val bucket = graft.functions.ColFns.h60(col("comp")) % 100
+    Tables(spark, dir, "documents").select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+  }
+
+  /** q164: the per-split report — doc and component counts. The driver-
+    * checked surface; the oracle recomputes the split rule from the
+    * materialized component table ([[q164MaterializeComps]]), and the
+    * QueriesSpec leakage gate proves zero ≥ 0.5 candidate pairs cross
+    * splits (true by construction: same component ⇒ same split).
+    */
+  def q164LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    q164DocSplits(spark, dir)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("comp")).as("n_components"))
+      .orderBy(col("split"))
+
+  val q164Sql: String =
+    s"""SELECT split, count(*) AS n_docs,
+       |  CAST(count(DISTINCT comp) AS BIGINT) AS n_components
+       |FROM (
+       |  SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split, comp
+       |  FROM (
+       |    SELECT coalesce(c.comp, d.doc_id) AS comp,
+       |      ('0x' || substr(md5(CAST(coalesce(c.comp, d.doc_id) AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+       |    FROM documents d
+       |    LEFT JOIN read_parquet('$Q164CompsToken/*.parquet') c ON d.doc_id = c.id))
+       |GROUP BY split ORDER BY split""".stripMargin
+
   /** A-side source prefixes for q161 — the "new crawl feed" corpus. */
   private[graft] val Q161ASources = Seq("src0", "src1", "src2", "src3", "src4")
   private[graft] val Q161Threshold = 0.5
@@ -1132,7 +1193,8 @@ object Dedup {
     "q68_incremental_dedup" -> q68IncrementalDedup _,
     "q98_semantic_dedup" -> q98SemanticDedup _,
     "q130_substring_dedup" -> q130SubstringDedup _,
-    "q161_record_linkage" -> q161RecordLinkage _)
+    "q161_record_linkage" -> q161RecordLinkage _,
+    "q164_leakage_safe_split" -> q164LeakageSafeSplit _)
 
   /** Every dedup query is oracle-checked: Jaccard and pair cosines restate
     * directly in SQL, the SimHash and MinHash hash families are md5-based
@@ -1151,7 +1213,8 @@ object Dedup {
     "q68_incremental_dedup" -> q68Sql,
     "q98_semantic_dedup" -> q98Sql,
     "q130_substring_dedup" -> q130Sql,
-    "q161_record_linkage" -> q161Sql)
+    "q161_record_linkage" -> q161Sql,
+    "q164_leakage_safe_split" -> q164Sql)
 
   /** Verify-time side-effects: engine-private stages the oracles read back
     * as parquet — run once at dump time, never inside a query fn. The
@@ -1160,7 +1223,8 @@ object Dedup {
     * candidate pipeline.
     */
   val materializers: Seq[(SparkSession, String) => Unit] =
-    Seq((s, d) => writeSignatureStore(s, d), q45MaterializeLosers _, q46MaterializeLosers _)
+    Seq((s, d) => writeSignatureStore(s, d), q45MaterializeLosers _,
+      q46MaterializeLosers _, q164MaterializeComps _)
 
   /** q41 oracle parameterized on the bucket cap — recomputes the composite
     * (lang, source, band, min-token-hash) block key and the `bsz <=

@@ -166,6 +166,29 @@ class QueriesSpec extends SparkTestBase {
     assert(out.values.forall(_._2 >= 0.5), s"every match clears the threshold: $out")
   }
 
+  test("q164 leakage-safe split: zero near-dup pairs cross splits, counts conserve") {
+    val splits = Dedup.q164DocSplits(spark, sfDir)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(splits.size == Tables(spark, sfDir, "documents").count(),
+      "every doc gets exactly one split")
+    // THE leakage gate: no candidate pair at the dedup threshold may
+    // straddle train/val/test — the doc-keyed q84 rule cannot guarantee
+    // this; the component-keyed rule does by construction
+    val pairs = Dedup.minhashCandidates(spark, sfDir)
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must have near-dup pairs for the gate to bite")
+    pairs.foreach { case (a, b) =>
+      assert(splits(a) == splits(b),
+        s"near-dup pair ($a, $b) crosses splits: ${splits(a)} vs ${splits(b)}")
+    }
+    // and the reported summary conserves the corpus
+    val report = Dedup.q164LeakageSafeSplit(spark, sfDir).collect()
+    assert(report.map(_.getAs[Long]("n_docs")).sum == splits.size)
+  }
+
   test("simhash is deterministic and bucket = top 16 of 60 bits") {
     val a = Dedup.q42Simhash(spark, sfDir).collect()
     val b = Dedup.q42Simhash(spark, sfDir).collect()
