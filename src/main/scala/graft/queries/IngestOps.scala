@@ -678,7 +678,76 @@ object IngestOps {
       |FROM g GROUP BY user_id, sid
       |ORDER BY user_id, start_us""".stripMargin
 
+  /** q165 — streaming EXACT dedup replayed through real micro-batches:
+    * `dropDuplicatesWithinWatermark` ([[graft.streaming.EventStream
+    * .dedupStream]]), the at-least-once→exactly-once repair every event
+    * pipeline runs in front of its sinks. The feed is the events table
+    * plus a duplicate copy of every 5th event re-timestamped +30 min (a
+    * redelivery half an hour later — inside the 1 h dedup horizon), carved
+    * into 3 event-time-contiguous range files whose mod times force
+    * FileStreamSource to replay them in time order (the q140 idiom), so
+    * some duplicates land in a LATER micro-batch than their original and
+    * the cross-batch state-store path is genuinely exercised (gate:
+    * StreamingSpec proves the fixture splits ≥1 pair across files).
+    *
+    * Time-ordered ranges also make the replay deterministic at any scale:
+    * batch N+1's minimum event time is ≥ batch N's maximum, so no row is
+    * ever behind the watermark (nothing late-dropped) and no original's
+    * dedup state is evicted before its +30 min duplicate arrives. `ts` is
+    * excluded from the output because within one batch either copy may be
+    * the survivor — the carried columns are identical on both.
+    *
+    * Scale: state is one entry per key seen within the last watermark
+    * hour, evicted by event time — memory tracks the redelivery horizon,
+    * never stream length. That bound is the entire reason
+    * dropDuplicatesWithinWatermark exists over dropDuplicates.
+    */
+  def q165StreamDedupReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q165_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val baseDir = new java.io.File(base)
+    if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+    val events = Tables(spark, dir, "events")
+    val dups = events.filter(pmod(col("event_id"), lit(5)) === 0)
+      .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + 1800L * 1000000L))
+    events.unionByName(dups)
+      .repartitionByRange(3, col("ts"), col("event_id"))
+      .write.parquet(s"$base/in")
+    // part-0000N files come out in range (= event-time) order; stamp
+    // strictly increasing mod times so FileStreamSource replays them so
+    val parts = new java.io.File(s"$base/in").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val t0 = parts.map(_.lastModified()).max
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 600000L) }
+    val deduped = graft.streaming.EventStream.dedupStream(
+      graft.streaming.EventStream.readEventStream(spark, s"$base/in", maxFilesPerTrigger = 1),
+      keyCols = Seq("event_id"), watermark = "1 hour")
+    val q = deduped
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .format("parquet")
+      .option("path", s"$base/out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      .parquet(s"$base/out")
+      .orderBy(col("event_id"))
+  }
+
+  /** Dedup-by-key of the doubled feed is exactly the original table, once
+    * each — if the operator forwarded duplicates, every 5th event would
+    * appear twice and the row-count/hash gate fails.
+    */
+  val q165Sql: String =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_stream_dedup_replay" -> q165StreamDedupReplay _,
     "q140_session_window_replay" -> q140SessionWindowReplay _,
     "q145_incremental_agg" -> q145IncrementalAgg _,
     "q152_streaming_ivm" -> q152StreamingIvm _,
@@ -696,6 +765,7 @@ object IngestOps {
     "q65_batch_status" -> q65BatchStatus _)
 
   val oracles: Map[String, String] = Map(
+    "q165_stream_dedup_replay" -> q165Sql,
     "q140_session_window_replay" -> q140Sql,
     "q145_incremental_agg" -> q145Sql,
     "q152_streaming_ivm" -> q145Sql,

@@ -163,6 +163,26 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("q165 replay dedups a doubled feed back to the original table, across real batches") {
+    val events = Tables(spark, sfDir, "events")
+    val out = graft.queries.IngestOps.q165StreamDedupReplay(spark, sfDir)
+    val ids = out.select("event_id").collect().map(_.getLong(0))
+    assert(ids.length == events.count(), "one output row per original event")
+    assert(ids.distinct.length == ids.length, "no duplicate keys survive")
+    // the fixture must exercise the CROSS-batch state path: at least one
+    // original/duplicate pair split across two range files (= micro-batches)
+    val inDir = s"${System.getProperty("java.io.tmpdir")}/graft_q165_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "/in"
+    val perFile = new java.io.File(inDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(f => spark.read.parquet(f.getPath)
+        .filter(pmod(col("event_id"), lit(5)) === 0)
+        .select("event_id").collect().map(_.getLong(0)).toSet)
+    val crossFile = perFile.combinations(2)
+      .exists { case Array(a, b) => a.intersect(b).nonEmpty }
+    assert(crossFile, "fixture must split >=1 dup pair across range files")
+  }
+
   test("watermarked sessionization: late events merge, idle sessions time out and evict") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
