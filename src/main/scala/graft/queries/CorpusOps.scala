@@ -372,7 +372,88 @@ object CorpusOps {
        |WHERE rk <= $Q162TopK ORDER BY query_id, rk""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q166: bigram-LM perplexity scoring (integer-bits surprisal)
+  // ---------------------------------------------------------------------
+
+  /** Keep documents at or below this mean surprisal (milli-bits/bigram) —
+    * ≈ the dev-fixture corpus median; a deployment derives it from a
+    * quantile of the score column (q74/q153 machinery).
+    */
+  private[queries] val Q166KeepMbits = 4320L
+
+  /** q166 — LM-perplexity quality filtering (the CCNet recipe): train an
+    * add-one-smoothed bigram model ON the corpus, score every document by
+    * its mean per-bigram surprisal, flag the low-perplexity half to keep.
+    * Too-surprising text under a corpus LM is boilerplate-free gibberish;
+    * too-predictable is template spam — either way the score is THE
+    * standard model-based quality signal between heuristics (q31) and a
+    * learned classifier.
+    *
+    * Exactness (the file-head discipline — no `ln`): surprisal is the
+    * INTEGER log2 of the inverse smoothed probability,
+    * `bits = floor(log2((c1 + V) div (c2 + 1)))`, computed as
+    * `length(bin(q)) − 1` — a string length, bit-exact on both engines.
+    * Mean surprisal is within 1 bit/bigram of the float cross-entropy,
+    * which ranks identically for filtering purposes and hash-compares
+    * exactly.
+    *
+    * Scale shape: ONE corpus tokenize feeds both the model build and the
+    * scoring stream. Model = bigram counts c2 (one shuffle on (w1, w2),
+    * partial-agg'd map-side), with prefix counts c1 DERIVED from c2 and
+    * vocab V a one-row broadcast — no second corpus scan. c1 attaches to
+    * c2 model-side (vocab-sparse frame), so scoring pays exactly one
+    * corpus-stream shuffle: the (w1, w2) count-attach join. At 100 TB the
+    * model table persists bucketed by (w1, w2) once per corpus snapshot
+    * and every scoring batch joins against it — the q68 amortization
+    * contract applied to an LM.
+    */
+  def q166BigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), wsTokens(normText(col("text"))).as("toks"))
+    val big = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks)-1), " +
+          "i -> struct(element_at(toks, i) AS w1, element_at(toks, i+1) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = toks.select(explode(col("toks")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val model = c2.join(c1, "w1")
+    big.join(model, Seq("w1", "w2")).crossJoin(broadcast(v))
+      .withColumn("bits", (length(bin(expr("(c1 + v) div (c2 + 1)"))) - 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
+      .withColumn("mean_mbits", expr("sum_bits * 1000L div n_bigrams"))
+      .withColumn("keep", (col("mean_mbits") <= Q166KeepMbits).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q166Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, p[1] AS w1, p[2] AS w2
+       |  FROM (SELECT doc_id, unnest(list_zip(toks[1:-2], toks[2:])) AS p FROM t WHERE len(toks) >= 2)),
+       |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM (SELECT unnest(toks) AS tok FROM t)),
+       |s AS (
+       |  SELECT doc_id, length(bin((c1 + v) // (c2 + 1))) - 1 AS bits
+       |  FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+       |SELECT doc_id, n_bigrams, sum_bits, mean_mbits,
+       |  CAST(mean_mbits <= $Q166KeepMbits AS INT) AS keep
+       |FROM (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(bits) AS BIGINT) AS sum_bits,
+       |    CAST(sum(bits) AS BIGINT) * 1000 // count(*) AS mean_mbits
+       |  FROM s GROUP BY doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_bigram_surprisal" -> q166BigramSurprisal _,
     "q121_inverted_index" -> q121InvertedIndex _,
     "q56_bm25_search" -> q56Bm25 _,
     "q57_temperature_sample" -> q57TemperatureSample _,
@@ -381,6 +462,7 @@ object CorpusOps {
     "q162_hybrid_rrf" -> q162HybridRrf _)
 
   val oracles: Map[String, String] = Map(
+    "q166_bigram_surprisal" -> q166Sql,
     "q121_inverted_index" -> q121Sql,
     "q56_bm25_search" -> q56Sql,
     "q57_temperature_sample" -> q57Sql,

@@ -490,7 +490,75 @@ object EventsOps {
       |                 ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
       |WHERE n_frame = 6 ORDER BY hour_ts, event_type""".stripMargin
 
+  /** q167 — SCD TYPE-2 dimension build: compress each user's event stream
+    * into state-validity intervals. The event_type sequence is read as a
+    * change log of the user's current state; consecutive repeats of the
+    * same state collapse into one interval (gaps-and-islands on VALUE
+    * change — the sibling of q22's islands on TIME gaps), each island
+    * becomes one dimension row with `valid_from_us`/`valid_to_us`
+    * (half-open, next island's start) and `is_current` on the open tail —
+    * the warehouse-standard slowly-changing-dimension shape that q110's
+    * diff and q134's MERGE both feed into.
+    *
+    * Exactness: epoch-microsecond integers end to end; within-timestamp
+    * order pinned by event_id on both engines.
+    *
+    * Scale: ONE shuffle on user_id; every window (change detect, island
+    * id, interval close) runs inside that partition, and version numbers
+    * are per-user — no global sequence, the property that lets 10^9 users
+    * build in parallel. With events bucketed by user_id (`Sinks.bucketed`)
+    * even that exchange vanishes; the output inherits the partitioning, so
+    * the downstream as-of join (q70) probes it shuffle-free.
+    */
+  def q167Scd2Build(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type").as("state"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("chg",
+        when(lag(col("state"), 1).over(byUser).isNull ||
+          lag(col("state"), 1).over(byUser) =!= col("state"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("chg")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val islands = e.groupBy(col("user_id"), col("island"))
+      .agg(min(col("state")).as("state"), // constant within an island
+        min(col("ts_us")).as("valid_from_us"), count(lit(1)).as("n_events"))
+    islands
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("island"))))
+      .select(col("user_id"), col("island").as("version"), col("state"),
+        col("valid_from_us"), col("valid_to_us"),
+        when(col("valid_to_us").isNull, 1).otherwise(0).as("is_current"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val q167Sql: String =
+    """WITH f AS (
+      |  SELECT user_id, event_id, event_type AS state, epoch_us(ts) AS ts_us,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |g AS (
+      |  SELECT user_id, state, ts_us,
+      |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM f),
+      |i AS (
+      |  SELECT user_id, island, min(state) AS state,
+      |    min(ts_us) AS valid_from_us, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM g GROUP BY user_id, island)
+      |SELECT user_id, CAST(island AS BIGINT) AS version, state, valid_from_us,
+      |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY island) AS valid_to_us,
+      |  CAST(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY island) IS NULL
+      |    AS INT) AS is_current,
+      |  n_events
+      |FROM i ORDER BY user_id, version""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_scd2_build" -> q167Scd2Build _,
     "q103_retention_cohorts" -> q103RetentionCohorts _,
     "q117_rolling_dau" -> q117RollingDau _,
     "q118_event_paths" -> q118EventPaths _,
@@ -508,6 +576,7 @@ object EventsOps {
     "q106_markov_transitions" -> q106MarkovTransitions _)
 
   val oracles: Map[String, String] = Map(
+    "q167_scd2_build" -> q167Sql,
     "q103_retention_cohorts" -> q103Sql,
     "q117_rolling_dau" -> q117Sql,
     "q118_event_paths" -> q118Sql,

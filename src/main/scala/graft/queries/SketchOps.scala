@@ -587,7 +587,97 @@ object SketchOps {
       |  USING (user_id))
       |SELECT est_join_size, exact_join_size FROM est, ex""".stripMargin
 
+  /** q168 Bloom geometry: m bits as m/32 32-bit words in BIGINTs (the
+    * sign-safe word width — a 1<<63 mask overflows differently across
+    * engines), k hash probes from the shared md5-60 family.
+    */
+  private[graft] val Q168M = 4096
+  private[graft] val Q168K = 3
+  private[graft] val Q168Cutoff = "2001-06-01"
+
+  /** q168 — BLOOM-FILTER membership prefilter with a false-positive
+    * audit: build an (m=4096, k=3) Bloom filter over "customers with an
+    * order since [[Q168Cutoff]]", probe every customer, and emit the
+    * bloom-positive rows labeled actual vs false positive. This is the
+    * join-prefilter pattern the engine's native runtime bloom gate
+    * (PlanSpec) exercises inside Catalyst, surfaced as an EXPLICIT
+    * mergeable sketch: word-level OR merges shards, so a 1000-executor
+    * build is one map-side-combinable aggregation over ≤ m/32 rows of
+    * state — and unlike Spark's `bloom_filter_agg` its md5 hash family
+    * restates bit-for-bit in the oracle.
+    *
+    * Scale shape: the build shuffles only 128-word partials (bit_or
+    * combines map-side); the finished filter is a ~1 KB frame BROADCAST
+    * to the probe side, which therefore never shuffles — k word lookups
+    * + a bitwise AND per probe row replace shuffling 10^9 probe rows
+    * against 10^7 member keys. The exact-membership audit join runs only
+    * over bloom HITS (the prefilter's own promise: negatives are
+    * definite). The FP column is the m/k sizing evidence: at 10× members
+    * with m fixed the filter saturates and the audit shows it — sizing
+    * m with the corpus (or stacking filters per shard) is the deployment
+    * rule, and this row is the measurement that enforces it.
+    */
+  def q168BloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    def posCol(j: Int, key: Column): Column =
+      pmod(md5_60(concat(lit(s"$j:"), key.cast("string"))), lit(Q168M.toLong))
+    val members = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(Q168Cutoff).cast("timestamp"))
+      .select(col("o_custkey").as("key")).distinct()
+    val words = members
+      .select(explode(array((0 until Q168K).map(j => posCol(j, col("key"))): _*)).as("pos"))
+      .select(expr("pos div 32").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("mask"))
+      .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
+    val probed = (0 until Q168K).foldLeft(
+        Tables(spark, dir, "customer").select(col("c_custkey"))
+          .withColumns((0 until Q168K).map(j => s"p$j" -> posCol(j, col("c_custkey"))).toMap)) {
+      (df, j) =>
+        df.join(broadcast(words.select(col("word").as(s"w$j"), col("bits").as(s"b$j"))),
+            expr(s"p$j div 32") === col(s"w$j"), "left")
+          .withColumn(s"h$j", coalesce(
+            expr(s"(b$j & shiftleft(CAST(1 AS BIGINT), CAST(p$j % 32 AS INT))) != 0"),
+            lit(false)))
+    }
+    probed.filter(col("h0") && col("h1") && col("h2"))
+      .join(members.withColumn("actual", lit(1)), col("c_custkey") === col("key"), "left")
+      .select(col("c_custkey"), coalesce(col("actual"), lit(0)).as("actual"),
+        (lit(1) - coalesce(col("actual"), lit(0))).as("false_pos"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q168Sql: String = {
+    def pos(j: Int, key: String) =
+      s"('0x' || substr(md5('$j:' || CAST($key AS VARCHAR)), 1, 15))::BIGINT % $Q168M"
+    s"""WITH members AS (
+       |  SELECT DISTINCT o_custkey AS key FROM orders
+       |  WHERE o_orderdate >= TIMESTAMP '$Q168Cutoff'),
+       |pos AS (
+       |  SELECT ('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || CAST(key AS VARCHAR)), 1, 15))::BIGINT % $Q168M AS pos
+       |  FROM members, (VALUES (0), (1), (2)) j(j)),
+       |words AS (
+       |  SELECT pos // 32 AS word,
+       |    bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+       |  FROM pos GROUP BY 1),
+       |p AS (
+       |  SELECT c_custkey, ${pos(0, "c_custkey")} AS p0,
+       |    ${pos(1, "c_custkey")} AS p1, ${pos(2, "c_custkey")} AS p2
+       |  FROM customer),
+       |h AS (
+       |  SELECT c_custkey,
+       |    coalesce((w0.bits & (1::BIGINT << CAST(p0 % 32 AS INT))) <> 0, FALSE) AS h0,
+       |    coalesce((w1.bits & (1::BIGINT << CAST(p1 % 32 AS INT))) <> 0, FALSE) AS h1,
+       |    coalesce((w2.bits & (1::BIGINT << CAST(p2 % 32 AS INT))) <> 0, FALSE) AS h2
+       |  FROM p LEFT JOIN words w0 ON p0 // 32 = w0.word
+       |         LEFT JOIN words w1 ON p1 // 32 = w1.word
+       |         LEFT JOIN words w2 ON p2 // 32 = w2.word)
+       |SELECT c_custkey, CAST(m.key IS NOT NULL AS INT) AS actual,
+       |  CAST(m.key IS NULL AS INT) AS false_pos
+       |FROM h LEFT JOIN members m ON h.c_custkey = m.key
+       |WHERE h0 AND h1 AND h2 ORDER BY c_custkey""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_bloom_prefilter" -> q168BloomPrefilter _,
     "q136_kmv_distinct" -> q136KmvDistinct _,
     "q137_cms_heavy_hitters" -> q137CmsHeavyHitters _,
     "q141_kmv_set_ops" -> q141KmvSetOps _,
@@ -597,6 +687,7 @@ object SketchOps {
     "q156_cms_join_size" -> q156CmsJoinSize _)
 
   val oracles: Map[String, String] = Map(
+    "q168_bloom_prefilter" -> q168Sql,
     "q136_kmv_distinct" -> q136Sql,
     "q137_cms_heavy_hitters" -> q137Sql,
     "q141_kmv_set_ops" -> q141Sql,

@@ -166,6 +166,57 @@ class QueriesSpec extends SparkTestBase {
     assert(out.values.forall(_._2 >= 0.5), s"every match clears the threshold: $out")
   }
 
+  test("q166 bigram surprisal: bigrams conserve tokens, both keep classes present") {
+    val out = CorpusOps.q166BigramSurprisal(spark, sfDir).collect()
+    val nBig = out.map(_.getAs[Long]("n_bigrams")).sum
+    val expected = Tables(spark, sfDir, "documents")
+      .select(graft.queries.TextOps.wsTokens(graft.queries.TextOps.normText(col("text"))).as("t"))
+      .filter(size(col("t")) >= 2)
+      .agg(sum(size(col("t")) - 1)).head().getLong(0)
+    assert(nBig == expected, "sum of per-doc bigrams == sum(len(toks)-1)")
+    // surprisal is a genuine per-doc signal: the fixture straddles the cut
+    val keeps = out.map(_.getAs[Int]("keep")).toSet
+    assert(keeps == Set(0, 1), "threshold must separate the corpus into both classes")
+    out.foreach { r =>
+      val mean = r.getAs[Long]("mean_mbits")
+      assert(mean >= 0 && mean <= 60000, s"mean surprisal in [0, 60] bits, got $mean")
+    }
+  }
+
+  test("q167 SCD2: intervals tile each user's history, no zero-change rows") {
+    val rows = EventsOps.q167Scd2Build(spark, sfDir).collect()
+    val events = Tables(spark, sfDir, "events")
+    assert(rows.map(_.getAs[Long]("n_events")).sum == events.count(),
+      "island sizes conserve the event count")
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, hist) =>
+      val sorted = hist.sortBy(_.getAs[Long]("version"))
+      assert(sorted.count(_.getAs[Int]("is_current") == 1) == 1,
+        s"user $u has exactly one open interval")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to_us") == b.getAs[Long]("valid_from_us"),
+            s"user $u: half-open intervals must tile")
+          assert(a.getAs[String]("state") != b.getAs[String]("state"),
+            s"user $u: consecutive versions must change state")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q168 bloom: no false negatives, and hits beyond members are audited as FPs") {
+    val out = SketchOps.q168BloomPrefilter(spark, sfDir).collect()
+    val hits = out.map(_.getAs[Long]("c_custkey")).toSet
+    val members = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit(SketchOps.Q168Cutoff).cast("timestamp"))
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(members.subsetOf(hits), "a Bloom filter NEVER false-negatives a member")
+    out.foreach { r =>
+      val actual = r.getAs[Int]("actual")
+      assert(members.contains(r.getAs[Long]("c_custkey")) == (actual == 1), "actual column is truthful")
+      assert(r.getAs[Int]("false_pos") == 1 - actual)
+    }
+  }
+
   test("q164 leakage-safe split: zero near-dup pairs cross splits, counts conserve") {
     val splits = Dedup.q164DocSplits(spark, sfDir)
       .select(col("doc_id"), col("split")).collect()
