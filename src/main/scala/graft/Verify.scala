@@ -27,7 +27,8 @@ object Verify {
     val tokens = Seq(
       graft.queries.Dedup.Q45LosersToken -> graft.queries.Dedup.q45LosersPathFor(sfDir),
       graft.queries.Dedup.Q46LosersToken -> graft.queries.Dedup.q46LosersPathFor(sfDir),
-      graft.queries.Dedup.Q164CompsToken -> graft.queries.Dedup.q164CompsPathFor(sfDir))
+      graft.queries.Dedup.Q164CompsToken -> graft.queries.Dedup.q164CompsPathFor(sfDir),
+      graft.queries.Dedup.Q169PairsToken -> graft.queries.Dedup.q169PairsPathFor(sfDir))
     SparkEntry.oracleSql
       .map { case (k, v) =>
         val sql = tokens.foldLeft(v) { case (s, (tok, path)) => s.replace(tok, path) }

@@ -183,7 +183,7 @@ object Dedup {
     * this to decide whether a run needs the signature store at all.
     */
   val candidateConsumers: Set[String] =
-    Set("q40", "q45", "q46", "q68", "q101", "q104", "q123", "q150", "q161", "q162", "q164")
+    Set("q40", "q45", "q46", "q68", "q101", "q104", "q123", "q150", "q161", "q162", "q164", "q169")
 
   /** Kill switch for the store READ path. [[graft.ScaleSmoke]] sets it false:
     * its 1×-vs-10× ratios time the COLD candidate build on both sides, and a
@@ -1021,6 +1021,64 @@ object Dedup {
        |FROM spans GROUP BY doc_a, doc_b HAVING max(span_tokens) >= $Q130MinSpan
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Where q169 materializes the q161 matched-pairs table for the oracle
+    * (per-sf path, same clobber-proofing as [[q45LosersPathFor]]).
+    */
+  def q169PairsPathFor(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q169_pairs_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Placeholder [[graft.Verify]] substitutes with the per-sf pairs path. */
+  val Q169PairsToken = "__Q169_PAIRS__"
+
+  def q169MaterializePairs(spark: SparkSession, dir: String): Unit =
+    q161RecordLinkage(spark, dir)
+      .write.mode("overwrite").parquet(q169PairsPathFor(dir))
+
+  /** q169 — GOLDEN-RECORD survivorship, the merge step after q161's
+    * linkage: for every (feed record, master record) match, build the
+    * merged record by FIELD-LEVEL precedence rules — content fields by
+    * completeness (the longer text wins, ties to the feed side A),
+    * identity fields by master precedence (the established B-side lang
+    * survives, with a conflict flag for stewardship), lineage as the
+    * concatenated source trail. This is the MDM "survivorship" contract:
+    * linkage decides WHICH records are the same entity, survivorship
+    * decides what the one surviving row SAYS.
+    *
+    * Scale shape: the pairs frame is the tiny side by construction (one
+    * row per matched feed record), so both field lookups BROADCAST it
+    * against the documents scan — the corpus never shuffles, and the
+    * rules are pure per-row column expressions (codegen'd, no UDF).
+    */
+  def q169Survivorship(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val a = d.select(col("doc_id").as("id_a"), col("lang").as("lang_a"),
+      col("source").as("source_a"), col("n_chars").as("n_chars_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
+      col("source").as("source_b"), col("n_chars").as("n_chars_b"))
+    q161RecordLinkage(spark, dir)
+      .join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        when(col("n_chars_a") >= col("n_chars_b"), "A").otherwise("B").as("text_from"),
+        col("lang_b").as("lang"),
+        (col("lang_a") =!= col("lang_b")).cast("int").as("lang_conflict"),
+        concat(col("source_a"), lit("+"), col("source_b")).as("sources"),
+        greatest(col("n_chars_a"), col("n_chars_b")).as("n_chars"))
+      .orderBy(col("id_a"))
+  }
+
+  val q169Sql: String =
+    s"""SELECT p.id_a, p.id_b, p.est_jaccard,
+       |  CASE WHEN a.n_chars >= b.n_chars THEN 'A' ELSE 'B' END AS text_from,
+       |  b.lang AS lang,
+       |  CAST(a.lang <> b.lang AS INT) AS lang_conflict,
+       |  a.source || '+' || b.source AS sources,
+       |  greatest(a.n_chars, b.n_chars) AS n_chars
+       |FROM read_parquet('$Q169PairsToken/*.parquet') p
+       |JOIN documents a ON a.doc_id = p.id_a
+       |JOIN documents b ON b.doc_id = p.id_b
+       |ORDER BY p.id_a""".stripMargin
+
   /** Where q164 materializes the near-dup component table for the oracle
     * (per-sf path, same clobber-proofing as [[q45LosersPathFor]]).
     */
@@ -1194,7 +1252,8 @@ object Dedup {
     "q98_semantic_dedup" -> q98SemanticDedup _,
     "q130_substring_dedup" -> q130SubstringDedup _,
     "q161_record_linkage" -> q161RecordLinkage _,
-    "q164_leakage_safe_split" -> q164LeakageSafeSplit _)
+    "q164_leakage_safe_split" -> q164LeakageSafeSplit _,
+    "q169_survivorship" -> q169Survivorship _)
 
   /** Every dedup query is oracle-checked: Jaccard and pair cosines restate
     * directly in SQL, the SimHash and MinHash hash families are md5-based
@@ -1214,7 +1273,8 @@ object Dedup {
     "q98_semantic_dedup" -> q98Sql,
     "q130_substring_dedup" -> q130Sql,
     "q161_record_linkage" -> q161Sql,
-    "q164_leakage_safe_split" -> q164Sql)
+    "q164_leakage_safe_split" -> q164Sql,
+    "q169_survivorship" -> q169Sql)
 
   /** Verify-time side-effects: engine-private stages the oracles read back
     * as parquet — run once at dump time, never inside a query fn. The
@@ -1224,7 +1284,7 @@ object Dedup {
     */
   val materializers: Seq[(SparkSession, String) => Unit] =
     Seq((s, d) => writeSignatureStore(s, d), q45MaterializeLosers _,
-      q46MaterializeLosers _, q164MaterializeComps _)
+      q46MaterializeLosers _, q164MaterializeComps _, q169MaterializePairs _)
 
   /** q41 oracle parameterized on the bucket cap — recomputes the composite
     * (lang, source, band, min-token-hash) block key and the `bsz <=

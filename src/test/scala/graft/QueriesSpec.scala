@@ -217,6 +217,25 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q169 survivorship: one golden row per q161 match, rules truthful") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val matches = Dedup.q161RecordLinkage(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = Dedup.q169Survivorship(spark, sfDir).collect()
+    assert(out.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet == matches,
+      "exactly one golden row per linkage match")
+    out.foreach { r =>
+      val (la, ca) = docs(r.getAs[Long]("id_a"))
+      val (lb, cb) = docs(r.getAs[Long]("id_b"))
+      assert(r.getAs[String]("text_from") == (if (ca >= cb) "A" else "B"), "completeness rule")
+      assert(r.getAs[String]("lang") == lb, "master precedence on identity fields")
+      assert(r.getAs[Int]("lang_conflict") == (if (la != lb) 1 else 0))
+      assert(r.getAs[Long]("n_chars") == math.max(ca, cb))
+    }
+  }
+
   test("q164 leakage-safe split: zero near-dup pairs cross splits, counts conserve") {
     val splits = Dedup.q164DocSplits(spark, sfDir)
       .select(col("doc_id"), col("split")).collect()
