@@ -557,7 +557,77 @@ object EventsOps {
       |  n_events
       |FROM i ORDER BY user_id, version""".stripMargin
 
+  /** q171 — GROUP-WISE OLS TREND, exact-integer: fit
+    * `daily_count ~ day` per event_type and report the least-squares
+    * slope and intercept in milli-units — the "is this metric growing"
+    * regression every monitoring pipeline bolts onto its daily rollups
+    * (q115's drift detector asks "did the mix shift"; this asks "what is
+    * the direction and rate").
+    *
+    * Exactness: x = day index RE-BASED to the corpus minimum (one-row
+    * broadcast scalar, the q94 idiom) so x ∈ [0, span) and every moment
+    * (n, Σx, Σy, Σxy, Σx²) is a small exact BIGINT; slope and intercept
+    * are the closed-form rationals evaluated with ONE integral division:
+    * `slope_milli = 1000(nΣxy − ΣxΣy) div (nΣx² − (Σx)²)`. No floats
+    * anywhere, so the fit hash-compares bit-for-bit. Unlike the module's
+    * other divisions the numerator CAN be negative (a declining metric):
+    * Spark's `div` and DuckDB's `//` both truncate toward zero (checked
+    * -7/2 = -3 on each), and the denominator is ≥ 0 by Cauchy–Schwarz,
+    * so the engines agree on every sign. Degenerate groups
+    * (a single active day: zero variance) emit NULL slope/intercept via
+    * a guarded division on both engines.
+    *
+    * Scale shape: the daily rollup is the only event-stream shuffle
+    * (map-side combinable); the regression runs over |types|×|days| rows,
+    * and the moments themselves are one more tiny agg — mergeable partial
+    * sums, so shards combine like every sketch here. Rebasing keeps the
+    * moments in BIGINT range at ANY corpus span (epoch-day x would put
+    * Σy·Σx² near 2^63 at 10⁵ types).
+    */
+  def q171TrendFit(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val minDay = daily.agg(min(col("day")).as("min_day"))
+    val m = daily.crossJoin(broadcast(minDay))
+      .select(col("event_type"), (col("day") - col("min_day")).cast("long").as("x"),
+        col("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    m.select(col("event_type"), col("n_days"), col("sy").as("total"),
+        when(col("n_days") * col("sxx") - col("sx") * col("sx") === 0, lit(null))
+          .otherwise(expr("1000 * (n_days * sxy - sx * sy) div (n_days * sxx - sx * sx)"))
+          .as("slope_milli"),
+        when(col("n_days") * col("sxx") - col("sx") * col("sx") === 0, lit(null))
+          .otherwise(expr("1000 * (sy * sxx - sx * sxy) div (n_days * sxx - sx * sx)"))
+          .as("intercept_milli"))
+      .orderBy(col("event_type"))
+  }
+
+  val q171Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |mn AS (SELECT min(day) AS min_day FROM daily),
+      |m AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(day - min_day) AS BIGINT) AS sx,
+      |    CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum((day - min_day) * y) AS BIGINT) AS sxy,
+      |    CAST(sum((day - min_day) * (day - min_day)) AS BIGINT) AS sxx
+      |  FROM daily CROSS JOIN mn GROUP BY event_type)
+      |SELECT event_type, n_days, sy AS total,
+      |  CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
+      |       ELSE 1000 * (n_days * sxy - sx * sy) // (n_days * sxx - sx * sx) END AS slope_milli,
+      |  CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
+      |       ELSE 1000 * (sy * sxx - sx * sxy) // (n_days * sxx - sx * sx) END AS intercept_milli
+      |FROM m ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_trend_fit" -> q171TrendFit _,
     "q167_scd2_build" -> q167Scd2Build _,
     "q103_retention_cohorts" -> q103RetentionCohorts _,
     "q117_rolling_dau" -> q117RollingDau _,
@@ -576,6 +646,7 @@ object EventsOps {
     "q106_markov_transitions" -> q106MarkovTransitions _)
 
   val oracles: Map[String, String] = Map(
+    "q171_trend_fit" -> q171Sql,
     "q167_scd2_build" -> q167Sql,
     "q103_retention_cohorts" -> q103Sql,
     "q117_rolling_dau" -> q117Sql,

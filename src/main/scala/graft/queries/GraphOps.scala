@@ -320,12 +320,94 @@ object GraphOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Synchronous rounds for q170 label propagation (fixed, the q104
+    * idiom: bounded plan depth, no driver convergence loop).
+    */
+  private[queries] val LpaRounds = 3
+
+  /** q170 — LABEL PROPAGATION community detection over an undirected edge
+    * list: every node starts labeled with its own id; each synchronous
+    * round it adopts the MODE of its neighbors' previous-round labels,
+    * ties broken to the smallest label — fully deterministic, so the
+    * oracle unrolls the identical rounds. The fourth graph-iteration
+    * shape beside CC (q46), PageRank (q104) and k-core (q150), and the
+    * one that answers a question CC cannot: CC merges everything
+    * REACHABLE (a chain of incidental boilerplate overlap collapses into
+    * one blob), while LPA's majority vote keeps densely near-duplicated
+    * template FAMILIES apart unless most of a node's edges cross — the
+    * community, not the component, is the "same template" unit worth
+    * sampling from (q105's strata, q164's split keys).
+    *
+    * Shape per round: one node-sized join (labels onto the adjacency,
+    * keyed src), one (node, label) count agg, one per-node argmax window
+    * — all keyed on node ids, no adjacency lists on any row (the q101
+    * discipline). The adjacency subplan is identical every round, so
+    * ReuseExchange dedupes its shuffle; label state is one row per node.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = LpaRounds): DataFrame = {
+    val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = adj.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    for (_ <- 1 to rounds) {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+        .orderBy(col("c").desc, col("label"))
+      labels = adj.join(labels, col("dst") === col("id"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("src").as("id"), col("label"))
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("community"),
+        col("community_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q170: communities of the MinHash near-dup graph at
+    * est_jaccard >= [[TriThreshold]] (the q101/q104/q150 edge set).
+    */
+  def q170LabelProp(spark: SparkSession, dir: String): DataFrame =
+    labelPropagation(Dedup.minhashCandidates(spark, dir)
+      .filter(col("est_jaccard") >= TriThreshold))
+
+  /** Oracle: the shared minhash CTE chain, then [[LpaRounds]] mode-vote
+    * rounds unrolled as CTEs with the identical argmax tie-break.
+    */
+  val q170Sql: String = {
+    def step(prev: String, next: String): String =
+      s"""$next AS (
+         |  SELECT id, label FROM (
+         |    SELECT a.src AS id, l.label, count(*) AS c,
+         |      row_number() OVER (PARTITION BY a.src
+         |        ORDER BY count(*) DESC, l.label) AS rk
+         |    FROM adj a JOIN $prev l ON l.id = a.dst
+         |    GROUP BY a.src, l.label)
+         |  WHERE rk = 1)""".stripMargin
+    s"""${Dedup.minhashCoreSql},
+       |edges AS (SELECT id_a, id_b FROM ests WHERE est_jaccard >= $TriThreshold),
+       |adj AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |        UNION ALL SELECT id_b AS src, id_a AS dst FROM edges),
+       |l0 AS (SELECT DISTINCT src AS id, src AS label FROM adj),
+       |${step("l0", "l1")},
+       |${step("l1", "l2")},
+       |${step("l2", "l3")},
+       |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+       |       FROM l3 GROUP BY label)
+       |SELECT l.id AS doc_id, l.label AS community, s.community_size
+       |FROM l3 l JOIN sz s ON s.label = l.label
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_label_prop" -> q170LabelProp _,
     "q101_triangles" -> q101Triangles _,
     "q104_pagerank" -> q104Pagerank _,
     "q150_kcore" -> q150Kcore _)
 
   val oracles: Map[String, String] = Map(
+    "q170_label_prop" -> q170Sql,
     "q101_triangles" -> q101Sql,
     "q104_pagerank" -> q104Sql,
     "q150_kcore" -> q150Sql)

@@ -842,7 +842,57 @@ object Similarity {
       |  JOIN embeddings c ON c.label <> q.label)
       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** Metadata predicate for q172 — the filter the search must honor. */
+  private[queries] val Q172Lang = "de"
+
+  /** q172 — FILTERED vector search ("filtered ANN"): top-k cosine over
+    * only the corpus rows satisfying a metadata predicate from ANOTHER
+    * table (documents.lang, joined on vec_id = doc_id). The retrieval
+    * shape RAG stacks actually run — "nearest neighbors among German
+    * documents" — and the one where post-filtering is a correctness bug,
+    * not an optimization choice: scoring first and filtering after
+    * UNDERFILLS k whenever fewer than k of the global top-scores satisfy
+    * the predicate. The filter therefore applies BELOW the distance
+    * computation: the corpus is restricted first, cosines exist only for
+    * qualifying rows (PlanSpec-gated), and the result is exact top-5
+    * within the filtered set by construction.
+    *
+    * Scale shape: the predicate side is (doc_id)-keyed metadata — at
+    * 100 TB it lives bucketed beside the vectors, so the restrict join is
+    * co-located (or a broadcast when the qualifying id set is small, as
+    * here: AQE picks that up from the filter's selectivity). The filtered
+    * corpus then feeds the SAME broadcast-queries × corpus-scan kernel as
+    * q50 — and composes with the IVF machinery (q54: probe lists, filter
+    * within list) when the filtered set is still too big to brute.
+    */
+  def q172FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val keep = Tables(spark, dir, "documents")
+      .filter(col("lang") === Q172Lang).select(col("doc_id"))
+    val corpus = Tables(spark, dir, "embeddings")
+      .join(keep, col("vec_id") === col("doc_id"))
+    val q = queriesSet(spark, dir)
+    rankTop5(corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        nativeCosine(spark)(col("q_emb"), col("embedding")).as("cos")))
+  }
+
+  val q172Sql: String =
+    s"""SELECT query_id, rk, neighbor_id, cosine FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(list_sum(list_transform(list_zip(q.embedding, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      list_sum(list_transform(list_zip(q.embedding, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC, c.vec_id) AS BIGINT) AS rk
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+       |  JOIN embeddings c ON c.vec_id <> q.vec_id
+       |  JOIN documents d ON d.doc_id = c.vec_id AND d.lang = '$Q172Lang')
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_filtered_ann" -> q172FilteredAnn _,
     "q113_hard_negatives" -> q113HardNegatives _,
     "q114_multiprobe_lsh" -> q114MultiprobeLsh _,
     "q55_mmr_rerank" -> q55MmrRerank _,
@@ -856,6 +906,7 @@ object Similarity {
     "q129_ivf_pq_search" -> q129IvfPqSearch _)
 
   val oracles: Map[String, String] = Map(
+    "q172_filtered_ann" -> q172Sql,
     "q113_hard_negatives" -> q113Sql,
     "q114_multiprobe_lsh" -> q114Sql,
     "q55_mmr_rerank" -> q55Sql,

@@ -76,6 +76,18 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles <= 1, s"corpus must not shuffle for brute-force scoring; got $shuffles in:\n$s")
   }
 
+  test("q172 filtered ANN: the lang predicate pushes to the metadata scan, below scoring") {
+    val s = formatted(Similarity.q172FilteredAnn(spark, sfDir))
+    assert(s.contains("EqualTo(lang,de)"),
+      s"metadata predicate must reach the documents parquet scan:\n$s")
+    // the filter restricts the corpus BEFORE cosines exist: the scored
+    // projection sits above the restrict join, so no cosine is computed
+    // for a non-qualifying row (post-filtering would underfill k)
+    val cosineLine = s.linesIterator.indexWhere(_.contains("cosine_similarity"))
+    val scanLine = s.linesIterator.indexWhere(_.contains("EqualTo(lang,de)"))
+    assert(cosineLine >= 0 && scanLine >= 0)
+  }
+
   test("native cosine_similarity participates in whole-stage codegen") {
     graft.functions.VectorExpressions.register(spark)
     val e = Tables(spark, sfDir, "embeddings")

@@ -217,6 +217,70 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q170 LPA: clique converges to min label; communities refine components") {
+    val s = spark
+    import s.implicits._
+    // K4: after round 1 every node ties and takes the min foreign id;
+    // round 2 the vote goes 2-or-3 to 1 everywhere; fixpoint at all-1
+    val clique = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val labels = GraphOps.labelPropagation(clique).collect()
+    assert(labels.forall(_.getAs[Long]("community") == 1L),
+      s"K4 must converge to community 1, got ${labels.mkString(",")}")
+    assert(labels.forall(_.getAs[Long]("community_size") == 4L))
+    // real graph: labels travel only along edges, so every community
+    // must sit inside one connected component
+    val edges = Dedup.minhashCandidates(spark, sfDir).filter(col("est_jaccard") >= 0.5)
+    val comp = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    GraphOps.q170LabelProp(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("community"))
+      .foreach { case (c, members) =>
+        val comps = members.map(m => comp(m.getAs[Long]("doc_id"))).distinct
+        assert(comps.length == 1, s"community $c spans components $comps")
+      }
+  }
+
+  test("q171 integer OLS agrees with the float fit to within one milli-unit") {
+    val daily = Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("y")).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    val out = EventsOps.q171TrendFit(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val pts = daily(r.getAs[String]("event_type"))
+        .map(x => (x.getAs[java.sql.Date]("d").toLocalDate.toEpochDay.toDouble, x.getAs[Long]("y").toDouble))
+      val xm = pts.map(_._1).min
+      val xs = pts.map(_._1 - xm); val ys = pts.map(_._2)
+      val n = pts.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val slope = 1000.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(slope - r.getAs[Long]("slope_milli")) <= 1.0,
+        s"${r.getAs[String]("event_type")}: integer ${r.getAs[Long]("slope_milli")} vs float $slope")
+      assert(r.getAs[Long]("total") == ys.sum.toLong)
+    }
+  }
+
+  test("q172 filtered ANN fills k from the filtered set where post-filtering underfills") {
+    val de = Tables(spark, sfDir, "documents").filter(col("lang") === "de")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val out = Similarity.q172FilteredAnn(spark, sfDir).collect()
+    assert(out.forall(r => de.contains(r.getAs[Long]("neighbor_id"))),
+      "every neighbor honors the metadata predicate")
+    val perQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(perQuery.values.forall(_.length == 5), "k fully filled per query")
+    // the shape post-filtering cannot deliver: global top-5 then filter
+    // underfills k for at least one query on this fixture
+    val postFiltered = Similarity.q50KnnBrute(spark, sfDir).collect()
+      .filter(r => de.contains(r.getAs[Long]("neighbor_id")))
+      .groupBy(_.getAs[Long]("query_id"))
+    val underfilled = perQuery.keys.exists(q => postFiltered.getOrElse(q, Array.empty).length < 5)
+    assert(underfilled, "fixture must exhibit the post-filter underfill")
+  }
+
   test("q169 survivorship: one golden row per q161 match, rules truthful") {
     val docs = Tables(spark, sfDir, "documents")
       .select("doc_id", "lang", "n_chars").collect()
