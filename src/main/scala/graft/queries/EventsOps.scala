@@ -510,12 +510,18 @@ object EventsOps {
     * even that exchange vanishes; the output inherits the partitioning, so
     * the downstream as-of join (q70) probes it shuffle-free.
     */
-  def q167Scd2Build(spark: SparkSession, dir: String): DataFrame = {
+  def q167Scd2Build(spark: SparkSession, dir: String): DataFrame =
+    buildScd2(Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type").as("state"),
+        unix_micros(col("ts")).as("ts_us")))
+
+  /** The SCD2 kernel over a (user_id, event_id, state, ts_us) change log —
+    * shared by q167 (full log) and q173's dimension side (filtered log).
+    */
+  private[queries] def buildScd2(log: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
-    val e = Tables(spark, dir, "events")
-      .select(col("user_id"), col("event_id"), col("event_type").as("state"),
-        unix_micros(col("ts")).as("ts_us"))
+    val e = log
       .withColumn("chg",
         when(lag(col("state"), 1).over(byUser).isNull ||
           lag(col("state"), 1).over(byUser) =!= col("state"), 1L).otherwise(0L))
@@ -556,6 +562,83 @@ object EventsOps {
       |    AS INT) AS is_current,
       |  n_events
       |FROM i ORDER BY user_id, version""".stripMargin
+
+  /** q173 — POINT-IN-TIME (validity) join, the consumption side of
+    * q167's SCD2 build: every purchase event looks up the dimension
+    * version that was VALID AT its timestamp — "what state was this user
+    * in when they bought". The dimension is the SCD2 history of the
+    * NON-purchase events (the state log), so a purchase matches the
+    * interval containing its ts, or nothing when it precedes the user's
+    * first state change (left join, matched flag). This is the temporal
+    * FK lookup every feature-store and audit pipeline runs against a
+    * versioned dimension — the thing a plain equi-join to "current state"
+    * silently gets wrong for historical facts (time-travel leakage:
+    * training features must come from the version valid AT the event, not
+    * the version valid now).
+    *
+    * Shape: equi-join on user_id with the interval predicate as the join
+    * residual — the right plan when versions-per-key is small (intervals
+    * tile, so at most ONE matches; the fact never fans out). Both sides
+    * shuffle once on user_id; bucketed storage removes even that
+    * (`Sinks.bucketed`), and the q70 as-of machinery is the alternative
+    * when per-key version counts explode.
+    */
+  def q173PitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    val dim = buildScd2(events.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_id"), col("event_type").as("state"),
+          unix_micros(col("ts")).as("ts_us")))
+      .select(col("user_id").as("d_user"), col("version"), col("state"),
+        col("valid_from_us"), col("valid_to_us"))
+    val purch = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    purch.join(dim,
+        col("user_id") === col("d_user") &&
+          col("valid_from_us") <= col("ts_us") &&
+          (col("valid_to_us").isNull || col("ts_us") < col("valid_to_us")),
+        "left")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        coalesce(col("state"), lit("none")).as("state_at_purchase"),
+        coalesce(col("version"), lit(0L)).as("state_version"),
+        when(col("d_user").isNull, 0).otherwise(1).as("matched"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Oracle: the q167 CTE chain over the filtered log, then the same
+    * containment left join. Purchases tile into at most one interval, so
+    * the join never fans out and ORDER BY event_id is unique.
+    */
+  val q173Sql: String =
+    """WITH f AS (
+      |  SELECT user_id, event_id, event_type AS state, epoch_us(ts) AS ts_us,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events WHERE event_type <> 'purchase'
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |g AS (
+      |  SELECT user_id, state, ts_us,
+      |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM f),
+      |i AS (
+      |  SELECT user_id, island, min(state) AS state, min(ts_us) AS valid_from_us
+      |  FROM g GROUP BY user_id, island),
+      |dim AS (
+      |  SELECT user_id AS d_user, CAST(island AS BIGINT) AS version, state,
+      |    valid_from_us,
+      |    lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY island) AS valid_to_us
+      |  FROM i),
+      |p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts_us,
+      |  COALESCE(d.state, 'none') AS state_at_purchase,
+      |  COALESCE(d.version, 0) AS state_version,
+      |  CAST(d.d_user IS NOT NULL AS INT) AS matched
+      |FROM p LEFT JOIN dim d
+      |  ON p.user_id = d.d_user AND d.valid_from_us <= p.ts_us
+      | AND (d.valid_to_us IS NULL OR p.ts_us < d.valid_to_us)
+      |ORDER BY p.event_id""".stripMargin
 
   /** q171 — GROUP-WISE OLS TREND, exact-integer: fit
     * `daily_count ~ day` per event_type and report the least-squares
@@ -627,6 +710,7 @@ object EventsOps {
       |FROM m ORDER BY event_type""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_pit_join" -> q173PitJoin _,
     "q171_trend_fit" -> q171TrendFit _,
     "q167_scd2_build" -> q167Scd2Build _,
     "q103_retention_cohorts" -> q103RetentionCohorts _,
@@ -646,6 +730,7 @@ object EventsOps {
     "q106_markov_transitions" -> q106MarkovTransitions _)
 
   val oracles: Map[String, String] = Map(
+    "q173_pit_join" -> q173Sql,
     "q171_trend_fit" -> q171Sql,
     "q167_scd2_build" -> q167Sql,
     "q103_retention_cohorts" -> q103Sql,

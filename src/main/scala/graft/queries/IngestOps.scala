@@ -678,6 +678,119 @@ object IngestOps {
       |FROM g GROUP BY user_id, sid
       |ORDER BY user_id, start_us""".stripMargin
 
+  /** q174 — stream-stream LEFT OUTER interval join replayed through real
+    * micro-batches: q112's view→purchase attribution, but emitting every
+    * UNMATCHED view too — the semantics a funnel/abandonment pipeline
+    * needs ("views that did NOT convert within 30 min"), and the one an
+    * inner join cannot deliver. An outer result is only decidable under a
+    * watermark: a view's null row may emit once the global watermark
+    * passes `v_ts + window`, proving no in-window purchase can still
+    * arrive. A bounded replay therefore needs the q140 drain: one
+    * far-future sentinel per SIDE (the global watermark is the MIN across
+    * sources), each in a file mod-time-forced to be that source's LAST
+    * batch, advancing both watermarks past every real view's close so the
+    * no-data micro-batch flushes all pending outer state; the sentinels
+    * themselves (user −1) are filtered back out.
+    *
+    * The unmatched-view output coalesces purchase_id to −1: both engines
+    * then sort and hash identical non-null columns (Spark and DuckDB
+    * disagree on default NULL ordering, so a nullable sort key would be
+    * a correctness trap, not a style choice).
+    *
+    * Scale: state on both sides is watermark-bounded exactly as q112;
+    * outer emission adds no state — it is eviction-with-emission instead
+    * of silent drop. Memory tracks the in-window horizon, never stream
+    * length.
+    */
+  def q174StreamOuterJoinReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q174_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val baseDir = new java.io.File(base)
+    if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+    val events = Tables(spark, dir, "events")
+    val maxUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val sentinelUs = maxUs + 4000L * 86400L * 1000000L
+    // each side arrives as event-time-contiguous range files replayed in
+    // mod-time order (the q165 carving): random file order would let the
+    // watermark run ahead of unread data and late-drop real views, which
+    // for an OUTER join silently deletes their unmatched rows
+    for (side <- Seq("views", "purch")) {
+      val typ = if (side == "views") "view" else "purchase"
+      events.filter(col("event_type") === typ)
+        .repartitionByRange(3, col("ts"), col("event_id"))
+        .write.parquet(s"$base/$side")
+      def parts() = new java.io.File(s"$base/$side").listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      val realFiles = parts().map(_.getName).toSet
+      val t0 = parts().map(_.lastModified()).max
+      parts().sortBy(_.getName).zipWithIndex
+        .foreach { case (f, i) => f.setLastModified(t0 + i * 600000L) }
+      events.limit(1)
+        .select(lit(-1L).as("event_id"), timestamp_micros(lit(sentinelUs)).as("ts"),
+          lit(-1L).as("user_id"), lit(typ).as("event_type"),
+          lit(0.0).as("value"), lit("").as("props"))
+        .coalesce(1).write.mode("append").parquet(s"$base/$side")
+      parts().filterNot(f => realFiles(f.getName))
+        .foreach(f => f.setLastModified(t0 + 10 * 600000L))
+    }
+    val joined = graft.streaming.EventStream.intervalJoinStream(
+      graft.streaming.EventStream.readEventStream(spark, s"$base/views", maxFilesPerTrigger = 2),
+      graft.streaming.EventStream.readEventStream(spark, s"$base/purch", maxFilesPerTrigger = 2),
+      joinType = "left_outer")
+    // NO sentinel filter inside the streaming plan: a `user_id >= 0`
+    // here pushes through the outer join into BOTH parquet scans
+    // (constraint propagation via v_user = p_user), deleting the
+    // sentinels before they reach the watermark operators — the drain
+    // never fires and the tail's outer rows are silently lost (found the
+    // hard way: 8 missing rows). Sentinels are filtered on READ-BACK of
+    // the sink instead, exactly like q140.
+    val q = joined
+      .select(col("user_id"), col("view_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        when(col("purchase_id").isNull, 0).otherwise(1).as("matched"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .format("parquet")
+      .option("path", s"$base/out")
+      .start()
+    try {
+      q.processAllAvailable()
+      // outer-state eviction runs one batch BEHIND the watermark commit
+      // (the sentinel batch advances the watermark as it ends, and no
+      // further batch consumes it) — feed one more, later, sentinel per
+      // side so a real data batch runs under the committed watermark and
+      // flushes the remaining outer rows. The production analogue: outer
+      // results always trail the stream by one watermark advance.
+      for (side <- Seq("views", "purch")) {
+        val typ = if (side == "views") "view" else "purchase"
+        events.limit(1)
+          .select(lit(-2L).as("event_id"),
+            timestamp_micros(lit(sentinelUs + 86400L * 1000000L)).as("ts"),
+            lit(-1L).as("user_id"), lit(typ).as("event_type"),
+            lit(0.0).as("value"), lit("").as("props"))
+          .coalesce(1).write.mode("append").parquet(s"$base/$side")
+      }
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read
+      .schema("user_id BIGINT, view_id BIGINT, purchase_id BIGINT, matched INT")
+      .parquet(s"$base/out")
+      .filter(col("user_id") >= 0L)
+      .orderBy(col("view_id"), col("purchase_id"))
+  }
+
+  val q174Sql: String =
+    """SELECT v.user_id, v.event_id AS view_id,
+      |  COALESCE(p.event_id, -1) AS purchase_id,
+      |  CAST(p.event_id IS NOT NULL AS INT) AS matched
+      |FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id
+      | AND epoch_us(p.ts) >= epoch_us(v.ts)
+      | AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000
+      |ORDER BY view_id, purchase_id""".stripMargin
+
   /** q165 — streaming EXACT dedup replayed through real micro-batches:
     * `dropDuplicatesWithinWatermark` ([[graft.streaming.EventStream
     * .dedupStream]]), the at-least-once→exactly-once repair every event
@@ -747,6 +860,7 @@ object IngestOps {
       |FROM events ORDER BY event_id""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_stream_outer_join_replay" -> q174StreamOuterJoinReplay _,
     "q165_stream_dedup_replay" -> q165StreamDedupReplay _,
     "q140_session_window_replay" -> q140SessionWindowReplay _,
     "q145_incremental_agg" -> q145IncrementalAgg _,
@@ -765,6 +879,7 @@ object IngestOps {
     "q65_batch_status" -> q65BatchStatus _)
 
   val oracles: Map[String, String] = Map(
+    "q174_stream_outer_join_replay" -> q174Sql,
     "q165_stream_dedup_replay" -> q165Sql,
     "q140_session_window_replay" -> q140Sql,
     "q145_incremental_agg" -> q145Sql,

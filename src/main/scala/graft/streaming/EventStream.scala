@@ -234,7 +234,8 @@ object EventStream {
       views: DataFrame,
       purchases: DataFrame,
       window: String = "30 minutes",
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val v = views
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
         col("event_id").as("view_id"))
@@ -243,10 +244,15 @@ object EventStream {
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("purchase_id"))
       .withWatermark("p_ts", watermark)
+    // left_outer: an unmatched view is emitted (null purchase columns)
+    // only once the watermark proves no in-window purchase can still
+    // arrive — v_ts + window behind the global watermark. The time-range
+    // condition is what makes the outer semantics decidable at all.
     v.join(p,
         col("v_user") === col("p_user") &&
           col("p_ts") >= col("v_ts") &&
-          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $window"))
+          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $window"),
+        joinType)
       .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
         col("v_ts"), col("p_ts"))
   }

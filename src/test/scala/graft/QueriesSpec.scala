@@ -281,6 +281,49 @@ class QueriesSpec extends SparkTestBase {
     assert(underfilled, "fixture must exhibit the post-filter underfill")
   }
 
+  test("q173 PIT join: every purchase resolves the interval containing its ts") {
+    val out = EventsOps.q173PitJoin(spark, sfDir).collect()
+    val nPurch = Tables(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(out.length == nPurch, "exactly one row per purchase (intervals tile)")
+    val dim = EventsOps.q167Scd2Build(spark, sfDir) // full log; recompute filtered
+    val states = Tables(spark, sfDir, "events")
+      .filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us")).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    assert(dim.columns.contains("valid_from_us")) // shared kernel shape
+    out.foreach { r =>
+      val ts = r.getAs[Long]("ts_us")
+      val hist = states.getOrElse(r.getAs[Long]("user_id"), Array.empty)
+        .filter(_.getAs[Long]("ts_us") <= ts)
+      if (r.getAs[Int]("matched") == 1) {
+        // the resolved state is the user's LAST state change at or before ts
+        val expect = hist.maxBy(h => (h.getAs[Long]("ts_us"), h.getAs[Long]("event_id")))
+          .getAs[String]("event_type")
+        assert(r.getAs[String]("state_at_purchase") == expect,
+          s"purchase ${r.getAs[Long]("event_id")}: got ${r.getAs[String]("state_at_purchase")}, want $expect")
+      } else {
+        assert(hist.isEmpty, "unmatched only when the purchase precedes every state event")
+        assert(r.getAs[String]("state_at_purchase") == "none")
+      }
+    }
+  }
+
+  test("q174 outer replay: matched rows = inner join, unmatched complete the view set") {
+    val out = IngestOps.q174StreamOuterJoinReplay(spark, sfDir).collect()
+    val views = Tables(spark, sfDir, "events").filter(col("event_type") === "view")
+    assert(out.map(_.getAs[Long]("view_id")).distinct.length == views.count(),
+      "every view appears — matched or as an unmatched null-extension")
+    val inner = IngestOps.q112StreamJoinReplay(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("purchase_id"))).toSet
+    val matched = out.filter(_.getAs[Int]("matched") == 1)
+      .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("purchase_id"))).toSet
+    assert(matched == inner, "outer join's matched rows are exactly the inner join")
+    out.filter(_.getAs[Int]("matched") == 0)
+      .foreach(r => assert(r.getAs[Long]("purchase_id") == -1L))
+  }
+
   test("q169 survivorship: one golden row per q161 match, rules truthful") {
     val docs = Tables(spark, sfDir, "documents")
       .select("doc_id", "lang", "n_chars").collect()
