@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{CorpusOps, Curation, Dedup, EventsOps, GraphOps, IngestOps, LayoutOps, MultimodalOps, Relational, Similarity, SketchOps, Temporal, TextOps, TpchStyle, TrainPrep}
+import graft.queries.{CorpusOps, Curation, Dedup, EventsOps, GraphOps, IngestOps, LayoutOps, MiningOps, MultimodalOps, Relational, Similarity, SketchOps, Temporal, TextOps, TpchStyle, TrainPrep}
 
 /** Driver contract — see SURVEY.md §7 and the stub comments. */
 object SparkEntry {
@@ -32,7 +32,7 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ EventsOps.all ++ TextOps.all ++ Dedup.all ++
-      Similarity.all ++ IngestOps.all ++ Temporal.all ++ Curation.all ++ TpchStyle.all ++ MultimodalOps.all ++ TrainPrep.all ++ CorpusOps.all ++ GraphOps.all ++ LayoutOps.all ++ SketchOps.all
+      Similarity.all ++ IngestOps.all ++ Temporal.all ++ Curation.all ++ TpchStyle.all ++ MultimodalOps.all ++ TrainPrep.all ++ CorpusOps.all ++ GraphOps.all ++ LayoutOps.all ++ SketchOps.all ++ MiningOps.all
 
   /** The `SPARK_GRAFT_ONLY=q46,q55` local-iteration filter Bench and
     * Verify share: keep queries whose name starts with any listed prefix;
@@ -49,5 +49,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventsOps.oracles ++ TextOps.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ IngestOps.oracles ++ Temporal.oracles ++ Curation.oracles ++ TpchStyle.oracles ++ MultimodalOps.oracles ++ TrainPrep.oracles ++ CorpusOps.oracles ++ GraphOps.oracles ++ LayoutOps.oracles ++ SketchOps.oracles
+      Dedup.oracles ++ Similarity.oracles ++ IngestOps.oracles ++ Temporal.oracles ++ Curation.oracles ++ TpchStyle.oracles ++ MultimodalOps.oracles ++ TrainPrep.oracles ++ CorpusOps.oracles ++ GraphOps.oracles ++ LayoutOps.oracles ++ SketchOps.oracles ++ MiningOps.oracles
 }

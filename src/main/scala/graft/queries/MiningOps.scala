@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Pattern-mining / data-quality profiling surface (SURVEY.md §2b
+  * extensions): the classic warehouse-adjacent analyses a curation team
+  * runs over the same fact tables the relational queries read.
+  *
+  * Reference tie-in: the reference validates records one at a time and
+  * delegates cross-record rules to the remote app
+  * (`lib/batchProcessing.js:620-643`, README.md:312 "duplicate key"
+  * errors); these operators are the set-level versions of that checking —
+  * co-occurrence structure (q175) and dataset-level constraints (q176) —
+  * that only a distributed engine can run over the whole corpus.
+  */
+object MiningOps {
+
+  /** q175 cap: baskets larger than this are excluded from pair mining.
+    * TPC-H-ish orders top out at ~13 distinct parts, so the cap is a
+    * no-op on the fixture — it exists because pair fan-out is
+    * Σ n_items² per basket, and one pathological 10⁶-item basket (a
+    * crawler session, a bot cart) would otherwise dominate the whole
+    * job. Same move as the LSH `maxBucket` cap (Dedup.scala).
+    */
+  val Q175MaxBasket = 32
+
+  /** q175 minimum pair support: Agrawal–Srikant's A-priori frequency
+    * floor — the HAVING prunes the hapax-pair long tail before the
+    * confidence/lift joins, the same economics as q102's min-count cut.
+    */
+  val Q175MinSupport = 2
+
+  /** q175 — MARKET-BASKET ASSOCIATION RULES (A-priori level 2): frequent
+    * part pairs over order baskets with support, directional confidence,
+    * and lift — the "customers who bought X also bought Y" co-occurrence
+    * mining (Agrawal & Srikant, VLDB 1994), which is also exactly the
+    * token/URL/domain co-occurrence shape a corpus-curation team runs to
+    * find correlated sources.
+    *
+    * Plan shape (scale story):
+    *   - baskets = DISTINCT (orderkey, partkey) — one corpus-keyed
+    *     exchange; basket sizes reuse the same orderkey grouping;
+    *   - the pair join is EQUI on orderkey, self-joining only baskets
+    *     that survive the `Q175MaxBasket` cap, so pair work is
+    *     Σ n_items² with n_items ≤ 32 — bounded fan-out per basket,
+    *     never corpus × corpus;
+    *   - item supports are a parts-sized agg broadcast back onto the
+    *     pair frame (two lookups); the order count broadcasts as one row.
+    *
+    * Exactness: support counts are BIGINT; confidence is integral basis
+    * points `10000·sup div s_a`; lift is integral milli-units via the
+    * chained floor-division identity `x div a div b = x div (a·b)` (both
+    * engines truncate toward zero on non-negative operands), keeping
+    * every intermediate ≤ 1000·sup·N — within Long at any fixture scale
+    * (at petabyte row counts swap the numerator to DECIMAL(38) in both
+    * engines; noted, not needed here).
+    */
+  def q175AssocRules(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val sizes = baskets.groupBy(col("ok"))
+      .agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") <= Q175MaxBasket)
+    val kept = baskets.join(sizes, "ok")
+    val nOrders = kept.agg(countDistinct(col("ok")).as("n_orders"))
+    val item = kept.groupBy(col("pk")).agg(count(lit(1)).as("s"))
+    val a = kept.select(col("ok"), col("pk").as("pa"))
+    val b = kept.select(col("ok"), col("pk").as("pb"))
+    val pairs = a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= Q175MinSupport)
+    pairs
+      .join(broadcast(item.select(col("pk").as("pa"), col("s").as("s_a"))), "pa")
+      .join(broadcast(item.select(col("pk").as("pb"), col("s").as("s_b"))), "pb")
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("support"), col("s_a"), col("s_b"),
+        expr("10000 * support div s_a").as("conf_bp"),
+        expr("1000 * support * n_orders div s_a div s_b").as("lift_milli"))
+      .orderBy(col("pa"), col("pb"))
+  }
+
+  val q175Sql: String =
+    s"""WITH baskets AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |sizes AS (
+       |  SELECT ok, count(*) AS n_items FROM baskets GROUP BY ok
+       |  HAVING count(*) <= $Q175MaxBasket),
+       |kept AS (SELECT b.ok, b.pk FROM baskets b JOIN sizes s ON b.ok = s.ok),
+       |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM kept),
+       |item AS (SELECT pk, CAST(count(*) AS BIGINT) AS s FROM kept GROUP BY pk),
+       |pairs AS (
+       |  SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS support
+       |  FROM kept a JOIN kept b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= $Q175MinSupport)
+       |SELECT pa, pb, support, ia.s AS s_a, ib.s AS s_b,
+       |  10000 * support // ia.s AS conf_bp,
+       |  1000 * support * n_orders // ia.s // ib.s AS lift_milli
+       |FROM pairs JOIN item ia ON pairs.pa = ia.pk
+       |  JOIN item ib ON pairs.pb = ib.pk CROSS JOIN n
+       |ORDER BY pa, pb""".stripMargin
+
+  /** q176 — DATASET-LEVEL CONSTRAINT AUDIT (the Deequ/Great-Expectations
+    * shape): a fixed suite of declarative expectations — key uniqueness,
+    * composite-key uniqueness, completeness, functional dependencies,
+    * referential integrity, value ranges, accepted domains — each
+    * evaluated corpus-wide in one aggregate and emitted as an audit row
+    * `(check_id, tbl, kind, violations, passed)`. This is the set-level
+    * generalization of the reference's per-record validation (P5–P7,
+    * `lib/parsers.js:99-110,224-227`): arity/type checks see one record,
+    * these see the whole dataset — and the "duplicate key" class the
+    * reference delegates to the remote app (README.md:312) becomes the
+    * uniqueness checks here.
+    *
+    * Plan shape: every check is one scan + one (mostly map-side
+    * combinable) aggregate producing ONE row; the union is 8 rows. The
+    * FD checks aggregate onto lhs-sized keys; referential integrity is a
+    * LEFT ANTI join with the parent side broadcastable when it is a
+    * dimension. At 100 TB you fuse the same-table checks into one pass
+    * (the q99 multi-aggregate move) — kept separate here so each row's
+    * plan states its own shape. Violation counts are BIGINT; `passed`
+    * records the observed status (an expected-to-fail FD is a
+    * deterministic `false` row, not an error).
+    */
+  def q176ConstraintAudit(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val lineitem = Tables(spark, dir, "lineitem")
+    val documents = Tables(spark, dir, "documents")
+    val events = Tables(spark, dir, "events")
+
+    def row(id: String, tbl: String, kind: String, viol: DataFrame): DataFrame =
+      viol.select(lit(id).as("check_id"), lit(tbl).as("tbl"), lit(kind).as("kind"),
+        col("violations").cast("long").as("violations"),
+        (col("violations") === 0).as("passed"))
+
+    // c1: primary-key uniqueness — duplicate o_orderkey rows
+    val c1 = row("c1_pk_orders", "orders", "unique(o_orderkey)",
+      orders.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("violations")))
+    // c2: composite-key uniqueness on the fact
+    val c2 = row("c2_ck_lineitem", "lineitem", "unique(l_orderkey,l_linenumber)",
+      lineitem.agg((count(lit(1)) -
+        countDistinct(col("l_orderkey"), col("l_linenumber"))).as("violations")))
+    // c3: completeness — null/empty text docs
+    val c3 = row("c3_complete_text", "documents", "notnull(text)",
+      documents.agg(count(when(col("text").isNull || length(col("text")) === 0, 1))
+        .as("violations")))
+    // c4: FD event_id -> user_id (a key determines everything)
+    val c4 = row("c4_fd_event_user", "events", "fd(event_id->user_id)",
+      events.groupBy(col("event_id"))
+        .agg(countDistinct(col("user_id")).as("ndv"))
+        .agg(count(when(col("ndv") > 1, 1)).as("violations")))
+    // c5: FD o_custkey -> o_orderstatus (expected to FAIL: a customer has
+    // many orders in many states — the audit records it, deterministically)
+    val c5 = row("c5_fd_cust_status", "orders", "fd(o_custkey->o_orderstatus)",
+      orders.groupBy(col("o_custkey"))
+        .agg(countDistinct(col("o_orderstatus")).as("ndv"))
+        .agg(count(when(col("ndv") > 1, 1)).as("violations")))
+    // c6: referential integrity — orphan lineitems (left anti vs parent keys)
+    val c6 = row("c6_ri_lineitem_orders", "lineitem", "fk(l_orderkey->orders)",
+      lineitem.select(col("l_orderkey"))
+        .join(orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("violations")))
+    // c7: range — discount within [0, 0.1] (integer cents avoid float compares)
+    val c7 = row("c7_range_discount", "lineitem", "range(l_discount,[0,0.1])",
+      lineitem.select((round(col("l_discount") * 100)).cast("long").as("d_pct"))
+        .agg(count(when(col("d_pct") < 0 || col("d_pct") > 10, 1)).as("violations")))
+    // c8: accepted domain for the status enum
+    val c8 = row("c8_domain_status", "orders", "in(o_orderstatus,{F,O,P})",
+      orders.agg(count(when(!col("o_orderstatus").isin("F", "O", "P"), 1))
+        .as("violations")))
+
+    Seq(c1, c2, c3, c4, c5, c6, c7, c8).reduce(_.union(_))
+      .orderBy(col("check_id"))
+  }
+
+  val q176Sql: String =
+    """SELECT * FROM (
+      |SELECT 'c1_pk_orders' AS check_id, 'orders' AS tbl, 'unique(o_orderkey)' AS kind,
+      |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
+      |  count(*) - count(DISTINCT o_orderkey) = 0 AS passed FROM orders
+      |UNION ALL
+      |SELECT 'c2_ck_lineitem', 'lineitem', 'unique(l_orderkey,l_linenumber)',
+      |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+      |  count(*) - count(DISTINCT (l_orderkey, l_linenumber)) = 0 FROM lineitem
+      |UNION ALL
+      |SELECT 'c3_complete_text', 'documents', 'notnull(text)',
+      |  CAST(count(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 END) AS BIGINT),
+      |  count(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 END) = 0 FROM documents
+      |UNION ALL
+      |SELECT 'c4_fd_event_user', 'events', 'fd(event_id->user_id)',
+      |  CAST(count(CASE WHEN ndv > 1 THEN 1 END) AS BIGINT),
+      |  count(CASE WHEN ndv > 1 THEN 1 END) = 0
+      |FROM (SELECT event_id, count(DISTINCT user_id) AS ndv FROM events GROUP BY 1)
+      |UNION ALL
+      |SELECT 'c5_fd_cust_status', 'orders', 'fd(o_custkey->o_orderstatus)',
+      |  CAST(count(CASE WHEN ndv > 1 THEN 1 END) AS BIGINT),
+      |  count(CASE WHEN ndv > 1 THEN 1 END) = 0
+      |FROM (SELECT o_custkey, count(DISTINCT o_orderstatus) AS ndv FROM orders GROUP BY 1)
+      |UNION ALL
+      |SELECT 'c6_ri_lineitem_orders', 'lineitem', 'fk(l_orderkey->orders)',
+      |  CAST(count(*) AS BIGINT), count(*) = 0
+      |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |UNION ALL
+      |SELECT 'c7_range_discount', 'lineitem', 'range(l_discount,[0,0.1])',
+      |  CAST(count(CASE WHEN d_pct < 0 OR d_pct > 10 THEN 1 END) AS BIGINT),
+      |  count(CASE WHEN d_pct < 0 OR d_pct > 10 THEN 1 END) = 0
+      |FROM (SELECT CAST(round(l_discount * 100) AS BIGINT) AS d_pct FROM lineitem)
+      |UNION ALL
+      |SELECT 'c8_domain_status', 'orders', 'in(o_orderstatus,{F,O,P})',
+      |  CAST(count(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 END) AS BIGINT),
+      |  count(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 END) = 0 FROM orders
+      |) ORDER BY check_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_assoc_rules" -> q175AssocRules _,
+    "q176_constraint_audit" -> q176ConstraintAudit _)
+
+  val oracles: Map[String, String] = Map(
+    "q175_assoc_rules" -> q175Sql,
+    "q176_constraint_audit" -> q176Sql)
+}

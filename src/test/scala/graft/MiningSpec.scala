@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.MiningOps
+
+/** q175 association rules + q176 constraint audit (MiningOps). */
+class MiningSpec extends SparkTestBase {
+
+  test("q175 pair supports agree with a brute-force basket recount") {
+    val out = MiningOps.q175AssocRules(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // brute force: collect baskets, count pairs in plain Scala
+    val baskets = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      .filter(_._2.size <= MiningOps.Q175MaxBasket).toMap
+    val brute = collection.mutable.Map.empty[(Long, Long), Long]
+    for ((_, parts) <- baskets; s = parts.toSeq.sorted;
+         i <- s.indices; j <- (i + 1) until s.size)
+      brute((s(i), s(j))) = brute.getOrElse((s(i), s(j)), 0L) + 1
+    val bruteFreq = brute.filter(_._2 >= MiningOps.Q175MinSupport)
+    assert(out.length === bruteFreq.size)
+    out.foreach { r =>
+      val pa = r.getAs[Long]("pa"); val pb = r.getAs[Long]("pb")
+      assert(pa < pb)
+      assert(r.getAs[Long]("support") === bruteFreq((pa, pb)))
+    }
+  }
+
+  test("q175 confidence/lift arithmetic identities hold on every row") {
+    val itemSupport = {
+      val baskets = Tables(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+        .filter(_._2.size <= MiningOps.Q175MaxBasket).toMap
+      (baskets.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap,
+        baskets.size.toLong)
+    }
+    val (supports, nOrders) = itemSupport
+    MiningOps.q175AssocRules(spark, sfDir).collect().foreach { r =>
+      val sup = r.getAs[Long]("support")
+      val sa = r.getAs[Long]("s_a"); val sb = r.getAs[Long]("s_b")
+      assert(sa === supports(r.getAs[Long]("pa")))
+      assert(sb === supports(r.getAs[Long]("pb")))
+      assert(sup <= math.min(sa, sb))
+      assert(r.getAs[Long]("conf_bp") === 10000L * sup / sa)
+      assert(r.getAs[Long]("conf_bp") <= 10000L)
+      assert(r.getAs[Long]("lift_milli") === 1000L * sup * nOrders / sa / sb)
+    }
+  }
+
+  test("q176 emits all eight checks with the expected pass pattern") {
+    val rows = MiningOps.q176ConstraintAudit(spark, sfDir).collect()
+    assert(rows.length === 8)
+    val byId = rows.map(r => r.getAs[String]("check_id") ->
+      (r.getAs[Long]("violations"), r.getAs[Boolean]("passed"))).toMap
+    // keys, completeness, RI, range, domain hold on the fixture
+    for (id <- Seq("c1_pk_orders", "c2_ck_lineitem", "c3_complete_text",
+        "c4_fd_event_user", "c6_ri_lineitem_orders", "c7_range_discount",
+        "c8_domain_status")) {
+      assert(byId(id)._1 === 0L, s"$id should have zero violations")
+      assert(byId(id)._2, s"$id should pass")
+    }
+    // the customer->status FD is genuinely violated (customers order often)
+    assert(byId("c5_fd_cust_status")._1 > 0L)
+    assert(!byId("c5_fd_cust_status")._2)
+    // passed is exactly (violations == 0) on every row
+    rows.foreach(r =>
+      assert(r.getAs[Boolean]("passed") === (r.getAs[Long]("violations") == 0L)))
+  }
+}
