@@ -105,9 +105,6 @@ object Bench {
     // duplicate JSON keys and last-wins parsing would drop a measurement
     require(results.map(_._1.takeWhile(_ != '_')).distinct.size == results.size,
       "duplicate qNN prefix among query names — compact bench keys would collide")
-    val qs = results.map { case (k, secs, _, _) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(secs)
-    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val detailQs = results.map { case (k, secs, _, _) => "\"" + k + "\":" + secs }
       .mkString("{", ",", "}")
@@ -127,9 +124,31 @@ object Bench {
     val out = new java.io.PrintWriter("BENCH_DETAIL.json")
     try out.println(detail) finally out.close()
     val sfName = new java.io.File(sfDir).getName // basename: every char counts
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
-    require(line.length < 1800, s"bench line ${line.length} chars breaches tail budget")
+    // 176+ queries no longer fit one ~1800-char line even at 1-decimal
+    // precision (round 7 died on exactly this require and lost its bench
+    // round). The stdout line is the driver's parse target, not the
+    // archive — BENCH_DETAIL.json (committed) holds every query at full
+    // precision. So stdout carries the total plus the SLOWEST queries,
+    // greedily packed until the budget is reached (cost-descending: the
+    // expensive tail is the round-over-round regression signal; a 0.1 s
+    // query that regressed still surfaces in the detail file), and an
+    // "omitted" count so a reader knows the map is a prefix, not the suite.
+    val budget = 1800
+    val entries = results.sortBy(-_._2).map { case (k, secs, _, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(secs)
+    }
+    val head =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfName","n":${results.size},"queries":{"""
+    val tailRoom = budget - head.length - """},"omitted":999}""".length
+    val packed = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    entries.foreach { e =>
+      val cost = e.length + (if (packed.isEmpty) 0 else 1)
+      if (used + cost <= tailRoom) { packed += e; used += cost }
+    }
+    val line = head + packed.mkString(",") +
+      s"""},"omitted":${entries.size - packed.size}}"""
+    require(line.length < budget, s"bench line ${line.length} chars breaches tail budget")
     println(line)
     spark.stop()
   }

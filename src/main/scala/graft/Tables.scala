@@ -17,16 +17,25 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir) else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
-    * (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the legacy conf and
-    * convert to a microsecond TimestampType with integer floor-division —
-    * the same ns->us truncation DuckDB's epoch_us applies, so oracle
-    * comparisons stay exact.
+  /** Normalize `events.ts` to a microsecond TimestampType regardless of the
+    * generator's on-disk flavor, so every downstream query sees one shape:
+    *   - TIMESTAMP(NANOS): Spark 4 rejects it outright (PARQUET_TYPE_ILLEGAL)
+    *     unless read as raw longs via the legacy conf; floor-divide ns->us —
+    *     the same truncation DuckDB's epoch_us applies, so oracles stay exact.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ;
+    *     cast to TimestampType (session tz pinned UTC => identical micros,
+    *     and DuckDB reads the same column as plain TIMESTAMP).
+    *   - TimestampType: pass through.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000L")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 }
