@@ -62,8 +62,9 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     // events tile with event_id AND user_id offsets (distinct users per
     // type grow 10x — the sketch-build workload scales, the sketch state
-    // does not). ts is read as RAW nanos (not via Tables.events) so the
-    // tiled table keeps the LONG shape Tables expects on read-back.
+    // does not). ts passes through RAW (not via Tables.events) so the
+    // tiled table keeps whatever on-disk flavor the generator used —
+    // Tables.events normalizes any of them on read-back.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$baseDir/events.parquet")
     (0 until Replicas).map { i =>

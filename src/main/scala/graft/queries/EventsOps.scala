@@ -709,7 +709,86 @@ object EventsOps {
       |       ELSE 1000 * (sy * sxx - sx * sxy) // (n_days * sxx - sx * sx) END AS intercept_milli
       |FROM m ORDER BY event_type""".stripMargin
 
+  /** q179's interval length: every event holds a resource for 30 minutes. */
+  private[graft] val Q179HoldUs = 1800L * 1000000L
+
+  /** q179 — PEAK CONCURRENCY by sweep line (interval stabbing): each event
+    * opens a half-open 30-minute interval [ts, ts+30m); the hourly report
+    * is how many intervals are simultaneously open at the hour's start,
+    * at its peak, and at its end — the "max concurrent sessions /
+    * connections / jobs" question every capacity plan asks.
+    *
+    * The classic answer sorts ALL +1/-1 boundary points and takes one
+    * global running sum — a single-partition window that dies at scale.
+    * This is instead the TWO-PHASE PARALLEL PREFIX SUM: (1) boundary
+    * deltas group into hour chunks, and each chunk computes its running
+    * sum independently (windows partitioned BY HOUR — fully parallel);
+    * (2) per-hour net sums — one tiny row per hour — take the global
+    * cumsum to produce each hour's starting offset, and peak = offset +
+    * chunk-local max. Only the |hours|-row frame is ever globally
+    * ordered, so a 1000-executor run sweeps a year of events with the
+    * fact-sized work all chunk-parallel. Tie order at an identical
+    * microsecond is pinned (-1 before +1, then event_id): a half-open
+    * interval's close at t happens before an open at t, and both engines
+    * sort the same total order.
+    */
+  def q179PeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "events")
+      .select(unix_micros(col("ts")).as("t"), col("event_id"))
+    val deltas = e.select(col("t"), lit(1).as("delta"), col("event_id"))
+      .unionByName(e.select((col("t") + lit(Q179HoldUs)).as("t"),
+        lit(-1).as("delta"), col("event_id")))
+      .withColumn("hour", expr("t div 3600000000"))
+    val wRun = Window.partitionBy(col("hour"))
+      .orderBy(col("t"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perHour = deltas
+      .withColumn("run", sum(col("delta")).over(wRun))
+      .groupBy(col("hour"))
+      .agg(
+        sum(when(col("delta") === 1, 1L).otherwise(0L)).as("enter_n"),
+        sum(when(col("delta") === -1, 1L).otherwise(0L)).as("exit_n"),
+        sum(col("delta")).cast("long").as("net"),
+        max(col("run")).cast("long").as("max_run"))
+    val wOff = Window.orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perHour
+      .withColumn("start_c", coalesce(sum(col("net")).over(wOff), lit(0L)))
+      .select((col("hour") * 3600).as("hour_ts"), col("enter_n"), col("exit_n"),
+        col("start_c"),
+        (col("start_c") + col("max_run")).as("peak_concurrency"),
+        (col("start_c") + col("net")).as("end_concurrency"))
+      .orderBy(col("hour_ts"))
+  }
+
+  val q179Sql: String =
+    s"""WITH d AS (
+      |  SELECT epoch_us(ts) AS t, 1 AS delta, event_id FROM events
+      |  UNION ALL
+      |  SELECT epoch_us(ts) + $Q179HoldUs AS t, -1 AS delta, event_id FROM events),
+      |w AS (
+      |  SELECT t // 3600000000 AS hour, delta,
+      |    sum(delta) OVER (PARTITION BY t // 3600000000
+      |      ORDER BY t, delta, event_id ROWS UNBOUNDED PRECEDING) AS run
+      |  FROM d),
+      |per_hour AS (
+      |  SELECT hour,
+      |    CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS enter_n,
+      |    CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS exit_n,
+      |    CAST(sum(delta) AS BIGINT) AS net, CAST(max(run) AS BIGINT) AS max_run
+      |  FROM w GROUP BY hour),
+      |off AS (
+      |  SELECT hour, enter_n, exit_n, net, max_run,
+      |    CAST(coalesce(sum(net) OVER (ORDER BY hour
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_c
+      |  FROM per_hour)
+      |SELECT hour * 3600 AS hour_ts, enter_n, exit_n, start_c,
+      |  start_c + max_run AS peak_concurrency, start_c + net AS end_concurrency
+      |FROM off ORDER BY hour_ts""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_peak_concurrency" -> q179PeakConcurrency _,
     "q173_pit_join" -> q173PitJoin _,
     "q171_trend_fit" -> q171TrendFit _,
     "q167_scd2_build" -> q167Scd2Build _,
@@ -730,6 +809,7 @@ object EventsOps {
     "q106_markov_transitions" -> q106MarkovTransitions _)
 
   val oracles: Map[String, String] = Map(
+    "q179_peak_concurrency" -> q179Sql,
     "q173_pit_join" -> q173Sql,
     "q171_trend_fit" -> q171Sql,
     "q167_scd2_build" -> q167Sql,

@@ -131,9 +131,111 @@ object LayoutOps {
        |FROM z GROUP BY 1 ORDER BY zcell""".stripMargin
   }
 
+  /** q178's file granularity (docs per simulated input file) and next-fit
+    * bin target in bytes — ONE definition each, interpolated into both
+    * engines.
+    */
+  private[graft] val Q178DocsPerFile = 16
+  private[graft] val Q178TargetBytes = 4096L
+
+  /** q178 — small-file COMPACTION PLANNER, the other half of layout
+    * maintenance next to q107's z-order: a long-lived 100 TB table
+    * accretes thousands of undersized files per partition (streaming
+    * commits, per-executor writes), and scan cost degrades with file
+    * COUNT (footer reads, task scheduling), not bytes. The planner is
+    * metadata-only: over a file inventory (path, bytes) it assigns each
+    * file to a target-sized output bin by deterministic next-fit —
+    * cumulative byte offset within the partition, `offset div target` is
+    * the bin — one window cumsum over the (tiny) listing, never touching
+    * data. Each bin then compacts independently: a 1000-executor rewrite
+    * is one task per bin with no cross-bin coordination, and re-running
+    * the planner on an unchanged listing reproduces the identical plan
+    * (idempotent maintenance, the Delta/Iceberg OPTIMIZE bin-packing
+    * contract).
+    *
+    * The inventory here is simulated from `documents` ([[Q178DocsPerFile]]
+    * docs per file, sized by text length) so the oracle can restate the
+    * whole plan; at deployment the same two windows run over the real
+    * file listing.
+    */
+  def q178CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = Tables(spark, dir, "documents")
+      .groupBy(col("source"), expr(s"doc_id div $Q178DocsPerFile").as("file_seq"))
+      .agg(sum(col("n_chars")).as("bytes"))
+    val wOff = Window.partitionBy(col("source")).orderBy(col("file_seq"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val planned = files
+      .withColumn("off", coalesce(sum(col("bytes")).over(wOff), lit(0L)))
+      .withColumn("bin_id", expr(s"off div $Q178TargetBytes"))
+    val wBin = Window.partitionBy(col("source"), col("bin_id"))
+    planned
+      .withColumn("bin_bytes", sum(col("bytes")).over(wBin))
+      .withColumn("bin_files", count(lit(1)).over(wBin))
+      .select(col("source"), col("file_seq"), col("bytes"),
+        col("bin_id"), col("bin_bytes"), col("bin_files"))
+      .orderBy(col("source"), col("file_seq"))
+  }
+
+  val q178Sql: String =
+    s"""WITH files AS (
+       |  SELECT source, doc_id // $Q178DocsPerFile AS file_seq,
+       |    CAST(sum(n_chars) AS BIGINT) AS bytes
+       |  FROM documents GROUP BY 1, 2),
+       |c AS (
+       |  SELECT source, file_seq, bytes,
+       |    CAST(coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY file_seq
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM files)
+       |SELECT source, file_seq, bytes, off // $Q178TargetBytes AS bin_id,
+       |  CAST(sum(bytes) OVER (PARTITION BY source, off // $Q178TargetBytes) AS BIGINT) AS bin_bytes,
+       |  CAST(count(*) OVER (PARTITION BY source, off // $Q178TargetBytes) AS BIGINT) AS bin_files
+       |FROM c ORDER BY source, file_seq""".stripMargin
+
+  /** q180 — ORC ROUND-TRIP: write `documents` as ORC (Spark's second
+    * first-class columnar format — same vectorized reader, predicate
+    * pushdown, and column pruning surface as parquet), read it back, and
+    * aggregate per language with an order-independent 60-bit content
+    * fingerprint (bit_xor of the md5 hash family over the full text).
+    * The oracle computes the identical aggregate from the PARQUET
+    * originals, so a hash match proves the ORC write→read cycle preserved
+    * every row and every byte of text — format interop evidence, not just
+    * row counts. Scale: the round-trip is one partition-parallel write +
+    * one scan; fingerprint aggregation is map-side combinable (xor is
+    * associative/commutative), so the check itself runs at any corpus
+    * size — the cheap "did the migration lose anything" audit for a
+    * format move.
+    */
+  def q180OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q180_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Tables(spark, dir, "documents")
+      .write.mode("overwrite").orc(s"$base/orc")
+    spark.read.orc(s"$base/orc")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        expr("bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT))")
+          .cast("long").as("content_hash"))
+      .orderBy(col("lang"))
+  }
+
+  val q180Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+      |  bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS content_hash
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q107_zorder_layout" -> q107ZorderLayout _)
+    "q107_zorder_layout" -> q107ZorderLayout _,
+    "q178_compaction_plan" -> q178CompactionPlan _,
+    "q180_orc_roundtrip" -> q180OrcRoundtrip _)
 
   val oracles: Map[String, String] = Map(
-    "q107_zorder_layout" -> q107Sql)
+    "q107_zorder_layout" -> q107Sql,
+    "q178_compaction_plan" -> q178Sql,
+    "q180_orc_roundtrip" -> q180Sql)
 }

@@ -194,6 +194,99 @@ object SketchOps {
       |GROUP BY p.user_id, p.true_cnt
       |ORDER BY p.true_cnt DESC, p.user_id""".stripMargin
 
+  /** Register count (m=2^6) and the integral HLL estimate numerator
+    * alpha_64 · m² · 2^27 scaled ×1000 against a ×1000 denominator:
+    * 709 · 4096 · 134217728 — ONE definition interpolated into both
+    * engines so the arithmetic cannot drift.
+    */
+  private[graft] val HllM = 64
+  private[graft] val HllAlphaNum = 709L * 4096L * 134217728L
+
+  /** q177 — HyperLogLog distinct-count registers (Flajolet et al. 2007),
+    * the third leg of the sketch family: where KMV (q136) keeps k order
+    * statistics and CMS (q137) keeps counters, HLL keeps m=64 one-byte
+    * registers — CONSTANT state per group regardless of cardinality, and
+    * merging two shards' registers is an elementwise max, the cheapest
+    * merge of the three. Hash is the engine's md5 family truncated to 32
+    * bits: top 6 bits pick the register, the position of the first set
+    * bit in the remaining 26 estimates log2(n/m) per register.
+    *
+    * Everything stays integral so DuckDB restates the sketch bit-for-bit:
+    * rho is a string `instr` over the lpad'ed binary expansion (both
+    * engines' `bin` drops leading zeros identically), and the harmonic
+    * mean runs in units of 2^-27 — z_num = Σ 2^(27-rho) with empty
+    * registers contributing 2^27 — so the raw estimate is one 64-bit
+    * integer division alpha·m²·2^27·1000⁻¹ div z_num (max z_num is
+    * 64·2^27·1000 < 2^43; the numerator is 3.9e14 < 2^49). The
+    * small-range linear-counting correction needs a transcendental ln
+    * that cannot cross engines exactly, so the row carries n_empty and
+    * the exact count instead — the reader applies any correction they
+    * like, and the registers themselves are proven.
+    *
+    * Scale: the register build is one map-side-combinable max-aggregate
+    * over (group, bucket) — 64 rows per group cross the exchange; at
+    * 100 TB the per-day register tables union by elementwise max into
+    * any date range's sketch without touching raw data (same mergeable
+    * contract as q151's rolling KMV).
+    */
+  /** The q177 register build over any (event_type, user_id) frame —
+    * factored out so SketchSpec can prove shard registers max-merge to
+    * exactly the global registers.
+    */
+  private[graft] def hllRegisters(e: DataFrame): DataFrame =
+    e.select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h32"))
+      .distinct()
+      .withColumn("rest", expr("h32 % 67108864"))
+      .withColumn("rho",
+        when(instr(lpad(bin(col("rest")), 26, "0"), "1") === 0, lit(27))
+          .otherwise(instr(lpad(bin(col("rest")), 26, "0"), "1")))
+      .groupBy(col("event_type"), expr("h32 div 67108864").as("bucket"))
+      .agg(max(col("rho")).as("rho"))
+
+  def q177HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val z = hllRegisters(e).groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_used"),
+        (lit(HllM.toLong) - count(lit(1))).as("n_empty"),
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(27 - rho AS INT))")) +
+          (lit(HllM.toLong) - count(lit(1))) * lit(134217728L)).as("z_num"))
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    z.join(exact, "event_type")
+      .select(col("event_type"), col("n_used"), col("n_empty"), col("z_num"),
+        expr(s"$HllAlphaNum div (1000 * z_num)").as("est_hll"),
+        col("exact_distinct"))
+      .orderBy(col("event_type"))
+  }
+
+  val q177Sql: String =
+    s"""WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h32
+      |  FROM events),
+      |reg AS (
+      |  SELECT event_type, h32 // 67108864 AS bucket,
+      |    max(CASE WHEN strpos(lpad(bin(h32 % 67108864), 26, '0'), '1') = 0 THEN 27
+      |             ELSE strpos(lpad(bin(h32 % 67108864), 26, '0'), '1') END) AS rho
+      |  FROM h GROUP BY 1, 2),
+      |z AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS BIGINT) AS n_used,
+      |    CAST($HllM - count(*) AS BIGINT) AS n_empty,
+      |    CAST(sum(1::BIGINT << CAST(27 - rho AS INT)) +
+      |      ($HllM - count(*)) * 134217728 AS BIGINT) AS z_num
+      |  FROM reg GROUP BY 1),
+      |ex AS (
+      |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, n_used, n_empty, z_num,
+      |  $HllAlphaNum // (1000 * z_num) AS est_hll, exact_distinct
+      |FROM z JOIN ex USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   /** q141 — KMV set algebra (theta-sketch-style union/intersection over
     * the q136 sketches), Beyer et al. 2007 / Dasgupta et al. 2016: for
     * every event-type pair, merge the two k-min sketches by
@@ -678,6 +771,7 @@ object SketchOps {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_bloom_prefilter" -> q168BloomPrefilter _,
+    "q177_hll_distinct" -> q177HllDistinct _,
     "q136_kmv_distinct" -> q136KmvDistinct _,
     "q137_cms_heavy_hitters" -> q137CmsHeavyHitters _,
     "q141_kmv_set_ops" -> q141KmvSetOps _,
@@ -688,6 +782,7 @@ object SketchOps {
 
   val oracles: Map[String, String] = Map(
     "q168_bloom_prefilter" -> q168Sql,
+    "q177_hll_distinct" -> q177Sql,
     "q136_kmv_distinct" -> q136Sql,
     "q137_cms_heavy_hitters" -> q137Sql,
     "q141_kmv_set_ops" -> q141Sql,

@@ -930,4 +930,40 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_users")).sum == expected,
       "cells must partition the distinct (user, active-day) set")
   }
+
+  test("q179 peak concurrency equals a brute-force single-threaded sweep") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.EventsOps.q179PeakConcurrency(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // driver-side reference sweep: one global sorted pass over every
+    // boundary point, tracking the running count and per-hour peak
+    val pts = graft.Tables(spark, sfDir, "events")
+      .select(unix_micros(col("ts")).as("t"), col("event_id")).collect()
+      .flatMap { r =>
+        val (t, id) = (r.getLong(0), r.getLong(1))
+        Seq((t, 1, id), (t + graft.queries.EventsOps.Q179HoldUs, -1, id))
+      }.sortBy { case (t, d, id) => (t, d, id) }
+    var run = 0L
+    val peaks = scala.collection.mutable.Map.empty[Long, Long]
+    val ends = scala.collection.mutable.Map.empty[Long, Long]
+    pts.foreach { case (t, d, _) =>
+      val hour = t / 3600000000L
+      run += d
+      peaks(hour) = math.max(peaks.getOrElse(hour, Long.MinValue), run)
+      ends(hour) = run
+    }
+    assert(rows.length == peaks.size, "one row per hour containing any boundary")
+    rows.foreach { r =>
+      val hour = r.getAs[Long]("hour_ts") / 3600L
+      assert(r.getAs[Long]("peak_concurrency") == peaks(hour),
+        s"hour $hour: two-phase peak must equal the global sweep")
+      assert(r.getAs[Long]("end_concurrency") == ends(hour))
+    }
+    // conservation: every interval both opens and closes
+    assert(rows.map(_.getAs[Long]("enter_n")).sum ==
+      rows.map(_.getAs[Long]("exit_n")).sum)
+    assert(rows.last.getAs[Long]("end_concurrency") == 0L,
+      "after the last boundary nothing is open")
+    assert(rows.head.getAs[Long]("start_c") == 0L)
+  }
 }

@@ -152,4 +152,62 @@ class SketchSpec extends SparkTestBase {
         s"${r.getAs[String]("event_type")}: est $est vs exact $exact — k=8 should land within 4x")
     }
   }
+
+  test("q177 HLL: shard registers max-merge to exactly the global registers") {
+    val e = Tables(spark, sfDir, "events")
+    val global = SketchOps.hllRegisters(e).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket")) -> r.getAs[Int]("rho"))
+      .toMap
+    // an arbitrary 2-way shard split; elementwise max is the HLL merge
+    val a = SketchOps.hllRegisters(e.filter(pmod(col("event_id"), lit(2)) === 0))
+    val b = SketchOps.hllRegisters(e.filter(pmod(col("event_id"), lit(2)) === 1))
+    val merged = a.unionByName(b)
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("rho")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket")) -> r.getAs[Int]("rho"))
+      .toMap
+    assert(merged == global,
+      "max-merged shard registers must be bit-identical to the one-pass registers")
+  }
+
+  test("q177 HLL: reader-side linear counting lands within 1.5x in the small range") {
+    // the fixture's cardinalities sit far below 5/2·m, where the RAW
+    // harmonic estimate legitimately over-shoots — the row deliberately
+    // carries n_empty so the reader applies Flajolet's linear-counting
+    // correction m·ln(m/V); this test IS that reader
+    val rows = SketchOps.q177HllDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val m = SketchOps.HllM.toDouble
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_used") + r.getAs[Long]("n_empty") == SketchOps.HllM.toLong)
+      // z_num is the harmonic sum in units of 2^-27: between m (all registers
+      // saturated) and m * 2^27 (all empty)
+      val z = r.getAs[Long]("z_num")
+      assert(z >= SketchOps.HllM.toLong && z <= SketchOps.HllM.toLong * 134217728L)
+      val v = r.getAs[Long]("n_empty").toDouble
+      assert(v > 0, "fixture cardinalities are far below m — registers can't saturate")
+      val corrected = m * math.log(m / v)
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      assert(corrected >= exact / 1.5 && corrected <= exact * 1.5,
+        s"${r.getAs[String]("event_type")}: linear-count $corrected vs exact $exact")
+    }
+  }
+
+  test("q177 HLL raw estimate lands within 1.5x in its proper (large-cardinality) regime") {
+    val tmp = Files.createTempDirectory("graft-hll").toString
+    val n = 50000L
+    spark.range(n).select(
+        col("id").as("event_id"),
+        (lit(1700000000L * 1000000000L) + col("id") * 1000000000L).as("ts"),
+        col("id").as("user_id"),
+        lit("click").as("event_type"),
+        lit(1.0).as("value"), lit("").as("props"))
+      .write.parquet(s"$tmp/events.parquet")
+    val r = SketchOps.q177HllDistinct(spark, tmp).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_empty") == 0L, "50k keys saturate all 64 registers")
+    val est = r.head.getAs[Long]("est_hll").toDouble
+    assert(est >= n / 1.5 && est <= n * 1.5,
+      s"est $est vs exact $n — m=64 (13% stderr) should land well within 1.5x")
+  }
 }
