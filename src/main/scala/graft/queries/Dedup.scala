@@ -1239,7 +1239,97 @@ object Dedup {
        |WHERE rk = 1 ORDER BY id_a""".stripMargin
   }
 
+  /** q182's Jaccard threshold as a fraction n/10 (7 → 0.7). */
+  private[graft] val Q182ThreshTenths = 7L
+
+  /** q182 — EXACT set-similarity self-join by PREFIX FILTERING (Chaudhuri
+    * et al. 2006 SSJoin / Bayardo et al. 2007 AllPairs): find every
+    * document pair whose 3-gram shingle sets have Jaccard ≥ 0.7 — the
+    * same measure q41 estimates through capped buckets — with a
+    * NO-FALSE-NEGATIVES guarantee and no caps. The trick: order each
+    * set's tokens by GLOBAL rarity (df asc, token asc — a strict total
+    * order); if J(a,b) ≥ t then |a∩b| ≥ ⌈t·|s|⌉ for each side s, so by
+    * pigeonhole the globally-first shared token sits within the first
+    * |s| − ⌈t·|s|⌉ + 1 tokens of BOTH sorted lists — candidates need only
+    * a token-equi-join over those short prefixes. A length filter
+    * (10·min ≥ 7·max — J ≥ 0.7 is impossible across a bigger size gap)
+    * prunes further, then candidates verify by exact shared-token count:
+    * J ≥ 0.7 ⇔ 17·shared ≥ 7·(|a|+|b|), all integral.
+    *
+    * Scale: posting lists in the candidate join are the RAREST tokens'
+    * (that is what rarity-first prefixes mean), so the join is bucket-
+    * local like every dedup here — but EXACT where q41 drops hot blocks
+    * and audits them. Ceil arithmetic is `(7·sz + 9) div 10` on both
+    * engines; jacc_bp is an integer division of two counts.
+    */
+  def q182SetSimJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("token"))
+      .distinct()
+    val dfreq = sh.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))
+    val pref = sh.join(dfreq, "token").join(sz, "doc_id")
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") <= col("sz") - expr(s"(${Q182ThreshTenths} * sz + 9) div 10") + 1)
+      .select(col("doc_id"), col("token"), col("sz"))
+    val cand = pref.select(col("doc_id").as("id_a"), col("token"), col("sz").as("sz_a"))
+      .join(pref.select(col("doc_id").as("id_b"), col("token"), col("sz").as("sz_b")), "token")
+      .filter(col("id_a") < col("id_b"))
+      .filter(lit(10) * least(col("sz_a"), col("sz_b")) >=
+        lit(Q182ThreshTenths) * greatest(col("sz_a"), col("sz_b")))
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("token")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("token")), Seq("id_b", "token"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(lit(10 + Q182ThreshTenths) * col("shared") >=
+        lit(Q182ThreshTenths) * (col("sz_a") + col("sz_b")))
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"), col("shared"),
+        expr("10000 * shared div (sz_a + sz_b - shared)").as("jacc_bp"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q182Sql: String =
+    s"""WITH tl AS (
+       |  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, token FROM (
+       |    SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS token
+       |    FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM tl WHERE len(toks) >= 3)
+       |    UNION ALL
+       |    SELECT doc_id, array_to_string(toks, ' ') AS token FROM tl WHERE len(toks) < 3)),
+       |df AS (SELECT token, count(*) AS df FROM sh GROUP BY token),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+       |ord AS (
+       |  SELECT s.doc_id, s.token, z.sz,
+       |    row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.token) AS rn
+       |  FROM sh s JOIN df d USING (token) JOIN sz z USING (doc_id)),
+       |pref AS (
+       |  SELECT doc_id, token, sz FROM ord
+       |  WHERE rn <= sz - ($Q182ThreshTenths * sz + 9) // 10 + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b
+       |  FROM pref a JOIN pref b ON a.token = b.token AND a.doc_id < b.doc_id
+       |  WHERE 10 * least(a.sz, b.sz) >= $Q182ThreshTenths * greatest(a.sz, b.sz)),
+       |ver AS (
+       |  SELECT c.id_a, c.id_b, c.sz_a, c.sz_b, CAST(count(*) AS BIGINT) AS shared
+       |  FROM cand c
+       |  JOIN sh x ON x.doc_id = c.id_a
+       |  JOIN sh y ON y.doc_id = c.id_b AND y.token = x.token
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT id_a, id_b, sz_a, sz_b, shared,
+       |  10000 * shared // (sz_a + sz_b - shared) AS jacc_bp
+       |FROM ver
+       |WHERE ${10 + Q182ThreshTenths} * shared >= $Q182ThreshTenths * (sz_a + sz_b)
+       |ORDER BY id_a, id_b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_setsim_join" -> q182SetSimJoin _,
     "q123_dedup_agreement" -> q123DedupAgreement _,
     "q40_dedup_minhash_lsh" -> q40MinhashLsh _,
     "q41_dedup_ngram_jaccard" -> ((s: SparkSession, dir: String) => q41NgramJaccard(s, dir)),
@@ -1261,6 +1351,7 @@ object Dedup {
     * q45's loser set round-trips through parquet.
     */
   val oracles: Map[String, String] = Map(
+    "q182_setsim_join" -> q182Sql,
     "q123_dedup_agreement" -> q123Sql,
     "q40_dedup_minhash_lsh" -> q40Sql,
     "q42_dedup_simhash" -> q42Sql,

@@ -194,6 +194,149 @@ object SketchOps {
       |GROUP BY p.user_id, p.true_cnt
       |ORDER BY p.true_cnt DESC, p.user_id""".stripMargin
 
+  /** q181's sample size (bottom-k per column) and the FK-candidate
+    * containment threshold in basis points.
+    */
+  private[graft] val IndK = 64
+  private[graft] val IndThreshBp = 9000L
+
+  /** The profiled (table, column) universe for q181 — key columns across
+    * the star schema; the true FK edges (l_orderkey→o_orderkey,
+    * o_custkey→c_custkey, l_partkey→p_partkey, l_suppkey→s_suppkey) are
+    * planted among decoys.
+    */
+  private[graft] val IndCols: Seq[(String, String)] = Seq(
+    "orders" -> "o_custkey", "customer" -> "c_custkey",
+    "orders" -> "o_orderkey", "lineitem" -> "l_orderkey",
+    "lineitem" -> "l_partkey", "part" -> "p_partkey",
+    "lineitem" -> "l_suppkey", "supplier" -> "s_suppkey")
+
+  /** q181 — INCLUSION-DEPENDENCY / FOREIGN-KEY DISCOVERY by coordinated
+    * sketch containment (Metanome/SINDY-style profiling, estimated the
+    * Beyer et al. 2007 way): for every ordered column pair (A, B) across
+    * the schema, estimate containment(A ⊆ B) = |A∩B| / |A| from each
+    * column's bottom-k-by-hash sketch. Because every column hashes its
+    * VALUES with the same md5 family (no per-column salt — cross-column
+    * comparability is the point), the k smallest hashes of A ∪ B are a
+    * coordinated uniform sample of the union, and within that sample the
+    * count-ratio `matches / in_a` (members of both ÷ members of A)
+    * estimates containment with NO cardinality arithmetic — two small
+    * integer counts per pair, immune to overflow at any scale. The exact
+    * containment rides along computed the scalable way: one VALUE-KEYED
+    * self-join of the distinct (column, value) frame — each value emits
+    * (cols sharing it)² pairs, ≤ 8² here, so the exact pass is linear in
+    * distinct values, never pairwise in columns × rows.
+    *
+    * At 100 TB the sketches alone answer: 8 columns × 64 hashes of state,
+    * mergeable per shard (same union-truncate argument as q141), so
+    * schema-wide FK screening over a lake costs one scan per table — the
+    * exact rider is dropped and candidates above [[IndThreshBp]] go to
+    * verification. Caveat the row makes visible: integer surrogate-key
+    * domains overlap numerically (c_custkey values ⊂ p_partkey values
+    * here), so real profilers AND containment with type/name signals —
+    * the decoy pairs in the output ARE that lesson.
+    */
+  def q181FkDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val vals = IndCols.map { case (t, c) =>
+      Tables(spark, dir, t)
+        .select(lit(s"$t.$c").as("col_id"), col(c).cast("long").as("v"))
+        .distinct()
+    }.reduce(_.unionByName(_))
+    val mins = bottomK(
+      vals.select(col("col_id"), md5_60(col("v")).as("h")), IndK, "col_id")
+    val cols = mins.select(col("col_id")).distinct()
+    val pairs = cols.select(col("col_id").as("col_a"))
+      .crossJoin(cols.select(col("col_id").as("col_b")))
+      .filter(col("col_a") =!= col("col_b"))
+    // the union's bottom-k per pair, with membership flags for each side
+    val tagged = pairs.join(mins.withColumnRenamed("col_id", "col_a"), Seq("col_a"))
+      .select(col("col_a"), col("col_b"), col("h"), lit(1).as("fa"), lit(0).as("fb"))
+      .unionByName(
+        pairs.join(mins.withColumnRenamed("col_id", "col_b"), Seq("col_b"))
+          .select(col("col_a"), col("col_b"), col("h"), lit(0).as("fa"), lit(1).as("fb")))
+      .groupBy(col("col_a"), col("col_b"), col("h"))
+      .agg(max(col("fa")).as("in_a"), max(col("fb")).as("in_b"))
+    val w = Window.partitionBy(col("col_a"), col("col_b")).orderBy(col("h"))
+    val est = tagged.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= IndK)
+      .groupBy(col("col_a"), col("col_b"))
+      .agg(sum(col("in_a")).as("sample_a"),
+        sum(col("in_a") * col("in_b")).as("matches"))
+    // exact containment via ONE value-keyed self-join (linear in values)
+    val inter = vals.select(col("col_id").as("col_a"), col("v"))
+      .join(vals.select(col("col_id").as("col_b"), col("v")), "v")
+      .filter(col("col_a") =!= col("col_b"))
+      .groupBy(col("col_a"), col("col_b")).agg(count(lit(1)).as("inter"))
+    val sizes = vals.groupBy(col("col_id")).agg(count(lit(1)).as("n"))
+    est
+      .join(sizes.select(col("col_id").as("col_a"), col("n").as("n_a")), "col_a")
+      .join(sizes.select(col("col_id").as("col_b"), col("n").as("n_b")), "col_b")
+      .join(inter, Seq("col_a", "col_b"), "left")
+      .select(col("col_a"), col("col_b"), col("n_a"), col("n_b"),
+        col("sample_a"), col("matches"),
+        when(col("sample_a") === 0, lit(null))
+          .otherwise(expr("10000 * matches div sample_a")).as("est_containment_bp"),
+        expr("10000 * coalesce(inter, 0) div n_a").as("exact_containment_bp"),
+        (coalesce(when(col("sample_a") === 0, lit(null))
+          .otherwise(expr("10000 * matches div sample_a")), lit(0L)) >= IndThreshBp)
+          .as("fk_candidate"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
+  val q181Sql: String = {
+    val valsSql = IndCols.map { case (t, c) =>
+      s"SELECT DISTINCT '$t.$c' AS col_id, CAST($c AS BIGINT) AS v FROM $t"
+    }.mkString("\n      |  UNION ALL ")
+    s"""WITH vals AS (
+      |  $valsSql),
+      |hs AS (
+      |  SELECT col_id, v,
+      |    ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM vals),
+      |mins AS (
+      |  SELECT col_id, h FROM (
+      |    SELECT col_id, h, row_number() OVER (PARTITION BY col_id ORDER BY h) AS rn
+      |    FROM hs)
+      |  WHERE rn <= $IndK),
+      |cols AS (SELECT DISTINCT col_id FROM mins),
+      |pairs AS (
+      |  SELECT a.col_id AS col_a, b.col_id AS col_b
+      |  FROM cols a, cols b WHERE a.col_id <> b.col_id),
+      |tagged AS (
+      |  SELECT col_a, col_b, h, max(fa) AS in_a, max(fb) AS in_b FROM (
+      |    SELECT p.col_a, p.col_b, m.h, 1 AS fa, 0 AS fb
+      |    FROM pairs p JOIN mins m ON m.col_id = p.col_a
+      |    UNION ALL
+      |    SELECT p.col_a, p.col_b, m.h, 0 AS fa, 1 AS fb
+      |    FROM pairs p JOIN mins m ON m.col_id = p.col_b)
+      |  GROUP BY 1, 2, 3),
+      |est AS (
+      |  SELECT col_a, col_b,
+      |    CAST(sum(in_a) AS BIGINT) AS sample_a,
+      |    CAST(sum(in_a * in_b) AS BIGINT) AS matches
+      |  FROM (
+      |    SELECT col_a, col_b, in_a, in_b,
+      |      row_number() OVER (PARTITION BY col_a, col_b ORDER BY h) AS rn
+      |    FROM tagged)
+      |  WHERE rn <= $IndK GROUP BY 1, 2),
+      |inter AS (
+      |  SELECT a.col_id AS col_a, b.col_id AS col_b, CAST(count(*) AS BIGINT) AS inter
+      |  FROM vals a JOIN vals b ON a.v = b.v AND a.col_id <> b.col_id
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT col_id, CAST(count(*) AS BIGINT) AS n FROM vals GROUP BY col_id)
+      |SELECT e.col_a, e.col_b, na.n AS n_a, nb.n AS n_b, e.sample_a, e.matches,
+      |  CASE WHEN e.sample_a = 0 THEN NULL
+      |       ELSE 10000 * e.matches // e.sample_a END AS est_containment_bp,
+      |  10000 * coalesce(i.inter, 0) // na.n AS exact_containment_bp,
+      |  coalesce(CASE WHEN e.sample_a = 0 THEN NULL
+      |       ELSE 10000 * e.matches // e.sample_a END, 0) >= $IndThreshBp AS fk_candidate
+      |FROM est e
+      |JOIN sizes na ON na.col_id = e.col_a
+      |JOIN sizes nb ON nb.col_id = e.col_b
+      |LEFT JOIN inter i ON i.col_a = e.col_a AND i.col_b = e.col_b
+      |ORDER BY e.col_a, e.col_b""".stripMargin
+  }
+
   /** Register count (m=2^6) and the integral HLL estimate numerator
     * alpha_64 · m² · 2^27 scaled ×1000 against a ×1000 denominator:
     * 709 · 4096 · 134217728 — ONE definition interpolated into both
@@ -772,6 +915,7 @@ object SketchOps {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_bloom_prefilter" -> q168BloomPrefilter _,
     "q177_hll_distinct" -> q177HllDistinct _,
+    "q181_fk_discovery" -> q181FkDiscovery _,
     "q136_kmv_distinct" -> q136KmvDistinct _,
     "q137_cms_heavy_hitters" -> q137CmsHeavyHitters _,
     "q141_kmv_set_ops" -> q141KmvSetOps _,
@@ -783,6 +927,7 @@ object SketchOps {
   val oracles: Map[String, String] = Map(
     "q168_bloom_prefilter" -> q168Sql,
     "q177_hll_distinct" -> q177Sql,
+    "q181_fk_discovery" -> q181Sql,
     "q136_kmv_distinct" -> q136Sql,
     "q137_cms_heavy_hitters" -> q137Sql,
     "q141_kmv_set_ops" -> q141Sql,

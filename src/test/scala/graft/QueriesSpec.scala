@@ -931,6 +931,60 @@ class QueriesSpec extends SparkTestBase {
       "cells must partition the distinct (user, active-day) set")
   }
 
+  test("q182 prefix filtering loses NO pair: equals the all-pairs join at the threshold") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.Dedup.q182SetSimJoin(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("shared"), r.getAs[Long]("jacc_bp"))).toSet
+    assert(got.nonEmpty, "the fixture's near-dup clusters must surface pairs")
+    // brute force WITHOUT the prefix filter: full token-keyed all-pairs
+    // (feasible at sf0.001), same verification arithmetic
+    val sh = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(graft.queries.Dedup.shingles(col("text"), 3)).as("token"))
+      .distinct()
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val brute = sh.select(col("doc_id").as("id_a"), col("token"))
+      .join(sh.select(col("doc_id").as("id_b"), col("token")), "token")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+      .join(sz.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sz.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .filter(lit(17) * col("shared") >= lit(7) * (col("sz_a") + col("sz_b")))
+      .select(col("id_a"), col("id_b"), col("shared"),
+        expr("10000 * shared div (sz_a + sz_b - shared)").as("jacc_bp"))
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("shared"), r.getAs[Long]("jacc_bp"))).toSet
+    assert(got == brute,
+      "prefix-filtered result must equal the exhaustive all-pairs join exactly")
+  }
+
+  test("q181 flags every planted FK edge and sees the orphan-customer asymmetry") {
+    val rows = graft.queries.SketchOps.q181FkDiscovery(spark, sfDir).collect()
+    assert(rows.length == 56, "8 columns, all ordered pairs")
+    val byPair = rows.map(r => (r.getAs[String]("col_a"), r.getAs[String]("col_b")) -> r).toMap
+    val planted = Seq(
+      ("lineitem.l_orderkey", "orders.o_orderkey"),
+      ("orders.o_custkey", "customer.c_custkey"),
+      ("lineitem.l_partkey", "part.p_partkey"),
+      ("lineitem.l_suppkey", "supplier.s_suppkey"))
+    planted.foreach { p =>
+      val r = byPair(p)
+      assert(r.getAs[Long]("exact_containment_bp") == 10000L, s"$p: true FK is fully contained")
+      assert(r.getAs[Boolean]("fk_candidate"), s"$p: sketch must flag the true FK")
+    }
+    // orders with no line items break the REVERSE containment
+    val rev = byPair(("orders.o_orderkey", "lineitem.l_orderkey"))
+    assert(rev.getAs[Long]("exact_containment_bp") < 10000L,
+      "lineitem-less orders must show as incomplete reverse containment")
+    // the estimate is a fraction of a 64-row sample: bounded and sane
+    rows.foreach { r =>
+      val est = Option(r.getAs[java.lang.Long]("est_containment_bp")).map(_.toLong)
+      est.foreach(e => assert(e >= 0L && e <= 10000L))
+      assert(r.getAs[Long]("sample_a") >= 0L && r.getAs[Long]("sample_a") <= 64L)
+    }
+  }
+
   test("q179 peak concurrency equals a brute-force single-threaded sweep") {
     import org.apache.spark.sql.functions._
     val rows = graft.queries.EventsOps.q179PeakConcurrency(spark, sfDir).collect()
