@@ -787,7 +787,65 @@ object EventsOps {
       |  start_c + max_run AS peak_concurrency, start_c + net AS end_concurrency
       |FROM off ORDER BY hour_ts""".stripMargin
 
+  /** q184 — DETERMINISTIC EXPERIMENT ASSIGNMENT + SAMPLE-RATIO-MISMATCH
+    * audit: hash-bucket every user into variant A/B with the md5 family
+    * salted by experiment id (`md5('exp1:' || user_id) % 2` — stable
+    * across sessions, machines, and re-runs, which is the entire point of
+    * hash-based assignment: no assignment table to store or look up), then
+    * per variant the distinct-user count and purchase-conversion rate in
+    * basis points. The SRM gate — THE standard validity check run before
+    * reading any experiment result — flags a suspicious split entirely in
+    * integers: |n_a − n_b| > 1.5·√(n_a+n_b) restated by squaring as
+    * 4·delta² > 9·(n_a+n_b) (z ≈ 3 for a 50/50 split), so both engines
+    * agree bit-for-bit with no sqrt.
+    *
+    * Scale: assignment is a scan-side projection (no shuffle, no state);
+    * the audit aggregates to two rows. At 100 TB this is exactly how
+    * assignment runs — hashed at read time, never materialized.
+    */
+  def q184AbAssignment(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"))
+      .withColumn("variant",
+        when(expr("CAST(conv(substring(md5(concat('exp1:', CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2 = 0"),
+          lit("A")).otherwise(lit("B")))
+    val perVariant = e.groupBy(col("variant"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("event_type") === "purchase", col("user_id")))
+          .as("n_converters"))
+    val a = perVariant.filter(col("variant") === "A")
+      .select(col("n_users").as("n_a"), col("n_converters").as("conv_a"))
+    val b = perVariant.filter(col("variant") === "B")
+      .select(col("n_users").as("n_b"), col("n_converters").as("conv_b"))
+    a.crossJoin(b)
+      .select(col("n_a"), col("n_b"),
+        expr("10000 * conv_a div n_a").as("conv_a_bp"),
+        expr("10000 * conv_b div n_b").as("conv_b_bp"),
+        abs(col("n_a") - col("n_b")).as("delta"),
+        (lit(4) * (col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) >
+          lit(9) * (col("n_a") + col("n_b"))).as("srm_suspect"))
+  }
+
+  val q184Sql: String =
+    """WITH assigned AS (
+      |  SELECT user_id, event_type,
+      |    CASE WHEN ('0x' || substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+      |         THEN 'A' ELSE 'B' END AS variant
+      |  FROM events),
+      |pv AS (
+      |  SELECT variant, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |    CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS n_converters
+      |  FROM assigned GROUP BY variant)
+      |SELECT a.n_users AS n_a, b.n_users AS n_b,
+      |  10000 * a.n_converters // a.n_users AS conv_a_bp,
+      |  10000 * b.n_converters // b.n_users AS conv_b_bp,
+      |  abs(a.n_users - b.n_users) AS delta,
+      |  4 * (a.n_users - b.n_users) * (a.n_users - b.n_users) > 9 * (a.n_users + b.n_users) AS srm_suspect
+      |FROM (SELECT * FROM pv WHERE variant = 'A') a,
+      |     (SELECT * FROM pv WHERE variant = 'B') b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_ab_assignment" -> q184AbAssignment _,
     "q179_peak_concurrency" -> q179PeakConcurrency _,
     "q173_pit_join" -> q173PitJoin _,
     "q171_trend_fit" -> q171TrendFit _,
@@ -809,6 +867,7 @@ object EventsOps {
     "q106_markov_transitions" -> q106MarkovTransitions _)
 
   val oracles: Map[String, String] = Map(
+    "q184_ab_assignment" -> q184Sql,
     "q179_peak_concurrency" -> q179Sql,
     "q173_pit_join" -> q173Sql,
     "q171_trend_fit" -> q171Sql,

@@ -337,6 +337,81 @@ object SketchOps {
       |ORDER BY e.col_a, e.col_b""".stripMargin
   }
 
+  /** q183 — EXACT mergeable distinct via BITMAP words: the deterministic
+    * exact counterpart to q151's approximate rolling KMV. Per (event_type,
+    * day), user presence compresses into 64-bit words — word = user_id
+    * div 32, bit = user_id mod 32, `bit_or` builds the word — and any
+    * 7-day window's EXACT distinct count is the popcount of the OR-merged
+    * daily words. This is the precomputed-bitmap-cube technique (roaring/
+    * Druid-style): state per (group, day) is |users|/32 integers, merge
+    * is a word-keyed `bit_or` (associative, shard-parallel), and unlike a
+    * sketch the answer is exact — the right tool when user ids are dense
+    * integers and the distinct question must be auditable. The exact
+    * rider recomputes each window by brute countDistinct and MUST equal
+    * the bitmap path row-for-row (asserted by the oracle AND the spec —
+    * equality is the whole claim).
+    *
+    * Scale: daily bitmap build is one map-side-combinable agg; window
+    * answers touch days×words bitmap rows, never raw events (same replay
+    * shape as q151, but lossless). The explode-to-window-ends join is
+    * equi-keyed (no range join) per the q117/q151 idiom.
+    */
+  def q183BitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val pres = Tables(spark, dir, "events")
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("day"),
+        expr("user_id div 32").as("word"),
+        expr("CAST(user_id % 32 AS INT)").as("bit"))
+      .distinct()
+    val bm = pres.groupBy(col("event_type"), col("day"), col("word"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
+    val ends = bm.select(col("event_type"), col("day").as("end_day")).distinct()
+    val rolled = bm
+      .withColumn("end_day", explode(sequence(col("day"), col("day") + 6)))
+      .join(ends, Seq("event_type", "end_day"))
+      .groupBy(col("event_type"), col("end_day"), col("word"))
+      .agg(expr("bit_or(bits)").as("bits"))
+    val agg = rolled.groupBy(col("event_type"), col("end_day"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr("bit_count(bits)")).cast("long").as("bitmap_distinct"))
+    val ex = pres
+      .withColumn("end_day", explode(sequence(col("day"), col("day") + 6)))
+      .join(ends, Seq("event_type", "end_day"))
+      .groupBy(col("event_type"), col("end_day"))
+      .agg(countDistinct(expr("word * 32 + bit")).as("exact_distinct"))
+    agg.join(ex, Seq("event_type", "end_day"))
+      .orderBy(col("event_type"), col("end_day"))
+  }
+
+  val q183Sql: String =
+    """WITH pres AS (
+      |  SELECT DISTINCT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+      |    user_id // 32 AS word, CAST(user_id % 32 AS INT) AS bit
+      |  FROM events),
+      |bm AS (
+      |  SELECT event_type, day, word, bit_or(1::BIGINT << bit) AS bits
+      |  FROM pres GROUP BY 1, 2, 3),
+      |ends AS (SELECT DISTINCT event_type, day AS end_day FROM bm),
+      |rolled AS (
+      |  SELECT b.event_type, e.end_day, b.word, bit_or(b.bits) AS bits
+      |  FROM bm b JOIN ends e
+      |    ON e.event_type = b.event_type AND b.day BETWEEN e.end_day - 6 AND e.end_day
+      |  GROUP BY 1, 2, 3),
+      |agg AS (
+      |  SELECT event_type, end_day, CAST(count(*) AS BIGINT) AS n_words,
+      |    CAST(sum(bit_count(bits)) AS BIGINT) AS bitmap_distinct
+      |  FROM rolled GROUP BY 1, 2),
+      |ex AS (
+      |  SELECT p.event_type, e.end_day,
+      |    CAST(count(DISTINCT p.word * 32 + p.bit) AS BIGINT) AS exact_distinct
+      |  FROM pres p JOIN ends e
+      |    ON e.event_type = p.event_type AND p.day BETWEEN e.end_day - 6 AND e.end_day
+      |  GROUP BY 1, 2)
+      |SELECT a.event_type, a.end_day, a.n_words, a.bitmap_distinct, x.exact_distinct
+      |FROM agg a JOIN ex x ON x.event_type = a.event_type AND x.end_day = a.end_day
+      |ORDER BY a.event_type, a.end_day""".stripMargin
+
   /** Register count (m=2^6) and the integral HLL estimate numerator
     * alpha_64 · m² · 2^27 scaled ×1000 against a ×1000 denominator:
     * 709 · 4096 · 134217728 — ONE definition interpolated into both
@@ -916,6 +991,7 @@ object SketchOps {
     "q168_bloom_prefilter" -> q168BloomPrefilter _,
     "q177_hll_distinct" -> q177HllDistinct _,
     "q181_fk_discovery" -> q181FkDiscovery _,
+    "q183_bitmap_distinct" -> q183BitmapDistinct _,
     "q136_kmv_distinct" -> q136KmvDistinct _,
     "q137_cms_heavy_hitters" -> q137CmsHeavyHitters _,
     "q141_kmv_set_ops" -> q141KmvSetOps _,
@@ -928,6 +1004,7 @@ object SketchOps {
     "q168_bloom_prefilter" -> q168Sql,
     "q177_hll_distinct" -> q177Sql,
     "q181_fk_discovery" -> q181Sql,
+    "q183_bitmap_distinct" -> q183Sql,
     "q136_kmv_distinct" -> q136Sql,
     "q137_cms_heavy_hitters" -> q137Sql,
     "q141_kmv_set_ops" -> q141Sql,

@@ -985,6 +985,24 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q184 A/B assignment: conserves users, is deterministic, and the SRM bound is honest") {
+    import org.apache.spark.sql.functions._
+    val r1 = graft.queries.EventsOps.q184AbAssignment(spark, sfDir).collect()
+    assert(r1.length == 1)
+    val r = r1.head
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    val total = graft.Tables(spark, sfDir, "events")
+      .select(countDistinct(col("user_id"))).collect().head.getLong(0)
+    assert(na + nb == total, "every user lands in exactly one variant")
+    assert(r.getAs[Long]("delta") == math.abs(na - nb))
+    assert(r.getAs[Boolean]("srm_suspect") ==
+      (4 * (na - nb) * (na - nb) > 9 * (na + nb)),
+      "the flag must be exactly the integral 3-sigma bound")
+    // hash assignment is stateless: a re-run reproduces the row bit-for-bit
+    val r2 = graft.queries.EventsOps.q184AbAssignment(spark, sfDir).collect()
+    assert(r1.toSeq == r2.toSeq)
+  }
+
   test("q179 peak concurrency equals a brute-force single-threaded sweep") {
     import org.apache.spark.sql.functions._
     val rows = graft.queries.EventsOps.q179PeakConcurrency(spark, sfDir).collect()

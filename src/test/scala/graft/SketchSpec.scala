@@ -193,6 +193,19 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("q183 bitmap distinct IS exact on every window, and words are bounded state") {
+    val rows = SketchOps.q183BitmapDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bitmap_distinct") == r.getAs[Long]("exact_distinct"),
+        s"${r.getAs[String]("event_type")}@${r.getAs[Int]("end_day")}: " +
+          "popcount of OR-merged words must equal brute countDistinct — exactness is the claim")
+      // a window's words can't exceed distinct/1 nor undershoot distinct/32
+      val (w, d) = (r.getAs[Long]("n_words"), r.getAs[Long]("bitmap_distinct"))
+      assert(w <= d && d <= 32L * w, s"words $w vs distinct $d out of packing bounds")
+    }
+  }
+
   test("q177 HLL raw estimate lands within 1.5x in its proper (large-cardinality) regime") {
     val tmp = Files.createTempDirectory("graft-hll").toString
     val n = 50000L
