@@ -796,4 +796,33 @@ class PlanSpec extends SparkTestBase {
     assert(s.contains("BroadcastHashJoin"),
       s"counter table must broadcast into the probe:\n$s")
   }
+
+  test("q179: the fact-sized sweep window partitions by hour; only the tiny per-hour frame sorts globally") {
+    // the optimized logical plan carries the partition specs without the
+    // AQE query-stage wrapping that hides executed WindowExec nodes
+    val df = graft.queries.EventsOps.q179PeakConcurrency(spark, sfDir)
+    df.collect()
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, "expected window operators in the sweep plan")
+    // the two-phase prefix sum's contract: exactly ONE globally-ordered
+    // window (the |hours|-row offset cumsum); every window over boundary
+    // deltas is hour-partitioned and so fans out across executors
+    assert(wins.count(_.partitionSpec.isEmpty) == 1,
+      "only the per-hour offset frame may use a global (single-partition) window")
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "the boundary-delta running sum must partition by hour")
+  }
+
+  test("q182/q183: candidate and window-end joins stay equi-keyed — no cartesian, no nested loop") {
+    for (df <- Seq(graft.queries.Dedup.q182SetSimJoin(spark, sfDir),
+                   SketchOps.q183BitmapDistinct(spark, sfDir))) {
+      df.collect()
+      val s = finalPlan(df)
+      assert(!s.contains("CartesianProduct"), s"no cartesian:\n$s")
+      assert(!s.contains("BroadcastNestedLoopJoin"),
+        s"no nested-loop (range-join) fallback — the explode/prefix idiom must equi-join:\n$s")
+    }
+  }
 }
