@@ -216,11 +216,140 @@ object MiningOps {
       |  count(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 END) = 0 FROM orders
       |) ORDER BY check_id""".stripMargin
 
+  /** q185 — SKYLINE / PARETO FRONTIER (Börzsönyi et al. 2001): the parts
+    * no other part beats on BOTH objectives (minimize p_size, minimize
+    * price), the multi-objective "best offers" query no single ORDER BY
+    * can answer. Computed scalably as GRID-COLLAPSE + TINY GLOBAL PASS
+    * (the q179 two-phase shape): phase 1 collapses the corpus to one
+    * min-price row per x-value — a map-side-combinable aggregate, the
+    * only fact-sized work; phase 2 runs the staircase test (keep an
+    * x-group iff its best y strictly beats every smaller x's best) as a
+    * prefix-min window over ≤ |distinct x| rows; a join-back recovers
+    * every tied point. Dominance is ≤/≤ with at least one strict:
+    * equal-y at a larger x is dominated (strict < against the prefix
+    * min), equal (x, y) ties are mutually non-dominating and all kept.
+    * Price crosses engines as integer cents (`CAST(round(p*100) AS
+    * BIGINT)`, the q93 idiom). For a continuous x-axis the same plan
+    * runs after an x-bucketing — the grid is the scalability, the
+    * staircase is the semantics.
+    */
+  def q185Skyline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables(spark, dir, "part")
+      .select(col("p_partkey"), col("p_size"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_cents"))
+    val perSize = pts.groupBy(col("p_size"))
+      .agg(min(col("price_cents")).as("min_cents"))
+    val w = Window.orderBy(col("p_size"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val skySizes = perSize
+      .withColumn("prev_min", min(col("min_cents")).over(w))
+      .filter(col("prev_min").isNull || col("min_cents") < col("prev_min"))
+      .select(col("p_size"), col("min_cents"))
+    pts.join(skySizes, "p_size")
+      .filter(col("price_cents") === col("min_cents"))
+      .select(col("p_partkey"), col("p_size"), col("price_cents"))
+      .orderBy(col("p_size"), col("p_partkey"))
+  }
+
+  val q185Sql: String =
+    """WITH pts AS (
+      |  SELECT p_partkey, p_size,
+      |    CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+      |  FROM part),
+      |per_size AS (
+      |  SELECT p_size, min(price_cents) AS min_cents FROM pts GROUP BY p_size),
+      |sky AS (
+      |  SELECT p_size, min_cents FROM (
+      |    SELECT p_size, min_cents,
+      |      min(min_cents) OVER (ORDER BY p_size
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_min
+      |    FROM per_size)
+      |  WHERE prev_min IS NULL OR min_cents < prev_min)
+      |SELECT p.p_partkey, p.p_size, p.price_cents
+      |FROM pts p JOIN sky s ON s.p_size = p.p_size AND p.price_cents = s.min_cents
+      |ORDER BY p.p_size, p.p_partkey""".stripMargin
+
+  /** q186 — ROBUST OUTLIER DETECTION by median absolute deviation
+    * (Hampel's MAD, the robust-statistics replacement for mean±3σ whose
+    * breakdown point a heavy-tailed metric destroys): per event_type,
+    * med = median of value, MAD = median of |value − med|, outliers =
+    * rows with |value − med| > 3·MAD. Both medians are percentile_disc
+    * ELEMENTS (the q153 row_number-at-⌈n/2⌉ idiom) — picked by rank,
+    * never interpolated — so every emitted double is a datum, and the
+    * per-row |x − med| > 3·MAD comparison is scalar IEEE arithmetic both
+    * engines evaluate bit-identically (the project's per-row-scalar
+    * exactness doctrine). Two window passes partitioned by event_type +
+    * two broadcast-sized joins; nothing global, nothing iterative.
+    */
+  def q186MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+    def discMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val wv = Window.partitionBy(col("event_type"))
+        .orderBy(col(valueCol), col("event_id"))
+      val wn = Window.partitionBy(col("event_type"))
+      df.withColumn("vrn", row_number().over(wv))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy(col("event_type"))
+        .agg(max(when(col("vrn") === expr("CAST(ceil(n * 0.5) AS BIGINT)"),
+          col(valueCol))).as(out))
+    }
+    val med = discMedian(e, "value", "med")
+    val dev = e.join(med, "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = discMedian(dev.select(col("event_type"), col("event_id"), col("dev")),
+      "dev", "mad")
+    dev.join(mad, "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"),
+        count(when(col("dev") > lit(3) * col("mad"), 1)).as("n_outliers"),
+        max(col("dev")).as("max_dev"))
+      .orderBy(col("event_type"))
+  }
+
+  val q186Sql: String =
+    """WITH e AS (SELECT event_type, event_id, value FROM events),
+      |med AS (
+      |  SELECT event_type,
+      |    max(CASE WHEN vrn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS med
+      |  FROM (
+      |    SELECT event_type, value,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS vrn,
+      |      count(*) OVER (PARTITION BY event_type) AS n
+      |    FROM e)
+      |  GROUP BY event_type),
+      |dev AS (
+      |  SELECT e.event_type, e.event_id, e.value, m.med, abs(e.value - m.med) AS dev
+      |  FROM e JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type,
+      |    max(CASE WHEN vrn = CAST(ceil(n * 0.5) AS BIGINT) THEN dev END) AS mad
+      |  FROM (
+      |    SELECT event_type, dev,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS vrn,
+      |      count(*) OVER (PARTITION BY event_type) AS n
+      |    FROM dev)
+      |  GROUP BY event_type)
+      |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+      |  max(d.med) AS med, max(a.mad) AS mad,
+      |  CAST(count(CASE WHEN d.dev > 3 * a.mad THEN 1 END) AS BIGINT) AS n_outliers,
+      |  max(d.dev) AS max_dev
+      |FROM dev d JOIN mad a USING (event_type)
+      |GROUP BY d.event_type
+      |ORDER BY d.event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_skyline" -> q185Skyline _,
+    "q186_mad_outliers" -> q186MadOutliers _,
     "q175_assoc_rules" -> q175AssocRules _,
     "q176_constraint_audit" -> q176ConstraintAudit _)
 
   val oracles: Map[String, String] = Map(
+    "q185_skyline" -> q185Sql,
+    "q186_mad_outliers" -> q186Sql,
     "q175_assoc_rules" -> q175Sql,
     "q176_constraint_audit" -> q176Sql)
 }

@@ -52,6 +52,49 @@ class MiningSpec extends SparkTestBase {
     }
   }
 
+  test("q185 skyline equals the brute-force dominance scan, and is an antichain") {
+    val got = MiningOps.q185Skyline(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Int]("p_size"),
+        r.getAs[Long]("price_cents"))).toSet
+    assert(got.nonEmpty)
+    val pts = Tables(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_size"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("c")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    def dominates(a: (Long, Int, Long), b: (Long, Int, Long)): Boolean =
+      a._2 <= b._2 && a._3 <= b._3 && (a._2 < b._2 || a._3 < b._3)
+    val brute = pts.filter(p => !pts.exists(q => dominates(q, p))).map(p => p).toSet
+    assert(got == brute, "grid-collapse + staircase must equal O(n²) dominance")
+    // no member dominates another (antichain property)
+    got.foreach(a => got.foreach(b =>
+      assert(a == b || !dominates(a, b), s"$a dominates $b inside the skyline")))
+  }
+
+  test("q186 MAD stats equal a driver-side recomputation, outlier count included") {
+    val rows = MiningOps.q186MadOutliers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val data = Tables(spark, sfDir, "events")
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val vs = data(t)
+      // percentile_disc: the element at rank ceil(n/2) under (value, id) order
+      def disc(xs: Seq[(Double, Long)]): Double = {
+        val sorted = xs.sortBy(identity)
+        sorted((math.ceil(sorted.size * 0.5).toLong - 1).toInt)._1
+      }
+      val med = disc(vs.map(v => (v._3, v._2)).toSeq)
+      val mad = disc(vs.map(v => (math.abs(v._3 - med), v._2)).toSeq)
+      assert(r.getAs[Double]("med") == med, s"$t median")
+      assert(r.getAs[Double]("mad") == mad, s"$t MAD")
+      assert(r.getAs[Long]("n_outliers") ==
+        vs.count(v => math.abs(v._3 - med) > 3 * mad).toLong, s"$t outliers")
+      assert(r.getAs[Long]("n") == vs.size.toLong)
+    }
+  }
+
   test("q176 emits all eight checks with the expected pass pattern") {
     val rows = MiningOps.q176ConstraintAudit(spark, sfDir).collect()
     assert(rows.length === 8)
