@@ -356,15 +356,27 @@ object SketchOps {
     * shape as q151, but lossless). The explode-to-window-ends join is
     * equi-keyed (no range join) per the q117/q151 idiom.
     */
-  def q183BitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val pres = Tables(spark, dir, "events")
-      .select(col("event_type"),
-        datediff(to_date(col("ts")), lit("1970-01-01")).as("day"),
-        expr("user_id div 32").as("word"),
-        expr("CAST(user_id % 32 AS INT)").as("bit"))
-      .distinct()
-    val bm = pres.groupBy(col("event_type"), col("day"), col("word"))
+  /** (event_type, day, word, bit) cells — NOT deduplicated: `bit_or` is
+    * idempotent, so the word build needs no distinct (which is what lets
+    * the same aggregation run as single-level STREAMING state in q187).
+    */
+  private[graft] def bitmapCells(e: DataFrame): DataFrame =
+    e.select(col("event_type"),
+      datediff(to_date(col("ts")), lit("1970-01-01")).as("day"),
+      expr("user_id div 32").as("word"),
+      expr("CAST(user_id % 32 AS INT)").as("bit"))
+
+  /** Daily bitmap words: one map-side-combinable idempotent aggregate. */
+  private[graft] def bitmapWords(cells: DataFrame): DataFrame =
+    cells.groupBy(col("event_type"), col("day"), col("word"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
+
+  /** The 7-day roll + popcount over a daily word table, with the brute
+    * countDistinct rider from raw presence cells — shared by the batch
+    * build (q183) and the streamed-state build (q187), so "how the words
+    * accumulated" is provably invisible to the answer.
+    */
+  private[graft] def bitmapRolled(bm: DataFrame, pres: DataFrame): DataFrame = {
     val ends = bm.select(col("event_type"), col("day").as("end_day")).distinct()
     val rolled = bm
       .withColumn("end_day", explode(sequence(col("day"), col("day") + 6)))
@@ -381,6 +393,48 @@ object SketchOps {
       .agg(countDistinct(expr("word * 32 + bit")).as("exact_distinct"))
     agg.join(ex, Seq("event_type", "end_day"))
       .orderBy(col("event_type"), col("end_day"))
+  }
+
+  def q183BitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val cells = bitmapCells(Tables(spark, dir, "events"))
+    bitmapRolled(bitmapWords(cells.distinct()), cells.distinct())
+  }
+
+  /** q187 — the q183 bitmap build accumulated as STREAMING STATE: the
+    * daily word `bit_or` runs as a complete-mode streaming aggregation
+    * over ≥ 3 real micro-batches (one file each), so the state store IS
+    * the exact bitmap cube — OR-monotone like q143's CMS counters, but
+    * EXACT, and needing no upstream dedup state because OR is idempotent
+    * (a replayed record sets bits that are already set). The window roll
+    * and exact rider then run batch-side over the streamed words via the
+    * same [[bitmapRolled]] the batch build uses, and the output reuses
+    * q183's oracle VERBATIM — how the words accumulated is invisible to
+    * the answer, which is the mergeable-exact-structure claim stated as
+    * an executable equality.
+    */
+  def q187StreamingBitmap(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q187_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val baseDir = new java.io.File(base)
+    if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+    val e = Tables(spark, dir, "events")
+    e.repartition(3).write.parquet(s"$base/in")
+    val stream = graft.streaming.EventStream
+      .readEventStream(spark, s"$base/in", maxFilesPerTrigger = 1)
+    val view = "graft_q187_bm_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val q = bitmapWords(bitmapCells(stream)).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(view)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // dump the final streamed state to parquet and read back: (a) the roll
+    // self-joins the word table, and MemoryPlan leaves conflicting
+    // attribute ids across the two scans; (b) a persisted state table is
+    // the production artifact anyway (the bitmap cube a dashboard reads)
+    spark.table(view).write.mode("overwrite").parquet(s"$base/state")
+    bitmapRolled(spark.read.parquet(s"$base/state"), bitmapCells(e).distinct())
   }
 
   val q183Sql: String =
@@ -992,6 +1046,7 @@ object SketchOps {
     "q177_hll_distinct" -> q177HllDistinct _,
     "q181_fk_discovery" -> q181FkDiscovery _,
     "q183_bitmap_distinct" -> q183BitmapDistinct _,
+    "q187_streaming_bitmap" -> q187StreamingBitmap _,
     "q136_kmv_distinct" -> q136KmvDistinct _,
     "q137_cms_heavy_hitters" -> q137CmsHeavyHitters _,
     "q141_kmv_set_ops" -> q141KmvSetOps _,
@@ -1005,6 +1060,7 @@ object SketchOps {
     "q177_hll_distinct" -> q177Sql,
     "q181_fk_discovery" -> q181Sql,
     "q183_bitmap_distinct" -> q183Sql,
+    "q187_streaming_bitmap" -> q183Sql,
     "q136_kmv_distinct" -> q136Sql,
     "q137_cms_heavy_hitters" -> q137Sql,
     "q141_kmv_set_ops" -> q141Sql,

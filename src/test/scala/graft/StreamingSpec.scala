@@ -419,6 +419,15 @@ class StreamingSpec extends SparkTestBase {
       "how the counters were accumulated must be invisible to the sketch")
   }
 
+  test("q187 streamed bitmap state rolls to exactly the batch q183 result") {
+    val streamed = graft.queries.SketchOps.q187StreamingBitmap(spark, sfDir)
+      .collect().map(_.toSeq)
+    val batch = graft.queries.SketchOps.q183BitmapDistinct(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq,
+      "how the bitmap words were accumulated must be invisible to the exact answer")
+  }
+
   test("q152 streamed IVM over micro-batched changes equals the one-shot batch IVM") {
     val streamed = graft.queries.IngestOps.q152StreamingIvm(spark, sfDir)
       .collect().map(_.toSeq)
