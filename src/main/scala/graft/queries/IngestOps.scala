@@ -823,16 +823,39 @@ object IngestOps {
     val events = Tables(spark, dir, "events")
     val dups = events.filter(pmod(col("event_id"), lit(5)) === 0)
       .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + 1800L * 1000000L))
-    events.unionByName(dups)
-      .repartitionByRange(3, col("ts"), col("event_id"))
-      .write.parquet(s"$base/in")
-    // part-0000N files come out in range (= event-time) order; stamp
-    // strictly increasing mod times so FileStreamSource replays them so
-    val parts = new java.io.File(s"$base/in").listFiles()
+    val all = events.unionByName(dups)
+    // Carve into 3 event-time-contiguous range files with boundaries
+    // DERIVED, not sampled: `repartitionByRange` picks boundaries from a
+    // random sample, so whether any original/duplicate pair straddles a
+    // file boundary varied run to run (the cross-batch-state property the
+    // spec gates flaked under full-suite runs). Anchor the first boundary
+    // ONE MICROSECOND past the median planted original: its +30 min
+    // duplicate then lands in the next file BY CONSTRUCTION — and 30 min
+    // is well inside the 1 h dedup watermark, so the duplicate reaches the
+    // cross-batch state store rather than the late-data filter.
+    val planted = events.filter(pmod(col("event_id"), lit(5)) === 0)
+      .select(unix_micros(col("ts")).as("t"))
+    val nPlanted = planted.count()
+    val tMid = planted.orderBy(col("t"))
+      .offset((nPlanted / 2).toInt).limit(1).collect().head.getLong(0)
+    val tMax = all.agg(max(unix_micros(col("ts")))).collect().head.getLong(0)
+    val b1 = tMid + 1L
+    val b2 = b1 + (tMax - b1) / 2
+    val splits = Seq(
+      unix_micros(col("ts")) < b1,
+      unix_micros(col("ts")) >= b1 && unix_micros(col("ts")) < b2,
+      unix_micros(col("ts")) >= b2)
+    // one append-write per range, stamping strictly increasing mod times
+    // as we go so FileStreamSource replays the files in event-time order
+    val inDir = new java.io.File(s"$base/in")
+    def parts() = Option(inDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
-    val t0 = parts.map(_.lastModified()).max
-    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 600000L) }
+    splits.zipWithIndex.foreach { case (cond, i) =>
+      val before = parts().map(_.getName).toSet
+      all.filter(cond).coalesce(1).write.mode("append").parquet(s"$base/in")
+      parts().filterNot(f => before(f.getName))
+        .foreach(_.setLastModified(1700000000000L + i * 600000L))
+    }
     val deduped = graft.streaming.EventStream.dedupStream(
       graft.streaming.EventStream.readEventStream(spark, s"$base/in", maxFilesPerTrigger = 1),
       keyCols = Seq("event_id"), watermark = "1 hour")
