@@ -186,6 +186,15 @@ object ScaleSmoke {
       // cluster shapes, so each peel round's degree agg + semi joins must
       // scale with edges and the round count stays constant (q46's logic)
       ("q150_kcore", graft.queries.GraphOps.q150Kcore _, scaledDir),
+      // exact prefix-filter set-sim join: rotated replicas keep shingle
+      // vocabularies disjoint, so prefix posting lists (and the
+      // candidate pairs they generate) tile linearly — the exactness
+      // guarantee must not cost quadratic candidates at 10x
+      ("q182_setsim_join", graft.queries.Dedup.q182SetSimJoin _, scaledDir),
+      // bitmap-word distinct: words grow with distinct users (10x here via
+      // user_id offsets) but stay |users|/32 — the build and the 7-day
+      // OR-merge must both scale with the word tables, never raw events
+      ("q183_bitmap_distinct", graft.queries.SketchOps.q183BitmapDistinct _, scaledDir),
       // sharded packing under TOTAL language skew: the (lang, shard) key
       // keeps the prefix sum fanned out when lang alone would be one task
       ("q97_sharded_packing_skewed", graft.queries.TrainPrep.q97ShardedPacking _, skewedDir),

@@ -289,7 +289,64 @@ object Temporal {
       |FROM documents d JOIN b USING (lang)
       |GROUP BY d.lang, p05, p95 ORDER BY d.lang""".stripMargin
 
+  /** q188 — TIME-WEIGHTED AVERAGE (TWAP / last-observation step function),
+    * the finance/IoT aggregate a plain AVG gets wrong whenever
+    * observations arrive unevenly: per (user, day), each event's value
+    * HOLDS until the next event (or the day's end), and the average
+    * weights every value by its holding duration. All arithmetic is
+    * exact: value crosses as integer cents (the q93 idiom), durations
+    * are epoch-microsecond differences, and twap_cents =
+    * Σ(cents·dur) div Σ(dur) — one integer division per group, so the
+    * engines cannot drift on float summation order. (Bounds: cents <
+    * 2^16, dur ≤ 8.64·10^10 µs, so each product < 2^53 and a day's sum
+    * stays far under 2^63.) The uncovered span before a day's first
+    * observation is excluded (TWAP over the observed span) — `span_us`
+    * makes that window explicit per row.
+    *
+    * Scale: one lead() window per (user, day) partition — fully
+    * parallel, no global order — then one group aggregate; the output is
+    * users × active-days, never events.
+    */
+  def q188Twap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("day", expr("t div 86400000000"))
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("t"), col("event_id"))
+    e.withColumn("dur",
+        coalesce(lead(col("t"), 1).over(w), (col("day") + 1) * 86400000000L) - col("t"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("dur")).as("span_us"),
+        expr("sum(cents * dur) div sum(dur)").as("twap_cents"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      .select(col("user_id"), (col("day") * 86400).as("day_ts"), col("n_obs"),
+        col("span_us"), col("twap_cents"), col("min_cents"), col("max_cents"))
+      .orderBy(col("user_id"), col("day_ts"))
+  }
+
+  val q188Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |d AS (
+      |  SELECT user_id, day, cents,
+      |    coalesce(lead(t) OVER (PARTITION BY user_id, day ORDER BY t, event_id),
+      |      (day + 1) * 86400000000) - t AS dur
+      |  FROM e)
+      |SELECT user_id, day * 86400 AS day_ts, CAST(count(*) AS BIGINT) AS n_obs,
+      |  CAST(sum(dur) AS BIGINT) AS span_us,
+      |  CAST(sum(cents * dur) // sum(dur) AS BIGINT) AS twap_cents,
+      |  min(cents) AS min_cents, max(cents) AS max_cents
+      |FROM d GROUP BY user_id, day
+      |ORDER BY user_id, day_ts""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_twap" -> q188Twap _,
     "q116_winsorize" -> q116Winsorize _,
     "q70_asof_join" -> q70AsofJoin _,
     "q71_range_join" -> q71RangeJoin _,
@@ -302,6 +359,7 @@ object Temporal {
     "q78_full_outer" -> q78FullOuter _)
 
   val oracles: Map[String, String] = Map(
+    "q188_twap" -> q188Sql,
     "q116_winsorize" -> q116Sql,
     "q70_asof_join" -> q70Sql,
     "q71_range_join" -> q71Sql,

@@ -1003,6 +1003,33 @@ class QueriesSpec extends SparkTestBase {
     assert(r1.toSeq == r2.toSeq)
   }
 
+  test("q188 TWAP equals a driver-side step-function recomputation") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.Temporal.q188Twap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val events = graft.Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byGroup = events.groupBy(e => (e._1, e._3 / 86400000000L))
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("user_id"), r.getAs[Long]("day_ts") / 86400L)
+      val obs = byGroup(key).sortBy(e => (e._3, e._2))
+      val dayEnd = (key._2 + 1) * 86400000000L
+      val durs = obs.indices.map { i =>
+        (if (i + 1 < obs.size) obs(i + 1)._3 else dayEnd) - obs(i)._3
+      }
+      val span = durs.sum
+      val twap = obs.zip(durs).map { case (e, d) => e._4 * d }.sum / span
+      assert(r.getAs[Long]("span_us") == span, s"$key span")
+      assert(r.getAs[Long]("twap_cents") == twap, s"$key twap")
+      assert(r.getAs[Long]("n_obs") == obs.size.toLong)
+      // TWAP is a convex combination: bounded by the observed extremes
+      assert(r.getAs[Long]("twap_cents") >= r.getAs[Long]("min_cents") &&
+        r.getAs[Long]("twap_cents") <= r.getAs[Long]("max_cents"))
+    }
+  }
+
   test("q179 peak concurrency equals a brute-force single-threaded sweep") {
     import org.apache.spark.sql.functions._
     val rows = graft.queries.EventsOps.q179PeakConcurrency(spark, sfDir).collect()
