@@ -419,6 +419,35 @@ class StreamingSpec extends SparkTestBase {
       "how the counters were accumulated must be invisible to the sketch")
   }
 
+  test("RocksDB state store: the streaming CMS runs on spill-capable state and matches HDFS-backed exactly") {
+    // The default HDFS-backed provider keeps every key in executor memory —
+    // fine for 256 counters, fatal for 100 TB-scale keyed state (billions of
+    // session/dedup keys). RocksDB is Spark's spill-to-disk answer; this
+    // gate proves the engine's streaming surface runs on it unchanged and
+    // produces bit-identical results. An isolated newSession carries the
+    // provider conf so concurrent suites on the shared session are
+    // untouched.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val viaRocks = graft.queries.SketchOps.q143StreamingCms(s2, sfDir)
+      .collect().map(_.toSeq)
+    val viaDefault = graft.queries.SketchOps.q137CmsHeavyHitters(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(viaRocks.toSeq == viaDefault.toSeq,
+      "the state-store backend must be invisible to the sketch")
+    // evidence the RocksDB provider actually ran: its checkpoints ship
+    // state as zip archives (sst + metadata), which the HDFS-backed
+    // provider never writes
+    val ckpt = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_q143_" +
+        sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "/ckpt/state")
+    def anyZip(f: java.io.File): Boolean =
+      f.isFile && f.getName.endsWith(".zip") ||
+        Option(f.listFiles()).exists(_.exists(anyZip))
+    assert(anyZip(ckpt), s"expected RocksDB zip snapshots under $ckpt")
+  }
+
   test("q187 streamed bitmap state rolls to exactly the batch q183 result") {
     val streamed = graft.queries.SketchOps.q187StreamingBitmap(spark, sfDir)
       .collect().map(_.toSeq)
