@@ -882,7 +882,64 @@ object IngestOps {
     """SELECT event_id, user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** q189 — SCHEMA EVOLUTION across parquet batches: a long-lived lake
+    * table's files rarely share one schema — early batches predate columns
+    * that later batches carry. The engine writes two generations (an old
+    * batch WITHOUT `props`, a new batch WITH `props` plus an added
+    * `schema_v` column), reads them back as ONE table via
+    * `mergeSchema=true`, and aggregates per event_type counting which rows
+    * carry which generation's columns — missing columns surface as NULLs,
+    * exactly the read-time contract a 100 TB table with years of schema
+    * drift depends on. The oracle restates the generation split (id
+    * parity) from the original table, so the hash match proves the
+    * merged read lost and invented nothing.
+    *
+    * Scale: schema merging is a FOOTER-level operation (Spark unions the
+    * file schemas at planning; row groups are untouched), so the read
+    * cost is the same scan — the one caveat worth knowing is that
+    * `mergeSchema` reads every file footer at planning time, which is
+    * why production lakes pin the merged schema in a metastore instead;
+    * the read-time semantics are identical.
+    */
+  def q189SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q189_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val baseDir = new java.io.File(base)
+    if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+    val e = Tables(spark, dir, "events")
+    // generation 1: the old schema (no props column yet)
+    e.filter(pmod(col("event_id"), lit(2)) === 0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .write.parquet(s"$base/t")
+    // generation 2: props arrived, plus a new schema_v marker column
+    e.filter(pmod(col("event_id"), lit(2)) === 1)
+      .withColumn("schema_v", lit(2))
+      .write.mode("append").parquet(s"$base/t")
+    spark.read.option("mergeSchema", "true").parquet(s"$base/t")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("props")).as("with_props"),
+        count(col("schema_v")).as("with_v2"),
+        sum(when(col("props").isNull && col("schema_v").isNull, 1L).otherwise(0L))
+          .as("old_generation"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The merged read must equal the generation split recomputed from the
+    * source table: gen-2 rows (odd ids) carry props + schema_v, gen-1
+    * rows carry neither. NULL props in the raw table would break the
+    * restatement — the fixture's props are never null (and `count(col)`
+    * counts non-nulls identically in both engines).
+    */
+  val q189Sql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT) AS with_props,
+      |  CAST(count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT) AS with_v2,
+      |  CAST(count(CASE WHEN event_id % 2 = 0 THEN 1 END) AS BIGINT) AS old_generation
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_schema_evolution" -> q189SchemaEvolution _,
     "q174_stream_outer_join_replay" -> q174StreamOuterJoinReplay _,
     "q165_stream_dedup_replay" -> q165StreamDedupReplay _,
     "q140_session_window_replay" -> q140SessionWindowReplay _,
@@ -902,6 +959,7 @@ object IngestOps {
     "q65_batch_status" -> q65BatchStatus _)
 
   val oracles: Map[String, String] = Map(
+    "q189_schema_evolution" -> q189Sql,
     "q174_stream_outer_join_replay" -> q174Sql,
     "q165_stream_dedup_replay" -> q165Sql,
     "q140_session_window_replay" -> q140Sql,

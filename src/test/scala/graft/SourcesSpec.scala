@@ -118,4 +118,19 @@ class SourcesSpec extends SparkTestBase {
     assert(!nodes.contains("Exchange hashpartitioning(l_orderkey"),
       s"bucketed join must not re-shuffle the fact side:\n$nodes")
   }
+
+  test("q189 schema evolution: merged read nulls missing columns, loses and invents nothing") {
+    val rows = graft.queries.IngestOps.q189SchemaEvolution(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val e = Tables(spark, sfDir, "events")
+    val total = e.count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total, "merged read must cover every row once")
+    rows.foreach { r =>
+      // generation accounting partitions each group exactly
+      assert(r.getAs[Long]("with_props") == r.getAs[Long]("with_v2"),
+        "gen-2 rows carry BOTH added columns")
+      assert(r.getAs[Long]("with_props") + r.getAs[Long]("old_generation") == r.getAs[Long]("n"),
+        "every row is exactly one generation")
+    }
+  }
 }
