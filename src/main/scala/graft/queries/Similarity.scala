@@ -891,7 +891,78 @@ object Similarity {
        |  JOIN documents d ON d.doc_id = c.vec_id AND d.lang = '$Q172Lang')
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** q190 — EMBEDDING DISTRIBUTION DRIFT between two corpus generations
+    * (model/data monitoring): split the corpus into a reference and a
+    * current generation (vec_id parity stands in for "last month's
+    * snapshot vs today's"), compute each (label, generation) centroid in
+    * the q67 quantized-integer space — per-row `round(x·2^20)` is scalar
+    * IEEE both engines evaluate identically, integer sums are
+    * order-free, and the centroid is one integer division — then report
+    * per label the L1 centroid displacement, the worst-moving dimension,
+    * and both generation counts. This is the drift monitor an embedding
+    * pipeline runs on every refresh: a label whose centroid moved is a
+    * label whose upstream meaning (or encoder) changed, caught without
+    * any pairwise distance work.
+    *
+    * Scale: one posexplode scan + one (label, gen, dim) aggregate —
+    * map-side combinable, |labels|·2·64 rows out — then arithmetic on
+    * that tiny frame. Nothing pairwise, nothing iterative.
+    */
+  def q190EmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val sums = e
+      .withColumn("gen",
+        when(pmod(col("vec_id"), lit(2)) === 0, lit("ref")).otherwise(lit("cur")))
+      .select(col("label"), col("gen"),
+        posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("gen"), (col("pos") + 1).cast("long").as("pos"))
+      .agg(sum(round(col("x") * lit(1048576.0), 0)).cast("long").as("sum_q"),
+        count(lit(1)).as("n"))
+      .withColumn("cent_q", expr("sum_q div n"))
+    val ref = sums.filter(col("gen") === "ref")
+      .select(col("label"), col("pos"), col("cent_q").as("ref_q"), col("n").as("n_ref"))
+    val cur = sums.filter(col("gen") === "cur")
+      .select(col("label"), col("pos"), col("cent_q").as("cur_q"), col("n").as("n_cur"))
+    val dd = ref.join(cur, Seq("label", "pos"))
+      .withColumn("d", abs(col("ref_q") - col("cur_q")))
+    val agg = dd.groupBy(col("label"))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        sum(col("d")).as("l1_drift_q"),
+        max(col("d")).as("max_dim_drift_q"))
+    val worst = dd.join(agg.select(col("label"), col("max_dim_drift_q")), "label")
+      .filter(col("d") === col("max_dim_drift_q"))
+      .groupBy(col("label")).agg(min(col("pos")).as("worst_pos"))
+    agg.join(worst, "label").orderBy(col("label"))
+  }
+
+  val q190Sql: String =
+    """WITH sums AS (
+      |  SELECT label, CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS gen,
+      |    t.pos,
+      |    CAST(sum(round(CAST(embedding[t.pos] AS DOUBLE) * 1048576)) AS BIGINT) AS sum_q,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM embeddings, range(1, 65) t(pos)
+      |  GROUP BY 1, 2, 3),
+      |cent AS (SELECT label, gen, pos, sum_q // n AS cent_q, n FROM sums),
+      |d AS (
+      |  SELECT r.label, r.pos, abs(r.cent_q - c.cent_q) AS d,
+      |    r.n AS n_ref, c.n AS n_cur
+      |  FROM (SELECT * FROM cent WHERE gen = 'ref') r
+      |  JOIN (SELECT * FROM cent WHERE gen = 'cur') c USING (label, pos)),
+      |agg AS (
+      |  SELECT label, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+      |    CAST(sum(d) AS BIGINT) AS l1_drift_q,
+      |    CAST(max(d) AS BIGINT) AS max_dim_drift_q
+      |  FROM d GROUP BY label),
+      |worst AS (
+      |  SELECT d.label, CAST(min(d.pos) AS BIGINT) AS worst_pos
+      |  FROM d JOIN agg USING (label)
+      |  WHERE d.d = agg.max_dim_drift_q GROUP BY d.label)
+      |SELECT label, n_ref, n_cur, l1_drift_q, max_dim_drift_q, worst_pos
+      |FROM agg JOIN worst USING (label) ORDER BY label""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_embedding_drift" -> q190EmbeddingDrift _,
     "q172_filtered_ann" -> q172FilteredAnn _,
     "q113_hard_negatives" -> q113HardNegatives _,
     "q114_multiprobe_lsh" -> q114MultiprobeLsh _,
@@ -906,6 +977,7 @@ object Similarity {
     "q129_ivf_pq_search" -> q129IvfPqSearch _)
 
   val oracles: Map[String, String] = Map(
+    "q190_embedding_drift" -> q190Sql,
     "q172_filtered_ann" -> q172Sql,
     "q113_hard_negatives" -> q113Sql,
     "q114_multiprobe_lsh" -> q114Sql,

@@ -319,4 +319,35 @@ class CorpusOpsSpec extends SparkTestBase {
       .foreach(r => assert(r.getAs[Long]("rk") == 1L,
         s"double-leg leader must fuse to rank 1: $r"))
   }
+
+  test("q190 drift: generations conserve the corpus, and a shifted clone maximally drifts") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.Similarity.q190EmbeddingDrift(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = Tables(spark, sfDir, "embeddings").count()
+    assert(rows.map(r => r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur")).sum == total,
+      "every vector is in exactly one generation")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("l1_drift_q") >= r.getAs[Long]("max_dim_drift_q"),
+        "L1 over dims bounds the single worst dim")
+      val wp = r.getAs[Long]("worst_pos")
+      assert(wp >= 1L && wp <= 64L)
+    }
+    // planted-drift sanity: a corpus where the odd generation is the even
+    // one shifted by +0.5 in dim 1 must report dim 1 as worst, with the
+    // quantized displacement ~0.5 * 2^20 (integer-division floor tolerance)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val base = Tables(spark, sfDir, "embeddings").filter(pmod(col("vec_id"), lit(2)) === 0)
+    base.unionByName(
+        base.select((col("vec_id") + 1).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.5f)).otherwise(x)).as("embedding"),
+          col("label")))
+      .write.parquet(s"$tmp/embeddings.parquet")
+    graft.queries.Similarity.q190EmbeddingDrift(spark, tmp).collect().foreach { r =>
+      assert(r.getAs[Long]("worst_pos") == 1L, s"planted drift must surface in dim 1: $r")
+      val d = r.getAs[Long]("max_dim_drift_q")
+      assert(math.abs(d - 524288L) <= 2L, s"quantized displacement should be ~0.5*2^20: $d")
+    }
+  }
 }
