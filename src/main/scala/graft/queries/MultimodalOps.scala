@@ -371,7 +371,71 @@ object MultimodalOps {
       |FROM bits GROUP BY dhash
       |ORDER BY dhash""".stripMargin
 
+  /** q191 — ViT-style IMAGE PATCHIFY over REAL decoded pixels: synthesize
+    * a PNG per selected doc (geometry and pixel pattern keyed on doc_id),
+    * decode it back with the JDK codec, tile the DECODED raster into 4×4
+    * patches (ragged edge patches keep their true pixel counts — exactly
+    * what a vision tokenizer must handle on arbitrary aspect ratios), and
+    * emit each patch's pixel count and integer luminance sum. The oracle
+    * recomputes every patch arithmetically from the synthesis formula
+    * `(x·31 + y·17 + id) % 256` over a bounded pixel grid — so a stubbed
+    * decode, a channel-order bug, or an off-by-one in the tiling breaks
+    * thousands of per-patch equalities, not a summary statistic.
+    *
+    * Scale shape: decode + patch extraction is a narrow per-partition
+    * pass (patch work is linear in pixels); the output is one row per
+    * patch — the tensor-adjacent layout a downstream trainer consumes —
+    * and the only shuffle is the final sort.
+    */
+  def q191ImagePatchify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val w = 16 + (id % 17).toInt
+        val h = 16 + (id % 13).toInt
+        val img = Multimodal.ImageCodec
+          .decode(Multimodal.ImageCodec.synthPng(w, h, id)).get
+        for {
+          py <- 0 until (h + 3) / 4
+          px <- 0 until (w + 3) / 4
+        } yield {
+          var s = 0L
+          var n = 0L
+          var y = py * 4
+          while (y < math.min(py * 4 + 4, h)) {
+            var x = px * 4
+            while (x < math.min(px * 4 + 4, w)) {
+              s += (img.getRGB(x, y) & 0xff).toLong
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          (id, px.toLong, py.toLong, n, s)
+        }
+      }
+      .toDF("doc_id", "px", "py", "n_px", "lum_sum")
+      .orderBy(col("doc_id"), col("py"), col("px"))
+  }
+
+  val q191Sql: String =
+    """WITH sel AS (
+      |  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |px AS (
+      |  SELECT doc_id, x.i AS x, y.i AS y,
+      |    (x.i * 31 + y.i * 17 + doc_id) % 256 AS v
+      |  FROM sel, range(0, 33) x(i), range(0, 29) y(i)
+      |  WHERE x.i < w AND y.i < h)
+      |SELECT doc_id, x // 4 AS px, y // 4 AS py,
+      |  CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS lum_sum
+      |FROM px GROUP BY 1, 2, 3
+      |ORDER BY doc_id, py, px""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_image_patchify" -> q191ImagePatchify _,
     "q135_audio_resample" -> q135AudioResample _,
     "q83_media_stats" -> q83MediaStats _,
     "q85_image_resize" -> q85ImageResize _,
@@ -383,6 +447,7 @@ object MultimodalOps {
   val oracles: Map[String, String] = Map(
     "q135_audio_resample" -> q135Sql,
     "q83_media_stats" -> q83Sql,
+    "q191_image_patchify" -> q191Sql,
     "q85_image_resize" -> q85Sql,
     "q86_audio_stats" -> q86Sql,
     "q88_video_frames" -> q88Sql,

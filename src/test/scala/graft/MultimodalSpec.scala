@@ -171,4 +171,27 @@ class MultimodalSpec extends SparkTestBase {
     val planStr = pruned.queryExecution.optimizedPlan.toString
     assert(!planStr.toLowerCase.contains("payload#") || !pruned.columns.contains("payload"))
   }
+
+  test("q191 patchify: pixels conserve per image, grids are complete, edge patches are ragged") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.MultimodalOps.q191ImagePatchify(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, ps) =>
+      val w = 16 + (id % 17).toInt
+      val h = 16 + (id % 13).toInt
+      // every decoded pixel lands in exactly one patch
+      assert(ps.map(_.getAs[Long]("n_px")).sum == w.toLong * h, s"doc $id pixel conservation")
+      // the grid is the full ceil(w/4) x ceil(h/4) tiling
+      assert(ps.length == ((w + 3) / 4) * ((h + 3) / 4), s"doc $id grid size")
+      ps.foreach { p =>
+        val (px, py, n) =
+          (p.getAs[Long]("px"), p.getAs[Long]("py"), p.getAs[Long]("n_px"))
+        val pw = math.min(4L, w - px * 4)
+        val ph = math.min(4L, h - py * 4)
+        assert(n == pw * ph, s"doc $id patch ($px,$py): ragged size must be $pw x $ph")
+        // luminance sums are bounded by the 8-bit channel range
+        assert(p.getAs[Long]("lum_sum") >= 0L && p.getAs[Long]("lum_sum") <= n * 255L)
+      }
+    }
+  }
 }
