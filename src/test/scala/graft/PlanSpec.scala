@@ -825,4 +825,18 @@ class PlanSpec extends SparkTestBase {
         s"no nested-loop (range-join) fallback — the explode/prefix idiom must equi-join:\n$s")
     }
   }
+
+  test("q188/q190: every window is group-partitioned — no single-partition window over the fact") {
+    for (df <- Seq(graft.queries.Temporal.q188Twap(spark, sfDir),
+                   graft.queries.Similarity.q190EmbeddingDrift(spark, sfDir))) {
+      df.collect()
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        "a global window here would serialize the fact through one partition")
+      val s = finalPlan(df)
+      assert(!s.contains("CartesianProduct"), s"no cartesian:\n$s")
+    }
+  }
 }
