@@ -139,7 +139,11 @@ object Bench {
     }
     val head =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfName","n":${results.size},"queries":{"""
-    val tailRoom = budget - head.length - """},"omitted":999}""".length
+    // reserve digits for the WORST-case omitted count (= entries.size), so
+    // the require can't fire after a full run no matter how many queries
+    // the suite grows to
+    val tailRoom =
+      budget - head.length - s"""},"omitted":${entries.size}}""".length
     val packed = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     entries.foreach { e =>

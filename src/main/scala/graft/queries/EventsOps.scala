@@ -724,8 +724,11 @@ object EventsOps {
     * deltas group into hour chunks, and each chunk computes its running
     * sum independently (windows partitioned BY HOUR — fully parallel);
     * (2) per-hour net sums — one tiny row per hour — take the global
-    * cumsum to produce each hour's starting offset, and peak = offset +
-    * chunk-local max. Only the |hours|-row frame is ever globally
+    * cumsum to produce each hour's starting offset, and peak =
+    * max(offset, offset + chunk-local max) — the hour-START instant is
+    * itself a peak candidate, covering hours whose first boundaries are
+    * all closes and whose running sum never rises above the carried-in
+    * count. Only the |hours|-row frame is ever globally
     * ordered, so a 1000-executor run sweeps a year of events with the
     * fact-sized work all chunk-parallel. Tie order at an identical
     * microsecond is pinned (-1 before +1, then event_id): a half-open
@@ -757,7 +760,8 @@ object EventsOps {
       .withColumn("start_c", coalesce(sum(col("net")).over(wOff), lit(0L)))
       .select((col("hour") * 3600).as("hour_ts"), col("enter_n"), col("exit_n"),
         col("start_c"),
-        (col("start_c") + col("max_run")).as("peak_concurrency"),
+        greatest(col("start_c"), col("start_c") + col("max_run"))
+          .as("peak_concurrency"),
         (col("start_c") + col("net")).as("end_concurrency"))
       .orderBy(col("hour_ts"))
   }
@@ -784,7 +788,8 @@ object EventsOps {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_c
       |  FROM per_hour)
       |SELECT hour * 3600 AS hour_ts, enter_n, exit_n, start_c,
-      |  start_c + max_run AS peak_concurrency, start_c + net AS end_concurrency
+      |  greatest(start_c, start_c + max_run) AS peak_concurrency,
+      |  start_c + net AS end_concurrency
       |FROM off ORDER BY hour_ts""".stripMargin
 
   /** q184 — DETERMINISTIC EXPERIMENT ASSIGNMENT + SAMPLE-RATIO-MISMATCH

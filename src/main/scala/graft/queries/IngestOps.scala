@@ -915,26 +915,34 @@ object IngestOps {
     e.filter(pmod(col("event_id"), lit(2)) === 1)
       .withColumn("schema_v", lit(2))
       .write.mode("append").parquet(s"$base/t")
+    // "carries the props column" is a FILE-generation property, marked by
+    // the always-non-null schema_v — not a row-value property, so a gen-2
+    // row whose props VALUE is null still counts. nonnull_props exercises
+    // the merged props column itself, restated null-robustly in the oracle.
     spark.read.option("mergeSchema", "true").parquet(s"$base/t")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        count(col("props")).as("with_props"),
+        count(col("schema_v")).as("with_props"),
         count(col("schema_v")).as("with_v2"),
+        count(col("props")).as("nonnull_props"),
         sum(when(col("props").isNull && col("schema_v").isNull, 1L).otherwise(0L))
           .as("old_generation"))
       .orderBy(col("event_type"))
   }
 
   /** The merged read must equal the generation split recomputed from the
-    * source table: gen-2 rows (odd ids) carry props + schema_v, gen-1
-    * rows carry neither. NULL props in the raw table would break the
-    * restatement — the fixture's props are never null (and `count(col)`
-    * counts non-nulls identically in both engines).
+    * source table: gen-2 rows (odd ids) carry the props + schema_v
+    * COLUMNS (counted via the always-non-null schema_v marker, so a
+    * future fixture with NULL props values cannot silently skew the
+    * generation counts), gen-1 rows carry neither; nonnull_props is the
+    * one value-level count and its restatement carries the same
+    * IS NOT NULL guard.
     */
   val q189Sql: String =
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
       |  CAST(count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT) AS with_props,
       |  CAST(count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT) AS with_v2,
+      |  CAST(count(CASE WHEN event_id % 2 = 1 AND props IS NOT NULL THEN 1 END) AS BIGINT) AS nonnull_props,
       |  CAST(count(CASE WHEN event_id % 2 = 0 THEN 1 END) AS BIGINT) AS old_generation
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 

@@ -935,13 +935,20 @@ object Similarity {
     agg.join(worst, "label").orderBy(col("label"))
   }
 
+  // positions come from the arrays themselves (zipped generate_subscripts +
+  // unnest), so a regenerated fixture with a different embedding dim is
+  // covered with no hardcoded bound on either engine.
   val q190Sql: String =
-    """WITH sums AS (
+    """WITH ex AS (
       |  SELECT label, CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS gen,
-      |    t.pos,
-      |    CAST(sum(round(CAST(embedding[t.pos] AS DOUBLE) * 1048576)) AS BIGINT) AS sum_q,
+      |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+      |    unnest(embedding) AS x
+      |  FROM embeddings),
+      |sums AS (
+      |  SELECT label, gen, pos,
+      |    CAST(sum(round(CAST(x AS DOUBLE) * 1048576)) AS BIGINT) AS sum_q,
       |    CAST(count(*) AS BIGINT) AS n
-      |  FROM embeddings, range(1, 65) t(pos)
+      |  FROM ex
       |  GROUP BY 1, 2, 3),
       |cent AS (SELECT label, gen, pos, sum_q // n AS cent_q, n FROM sums),
       |d AS (

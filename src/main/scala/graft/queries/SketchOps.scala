@@ -237,9 +237,14 @@ object SketchOps {
     * the decoy pairs in the output ARE that lesson.
     */
   def q181FkDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    // NULLs are excluded up front: md5_60(NULL) is a NULL hash, and Spark's
+    // ascending sort puts NULLs first while DuckDB's puts them last — the
+    // sketch is defined over non-null values so both engines agree on any
+    // fixture.
     val vals = IndCols.map { case (t, c) =>
       Tables(spark, dir, t)
         .select(lit(s"$t.$c").as("col_id"), col(c).cast("long").as("v"))
+        .filter(col("v").isNotNull)
         .distinct()
     }.reduce(_.unionByName(_))
     val mins = bottomK(
@@ -285,7 +290,7 @@ object SketchOps {
 
   val q181Sql: String = {
     val valsSql = IndCols.map { case (t, c) =>
-      s"SELECT DISTINCT '$t.$c' AS col_id, CAST($c AS BIGINT) AS v FROM $t"
+      s"SELECT DISTINCT '$t.$c' AS col_id, CAST($c AS BIGINT) AS v FROM $t WHERE $c IS NOT NULL"
     }.mkString("\n      |  UNION ALL ")
     s"""WITH vals AS (
       |  $valsSql),

@@ -327,11 +327,14 @@ class CorpusOpsSpec extends SparkTestBase {
     val total = Tables(spark, sfDir, "embeddings").count()
     assert(rows.map(r => r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur")).sum == total,
       "every vector is in exactly one generation")
+    // bound worst_pos by the fixture's actual dimensionality, not a literal
+    val dim = Tables(spark, sfDir, "embeddings")
+      .select(size(col("embedding"))).head().getInt(0).toLong
     rows.foreach { r =>
       assert(r.getAs[Long]("l1_drift_q") >= r.getAs[Long]("max_dim_drift_q"),
         "L1 over dims bounds the single worst dim")
       val wp = r.getAs[Long]("worst_pos")
-      assert(wp >= 1L && wp <= 64L)
+      assert(wp >= 1L && wp <= dim)
     }
     // planted-drift sanity: a corpus where the odd generation is the even
     // one shifted by +0.5 in dim 1 must report dim 1 as worst, with the
