@@ -946,7 +946,83 @@ object IngestOps {
       |  CAST(count(CASE WHEN event_id % 2 = 0 THEN 1 END) AS BIGINT) AS old_generation
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q192 — TRANSACTIONAL VERSIONED TABLE with TIME TRAVEL: the q134 CDC
+    * merge, upgraded from a stateless transform to a COMMITTED table
+    * ([[graft.table.VersionedTable]]): the base snapshot commits as
+    * version 1, then three deterministic change batches merge as versions
+    * 2–4, each a copy-on-write rewrite of only the key buckets the batch
+    * touches, published by an atomic put-if-absent manifest (stale
+    * writers are rejected — VersionedTableSpec proves the two-writer
+    * race). The query then reads the table PINNED AT VERSION 3 — not
+    * latest — so the returned rows must equal base + exactly the first
+    * TWO change batches: the v4 batch is committed and visible to
+    * `readLatest`, and the oracle's reconstruction (base + b1 + b2 with
+    * delete-wins/last-writer-wins composition) hash-matches only if time
+    * travel returns the historical snapshot bit-for-bit and leaks nothing
+    * newer.
+    *
+    * Batches (all carved from `documents` so DuckDB can restate them):
+    * v2 = delete doc_id%7=0, upsert text+" v2" where doc_id%4=0;
+    * v3 = delete doc_id%9=0, upsert text+" v3" where doc_id%5=0;
+    * v4 = upsert text+" v4" where doc_id%6=0 (must NOT appear).
+    *
+    * Scale: manifests are version-sized text; each merge shuffles only
+    * changes + touched buckets (1% of keys touched ⇒ ~1% rewritten, the
+    * rest carries over by reference); time travel is manifest replay plus
+    * a pruned parquet read — none of it is table-sized driver work.
+    */
+  def q192TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q192_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val baseDir = new java.io.File(base)
+    if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val t = new graft.table.VersionedTable(spark, s"$base/tbl", "doc_id")
+    val v1 = t.init(d.filter(pmod(col("doc_id"), lit(3)) =!= 0))
+    def batch(delMod: Int, upMod: Int, suffix: String) = d
+      .filter(pmod(col("doc_id"), lit(upMod)) === 0 ||
+        pmod(col("doc_id"), lit(delMod)) === 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(delMod)) === 0, lit("delete"))
+          .otherwise(lit("upsert")).as("op"),
+        concat(col("text"), lit(suffix)).as("text"), col("lang"))
+    val v2 = t.merge(batch(7, 4, " v2"), v1)
+    val v3 = t.merge(batch(9, 5, " v3"), v2)
+    t.merge(d.filter(pmod(col("doc_id"), lit(6)) === 0)
+      .select(col("doc_id"), lit("upsert").as("op"),
+        concat(col("text"), lit(" v4")).as("text"), col("lang")), v3)
+    t.read(v3)
+      .select(col("doc_id"), md5(col("text")).as("h"), col("lang"),
+        lit(v3).as("read_version"),
+        lit(t.currentVersion()).as("latest_version"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle reconstruction of snapshot v3 = base + batch1 + batch2 with
+    * the merge's composition rules (later batch wins; within a batch
+    * delete wins over upsert); the " v4" batch is deliberately absent —
+    * its appearance in the Spark dump is exactly the time-travel leak the
+    * hash gate would catch.
+    */
+  val q192Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 5 = 0 AND doc_id % 9 <> 0 THEN text || ' v3'
+      |         WHEN doc_id % 4 = 0 AND doc_id % 7 <> 0 THEN text || ' v2'
+      |         ELSE text END AS t,
+      |    CASE WHEN doc_id % 5 = 0 AND doc_id % 9 <> 0 THEN TRUE
+      |         WHEN doc_id % 9 = 0 THEN FALSE
+      |         WHEN doc_id % 4 = 0 AND doc_id % 7 <> 0 THEN TRUE
+      |         WHEN doc_id % 7 = 0 THEN FALSE
+      |         ELSE doc_id % 3 <> 0 END AS present
+      |  FROM documents)
+      |SELECT doc_id, md5(t) AS h, lang,
+      |  CAST(3 AS BIGINT) AS read_version, CAST(4 AS BIGINT) AS latest_version
+      |FROM s WHERE present ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_time_travel" -> q192TimeTravel _,
     "q189_schema_evolution" -> q189SchemaEvolution _,
     "q174_stream_outer_join_replay" -> q174StreamOuterJoinReplay _,
     "q165_stream_dedup_replay" -> q165StreamDedupReplay _,
@@ -967,6 +1043,7 @@ object IngestOps {
     "q65_batch_status" -> q65BatchStatus _)
 
   val oracles: Map[String, String] = Map(
+    "q192_time_travel" -> q192Sql,
     "q189_schema_evolution" -> q189Sql,
     "q174_stream_outer_join_replay" -> q174Sql,
     "q165_stream_dedup_replay" -> q165Sql,

@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.table.VersionedTable
+
+class VersionedTableSpec extends SparkTestBase {
+
+  private def freshRoot(tag: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_vtspec_$tag"
+    val f = new java.io.File(p)
+    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    p
+  }
+
+  private def docs = Tables(spark, sfDir, "documents")
+    .select(col("doc_id"), col("text"), col("lang"))
+
+  private def snap(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    df.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("init + merge chain: every pinned version reconstructs its exact snapshot") {
+    val t = new VersionedTable(spark, freshRoot("chain"), "doc_id")
+    val base = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val v1 = t.init(base)
+    assert(v1 == 1L && t.currentVersion() == 1L)
+    val s1 = snap(base)
+
+    // v2: delete %7, upsert " v2" where %4
+    val b1 = docs.filter(pmod(col("doc_id"), lit(4)) === 0 || pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0, "delete").otherwise("upsert").as("op"),
+        concat(col("text"), lit(" v2")).as("text"), col("lang"))
+    val v2 = t.merge(b1, v1)
+    assert(v2 == 2L)
+    val s2expect = (s1 -- s1.keys.filter(_ % 7 == 0)) ++
+      docs.filter(pmod(col("doc_id"), lit(4)) === 0 && pmod(col("doc_id"), lit(7)) =!= 0)
+        .collect().map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("text") + " v2"))
+    assert(snap(t.read(2L)) == s2expect, "v2 snapshot = base − deletes + upserts")
+
+    // v3: upsert " v3" where %5 (no deletes)
+    val b2 = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), lit("upsert").as("op"),
+        concat(col("text"), lit(" v3")).as("text"), col("lang"))
+    val v3 = t.merge(b2, v2)
+    val s3expect = s2expect ++
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .collect().map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("text") + " v3"))
+    assert(snap(t.read(3L)) == s3expect)
+
+    // TIME TRAVEL: committing v3 must not disturb any pinned older read
+    assert(snap(t.read(1L)) == s1, "v1 is immutable after later commits")
+    assert(snap(t.read(2L)) == s2expect, "v2 is immutable after later commits")
+    assert(snap(t.readLatest()) == s3expect)
+    assert(t.currentVersion() == 3L)
+  }
+
+  test("copy-on-write prunes: a single-bucket batch rewrites one bucket, carries the rest") {
+    val root = freshRoot("cow")
+    val nB = 16
+    val t = new VersionedTable(spark, root, "doc_id", nBuckets = nB)
+    t.init(docs)
+    // one key → exactly one touched bucket
+    val oneKey = docs.orderBy(col("doc_id")).limit(1)
+      .select(col("doc_id"), lit("upsert").as("op"),
+        lit("rewritten").as("text"), col("lang"))
+    t.merge(oneKey, 1L)
+    val m2 = Files.readAllLines(Paths.get(root, "_log", "v00000002.manifest"))
+    val adds = m2.toArray.map(_.toString).count(_.startsWith("add "))
+    val removes = m2.toArray.map(_.toString).count(_.startsWith("remove "))
+    assert(adds == 1 && removes == 1,
+      s"one touched bucket ⇒ 1 add + 1 remove, got $adds/$removes: $m2")
+    // v1's untouched files still back the v2 snapshot (carried by reference,
+    // zero bytes moved): all but one of v2's live dirs live under data/c1
+    val live2 = t.read(2L)
+    assert(live2.filter(col("text") === "rewritten").count() == 1L)
+    assert(live2.count() == docs.count())
+  }
+
+  test("two-writer race: the loser's publish is rejected, the winner's commit stands") {
+    val t = new VersionedTable(spark, freshRoot("race"), "doc_id")
+    t.init(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0))
+    def mkBatch(tag: String) = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      .select(col("doc_id"), lit("upsert").as("op"),
+        concat(col("text"), lit(tag)).as("text"), col("lang"))
+    // both writers read version 1 and merge concurrently; writer A publishes
+    val vA = t.merge(mkBatch(" by-A"), 1L)
+    assert(vA == 2L)
+    // writer B, still holding version 1, must be REJECTED at publication —
+    // not silently clobber A's commit
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      t.merge(mkBatch(" by-B"), 1L)
+    }
+    assert(ex.getMessage.contains("concurrent writer"))
+    // A's commit is intact; B's orphaned data is invisible to every reader
+    assert(t.currentVersion() == 2L)
+    val texts = t.read(2L).filter(pmod(col("doc_id"), lit(4)) === 0)
+      .select(col("text")).collect().map(_.getString(0))
+    assert(texts.nonEmpty && texts.forall(_.endsWith(" by-A")))
+    // and B can retry on the fresh version, the optimistic-concurrency loop
+    val vB = t.merge(mkBatch(" by-B"), 2L)
+    assert(vB == 3L)
+    assert(t.read(3L).filter(col("text").endsWith(" by-B")).count() > 0)
+    assert(t.read(2L).filter(col("text").endsWith(" by-B")).count() == 0,
+      "retry lands in v3; pinned v2 still shows A only")
+  }
+
+  test("delete wins over upsert for the same key within one batch") {
+    val t = new VersionedTable(spark, freshRoot("delwin"), "doc_id")
+    t.init(docs.limit(20))
+    val ids = docs.orderBy(col("doc_id")).limit(2).collect().map(_.getLong(0))
+    val s0 = spark
+    import s0.implicits._
+    val batch = Seq(
+      (ids(0), "upsert", "should not survive", "en"),
+      (ids(0), "delete", "x", "en"),
+      (ids(1), "upsert", "survives", "en"))
+      .toDF("doc_id", "op", "text", "lang")
+    t.merge(batch, 1L)
+    val s = snap(t.read(2L))
+    assert(!s.contains(ids(0)), "delete wins on overlap")
+    assert(s(ids(1)) == "survives")
+  }
+}
