@@ -229,13 +229,41 @@ object LayoutOps {
       |  bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS content_hash
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q193 — AVRO ROUND-TRIP: q180's migration audit for the row-oriented
+    * interchange format every Kafka-adjacent ingest meets first. Spark's
+    * optional avro module isn't on this classpath, so the cycle runs
+    * through [[graft.sources.AvroIO]] — executor-parallel object-container
+    * writes + whole-file-parallel reads built on the Avro core jars — and
+    * the same order-independent bit_xor fingerprint vs the parquet
+    * originals proves the write→read cycle preserved every row and every
+    * byte of text. Same scale story as q180: partition-parallel both
+    * directions, map-side-combinable audit.
+    */
+  def q193AvroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q193_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val d = Tables(spark, dir, "documents")
+    graft.sources.AvroIO.write(d, s"$base/avro")
+    graft.sources.AvroIO.read(spark, s"$base/avro", d.schema)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        expr("bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT))")
+          .cast("long").as("content_hash"))
+      .orderBy(col("lang"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_zorder_layout" -> q107ZorderLayout _,
     "q178_compaction_plan" -> q178CompactionPlan _,
-    "q180_orc_roundtrip" -> q180OrcRoundtrip _)
+    "q180_orc_roundtrip" -> q180OrcRoundtrip _,
+    "q193_avro_roundtrip" -> q193AvroRoundtrip _)
 
   val oracles: Map[String, String] = Map(
     "q107_zorder_layout" -> q107Sql,
     "q178_compaction_plan" -> q178Sql,
-    "q180_orc_roundtrip" -> q180Sql)
+    "q180_orc_roundtrip" -> q180Sql,
+    "q193_avro_roundtrip" -> q180Sql)
 }

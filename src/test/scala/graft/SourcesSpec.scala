@@ -71,6 +71,38 @@ class SourcesSpec extends SparkTestBase {
       Tables(spark, sfDir, "nation").filter(col("n_regionkey") === 1).count())
   }
 
+  test("avro round-trip: exact row equality, nulls and binary included") {
+    val out = Files.createTempDirectory("graft-avro").toString + "/t"
+    val docs = Tables(spark, sfDir, "documents")
+    graft.sources.AvroIO.write(docs, out)
+    val back = graft.sources.AvroIO.read(spark, out, docs.schema)
+    assert(back.schema == docs.schema)
+    val a = docs.orderBy(col("doc_id")).collect()
+    val b = back.orderBy(col("doc_id")).collect()
+    assert(a.length == b.length)
+    assert(a.zip(b).forall { case (x, y) => x == y }, "byte-identical round-trip")
+
+    // every supported type + nulls survive the union encoding
+    val out2 = Files.createTempDirectory("graft-avro2").toString + "/t"
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("i", IntegerType), StructField("d", DoubleType),
+      StructField("f", FloatType), StructField("bo", BooleanType),
+      StructField("s", StringType), StructField("bin", BinaryType)))
+    val rows = java.util.List.of(
+      org.apache.spark.sql.Row(1L, 7, 2.5, 1.5f, true, "x", Array[Byte](1, 2)),
+      org.apache.spark.sql.Row(2L, null, null, null, null, null, null))
+    val typed = spark.createDataFrame(rows, schema)
+    graft.sources.AvroIO.write(typed, out2)
+    val typedBack = graft.sources.AvroIO.read(spark, out2, schema)
+      .orderBy(col("id")).collect()
+    assert(typedBack.length == 2)
+    assert(typedBack(0).getAs[Array[Byte]]("bin").toSeq == Seq[Byte](1, 2))
+    assert(typedBack(0).getString(5) == "x" && typedBack(0).getBoolean(4))
+    assert((1 to 6).forall(typedBack(1).isNullAt),
+      s"nulls must survive: ${typedBack(1)}")
+  }
+
   test("xml round-trip preserves rows and values (Spark 4 core xml source)") {
     val out = Files.createTempDirectory("graft-xml").toString + "/t"
     val nation = Tables(spark, sfDir, "nation")
