@@ -217,24 +217,24 @@ object IngestOps {
     * tmp root wiped at entry, so a second call replays from scratch.
     */
   def q89StreamReplay(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q89_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val watch = s"$base/watch"
+    val fix = ReplayFixtures.ensure(dir, "q89", Seq("customer")) { root =>
+      Tables(spark, dir, "customer").select(
+          concat_ws(",",
+            col("c_custkey").cast("string"),
+            when(col("c_custkey") % 10 === 0, lit("notanum"))
+              .otherwise(col("c_acctbal").cast("string"))).as("value"))
+        .repartition(4)
+        .write.text(s"$root/watch")
+    }
+    val base = ReplayFixtures.runRoot(dir, "q89")
+    val watch = s"$fix/watch"
     val out = s"$base/out"
     val ckpt = s"$base/ckpt"
-    val baseDir = new java.io.File(base)
-    if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
-    Tables(spark, dir, "customer").select(
-        concat_ws(",",
-          col("c_custkey").cast("string"),
-          when(col("c_custkey") % 10 === 0, lit("notanum"))
-            .otherwise(col("c_acctbal").cast("string"))).as("value"))
-      .repartition(4)
-      .write.text(watch)
     val spec = CsvSpec(
       headers = Vector("c_custkey", "c_acctbal"),
       types = Some(Vector("number", "number")))
-    val q = graft.streaming.EventStream.csvIngestStream(spark, watch, spec, maxFilesPerTrigger = 2)
+    val ss = ReplayFixtures.replaySession(spark)
+    val q = graft.streaming.EventStream.csvIngestStream(ss, watch, spec, maxFilesPerTrigger = 2)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", ckpt)
@@ -267,18 +267,18 @@ object IngestOps {
     * serve both the 100 TB backfill and the live feed.
     */
   def q112StreamJoinReplay(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q112_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val baseDir = new java.io.File(base)
-    if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
-    val events = Tables(spark, dir, "events")
-    events.filter(col("event_type") === "view")
-      .repartition(3).write.parquet(s"$base/views")
-    events.filter(col("event_type") === "purchase")
-      .repartition(3).write.parquet(s"$base/purch")
+    val fix = ReplayFixtures.ensure(dir, "q112", Seq("events")) { root =>
+      val events = Tables(spark, dir, "events")
+      events.filter(col("event_type") === "view")
+        .repartition(3).write.parquet(s"$root/views")
+      events.filter(col("event_type") === "purchase")
+        .repartition(3).write.parquet(s"$root/purch")
+    }
+    val base = ReplayFixtures.runRoot(dir, "q112")
+    val ss = ReplayFixtures.replaySession(spark)
     val joined = graft.streaming.EventStream.intervalJoinStream(
-      graft.streaming.EventStream.readEventStream(spark, s"$base/views", maxFilesPerTrigger = 2),
-      graft.streaming.EventStream.readEventStream(spark, s"$base/purch", maxFilesPerTrigger = 2))
+      graft.streaming.EventStream.readEventStream(ss, s"$fix/views", maxFilesPerTrigger = 2),
+      graft.streaming.EventStream.readEventStream(ss, s"$fix/purch", maxFilesPerTrigger = 2))
     val q = joined
       .select(col("user_id"), col("view_id"), col("purchase_id"))
       .writeStream
@@ -368,17 +368,16 @@ object IngestOps {
     * row-for-row, which is exactly what the oracle asserts.
     */
   def q133StreamEnrichReplay(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q133_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val baseDir = new java.io.File(base)
-    if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
-    val events = Tables(spark, dir, "events")
-    events.filter(col("event_type") === "purchase")
-      .repartition(3).write.parquet(s"$base/purch")
-    val dim = events.select(col("user_id")).distinct()
+    val fix = ReplayFixtures.ensure(dir, "q133", Seq("events")) { root =>
+      Tables(spark, dir, "events").filter(col("event_type") === "purchase")
+        .repartition(3).write.parquet(s"$root/purch")
+    }
+    val base = ReplayFixtures.runRoot(dir, "q133")
+    val ss = ReplayFixtures.replaySession(spark)
+    val dim = Tables(ss, dir, "events").select(col("user_id")).distinct()
       .withColumn("tier", concat(lit("tier_"), pmod(col("user_id"), lit(3))))
     val enriched = graft.streaming.EventStream.enrichStream(
-      graft.streaming.EventStream.readEventStream(spark, s"$base/purch", maxFilesPerTrigger = 2),
+      graft.streaming.EventStream.readEventStream(ss, s"$fix/purch", maxFilesPerTrigger = 2),
       dim, "user_id")
     val q = enriched
       .select(col("event_id"), col("user_id"), col("tier"), col("value"))
@@ -518,33 +517,40 @@ object IngestOps {
     * exactly-once argument every streaming materialized view rests on.
     */
   def q152StreamingIvm(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q152_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val baseDir = new java.io.File(base)
-    if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
     val d = Tables(spark, dir, "documents")
     val snap = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
       .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("len"))
-    // seed v0 = the materialized rollup being maintained
-    snap.groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_chars"))
-      .write.parquet(s"$base/rollup/v0")
-    // the changes feed, split into 3 files = 3 micro-batches
-    d.filter(pmod(col("doc_id"), lit(4)) === 0 || pmod(col("doc_id"), lit(7)) === 0)
-      .select(col("doc_id"), col("lang"),
-        when(pmod(col("doc_id"), lit(7)) === 0, lit("delete")).otherwise(lit("upsert")).as("op"),
-        (length(col("text")) + lit(3)).cast("long").as("new_len"))
-      .repartition(3).write.parquet(s"$base/changes")
-    val feed = spark.readStream
+    val base = ReplayFixtures.ensure(dir, "q152", Seq("documents")) { root =>
+      // seed v0 = the materialized rollup being maintained
+      snap.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_chars"))
+        .write.parquet(s"$root/rollup/v0")
+      // the changes feed, split into 3 files = 3 micro-batches
+      d.filter(pmod(col("doc_id"), lit(4)) === 0 || pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"), col("lang"),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit("delete")).otherwise(lit("upsert")).as("op"),
+          (length(col("text")) + lit(3)).cast("long").as("new_len"))
+        .repartition(3).write.parquet(s"$root/changes")
+    }
+    // v1+ rollup versions land beside v0 during the run and are swept back
+    // out by the fixture's restoration pass on the next call
+    val run = ReplayFixtures.runRoot(dir, "q152")
+    val ss = ReplayFixtures.replaySession(spark)
+    // the snapshot joined inside each micro-batch must live on the STREAM's
+    // session — Spark rejects cross-session Dataset mixing
+    val snapS = Tables(ss, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("len"))
+    val feed = ss.readStream
       .schema("doc_id BIGINT, lang STRING, op STRING, new_len BIGINT")
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$base/changes")
     val q = feed.writeStream
-      .option("checkpointLocation", s"$base/ckpt")
+      .option("checkpointLocation", s"$run/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val cur = spark.read.parquet(s"$base/rollup/v$id")
+        val cur = ss.read.parquet(s"$base/rollup/v$id")
         val delta = batch
-          .join(snap.select(col("doc_id"), col("len").as("old_len")), Seq("doc_id"), "left")
+          .join(snapS.select(col("doc_id"), col("len").as("old_len")), Seq("doc_id"), "left")
           .select(col("lang"),
             when(col("op") === "delete",
               when(col("old_len").isNotNull, -1L).otherwise(0L))
@@ -613,34 +619,34 @@ object IngestOps {
     * active users, never stream length.
     */
   def q140SessionWindowReplay(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q140_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val baseDir = new java.io.File(base)
-    if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
-    val events = Tables(spark, dir, "events")
-    events.repartition(3).write.parquet(s"$base/in")
-    val maxUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
-    // sentinel: one far-future event that closes every real session once
-    // its watermark (sentinel - 3650d) passes max real ts + gap
-    val sentinelUs = maxUs + 4000L * 86400L * 1000000L
-    // record the real batch's files BEFORE the sentinel write: an mtime
-    // tie (coarse-granularity filesystems) must not let a REAL file get
-    // bumped past the sentinel, or its events would be dropped as late
-    def parts() = new java.io.File(s"$base/in").listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-    val realFiles = parts().map(_.getName).toSet
-    events.limit(1)
-      .select(lit(-1L).as("event_id"), timestamp_micros(lit(sentinelUs)).as("ts"),
-        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-        lit(0.0).as("value"), lit("").as("props"))
-      .coalesce(1).write.mode("append").parquet(s"$base/in")
-    // force exactly the sentinel's new file(s) to sort AFTER the real
-    // batch in the FileStreamSource mod-time order
-    val maxReal = parts().filter(f => realFiles(f.getName)).map(_.lastModified()).max
-    parts().filterNot(f => realFiles(f.getName))
-      .foreach(f => f.setLastModified(maxReal + 600000L))
+    val fix = ReplayFixtures.ensure(dir, "q140", Seq("events")) { root =>
+      val events = Tables(spark, dir, "events")
+      events.repartition(3).write.parquet(s"$root/in")
+      val maxUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      // sentinel: one far-future event that closes every real session once
+      // its watermark (sentinel - 3650d) passes max real ts + gap
+      val sentinelUs = maxUs + 4000L * 86400L * 1000000L
+      // record the real batch's files BEFORE the sentinel write: an mtime
+      // tie (coarse-granularity filesystems) must not let a REAL file get
+      // bumped past the sentinel, or its events would be dropped as late
+      def parts() = new java.io.File(s"$root/in").listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      val realFiles = parts().map(_.getName).toSet
+      events.limit(1)
+        .select(lit(-1L).as("event_id"), timestamp_micros(lit(sentinelUs)).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"), lit("").as("props"))
+        .coalesce(1).write.mode("append").parquet(s"$root/in")
+      // force exactly the sentinel's new file(s) to sort AFTER the real
+      // batch in the FileStreamSource mod-time order
+      val maxReal = parts().filter(f => realFiles(f.getName)).map(_.lastModified()).max
+      parts().filterNot(f => realFiles(f.getName))
+        .foreach(f => f.setLastModified(maxReal + 600000L))
+    }
+    val base = ReplayFixtures.runRoot(dir, "q140")
+    val ss = ReplayFixtures.replaySession(spark)
     val sessions = graft.streaming.EventStream.sessionWindowAgg(
-      graft.streaming.EventStream.readEventStream(spark, s"$base/in", maxFilesPerTrigger = 2),
+      graft.streaming.EventStream.readEventStream(ss, s"$fix/in", maxFilesPerTrigger = 2),
       gap = "30 minutes", watermark = "3650 days")
     val q = sessions.writeStream
       .outputMode("append")
@@ -703,39 +709,48 @@ object IngestOps {
     * length.
     */
   def q174StreamOuterJoinReplay(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q174_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val baseDir = new java.io.File(base)
-    if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
-    val events = Tables(spark, dir, "events")
-    val maxUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val sentinelUs = maxUs + 4000L * 86400L * 1000000L
-    // each side arrives as event-time-contiguous range files replayed in
-    // mod-time order (the q165 carving): random file order would let the
-    // watermark run ahead of unread data and late-drop real views, which
-    // for an OUTER join silently deletes their unmatched rows
-    for (side <- Seq("views", "purch")) {
-      val typ = if (side == "views") "view" else "purchase"
-      events.filter(col("event_type") === typ)
-        .repartitionByRange(3, col("ts"), col("event_id"))
-        .write.parquet(s"$base/$side")
-      def parts() = new java.io.File(s"$base/$side").listFiles()
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      val realFiles = parts().map(_.getName).toSet
-      val t0 = parts().map(_.lastModified()).max
-      parts().sortBy(_.getName).zipWithIndex
-        .foreach { case (f, i) => f.setLastModified(t0 + i * 600000L) }
-      events.limit(1)
-        .select(lit(-1L).as("event_id"), timestamp_micros(lit(sentinelUs)).as("ts"),
-          lit(-1L).as("user_id"), lit(typ).as("event_type"),
-          lit(0.0).as("value"), lit("").as("props"))
-        .coalesce(1).write.mode("append").parquet(s"$base/$side")
-      parts().filterNot(f => realFiles(f.getName))
-        .foreach(f => f.setLastModified(t0 + 10 * 600000L))
+    val fix = ReplayFixtures.ensure(dir, "q174", Seq("events")) { root =>
+      val events = Tables(spark, dir, "events")
+      val maxUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val sentinelUs = maxUs + 4000L * 86400L * 1000000L
+      // each side arrives as event-time-contiguous range files replayed in
+      // mod-time order (the q165 carving): random file order would let the
+      // watermark run ahead of unread data and late-drop real views, which
+      // for an OUTER join silently deletes their unmatched rows
+      for (side <- Seq("views", "purch")) {
+        val typ = if (side == "views") "view" else "purchase"
+        events.filter(col("event_type") === typ)
+          .repartitionByRange(3, col("ts"), col("event_id"))
+          .write.parquet(s"$root/$side")
+        def parts() = new java.io.File(s"$root/$side").listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        val realFiles = parts().map(_.getName).toSet
+        val t0 = parts().map(_.lastModified()).max
+        parts().sortBy(_.getName).zipWithIndex
+          .foreach { case (f, i) => f.setLastModified(t0 + i * 600000L) }
+        events.limit(1)
+          .select(lit(-1L).as("event_id"), timestamp_micros(lit(sentinelUs)).as("ts"),
+            lit(-1L).as("user_id"), lit(typ).as("event_type"),
+            lit(0.0).as("value"), lit("").as("props"))
+          .coalesce(1).write.mode("append").parquet(s"$root/$side")
+        parts().filterNot(f => realFiles(f.getName))
+          .foreach(f => f.setLastModified(t0 + 10 * 600000L))
+        // pre-stage the in-run drain sentinel (see the try block below):
+        // carving it here keeps the run phase free of Spark writes — the
+        // run just COPIES this file into the watched dir when it's time
+        events.limit(1)
+          .select(lit(-2L).as("event_id"),
+            timestamp_micros(lit(sentinelUs + 86400L * 1000000L)).as("ts"),
+            lit(-1L).as("user_id"), lit(typ).as("event_type"),
+            lit(0.0).as("value"), lit("").as("props"))
+          .coalesce(1).write.parquet(s"$root/late/$side")
+      }
     }
+    val base = ReplayFixtures.runRoot(dir, "q174")
+    val ss = ReplayFixtures.replaySession(spark)
     val joined = graft.streaming.EventStream.intervalJoinStream(
-      graft.streaming.EventStream.readEventStream(spark, s"$base/views", maxFilesPerTrigger = 2),
-      graft.streaming.EventStream.readEventStream(spark, s"$base/purch", maxFilesPerTrigger = 2),
+      graft.streaming.EventStream.readEventStream(ss, s"$fix/views", maxFilesPerTrigger = 2),
+      graft.streaming.EventStream.readEventStream(ss, s"$fix/purch", maxFilesPerTrigger = 2),
       joinType = "left_outer")
     // NO sentinel filter inside the streaming plan: a `user_id >= 0`
     // here pushes through the outer join into BOTH parquet scans
@@ -761,15 +776,20 @@ object IngestOps {
       // further batch consumes it) — feed one more, later, sentinel per
       // side so a real data batch runs under the committed watermark and
       // flushes the remaining outer rows. The production analogue: outer
-      // results always trail the stream by one watermark advance.
+      // results always trail the stream by one watermark advance. The
+      // sentinel files were carved at fixture-build time; dropping them
+      // into the watched dirs here is a plain file copy (the fixture's
+      // restoration pass removes them again before the next run).
       for (side <- Seq("views", "purch")) {
-        val typ = if (side == "views") "view" else "purchase"
-        events.limit(1)
-          .select(lit(-2L).as("event_id"),
-            timestamp_micros(lit(sentinelUs + 86400L * 1000000L)).as("ts"),
-            lit(-1L).as("user_id"), lit(typ).as("event_type"),
-            lit(0.0).as("value"), lit("").as("props"))
-          .coalesce(1).write.mode("append").parquet(s"$base/$side")
+        val lateDir = new java.io.File(s"$fix/late/$side")
+        lateDir.listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .foreach { f =>
+            val dst = new java.io.File(s"$fix/$side", f.getName)
+            java.nio.file.Files.copy(f.toPath, dst.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            dst.setLastModified(System.currentTimeMillis())
+          }
       }
       q.processAllAvailable()
     } finally q.stop()
@@ -816,48 +836,48 @@ object IngestOps {
     * dropDuplicatesWithinWatermark exists over dropDuplicates.
     */
   def q165StreamDedupReplay(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q165_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val baseDir = new java.io.File(base)
-    if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
-    val events = Tables(spark, dir, "events")
-    val dups = events.filter(pmod(col("event_id"), lit(5)) === 0)
-      .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + 1800L * 1000000L))
-    val all = events.unionByName(dups)
-    // Carve into 3 event-time-contiguous range files with boundaries
-    // DERIVED, not sampled: `repartitionByRange` picks boundaries from a
-    // random sample, so whether any original/duplicate pair straddles a
-    // file boundary varied run to run (the cross-batch-state property the
-    // spec gates flaked under full-suite runs). Anchor the first boundary
-    // ONE MICROSECOND past the median planted original: its +30 min
-    // duplicate then lands in the next file BY CONSTRUCTION — and 30 min
-    // is well inside the 1 h dedup watermark, so the duplicate reaches the
-    // cross-batch state store rather than the late-data filter.
-    val planted = events.filter(pmod(col("event_id"), lit(5)) === 0)
-      .select(unix_micros(col("ts")).as("t"))
-    val nPlanted = planted.count()
-    val tMid = planted.orderBy(col("t"))
-      .offset((nPlanted / 2).toInt).limit(1).collect().head.getLong(0)
-    val tMax = all.agg(max(unix_micros(col("ts")))).collect().head.getLong(0)
-    val b1 = tMid + 1L
-    val b2 = b1 + (tMax - b1) / 2
-    val splits = Seq(
-      unix_micros(col("ts")) < b1,
-      unix_micros(col("ts")) >= b1 && unix_micros(col("ts")) < b2,
-      unix_micros(col("ts")) >= b2)
-    // one append-write per range, stamping strictly increasing mod times
-    // as we go so FileStreamSource replays the files in event-time order
-    val inDir = new java.io.File(s"$base/in")
-    def parts() = Option(inDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-    splits.zipWithIndex.foreach { case (cond, i) =>
-      val before = parts().map(_.getName).toSet
-      all.filter(cond).coalesce(1).write.mode("append").parquet(s"$base/in")
-      parts().filterNot(f => before(f.getName))
-        .foreach(_.setLastModified(1700000000000L + i * 600000L))
+    val fix = ReplayFixtures.ensure(dir, "q165", Seq("events")) { root =>
+      val events = Tables(spark, dir, "events")
+      val dups = events.filter(pmod(col("event_id"), lit(5)) === 0)
+        .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + 1800L * 1000000L))
+      val all = events.unionByName(dups)
+      // Carve into 3 event-time-contiguous range files with boundaries
+      // DERIVED, not sampled: `repartitionByRange` picks boundaries from a
+      // random sample, so whether any original/duplicate pair straddles a
+      // file boundary varied run to run (the cross-batch-state property the
+      // spec gates flaked under full-suite runs). Anchor the first boundary
+      // ONE MICROSECOND past the median planted original: its +30 min
+      // duplicate then lands in the next file BY CONSTRUCTION — and 30 min
+      // is well inside the 1 h dedup watermark, so the duplicate reaches the
+      // cross-batch state store rather than the late-data filter.
+      val planted = events.filter(pmod(col("event_id"), lit(5)) === 0)
+        .select(unix_micros(col("ts")).as("t"))
+      val nPlanted = planted.count()
+      val tMid = planted.orderBy(col("t"))
+        .offset((nPlanted / 2).toInt).limit(1).collect().head.getLong(0)
+      val tMax = all.agg(max(unix_micros(col("ts")))).collect().head.getLong(0)
+      val b1 = tMid + 1L
+      val b2 = b1 + (tMax - b1) / 2
+      val splits = Seq(
+        unix_micros(col("ts")) < b1,
+        unix_micros(col("ts")) >= b1 && unix_micros(col("ts")) < b2,
+        unix_micros(col("ts")) >= b2)
+      // one append-write per range, stamping strictly increasing mod times
+      // as we go so FileStreamSource replays the files in event-time order
+      val inDir = new java.io.File(s"$root/in")
+      def parts() = Option(inDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      splits.zipWithIndex.foreach { case (cond, i) =>
+        val before = parts().map(_.getName).toSet
+        all.filter(cond).coalesce(1).write.mode("append").parquet(s"$root/in")
+        parts().filterNot(f => before(f.getName))
+          .foreach(_.setLastModified(1700000000000L + i * 600000L))
+      }
     }
+    val base = ReplayFixtures.runRoot(dir, "q165")
+    val ss = ReplayFixtures.replaySession(spark)
     val deduped = graft.streaming.EventStream.dedupStream(
-      graft.streaming.EventStream.readEventStream(spark, s"$base/in", maxFilesPerTrigger = 1),
+      graft.streaming.EventStream.readEventStream(ss, s"$fix/in", maxFilesPerTrigger = 1),
       keyCols = Seq("event_id"), watermark = "1 hour")
     val q = deduped
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -902,19 +922,17 @@ object IngestOps {
     * the read-time semantics are identical.
     */
   def q189SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q189_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val baseDir = new java.io.File(base)
-    if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
-    val e = Tables(spark, dir, "events")
-    // generation 1: the old schema (no props column yet)
-    e.filter(pmod(col("event_id"), lit(2)) === 0)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .write.parquet(s"$base/t")
-    // generation 2: props arrived, plus a new schema_v marker column
-    e.filter(pmod(col("event_id"), lit(2)) === 1)
-      .withColumn("schema_v", lit(2))
-      .write.mode("append").parquet(s"$base/t")
+    val base = ReplayFixtures.ensure(dir, "q189", Seq("events")) { root =>
+      val e = Tables(spark, dir, "events")
+      // generation 1: the old schema (no props column yet)
+      e.filter(pmod(col("event_id"), lit(2)) === 0)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .write.parquet(s"$root/t")
+      // generation 2: props arrived, plus a new schema_v marker column
+      e.filter(pmod(col("event_id"), lit(2)) === 1)
+        .withColumn("schema_v", lit(2))
+        .write.mode("append").parquet(s"$root/t")
+    }
     // "carries the props column" is a FILE-generation property, marked by
     // the always-non-null schema_v — not a row-value property, so a gen-2
     // row whose props VALUE is null still counts. nonnull_props exercises

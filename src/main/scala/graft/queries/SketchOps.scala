@@ -418,14 +418,14 @@ object SketchOps {
     * an executable equality.
     */
   def q187StreamingBitmap(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q187_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val baseDir = new java.io.File(base)
-    if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
-    val e = Tables(spark, dir, "events")
-    e.repartition(3).write.parquet(s"$base/in")
+    val fix = ReplayFixtures.ensure(dir, "q187", Seq("events")) { root =>
+      Tables(spark, dir, "events").repartition(3).write.parquet(s"$root/in")
+    }
+    val base = ReplayFixtures.runRoot(dir, "q187")
+    val ss = ReplayFixtures.replaySession(spark)
+    val e = Tables(ss, dir, "events")
     val stream = graft.streaming.EventStream
-      .readEventStream(spark, s"$base/in", maxFilesPerTrigger = 1)
+      .readEventStream(ss, s"$fix/in", maxFilesPerTrigger = 1)
     val view = "graft_q187_bm_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val q = bitmapWords(bitmapCells(stream)).writeStream
       .outputMode("complete")
@@ -438,8 +438,8 @@ object SketchOps {
     // self-joins the word table, and MemoryPlan leaves conflicting
     // attribute ids across the two scans; (b) a persisted state table is
     // the production artifact anyway (the bitmap cube a dashboard reads)
-    spark.table(view).write.mode("overwrite").parquet(s"$base/state")
-    bitmapRolled(spark.read.parquet(s"$base/state"), bitmapCells(e).distinct())
+    ss.table(view).write.mode("overwrite").parquet(s"$base/state")
+    bitmapRolled(ss.read.parquet(s"$base/state"), bitmapCells(e).distinct())
   }
 
   val q183Sql: String =
@@ -714,14 +714,14 @@ object SketchOps {
     * counters were accumulated is invisible to the sketch.
     */
   def q143StreamingCms(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q143_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val baseDir = new java.io.File(base)
-    if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
-    val e = Tables(spark, dir, "events")
-    e.repartition(3).write.parquet(s"$base/in")
+    val fix = ReplayFixtures.ensure(dir, "q143", Seq("events")) { root =>
+      Tables(spark, dir, "events").repartition(3).write.parquet(s"$root/in")
+    }
+    val base = ReplayFixtures.runRoot(dir, "q143")
+    val ss = ReplayFixtures.replaySession(spark)
+    val e = Tables(ss, dir, "events")
     val stream = graft.streaming.EventStream
-      .readEventStream(spark, s"$base/in", maxFilesPerTrigger = 1)
+      .readEventStream(ss, s"$fix/in", maxFilesPerTrigger = 1)
     val view = "graft_q143_cms_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val q = cmsCounters(stream).writeStream
       .outputMode("complete")
@@ -734,7 +734,7 @@ object SketchOps {
       .agg(count(lit(1)).as("true_cnt"))
       .orderBy(col("true_cnt").desc, col("user_id"))
       .limit(5)
-    cmsEstimate(top, spark.table(view))
+    cmsEstimate(top, ss.table(view))
       .orderBy(col("true_cnt").desc, col("user_id"))
   }
 

@@ -171,8 +171,7 @@ class StreamingSpec extends SparkTestBase {
     assert(ids.distinct.length == ids.length, "no duplicate keys survive")
     // the fixture must exercise the CROSS-batch state path: at least one
     // original/duplicate pair split across two range files (= micro-batches)
-    val inDir = s"${System.getProperty("java.io.tmpdir")}/graft_q165_" +
-      sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "/in"
+    val inDir = graft.queries.ReplayFixtures.fixtureRootFor(sfDir, "q165") + "/in"
     val perFile = new java.io.File(inDir).listFiles()
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
       .map(f => spark.read.parquet(f.getPath)
@@ -440,8 +439,7 @@ class StreamingSpec extends SparkTestBase {
     // state as zip archives (sst + metadata), which the HDFS-backed
     // provider never writes
     val ckpt = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_q143_" +
-        sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "/ckpt/state")
+      graft.queries.ReplayFixtures.runRootFor(sfDir, "q143") + "/ckpt/state")
     def anyZip(f: java.io.File): Boolean =
       f.isFile && f.getName.endsWith(".zip") ||
         Option(f.listFiles()).exists(_.exists(anyZip))
