@@ -446,6 +446,44 @@ class StreamingSpec extends SparkTestBase {
     assert(anyZip(ckpt), s"expected RocksDB zip snapshots under $ckpt")
   }
 
+  test("RocksDB state store: session windows and outer-join buffers match the default backend exactly") {
+    // The CMS gate above covers tiny fixed-width state; these are the two
+    // state shapes that actually GROW with the stream — q140's merging
+    // session windows and q174's outer-join buffers (rows held until the
+    // watermark proves no match can arrive). Bit-identical results across
+    // backends is the invariance claim that makes RocksDB a deployment
+    // flag rather than a semantics change.
+    def rocksSession() = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s
+    }
+    def anyZip(f: java.io.File): Boolean =
+      f.isFile && f.getName.endsWith(".zip") ||
+        Option(f.listFiles()).exists(_.exists(anyZip))
+
+    val defSessions = graft.queries.IngestOps
+      .q140SessionWindowReplay(spark, sfDir).collect().map(_.toSeq).toSeq
+    val rocksSessions = graft.queries.IngestOps
+      .q140SessionWindowReplay(rocksSession(), sfDir).collect().map(_.toSeq).toSeq
+    assert(rocksSessions == defSessions,
+      "session-window state must be backend-invariant")
+    val ckpt140 = new java.io.File(
+      graft.queries.ReplayFixtures.runRootFor(sfDir, "q140") + "/ckpt/state")
+    assert(anyZip(ckpt140), s"expected RocksDB zip snapshots under $ckpt140")
+
+    val defOuter = graft.queries.IngestOps
+      .q174StreamOuterJoinReplay(spark, sfDir).collect().map(_.toSeq).toSeq
+    val rocksOuter = graft.queries.IngestOps
+      .q174StreamOuterJoinReplay(rocksSession(), sfDir).collect().map(_.toSeq).toSeq
+    assert(rocksOuter == defOuter,
+      "outer-join buffer state must be backend-invariant")
+    val ckpt174 = new java.io.File(
+      graft.queries.ReplayFixtures.runRootFor(sfDir, "q174") + "/ckpt/state")
+    assert(anyZip(ckpt174), s"expected RocksDB zip snapshots under $ckpt174")
+  }
+
   test("q187 streamed bitmap state rolls to exactly the batch q183 result") {
     val streamed = graft.queries.SketchOps.q187StreamingBitmap(spark, sfDir)
       .collect().map(_.toSeq)
