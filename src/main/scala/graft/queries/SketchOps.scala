@@ -894,6 +894,110 @@ object SketchOps {
       |FROM est JOIN ex USING (event_type)
       |ORDER BY event_type""".stripMargin
 
+  /** q194 — ROLLING-WINDOW quantiles from MERGED DAILY coordinated
+    * samples: q153's bottom-k-by-hash quantile sample, maintained the
+    * q151 way. One pass builds a (event_type, day) sample table — the 64
+    * rows with the smallest md5_60(event_id) per group — and every 7-day
+    * window is then answered by unioning its ≤7 daily samples and
+    * re-taking the bottom 64: a row among a window's global bottom-64 is
+    * among its own day's bottom-64, so the merge reconstructs the
+    * window's true coordinated sample EXACTLY (SketchSpec proves the
+    * identity against a direct build), and the window's p50/p90 are
+    * percentile_disc over that sample — elements of the data, bit-equal
+    * across engines. The exact per-window quantiles ride along as truth,
+    * computed by exploding each row to the windows it covers.
+    *
+    * Scale: the daily sample table is |types|·|days|·64 rows — answering
+    * a quarter's windows over a year of 100 TB events re-ranks
+    * 365·|types|·64 sample rows, no event rescans; the exact rider is the
+    * expensive half and exists only to exhibit the estimate's error.
+    */
+  def q194RollingQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val h = e.select(col("event_type"), to_date(col("ts")).as("d"),
+      col("value"), md5_60(col("event_id")).as("h"))
+    val maxDay = h.agg(max(col("d")).as("max_d"))
+    def toWindows(df: DataFrame): DataFrame = df
+      .crossJoin(broadcast(maxDay))
+      .withColumn("end_day", explode(expr(
+        "sequence(d, least(date_add(d, 6), max_d), interval 1 day)")))
+      .select(col("event_type"), col("end_day"), col("value"), col("h"))
+    def disc(df: DataFrame, prefix: String): DataFrame = {
+      val wv = Window.partitionBy(col("event_type"), col("end_day"))
+        .orderBy(col("value"), col("h"))
+      val wn = Window.partitionBy(col("event_type"), col("end_day"))
+      df.withColumn("vrn", row_number().over(wv))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy(col("event_type"), col("end_day"))
+        .agg(
+          max(when(col("vrn") === expr("CAST(ceil(n * 0.5) AS BIGINT)"), col("value")))
+            .as(s"${prefix}_p50"),
+          max(when(col("vrn") === expr("CAST(ceil(n * 0.9) AS BIGINT)"), col("value")))
+            .as(s"${prefix}_p90"),
+          count(lit(1)).as(s"${prefix}_n"))
+    }
+    val daily = bottomK(h, SampleK, "event_type", "d")
+    val merged = bottomK(toWindows(daily), SampleK, "event_type", "end_day")
+    disc(merged, "est")
+      .join(disc(toWindows(h), "exact"), Seq("event_type", "end_day"))
+      .orderBy(col("event_type"), col("end_day"))
+  }
+
+  val q194Sql: String =
+    s"""WITH h AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, value,
+      |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events),
+      |m AS (SELECT max(d) AS max_d FROM h),
+      |daily AS (
+      |  SELECT event_type, d, value, h FROM (
+      |    SELECT event_type, d, value, h,
+      |      row_number() OVER (PARTITION BY event_type, d ORDER BY h) AS rn
+      |    FROM h)
+      |  WHERE rn <= $SampleK),
+      |dwin AS (
+      |  SELECT event_type, CAST(end_day AS DATE) AS end_day, value, h FROM (
+      |    SELECT event_type, value, h,
+      |      unnest(range(d, least(d + 7, max_d + 1), INTERVAL 1 DAY)) AS end_day
+      |    FROM daily, m)),
+      |merged AS (
+      |  SELECT event_type, end_day, value, h FROM (
+      |    SELECT event_type, end_day, value, h,
+      |      row_number() OVER (PARTITION BY event_type, end_day ORDER BY h) AS rn
+      |    FROM dwin)
+      |  WHERE rn <= $SampleK),
+      |est AS (
+      |  SELECT event_type, end_day,
+      |    max(CASE WHEN vrn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS est_p50,
+      |    max(CASE WHEN vrn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END) AS est_p90,
+      |    CAST(count(*) AS BIGINT) AS est_n
+      |  FROM (
+      |    SELECT event_type, end_day, value,
+      |      row_number() OVER (PARTITION BY event_type, end_day ORDER BY value, h) AS vrn,
+      |      count(*) OVER (PARTITION BY event_type, end_day) AS n
+      |    FROM merged)
+      |  GROUP BY 1, 2),
+      |fwin AS (
+      |  SELECT event_type, CAST(end_day AS DATE) AS end_day, value, h FROM (
+      |    SELECT event_type, value, h,
+      |      unnest(range(d, least(d + 7, max_d + 1), INTERVAL 1 DAY)) AS end_day
+      |    FROM h, m)),
+      |ex AS (
+      |  SELECT event_type, end_day,
+      |    max(CASE WHEN vrn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS exact_p50,
+      |    max(CASE WHEN vrn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END) AS exact_p90,
+      |    CAST(count(*) AS BIGINT) AS exact_n
+      |  FROM (
+      |    SELECT event_type, end_day, value,
+      |      row_number() OVER (PARTITION BY event_type, end_day ORDER BY value, h) AS vrn,
+      |      count(*) OVER (PARTITION BY event_type, end_day) AS n
+      |    FROM fwin)
+      |  GROUP BY 1, 2)
+      |SELECT event_type, end_day, est_p50, est_p90, est_n,
+      |  exact_p50, exact_p90, exact_n
+      |FROM est JOIN ex USING (event_type, end_day)
+      |ORDER BY event_type, end_day""".stripMargin
+
   /** q156 — JOIN-SIZE ESTIMATION via the CMS inner product (Alon–Matias–
     * Szegedy 1996 frequency moments; Cormode–Muthukrishnan 2005 §4.2): the
     * size of an equi-join is Σ_k f_A(k)·f_B(k), and the bucket-wise inner
@@ -1058,6 +1162,7 @@ object SketchOps {
     "q143_streaming_cms" -> q143StreamingCms _,
     "q151_rolling_kmv" -> q151RollingKmv _,
     "q153_sample_quantiles" -> q153SampleQuantiles _,
+    "q194_rolling_quantiles" -> q194RollingQuantiles _,
     "q156_cms_join_size" -> q156CmsJoinSize _)
 
   val oracles: Map[String, String] = Map(
@@ -1072,5 +1177,6 @@ object SketchOps {
     "q143_streaming_cms" -> q137Sql,
     "q151_rolling_kmv" -> q151Sql,
     "q153_sample_quantiles" -> q153Sql,
+    "q194_rolling_quantiles" -> q194Sql,
     "q156_cms_join_size" -> q156Sql)
 }

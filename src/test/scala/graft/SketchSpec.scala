@@ -133,6 +133,39 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("q194 merge identity: merged daily quantile samples == the window's own bottom-k sample") {
+    val e = Tables(spark, sfDir, "events")
+    val h = e.select(col("event_type"), to_date(col("ts")).as("d"), col("value"),
+      conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val maxDay = h.agg(max(col("d")).as("max_d"))
+    def toWindows(df: org.apache.spark.sql.DataFrame) = df
+      .crossJoin(broadcast(maxDay))
+      .withColumn("end_day", explode(expr(
+        "sequence(d, least(date_add(d, 6), max_d), interval 1 day)")))
+      .select(col("event_type"), col("end_day"), col("value"), col("h"))
+    // direct per-window sample from the FULL row set — the expensive path
+    // the daily-merge replaces
+    val direct = SketchOps.bottomK(toWindows(h), 64, "event_type", "end_day")
+      .orderBy(col("event_type"), col("end_day"), col("h"))
+      .collect().map(_.toSeq)
+    val daily = SketchOps.bottomK(h, 64, "event_type", "d")
+    val merged = SketchOps.bottomK(toWindows(daily), 64, "event_type", "end_day")
+      .orderBy(col("event_type"), col("end_day"), col("h"))
+      .collect().map(_.toSeq)
+    assert(merged.toSeq == direct.toSeq,
+      "union-then-re-top-k of daily samples must equal each window's global bottom-k")
+    // order-statistic sanity on the registered row
+    val rows = SketchOps.q194RollingQuantiles(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("est_p50") <= r.getAs[Double]("est_p90"))
+      assert(r.getAs[Double]("exact_p50") <= r.getAs[Double]("exact_p90"))
+      assert(r.getAs[Long]("est_n") <= 64L)
+      assert(r.getAs[Long]("est_n") <= r.getAs[Long]("exact_n"))
+    }
+  }
+
   test("q156 CMS inner product is a one-sided upper bound on the exact join size") {
     val r = SketchOps.q156CmsJoinSize(spark, sfDir).collect()
     assert(r.length == 1)
