@@ -96,6 +96,25 @@ object BatchJob {
       config: BatchConfig = BatchConfig.load(),
       hooks: Hooks = Hooks()): RunSummary = {
 
+    // the reference's pre-flight sanity gate, same fatal texts in the same
+    // order (lib/batchProcessing.js:154-166); the file-existence check
+    // throws Node's ENOENT phrasing (test/test.js expects the substring
+    // 'no such file or directory') from the driver before any job launches
+    if (filePath == null || filePath.trim.isEmpty)
+      throw new IllegalArgumentException("filePath is not specified. Aborting processing.")
+    if (parser == null)
+      throw new IllegalArgumentException("jobService is not specified. Aborting processing.")
+    parser match {
+      case Parser.Custom(_, _, fn) if fn == null =>
+        throw new IllegalArgumentException(
+          "jobService.onEachRecord() is not defined. Aborting processing.")
+      case _ =>
+    }
+    if (!filePath.exists(c => c == '*' || c == '?' || c == '[') &&
+      !new java.io.File(filePath).exists())
+      throw new java.io.FileNotFoundException(
+        s"ENOENT: no such file or directory, open '$filePath'")
+
     val runId = UUID.randomUUID().toString
     val start = System.currentTimeMillis()
     hooks.onStart()

@@ -118,8 +118,12 @@ object Parsers {
       delimiter: String = ",",
       ignoreExtraHeaders: Boolean = false,
       ignoreExtraHeaderDataTypes: Boolean = false) {
-    require(headers.nonEmpty, "parseCSV: CSV Headers are missing in csvParser options")
-    require(headers.forall(_.trim.nonEmpty), "parseCSV: CSV header names must be non-blank")
+    require(headers.nonEmpty, "parseCSV: CSV Headers are missing in csvParser options " +
+      "(options.csvHeaders - can be comma-separated string, string-array or object)")
+    require(headers.forall(_.trim.nonEmpty),
+      s"parseCSV: CSV Headers specified as string is either empty or whitespace: " +
+        s"'${headers.mkString(",")}'. (options.csvHeaders - can be comma-separated " +
+        "string, string-array or object)")
     types.foreach(t => require(t.nonEmpty, "parseCSV: empty csvHeaderDataTypes"))
   }
 

@@ -72,9 +72,21 @@ object RestSink {
     * token-less body is job-fatal, like the reference. Driver-side only —
     * runs once per job, never inside a task.
     */
+  /** The reference's observable abort for absent or rejected credentials
+    * (`lib/batchProcessing.js:272` — in the reference a failed/skipped
+    * login leaves no token and the first authenticated POST 401s into
+    * exactly this message, so the engine throws it at the equivalent
+    * decision points: nothing to authenticate with, or a login the auth
+    * server rejected).
+    */
+  val CheckCredentialsMsg =
+    "Check access_token/credentials. Expired/Wrong/Missing?. Aborting processing."
+
   def resolveAccessToken(ctx: AuthCtx, appBaseUrl: Option[String],
       env: Map[String, String] = sys.env, loginTimeoutMillis: Int = 30000): Option[String] =
     env.get("ACCESS_TOKEN").orElse {
+      if (ctx.username.isEmpty && ctx.accessToken.isEmpty)
+        throw new RuntimeException(CheckCredentialsMsg)
       if (ctx.username.isDefined) {
         val base = env.get("APP_BASE_URL").orElse(appBaseUrl).getOrElse(throw new IllegalArgumentException(
           "appBaseURL is not specified in env variable (APP_BASE_URL) or options. " +
@@ -94,6 +106,11 @@ object RestSink {
           catch { case e: Exception =>
             throw new RuntimeException(s"Could not post user credentials: ERROR: ${e.getMessage}")
           }
+        // an auth REJECTION surfaces as the reference's net-observable
+        // credentials abort; any other failure keeps the login-error text
+        // (`lib/batchProcessing.js:485`)
+        if (resp.statusCode() == 401 || resp.statusCode() == 403)
+          throw new RuntimeException(CheckCredentialsMsg)
         if (resp.statusCode() != 200)
           throw new RuntimeException(
             s"Error received after posting user credentials: RESPONSE: ${resp.statusCode()} ${resp.body()}")

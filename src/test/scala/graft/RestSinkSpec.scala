@@ -167,12 +167,14 @@ class RestSinkSpec extends SparkTestBase {
           Some(loginBase), env = Map("BATCH_PROCESSING_LOGIN_URL" -> "/custom/login"))
         val req2 = state.requests.toArray(Array.empty[(String, String, String, String)]).last
         assert(req2._2 == "/custom/login")
-        // 4. bad credentials are job-fatal with the reference's message
+        // 4. bad credentials are job-fatal with the reference's NET-observable
+        // message: a 401 login rejection aborts with the credentials text
+        // (test/test.js:212-225 asserts exactly this substring)
         val e = intercept[RuntimeException] {
           RestSink.resolveAccessToken(
             AuthCtx(username = Some("alice"), password = Some("wrong")), Some(loginBase), env = Map.empty)
         }
-        assert(e.getMessage.contains("Error received after posting user credentials"))
+        assert(e.getMessage.contains("Check access_token/credentials. Expired/Wrong/Missing?."))
         // 5. no username: plain ctx token pass-through
         assert(RestSink.resolveAccessToken(AuthCtx(accessToken = Some("tok-ctx")), None, env = Map.empty)
           .contains("tok-ctx"))
