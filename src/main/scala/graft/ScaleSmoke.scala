@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
   * all-pairs" (dedup) and "one bounded shuffle" (train-prep, re-rank) hold
   * beyond the driver's sf0.1.
   *
-  * Synthesizes an sf1-class documents table by tiling sf0.1 ten times with
-  * (a) a doc_id offset per replica and (b) a per-replica alphabet ROTATION
+  * Synthesizes an sf1-class documents table by tiling sf0.1 N times
+  * (N = SPARK_GRAFT_REPLICAS, default 10) with (a) a doc_id offset per
+  * replica and (b) a per-replica alphabet BIJECTION (affine permutation)
   * of the text. A character bijection preserves token equality — and
   * therefore shingle sets, MinHash signatures and Jaccard — WITHIN a
   * replica exactly, while making cross-replica tokens disjoint, so the
@@ -35,18 +36,37 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
 
-  private val Replicas = 10
+  /** Replica count: 10 for the driver's per-round smoke; the round-9
+    * verdict's 100× question is answered by SPARK_GRAFT_REPLICAS=100 (with
+    * SPARK_GRAFT_ONLY selecting the worst rows, so the run stays bounded).
+    */
+  private val Replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
   private val IdStride = 10000000L
-  private val SuperLinearBound = 25.0
+  // N× data with 2.5× headroom for fixed per-job overhead
+  private val SuperLinearBound = Replicas * 2.5
+
+  /** Per-replica ALPHABET BIJECTION. A plain rotation gives only 26
+    * distinct maps — at 100 replicas, replicas i and i+26 would be exact
+    * cross-replica near-dups and the pair graph would grow quadratically
+    * within each rotation class (a different workload, not a scale-up).
+    * Affine permutations j -> (a*j + b) mod 26 with gcd(a,26)=1 give
+    * 12×26 = 312 distinct bijections; replica 0 is the identity.
+    */
+  private def bijection(i: Int): String = {
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val as = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    val a = as(i % as.length)
+    val b = i / as.length
+    (0 until 26).map(j => alpha((a * j + b) % 26)).mkString
+  }
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String): Unit = {
     val docs = Tables(spark, baseDir, "documents")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     val reps = (0 until Replicas).map { i =>
-      val rot = alpha.drop(i) + alpha.take(i)
       docs.select(docs.columns.toIndexedSeq.map {
         case "doc_id" => (col("doc_id") + lit(i * IdStride)).as("doc_id")
-        case "text"   => translate(col("text"), alpha, rot).as("text")
+        case "text"   => translate(col("text"), alpha, bijection(i)).as("text")
         case c        => col(c)
       }: _*)
     }
@@ -107,8 +127,8 @@ object ScaleSmoke {
     // and blow every dedup/graph ratio past the gate
     graft.queries.Dedup.signatureStoreEnabled = false
 
-    val scaledDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale10x"
-    val skewedDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale10x_skew"
+    val scaledDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale${Replicas}x"
+    val skewedDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale${Replicas}x_skew"
     synthesize(spark, baseDir, scaledDir)
     synthesizeSkewed(spark, scaledDir, skewedDir)
 

@@ -1047,8 +1047,12 @@ class QueriesSpec extends SparkTestBase {
     val ends = scala.collection.mutable.Map.empty[Long, Long]
     pts.foreach { case (t, d, _) =>
       val hour = t / 3600000000L
+      // the hour-START instant is itself a peak candidate: the carried-in
+      // count before this hour's first boundary (the greatest(start_c, ...)
+      // semantics both engines implement)
+      if (!peaks.contains(hour)) peaks(hour) = run
       run += d
-      peaks(hour) = math.max(peaks.getOrElse(hour, Long.MinValue), run)
+      peaks(hour) = math.max(peaks(hour), run)
       ends(hour) = run
     }
     assert(rows.length == peaks.size, "one row per hour containing any boundary")
