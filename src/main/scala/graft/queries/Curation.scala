@@ -325,7 +325,160 @@ object Curation {
       |  END AS BIGINT) AS alloc_tokens
       |FROM idx, k ORDER BY source""".stripMargin
 
+  /** q197's dials — ONE definition interpolated into both engines. */
+  private[graft] val Q197Buckets = 64
+  private[graft] val Q197SampleK = 150
+
+  /** q197 — DSIR-style IMPORTANCE RESAMPLING (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): reweight a
+    * raw corpus toward a target domain using HASHED n-gram features, then
+    * sample proportionally to the importance weights. Here the target is
+    * the corpus's own `lang = 'en'` slice (any in-domain exemplar set
+    * works the same way):
+    *
+    *   1. every whitespace token hashes into one of [[Q197Buckets]]
+    *      buckets (md5-family — both engines agree bitwise);
+    *   2. one scan counts each bucket's raw and target occurrences, and
+    *      the per-bucket log-likelihood ratio ln(p_target/p_raw) (Laplace
+    *      +1) is quantized to integer 1e-4 nats on the 64-row frame — all
+    *      downstream arithmetic is exact BIGINT;
+    *   3. a document's importance score is the sum of its tokens' bucket
+    *      scores (the bag-of-hashed-ngrams log ratio);
+    *   4. sampling-without-replacement ∝ exp(score) is the deterministic
+    *      GUMBEL-TOP-K: key = score + quantized Gumbel noise from the
+    *      md5_60 uniform of doc_id — no RNG state, reruns and engines
+    *      agree, and the top-[[Q197SampleK]] keys ARE the resample.
+    *
+    * Scale: the bucket-stats frame is [[Q197Buckets]] rows broadcast back
+    * to the token stream; the corpus side is one explode + one doc-keyed
+    * partial-agg shuffle; selection is a global top-k (per-partition heaps,
+    * one tiny reduce). Nothing is pairwise, nothing collects, and the
+    * feature space stays constant-size no matter how large the corpus —
+    * the published DSIR recipe's own scaling argument.
+    */
+  def q197ImportanceResample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val toks = d.select(col("doc_id"), col("lang"),
+        explode(wsTokens(normText(col("text")))).as("tok"))
+      .withColumn("b",
+        pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"),
+          lit(Q197Buckets.toLong)))
+    // one pass: raw and target counts per bucket, then integer 1e-4-nat
+    // log-likelihood ratios on the 64-row frame
+    val stats = toks.groupBy(col("b")).agg(
+      count(lit(1)).as("r_b"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_b"))
+    val tot = stats.agg(sum(col("r_b")).as("r_tot"), sum(col("t_b")).as("t_tot"))
+    val scores = stats.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(
+          log(((col("t_b") + lit(1)).cast("double") / (col("t_tot") + lit(Q197Buckets)).cast("double")) /
+            ((col("r_b") + lit(1)).cast("double") / (col("r_tot") + lit(Q197Buckets)).cast("double"))) * lit(1e4))
+          .cast("long").as("s"))
+    val docScore = toks.join(broadcast(scores), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("s")).as("score"), count(lit(1)).as("n_tokens"))
+    // Gumbel-top-k: u ∈ (0,1) from md5_60(doc_id), g = -ln(-ln(u)),
+    // quantized to the same 1e-4-nat grid so key addition stays BIGINT
+    val keyed = docScore.withColumn("u",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("double") + lit(0.5)) / lit(1152921504606846976.0))
+      .withColumn("gkey",
+        col("score") + round(-log(-log(col("u"))) * lit(1e4)).cast("long"))
+      .drop("u")
+    keyed.orderBy(col("gkey").desc, col("doc_id")).limit(Q197SampleK)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("score"), col("gkey"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q197Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, tok,
+       |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % $Q197Buckets AS b
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      unnest(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), t -> t <> '')) AS tok
+       |    FROM documents)),
+       |stats AS (
+       |  SELECT b, count(*) AS r_b,
+       |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_b
+       |  FROM toks GROUP BY b),
+       |tot AS (SELECT sum(r_b) AS r_tot, sum(t_b) AS t_tot FROM stats),
+       |scores AS (
+       |  SELECT b, CAST(round(1e4 * ln(
+       |    ((t_b + 1) / CAST(t_tot + $Q197Buckets AS DOUBLE)) /
+       |    ((r_b + 1) / CAST(r_tot + $Q197Buckets AS DOUBLE)))) AS BIGINT) AS s
+       |  FROM stats, tot),
+       |ds AS (
+       |  SELECT doc_id, lang,
+       |    CAST(sum(s) AS BIGINT) AS score, CAST(count(*) AS BIGINT) AS n_tokens
+       |  FROM toks JOIN scores USING (b)
+       |  GROUP BY doc_id, lang),
+       |keyed AS (
+       |  SELECT doc_id, lang, n_tokens, score,
+       |    score + CAST(round(1e4 * -ln(-ln(
+       |      (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 0.5)
+       |        / 1152921504606846976.0))) AS BIGINT) AS gkey
+       |  FROM ds)
+       |SELECT doc_id, lang, n_tokens, score, gkey
+       |FROM (SELECT * FROM keyed ORDER BY gkey DESC, doc_id LIMIT $Q197SampleK)
+       |ORDER BY doc_id""".stripMargin
+
+  /** q198's per-stratum reservoir size. */
+  private[graft] val Q198PerSource = 5
+
+  /** q198 — STRATIFIED WEIGHTED RESERVOIR (Efraimidis–Spirakis 2006
+    * exponential-clock sampling, A-ES): within every source, keep the
+    * [[Q198PerSource]] docs with the smallest exponential keys
+    * e = -ln(u)/w — a weighted-without-replacement sample ∝ w (here
+    * w = n_chars) per stratum. Complements q144 (GLOBAL priority sample
+    * with Horvitz–Thompson estimates) and q105 (per-group UNIFORM sample):
+    * this is the "k docs per source, longer docs proportionally more
+    * likely" mixture-building primitive. Uniforms come from the md5_60
+    * hash of doc_id — deterministic, mergeable (union two shards and
+    * re-take the k smallest keys: the A-ES distributed-merge property),
+    * and bit-agreed across engines; keys are quantized to integer 1e-9
+    * before ranking so the rank comparison is exact.
+    *
+    * Scale: one scan, one window partitioned BY SOURCE (Spark's
+    * WindowGroupLimit keeps only k rows per partition pre-shuffle), no
+    * global order. Adding a shard re-ranks by the same deterministic
+    * keys — the reservoir is a function of the data, not of arrival order.
+    */
+  def q198WeightedReservoir(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val keyed = d.select(col("source"), col("doc_id"),
+        greatest(col("n_chars"), lit(1L)).as("w"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("double") + lit(0.5)).as("hn"))
+      .withColumn("ekey",
+        round(-log(col("hn") / lit(1152921504606846976.0)) /
+          col("w").cast("double") * lit(1e9)).cast("long"))
+      .drop("hn")
+    val w = Window.partitionBy(col("source")).orderBy(col("ekey"), col("doc_id"))
+    keyed.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= Q198PerSource)
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val q198Sql: String =
+    s"""SELECT source, doc_id, w, ekey, rk FROM (
+       |  SELECT source, doc_id, w, ekey,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY ekey, doc_id) AS BIGINT) AS rk
+       |  FROM (
+       |    SELECT source, doc_id,
+       |      CAST(greatest(n_chars, 1) AS BIGINT) AS w,
+       |      CAST(round(1e9 * -ln(
+       |        (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 0.5)
+       |          / 1152921504606846976.0)
+       |        / CAST(greatest(n_chars, 1) AS DOUBLE)) AS BIGINT) AS ekey
+       |    FROM documents))
+       |WHERE rk <= $Q198PerSource
+       |ORDER BY source, rk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_importance_resample" -> q197ImportanceResample _,
+    "q198_weighted_reservoir" -> q198WeightedReservoir _,
     "q163_token_budget" -> q163TokenBudget _,
     "q144_priority_sample" -> q144PrioritySample _,
     "q80_curation_join" -> q80CurationJoin _,
@@ -336,6 +489,8 @@ object Curation {
     "q105_group_sample" -> q105GroupSample _)
 
   val oracles: Map[String, String] = Map(
+    "q197_importance_resample" -> q197Sql,
+    "q198_weighted_reservoir" -> q198Sql,
     "q163_token_budget" -> q163Sql,
     "q144_priority_sample" -> q144Sql,
     "q80_curation_join" -> q80Sql,

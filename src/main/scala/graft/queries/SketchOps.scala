@@ -1150,7 +1150,76 @@ object SketchOps {
        |WHERE h0 AND h1 AND h2 ORDER BY c_custkey""".stripMargin
   }
 
+  /** q199 — approximate FUNCTIONAL-DEPENDENCY DISCOVERY, the column-level
+    * profiling companion to q181's FK discovery: for each candidate
+    * `det → dep` pair, measure how close the dependency is to holding with
+    * the standard g3 error (Kivinen–Mannila / TANE): the minimum number of
+    * rows to delete so det determines dep = n − Σ_det max_dep count. A key
+    * column shows g3 = 0 (exact FD); a near-FD shows a small violation
+    * count — the signal schema-inference, normalization advice, and
+    * data-quality monitors all run on.
+    *
+    * Each candidate costs one (det, dep) count agg + one det-keyed re-agg
+    * — both map-side combinable, keyed shuffles only, merged by UNION over
+    * the candidate list (a constant). Nothing is row-pairwise and no state
+    * exceeds |distinct det|; at 100 TB the candidate sweep is a handful of
+    * aggregation passes over the scan, exactly how production profilers
+    * (e.g. Deequ) run it.
+    */
+  def q199FdDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    def g3(df: DataFrame, table: String, det: String, dep: String): DataFrame =
+      df.groupBy(col(det).as("d"), col(dep).as("p"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("d"))
+        .agg(sum(col("c")).as("n_d"), max(col("c")).as("keep_d"),
+          count(lit(1)).as("n_dep"))
+        .agg(
+          sum(col("n_d")).as("n_rows"),
+          count(lit(1)).as("n_groups"),
+          (sum(col("n_d")) - sum(col("keep_d"))).as("g3_violations"),
+          max(col("n_dep")).as("max_deps_per_det"))
+        .select(lit(table).as("table_name"), lit(det).as("det"),
+          lit(dep).as("dep"), col("n_rows"), col("n_groups"),
+          col("g3_violations"),
+          (col("g3_violations") === 0L).as("holds_exactly"),
+          expr("10000 * (n_rows - g3_violations) div n_rows").as("confidence_bp"))
+    val o = Tables(spark, dir, "orders")
+    val l = Tables(spark, dir, "lineitem")
+    val cands = Seq(
+      g3(o, "orders", "o_orderkey", "o_orderstatus"),   // key ⇒ exact
+      g3(o, "orders", "o_custkey", "o_orderpriority"),  // near-random
+      g3(o, "orders", "o_orderdate", "o_orderstatus"),
+      g3(l, "lineitem", "l_orderkey", "l_returnflag"),
+      g3(l, "lineitem", "l_partkey", "l_tax"),
+      g3(l, "lineitem", "l_suppkey", "l_linestatus"))
+    cands.reduce(_.unionByName(_))
+      .orderBy(col("table_name"), col("det"), col("dep"))
+  }
+
+  val q199Sql: String = {
+    def block(table: String, det: String, dep: String): String =
+      s"""SELECT '$table' AS table_name, '$det' AS det, '$dep' AS dep,
+         |  CAST(sum(n_d) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(n_d) - sum(keep_d) AS BIGINT) AS g3_violations,
+         |  (sum(n_d) - sum(keep_d)) = 0 AS holds_exactly,
+         |  CAST(10000 * (sum(n_d) - (sum(n_d) - sum(keep_d))) // sum(n_d) AS BIGINT) AS confidence_bp
+         |FROM (
+         |  SELECT d, sum(c) AS n_d, max(c) AS keep_d FROM (
+         |    SELECT $det AS d, $dep AS p, count(*) AS c FROM $table GROUP BY 1, 2)
+         |  GROUP BY d)""".stripMargin
+    Seq(
+      block("orders", "o_orderkey", "o_orderstatus"),
+      block("orders", "o_custkey", "o_orderpriority"),
+      block("orders", "o_orderdate", "o_orderstatus"),
+      block("lineitem", "l_orderkey", "l_returnflag"),
+      block("lineitem", "l_partkey", "l_tax"),
+      block("lineitem", "l_suppkey", "l_linestatus"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, det, dep")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_fd_discovery" -> q199FdDiscovery _,
     "q168_bloom_prefilter" -> q168BloomPrefilter _,
     "q177_hll_distinct" -> q177HllDistinct _,
     "q181_fk_discovery" -> q181FkDiscovery _,
@@ -1166,6 +1235,7 @@ object SketchOps {
     "q156_cms_join_size" -> q156CmsJoinSize _)
 
   val oracles: Map[String, String] = Map(
+    "q199_fd_discovery" -> q199Sql,
     "q168_bloom_prefilter" -> q168Sql,
     "q177_hll_distinct" -> q177Sql,
     "q181_fk_discovery" -> q181Sql,

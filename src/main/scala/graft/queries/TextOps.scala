@@ -464,9 +464,16 @@ object TextOps {
       .select(col("doc_id"), explode(wsTokens(normText(col("text")))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df via a term-partitioned window COUNT instead of a separate agg
+    // frame joined back: the join needed a second corpus-sized exchange of
+    // tf on term plus the df build; the window needs exactly one term
+    // exchange and no join — the vocabulary can grow with the corpus and
+    // the plan stays two keyed shuffles (term, then doc)
     val n = d.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+    val scored = tf
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))).cast("long"))
+      .crossJoin(broadcast(n))
       .withColumn("score",
         (col("tf") * (lit(2L) * (col("n_docs") - col("df")) + lit(1L))).cast("double")
           / (lit(2L) * col("df") + lit(1L)).cast("double"))

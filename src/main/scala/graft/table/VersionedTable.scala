@@ -75,30 +75,47 @@ final class VersionedTable(
   private val logDir = Paths.get(root, "_log")
   private def manifestPath(v: Long) =
     logDir.resolve(f"v$v%08d.manifest")
+  private def checkpointPath(v: Long) =
+    logDir.resolve(f"v$v%08d.checkpoint")
 
-  /** Highest committed version, 0 if the table doesn't exist yet. */
-  def currentVersion(): Long =
-    if (!Files.isDirectory(logDir)) 0L
+  private def listLog(suffix: String): Seq[Long] =
+    if (!Files.isDirectory(logDir)) Seq.empty
     else {
       val stream = Files.list(logDir)
-      val vs =
-        try stream.toArray.map(_.toString)
-          .map(p => Paths.get(p).getFileName.toString)
-          .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
-            s.stripPrefix("v").stripSuffix(".manifest").toLong
-          }
-        finally stream.close()
-      if (vs.isEmpty) 0L else vs.max
+      try stream.toArray.map(_.toString)
+        .map(p => Paths.get(p).getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(suffix) =>
+          s.stripPrefix("v").stripSuffix(suffix).toLong
+        }.toSeq
+      finally stream.close()
     }
 
+  /** Highest committed version, 0 if the table doesn't exist yet. */
+  def currentVersion(): Long = {
+    val vs = listLog(".manifest")
+    if (vs.isEmpty) 0L else vs.max
+  }
+
   /** Live (bucket, relative-path) pairs as of version `v`: replay the
-    * manifests 1..v. Driver-side string work, version-count-sized.
+    * manifests from the newest CHECKPOINT at or below `v` (the Delta
+    * `_last_checkpoint` move — replay work is bounded by the checkpoint
+    * cadence, not the table's lifetime version count). Driver-side string
+    * work, never data-sized.
     */
   private def liveFiles(v: Long): Seq[(Int, String)] = {
     require(v >= 1 && v <= currentVersion(),
       s"version $v out of range [1, ${currentVersion()}]")
     val live = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    (1L to v).foreach { i =>
+    val ckpt = listLog(".checkpoint").filter(_ <= v).sorted.lastOption
+    ckpt.foreach { c =>
+      Files.readAllLines(checkpointPath(c)).forEach { line =>
+        line.split(" ", 3) match {
+          case Array("add", b, p) => live(p) = b.toInt
+          case _ =>
+        }
+      }
+    }
+    (ckpt.getOrElse(0L) + 1L to v).foreach { i =>
       Files.readAllLines(manifestPath(i)).forEach { line =>
         line.split(" ", 3) match {
           case Array("add", b, p) => live(p) = b.toInt
@@ -108,6 +125,22 @@ final class VersionedTable(
       }
     }
     live.toSeq.map { case (p, b) => (b, p) }
+  }
+
+  /** Persist the live set at the current version as a checkpoint file, so
+    * future reads replay from here instead of from version 1. Idempotent;
+    * older manifests stay on disk, so pre-checkpoint time travel still
+    * works (the checkpoint is a replay SHORTCUT, not a history truncation).
+    */
+  def checkpoint(): Long = {
+    val v = currentVersion()
+    require(v >= 1, s"table $root has no commits to checkpoint")
+    val lines = liveFiles(v).map { case (b, p) => s"add $b $p" }
+    val body = (s"checkpoint $v" +: lines).mkString("", "\n", "\n")
+    if (!Files.exists(checkpointPath(v)))
+      Files.write(checkpointPath(v), body.getBytes("UTF-8"),
+        StandardOpenOption.CREATE_NEW)
+    v
   }
 
   /** The snapshot exactly as version `v` committed it — time travel. */
@@ -121,8 +154,30 @@ final class VersionedTable(
   /** The latest snapshot. */
   def readLatest(): DataFrame = read(currentVersion())
 
-  private def bucketOf(c: org.apache.spark.sql.Column) =
-    pmod(c, lit(nBuckets)).cast("int")
+  private def bucketOf(c: org.apache.spark.sql.Column, n: Int) =
+    pmod(c, lit(n)).cast("int")
+
+  /** The manifest header is `version v basedOn b [buckets n] [batch id]`;
+    * parse one named token's value, None if absent.
+    */
+  private def headerToken(v: Long, token: String): Option[Long] = {
+    val header = Files.readAllLines(manifestPath(v)).get(0)
+    val parts = header.split(" ")
+    parts.indexOf(token) match {
+      case -1 => None
+      case i if i + 1 < parts.length => Some(parts(i + 1).toLong)
+      case _ => None
+    }
+  }
+
+  /** Bucket count in force at version `v` — the most recent commit that
+    * declared one (init and rebucket do; appends/merges inherit). Falls
+    * back to the constructor default for logs that predate the token.
+    */
+  private def bucketCountAt(v: Long): Int =
+    (v to 1L by -1L).iterator
+      .flatMap(i => headerToken(i, "buckets"))
+      .nextOption().map(_.toInt).getOrElse(nBuckets)
 
   /** Write `df` (key + payload columns) as this commit ATTEMPT's data
     * files — the directory is unique per attempt (not per version), so two
@@ -130,10 +185,10 @@ final class VersionedTable(
     * decides; the loser's directory is never referenced by any manifest.
     * One bucket-pure subdirectory per touched bucket; returns the adds.
     */
-  private def writeDataFiles(df: DataFrame, n: Long): Seq[(Int, String)] = {
+  private def writeDataFiles(df: DataFrame, n: Long, nB: Int): Seq[(Int, String)] = {
     val dataDir =
       s"data/c$n-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.withColumn("b", bucketOf(col(keyCol)))
+    df.withColumn("b", bucketOf(col(keyCol), nB))
       .repartition(col("b")) // one shuffle: co-locate each bucket's rows
       .write.partitionBy("b").parquet(s"$root/$dataDir")
     val out = new java.io.File(s"$root/$dataDir")
@@ -148,9 +203,11 @@ final class VersionedTable(
     * already published it (the put-if-absent race — the loser's data dir
     * stays invisible).
     */
-  private def publish(v: Long, basedOn: Long, lines: Seq[String]): Unit = {
+  private def publish(v: Long, basedOn: Long, lines: Seq[String],
+      extraHeader: String = ""): Unit = {
     Files.createDirectories(logDir)
-    val body = (s"version $v basedOn $basedOn" +: lines).mkString("", "\n", "\n")
+    val body = (s"version $v basedOn $basedOn$extraHeader" +: lines)
+      .mkString("", "\n", "\n")
     try
       Files.write(manifestPath(v), body.getBytes("UTF-8"),
         StandardOpenOption.CREATE_NEW)
@@ -166,8 +223,9 @@ final class VersionedTable(
   /** Create the table at version 1 from a full snapshot. */
   def init(df: DataFrame): Long = {
     require(currentVersion() == 0L, s"table $root already exists")
-    val adds = writeDataFiles(df, 1L)
-    publish(1L, 0L, adds.map { case (b, p) => s"add $b $p" })
+    val adds = writeDataFiles(df, 1L, nBuckets)
+    publish(1L, 0L, adds.map { case (b, p) => s"add $b $p" },
+      s" buckets $nBuckets")
     1L
   }
 
@@ -180,6 +238,7 @@ final class VersionedTable(
     */
   def merge(changes: DataFrame, expectedVersion: Long): Long = {
     val next = expectedVersion + 1
+    val nB = bucketCountAt(expectedVersion)
     // resolve within-batch overlap: delete wins over upsert for one key
     val resolved = {
       val w = org.apache.spark.sql.expressions.Window
@@ -189,7 +248,7 @@ final class VersionedTable(
         .filter(col("_rk") === 1).drop("_rk")
     }
     // the copy-on-write pruning set: tiny (≤ nBuckets), driver-collected
-    val touched = resolved.select(bucketOf(col(keyCol)).as("b"))
+    val touched = resolved.select(bucketOf(col(keyCol), nB).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     val live = liveFiles(expectedVersion)
     val (oldTouched, carried) = live.partition { case (b, _) => touched(b) }
@@ -211,13 +270,128 @@ final class VersionedTable(
         col(keyCol) +: payloadCols.map { c =>
           when(col("_op") === "upsert", col(s"_new_$c")).otherwise(col(c)).as(c)
         }: _*)
-    val adds = writeDataFiles(merged, next)
+    val adds = writeDataFiles(merged, next, nB)
     val lines =
       oldTouched.map { case (_, p) => s"remove $p" } ++
         adds.map { case (b, p) => s"add $b $p" }
     publish(next, expectedVersion, lines)
     // carried files are untouched by construction; nothing to write
     require(carried.forall { case (b, _) => !touched(b) })
+    next
+  }
+
+  /** Buckets whose live file set changed anywhere in versions (vA, vB]:
+    * the union of every add's bucket and every removed path's bucket (the
+    * bucket is part of the path — `.../b=<n>`). Manifest-text work only.
+    */
+  private def touchedBetween(vA: Long, vB: Long): Set[Int] = {
+    val out = scala.collection.mutable.Set.empty[Int]
+    (vA + 1 to vB).foreach { i =>
+      Files.readAllLines(manifestPath(i)).forEach { line =>
+        line.split(" ", 3) match {
+          case Array("add", b, _) => out += b.toInt
+          case Array("remove", p) =>
+            out += p.substring(p.lastIndexOf("b=") + 2).toInt
+          case _ =>
+        }
+      }
+    }
+    out.toSet
+  }
+
+  /** INCREMENTAL CDC READ — `table_changes(vA, vB)`: one row per key whose
+    * value differs between snapshot vA and snapshot vB, typed
+    * `change_type ∈ {insert, update, delete}` with the vB payload (vA
+    * payload for deletes). The diff is BUCKET-PRUNED: a bucket no commit
+    * in (vA, vB] touched carries the same immutable files in both
+    * snapshots and is never read — the cost scales with the data the
+    * change batches touched, not the table. The join itself co-partitions
+    * the two pruned snapshot fragments on the key. This is how a
+    * downstream incremental consumer (IVM refresh, replication, audit)
+    * subscribes to the table without rescanning it. vA = 0 means "since
+    * before the table existed" — every live vB row surfaces as an insert.
+    */
+  def changes(vA: Long, vB: Long): DataFrame = {
+    require(vA >= 0 && vA < vB && vB <= currentVersion(),
+      s"need 0 <= vA < vB <= ${currentVersion()}, got ($vA, $vB)")
+    val touched = touchedBetween(vA, vB)
+    def pruned(v: Long): Seq[String] =
+      if (v == 0L) Seq.empty
+      else liveFiles(v).collect { case (b, p) if touched(b) => s"$root/$p" }
+    val (oldPaths, newPaths) = (pruned(vA), pruned(vB))
+    if (oldPaths.isEmpty && newPaths.isEmpty)
+      return spark.emptyDataFrame
+    val template = spark.read.parquet((oldPaths ++ newPaths): _*)
+    def side(paths: Seq[String]): DataFrame =
+      if (paths.isEmpty) template.filter(lit(false))
+      else spark.read.parquet(paths: _*)
+    val payloadCols = template.columns.filterNot(_ == keyCol).toSeq
+    val o = side(oldPaths).select(
+      col(keyCol) +: lit(true).as("_in_old") +:
+        payloadCols.map(c => col(c).as(s"_o_$c")): _*)
+    val n = side(newPaths).select(
+      col(keyCol) +: lit(true).as("_in_new") +:
+        payloadCols.map(c => col(c).as(s"_n_$c")): _*)
+    val oldStruct = struct(payloadCols.map(c => col(s"_o_$c")): _*)
+    val newStruct = struct(payloadCols.map(c => col(s"_n_$c")): _*)
+    o.join(n, Seq(keyCol), "full_outer")
+      .withColumn("change_type",
+        when(col("_in_old").isNull, "insert")
+          .when(col("_in_new").isNull, "delete")
+          .when(!(oldStruct <=> newStruct), "update"))
+      .filter(col("change_type").isNotNull)
+      .select(
+        col(keyCol) +: col("change_type") +: payloadCols.map { c =>
+          when(col("change_type") === "delete", col(s"_o_$c"))
+            .otherwise(col(s"_n_$c")).as(c)
+        }: _*)
+  }
+
+  /** Re-bucket the whole table to `newBuckets` as commit
+    * `expectedVersion + 1` — the layout-maintenance rewrite a table needs
+    * when its key volume outgrows the bucket count chosen at creation
+    * (copy-on-write granularity, like Delta's OPTIMIZE repartition). The
+    * snapshot's logical content is bit-for-bit unchanged — only the
+    * file layout moves — and the commit point is the same atomic
+    * put-if-absent race every writer goes through, so a concurrent merge
+    * and a rebucket cannot both land on the same version.
+    */
+  def rebucket(newBuckets: Int, expectedVersion: Long): Long = {
+    val next = expectedVersion + 1
+    val live = liveFiles(expectedVersion)
+    val adds = writeDataFiles(read(expectedVersion), next, newBuckets)
+    publish(next, expectedVersion,
+      live.map { case (_, p) => s"remove $p" } ++
+        adds.map { case (b, p) => s"add $b $p" },
+      s" buckets $newBuckets")
+    next
+  }
+
+  /** Highest `batch` id any committed manifest carries, -1 if none. */
+  def lastCommittedBatchId(): Long =
+    (1L to currentVersion())
+      .flatMap(v => headerToken(v, "batch"))
+      .foldLeft(-1L)(math.max)
+
+  /** IDEMPOTENT APPEND for exactly-once streaming sinks: commit `df` as a
+    * pure-add version tagged with the micro-batch id. Structured
+    * Streaming's `foreachBatch` re-delivers a batch after a failure with
+    * the SAME `batchId`; because the tag rides in the committed manifest,
+    * a replayed batch is detected from the log itself and the append is a
+    * no-op — at-least-once delivery + idempotent commit = exactly-once
+    * table contents, the Delta streaming-sink txn-version idiom. Batch ids
+    * must arrive non-decreasing (Structured Streaming's contract for one
+    * query); a racing duplicate that loses the manifest publish throws and
+    * is ignored on its own retry.
+    */
+  def appendBatch(df: DataFrame, batchId: Long): Long = {
+    val cur = currentVersion()
+    if (batchId <= lastCommittedBatchId()) return cur // replayed batch
+    val next = cur + 1
+    val nB = bucketCountAt(cur)
+    val adds = writeDataFiles(df, next, nB)
+    publish(next, cur, adds.map { case (b, p) => s"add $b $p" },
+      s" buckets $nB batch $batchId")
     next
   }
 }

@@ -108,6 +108,115 @@ class VersionedTableSpec extends SparkTestBase {
       "retry lands in v3; pinned v2 still shows A only")
   }
 
+  test("changes(vA, vB) emits the exact typed diff between the two snapshots") {
+    val t = new VersionedTable(spark, freshRoot("cdc"), "doc_id")
+    val base = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    t.init(base)
+    val b1 = docs.filter(pmod(col("doc_id"), lit(4)) === 0 || pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0, "delete").otherwise("upsert").as("op"),
+        concat(col("text"), lit(" v2")).as("text"), col("lang"))
+    t.merge(b1, 1L)
+    val b2 = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), lit("upsert").as("op"),
+        concat(col("text"), lit(" v3")).as("text"), col("lang"))
+    t.merge(b2, 2L)
+
+    // reference diff from the materialized snapshots
+    val s1 = snap(t.read(1L))
+    val s3 = snap(t.read(3L))
+    val expect = (s1.keySet ++ s3.keySet).toSeq.flatMap { k =>
+      (s1.get(k), s3.get(k)) match {
+        case (None, Some(tx)) => Some((k, "insert", tx))
+        case (Some(tx), None) => Some((k, "delete", tx))
+        case (Some(a), Some(b)) if a != b => Some((k, "update", b))
+        case _ => None
+      }
+    }.sortBy(_._1)
+    val got = t.changes(1L, 3L)
+      .select(col("doc_id"), col("change_type"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(got == expect, "bucket-pruned diff equals the full snapshot diff")
+    assert(expect.exists(_._2 == "insert") && expect.exists(_._2 == "delete")
+      && expect.exists(_._2 == "update"), "fixture exercises all three types")
+    // vA = 0: everything live at vB is an insert
+    val sinceEver = t.changes(0L, 3L)
+    assert(sinceEver.filter(col("change_type") =!= "insert").count() == 0L)
+    assert(sinceEver.count() == s3.size)
+  }
+
+  test("checkpoint is a replay shortcut: reads before and after it agree") {
+    val t = new VersionedTable(spark, freshRoot("ckpt"), "doc_id")
+    t.init(docs.limit(200))
+    (1 to 6).foreach { i =>
+      val b = docs.limit(200).filter(pmod(col("doc_id"), lit(5)) === (i % 5))
+        .select(col("doc_id"), lit("upsert").as("op"),
+          concat(col("text"), lit(s" u$i")).as("text"), col("lang"))
+      t.merge(b, i.toLong)
+    }
+    val before = (1L to 7L).map(v => v -> snap(t.read(v))).toMap
+    val cv = t.checkpoint()
+    assert(cv == 7L)
+    // post-checkpoint commit replays from the checkpoint, not version 1
+    val b = docs.limit(200).filter(pmod(col("doc_id"), lit(5)) === 2)
+      .select(col("doc_id"), lit("upsert").as("op"),
+        concat(col("text"), lit(" u7")).as("text"), col("lang"))
+    t.merge(b, 7L)
+    // every pinned pre-checkpoint read is unchanged (checkpoint is not a
+    // history truncation), and the post-checkpoint snapshot is correct
+    (1L to 7L).foreach(v => assert(snap(t.read(v)) == before(v), s"v$v"))
+    val s8 = snap(t.read(8L))
+    assert(s8.exists(_._2.endsWith(" u7")))
+    assert(s8.size == before(7L).size)
+  }
+
+  test("rebucket changes layout, not content, and future merges use the new count") {
+    val root = freshRoot("rebucket")
+    val t = new VersionedTable(spark, root, "doc_id", nBuckets = 16)
+    t.init(docs)
+    val s1 = snap(t.read(1L))
+    val v2 = t.rebucket(4, 1L)
+    assert(v2 == 2L)
+    assert(snap(t.read(2L)) == s1, "rebucket preserves logical content")
+    assert(snap(t.read(1L)) == s1, "pinned pre-rebucket read still works")
+    // the new layout has at most 4 bucket files live
+    val m2 = Files.readAllLines(Paths.get(root, "_log", "v00000002.manifest"))
+    val adds2 = m2.toArray.map(_.toString).filter(_.startsWith("add "))
+    assert(adds2.length <= 4 && adds2.nonEmpty)
+    // a one-key merge after rebucket rewrites ONE of the new buckets
+    val oneKey = docs.orderBy(col("doc_id")).limit(1)
+      .select(col("doc_id"), lit("upsert").as("op"),
+        lit("rewritten").as("text"), col("lang"))
+    t.merge(oneKey, 2L)
+    val m3 = Files.readAllLines(Paths.get(root, "_log", "v00000003.manifest"))
+    val adds3 = m3.toArray.map(_.toString).count(_.startsWith("add "))
+    val removes3 = m3.toArray.map(_.toString).count(_.startsWith("remove "))
+    assert(adds3 == 1 && removes3 == 1,
+      s"merge after rebucket touches one 4-way bucket, got $adds3/$removes3")
+    assert(t.read(3L).filter(col("text") === "rewritten").count() == 1L)
+  }
+
+  test("appendBatch is idempotent on micro-batch replay (exactly-once sink)") {
+    val t = new VersionedTable(spark, freshRoot("append"), "doc_id")
+    val part = (i: Int) => docs.filter(pmod(col("doc_id"), lit(3)) === i % 3).limit(50)
+    val v1 = t.appendBatch(part(0), batchId = 0L)
+    assert(v1 == 1L && t.lastCommittedBatchId() == 0L)
+    val n1 = t.readLatest().count()
+    val v2 = t.appendBatch(part(1), batchId = 1L)
+    assert(v2 == 2L)
+    val n2 = t.readLatest().count()
+    assert(n2 > n1)
+    // failure replay: foreachBatch re-delivers batch 1 with the same id —
+    // the committed manifest tag makes the re-append a no-op
+    val vReplay = t.appendBatch(part(1), batchId = 1L)
+    assert(vReplay == 2L, "replayed batch must not commit a new version")
+    assert(t.currentVersion() == 2L)
+    assert(t.readLatest().count() == n2, "no duplicate rows from the replay")
+    // and the next genuine batch proceeds
+    assert(t.appendBatch(part(2), batchId = 2L) == 3L)
+  }
+
   test("delete wins over upsert for the same key within one batch") {
     val t = new VersionedTable(spark, freshRoot("delwin"), "doc_id")
     t.init(docs.limit(20))
