@@ -1160,7 +1160,71 @@ object IngestOps {
       |SELECT doc_id, md5(t) AS h, lang, CAST(5 AS BIGINT) AS read_version
       |FROM s WHERE present ORDER BY doc_id""".stripMargin
 
+  /** q200 — EXACTLY-ONCE STREAMING SINK into the versioned table: the
+    * events fixture replays as a file stream through REAL micro-batches
+    * (maxFilesPerTrigger=2 over a 6-file fixture, so ≥3 triggers), and
+    * `foreachBatch` commits each batch into a [[graft.table.VersionedTable]]
+    * via `appendBatch(df, batchId)` — then immediately DELIVERS THE SAME
+    * BATCH AGAIN, simulating the at-least-once redelivery every sink must
+    * tolerate after a failure. The batch-id tag in the committed manifest
+    * makes the duplicate a no-op (the Delta txn-version idiom), so the
+    * table holds each event exactly once; the per-type aggregate over the
+    * final snapshot hash-matches the oracle computed from the raw events
+    * table — any double-append would double the counts and fail the gate.
+    *
+    * Scale: each commit is one bucket-partitioned parquet write (adds
+    * only, no rewrite); idempotence costs a manifest-header scan, never a
+    * data read. This is the produce path that turns a stream into the
+    * q192/q195 commit log — sink, time travel, and CDC read compose.
+    */
+  def q200StreamTableSink(spark: SparkSession, dir: String): DataFrame = {
+    val fix = ReplayFixtures.ensure(dir, "q200", Seq("events")) { root =>
+      Tables(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .repartition(6)
+        .write.parquet(s"$root/watch")
+    }
+    val base = ReplayFixtures.runRoot(dir, "q200")
+    val ss = ReplayFixtures.replaySession(spark)
+    val t = new graft.table.VersionedTable(ss, s"$base/tbl", "event_id")
+    val sch = ss.read.parquet(s"$fix/watch").schema
+    val q = ss.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(s"$fix/watch")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        t.appendBatch(batch, bid)
+        // at-least-once redelivery: same batch id arrives again — the
+        // committed manifest tag makes this a detected no-op
+        t.appendBatch(batch, bid)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    t.readLatest()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("sum_value"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Oracle: the same aggregate over the raw events — exactly-once means
+    * the streamed table IS the source, duplicates and losses both break
+    * the hash.
+    */
+  val q200Sql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  round(sum(value), 2) AS sum_value,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_stream_table_sink" -> q200StreamTableSink _,
     "q195_table_changes" -> q195TableChanges _,
     "q196_table_maintenance" -> q196TableMaintenance _,
     "q192_time_travel" -> q192TimeTravel _,
@@ -1184,6 +1248,7 @@ object IngestOps {
     "q65_batch_status" -> q65BatchStatus _)
 
   val oracles: Map[String, String] = Map(
+    "q200_stream_table_sink" -> q200Sql,
     "q195_table_changes" -> q195Sql,
     "q196_table_maintenance" -> q196Sql,
     "q192_time_travel" -> q192Sql,

@@ -341,13 +341,70 @@ object MiningOps {
       |GROUP BY d.event_type
       |ORDER BY d.event_type""".stripMargin
 
+  /** q201 — BENFORD FIRST-DIGIT AUDIT, the classic fabricated-data /
+    * broken-ETL tripwire (Benford 1938; standard in forensic accounting
+    * and increasingly in data-quality monitors): naturally-occurring
+    * multi-scale amounts put digit d first with probability log10(1+1/d)
+    * (~30% of values lead with 1); uniform synthetics, truncation bugs,
+    * and unit mix-ups all bend the curve. Audited per digit over TWO
+    * amount columns (lineitem extendedprice, orders totalprice) in exact
+    * integers: the first digit comes from the decimal STRING of the exact
+    * cents value (integer→string is exact in both engines — no float
+    * log10 on the data path), shares are integer basis points, and the
+    * Benford reference is the only float — log10 of a 9-value rational
+    * grid, quantized per digit. The output is the per-digit
+    * observed-vs-expected table a monitor thresholds on.
+    *
+    * Scale: one scan per column, a 9-key aggregate, one one-row broadcast
+    * total — the audit is free at any table size.
+    */
+  def q201BenfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    def audit(df: DataFrame, table: String, amount: String): DataFrame = {
+      val cents = df.select(
+        expr(s"CAST(round($amount * 100) AS BIGINT)").as("cents"))
+        .filter(col("cents") > 0)
+      val digits = cents
+        .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum(col("n")).as("total"))
+      digits.crossJoin(broadcast(tot))
+        .select(lit(table).as("table_name"), lit(amount).as("amount_col"),
+          col("digit"), col("n"),
+          expr("10000 * n div total").as("share_bp"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")) * 10000)
+            .cast("long").as("benford_bp"))
+    }
+    val l = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders")
+    audit(l, "lineitem", "l_extendedprice")
+      .unionByName(audit(o, "orders", "o_totalprice"))
+      .orderBy(col("table_name"), col("digit"))
+  }
+
+  val q201Sql: String = {
+    def block(table: String, amount: String): String =
+      s"""SELECT '$table' AS table_name, '$amount' AS amount_col, digit,
+         |  CAST(n AS BIGINT) AS n,
+         |  CAST(10000 * n // sum(n) OVER () AS BIGINT) AS share_bp,
+         |  CAST(round(10000 * log10(1 + 1.0 / digit)) AS BIGINT) AS benford_bp
+         |FROM (
+         |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+         |    count(*) AS n
+         |  FROM (SELECT CAST(round($amount * 100) AS BIGINT) AS cents FROM $table)
+         |  WHERE cents > 0 GROUP BY 1)""".stripMargin
+    Seq(block("lineitem", "l_extendedprice"), block("orders", "o_totalprice"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, digit")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_benford_audit" -> q201BenfordAudit _,
     "q185_skyline" -> q185Skyline _,
     "q186_mad_outliers" -> q186MadOutliers _,
     "q175_assoc_rules" -> q175AssocRules _,
     "q176_constraint_audit" -> q176ConstraintAudit _)
 
   val oracles: Map[String, String] = Map(
+    "q201_benford_audit" -> q201Sql,
     "q185_skyline" -> q185Sql,
     "q186_mad_outliers" -> q186Sql,
     "q175_assoc_rules" -> q175Sql,

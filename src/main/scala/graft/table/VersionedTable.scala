@@ -394,4 +394,58 @@ final class VersionedTable(
       s" buckets $nB batch $batchId")
     next
   }
+
+  /** GARBAGE COLLECTION with a retention horizon: delete (a) ORPHAN data
+    * directories no manifest references (losers of the publish race — the
+    * commit protocol guarantees they are invisible, vacuum reclaims their
+    * bytes) and (b) data files referenced ONLY by versions below
+    * `retainFrom` (removed at or before it and never re-added). Time
+    * travel to versions >= `retainFrom` is untouched; reads below the
+    * horizon may fail — the retention contract every lakehouse vacuum
+    * carries. Manifests are kept (history is text-sized); only data
+    * bytes are reclaimed. Returns the deleted directory count.
+    */
+  def vacuum(retainFrom: Long): Int = {
+    val cur = currentVersion()
+    require(retainFrom >= 1 && retainFrom <= cur,
+      s"retainFrom $retainFrom out of range [1, $cur]")
+    // every path any manifest in [retainFrom, cur] leaves LIVE at that
+    // version, plus everything added after the horizon: the keep set
+    val keep = scala.collection.mutable.Set.empty[String]
+    (retainFrom to cur).foreach { v =>
+      liveFiles(v).foreach { case (_, p) => keep += p }
+    }
+    val dataRoot = Paths.get(root, "data")
+    if (!Files.isDirectory(dataRoot)) return 0
+    // bucket dirs on disk: data/c*/b=*; delete those not in the keep set
+    val commits = {
+      val s = Files.list(dataRoot)
+      try s.toArray.map(p => Paths.get(p.toString)).toSeq finally s.close()
+    }
+    var deleted = 0
+    commits.foreach { cdir =>
+      val buckets = {
+        val s = Files.list(cdir)
+        try s.toArray.map(p => Paths.get(p.toString)).toSeq finally s.close()
+      }
+      buckets.filter(b => b.getFileName.toString.startsWith("b=")).foreach { b =>
+        val rel = s"data/${cdir.getFileName}/${b.getFileName}"
+        if (!keep(rel)) {
+          org.apache.commons.io.FileUtils.deleteDirectory(b.toFile)
+          deleted += 1
+        }
+      }
+      // a commit dir with no bucket data left is itself reclaimed (stray
+      // write markers like _SUCCESS go with it)
+      val bucketsLeft = {
+        val s = Files.list(cdir)
+        try s.toArray.map(_.toString)
+          .count(p => Paths.get(p).getFileName.toString.startsWith("b="))
+        finally s.close()
+      }
+      if (bucketsLeft == 0)
+        org.apache.commons.io.FileUtils.deleteDirectory(cdir.toFile)
+    }
+    deleted
+  }
 }

@@ -217,6 +217,34 @@ class VersionedTableSpec extends SparkTestBase {
     assert(t.appendBatch(part(2), batchId = 2L) == 3L)
   }
 
+  test("vacuum reclaims race orphans and pre-horizon files; horizon reads survive") {
+    val root = freshRoot("vacuum")
+    val t = new VersionedTable(spark, root, "doc_id")
+    t.init(docs.limit(100))
+    def mkBatch(tag: String) = docs.limit(100)
+      .filter(pmod(col("doc_id"), lit(4)) === 0)
+      .select(col("doc_id"), lit("upsert").as("op"),
+        concat(col("text"), lit(tag)).as("text"), col("lang"))
+    t.merge(mkBatch(" a"), 1L)
+    // a losing writer leaves an ORPHAN data dir behind
+    intercept[java.util.ConcurrentModificationException] {
+      t.merge(mkBatch(" loser"), 1L)
+    }
+    t.merge(mkBatch(" b"), 2L)
+    val dataDirs = (f: String) => Option(new java.io.File(s"$f/data").listFiles())
+      .getOrElse(Array.empty).count(_.isDirectory)
+    val before = dataDirs(root)
+    val s2 = snap(t.read(2L))
+    val s3 = snap(t.read(3L))
+    val deleted = t.vacuum(retainFrom = 2L)
+    assert(deleted > 0, "the orphan (and v1-only files) must be reclaimed")
+    assert(dataDirs(root) < before, "at least the loser's commit dir is gone")
+    // horizon reads intact after GC
+    assert(snap(t.read(2L)) == s2)
+    assert(snap(t.read(3L)) == s3)
+    assert(snap(t.readLatest()) == s3)
+  }
+
   test("delete wins over upsert for the same key within one batch") {
     val t = new VersionedTable(spark, freshRoot("delwin"), "doc_id")
     t.init(docs.limit(20))
