@@ -1223,7 +1223,68 @@ object IngestOps {
       |  min(event_id) AS min_id, max(event_id) AS max_id
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q202 — IVM FROM THE CHANGE FEED: the consumer loop the table layer
+    * exists for. A per-lang (doc count, char sum) rollup is materialized
+    * at snapshot v1, then refreshed to v4 by aggregating ONLY
+    * `changes(1, 4)` — insert adds its contribution, delete retracts the
+    * PRE-IMAGE the feed carries (`old_*` columns), update contributes the
+    * difference — and merging the langs-sized delta into the v1 rollup.
+    * The oracle recomputes the rollup directly from the reconstructed v4
+    * snapshot, so the hash match proves the incremental identity
+    * rollup(v1) ⊕ Δ(changes) = rollup(v4) cross-engine, with the feed —
+    * not the q145-style raw batch — as the delta source. At 100 TB the
+    * refresh reads the bucket-pruned delta and a langs-sized state row
+    * set; the table is never rescanned.
+    */
+  def q202IvmFromChanges(spark: SparkSession, dir: String): DataFrame = {
+    val t = versionedDocsTable(spark, dir)
+    val base = t.read(1L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(length(col("text"))).as("sum_chars"))
+    // retract the pre-image, add the post-image: updates that move a row
+    // across groups (lang change) debit the OLD group and credit the new
+    val ch = t.changes(1L, 4L)
+    val retract = ch.filter(col("change_type") =!= "insert")
+      .select(coalesce(col("old_lang"), col("lang")).as("lang"),
+        lit(-1L).as("dd"),
+        (-length(coalesce(col("old_text"), col("text"))).cast("long")).as("dc"))
+    val credit = ch.filter(col("change_type") =!= "delete")
+      .select(col("lang"), lit(1L).as("dd"),
+        length(col("text")).cast("long").as("dc"))
+    val delta = retract.unionByName(credit)
+      .groupBy(col("lang"))
+      .agg(sum(col("dd")).as("d_docs"), sum(col("dc")).as("d_chars"))
+    base.join(delta, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L))).as("n_docs"),
+        (coalesce(col("sum_chars"), lit(0L)) + coalesce(col("d_chars"), lit(0L))).as("sum_chars"))
+      .filter(col("n_docs") > 0)
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle: the v4 rollup recomputed from scratch over the reconstructed
+    * snapshot — the IVM identity's other side.
+    */
+  val q202Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 6 = 0 THEN text || ' v4'
+      |         WHEN doc_id % 5 = 0 AND doc_id % 9 <> 0 THEN text || ' v3'
+      |         WHEN doc_id % 4 = 0 AND doc_id % 7 <> 0 THEN text || ' v2'
+      |         ELSE text END AS t,
+      |    CASE WHEN doc_id % 6 = 0 THEN TRUE
+      |         WHEN doc_id % 9 = 0 THEN FALSE
+      |         WHEN doc_id % 5 = 0 THEN TRUE
+      |         WHEN doc_id % 7 = 0 THEN FALSE
+      |         WHEN doc_id % 4 = 0 THEN TRUE
+      |         ELSE doc_id % 3 <> 0 END AS present
+      |  FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(length(t)) AS BIGINT) AS sum_chars
+      |FROM s WHERE present GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_ivm_from_changes" -> q202IvmFromChanges _,
     "q200_stream_table_sink" -> q200StreamTableSink _,
     "q195_table_changes" -> q195TableChanges _,
     "q196_table_maintenance" -> q196TableMaintenance _,
@@ -1248,6 +1309,7 @@ object IngestOps {
     "q65_batch_status" -> q65BatchStatus _)
 
   val oracles: Map[String, String] = Map(
+    "q202_ivm_from_changes" -> q202Sql,
     "q200_stream_table_sink" -> q200Sql,
     "q195_table_changes" -> q195Sql,
     "q196_table_maintenance" -> q196Sql,

@@ -396,7 +396,60 @@ object MiningOps {
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, digit")
   }
 
+  /** q203's anonymity threshold and the $2,500 balance generalization band. */
+  private[graft] val Q203K = 5
+  private[graft] val Q203BandCents = 250000L
+
+  /** q203 — K-ANONYMITY AUDIT (Sweeney 2002), the privacy gate a dataset
+    * must pass before export: under the quasi-identifier tuple
+    * (nation, market segment, $2,500-banded balance), every customer must
+    * be indistinguishable from ≥ k−1 others — an equivalence class of
+    * size < k re-identifies its members by linkage. The audit is the
+    * histogram OF class sizes (the Q13 double-aggregation shape): per
+    * class size, how many classes and customers sit there, flagged risky
+    * below [[Q203K]]. Banding is exact integer cents division, so both
+    * engines agree on every class. The l-diversity companion rides along:
+    * per class the distinct count of the sensitive attribute (balance
+    * sign), min'd per size class — a k-anonymous class can still leak if
+    * everyone in it shares the sensitive value.
+    *
+    * Scale: one scan → QI-keyed agg (map-side combinable) → size-keyed
+    * re-agg over the classes frame. Nothing is row-pairwise; the classes
+    * frame is bounded by the QI-space, not the table.
+    */
+  def q203KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val classes = c
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr(s"(CAST(round(c_acctbal * 100) AS BIGINT) + 1000000) div $Q203BandCents").as("bal_band"),
+        when(col("c_acctbal") < 0, lit(0)).otherwise(lit(1)).as("sensitive"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(col("sensitive")).as("l_div"))
+    classes.groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"),
+        (count(lit(1)) * col("class_size")).as("n_customers"),
+        min(col("l_div")).as("min_l_diversity"))
+      .select(col("class_size"), col("n_classes"), col("n_customers"),
+        (col("class_size") < Q203K).as("risky"), col("min_l_diversity"))
+      .orderBy(col("class_size"))
+  }
+
+  val q203Sql: String =
+    s"""WITH classes AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    (CAST(round(c_acctbal * 100) AS BIGINT) + 1000000) // $Q203BandCents AS bal_band,
+       |    count(*) AS class_size,
+       |    count(DISTINCT CASE WHEN c_acctbal < 0 THEN 0 ELSE 1 END) AS l_div
+       |  FROM customer GROUP BY 1, 2, 3)
+       |SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes,
+       |  CAST(count(*) * class_size AS BIGINT) AS n_customers,
+       |  class_size < $Q203K AS risky,
+       |  CAST(min(l_div) AS BIGINT) AS min_l_diversity
+       |FROM classes GROUP BY class_size ORDER BY class_size""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_k_anonymity" -> q203KAnonymity _,
     "q201_benford_audit" -> q201BenfordAudit _,
     "q185_skyline" -> q185Skyline _,
     "q186_mad_outliers" -> q186MadOutliers _,
@@ -404,6 +457,7 @@ object MiningOps {
     "q176_constraint_audit" -> q176ConstraintAudit _)
 
   val oracles: Map[String, String] = Map(
+    "q203_k_anonymity" -> q203Sql,
     "q201_benford_audit" -> q201Sql,
     "q185_skyline" -> q185Sql,
     "q186_mad_outliers" -> q186Sql,

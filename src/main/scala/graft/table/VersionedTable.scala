@@ -341,10 +341,14 @@ final class VersionedTable(
           .when(!(oldStruct <=> newStruct), "update"))
       .filter(col("change_type").isNotNull)
       .select(
-        col(keyCol) +: col("change_type") +: payloadCols.map { c =>
-          when(col("change_type") === "delete", col(s"_o_$c"))
-            .otherwise(col(s"_n_$c")).as(c)
-        }: _*)
+        col(keyCol) +: col("change_type") +:
+          (payloadCols.map { c =>
+            when(col("change_type") === "delete", col(s"_o_$c"))
+              .otherwise(col(s"_n_$c")).as(c)
+          } ++
+          // the pre-image, NULL for inserts — what a downstream
+          // incremental view needs to RETRACT the old contribution
+          payloadCols.map(c => col(s"_o_$c").as(s"old_$c"))): _*)
   }
 
   /** Re-bucket the whole table to `newBuckets` as commit

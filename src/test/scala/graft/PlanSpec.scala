@@ -839,4 +839,33 @@ class PlanSpec extends SparkTestBase {
       assert(!s.contains("CartesianProduct"), s"no cartesian:\n$s")
     }
   }
+
+  test("q197 importance resample: the 64-row score frame broadcasts; top-k is a global heap, not a sort") {
+    val df = Curation.q197ImportanceResample(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    assert(s.contains("BroadcastExchange") || s.contains("BroadcastHashJoin"),
+      s"bucket scores must broadcast back onto the token stream:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no cartesian:\n$s")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"selection must plan as per-partition heaps + tiny reduce, not a global sort:\n$s")
+  }
+
+  test("q198/q203: stratified windows and audits stay group-partitioned") {
+    for (df <- Seq(Curation.q198WeightedReservoir(spark, sfDir),
+                   MiningOps.q203KAnonymity(spark, sfDir))) {
+      df.collect()
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        "no single-partition window over the corpus")
+      val s = finalPlan(df)
+      assert(!s.contains("CartesianProduct"), s"no cartesian:\n$s")
+    }
+    // the reservoir's rank filter must prune map-side
+    val s198 = finalPlan(Curation.q198WeightedReservoir(spark, sfDir))
+    assert(s198.contains("WindowGroupLimit"),
+      s"rk <= k must plan as a group limit:\n$s198")
+  }
 }

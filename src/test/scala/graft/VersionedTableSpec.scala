@@ -140,6 +140,15 @@ class VersionedTableSpec extends SparkTestBase {
     assert(got == expect, "bucket-pruned diff equals the full snapshot diff")
     assert(expect.exists(_._2 == "insert") && expect.exists(_._2 == "delete")
       && expect.exists(_._2 == "update"), "fixture exercises all three types")
+    // pre-image contract: deletes/updates carry old_*, inserts carry NULL
+    val pre = t.changes(1L, 3L)
+      .select(col("change_type"), col("old_text"), col("text")).collect()
+    assert(pre.filter(_.getString(0) != "insert").forall(!_.isNullAt(1)),
+      "retractable changes must carry the pre-image")
+    assert(pre.filter(_.getString(0) == "insert").forall(_.isNullAt(1)))
+    assert(pre.filter(_.getString(0) == "update")
+      .forall(r => r.getString(1) != r.getString(2)),
+      "an update's pre-image differs from its post-image")
     // vA = 0: everything live at vB is an insert
     val sinceEver = t.changes(0L, 3L)
     assert(sinceEver.filter(col("change_type") =!= "insert").count() == 0L)
