@@ -476,7 +476,44 @@ object Curation {
        |WHERE rk <= $Q198PerSource
        |ORDER BY source, rk""".stripMargin
 
+  /** q204 — PER-SOURCE QUANTILE NORMALIZATION of a quality score: raw
+    * scores from heterogeneous sources are not comparable (a crawl's
+    * median length is not a curated corpus's), so every cross-source
+    * quality gate first maps each doc to its source-conditional ECDF rank
+    * — "better than X% of its own source" — and thresholds THAT. Exact
+    * integers end to end: rank by (score, doc_id) within source,
+    * pct_bp = 10000·(rank−1) div (n_source−1) (degenerate one-doc sources
+    * pin to 0), so both engines agree bit-for-bit with no float ECDF.
+    *
+    * Scale: one source-partitioned rank window + one broadcastable
+    * source-size frame — no global order, no corpus shuffle beyond the
+    * source key. The output feeds q81-style quota gates with a
+    * calibrated, source-fair score.
+    */
+  def q204QuantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val sizes = Window.partitionBy(col("source"))
+    d.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(sizes).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr("10000 * (rk - 1) div greatest(n_src - 1, 1)").as("pct_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q204Sql: String =
+    """SELECT doc_id, source, n_chars,
+      |  CAST(10000 * (rk - 1) // greatest(n_src - 1, 1) AS BIGINT) AS pct_bp
+      |FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY source) AS n_src
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_quantile_normalize" -> q204QuantileNormalize _,
     "q197_importance_resample" -> q197ImportanceResample _,
     "q198_weighted_reservoir" -> q198WeightedReservoir _,
     "q163_token_budget" -> q163TokenBudget _,
@@ -489,6 +526,7 @@ object Curation {
     "q105_group_sample" -> q105GroupSample _)
 
   val oracles: Map[String, String] = Map(
+    "q204_quantile_normalize" -> q204Sql,
     "q197_importance_resample" -> q197Sql,
     "q198_weighted_reservoir" -> q198Sql,
     "q163_token_budget" -> q163Sql,

@@ -582,7 +582,64 @@ object Relational {
        |  FROM c, b GROUP BY 1)
        |ORDER BY bin""".stripMargin
 
+  /** q205 — MATERIALIZED-VIEW REWRITE exercised end-to-end
+    * ([[graft.plans.MvRewrite]]): a (l_returnflag, l_linestatus) rollup
+    * with partial sums + counts materializes once to parquet and
+    * registers as a view over `lineitem`; the query then runs the PLAIN
+    * base-table aggregate — grouped on the COARSER key `l_returnflag`,
+    * asking for `sum(l_quantity)`, `count(*)`, and a derived sum — in a
+    * rewrite-enabled child session, a hard require() proves the optimized
+    * plan reads the VIEW's parquet and not the fact (otherwise this row
+    * would silently test the scan it is supposed to avoid), and the
+    * oracle restates the aggregate over the raw table — the rewrite must
+    * be invisible in the result. q145/q152/q202 keep such rollups fresh
+    * incrementally; this rule is why keeping them fresh pays: the
+    * dashboard query reads kilobytes instead of re-scanning the fact.
+    * Sums stay exact: l_quantity is integral and the cents measure is a
+    * BIGINT partial, so re-aggregating partials is order-free.
+    */
+  def q205MvRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val mvPath = s"${System.getProperty("java.io.tmpdir")}/graft_q205_mv_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val s2 = spark.newSession()
+    val base = Tables(s2, dir, "lineitem")
+    if (!new java.io.File(s"$mvPath/_SUCCESS").exists())
+      base.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("s_qty"),
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("s_price_cents"),
+          count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(mvPath)
+    graft.plans.MvRewrite.clear()
+    graft.plans.MvRewrite.register(
+      base, s2.read.parquet(mvPath),
+      dims = Set("l_returnflag", "l_linestatus"),
+      sums = Map("l_quantity" -> "s_qty"),
+      countCol = "cnt")
+    graft.plans.MvRewrite.enable(s2)
+    val df = base
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+    require(df.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if (l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.exists(_.toString.contains("graft_q205_mv_"))
+            case _ => false
+          }) => l
+    }.nonEmpty, "q205 must exercise MvRewrite: the aggregate still reads the fact")
+    df
+  }
+
+  val q205Sql: String =
+    """SELECT l_returnflag,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(count(*) AS BIGINT) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_mv_rewrite" -> q205MvRewrite _,
     "q115_drift_detect" -> q115DriftDetect _,
     "q109_histogram" -> q109Histogram _,
     "q27_skew_salted" -> q27SkewSalted _,
@@ -610,6 +667,7 @@ object Relational {
     "q18_date_buckets" -> q18DateBuckets _)
 
   val oracles: Map[String, String] = Map(
+    "q205_mv_rewrite" -> q205Sql,
     "q27_skew_salted" -> q27Sql,
     "q96_window_ranks" -> q96Sql,
     "q26_group_stats" -> q26Sql,
