@@ -215,6 +215,15 @@ object ScaleSmoke {
       // user_id offsets) but stay |users|/32 — the build and the 7-day
       // OR-merge must both scale with the word tables, never raw events
       ("q183_bitmap_distinct", graft.queries.SketchOps.q183BitmapDistinct _, scaledDir),
+      // DSIR importance resample: the 64-bucket score frame is corpus-size
+      // independent; the explode + doc agg + global top-k heaps must all
+      // scale with the scan (rotated replicas shift bucket contents, never
+      // the frame size)
+      ("q197_importance_resample", graft.queries.Curation.q197ImportanceResample _, scaledDir),
+      // rolling sketch quantiles: daily coordinated samples stay k-sized
+      // as events grow 10x, so the union-then-re-top-k window merge must
+      // stay sketch-sized — the mergeability claim under load
+      ("q194_rolling_quantiles", graft.queries.SketchOps.q194RollingQuantiles _, scaledDir),
       // sharded packing under TOTAL language skew: the (lang, shard) key
       // keeps the prefix sum fanned out when lang alone would be one task
       ("q97_sharded_packing_skewed", graft.queries.TrainPrep.q97ShardedPacking _, skewedDir),

@@ -1283,7 +1283,86 @@ object IngestOps {
       |  CAST(sum(length(t)) AS BIGINT) AS sum_chars
       |FROM s WHERE present GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q206 — ARBITRARY STATEFUL PROCESSING via Spark 4's
+    * `transformWithState` ([[graft.streaming.EventStream.RunningStatsProcessor]]):
+    * per-user running (count, sum, max) prefix stats over integer cents
+    * with an online spike flag, maintained in a typed RocksDB `ValueState`
+    * and replayed through REAL micro-batches (one time-range file per
+    * trigger, so state genuinely carries users across batches). The
+    * fixture range-partitions the event files by (ts, event_id) and the
+    * processor sorts within each delivery, so every user's events stream
+    * in global time order and the emitted prefix rows are independent of
+    * where batch boundaries fall — the batch-windows oracle (row_number /
+    * prefix sum / prefix max per user) must match bit-for-bit, spike flag
+    * included. This is the v2 state API the q140/q165 family's built-in
+    * operators sit on, driven directly: the shape for online per-entity
+    * models (rate limiters, anomaly scores, feature freshness) at
+    * billions of keys.
+    */
+  def q206TransformWithState(spark: SparkSession, dir: String): DataFrame = {
+    val fix = ReplayFixtures.ensure(dir, "q206", Seq("events")) { root =>
+      Tables(spark, dir, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .repartitionByRange(3, col("ts_us"), col("event_id"))
+        .sortWithinPartitions(col("ts_us"), col("event_id"))
+        .write.parquet(s"$root/watch")
+      // the file stream orders by MTIME, and a parquet write stamps all
+      // parts in the same millisecond — force strictly increasing mtimes
+      // in range order so each trigger delivers the next time slice
+      // (path order is NOT a FileStreamSource tie-break)
+      val t0 = 1700000000000L
+      Option(new java.io.File(s"$root/watch").listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex
+        .foreach { case (f, i) => f.setLastModified(t0 + i * 600000L) }
+    }
+    val base = ReplayFixtures.runRoot(dir, "q206")
+    val ss = ReplayFixtures.replaySession(spark)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val sch = ss.read.parquet(s"$fix/watch").schema
+    val in = ss.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$fix/watch")
+      .as[graft.streaming.EventStream.TwsEvent]
+    val out = s"$base/out"
+    val q = graft.streaming.EventStream.runningStatsStream(in)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .format("parquet")
+      .option("path", out)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(out)
+      .select(col("user_id"), col("event_id"), col("nth"),
+        col("cum_cents"), col("max_cents"), col("spike"))
+      .orderBy(col("user_id"), col("nth"))
+  }
+
+  /** Oracle: the same prefix stats as batch windows per user in
+    * (ts, event_id) order — the stream's cross-batch state carry must
+    * reproduce them exactly.
+    */
+  val q206Sql: String =
+    """SELECT user_id, event_id,
+      |  CAST(row_number() OVER w AS BIGINT) AS nth,
+      |  CAST(sum(cents) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+      |  CAST(max(cents) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS max_cents,
+      |  coalesce(cents * (row_number() OVER w - 1) >
+      |    2 * (sum(cents) OVER (w ROWS UNBOUNDED PRECEDING) - cents), FALSE) AS spike
+      |FROM (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+      |ORDER BY user_id, nth""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_transform_with_state" -> q206TransformWithState _,
     "q202_ivm_from_changes" -> q202IvmFromChanges _,
     "q200_stream_table_sink" -> q200StreamTableSink _,
     "q195_table_changes" -> q195TableChanges _,
@@ -1309,6 +1388,7 @@ object IngestOps {
     "q65_batch_status" -> q65BatchStatus _)
 
   val oracles: Map[String, String] = Map(
+    "q206_transform_with_state" -> q206Sql,
     "q202_ivm_from_changes" -> q202Sql,
     "q200_stream_table_sink" -> q200Sql,
     "q195_table_changes" -> q195Sql,

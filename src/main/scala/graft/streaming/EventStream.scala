@@ -57,6 +57,62 @@ object EventStream {
   def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key))
 
+  /** Input / state / output rows for [[RunningStatsProcessor]]. Money is
+    * integer cents so prefix sums are exact and order-checkable.
+    */
+  case class TwsEvent(user_id: Long, event_id: Long, ts_us: Long, cents: Long)
+  case class TwsState(n: Long, sum_cents: Long, max_cents: Long)
+  case class TwsRow(user_id: Long, event_id: Long, nth: Long,
+      cum_cents: Long, max_cents: Long, spike: Boolean)
+
+  /** PER-KEY RUNNING PREFIX STATS via Spark 4's `transformWithState` —
+    * the arbitrary-stateful-processing v2 API (typed `ValueState` handles,
+    * timers, TTL; RocksDB-backed by requirement). Maintains each user's
+    * running (count, sum, max) over integer cents and emits one row per
+    * event carrying the prefix aggregates plus a spike flag (value more
+    * than 2× the running mean BEFORE the event — the online anomaly
+    * check). Rows are processed in (ts, event_id) order within each
+    * invocation, so as long as micro-batches deliver each user's events
+    * in global time order (the replay fixture range-partitions files by
+    * time), the emitted prefix rows are independent of WHERE the batch
+    * boundaries fall — which is what makes the batch-windows oracle
+    * exact.
+    *
+    * Scale: state is one fixed-size row per user in RocksDB (spillable,
+    * TTL-able); each micro-batch touches only the users it contains.
+    */
+  class RunningStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsEvent, TwsRow] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var state: ValueState[TwsState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TwsState](
+        "prefix", Encoders.product[TwsState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+        timerValues: streaming.TimerValues): Iterator[TwsRow] = {
+      val sorted = rows.toIndexedSeq.sortBy(r => (r.ts_us, r.event_id))
+      var s = if (state.exists()) state.get() else TwsState(0L, 0L, 0L)
+      val out = sorted.map { r =>
+        val spike = s.n > 0 && r.cents * s.n > 2L * s.sum_cents
+        s = TwsState(s.n + 1, s.sum_cents + r.cents, math.max(s.max_cents, r.cents))
+        TwsRow(key, r.event_id, s.n, s.sum_cents, s.max_cents, spike)
+      }
+      state.update(s)
+      out.iterator
+    }
+  }
+
+  /** Wire [[RunningStatsProcessor]] over a typed event stream. */
+  def runningStatsStream(events: Dataset[TwsEvent]): Dataset[TwsRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Sliding-window variant (1 hour window, 15 min slide). */
   def slidingAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events

@@ -502,6 +502,48 @@ class StreamingSpec extends SparkTestBase {
       "any micro-batch partitioning of the feed must land on the same rollup")
   }
 
+  test("q206 transformWithState: multi-batch RocksDB replay, output invariant to batch boundaries") {
+    val perBatch = graft.queries.IngestOps.q206TransformWithState(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(perBatch.nonEmpty)
+    // evidence of ≥3 REAL micro-batches (one time-range file per trigger)
+    val commits = new java.io.File(
+      graft.queries.ReplayFixtures.runRootFor(sfDir, "q206") + "/ckpt/commits")
+    assert(Option(commits.listFiles()).getOrElse(Array.empty)
+      .count(_.getName.forall(_.isDigit)) >= 3,
+      "the replay must commit at least 3 micro-batches")
+    // evidence the RocksDB provider ran (v2 state API requires it; its
+    // checkpoints ship zip snapshots the HDFS provider never writes)
+    val state = new java.io.File(
+      graft.queries.ReplayFixtures.runRootFor(sfDir, "q206") + "/ckpt/state")
+    def anyZip(f: java.io.File): Boolean =
+      f.isFile && f.getName.endsWith(".zip") ||
+        Option(f.listFiles()).exists(_.exists(anyZip))
+    assert(anyZip(state), s"expected RocksDB zip snapshots under $state")
+    // batching invariance: delivering ALL files in one trigger must land
+    // on identical prefix rows — the state carry, not the batch layout,
+    // defines the result
+    val fix = graft.queries.ReplayFixtures.fixtureRootFor(sfDir, "q206")
+    val s2 = graft.queries.ReplayFixtures.replaySession(spark)
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q206_one").toString
+    val in = s2.readStream.schema(s2.read.parquet(s"$fix/watch").schema)
+      .option("maxFilesPerTrigger", 16)
+      .parquet(s"$fix/watch")
+      .as[EventStream.TwsEvent]
+    val q = EventStream.runningStatsStream(in)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("parquet").option("path", s"$tmp/out").start()
+    try q.processAllAvailable() finally q.stop()
+    val oneBatch = spark.read.parquet(s"$tmp/out")
+      .orderBy(col("user_id"), col("nth")).collect().map(_.toSeq)
+    assert(oneBatch.toSeq == perBatch.toSeq,
+      "batch boundaries must be invisible in the emitted prefix rows")
+  }
+
   test("q140 streaming session_window replay equals the batch session_window result") {
     val streamed = graft.queries.IngestOps.q140SessionWindowReplay(spark, sfDir)
       .collect().map(_.toSeq)
