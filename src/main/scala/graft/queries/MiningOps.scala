@@ -448,7 +448,77 @@ object MiningOps {
        |  CAST(min(l_div) AS BIGINT) AS min_l_diversity
        |FROM classes GROUP BY class_size ORDER BY class_size""".stripMargin
 
+  /** q207's cell size and L∞ radius in integer micro-degrees (cell ≥
+    * radius, so a 3×3 neighbor probe is complete).
+    */
+  private[graft] val Q207CellE6 = 2000000L
+  private[graft] val Q207RadiusE6 = 2000000L
+
+  /** q207 — SPATIAL PROXIMITY JOIN via grid blocking (the geohash-cell
+    * shape every spatial engine runs under the hood): deterministic
+    * pseudo-locations in integer micro-degrees (md5 of the key, salted
+    * per axis — both engines derive identical points), bucketed into
+    * [[Q207CellE6]]-sized grid cells; the LEFT side keys on its exact
+    * cell while the RIGHT side probes its 3×3 neighborhood, so every
+    * pair within the [[Q207RadiusE6]] L∞ radius meets in EXACTLY ONE
+    * cell (cell ≥ radius ⇒ neighbors differ by ≤ 1 cell; exact-once
+    * because only the right side explodes) — no dedup pass, no
+    * all-pairs. The exact distance predicate then refines candidates.
+    *
+    * Scale: candidate volume is Σ_cell n_left·n_right(3×3) — density-
+    * bounded like every blocking join in this engine (LSH buckets,
+    * anchor buckets); the join is EQUI on (cx, cy), plan-gated. The
+    * oracle does the quadratic all-pairs in DuckDB — affordable at
+    * oracle scale, which is exactly why the engine side must not.
+    */
+  def q207SpatialJoin(spark: SparkSession, dir: String): DataFrame = {
+    def h60(salt: String) =
+      conv(substring(md5(concat(col("c_custkey").cast("string"), lit(salt))), 1, 15), 16, 10)
+        .cast("long")
+    val pts = Tables(spark, dir, "customer").select(
+        col("c_custkey"),
+        (h60(":lat") % 180000000L - 90000000L).as("lat_e6"),
+        (h60(":lon") % 360000000L - 180000000L).as("lon_e6"))
+      .withColumn("cx", expr(s"(lon_e6 + 180000000) div $Q207CellE6"))
+      .withColumn("cy", expr(s"(lat_e6 + 90000000) div $Q207CellE6"))
+    val left = pts.select(col("c_custkey").as("a"),
+      col("lat_e6").as("lat_a"), col("lon_e6").as("lon_a"),
+      col("cx"), col("cy"))
+    val probes = pts.select(col("c_custkey").as("b"),
+        col("lat_e6").as("lat_b"), col("lon_e6").as("lon_b"),
+        explode(array((-1 to 1).map(lit(_)): _*)).as("dx"), col("cx"), col("cy"))
+      .select(col("b"), col("lat_b"), col("lon_b"),
+        (col("cx") + col("dx")).as("cx"),
+        explode(array((-1 to 1).map(lit(_)): _*)).as("dy"), col("cy"))
+      .select(col("b"), col("lat_b"), col("lon_b"), col("cx"),
+        (col("cy") + col("dy")).as("cy"))
+    left.join(probes, Seq("cx", "cy"))
+      .filter(col("a") < col("b"))
+      .filter(abs(col("lat_a") - col("lat_b")) <= Q207RadiusE6 &&
+        abs(col("lon_a") - col("lon_b")) <= Q207RadiusE6)
+      .select(col("a"), col("b"),
+        greatest(abs(col("lat_a") - col("lat_b")),
+          abs(col("lon_a") - col("lon_b"))).as("linf_e6"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val q207Sql: String =
+    s"""WITH pts AS (
+       |  SELECT c_custkey,
+       |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':lat'), 1, 15))::BIGINT
+       |      % 180000000 - 90000000 AS lat_e6,
+       |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':lon'), 1, 15))::BIGINT
+       |      % 360000000 - 180000000 AS lon_e6
+       |  FROM customer)
+       |SELECT a.c_custkey AS a, b.c_custkey AS b,
+       |  greatest(abs(a.lat_e6 - b.lat_e6), abs(a.lon_e6 - b.lon_e6)) AS linf_e6
+       |FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+       |WHERE abs(a.lat_e6 - b.lat_e6) <= $Q207RadiusE6
+       |  AND abs(a.lon_e6 - b.lon_e6) <= $Q207RadiusE6
+       |ORDER BY a, b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_spatial_join" -> q207SpatialJoin _,
     "q203_k_anonymity" -> q203KAnonymity _,
     "q201_benford_audit" -> q201BenfordAudit _,
     "q185_skyline" -> q185Skyline _,
@@ -457,6 +527,7 @@ object MiningOps {
     "q176_constraint_audit" -> q176ConstraintAudit _)
 
   val oracles: Map[String, String] = Map(
+    "q207_spatial_join" -> q207Sql,
     "q203_k_anonymity" -> q203Sql,
     "q201_benford_audit" -> q201Sql,
     "q185_skyline" -> q185Sql,

@@ -840,6 +840,14 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q207 spatial join: grid-blocked candidates equi-join on the cell — no cartesian, no nested loop") {
+    val df = MiningOps.q207SpatialJoin(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin"), s"the cell join must be equi-keyed:\n$s")
+  }
+
   test("q197 importance resample: the 64-row score frame broadcasts; top-k is a global heap, not a sort") {
     val df = Curation.q197ImportanceResample(spark, sfDir)
     df.collect()
