@@ -239,6 +239,17 @@ final class VersionedTable(
   def merge(changes: DataFrame, expectedVersion: Long): Long = {
     val next = expectedVersion + 1
     val nB = bucketCountAt(expectedVersion)
+    // schema enforcement: a change batch whose payload columns drift from
+    // the table's would write bucket files with a different schema than
+    // the carried ones — fail loudly at the merge, not at some future read
+    if (expectedVersion >= 1) {
+      val tableCols = read(expectedVersion).schema.fieldNames.toSet
+      val batchCols = changes.columns.filterNot(_ == "op").toSet
+      require(batchCols == tableCols,
+        s"VersionedTable $root: change batch columns ${batchCols.toSeq.sorted} " +
+          s"do not match table columns ${tableCols.toSeq.sorted}; " +
+          "schema evolution requires an explicit rewrite, not a merge")
+    }
     // resolve within-batch overlap: delete wins over upsert for one key
     val resolved = {
       val w = org.apache.spark.sql.expressions.Window
@@ -398,6 +409,36 @@ final class VersionedTable(
       s" buckets $nB batch $batchId")
     next
   }
+
+  /** NAMED TAG — pin a human-readable name to a version (the git-tag /
+    * Iceberg-ref idiom: "the snapshot the Q3 model trained on"). Tags are
+    * immutable once created (put-if-absent, same discipline as commits).
+    */
+  def tag(name: String, version: Long): Unit = {
+    require(version >= 1 && version <= currentVersion(),
+      s"cannot tag version $version of [1, ${currentVersion()}]")
+    require(name.matches("[A-Za-z0-9._-]+"), s"illegal tag name '$name'")
+    val dir = logDir.resolve("tags")
+    Files.createDirectories(dir)
+    try
+      Files.write(dir.resolve(name), s"$version\n".getBytes("UTF-8"),
+        StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"tag '$name' already exists (tags are immutable; pick a new name)")
+    }
+  }
+
+  /** Resolve a tag to its pinned version. */
+  def tagVersion(name: String): Long = {
+    val p = logDir.resolve("tags").resolve(name)
+    require(Files.exists(p), s"no such tag '$name'")
+    Files.readAllLines(p).get(0).trim.toLong
+  }
+
+  /** Read the snapshot a tag pins — `read(tagVersion(name))`. */
+  def readTag(name: String): DataFrame = read(tagVersion(name))
 
   /** GARBAGE COLLECTION with a retention horizon: delete (a) ORPHAN data
     * directories no manifest references (losers of the publish race — the

@@ -254,6 +254,36 @@ class VersionedTableSpec extends SparkTestBase {
     assert(snap(t.readLatest()) == s3)
   }
 
+  test("tags pin versions immutably; merges reject schema-drifting batches") {
+    val t = new VersionedTable(spark, freshRoot("tags"), "doc_id")
+    t.init(docs.limit(50))
+    val b = docs.limit(50).filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"), lit("upsert").as("op"),
+        concat(col("text"), lit(" v2")).as("text"), col("lang"))
+    t.merge(b, 1L)
+    t.tag("q3-training-set", 1L)
+    val s1 = snap(t.read(1L))
+    assert(snap(t.readTag("q3-training-set")) == s1)
+    assert(t.tagVersion("q3-training-set") == 1L)
+    // tags are immutable
+    intercept[IllegalStateException] { t.tag("q3-training-set", 2L) }
+    assert(t.tagVersion("q3-training-set") == 1L, "failed re-tag must not move the pin")
+    // a later commit does not disturb the tag
+    t.merge(b, 2L)
+    assert(snap(t.readTag("q3-training-set")) == s1)
+    // schema enforcement: a drifting batch fails loudly at the merge
+    val drifting = docs.limit(10)
+      .select(col("doc_id"), lit("upsert").as("op"),
+        col("text"), col("lang"), lit(1).as("extra_col"))
+    val ex = intercept[IllegalArgumentException] { t.merge(drifting, 3L) }
+    assert(ex.getMessage.contains("do not match table columns"))
+    val missing = docs.limit(10)
+      .select(col("doc_id"), lit("upsert").as("op"), col("text"))
+    intercept[IllegalArgumentException] { t.merge(missing, 3L) }
+    // the table is untouched by the rejected merges
+    assert(t.currentVersion() == 3L)
+  }
+
   test("delete wins over upsert for the same key within one batch") {
     val t = new VersionedTable(spark, freshRoot("delwin"), "doc_id")
     t.init(docs.limit(20))
