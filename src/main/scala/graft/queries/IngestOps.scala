@@ -1361,7 +1361,83 @@ object IngestOps {
       |WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
       |ORDER BY user_id, nth""".stripMargin
 
+  /** q208 — EVENT-TIME TIMERS and EXPIRY EMISSION
+    * ([[graft.streaming.EventStream.InactivityExpiryProcessor]]): the
+    * emit-on-SILENCE shape — each user re-arms one inactivity timer at
+    * `last_seen + 90 days` per delivery; when the watermark passes it,
+    * the expiry callback emits the user's (event count, last-seen) and
+    * clears the state. No aggregation operator expresses this: the
+    * trigger is the absence of data. The replay drives real multi-batch
+    * progress (range files in forced-mtime order) and a far-future
+    * sentinel advances the watermark past every live timer, so each user
+    * fires exactly once and the batch groupBy is the exact oracle; the
+    * per-batch update is commutative (count + max), so batch layout is
+    * invisible. The 90-day gap exceeds the fixture's span on purpose —
+    * mid-stream expiry would make the output depend on where batch
+    * boundaries fall, the q140 sentinel lesson applied to timers.
+    */
+  def q208StateTimers(spark: SparkSession, dir: String): DataFrame = {
+    val gapMs = 90L * 86400L * 1000L
+    val fix = ReplayFixtures.ensure(dir, "q208", Seq("events")) { root =>
+      val events = Tables(spark, dir, "events")
+      val maxUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      events.select(col("user_id"), col("event_id"), col("ts"),
+          unix_micros(col("ts")).as("ts_us"))
+        .repartitionByRange(3, col("ts_us"), col("event_id"))
+        .sortWithinPartitions(col("ts_us"), col("event_id"))
+        .write.parquet(s"$root/watch")
+      def parts() = new java.io.File(s"$root/watch").listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      val realFiles = parts().map(_.getName).toSet
+      val t0 = 1700000000000L
+      parts().sortBy(_.getName).zipWithIndex
+        .foreach { case (f, i) => f.setLastModified(t0 + i * 600000L) }
+      // the far-future sentinel: advances the watermark past every
+      // last_seen + gap, so all timers fire before the stream drains
+      val sentinelUs = maxUs + 4000L * 86400L * 1000000L
+      events.limit(1)
+        .select(lit(-1L).as("user_id"), lit(-1L).as("event_id"),
+          timestamp_micros(lit(sentinelUs)).as("ts"), lit(sentinelUs).as("ts_us"))
+        .coalesce(1).write.mode("append").parquet(s"$root/watch")
+      parts().filterNot(f => realFiles(f.getName))
+        .foreach(f => f.setLastModified(t0 + 10 * 600000L))
+    }
+    val base = ReplayFixtures.runRoot(dir, "q208")
+    val ss = ReplayFixtures.replaySession(spark)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val sch = ss.read.parquet(s"$fix/watch").schema
+    val in = ss.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$fix/watch")
+      .withWatermark("ts", "0 seconds")
+      .as[graft.streaming.EventStream.TimedEvent]
+    val out = s"$base/out"
+    val q = graft.streaming.EventStream.inactivityExpiryStream(in, gapMs)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .format("parquet").option("path", out)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // the sentinel's own timer never fires (nothing advances past IT) —
+    // filtered OUTSIDE the streaming plan, the q174 pushdown lesson
+    spark.read.parquet(out)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("n_events"), col("last_ts_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Oracle: expiry fired exactly once per user after the sentinel, so
+    * the emitted summaries are the plain per-user aggregate.
+    */
+  val q208Sql: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  max(epoch_us(ts)) AS last_ts_us
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_state_timers" -> q208StateTimers _,
     "q206_transform_with_state" -> q206TransformWithState _,
     "q202_ivm_from_changes" -> q202IvmFromChanges _,
     "q200_stream_table_sink" -> q200StreamTableSink _,
@@ -1388,6 +1464,7 @@ object IngestOps {
     "q65_batch_status" -> q65BatchStatus _)
 
   val oracles: Map[String, String] = Map(
+    "q208_state_timers" -> q208Sql,
     "q206_transform_with_state" -> q206Sql,
     "q202_ivm_from_changes" -> q202Sql,
     "q200_stream_table_sink" -> q200Sql,

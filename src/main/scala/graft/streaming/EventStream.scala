@@ -105,6 +105,67 @@ object EventStream {
     }
   }
 
+  /** Input/state/output rows for [[InactivityExpiryProcessor]]: the `ts`
+    * timestamp column carries the watermark; `ts_us` is the exact-micros
+    * payload (java.sql.Timestamp would round-trip through ms + nanos).
+    */
+  case class TimedEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, ts_us: Long)
+  case class TwsSeen(n: Long, last_us: Long)
+  case class TwsExpiry(user_id: Long, n_events: Long, last_ts_us: Long)
+
+  /** EVENT-TIME TIMERS + EXPIRY via `transformWithState`: each user's
+    * state re-arms a single inactivity timer at `last_seen + gap` on every
+    * delivery; when the WATERMARK passes it, `handleExpiredTimer` emits
+    * the user's summary and clears the state — the abandoned-session /
+    * entity-TTL shape (emit-on-silence), which no aggregation operator
+    * expresses because the trigger is the ABSENCE of data. Per-batch
+    * updates are commutative (count + max), so the emission is
+    * batch-layout-invariant; the replay's far-future sentinel advances
+    * the watermark past every live timer so each user emits exactly once.
+    *
+    * Scale: one fixed-size state row and at most ONE registered timer per
+    * user (re-arm deletes the old), both RocksDB-resident; expiry work is
+    * proportional to the users going quiet, not the stream.
+    */
+  class InactivityExpiryProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TimedEvent, TwsExpiry] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var state: ValueState[TwsSeen] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TwsSeen](
+        "seen", Encoders.product[TwsSeen], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
+        timerValues: streaming.TimerValues): Iterator[TwsExpiry] = {
+      var s = if (state.exists()) state.get() else TwsSeen(0L, Long.MinValue)
+      rows.foreach(r => s = TwsSeen(s.n + 1, math.max(s.last_us, r.ts_us)))
+      state.update(s)
+      // re-arm: at most one live timer per key
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(s.last_us / 1000L + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: streaming.TimerValues,
+        expiredTimerInfo: streaming.ExpiredTimerInfo): Iterator[TwsExpiry] = {
+      val s = state.get()
+      state.clear()
+      Iterator.single(TwsExpiry(key, s.n, s.last_us))
+    }
+  }
+
+  /** Wire [[InactivityExpiryProcessor]] over a watermarked typed stream. */
+  def inactivityExpiryStream(events: Dataset[TimedEvent], gapMs: Long): Dataset[TwsExpiry] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new InactivityExpiryProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Wire [[RunningStatsProcessor]] over a typed event stream. */
   def runningStatsStream(events: Dataset[TwsEvent]): Dataset[TwsRow] = {
     import events.sparkSession.implicits._
