@@ -224,6 +224,20 @@ object ScaleSmoke {
       // as events grow 10x, so the union-then-re-top-k window merge must
       // stay sketch-sized — the mergeability claim under load
       ("q194_rolling_quantiles", graft.queries.SketchOps.q194RollingQuantiles _, scaledDir),
+      // KN perplexity: model (c2/c1/N1L/N1R) is vocab-sized and rotated
+      // replicas keep vocabularies disjoint, so model AND scoring stream
+      // tile ~10x — one corpus-keyed shuffle each, never vocab×corpus
+      ("q209_kneser_ney", graft.queries.CorpusOps.q209KneserNey _, scaledDir),
+      // HLL overlap: the corpus pays one distinct-(source, token) pass;
+      // pair work is sources²·64 register rows — corpus-size-independent
+      ("q210_hll_overlap", graft.queries.SketchOps.q210HllOverlap _, scaledDir),
+      // containment join: disjoint replica vocabularies tile the inverted
+      // index and each probe's prefix posting lists linearly — the
+      // one-sided filter must not go quadratic at 10x
+      ("q211_containment_join", graft.queries.Dedup.q211ContainmentJoin _, scaledDir),
+      // attribution: user_id offsets keep replicas' users disjoint, so the
+      // purchases×touches join and every per-conversion window tile ~10x
+      ("q217_attribution", graft.queries.EventsOps.q217Attribution _, scaledDir),
       // sharded packing under TOTAL language skew: the (lang, shard) key
       // keeps the prefix sum fanned out when lang alone would be one task
       ("q97_sharded_packing_skewed", graft.queries.TrainPrep.q97ShardedPacking _, skewedDir),

@@ -14,6 +14,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-JVM suffix for tmpdir fixture roots built by delete-then-rebuild
+    * memoized builders (q192/q214 versioned tables, q215 bucketed tables):
+    * two concurrent JVMs sharing a fixed path would delete each other's
+    * live files mid-read (observed as FILE_NOT_EXIST when a test suite and
+    * a bench run overlap). Unique per JVM, stable within it.
+    */
+  private[graft] lazy val jvmTag: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir) else spark.read.parquet(s"$dir/$name.parquet")
 

@@ -452,7 +452,103 @@ object CorpusOps {
        |  FROM s GROUP BY doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q209: Kneser-Ney smoothed LM perplexity (exact-rational surprisal)
+  // ---------------------------------------------------------------------
+
+  /** q209's keep threshold in milli-bits/bigram — ≈ the dev-fixture corpus
+    * median of the KN score; a deployment derives it from a quantile of the
+    * score column (q74/q153 machinery), exactly as [[Q166KeepMbits]].
+    */
+  private[queries] val Q209KeepMbits = 4000L
+
+  /** q209 — KNESER-NEY SMOOTHED bigram-LM perplexity scoring, the
+    * state-of-the-art count-based smoothing (Kneser & Ney 1995; Chen &
+    * Goodman 1999) and the model family CCNet actually ships for
+    * perplexity-based corpus filtering. Where q166's add-one model backs
+    * off to a UNIFORM unigram, KN backs off to the CONTINUATION
+    * distribution — "how many distinct contexts does w appear after?" —
+    * which stops high-frequency-but-context-bound tokens (the "Francisco"
+    * problem) from inflating the backoff mass. Interpolated form with
+    * absolute discount d = 3/4:
+    *
+    *   P(w2|w1) = (c2 − d)/c1 + (d · N1L(w1)/c1) · (N1R(w2)/Ntot)
+    *
+    * with c2 = bigram count, c1 = Σ c2 over w1's continuations, N1L(w1) =
+    * distinct continuations of w1, N1R(w2) = distinct left-contexts of w2,
+    * Ntot = total distinct bigram types. Scoring the training corpus means
+    * every scored bigram has c2 ≥ 1, so no unseen-event branch is needed.
+    *
+    * Exactness (the file-head discipline — no `ln`): with d = 3/4 the
+    * probability is the exact integer rational
+    *   num = (4·c2 − 3)·Ntot + 3·N1L(w1)·N1R(w2),  den = 4·c1·Ntot
+    * and the surprisal is `bits = floor(log2(den/num))` =
+    * `length(bin(den div num)) − 1` — valid because P ≤ 1 ⇒ den div num
+    * ≥ 1, and for x ≥ 1, floor(log2(floor(x))) = floor(log2(x)). Every
+    * intermediate is ≤ 4·c1·Ntot — Long-safe at fixture scale; at
+    * petabyte token counts swap the numerator to DECIMAL(38) in both
+    * engines (the q175 remark).
+    *
+    * Scale shape: ONE corpus tokenize feeds model build and scoring (the
+    * q166 contract). The model is the c2 frame plus three DERIVED
+    * vocab-sized aggregates — (c1, N1L) in one groupBy(w1), N1R in one
+    * groupBy(w2), Ntot a one-row broadcast — so the corpus pays exactly
+    * one extra shuffle vs q166 (the N1R attach, vocab-keyed not
+    * corpus-keyed). At 100 TB the assembled model table persists bucketed
+    * by (w1, w2) once per snapshot and every scoring batch joins it.
+    */
+  def q209KneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), wsTokens(normText(col("text"))).as("toks"))
+    val big = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks)-1), " +
+          "i -> struct(element_at(toks, i) AS w1, element_at(toks, i+1) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val left = c2.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1l"))
+    val right = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1r"))
+    val ntot = c2.agg(count(lit(1)).as("ntot"))
+    val model = c2.join(left, "w1").join(right, "w2")
+    big.join(model, Seq("w1", "w2")).crossJoin(broadcast(ntot))
+      .withColumn("bits", (length(bin(expr(
+        "(4 * c1 * ntot) div ((4 * c2 - 3) * ntot + 3 * n1l * n1r)"))) - 1)
+        .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
+      .withColumn("mean_mbits", expr("sum_bits * 1000L div n_bigrams"))
+      .withColumn("keep", (col("mean_mbits") <= Q209KeepMbits).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q209Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, p[1] AS w1, p[2] AS w2
+       |  FROM (SELECT doc_id, unnest(list_zip(toks[1:-2], toks[2:])) AS p FROM t WHERE len(toks) >= 2)),
+       |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY 1, 2),
+       |lft AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1l
+       |        FROM c2 GROUP BY 1),
+       |rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM c2 GROUP BY 1),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM c2),
+       |s AS (
+       |  SELECT doc_id,
+       |    length(bin((4 * c1 * ntot) // ((4 * c2 - 3) * ntot + 3 * n1l * n1r))) - 1 AS bits
+       |  FROM b JOIN c2 USING (w1, w2) JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN nt)
+       |SELECT doc_id, n_bigrams, sum_bits, mean_mbits,
+       |  CAST(mean_mbits <= $Q209KeepMbits AS INT) AS keep
+       |FROM (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(bits) AS BIGINT) AS sum_bits,
+       |    CAST(sum(bits) AS BIGINT) * 1000 // count(*) AS mean_mbits
+       |  FROM s GROUP BY doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_kneser_ney" -> q209KneserNey _,
     "q166_bigram_surprisal" -> q166BigramSurprisal _,
     "q121_inverted_index" -> q121InvertedIndex _,
     "q56_bm25_search" -> q56Bm25 _,
@@ -462,6 +558,7 @@ object CorpusOps {
     "q162_hybrid_rrf" -> q162HybridRrf _)
 
   val oracles: Map[String, String] = Map(
+    "q209_kneser_ney" -> q209Sql,
     "q166_bigram_surprisal" -> q166Sql,
     "q121_inverted_index" -> q121Sql,
     "q56_bm25_search" -> q56Sql,

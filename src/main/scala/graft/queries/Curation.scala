@@ -512,7 +512,144 @@ object Curation {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** q213 — DIFFERENTIALLY-PRIVATE HISTOGRAM RELEASE via the geometric
+    * mechanism (Ghosh, Roughgarden & Sundararajan 2009 — the discrete,
+    * universally-optimal counterpart of Laplace noise): per (lang, source)
+    * cell of the corpus mixture table, release n + Z where Z is two-sided
+    * geometric with ratio α = 1/2, giving ε = ln 2 differential privacy
+    * for the sensitivity-1 counting query. This is the publishable version
+    * of the mixture report a data consortium shares without exposing any
+    * single contributor's presence; the row carries the true count too
+    * because the fixture run is a CALIBRATION AUDIT of the mechanism (the
+    * q177 exact-alongside-estimate pattern) — a production release drops
+    * that column.
+    *
+    * Exact seeded noise (no RNG, no transcendentals): α = 1/2 makes the
+    * two-sided geometric CDF over magnitudes F(j) = 1 − (2/3)·2^−j, which
+    * inverts in PURE INTEGER arithmetic against a 60-bit md5 uniform
+    * u ∈ [0, 2^60): with T = 3·(2^60 − u), the sampled magnitude is the
+    * smallest j with 2^(61−j) < T, i.e. j = max(0, 61 − ⌊log2 T⌋) —
+    * bit-length arithmetic both engines compute identically, exact with no
+    * boundary correction because T ≡ 0 (mod 3) is never a power of two
+    * (T ≤ 3·2^60 fits Long; T ≥ 3 caps the magnitude at 60 — the
+    * mechanism's 2^−60-mass tail, quoted with the release). The sign
+    * bit is an independent md5 salt. Same-seed reruns release identical
+    * tables — the reproducibility contract every published artifact in
+    * this engine carries (q84 splits, q57 sampling).
+    *
+    * Scale: one fact-sized groupBy; noise is per-CELL scalar work on the
+    * cells frame. Free at any table size.
+    */
+  /** The q213 magnitude inverse-CDF: smallest j ≥ 0 with u60/2^60 <
+    * F(j) = 1 − (2/3)·2^−j, i.e. the smallest j with 2^(61−j) < T where
+    * T = 3·(2^60 − u60) — closed-form j = max(0, 61 − ⌊log2 T⌋), exact
+    * because T ≡ 0 (mod 3) can never be a power of two, so 2^⌊log2 T⌋ < T
+    * strictly and the bit-length comparison needs no boundary correction.
+    * Factored out so the spec can sweep it against an exact BigInt
+    * rational reference.
+    */
+  private[graft] def geomMagCols(df: DataFrame): DataFrame = df
+    .withColumn("t", lit(3L) * (lit(1152921504606846976L) - col("u60")))
+    .withColumn("mag", greatest(lit(0), lit(61) - (length(bin(col("t"))) - 1)))
+
+  def q213DpHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val h60 = graft.functions.ColFns.h60 _
+    val cells = Tables(spark, dir, "documents")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+    geomMagCols(cells
+      .withColumn("u60", h60(concat_ws(":", col("lang"), col("source"), lit("u")))))
+      .withColumn("sign",
+        when(h60(concat_ws(":", col("lang"), col("source"), lit("s"))) % 2 === 0, -1L)
+          .otherwise(1L))
+      .withColumn("noise", col("mag").cast("long") * col("sign"))
+      .select(col("lang"), col("source"), col("n"), col("noise"),
+        (col("n") + col("noise")).as("released"),
+        greatest(lit(0L), col("n") + col("noise")).as("released_clamped"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val q213Sql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1, 2),
+      |seeded AS (
+      |  SELECT lang, source, n,
+      |    ('0x' || substr(md5(lang || ':' || source || ':u'), 1, 15))::BIGINT AS u60,
+      |    ('0x' || substr(md5(lang || ':' || source || ':s'), 1, 15))::BIGINT AS s60
+      |  FROM cells),
+      |noise AS (
+      |  SELECT lang, source, n,
+      |    greatest(0, 61 - (length(bin(t)) - 1))
+      |      * (CASE WHEN s60 % 2 = 0 THEN -1 ELSE 1 END) AS z
+      |  FROM (SELECT lang, source, n, s60,
+      |          3 * (1152921504606846976 - u60) AS t FROM seeded))
+      |SELECT lang, source, n, CAST(z AS BIGINT) AS noise,
+      |  CAST(n + z AS BIGINT) AS released,
+      |  CAST(greatest(0, n + z) AS BIGINT) AS released_clamped
+      |FROM noise
+      |ORDER BY lang, source""".stripMargin
+
+  /** q218 — DETERMINISTIC PSEUDONYMIZATION with REFERENTIAL INTEGRITY,
+    * the GDPR art. 4(5) tokenization every data-sharing pipeline runs
+    * before handing tables to a partner: replace the identifying key with
+    * a keyed-hash token CONSISTENTLY ACROSS TABLES, so analytics (joins,
+    * per-entity rollups) still work while the raw identifier never leaves
+    * the boundary. Here c_custkey tokenizes to the md5-60 pseudonym in
+    * BOTH customer and orders (salt 'pseud:v1' — in production a KMS
+    * secret; fixed here so the oracle can restate it), the per-nation
+    * revenue rollup is computed ENTIRELY in pseudonym space, and two
+    * audits ride along per nation: `collisions` (distinct keys minus
+    * distinct pseudonyms — token collisions would silently merge
+    * customers) and the join-cardinality-preserving order count that only
+    * matches the oracle's raw-key rollup if tokenization is consistent on
+    * both sides.
+    *
+    * Scale: tokenization is per-row scalar hash work; the join and rollup
+    * are the same shapes as the raw-key query — pseudonymization costs
+    * one expression, not one shuffle. Completes the privacy family:
+    * audit (q203) → release (q213) → share (q218) → erase (q214).
+    */
+  def q218Pseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    def pseud(c: org.apache.spark.sql.Column) =
+      graft.functions.ColFns.h60(concat(lit("pseud:v1:"), c.cast("string")))
+    val c = Tables(spark, dir, "customer")
+      .select(pseud(col("c_custkey")).as("p_cust"), col("c_custkey"),
+        col("c_nationkey"))
+    val o = Tables(spark, dir, "orders")
+      .select(pseud(col("o_custkey")).as("p_cust"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val rollup = c.join(o, Seq("p_cust"), "left")
+      .groupBy(col("c_nationkey"))
+      .agg(countDistinct(col("p_cust")).as("n_pseudonyms"),
+        countDistinct(col("c_custkey")).as("n_keys"),
+        count(col("cents")).as("n_orders"),
+        coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+    rollup.select(col("c_nationkey"), col("n_pseudonyms"), col("n_orders"),
+        col("sum_cents"),
+        (col("n_keys") - col("n_pseudonyms")).as("collisions"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q218Sql: String =
+    """WITH c AS (
+      |  SELECT ('0x' || substr(md5('pseud:v1:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS p_cust,
+      |    c_custkey, c_nationkey
+      |  FROM customer),
+      |o AS (
+      |  SELECT ('0x' || substr(md5('pseud:v1:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS p_cust,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT c_nationkey,
+      |  CAST(count(DISTINCT p_cust) AS BIGINT) AS n_pseudonyms,
+      |  CAST(count(cents) AS BIGINT) AS n_orders,
+      |  CAST(coalesce(sum(cents), 0) AS BIGINT) AS sum_cents,
+      |  CAST(count(DISTINCT c_custkey) - count(DISTINCT p_cust) AS BIGINT) AS collisions
+      |FROM c LEFT JOIN o USING (p_cust)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_pseudonymize" -> q218Pseudonymize _,
+    "q213_dp_histogram" -> q213DpHistogram _,
     "q204_quantile_normalize" -> q204QuantileNormalize _,
     "q197_importance_resample" -> q197ImportanceResample _,
     "q198_weighted_reservoir" -> q198WeightedReservoir _,
@@ -526,6 +663,8 @@ object Curation {
     "q105_group_sample" -> q105GroupSample _)
 
   val oracles: Map[String, String] = Map(
+    "q218_pseudonymize" -> q218Sql,
+    "q213_dp_histogram" -> q213Sql,
     "q204_quantile_normalize" -> q204Sql,
     "q197_importance_resample" -> q197Sql,
     "q198_weighted_reservoir" -> q198Sql,

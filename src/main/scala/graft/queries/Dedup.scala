@@ -1328,7 +1328,101 @@ object Dedup {
        |WHERE ${10 + Q182ThreshTenths} * shared >= $Q182ThreshTenths * (sz_a + sz_b)
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** q211 containment threshold in tenths: keep (a, b) with
+    * |Sa∩Sb| ≥ 0.8·|Sa|.
+    */
+  private[graft] val Q211ContainTenths = 8
+
+  /** q211 — ASYMMETRIC CONTAINMENT JOIN: pairs (a, b) where a fraction ≥
+    * t of a's shingles also appear in b — C(a→b) = |Sa∩Sb|/|Sa| ≥ t. This
+    * is the QUOTE/EXCERPT detector symmetric Jaccard (q182) is blind to: a
+    * 50-shingle quote inside a 5000-shingle article has Jaccard ≈ 0.01 but
+    * containment 1.0, and the Lee et al. dedup papers treat exactly this
+    * class (boilerplate wrappers, syndicated excerpts) as the residue
+    * exact-dup passes miss.
+    *
+    * Prefix filter, ONE-SIDED (the containment variant of the q182
+    * AllPairs filter): if a misses at most ⌊(1−t)·|Sa|⌋ of its shingles in
+    * b, then any fixed ordering of Sa has a shared shingle among its first
+    * k_a = |Sa| − ⌈t·|Sa|⌉ + 1 elements — so joining only a's k_a-prefix
+    * against the FULL inverted index catches every qualifying pair (no
+    * false negatives; the asymmetry means the index side takes no prefix
+    * cut, which is precisely why the probe side's must be rarest-first).
+    * Ordering by ascending global df makes candidate volume
+    * Σ_{tok ∈ prefix(a)} df(tok) — each probe pays its rarest shingles'
+    * document frequencies, the same economics as q182's rarity-ordered
+    * prefixes. Verification counts shared shingles per candidate and keeps
+    * 10·shared ≥ [[Q211ContainTenths]]·|Sa| — integral throughout;
+    * containment crosses engines as basis points.
+    *
+    * Scale: the inverted index is the corpus shingle frame (built once,
+    * same frame q182 reads); candidates are token-equi-joins, never
+    * all-pairs; both directions of a mutually-containing pair emit — the
+    * operator is directional by design.
+    */
+  def q211ContainmentJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("token"))
+      .distinct()
+    val dfreq = sh.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))
+    val pref = sh.join(dfreq, "token").join(sz, "doc_id")
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") <= col("sz") - expr(s"($Q211ContainTenths * sz + 9) div 10") + 1)
+      .select(col("doc_id").as("id_a"), col("token"), col("sz").as("sz_a"))
+    val cand = pref
+      .join(sh.select(col("doc_id").as("id_b"), col("token")), "token")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sz_a"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("token")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("token")), Seq("id_b", "token"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(lit(10) * col("shared") >= lit(Q211ContainTenths) * col("sz_a"))
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("shared"),
+        expr("10000 * shared div sz_a").as("contain_bp"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q211Sql: String =
+    s"""WITH tl AS (
+       |  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, token FROM (
+       |    SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS token
+       |    FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM tl WHERE len(toks) >= 3)
+       |    UNION ALL
+       |    SELECT doc_id, array_to_string(toks, ' ') AS token FROM tl WHERE len(toks) < 3)),
+       |df AS (SELECT token, count(*) AS df FROM sh GROUP BY token),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+       |ord AS (
+       |  SELECT s.doc_id, s.token, z.sz,
+       |    row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.token) AS rn
+       |  FROM sh s JOIN df d USING (token) JOIN sz z USING (doc_id)),
+       |pref AS (
+       |  SELECT doc_id AS id_a, token, sz AS sz_a FROM ord
+       |  WHERE rn <= sz - ($Q211ContainTenths * sz + 9) // 10 + 1),
+       |cand AS (
+       |  SELECT DISTINCT p.id_a, s.doc_id AS id_b, p.sz_a
+       |  FROM pref p JOIN sh s ON s.token = p.token AND s.doc_id <> p.id_a),
+       |ver AS (
+       |  SELECT c.id_a, c.id_b, c.sz_a, CAST(count(*) AS BIGINT) AS shared
+       |  FROM cand c
+       |  JOIN sh x ON x.doc_id = c.id_a
+       |  JOIN sh y ON y.doc_id = c.id_b AND y.token = x.token
+       |  GROUP BY 1, 2, 3)
+       |SELECT id_a, id_b, sz_a, shared, 10000 * shared // sz_a AS contain_bp
+       |FROM ver
+       |WHERE 10 * shared >= $Q211ContainTenths * sz_a
+       |ORDER BY id_a, id_b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_containment_join" -> q211ContainmentJoin _,
     "q182_setsim_join" -> q182SetSimJoin _,
     "q123_dedup_agreement" -> q123DedupAgreement _,
     "q40_dedup_minhash_lsh" -> q40MinhashLsh _,
@@ -1351,6 +1445,7 @@ object Dedup {
     * q45's loser set round-trips through parquet.
     */
   val oracles: Map[String, String] = Map(
+    "q211_containment_join" -> q211Sql,
     "q182_setsim_join" -> q182Sql,
     "q123_dedup_agreement" -> q123Sql,
     "q40_dedup_minhash_lsh" -> q40Sql,

@@ -849,7 +849,115 @@ object EventsOps {
       |FROM (SELECT * FROM pv WHERE variant = 'A') a,
       |     (SELECT * FROM pv WHERE variant = 'B') b""".stripMargin
 
+  /** q217's attribution window: at most this many touches per conversion
+    * (most-recent first), weighted 2^(cap−rk) — 64, 32, …, 1.
+    */
+  private[graft] val Q217TouchCap = 7
+
+  /** q217's lookback horizon in microseconds (7 days): touches older than
+    * this never receive credit — the production bound that keeps the
+    * per-conversion candidate set finite however long a user's history is.
+    */
+  private[graft] val Q217LookbackUs = 7L * 24 * 3600 * 1000000L
+
+  /** q217 — MULTI-TOUCH ATTRIBUTION with EXACT APPORTIONMENT: split each
+    * purchase's revenue across the user's preceding touch events under
+    * time-decay weights (most recent touch weighs 2× the next — the
+    * standard decay model every marketing warehouse ships), allocated in
+    * integer cents by the LARGEST-REMAINDER (Hamilton) method: touch i
+    * gets ⌊v·w_i/W⌋ cents, and the leftover cents go one each to the
+    * touches with the largest remainders v·w_i mod W (recency breaks
+    * ties). The apportionment guarantee is the point: Σ shares = v
+    * EXACTLY per conversion — revenue is conserved to the cent, the
+    * invariant a finance-grade rollup needs and float attribution can't
+    * give (same exact-allocation discipline as q163's water-filling
+    * token budget).
+    *
+    * Exactness: weights are powers of two via bit-shift on the recency
+    * rank; v·w ≤ 64·v stays far inside Long; `div`/`mod` run on
+    * non-negative operands so both engines agree (the q175 remark).
+    *
+    * Scale shape: one user-keyed equi-join (purchases × that user's
+    * touches inside the [[Q217LookbackUs]] lookback — the join every
+    * attribution system runs, partitioned by user and bounded by the
+    * horizon), then every window is partitioned PER CONVERSION: rank-by-
+    * recency, weight-sum, floor-share sum, remainder rank — all
+    * conversion-sized frames, nothing global. [[Q217TouchCap]] bounds the
+    * per-conversion fan-out exactly like q175's basket cap.
+    */
+  def q217Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase" && col("value") > 0)
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        unix_micros(col("ts")).as("conv_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_cents"))
+    val touches = e.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"), unix_micros(col("ts")).as("touch_us"))
+    val wRk = Window.partitionBy(col("conv_id"))
+      .orderBy(col("touch_us").desc, col("touch_id").desc)
+    val ranked = purchases.join(touches, "user_id")
+      .filter(col("touch_us") < col("conv_us") &&
+        col("touch_us") >= col("conv_us") - Q217LookbackUs)
+      .withColumn("rk", row_number().over(wRk))
+      .filter(col("rk") <= Q217TouchCap)
+      .withColumn("weight", expr(s"shiftleft(CAST(1 AS BIGINT), $Q217TouchCap - rk)"))
+    val wConv = Window.partitionBy(col("conv_id"))
+    val wRem = Window.partitionBy(col("conv_id"))
+      .orderBy(col("rem").desc, col("rk"))
+    ranked
+      .withColumn("w_tot", sum(col("weight")).over(wConv))
+      .withColumn("base", expr("v_cents * weight div w_tot"))
+      .withColumn("rem", expr("v_cents * weight % w_tot"))
+      .withColumn("leftover", col("v_cents") - sum(col("base")).over(wConv))
+      .withColumn("rrk", row_number().over(wRem))
+      .withColumn("share_cents",
+        col("base") + when(col("rrk") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("conv_id"), col("rk").cast("long").as("rk"), col("touch_id"),
+        col("touch_type"), col("weight"), col("v_cents"), col("share_cents"))
+      .orderBy(col("conv_id"), col("rk"))
+  }
+
+  val q217Sql: String =
+    s"""WITH purchases AS (
+       |  SELECT event_id AS conv_id, user_id, epoch_us(ts) AS conv_us,
+       |    CAST(round(value * 100) AS BIGINT) AS v_cents
+       |  FROM events WHERE event_type = 'purchase' AND value > 0),
+       |touches AS (
+       |  SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+       |    epoch_us(ts) AS touch_us
+       |  FROM events WHERE event_type <> 'purchase'),
+       |ranked AS (
+       |  SELECT * FROM (
+       |    SELECT p.conv_id, p.v_cents, t.touch_id, t.touch_type,
+       |      row_number() OVER (PARTITION BY p.conv_id
+       |        ORDER BY t.touch_us DESC, t.touch_id DESC) AS rk
+       |    FROM purchases p JOIN touches t
+       |      ON t.user_id = p.user_id AND t.touch_us < p.conv_us
+       |     AND t.touch_us >= p.conv_us - $Q217LookbackUs)
+       |  WHERE rk <= $Q217TouchCap),
+       |weighted AS (
+       |  SELECT conv_id, v_cents, touch_id, touch_type, rk,
+       |    (1::BIGINT << ($Q217TouchCap - rk)) AS weight
+       |  FROM ranked),
+       |shares AS (
+       |  SELECT *,
+       |    v_cents * weight // sum(weight) OVER (PARTITION BY conv_id) AS base,
+       |    v_cents * weight % sum(weight) OVER (PARTITION BY conv_id) AS rem
+       |  FROM weighted),
+       |final AS (
+       |  SELECT *,
+       |    v_cents - sum(base) OVER (PARTITION BY conv_id) AS leftover,
+       |    row_number() OVER (PARTITION BY conv_id ORDER BY rem DESC, rk) AS rrk
+       |  FROM shares)
+       |SELECT conv_id, CAST(rk AS BIGINT) AS rk, touch_id, touch_type,
+       |  CAST(weight AS BIGINT) AS weight, v_cents,
+       |  CAST(base + CASE WHEN rrk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS share_cents
+       |FROM final
+       |ORDER BY conv_id, rk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_attribution" -> q217Attribution _,
     "q184_ab_assignment" -> q184AbAssignment _,
     "q179_peak_concurrency" -> q179PeakConcurrency _,
     "q173_pit_join" -> q173PitJoin _,
@@ -872,6 +980,7 @@ object EventsOps {
     "q106_markov_transitions" -> q106MarkovTransitions _)
 
   val oracles: Map[String, String] = Map(
+    "q217_attribution" -> q217Sql,
     "q184_ab_assignment" -> q184Sql,
     "q179_peak_concurrency" -> q179Sql,
     "q173_pit_join" -> q173Sql,

@@ -400,13 +400,90 @@ object GraphOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q216's rare-part degree cap and the per-left-node emission cut. */
+  private[graft] val Q216DegCap = 24L
+  private[graft] val Q216TopK = 10
+
+  /** q216 — LINK PREDICTION by the RESOURCE-ALLOCATION index (Zhou, Lü &
+    * Zhang, Eur. Phys. J. B 2009): for customer pairs in the
+    * customer–part co-purchase bipartite graph, RA(a, b) =
+    * Σ_{shared part p} 1/deg(p) — the common-neighbor score that, unlike a
+    * raw shared count, discounts promiscuous neighbors; across benchmark
+    * graphs it beats Adamic–Adar, whose 1/ln(deg) weights would also drag
+    * a transcendental across the engine boundary. RA's 1/deg is a
+    * RATIONAL, so the score is an exact integer micro-unit sum:
+    * `Σ 1000000 div deg(p)`.
+    *
+    * The degree cap is both the SCALE bound and statistically principled:
+    * pair fan-out through part p is deg(p)², so capping at
+    * [[Q216DegCap]] bounds candidate volume by Σ_rare deg² (the q175
+    * basket cap, the LSH bucket cap) — and the dropped terms are exactly
+    * the ones RA weights least (each < 1e6/cap), so the cap removes the
+    * quadratic blow-up where the signal is weakest. Pairs need ≥ 2 shared
+    * rare parts; the top-[[Q216TopK]] per left node (score-desc window,
+    * group-partitioned) is the emission every recommender actually ships.
+    *
+    * Scale shape: one distinct on (cust, part), one part-keyed degree agg,
+    * one part-keyed self-join over capped parts, one pair agg, one
+    * group-partitioned window. No adjacency lists, no all-pairs.
+    */
+  def q216LinkPrediction(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = graft.Tables(spark, dir, "lineitem")
+    val o = graft.Tables(spark, dir, "orders")
+    val purchases = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+    val deg = purchases.groupBy(col("part")).agg(count(lit(1)).as("deg"))
+    val rare = purchases.join(deg.filter(col("deg") <= Q216DegCap), "part")
+    val pairs = rare.select(col("part"), col("cust").as("a"), col("deg"))
+      .join(rare.select(col("part"), col("cust").as("b")), "part")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(expr("1000000 div deg")).as("ra_micro"))
+      .filter(col("n_shared") >= 2)
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("ra_micro").desc, col("b"))
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Q216TopK)
+      .select(col("a"), col("b"), col("n_shared"), col("ra_micro"),
+        col("rk").cast("long").as("rk"))
+      .orderBy(col("a"), col("rk"))
+  }
+
+  val q216Sql: String =
+    s"""WITH purchases AS (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |deg AS (SELECT part, CAST(count(*) AS BIGINT) AS deg
+       |        FROM purchases GROUP BY part),
+       |rare AS (
+       |  SELECT p.part, p.cust, d.deg FROM purchases p
+       |  JOIN deg d ON d.part = p.part AND d.deg <= $Q216DegCap),
+       |pairs AS (
+       |  SELECT x.cust AS a, y.cust AS b,
+       |    CAST(count(*) AS BIGINT) AS n_shared,
+       |    CAST(sum(1000000 // x.deg) AS BIGINT) AS ra_micro
+       |  FROM rare x JOIN rare y ON x.part = y.part AND x.cust < y.cust
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |ranked AS (
+       |  SELECT a, b, n_shared, ra_micro,
+       |    row_number() OVER (PARTITION BY a ORDER BY ra_micro DESC, b) AS rk
+       |  FROM pairs)
+       |SELECT a, b, n_shared, ra_micro, CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= $Q216TopK
+       |ORDER BY a, rk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_link_prediction" -> q216LinkPrediction _,
     "q170_label_prop" -> q170LabelProp _,
     "q101_triangles" -> q101Triangles _,
     "q104_pagerank" -> q104Pagerank _,
     "q150_kcore" -> q150Kcore _)
 
   val oracles: Map[String, String] = Map(
+    "q216_link_prediction" -> q216Sql,
     "q170_label_prop" -> q170Sql,
     "q101_triangles" -> q101Sql,
     "q104_pagerank" -> q104Sql,

@@ -1003,7 +1003,7 @@ object IngestOps {
       tag: String = "q192"): graft.table.VersionedTable =
     vtMemo.getOrElseUpdate(s"$tag:$dir", {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
+        s"${graft.Tables.jvmTag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
       val baseDir = new java.io.File(base)
       if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
       val d = Tables(spark, dir, "documents")
@@ -1283,6 +1283,83 @@ object IngestOps {
       |  CAST(sum(length(t)) AS BIGINT) AS sum_chars
       |FROM s WHERE present GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q214's erasure-request predicate modulus: keys with
+    * h60(key:gdpr) % 20 == 0 (~5%) file requests — deterministic, so the
+    * oracle recomputes the request set from the source table.
+    */
+  private[graft] val Q214ReqMod = 20L
+
+  /** q214 — GDPR ERASURE PROPAGATION ("right to be forgotten", GDPR
+    * art. 17) on the versioned table: the deletion class every lakehouse
+    * must implement where a plain `filter` is NOT enough, because time
+    * travel deliberately keeps history readable. The pipeline: (1) a
+    * customer table commits as v1; (2) the erasure batch — every subject
+    * whose deterministic request flag fires — merges as v2 deletes
+    * (copy-on-write: only touched buckets rewrite); (3) `vacuum(retainFrom
+    * = 2)` reclaims the pre-erasure files, so the subjects' bytes are GONE
+    * from storage, not merely unreferenced — the legal requirement, and
+    * exactly why every lakehouse pairs deletes with a vacuum horizon.
+    *
+    * The audit row proves each phase from live state: `survivors_after`
+    * re-probes the post-erasure snapshot for every requested key (must be
+    * 0); `v1_readable_after_vacuum` verifies the pre-erasure snapshot is
+    * no longer reconstructable (its rewritten buckets' files are deleted —
+    * reading v1 now fails); the counts tie the erased population back to
+    * the source-table predicate the oracle recomputes independently.
+    *
+    * Scale: the erasure merge shuffles requests + touched buckets only;
+    * vacuum is manifest replay + file deletes, data-size-free. At 100 TB
+    * this is the nightly compliance job: batched requests, one merge, one
+    * vacuum past the retention window.
+    */
+  def q214Erasure(spark: SparkSession, dir: String): DataFrame = {
+    val reqPred = graft.functions.ColFns.h60(
+      concat(col("c_custkey").cast("string"), lit(":gdpr"))) % Q214ReqMod === 0
+    val t = vtMemo.getOrElseUpdate(s"q214:$dir", {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q214_" +
+        s"${graft.Tables.jvmTag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val baseDir = new java.io.File(base)
+      if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+      val c = Tables(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val tb = new graft.table.VersionedTable(spark, s"$base/tbl", "c_custkey")
+      val v1 = tb.init(c)
+      val requests = c.filter(reqPred)
+        .select(col("c_custkey"), lit("delete").as("op"),
+          col("c_name"), col("c_mktsegment"))
+      tb.merge(requests, v1)
+      tb.vacuum(retainFrom = 2L)
+      tb
+    })
+    val v1Readable =
+      try { t.read(1L).count(); true }
+      catch { case _: Throwable => false }
+    val src = Tables(spark, dir, "customer")
+      .agg(count(lit(1)).as("n_before"),
+        count(when(reqPred, 1)).as("n_requests"))
+    t.readLatest()
+      .agg(count(lit(1)).as("n_after"),
+        count(when(reqPred, 1)).as("survivors_after"))
+      .crossJoin(broadcast(src))
+      .select(col("n_before"), col("n_requests"), col("n_after"),
+        col("survivors_after"), lit(v1Readable).as("v1_readable_after_vacuum"))
+  }
+
+  /** Oracle: the erased population from the source predicate; survivors
+    * must be zero and the pre-erasure snapshot unreadable — constants the
+    * engine can only match by actually erasing and actually vacuuming.
+    */
+  val q214Sql: String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_before,
+       |  CAST(count(CASE WHEN req THEN 1 END) AS BIGINT) AS n_requests,
+       |  CAST(count(*) - count(CASE WHEN req THEN 1 END) AS BIGINT) AS n_after,
+       |  CAST(0 AS BIGINT) AS survivors_after,
+       |  FALSE AS v1_readable_after_vacuum
+       |FROM (
+       |  SELECT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':gdpr'), 1, 15))::BIGINT
+       |    % $Q214ReqMod = 0 AS req
+       |  FROM customer)""".stripMargin
+
   /** q206 — ARBITRARY STATEFUL PROCESSING via Spark 4's
     * `transformWithState` ([[graft.streaming.EventStream.RunningStatsProcessor]]):
     * per-user running (count, sum, max) prefix stats over integer cents
@@ -1440,6 +1517,7 @@ object IngestOps {
     "q208_state_timers" -> q208StateTimers _,
     "q206_transform_with_state" -> q206TransformWithState _,
     "q202_ivm_from_changes" -> q202IvmFromChanges _,
+    "q214_erasure" -> q214Erasure _,
     "q200_stream_table_sink" -> q200StreamTableSink _,
     "q195_table_changes" -> q195TableChanges _,
     "q196_table_maintenance" -> q196TableMaintenance _,
@@ -1467,6 +1545,7 @@ object IngestOps {
     "q208_state_timers" -> q208Sql,
     "q206_transform_with_state" -> q206Sql,
     "q202_ivm_from_changes" -> q202Sql,
+    "q214_erasure" -> q214Sql,
     "q200_stream_table_sink" -> q200Sql,
     "q195_table_changes" -> q195Sql,
     "q196_table_maintenance" -> q196Sql,

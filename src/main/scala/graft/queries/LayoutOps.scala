@@ -255,13 +255,101 @@ object LayoutOps {
       .orderBy(col("lang"))
   }
 
+  /** q215's bucket count — identical on both sides so every join key pair
+    * meets inside one bucket.
+    */
+  private[graft] val Q215Buckets = 8
+
+  private val q215Memo =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** Write lineitem + orders as BUCKETED TABLES (same bucket count, same
+    * key) once per (JVM, sf dir): [[graft.sources.Sinks.bucketedTable]]'s
+    * layout, external-path'd under tmpdir so the in-memory catalog owns
+    * only metadata. Amounts pre-convert to exact integer cents at write
+    * time — the layout job is also where a real pipeline normalizes types.
+    */
+  private[graft] def q215Tables(spark: SparkSession, dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    q215Memo.getOrElseUpdate(dir, {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q215_${graft.Tables.jvmTag}_$tag"
+      val baseDir = new java.io.File(base)
+      if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+      val lt = s"graft_q215_lineitem_$tag"
+      val ot = s"graft_q215_orders_$tag"
+      Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"),
+          expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_cents"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_cents"))
+        .write.mode("overwrite")
+        .bucketBy(Q215Buckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/lineitem").format("parquet").saveAsTable(lt)
+      Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite")
+        .bucketBy(Q215Buckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/orders").format("parquet").saveAsTable(ot)
+      (lt, ot)
+    })
+  }
+
+  /** The q215 join stage alone (pre-aggregation), exposed so PlanSpec can
+    * gate its physical plan: both scans must report bucketed reads and the
+    * sort-merge join must have NO shuffle exchange on either side.
+    */
+  private[graft] def q215JoinOnly(spark: SparkSession, dir: String): DataFrame = {
+    val (lt, ot) = q215Tables(spark, dir)
+    val l = spark.table(lt)
+    val o = spark.table(ot)
+    // the merge hint pins the 100 TB-realistic strategy (at fixture scale
+    // Spark would broadcast the dimension-sized side and hide the point)
+    l.join(o.hint("merge"), l("l_orderkey") === o("o_orderkey"))
+  }
+
+  /** q215 — BUCKETED CO-LOCATED FACT-FACT JOIN, the layout move that
+    * deletes the biggest shuffle a warehouse runs: lineitem and orders are
+    * written ONCE as bucketed tables ([[Q215Buckets]] buckets, same key,
+    * sorted within buckets — hive-style bucketing, Spark's native
+    * `bucketBy`), after which EVERY equi-join or aggregation on the bucket
+    * key is exchange-free: bucket i of lineitem joins bucket i of orders
+    * in-place, forever, amortizing one layout write across every
+    * downstream consumer. At 100 TB this is the difference between a
+    * nightly multi-PB shuffle and none at all; PlanSpec holds the proof
+    * (zero ShuffleExchange in the join subtree, bucketed scans on both
+    * sides — only the final priority-sized rollup exchanges).
+    *
+    * Exactness: amounts are integer cents from the layout write onward;
+    * the oracle runs the same join+rollup over the raw parquet — layout
+    * must be logically invisible, the q196 contract for maintenance
+    * applied to bucketing.
+    */
+  def q215BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    q215JoinOnly(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(col("qty_cents")).as("sum_qty_cents"),
+        sum(col("price_cents")).as("sum_price_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q215Sql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_bucketed_join" -> q215BucketedJoin _,
     "q107_zorder_layout" -> q107ZorderLayout _,
     "q178_compaction_plan" -> q178CompactionPlan _,
     "q180_orc_roundtrip" -> q180OrcRoundtrip _,
     "q193_avro_roundtrip" -> q193AvroRoundtrip _)
 
   val oracles: Map[String, String] = Map(
+    "q215_bucketed_join" -> q215Sql,
     "q107_zorder_layout" -> q107Sql,
     "q178_compaction_plan" -> q178Sql,
     "q180_orc_roundtrip" -> q180Sql,

@@ -517,7 +517,104 @@ object MiningOps {
        |  AND abs(a.lon_e6 - b.lon_e6) <= $Q207RadiusE6
        |ORDER BY a, b""".stripMargin
 
+  /** q212 — χ² FEATURE SCREENING with Cramér's V (Pearson 1900; Cramér
+    * 1946): for each (feature, target) categorical pair, the independence
+    * statistic χ² = Σ_cells (O − E)²/E over the FULL r×c contingency grid
+    * and its normalized effect size V = sqrt(χ²/(N·min(r−1, c−1))) — the
+    * screen a curation team runs to rank which metadata columns actually
+    * predict a label before training a filter model (the set-level cousin
+    * of q176's FD checks: not "does A determine B" but "how far from
+    * independent are they").
+    *
+    * Exactness: observed counts, margins, and N are BIGINT; each cell's
+    * deviation d = O·N − r·c is EXACT integer arithmetic; the only floats
+    * are the per-cell `round(1e6·d²/(r·c·N))` — a correctly-rounded IEEE
+    * chain over integer-valued operands, identical expression tree in both
+    * engines (the file-head doctrine: `+ - * / sqrt` yes, `ln/exp` never) —
+    * quantized to integer micro-units BEFORE the cell sum, so the
+    * order-insensitive integer sum is what crosses engines, never a float
+    * accumulation. Long bounds: r·c·N ≤ N³ — fine through sf1; at larger
+    * N swap the quantized numerator to DECIMAL(38) (the q175 remark).
+    *
+    * Grid completeness: χ² sums over EMPTY cells too (their contribution
+    * is r·c/N in micro-units), so the grid is the margins' crossJoin — a
+    * documented-tiny frame (feature-cardinality × target-cardinality,
+    * ≤ ~25 cells here) left-joined against observed counts.
+    *
+    * Scale: per pair, one fact-sized groupBy(feat, target) — map-side
+    * combinable — then margin/grid work on ≤ cells rows. Four pairs = four
+    * scans (fusable into one multi-aggregate pass at 100 TB, the q99 move).
+    */
+  def q212Chi2Screen(spark: SparkSession, dir: String): DataFrame = {
+    def screen(df: DataFrame, table: String, feat: String, target: String): DataFrame = {
+      val obs = df.select(col(feat).cast("string").as("f"), col(target).cast("string").as("t"))
+        .groupBy(col("f"), col("t")).agg(count(lit(1)).as("o"))
+      val rowm = obs.groupBy(col("f")).agg(sum(col("o")).as("rm"))
+      val colm = obs.groupBy(col("t")).agg(sum(col("o")).as("cm"))
+      val n = obs.agg(sum(col("o")).as("nn"))
+      val grid = rowm.crossJoin(broadcast(colm)).crossJoin(broadcast(n))
+        .join(obs, Seq("f", "t"), "left")
+        .withColumn("o0", coalesce(col("o"), lit(0L)))
+        .withColumn("d", col("o0") * col("nn") - col("rm") * col("cm"))
+        .withColumn("micro", expr(
+          "CAST(round(1000000.0 * d * d / (rm * cm * nn)) AS BIGINT)"))
+      grid.agg(
+          max(col("nn")).as("n"),
+          countDistinct(col("f")).as("r"),
+          countDistinct(col("t")).as("c"),
+          sum(col("micro")).as("chi2_micro"))
+        .select(lit(table).as("table_name"), lit(feat).as("feat"),
+          lit(target).as("target"), col("n"), col("r"), col("c"),
+          ((col("r") - 1) * (col("c") - 1)).as("dof"), col("chi2_micro"),
+          expr("CAST(round(1000 * sqrt(chi2_micro / (1000000.0 * n * least(r - 1, c - 1)))) AS BIGINT)")
+            .as("v_milli"))
+    }
+    val l = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+      .withColumn("bal_sign", when(col("c_acctbal") < 0, lit("neg")).otherwise(lit("pos")))
+    val d = Tables(spark, dir, "documents")
+    screen(l, "lineitem", "l_returnflag", "l_linestatus")
+      .unionByName(screen(o, "orders", "o_orderpriority", "o_orderstatus"))
+      .unionByName(screen(c, "customer", "c_mktsegment", "bal_sign"))
+      .unionByName(screen(d, "documents", "lang", "source"))
+      .orderBy(col("table_name"), col("feat"))
+  }
+
+  val q212Sql: String = {
+    def block(from: String, table: String, feat: String, target: String): String =
+      s"""SELECT '$table' AS table_name, '$feat' AS feat, '$target' AS target,
+         |  n, r, c, (r - 1) * (c - 1) AS dof, chi2_micro,
+         |  CAST(round(1000 * sqrt(chi2_micro / (1000000.0 * n * least(r - 1, c - 1)))) AS BIGINT) AS v_milli
+         |FROM (
+         |  SELECT max(nn) AS n, CAST(count(DISTINCT f) AS BIGINT) AS r,
+         |    CAST(count(DISTINCT t) AS BIGINT) AS c,
+         |    CAST(sum(micro) AS BIGINT) AS chi2_micro
+         |  FROM (
+         |    SELECT g.f, g.t, g.rm, g.cm, g.nn,
+         |      CAST(round(1000000.0 * d * d / (g.rm * g.cm * g.nn)) AS BIGINT) AS micro
+         |    FROM (
+         |      SELECT rm.f, cm.t, rm.rm, cm.cm, nn.nn,
+         |        coalesce(o.o, 0) * nn.nn - rm.rm * cm.cm AS d
+         |      FROM (SELECT f, CAST(sum(o) AS BIGINT) AS rm FROM ($from) GROUP BY f) rm
+         |      CROSS JOIN (SELECT t, CAST(sum(o) AS BIGINT) AS cm FROM ($from) GROUP BY t) cm
+         |      CROSS JOIN (SELECT CAST(sum(o) AS BIGINT) AS nn FROM ($from)) nn
+         |      LEFT JOIN ($from) o ON o.f = rm.f AND o.t = cm.t) g))""".stripMargin
+    def obs(table: String, feat: String, target: String): String =
+      s"SELECT CAST($feat AS VARCHAR) AS f, CAST($target AS VARCHAR) AS t, CAST(count(*) AS BIGINT) AS o FROM $table GROUP BY 1, 2"
+    Seq(
+      block(obs("lineitem", "l_returnflag", "l_linestatus"),
+        "lineitem", "l_returnflag", "l_linestatus"),
+      block(obs("orders", "o_orderpriority", "o_orderstatus"),
+        "orders", "o_orderpriority", "o_orderstatus"),
+      block(obs("(SELECT *, CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_sign FROM customer)",
+        "c_mktsegment", "bal_sign"), "customer", "c_mktsegment", "bal_sign"),
+      block(obs("documents", "lang", "source"), "documents", "lang", "source"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, feat")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_chi2_screen" -> q212Chi2Screen _,
     "q207_spatial_join" -> q207SpatialJoin _,
     "q203_k_anonymity" -> q203KAnonymity _,
     "q201_benford_audit" -> q201BenfordAudit _,
@@ -527,6 +624,7 @@ object MiningOps {
     "q176_constraint_audit" -> q176ConstraintAudit _)
 
   val oracles: Map[String, String] = Map(
+    "q212_chi2_screen" -> q212Sql,
     "q207_spatial_join" -> q207Sql,
     "q203_k_anonymity" -> q203Sql,
     "q201_benford_audit" -> q201Sql,

@@ -1218,7 +1218,135 @@ object SketchOps {
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, det, dep")
   }
 
+  /** q210 — SOURCE-OVERLAP MATRIX via HLL register merges + inclusion-
+    * exclusion: for every pair of document sources, estimate the shared
+    * VOCABULARY |A∩B| from per-source HLL register sets alone —
+    * est_intersect = est(A) + est(B) − est(A∪B), where the union's
+    * registers are the ELEMENTWISE MAX of the two sources' registers (the
+    * lossless HLL merge, Flajolet et al. 2007 §4). This is the audit a
+    * curation team runs to find sources republishing each other's content:
+    * KMV answers it by k-min membership (q141); HLL answers it from
+    * constant 64-byte state per source — the variant that still works when
+    * the per-source sketches were built by independent daily jobs and only
+    * the registers were kept.
+    *
+    * Integral discipline: registers, z_num, and the estimate are exactly
+    * the q177 arithmetic ([[hllRegisters]]'s shapes keyed by source;
+    * [[HllAlphaNum]] interpolated into both engines); inclusion–exclusion
+    * runs on the integral estimates with a `greatest(0, ·)` clamp (the
+    * estimator can cross zero for near-disjoint sets — the clamp is part
+    * of the published operator, not a fixture patch). The row carries the
+    * EXACT intersection alongside, so the sketch error is auditable.
+    *
+    * Scale: per-source registers are m=64 rows — the pair blow-up is
+    * sources²·64 sketch rows, never data-sized; the only corpus-keyed work
+    * is the one distinct-(source, token) tokenize that feeds both the
+    * registers and the exact check. At 100 TB with daily per-source
+    * register tables, this whole matrix is a driver-sized job over
+    * persisted sketches.
+    */
+  def q210HllOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import TextOps.{normText, wsTokens}
+    val toks = Tables(spark, dir, "documents")
+      .select(col("source"), explode(wsTokens(normText(col("text")))).as("tok"))
+      .distinct()
+    val reg = toks
+      .select(col("source"),
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h32"))
+      .distinct()
+      .withColumn("rest", expr("h32 % 67108864"))
+      .withColumn("rho",
+        when(instr(lpad(bin(col("rest")), 26, "0"), "1") === 0, lit(27))
+          .otherwise(instr(lpad(bin(col("rest")), 26, "0"), "1")))
+      .groupBy(col("source"), expr("h32 div 67108864").as("bucket"))
+      .agg(max(col("rho")).as("rho"))
+    def estOf() = expr(s"$HllAlphaNum div (1000 * z_num)")
+    def zAgg(grouped: org.apache.spark.sql.RelationalGroupedDataset) =
+      grouped.agg(
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(27 - rho AS INT))")) +
+          (lit(HllM.toLong) - count(lit(1))) * lit(134217728L)).as("z_num"))
+    val est = zAgg(reg.groupBy(col("source")))
+      .select(col("source"), estOf().as("est"))
+    val srcs = reg.select(col("source")).distinct()
+    // sources × sources: a deliberately tiny frame (handful of corpus
+    // sources), broadcast — the same documented-tiny crossJoin class as
+    // q181's cols×cols
+    val pairs = srcs.select(col("source").as("src_a"))
+      .crossJoin(broadcast(srcs.select(col("source").as("src_b"))))
+      .filter(col("src_a") < col("src_b"))
+    val regU = pairs.join(reg, col("source") === col("src_a"))
+      .select(col("src_a"), col("src_b"), col("bucket"), col("rho"))
+      .union(pairs.join(reg, col("source") === col("src_b"))
+        .select(col("src_a"), col("src_b"), col("bucket"), col("rho")))
+      .groupBy(col("src_a"), col("src_b"), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+    val estU = zAgg(regU.groupBy(col("src_a"), col("src_b")))
+      .select(col("src_a"), col("src_b"), estOf().as("est_union"))
+    val exact = toks.select(col("source").as("src_a"), col("tok"))
+      .join(toks.select(col("source").as("src_b"), col("tok")), "tok")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("exact_intersect"))
+    estU
+      .join(broadcast(est.select(col("source").as("src_a"), col("est").as("est_a"))), "src_a")
+      .join(broadcast(est.select(col("source").as("src_b"), col("est").as("est_b"))), "src_b")
+      .join(exact, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union"))
+          .as("est_intersect"),
+        coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q210Sql: String =
+    s"""WITH t AS (
+       |  SELECT DISTINCT source, unnest(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '')) AS tok
+       |  FROM documents),
+       |h AS (
+       |  SELECT DISTINCT source, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h32 FROM t),
+       |reg AS (
+       |  SELECT source, h32 // 67108864 AS bucket,
+       |    max(CASE WHEN strpos(lpad(bin(h32 % 67108864), 26, '0'), '1') = 0 THEN 27
+       |             ELSE strpos(lpad(bin(h32 % 67108864), 26, '0'), '1') END) AS rho
+       |  FROM h GROUP BY 1, 2),
+       |z AS (
+       |  SELECT source, CAST(sum(1::BIGINT << CAST(27 - rho AS INT)) +
+       |      ($HllM - count(*)) * 134217728 AS BIGINT) AS z_num
+       |  FROM reg GROUP BY 1),
+       |est AS (SELECT source, $HllAlphaNum // (1000 * z_num) AS est FROM z),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b
+       |  FROM (SELECT DISTINCT source FROM reg) a
+       |  JOIN (SELECT DISTINCT source FROM reg) b ON a.source < b.source),
+       |regu AS (
+       |  SELECT src_a, src_b, bucket, max(rho) AS rho FROM (
+       |    SELECT p.src_a, p.src_b, r.bucket, r.rho
+       |    FROM pairs p JOIN reg r ON r.source = p.src_a
+       |    UNION ALL
+       |    SELECT p.src_a, p.src_b, r.bucket, r.rho
+       |    FROM pairs p JOIN reg r ON r.source = p.src_b)
+       |  GROUP BY 1, 2, 3),
+       |zu AS (
+       |  SELECT src_a, src_b, CAST(sum(1::BIGINT << CAST(27 - rho AS INT)) +
+       |      ($HllM - count(*)) * 134217728 AS BIGINT) AS z_num
+       |  FROM regu GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(count(*) AS BIGINT) AS exact_intersect
+       |  FROM t a JOIN t b ON a.tok = b.tok AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT zu.src_a, zu.src_b, ea.est AS est_a, eb.est AS est_b,
+       |  $HllAlphaNum // (1000 * zu.z_num) AS est_union,
+       |  greatest(CAST(0 AS BIGINT), ea.est + eb.est - ($HllAlphaNum // (1000 * zu.z_num))) AS est_intersect,
+       |  coalesce(ex.exact_intersect, CAST(0 AS BIGINT)) AS exact_intersect
+       |FROM zu JOIN est ea ON ea.source = zu.src_a
+       |  JOIN est eb ON eb.source = zu.src_b
+       |  LEFT JOIN ex ON ex.src_a = zu.src_a AND ex.src_b = zu.src_b
+       |ORDER BY zu.src_a, zu.src_b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_hll_overlap" -> q210HllOverlap _,
     "q199_fd_discovery" -> q199FdDiscovery _,
     "q168_bloom_prefilter" -> q168BloomPrefilter _,
     "q177_hll_distinct" -> q177HllDistinct _,
@@ -1235,6 +1363,7 @@ object SketchOps {
     "q156_cms_join_size" -> q156CmsJoinSize _)
 
   val oracles: Map[String, String] = Map(
+    "q210_hll_overlap" -> q210Sql,
     "q199_fd_discovery" -> q199Sql,
     "q168_bloom_prefilter" -> q168Sql,
     "q177_hll_distinct" -> q177Sql,

@@ -353,4 +353,55 @@ class CorpusOpsSpec extends SparkTestBase {
       assert(math.abs(d - 524288L) <= 2L, s"quantized displacement should be ~0.5*2^20: $d")
     }
   }
+
+  test("q209 Kneser-Ney bits equal an exact BigInt rational recomputation, doc by doc") {
+    // independent driver-side model build at sf0.001: same normalization,
+    // same counts, bits from BigInt division — no shared Spark code path
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    val bigrams = docs.view.mapValues(t => t.zip(t.drop(1))).toMap
+    val c2 = bigrams.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1l = c2.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1r = c2.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val ntot = c2.size.toLong
+    def bits(b: (String, String)): Long = {
+      val num = BigInt(4 * c2(b) - 3) * ntot + BigInt(3) * n1l(b._1) * n1r(b._2)
+      val den = BigInt(4) * c1(b._1) * ntot
+      (den / num).bitLength - 1L
+    }
+    val got = CorpusOps.q209KneserNey(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val bs = bigrams(id).map(bits)
+      assert(r.getAs[Long]("n_bigrams") === bs.size.toLong, s"doc $id n_bigrams")
+      assert(r.getAs[Long]("sum_bits") === bs.sum, s"doc $id sum_bits")
+      assert(r.getAs[Long]("mean_mbits") === bs.sum * 1000L / bs.size, s"doc $id mean")
+    }
+    // every multi-token doc appears exactly once
+    assert(got.map(_.getAs[Long]("doc_id")).toSet ===
+      bigrams.filter(_._2.nonEmpty).keySet)
+  }
+
+  test("q209 KN mass identity: per left-context, seen mass + backoff mass = 1 exactly") {
+    // Sigma_seen (4c2-3)/(4c1) + (3 n1l / 4c1) * (Sigma_all n1r / ntot) = 1:
+    // verify the integer identity 4*c1 = Sigma_seen (4c2-3) + 3*n1l per w1,
+    // and Sigma_w2 n1r(w2) = ntot — the two halves of the interpolation
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("text")).collect()
+      .map(_.getString(0).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+    val c2 = docs.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val byW1 = c2.groupBy(_._1._1)
+    byW1.foreach { case (w1, m) =>
+      val c1 = m.values.sum
+      assert(m.values.map(c => 4 * c - 3).sum + 3 * m.size === 4 * c1,
+        s"KN interpolation mass must close for '$w1'")
+    }
+    val n1rSum = c2.groupBy(_._1._2).map(_._2.size.toLong).sum
+    assert(n1rSum === c2.size.toLong, "continuation counts must sum to ntot")
+  }
 }

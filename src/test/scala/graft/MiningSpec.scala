@@ -120,4 +120,39 @@ class MiningSpec extends SparkTestBase {
     rows.foreach(r =>
       assert(r.getAs[Boolean]("passed") === (r.getAs[Long]("violations") == 0L)))
   }
+
+  test("q212 chi2 equals a driver-side recomputation over the full contingency grid") {
+    val rows = MiningOps.q212Chi2Screen(spark, sfDir).collect()
+    assert(rows.length === 4)
+    // recompute the customer combo (smallest grid) cell by cell
+    val obs = Tables(spark, sfDir, "customer")
+      .select(col("c_mktsegment"),
+        when(col("c_acctbal") < 0, "neg").otherwise("pos").as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val feats = obs.keySet.map(_._1)
+    val targs = obs.keySet.map(_._2)
+    val rm = feats.map(f => f -> obs.filter(_._1._1 == f).values.sum).toMap
+    val cm = targs.map(t => t -> obs.filter(_._1._2 == t).values.sum).toMap
+    val nn = obs.values.sum
+    def roundHalfUp(x: Double): Long =
+      java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val chi2Micro = (for (f <- feats; t <- targs) yield {
+      val o = obs.getOrElse((f, t), 0L)
+      val d = o * nn - rm(f) * cm(t)
+      roundHalfUp(1000000.0 * d * d / (rm(f) * cm(t) * nn))
+    }).sum
+    val r = rows.find(_.getAs[String]("table_name") == "customer").get
+    assert(r.getAs[Long]("n") === nn)
+    assert(r.getAs[Long]("r") === feats.size.toLong)
+    assert(r.getAs[Long]("c") === targs.size.toLong)
+    assert(r.getAs[Long]("dof") === (feats.size - 1L) * (targs.size - 1L))
+    assert(r.getAs[Long]("chi2_micro") === chi2Micro)
+    val vRef = roundHalfUp(1000.0 * math.sqrt(
+      chi2Micro / (1000000.0 * nn * math.min(feats.size - 1, targs.size - 1))))
+    assert(r.getAs[Long]("v_milli") === vRef)
+    // Cramer's V is a [0,1] effect size on every row
+    rows.foreach(r => assert(r.getAs[Long]("v_milli") >= 0L &&
+      r.getAs[Long]("v_milli") <= 1000L))
+  }
 }

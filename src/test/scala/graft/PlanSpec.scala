@@ -876,4 +876,23 @@ class PlanSpec extends SparkTestBase {
     assert(s198.contains("WindowGroupLimit"),
       s"rk <= k must plan as a group limit:\n$s198")
   }
+
+  test("q215 bucketed join: both scans bucketed, ZERO shuffle in the join subtree") {
+    val join = LayoutOps.q215JoinOnly(spark, sfDir)
+    join.collect()
+    val plan = executed(join)
+    val shuffles = collectAll(plan).collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.isEmpty,
+      s"the co-located bucketed join must not exchange either side:\n${finalPlan(join)}")
+    val s = finalPlan(join)
+    assert(s.contains("SortMergeJoin"), s"merge-hinted bucketed join expected:\n$s")
+    assert(s.contains("SelectedBucketsCount") || s.contains("Bucketed: true"),
+      s"scans must be bucket-aware:\n$s")
+    // the full query only exchanges for the final priority-sized rollup
+    val full = LayoutOps.q215BucketedJoin(spark, sfDir)
+    full.collect()
+    val fullShuffles = collectAll(executed(full)).collect { case e: ShuffleExchangeLike => e }
+    assert(fullShuffles.size <= 2,
+      s"only the rollup (partial/final) may exchange, got ${fullShuffles.size}:\n${finalPlan(full)}")
+  }
 }

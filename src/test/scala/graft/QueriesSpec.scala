@@ -1069,4 +1069,49 @@ class QueriesSpec extends SparkTestBase {
       "after the last boundary nothing is open")
     assert(rows.head.getAs[Long]("start_c") == 0L)
   }
+
+  test("q211 one-sided prefix filter loses NO pair: equals the exhaustive containment join") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.Dedup.q211ContainmentJoin(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("shared"), r.getAs[Long]("contain_bp"))).toSet
+    assert(got.nonEmpty, "the fixture's near-dup clusters must surface contained docs")
+    // brute force WITHOUT the prefix filter: full shingle-set containment
+    // over every ordered pair (feasible at sf0.001)
+    val sets = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), graft.queries.Dedup.shingles(col("text"), 3).as("sh"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toSet)
+    val brute = (for {
+      (a, sa) <- sets; (b, sb) <- sets
+      if a != b
+      shared = sa.intersect(sb).size.toLong
+      if 10 * shared >= graft.queries.Dedup.Q211ContainTenths * sa.size
+    } yield (a, b, shared, 10000L * shared / sa.size)).toSet
+    assert(got == brute,
+      "prefix-filtered containment must equal the exhaustive ordered-pairs join")
+  }
+
+  test("q213 closed-form geometric magnitude equals the exact rational inverse-CDF on a boundary sweep") {
+    import org.apache.spark.sql.functions._
+    val two60 = BigInt(1) << 60
+    def ref(u: Long): Long = // smallest j >= 0 with u/2^60 < 1 - (2/3)*2^-j
+      Iterator.from(0).find(j =>
+        BigInt(3) * u * (BigInt(1) << j) < (BigInt(3) * (BigInt(1) << j) - 2) * two60
+      ).get.toLong
+    val edges = Seq(0L, 1L, 2L, 3L, 7L)
+    val probes = (0 to 59).flatMap { k =>
+      val p = 1L << k
+      Seq(p - 1, p, p + 1)
+    } ++ edges ++ edges.map((1L << 60) - 1 - _) ++
+      (1 to 50).map(i => ((BigInt(i) * 7919 * 104729) % two60).toLong)
+    val df = spark.createDataFrame(
+      probes.distinct.map(Tuple1(_))).toDF("u60")
+    val got = graft.queries.Curation.geomMagCols(df)
+      .select(col("u60"), col("mag")).collect()
+      .map(r => r.getAs[Long]("u60") -> r.getAs[Int]("mag")).toMap
+    probes.distinct.foreach { u =>
+      assert(got(u).toLong === ref(u), s"u60=$u")
+    }
+  }
 }

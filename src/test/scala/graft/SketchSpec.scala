@@ -256,4 +256,52 @@ class SketchSpec extends SparkTestBase {
     assert(est >= n / 1.5 && est <= n * 1.5,
       s"est $est vs exact $n — m=64 (13% stderr) should land well within 1.5x")
   }
+
+  test("q210 union registers ARE the max-merge: inclusion-exclusion built from per-source sketches") {
+    import graft.queries.SketchOps
+    // driver-side reference at sf0.001: md5-32 registers per source, union
+    // registers by elementwise max, estimates via the shared integral formula
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val toks = Tables(spark, sfDir, "documents")
+      .select(col("source"), col("text")).collect()
+      .flatMap { r =>
+        val src = r.getString(0)
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).map(src -> _)
+      }.toSet
+    def registers(srcs: Set[String]): Map[Long, Long] =
+      toks.filter(t => srcs(t._1)).map(t => java.lang.Long.parseLong(md5hex(t._2).take(8), 16))
+        .groupBy(_ / 67108864L)
+        .view.mapValues { hs =>
+          hs.map { h =>
+            val rest = h % 67108864L
+            val bits = rest.toBinaryString
+            val padded = "0" * (26 - bits.length) + bits
+            val p = padded.indexOf('1')
+            if (p < 0) 27L else (p + 1).toLong
+          }.max
+        }.toMap
+    def est(reg: Map[Long, Long]): Long = {
+      val z = reg.values.map(r => 1L << (27 - r).toInt).sum +
+        (64L - reg.size) * 134217728L
+      (709L * 4096L * 134217728L) / (1000L * z)
+    }
+    val rows = SketchOps.q210HllOverlap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      assert(r.getAs[Long]("est_a") === est(registers(Set(a))), s"($a,$b) est_a")
+      assert(r.getAs[Long]("est_b") === est(registers(Set(b))), s"($a,$b) est_b")
+      assert(r.getAs[Long]("est_union") === est(registers(Set(a, b))), s"($a,$b) est_union")
+      assert(r.getAs[Long]("est_intersect") ===
+        math.max(0L, r.getAs[Long]("est_a") + r.getAs[Long]("est_b") - r.getAs[Long]("est_union")))
+      val exactI = toks.filter(_._1 == a).map(_._2).intersect(toks.filter(_._1 == b).map(_._2)).size
+      assert(r.getAs[Long]("exact_intersect") === exactI.toLong, s"($a,$b) exact")
+    }
+    // every unordered source pair appears exactly once
+    val srcs = toks.map(_._1)
+    assert(rows.length === srcs.size * (srcs.size - 1) / 2)
+  }
 }

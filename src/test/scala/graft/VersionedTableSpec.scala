@@ -300,4 +300,19 @@ class VersionedTableSpec extends SparkTestBase {
     assert(!s.contains(ids(0)), "delete wins on overlap")
     assert(s(ids(1)) == "survives")
   }
+
+  test("q214 erasure: survivors zero, pre-erasure snapshot unreadable, counts close, reruns identical") {
+    val r1 = graft.queries.IngestOps.q214Erasure(spark, sfDir).collect()
+    assert(r1.length === 1)
+    val r = r1.head
+    assert(r.getAs[Long]("n_requests") > 0L, "the fixture must contain erasure requests")
+    assert(r.getAs[Long]("survivors_after") === 0L,
+      "no requested subject may survive in the post-erasure snapshot")
+    assert(r.getAs[Long]("n_after") === r.getAs[Long]("n_before") - r.getAs[Long]("n_requests"))
+    assert(!r.getAs[Boolean]("v1_readable_after_vacuum"),
+      "vacuum past the erasure commit must make the pre-erasure snapshot unreconstructable")
+    // idempotent across calls in one JVM (memoized fixture, read-only audit)
+    val r2 = graft.queries.IngestOps.q214Erasure(spark, sfDir).collect()
+    assert(r2.map(_.toSeq).toSeq === r1.map(_.toSeq).toSeq)
+  }
 }
