@@ -1362,9 +1362,13 @@ object Dedup {
     */
   def q211ContainmentJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the shingle frame feeds df, sizes, the prefix, AND both verification
+    // joins — persist so the tokenize+explode+distinct runs once, not 4×
+    // (the q42 idiom; Bench.coldSweep drops it between measurements)
     val sh = Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("token"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = sh.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))
@@ -1377,11 +1381,16 @@ object Dedup {
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"), col("sz_a"))
       .distinct()
+    // verification joins the candidate PAIRS against per-doc shingle SETS
+    // (docs-sized frame) and intersects arrays per pair — the exploded
+    // alternative (re-join sh on both ids, count matches) shuffles
+    // Σ_cand sz_a token rows (~50× the pair count); this carries each
+    // candidate as ONE row and does the ≤|Sa|·|Sb| set work CPU-side
+    val toksArr = sh.groupBy(col("doc_id")).agg(collect_set(col("token")).as("ts"))
     cand
-      .join(sh.select(col("doc_id").as("id_a"), col("token")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("token")), Seq("id_b", "token"))
-      .groupBy(col("id_a"), col("id_b"), col("sz_a"))
-      .agg(count(lit(1)).as("shared"))
+      .join(toksArr.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), "id_a")
+      .join(toksArr.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), "id_b")
+      .withColumn("shared", size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
       .filter(lit(10) * col("shared") >= lit(Q211ContainTenths) * col("sz_a"))
       .select(col("id_a"), col("id_b"), col("sz_a"), col("shared"),
         expr("10000 * shared div sz_a").as("contain_bp"))

@@ -956,7 +956,72 @@ object EventsOps {
        |FROM final
        |ORDER BY conv_id, rk""".stripMargin
 
+  /** q219 — CUSUM CHANGE-POINT DETECTION (Page 1954), the sequential
+    * level-shift monitor a pipeline runs over its hourly volumes: the
+    * one-sided cumulative sum S_t = max(0, S_{t−1} + (x_t − μ − k))
+    * accumulates evidence of an upward shift and alarms at S_t > h, while
+    * the reference-value allowance k absorbs in-control noise. The clamp
+    * recursion looks inherently sequential, but it has an EXACT closed
+    * form — S_t = P_t − min(0, min_{j≤t} P_j) with P the plain prefix sum
+    * of the drifts — so the whole monitor is two group-partitioned
+    * windows (prefix sum + running min), no iteration, no state (the same
+    * observation that makes q179's sweep and q178's next-fit windowable).
+    * Parameters derive from the data per type: μ = mean hourly count,
+    * k = μ/4, h = μ (integer milli-count units end to end, so both
+    * engines agree bit-for-bit).
+    *
+    * Scale: one hour-keyed aggregate (map-side combinable), then windows
+    * over the (type × hours) frame — tiny relative to the fact. The
+    * q120 z-score row asks "is this hour weird alone?"; CUSUM asks "has
+    * the LEVEL shifted?" — small persistent drifts that never trip a
+    * per-hour threshold accumulate here.
+    */
+  def q219Cusum(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 1000000").as("hour_ts"))
+      .agg(count(lit(1)).as("x"))
+    val mu = hourly.groupBy(col("event_type"))
+      .agg(expr("1000 * sum(x) div count(*)").as("mu_milli"))
+    val wPre = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hourly.join(broadcast(mu), "event_type")
+      .withColumn("d_milli",
+        col("x") * 1000L - col("mu_milli") - expr("mu_milli div 4"))
+      .withColumn("p_milli", sum(col("d_milli")).over(wPre))
+      .withColumn("s_milli",
+        col("p_milli") - least(lit(0L), min(col("p_milli")).over(wPre)))
+      .select(col("event_type"), col("hour_ts"), col("x"), col("mu_milli"),
+        col("s_milli"), (col("s_milli") > col("mu_milli")).as("alarm"))
+      .orderBy(col("event_type"), col("hour_ts"))
+  }
+
+  val q219Sql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(date_trunc('hour', ts)) // 1000000 AS hour_ts,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |mu AS (
+      |  SELECT event_type, 1000 * sum(x) // count(*) AS mu_milli
+      |  FROM hourly GROUP BY 1),
+      |pre AS (
+      |  SELECT h.event_type, h.hour_ts, h.x, m.mu_milli,
+      |    sum(h.x * 1000 - m.mu_milli - m.mu_milli // 4)
+      |      OVER (PARTITION BY h.event_type ORDER BY h.hour_ts
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_milli
+      |  FROM hourly h JOIN mu m USING (event_type))
+      |SELECT event_type, hour_ts, x, CAST(mu_milli AS BIGINT) AS mu_milli,
+      |  CAST(p_milli - least(0, min(p_milli)
+      |    OVER (PARTITION BY event_type ORDER BY hour_ts
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS s_milli,
+      |  (p_milli - least(0, min(p_milli)
+      |    OVER (PARTITION BY event_type ORDER BY hour_ts
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) > mu_milli AS alarm
+      |FROM pre
+      |ORDER BY event_type, hour_ts""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_cusum" -> q219Cusum _,
     "q217_attribution" -> q217Attribution _,
     "q184_ab_assignment" -> q184AbAssignment _,
     "q179_peak_concurrency" -> q179PeakConcurrency _,
@@ -980,6 +1045,7 @@ object EventsOps {
     "q106_markov_transitions" -> q106MarkovTransitions _)
 
   val oracles: Map[String, String] = Map(
+    "q219_cusum" -> q219Sql,
     "q217_attribution" -> q217Sql,
     "q184_ab_assignment" -> q184Sql,
     "q179_peak_concurrency" -> q179Sql,
