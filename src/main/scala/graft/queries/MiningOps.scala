@@ -613,7 +613,140 @@ object MiningOps {
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, feat")
   }
 
+  /** q220's grid resolution per axis and label-propagation round count. */
+  private[graft] val Q220Grid = 16
+  private[graft] val Q220Rounds = 8
+
+  /** q220 — GRID-DENSITY CLUSTERING (the GriDBSCAN / STING family: DBSCAN's
+    * density semantics on a grid): quantize the first two embedding
+    * dimensions onto a data-derived [[Q220Grid]]² grid, mark CORE cells
+    * whose count is ≥ 4× the average cell density (DBSCAN's minPts as a
+    * scale-free RELATIVE threshold — the absolute count rises with the
+    * corpus, the definition doesn't), and merge 8-adjacent core cells into
+    * clusters by min-label propagation. The output is the cluster
+    * inventory a curation team reads as "how many embedding-space modes
+    * does this corpus have, and how big is each" — the density view of the
+    * structure q98's SemDeDup exploits via labels.
+    *
+    * Exactness: coordinates quantize to integer micro-units
+    * (float→double→×1e6→round is one correctly-rounded chain both engines
+    * share), grid assignment is integral multiply-divide over data-derived
+    * broadcast bounds (the q107 normalize idiom). Label propagation runs a
+    * FIXED [[Q220Rounds]] rounds in both engines — and a hard require()
+    * proves one more round changes nothing, so the fixed-round semantics
+    * equal true connected components on this data (the q79 prove-don't-
+    * assume idiom).
+    *
+    * Scale: one corpus scan → ≤ Grid² cell aggregate; every propagation
+    * round is a join over the DENSE-CELL frame (≤ Grid² rows — grid work,
+    * never point work). At 100 TB only the one scan grows.
+    */
+  def q220DensityCluster(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("CAST(round(element_at(embedding, 1) * 1000000) AS BIGINT)").as("xq"),
+        expr("CAST(round(element_at(embedding, 2) * 1000000) AS BIGINT)").as("yq"))
+    val b = pts.agg(
+      min(col("xq")).as("minx"), max(col("xq")).as("maxx"),
+      min(col("yq")).as("miny"), max(col("yq")).as("maxy"),
+      count(lit(1)).as("n"))
+    val cells = pts.crossJoin(broadcast(b))
+      .select(
+        expr(s"(xq - minx) * ${Q220Grid - 1} div greatest(1, maxx - minx)").as("cx"),
+        expr(s"(yq - miny) * ${Q220Grid - 1} div greatest(1, maxy - miny)").as("cy"),
+        expr(s"greatest(2, 4 * n div ${Q220Grid * Q220Grid})").as("minpts"))
+      .groupBy(col("cx"), col("cy"), col("minpts"))
+      .agg(count(lit(1)).as("cn"))
+    val dense = cells.filter(col("cn") >= col("minpts"))
+      .withColumn("label", col("cx") * Q220Grid + col("cy"))
+    // one round = neighborhood-min THEN pointer jump (label := the current
+    // label of the cell the label names — labels are cell ids, so the
+    // lookup is an equi-join on the id). The neighbor frame rebuilds from
+    // the CURRENT labels each round — a static initial-label frame would
+    // stall propagation at one hop and fixpoint on local minima (the bug
+    // the MiningSpec CC cross-check caught); the jump makes convergence
+    // O(log diameter) instead of O(diameter), so [[Q220Rounds]] covers any
+    // component a [[Q220Grid]]² grid can hold.
+    def step(cur: DataFrame): DataFrame = {
+      val nbr = cur.select(col("cx"), col("cy"), col("label"))
+        .withColumn("dx", explode(array((-1 to 1).map(lit(_)): _*)))
+        .withColumn("dy", explode(array((-1 to 1).map(lit(_)): _*)))
+        .select((col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"),
+          col("label").as("nbr_label"))
+      val mins = cur
+        .join(nbr, Seq("cx", "cy"))
+        .groupBy(col("cx"), col("cy"), col("cn"))
+        .agg(least(min(col("label")), min(col("nbr_label"))).as("label"))
+      val byId = mins
+        .select((col("cx") * Q220Grid + col("cy")).as("lid"), col("label").as("ptr"))
+      mins.join(byId, mins("label") === byId("lid"))
+        .select(col("cx"), col("cy"), col("cn"), col("ptr").as("label"))
+    }
+    val start = dense.select(col("cx"), col("cy"), col("cn"), col("label"))
+    // localCheckpoint per round truncates the lineage — without it the
+    // 8-fold nested self-joins send Catalyst analysis superlinear (the
+    // q46 driver-loop materialization concern); the frame is ≤ Grid²
+    // rows, so the checkpoint is metadata-cheap
+    val converged = (1 to Q220Rounds).foldLeft(start)((cur, _) =>
+      step(cur).localCheckpoint())
+    // prove convergence: one more round must be a fixpoint, so the
+    // fixed-round labels ARE the connected components of this grid
+    val extra = step(converged)
+      .select(col("cx"), col("cy"), col("label").as("label_next"))
+    require(converged.join(extra, Seq("cx", "cy"))
+      .filter(col("label") =!= col("label_next")).isEmpty,
+      s"q220: dense-cell graph did not converge in $Q220Rounds rounds")
+    converged.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("cn")).as("n_points"),
+        min(col("cx")).as("min_cx"), max(col("cx")).as("max_cx"),
+        min(col("cy")).as("min_cy"), max(col("cy")).as("max_cy"))
+      .orderBy(col("label"))
+  }
+
+  val q220Sql: String = {
+    // one round = neighborhood-min over CURRENT labels, then pointer jump
+    def step(from: String, to: String): String =
+      s"""${to}m AS MATERIALIZED (
+         |  SELECT c.cx, c.cy, c.cn,
+         |    least(min(c.label), min(p.nbr_label)) AS label
+         |  FROM $from c JOIN (
+         |    SELECT d.cx + dx.x AS cx, d.cy + dy.y AS cy, d.label AS nbr_label
+         |    FROM $from d, (VALUES (-1), (0), (1)) dx(x), (VALUES (-1), (0), (1)) dy(y)) p
+         |    ON p.cx = c.cx AND p.cy = c.cy
+         |  GROUP BY c.cx, c.cy, c.cn),
+         |$to AS MATERIALIZED (
+         |  SELECT m.cx, m.cy, m.cn, j.label AS label
+         |  FROM ${to}m m JOIN ${to}m j
+         |    ON m.label = j.cx * $Q220Grid + j.cy)""".stripMargin
+    s"""WITH pts AS (
+       |  SELECT vec_id,
+       |    CAST(round(embedding[1] * 1000000) AS BIGINT) AS xq,
+       |    CAST(round(embedding[2] * 1000000) AS BIGINT) AS yq
+       |  FROM embeddings),
+       |b AS (
+       |  SELECT min(xq) AS minx, max(xq) AS maxx, min(yq) AS miny,
+       |    max(yq) AS maxy, count(*) AS n
+       |  FROM pts),
+       |cells AS (
+       |  SELECT (xq - minx) * ${Q220Grid - 1} // greatest(1, maxx - minx) AS cx,
+       |    (yq - miny) * ${Q220Grid - 1} // greatest(1, maxy - miny) AS cy,
+       |    greatest(2, 4 * n // ${Q220Grid * Q220Grid}) AS minpts,
+       |    count(*) AS cn
+       |  FROM pts, b GROUP BY 1, 2, 3),
+       |dense AS MATERIALIZED (
+       |  SELECT cx, cy, CAST(cn AS BIGINT) AS cn, cx * $Q220Grid + cy AS label
+       |  FROM cells WHERE cn >= minpts),
+       |${(1 to Q220Rounds).map(i => step(if (i == 1) "dense" else s"l${i - 1}", s"l$i"))
+          .mkString(",\n")}
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_cells,
+       |  CAST(sum(cn) AS BIGINT) AS n_points,
+       |  min(cx) AS min_cx, max(cx) AS max_cx,
+       |  min(cy) AS min_cy, max(cy) AS max_cy
+       |FROM l$Q220Rounds GROUP BY label ORDER BY label""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_density_cluster" -> q220DensityCluster _,
     "q212_chi2_screen" -> q212Chi2Screen _,
     "q207_spatial_join" -> q207SpatialJoin _,
     "q203_k_anonymity" -> q203KAnonymity _,
@@ -624,6 +757,7 @@ object MiningOps {
     "q176_constraint_audit" -> q176ConstraintAudit _)
 
   val oracles: Map[String, String] = Map(
+    "q220_density_cluster" -> q220Sql,
     "q212_chi2_screen" -> q212Sql,
     "q207_spatial_join" -> q207Sql,
     "q203_k_anonymity" -> q203Sql,

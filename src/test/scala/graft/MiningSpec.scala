@@ -155,4 +155,41 @@ class MiningSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getAs[Long]("v_milli") >= 0L &&
       r.getAs[Long]("v_milli") <= 1000L))
   }
+
+  test("q220 clusters: labels are true connected components, points conserve, cells disjoint") {
+    val rows = MiningOps.q220DensityCluster(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // recompute dense cells + true CC driver-side (union-find), compare inventories
+    val pts = Tables(spark, sfDir, "embeddings")
+      .select(expr("CAST(round(element_at(embedding, 1) * 1000000) AS BIGINT)"),
+        expr("CAST(round(element_at(embedding, 2) * 1000000) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (minx, maxx) = (pts.map(_._1).min, pts.map(_._1).max)
+    val (miny, maxy) = (pts.map(_._2).min, pts.map(_._2).max)
+    val g = MiningOps.Q220Grid
+    val cellOf = pts.map { case (x, y) =>
+      ((x - minx) * (g - 1) / math.max(1, maxx - minx),
+        (y - miny) * (g - 1) / math.max(1, maxy - miny))
+    }
+    val counts = cellOf.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val minPts = math.max(2L, 4L * pts.length / (g * g))
+    val dense = counts.filter(_._2 >= minPts).keySet
+    // union-find over 8-adjacency
+    val parent = scala.collection.mutable.Map(dense.map(c => c -> c).toSeq: _*)
+    def find(c: (Long, Long)): (Long, Long) =
+      if (parent(c) == c) c else { val r = find(parent(c)); parent(c) = r; r }
+    for (a <- dense; dx <- -1 to 1; dy <- -1 to 1) {
+      val b = (a._1 + dx, a._2 + dy)
+      if (dense(b)) parent(find(a)) = find(b)
+    }
+    val comps = dense.groupBy(find)
+    assert(rows.length === comps.size, "one output row per true connected component")
+    val gotInventory = rows.map(r =>
+      (r.getAs[Long]("n_cells"), r.getAs[Long]("n_points"))).sorted.toSeq
+    val refInventory = comps.values.map(cs =>
+      (cs.size.toLong, cs.toSeq.map(counts).sum)).toSeq.sorted
+    assert(gotInventory === refInventory, "cluster size inventory must match true CC")
+    // conservation: every dense cell's points counted exactly once
+    assert(rows.map(_.getAs[Long]("n_points")).sum === dense.toSeq.map(counts).sum)
+  }
 }

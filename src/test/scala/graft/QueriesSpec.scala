@@ -1114,4 +1114,23 @@ class QueriesSpec extends SparkTestBase {
       assert(got(u).toLong === ref(u), s"u60=$u")
     }
   }
+
+  test("q219 closed-form CUSUM equals the sequential clamp recursion, type by type") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.EventsOps.q219Cusum(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (et, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("hour_ts"))
+      val mu = sorted.head.getAs[Long]("mu_milli")
+      var s = 0L
+      sorted.foreach { r =>
+        val d = r.getAs[Long]("x") * 1000L - mu - mu / 4
+        s = math.max(0L, s + d)
+        assert(r.getAs[Long]("s_milli") === s, s"$et @ ${r.getAs[Long]("hour_ts")}")
+        assert(r.getAs[Boolean]("alarm") === (s > mu))
+      }
+      // mu is the integral mean of the hourly counts
+      assert(mu === 1000L * sorted.map(_.getAs[Long]("x")).sum / sorted.length)
+    }
+  }
 }
