@@ -1020,7 +1020,97 @@ object EventsOps {
       |FROM pre
       |ORDER BY event_type, hour_ts""".stripMargin
 
+  /** q221 — A/B EFFECT READ-OUT by Welch's t (Welch 1947, the unequal-
+    * variance two-sample test every experimentation platform reports):
+    * per event_type, compare mean value-cents between the q184 experiment
+    * arms — same 'exp1' assignment hash, so q184 answers "is the split
+    * healthy" (SRM) and this answers "did the metric move". The t
+    * statistic and the Welch–Satterthwaite degrees of freedom both derive
+    * from the per-arm EXACT integer sufficient statistics (n, Σcents,
+    * Σcents²) — one map-side-combinable aggregate per arm — and the only
+    * float work is one correctly-rounded IEEE chain per (type) row,
+    * written with IDENTICAL expression text in both engines (the q212
+    * discipline), quantized for the hash compare. The p-value needs the
+    * t-distribution CDF (a transcendental that cannot cross engines
+    * exactly), so the row carries t and df and thresholds at |t| > 1.96 —
+    * the reader applies any exact CDF they like.
+    *
+    * Scale: one scan → (type × 2)-keyed aggregate; the read-out frame is
+    * types-sized. Sufficient statistics mean no second pass, whatever the
+    * table size.
+    */
+  def q221AbEffect(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        when(expr("CAST(conv(substring(md5(concat('exp1:', CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2 = 0"),
+          lit("A")).otherwise(lit("B")).as("variant"))
+    val per = e.groupBy(col("event_type"), col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"),
+        sum(expr("cents * cents")).as("s2"))
+    val a = per.filter(col("variant") === "A")
+      .select(col("event_type"), col("n").as("n_a"), col("s1").as("s1_a"), col("s2").as("s2_a"))
+    val b = per.filter(col("variant") === "B")
+      .select(col("event_type"), col("n").as("n_b"), col("s1").as("s1_b"), col("s2").as("s2_b"))
+    a.join(b, "event_type")
+      .withColumn("ma", expr("CAST(s1_a AS DOUBLE) / n_a"))
+      .withColumn("mb", expr("CAST(s1_b AS DOUBLE) / n_b"))
+      .withColumn("va", expr(
+        "(CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE) / n_a) / (n_a - 1)"))
+      .withColumn("vb", expr(
+        "(CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE) / n_b) / (n_b - 1)"))
+      .withColumn("se2", expr("va / n_a + vb / n_b"))
+      .withColumn("t", expr("(ma - mb) / sqrt(se2)"))
+      .withColumn("df", expr(
+        "se2 * se2 / (va * va / (n_a * n_a * (n_a - 1)) + vb * vb / (n_b * n_b * (n_b - 1)))"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        expr("CAST(round(1000 * ma) AS BIGINT)").as("mean_a_milli"),
+        expr("CAST(round(1000 * mb) AS BIGINT)").as("mean_b_milli"),
+        expr("CAST(round(1000 * t) AS BIGINT)").as("t_milli"),
+        expr("CAST(round(10 * df) AS BIGINT)").as("df_deci"),
+        expr("abs(CAST(round(1000 * t) AS BIGINT)) > 1960").as("significant"))
+      .orderBy(col("event_type"))
+  }
+
+  val q221Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |    CASE WHEN ('0x' || substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+      |         THEN 'A' ELSE 'B' END AS variant
+      |  FROM events),
+      |per AS (
+      |  SELECT event_type, variant, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(cents) AS BIGINT) AS s1, CAST(sum(cents * cents) AS BIGINT) AS s2
+      |  FROM e GROUP BY 1, 2),
+      |j AS (
+      |  SELECT a.event_type, a.n AS n_a, a.s1 AS s1_a, a.s2 AS s2_a,
+      |         b.n AS n_b, b.s1 AS s1_b, b.s2 AS s2_b
+      |  FROM (SELECT * FROM per WHERE variant = 'A') a
+      |  JOIN (SELECT * FROM per WHERE variant = 'B') b USING (event_type)),
+      |d AS (
+      |  SELECT *,
+      |    CAST(s1_a AS DOUBLE) / n_a AS ma,
+      |    CAST(s1_b AS DOUBLE) / n_b AS mb,
+      |    (CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE) / n_a) / (n_a - 1) AS va,
+      |    (CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE) / n_b) / (n_b - 1) AS vb
+      |  FROM j),
+      |s AS (
+      |  SELECT *, va / n_a + vb / n_b AS se2 FROM d),
+      |t AS (
+      |  SELECT *, (ma - mb) / sqrt(se2) AS t,
+      |    se2 * se2 / (va * va / (n_a * n_a * (n_a - 1)) + vb * vb / (n_b * n_b * (n_b - 1))) AS df
+      |  FROM s)
+      |SELECT event_type, n_a, n_b,
+      |  CAST(round(1000 * ma) AS BIGINT) AS mean_a_milli,
+      |  CAST(round(1000 * mb) AS BIGINT) AS mean_b_milli,
+      |  CAST(round(1000 * t) AS BIGINT) AS t_milli,
+      |  CAST(round(10 * df) AS BIGINT) AS df_deci,
+      |  abs(CAST(round(1000 * t) AS BIGINT)) > 1960 AS significant
+      |FROM t
+      |ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_ab_effect" -> q221AbEffect _,
     "q219_cusum" -> q219Cusum _,
     "q217_attribution" -> q217Attribution _,
     "q184_ab_assignment" -> q184AbAssignment _,
@@ -1045,6 +1135,7 @@ object EventsOps {
     "q106_markov_transitions" -> q106MarkovTransitions _)
 
   val oracles: Map[String, String] = Map(
+    "q221_ab_effect" -> q221Sql,
     "q219_cusum" -> q219Sql,
     "q217_attribution" -> q217Sql,
     "q184_ab_assignment" -> q184Sql,
