@@ -475,7 +475,90 @@ object GraphOps {
        |FROM ranked WHERE rk <= $Q216TopK
        |ORDER BY a, rk""".stripMargin
 
+  /** q222's pointer-doubling round count: depth coverage 2^8 = 256, far
+    * above the ~e·ln n expected depth of a random recursive tree at any
+    * fixture scale (a require() proves saturation at runtime).
+    */
+  private[graft] val Q222Rounds = 8
+
+  /** q222 — HIERARCHY TRAVERSAL by POINTER DOUBLING: per-node depth and
+    * fan-out over a rooted tree — the org-chart / BOM-explosion /
+    * category-tree workload `WITH RECURSIVE` serves on a single node. A
+    * recursive CTE is inherently sequential in the depth; the
+    * Spark-native answer is ancestor DOUBLING (the Wyllie pointer-jumping
+    * idiom): carry (ancestor, distance) per node and square the jump each
+    * round — anc ← anc(anc), dist ← dist + dist(anc) — so D-deep chains
+    * resolve in ⌈log2 D⌉ joins, each a node-keyed equi-join. A hard
+    * require() proves every chain saturated at the root (the q79/q220
+    * prove-don't-assume idiom), and the ORACLE runs DuckDB's native
+    * recursive CTE — two entirely different algorithms, one exact answer.
+    *
+    * The tree is a RANDOM RECURSIVE TREE derived deterministically from
+    * the fixture: parent(k) = h60('par:'||k) mod k for k > 0 (strictly
+    * smaller ⇒ acyclic, rooted at 0, expected depth e·ln n) — irregular,
+    * so no closed form short-circuits the traversal. Depth, children
+    * counts, and leaf flags are exact integers.
+    *
+    * Scale: log-depth rounds of node-keyed joins (each
+    * [[graft.queries.MiningOps.q220DensityCluster]]-style
+    * localCheckpointed), one fan-out aggregate — the 100 TB shape for
+    * billion-row hierarchies where per-level iteration would take
+    * depth-many passes.
+    */
+  def q222Hierarchy(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = graft.Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("k"))
+    val parents = nodes.select(col("k"),
+      when(col("k") === 0, lit(0L))
+        .otherwise(graft.functions.ColFns.h60(
+          concat(lit("par:"), col("k").cast("string"))) % col("k")).as("p"))
+    val start = parents.select(col("k"), col("p").as("anc"),
+      when(col("k") === 0, lit(0L)).otherwise(lit(1L)).as("dist"))
+    def jump(cur: DataFrame): DataFrame = {
+      val g = cur.select(col("k").as("gk"), col("anc").as("ganc"),
+        col("dist").as("gdist"))
+      cur.join(g, cur("anc") === g("gk"))
+        .select(col("k"), col("ganc").as("anc"),
+          (col("dist") + col("gdist")).as("dist"))
+    }
+    val resolved = (1 to Q222Rounds).foldLeft(start)((cur, _) =>
+      jump(cur).localCheckpoint())
+    require(resolved.filter(col("anc") =!= 0).isEmpty,
+      s"q222: an ancestor chain did not reach the root in 2^$Q222Rounds steps")
+    val fanout = parents.filter(col("k") =!= 0)
+      .groupBy(col("p")).agg(count(lit(1)).as("n_children"))
+    parents.join(resolved.select(col("k"), col("dist").as("depth")), "k")
+      .join(fanout.select(col("p").as("k"), col("n_children")), Seq("k"), "left")
+      .select(col("k").as("c_custkey"), col("p").as("parent"), col("depth"),
+        coalesce(col("n_children"), lit(0L)).as("n_children"),
+        (coalesce(col("n_children"), lit(0L)) === 0).as("is_leaf"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q222Sql: String =
+    """WITH RECURSIVE par AS (
+      |  SELECT c_custkey AS k,
+      |    CASE WHEN c_custkey = 0 THEN 0
+      |         ELSE ('0x' || substr(md5('par:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % c_custkey
+      |    END AS p
+      |  FROM customer),
+      |d AS (
+      |  SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS depth
+      |  UNION ALL
+      |  SELECT par.k, d.depth + 1
+      |  FROM par JOIN d ON par.p = d.k AND par.k <> 0),
+      |fan AS (
+      |  SELECT p AS k, CAST(count(*) AS BIGINT) AS n_children
+      |  FROM par WHERE k <> 0 GROUP BY p)
+      |SELECT par.k AS c_custkey, par.p AS parent, d.depth,
+      |  coalesce(fan.n_children, 0) AS n_children,
+      |  coalesce(fan.n_children, 0) = 0 AS is_leaf
+      |FROM par JOIN d ON d.k = par.k
+      |LEFT JOIN fan ON fan.k = par.k
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_hierarchy" -> q222Hierarchy _,
     "q216_link_prediction" -> q216LinkPrediction _,
     "q170_label_prop" -> q170LabelProp _,
     "q101_triangles" -> q101Triangles _,
@@ -483,6 +566,7 @@ object GraphOps {
     "q150_kcore" -> q150Kcore _)
 
   val oracles: Map[String, String] = Map(
+    "q222_hierarchy" -> q222Sql,
     "q216_link_prediction" -> q216Sql,
     "q170_label_prop" -> q170Sql,
     "q101_triangles" -> q101Sql,
