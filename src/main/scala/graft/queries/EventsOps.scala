@@ -1109,7 +1109,78 @@ object EventsOps {
       |FROM t
       |ORDER BY event_type""".stripMargin
 
+  /** q223 — TWO-SAMPLE KOLMOGOROV–SMIRNOV TEST (Smirnov 1939), the
+    * distribution-free companion to q221's Welch t: per event_type,
+    * D = sup_x |ECDF_A(x) − ECDF_B(x)| between the q184 experiment arms —
+    * the test that catches a variance or shape change the mean-based t
+    * misses entirely. The statistic is EXACT INTEGER arithmetic end to
+    * end: ECDFs only step at observed values, so over the per-(type,
+    * cents) arm counts, D·n_a·n_b = max |cumA·n_b − cumB·n_a| — one
+    * type-partitioned ordered window, BIGINT throughout, no float until
+    * the final significance compare (one correctly-rounded chain with
+    * identical text both engines: D > 1.358·sqrt((n_a+n_b)/(n_a·n_b)),
+    * the α=0.05 large-sample critical value).
+    *
+    * Scale: one scan → (type, cents)-keyed aggregate (map-side
+    * combinable), one window over the distinct-values frame, one types-
+    * sized max-agg. Overflow: cum ≤ n ≤ 2^31-ish rows/arm keeps
+    * cum·n < 2^62 through sf1000; past that the q175 DECIMAL remark.
+    */
+  def q223KsTest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        when(expr("CAST(conv(substring(md5(concat('exp1:', CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2 = 0"),
+          lit(1L)).otherwise(lit(0L)).as("in_a"))
+    val steps = e.groupBy(col("event_type"), col("cents"))
+      .agg(sum(col("in_a")).as("a_cnt"), sum(lit(1L) - col("in_a")).as("b_cnt"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy(col("event_type"))
+    steps
+      .withColumn("cum_a", sum(col("a_cnt")).over(wCum))
+      .withColumn("cum_b", sum(col("b_cnt")).over(wCum))
+      .withColumn("n_a", sum(col("a_cnt")).over(wTot))
+      .withColumn("n_b", sum(col("b_cnt")).over(wTot))
+      .groupBy(col("event_type"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))).as("d_num"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("d_num"),
+        expr("10000 * d_num div (n_a * n_b)").as("d_bp"),
+        expr("CAST(d_num AS DOUBLE) / (n_a * n_b) > 1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b))")
+          .as("significant"))
+      .orderBy(col("event_type"))
+  }
+
+  val q223Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |    CASE WHEN ('0x' || substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+      |         THEN 1 ELSE 0 END AS in_a
+      |  FROM events),
+      |steps AS (
+      |  SELECT event_type, cents, CAST(sum(in_a) AS BIGINT) AS a_cnt,
+      |    CAST(sum(1 - in_a) AS BIGINT) AS b_cnt
+      |  FROM e GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, cents, a_cnt, b_cnt,
+      |    sum(a_cnt) OVER (PARTITION BY event_type ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+      |    sum(b_cnt) OVER (PARTITION BY event_type ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+      |    sum(a_cnt) OVER (PARTITION BY event_type) AS n_a,
+      |    sum(b_cnt) OVER (PARTITION BY event_type) AS n_b
+      |  FROM steps)
+      |SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num,
+      |  CAST(10000 * max(abs(cum_a * n_b - cum_b * n_a)) // (n_a * n_b) AS BIGINT) AS d_bp,
+      |  CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE) / (n_a * n_b) >
+      |    1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b)) AS significant
+      |FROM cum
+      |GROUP BY event_type, n_a, n_b
+      |ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_ks_test" -> q223KsTest _,
     "q221_ab_effect" -> q221AbEffect _,
     "q219_cusum" -> q219Cusum _,
     "q217_attribution" -> q217Attribution _,
@@ -1135,6 +1206,7 @@ object EventsOps {
     "q106_markov_transitions" -> q106MarkovTransitions _)
 
   val oracles: Map[String, String] = Map(
+    "q223_ks_test" -> q223Sql,
     "q221_ab_effect" -> q221Sql,
     "q219_cusum" -> q219Sql,
     "q217_attribution" -> q217Sql,

@@ -1133,4 +1133,34 @@ class QueriesSpec extends SparkTestBase {
       assert(mu === 1000L * sorted.map(_.getAs[Long]("x")).sum / sorted.length)
     }
   }
+
+  test("q223 KS statistic equals a driver-side ECDF sweep, arm counts conserve") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.EventsOps.q223KsTest(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val (as, bs) = ev.filter(_._1 == et).map(t => (t._2, h60(s"exp1:${t._3}") % 2 == 0))
+        .partition(_._2)
+      val (va, vb) = (as.map(_._1).sorted, bs.map(_._1).sorted)
+      assert(r.getAs[Long]("n_a") === va.length.toLong)
+      assert(r.getAs[Long]("n_b") === vb.length.toLong)
+      // sweep the pooled step points: D*na*nb = max |cumA*nb - cumB*na|
+      val points = (va ++ vb).distinct.sorted
+      val dNum = points.map { x =>
+        val ca = va.count(_ <= x).toLong; val cb = vb.count(_ <= x).toLong
+        math.abs(ca * vb.length - cb * va.length)
+      }.max
+      assert(r.getAs[Long]("d_num") === dNum, s"$et KS numerator")
+      assert(r.getAs[Long]("d_bp") === 10000L * dNum / (va.length.toLong * vb.length))
+    }
+  }
 }
