@@ -647,7 +647,111 @@ object Curation {
       |FROM c LEFT JOIN o USING (p_cust)
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  /** q224's replicate count and the Poisson(1) cumulative thresholds —
+    * F(k) for k = 0..6, written ONCE as decimal literals and interpolated
+    * into both engines (a literal parses to the same IEEE double
+    * everywhere; the transcendental ban is on runtime libm calls, not on
+    * constants). P(W > 7) ≈ 1e-5 is the documented truncation mass.
+    */
+  private[graft] val Q224Reps = 32
+  private[graft] val Q224PoissonCdf: Seq[String] = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+    "0.9999167588507119")
+
+  /** q224 — POISSON BOOTSTRAP confidence intervals (Chamandy, Muralidharan,
+    * Najmi & Naidu 2012 — the bootstrap that works at web scale): per
+    * event_type, a ~90% percentile-bootstrap CI for the mean value-cents.
+    * The classic index-resample needs a global row numbering and B
+    * corpus-sized shuffled joins; the Poisson variant exploits
+    * Binomial(n, 1/n) → Poisson(1): give every row an INDEPENDENT
+    * deterministic Poisson(1) weight per replicate — ONE scan (exploded
+    * ×[[Q224Reps]]), all aggregation keyed by (type, replicate), no index,
+    * no extra shuffle shape beyond a groupBy.
+    *
+    * Determinism: the weight is the inverse-CDF of Poisson(1) over the
+    * md5-60 uniform — the CDF values are fixed decimal LITERALS
+    * ([[Q224PoissonCdf]]), so both engines do identical double compares;
+    * weights and weighted sums are exact BIGINTs; each replicate's mean is
+    * integral milli-units; the CI takes order statistics 2 and 31 of the
+    * 32 replicate means (≈ the 5th/95th percentile — a ~90% central
+    * interval) via a type-partitioned rank window. Same-seed reruns emit
+    * identical intervals (the q213/q84 reproducibility contract).
+    *
+    * Scale: B× the scan plus a (types×B)-keyed aggregate; the rank window
+    * runs over types×32 rows. Nothing is corpus-keyed beyond the one pass.
+    */
+  def q224PoissonBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val h60 = graft.functions.ColFns.h60 _
+    val cdfCase = Q224PoissonCdf.zipWithIndex
+      .map { case (c, k) => s"WHEN u < $c THEN ${k}L" }
+      .mkString("CASE ", " ", " ELSE 7L END")
+    val e = Tables(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val drawn = e
+      .withColumn("b", explode(array((0 until Q224Reps).map(lit(_)): _*)))
+      .withColumn("u", (h60(concat_ws(":", lit("boot"), col("b"), col("event_id"))) /
+        lit(1152921504606846976.0)))
+      .withColumn("w", expr(cdfCase))
+    val reps = drawn.groupBy(col("event_type"), col("b"))
+      .agg(sum(col("w")).as("wn"), sum(col("w") * col("cents")).as("wsum"))
+      .withColumn("rep_mean_milli", expr("1000 * wsum div wn"))
+    val wRk = Window.partitionBy(col("event_type"))
+      .orderBy(col("rep_mean_milli"), col("b"))
+    val ci = reps.withColumn("rk", row_number().over(wRk))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rk") === 2, col("rep_mean_milli"))).as("boot_lo_milli"),
+        max(when(col("rk") === Q224Reps - 1, col("rep_mean_milli"))).as("boot_hi_milli"))
+    val full = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), expr("1000 * sum(cents) div count(*)").as("mean_milli"))
+    full.join(ci, "event_type")
+      .select(col("event_type"), col("n"), col("mean_milli"),
+        col("boot_lo_milli"), col("boot_hi_milli"),
+        (col("mean_milli") >= col("boot_lo_milli") &&
+          col("mean_milli") <= col("boot_hi_milli")).as("covered"))
+      .orderBy(col("event_type"))
+  }
+
+  val q224Sql: String = {
+    val cdfCase = Q224PoissonCdf.zipWithIndex
+      .map { case (c, k) => s"WHEN u < $c THEN $k" }
+      .mkString("CASE ", " ", " ELSE 7 END")
+    s"""WITH e AS (
+       |  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |drawn AS (
+       |  SELECT event_type, cents, r.b,
+       |    ('0x' || substr(md5('boot:' || CAST(r.b AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+       |      / 1152921504606846976.0 AS u
+       |  FROM e, range($Q224Reps) r(b)),
+       |reps AS (
+       |  SELECT event_type, b, CAST(sum(w) AS BIGINT) AS wn,
+       |    CAST(sum(w * cents) AS BIGINT) AS wsum
+       |  FROM (SELECT event_type, cents, b, $cdfCase AS w FROM drawn)
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT event_type, 1000 * wsum // wn AS rep_mean_milli,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY 1000 * wsum // wn, b) AS rk
+       |  FROM reps),
+       |ci AS (
+       |  SELECT event_type,
+       |    max(CASE WHEN rk = 2 THEN rep_mean_milli END) AS boot_lo_milli,
+       |    max(CASE WHEN rk = ${Q224Reps - 1} THEN rep_mean_milli END) AS boot_hi_milli
+       |  FROM ranked GROUP BY 1),
+       |fullagg AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(1000 * sum(cents) // count(*) AS BIGINT) AS mean_milli
+       |  FROM e GROUP BY 1)
+       |SELECT f.event_type, f.n, f.mean_milli, c.boot_lo_milli, c.boot_hi_milli,
+       |  f.mean_milli >= c.boot_lo_milli AND f.mean_milli <= c.boot_hi_milli AS covered
+       |FROM fullagg f JOIN ci c USING (event_type)
+       |ORDER BY f.event_type""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_poisson_bootstrap" -> q224PoissonBootstrap _,
     "q218_pseudonymize" -> q218Pseudonymize _,
     "q213_dp_histogram" -> q213DpHistogram _,
     "q204_quantile_normalize" -> q204QuantileNormalize _,
@@ -663,6 +767,7 @@ object Curation {
     "q105_group_sample" -> q105GroupSample _)
 
   val oracles: Map[String, String] = Map(
+    "q224_poisson_bootstrap" -> q224Sql,
     "q218_pseudonymize" -> q218Sql,
     "q213_dp_histogram" -> q213Sql,
     "q204_quantile_normalize" -> q204Sql,
