@@ -1163,4 +1163,35 @@ class QueriesSpec extends SparkTestBase {
       assert(r.getAs[Long]("d_bp") === 10000L * dNum / (va.length.toLong * vb.length))
     }
   }
+
+  test("q224 bootstrap: intervals ordered, replicate weights concentrate at Poisson(1) mass") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.Curation.q224PoissonBootstrap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("boot_lo_milli") <= r.getAs[Long]("boot_hi_milli"))
+      assert(r.getAs[Long]("n") > 0L)
+    }
+    // weight law: per (type, replicate), the resample size wn is a sum of n
+    // Poisson(1) draws — mean n, sd sqrt(n); 6 sigma bounds can't flake
+    val e = Tables(spark, sfDir, "events")
+      .select(col("event_type"), col("event_id"))
+    val h60 = graft.functions.ColFns.h60 _
+    val cdfCase = graft.queries.Curation.Q224PoissonCdf.zipWithIndex
+      .map { case (c, k) => s"WHEN u < $c THEN ${k}L" }
+      .mkString("CASE ", " ", " ELSE 7L END")
+    val wn = e.withColumn("b", explode(array((0 until graft.queries.Curation.Q224Reps).map(lit(_)): _*)))
+      .withColumn("u", h60(concat_ws(":", lit("boot"), col("b"), col("event_id"))) /
+        lit(1152921504606846976.0))
+      .withColumn("w", expr(cdfCase))
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(col("w")).as("wn"), count(lit(1)).as("n"))
+      .collect()
+    wn.foreach { r =>
+      val n = r.getAs[Long]("n").toDouble
+      val dev = math.abs(r.getAs[Long]("wn") - n)
+      assert(dev <= 6 * math.sqrt(n) + 6,
+        s"${r.getAs[String]("event_type")} b=${r.getAs[Int]("b")}: wn=${r.getAs[Long]("wn")} vs n=$n")
+    }
+  }
 }
