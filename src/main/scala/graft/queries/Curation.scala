@@ -750,7 +750,59 @@ object Curation {
        |ORDER BY f.event_type""".stripMargin
   }
 
+  /** q225 — CORPUS DATASHEET ("Datasheets for Datasets", Gebru et al.
+    * 2021; the data card every corpus release ships): per source, the
+    * release-gate summary a consumer reads before training — volume
+    * (docs, whitespace tokens), mean length, language mix, exact-duplicate
+    * mass (docs sharing a normalized-text md5 fingerprint), and the
+    * quality-gate pass rate. One row per source, every figure an exact
+    * integer or integral basis points, so the datasheet is reproducible
+    * and hash-comparable — a datasheet whose numbers drift between reruns
+    * is worse than none.
+    *
+    * Scale: ONE corpus scan computes tokens/fingerprints; the per-source
+    * aggregate fuses all measures (count-distinct included) into a single
+    * pass — the q99 multi-aggregate shape applied to governance. Composes
+    * the engine's deeper audits: this is the cover page; q122 (Gini),
+    * q203/q213 (privacy), q41/q182 (near-dup mass), q33 (lang-ID) are the
+    * chapters.
+    */
+  def q225Datasheet(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("source"), col("lang"),
+        size(wsTokens(normText(col("text")))).cast("long").as("ntok"),
+        md5(normText(col("text"))).as("fp"))
+    d.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        expr("1000 * sum(ntok) div count(*)").as("mean_tokens_milli"),
+        expr("10000 * count(CASE WHEN lang = 'en' THEN 1 END) div count(*)").as("pct_en_bp"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("dup_docs"),
+        expr("10000 * (count(*) - count(DISTINCT fp)) div count(*)").as("dup_bp"),
+        expr("10000 * count(CASE WHEN ntok >= 5 THEN 1 END) div count(*)").as("quality_pass_bp"))
+      .orderBy(col("source"))
+  }
+
+  val q225Sql: String =
+    """WITH d AS (
+      |  SELECT source, lang,
+      |    CAST(len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'), t -> t <> '')) AS BIGINT) AS ntok,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+      |  CAST(1000 * sum(ntok) // count(*) AS BIGINT) AS mean_tokens_milli,
+      |  CAST(10000 * count(CASE WHEN lang = 'en' THEN 1 END) // count(*) AS BIGINT) AS pct_en_bp,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS dup_docs,
+      |  CAST(10000 * (count(*) - count(DISTINCT fp)) // count(*) AS BIGINT) AS dup_bp,
+      |  CAST(10000 * count(CASE WHEN ntok >= 5 THEN 1 END) // count(*) AS BIGINT) AS quality_pass_bp
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_datasheet" -> q225Datasheet _,
     "q224_poisson_bootstrap" -> q224PoissonBootstrap _,
     "q218_pseudonymize" -> q218Pseudonymize _,
     "q213_dp_histogram" -> q213DpHistogram _,
@@ -767,6 +819,7 @@ object Curation {
     "q105_group_sample" -> q105GroupSample _)
 
   val oracles: Map[String, String] = Map(
+    "q225_datasheet" -> q225Sql,
     "q224_poisson_bootstrap" -> q224Sql,
     "q218_pseudonymize" -> q218Sql,
     "q213_dp_histogram" -> q213Sql,

@@ -1179,7 +1179,78 @@ object EventsOps {
       |GROUP BY event_type, n_a, n_b
       |ORDER BY event_type""".stripMargin
 
+  /** q226 — WORKLOAD CORRELATION MATRIX: Pearson r between every pair of
+    * event types' hourly volume series — the capacity-planning /
+    * incident-forensics view ("error volume tracks click volume; signup
+    * doesn't") and the canonical CORR(x, y) surface. Spark and DuckDB both
+    * ship a CORR aggregate, but each accumulates floats in its own order —
+    * cross-engine hash equality is luck; the house route computes the five
+    * EXACT integer sufficient sums (n, Σx, Σy, Σx², Σy², Σxy) over the
+    * dense hour×type grid (missing hours zero-filled — a dropped zero row
+    * biases r) and spends ONE correctly-rounded float chain per pair,
+    * identical text both engines, quantized to milli-units.
+    *
+    * Scale: one hour-keyed aggregate (map-side combinable), a types²-pair
+    * join over the hours×types frame (hours-sized, not event-sized), and
+    * a pairs-sized read-out. Overflow: counts/hour ≤ ~2^20 keeps Σxy·n
+    * within Long past sf100; then the q175 DECIMAL remark.
+    */
+  def q226CorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 1000000").as("hour_ts"))
+      .agg(count(lit(1)).as("x"))
+    // dense grid: every (type, hour) cell, absent cells = 0
+    val hours = hourly.select(col("hour_ts")).distinct()
+    val types = hourly.select(col("event_type")).distinct()
+    val grid = hours.crossJoin(broadcast(types))
+      .join(hourly, Seq("event_type", "hour_ts"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    val a = grid.select(col("hour_ts"), col("event_type").as("type_a"), col("x").as("xa"))
+    val b = grid.select(col("hour_ts"), col("event_type").as("type_b"), col("x").as("xb"))
+    a.join(b, "hour_ts")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+        sum(col("xa") * col("xa")).as("sxx"),
+        sum(col("xb") * col("xb")).as("syy"),
+        sum(col("xa") * col("xb")).as("sxy"))
+      .withColumn("r_milli", expr(
+        "CAST(round(1000 * (CAST(n * sxy - sx * sy AS DOUBLE) / " +
+          "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)"))
+      .select(col("type_a"), col("type_b"), col("n"), col("sxy"), col("r_milli"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val q226Sql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(date_trunc('hour', ts)) // 1000000 AS hour_ts,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT t.event_type, h.hour_ts, coalesce(v.x, 0) AS x
+      |  FROM (SELECT DISTINCT hour_ts FROM hourly) h
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t
+      |  LEFT JOIN hourly v ON v.event_type = t.event_type AND v.hour_ts = h.hour_ts),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(a.x) AS BIGINT) AS sx, CAST(sum(b.x) AS BIGINT) AS sy,
+      |    CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+      |    CAST(sum(b.x * b.x) AS BIGINT) AS syy,
+      |    CAST(sum(a.x * b.x) AS BIGINT) AS sxy
+      |  FROM grid a JOIN grid b
+      |    ON a.hour_ts = b.hour_ts AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n, sxy,
+      |  CAST(round(1000 * (CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT) AS r_milli
+      |FROM pairs
+      |ORDER BY type_a, type_b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_corr_matrix" -> q226CorrMatrix _,
     "q223_ks_test" -> q223KsTest _,
     "q221_ab_effect" -> q221AbEffect _,
     "q219_cusum" -> q219Cusum _,
@@ -1206,6 +1277,7 @@ object EventsOps {
     "q106_markov_transitions" -> q106MarkovTransitions _)
 
   val oracles: Map[String, String] = Map(
+    "q226_corr_matrix" -> q226Sql,
     "q223_ks_test" -> q223Sql,
     "q221_ab_effect" -> q221Sql,
     "q219_cusum" -> q219Sql,

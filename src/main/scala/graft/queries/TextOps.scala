@@ -792,7 +792,64 @@ object TextOps {
        |ORDER BY lang""".stripMargin
   }
 
+  /** q227 — READABILITY SCORING (Flesch–Kincaid grade level, Kincaid et
+    * al. 1975): the classic surface-form readability signal modern
+    * edu-quality corpus filters (the FineWeb-Edu lineage) still lean on —
+    * grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59,
+    * with sentences counted as terminator runs (`[.!?]+`) and syllables
+    * by the standard vowel-group heuristic (`[aeiouy]+` over the
+    * normalized text — spaces break groups, so no per-word explode is
+    * needed). All three counts are exact integers from codegen'd regexp
+    * matching; the grade is one correctly-rounded float chain per row
+    * over literal constants (identical text both engines), quantized to
+    * centi-units; the band column is the integer-threshold read a
+    * curation gate actually filters on.
+    *
+    * Scale: pure per-row scalar work in one scan — zero shuffles before
+    * the ordered dump. The cheapest quality dial in the whole q31/q166/
+    * q209 ladder.
+    */
+  def q227Readability(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(wsTokens(normText(col("text")))).cast("long").as("words"),
+        greatest(lit(1L),
+          expr("CAST(size(regexp_extract_all(text, '[.!?]+', 0)) AS BIGINT)")).as("sentences"),
+        expr("CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT)").as("syllables"))
+      .filter(col("words") > 0)
+      .withColumn("fk_centi", expr(
+        "CAST(round(100 * (0.39 * (CAST(words AS DOUBLE) / sentences) + " +
+          "11.8 * (CAST(syllables AS DOUBLE) / words) - 15.59)) AS BIGINT)"))
+      .withColumn("band",
+        when(col("fk_centi") < 600, "elementary")
+          .when(col("fk_centi") < 1000, "middle")
+          .when(col("fk_centi") < 1400, "high_school")
+          .otherwise("college"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q227Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'), t -> t <> '')) AS BIGINT) AS words,
+      |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS sentences,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syllables
+      |  FROM documents)
+      |SELECT doc_id, words, sentences, syllables,
+      |  CAST(round(100 * (0.39 * (CAST(words AS DOUBLE) / sentences) +
+      |    11.8 * (CAST(syllables AS DOUBLE) / words) - 15.59)) AS BIGINT) AS fk_centi,
+      |  CASE WHEN CAST(round(100 * (0.39 * (CAST(words AS DOUBLE) / sentences) +
+      |    11.8 * (CAST(syllables AS DOUBLE) / words) - 15.59)) AS BIGINT) < 600 THEN 'elementary'
+      |       WHEN CAST(round(100 * (0.39 * (CAST(words AS DOUBLE) / sentences) +
+      |    11.8 * (CAST(syllables AS DOUBLE) / words) - 15.59)) AS BIGINT) < 1000 THEN 'middle'
+      |       WHEN CAST(round(100 * (0.39 * (CAST(words AS DOUBLE) / sentences) +
+      |    11.8 * (CAST(syllables AS DOUBLE) / words) - 15.59)) AS BIGINT) < 1400 THEN 'high_school'
+      |       ELSE 'college' END AS band
+      |FROM d WHERE words > 0
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_readability" -> q227Readability _,
     "q142_bpe_encode" -> q142BpeEncode _,
     "q132_bpe_merges" -> q132BpeMerges _,
     "q108_keywords" -> q108Keywords _,
@@ -838,6 +895,7 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q227_readability" -> q227Sql,
     "q132_bpe_merges" -> q132Sql,
     "q142_bpe_encode" -> q142Sql,
     "q108_keywords" -> q108Sql,
