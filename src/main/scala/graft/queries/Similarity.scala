@@ -421,7 +421,7 @@ object Similarity {
     val rows = out.collect()
     cands.unpersist(blocking = true)
     val sc = spark.sparkContext
-    (sc.getPersistentRDDs.keySet -- persistedBefore).foreach { id =>
+    (sc.getPersistentRDDs.keySet.toSet -- persistedBefore).foreach { id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true))
     }
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)

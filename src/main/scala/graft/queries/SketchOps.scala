@@ -152,10 +152,10 @@ object SketchOps {
   private[graft] def cmsEstimate(keys: DataFrame, counters: DataFrame): DataFrame = {
     val probes = withCmsHashes(keys)
       .select(col("*"), cmsRows)
-      .select(keys.columns.map(col) :+ col("j") :+
+      .select(keys.columns.toIndexedSeq.map(col) :+ col("j") :+
         pmod(col("h1") + col("j") * col("h2"), lit(64L)).as("bucket"): _*)
     probes.join(broadcast(counters), Seq("j", "bucket"))
-      .groupBy(keys.columns.map(col): _*)
+      .groupBy(keys.columns.toIndexedSeq.map(col): _*)
       .agg(min(col("cnt")).as("est_cnt"))
   }
 

@@ -274,11 +274,11 @@ final class VersionedTable(
     // both sides already pruned to the touched buckets
     val ch = resolved.select(
       col(keyCol) +: col("op").as("_op") +:
-        payloadCols.map(c => col(c).as(s"_new_$c")): _*)
+        payloadCols.toIndexedSeq.map(c => col(c).as(s"_new_$c")): _*)
     val merged = old.join(ch, Seq(keyCol), "full_outer")
       .filter(col("_op").isNull || col("_op") === "upsert")
       .select(
-        col(keyCol) +: payloadCols.map { c =>
+        col(keyCol) +: payloadCols.toIndexedSeq.map { c =>
           when(col("_op") === "upsert", col(s"_new_$c")).otherwise(col(c)).as(c)
         }: _*)
     val adds = writeDataFiles(merged, next, nB)
