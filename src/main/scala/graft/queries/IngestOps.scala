@@ -1283,6 +1283,88 @@ object IngestOps {
       |  CAST(sum(length(t)) AS BIGINT) AS sum_chars
       |FROM s WHERE present GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q229 — LINEAR-SKETCH IVM: maintain a Count-Min sketch THROUGH the CDC
+    * feed instead of rebuilding it — possible precisely because CMS is a
+    * LINEAR transform of the frequency vector (Cormode & Muthukrishnan
+    * 2005): an insert adds its tokens' contributions, a delete SUBTRACTS
+    * the pre-image's (the old_* columns the q195 feed carries), an update
+    * does both — and counter tables merge by elementwise sum. This is the
+    * sketch the table layer can keep fresh under DELETES, where HLL/KMV
+    * structurally cannot (max-merge forgets nothing): the deletable-
+    * summary story every GDPR-era pipeline needs (q214 erases the rows;
+    * this keeps the derived sketch consistent without a rescan).
+    *
+    * The q137 CMS shape (4 md5 hash rows × 64 buckets) builds over the
+    * token stream of versioned-table snapshot v1, the delta aggregates
+    * ONLY `changes(1, 4)` (bucket-pruned, ± token contributions), and the
+    * merged counters hash-match the oracle's from-scratch CMS over the
+    * reconstructed v4 snapshot — the identity CMS(v1) ⊕ Δ(feed) = CMS(v4)
+    * proved cross-engine. Zero cells drop on both sides (a from-scratch
+    * build never emits them; exactness guarantees merged cells hit 0, not
+    * negative).
+    *
+    * Scale: the delta pays changes-sized token work, never table-sized;
+    * counters are 256 rows whatever the corpus.
+    */
+  def q229CmsIvm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.TextOps.{normText, wsTokens}
+    val t = versionedDocsTable(spark, dir)
+    val cmsJ = explode(array((0 until 4).map(lit(_)): _*)).as("j")
+    def counters(df: DataFrame, textCol: String, weightCol: org.apache.spark.sql.Column) = df
+      .select(explode(wsTokens(normText(col(textCol)))).as("tok"), weightCol.as("w"))
+      .select(col("w"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(col("tok")), 17, 13), 16, 10).cast("long").as("h2"))
+      .select(col("w"), col("h1"), col("h2"), cmsJ)
+      .groupBy(col("j"), expr("(h1 + j * h2) % 64").as("bucket"))
+      .agg(sum(col("w")).as("cnt"))
+    val base = counters(t.read(1L), "text", lit(1L))
+    val ch = t.changes(1L, 4L)
+    val delta = counters(
+      ch.filter(col("change_type") =!= "delete")
+        .select(col("text").as("txt"), lit(1L).as("w0"))
+        .unionByName(ch.filter(col("change_type") =!= "insert")
+          .select(col("old_text").as("txt"), lit(-1L).as("w0"))),
+      "txt", col("w0"))
+    base.select(col("j"), col("bucket"), col("cnt"))
+      .join(delta.select(col("j"), col("bucket"), col("cnt").as("d")),
+        Seq("j", "bucket"), "full_outer")
+      .select(col("j"), col("bucket"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("d"), lit(0L))).as("cnt"))
+      .filter(col("cnt") =!= 0)
+      .orderBy(col("j"), col("bucket"))
+  }
+
+  /** Oracle: the from-scratch CMS over the reconstructed v4 snapshot (the
+    * q196 reconstruction CASEs) — equality IS the linear-IVM identity.
+    */
+  val q229Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 6 = 0 THEN text || ' v4'
+      |         WHEN doc_id % 5 = 0 AND doc_id % 9 <> 0 THEN text || ' v3'
+      |         WHEN doc_id % 4 = 0 AND doc_id % 7 <> 0 THEN text || ' v2'
+      |         ELSE text END AS t,
+      |    CASE WHEN doc_id % 6 = 0 THEN TRUE
+      |         WHEN doc_id % 9 = 0 THEN FALSE
+      |         WHEN doc_id % 5 = 0 THEN TRUE
+      |         WHEN doc_id % 7 = 0 THEN FALSE
+      |         WHEN doc_id % 4 = 0 THEN TRUE
+      |         ELSE doc_id % 3 <> 0 END AS present
+      |  FROM documents),
+      |toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(trim(regexp_replace(lower(t), '\s+', ' ', 'g')), '\s+'), x -> x <> '')) AS tok
+      |  FROM s WHERE present),
+      |h AS (
+      |  SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h1,
+      |    ('0x' || substr(md5(tok), 17, 13))::BIGINT AS h2
+      |  FROM toks),
+      |j AS (SELECT unnest([0, 1, 2, 3]) AS j)
+      |SELECT j, (h1 + j * h2) % 64 AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      |FROM h CROSS JOIN j
+      |GROUP BY 1, 2
+      |ORDER BY j, bucket""".stripMargin
+
   /** q214's erasure-request predicate modulus: keys with
     * h60(key:gdpr) % 20 == 0 (~5%) file requests — deterministic, so the
     * oracle recomputes the request set from the source table.
@@ -1517,6 +1599,7 @@ object IngestOps {
     "q208_state_timers" -> q208StateTimers _,
     "q206_transform_with_state" -> q206TransformWithState _,
     "q202_ivm_from_changes" -> q202IvmFromChanges _,
+    "q229_cms_ivm" -> q229CmsIvm _,
     "q214_erasure" -> q214Erasure _,
     "q200_stream_table_sink" -> q200StreamTableSink _,
     "q195_table_changes" -> q195TableChanges _,
@@ -1545,6 +1628,7 @@ object IngestOps {
     "q208_state_timers" -> q208Sql,
     "q206_transform_with_state" -> q206Sql,
     "q202_ivm_from_changes" -> q202Sql,
+    "q229_cms_ivm" -> q229Sql,
     "q214_erasure" -> q214Sql,
     "q200_stream_table_sink" -> q200Sql,
     "q195_table_changes" -> q195Sql,
