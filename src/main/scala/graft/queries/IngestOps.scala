@@ -1365,6 +1365,93 @@ object IngestOps {
       |GROUP BY 1, 2
       |ORDER BY j, bucket""".stripMargin
 
+  /** q230 — SNAPSHOT-ISOLATED STREAMING ENRICHMENT: a stream joined
+    * against the versioned table READ AT A PINNED VERSION, with a
+    * CONCURRENT WRITER committing mid-stream. The reproducibility property
+    * this proves is the one production pipelines silently lack when they
+    * enrich against "the current table": here every micro-batch joins the
+    * same immutable v3 file set — the pin is the file list itself, so
+    * commits v4/v5 landing between triggers change NOTHING — and the
+    * mid-stream commit is real (foreachBatch publishes a new version
+    * after the first batch; a hard require() proves the table DID move
+    * while the output stayed v3-pure). The oracle reconstructs the v3
+    * snapshot and the whole join in SQL: any leak of the newer commit
+    * breaks the hash.
+    *
+    * Scale: the pinned side is a bucket-pruned parquet read like any
+    * other; at 100 TB it broadcasts if dimension-sized or bucket-joins if
+    * not — pinning costs nothing but the manifest lookup. This row closes
+    * the loop between the streaming family (q133's enrich) and the table
+    * layer (q192's time travel): the same snapshot contract, composed.
+    */
+  def q230PinnedEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val fix = ReplayFixtures.ensure(dir, "q230", Seq("events")) { root =>
+      Tables(spark, dir, "events").filter(col("event_type") === "purchase")
+        .repartition(3).write.parquet(s"$root/purch")
+    }
+    val base = ReplayFixtures.runRoot(dir, "q230")
+    val ss = ReplayFixtures.replaySession(spark)
+    val t = versionedDocsTable(ss, dir, tag = "q230")
+    val v0 = t.currentVersion() // 4 on first build; grows with re-runs below
+    // the PIN: v3's immutable file list, resolved once
+    val dim = t.read(3L)
+      .select(pmod(col("doc_id"), lit(1000L)).as("user_key"),
+        md5(col("text")).as("text_h"), col("lang"))
+      .groupBy(col("user_key"))
+      .agg(min(col("text_h")).as("text_h"), min(col("lang")).as("lang"))
+    val stream = graft.streaming.EventStream.readEventStream(
+      ss, s"$fix/purch", maxFilesPerTrigger = 2)
+      .withColumn("user_key", pmod(col("user_id"), lit(1000L)))
+    val q = stream.join(dim, "user_key")
+      .select(col("event_id"), col("user_id"), col("text_h"), col("lang"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        batch.write.mode("append").parquet(s"$base/out")
+        if (bid == 0) {
+          // the concurrent writer: a real commit lands between triggers
+          val ch = Tables(ss, dir, "documents").limit(50)
+            .select(col("doc_id"), lit("upsert").as("op"),
+              concat(col("text"), lit(" concurrent")).as("text"), col("lang"))
+          t.merge(ch, t.currentVersion())
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    require(t.currentVersion() > v0,
+      "q230 must demonstrate a real mid-stream commit — the table did not move")
+    spark.read
+      .schema("event_id BIGINT, user_id BIGINT, text_h STRING, lang STRING")
+      .parquet(s"$base/out")
+      .orderBy(col("event_id"))
+  }
+
+  /** Oracle: the v3 snapshot reconstruction (q192's CASEs) collapsed to
+    * the user_key dimension, joined to the purchase events — v3-pure by
+    * construction; the " concurrent" upsert must be invisible.
+    */
+  val q230Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 5 = 0 AND doc_id % 9 <> 0 THEN text || ' v3'
+      |         WHEN doc_id % 4 = 0 AND doc_id % 7 <> 0 THEN text || ' v2'
+      |         ELSE text END AS t,
+      |    CASE WHEN doc_id % 5 = 0 AND doc_id % 9 <> 0 THEN TRUE
+      |         WHEN doc_id % 9 = 0 THEN FALSE
+      |         WHEN doc_id % 4 = 0 AND doc_id % 7 <> 0 THEN TRUE
+      |         WHEN doc_id % 7 = 0 THEN FALSE
+      |         ELSE doc_id % 3 <> 0 END AS present
+      |  FROM documents),
+      |dim AS (
+      |  SELECT doc_id % 1000 AS user_key, min(md5(t)) AS text_h, min(lang) AS lang
+      |  FROM s WHERE present GROUP BY 1)
+      |SELECT e.event_id, e.user_id, d.text_h, d.lang
+      |FROM events e JOIN dim d ON e.user_id % 1000 = d.user_key
+      |WHERE e.event_type = 'purchase'
+      |ORDER BY e.event_id""".stripMargin
+
   /** q214's erasure-request predicate modulus: keys with
     * h60(key:gdpr) % 20 == 0 (~5%) file requests — deterministic, so the
     * oracle recomputes the request set from the source table.
@@ -1600,6 +1687,7 @@ object IngestOps {
     "q206_transform_with_state" -> q206TransformWithState _,
     "q202_ivm_from_changes" -> q202IvmFromChanges _,
     "q229_cms_ivm" -> q229CmsIvm _,
+    "q230_pinned_enrich" -> q230PinnedEnrich _,
     "q214_erasure" -> q214Erasure _,
     "q200_stream_table_sink" -> q200StreamTableSink _,
     "q195_table_changes" -> q195TableChanges _,
@@ -1629,6 +1717,7 @@ object IngestOps {
     "q206_transform_with_state" -> q206Sql,
     "q202_ivm_from_changes" -> q202Sql,
     "q229_cms_ivm" -> q229Sql,
+    "q230_pinned_enrich" -> q230Sql,
     "q214_erasure" -> q214Sql,
     "q200_stream_table_sink" -> q200Sql,
     "q195_table_changes" -> q195Sql,
