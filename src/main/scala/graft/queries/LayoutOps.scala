@@ -341,7 +341,74 @@ object LayoutOps {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q231 — DICTIONARY-ENCODING SIZE PLANNER: per column, the estimated
+    * bytes under (a) plain text encoding (the CSV baseline: Σ value-text
+    * lengths) and (b) dictionary encoding (distinct values' text bytes +
+    * bit-packed indexes at ⌈log2 ndv⌉ bits/row) — the arithmetic behind
+    * parquet's own encoding choice and the first question of storage
+    * planning ("which columns pay for a dictionary"). Low-cardinality
+    * enums compress ~50×; a high-cardinality key column INFLATES under a
+    * dictionary (indexes + a dictionary nearly as big as the data) — the
+    * audit shows both regimes and flags the win.
+    *
+    * Exact integers: value-text lengths (string and BIGINT columns only —
+    * integer decimal text is identical across engines, float text is
+    * not), ndv, index bits = bit-length of (ndv−1) via the shared `bin`
+    * idiom, ⌈·⌉ divisions shifted non-negative. Per column: one scan with
+    * a count-distinct — fusable into one pass per TABLE at 100 TB (the
+    * q99 move); the ndv for the estimate would come from the q177 HLL
+    * registers at scale, exact here so the oracle can restate it.
+    */
+  def q231EncodingEstimate(spark: SparkSession, dir: String): DataFrame = {
+    def est(table: String, column: String): DataFrame = {
+      val v = Tables(spark, dir, table)
+        .select(col(column).cast("string").as("v"))
+      val perValue = v.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      perValue.agg(
+          sum(col("cnt")).as("n"),
+          count(lit(1)).as("ndv"),
+          sum(length(col("v")) * col("cnt")).as("raw_bytes"),
+          sum(length(col("v"))).as("dict_value_bytes"))
+        .select(lit(table).as("table_name"), lit(column).as("column_name"),
+          col("n"), col("ndv"), col("raw_bytes"),
+          expr("CAST(dict_value_bytes + (n * greatest(1, length(bin(ndv - 1))) + 7) div 8 AS BIGINT)")
+            .as("dict_bytes"),
+          expr("CAST(10000 * (dict_value_bytes + (n * greatest(1, length(bin(ndv - 1))) + 7) div 8) div raw_bytes AS BIGINT)")
+            .as("dict_ratio_bp"))
+    }
+    Seq(
+      est("lineitem", "l_returnflag"), est("orders", "o_orderpriority"),
+      est("documents", "lang"), est("documents", "source"),
+      est("customer", "c_mktsegment"), est("lineitem", "l_partkey"),
+      est("orders", "o_custkey"))
+      .reduce(_.unionByName(_))
+      .withColumn("dict_wins", col("dict_bytes") < col("raw_bytes"))
+      .orderBy(col("table_name"), col("column_name"))
+  }
+
+  val q231Sql: String = {
+    def block(table: String, column: String): String =
+      s"""SELECT '$table' AS table_name, '$column' AS column_name,
+         |  n, ndv, raw_bytes,
+         |  CAST(dict_value_bytes + (n * greatest(1, length(bin(ndv - 1))) + 7) // 8 AS BIGINT) AS dict_bytes,
+         |  CAST(10000 * (dict_value_bytes + (n * greatest(1, length(bin(ndv - 1))) + 7) // 8) // raw_bytes AS BIGINT) AS dict_ratio_bp,
+         |  (dict_value_bytes + (n * greatest(1, length(bin(ndv - 1))) + 7) // 8) < raw_bytes AS dict_wins
+         |FROM (
+         |  SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS ndv,
+         |    CAST(sum(length(v) * cnt) AS BIGINT) AS raw_bytes,
+         |    CAST(sum(length(v)) AS BIGINT) AS dict_value_bytes
+         |  FROM (SELECT CAST($column AS VARCHAR) AS v, count(*) AS cnt
+         |        FROM $table GROUP BY 1))""".stripMargin
+    Seq(
+      block("lineitem", "l_returnflag"), block("orders", "o_orderpriority"),
+      block("documents", "lang"), block("documents", "source"),
+      block("customer", "c_mktsegment"), block("lineitem", "l_partkey"),
+      block("orders", "o_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_name")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_encoding_estimate" -> q231EncodingEstimate _,
     "q215_bucketed_join" -> q215BucketedJoin _,
     "q107_zorder_layout" -> q107ZorderLayout _,
     "q178_compaction_plan" -> q178CompactionPlan _,
@@ -349,6 +416,7 @@ object LayoutOps {
     "q193_avro_roundtrip" -> q193AvroRoundtrip _)
 
   val oracles: Map[String, String] = Map(
+    "q231_encoding_estimate" -> q231Sql,
     "q215_bucketed_join" -> q215Sql,
     "q107_zorder_layout" -> q107Sql,
     "q178_compaction_plan" -> q178Sql,

@@ -898,4 +898,25 @@ class PlanSpec extends SparkTestBase {
     assert(fullShuffles.size <= 2,
       s"only the rollup (partial/final) may exchange, got ${fullShuffles.size}:\n${finalPlan(full)}")
   }
+
+  test("q211/q216/q217: candidate and scoring joins stay equi-keyed — no cartesian, no nested loop") {
+    for (df <- Seq(graft.queries.Dedup.q211ContainmentJoin(spark, sfDir),
+                   GraphOps.q216LinkPrediction(spark, sfDir),
+                   EventsOps.q217Attribution(spark, sfDir))) {
+      df.collect()
+      val s = finalPlan(df)
+      assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+      assert(!s.contains("BroadcastNestedLoopJoin"),
+        s"prefix/degree-cap/user-keyed joins must stay equi-keyed:\n$s")
+    }
+  }
+
+  test("q226: the only cross product is the documented tiny hours x types grid") {
+    val df = EventsOps.q226CorrMatrix(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    // the dense-grid crossJoin is types-sized and broadcast by construction;
+    // the pair join itself must be hour-keyed equi
+    assert(!s.contains("CartesianProduct"), s"grid must broadcast, pairs must equi-join:\n$s")
+  }
 }
