@@ -638,7 +638,64 @@ object Relational {
       |  CAST(count(*) AS BIGINT) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q232 — the SQL-TEXT API surface: the same engine driven entirely
+    * through `spark.sql(...)` over registered temp views — no DataFrame
+    * combinators at all. The query itself is a deliberately layered
+    * statement (CTE → dimension join → window rank → HAVING-filtered
+    * rollup) so Catalyst's SQL path exercises the planner features the
+    * DataFrame rows use: a user of this library can hand it raw ANSI SQL
+    * and get the identical optimizer treatment (the oracle runs the SAME
+    * text, modulo DuckDB's `//`). The one Spark-ism is `div` for integral
+    * division — kept because cross-engine integer semantics is the
+    * project's exactness bedrock.
+    */
+  def q232SqlApi(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("g_orders")
+    Tables(spark, dir, "customer").createOrReplaceTempView("g_customer")
+    Tables(spark, dir, "nation").createOrReplaceTempView("g_nation")
+    spark.sql(
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |    count(*) AS n_orders
+        |  FROM g_orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT n.n_name, c.c_custkey, s.cents, s.n_orders,
+        |    row_number() OVER (PARTITION BY n.n_name
+        |      ORDER BY s.cents DESC, c.c_custkey) AS rk
+        |  FROM spend s
+        |  JOIN g_customer c ON c.c_custkey = s.o_custkey
+        |  JOIN g_nation n ON n.n_nationkey = c.c_nationkey)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_top,
+        |  CAST(sum(cents) AS BIGINT) AS top_cents,
+        |  CAST(sum(n_orders) AS BIGINT) AS top_orders
+        |FROM ranked WHERE rk <= 5
+        |GROUP BY n_name HAVING count(*) >= 3
+        |ORDER BY n_name""".stripMargin)
+  }
+
+  val q232Sql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY o_custkey),
+      |ranked AS (
+      |  SELECT n.n_name, c.c_custkey, s.cents, s.n_orders,
+      |    row_number() OVER (PARTITION BY n.n_name
+      |      ORDER BY s.cents DESC, c.c_custkey) AS rk
+      |  FROM spend s
+      |  JOIN customer c ON c.c_custkey = s.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey)
+      |SELECT n_name, CAST(count(*) AS BIGINT) AS n_top,
+      |  CAST(sum(cents) AS BIGINT) AS top_cents,
+      |  CAST(sum(n_orders) AS BIGINT) AS top_orders
+      |FROM ranked WHERE rk <= 5
+      |GROUP BY n_name HAVING count(*) >= 3
+      |ORDER BY n_name""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_sql_api" -> q232SqlApi _,
     "q205_mv_rewrite" -> q205MvRewrite _,
     "q115_drift_detect" -> q115DriftDetect _,
     "q109_histogram" -> q109Histogram _,
@@ -667,6 +724,7 @@ object Relational {
     "q18_date_buckets" -> q18DateBuckets _)
 
   val oracles: Map[String, String] = Map(
+    "q232_sql_api" -> q232Sql,
     "q205_mv_rewrite" -> q205Sql,
     "q27_skew_salted" -> q27Sql,
     "q96_window_ranks" -> q96Sql,
