@@ -801,7 +801,89 @@ object Curation {
       |  CAST(10000 * count(CASE WHEN ntok >= 5 THEN 1 END) // count(*) AS BIGINT) AS quality_pass_bp
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  /** q233 — the END-TO-END CURATION PIPELINE as one lineage: quality gate
+    * → exact dedup → deterministic split → token budget, the minimal
+    * "raw corpus in, training manifest out" path every release runs, here
+    * as a single Catalyst plan so the optimizer sees the WHOLE pipeline
+    * (filters push below the dedup window; the split assignment is a
+    * projection; nothing materializes between stages). Stages are the
+    * engine's own published semantics, composed: the q225 quality gate
+    * (ntok ≥ 5), keep-min-doc_id exact dedup over the normalized-text
+    * fingerprint (the q12/q32 contract), the q84 80/10/10 hash split, and
+    * the perfectly-packed sequence LOWER BOUND ⌈Σ ntok / 256⌉ per cell
+    * (the q49/q97 packers realize it; the bound is the budget figure).
+    *
+    * Per (split, lang): surviving docs, tokens, dropped-by-quality and
+    * dropped-as-dup counts ride along so the manifest shows what the
+    * pipeline did, not just what survived. Everything integral.
+    *
+    * Scale: one scan; the dedup window shuffles on the fingerprint (the
+    * only corpus-keyed exchange); the rollup is cells-sized. This is the
+    * row that proves the operators compose into the product the library
+    * exists for.
+    */
+  def q233PipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(wsTokens(normText(col("text")))).cast("long").as("ntok"),
+        md5(normText(col("text"))).as("fp"))
+      .withColumn("q_pass", col("ntok") >= 5)
+    val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val staged = d.filter(col("q_pass"))
+      .withColumn("rn", row_number().over(wFp))
+      .withColumn("keep", col("rn") === 1)
+    val bucket = graft.functions.ColFns.h60(col("doc_id")) % 100
+    val kept = staged.filter(col("keep"))
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+    val dropped = d.groupBy(col("lang"))
+      .agg(count(when(!col("q_pass"), 1)).as("dropped_quality"))
+    val dups = staged.groupBy(col("lang"))
+      .agg(count(when(!col("keep"), 1)).as("dropped_dup"))
+    kept.groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+        expr("(sum(ntok) + 255) div 256").as("n_seq_lb"))
+      .join(broadcast(dropped), "lang")
+      .join(broadcast(dups), "lang")
+      .select(col("split"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_seq_lb"), col("dropped_quality"), col("dropped_dup"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val q233Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'), t -> t <> '')) AS BIGINT) AS ntok,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |q AS (SELECT *, ntok >= 5 AS q_pass FROM d),
+      |staged AS (
+      |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS keep
+      |  FROM q WHERE q_pass),
+      |kept AS (
+      |  SELECT lang, ntok,
+      |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+      |        FROM staged WHERE keep)),
+      |dropped AS (
+      |  SELECT lang, CAST(count(CASE WHEN NOT q_pass THEN 1 END) AS BIGINT) AS dropped_quality
+      |  FROM q GROUP BY lang),
+      |dups AS (
+      |  SELECT lang, CAST(count(CASE WHEN NOT keep THEN 1 END) AS BIGINT) AS dropped_dup
+      |  FROM staged GROUP BY lang)
+      |SELECT k.split, k.lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(k.ntok) AS BIGINT) AS n_tokens,
+      |  CAST((sum(k.ntok) + 255) // 256 AS BIGINT) AS n_seq_lb,
+      |  max(dr.dropped_quality) AS dropped_quality,
+      |  max(du.dropped_dup) AS dropped_dup
+      |FROM kept k
+      |JOIN dropped dr ON dr.lang = k.lang
+      |JOIN dups du ON du.lang = k.lang
+      |GROUP BY k.split, k.lang
+      |ORDER BY k.split, k.lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_pipeline_e2e" -> q233PipelineE2e _,
     "q225_datasheet" -> q225Datasheet _,
     "q224_poisson_bootstrap" -> q224PoissonBootstrap _,
     "q218_pseudonymize" -> q218Pseudonymize _,
@@ -819,6 +901,7 @@ object Curation {
     "q105_group_sample" -> q105GroupSample _)
 
   val oracles: Map[String, String] = Map(
+    "q233_pipeline_e2e" -> q233Sql,
     "q225_datasheet" -> q225Sql,
     "q224_poisson_bootstrap" -> q224Sql,
     "q218_pseudonymize" -> q218Sql,
