@@ -370,7 +370,99 @@ object TrainPrep {
        |FROM s JOIN f USING (span)
        |GROUP BY batch ORDER BY batch""".stripMargin
 
+
+  /** q234's negatives per anchor and the dense-index bucket count. */
+  private[graft] val Q234K = 4
+  private[graft] val Q234Buckets = 32
+
+  /** q234 — DETERMINISTIC NEGATIVE SAMPLING for contrastive training:
+    * per anchor document, [[Q234K]] uniform negatives drawn from the
+    * whole corpus, EXCLUDING content-identical docs (fingerprint match —
+    * a "negative" that is the anchor's duplicate poisons the loss), every
+    * draw recomputable from ids alone (the q84/q57 statelessness
+    * contract). Complements q113: hard-negative mining picks the CLOSEST
+    * non-matches via ANN; this picks the unbiased background sample the
+    * same training batch also needs.
+    *
+    * The interesting scale problem is "index the corpus densely 0..n−1 so
+    * a hash can address a uniform row" WITHOUT a global window (a
+    * single-partition row_number is the engine's canonical scale-killer):
+    * bucket every doc by hash, row_number WITHIN each bucket (group-
+    * partitioned window), prefix-sum the 32 bucket counts (a 32-row
+    * frame), and idx = bucket_offset + local_rn − 1 — a dense permutation
+    * built from one keyed window plus broadcast-sized offset arithmetic.
+    * Draw j for anchor a targets idx = h60(a:j) mod n; a draw whose
+    * target shares the anchor's fingerprint is REJECTED (deterministically
+    * — the row just doesn't emit; the collision rate is the dup rate, and
+    * a consumer needing exactly k redraws with j' = k + j the same way).
+    *
+    * Scale: one fingerprint scan, one bucket-keyed window, one
+    * (idx)-keyed equi-join of anchors×k against the indexed corpus — no
+    * global sort anywhere.
+    */
+  def q234NegativeSampling(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.TextOps.{normText}
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), md5(normText(col("text"))).as("fp"))
+    val bucketed = d.withColumn("b",
+      pmod(ColFns.h60(concat(lit("nsix:"), col("doc_id").cast("string"))), lit(Q234Buckets.toLong)))
+    val wB = Window.partitionBy(col("b")).orderBy(col("doc_id"))
+    val local = bucketed.withColumn("rn", row_number().over(wB))
+    val counts = local.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+    val wOff = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the offsets window is over the 32-row bucket-count frame — a
+    // documented tiny global window (the q185/q178 class), never the corpus
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+    val indexed = local.join(broadcast(offsets), "b")
+      .select(col("doc_id").as("neg_id"), col("fp").as("neg_fp"),
+        (col("off") + col("rn") - 1).as("idx"))
+    val n = d.agg(count(lit(1)).as("n"))
+    val draws = d.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("anchor_id"), col("fp").as("anchor_fp"))
+      .withColumn("j", explode(array((0 until Q234K).map(lit(_)): _*)))
+      .crossJoin(broadcast(n))
+      .withColumn("idx", ColFns.h60(
+        concat(col("anchor_id").cast("string"), lit(":"), col("j").cast("string"))) % col("n"))
+    draws.join(indexed, "idx")
+      .filter(col("neg_fp") =!= col("anchor_fp"))
+      .select(col("anchor_id"), col("j").cast("long").as("j"), col("neg_id"))
+      .orderBy(col("anchor_id"), col("j"))
+  }
+
+  val q234Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents),
+       |bucketed AS (
+       |  SELECT doc_id, fp,
+       |    ('0x' || substr(md5('nsix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % $Q234Buckets AS b
+       |  FROM d),
+       |local_rn AS (
+       |  SELECT doc_id, fp, b,
+       |    row_number() OVER (PARTITION BY b ORDER BY doc_id) AS rn
+       |  FROM bucketed),
+       |offsets AS (
+       |  SELECT b, coalesce(sum(cnt) OVER (ORDER BY b
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM (SELECT b, count(*) AS cnt FROM bucketed GROUP BY b)),
+       |indexed AS (
+       |  SELECT l.doc_id AS neg_id, l.fp AS neg_fp, o.off + l.rn - 1 AS idx
+       |  FROM local_rn l JOIN offsets o ON o.b = l.b),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+       |draws AS (
+       |  SELECT a.doc_id AS anchor_id, a.fp AS anchor_fp, j.j,
+       |    ('0x' || substr(md5(CAST(a.doc_id AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 15))::BIGINT % n.n AS idx
+       |  FROM d a, (SELECT unnest(range($Q234K)) AS j) j, n
+       |  WHERE a.doc_id % 5 = 0)
+       |SELECT dr.anchor_id, CAST(dr.j AS BIGINT) AS j, i.neg_id
+       |FROM draws dr JOIN indexed i ON i.idx = dr.idx
+       |WHERE i.neg_fp <> dr.anchor_fp
+       |ORDER BY dr.anchor_id, dr.j""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_negative_sampling" -> q234NegativeSampling _,
     "q119_novelty_rate" -> q119NoveltyRate _,
     "q47_boilerplate_spans" -> q47BoilerplateSpans _,
     "q48_chunking" -> q48Chunking _,
@@ -379,6 +471,7 @@ object TrainPrep {
     "q100_cdc_chunking" -> q100CdcChunking _)
 
   val oracles: Map[String, String] = Map(
+    "q234_negative_sampling" -> q234Sql,
     "q119_novelty_rate" -> q119Sql,
     "q47_boilerplate_spans" -> q47Sql,
     "q48_chunking" -> q48Sql,
