@@ -345,7 +345,64 @@ object Temporal {
       |FROM d GROUP BY user_id, day
       |ORDER BY user_id, day_ts""".stripMargin
 
+  /** q228 — EXACT WEIGHTED MEDIAN per group: the robust aggregate where
+    * each row votes with a WEIGHT (here: price weighted by quantity — "the
+    * price at which half the VOLUME traded", not half the line items),
+    * the statistic inventory-costing and fee-schedule analyses need and
+    * neither engine ships as a built-in. Computed by the cumulative-weight
+    * sweep: order rows per group, running weight W_i, the weighted median
+    * is the FIRST ELEMENT with 2·W_i ≥ W_total — picked by rank, never
+    * interpolated (the q153/q186 element-not-interpolation doctrine), so
+    * every emitted value is a datum and everything is exact integer cents.
+    * Group-partitioned windows only; ties break on the full unique key.
+    *
+    * Scale: one group-keyed exchange for the ordered window; the pick is
+    * a filter + min-agg. The unweighted median is the q74/q153 machinery;
+    * this closes the weighted half of the quantile family.
+    */
+  def q228WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_cents"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+    val wCum = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("price_cents"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy(col("l_returnflag"))
+    l.withColumn("cumw", sum(col("w")).over(wCum))
+      .withColumn("wtot", sum(col("w")).over(wTot))
+      .filter(lit(2) * col("cumw") >= col("wtot"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_at_or_above"),
+        max(col("wtot")).as("w_total"),
+        min(col("price_cents")).as("wmedian_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q228Sql: String =
+    """WITH l AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS w,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT l_returnflag, price_cents,
+      |    sum(w) OVER (PARTITION BY l_returnflag
+      |      ORDER BY price_cents, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+      |    sum(w) OVER (PARTITION BY l_returnflag) AS wtot
+      |  FROM l)
+      |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_at_or_above,
+      |  CAST(max(wtot) AS BIGINT) AS w_total,
+      |  min(price_cents) AS wmedian_cents
+      |FROM c WHERE 2 * cumw >= wtot
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_weighted_median" -> q228WeightedMedian _,
     "q188_twap" -> q188Twap _,
     "q116_winsorize" -> q116Winsorize _,
     "q70_asof_join" -> q70AsofJoin _,
@@ -359,6 +416,7 @@ object Temporal {
     "q78_full_outer" -> q78FullOuter _)
 
   val oracles: Map[String, String] = Map(
+    "q228_weighted_median" -> q228Sql,
     "q188_twap" -> q188Sql,
     "q116_winsorize" -> q116Sql,
     "q70_asof_join" -> q70Sql,
