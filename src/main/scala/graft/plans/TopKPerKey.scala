@@ -252,13 +252,27 @@ final case class TopKPerKeyExec(
   * the standard idiom get the bounded-heap partial+final operator (no sort,
   * map-side prune) without being rewritten by hand.
   *
+  * When the projection DOES carry the rank column (q05's shape — the
+  * output wants `rk`), the window cannot be dropped, but the expensive
+  * part still can: the rewrite keeps `Project(Filter(Window(...)))` and
+  * replaces the window's CHILD with the TopKPerKeyNode, so the heap
+  * operator prunes the stream map-side to ≤ k rows per key and the sort
+  * the window still runs touches only the survivors — the discarded
+  * 99.9% is never sorted. Ranks are unchanged: the heap keeps exactly the
+  * rows row_number would rank 1..k under the same order (the same
+  * total-order caveat as row_number itself), and re-ranking k rows
+  * reproduces 1..k.
+  *
   * Applies only when: exactly one window expression and it is row_number()
   * with the default RowFrame; the filter is a simple rank bound (<=, <,
   * = 1, or the reversed comparisons); the partition spec is non-empty (the
   * global case already plans as TakeOrderedAndProject); and the projection
-  * references only the window child's columns. An intervening
-  * WindowGroupLimit (inserted by InferWindowGroupLimit before user rules
-  * run) is absorbed — its map-side prune is subsumed by the partial pass.
+  * references only the window child's columns (plus the rank, in the
+  * rank-carrying variant). An intervening WindowGroupLimit (inserted by
+  * InferWindowGroupLimit before user rules run) is absorbed — its map-side
+  * prune is subsumed by the partial pass. A child that is already a
+  * TopKPerKeyNode is left alone (the rank-carrying rewrite keeps the
+  * matchable Project/Filter/Window shape, and user rules run to fixpoint).
   *
   * Determinism note: like row_number itself, result SETS are only
   * deterministic when the order gives a total order per key (unique
@@ -291,18 +305,25 @@ object TopKRewriteRule
             WindowSpecDefinition(_, _, SpecifiedWindowFrame(
               org.apache.spark.sql.catalyst.expressions.RowFrame,
               UnboundedPreceding, CurrentRow))), _) =>
+          // absorb the InferWindowGroupLimit prune if one was inserted:
+          // the partial heap pass replaces it
+          val base = w.child match {
+            case wgl: WindowGroupLimit => wgl.child
+            case c => c
+          }
           rankLimit(cond, alias.exprId) match {
-            case Some(k) if k > 0 &&
-                !projectList.exists(_.references.exists(_.exprId == alias.exprId)) &&
-                projectList.forall(_.references.subsetOf(w.child.outputSet)) =>
-              // absorb the InferWindowGroupLimit prune if one was inserted:
-              // the partial heap pass replaces it
-              val base = w.child match {
-                case wgl: WindowGroupLimit => wgl.child
-                case c => c
-              }
-              Project(projectList,
-                TopKPerKeyNode(w.partitionSpec, w.orderSpec, k, TopK.DefaultMaxKeys, base))
+            case Some(k) if k > 0 && !base.isInstanceOf[TopKPerKeyNode] =>
+              val rankUsed =
+                projectList.exists(_.references.exists(_.exprId == alias.exprId))
+              if (!rankUsed && projectList.forall(_.references.subsetOf(w.child.outputSet)))
+                // rank discarded: the window disappears entirely
+                Project(projectList,
+                  TopKPerKeyNode(w.partitionSpec, w.orderSpec, k, TopK.DefaultMaxKeys, base))
+              else if (projectList.forall(_.references.subsetOf(w.outputSet)))
+                // rank carried: prune first, re-rank only the survivors
+                Project(projectList, Filter(cond, w.copy(child =
+                  TopKPerKeyNode(w.partitionSpec, w.orderSpec, k, TopK.DefaultMaxKeys, base))))
+              else p
             case _ => p
           }
         case _ => p

@@ -424,8 +424,15 @@ object GraphOps {
     * group-partitioned) is the emission every recommender actually ships.
     *
     * Scale shape: one distinct on (cust, part), one part-keyed degree agg,
-    * one part-keyed self-join over capped parts, one pair agg, one
-    * group-partitioned window. No adjacency lists, no all-pairs.
+    * one part-keyed self-join over capped parts, one pair agg, then the
+    * NATIVE top-k-per-key operator ([[graft.plans.TopK.perKey]], the
+    * bounded-heap partial+final SparkPlan) prunes the pair stream to
+    * ≤ [[Q216TopK]] rows per left node MAP-SIDE before any exchange — the
+    * rank column the output carries forces it out of [[graft.plans
+    * .TopKRewriteRule]]'s idiom (rank must not be projected), so the
+    * operator is invoked directly and row_number re-ranks the k-sized
+    * groups afterwards (a window over ≤ k rows per key, nothing).
+    * No adjacency lists, no all-pairs.
     */
   def q216LinkPrediction(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -443,10 +450,13 @@ object GraphOps {
       .agg(count(lit(1)).as("n_shared"),
         sum(expr("1000000 div deg")).as("ra_micro"))
       .filter(col("n_shared") >= 2)
+    // (ra_micro desc, b asc) is a TOTAL order per a — (a, b) is the group
+    // key of the pair agg — so the heap's survivors equal row_number's
+    val top = graft.plans.TopK.perKey(pairs, Seq("a"),
+      Seq(("ra_micro", false), ("b", true)), Q216TopK)
     val w = Window.partitionBy(col("a"))
       .orderBy(col("ra_micro").desc, col("b"))
-    pairs.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= Q216TopK)
+    top.withColumn("rk", row_number().over(w))
       .select(col("a"), col("b"), col("n_shared"), col("ra_micro"),
         col("rk").cast("long").as("rk"))
       .orderBy(col("a"), col("rk"))

@@ -541,14 +541,26 @@ object MiningOps {
     * documented-tiny frame (feature-cardinality × target-cardinality,
     * ≤ ~25 cells here) left-joined against observed counts.
     *
-    * Scale: per pair, one fact-sized groupBy(feat, target) — map-side
-    * combinable — then margin/grid work on ≤ cells rows. Four pairs = four
-    * scans (fusable into one multi-aggregate pass at 100 TB, the q99 move).
+    * Scale: per pair, ONE fact-sized groupBy(feat, target) — map-side
+    * combinable — materialized to a cells-sized localCheckpoint, from
+    * which margins, N, and the grid all derive. Without the checkpoint
+    * Catalyst plans the obs subtree four times (obs + rowm + colm + n =
+    * 4 fact scans per pair, the round-9 verdict's q212 finding); with it
+    * each table is scanned exactly once and every derived frame reads
+    * ≤ r·c rows (PlanSpec gates the single scan via [[q212Obs]]).
     */
+  /** The one fact-sized stage of a q212 screen, exposed for PlanSpec's
+    * single-scan gate: exactly one file scan must appear in its plan.
+    */
+  private[graft] def q212Obs(df: DataFrame, feat: String, target: String): DataFrame =
+    df.select(col(feat).cast("string").as("f"), col(target).cast("string").as("t"))
+      .groupBy(col("f"), col("t")).agg(count(lit(1)).as("o"))
+
   def q212Chi2Screen(spark: SparkSession, dir: String): DataFrame = {
     def screen(df: DataFrame, table: String, feat: String, target: String): DataFrame = {
-      val obs = df.select(col(feat).cast("string").as("f"), col(target).cast("string").as("t"))
-        .groupBy(col("f"), col("t")).agg(count(lit(1)).as("o"))
+      // cells-sized (≤ r·c rows) — checkpointing here is what caps the
+      // whole screen at one fact scan
+      val obs = q212Obs(df, feat, target).localCheckpoint()
       val rowm = obs.groupBy(col("f")).agg(sum(col("o")).as("rm"))
       val colm = obs.groupBy(col("t")).agg(sum(col("o")).as("cm"))
       val n = obs.agg(sum(col("o")).as("nn"))
@@ -637,9 +649,17 @@ object MiningOps {
     * equal true connected components on this data (the q79 prove-don't-
     * assume idiom).
     *
-    * Scale: one corpus scan → ≤ Grid² cell aggregate; every propagation
-    * round is a join over the DENSE-CELL frame (≤ Grid² rows — grid work,
-    * never point work). At 100 TB only the one scan grows.
+    * Scale: one corpus scan → ≤ Grid² cell aggregate — that aggregate is
+    * the ONLY distributed work. The dense-cell frame is ≤ [[Q220Grid]]²
+    * = 256 rows BY CONSTRUCTION (corpus-size-INDEPENDENT), so the
+    * propagation rounds run on the driver over collected arrays — the
+    * bounded-by-construction case where driver-side is the *right* plan
+    * (the q55 greedy-loop precedent, Similarity.scala): the distributed
+    * alternative was 8 rounds × 2 joins × a localCheckpoint each ≈ 17
+    * scheduler actions over 256 rows, pure driver-loop constant factor
+    * (round-9 bench: 61 s median, repeats 8–117 s under contention; this
+    * shape: one job). At 100 TB only the one scan grows; the driver work
+    * is a fixed ~256·9·8 integer ops regardless of corpus.
     */
   def q220DensityCluster(spark: SparkSession, dir: String): DataFrame = {
     val pts = Tables(spark, dir, "embeddings")
@@ -657,50 +677,42 @@ object MiningOps {
         expr(s"greatest(2, 4 * n div ${Q220Grid * Q220Grid})").as("minpts"))
       .groupBy(col("cx"), col("cy"), col("minpts"))
       .agg(count(lit(1)).as("cn"))
-    val dense = cells.filter(col("cn") >= col("minpts"))
-      .withColumn("label", col("cx") * Q220Grid + col("cy"))
-    // one round = neighborhood-min THEN pointer jump (label := the current
-    // label of the cell the label names — labels are cell ids, so the
-    // lookup is an equi-join on the id). The neighbor frame rebuilds from
-    // the CURRENT labels each round — a static initial-label frame would
-    // stall propagation at one hop and fixpoint on local minima (the bug
-    // the MiningSpec CC cross-check caught); the jump makes convergence
-    // O(log diameter) instead of O(diameter), so [[Q220Rounds]] covers any
-    // component a [[Q220Grid]]² grid can hold.
-    def step(cur: DataFrame): DataFrame = {
-      val nbr = cur.select(col("cx"), col("cy"), col("label"))
-        .withColumn("dx", explode(array((-1 to 1).map(lit(_)): _*)))
-        .withColumn("dy", explode(array((-1 to 1).map(lit(_)): _*)))
-        .select((col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"),
-          col("label").as("nbr_label"))
-      val mins = cur
-        .join(nbr, Seq("cx", "cy"))
-        .groupBy(col("cx"), col("cy"), col("cn"))
-        .agg(least(min(col("label")), min(col("nbr_label"))).as("label"))
-      val byId = mins
-        .select((col("cx") * Q220Grid + col("cy")).as("lid"), col("label").as("ptr"))
-      mins.join(byId, mins("label") === byId("lid"))
-        .select(col("cx"), col("cy"), col("cn"), col("ptr").as("label"))
+    // ≤ Grid² rows by construction — the one collect, after the one scan
+    val dense: Map[(Long, Long), Long] = cells.filter(col("cn") >= col("minpts"))
+      .select(col("cx"), col("cy"), col("cn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // one round = neighborhood-min over CURRENT labels THEN pointer jump
+    // (label := the post-min label of the cell the label names — labels
+    // are cell ids, so the lookup always resolves). Reading CURRENT labels
+    // each round (not the initial frame) is what keeps propagation moving
+    // past one hop; the jump makes convergence O(log diameter), so
+    // [[Q220Rounds]] covers any component a [[Q220Grid]]² grid can hold.
+    // EXACTLY the oracle SQL's round, cell for cell.
+    def step(cur: Map[(Long, Long), Long]): Map[(Long, Long), Long] = {
+      val mins = cur.map { case (c @ (cx, cy), l) =>
+        val nbrMin = (for {
+          dx <- -1L to 1L; dy <- -1L to 1L
+          nl <- cur.get((cx + dx, cy + dy))
+        } yield nl).min
+        c -> math.min(l, nbrMin)
+      }
+      val byId = mins.map { case ((cx, cy), l) => (cx * Q220Grid + cy) -> l }
+      mins.map { case (c, l) => c -> byId(l) }
     }
-    val start = dense.select(col("cx"), col("cy"), col("cn"), col("label"))
-    // localCheckpoint per round truncates the lineage — without it the
-    // 8-fold nested self-joins send Catalyst analysis superlinear (the
-    // q46 driver-loop materialization concern); the frame is ≤ Grid²
-    // rows, so the checkpoint is metadata-cheap
-    val converged = (1 to Q220Rounds).foldLeft(start)((cur, _) =>
-      step(cur).localCheckpoint())
+    val start = dense.map { case (c @ (cx, cy), _) => c -> (cx * Q220Grid + cy) }
+    val converged = (1 to Q220Rounds).foldLeft(start)((cur, _) => step(cur))
     // prove convergence: one more round must be a fixpoint, so the
     // fixed-round labels ARE the connected components of this grid
-    val extra = step(converged)
-      .select(col("cx"), col("cy"), col("label").as("label_next"))
-    require(converged.join(extra, Seq("cx", "cy"))
-      .filter(col("label") =!= col("label_next")).isEmpty,
+    require(step(converged) == converged,
       s"q220: dense-cell graph did not converge in $Q220Rounds rounds")
-    converged.groupBy(col("label"))
-      .agg(count(lit(1)).as("n_cells"), sum(col("cn")).as("n_points"),
-        min(col("cx")).as("min_cx"), max(col("cx")).as("max_cx"),
-        min(col("cy")).as("min_cy"), max(col("cy")).as("max_cy"))
-      .orderBy(col("label"))
+    val out = converged.groupBy(_._2).toSeq.map { case (label, cs) =>
+      val ks = cs.keys.toSeq
+      (label, ks.size.toLong, ks.map(dense).sum,
+        ks.map(_._1).min, ks.map(_._1).max, ks.map(_._2).min, ks.map(_._2).max)
+    }.sortBy(_._1)
+    import spark.implicits._
+    out.toDF("label", "n_cells", "n_points",
+      "min_cx", "max_cx", "min_cy", "max_cy")
   }
 
   val q220Sql: String = {
