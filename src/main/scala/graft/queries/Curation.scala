@@ -694,8 +694,15 @@ object Curation {
       .withColumn("u", (h60(concat_ws(":", lit("boot"), col("b"), col("event_id"))) /
         lit(1152921504606846976.0)))
       .withColumn("w", expr(cdfCase))
+    // degenerate-replicate guard: a replicate whose Poisson weights are
+    // all zero (probability e^-n per replicate — real for tiny groups)
+    // resamples NOTHING and has no mean; both engine texts drop it
+    // identically rather than divide by zero (Spark NULL vs DuckDB error
+    // would otherwise diverge). The rank indices shift only when a
+    // replicate actually vanishes, identically in both engines.
     val reps = drawn.groupBy(col("event_type"), col("b"))
       .agg(sum(col("w")).as("wn"), sum(col("w") * col("cents")).as("wsum"))
+      .filter(col("wn") > 0)
       .withColumn("rep_mean_milli", expr("1000 * wsum div wn"))
     val wRk = Window.partitionBy(col("event_type"))
       .orderBy(col("rep_mean_milli"), col("b"))
@@ -729,7 +736,8 @@ object Curation {
        |  SELECT event_type, b, CAST(sum(w) AS BIGINT) AS wn,
        |    CAST(sum(w * cents) AS BIGINT) AS wsum
        |  FROM (SELECT event_type, cents, b, $cdfCase AS w FROM drawn)
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2
+       |  HAVING sum(w) > 0),
        |ranked AS (
        |  SELECT event_type, 1000 * wsum // wn AS rep_mean_milli,
        |    row_number() OVER (PARTITION BY event_type

@@ -151,6 +151,28 @@ object Dedup {
       try df.unpersist() catch { case _: Throwable => () }
     }
     candCache.clear()
+    shingleCache.values.forEach { df =>
+      try df.unpersist() catch { case _: Throwable => () }
+    }
+    shingleCache.clear()
+  }
+
+  /** q211's persisted corpus shingle frame, memoized per (session, dir)
+    * like [[candCache]] so repeated calls in a long-lived session reuse
+    * ONE persisted frame instead of accumulating abandoned ones (round-9
+    * ADVICE); cleared by [[clearCandidateCache]], so Bench still times the
+    * cold build.
+    */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def shingleFrame(spark: SparkSession, dir: String): DataFrame = {
+    shingleCache.keySet.removeIf { case (s, _) => s.sparkContext.isStopped }
+    shingleCache.computeIfAbsent((spark, dir), _ =>
+      graft.Tables(spark, dir, "documents")
+        .select(col("doc_id"), explode(shingles(col("text"), 3)).as("token"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   def minhashCandidates(spark: SparkSession, dir: String, maxBucket: Int = 256): DataFrame = {
@@ -1264,9 +1286,9 @@ object Dedup {
     */
   def q182SetSimJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("token"))
-      .distinct()
+    // same memoized frame q211 reads — one tokenize pass per (session,
+    // corpus) serves both set-similarity operators
+    val sh = shingleFrame(spark, dir)
     val dfreq = sh.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))
@@ -1363,12 +1385,11 @@ object Dedup {
   def q211ContainmentJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the shingle frame feeds df, sizes, the prefix, AND both verification
-    // joins — persist so the tokenize+explode+distinct runs once, not 4×
-    // (the q42 idiom; Bench.coldSweep drops it between measurements)
-    val sh = Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("token"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // joins — persisted via the session-keyed memo so the
+    // tokenize+explode+distinct runs once per (session, corpus), not 4×
+    // per call and never once-per-call abandoned (Bench.coldSweep drops it
+    // between measurements)
+    val sh = shingleFrame(spark, dir)
     val dfreq = sh.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))

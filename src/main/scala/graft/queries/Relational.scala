@@ -644,10 +644,9 @@ object Relational {
     * statement (CTE → dimension join → window rank → HAVING-filtered
     * rollup) so Catalyst's SQL path exercises the planner features the
     * DataFrame rows use: a user of this library can hand it raw ANSI SQL
-    * and get the identical optimizer treatment (the oracle runs the SAME
-    * text, modulo DuckDB's `//`). The one Spark-ism is `div` for integral
-    * division — kept because cross-engine integer semantics is the
-    * project's exactness bedrock.
+    * and get the identical optimizer treatment — the oracle runs the
+    * CHARACTER-IDENTICAL SQL text (no integral division appears, so not
+    * even the usual `div` vs `//` spelling differs between engines).
     */
   def q232SqlApi(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir, "orders").createOrReplaceTempView("g_orders")
