@@ -35,6 +35,76 @@ object EventsOps {
       |  count(*) AS n_events, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin
 
+  /** q235's variant staging table, one per (JVM, sf dir): the events
+    * table with `props` parsed ONCE into a Spark 4 VARIANT column and
+    * written as SHREDDED parquet (`spark.sql.variant.writeShredding
+    * .enabled` + inferred shredding schema), so each JSON path becomes a
+    * typed parquet column alongside the binary fallback. This is the
+    * ingest-time layout job for semi-structured data at 100 TB — parse
+    * per ROW once at write, not per QUERY forever after (the q215
+    * bucketing economics applied to JSON).
+    */
+  private val q235Memo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def q235Staged(spark: SparkSession, dir: String): String =
+    q235Memo.getOrElseUpdate(dir, {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q235_" +
+        s"${graft.Tables.jvmTag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val confs = Seq(
+        "spark.sql.variant.writeShredding.enabled" -> "true",
+        "spark.sql.variant.inferShreddingSchema" -> "true")
+      val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      try {
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        Tables(spark, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            expr("parse_json(props)").as("props_v"))
+          .write.mode("overwrite").parquet(base)
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      base
+    })
+
+  /** q235 — the VARIANT path for the semi-structured `props` column
+    * (Spark 4 `parse_json` / `variant_get` over shredded parquet): where
+    * q21 regexp-extracts from the raw JSON STRING on every read — a full
+    * string scan per query — this stages props as a shredded VARIANT once
+    * ([[q235Staged]]) and queries it with `variant_get`. Catalyst's
+    * PushVariantIntoScan then rewrites the path access onto the shredded
+    * TYPED column, so the `k >= 50` predicate pushes into the parquet
+    * scan (`PushedFilters: GreaterThanOrEqual(props_v.1, 50)`) and the
+    * read schema carries `bigint`, not the variant binary — row-group
+    * pruning and no JSON parsing at query time, the difference between
+    * scanning 100 TB of strings and reading one pruned integer column
+    * (PlanSpec holds both gates).
+    *
+    * Exactness: `k` is integral in the data; min/max/sum/count over
+    * BIGINT cross engines exactly. The layout is logically invisible —
+    * the oracle runs DuckDB's JSON functions over the RAW events table
+    * (the q215/q196 maintenance contract).
+    */
+  def q235VariantShred(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(q235Staged(spark, dir))
+      .select(col("event_type"),
+        expr("variant_get(props_v, '$.k', 'bigint')").as("k"))
+      .filter(col("k") >= 50)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hi"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val q235Sql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_hi,
+      |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+      |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |WHERE k >= 50
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Semi-structured extraction: pull `k` out of the JSON props column with
     * a codegen'd regexp (no UDF), bucket, aggregate.
     */
@@ -1052,7 +1122,14 @@ object EventsOps {
       .select(col("event_type"), col("n").as("n_a"), col("s1").as("s1_a"), col("s2").as("s2_a"))
     val b = per.filter(col("variant") === "B")
       .select(col("event_type"), col("n").as("n_b"), col("s1").as("s1_b"), col("s2").as("s2_b"))
+    // degenerate-arm guard (round-9 ADVICE): a single-row arm makes
+    // n-1 = 0 (variance undefined) and two zero-variance arms make
+    // se2 = 0 (t undefined) — Welch's test is simply not defined there,
+    // so both engine texts drop the row identically instead of dividing
+    // by zero (Spark NULL/Inf vs DuckDB error would diverge). se2 > 0 is
+    // filtered below, after se2 exists.
     a.join(b, "event_type")
+      .filter(col("n_a") > 1 && col("n_b") > 1)
       .withColumn("ma", expr("CAST(s1_a AS DOUBLE) / n_a"))
       .withColumn("mb", expr("CAST(s1_b AS DOUBLE) / n_b"))
       .withColumn("va", expr(
@@ -1060,6 +1137,7 @@ object EventsOps {
       .withColumn("vb", expr(
         "(CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE) / n_b) / (n_b - 1)"))
       .withColumn("se2", expr("va / n_a + vb / n_b"))
+      .filter(col("se2") > 0)
       .withColumn("t", expr("(ma - mb) / sqrt(se2)"))
       .withColumn("df", expr(
         "se2 * se2 / (va * va / (n_a * n_a * (n_a - 1)) + vb * vb / (n_b * n_b * (n_b - 1)))"))
@@ -1086,7 +1164,8 @@ object EventsOps {
       |  SELECT a.event_type, a.n AS n_a, a.s1 AS s1_a, a.s2 AS s2_a,
       |         b.n AS n_b, b.s1 AS s1_b, b.s2 AS s2_b
       |  FROM (SELECT * FROM per WHERE variant = 'A') a
-      |  JOIN (SELECT * FROM per WHERE variant = 'B') b USING (event_type)),
+      |  JOIN (SELECT * FROM per WHERE variant = 'B') b USING (event_type)
+      |  WHERE a.n > 1 AND b.n > 1),
       |d AS (
       |  SELECT *,
       |    CAST(s1_a AS DOUBLE) / n_a AS ma,
@@ -1095,7 +1174,8 @@ object EventsOps {
       |    (CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE) / n_b) / (n_b - 1) AS vb
       |  FROM j),
       |s AS (
-      |  SELECT *, va / n_a + vb / n_b AS se2 FROM d),
+      |  SELECT * FROM (SELECT *, va / n_a + vb / n_b AS se2 FROM d)
+      |  WHERE se2 > 0),
       |t AS (
       |  SELECT *, (ma - mb) / sqrt(se2) AS t,
       |    se2 * se2 / (va * va / (n_a * n_a * (n_a - 1)) + vb * vb / (n_b * n_b * (n_b - 1))) AS df
@@ -1216,9 +1296,13 @@ object EventsOps {
         sum(col("xa") * col("xa")).as("sxx"),
         sum(col("xb") * col("xb")).as("syy"),
         sum(col("xa") * col("xb")).as("sxy"))
+      // zero-variance guard (round-9 ADVICE): a constant series has no
+      // defined correlation with anything (0/0) — the row stays, r is an
+      // explicit NULL, identically in both engine texts
       .withColumn("r_milli", expr(
-        "CAST(round(1000 * (CAST(n * sxy - sx * sy AS DOUBLE) / " +
-          "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)"))
+        "CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(round(1000 * (CAST(n * sxy - sx * sy AS DOUBLE) / " +
+          "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT) END"))
       .select(col("type_a"), col("type_b"), col("n"), col("sxy"), col("r_milli"))
       .orderBy(col("type_a"), col("type_b"))
   }
@@ -1244,8 +1328,9 @@ object EventsOps {
       |    ON a.hour_ts = b.hour_ts AND a.event_type < b.event_type
       |  GROUP BY 1, 2)
       |SELECT type_a, type_b, n, sxy,
-      |  CAST(round(1000 * (CAST(n * sxy - sx * sy AS DOUBLE) /
-      |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT) AS r_milli
+      |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN CAST(NULL AS BIGINT)
+      |    ELSE CAST(round(1000 * (CAST(n * sxy - sx * sy AS DOUBLE) /
+      |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT) END AS r_milli
       |FROM pairs
       |ORDER BY type_a, type_b""".stripMargin
 
@@ -1270,6 +1355,7 @@ object EventsOps {
     "q24_session_window" -> q24SessionWindow _,
     "q20_events_hourly" -> q20HourlyAgg _,
     "q21_events_json" -> q21JsonExtract _,
+    "q235_variant_shred" -> q235VariantShred _,
     "q22_events_sessionize" -> q22Sessionize _,
     "q23_events_top_per_user" -> q23TopEventPerUser _,
     "q87_topk_native" -> q87TopKNative _,
@@ -1297,6 +1383,7 @@ object EventsOps {
     "q24_session_window" -> q24Sql,
     "q20_events_hourly" -> q20Sql,
     "q21_events_json" -> q21Sql,
+    "q235_variant_shred" -> q235Sql,
     "q22_events_sessionize" -> q22Sql,
     "q23_events_top_per_user" -> q23Sql,
     "q87_topk_native" -> q87Sql,
