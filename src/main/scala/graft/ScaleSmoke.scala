@@ -60,6 +60,30 @@ object ScaleSmoke {
     (0 until 26).map(j => alpha((a * j + b) % 26)).mkString
   }
 
+  /** Tile the RELATIONAL tables (customer, orders, lineitem) with key
+    * offsets — needed only by the graph/attribution smokes (q216 tree
+    * pairs, q222 hierarchy), so built on demand, not per round. Offsetting
+    * l_partkey/o_custkey keeps each replica's co-purchase graph
+    * replica-local (same degree distribution as 1×, so candidate volume
+    * tiles linearly); q222's parent(k) = h(k) mod k runs over the UNION of
+    * keys — one 100×-node random recursive tree whose depth grows only by
+    * ln(replicas), which is precisely the log-depth claim under test.
+    */
+  def synthesizeRelational(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+    def tile(table: String, keyCols: Set[String]): Unit = {
+      val t = Tables(spark, baseDir, table)
+      (0 until Replicas).map { i =>
+        t.select(t.columns.toIndexedSeq.map { c =>
+          if (keyCols(c)) (col(c) + lit(i * IdStride)).as(c) else col(c)
+        }: _*)
+      }.reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    }
+    tile("customer", Set("c_custkey"))
+    tile("orders", Set("o_orderkey", "o_custkey"))
+    tile("lineitem", Set("l_orderkey", "l_partkey"))
+  }
+
   def synthesize(spark: SparkSession, baseDir: String, outDir: String): Unit = {
     val docs = Tables(spark, baseDir, "documents")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
@@ -114,13 +138,19 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // partitions-track-data knob: at 100 replicas the shuffle partition
+    // count must grow with the data, not stay pinned at the cpu count —
+    // round 9's q182 8-vs-32 contrast (139× vs 40×) and the q211 spill
+    // both demonstrated exactly this. Defaults to cpus (the 10× smoke).
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.TopK.enableRewrite(spark) // same plans Bench/Verify run
 
     // ratios time the COLD candidate build on BOTH sides — a signature
     // store left behind by a Bench run at the 1× dir would fake the 1× time
@@ -131,6 +161,10 @@ object ScaleSmoke {
     val skewedDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale${Replicas}x_skew"
     synthesize(spark, baseDir, scaledDir)
     synthesizeSkewed(spark, scaledDir, skewedDir)
+    // relational tiles only when a kept query reads them (q216/q222)
+    if (Seq("q216_link_prediction", "q222_hierarchy")
+        .exists(SparkEntry.onlyFilter()))
+      synthesizeRelational(spark, baseDir, scaledDir)
 
     // (name, query, the 10x-side directory it runs against)
     val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
@@ -238,6 +272,19 @@ object ScaleSmoke {
       // attribution: user_id offsets keep replicas' users disjoint, so the
       // purchases×touches join and every per-conversion window tile ~10x
       ("q217_attribution", graft.queries.EventsOps.q217Attribution _, scaledDir),
+      // link prediction: replica-local co-purchase graphs (offset part and
+      // customer keys) — candidate volume Σ deg² tiles linearly, output
+      // rows exactly Nx; the native top-k prunes pairs map-side
+      ("q216_link_prediction", graft.queries.GraphOps.q216LinkPrediction _, scaledDir),
+      // grid-density clustering: the ONE corpus scan grows Nx, the
+      // dense-cell frame stays <= Grid^2 and the propagation is driver-side
+      // constant work — the purest scan-bound row in the suite
+      ("q220_density_cluster", graft.queries.MiningOps.q220DensityCluster _, scaledDir),
+      // pointer doubling: ONE random recursive tree over Nx nodes; depth
+      // grows by ln N, so the fixed log-depth round count must still
+      // saturate (the require proves it) while each round's node-keyed
+      // join scales with nodes
+      ("q222_hierarchy", graft.queries.GraphOps.q222Hierarchy _, scaledDir),
       // sharded packing under TOTAL language skew: the (lang, shard) key
       // keeps the prefix sum fanned out when lang alone would be one task
       ("q97_sharded_packing_skewed", graft.queries.TrainPrep.q97ShardedPacking _, skewedDir),

@@ -46,6 +46,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session-wide native top-k: the correctness gate below is exactly
+    // what proves the rewrite semantics-preserving on every query whose
+    // window idiom it fires on (PlanSpec holds the fires-on-≥3 gate)
+    graft.plans.TopK.enableRewrite(spark)
     new java.io.File(outDir).mkdirs()
     // Engine-private stages some oracles read back as parquet (q45/q46
     // loser sets): materialized here, once, so query fns stay read-only
