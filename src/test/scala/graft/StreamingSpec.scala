@@ -544,6 +544,82 @@ class StreamingSpec extends SparkTestBase {
       "batch boundaries must be invisible in the emitted prefix rows")
   }
 
+  test("bus seam E2E: rate source into the exactly-once table sink, >= 2 micro-batches, no dups") {
+    import graft.streaming.EventBus
+    val tmp = Files.createTempDirectory("graft-bus").toString
+    val ss = graft.queries.ReplayFixtures.replaySession(spark)
+    val table = new graft.table.VersionedTable(ss, s"$tmp/tbl", "event_id")
+    val RowsPerBatch = 400L
+    val q = EventBus.sinkToVersionedTable(ss,
+      EventBus.RateEventSource(RowsPerBatch), table, s"$tmp/ckpt")
+    // the rate source is unbounded: run until >= 3 micro-batches committed,
+    // then stop — determinism comes from rate-micro-batch's fixed
+    // rowsPerBatch and value sequence, not from when we stop
+    // NOTE: never processAllAvailable() here — a generator source always
+    // has a next batch available, so that call would block forever. Poll
+    // committed progress, then stop(); appendBatch commits atomically per
+    // batch, so a stop mid-trigger leaves only whole batches behind.
+    val deadline = System.nanoTime() + 120L * 1000000000L
+    while ((q.lastProgress == null || q.lastProgress.batchId < 3) &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+    q.stop()
+    q.awaitTermination()
+    val got = table.readLatest()
+    val n = got.count()
+    val stats = got.agg(
+      count_distinct(col("event_id")).as("d"),
+      min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+      .collect().head
+    assert(n >= 2 * RowsPerBatch, s"need >= 2 committed micro-batches, got $n rows")
+    assert(n % RowsPerBatch == 0, s"whole batches only: $n rows")
+    // exactly-once despite the DOUBLED appendBatch per micro-batch:
+    // contiguous ids 0..n-1, every id once
+    assert(stats.getLong(0) == n && stats.getLong(1) == 0L && stats.getLong(2) == n - 1,
+      s"ids must be 0..${n - 1} exactly once, got distinct=${stats.getLong(0)} " +
+        s"lo=${stats.getLong(1)} hi=${stats.getLong(2)}")
+    // the decoded shape is the standard event schema: downstream operators
+    // compose unchanged — prove it by running one (hourly agg) in batch
+    val hourly = got.groupBy(window(col("ts"), "1 hour"), col("event_type")).count()
+    assert(hourly.count() > 0)
+  }
+
+  test("decodeBusRecords: Kafka wire records decode to typed events; poison payloads yield NULLs, not failures") {
+    import graft.streaming.EventBus
+    val events = Tables(spark, sfDir, "events").limit(64)
+    // synthesize the wire shape the kafka format emits: binary key/value
+    // plus (topic, partition, offset)
+    // producers must serialize timestamps at MICROSECOND precision —
+    // to_json's default millis format would silently truncate event time
+    // on the wire (exactly the bug this asserts against)
+    val wire = events.select(
+      col("event_id").cast("string").cast("binary").as("key"),
+      to_json(struct(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props")),
+        java.util.Map.of("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"))
+        .cast("binary").as("value"),
+      lit("events").as("topic"),
+      pmod(col("event_id"), lit(4L)).cast("int").as("partition"),
+      col("event_id").as("offset"))
+    val decoded = EventBus.decodeBusRecords(wire)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"), col("offset"))
+      .orderBy(col("event_id")).collect().map(_.toSeq)
+    val expected = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"), col("event_id").as("offset"))
+      .orderBy(col("event_id")).collect().map(_.toSeq)
+    assert(decoded.toSeq == expected.toSeq,
+      "wire round-trip must reproduce the typed events plus the bus cursor")
+    // poison message: invalid JSON decodes to NULL event columns, the row
+    // (and its cursor) survives for the audit path — never a task failure
+    val poison = spark.sql(
+      """SELECT CAST('k' AS BINARY) AS key, CAST('{oops' AS BINARY) AS value,
+        |'events' AS topic, CAST(0 AS INT) AS partition, CAST(99 AS BIGINT) AS offset""".stripMargin)
+    val row = EventBus.decodeBusRecords(poison).collect().head
+    assert(row.isNullAt(row.fieldIndex("event_id")) && row.getLong(row.fieldIndex("offset")) == 99L,
+      "poison payload must surface as NULL columns with the cursor intact")
+  }
+
   test("q140 streaming session_window replay equals the batch session_window result") {
     val streamed = graft.queries.IngestOps.q140SessionWindowReplay(spark, sfDir)
       .collect().map(_.toSeq)
