@@ -454,7 +454,7 @@ class PlanSpec extends SparkTestBase {
     assert(actual.toSeq == expected.toSeq)
   }
 
-  test("TopKRewriteRule leaves the plan alone when the rank column is kept") {
+  test("TopKRewriteRule leaves a bare Filter(Window) — no projection on top — alone") {
     import org.apache.spark.sql.functions._
     val s2 = spark.newSession()
     graft.plans.TopK.enableRewrite(s2)
@@ -463,11 +463,56 @@ class PlanSpec extends SparkTestBase {
     val df = Tables(s2, sfDir, "events")
       .select(col("user_id"), col("event_id"), col("value"))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 2) // rk survives into the output: not rewritable
+      .filter(col("rk") <= 2) // no Project above the Filter: out of pattern
     df.collect()
     val s = finalPlan(df)
-    assert(s.contains("Window"), s"rank-preserving query must keep its window:\n$s")
-    assert(!s.contains("TopKPerKey"), s"no rewrite when rk is in the output:\n$s")
+    assert(s.contains("Window"), s"pattern requires Project(Filter(Window)):\n$s")
+    assert(!s.contains("TopKPerKey"), s"no rewrite without a projection:\n$s")
+  }
+
+  test("TopKRewriteRule with the rank CARRIED: heap prunes below the window, ranks intact") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    graft.plans.TopK.enableRewrite(s2)
+    def idiom(sess: org.apache.spark.sql.SparkSession) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+      Tables(sess, sfDir, "events")
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select("user_id", "event_id", "rk") // rank survives: q05's shape
+    }
+    val rewritten = idiom(s2)
+    rewritten.collect()
+    val s = finalPlan(rewritten)
+    assert(s.contains("TopKPerKey"), s"the heap prune must be inserted:\n$s")
+    assert(s.contains("Window"), s"the window must stay to produce the rank:\n$s")
+    // prune BEFORE rank: the window (printed above) consumes the heap output
+    assert(s.indexOf("Window") < s.indexOf("TopKPerKey"),
+      s"the window must sit above the heap operator:\n$s")
+    val expected = idiom(spark).collect().map(_.toSeq).sortBy(_.toString)
+    val actual = rewritten.collect().map(_.toSeq).sortBy(_.toString)
+    assert(actual.toSeq == expected.toSeq,
+      "pruned-then-ranked rows must equal the plain window idiom's")
+  }
+
+  test("session-wide TopK rewrite (Verify/Bench config) fires on >= 3 registered queries") {
+    val s2 = spark.newSession()
+    graft.plans.TopK.enableRewrite(s2)
+    // the window-top-k-shaped registered queries; q216 routes through
+    // TopK.perKey explicitly, the others through the optimizer rewrite
+    val candidates = Seq("q05_window_topk", "q23_events_top_per_user",
+      "q29_heavy_hitters", "q216_link_prediction")
+    val fired = candidates.filter { name =>
+      SparkEntry.queries(name)(s2, sfDir).queryExecution.optimizedPlan.collect {
+        case n: graft.plans.TopKPerKeyNode => n
+      }.nonEmpty
+    }
+    assert(fired.size >= 3,
+      s"expected the native top-k in >= 3 registered plans, got $fired")
+    assert(fired.contains("q216_link_prediction"),
+      "q216's pair stream must prune through the native operator")
   }
 
   test("q69 PQ search: codebook and LUTs broadcast, corpus never shuffles for encoding") {
@@ -909,6 +954,45 @@ class PlanSpec extends SparkTestBase {
       assert(!s.contains("BroadcastNestedLoopJoin"),
         s"prefix/degree-cap/user-keyed joins must stay equi-keyed:\n$s")
     }
+  }
+
+  test("q212: each (table, pair) screen scans its fact exactly once") {
+    // the one fact-sized stage: exactly one file scan in its plan
+    val obs = MiningOps.q212Obs(
+      Tables(spark, sfDir, "lineitem"), "l_returnflag", "l_linestatus")
+    // formatted output lists each node twice (tree + detail): count the
+    // numbered detail headers, one per physical node
+    val scans = formatted(obs).linesIterator
+      .count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"obs must read the fact once, got $scans:\n${formatted(obs)}")
+    // the full query: every margin/grid/readout frame derives from the
+    // checkpointed cells — NO parquet scan may appear above the checkpoints
+    val full = MiningOps.q212Chi2Screen(spark, sfDir)
+    full.collect()
+    val s = finalPlan(full)
+    assert(!s.contains("Scan parquet"),
+      s"margins must derive from the checkpointed cells, not rescan the fact:\n$s")
+    assert(s.contains("ExistingRDD") || s.contains("Scan ExistingRDD"),
+      s"expected checkpointed cells feeding the grid:\n$s")
+  }
+
+  test("q235 variant: the k predicate pushes into the SHREDDED parquet scan as a typed filter") {
+    val df = EventsOps.q235VariantShred(spark, sfDir)
+    val s = formatted(df)
+    // PushVariantIntoScan must rewrite variant_get onto the shredded
+    // typed column: the filter reaches the scan as a comparison on a
+    // props_v subfield, and the read schema carries the typed bigint —
+    // NOT just the variant binary
+    val scanDetail = s.split("\n\n").find(b => b.contains("Scan parquet") && b.contains("ReadSchema"))
+      .getOrElse(fail(s"no scan detail block in:\n$s"))
+    assert(scanDetail.contains("PushedFilters") &&
+      scanDetail.matches("(?s).*GreaterThanOrEqual\\(props_v.*50\\).*"),
+      s"k >= 50 must push into the variant scan:\n$scanDetail")
+    assert(scanDetail.contains("bigint"),
+      s"read schema must carry the shredded typed column:\n$scanDetail")
+    // and no JSON-string machinery anywhere in the plan
+    assert(!s.contains("regexp") && !s.contains("get_json_object"),
+      s"the variant path must not re-parse JSON strings:\n$s")
   }
 
   test("q226: the only cross product is the documented tiny hours x types grid") {
