@@ -1044,6 +1044,7 @@ object IngestOps {
       case "q214" => q214Table(spark, dir); ()
       case "q200" => q200Fixture(spark, dir); ()
       case "q235" => EventsOps.q235Staged(spark, dir); ()
+      case "q236" => q236Bootstrap(spark, dir); ()
       case _ => ()
     }
 
@@ -1136,6 +1137,100 @@ object IngestOps {
       |FROM s4
       |WHERE (p2 <> p4) OR (p2 AND p4 AND t2 <> t4)
       |ORDER BY doc_id""".stripMargin
+
+  /** q236 — EXTERNAL-FORMAT INTEROP: keep a table ANOTHER engine owns in
+    * sync through the CDC feed, the documented Delta/Iceberg migration
+    * path (VersionedTable Scaladoc, "Interop / migration"). The external
+    * side here is a plain parquet directory — deliberately the weakest
+    * stand-in, since the contract asks nothing of the foreign format
+    * beyond "read a snapshot, rewrite keyed rows":
+    *
+    *   1. BOOTSTRAP: the mirror initializes from ONE pinned snapshot,
+    *      `read(1)` (a fixture built once per JVM — the replica's initial
+    *      load, not part of each sync);
+    *   2. SYNC: `changes(1, 4)` — bucket-pruned, changes-sized — applies
+    *      as the standard MERGE: delete/update keys leave the mirror
+    *      (one left-anti join), insert/update payloads enter (one union);
+    *   3. AUDIT: a hard require() proves the synced mirror equals the
+    *      native `read(4)` snapshot EXACTLY (count + empty anti-join —
+    *      set equality since keys are unique), the q79 prove-don't-assume
+    *      idiom. At 100 TB the audit samples or compares bucket hashes;
+    *      the sync itself never rescans either table.
+    *
+    * The oracle reconstructs v4 logically from the batch definitions
+    * (q192's composition rules carried one batch further), so the hash
+    * gate passes only if bootstrap + incremental MERGE lands the replica
+    * bit-for-bit on the snapshot it mirrors. Delta CDF / Iceberg
+    * changelogs emit exactly this feed's `(key, change_type, payload)`
+    * shape, so step 2 is `MERGE INTO` verbatim on a real external engine.
+    */
+  def q236CdcMirror(spark: SparkSession, dir: String): DataFrame = {
+    val t = versionedDocsTable(spark, dir)
+    val mirrorV1 = q236Bootstrap(spark, dir)
+    // the sync: ONE changes-sized feed, read once, used by both arms
+    val feed = t.changes(1L, 4L)
+      .select(col("doc_id"), col("change_type"), col("text"), col("lang"))
+      .localCheckpoint()
+    val synced = spark.read.parquet(mirrorV1)
+      .join(feed.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(feed.filter(col("change_type") =!= "delete")
+        .select(col("doc_id"), col("text"), col("lang")))
+    val mirrorV4 = s"${q236Root(dir)}/mirror_v4"
+    synced.write.mode("overwrite").parquet(mirrorV4)
+    val out = spark.read.parquet(mirrorV4)
+    // replica audit: mirror == native snapshot, proved engine-side before
+    // the oracle ever sees the rows
+    val native = t.read(4L).select(col("doc_id"), col("text"), col("lang"))
+    require(out.count() == native.count() &&
+      out.join(native, Seq("doc_id", "text", "lang"), "left_anti").isEmpty,
+      "external mirror diverged from the native snapshot it replicates")
+    out.select(col("doc_id"), md5(col("text")).as("h"), col("lang"),
+      lit("parquet-mirror").as("mirror"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def q236Root(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q236_" +
+      s"${graft.Tables.jvmTag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** The mirror's initial load — a pinned-snapshot materialization, built
+    * once per (JVM, sf dir) and Bench-hoistable like every fixture.
+    */
+  private val q236Memo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def q236Bootstrap(spark: SparkSession, dir: String): String =
+    q236Memo.getOrElseUpdate(dir, {
+      val p = s"${q236Root(dir)}/mirror_v1"
+      versionedDocsTable(spark, dir).read(1L)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** Oracle: snapshot v4 = base + all three change batches under the
+    * merge composition rules (latest batch wins; within a batch delete
+    * wins over upsert) — the same reconstruction family as q192Sql/q195Sql,
+    * one batch further.
+    */
+  val q236Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, lang, text,
+      |    CASE WHEN doc_id % 7 = 0 THEN FALSE
+      |         WHEN doc_id % 4 = 0 THEN TRUE
+      |         ELSE doc_id % 3 <> 0 END AS p2,
+      |    CASE WHEN doc_id % 4 = 0 AND doc_id % 7 <> 0 THEN text || ' v2'
+      |         ELSE text END AS t2
+      |  FROM documents),
+      |s4 AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 6 = 0 THEN TRUE
+      |         WHEN doc_id % 9 = 0 THEN FALSE
+      |         WHEN doc_id % 5 = 0 THEN TRUE
+      |         ELSE p2 END AS p4,
+      |    CASE WHEN doc_id % 6 = 0 THEN text || ' v4'
+      |         WHEN doc_id % 5 = 0 AND doc_id % 9 <> 0 THEN text || ' v3'
+      |         ELSE t2 END AS t4
+      |  FROM s)
+      |SELECT doc_id, md5(t4) AS h, lang, 'parquet-mirror' AS mirror
+      |FROM s4 WHERE p4 ORDER BY doc_id""".stripMargin
 
   /** q196 — TABLE MAINTENANCE is logically invisible: on its own copy of
     * the q192 table, write a manifest CHECKPOINT (the Delta
@@ -1746,6 +1841,7 @@ object IngestOps {
     "q214_erasure" -> q214Erasure _,
     "q200_stream_table_sink" -> q200StreamTableSink _,
     "q195_table_changes" -> q195TableChanges _,
+    "q236_cdc_mirror" -> q236CdcMirror _,
     "q196_table_maintenance" -> q196TableMaintenance _,
     "q192_time_travel" -> q192TimeTravel _,
     "q189_schema_evolution" -> q189SchemaEvolution _,
@@ -1776,6 +1872,7 @@ object IngestOps {
     "q214_erasure" -> q214Sql,
     "q200_stream_table_sink" -> q200Sql,
     "q195_table_changes" -> q195Sql,
+    "q236_cdc_mirror" -> q236Sql,
     "q196_table_maintenance" -> q196Sql,
     "q192_time_travel" -> q192Sql,
     "q189_schema_evolution" -> q189Sql,

@@ -63,6 +63,24 @@ import org.apache.spark.sql.functions._
   * `upsert` for the same key; an upsert REPLACES the whole payload row;
   * deletes of absent keys are no-ops.
   *
+  * == Interop / migration (Delta- and Iceberg-shaped tables) ==
+  * The format boundary is two feeds, both already public API — no foreign
+  * log format is ever parsed. OUTBOUND, a table another engine owns
+  * (Delta, Iceberg, a warehouse) is kept in sync by bootstrapping it from
+  * ONE pinned snapshot (`read(v)`) and thereafter applying
+  * `changes(v, latest)`: the typed insert/update/delete rows map 1:1 onto
+  * `MERGE INTO … WHEN MATCHED [AND change_type='delete'] THEN DELETE /
+  * UPDATE / WHEN NOT MATCHED THEN INSERT`, so each sync costs
+  * changes-sized work, never a table rescan —
+  * [[graft.queries.IngestOps.q236CdcMirror]] runs that exact loop against
+  * a plain-parquet stand-in mirror and hash-proves the replica equals the
+  * native snapshot. INBOUND, an existing external table is adopted by
+  * `init(snapshotDf)` and kept current by feeding its change stream
+  * (Delta CDF / Iceberg changelog rows are already the `(key, op,
+  * payload)` shape) through `merge`. Snapshots and change feeds are the
+  * lingua franca; the commit log stays an implementation detail on both
+  * sides of the boundary.
+  *
   * @param keyCol  the table's primary-key column (must be LongType)
   * @param nBuckets number of key buckets — the copy-on-write granularity
   */

@@ -301,6 +301,45 @@ class VersionedTableSpec extends SparkTestBase {
     assert(s(ids(1)) == "survives")
   }
 
+  test("CDC mirror interop: bootstrap + feed apply equals the native snapshot; idempotent; pin-invariant") {
+    val t = new VersionedTable(spark, freshRoot("mirror"), "doc_id")
+    val base = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val v1 = t.init(base)
+    def batch(delMod: Int, upMod: Int, suffix: String) = docs
+      .filter(pmod(col("doc_id"), lit(upMod)) === 0 ||
+        pmod(col("doc_id"), lit(delMod)) === 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(delMod)) === 0, "delete")
+          .otherwise("upsert").as("op"),
+        concat(col("text"), lit(suffix)).as("text"), col("lang"))
+    val v2 = t.merge(batch(7, 4, " v2"), v1)
+    val v3 = t.merge(batch(9, 5, " v3"), v2)
+
+    // the q236 apply: anti-join out every changed key, union in the
+    // non-delete payloads — the generic MERGE an external engine runs
+    def applyFeed(mirror: org.apache.spark.sql.DataFrame, vA: Long, vB: Long) = {
+      val feed = t.changes(vA, vB)
+        .select(col("doc_id"), col("change_type"), col("text"), col("lang"))
+      mirror.join(feed.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(feed.filter(col("change_type") =!= "delete")
+          .select(col("doc_id"), col("text"), col("lang")))
+    }
+    val native = snap(t.read(v3))
+
+    // bootstrap at v1, sync (1, 3]
+    val fromV1 = applyFeed(t.read(1L).select(col("doc_id"), col("text"), col("lang")), 1L, v3)
+    assert(snap(fromV1) == native, "v1 bootstrap + full feed must equal the snapshot")
+
+    // IDEMPOTENT: re-applying the same feed to the synced mirror is a no-op
+    // (every feed key overwrites to its own payload or stays deleted)
+    assert(snap(applyFeed(fromV1, 1L, v3)) == native, "re-applied feed must be a no-op")
+
+    // PIN-INVARIANT: a later bootstrap with the shorter feed lands on the
+    // same table — migration can start from any pinned snapshot
+    val fromV2 = applyFeed(t.read(2L).select(col("doc_id"), col("text"), col("lang")), 2L, v3)
+    assert(snap(fromV2) == native, "v2 bootstrap + tail feed must equal the snapshot")
+  }
+
   test("q214 erasure: survivors zero, pre-erasure snapshot unreadable, counts close, reruns identical") {
     val r1 = graft.queries.IngestOps.q214Erasure(spark, sfDir).collect()
     assert(r1.length === 1)
