@@ -968,7 +968,81 @@ object Similarity {
       |SELECT label, n_ref, n_cur, l1_drift_q, max_dim_drift_q, worst_pos
       |FROM agg JOIN worst USING (label) ORDER BY label""".stripMargin
 
+  /** q237's per-element quantization: round(x·2^10) — products ≤ 2^20 per
+    * cell contribution, so the BIGINT cell sum holds ~2^43 rows of
+    * headroom (a 100 TB corpus is ~2^40 vectors at 64 dims).
+    */
+  private[queries] val Q237Scale = 1024.0
+
+  /** q237 — GRAM / COVARIANCE SUFFICIENT STATISTICS for PCA and
+    * whitening: the d×d second-moment matrix Σᵢ xᵢxᵢᵀ plus the per-dim
+    * first moments Σᵢ xᵢ, accumulated in ONE corpus scan. This is the
+    * distributed half of every classical embedding decomposition —
+    * covariance = (n·S₂ − S₁S₁ᵀ)/n², and the eigensolve that turns it
+    * into principal components runs DRIVER-SIDE on the d(d+1)/2-row
+    * output, the bounded-by-construction case (d² is corpus-independent —
+    * the q55/q220 precedent). The pipeline use: PCA-whitened embeddings
+    * before IVF/PQ (q69/q129's codebooks train better on decorrelated
+    * dims), and dimensionality checks (effective rank) for the q190 drift
+    * family.
+    *
+    * The naive plan self-joins the exploded (vec, pos, x) frame on vec_id
+    * — an n·d ⋈ n·d shuffle. Here each ROW emits its own d(d+1)/2 upper-
+    * triangle products (array higher-order functions: transform over the
+    * quantized array × its tail slice, flattened) plus d first-moment
+    * sentinels (pj = 0), so the only shuffle is the final
+    * map-side-combinable aggregate onto d(d+1)/2 + d ≈ 2,100 cells —
+    * sketch-sized output at any corpus (the q137 CMS argument).
+    * Exactness: elements quantize to integers ([[Q237Scale]]) before any
+    * product, integer sums are order-free, so both engines agree bitwise.
+    *
+    * Scale shape: one scan, zero joins, output corpus-independent.
+    */
+  def q237GramMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.select(expr(
+      s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Q237Scale) AS BIGINT))")
+      .as("q"))
+    val cells = q.select(explode(expr(
+      """concat(
+        |  flatten(transform(q, (xi, i) ->
+        |    transform(slice(q, i + 1, size(q) - i), (xj, j) ->
+        |      struct(CAST(i + 1 AS BIGINT) AS pi,
+        |             CAST(i + j + 1 AS BIGINT) AS pj,
+        |             xi * xj AS p)))),
+        |  transform(q, (xi, i) ->
+        |    struct(CAST(i + 1 AS BIGINT) AS pi, CAST(0 AS BIGINT) AS pj,
+        |           xi AS p)))""".stripMargin)).as("c"))
+    cells.groupBy(col("c.pi").as("pi"), col("c.pj").as("pj"))
+      .agg(sum(col("c.p")).as("s"), count(lit(1)).as("n"))
+      .orderBy(col("pi"), col("pj"))
+  }
+
+  /** Oracle: the same cells from the element-exploded frame — DuckDB
+    * restates the row-local triangle as an equi-self-join on vec_id
+    * (pos_i ≤ pos_j), fine at oracle scale; the pj = 0 rows restate the
+    * first moments. Quantize-then-multiply keeps every cell exact BIGINT.
+    */
+  val q237Sql: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * $Q237Scale) AS BIGINT) AS q
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT a.pos AS pi, b.pos AS pj,
+       |    CAST(sum(a.q * b.q) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+       |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+       |  GROUP BY 1, 2),
+       |firsts AS (
+       |  SELECT pos AS pi, CAST(0 AS BIGINT) AS pj,
+       |    CAST(sum(q) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+       |  FROM ex GROUP BY 1)
+       |SELECT pi, pj, s, n
+       |FROM (SELECT * FROM pairs UNION ALL SELECT * FROM firsts)
+       |ORDER BY pi, pj""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_gram_matrix" -> q237GramMatrix _,
     "q190_embedding_drift" -> q190EmbeddingDrift _,
     "q172_filtered_ann" -> q172FilteredAnn _,
     "q113_hard_negatives" -> q113HardNegatives _,
@@ -984,6 +1058,7 @@ object Similarity {
     "q129_ivf_pq_search" -> q129IvfPqSearch _)
 
   val oracles: Map[String, String] = Map(
+    "q237_gram_matrix" -> q237Sql,
     "q190_embedding_drift" -> q190Sql,
     "q172_filtered_ann" -> q172Sql,
     "q113_hard_negatives" -> q113Sql,

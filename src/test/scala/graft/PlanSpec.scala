@@ -956,6 +956,16 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q237 Gram: one corpus scan, zero joins — the triangle is row-local") {
+    val df = Similarity.q237GramMatrix(spark, sfDir)
+    val s = formatted(df)
+    val scans = s.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"the sufficient statistics must come from ONE scan, got $scans:\n$s")
+    assert(!s.contains("Join"),
+      s"per-row product generation must not self-join the exploded frame:\n$s")
+    df.collect()
+  }
+
   test("q212: each (table, pair) screen scans its fact exactly once") {
     // the one fact-sized stage: exactly one file scan in its plan
     val obs = MiningOps.q212Obs(
