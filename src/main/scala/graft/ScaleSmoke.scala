@@ -70,18 +70,28 @@ object ScaleSmoke {
     * ln(replicas), which is precisely the log-depth claim under test.
     */
   def synthesizeRelational(spark: SparkSession, baseDir: String, outDir: String): Unit = {
-    def tile(table: String, keyCols: Set[String]): Unit = {
+    def tile(table: String, keyCols: Set[String], stride: Long): Unit = {
       val t = Tables(spark, baseDir, table)
       (0 until Replicas).map { i =>
         t.select(t.columns.toIndexedSeq.map { c =>
-          if (keyCols(c)) (col(c) + lit(i * IdStride)).as(c) else col(c)
+          if (keyCols(c)) (col(c) + lit(i * stride)).as(c) else col(c)
         }: _*)
       }.reduce(_.unionByName(_))
         .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
     }
-    tile("customer", Set("c_custkey"))
-    tile("orders", Set("o_orderkey", "o_custkey"))
-    tile("lineitem", Set("l_orderkey", "l_partkey"))
+    // customer tiles with a DENSE stride (= the base row count): q222's
+    // random recursive tree needs parent(k) = h60 mod k to LAND on an
+    // existing key, which holds only when keys stay dense 0..N·n−1 — the
+    // sparse IdStride tiling silently dropped 99% of chains through the
+    // ancestor join (caught when the 100× row returned 1× rows) and
+    // measured nothing. Dense keys give ONE 100×-node tree whose depth
+    // grows ~ln(replicas) — exactly the log-depth claim under test.
+    tile("customer", Set("c_custkey"),
+      stride = Tables(spark, baseDir, "customer").count())
+    // orders/lineitem keep the sparse IdStride: q216 needs replica-LOCAL
+    // co-purchase graphs (disjoint key ranges), not density
+    tile("orders", Set("o_orderkey", "o_custkey"), IdStride)
+    tile("lineitem", Set("l_orderkey", "l_partkey"), IdStride)
   }
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String): Unit = {
