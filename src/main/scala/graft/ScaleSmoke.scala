@@ -290,6 +290,10 @@ object ScaleSmoke {
       // dense-cell frame stays <= Grid^2 and the propagation is driver-side
       // constant work — the purest scan-bound row in the suite
       ("q220_density_cluster", graft.queries.MiningOps.q220DensityCluster _, scaledDir),
+      // Gram sufficient statistics: one scan emitting d(d+1)/2 products
+      // per row into a d²-cell agg — cost is the explode-scan, output is
+      // corpus-independent; must scale with the embedding count
+      ("q237_gram_matrix", graft.queries.Similarity.q237GramMatrix _, scaledDir),
       // pointer doubling: ONE random recursive tree over Nx nodes; depth
       // grows by ln N, so the fixed log-depth round count must still
       // saturate (the require proves it) while each round's node-keyed
