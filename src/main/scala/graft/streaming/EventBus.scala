@@ -127,9 +127,11 @@ object EventBus {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
-        table.appendBatch(batch, bid)
-        // at-least-once redelivery, exercised on purpose (the q200
-        // contract): the second call must be a detected no-op
+        // appendBatch tags the manifest with the batch id, so an
+        // at-least-once upstream (bus redelivery, retried foreachBatch,
+        // restarted query) commits each batch once — the duplicate call is
+        // a detected no-op (VersionedTableSpec + the StreamingSpec E2E's
+        // post-run redelivery probe)
         table.appendBatch(batch, bid)
         ()
       }

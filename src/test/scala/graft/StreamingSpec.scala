@@ -566,14 +566,21 @@ class StreamingSpec extends SparkTestBase {
     q.awaitTermination()
     val got = table.readLatest()
     val n = got.count()
+    val vBefore = table.currentVersion()
+    // AT-LEAST-ONCE REDELIVERY PROBE through the public API: a bus that
+    // redelivers batch 0 after the query advanced must hit a detected
+    // no-op — the batch-id manifest tag, not luck, is what makes the
+    // table exactly-once
+    table.appendBatch(got.limit(10), 0L)
+    assert(table.currentVersion() == vBefore && table.readLatest().count() == n,
+      "redelivered batch id must commit nothing")
     val stats = got.agg(
       count_distinct(col("event_id")).as("d"),
       min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
       .collect().head
     assert(n >= 2 * RowsPerBatch, s"need >= 2 committed micro-batches, got $n rows")
     assert(n % RowsPerBatch == 0, s"whole batches only: $n rows")
-    // exactly-once despite the DOUBLED appendBatch per micro-batch:
-    // contiguous ids 0..n-1, every id once
+    // exactly-once: contiguous ids 0..n-1, every id once
     assert(stats.getLong(0) == n && stats.getLong(1) == 0L && stats.getLong(2) == n - 1,
       s"ids must be 0..${n - 1} exactly once, got distinct=${stats.getLong(0)} " +
         s"lo=${stats.getLong(1)} hi=${stats.getLong(2)}")
