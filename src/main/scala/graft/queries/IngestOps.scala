@@ -1045,6 +1045,7 @@ object IngestOps {
       case "q200" => q200Fixture(spark, dir); ()
       case "q235" => EventsOps.q235Staged(spark, dir); ()
       case "q236" => q236Bootstrap(spark, dir); ()
+      case "q238" => q238Mv0(spark, dir); ()
       case _ => ()
     }
 
@@ -1231,6 +1232,133 @@ object IngestOps {
       |  FROM s)
       |SELECT doc_id, md5(t4) AS h, lang, 'parquet-mirror' AS mirror
       |FROM s4 WHERE p4 ORDER BY doc_id""".stripMargin
+
+  /** q238's second versioned table: embeddings-derived (vec_id, label),
+    * three versions with SQL-restatable batches —
+    * v1 init: vec_id % 5 ≠ 4; v2: delete % 7 = 3, upsert label+1000 where
+    * % 4 = 1; v3: upsert label+2000 where % 6 = 2. One per (JVM, sf dir),
+    * version-pinned consumers only.
+    */
+  private[graft] def versionedEmbsTable(spark: SparkSession, dir: String): graft.table.VersionedTable =
+    vtMemo.getOrElseUpdate(s"q238b:$dir", {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q238b_" +
+        s"${graft.Tables.jvmTag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val baseDir = new java.io.File(base)
+      if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+      val e = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+      val t = new graft.table.VersionedTable(spark, s"$base/tbl", "vec_id")
+      val v1 = t.init(e.filter(pmod(col("vec_id"), lit(5)) =!= 4))
+      val v2 = t.merge(e
+        .filter(pmod(col("vec_id"), lit(7)) === 3 || pmod(col("vec_id"), lit(4)) === 1)
+        .select(col("vec_id"),
+          when(pmod(col("vec_id"), lit(7)) === 3, lit("delete"))
+            .otherwise(lit("upsert")).as("op"),
+          (col("label") + 1000L).as("label")), v1)
+      t.merge(e.filter(pmod(col("vec_id"), lit(6)) === 2)
+        .select(col("vec_id"), lit("upsert").as("op"),
+          (col("label") + 2000L).as("label")), v2)
+      t
+    })
+
+  /** q238's materialized view baseline — A@2 ⋈ B@1 written once per
+    * (JVM, sf dir), the "yesterday" state an incremental refresh patches.
+    */
+  private val q238Memo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def q238Mv0(spark: SparkSession, dir: String): String =
+    q238Memo.getOrElseUpdate(dir, {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_q238mv_" +
+        s"${graft.Tables.jvmTag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      versionedDocsTable(spark, dir).read(2L)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .join(versionedEmbsTable(spark, dir).read(1L)
+          .select(col("vec_id").as("doc_id"), col("label")), "doc_id")
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** q238 — INCREMENTAL MAINTENANCE OF A JOIN VIEW through two CDC feeds:
+    * the join half of the IVM story (q145/q202 maintain AGGREGATES, q229 a
+    * linear sketch; a join view is the other classical case — Blakeley,
+    * Larson & Tompa, SIGMOD 1986). The view is `docs ⋈ embs` on the key;
+    * it was materialized when the tables stood at (A@2, B@1)
+    * ([[q238Mv0]]), and both tables have since moved (A→4, B→3).
+    *
+    * The refresh is DELTA-SCOPED RECOMPUTE:
+    *   1. touched = keys(ΔA) ∪ keys(ΔB) — union of the two bucket-pruned,
+    *      changes-sized CDC feeds ([[graft.table.VersionedTable.changes]]);
+    *   2. patch = (A@4 ⋈ B@3) restricted to touched keys (semi-join on the
+    *      tiny touched frame; the pinned-snapshot reads are key-bucketed,
+    *      so at 100 TB the restriction prunes to the touched buckets);
+    *   3. mv' = (mv ∖ touched) ∪ patch — an anti-join and a union; in a
+    *      real MV store this is a keyed upsert of |touched| rows.
+    * Deletes on either side fall out naturally: a touched key whose post-
+    * state misses either table simply produces no patch row. Work is
+    * O(|Δ| + touched-bucket reads), never a full rejoin — the difference
+    * between refreshing a 100 TB dashboard join hourly and rebuilding it.
+    *
+    * A hard require() proves mv' equals the from-scratch A@4 ⋈ B@3 (count
+    * + both-direction anti-join — the q79/q236 audit; sampled at real
+    * scale), and the oracle reconstructs both latest snapshots from the
+    * batch definitions and joins them in SQL.
+    */
+  def q238JoinIvm(spark: SparkSession, dir: String): DataFrame = {
+    val ta = versionedDocsTable(spark, dir)
+    val tb = versionedEmbsTable(spark, dir)
+    val mv0 = spark.read.parquet(q238Mv0(spark, dir))
+    val touched = ta.changes(2L, 4L).select(col("doc_id"))
+      .unionByName(tb.changes(1L, 3L).select(col("vec_id").as("doc_id")))
+      .distinct().localCheckpoint()
+    val a4 = ta.read(4L).select(col("doc_id"), col("text"), col("lang"))
+    val b3 = tb.read(3L).select(col("vec_id").as("doc_id"), col("label"))
+    val patch = a4.join(touched, Seq("doc_id"), "left_semi").join(b3, "doc_id")
+    val mvNew = mv0.join(touched, Seq("doc_id"), "left_anti").unionByName(patch)
+      .localCheckpoint()
+    val full = a4.join(b3, "doc_id")
+    require(mvNew.count() == full.count() &&
+      mvNew.join(full, Seq("doc_id", "text", "lang", "label"), "left_anti").isEmpty,
+      "incrementally refreshed join view diverged from the full rejoin")
+    mvNew.select(col("doc_id"), md5(col("text")).as("h"), col("lang"), col("label"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: A@4 (the q236 reconstruction) joined with B@3 (batch rules in
+    * [[versionedEmbsTable]]'s doc), composed with the same
+    * latest-batch-wins / in-batch-delete-wins CASE ordering.
+    */
+  val q238Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, lang, text,
+      |    CASE WHEN doc_id % 7 = 0 THEN FALSE
+      |         WHEN doc_id % 4 = 0 THEN TRUE
+      |         ELSE doc_id % 3 <> 0 END AS p2,
+      |    CASE WHEN doc_id % 4 = 0 AND doc_id % 7 <> 0 THEN text || ' v2'
+      |         ELSE text END AS t2
+      |  FROM documents),
+      |a4 AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 6 = 0 THEN TRUE
+      |         WHEN doc_id % 9 = 0 THEN FALSE
+      |         WHEN doc_id % 5 = 0 THEN TRUE
+      |         ELSE p2 END AS p4,
+      |    CASE WHEN doc_id % 6 = 0 THEN text || ' v4'
+      |         WHEN doc_id % 5 = 0 AND doc_id % 9 <> 0 THEN text || ' v3'
+      |         ELSE t2 END AS t4
+      |  FROM s),
+      |b3 AS (
+      |  SELECT vec_id,
+      |    CASE WHEN vec_id % 6 = 2 THEN TRUE
+      |         WHEN vec_id % 7 = 3 THEN FALSE
+      |         WHEN vec_id % 4 = 1 THEN TRUE
+      |         ELSE vec_id % 5 <> 4 END AS pb,
+      |    CASE WHEN vec_id % 6 = 2 THEN CAST(label AS BIGINT) + 2000
+      |         WHEN vec_id % 4 = 1 AND vec_id % 7 <> 3 THEN CAST(label AS BIGINT) + 1000
+      |         ELSE CAST(label AS BIGINT) END AS lb
+      |  FROM embeddings)
+      |SELECT a.doc_id, md5(a.t4) AS h, a.lang, b.lb AS label
+      |FROM a4 a JOIN b3 b ON b.vec_id = a.doc_id
+      |WHERE a.p4 AND b.pb
+      |ORDER BY a.doc_id""".stripMargin
 
   /** q196 — TABLE MAINTENANCE is logically invisible: on its own copy of
     * the q192 table, write a manifest CHECKPOINT (the Delta
@@ -1842,6 +1970,7 @@ object IngestOps {
     "q200_stream_table_sink" -> q200StreamTableSink _,
     "q195_table_changes" -> q195TableChanges _,
     "q236_cdc_mirror" -> q236CdcMirror _,
+    "q238_join_ivm" -> q238JoinIvm _,
     "q196_table_maintenance" -> q196TableMaintenance _,
     "q192_time_travel" -> q192TimeTravel _,
     "q189_schema_evolution" -> q189SchemaEvolution _,
@@ -1873,6 +2002,7 @@ object IngestOps {
     "q200_stream_table_sink" -> q200Sql,
     "q195_table_changes" -> q195Sql,
     "q236_cdc_mirror" -> q236Sql,
+    "q238_join_ivm" -> q238Sql,
     "q196_table_maintenance" -> q196Sql,
     "q192_time_travel" -> q192Sql,
     "q189_schema_evolution" -> q189Sql,
