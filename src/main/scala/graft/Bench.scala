@@ -78,8 +78,6 @@ object Bench {
     kept.foreach { case (n, _) =>
       graft.queries.IngestOps.warmFixture(spark, sfDir, n.takeWhile(_ != '_'))
     }
-    if (kept.exists(_._1.startsWith("q215")))
-      graft.queries.LayoutOps.q215Tables(spark, sfDir)
     // MEDIAN OF 3 per query: round 6's committed numbers carried 2-6×
     // machine-contention noise (4 of 5 apparent regressions were artifacts)
     // and the per-query signal drives every optimization round. Each repeat

@@ -79,6 +79,10 @@ object ScaleSmoke {
       }.reduce(_.unionByName(_))
         .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
     }
+    val keep = SparkEntry.onlyFilter()
+    // each table tiles only when a kept query reads it — a scoped
+    // SPARK_GRAFT_ONLY=q222 run must not pay the (large) orders/lineitem
+    // overwrite it never reads.
     // customer tiles with a DENSE stride (= the base row count): q222's
     // random recursive tree needs parent(k) = h60 mod k to LAND on an
     // existing key, which holds only when keys stay dense 0..N·n−1 — the
@@ -86,12 +90,15 @@ object ScaleSmoke {
     // ancestor join (caught when the 100× row returned 1× rows) and
     // measured nothing. Dense keys give ONE 100×-node tree whose depth
     // grows ~ln(replicas) — exactly the log-depth claim under test.
-    tile("customer", Set("c_custkey"),
-      stride = Tables(spark, baseDir, "customer").count())
+    if (keep("q222_hierarchy"))
+      tile("customer", Set("c_custkey"),
+        stride = Tables(spark, baseDir, "customer").count())
     // orders/lineitem keep the sparse IdStride: q216 needs replica-LOCAL
     // co-purchase graphs (disjoint key ranges), not density
-    tile("orders", Set("o_orderkey", "o_custkey"), IdStride)
-    tile("lineitem", Set("l_orderkey", "l_partkey"), IdStride)
+    if (keep("q216_link_prediction")) {
+      tile("orders", Set("o_orderkey", "o_custkey"), IdStride)
+      tile("lineitem", Set("l_orderkey", "l_partkey"), IdStride)
+    }
   }
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String): Unit = {

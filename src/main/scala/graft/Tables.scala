@@ -23,6 +23,16 @@ object Tables {
   private[graft] lazy val jvmTag: String =
     java.util.UUID.randomUUID().toString.take(8)
 
+  /** Canonical tmpdir root for a delete-then-rebuild fixture keyed by
+    * (JVM, sf dir) — ONE naming/sanitization scheme for every such site
+    * (versioned tables, bucketed tables, variant staging, MV baselines).
+    * Artifacts meant to be SHARED across JVMs (signature store, loser
+    * sets) deliberately do NOT use this — they omit [[jvmTag]].
+    */
+  private[graft] def fixtureRoot(tag: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${jvmTag}_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir) else spark.read.parquet(s"$dir/$name.parquet")
 

@@ -706,10 +706,21 @@ object Curation {
       .withColumn("rep_mean_milli", expr("1000 * wsum div wn"))
     val wRk = Window.partitionBy(col("event_type"))
       .orderBy(col("rep_mean_milli"), col("b"))
+    // the percentile RANKS derive from the SURVIVING replicate count, not
+    // the constant B: with R replicates the ~5th/95th order statistics are
+    // (R·5 div 100)+1 and R−(R·5 div 100) — equal to 2 and 31 at the full
+    // R=32, and still the documented coverage when a replicate vanished
+    // (constant indices would silently turn rk=31 into a 100th-percentile
+    // bound on 31 survivors)
     val ci = reps.withColumn("rk", row_number().over(wRk))
+      .withColumn("nreps",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
       .groupBy(col("event_type"))
-      .agg(max(when(col("rk") === 2, col("rep_mean_milli"))).as("boot_lo_milli"),
-        max(when(col("rk") === Q224Reps - 1, col("rep_mean_milli"))).as("boot_hi_milli"))
+      .agg(
+        max(when(col("rk") === expr("(nreps * 5) div 100 + 1"),
+          col("rep_mean_milli"))).as("boot_lo_milli"),
+        max(when(col("rk") === expr("nreps - (nreps * 5) div 100"),
+          col("rep_mean_milli"))).as("boot_hi_milli"))
     val full = e.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), expr("1000 * sum(cents) div count(*)").as("mean_milli"))
     full.join(ci, "event_type")
@@ -741,12 +752,13 @@ object Curation {
        |ranked AS (
        |  SELECT event_type, 1000 * wsum // wn AS rep_mean_milli,
        |    row_number() OVER (PARTITION BY event_type
-       |      ORDER BY 1000 * wsum // wn, b) AS rk
+       |      ORDER BY 1000 * wsum // wn, b) AS rk,
+       |    count(*) OVER (PARTITION BY event_type) AS nreps
        |  FROM reps),
        |ci AS (
        |  SELECT event_type,
-       |    max(CASE WHEN rk = 2 THEN rep_mean_milli END) AS boot_lo_milli,
-       |    max(CASE WHEN rk = ${Q224Reps - 1} THEN rep_mean_milli END) AS boot_hi_milli
+       |    max(CASE WHEN rk = (nreps * 5) // 100 + 1 THEN rep_mean_milli END) AS boot_lo_milli,
+       |    max(CASE WHEN rk = nreps - (nreps * 5) // 100 THEN rep_mean_milli END) AS boot_hi_milli
        |  FROM ranked GROUP BY 1),
        |fullagg AS (
        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -49,8 +49,7 @@ object EventsOps {
 
   private[graft] def q235Staged(spark: SparkSession, dir: String): String =
     q235Memo.getOrElseUpdate(dir, {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q235_" +
-        s"${graft.Tables.jvmTag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = graft.Tables.fixtureRoot("q235", dir)
       val confs = Seq(
         "spark.sql.variant.writeShredding.enabled" -> "true",
         "spark.sql.variant.inferShreddingSchema" -> "true")

@@ -1002,8 +1002,7 @@ object IngestOps {
   private def versionedDocsTable(spark: SparkSession, dir: String,
       tag: String = "q192"): graft.table.VersionedTable =
     vtMemo.getOrElseUpdate(s"$tag:$dir", {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
-        s"${graft.Tables.jvmTag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = graft.Tables.fixtureRoot(tag, dir)
       val baseDir = new java.io.File(base)
       if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
       val d = Tables(spark, dir, "documents")
@@ -1046,6 +1045,7 @@ object IngestOps {
       case "q235" => EventsOps.q235Staged(spark, dir); ()
       case "q236" => q236Bootstrap(spark, dir); ()
       case "q238" => q238Mv0(spark, dir); ()
+      case "q215" => LayoutOps.q215Tables(spark, dir); ()
       case _ => ()
     }
 
@@ -1190,9 +1190,7 @@ object IngestOps {
       .orderBy(col("doc_id"))
   }
 
-  private def q236Root(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_q236_" +
-      s"${graft.Tables.jvmTag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+  private def q236Root(dir: String): String = graft.Tables.fixtureRoot("q236", dir)
 
   /** The mirror's initial load — a pinned-snapshot materialization, built
     * once per (JVM, sf dir) and Bench-hoistable like every fixture.
@@ -1241,8 +1239,7 @@ object IngestOps {
     */
   private[graft] def versionedEmbsTable(spark: SparkSession, dir: String): graft.table.VersionedTable =
     vtMemo.getOrElseUpdate(s"q238b:$dir", {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q238b_" +
-        s"${graft.Tables.jvmTag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = graft.Tables.fixtureRoot("q238b", dir)
       val baseDir = new java.io.File(base)
       if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
       val e = Tables(spark, dir, "embeddings")
@@ -1267,8 +1264,7 @@ object IngestOps {
   private val q238Memo = scala.collection.concurrent.TrieMap.empty[String, String]
   private[graft] def q238Mv0(spark: SparkSession, dir: String): String =
     q238Memo.getOrElseUpdate(dir, {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft_q238mv_" +
-        s"${graft.Tables.jvmTag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = graft.Tables.fixtureRoot("q238mv", dir)
       versionedDocsTable(spark, dir).read(2L)
         .select(col("doc_id"), col("text"), col("lang"))
         .join(versionedEmbsTable(spark, dir).read(1L)
@@ -1741,8 +1737,7 @@ object IngestOps {
     val reqPred = graft.functions.ColFns.h60(
       concat(col("c_custkey").cast("string"), lit(":gdpr"))) % Q214ReqMod === 0
     vtMemo.getOrElseUpdate(s"q214:$dir", {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q214_" +
-        s"${graft.Tables.jvmTag}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = graft.Tables.fixtureRoot("q214", dir)
       val baseDir = new java.io.File(base)
       if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
       val c = Tables(spark, dir, "customer")
@@ -1769,7 +1764,12 @@ object IngestOps {
     def isMissingFileFailure(e: Throwable): Boolean = e match {
       case null => false
       case _: java.io.FileNotFoundException => true
-      case _: org.apache.spark.sql.AnalysisException => true
+      case e: org.apache.spark.sql.AnalysisException =>
+        // only the missing-path analysis failures count — a schema-merge
+        // conflict or bad plan is NOT evidence of erasure
+        val m = Option(e.getMessage).getOrElse("")
+        m.contains("PATH_NOT_FOUND") || m.contains("does not exist") ||
+          isMissingFileFailure(e.getCause)
       case e: org.apache.spark.SparkException =>
         val m = Option(e.getMessage).getOrElse("")
         m.contains("FileNotFound") || m.contains("does not exist") ||

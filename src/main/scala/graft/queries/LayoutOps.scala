@@ -272,7 +272,7 @@ object LayoutOps {
   private[graft] def q215Tables(spark: SparkSession, dir: String): (String, String) = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     q215Memo.getOrElseUpdate(dir, {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q215_${graft.Tables.jvmTag}_$tag"
+      val base = graft.Tables.fixtureRoot("q215", dir)
       val baseDir = new java.io.File(base)
       if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
       val lt = s"graft_q215_lineitem_$tag"

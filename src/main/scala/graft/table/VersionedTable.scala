@@ -406,6 +406,16 @@ final class VersionedTable(
       .flatMap(v => headerToken(v, "batch"))
       .foldLeft(-1L)(math.max)
 
+  /** Per-instance cache of [[lastCommittedBatchId]] so a streaming sink's
+    * per-trigger replay check is O(1) instead of rescanning every manifest
+    * from v1 (O(batches²) driver I/O over a stream's life). The log stays
+    * the source of truth: the cache initializes from one full scan, only
+    * ever advances on a SUCCESSFUL commit, and is invalidated when a
+    * publish race is lost (another writer may have committed a batch this
+    * instance hasn't seen). Long.MinValue = not yet initialized.
+    */
+  @volatile private var batchIdCache: Long = Long.MinValue
+
   /** IDEMPOTENT APPEND for exactly-once streaming sinks: commit `df` as a
     * pure-add version tagged with the micro-batch id. Structured
     * Streaming's `foreachBatch` re-delivers a batch after a failure with
@@ -419,12 +429,19 @@ final class VersionedTable(
     */
   def appendBatch(df: DataFrame, batchId: Long): Long = {
     val cur = currentVersion()
-    if (batchId <= lastCommittedBatchId()) return cur // replayed batch
+    if (batchIdCache == Long.MinValue) batchIdCache = lastCommittedBatchId()
+    if (batchId <= batchIdCache) return cur // replayed batch
     val next = cur + 1
     val nB = bucketCountAt(cur)
     val adds = writeDataFiles(df, next, nB)
-    publish(next, cur, adds.map { case (b, p) => s"add $b $p" },
+    try publish(next, cur, adds.map { case (b, p) => s"add $b $p" },
       s" buckets $nB batch $batchId")
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        batchIdCache = Long.MinValue // another writer moved the log
+        throw e
+    }
+    batchIdCache = math.max(batchIdCache, batchId)
     next
   }
 
