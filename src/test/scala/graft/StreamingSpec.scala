@@ -627,6 +627,48 @@ class StreamingSpec extends SparkTestBase {
       "poison payload must surface as NULL columns with the cursor intact")
   }
 
+  test("WireBus DSv2 source: bus E2E into the exactly-once sink; restart RESUMES from the checkpoint") {
+    import graft.streaming.EventBus
+    val tmp = Files.createTempDirectory("graft-wirebus").toString
+    val ss = graft.queries.ReplayFixtures.replaySession(spark)
+    val table = new graft.table.VersionedTable(ss, s"$tmp/tbl", "event_id")
+    val RowsPerBatch = 300L
+    val src = EventBus.BusEventSource("graft.streaming.WireBus",
+      Map("rowsPerBatch" -> RowsPerBatch.toString, "partitions" -> "4"))
+    def runUntil(minBatches: Long): Unit = {
+      val q = EventBus.sinkToVersionedTable(ss, src, table, s"$tmp/ckpt")
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while ((q.lastProgress == null || q.lastProgress.batchId < minBatches) &&
+          System.nanoTime() < deadline) Thread.sleep(100)
+      q.stop(); q.awaitTermination()
+    }
+    runUntil(3)
+    val n1 = table.readLatest().count()
+    assert(n1 >= 2 * RowsPerBatch && n1 % RowsPerBatch == 0,
+      s"first run must commit whole batches, got $n1")
+    // RESTART from the same checkpoint: the generator instance is fresh
+    // (its high-water mark starts at 0), so only the checkpoint's restored
+    // offsets can make the query RESUME past the committed range instead
+    // of rewinding and re-appending ids 0..n1-1
+    runUntil(2)
+    val got = table.readLatest()
+    val n2 = got.count()
+    assert(n2 > n1, s"restart must produce NEW batches beyond the first run's $n1 rows")
+    val stats = got.agg(
+      count_distinct(col("event_id")).as("d"),
+      min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+      .collect().head
+    assert(stats.getLong(0) == n2 && stats.getLong(1) == 0L && stats.getLong(2) == n2 - 1,
+      s"across stop/restart ids must stay 0..${n2 - 1} exactly once, got " +
+        s"distinct=${stats.getLong(0)} lo=${stats.getLong(1)} hi=${stats.getLong(2)}")
+    // the bus cursor survives decode: every partition carries its own
+    // contiguous per-partition offsets (Kafka's layout)
+    val wire = ss.readStream.format("graft.streaming.WireBus")
+      .option("rowsPerBatch", RowsPerBatch).option("partitions", "4").load()
+    assert(wire.schema.fieldNames.toSeq ==
+      Seq("key", "value", "topic", "partition", "offset"))
+  }
+
   test("q140 streaming session_window replay equals the batch session_window result") {
     val streamed = graft.queries.IngestOps.q140SessionWindowReplay(spark, sfDir)
       .collect().map(_.toSeq)
