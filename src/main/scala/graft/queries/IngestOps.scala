@@ -1045,6 +1045,7 @@ object IngestOps {
       case "q235" => EventsOps.q235Staged(spark, dir); ()
       case "q236" => q236Bootstrap(spark, dir); ()
       case "q238" => q238Mv0(spark, dir); ()
+      case "q239" => q239Table(spark, dir); ()
       case "q215" => LayoutOps.q215Tables(spark, dir); ()
       case _ => ()
     }
@@ -1203,6 +1204,75 @@ object IngestOps {
         .write.mode("overwrite").parquet(p)
       p
     })
+
+  /** q239's append-fragmented table: a base snapshot plus four
+    * [[graft.table.VersionedTable.appendBatch]] commits, each touching
+    * every bucket — the shape a streaming sink leaves behind (one data
+    * directory per bucket PER BATCH, so each bucket ends at exactly five
+    * live dirs). Built once per (JVM, sf dir).
+    */
+  private[graft] def q239Table(spark: SparkSession, dir: String): graft.table.VersionedTable =
+    vtMemo.getOrElseUpdate(s"q239:$dir", {
+      val base = graft.Tables.fixtureRoot("q239", dir)
+      val baseDir = new java.io.File(base)
+      if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+      val d = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val t = new graft.table.VersionedTable(spark, s"$base/tbl", "doc_id")
+      t.init(d.filter(pmod(col("doc_id"), lit(5)) === 0))
+      (1 to 4).foreach { k =>
+        t.appendBatch(d.filter(pmod(col("doc_id"), lit(5)) === k), k.toLong)
+      }
+      t
+    })
+
+  /** q239 — TABLE COMPACTION (the OPTIMIZE verb): a streaming sink leaves
+    * one bucket-pure data directory per bucket per micro-batch
+    * ([[q239Table]]: five live dirs in every bucket after init + four
+    * appends), and small files are the classic lakehouse decay —
+    * footer-read overhead per scan grows with the commit count, not the
+    * data. [[graft.table.VersionedTable.compact]] rewrites only the
+    * fragmented buckets into one directory each and publishes a
+    * content-identical commit; time travel and the CDC feed keep working
+    * across the boundary (files are reclaimed later by vacuum).
+    *
+    * The audit columns are CONSTANTS THE ENGINE MUST EARN (the q214
+    * pattern): `files_before_max` = 5 reads the PINNED pre-compaction
+    * version (stable across reruns — the query is idempotent because
+    * compact on an unfragmented table is a no-op), `files_after_max` = 1
+    * holds only if compaction actually merged every bucket, and the
+    * per-lang content rows hash-match the raw documents only if the
+    * rewrite moved bytes and nothing else.
+    *
+    * Scale: compact reads and writes ONLY fragmented buckets (here all,
+    * by construction); at 100 TB a nightly compact after a day of
+    * micro-batches costs the day's buckets, not the table.
+    */
+  def q239Compaction(spark: SparkSession, dir: String): DataFrame = {
+    val t = q239Table(spark, dir)
+    val preV = 5L // init + four appends — pinned, so reruns see the same value
+    val beforeMax = t.bucketFileCounts(preV).values.max
+    val v = t.compact(t.currentVersion())
+    val afterMax = t.bucketFileCounts(v).values.max
+    t.read(v)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("len_sum"))
+      .withColumn("files_before_max", lit(beforeMax.toLong))
+      .withColumn("files_after_max", lit(afterMax.toLong))
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle: the compacted table holds exactly the full documents set
+    * (the five residue classes partition it); the file-count constants
+    * are the compaction contract itself.
+    */
+  val q239Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS len_sum,
+      |  CAST(5 AS BIGINT) AS files_before_max,
+      |  CAST(1 AS BIGINT) AS files_after_max
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Oracle: snapshot v4 = base + all three change batches under the
     * merge composition rules (latest batch wins; within a batch delete
@@ -1971,6 +2041,7 @@ object IngestOps {
     "q195_table_changes" -> q195TableChanges _,
     "q236_cdc_mirror" -> q236CdcMirror _,
     "q238_join_ivm" -> q238JoinIvm _,
+    "q239_table_compaction" -> q239Compaction _,
     "q196_table_maintenance" -> q196TableMaintenance _,
     "q192_time_travel" -> q192TimeTravel _,
     "q189_schema_evolution" -> q189SchemaEvolution _,
@@ -2003,6 +2074,7 @@ object IngestOps {
     "q195_table_changes" -> q195Sql,
     "q236_cdc_mirror" -> q236Sql,
     "q238_join_ivm" -> q238Sql,
+    "q239_table_compaction" -> q239Sql,
     "q196_table_maintenance" -> q196Sql,
     "q192_time_travel" -> q192Sql,
     "q189_schema_evolution" -> q189Sql,

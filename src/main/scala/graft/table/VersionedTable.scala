@@ -161,6 +161,47 @@ final class VersionedTable(
     v
   }
 
+  /** Live data-directory entries per bucket at version `v` — the
+    * fragmentation metric [[compact]] acts on (each append/merge leaves
+    * one bucket-pure directory per touched bucket per commit).
+    */
+  def bucketFileCounts(v: Long): Map[Int, Int] =
+    liveFiles(v).groupBy(_._1).map { case (b, fs) => b -> fs.size }
+
+  /** OPTIMIZE / small-file compaction — the third maintenance verb beside
+    * [[checkpoint]] (manifest-replay cost) and [[rebucket]] (granularity):
+    * every bucket whose live set holds more than `maxPerBucket` data
+    * directories is rewritten into one, published as a CONTENT-IDENTICAL
+    * commit (the add/remove lines move bytes, nothing else — q196's
+    * maintenance contract). Bucket-pruned like merge: only fragmented
+    * buckets are read or rewritten, so compacting after K small streaming
+    * appends costs the fragmented fraction of the table, not the table.
+    * Returns `expectedVersion` unchanged when nothing is fragmented
+    * (idempotent); time travel across the boundary keeps working because
+    * the old files stay until [[vacuum]].
+    *
+    * This is the table-side half of the small-file story — the external-
+    * file planner (`LayoutOps.q178CompactionPlan`) decides WHAT a
+    * directory of loose files should become; this executes the same move
+    * inside the commit log with snapshot isolation.
+    */
+  def compact(expectedVersion: Long, maxPerBucket: Int = 1): Long = {
+    val live = liveFiles(expectedVersion)
+    val frag = live.groupBy(_._1).collect {
+      case (b, fs) if fs.size > maxPerBucket => b
+    }.toSet
+    if (frag.isEmpty) return expectedVersion
+    val next = expectedVersion + 1
+    val nB = bucketCountAt(expectedVersion)
+    val paths = live.collect { case (b, p) if frag(b) => s"$root/$p" }
+    val adds = writeDataFiles(spark.read.parquet(paths: _*), next, nB)
+    publish(next, expectedVersion,
+      live.collect { case (b, p) if frag(b) => s"remove $p" } ++
+        adds.map { case (b, p) => s"add $b $p" },
+      s" buckets $nB")
+    next
+  }
+
   /** The snapshot exactly as version `v` committed it — time travel. */
   def read(v: Long): DataFrame = {
     val paths = liveFiles(v).map { case (_, p) => s"$root/$p" }

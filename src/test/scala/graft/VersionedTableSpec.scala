@@ -180,6 +180,43 @@ class VersionedTableSpec extends SparkTestBase {
     assert(s8.size == before(7L).size)
   }
 
+  test("compact merges fragmented buckets content-identically; bucket-pruned, idempotent, time-travel-safe") {
+    val rootP = freshRoot("compact")
+    val t = new VersionedTable(spark, rootP, "doc_id")
+    // init owns buckets 8-15 (one live dir each — the prune witnesses);
+    // the three appends carve DISJOINT id ranges of buckets 0-7, so those
+    // end at three live dirs each
+    t.init(docs.filter(pmod(col("doc_id"), lit(16)) >= 8))
+    (1 to 3).foreach { k =>
+      t.appendBatch(
+        docs.filter(pmod(col("doc_id"), lit(16)) < 8 &&
+          col("doc_id") >= (k - 1) * 100 && col("doc_id") < k * 100),
+        k.toLong)
+    }
+    val v4 = t.currentVersion()
+    val before = snap(t.read(v4))
+    assert(t.bucketFileCounts(v4).values.max > 1, "fixture must be fragmented")
+    val v5 = t.compact(v4)
+    assert(v5 == v4 + 1)
+    assert(t.bucketFileCounts(v5).values.max == 1, "every bucket one live dir after")
+    assert(snap(t.read(v5)) == before, "compaction must move bytes and nothing else")
+    assert(snap(t.read(v4)) == before, "pre-compaction time travel must survive")
+    assert(t.compact(v5) == v5, "idempotent: nothing fragmented, no new commit")
+    // BUCKET-PRUNED: the compaction manifest may only touch the fragmented
+    // buckets — no remove (or add) line for the single-dir buckets 8-15
+    val manifest = java.nio.file.Files
+      .readAllLines(Paths.get(rootP, "_log", f"v$v5%08d.manifest"))
+    manifest.forEach { line =>
+      val touched = line.split(" ") match {
+        case Array("add", b, _) => Some(b.toInt)
+        case Array("remove", p) => Some(p.split("/b=")(1).toInt)
+        case _ => None
+      }
+      touched.foreach(b =>
+        assert(b < 8, s"untouched bucket $b must carry over by reference: $line"))
+    }
+  }
+
   test("rebucket changes layout, not content, and future merges use the new count") {
     val root = freshRoot("rebucket")
     val t = new VersionedTable(spark, root, "doc_id", nBuckets = 16)
