@@ -70,16 +70,25 @@ object EventBus {
         .option("startTimestamp", startMs)
         .option("advanceMillisPerBatch", advanceMsPerBatch)
         .load()
-        .select(
-          col("value").as("event_id"),
-          col("timestamp").as("ts"),
-          pmod(col("value"), lit(97L)).as("user_id"),
-          element_at(
-            array(lit("view"), lit("click"), lit("purchase"), lit("signup"), lit("error")),
-            (pmod(col("value"), lit(5L)) + 1).cast("int")).as("event_type"),
-          (pmod(col("value") * 37L, lit(10000L)).cast("double") / 100.0).as("value"),
-          concat(lit("{\"k\": "), pmod(col("value"), lit(100L)), lit("}")).as("props"))
+        .select(EventBus.eventColumns(col("value"), col("timestamp")): _*)
   }
+
+  /** THE deterministic sequence→event mapping, shared by
+    * [[RateEventSource]] (as columns over the rate stream) and pinned to
+    * [[WireBus.payloadJson]] (its serialized twin) by StreamingSpec's
+    * equivalence test — edit one without the other and that test fails.
+    */
+  private[graft] def eventColumns(
+      seq: org.apache.spark.sql.Column,
+      ts: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = Seq(
+    seq.as("event_id"),
+    ts.as("ts"),
+    pmod(seq, lit(97L)).as("user_id"),
+    element_at(
+      array(lit("view"), lit("click"), lit("purchase"), lit("signup"), lit("error")),
+      (pmod(seq, lit(5L)) + 1).cast("int")).as("event_type"),
+    (pmod(seq * 37L, lit(10000L)).cast("double") / 100.0).as("value"),
+    concat(lit("{\"k\": "), pmod(seq, lit(100L)), lit("}")).as("props"))
 
   /** A DataSource-v2 streaming format emitting the Kafka wire shape.
     * `BusEventSource("kafka", Map("kafka.bootstrap.servers" -> …,

@@ -65,7 +65,7 @@ object WireBus {
     * as the producer would put it on the wire (micros-precision ISO
     * timestamp).
     */
-  private[streaming] def payloadJson(i: Long, rowsPerBatch: Long, startMs: Long,
+  private[graft] def payloadJson(i: Long, rowsPerBatch: Long, startMs: Long,
       advanceMs: Long): String = {
     val tsMicros = (startMs + (i / rowsPerBatch) * advanceMs) * 1000L
     val iso = java.time.Instant.EPOCH.plus(tsMicros, java.time.temporal.ChronoUnit.MICROS)
@@ -95,7 +95,8 @@ final class WireBusTable(options: CaseInsensitiveStringMap)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = WireBus.wireSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new WireBusStream(rowsPerBatch, nParts, topic, startMs, advanceMs)
+          new WireBusStream(rowsPerBatch, nParts, topic, startMs, advanceMs,
+            checkpointLocation)
       }
     }
   }
@@ -111,28 +112,52 @@ private final case class WireBusPartition(
   extends InputPartition
 
 final class WireBusStream(rowsPerBatch: Long, nParts: Int, topic: String,
-    startMs: Long, advanceMs: Long) extends MicroBatchStream {
+    startMs: Long, advanceMs: Long, checkpointLoc: String)
+  extends MicroBatchStream {
 
-  // the generator's high-water mark: monotone per trigger, and re-armed
-  // past any offset the engine restores from its checkpoint, so a restart
-  // RESUMES (new data beyond the committed range) rather than rewinding
-  @volatile private var target = 0L
+  // The generator's high-water mark, PERSISTED under this source's own
+  // checkpoint directory (the real-source pattern — a broker's "latest
+  // offset" survives the driver). A fresh instance after a restart must
+  // never report a latestOffset BELOW the engine's restored start offset:
+  // the engine may ask for latestOffset before it hands us any restored
+  // offset to deserialize, and offsets are opaque to it — a stale low
+  // answer would make it plan old ranges under new batch ids (observed as
+  // duplicated event ids in the restart E2E). deserializeOffset/commit
+  // still re-arm as a belt on top of the marker.
+  private val marker: java.nio.file.Path = {
+    val base =
+      if (checkpointLoc.startsWith("file:"))
+        java.nio.file.Paths.get(java.net.URI.create(checkpointLoc))
+      else java.nio.file.Paths.get(checkpointLoc)
+    java.nio.file.Files.createDirectories(base)
+    base.resolve("wirebus-highwater")
+  }
+
+  @volatile private var target: Long =
+    if (java.nio.file.Files.exists(marker))
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim.toLong
+    else 0L
+
+  private def persist(): Unit =
+    java.nio.file.Files.write(marker, s"$target\n".getBytes("UTF-8"))
 
   override def initialOffset(): Offset = WireBusOffset(0L)
 
   override def latestOffset(): Offset = synchronized {
     target += rowsPerBatch
+    persist()
     WireBusOffset(target)
   }
 
   override def deserializeOffset(json: String): Offset = synchronized {
     val n = json.trim.toLong
-    target = math.max(target, n)
+    if (n > target) { target = n; persist() }
     WireBusOffset(n)
   }
 
   override def commit(end: Offset): Unit = synchronized {
-    target = math.max(target, end.asInstanceOf[WireBusOffset].n)
+    val n = end.asInstanceOf[WireBusOffset].n
+    if (n > target) { target = n; persist() }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -447,15 +447,26 @@ final class VersionedTable(
       .flatMap(v => headerToken(v, "batch"))
       .foldLeft(-1L)(math.max)
 
-  /** Per-instance cache of [[lastCommittedBatchId]] so a streaming sink's
-    * per-trigger replay check is O(1) instead of rescanning every manifest
-    * from v1 (O(batches²) driver I/O over a stream's life). The log stays
-    * the source of truth: the cache initializes from one full scan, only
-    * ever advances on a SUCCESSFUL commit, and is invalidated when a
-    * publish race is lost (another writer may have committed a batch this
-    * instance hasn't seen). Long.MinValue = not yet initialized.
+  /** Incremental view of [[lastCommittedBatchId]] so a streaming sink's
+    * per-trigger replay check reads each manifest ONCE per instance
+    * lifetime instead of rescanning all of them per call (O(batches²)
+    * driver I/O over a stream's life). The log stays the source of truth:
+    * before every replay decision the cache is advanced through the
+    * CURRENT version, so commits made by OTHER instances since the last
+    * look are always seen first — a stale instance can conclude
+    * "replayed" only from manifests actually on disk, never from its own
+    * memory alone.
     */
-  @volatile private var batchIdCache: Long = Long.MinValue
+  @volatile private var batchCacheUpTo: Long = 0L
+  @volatile private var batchIdCache: Long = -1L
+
+  private def refreshBatchCache(upTo: Long): Unit = synchronized {
+    if (upTo > batchCacheUpTo) {
+      val extra = (batchCacheUpTo + 1L to upTo).flatMap(v => headerToken(v, "batch"))
+      if (extra.nonEmpty) batchIdCache = math.max(batchIdCache, extra.max)
+      batchCacheUpTo = upTo
+    }
+  }
 
   /** IDEMPOTENT APPEND for exactly-once streaming sinks: commit `df` as a
     * pure-add version tagged with the micro-batch id. Structured
@@ -470,19 +481,20 @@ final class VersionedTable(
     */
   def appendBatch(df: DataFrame, batchId: Long): Long = {
     val cur = currentVersion()
-    if (batchIdCache == Long.MinValue) batchIdCache = lastCommittedBatchId()
+    refreshBatchCache(cur) // see every commit on disk before deciding
     if (batchId <= batchIdCache) return cur // replayed batch
     val next = cur + 1
     val nB = bucketCountAt(cur)
     val adds = writeDataFiles(df, next, nB)
-    try publish(next, cur, adds.map { case (b, p) => s"add $b $p" },
+    // a lost publish race needs no cache invalidation: the cache reflects
+    // only scanned manifests, and the retry re-reads currentVersion and
+    // refreshes through the winner's commit first
+    publish(next, cur, adds.map { case (b, p) => s"add $b $p" },
       s" buckets $nB batch $batchId")
-    catch {
-      case e: java.util.ConcurrentModificationException =>
-        batchIdCache = Long.MinValue // another writer moved the log
-        throw e
+    synchronized {
+      batchIdCache = math.max(batchIdCache, batchId)
+      batchCacheUpTo = math.max(batchCacheUpTo, next)
     }
-    batchIdCache = math.max(batchIdCache, batchId)
     next
   }
 

@@ -635,22 +635,29 @@ class StreamingSpec extends SparkTestBase {
     val RowsPerBatch = 300L
     val src = EventBus.BusEventSource("graft.streaming.WireBus",
       Map("rowsPerBatch" -> RowsPerBatch.toString, "partitions" -> "4"))
-    def runUntil(minBatches: Long): Unit = {
+    // minAbsBatch is the ABSOLUTE batch id (checkpoint-continued across
+    // restarts), so the restarted run genuinely waits for NEW batches
+    // beyond any replayed in-flight one; returns the last batch id seen
+    def runUntil(minAbsBatch: Long): Long = {
       val q = EventBus.sinkToVersionedTable(ss, src, table, s"$tmp/ckpt")
       val deadline = System.nanoTime() + 120L * 1000000000L
-      while ((q.lastProgress == null || q.lastProgress.batchId < minBatches) &&
+      while ((q.lastProgress == null || q.lastProgress.batchId < minAbsBatch) &&
           System.nanoTime() < deadline) Thread.sleep(100)
+      val last = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
       q.stop(); q.awaitTermination()
+      last
     }
-    runUntil(3)
+    val b1 = runUntil(3)
+    assert(b1 >= 3, s"first run must reach batch 3, got $b1")
     val n1 = table.readLatest().count()
     assert(n1 >= 2 * RowsPerBatch && n1 % RowsPerBatch == 0,
       s"first run must commit whole batches, got $n1")
     // RESTART from the same checkpoint: the generator instance is fresh
     // (its high-water mark starts at 0), so only the checkpoint's restored
     // offsets can make the query RESUME past the committed range instead
-    // of rewinding and re-appending ids 0..n1-1
-    runUntil(2)
+    // of rewinding and re-appending ids 0..n1-1. Waiting for b1 + 2
+    // guarantees at least one batch beyond any replayed in-flight batch.
+    runUntil(b1 + 2)
     val got = table.readLatest()
     val n2 = got.count()
     assert(n2 > n1, s"restart must produce NEW batches beyond the first run's $n1 rows")
@@ -667,6 +674,33 @@ class StreamingSpec extends SparkTestBase {
       .option("rowsPerBatch", RowsPerBatch).option("partitions", "4").load()
     assert(wire.schema.fieldNames.toSeq ==
       Seq("key", "value", "topic", "partition", "offset"))
+  }
+
+  test("WireBus.payloadJson decodes to exactly EventBus.eventColumns' mapping — one sequence, two serializations") {
+    import graft.streaming.{EventBus, WireBus}
+    val N = 500L; val Rpb = 100L
+    val startMs = 1700000000000L; val advanceMs = 60000L
+    // the wire twin: payloadJson for every global offset, decoded by the
+    // one shared projection
+    val wireRows = (0L until N).map { i =>
+      (i.toString.getBytes("UTF-8"),
+        WireBus.payloadJson(i, Rpb, startMs, advanceMs).getBytes("UTF-8"),
+        "events", (i % 4).toInt, i / 4)
+    }
+    val wire = spark.createDataFrame(wireRows)
+      .toDF("key", "value", "topic", "partition", "offset")
+    val decoded = graft.streaming.EventBus.decodeBusRecords(wire)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .orderBy(col("event_id")).collect().map(_.toSeq)
+    // the column twin: the SAME mapping RateEventSource selects, applied
+    // to a static range with the rate source's batch-timestamp rule
+    val expected = spark.range(N)
+      .select(EventBus.eventColumns(col("id"),
+        timestamp_millis(lit(startMs) + (col("id") / lit(Rpb)).cast("long") * advanceMs)): _*)
+      .orderBy(col("event_id")).collect().map(_.toSeq)
+    assert(decoded.toSeq == expected.toSeq,
+      "the serialized wire mapping must equal the column mapping bit-for-bit")
   }
 
   test("q140 streaming session_window replay equals the batch session_window result") {
