@@ -10,15 +10,48 @@ import org.apache.spark.sql.SparkSession
   * times with the median reported — one contended landing cannot fake a
   * regression (round 6: 4 of 5 apparent regressions were contention).
   *
+  * WHAT IS TIMED (round 11, the q224 lesson): each repeat materializes
+  * EVERY column of the query's result through the `noop` DSv2 sink —
+  * never `count()`. Under `count()` Catalyst prunes any output column the
+  * row count doesn't depend on, and that pruning reaches arbitrarily far
+  * up the plan: q224's entire ×32 replicate explode + per-draw md5 — the
+  * operator's actual work — was optimized out because the bootstrap CI
+  * values don't change the row count, so rounds 1–9 timed a 0.7 s phantom
+  * and the honest 3.5 s first surfaced when an unrelated filter made the
+  * count depend on a sum. Correctness (Verify) always materialized fully;
+  * now the bench times the same work a consumer would pay. Numbers before
+  * round 11 are NOT comparable for queries whose trailing columns were
+  * prunable (see BENCH_NOTES_r11.md).
+  *
   * Every query starts COLD: a sweep before each run drops the memoized
   * dedup candidate frames, every cached Dataset, and every persisted RDD.
   * Round 5 showed why — suite order let q1xx queries pre-build caches that
   * made q40 read 8× fast while the accumulated blocks inflated the
   * untouched q28–q46 block 3.5–4× vs its cold times. Cold per-query
   * numbers are the round-over-round regression signal; within-query
-  * caching (build-then-consume in one plan) is untouched.
+  * caching (build-then-consume in one plan) is untouched. The session also
+  * runs the ContextCleaner's periodic GC at 30 s (default 30 MIN — far
+  * longer than the whole suite): without it, shuffle files and broadcasts
+  * from ~750 repeats are only reclaimed when a full GC happens to run, and
+  * round 10 measured the accumulation directly as repeats that trend
+  * monotonically upward (q194: [0.8, 1.5, 3.2, 3.1, 3.7]).
   */
 object Bench {
+
+  /** Materialize every column of `df` through the no-op DSv2 sink and
+    * return its row count (from an [[org.apache.spark.sql.Observation]]
+    * riding the same materialization — no second pass, and the observe
+    * aggregate cannot trigger the count()-style column pruning this
+    * helper exists to prevent). Shared with ScaleSmoke so both harnesses
+    * time the same full-result shape.
+    */
+  private[graft] def materialize(df: org.apache.spark.sql.DataFrame): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write.format("noop").mode("overwrite").save()
+    obs.get("rows").asInstanceOf[Long]
+  }
 
   /** Drop every cross-query warm path: memoized candidate frames, cached
     * Datasets, persisted RDDs. Blocking=false — eviction need not finish
@@ -40,6 +73,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // reclaim shuffle files/broadcasts continuously (default 30min never
+      // fires inside a suite run) — see the harness-drift note above
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     // ERROR, not WARN: any WARN line landing between queries eats into the
     // driver's ~2000-char output tail and can push the result line out
@@ -96,11 +132,21 @@ object Bench {
     // Sub-second queries are exempt (their spread is scheduler jitter, and
     // the extra repeats would double the suite's fixed overhead).
     val SpreadBound = 3.0
+    // HARNESS-DRIFT SELF-CHECK (round 10: q194's repeats trended
+    // monotonically upward while its code was unchanged — the harness, not
+    // the operator, was drifting): when a query's repeats spread >2× and it
+    // isn't scheduler-jitter-sized, repeat-1's measurement is re-run once
+    // AFTER the final repeat. If that re-run still exceeds 2× the fastest
+    // landing, the same measurement got slower over the query's own
+    // lifetime — state the cold sweep doesn't reach is accumulating — and
+    // the query is flagged `harness_drift` in BENCH_DETAIL rather than
+    // letting the inflated median masquerade as an operator regression.
+    val drift = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val results = kept.map { case (name, fn) =>
       def once(): (Double, Long) = {
         coldSweep(spark)
         val t0 = System.nanoTime()
-        val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        val rows = try materialize(fn(spark, sfDir)) catch { case _: Throwable => -1L }
         ((System.nanoTime() - t0) / 1e9, rows)
       }
       val first = (1 to Repeats).map(_ => once())
@@ -110,6 +156,11 @@ object Bench {
       if (runs.map(_._2).distinct.size != 1)
         System.err.println(
           s"[bench] $name row count drifted across repeats: ${runs.map(_._2).mkString(",")}")
+      val best = runs.map(_._1).min
+      if (runs.map(_._1).max > 2.0 * best && runs.map(_._1).max > 0.5) {
+        val recheck = once()._1
+        if (recheck > 2.0 * best) drift += name -> (best, recheck)
+      }
       (name, runs.map(_._1).sorted.apply(runs.size / 2), runs.head._2, runs)
     }
     // The driver keeps only the last ~2000 chars of sbt output, and the
@@ -143,8 +194,12 @@ object Bench {
       case (k, _, _, runs) if runs.map(_._2).distinct.size != 1 =>
         "\"" + k + "\":[" + runs.map(_._2).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // harness_drift: queries whose re-run of repeat-1 AFTER the final
+    // repeat still exceeded 2x the best landing — [best, recheck] seconds
+    val driftJson = drift.map { case (k, (b, r)) => "\"" + k + "\":[" + b + "," + r + "]" }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detailQs,"rows":$detailRows,"runs":$detailRuns,"row_drift":$drifted,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","basis":"noop-materialize","queries":$detailQs,"rows":$detailRows,"runs":$detailRuns,"row_drift":$drifted,"harness_drift":$driftJson,"sf":"$sfDir"}"""
     val out = new java.io.PrintWriter("BENCH_DETAIL.json")
     try out.println(detail) finally out.close()
     val sfName = new java.io.File(sfDir).getName // basename: every char counts

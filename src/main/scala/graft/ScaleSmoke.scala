@@ -146,9 +146,15 @@ object ScaleSmoke {
       .withColumn("lang", lit("zz"))
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
-  private def time(f: => Long): (Double, Long) = {
+  /** Time the FULL materialization of `df` (Bench.materialize — the noop
+    * DSv2 sink with an observed row count). Round 11: `count()` let
+    * Catalyst prune any column the row count doesn't depend on, which for
+    * sketch/bootstrap rows pruned the very work whose scaling the ratio
+    * gates; both sides of every ratio now pay the complete plan.
+    */
+  private def time(df: => DataFrame): (Double, Long) = {
     val t0 = System.nanoTime()
-    val rows = f
+    val rows = Bench.materialize(df)
     ((System.nanoTime() - t0) / 1e9, rows)
   }
 
@@ -165,6 +171,7 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.TopK.enableRewrite(spark) // same plans Bench/Verify run
@@ -314,17 +321,19 @@ object ScaleSmoke {
     // SPARK_GRAFT_ONLY re-measures a subset (same filter Bench/Verify use)
     val keep = SparkEntry.onlyFilter()
     val kept = queries.filter { case (name, _, _) => keep(name) }
-    // warm up codegen/session on the small side first
-    kept.foreach { case (_, fn, _) => fn(spark, baseDir).count() }
+    // warm up codegen/session on the small side first — through the same
+    // full materialization the measurement uses, so the warmed codegen is
+    // the plan actually timed (a count() warmup compiles the pruned plan)
+    kept.foreach { case (_, fn, _) => Bench.materialize(fn(spark, baseDir)) }
 
     val results = kept.map { case (name, fn, bigDir) =>
       // each measurement times the COLD shared-stage build: Bench's full
       // sweep (candidate memo + cached Datasets + persisted RDDs), so no
       // ratio is distorted by what an earlier pipeline left in memory
       Bench.coldSweep(spark)
-      val (t1, r1) = time(fn(spark, baseDir).count())
+      val (t1, r1) = time(fn(spark, baseDir))
       Bench.coldSweep(spark)
-      val (t10, r10) = time(fn(spark, bigDir).count())
+      val (t10, r10) = time(fn(spark, bigDir))
       (name, t1, t10, r1, r10)
     }
     // only meaningful (and only worth the count) when q41 actually ran;
@@ -340,7 +349,8 @@ object ScaleSmoke {
     // parts may be empty under SPARK_GRAFT_ONLY — prefix each entry with
     // its own comma so the JSON never grows a trailing one
     println(s"""{"metric":"scale_smoke","base":"$baseDir","replicas":$Replicas,""" +
-      s""""q41_dropped_blocks_10x":$dropped10""" + parts.map("," + _).mkString + "}")
+      s""""basis":"noop-materialize","q41_dropped_blocks_10x":$dropped10""" +
+      parts.map("," + _).mkString + "}")
 
     val blown = results.filter { case (_, t1, t10, _, _) => t10 / t1 > SuperLinearBound }
     if (blown.nonEmpty) {

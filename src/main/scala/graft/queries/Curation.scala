@@ -689,7 +689,10 @@ object Curation {
     val e = Tables(spark, dir, "events")
       .select(col("event_type"), col("event_id"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-    val drawn = e
+    // the ×B draw explode + per-draw md5 is B× the scan's work INSIDE the
+    // scan stage — rebalance the narrow input when its split count is
+    // below the core count (a no-op on any many-row-group table at scale)
+    val drawn = graft.operators.Fanout.rebalance(e)
       .withColumn("b", explode(array((0 until Q224Reps).map(lit(_)): _*)))
       .withColumn("u", (h60(concat_ws(":", lit("boot"), col("b"), col("event_id"))) /
         lit(1152921504606846976.0)))

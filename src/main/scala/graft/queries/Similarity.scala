@@ -999,7 +999,10 @@ object Similarity {
     * Scale shape: one scan, zero joins, output corpus-independent.
     */
   def q237GramMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir, "embeddings")
+    // d(d+1)/2 products per row inside the scan stage — rebalance the
+    // narrow input when its split count is below the core count (no-op on
+    // any many-row-group table at scale)
+    val e = graft.operators.Fanout.rebalance(Tables(spark, dir, "embeddings"))
     val q = e.select(expr(
       s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Q237Scale) AS BIGINT))")
       .as("q"))

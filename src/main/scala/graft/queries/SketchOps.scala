@@ -909,19 +909,28 @@ object SketchOps {
     *
     * Scale: the daily sample table is |types|·|days|·64 rows — answering
     * a quarter's windows over a year of 100 TB events re-ranks
-    * 365·|types|·64 sample rows, no event rescans; the exact rider is the
-    * expensive half and exists only to exhibit the estimate's error.
+    * 365·|types|·64 sample rows, no event rescans. The exact rider exists
+    * only to exhibit the estimate's error, and is itself maintained the
+    * daily-artifact way: ONE day-keyed pass builds a sorted (value, hash)
+    * run per (type, day), and each window merges its ≤7 day RUNS
+    * (array flatten + sort of presorted runs) instead of re-exploding and
+    * re-ranking the full event stream per window end — the q151/q183
+    * "merge daily artifacts, never rescan rows" economics. The day run is
+    * day-sized (a calibration artifact, not the product path); at 100 TB
+    * the rider would run on a sampled day slice, which changes nothing
+    * about the merged-sample identity being calibrated.
     */
   def q194RollingQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir, "events")
+    // the ×7 window-end explode (and the per-row md5 under it) is fan-out
+    // work inside the scan stage — rebalance a below-core-count scan
+    val e = graft.operators.Fanout.rebalance(Tables(spark, dir, "events"))
     val h = e.select(col("event_type"), to_date(col("ts")).as("d"),
       col("value"), md5_60(col("event_id")).as("h"))
     val maxDay = h.agg(max(col("d")).as("max_d"))
-    def toWindows(df: DataFrame): DataFrame = df
+    def windowEnds(df: DataFrame): DataFrame = df
       .crossJoin(broadcast(maxDay))
       .withColumn("end_day", explode(expr(
         "sequence(d, least(date_add(d, 6), max_d), interval 1 day)")))
-      .select(col("event_type"), col("end_day"), col("value"), col("h"))
     def disc(df: DataFrame, prefix: String): DataFrame = {
       val wv = Window.partitionBy(col("event_type"), col("end_day"))
         .orderBy(col("value"), col("h"))
@@ -937,9 +946,25 @@ object SketchOps {
           count(lit(1)).as(s"${prefix}_n"))
     }
     val daily = bottomK(h, SampleK, "event_type", "d")
-    val merged = bottomK(toWindows(daily), SampleK, "event_type", "end_day")
+    val merged = bottomK(
+      windowEnds(daily).select(col("event_type"), col("end_day"), col("value"), col("h")),
+      SampleK, "event_type", "end_day")
+    // exact side from per-day sorted runs: percentile_disc by (value, h)
+    // rank equals element_at on the merged sorted multiset — same values
+    // as ranking the exploded rows (the oracle still restates it that way)
+    val dayRuns = h.groupBy(col("event_type"), col("d"))
+      .agg(sort_array(collect_list(struct(col("value"), col("h")))).as("run"),
+        count(lit(1)).as("cnt"))
+    val exact = windowEnds(dayRuns)
+      .groupBy(col("event_type"), col("end_day"))
+      .agg(array_sort(flatten(collect_list(col("run")))).as("mrg"),
+        sum(col("cnt")).as("exact_n"))
+      .select(col("event_type"), col("end_day"),
+        expr("element_at(mrg, CAST(ceil(exact_n * 0.5) AS INT)).value").as("exact_p50"),
+        expr("element_at(mrg, CAST(ceil(exact_n * 0.9) AS INT)).value").as("exact_p90"),
+        col("exact_n"))
     disc(merged, "est")
-      .join(disc(toWindows(h), "exact"), Seq("event_type", "end_day"))
+      .join(exact, Seq("event_type", "end_day"))
       .orderBy(col("event_type"), col("end_day"))
   }
 
