@@ -54,15 +54,21 @@ object Bench {
   }
 
   /** Drop every cross-query warm path: memoized candidate frames, cached
-    * Datasets, persisted RDDs. Blocking=false — eviction need not finish
-    * before the next query starts timing its own work. Shared with
-    * ScaleSmoke so both harnesses time the same cold shape.
+    * Datasets, persisted RDDs. Blocking=TRUE (round 12): r11's
+    * harness_drift flag proved non-blocking eviction IS cross-repeat state
+    * — q211's MEMORY_AND_DISK shingle frame from repeat k still held
+    * executor memory while repeat k+1 persisted its own, so wall time
+    * tracked heap history (repeats [12.4, 35.6, 5.7, 45.9, 18.1] s for
+    * unchanged code). Waiting for eviction costs milliseconds OUTSIDE the
+    * timed region and makes every repeat start from the same empty block
+    * manager. Shared with ScaleSmoke so both harnesses time the same cold
+    * shape.
     */
   private[graft] def coldSweep(spark: SparkSession): Unit = {
     graft.queries.Dedup.clearCandidateCache()
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = true))
   }
 
   def main(args: Array[String]): Unit = {
@@ -146,7 +152,14 @@ object Bench {
       def once(): (Double, Long) = {
         coldSweep(spark)
         val t0 = System.nanoTime()
-        val rows = try materialize(fn(spark, sfDir)) catch { case _: Throwable => -1L }
+        val rows = try materialize(fn(spark, sfDir)) catch {
+          case e: Throwable =>
+            // attribute the failure (r11's tail had an unattributable stack
+            // trace): name + exception to stderr, -1 sentinel in the rows map
+            System.err.println(
+              s"[bench] $name materialize failed: ${e.toString.take(300)}")
+            -1L
+        }
         ((System.nanoTime() - t0) / 1e9, rows)
       }
       val first = (1 to Repeats).map(_ => once())

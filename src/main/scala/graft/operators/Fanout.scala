@@ -27,8 +27,27 @@ object Fanout {
     * it untouched (the common case at scale — no plan change at all).
     * Call it on the NARROW side, before the fan-out, so the exchange
     * carries input rows, never the multiplied output.
+    *
+    * PRECONDITION (enforced): `df` must be scan-only — projections and
+    * filters over a leaf source, no join/aggregate/window/exchange. The
+    * split-count probe compiles the physical plan and instantiates its
+    * RDD; under AQE (default-on in Spark 4) a plan containing exchanges
+    * would eagerly EXECUTE its intermediate query stages at probe time on
+    * a throwaway QueryExecution — the upstream query would run twice. For
+    * scan-only plans there are no query stages, so the probe only plans
+    * file splits (no job runs).
     */
   def rebalance(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project}
+    val scanOnly = df.queryExecution.optimizedPlan.collect { case p => p }
+      .forall {
+        case _: Project | _: Filter | _: LeafNode => true
+        case _ => false
+      }
+    require(scanOnly,
+      "Fanout.rebalance requires a scan-only input (project/filter over a " +
+        "leaf); a plan with joins/aggregates/exchanges would execute its " +
+        "query stages twice under AQE's split-count probe")
     val target = df.sparkSession.sparkContext.defaultParallelism
     // physical split count without executing: compile the plan once
     val splits = df.queryExecution.toRdd.getNumPartitions

@@ -143,16 +143,20 @@ object Dedup {
 
   /** Drop all memoized candidate frames — benchmarks that must time the
     * COLD build (e.g. [[graft.ScaleSmoke]]) call this between measurements.
-    * Unpersist is best-effort per entry (a stopped session throws from
-    * unpersist; that must not leave the map half-cleared).
+    * Unpersist is BLOCKING (round 12): the r11 bench's own harness_drift
+    * flag showed non-blocking eviction leaking each repeat's
+    * MEMORY_AND_DISK blocks into the next repeat's heap, so the same
+    * measurement varied 5.7–45.9 s with unchanged code. Best-effort per
+    * entry (a stopped session throws from unpersist; that must not leave
+    * the map half-cleared).
     */
   def clearCandidateCache(): Unit = {
     candCache.values.forEach { df =>
-      try df.unpersist() catch { case _: Throwable => () }
+      try df.unpersist(blocking = true) catch { case _: Throwable => () }
     }
     candCache.clear()
     shingleCache.values.forEach { df =>
-      try df.unpersist() catch { case _: Throwable => () }
+      try df.unpersist(blocking = true) catch { case _: Throwable => () }
     }
     shingleCache.clear()
   }
@@ -166,17 +170,44 @@ object Dedup {
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Hard bound on memoized persisted frames per cache (shingle and
+    * candidate): a long-lived session touching many corpus dirs must not
+    * accumulate one persisted frame per dir forever — past the bound the
+    * whole cache is dropped (blocking) and rebuilt on demand, trading one
+    * recompute for a bounded block-manager footprint (r10 ADVICE).
+    */
+  private val MaxCachedFrames = 8
+
   private[graft] def shingleFrame(spark: SparkSession, dir: String): DataFrame = {
     shingleCache.keySet.removeIf { case (s, _) => s.sparkContext.isStopped }
+    if (shingleCache.size >= MaxCachedFrames) {
+      shingleCache.values.forEach { df =>
+        try df.unpersist(blocking = true) catch { case _: Throwable => () }
+      }
+      shingleCache.clear()
+    }
+    // (doc_id, sz, token) with per-doc SET semantics. Shuffle-free by
+    // construction (round 12): uniqueness of (doc_id, token) is per-doc, so
+    // array_distinct inside the scan row replaces the corpus-wide
+    // distinct() shuffle, and sz = |set| rides along from the same array —
+    // consumers (q182/q211) no longer pay a groupBy(doc_id) + join to
+    // recover sizes. At 100 TB this frame is a pure map stage.
     shingleCache.computeIfAbsent((spark, dir), _ =>
       graft.Tables(spark, dir, "documents")
-        .select(col("doc_id"), explode(shingles(col("text"), 3)).as("token"))
-        .distinct()
+        .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("ts"))
+        .select(col("doc_id"), size(col("ts")).cast("long").as("sz"),
+          explode(col("ts")).as("token"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   def minhashCandidates(spark: SparkSession, dir: String, maxBucket: Int = 256): DataFrame = {
     candCache.keySet.removeIf { case (s, _, _) => s.sparkContext.isStopped }
+    if (candCache.size >= MaxCachedFrames) {
+      candCache.values.forEach { df =>
+        try df.unpersist(blocking = true) catch { case _: Throwable => () }
+      }
+      candCache.clear()
+    }
     candCache.computeIfAbsent((spark, dir, maxBucket), _ =>
       storedCandidates(spark, dir, maxBucket)
         .getOrElse(buildMinhashCandidates(spark, dir, maxBucket))
@@ -1290,9 +1321,8 @@ object Dedup {
     // corpus) serves both set-similarity operators
     val sh = shingleFrame(spark, dir)
     val dfreq = sh.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))
-    val pref = sh.join(dfreq, "token").join(sz, "doc_id")
+    val pref = sh.join(dfreq, "token") // sz rides in the shingle frame
       .withColumn("rn", row_number().over(wOrd))
       .filter(col("rn") <= col("sz") - expr(s"(${Q182ThreshTenths} * sz + 9) div 10") + 1)
       .select(col("doc_id"), col("token"), col("sz"))
@@ -1391,9 +1421,8 @@ object Dedup {
     // between measurements)
     val sh = shingleFrame(spark, dir)
     val dfreq = sh.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))
-    val pref = sh.join(dfreq, "token").join(sz, "doc_id")
+    val pref = sh.join(dfreq, "token") // sz rides in the shingle frame
       .withColumn("rn", row_number().over(wOrd))
       .filter(col("rn") <= col("sz") - expr(s"($Q211ContainTenths * sz + 9) div 10") + 1)
       .select(col("doc_id").as("id_a"), col("token"), col("sz").as("sz_a"))
@@ -1402,16 +1431,23 @@ object Dedup {
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"), col("sz_a"))
       .distinct()
-    // verification joins the candidate PAIRS against per-doc shingle SETS
-    // (docs-sized frame) and intersects arrays per pair — the exploded
-    // alternative (re-join sh on both ids, count matches) shuffles
-    // Σ_cand sz_a token rows (~50× the pair count); this carries each
-    // candidate as ONE row and does the ≤|Sa|·|Sb| set work CPU-side
-    val toksArr = sh.groupBy(col("doc_id")).agg(collect_set(col("token")).as("ts"))
+    // verification counts shared shingles per candidate via the EXPLODED
+    // equi-join (re-join sh on both ids, hash-aggregate per pair) — the
+    // q182 verification kernel. Round 11 ran the array alternative
+    // (collect_set per doc, array_intersect per pair): it carries each
+    // candidate as one row, but BOTH full token-set arrays ride every
+    // candidate row through the join shuffle, and the bench's own
+    // harness_drift flag convicted it — the same measurement varied
+    // 5.7–45.9 s with heap history (GC-bound), and at 100× the per-row
+    // arrays are an OOM, not a slowdown. The exploded stream is
+    // Σ_cand sz_a SMALL (id, id, token) rows: map-side partial counts,
+    // spillable hash aggregation, no aggregation buffer ever holds more
+    // than a tally — memory-flat at any scale.
     cand
-      .join(toksArr.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), "id_a")
-      .join(toksArr.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), "id_b")
-      .withColumn("shared", size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+      .join(sh.select(col("doc_id").as("id_a"), col("token")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("token")), Seq("id_b", "token"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"))
+      .agg(count(lit(1)).as("shared"))
       .filter(lit(10) * col("shared") >= lit(Q211ContainTenths) * col("sz_a"))
       .select(col("id_a"), col("id_b"), col("sz_a"), col("shared"),
         expr("10000 * shared div sz_a").as("contain_bp"))

@@ -1238,8 +1238,9 @@ object IngestOps {
     *
     * The audit columns are CONSTANTS THE ENGINE MUST EARN (the q214
     * pattern): `files_before_max` = 5 reads the PINNED pre-compaction
-    * version (stable across reruns — the query is idempotent because
-    * compact on an unfragmented table is a no-op), `files_after_max` = 1
+    * version (stable across reruns — every run compacts a fresh hard-link
+    * clone of the frozen fragmented fixture, so each run pays the real
+    * rewrite and sees the same starting state), `files_after_max` = 1
     * holds only if compaction actually merged every bucket, and the
     * per-lang content rows hash-match the raw documents only if the
     * rewrite moved bytes and nothing else.
@@ -1248,8 +1249,34 @@ object IngestOps {
     * by construction); at 100 TB a nightly compact after a day of
     * micro-batches costs the day's buckets, not the table.
     */
+  /** Hard-link clone of a VersionedTable root: metadata-only work (one
+    * link syscall per file, never data bytes), falling back to a copy on
+    * filesystems without hard links. Lets q239 compact a FRESH fragmented
+    * table on every invocation — r11's ADVICE showed the first bench
+    * repeat compacted the memoized fixture and repeats 2..N timed the
+    * idempotent no-op, so the committed median measured nothing.
+    */
+  private def linkTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    Files.walk(src).forEach { (p: Path) =>
+      val rel = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(rel)
+      else
+        try Files.createLink(rel, p)
+        catch { case _: UnsupportedOperationException => Files.copy(p, rel); () }
+    }
+  }
+
   def q239Compaction(spark: SparkSession, dir: String): DataFrame = {
-    val t = q239Table(spark, dir)
+    q239Table(spark, dir) // frozen fragmented fixture (memoized, Bench-hoisted)
+    // per-run scratch clone: every run — including each bench repeat —
+    // pays the real OPTIMIZE rewrite against a fragmented table, never the
+    // idempotent no-op a second compact of the same root would be
+    val base = graft.Tables.fixtureRoot("q239", dir)
+    val scratch = new java.io.File(s"$base/run")
+    if (scratch.exists()) org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    linkTree(java.nio.file.Paths.get(s"$base/tbl"), scratch.toPath)
+    val t = new graft.table.VersionedTable(spark, scratch.getPath, "doc_id")
     val preV = 5L // init + four appends — pinned, so reruns see the same value
     val beforeMax = t.bucketFileCounts(preV).values.max
     val v = t.compact(t.currentVersion())

@@ -959,6 +959,15 @@ object SketchOps {
       .groupBy(col("event_type"), col("end_day"))
       .agg(array_sort(flatten(collect_list(col("run")))).as("mrg"),
         sum(col("cnt")).as("exact_n"))
+      // HARD CEILING, enforced loudly: the merged day-run array is one
+      // aggregation-buffer cell (non-spillable) and element_at indexes with
+      // INT — a window over >= 2^31 rows must fail with this message, not
+      // OOM or overflow. At 100 TB the rider runs on a sampled day slice
+      // (scaladoc above); the calibration identity is unchanged.
+      .withColumn("_ceiling", assert_true(col("exact_n") < lit(Int.MaxValue),
+        lit("q194 exact rider: a 7-day window holds >= 2^31 rows — run the " +
+          "rider on a sampled day slice (see q194RollingQuantiles scaladoc)")))
+      .filter(col("_ceiling").isNull)
       .select(col("event_type"), col("end_day"),
         expr("element_at(mrg, CAST(ceil(exact_n * 0.5) AS INT)).value").as("exact_p50"),
         expr("element_at(mrg, CAST(ceil(exact_n * 0.9) AS INT)).value").as("exact_p90"),

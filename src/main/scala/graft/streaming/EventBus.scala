@@ -132,6 +132,13 @@ object EventBus {
       table: graft.table.VersionedTable,
       checkpointDir: String): StreamingQuery =
     source.read(spark)
+      // project to the event schema EXACTLY: a bus-backed source carries
+      // lineage extras (topic/partition/offset) a direct source doesn't,
+      // and the committed table's schema must not depend on which source
+      // binding fed it — swapping bindings on an existing table is the
+      // seam's whole contract (EventBusSpec proves the committed schema is
+      // identical across bindings)
+      .select(EventStream.eventSchema.fieldNames.toIndexedSeq.map(col): _*)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

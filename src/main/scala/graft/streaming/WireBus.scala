@@ -133,13 +133,30 @@ final class WireBusStream(rowsPerBatch: Long, nParts: Int, topic: String,
     base.resolve("wirebus-highwater")
   }
 
+  // Crash-safe read: a marker torn by a mid-write crash (possible only
+  // before round 12's atomic-move publish, or on a filesystem without
+  // atomic rename) parses as ABSENT, not as a permanent
+  // NumberFormatException wedging every restart. Falling back to 0 is
+  // safe by the same belt the scaladoc above describes:
+  // deserializeOffset/commit re-arm the target from the engine's restored
+  // offset before any range below it could be re-planned.
   @volatile private var target: Long =
     if (java.nio.file.Files.exists(marker))
-      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim.toLong
+      scala.util.Try(
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim.toLong
+      ).getOrElse(0L)
     else 0L
 
-  private def persist(): Unit =
-    java.nio.file.Files.write(marker, s"$target\n".getBytes("UTF-8"))
+  // Publish via write-temp + ATOMIC_MOVE: readers see the old complete
+  // value or the new complete value, never a torn write (the same
+  // put-then-rename discipline as VersionedTable's manifest publish).
+  private def persist(): Unit = {
+    val tmp = marker.resolveSibling(marker.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp, s"$target\n".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, marker,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   override def initialOffset(): Offset = WireBusOffset(0L)
 
