@@ -361,15 +361,29 @@ object Relational {
     * engine-specific, so the oracled projection carries the exact values
     * plus booleans asserting the sketch error bound — the oracle emits the
     * exact values and literal TRUE, making the bound itself driver-checked.
+    *
+    * The exact rider is BOUNDED (round 12): exact_parts is the two-level
+    * distinct (hash-agg on (group, partkey), then a count — memory-flat,
+    * no Expand), and exact_p50 comes from
+    * [[graft.operators.ExactQuantiles.perGroup]]'s value-histogram route —
+    * no aggregation buffer ever holds a group's raw values, unlike the
+    * `percentile()`/`countDistinct()` mixed agg this replaces (an
+    * ObjectHashAggregate buffering 200k values per group, an OOM at scale
+    * and 7.9 s of the r11 bench). The three 3-row legs join at the end.
     */
   def q19ApproxSketches(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables(spark, dir, "lineitem")
-    l.groupBy(col("l_returnflag"))
+      .select(col("l_returnflag"), col("l_partkey"), col("l_extendedprice"))
+    val approx = l.groupBy(col("l_returnflag"))
       .agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("exact_p50"),
         approx_count_distinct(col("l_partkey"), rsd = 0.02).as("ap"),
         expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("pp"))
+    val exactParts = l.select(col("l_returnflag"), col("l_partkey")).distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
+    val exactP50 = graft.operators.ExactQuantiles
+      .perGroup(l, "l_returnflag", "l_extendedprice", Seq("raw_p50" -> 0.5))
+      .select(col("l_returnflag"), round(col("raw_p50"), 2).as("exact_p50"))
+    exactParts.join(exactP50, Seq("l_returnflag")).join(approx, Seq("l_returnflag"))
       .select(
         col("l_returnflag"), col("exact_parts"), col("exact_p50"),
         (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.06).as("approx_parts_ok"),
