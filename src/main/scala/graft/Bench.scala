@@ -112,6 +112,12 @@ object Bench {
     if (kept.exists { case (n, _) =>
         graft.queries.Dedup.candidateConsumers.exists(n.startsWith) })
       graft.queries.Dedup.writeSignatureStore(spark, sfDir)
+    // Same hoist for the lexical store (SURVEY §9): (doc_id, dl) +
+    // term-partitioned postings, built once per corpus at ingest, read by
+    // q56/q108/q121 instead of re-tokenizing the corpus per query.
+    if (kept.exists { case (n, _) =>
+        graft.queries.CorpusOps.lexConsumers.exists(n.startsWith) })
+      graft.queries.CorpusOps.writeLexStore(spark, sfDir)
     // Same hoist for the one-per-(JVM, sf) table/carve fixtures: the
     // versioned tables (q192-family, q214, q230), the q200/q230 replay
     // carves, and the q215 bucketed tables are ingest-time artifacts a

@@ -180,6 +180,7 @@ object ScaleSmoke {
     // store left behind by a Bench run at the 1× dir would fake the 1× time
     // and blow every dedup/graph ratio past the gate
     graft.queries.Dedup.signatureStoreEnabled = false
+    graft.queries.CorpusOps.lexStoreEnabled = false // same contract
 
     val scaledDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale${Replicas}x"
     val skewedDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale${Replicas}x_skew"

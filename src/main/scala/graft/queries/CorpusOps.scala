@@ -27,6 +27,127 @@ object CorpusOps {
   private def h60(c: org.apache.spark.sql.Column) = graft.functions.ColFns.h60(c)
 
   // ---------------------------------------------------------------------
+  // Lexical corpus store (SURVEY §9): (doc_id, dl) + (term, doc_id, tf)
+  // ---------------------------------------------------------------------
+
+  /** Bump when the tokenizer or store schema changes shape — a store
+    * written by older code must read as ABSENT, never as silently-wrong
+    * postings (same contract as the MinHash signature store's version).
+    */
+  private val LexStoreFormatVersion = 1
+
+  /** `postings/` is hash-partitioned on the term, 64 ways: a keyword
+    * query prunes to its terms' partitions at the FILE level — the
+    * partitioned-parquet analogue of an inverted index's segment fan-out
+    * (local-mode stand-in for warehouse `bucketBy`, like `bands/` in the
+    * signature store).
+    */
+  private[graft] val LexPostingBuckets = 64
+
+  /** On-disk lexical store root for one corpus: `dl/` is (doc_id, dl);
+    * `postings/` is (doc_id, term, tf) partitioned by `pbkt =
+    * h60(term) mod 64`. Built ONCE per corpus at ingest time (Bench's
+    * untimed hook), consumed by q56 BM25, q108 keyword extraction and
+    * q121 index construction — at 100 TB this is the difference between
+    * one corpus tokenize per INGEST and one per QUERY.
+    */
+  def lexStorePathFor(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_lexstore_v${LexStoreFormatVersion}_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Query prefixes that consume the lexical store — harnesses consult
+    * this to decide whether a run needs the store at all.
+    */
+  val lexConsumers: Set[String] = Set("q56", "q108", "q121")
+
+  /** Kill switch for the store READ path. [[graft.ScaleSmoke]] sets it
+    * false: its 1×-vs-10× ratios time the COLD tokenize on both sides.
+    */
+  @volatile private[graft] var lexStoreEnabled = true
+
+  /** Scala-side twin of [[graft.functions.ColFns.h60]], for computing a
+    * LITERAL query term's posting partition driver-side so the store read
+    * prunes to exactly that partition. Must stay in lockstep with
+    * ColFns.h60 (first 15 hex chars of md5, base-16 as long).
+    */
+  private[queries] def h60Scala(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  private[queries] def lexBucketOf(term: String): Long =
+    math.floorMod(h60Scala(term), LexPostingBuckets.toLong)
+
+  /** Materialize the lexical store: ONE tokenize pass over the corpus
+    * feeds both tables (the token arrays persist across the two writes).
+    */
+  def writeLexStore(spark: SparkSession, dir: String): Unit = {
+    val store = lexStorePathFor(dir)
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), wsTokens(normText(col("text"))).as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      toks.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+        .write.mode("overwrite").parquet(s"$store/dl")
+      toks.select(col("doc_id"), explode(col("ws")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .withColumn("pbkt", pmod(h60(col("term")), lit(LexPostingBuckets.toLong)))
+        .write.mode("overwrite").partitionBy("pbkt").parquet(s"$store/postings")
+    } finally { toks.unpersist(blocking = true); () }
+  }
+
+  /** One store table read back, or None when absent, disabled, or older
+    * than the corpus parquet (the signature store's freshness contract).
+    */
+  private def lexStored(spark: SparkSession, dir: String, part: String): Option[DataFrame] = {
+    val path = s"${lexStorePathFor(dir)}/$part"
+    val success = new java.io.File(s"$path/_SUCCESS")
+    if (lexStoreEnabled && success.exists() &&
+      success.lastModified >= Dedup.latestMtime(new java.io.File(s"$dir/documents.parquet")))
+      Some(spark.read.parquet(path))
+    else None
+  }
+
+  /** (doc_id, dl) — the store's `dl/` when fresh, else one scan-side pass
+    * over the corpus text.
+    */
+  private[queries] def docLengths(spark: SparkSession, dir: String): DataFrame =
+    lexStored(spark, dir, "dl").getOrElse(
+      Tables(spark, dir, "documents").select(col("doc_id"),
+        size(wsTokens(normText(col("text")))).cast("long").as("dl")))
+
+  /** (doc_id, term, tf) over the whole vocabulary — the store's
+    * `postings/` when fresh, else tokenize + partial-agg in session.
+    */
+  private[queries] def termFreqs(spark: SparkSession, dir: String): DataFrame =
+    lexStored(spark, dir, "postings")
+      .map(_.select(col("doc_id"), col("term"), col("tf")))
+      .getOrElse(
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), explode(wsTokens(normText(col("text")))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+
+  /** (doc_id, term, tf) for literal `terms` only — pruned to the terms'
+    * posting PARTITIONS when served by the store (the driver computes each
+    * term's h60 bucket, so the scan touches ≤|terms| of the 64 partitions);
+    * falls back to a token-filtered tokenize pass.
+    */
+  private[queries] def termFreqsFor(spark: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame =
+    lexStored(spark, dir, "postings") match {
+      case Some(p) =>
+        val bkts = terms.map(lexBucketOf).distinct
+        p.filter(col("pbkt").isin(bkts: _*) && col("term").isin(terms: _*))
+          .select(col("doc_id"), col("term"), col("tf"))
+      case None =>
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), explode(wsTokens(normText(col("text")))).as("term"))
+          .filter(col("term").isin(terms: _*))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    }
+
+  // ---------------------------------------------------------------------
   // q56: BM25 keyword search (rational-IDF variant)
   // ---------------------------------------------------------------------
 
@@ -60,15 +181,14 @@ object CorpusOps {
     * shuffles); df comes from a window over the already-tiny joined frame.
     */
   def q56Bm25(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir, "documents")
-    val docs = d.select(col("doc_id"),
-      size(wsTokens(normText(col("text")))).cast("long").as("dl"))
+    // served from the persisted lexical store when fresh (dl + pruned
+    // postings partitions — the corpus TEXT is never read or tokenized;
+    // PlanSpec gates that no documents scan appears in the plan), with a
+    // tokenize fallback when the store is absent
+    val docs = docLengths(spark, dir)
     val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
-    val tf = d
-      .select(col("doc_id"), explode(wsTokens(normText(col("text")))).as("token"))
-      .filter(col("token").isin(Q56Terms: _*))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("f"))
+    val tf = termFreqsFor(spark, dir, Q56Terms)
+      .select(col("doc_id"), col("term").as("token"), col("tf").as("f"))
     val postings = docs.join(broadcast(tf), Seq("doc_id"))
     val nT = count(lit(1)).over(Window.partitionBy(col("token")))
     val scored = postings.crossJoin(broadcast(stats))
@@ -260,10 +380,10 @@ object CorpusOps {
     * serializes deterministically).
     */
   def q121InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir, "documents")
-    d.select(col("doc_id"), explode(wsTokens(normText(col("text")))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // the (doc_id, term, tf) stage is the lexical store's postings table
+    // when fresh — index construction then reads the ingest artifact
+    // instead of re-tokenizing the corpus
+    termFreqs(spark, dir)
       .groupBy(col("term"))
       .agg(
         count(lit(1)).as("df"),

@@ -293,7 +293,7 @@ object Dedup {
     storedPart(spark, dir, 256, "sigs").getOrElse(
       minhashSigRows(spark, Tables(spark, dir, "documents"), n = 3, k = K))
 
-  private def latestMtime(f: java.io.File): Long =
+  private[queries] def latestMtime(f: java.io.File): Long =
     if (!f.exists()) 0L
     else if (f.isFile) f.lastModified
     else (f.lastModified +: f.listFiles().map(latestMtime)).max

@@ -459,17 +459,16 @@ object TextOps {
     * map-side regardless, so the sort never sees discarded rows.
     */
   def q108Keywords(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir, "documents")
-    val tf = d
-      .select(col("doc_id"), explode(wsTokens(normText(col("text")))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // the (doc_id, term, tf) stage and N both come from the persisted
+    // lexical store when fresh (one corpus tokenize per INGEST, shared
+    // with q56/q121); tokenize fallback otherwise
+    val tf = CorpusOps.termFreqs(spark, dir)
     // df via a term-partitioned window COUNT instead of a separate agg
     // frame joined back: the join needed a second corpus-sized exchange of
     // tf on term plus the df build; the window needs exactly one term
     // exchange and no join — the vocabulary can grow with the corpus and
     // the plan stays two keyed shuffles (term, then doc)
-    val n = d.agg(count(lit(1)).as("n_docs"))
+    val n = CorpusOps.docLengths(spark, dir).agg(count(lit(1)).as("n_docs"))
     val scored = tf
       .withColumn("df",
         count(lit(1)).over(Window.partitionBy(col("term"))).cast("long"))

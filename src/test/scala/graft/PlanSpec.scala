@@ -1005,6 +1005,32 @@ class PlanSpec extends SparkTestBase {
       s"the variant path must not re-parse JSON strings:\n$s")
   }
 
+  test("q56 BM25 is served by the lexical store: no corpus scan, postings partition-pruned") {
+    CorpusOps.writeLexStore(spark, sfDir)
+    val df = CorpusOps.q56Bm25(spark, sfDir)
+    val rows = df.collect()
+    val s = finalPlan(df)
+    // one tokenize per INGEST: the query itself must never read the
+    // corpus text — every scan in the plan is a lexstore table
+    assert(!s.contains("documents.parquet"),
+      s"q56 must read the lexical store, not the corpus:\n$s")
+    assert(s.contains("graft_lexstore"), s"expected lexstore scans in:\n$s")
+    // the postings read prunes to the query terms' hash partitions
+    val fm = formatted(df)
+    val postingsScan = fm.split("\n\n")
+      .find(b => b.contains("postings") && b.contains("PartitionFilters"))
+      .getOrElse(fail(s"no postings scan with partition filters in:\n$fm"))
+    assert(postingsScan.contains("pbkt"),
+      s"postings scan must carry a pbkt partition filter:\n$postingsScan")
+    // identity: the store-served result equals the tokenize fallback
+    CorpusOps.lexStoreEnabled = false
+    try {
+      val cold = CorpusOps.q56Bm25(spark, sfDir).collect()
+      assert(rows.sameElements(cold),
+        "store-served BM25 must equal the tokenize-path result")
+    } finally CorpusOps.lexStoreEnabled = true
+  }
+
   test("q226: the only cross product is the documented tiny hours x types grid") {
     val df = EventsOps.q226CorrMatrix(spark, sfDir)
     df.collect()
