@@ -1046,6 +1046,7 @@ object IngestOps {
       case "q236" => q236Bootstrap(spark, dir); ()
       case "q238" => q238Mv0(spark, dir); ()
       case "q239" => q239Table(spark, dir); ()
+      case "q240" => q240Fixture(spark, dir); ()
       case "q215" => LayoutOps.q215Tables(spark, dir); ()
       case _ => ()
     }
@@ -1300,6 +1301,109 @@ object IngestOps {
       |  CAST(5 AS BIGINT) AS files_before_max,
       |  CAST(1 AS BIGINT) AS files_after_max
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q240 — EXACTLY-ONCE KEYED UPSERT STREAMING SINK: the missing half of
+    * q200 (exactly-once APPENDS). The events fixture is carved into four
+    * EVENT-TIME-CONTIGUOUS range files and replayed as a file stream one
+    * file per trigger; `foreachBatch` reduces each micro-batch to ONE
+    * change row per user (latest event by (ts, event_id); an event_id ≡ 0
+    * mod 7 is a tombstone) and commits it through
+    * [[graft.table.VersionedTable.mergeBatch]] — the q134 CDC merge and
+    * the micro-batch id tag in ONE atomic commit — then DELIVERS THE SAME
+    * BATCH AGAIN to prove redelivery is a detected no-op. Because the
+    * carve is time-ordered and a ts tie never straddles a file boundary
+    * (range predicates cut strictly between distinct ts values), the
+    * sequential last-write-wins merges compose to the GLOBAL last event
+    * per user — which is exactly what the oracle restates over the raw
+    * events table: any double-merge, lost batch, or mis-ordered replay
+    * breaks the hash.
+    *
+    * Scale: each commit rewrites only the buckets its users touch
+    * (copy-on-write merge); idempotence costs a manifest-header scan. This
+    * is the CDC-consumer produce path: a bus feed of entity states lands
+    * as a queryable, time-travelable keyed table with exactly-once
+    * semantics end to end.
+    */
+  private[graft] def q240Fixture(spark: SparkSession, dir: String): String =
+    ReplayFixtures.ensure(dir, "q240", Seq("events")) { root =>
+      val e = Tables(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      val mm = e.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).collect().head
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      // four contiguous ranges; a boundary value lands WHOLLY in the later
+      // range (< b vs >= b), so a ts tie never straddles a batch and the
+      // replay composes to the global (ts, event_id) order
+      val bs = (1 to 3).map(k => lo + (hi - lo) / 4 * k)
+      val conds = Seq(
+        unix_micros(col("ts")) < bs(0),
+        unix_micros(col("ts")) >= bs(0) && unix_micros(col("ts")) < bs(1),
+        unix_micros(col("ts")) >= bs(1) && unix_micros(col("ts")) < bs(2),
+        unix_micros(col("ts")) >= bs(2))
+      // one append-write per range, stamping strictly increasing mod times
+      // as we go so FileStreamSource replays the files in event-time order
+      // (the q165 carve idiom)
+      val inDir = new java.io.File(s"$root/in")
+      def parts() = Option(inDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      conds.zipWithIndex.foreach { case (cond, i) =>
+        val before = parts().map(_.getName).toSet
+        e.filter(cond).coalesce(1).write.mode("append").parquet(s"$root/in")
+        parts().filterNot(f => before(f.getName))
+          .foreach(_.setLastModified(1700000000000L + i * 600000L))
+      }
+    }
+
+  def q240StreamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val fix = q240Fixture(spark, dir)
+    val base = ReplayFixtures.runRoot(dir, "q240")
+    val ss = ReplayFixtures.replaySession(spark)
+    val t = new graft.table.VersionedTable(ss, s"$base/tbl", "user_id")
+    val src = ss.read.parquet(s"$fix/in")
+    // day-zero init: an empty typed snapshot — the first merged batch
+    // defines the payload schema
+    t.init(src.filter(lit(false))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value")))
+    val q = ss.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$fix/in")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+        val changes = batch.toDF()
+          .withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
+          .select(col("user_id"),
+            when(pmod(col("event_id"), lit(7)) === 0, "delete")
+              .otherwise("upsert").as("op"),
+            col("event_id"), col("event_type"), col("value"))
+        t.mergeBatch(changes, bid)
+        // at-least-once redelivery: the committed batch tag makes this a
+        // detected no-op — any re-apply would corrupt last-write-wins state
+        t.mergeBatch(changes, bid)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    t.readLatest()
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Oracle: the sink's final state IS the globally-latest event per user
+    * (absent when that event is a tombstone) — restated directly over the
+    * raw events table.
+    */
+  val q240Sql: String =
+    """WITH latest AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_id, event_type, value
+      |FROM latest WHERE rn = 1 AND event_id % 7 <> 0
+      |ORDER BY user_id""".stripMargin
 
   /** Oracle: snapshot v4 = base + all three change batches under the
     * merge composition rules (latest batch wins; within a batch delete
@@ -2069,6 +2173,7 @@ object IngestOps {
     "q236_cdc_mirror" -> q236CdcMirror _,
     "q238_join_ivm" -> q238JoinIvm _,
     "q239_table_compaction" -> q239Compaction _,
+    "q240_stream_upsert" -> q240StreamUpsert _,
     "q196_table_maintenance" -> q196TableMaintenance _,
     "q192_time_travel" -> q192TimeTravel _,
     "q189_schema_evolution" -> q189SchemaEvolution _,
@@ -2102,6 +2207,7 @@ object IngestOps {
     "q236_cdc_mirror" -> q236Sql,
     "q238_join_ivm" -> q238Sql,
     "q239_table_compaction" -> q239Sql,
+    "q240_stream_upsert" -> q240Sql,
     "q196_table_maintenance" -> q196Sql,
     "q192_time_travel" -> q192Sql,
     "q189_schema_evolution" -> q189Sql,

@@ -152,4 +152,33 @@ object EventBus {
         ()
       }
       .start()
+
+  /** Run `source` into the exactly-once KEYED UPSERT sink — the
+    * [[sinkToVersionedTable]] seam with
+    * [[graft.table.VersionedTable.mergeBatch]] as the commit verb: each
+    * micro-batch is mapped by `toChanges` onto the CDC change shape
+    * ((key, op ∈ upsert|delete, payload)) and merged as one batch-id-
+    * tagged copy-on-write commit, so redelivered batches are detected
+    * no-ops and the table converges to last-write-wins state per key
+    * whatever the source's delivery guarantee. `toChanges` MUST reduce
+    * each batch to at most one change row per key with a deterministic
+    * rule (e.g. latest event by (ts, event_id)) — merge's within-batch
+    * tie-break only orders delete before upsert, not replays of equals.
+    */
+  def upsertToVersionedTable(
+      spark: SparkSession,
+      source: EventSource,
+      table: graft.table.VersionedTable,
+      checkpointDir: String)(
+      toChanges: DataFrame => DataFrame): StreamingQuery =
+    source.read(spark)
+      .select(EventStream.eventSchema.fieldNames.toIndexedSeq.map(col): _*)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        table.mergeBatch(toChanges(batch.toDF()), bid)
+        ()
+      }
+      .start()
 }

@@ -295,7 +295,11 @@ final class VersionedTable(
     * over by reference. Fails with ConcurrentModificationException if a
     * concurrent writer committed first.
     */
-  def merge(changes: DataFrame, expectedVersion: Long): Long = {
+  def merge(changes: DataFrame, expectedVersion: Long): Long =
+    mergeImpl(changes, expectedVersion, "")
+
+  private def mergeImpl(changes: DataFrame, expectedVersion: Long,
+      extraHeader: String): Long = {
     val next = expectedVersion + 1
     val nB = bucketCountAt(expectedVersion)
     // schema enforcement: a change batch whose payload columns drift from
@@ -304,7 +308,10 @@ final class VersionedTable(
     if (expectedVersion >= 1) {
       val tableCols = read(expectedVersion).schema.fieldNames.toSet
       val batchCols = changes.columns.filterNot(_ == "op").toSet
-      require(batchCols == tableCols,
+      // a table initialized from an EMPTY snapshot (a streaming upsert
+      // sink's day-zero state) has no files and no schema yet — the first
+      // merge's batch defines it
+      require(tableCols.isEmpty || batchCols == tableCols,
         s"VersionedTable $root: change batch columns ${batchCols.toSeq.sorted} " +
           s"do not match table columns ${tableCols.toSeq.sorted}; " +
           "schema evolution requires an explicit rewrite, not a merge")
@@ -344,9 +351,36 @@ final class VersionedTable(
     val lines =
       oldTouched.map { case (_, p) => s"remove $p" } ++
         adds.map { case (b, p) => s"add $b $p" }
-    publish(next, expectedVersion, lines)
+    publish(next, expectedVersion, lines, extraHeader)
     // carried files are untouched by construction; nothing to write
     require(carried.forall { case (b, _) => !touched(b) })
+    next
+  }
+
+  /** IDEMPOTENT KEYED UPSERT for exactly-once streaming sinks — the
+    * [[merge]] CDC semantics ((key, op ∈ upsert|delete, payload), delete
+    * wins within a batch, copy-on-write of touched buckets only) committed
+    * as ONE version tagged with the micro-batch id, exactly like
+    * [[appendBatch]]: a redelivered batch (at-least-once upstream, retried
+    * foreachBatch, restarted query) is detected from the committed
+    * manifest tag and is a no-op, so at-least-once delivery + idempotent
+    * keyed commit = exactly-once UPSERT table contents — the
+    * `MERGE INTO` + txn-version idiom, where [[appendBatch]] is the
+    * append-only half. The table must already exist (init a base snapshot,
+    * possibly empty, first): the batch tag and the merge must land in the
+    * SAME atomic commit, which init's untagged manifest cannot provide.
+    */
+  def mergeBatch(changes: DataFrame, batchId: Long): Long = {
+    val cur = currentVersion()
+    require(cur >= 1,
+      s"mergeBatch requires an initialized table (call init first): $root")
+    refreshBatchCache(cur) // see every commit on disk before deciding
+    if (batchId <= batchIdCache) return cur // replayed batch
+    val next = mergeImpl(changes, cur, s" batch $batchId")
+    synchronized {
+      batchIdCache = math.max(batchIdCache, batchId)
+      batchCacheUpTo = math.max(batchCacheUpTo, next)
+    }
     next
   }
 

@@ -676,6 +676,52 @@ class StreamingSpec extends SparkTestBase {
       Seq("key", "value", "topic", "partition", "offset"))
   }
 
+  test("WireBus high-water marker: torn/corrupt marker parses as absent and restart recovers") {
+    val tmp = Files.createTempDirectory("graft-wirebus-marker").toString
+    // a crash mid-write (pre-atomic-move code, or a filesystem without
+    // atomic rename) leaves garbage — the restart must NOT throw
+    // NumberFormatException and permanently wedge the source
+    java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "wirebus-highwater"),
+      "gar bage".getBytes("UTF-8"))
+    val ws = new graft.streaming.WireBusStream(
+      rowsPerBatch = 10L, nParts = 2, topic = "events",
+      startMs = 1700000000000L, advanceMs = 60000L, checkpointLoc = tmp)
+    // marker read as absent → target re-arms from 0; the engine's restored
+    // offset then re-arms past the committed range (the documented belt)
+    ws.deserializeOffset("500")
+    val next = ws.latestOffset()
+    assert(next.json().toLong == 510L,
+      s"after re-arm at 500 the next batch must end at 510, got ${next.json()}")
+    // the re-published marker is clean and parses on the NEXT restart
+    val ws2 = new graft.streaming.WireBusStream(
+      rowsPerBatch = 10L, nParts = 2, topic = "events",
+      startMs = 1700000000000L, advanceMs = 60000L, checkpointLoc = tmp)
+    assert(ws2.latestOffset().json().toLong == 520L,
+      "recovered marker must persist the re-armed high water")
+  }
+
+  test("sink schema is source-binding-independent: a bus-backed table commits exactly the event schema") {
+    import graft.streaming.{EventBus, EventStream}
+    val tmp = Files.createTempDirectory("graft-busschema").toString
+    val ss = graft.queries.ReplayFixtures.replaySession(spark)
+    val table = new graft.table.VersionedTable(ss, s"$tmp/tbl", "event_id")
+    val src = EventBus.BusEventSource("graft.streaming.WireBus",
+      Map("rowsPerBatch" -> "100", "partitions" -> "2"))
+    val q = EventBus.sinkToVersionedTable(ss, src, table, s"$tmp/ckpt")
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    while (table.currentVersion() < 1 && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    q.stop(); q.awaitTermination()
+    assert(table.currentVersion() >= 1, "sink must commit at least one batch")
+    // the committed schema must be the EVENT schema — no topic/partition/
+    // offset lineage extras from the bus binding; swapping the source
+    // binding on an existing table must keep committing identical columns
+    assert(table.readLatest().schema.fieldNames.toSeq ==
+      EventStream.eventSchema.fieldNames.toSeq,
+      s"bus-backed sink leaked binding columns: " +
+        table.readLatest().schema.fieldNames.mkString(","))
+  }
+
   test("WireBus.payloadJson decodes to exactly EventBus.eventColumns' mapping — one sequence, two serializations") {
     import graft.streaming.{EventBus, WireBus}
     val N = 500L; val Rpb = 100L

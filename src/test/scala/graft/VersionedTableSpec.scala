@@ -263,6 +263,35 @@ class VersionedTableSpec extends SparkTestBase {
     assert(t.appendBatch(part(2), batchId = 2L) == 3L)
   }
 
+  test("mergeBatch: replayed batch is a no-op; out-of-order keyed updates converge") {
+    val t = new VersionedTable(spark, freshRoot("mergebatch"), "doc_id")
+    t.init(docs.limit(60))
+    def ch(rows: Seq[(Long, String, String, String)]) =
+      spark.createDataFrame(rows).toDF("doc_id", "op", "text", "lang")
+    // batch 0: upserts for keys in one order
+    val v1 = t.mergeBatch(ch(Seq((1L, "upsert", "one-v1", "en"),
+      (2L, "upsert", "two-v1", "en"))), batchId = 0L)
+    assert(v1 == 2L && t.lastCommittedBatchId() == 0L)
+    val s1 = snap(t.readLatest())
+    // failure replay: same batch id re-delivered — detected no-op, same
+    // version, same content
+    assert(t.mergeBatch(ch(Seq((1L, "upsert", "one-v1", "en"),
+      (2L, "upsert", "two-v1", "en"))), batchId = 0L) == 2L)
+    assert(t.currentVersion() == 2L && snap(t.readLatest()) == s1,
+      "replayed merge must not change state")
+    // batch 1 touches the same keys in the opposite order plus a delete:
+    // later batch wins per key regardless of row order within the batch
+    val v2 = t.mergeBatch(ch(Seq((2L, "upsert", "two-v2", "en"),
+      (1L, "delete", "one-v1", "en"))), batchId = 1L)
+    assert(v2 == 3L)
+    val s2 = snap(t.readLatest())
+    assert(!s2.contains(1L), "deleted key must be gone")
+    assert(s2(2L) == "two-v2", "later batch's upsert must win")
+    // replay of the OLDER batch after a newer one committed: still a no-op
+    assert(t.mergeBatch(ch(Seq((1L, "upsert", "one-v1", "en"))), batchId = 0L) == 3L)
+    assert(snap(t.readLatest()) == s2, "stale replay must not resurrect state")
+  }
+
   test("vacuum reclaims race orphans and pre-horizon files; horizon reads survive") {
     val root = freshRoot("vacuum")
     val t = new VersionedTable(spark, root, "doc_id")
