@@ -1047,6 +1047,7 @@ object IngestOps {
       case "q238" => q238Mv0(spark, dir); ()
       case "q239" => q239Table(spark, dir); ()
       case "q240" => q240Fixture(spark, dir); ()
+      case "q241" => q241Fixture(spark, dir); ()
       case "q215" => LayoutOps.q215Tables(spark, dir); ()
       case _ => ()
     }
@@ -1404,6 +1405,78 @@ object IngestOps {
       |SELECT user_id, event_id, event_type, value
       |FROM latest WHERE rn = 1 AND event_id % 7 <> 0
       |ORDER BY user_id""".stripMargin
+
+  /** q241 — DELTA-FORMAT TABLE ADOPTION (the inbound half of the q236
+    * interop story, now against a REAL commit log): a Delta-protocol
+    * table is built by the repo's own minimal writer
+    * ([[graft.sources.DeltaLog]]) through the full protocol surface —
+    * append commits, a remove+add REPLACE commit, a parquet checkpoint +
+    * `_last_checkpoint`, and a post-checkpoint tail commit — and the
+    * query then ADOPTS it: `DeltaLog.read` replays checkpoint + JSON tail
+    * into the latest snapshot, `VersionedTable.init` lands it in the
+    * native substrate, and the output aggregates the adopted table. The
+    * `v1_docs` audit column time-travels to the pre-replace version, so a
+    * reader that ignored remove actions (or replayed the tail twice)
+    * breaks the hash.
+    *
+    * Commit history over `documents` (doc_id mod 3 residues):
+    * v0 = residue 0 (protocol/metaData + adds), v1 = + residue 1,
+    * v2 = REPLACE (remove v1's files, add residue 2), checkpoint @ v2,
+    * v3 = + (residue 1 with even doc_id) — so the latest snapshot is
+    * `doc_id%3 <> 1 OR doc_id%2 = 0` and v1's is `doc_id%3 IN (0,1)`.
+    *
+    * Scale: adoption cost is snapshot-sized (one read + one bucketed
+    * write); log replay is versions-sized driver string work bounded by
+    * the checkpoint — data files are never listed from storage, which is
+    * what makes the format usable on an object store at 100 TB.
+    */
+  private[graft] def q241Fixture(spark: SparkSession, dir: String): String =
+    ReplayFixtures.ensure(dir, "q241", Seq("documents")) { root =>
+      import graft.sources.DeltaLog
+      val delta = s"$root/delta"
+      val d = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      DeltaLog.commitAppend(delta, d.filter(pmod(col("doc_id"), lit(3)) === 0))
+      val v0Files = DeltaLog.snapshotFiles(spark, delta, Some(0L)).toSet
+      DeltaLog.commitAppend(delta, d.filter(pmod(col("doc_id"), lit(3)) === 1))
+      val v1Extra = DeltaLog.snapshotFiles(spark, delta, Some(1L))
+        .filterNot(v0Files)
+      DeltaLog.commitReplace(delta, v1Extra,
+        d.filter(pmod(col("doc_id"), lit(3)) === 2))
+      DeltaLog.checkpoint(spark, delta)
+      DeltaLog.commitAppend(delta, d.filter(
+        pmod(col("doc_id"), lit(3)) === 1 && pmod(col("doc_id"), lit(2)) === 0))
+    }
+
+  def q241DeltaAdopt(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLog
+    val delta = s"${q241Fixture(spark, dir)}/delta"
+    val base = ReplayFixtures.runRoot(dir, "q241")
+    // time travel to the pre-replace version: pure log replay, no listing
+    val v1n = DeltaLog.read(spark, delta, Some(1L)).count()
+    // adopt the latest snapshot into the native substrate
+    val t = new graft.table.VersionedTable(spark, s"$base/tbl", "doc_id")
+    t.init(DeltaLog.read(spark, delta)
+      .select(col("doc_id"), col("text"), col("lang")))
+    t.readLatest()
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("len_sum"))
+      .withColumn("v1_docs", lit(v1n))
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle: the adopted snapshot is exactly the residues the commit
+    * history leaves live; v1_docs restates the pre-replace snapshot.
+    */
+  val q241Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS len_sum,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |     WHERE doc_id % 3 IN (0, 1)) AS v1_docs
+      |FROM documents
+      |WHERE doc_id % 3 <> 1 OR doc_id % 2 = 0
+      |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Oracle: snapshot v4 = base + all three change batches under the
     * merge composition rules (latest batch wins; within a batch delete
@@ -2174,6 +2247,7 @@ object IngestOps {
     "q238_join_ivm" -> q238JoinIvm _,
     "q239_table_compaction" -> q239Compaction _,
     "q240_stream_upsert" -> q240StreamUpsert _,
+    "q241_delta_adopt" -> q241DeltaAdopt _,
     "q196_table_maintenance" -> q196TableMaintenance _,
     "q192_time_travel" -> q192TimeTravel _,
     "q189_schema_evolution" -> q189SchemaEvolution _,
@@ -2208,6 +2282,7 @@ object IngestOps {
     "q238_join_ivm" -> q238Sql,
     "q239_table_compaction" -> q239Sql,
     "q240_stream_upsert" -> q240Sql,
+    "q241_delta_adopt" -> q241Sql,
     "q196_table_maintenance" -> q196Sql,
     "q192_time_travel" -> q192Sql,
     "q189_schema_evolution" -> q189Sql,

@@ -151,6 +151,52 @@ class SourcesSpec extends SparkTestBase {
       s"bucketed join must not re-shuffle the fact side:\n$nodes")
   }
 
+  test("DeltaLog: append/replace/time-travel replay; checkpoint equals full replay; commit race loses loudly") {
+    import graft.sources.DeltaLog
+    val root = Files.createTempDirectory("graft-deltalog").toString + "/tbl"
+    def part(i: Int) = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .filter(pmod(col("doc_id"), lit(3)) === i)
+    assert(DeltaLog.currentVersion(root) == -1L)
+    assert(DeltaLog.commitAppend(root, part(0)) == 0L)
+    assert(DeltaLog.commitAppend(root, part(1)) == 1L)
+    val n0 = part(0).count(); val n1 = part(1).count(); val n2 = part(2).count()
+    assert(DeltaLog.read(spark, root, Some(0L)).count() == n0)
+    assert(DeltaLog.read(spark, root, Some(1L)).count() == n0 + n1)
+    // REPLACE: drop v1's files, add residue 2 — remove actions must replay
+    val v1Extra = DeltaLog.snapshotFiles(spark, root, Some(1L))
+      .filterNot(DeltaLog.snapshotFiles(spark, root, Some(0L)).toSet)
+    assert(DeltaLog.commitReplace(root, v1Extra, part(2)) == 2L)
+    assert(DeltaLog.read(spark, root).count() == n0 + n2,
+      "replace must drop the removed files' rows")
+    // protocol files look right: %020d.json commits + protocol/metaData on v0
+    val v0Lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(root, "_delta_log", f"${0L}%020d.json"))
+    assert(v0Lines.get(0).contains("\"protocol\"") &&
+      v0Lines.get(1).contains("\"schemaString\""),
+      s"commit 0 must carry protocol+metaData: $v0Lines")
+    // checkpoint + tail: replay from the checkpoint equals full replay
+    val fullV2 = DeltaLog.snapshotFiles(spark, root, Some(2L))
+    assert(DeltaLog.checkpoint(spark, root) == 2L)
+    assert(java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(
+      root, "_delta_log", f"${2L}%020d.checkpoint.parquet")),
+      "a Delta checkpoint is one parquet FILE")
+    DeltaLog.commitAppend(root, part(1))
+    assert(DeltaLog.snapshotFiles(spark, root, Some(2L)).toSet == fullV2.toSet,
+      "checkpoint replay must reconstruct the same live set")
+    assert(DeltaLog.read(spark, root).count() == n0 + n2 + n1)
+    // pre-checkpoint time travel still works (the checkpoint is a
+    // shortcut, not a history truncation)
+    assert(DeltaLog.read(spark, root, Some(1L)).count() == n0 + n1)
+    // two writers who both based work on v3 race on v4: the loser's
+    // commit throws instead of clobbering (optimistic concurrency)
+    val v3 = DeltaLog.currentVersion(root)
+    assert(DeltaLog.commitAppend(root, part(0), Some(v3)) == v3 + 1)
+    intercept[java.util.ConcurrentModificationException] {
+      DeltaLog.commitAppend(root, part(0), Some(v3))
+    }
+  }
+
   test("q189 schema evolution: merged read nulls missing columns, loses and invents nothing") {
     val rows = graft.queries.IngestOps.q189SchemaEvolution(spark, sfDir).collect()
     assert(rows.nonEmpty)
