@@ -309,6 +309,18 @@ object ScaleSmoke {
       // per row into a d²-cell agg — cost is the explode-scan, output is
       // corpus-independent; must scale with the embedding count
       ("q237_gram_matrix", graft.queries.Similarity.q237GramMatrix _, scaledDir),
+      // VARIANT shred + typed pushdown: the staged shredded table tiles
+      // Nx (fixture hoisted, ingest-time); the typed k-filter prunes at
+      // the scan, so the query must stay scan-bound on the pruned read
+      ("q235_variant_shred", graft.queries.EventsOps.q235VariantShred _, scaledDir),
+      // join-view IVM: delta-scoped recompute — the refresh reads the two
+      // bucket-pruned CDC feeds plus touched buckets, never a full
+      // rejoin; at Nx both the deltas and the touched fraction tile
+      ("q238_join_ivm", graft.queries.IngestOps.q238JoinIvm _, scaledDir),
+      // OPTIMIZE: each run hard-link-clones the frozen fragmented table
+      // (fixture hoisted) and compacts it — reads + rewrites every
+      // fragmented bucket, data-sized by design, must tile ~Nx
+      ("q239_table_compaction", graft.queries.IngestOps.q239Compaction _, scaledDir),
       // pointer doubling: ONE random recursive tree over Nx nodes; depth
       // grows by ln N, so the fixed log-depth round count must still
       // saturate (the require proves it) while each round's node-keyed
@@ -328,6 +340,13 @@ object ScaleSmoke {
     kept.foreach { case (_, fn, _) => Bench.materialize(fn(spark, baseDir)) }
 
     val results = kept.map { case (name, fn, bigDir) =>
+      // one-per-(JVM, dir) ingest fixtures (staged variant tables,
+      // versioned tables, carves) are untimed artifacts on BOTH sides —
+      // the same hoist Bench applies, so ratios compare operator work,
+      // not fixture builds
+      val prefix = name.takeWhile(_ != '_')
+      graft.queries.IngestOps.warmFixture(spark, baseDir, prefix)
+      graft.queries.IngestOps.warmFixture(spark, bigDir, prefix)
       // each measurement times the COLD shared-stage build: Bench's full
       // sweep (candidate memo + cached Datasets + persisted RDDs), so no
       // ratio is distorted by what an earlier pipeline left in memory
