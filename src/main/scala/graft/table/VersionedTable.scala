@@ -216,15 +216,18 @@ final class VersionedTable(
   private def bucketOf(c: org.apache.spark.sql.Column, n: Int) =
     pmod(c, lit(n)).cast("int")
 
-  /** The manifest header is `version v basedOn b [buckets n] [batch id]`;
-    * parse one named token's value, None if absent.
+  /** The manifest header is `version v basedOn b [buckets n]
+    * [app id] [batch id]`; parse one named token's value, None if absent.
     */
-  private def headerToken(v: Long, token: String): Option[Long] = {
+  private def headerToken(v: Long, token: String): Option[Long] =
+    headerTokenStr(v, token).map(_.toLong)
+
+  private def headerTokenStr(v: Long, token: String): Option[String] = {
     val header = Files.readAllLines(manifestPath(v)).get(0)
     val parts = header.split(" ")
     parts.indexOf(token) match {
       case -1 => None
-      case i if i + 1 < parts.length => Some(parts(i + 1).toLong)
+      case i if i + 1 < parts.length => Some(parts(i + 1))
       case _ => None
     }
   }
@@ -304,14 +307,18 @@ final class VersionedTable(
     val nB = bucketCountAt(expectedVersion)
     // schema enforcement: a change batch whose payload columns drift from
     // the table's would write bucket files with a different schema than
-    // the carried ones — fail loudly at the merge, not at some future read
+    // the carried ones — fail loudly at the merge, not at some future read.
+    // The schema of record is the LATEST version that has live files: a
+    // table whose keys were all deleted keeps its schema contract (only a
+    // table that has NEVER had a data file — a streaming upsert sink's
+    // day-zero empty init — lets the first merge's batch define it).
     if (expectedVersion >= 1) {
-      val tableCols = read(expectedVersion).schema.fieldNames.toSet
+      val schemaVersion = (expectedVersion to 1L by -1L).iterator
+        .find(v => liveFiles(v).nonEmpty)
+      val tableCols = schemaVersion
+        .map(v => read(v).schema.fieldNames.toSet).getOrElse(Set.empty[String])
       val batchCols = changes.columns.filterNot(_ == "op").toSet
-      // a table initialized from an EMPTY snapshot (a streaming upsert
-      // sink's day-zero state) has no files and no schema yet — the first
-      // merge's batch defines it
-      require(tableCols.isEmpty || batchCols == tableCols,
+      require(schemaVersion.isEmpty || batchCols == tableCols,
         s"VersionedTable $root: change batch columns ${batchCols.toSeq.sorted} " +
           s"do not match table columns ${tableCols.toSeq.sorted}; " +
           "schema evolution requires an explicit rewrite, not a merge")
