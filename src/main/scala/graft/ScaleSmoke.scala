@@ -70,15 +70,16 @@ object ScaleSmoke {
     * ln(replicas), which is precisely the log-depth claim under test.
     */
   def synthesizeRelational(spark: SparkSession, baseDir: String, outDir: String): Unit = {
-    def tile(table: String, keyCols: Set[String], stride: Long): Unit = {
-      val t = Tables(spark, baseDir, table)
-      (0 until Replicas).map { i =>
-        t.select(t.columns.toIndexedSeq.map { c =>
-          if (keyCols(c)) (col(c) + lit(i * stride)).as(c) else col(c)
-        }: _*)
-      }.reduce(_.unionByName(_))
-        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
-    }
+    def tile(table: String, keyCols: Set[String], stride: Long): Unit =
+      tiled(outDir, table) {
+        val t = Tables(spark, baseDir, table)
+        (0 until Replicas).map { i =>
+          t.select(t.columns.toIndexedSeq.map { c =>
+            if (keyCols(c)) (col(c) + lit(i * stride)).as(c) else col(c)
+          }: _*)
+        }.reduce(_.unionByName(_))
+          .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+      }
     val keep = SparkEntry.onlyFilter()
     // each table tiles only when a kept query reads it — a scoped
     // SPARK_GRAFT_ONLY=q222 run must not pay the (large) orders/lineitem
@@ -101,50 +102,72 @@ object ScaleSmoke {
     }
   }
 
+  /** One-per-(outDir, table) tiling guard: a 100x campaign run one scoped
+    * query per JVM (so each query's shuffle spill is reclaimed at JVM
+    * exit) must not re-tile the corpus per invocation. The marker names
+    * the replica count — a different SPARK_GRAFT_REPLICAS re-tiles.
+    */
+  private def tiled(outDir: String, table: String)(build: => Unit): Unit = {
+    val marker = java.nio.file.Paths.get(outDir, s"_TILED_${table}_$Replicas")
+    if (!java.nio.file.Files.exists(marker)) {
+      build
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker, Array.empty[Byte])
+    }
+  }
+
   def synthesize(spark: SparkSession, baseDir: String, outDir: String): Unit = {
     val docs = Tables(spark, baseDir, "documents")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
-    val reps = (0 until Replicas).map { i =>
-      docs.select(docs.columns.toIndexedSeq.map {
-        case "doc_id" => (col("doc_id") + lit(i * IdStride)).as("doc_id")
-        case "text"   => translate(col("text"), alpha, bijection(i)).as("text")
-        case c        => col(c)
-      }: _*)
+    tiled(outDir, "documents") {
+      val reps = (0 until Replicas).map { i =>
+        docs.select(docs.columns.toIndexedSeq.map {
+          case "doc_id" => (col("doc_id") + lit(i * IdStride)).as("doc_id")
+          case "text"   => translate(col("text"), alpha, bijection(i)).as("text")
+          case c        => col(c)
+        }: _*)
+      }
+      reps.reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     }
-    reps.reduce(_.unionByName(_))
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    val embs = Tables(spark, baseDir, "embeddings")
-    (0 until Replicas).map { i =>
-      embs.select(embs.columns.toIndexedSeq.map {
-        case "vec_id" => (col("vec_id") + lit(i * IdStride)).as("vec_id")
-        case c        => col(c)
-      }: _*)
-    }.reduce(_.unionByName(_))
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    tiled(outDir, "embeddings") {
+      val embs = Tables(spark, baseDir, "embeddings")
+      (0 until Replicas).map { i =>
+        embs.select(embs.columns.toIndexedSeq.map {
+          case "vec_id" => (col("vec_id") + lit(i * IdStride)).as("vec_id")
+          case c        => col(c)
+        }: _*)
+      }.reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
     // events tile with event_id AND user_id offsets (distinct users per
     // type grow 10x — the sketch-build workload scales, the sketch state
     // does not). ts passes through RAW (not via Tables.events) so the
     // tiled table keeps whatever on-disk flavor the generator used —
     // Tables.events normalizes any of them on read-back.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$baseDir/events.parquet")
-    (0 until Replicas).map { i =>
-      ev.select(ev.columns.toIndexedSeq.map {
-        case "event_id" => (col("event_id") + lit(i * IdStride)).as("event_id")
-        case "user_id"  => (col("user_id") + lit(i * IdStride)).as("user_id")
-        case c          => col(c)
-      }: _*)
-    }.reduce(_.unionByName(_))
-      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    tiled(outDir, "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$baseDir/events.parquet")
+      (0 until Replicas).map { i =>
+        ev.select(ev.columns.toIndexedSeq.map {
+          case "event_id" => (col("event_id") + lit(i * IdStride)).as("event_id")
+          case "user_id"  => (col("user_id") + lit(i * IdStride)).as("user_id")
+          case c          => col(c)
+        }: _*)
+      }.reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
   }
 
   /** The skew corpus: the 10× documents with every row forced into ONE
     * language — a 100%-dominant-language shape.
     */
   def synthesizeSkewed(spark: SparkSession, scaledDir: String, outDir: String): Unit =
-    Tables(spark, scaledDir, "documents")
-      .withColumn("lang", lit("zz"))
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    tiled(outDir, "documents") {
+      Tables(spark, scaledDir, "documents")
+        .withColumn("lang", lit("zz"))
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
 
   /** Time the FULL materialization of `df` (Bench.materialize — the noop
     * DSv2 sink with an observed row count). Round 11: `count()` let
@@ -185,7 +208,10 @@ object ScaleSmoke {
     val scaledDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale${Replicas}x"
     val skewedDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale${Replicas}x_skew"
     synthesize(spark, baseDir, scaledDir)
-    synthesizeSkewed(spark, scaledDir, skewedDir)
+    // the skew corpus is read only by the two packing-skew rows
+    if (Seq("q97_sharded_packing_skewed", "q49_packing_skewed")
+        .exists(SparkEntry.onlyFilter()))
+      synthesizeSkewed(spark, scaledDir, skewedDir)
     // relational tiles only when a kept query reads them (q216/q222)
     if (Seq("q216_link_prediction", "q222_hierarchy")
         .exists(SparkEntry.onlyFilter()))
@@ -321,6 +347,15 @@ object ScaleSmoke {
       // (fixture hoisted) and compacts it — reads + rewrites every
       // fragmented bucket, data-sized by design, must tile ~Nx
       ("q239_table_compaction", graft.queries.IngestOps.q239Compaction _, scaledDir),
+      // exactly-once keyed upsert: four time-carved micro-batches replay
+      // over Nx events; each commit's CoW merge touches only the buckets
+      // its users dirty and the double-delivery no-op costs a manifest
+      // header scan — both must tile with data, never with version count
+      ("q240_stream_upsert", graft.queries.IngestOps.q240StreamUpsert _, scaledDir),
+      // Delta adoption: log replay is versions-sized driver work bounded
+      // by the checkpoint; the snapshot read + bucketed init is
+      // data-sized — the ratio gates that adoption stays snapshot-bound
+      ("q241_delta_adopt", graft.queries.IngestOps.q241DeltaAdopt _, scaledDir),
       // pointer doubling: ONE random recursive tree over Nx nodes; depth
       // grows by ln N, so the fixed log-depth round count must still
       // saturate (the require proves it) while each round's node-keyed
@@ -354,6 +389,11 @@ object ScaleSmoke {
       val (t1, r1) = time(fn(spark, baseDir))
       Bench.coldSweep(spark)
       val (t10, r10) = time(fn(spark, bigDir))
+      // progress to stderr as each row lands — a 100x run is tens of
+      // minutes and a mid-run crash (disk, OOM) must not lose the
+      // completed measurements
+      System.err.println(
+        f"[scale-smoke] $name 1x=$t1%.2fs ${Replicas}x=$t10%.2fs ratio=${t10 / t1}%.2f")
       (name, t1, t10, r1, r10)
     }
     // only meaningful (and only worth the count) when q41 actually ran;

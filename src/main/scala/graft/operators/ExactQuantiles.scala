@@ -38,7 +38,11 @@ object ExactQuantiles {
     */
   def perGroup(df: DataFrame, grp: String, value: String,
       ps: Seq[(String, Double)]): DataFrame = {
-    val hist = df.groupBy(col(grp), col(value)).agg(count(lit(1)).as("_c"))
+    // builtin percentile() ignores NULL values; without this filter the
+    // histogram would keep a null-value row and count it into _cum/_n,
+    // breaking the bit-identical contract on nullable columns
+    val hist = df.filter(col(value).isNotNull)
+      .groupBy(col(grp), col(value)).agg(count(lit(1)).as("_c"))
     val wCum = Window.partitionBy(col(grp)).orderBy(col(value))
     val wAll = Window.partitionBy(col(grp))
     val h = hist

@@ -383,13 +383,23 @@ object CorpusOps {
     // the (doc_id, term, tf) stage is the lexical store's postings table
     // when fresh — index construction then reads the ingest artifact
     // instead of re-tokenizing the corpus
-    termFreqs(spark, dir)
-      .groupBy(col("term"))
-      .agg(
-        count(lit(1)).as("df"),
-        sum(col("tf")).as("ttf"),
-        concat_ws(",",
-          slice(sort_array(collect_list(col("doc_id"))), 1, Q121MaxPostings)).as("postings"))
+    val tf = termFreqs(spark, dir)
+    // df/ttf: plain scalar partial agg — per-term state is two counters
+    val stats = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ttf"))
+    // postings preview: the min-Q121MaxPostings doc_ids per term through
+    // the native TopKPerKey (bounded map-side heaps), NOT a
+    // collect_list-then-slice — a stopword's corpus-sized postings list
+    // must never occupy one non-spillable aggregation buffer. Only the
+    // surviving ≤cap rows per term reach the (bounded) list build.
+    val head = graft.plans.TopK.perKey(
+      tf.select(col("term"), col("doc_id")),
+      Seq("term"), Seq("doc_id" -> true), k = Q121MaxPostings)
+    val postings = head.groupBy(col("term"))
+      .agg(concat_ws(",",
+        sort_array(collect_list(col("doc_id")))).as("postings"))
+    stats.join(postings, Seq("term"))
+      .select(col("term"), col("df"), col("ttf"), col("postings"))
       .orderBy(col("term"))
   }
 

@@ -138,26 +138,57 @@ object Dedup {
     * cached candidate pairs until [[clearCandidateCache]] is called — the
     * cache key is the path, not the file contents.
     */
+  /** Bounded insertion-ordered memo of persisted frames. All mutation is
+    * under the cache's own lock, so the check-evict-insert sequence is
+    * ATOMIC: a racing caller can never have its just-returned frame
+    * unpersisted mid-query by another thread's eviction (r12 ADVICE), and
+    * hitting the bound evicts only the OLDEST entries — never the entry
+    * being requested, never the whole cache. Unpersist is BLOCKING
+    * (round 12): the r11 bench's own harness_drift flag showed
+    * non-blocking eviction leaking each repeat's MEMORY_AND_DISK blocks
+    * into the next repeat's heap, so the same measurement varied
+    * 5.7–45.9 s with unchanged code. Unpersist is best-effort per entry
+    * (a stopped session throws; that must not leave the map
+    * half-cleared).
+    */
+  private final class FrameCache[K](stale: K => Boolean) {
+    private val m = new java.util.LinkedHashMap[K, DataFrame]()
+    private def drop(df: DataFrame): Unit =
+      try df.unpersist(blocking = true) catch { case _: Throwable => () }
+    def getOrBuild(k: K)(build: => DataFrame): DataFrame = synchronized {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (stale(e.getKey)) { drop(e.getValue); it.remove() }
+      }
+      val hit = m.get(k)
+      if (hit != null) hit
+      else {
+        while (m.size >= MaxCachedFrames) {
+          val oldest = m.entrySet().iterator().next()
+          drop(oldest.getValue)
+          m.remove(oldest.getKey)
+        }
+        val df = build
+        m.put(k, df)
+        df
+      }
+    }
+    def clear(): Unit = synchronized {
+      m.values.forEach(drop)
+      m.clear()
+    }
+  }
+
   private val candCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+    new FrameCache[(SparkSession, String, Int)](_._1.sparkContext.isStopped)
 
   /** Drop all memoized candidate frames — benchmarks that must time the
-    * COLD build (e.g. [[graft.ScaleSmoke]]) call this between measurements.
-    * Unpersist is BLOCKING (round 12): the r11 bench's own harness_drift
-    * flag showed non-blocking eviction leaking each repeat's
-    * MEMORY_AND_DISK blocks into the next repeat's heap, so the same
-    * measurement varied 5.7–45.9 s with unchanged code. Best-effort per
-    * entry (a stopped session throws from unpersist; that must not leave
-    * the map half-cleared).
+    * COLD build (e.g. [[graft.ScaleSmoke]]) call this between
+    * measurements (see [[FrameCache]] for the blocking-unpersist story).
     */
   def clearCandidateCache(): Unit = {
-    candCache.values.forEach { df =>
-      try df.unpersist(blocking = true) catch { case _: Throwable => () }
-    }
     candCache.clear()
-    shingleCache.values.forEach { df =>
-      try df.unpersist(blocking = true) catch { case _: Throwable => () }
-    }
     shingleCache.clear()
   }
 
@@ -168,47 +199,32 @@ object Dedup {
     * cold build.
     */
   private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new FrameCache[(SparkSession, String)](_._1.sparkContext.isStopped)
 
   /** Hard bound on memoized persisted frames per cache (shingle and
     * candidate): a long-lived session touching many corpus dirs must not
     * accumulate one persisted frame per dir forever — past the bound the
-    * whole cache is dropped (blocking) and rebuilt on demand, trading one
-    * recompute for a bounded block-manager footprint (r10 ADVICE).
+    * OLDEST entries are dropped (blocking) until under the bound, trading
+    * one recompute for a bounded block-manager footprint (r10 ADVICE).
     */
   private val MaxCachedFrames = 8
 
-  private[graft] def shingleFrame(spark: SparkSession, dir: String): DataFrame = {
-    shingleCache.keySet.removeIf { case (s, _) => s.sparkContext.isStopped }
-    if (shingleCache.size >= MaxCachedFrames) {
-      shingleCache.values.forEach { df =>
-        try df.unpersist(blocking = true) catch { case _: Throwable => () }
-      }
-      shingleCache.clear()
-    }
+  private[graft] def shingleFrame(spark: SparkSession, dir: String): DataFrame =
     // (doc_id, sz, token) with per-doc SET semantics. Shuffle-free by
     // construction (round 12): uniqueness of (doc_id, token) is per-doc, so
     // array_distinct inside the scan row replaces the corpus-wide
     // distinct() shuffle, and sz = |set| rides along from the same array —
     // consumers (q182/q211) no longer pay a groupBy(doc_id) + join to
     // recover sizes. At 100 TB this frame is a pure map stage.
-    shingleCache.computeIfAbsent((spark, dir), _ =>
+    shingleCache.getOrBuild((spark, dir))(
       graft.Tables(spark, dir, "documents")
         .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("ts"))
         .select(col("doc_id"), size(col("ts")).cast("long").as("sz"),
           explode(col("ts")).as("token"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
 
   def minhashCandidates(spark: SparkSession, dir: String, maxBucket: Int = 256): DataFrame = {
-    candCache.keySet.removeIf { case (s, _, _) => s.sparkContext.isStopped }
-    if (candCache.size >= MaxCachedFrames) {
-      candCache.values.forEach { df =>
-        try df.unpersist(blocking = true) catch { case _: Throwable => () }
-      }
-      candCache.clear()
-    }
-    candCache.computeIfAbsent((spark, dir, maxBucket), _ =>
+    candCache.getOrBuild((spark, dir, maxBucket))(
       storedCandidates(spark, dir, maxBucket)
         .getOrElse(buildMinhashCandidates(spark, dir, maxBucket))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

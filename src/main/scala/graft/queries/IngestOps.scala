@@ -2031,30 +2031,16 @@ object IngestOps {
     val reqPred = graft.functions.ColFns.h60(
       concat(col("c_custkey").cast("string"), lit(":gdpr"))) % Q214ReqMod === 0
     val t = q214Table(spark, dir)
-    // narrow on purpose: only the failures that MEAN "v1's files are gone"
-    // count as the erased outcome — a broad catch would convert any
-    // unrelated failure (OOM, interrupted task) into the expected audit
-    // result and pass for the wrong reason (round-9 ADVICE)
-    def isMissingFileFailure(e: Throwable): Boolean = e match {
-      case null => false
-      case _: java.io.FileNotFoundException => true
-      case e: org.apache.spark.sql.AnalysisException =>
-        // only the missing-path analysis failures count — a schema-merge
-        // conflict or bad plan is NOT evidence of erasure
-        val m = Option(e.getMessage).getOrElse("")
-        m.contains("PATH_NOT_FOUND") || m.contains("does not exist") ||
-          isMissingFileFailure(e.getCause)
-      case e: org.apache.spark.SparkException =>
-        val m = Option(e.getMessage).getOrElse("")
-        m.contains("FileNotFound") || m.contains("does not exist") ||
-          m.contains("FAILED_READ_FILE") || isMissingFileFailure(e.getCause)
-      case e => isMissingFileFailure(e.getCause)
-    }
-    val v1Readable =
-      try { t.read(1L).count(); true }
-      catch {
-        case e: Throwable if isMissingFileFailure(e) => false
-      }
+    // "v1 unreadable" is probed at the MANIFEST level: every data path
+    // v1's manifest declares live must be gone from disk. Exactly the
+    // condition the former `t.read(1L).count()` try/catch detected
+    // (PATH_NOT_FOUND), but without building a deliberately-failing Spark
+    // plan — a failed analysis in an Observation-bearing session makes
+    // Spark's ObservationManager listener re-raise the failure as an
+    // ERROR-level stack in the log of the NEXT observed query (the
+    // round-12 bench-tail pollution, traced here)
+    val v1Readable = t.liveFilePaths(1L)
+      .forall(p => new java.io.File(p).exists())
     val src = Tables(spark, dir, "customer")
       .agg(count(lit(1)).as("n_before"),
         count(when(reqPred, 1)).as("n_requests"))

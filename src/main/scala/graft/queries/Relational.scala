@@ -378,7 +378,10 @@ object Relational {
       .agg(
         approx_count_distinct(col("l_partkey"), rsd = 0.02).as("ap"),
         expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("pp"))
-    val exactParts = l.select(col("l_returnflag"), col("l_partkey")).distinct()
+    // count(DISTINCT x) ignores NULLs; the two-level distinct must too
+    // (l_partkey is non-null in TPC-H, but the idiom is the contract)
+    val exactParts = l.select(col("l_returnflag"), col("l_partkey"))
+      .filter(col("l_partkey").isNotNull).distinct()
       .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
     val exactP50 = graft.operators.ExactQuantiles
       .perGroup(l, "l_returnflag", "l_extendedprice", Seq("raw_p50" -> 0.5))
@@ -613,7 +616,10 @@ object Relational {
     * BIGINT partial, so re-aggregating partials is order-free.
     */
   def q205MvRewrite(spark: SparkSession, dir: String): DataFrame = {
-    val mvPath = s"${System.getProperty("java.io.tmpdir")}/graft_q205_mv_" +
+    // _mv2_: round 13 widened the view with min/max partials and the
+    // per-measure non-null count avg needs — a stale _mv_ fixture from an
+    // earlier round must not be adopted
+    val mvPath = s"${System.getProperty("java.io.tmpdir")}/graft_q205_mv2_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
     val s2 = spark.newSession()
     val base = Tables(s2, dir, "lineitem")
@@ -621,25 +627,36 @@ object Relational {
       base.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")).as("s_qty"),
           sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("s_price_cents"),
-          count(lit(1)).as("cnt"))
+          count(lit(1)).as("cnt"),
+          min(col("l_quantity")).as("mn_qty"),
+          max(col("l_quantity")).as("mx_qty"),
+          count(col("l_quantity")).as("c_qty"))
         .write.mode("overwrite").parquet(mvPath)
     graft.plans.MvRewrite.clear()
     graft.plans.MvRewrite.register(
       base, s2.read.parquet(mvPath),
       dims = Set("l_returnflag", "l_linestatus"),
       sums = Map("l_quantity" -> "s_qty"),
-      countCol = "cnt")
+      countCol = "cnt",
+      mins = Map("l_quantity" -> "mn_qty"),
+      maxs = Map("l_quantity" -> "mx_qty"),
+      counts = Map("l_quantity" -> "c_qty"))
     graft.plans.MvRewrite.enable(s2)
+    // the dashboard shape: sum, count, min, max AND avg — avg is the one
+    // that used to force the all-or-nothing fallback to rescan the fact
     val df = base
       .groupBy(col("l_returnflag"))
       .agg(sum(col("l_quantity")).as("sum_qty"),
-        count(lit(1)).as("n_rows"))
+        count(lit(1)).as("n_rows"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        avg(col("l_quantity")).as("avg_qty"))
       .orderBy(col("l_returnflag"))
     require(df.queryExecution.optimizedPlan.collectFirst {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation
           if (l.relation match {
             case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              h.location.rootPaths.exists(_.toString.contains("graft_q205_mv_"))
+              h.location.rootPaths.exists(_.toString.contains("graft_q205_mv2_"))
             case _ => false
           }) => l
     }.nonEmpty, "q205 must exercise MvRewrite: the aggregate still reads the fact")
@@ -649,7 +666,10 @@ object Relational {
   val q205Sql: String =
     """SELECT l_returnflag,
       |  sum(l_quantity) AS sum_qty,
-      |  CAST(count(*) AS BIGINT) AS n_rows
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  min(l_quantity) AS min_qty,
+      |  max(l_quantity) AS max_qty,
+      |  avg(l_quantity) AS avg_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** q232 — the SQL-TEXT API surface: the same engine driven entirely

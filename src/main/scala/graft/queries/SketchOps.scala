@@ -911,14 +911,13 @@ object SketchOps {
     * a quarter's windows over a year of 100 TB events re-ranks
     * 365·|types|·64 sample rows, no event rescans. The exact rider exists
     * only to exhibit the estimate's error, and is itself maintained the
-    * daily-artifact way: ONE day-keyed pass builds a sorted (value, hash)
-    * run per (type, day), and each window merges its ≤7 day RUNS
-    * (array flatten + sort of presorted runs) instead of re-exploding and
-    * re-ranking the full event stream per window end — the q151/q183
-    * "merge daily artifacts, never rescan rows" economics. The day run is
-    * day-sized (a calibration artifact, not the product path); at 100 TB
-    * the rider would run on a sampled day slice, which changes nothing
-    * about the merged-sample identity being calibrated.
+    * daily-artifact way: ONE day-keyed pass builds a VALUE HISTOGRAM per
+    * (type, day) — distinct-value-sized, mergeable by summing counts —
+    * and each window merges its ≤7 day histograms and locates the ranks
+    * from cumulative counts instead of re-exploding and re-ranking the
+    * full event stream per window end — the q151/q183 "merge daily
+    * artifacts, never rescan rows" economics, with no per-group array
+    * buffer anywhere (the ExactQuantiles route that cured q19/q74).
     */
   def q194RollingQuantiles(spark: SparkSession, dir: String): DataFrame = {
     // the ×7 window-end explode (and the per-row md5 under it) is fan-out
@@ -949,29 +948,34 @@ object SketchOps {
     val merged = bottomK(
       windowEnds(daily).select(col("event_type"), col("end_day"), col("value"), col("h")),
       SampleK, "event_type", "end_day")
-    // exact side from per-day sorted runs: percentile_disc by (value, h)
-    // rank equals element_at on the merged sorted multiset — same values
-    // as ranking the exploded rows (the oracle still restates it that way)
-    val dayRuns = h.groupBy(col("event_type"), col("d"))
-      .agg(sort_array(collect_list(struct(col("value"), col("h")))).as("run"),
-        count(lit(1)).as("cnt"))
-    val exact = windowEnds(dayRuns)
+    // exact side from per-day VALUE HISTOGRAMS (the q19/q74
+    // ExactQuantiles route): percentile_disc at rank r ordered by
+    // (value, h) returns the r-th smallest VALUE — ties reorder rows,
+    // never which value occupies a rank — so the order statistic falls
+    // out of cumulative histogram counts. Day histograms are
+    // distinct-value-sized, merge across the ≤7-day window by summing
+    // counts, and no aggregation buffer ever holds more than a running
+    // count (the window sorts are spillable) — the former day-run
+    // collect_list/flatten cell (and the 2^31 assert_true ceiling it
+    // needed) is gone.
+    val dayHist = h.groupBy(col("event_type"), col("d"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val winHist = windowEnds(dayHist)
+      .groupBy(col("event_type"), col("end_day"), col("value"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val wCum = Window.partitionBy(col("event_type"), col("end_day"))
+      .orderBy(col("value"))
+    val wAll = Window.partitionBy(col("event_type"), col("end_day"))
+    val exact = winHist
+      .withColumn("_cum", sum(col("cnt")).over(wCum))
+      .withColumn("_n", sum(col("cnt")).over(wAll))
       .groupBy(col("event_type"), col("end_day"))
-      .agg(array_sort(flatten(collect_list(col("run")))).as("mrg"),
-        sum(col("cnt")).as("exact_n"))
-      // HARD CEILING, enforced loudly: the merged day-run array is one
-      // aggregation-buffer cell (non-spillable) and element_at indexes with
-      // INT — a window over >= 2^31 rows must fail with this message, not
-      // OOM or overflow. At 100 TB the rider runs on a sampled day slice
-      // (scaladoc above); the calibration identity is unchanged.
-      .withColumn("_ceiling", assert_true(col("exact_n") < lit(Int.MaxValue),
-        lit("q194 exact rider: a 7-day window holds >= 2^31 rows — run the " +
-          "rider on a sampled day slice (see q194RollingQuantiles scaladoc)")))
-      .filter(col("_ceiling").isNull)
-      .select(col("event_type"), col("end_day"),
-        expr("element_at(mrg, CAST(ceil(exact_n * 0.5) AS INT)).value").as("exact_p50"),
-        expr("element_at(mrg, CAST(ceil(exact_n * 0.9) AS INT)).value").as("exact_p90"),
-        col("exact_n"))
+      .agg(
+        min(when(col("_cum") >= expr("ceil(_n * 0.5)"), col("value")))
+          .as("exact_p50"),
+        min(when(col("_cum") >= expr("ceil(_n * 0.9)"), col("value")))
+          .as("exact_p90"),
+        max(col("_n")).as("exact_n"))
     disc(merged, "est")
       .join(exact, Seq("event_type", "end_day"))
       .orderBy(col("event_type"), col("end_day"))

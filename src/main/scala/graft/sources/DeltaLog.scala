@@ -4,8 +4,9 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** MINIMAL DELTA-PROTOCOL TRANSACTION LOG — reader and writer for the
   * PUBLIC Delta Lake log format (the delta-io PROTOCOL.md wire format),
@@ -14,22 +15,30 @@ import org.apache.spark.sql.functions._
   *
   *   - `%020d.json` — one commit per version: newline-delimited JSON
   *     actions (`protocol`, `metaData`, `add {path, size, ...}`,
-  *     `remove {path, ...}`, `commitInfo`);
-  *   - `%020d.checkpoint.parquet` — the live action set compacted at a
-  *     version, so replay is bounded by checkpoint cadence, not table
-  *     lifetime;
-  *   - `_last_checkpoint` — JSON pointer `{"version": N}` to the newest
-  *     checkpoint.
+  *     `remove {path, ...}`, `commitInfo`, `txn`);
+  *   - `%020d.checkpoint.parquet` (single-part) or
+  *     `%020d.checkpoint.%010d.%010d.parquet` (multi-part) — the live
+  *     action set compacted at a version, so replay is bounded by
+  *     checkpoint cadence, not table lifetime;
+  *   - `_last_checkpoint` — JSON pointer `{"version": N[, "parts": P]}`
+  *     to the newest checkpoint.
   *
   * The snapshot at version v is the adds of commits 0..v minus the
   * removes (last action per path wins) — identical replay semantics to
   * [[graft.table.VersionedTable]]'s native manifest log, which is what
   * makes the two interoperable: INBOUND, `read(root, v)` materializes a
-  * snapshot another engine committed and `VersionedTable.init` adopts it
-  * (q241 runs that exact loop against a table written by [[commitAppend]]
-  * / [[commitReplace]]); OUTBOUND, the writer publishes commits any Delta
-  * reader accepts, with the same atomic put-if-absent race on the commit
-  * file that object-store Delta writers use.
+  * snapshot another engine committed (SourcesSpec replays a hand-authored
+  * foreign log with multi-part checkpoints, remove-then-re-add across a
+  * checkpoint boundary, `dataChange=false` compaction commits, and
+  * stats/tags fields this writer never emits) and `VersionedTable.init`
+  * adopts it (q241 runs that loop against a table written by
+  * [[commitAppend]] / [[commitReplace]]); OUTBOUND, the writer publishes
+  * commits any Delta reader accepts — checkpoints carry the
+  * protocol/metaData actions and the full add schema PROTOCOL.md
+  * requires, and `_last_checkpoint` is published via write-temp +
+  * ATOMIC_MOVE so a reader never observes a torn pointer — with the same
+  * atomic put-if-absent race on the commit file that object-store Delta
+  * writers use.
   *
   * Scale: log replay is driver-side string work sized by versions since
   * the last checkpoint (never data-sized); the checkpoint read is one
@@ -64,45 +73,126 @@ object DeltaLog {
     if (vs.isEmpty) -1L else vs.max
   }
 
+  /** Checkpoint part files per version: single-part
+    * `V.checkpoint.parquet` and multi-part `V.checkpoint.I.N.parquet`
+    * (PROTOCOL.md both). A multi-part group missing any of its N parts is
+    * ignored — an interrupted foreign writer must not poison replay.
+    */
+  private val CkptName =
+    """^(\d{20})\.checkpoint(?:\.(\d{10})\.(\d{10}))?\.parquet$""".r
+
+  private def checkpoints(root: String): Map[Long, Seq[Path]] =
+    if (!Files.isDirectory(logDir(root))) Map.empty
+    else {
+      val s = Files.list(logDir(root))
+      val named =
+        try s.iterator().asScala.flatMap { p =>
+          p.getFileName.toString match {
+            case CkptName(v, part, of) =>
+              Some((v.toLong, Option(of).map(_.toInt), p))
+            case _ => None
+          }
+        }.toSeq
+        finally s.close()
+      named.groupBy(_._1).flatMap { case (v, grp) =>
+        val parts = grp.sortBy(_._3.getFileName.toString).map(_._3)
+        val declared = grp.flatMap(_._2).headOption
+        declared match {
+          case Some(n) if grp.count(_._2.isDefined) == n =>
+            Some(v -> grp.filter(_._2.isDefined).sortBy(_._3.getFileName.toString).map(_._3))
+          case Some(_) => None // incomplete multi-part group
+          case None => Some(v -> parts)
+        }
+      }
+    }
+
+  /** Replayed state at a version: live (path, size) in first-add order
+    * plus the latest metaData schemaString seen (checkpoint or tail).
+    */
+  private case class Snapshot(adds: Seq[(String, Long)],
+      schemaJson: Option[String], metaDataJson: Option[String],
+      protocolJson: Option[String])
+
+  private def replay(spark: SparkSession, root: String,
+      version: Option[Long]): Snapshot = {
+    val cur = currentVersion(root)
+    require(cur >= 0, s"no Delta log at $root")
+    val v = version.getOrElse(cur)
+    require(v >= 0 && v <= cur, s"version $v out of range [0, $cur]")
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    var schemaJson: Option[String] = None
+    var metaDataJson: Option[String] = None
+    var protocolJson: Option[String] = None
+    val ckpts = checkpoints(root)
+    val ckpt = ckpts.keys.filter(_ <= v).toSeq.sorted.lastOption
+    ckpt.foreach { c =>
+      val df = spark.read.parquet(ckpts(c).map(_.toString): _*)
+      def fieldsOf(column: String): Set[String] =
+        df.schema(column).dataType.asInstanceOf[StructType].fieldNames.toSet
+      // adds: live set as of the checkpoint (removes in a checkpoint are
+      // VACUUM tombstones, not live-set state — ignored for replay);
+      // column presence is probed, never assumed — pre-round-13
+      // checkpoints carried only an add.path column
+      if (df.columns.contains("add")) {
+        val sz = if (fieldsOf("add")("size")) col("add.size").cast("long")
+          else lit(0L)
+        df.filter(col("add").isNotNull).select(col("add.path"), sz)
+          .collect().foreach(r => live(r.getString(0)) = r.getLong(1))
+      }
+      if (df.columns.contains("metaData") && fieldsOf("metaData")("schemaString"))
+        df.filter(col("metaData").isNotNull)
+          .select(col("metaData.schemaString")).collect()
+          .headOption.filterNot(_.isNullAt(0))
+          .foreach(r => schemaJson = Some(r.getString(0)))
+    }
+    (ckpt.getOrElse(-1L) + 1L to v).foreach { i =>
+      Files.readAllLines(commitPath(root, i)).forEach { line =>
+        if (line.nonEmpty) {
+          val node = mapper.readTree(line)
+          if (node.has("add")) {
+            val a = node.get("add")
+            live(a.get("path").asText()) =
+              if (a.has("size")) a.get("size").asLong() else 0L
+          } else if (node.has("remove"))
+            live.remove(node.get("remove").get("path").asText())
+          else if (node.has("metaData")) {
+            metaDataJson = Some(node.get("metaData").toString)
+            if (node.get("metaData").has("schemaString"))
+              schemaJson = Some(node.get("metaData").get("schemaString").asText())
+          } else if (node.has("protocol"))
+            protocolJson = Some(node.get("protocol").toString)
+        }
+      }
+    }
+    Snapshot(live.toSeq, schemaJson, metaDataJson, protocolJson)
+  }
+
   /** Live data-file paths (relative to `root`) at `version` (default:
     * latest): replay from the newest checkpoint at or below the version,
     * then the JSON commit tail. Order is first-add order, stable across
     * replays.
     */
   def snapshotFiles(spark: SparkSession, root: String,
-      version: Option[Long] = None): Seq[String] = {
-    val cur = currentVersion(root)
-    require(cur >= 0, s"no Delta log at $root")
-    val v = version.getOrElse(cur)
-    require(v >= 0 && v <= cur, s"version $v out of range [0, $cur]")
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, Unit]
-    val ckpt = listVersions(root, ".checkpoint.parquet").filter(_ <= v)
-      .sorted.lastOption
-    ckpt.foreach { c =>
-      spark.read.parquet(checkpointPath(root, c).toString)
-        .select(col("add.path"))
-        .filter(col("path").isNotNull)
-        .collect().foreach(r => live(r.getString(0)) = ())
-    }
-    (ckpt.getOrElse(-1L) + 1L to v).foreach { i =>
-      Files.readAllLines(commitPath(root, i)).forEach { line =>
-        if (line.nonEmpty) {
-          val node = mapper.readTree(line)
-          if (node.has("add")) live(node.get("add").get("path").asText()) = ()
-          else if (node.has("remove"))
-            live.remove(node.get("remove").get("path").asText())
-        }
-      }
-    }
-    live.keys.toSeq
-  }
+      version: Option[Long] = None): Seq[String] =
+    replay(spark, root, version).adds.map(_._1)
 
-  /** The snapshot exactly as `version` committed it — Delta time travel. */
+  /** The snapshot exactly as `version` committed it — Delta time travel.
+    * A snapshot with no live files returns an EMPTY frame typed by the
+    * metaData schemaString (never a zero-column frame a caller's column
+    * selection would throw on).
+    */
   def read(spark: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {
-    val paths = snapshotFiles(spark, root, version).map(p => s"$root/$p")
-    if (paths.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(paths: _*)
+    val snap = replay(spark, root, version)
+    val paths = snap.adds.map { case (p, _) => s"$root/$p" }
+    if (paths.nonEmpty) spark.read.parquet(paths: _*)
+    else {
+      val schema = snap.schemaJson
+        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+        .getOrElse(new StructType())
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+    }
   }
 
   private def jstr(s: String): String = mapper.writeValueAsString(s)
@@ -185,21 +275,68 @@ object DeltaLog {
     next
   }
 
+  /** The checkpoint parquet schema PROTOCOL.md prescribes: one action per
+    * row, exactly one of the struct columns non-null. Minimal but
+    * complete — protocol, metaData (id/format/schemaString/
+    * partitionColumns/configuration), add (path/partitionValues/size/
+    * modificationTime/dataChange) — so a foreign reader that follows
+    * `_last_checkpoint` and never reads the pre-checkpoint JSON can still
+    * resolve the table's protocol, schema, and live files.
+    */
+  private val CkptSchema = StructType(Seq(
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType))))),
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType))))))
+
   /** Compact the live set at the current version into a parquet
     * checkpoint and point `_last_checkpoint` at it — future replays read
-    * the checkpoint plus the commit tail only.
+    * the checkpoint plus the commit tail only. The checkpoint carries the
+    * protocol and metaData actions plus full add rows (not just paths),
+    * and `_last_checkpoint` is swapped in via temp-file + ATOMIC_MOVE,
+    * so a foreign reader arriving mid-publish sees either the previous
+    * pointer or the complete new one.
     */
   def checkpoint(spark: SparkSession, root: String): Long = {
     val v = currentVersion(root)
     require(v >= 0, s"no Delta log at $root to checkpoint")
-    val rows = snapshotFiles(spark, root, Some(v)).map(p => Tuple1(p))
-    // a Delta checkpoint is ONE parquet file, not a directory: write via a
-    // scratch dir and move the single part file into place
+    val snap = replay(spark, root, Some(v))
+    val protoRow = {
+      val p = snap.protocolJson.map(mapper.readTree)
+      Row(Row(p.map(_.get("minReaderVersion").asInt()).getOrElse(1),
+        p.map(_.get("minWriterVersion").asInt()).getOrElse(2)), null, null)
+    }
+    val metaRow = {
+      val m = snap.metaDataJson.map(mapper.readTree)
+      def str(f: String) = m.flatMap(n => Option(n.get(f))).map(_.asText()).orNull
+      Row(null, Row(
+        Option(str("id")).getOrElse(java.util.UUID.randomUUID().toString),
+        Row("parquet", Map.empty[String, String]),
+        snap.schemaJson.orNull,
+        Seq.empty[String], Map.empty[String, String]), null)
+    }
+    val addRows = snap.adds.map { case (p, s) =>
+      Row(null, null, Row(p, Map.empty[String, String], s, 0L, true))
+    }
+    // a single-part Delta checkpoint is ONE parquet file, not a
+    // directory: write via a scratch dir and move the part into place
     val tmp = s"$root/_delta_log/.ckpt-${java.util.UUID.randomUUID().toString.take(8)}"
-    spark.createDataFrame(rows).toDF("path")
-      .select(struct(col("path"), lit(0L).as("size"),
-        lit(0L).as("modificationTime"), lit(true).as("dataChange")).as("add"))
-      .coalesce(1)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(protoRow +: metaRow +: addRows, 1),
+      CkptSchema)
       .write.parquet(tmp)
     val part = Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
       .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
@@ -207,8 +344,12 @@ object DeltaLog {
     Files.move(part.toPath, checkpointPath(root, v),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-    Files.write(logDir(root).resolve("_last_checkpoint"),
-      s"""{"version":$v,"size":${rows.size}}""".getBytes("UTF-8"))
+    val lcTmp = logDir(root).resolve(s".last_checkpoint.${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(lcTmp,
+      s"""{"version":$v,"size":${snap.adds.size + 2}}""".getBytes("UTF-8"))
+    Files.move(lcTmp, logDir(root).resolve("_last_checkpoint"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     v
   }
 }

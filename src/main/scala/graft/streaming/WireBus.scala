@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.util.{Map => JMap}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -133,18 +135,52 @@ final class WireBusStream(rowsPerBatch: Long, nParts: Int, topic: String,
     base.resolve("wirebus-highwater")
   }
 
+  // Fallback recovery: the committed high water from the ENGINE's offset
+  // log (`<ckpt>/offsets/<batchId>`, this source's offset JSON is its
+  // last line). The marker lives at `<ckpt>/sources/<i>/`, so the offset
+  // log is two levels up. Used when the marker is corrupt or missing —
+  // the engine may call latestOffset() BEFORE any deserializeOffset() on
+  // restart, and a 0 answer in that window would re-plan old ranges
+  // under new batch ids (duplicated events, the exact hazard the marker
+  // exists for).
+  private def engineHighWater(): Option[Long] = {
+    val offsets = Option(marker.getParent)
+      .flatMap(p => Option(p.getParent)).flatMap(p => Option(p.getParent))
+      .map(_.resolve("offsets"))
+      .filter(java.nio.file.Files.isDirectory(_))
+    offsets.flatMap { dir =>
+      val s = java.nio.file.Files.list(dir)
+      val batchFiles =
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.forall(_.isDigit)).toSeq
+        finally s.close()
+      val parsed = batchFiles.flatMap { f =>
+        scala.util.Try {
+          val lines = java.nio.file.Files.readAllLines(f).asScala
+            .map(_.trim).filter(_.nonEmpty)
+          lines.last.toLong
+        }.toOption
+      }
+      if (parsed.isEmpty) None else Some(parsed.max)
+    }
+  }
+
   // Crash-safe read: a marker torn by a mid-write crash (possible only
   // before round 12's atomic-move publish, or on a filesystem without
-  // atomic rename) parses as ABSENT, not as a permanent
-  // NumberFormatException wedging every restart. Falling back to 0 is
-  // safe by the same belt the scaladoc above describes:
-  // deserializeOffset/commit re-arm the target from the engine's restored
-  // offset before any range below it could be re-planned.
+  // atomic rename) recovers LOUDLY from the engine's committed offset
+  // log rather than silently reporting 0 — a 0 in the pre-deserialize
+  // latestOffset window would duplicate events (see engineHighWater).
+  // deserializeOffset/commit still re-arm as a belt on top.
   @volatile private var target: Long =
     if (java.nio.file.Files.exists(marker))
       scala.util.Try(
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim.toLong
-      ).getOrElse(0L)
+      ).getOrElse {
+        val rec = engineHighWater().getOrElse(0L)
+        System.err.println(s"[wirebus] high-water marker at $marker is " +
+          s"corrupt; recovered target=$rec from the engine offset log")
+        rec
+      }
     else 0L
 
   // Publish via write-temp + ATOMIC_MOVE: readers see the old complete

@@ -202,6 +202,15 @@ final class VersionedTable(
     next
   }
 
+  /** Absolute data paths version `v` reads — the manifest-level view a
+    * caller can existence-probe WITHOUT building a Spark plan (q214's
+    * erasure audit: a deliberately-failing `read(v).count()` probe made
+    * Spark's ObservationManager listener re-raise the analysis failure
+    * into the log of every later observed query in the session).
+    */
+  private[graft] def liveFilePaths(v: Long): Seq[String] =
+    liveFiles(v).map { case (_, p) => s"$root/$p" }
+
   /** The snapshot exactly as version `v` committed it — time travel. */
   def read(v: Long): DataFrame = {
     val paths = liveFiles(v).map { case (_, p) => s"$root/$p" }

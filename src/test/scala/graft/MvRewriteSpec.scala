@@ -27,11 +27,16 @@ class MvRewriteSpec extends SparkTestBase {
     val s2 = spark.newSession()
     val base = Tables(s2, sfDir, "lineitem")
     base.groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(col("l_quantity")).as("s_qty"), count(lit(1)).as("cnt"))
+      .agg(sum(col("l_quantity")).as("s_qty"), count(lit(1)).as("cnt"),
+        min(col("l_quantity")).as("mn_qty"), max(col("l_quantity")).as("mx_qty"),
+        count(col("l_quantity")).as("c_qty"))
       .write.mode("overwrite").parquet(mvPath)
     MvRewrite.clear()
     MvRewrite.register(base, s2.read.parquet(mvPath),
-      Set("l_returnflag", "l_linestatus"), Map("l_quantity" -> "s_qty"), "cnt")
+      Set("l_returnflag", "l_linestatus"), Map("l_quantity" -> "s_qty"), "cnt",
+      mins = Map("l_quantity" -> "mn_qty"),
+      maxs = Map("l_quantity" -> "mx_qty"),
+      counts = Map("l_quantity" -> "c_qty"))
     MvRewrite.enable(s2)
     (s2, base)
   }
@@ -58,6 +63,35 @@ class MvRewriteSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(exact.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
       == truthExact)
+  }
+
+  test("min/max re-aggregate from partials; avg derives as sum/count(measure)") {
+    val (s2, base) = freshSession()
+    val truth = Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_quantity")).as("mn"), max(col("l_quantity")).as("mx"),
+        avg(col("l_quantity")).as("av"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    val q = base.groupBy(col("l_returnflag"))
+      .agg(min(col("l_quantity")).as("mn"), max(col("l_quantity")).as("mx"),
+        avg(col("l_quantity")).as("av"))
+    assert(readsMv(q), "min/max/avg over registered partials must read the view")
+    assert(q.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toSet == truth, "rewrite must be invisible in the result")
+    // avg WITHOUT a registered non-null measure count must abstain: the
+    // row count is NOT avg's denominator under NULLs
+    MvRewrite.clear()
+    MvRewrite.register(base, s2.read.parquet(mvPath),
+      Set("l_returnflag", "l_linestatus"), Map("l_quantity" -> "s_qty"), "cnt",
+      mins = Map("l_quantity" -> "mn_qty"), maxs = Map("l_quantity" -> "mx_qty"))
+    val noCount = base.groupBy(col("l_returnflag")).agg(avg(col("l_quantity")).as("av"))
+    assert(!readsMv(noCount), "avg without count(measure) must scan the base")
+    // min of an unregistered measure must abstain
+    val noMin = base.groupBy(col("l_returnflag")).agg(min(col("l_tax")).as("mn"))
+    assert(!readsMv(noMin), "unregistered min measure must scan the base")
   }
 
   test("abstains whenever the view cannot answer exactly") {

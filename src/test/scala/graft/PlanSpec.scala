@@ -346,6 +346,25 @@ class PlanSpec extends SparkTestBase {
     assert(!s.contains("Sort "), s"no sort may feed the top-k operator:\n$s")
   }
 
+  test("q121 inverted index: postings preview heap-bounded — no full-postings collect_list") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+    val df = CorpusOps.q121InvertedIndex(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan
+    val collectAggs = plan.collect {
+      case a: Aggregate if a.aggregateExpressions
+        .exists(_.exists(_.isInstanceOf[CollectList])) => a
+    }
+    // the ≤cap preview build still uses collect_list — but every such
+    // aggregate must sit ABOVE the TopKPerKey prune, so no buffer ever
+    // holds a term's full (corpus-sized, for a stopword) postings list
+    assert(collectAggs.nonEmpty, s"expected the bounded preview agg:\n$plan")
+    collectAggs.foreach { a =>
+      assert(a.exists(_.isInstanceOf[graft.plans.TopKPerKeyNode]),
+        s"a collect_list aggregates un-pruned postings:\n$plan")
+    }
+  }
+
   test("q56 BM25: postings and stats broadcast — the corpus never sort-merge joins") {
     val df = CorpusOps.q56Bm25(spark, sfDir)
     df.collect()

@@ -197,6 +197,150 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("DeltaLog: replays a FOREIGN hand-authored log — multi-part checkpoint, " +
+      "remove-then-re-add across the checkpoint, dataChange=false compaction, stats/txn noise") {
+    import graft.sources.DeltaLog
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft-delta-foreign").toString + "/tbl"
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    val data = Seq(
+      ("f1.parquet", 0L until 3L), ("f2.parquet", 10L until 14L),
+      ("f1c.parquet", 0L until 3L)) // f1c = f1 compacted (same rows)
+    val schemaJson = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType))).json
+    val sizes = data.map { case (name, ids) =>
+      val df = spark.createDataFrame(ids.map(i => (i, s"l$i"))).toDF("doc_id", "lang")
+      val tmp = s"$root/.tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(root, name))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      name -> java.nio.file.Paths.get(root, name).toFile.length()
+    }.toMap
+    def commit(v: Long, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(logDir.resolve(f"$v%020d.json"),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    def add(p: String, change: Boolean) =
+      s"""{"add":{"path":"$p","partitionValues":{},"size":${sizes(p)},""" +
+        s""""modificationTime":1700000000000,"dataChange":$change,""" +
+        s""""stats":"{\\"numRecords\\":9}","tags":{"w":"foreign"}}}"""
+    def remove(p: String, change: Boolean) =
+      s"""{"remove":{"path":"$p","deletionTimestamp":1700000000001,"dataChange":$change}}"""
+    val meta = """{"metaData":{"id":"aaaa-bbbb","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(schemaJson)},""" +
+      """"partitionColumns":[],"configuration":{},"createdTime":1700000000000}}"""
+    // v0: header + f1 + f2 (commitInfo-first, the foreign convention)
+    commit(0, Seq("""{"commitInfo":{"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      meta, add("f1.parquet", change = true), add("f2.parquet", change = true)))
+    // v1: remove f2 — will be RE-ADDED after the checkpoint boundary
+    commit(1, Seq("""{"commitInfo":{"operation":"DELETE"}}""",
+      remove("f2.parquet", change = true)))
+    // v2: dataChange=false COMPACTION — f1 rewritten as f1c
+    commit(2, Seq("""{"commitInfo":{"operation":"OPTIMIZE"}}""",
+      remove("f1.parquet", change = false), add("f1c.parquet", change = false)))
+    // multi-part checkpoint @ v2: part 1 = protocol+metaData, part 2 =
+    // live add (with foreign stats/tags fields) PLUS a remove TOMBSTONE
+    // for f2 — tombstones are vacuum state, a replayer must ignore them
+    val fAdd = StructType(Seq(StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType), StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType), StructField("stats", StringType),
+      StructField("tags", MapType(StringType, StringType))))
+    val fRemove = StructType(Seq(StructField("path", StringType),
+      StructField("deletionTimestamp", LongType), StructField("dataChange", BooleanType)))
+    val fMeta = StructType(Seq(StructField("id", StringType),
+      StructField("schemaString", StringType), StructField("createdTime", LongType)))
+    val fProto = StructType(Seq(StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val ckptSchema = StructType(Seq(StructField("protocol", fProto),
+      StructField("metaData", fMeta), StructField("add", fAdd),
+      StructField("remove", fRemove)))
+    def writeCkptPart(i: Int, of: Int, rows: Seq[Row]): Unit = {
+      val tmp = s"$root/.ckpt-tmp"
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), ckptSchema)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        logDir.resolve(f"${2L}%020d.checkpoint.$i%010d.$of%010d.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    writeCkptPart(1, 2, Seq(
+      Row(Row(1, 2), null, null, null),
+      Row(null, Row("aaaa-bbbb", schemaJson, 1700000000000L), null, null)))
+    writeCkptPart(2, 2, Seq(
+      Row(null, null, Row("f1c.parquet", Map.empty[String, String], sizes("f1c.parquet"),
+        1700000000000L, false, """{"numRecords":3}""", Map("w" -> "foreign")), null),
+      Row(null, null, null, Row("f2.parquet", 1700000000001L, true))))
+    java.nio.file.Files.write(logDir.resolve("_last_checkpoint"),
+      """{"version":2,"parts":2}""".getBytes("UTF-8"))
+    // log cleanup: the pre-checkpoint JSON commits are GONE — replay at
+    // v2+ must come entirely from the checkpoint parts
+    (0L to 2L).foreach(v => java.nio.file.Files.delete(logDir.resolve(f"$v%020d.json")))
+    // v3: RE-ADD f2 (same path removed at v1) plus txn/commitInfo noise
+    commit(3, Seq("""{"commitInfo":{"operation":"WRITE"}}""",
+      """{"txn":{"appId":"foreign-app","version":9}}""",
+      add("f2.parquet", change = true)))
+
+    assert(DeltaLog.currentVersion(root) == 3L)
+    assert(DeltaLog.snapshotFiles(spark, root, Some(2L)) == Seq("f1c.parquet"),
+      "checkpoint-only replay must see exactly the compacted live set")
+    assert(DeltaLog.snapshotFiles(spark, root).toSet ==
+      Set("f1c.parquet", "f2.parquet"),
+      "the re-added path must come back after the checkpoint boundary")
+    assert(DeltaLog.read(spark, root, Some(2L)).count() == 3)
+    val latest = DeltaLog.read(spark, root)
+    assert(latest.count() == 7)
+    assert(latest.columns.toSeq == Seq("doc_id", "lang"))
+
+    // a snapshot with NO live files still reads as an EMPTY TYPED frame
+    // (schemaString from metaData), never a zero-column frame
+    val root2 = Files.createTempDirectory("graft-delta-empty").toString + "/tbl"
+    val log2 = java.nio.file.Paths.get(root2, "_delta_log")
+    java.nio.file.Files.createDirectories(log2)
+    java.nio.file.Files.write(log2.resolve(f"${0L}%020d.json"),
+      (Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta)
+        .mkString("", "\n", "\n")).getBytes("UTF-8"))
+    val empty = DeltaLog.read(spark, root2)
+    assert(empty.columns.toSeq == Seq("doc_id", "lang"))
+    assert(empty.filter(col("lang").isNotNull).count() == 0)
+  }
+
+  test("DeltaLog: own checkpoint carries protocol/metaData + full add rows — " +
+      "a follower of _last_checkpoint alone resolves schema and live files") {
+    import graft.sources.DeltaLog
+    val root = Files.createTempDirectory("graft-delta-ckpt").toString + "/tbl"
+    def part(i: Int) = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .filter(pmod(col("doc_id"), lit(3)) === i)
+    DeltaLog.commitAppend(root, part(0))
+    DeltaLog.commitAppend(root, part(1))
+    DeltaLog.checkpoint(spark, root)
+    // a reader that follows _last_checkpoint and NEVER reads the JSON tail
+    val lc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_delta_log", "_last_checkpoint")), "UTF-8")
+    val v = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(lc).get("version").asLong()
+    val ck = spark.read.parquet(
+      java.nio.file.Paths.get(root, "_delta_log", f"$v%020d.checkpoint.parquet").toString)
+    assert(ck.filter(col("protocol").isNotNull).count() == 1,
+      "checkpoint must carry the protocol action")
+    val md = ck.filter(col("metaData").isNotNull)
+      .select(col("metaData.schemaString")).collect()
+    assert(md.length == 1 && md(0).getString(0).contains("doc_id"),
+      "checkpoint must carry metaData with the schemaString")
+    val adds = ck.filter(col("add").isNotNull)
+      .select("add.path", "add.size", "add.dataChange").collect()
+    assert(adds.nonEmpty && adds.forall(r => r.getLong(1) > 0L),
+      "checkpoint add rows must carry real file sizes")
+    assert(adds.map(_.getString(0)).toSet ==
+      DeltaLog.snapshotFiles(spark, root, Some(v)).toSet)
+  }
+
   test("q189 schema evolution: merged read nulls missing columns, loses and invents nothing") {
     val rows = graft.queries.IngestOps.q189SchemaEvolution(spark, sfDir).collect()
     assert(rows.nonEmpty)
