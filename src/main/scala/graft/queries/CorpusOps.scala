@@ -27,14 +27,18 @@ object CorpusOps {
   private def h60(c: org.apache.spark.sql.Column) = graft.functions.ColFns.h60(c)
 
   // ---------------------------------------------------------------------
-  // Lexical corpus store (SURVEY §9): (doc_id, dl) + (term, doc_id, tf)
+  // Lexical corpus store (SURVEY §9): (doc_id, dl) + (term, doc_id, tf,
+  // positions) — POSITIONAL postings since v2 (phrase/proximity queries)
   // ---------------------------------------------------------------------
 
   /** Bump when the tokenizer or store schema changes shape — a store
     * written by older code must read as ABSENT, never as silently-wrong
     * postings (same contract as the MinHash signature store's version).
+    * v2: postings carry the sorted 1-based `positions` array per
+    * (doc, term) — Lucene's .prx analogue; tf = size(positions) kept as a
+    * scalar so frequency consumers never touch the array.
     */
-  private val LexStoreFormatVersion = 1
+  private val LexStoreFormatVersion = 2
 
   /** `postings/` is hash-partitioned on the term, 64 ways: a keyword
     * query prunes to its terms' partitions at the FILE level — the
@@ -58,7 +62,7 @@ object CorpusOps {
   /** Query prefixes that consume the lexical store — harnesses consult
     * this to decide whether a run needs the store at all.
     */
-  val lexConsumers: Set[String] = Set("q56", "q108", "q121")
+  val lexConsumers: Set[String] = Set("q56", "q108", "q121", "q242")
 
   /** Kill switch for the store READ path. [[graft.ScaleSmoke]] sets it
     * false: its 1×-vs-10× ratios time the COLD tokenize on both sides.
@@ -90,8 +94,13 @@ object CorpusOps {
     try {
       toks.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
         .write.mode("overwrite").parquet(s"$store/dl")
-      toks.select(col("doc_id"), explode(col("ws")).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      // positional postings: the collect_list buffer is per (doc, term) —
+      // bounded by ONE document's length, never corpus-sized (unlike the
+      // per-TERM postings buffer q121 had to excise)
+      toks.select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "term")))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("p0") + 1)).as("positions"))
         .withColumn("pbkt", pmod(h60(col("term")), lit(LexPostingBuckets.toLong)))
         .write.mode("overwrite").partitionBy("pbkt").parquet(s"$store/postings")
     } finally { toks.unpersist(blocking = true); () }
@@ -145,6 +154,28 @@ object CorpusOps {
           .select(col("doc_id"), explode(wsTokens(normText(col("text")))).as("term"))
           .filter(col("term").isin(terms: _*))
           .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    }
+
+  /** (doc_id, term, pos) — 1-based token positions for literal `terms`
+    * only. Served by the v2 store's positional postings (pruned to the
+    * terms' hash partitions, positions array exploded) when fresh; falls
+    * back to a position-enumerating tokenize pass. Either way the frame
+    * is O(matching postings) BEFORE any shuffle — the phrase operator
+    * never moves corpus tokens.
+    */
+  private[queries] def termPositions(spark: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame =
+    lexStored(spark, dir, "postings") match {
+      case Some(p) if p.columns.contains("positions") =>
+        val bkts = terms.map(lexBucketOf).distinct
+        p.filter(col("pbkt").isin(bkts: _*) && col("term").isin(terms: _*))
+          .select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
+      case _ =>
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(wsTokens(normText(col("text")))).as(Seq("p0", "term")))
+          .filter(col("term").isin(terms: _*))
+          .select(col("doc_id"), col("term"), (col("p0") + 1).as("pos"))
     }
 
   // ---------------------------------------------------------------------
@@ -415,6 +446,76 @@ object CorpusOps {
        |GROUP BY term ORDER BY term""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q242: phrase retrieval over the positional postings store
+  // ---------------------------------------------------------------------
+
+  /** Literal query phrases. The second repeats a term — the case where
+    * the adjacency intersect must key on the PHRASE SLOT (idx), not the
+    * term string, or a single occurrence would satisfy both slots.
+    */
+  private[graft] val Q242Phrases = Seq("merge batch part", "table table")
+
+  /** q242: exact PHRASE search — the proximity rung of the retrieval
+    * stack above q56's bag-of-words BM25, served by the v2 lexical
+    * store's positional postings. A phrase of terms t_0..t_{L-1} matches
+    * doc d at start s iff t_i occurs at position s+i for every i — the
+    * diagonal trick q130's substring extension uses, applied to query
+    * terms: shift every posting position by its phrase slot
+    * (start = pos − idx) and a start where all L distinct slots appear is
+    * a match. Output: (phrase, doc_id, hits, first_pos), every occurrence
+    * counted, ordered for the driver's hash gate.
+    *
+    * Scale shape: the postings read prunes to the query terms' hash
+    * partitions (≤|terms| of 64 — file-level pruning, the corpus TEXT is
+    * never read; PlanSpec-gated); the exploded position stream is
+    * O(matching postings); the (phrase, doc, start) partial agg is
+    * map-side combinable and the per-group state is one small bitset of
+    * slots. The query frame (phrase, term, idx, plen) broadcasts — rows =
+    * total phrase tokens, a user query by construction.
+    */
+  def q242PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qrows = Q242Phrases.flatMap { ph =>
+      val ts = ph.split(" ")
+      ts.zipWithIndex.map { case (t, i) => (ph, t, i, ts.length) }
+    }
+    val q = qrows.toDF("phrase", "term", "idx", "plen")
+    val allTerms = qrows.map(_._2).distinct
+    val m = termPositions(spark, dir, allTerms)
+      .join(broadcast(q), Seq("term"))
+      .groupBy(col("phrase"), col("doc_id"),
+        (col("pos") - col("idx")).as("start"), col("plen"))
+      .agg(countDistinct(col("idx")).as("nidx"))
+      .filter(col("nidx") === col("plen"))
+    m.groupBy(col("phrase"), col("doc_id"))
+      .agg(count(lit(1)).as("hits"), min(col("start")).cast("long").as("first_pos"))
+      .orderBy(col("phrase"), col("doc_id"))
+  }
+
+  val q242Sql: String = {
+    val vals = Q242Phrases.flatMap { ph =>
+      val ts = ph.split(" ")
+      ts.zipWithIndex.map { case (t, i) => s"('$ph', '$t', $i, ${ts.length})" }
+    }.mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |p AS (SELECT doc_id, unnest(toks) AS term,
+       |        unnest(range(1, len(toks) + 1)) AS pos FROM t),
+       |q AS (SELECT * FROM (VALUES $vals) AS q(phrase, term, idx, plen)),
+       |m AS (
+       |  SELECT q.phrase, p.doc_id, p.pos - q.idx AS start
+       |  FROM p JOIN q ON q.term = p.term
+       |  GROUP BY q.phrase, p.doc_id, p.pos - q.idx, q.plen
+       |  HAVING count(DISTINCT q.idx) = q.plen)
+       |SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS hits,
+       |  CAST(min(start) AS BIGINT) AS first_pos
+       |FROM m GROUP BY phrase, doc_id
+       |ORDER BY phrase, doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q162: hybrid retrieval — reciprocal-rank fusion of dense + lexical
   // ---------------------------------------------------------------------
 
@@ -681,6 +782,7 @@ object CorpusOps {
     "q209_kneser_ney" -> q209KneserNey _,
     "q166_bigram_surprisal" -> q166BigramSurprisal _,
     "q121_inverted_index" -> q121InvertedIndex _,
+    "q242_phrase_search" -> q242PhraseSearch _,
     "q56_bm25_search" -> q56Bm25 _,
     "q57_temperature_sample" -> q57TemperatureSample _,
     "q58_decontaminate" -> q58Decontaminate _,
@@ -691,6 +793,7 @@ object CorpusOps {
     "q209_kneser_ney" -> q209Sql,
     "q166_bigram_surprisal" -> q166Sql,
     "q121_inverted_index" -> q121Sql,
+    "q242_phrase_search" -> q242Sql,
     "q56_bm25_search" -> q56Sql,
     "q57_temperature_sample" -> q57Sql,
     "q58_decontaminate" -> q58Sql,

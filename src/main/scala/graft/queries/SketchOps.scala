@@ -405,6 +405,76 @@ object SketchOps {
     bitmapRolled(bitmapWords(cells.distinct()), cells.distinct())
   }
 
+  /** Injective sparsifier for the q243 fixture: spreads the dense test
+    * user ids ~2²⁰ apart, so naive `sid div 32` packing degenerates to
+    * one word per user — the failure mode the dictionary remap exists to
+    * fix (SURVEY §9: "sparse ids → remap through a dictionary first").
+    */
+  private[graft] val Q243Spread = 1048583L
+
+  /** Dictionary buckets for the two-level dense rank. Driver state is one
+    * count row per bucket — bounded, never data-sized.
+    */
+  private[graft] val Q243DictBuckets = 256
+
+  /** Order-preserving dense rank over a distinct id column WITHOUT a
+    * single-partition global window: range-bucket the domain from a
+    * broadcast one-row min/max agg, rank WITHIN each bucket (a
+    * partitioned window), and add the buckets' driver-side prefix-sum
+    * offsets (≤ [[Q243DictBuckets]] rows collected — the q55/q220 bounded
+    * pattern). Equals `row_number() OVER (ORDER BY id) - 1` exactly,
+    * which is how the oracle restates it.
+    */
+  private[graft] def denseDict(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    val mm = ids.agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx")).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val span = (mx - mn) / Q243DictBuckets + 1
+    val b = ids.withColumn("_bkt", ((col(idCol) - lit(mn)) / lit(span)).cast("int"))
+    val counts = b.groupBy(col("_bkt")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until Q243DictBuckets).scanLeft(0L) {
+      (acc, i) => acc + counts.getOrElse(i, 0L)
+    }
+    import spark.implicits._
+    val offDf = (0 until Q243DictBuckets).map(i => (i, offsets(i))).toDF("_bkt", "_off")
+    val w = Window.partitionBy(col("_bkt")).orderBy(col(idCol))
+    b.join(broadcast(offDf), Seq("_bkt"))
+      .withColumn("did", row_number().over(w).cast("long") - 1L + col("_off"))
+      .select(col(idCol), col("did"))
+  }
+
+  /** q243 — the q183 bitmap cube under SPARSE user ids: ids spread ~2²⁰
+    * apart pack one-user-per-word if used raw (word table ≈ user table —
+    * the cube's economics destroyed), so the build first remaps them
+    * through a deterministic dense dictionary ([[denseDict]]) and packs
+    * the DENSE ids. Distinct counts are invariant under the bijection —
+    * the spec asserts q243's bitmap/exact columns equal q183's
+    * row-for-row — while the word table recovers the |users|/32 bound
+    * (spec-gated: every n_words ≤ ceil(N/32), a bound the raw sparse
+    * packing provably blows).
+    *
+    * Scale shape: the dictionary is |distinct users|-sized (built at
+    * ingest in a real deployment, alongside the signature/lexical
+    * stores); the remap is one equi-join of events against it; the rank
+    * itself needs no global sort — per-bucket windows plus ≤256 collected
+    * count rows. Everything downstream is q183's map-side-combinable
+    * word build unchanged.
+    */
+  def q243BitmapSparse(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables(spark, dir, "events")
+      .select(col("event_type"), col("ts"),
+        (col("user_id") * lit(Q243Spread) + lit(7L)).as("sid"))
+    val dict = denseDict(s.select(col("sid")).distinct(), "sid")
+    val cells = s.join(dict, Seq("sid"))
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("day"),
+        expr("did div 32").as("word"),
+        expr("CAST(did % 32 AS INT)").as("bit"))
+      .distinct()
+    bitmapRolled(bitmapWords(cells), cells)
+  }
+
   /** q187 — the q183 bitmap build accumulated as STREAMING STATE: the
     * daily word `bit_or` runs as a complete-mode streaming aggregation
     * over ≥ 3 real micro-batches (one file each), so the state store IS
@@ -448,6 +518,44 @@ object SketchOps {
       |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
       |    user_id // 32 AS word, CAST(user_id % 32 AS INT) AS bit
       |  FROM events),
+      |bm AS (
+      |  SELECT event_type, day, word, bit_or(1::BIGINT << bit) AS bits
+      |  FROM pres GROUP BY 1, 2, 3),
+      |ends AS (SELECT DISTINCT event_type, day AS end_day FROM bm),
+      |rolled AS (
+      |  SELECT b.event_type, e.end_day, b.word, bit_or(b.bits) AS bits
+      |  FROM bm b JOIN ends e
+      |    ON e.event_type = b.event_type AND b.day BETWEEN e.end_day - 6 AND e.end_day
+      |  GROUP BY 1, 2, 3),
+      |agg AS (
+      |  SELECT event_type, end_day, CAST(count(*) AS BIGINT) AS n_words,
+      |    CAST(sum(bit_count(bits)) AS BIGINT) AS bitmap_distinct
+      |  FROM rolled GROUP BY 1, 2),
+      |ex AS (
+      |  SELECT p.event_type, e.end_day,
+      |    CAST(count(DISTINCT p.word * 32 + p.bit) AS BIGINT) AS exact_distinct
+      |  FROM pres p JOIN ends e
+      |    ON e.event_type = p.event_type AND p.day BETWEEN e.end_day - 6 AND e.end_day
+      |  GROUP BY 1, 2)
+      |SELECT a.event_type, a.end_day, a.n_words, a.bitmap_distinct, x.exact_distinct
+      |FROM agg a JOIN ex x ON x.event_type = a.event_type AND x.end_day = a.end_day
+      |ORDER BY a.event_type, a.end_day""".stripMargin
+
+  /** q183's oracle with the presence cells built from the DICTIONARY
+    * remap of the sparsified ids — the two-level Spark rank restates as
+    * one global `row_number() OVER (ORDER BY sid)`.
+    */
+  val q243Sql: String =
+    s"""WITH s AS (
+      |  SELECT event_type, ts, user_id * $Q243Spread + 7 AS sid FROM events),
+      |d AS (
+      |  SELECT sid, row_number() OVER (ORDER BY sid) - 1 AS did
+      |  FROM (SELECT DISTINCT sid FROM s)),
+      |pres AS (
+      |  SELECT DISTINCT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+      |    did // 32 AS word, CAST(did % 32 AS INT) AS bit
+      |  FROM s JOIN d USING (sid)),
       |bm AS (
       |  SELECT event_type, day, word, bit_or(1::BIGINT << bit) AS bits
       |  FROM pres GROUP BY 1, 2, 3),
@@ -1390,6 +1498,7 @@ object SketchOps {
     "q177_hll_distinct" -> q177HllDistinct _,
     "q181_fk_discovery" -> q181FkDiscovery _,
     "q183_bitmap_distinct" -> q183BitmapDistinct _,
+    "q243_bitmap_sparse" -> q243BitmapSparse _,
     "q187_streaming_bitmap" -> q187StreamingBitmap _,
     "q136_kmv_distinct" -> q136KmvDistinct _,
     "q137_cms_heavy_hitters" -> q137CmsHeavyHitters _,
@@ -1407,6 +1516,7 @@ object SketchOps {
     "q177_hll_distinct" -> q177Sql,
     "q181_fk_discovery" -> q181Sql,
     "q183_bitmap_distinct" -> q183Sql,
+    "q243_bitmap_sparse" -> q243Sql,
     "q187_streaming_bitmap" -> q183Sql,
     "q136_kmv_distinct" -> q136Sql,
     "q137_cms_heavy_hitters" -> q137Sql,

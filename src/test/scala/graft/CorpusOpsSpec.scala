@@ -51,6 +51,30 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(actual == expected)
   }
 
+  test("q242 phrase search equals a driver-side sliding-window scan; repeated-term slots keyed on idx") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("t").trim.split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    val expected = CorpusOps.Q242Phrases.flatMap { ph =>
+      val ts = ph.split(" ").toSeq
+      docs.toSeq.flatMap { case (id, toks) =>
+        val starts = (0 to toks.length - ts.length)
+          .filter(s => ts.indices.forall(i => toks(s + i) == ts(i)))
+        // operator positions are 1-based
+        if (starts.isEmpty) None
+        else Some((ph, id, starts.length.toLong, (starts.min + 1).toLong))
+      }
+    }.sortBy(x => (x._1, x._2))
+    assert(expected.nonEmpty, "fixture must contain both phrases")
+    // the repeated-term phrase must appear: 'table table' matches only where
+    // the token occurs at BOTH slots — a single occurrence must not count
+    assert(expected.exists(_._1 == "table table"))
+    val got = CorpusOps.q242PhraseSearch(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
   test("q57 temperature sampling: caps dominant languages, passes small ones whole") {
     val rows = CorpusOps.q57TemperatureSample(spark, sfDir).collect()
     val byLang = rows.map(r => r.getAs[String]("lang") ->

@@ -1050,6 +1050,32 @@ class PlanSpec extends SparkTestBase {
     } finally CorpusOps.lexStoreEnabled = true
   }
 
+  test("q242 phrase search is served by the positional store: no corpus scan, pruned postings") {
+    CorpusOps.writeLexStore(spark, sfDir)
+    val df = CorpusOps.q242PhraseSearch(spark, sfDir)
+    val rows = df.collect()
+    val s = finalPlan(df)
+    // the phrase intersect runs over store postings — the corpus text is
+    // never read or re-tokenized at query time
+    assert(!s.contains("documents.parquet"),
+      s"q242 must read the positional store, not the corpus:\n$s")
+    assert(s.contains("graft_lexstore"), s"expected lexstore scans in:\n$s")
+    // the postings read prunes to the phrase terms' hash partitions
+    val fm = formatted(df)
+    val postingsScan = fm.split("\n\n")
+      .find(b => b.contains("postings") && b.contains("PartitionFilters"))
+      .getOrElse(fail(s"no postings scan with partition filters in:\n$fm"))
+    assert(postingsScan.contains("pbkt"),
+      s"postings scan must carry a pbkt partition filter:\n$postingsScan")
+    // identity: store-served phrase hits equal the tokenize fallback's
+    CorpusOps.lexStoreEnabled = false
+    try {
+      val cold = CorpusOps.q242PhraseSearch(spark, sfDir).collect()
+      assert(rows.sameElements(cold),
+        "store-served phrase search must equal the tokenize-path result")
+    } finally CorpusOps.lexStoreEnabled = true
+  }
+
   test("q226: the only cross product is the documented tiny hours x types grid") {
     val df = EventsOps.q226CorrMatrix(spark, sfDir)
     df.collect()

@@ -239,6 +239,41 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("q243 sparse-id remap: counts invariant vs q183, words recover the ceil(N/32) bound") {
+    val dense = SketchOps.q183BitmapDistinct(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("end_day")) ->
+        (r.getAs[Long]("bitmap_distinct"), r.getAs[Long]("exact_distinct"))).toMap
+    val rows = SketchOps.q243BitmapSparse(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length == dense.size)
+    val nUsers = Tables(spark, sfDir, "events")
+      .select(col("user_id")).distinct().count()
+    val wordCap = (nUsers + 31) / 32
+    rows.foreach { r =>
+      val key = (r.getAs[String]("event_type"), r.getAs[Int]("end_day"))
+      // the sparsifier+dictionary is a bijection on user ids: every
+      // distinct count must equal the dense build's, row for row
+      assert((r.getAs[Long]("bitmap_distinct"), r.getAs[Long]("exact_distinct")) == dense(key),
+        s"$key: remapped counts must equal q183's")
+      // the remap's whole point: the word table obeys the dense-domain
+      // bound again (raw sparse packing would give one word per user)
+      assert(r.getAs[Long]("n_words") <= wordCap,
+        s"$key: ${r.getAs[Long]("n_words")} words exceeds ceil($nUsers/32) = $wordCap")
+    }
+    // the gate is load-bearing: packing the RAW sparse ids blows it on
+    // every window that holds more than ceil(N/32) users
+    val raw = SketchOps.bitmapRolled(
+      SketchOps.bitmapWords(SketchOps.bitmapCells(
+        Tables(spark, sfDir, "events")
+          .withColumn("user_id", col("user_id") * lit(SketchOps.Q243Spread) + lit(7L))
+      ).distinct()),
+      SketchOps.bitmapCells(
+        Tables(spark, sfDir, "events")
+          .withColumn("user_id", col("user_id") * lit(SketchOps.Q243Spread) + lit(7L))
+      ).distinct()).collect()
+    assert(raw.exists(_.getAs[Long]("n_words") > wordCap),
+      "sparse fixture must be sparse enough that unpacked words break the bound")
+  }
+
   test("q177 HLL raw estimate lands within 1.5x in its proper (large-cardinality) regime") {
     val tmp = Files.createTempDirectory("graft-hll").toString
     val n = 50000L

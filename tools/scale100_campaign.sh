@@ -1,0 +1,20 @@
+#!/bin/bash
+# Round-13 100x campaign: one JVM per query (crash-robust; the tiling
+# markers make later invocations reuse the synthesized corpus). Appends
+# each run's stderr progress + stdout JSON line to the log.
+set -u
+cd /root/repo
+LOG=/root/repo/scale100_r13.log
+: > "$LOG"
+export SPARK_GRAFT_CLASSES=/tmp/graft_scale_classes
+export SPARK_GRAFT_REPLICAS=100
+export SPARK_GRAFT_SHUFFLE=256
+export SPARK_GRAFT_CPUS=32
+for q in q237_gram_matrix q209_kneser_ney q182_setsim_join \
+         q240_stream_upsert q241_delta_adopt q216_link_prediction \
+         q211_containment_join; do
+  echo "=== $q start $(date -u +%H:%M:%S) ===" >> "$LOG"
+  SPARK_GRAFT_ONLY=$q bash tools/scale100.sh >> "$LOG" 2>&1
+  echo "=== $q exit=$? $(date -u +%H:%M:%S) ===" >> "$LOG"
+done
+echo "=== campaign done $(date -u +%H:%M:%S) ===" >> "$LOG"
