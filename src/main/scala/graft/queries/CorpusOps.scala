@@ -62,7 +62,7 @@ object CorpusOps {
   /** Query prefixes that consume the lexical store — harnesses consult
     * this to decide whether a run needs the store at all.
     */
-  val lexConsumers: Set[String] = Set("q56", "q108", "q121", "q242")
+  val lexConsumers: Set[String] = Set("q56", "q108", "q121", "q242", "q244")
 
   /** Kill switch for the store READ path. [[graft.ScaleSmoke]] sets it
     * false: its 1×-vs-10× ratios time the COLD tokenize on both sides.
@@ -516,6 +516,69 @@ object CorpusOps {
   }
 
   // ---------------------------------------------------------------------
+  // q244: proximity co-occurrence — banded position join, no range join
+  // ---------------------------------------------------------------------
+
+  /** Proximity window (tokens) and the query terms (q56's keyword set —
+    * proximity is the next ranking signal over the same query).
+    */
+  private[graft] val Q244Window = 5
+  private[graft] val Q244Terms = Seq("vector", "merge", "stream")
+
+  /** q244: PROXIMITY co-occurrence — for every unordered pair of query
+    * terms, each document's count of position pairs within
+    * [[Q244Window]] tokens and the closest distance. The proximity rung
+    * between q56's bag-of-words scoring and q242's exact adjacency
+    * (Lucene's sloppy phrase, Indri's #uwN operator).
+    *
+    * The position-distance predicate |pa − pb| ≤ W is a RANGE join —
+    * the shape that degenerates to a nested-loop at scale. It is made
+    * equi by BANDING: pb's band is a single key `pb div W`, and any pa
+    * within W lies in band `pa div W` ± 1, so the left side explodes ×3
+    * and the join runs on (doc_id, band) — each qualifying pair is found
+    * EXACTLY once (pb's band is unique), no dedup pass needed. PlanSpec
+    * gates that no cartesian/nested-loop appears. Cost: positions of the
+    * query terms only (store-pruned partitions), ×3 band fan-out, one
+    * equi-join — O(matching postings), corpus never scanned.
+    */
+  def q244ProximityPairs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Q244Window
+    val pos = termPositions(spark, dir, Q244Terms)
+    val right = pos.select(col("doc_id"), col("term").as("term_b"),
+      col("pos").as("pb"), expr(s"pos div $w").as("band"))
+    val left = pos.select(col("doc_id"), col("term").as("term_a"),
+        col("pos").as("pa"), expr(s"pos div $w").as("b0"))
+      .withColumn("band", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+    left.join(right, Seq("doc_id", "band"))
+      .filter(col("term_a") < col("term_b") && abs(col("pa") - col("pb")) <= w)
+      .groupBy(col("term_a"), col("term_b"), col("doc_id"))
+      .agg(count(lit(1)).as("npairs"),
+        min(abs(col("pa") - col("pb"))).cast("long").as("min_dist"))
+      .orderBy(col("term_a"), col("term_b"), col("doc_id"))
+  }
+
+  val q244Sql: String = {
+    val in = Q244Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |p AS (SELECT doc_id, unnest(toks) AS term,
+       |        unnest(range(1, len(toks) + 1)) AS pos FROM t),
+       |f AS (SELECT * FROM p WHERE term IN ($in)),
+       |j AS (
+       |  SELECT a.term AS term_a, b.term AS term_b, a.doc_id,
+       |    abs(a.pos - b.pos) AS d
+       |  FROM f a JOIN f b
+       |    ON a.doc_id = b.doc_id AND a.term < b.term
+       |   AND abs(a.pos - b.pos) <= $Q244Window)
+       |SELECT term_a, term_b, doc_id, CAST(count(*) AS BIGINT) AS npairs,
+       |  CAST(min(d) AS BIGINT) AS min_dist
+       |FROM j GROUP BY term_a, term_b, doc_id
+       |ORDER BY term_a, term_b, doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q162: hybrid retrieval — reciprocal-rank fusion of dense + lexical
   // ---------------------------------------------------------------------
 
@@ -783,6 +846,7 @@ object CorpusOps {
     "q166_bigram_surprisal" -> q166BigramSurprisal _,
     "q121_inverted_index" -> q121InvertedIndex _,
     "q242_phrase_search" -> q242PhraseSearch _,
+    "q244_proximity_pairs" -> q244ProximityPairs _,
     "q56_bm25_search" -> q56Bm25 _,
     "q57_temperature_sample" -> q57TemperatureSample _,
     "q58_decontaminate" -> q58Decontaminate _,
@@ -794,6 +858,7 @@ object CorpusOps {
     "q166_bigram_surprisal" -> q166Sql,
     "q121_inverted_index" -> q121Sql,
     "q242_phrase_search" -> q242Sql,
+    "q244_proximity_pairs" -> q244Sql,
     "q56_bm25_search" -> q56Sql,
     "q57_temperature_sample" -> q57Sql,
     "q58_decontaminate" -> q58Sql,

@@ -75,6 +75,31 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("q244 proximity pairs: banded join equals a brute all-pairs position scan") {
+    val w = CorpusOps.Q244Window
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("t").trim.split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    val terms = CorpusOps.Q244Terms
+    val expected = docs.toSeq.flatMap { case (id, toks) =>
+      val ps = toks.zipWithIndex.collect {
+        case (t, i) if terms.contains(t) => (t, i + 1)
+      }
+      for {
+        (ta, pa) <- ps; (tb, pb) <- ps
+        if ta < tb && math.abs(pa - pb) <= w
+      } yield ((ta, tb, id), math.abs(pa - pb).toLong)
+    }.groupBy(_._1).map { case ((ta, tb, id), vs) =>
+      (ta, tb, id, vs.size.toLong, vs.map(_._2).min)
+    }.toSeq.sortBy(x => (x._1, x._2, x._3))
+    assert(expected.nonEmpty, "fixture must contain proximal query-term pairs")
+    val got = CorpusOps.q244ProximityPairs(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+  }
+
   test("q57 temperature sampling: caps dominant languages, passes small ones whole") {
     val rows = CorpusOps.q57TemperatureSample(spark, sfDir).collect()
     val byLang = rows.map(r => r.getAs[String]("lang") ->

@@ -1076,6 +1076,20 @@ class PlanSpec extends SparkTestBase {
     } finally CorpusOps.lexStoreEnabled = true
   }
 
+  test("q244 proximity: the position-distance predicate runs as a banded EQUI join on the store") {
+    CorpusOps.writeLexStore(spark, sfDir)
+    val df = CorpusOps.q244ProximityPairs(spark, sfDir)
+    df.collect()
+    val s = finalPlan(df)
+    // |pa - pb| <= W must band into an equi-join, never a nested loop
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"the range predicate must run banded-equi:\n$s")
+    // and the positions come from the store's pruned partitions, not a
+    // corpus re-tokenize
+    assert(!s.contains("documents.parquet"),
+      s"q244 must read the positional store, not the corpus:\n$s")
+  }
+
   test("q226: the only cross product is the documented tiny hours x types grid") {
     val df = EventsOps.q226CorrMatrix(spark, sfDir)
     df.collect()
