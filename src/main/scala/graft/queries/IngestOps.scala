@@ -1048,6 +1048,7 @@ object IngestOps {
       case "q239" => q239Table(spark, dir); ()
       case "q240" => q240Fixture(spark, dir); ()
       case "q241" => q241Fixture(spark, dir); ()
+      case "q245" => q245Fixture(spark, dir); ()
       case "q215" => LayoutOps.q215Tables(spark, dir); ()
       case _ => ()
     }
@@ -1447,6 +1448,73 @@ object IngestOps {
       DeltaLog.commitAppend(delta, d.filter(
         pmod(col("doc_id"), lit(3)) === 1 && pmod(col("doc_id"), lit(2)) === 0))
     }
+
+  /** q245 fixture: a FRAGMENTED Delta table — four append commits over
+    * the doc_id mod 4 residues, each repartitioned to 4 files, so the
+    * live set at v3 is 16 files and the file counts the oracle pins are
+    * deterministic across environments.
+    */
+  private[graft] def q245Fixture(spark: SparkSession, dir: String): String =
+    ReplayFixtures.ensure(dir, "q245", Seq("documents")) { root =>
+      import graft.sources.DeltaLog
+      val d = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      (0 until 4).foreach { r =>
+        DeltaLog.commitAppend(s"$root/delta",
+          d.filter(pmod(col("doc_id"), lit(4)) === r).repartition(4))
+      }
+    }
+
+  /** q245 — DELTA OPTIMIZE (the outbound compaction half of the q241
+    * adoption story): each run hard-link-clones the frozen fragmented
+    * table (q239's honesty rule — a second optimize of the same root
+    * would time an idempotent no-op) and publishes ONE
+    * `dataChange=false` rewrite commit through
+    * [[graft.sources.DeltaLog.commitOptimize]]: all 16 live files
+    * removed, 2 compacted files added, row set IDENTICAL — the Delta
+    * protocol's "no logical change" marker, so a streaming consumer
+    * tailing the log may skip the commit while batch readers see the
+    * same rows in fewer files. The output aggregates the post-optimize
+    * snapshot and carries the version/file counts as audit columns the
+    * oracle pins: a rewrite that lost or duplicated a row, double-added
+    * a file, or failed to tombstone the old set breaks the hash.
+    *
+    * Scale: the rewrite reads one snapshot's live files and is
+    * embarrassingly parallel across partition directories; the log cost
+    * is one commit regardless of data size, and time travel to the
+    * fragmented versions keeps working (removes are tombstones).
+    */
+  def q245DeltaOptimize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLog
+    q245Fixture(spark, dir)
+    val base = ReplayFixtures.fixtureRootFor(dir, "q245")
+    val scratch = new java.io.File(s"${ReplayFixtures.runRoot(dir, "q245")}/delta")
+    linkTree(java.nio.file.Paths.get(s"$base/delta"), scratch.toPath)
+    val delta = scratch.getPath
+    val filesBefore = DeltaLog.snapshotFiles(spark, delta).size.toLong
+    val v = DeltaLog.commitOptimize(spark, delta, targetFiles = 2)
+    val filesAfter = DeltaLog.snapshotFiles(spark, delta, Some(v)).size.toLong
+    DeltaLog.read(spark, delta, Some(v))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("len_sum"))
+      .withColumn("optimize_version", lit(v))
+      .withColumn("files_before", lit(filesBefore))
+      .withColumn("files_after", lit(filesAfter))
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle: the optimized snapshot holds exactly the full documents set
+    * (the four residue classes partition it); the version/file constants
+    * are the OPTIMIZE contract itself (4 appends → v4 rewrite; 16 → 2).
+    */
+  val q245Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS len_sum,
+      |  CAST(4 AS BIGINT) AS optimize_version,
+      |  CAST(16 AS BIGINT) AS files_before,
+      |  CAST(2 AS BIGINT) AS files_after
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   def q241DeltaAdopt(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.DeltaLog
@@ -2234,6 +2302,7 @@ object IngestOps {
     "q239_table_compaction" -> q239Compaction _,
     "q240_stream_upsert" -> q240StreamUpsert _,
     "q241_delta_adopt" -> q241DeltaAdopt _,
+    "q245_delta_optimize" -> q245DeltaOptimize _,
     "q196_table_maintenance" -> q196TableMaintenance _,
     "q192_time_travel" -> q192TimeTravel _,
     "q189_schema_evolution" -> q189SchemaEvolution _,
@@ -2269,6 +2338,7 @@ object IngestOps {
     "q239_table_compaction" -> q239Sql,
     "q240_stream_upsert" -> q240Sql,
     "q241_delta_adopt" -> q241Sql,
+    "q245_delta_optimize" -> q245Sql,
     "q196_table_maintenance" -> q196Sql,
     "q192_time_travel" -> q192Sql,
     "q189_schema_evolution" -> q189Sql,

@@ -228,12 +228,13 @@ object DeltaLog {
       .toIndexedSeq
   }
 
-  private def addAction(path: String, size: Long): String =
+  private def addAction(path: String, size: Long,
+      dataChange: Boolean = true): String =
     s"""{"add":{"path":${jstr(path)},"partitionValues":{},"size":$size,""" +
-      s""""modificationTime":0,"dataChange":true}}"""
+      s""""modificationTime":0,"dataChange":$dataChange}}"""
 
-  private def removeAction(path: String): String =
-    s"""{"remove":{"path":${jstr(path)},"deletionTimestamp":0,"dataChange":true}}"""
+  private def removeAction(path: String, dataChange: Boolean = true): String =
+    s"""{"remove":{"path":${jstr(path)},"deletionTimestamp":0,"dataChange":$dataChange}}"""
 
   private def headerActions(df: DataFrame): Seq[String] = Seq(
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
@@ -270,8 +271,35 @@ object DeltaLog {
     val next = expectedVersion.getOrElse(currentVersion(root)) + 1
     val adds = writeDataFiles(root, next, addDf)
     publish(root, next,
-      removePaths.map(removeAction) ++
+      removePaths.map(p => removeAction(p)) ++
         adds.map { case (p, s) => addAction(p, s) })
+    next
+  }
+
+  /** OPTIMIZE: rewrite the current live file set into `targetFiles`
+    * compacted files in ONE commit whose remove AND add actions all carry
+    * `dataChange=false` — the protocol's "no logical change" marker, so a
+    * streaming reader tailing the log may skip the commit entirely while
+    * batch readers see the identical row set in fewer files. Time travel
+    * to any pre-optimize version still resolves the old files (removes
+    * are tombstones, not deletions). Returns the committed version.
+    *
+    * Scale shape: the rewrite reads only the live files of one snapshot
+    * and is embarrassingly parallel across partition directories in a
+    * real deployment; the log cost is one commit regardless of data size.
+    */
+  def commitOptimize(spark: SparkSession, root: String,
+      targetFiles: Int = 1, expectedVersion: Option[Long] = None): Long = {
+    val base = expectedVersion.getOrElse(currentVersion(root))
+    require(base >= 0, s"no Delta log at $root to optimize")
+    val livePaths = snapshotFiles(spark, root, Some(base))
+    require(livePaths.nonEmpty, s"nothing to optimize at $root@$base")
+    val next = base + 1
+    val adds = writeDataFiles(root, next,
+      read(spark, root, Some(base)).coalesce(targetFiles))
+    publish(root, next,
+      livePaths.map(p => removeAction(p, dataChange = false)) ++
+        adds.map { case (p, s) => addAction(p, s, dataChange = false) })
     next
   }
 

@@ -197,6 +197,43 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("DeltaLog OPTIMIZE: dataChange=false rewrite — identical rows, fewer files, time travel intact") {
+    import graft.sources.DeltaLog
+    val root = Files.createTempDirectory("graft-deltaopt").toString + "/tbl"
+    def part(i: Int) = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .filter(pmod(col("doc_id"), lit(3)) === i)
+    (0 to 2).foreach(i => DeltaLog.commitAppend(root, part(i).repartition(3)))
+    val preV = DeltaLog.currentVersion(root)
+    val preFiles = DeltaLog.snapshotFiles(spark, root, Some(preV))
+    val preRows = DeltaLog.read(spark, root, Some(preV))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val v = DeltaLog.commitOptimize(spark, root, targetFiles = 2)
+    assert(v == preV + 1)
+    // the rewrite is a physical re-layout: same rows, fewer files
+    val postFiles = DeltaLog.snapshotFiles(spark, root, Some(v))
+    assert(postFiles.size == 2 && preFiles.size == 9,
+      s"expected 9 -> 2 files, got ${preFiles.size} -> ${postFiles.size}")
+    assert(postFiles.toSet.intersect(preFiles.toSet).isEmpty,
+      "optimize must tombstone every old file")
+    val postRows = DeltaLog.read(spark, root, Some(v))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(postRows.sameElements(preRows), "optimize must not change the row set")
+    // protocol fidelity: EVERY action in the optimize commit says
+    // dataChange=false — the marker a streaming consumer keys its
+    // skip-this-commit decision on
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(root, "_delta_log", f"$v%020d.json"))
+    assert(lines.size == preFiles.size + 2, s"9 removes + 2 adds expected: $lines")
+    lines.forEach { l =>
+      if (l.nonEmpty) assert(l.contains("\"dataChange\":false"),
+        s"optimize actions must be dataChange=false: $l")
+    }
+    // time travel to the fragmented version still resolves the OLD files
+    assert(DeltaLog.snapshotFiles(spark, root, Some(preV)).toSet == preFiles.toSet,
+      "removes are tombstones, not history deletions")
+  }
+
   test("DeltaLog: replays a FOREIGN hand-authored log — multi-part checkpoint, " +
       "remove-then-re-add across the checkpoint, dataChange=false compaction, stats/txn noise") {
     import graft.sources.DeltaLog
