@@ -356,6 +356,19 @@ object ScaleSmoke {
       // by the checkpoint; the snapshot read + bucketed init is
       // data-sized — the ratio gates that adoption stays snapshot-bound
       ("q241_delta_adopt", graft.queries.IngestOps.q241DeltaAdopt _, scaledDir),
+      // phrase search: with the store kill-switch off this times the COLD
+      // tokenize + position filter — the corpus scan grows Nx while the
+      // rotated replicas keep query-term matches replica-0-local, so the
+      // row must stay scan-bound (the banded agg sees constant rows)
+      ("q242_phrase_search", graft.queries.CorpusOps.q242PhraseSearch _, scaledDir),
+      // proximity pairs: same cold-tokenize contract; the banded equi-join
+      // runs over the (constant) matching positions, so the Nx cost is the
+      // position-enumerating scan, never the join
+      ("q244_proximity_pairs", graft.queries.CorpusOps.q244ProximityPairs _, scaledDir),
+      // Delta OPTIMIZE: fixture hoisted untimed (warmFixture); each run
+      // clones the fragmented table and pays the full rewrite — reads and
+      // rewrites every live file, data-sized by design, must tile ~Nx
+      ("q245_delta_optimize", graft.queries.IngestOps.q245DeltaOptimize _, scaledDir),
       // pointer doubling: ONE random recursive tree over Nx nodes; depth
       // grows by ln N, so the fixed log-depth round count must still
       // saturate (the require proves it) while each round's node-keyed

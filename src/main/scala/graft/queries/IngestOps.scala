@@ -1049,6 +1049,7 @@ object IngestOps {
       case "q240" => q240Fixture(spark, dir); ()
       case "q241" => q241Fixture(spark, dir); ()
       case "q245" => q245Fixture(spark, dir); ()
+      case "q246" => q246Fixture(spark, dir); ()
       case "q215" => LayoutOps.q215Tables(spark, dir); ()
       case _ => ()
     }
@@ -1514,6 +1515,65 @@ object IngestOps {
       |  CAST(4 AS BIGINT) AS optimize_version,
       |  CAST(16 AS BIGINT) AS files_before,
       |  CAST(2 AS BIGINT) AS files_after
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q246 fixture: a Delta history with OPTIMIZE commits INTERLEAVED
+    * between appends — the shape an incremental consumer actually tails.
+    * Versions: v0..v1 append residues 0..1 (mod 5), v2 = OPTIMIZE,
+    * v3..v4 append residues 2..3, v5 = OPTIMIZE, v6 appends residue 4 —
+    * so the appended rows across the whole history are exactly the full
+    * documents table, and the two rewrite commits re-house rows 0..3.
+    */
+  private[graft] def q246Fixture(spark: SparkSession, dir: String): String =
+    ReplayFixtures.ensure(dir, "q246", Seq("documents")) { root =>
+      import graft.sources.DeltaLog
+      val delta = s"$root/delta"
+      val d = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      def app(r: Int): Unit = {
+        DeltaLog.commitAppend(delta,
+          d.filter(pmod(col("doc_id"), lit(5)) === r).repartition(3)); ()
+      }
+      app(0); app(1)
+      DeltaLog.commitOptimize(spark, delta)
+      app(2); app(3)
+      DeltaLog.commitOptimize(spark, delta)
+      app(4)
+    }
+
+  /** q246 — INCREMENTAL DELTA CONSUMPTION (CDC-read): tail the commit
+    * log with [[graft.sources.DeltaLog.changesSince]] in two resumable
+    * cursor hops (−1→3, 3→latest) and aggregate the union. The log holds
+    * two `dataChange=false` OPTIMIZE commits whose adds re-house rows the
+    * consumer already ingested — a reader that processed them would
+    * double-count residues 0..3, so the oracle (the PLAIN documents
+    * restatement) breaks unless the flag is honored and the cursor seam
+    * neither drops nor replays a commit. This is the executable meaning
+    * of q245's protocol flag, and the Delta-as-stream-source contract
+    * (offsets = versions, work = changes-sized).
+    */
+  def q246DeltaChanges(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLog
+    val delta = s"${q246Fixture(spark, dir)}/delta"
+    val cursor = 3L // resume seam: mid-history, straddling the first OPTIMIZE
+    val firstHop = DeltaLog.changesSince(spark, delta, -1L, Some(cursor))
+    val secondHop = DeltaLog.changesSince(spark, delta, cursor)
+    firstHop.unionByName(secondHop)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("len_sum"))
+      .withColumn("last_version", lit(DeltaLog.currentVersion(delta)))
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle: honoring dataChange=false makes the accumulated stream
+    * exactly the documents table (the five residues partition it); the
+    * version constant pins the 7-commit history shape.
+    */
+  val q246Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS len_sum,
+      |  CAST(6 AS BIGINT) AS last_version
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   def q241DeltaAdopt(spark: SparkSession, dir: String): DataFrame = {
@@ -2303,6 +2363,7 @@ object IngestOps {
     "q240_stream_upsert" -> q240StreamUpsert _,
     "q241_delta_adopt" -> q241DeltaAdopt _,
     "q245_delta_optimize" -> q245DeltaOptimize _,
+    "q246_delta_changes" -> q246DeltaChanges _,
     "q196_table_maintenance" -> q196TableMaintenance _,
     "q192_time_travel" -> q192TimeTravel _,
     "q189_schema_evolution" -> q189SchemaEvolution _,
@@ -2339,6 +2400,7 @@ object IngestOps {
     "q240_stream_upsert" -> q240Sql,
     "q241_delta_adopt" -> q241Sql,
     "q245_delta_optimize" -> q245Sql,
+    "q246_delta_changes" -> q246Sql,
     "q196_table_maintenance" -> q196Sql,
     "q192_time_travel" -> q192Sql,
     "q189_schema_evolution" -> q189Sql,

@@ -303,6 +303,79 @@ object DeltaLog {
     next
   }
 
+  /** Rows ADDED by `dataChange=true` commits in versions (fromVersion,
+    * toVersion] — the incremental (CDC-read) consumption path of the log.
+    * `dataChange=false` commits (OPTIMIZE rewrites) are SKIPPED ENTIRELY:
+    * their adds re-house rows an incremental consumer already ingested,
+    * so a reader that processed them would double-count every row — the
+    * executable meaning of the protocol flag [[commitOptimize]] writes.
+    * Remove actions are not surfaced (append/rewrite histories only); a
+    * caller needing update/delete semantics keys on its own CDC columns.
+    * Returns an empty typed frame when no qualifying commit exists.
+    *
+    * Scale: reads only the files the qualifying commits added — work is
+    * changes-sized, never snapshot-sized, which is what makes a log-
+    * tailing consumer viable against a 100 TB table.
+    */
+  def changesSince(spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    val cur = currentVersion(root)
+    val hi = toVersion.getOrElse(cur)
+    require(hi <= cur, s"version $hi out of range [0, $cur]")
+    val paths = (math.max(fromVersion + 1, 0L) to hi).flatMap { v =>
+      val lines = Files.readAllLines(commitPath(root, v)).asScala
+      lines.flatMap { line =>
+        if (line.isEmpty) None
+        else {
+          val node = mapper.readTree(line)
+          if (node.has("add") &&
+            (!node.get("add").has("dataChange") ||
+              node.get("add").get("dataChange").asBoolean(true)))
+            Some(s"$root/${node.get("add").get("path").asText()}")
+          else None
+        }
+      }
+    }
+    if (paths.nonEmpty) spark.read.parquet(paths: _*)
+    else {
+      val schema = replay(spark, root, Some(hi)).schemaJson
+        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+        .getOrElse(new StructType())
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
+  }
+
+  /** VACUUM: physically delete data files that are live in NO version ≥
+    * `retainFromVersion` — the storage-reclaim half of [[commitOptimize]]
+    * (an OPTIMIZE tombstones the old files; vacuum is what actually frees
+    * the bytes, after which time travel BEFORE the retain horizon is
+    * gone). Returns the deleted relative paths. The log itself is never
+    * touched — a post-vacuum replay of an old version fails at read time,
+    * exactly like Delta after `VACUUM ... RETAIN`.
+    */
+  def vacuum(spark: SparkSession, root: String,
+      retainFromVersion: Long): Seq[String] = {
+    val cur = currentVersion(root)
+    require(retainFromVersion >= 0 && retainFromVersion <= cur,
+      s"retain horizon $retainFromVersion out of range [0, $cur]")
+    val keep = (retainFromVersion to cur)
+      .flatMap(v => snapshotFiles(spark, root, Some(v))).toSet
+    // every file any commit ever added
+    val all = (0L to cur).flatMap { v =>
+      Files.readAllLines(commitPath(root, v)).asScala.flatMap { line =>
+        if (line.isEmpty) None
+        else {
+          val node = mapper.readTree(line)
+          if (node.has("add")) Some(node.get("add").get("path").asText())
+          else None
+        }
+      }
+    }.distinct
+    val doomed = all.filterNot(keep)
+    doomed.foreach(p => Files.deleteIfExists(Paths.get(root, p)))
+    doomed
+  }
+
   /** The checkpoint parquet schema PROTOCOL.md prescribes: one action per
     * row, exactly one of the struct columns non-null. Minimal but
     * complete — protocol, metaData (id/format/schemaString/

@@ -234,6 +234,66 @@ class SourcesSpec extends SparkTestBase {
       "removes are tombstones, not history deletions")
   }
 
+  test("DeltaLog changesSince: skips dataChange=false commits, resumes at any cursor; naive reader double-counts") {
+    import graft.sources.DeltaLog
+    val root = Files.createTempDirectory("graft-deltacdc").toString + "/tbl"
+    def part(i: Int) = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .filter(pmod(col("doc_id"), lit(3)) === i)
+    DeltaLog.commitAppend(root, part(0))            // v0
+    DeltaLog.commitAppend(root, part(1))            // v1
+    DeltaLog.commitOptimize(spark, root)            // v2: rewrite, no logical change
+    DeltaLog.commitAppend(root, part(2))            // v3
+    val n = Tables(spark, sfDir, "documents").count()
+    // full-history CDC read == the latest snapshot (append-only history)
+    val all = DeltaLog.changesSince(spark, root, -1L)
+    assert(all.count() == n, "flag-honoring consumer must see each row once")
+    // a NAIVE reader that ingests every add double-counts the rewrite
+    val naivePaths = (0L to 3L).flatMap(v =>
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+        root, "_delta_log", f"$v%020d.json")).toArray.map(_.toString)
+        .filter(_.contains("\"add\""))
+        .map(l => l.split("\"path\":\"")(1).split("\"")(0)))
+      .map(p => s"$root/$p")
+    assert(spark.read.parquet(naivePaths: _*).count() ==
+      n + part(0).count() + part(1).count(),
+      "ignoring dataChange=false must double-count the optimized rows — the flag is load-bearing")
+    // cursor resumability: any split point composes to the same set,
+    // including a cursor ON the optimize commit
+    Seq(0L, 1L, 2L).foreach { c =>
+      val got = DeltaLog.changesSince(spark, root, -1L, Some(c)).count() +
+        DeltaLog.changesSince(spark, root, c).count()
+      assert(got == n, s"cursor $c must neither drop nor replay a commit")
+    }
+    // empty range: typed empty frame, not a zero-column crash
+    val empty = DeltaLog.changesSince(spark, root, 2L, Some(2L))
+    assert(empty.isEmpty && empty.columns.contains("doc_id"))
+  }
+
+  test("DeltaLog vacuum: frees pre-horizon files only; retained time travel survives, older reads fail") {
+    import graft.sources.DeltaLog
+    val root = Files.createTempDirectory("graft-deltavac").toString + "/tbl"
+    def part(i: Int) = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .filter(pmod(col("doc_id"), lit(3)) === i)
+    DeltaLog.commitAppend(root, part(0))            // v0
+    DeltaLog.commitAppend(root, part(1))            // v1
+    DeltaLog.commitOptimize(spark, root)            // v2 tombstones v0/v1 files
+    val preFiles = DeltaLog.snapshotFiles(spark, root, Some(1L))
+    val n = DeltaLog.read(spark, root, Some(2L)).count()
+    val deleted = DeltaLog.vacuum(spark, root, retainFromVersion = 2L)
+    // exactly the files live only before the horizon are gone from disk
+    assert(deleted.toSet == preFiles.toSet, s"expected $preFiles, deleted $deleted")
+    deleted.foreach(p => assert(!new java.io.File(s"$root/$p").exists()))
+    // the retained snapshot still reads in full
+    assert(DeltaLog.read(spark, root, Some(2L)).count() == n)
+    // pre-horizon time travel now fails at read time (files are gone),
+    // matching Delta's post-VACUUM contract — the log is untouched
+    intercept[Exception] {
+      DeltaLog.read(spark, root, Some(1L)).collect()
+    }
+  }
+
   test("DeltaLog: replays a FOREIGN hand-authored log — multi-part checkpoint, " +
       "remove-then-re-add across the checkpoint, dataChange=false compaction, stats/txn noise") {
     import graft.sources.DeltaLog
