@@ -37,8 +37,13 @@ object CorpusOps {
     * v2: postings carry the sorted 1-based `positions` array per
     * (doc, term) — Lucene's .prx analogue; tf = size(positions) kept as a
     * scalar so frequency consumers never touch the array.
+    * v3: adds `maxscore/` — per term, its document frequency and the
+    * maximum QUANTIZED BM25 impact over its postings (Anh–Moffat impact
+    * quantization; Lucene's per-block impact metadata analogue), the
+    * ingest artifact that lets q247 prune candidates by score upper
+    * bound without touching their postings.
     */
-  private val LexStoreFormatVersion = 2
+  private val LexStoreFormatVersion = 3
 
   /** `postings/` is hash-partitioned on the term, 64 ways: a keyword
     * query prunes to its terms' partitions at the FILE level — the
@@ -62,7 +67,7 @@ object CorpusOps {
   /** Query prefixes that consume the lexical store — harnesses consult
     * this to decide whether a run needs the store at all.
     */
-  val lexConsumers: Set[String] = Set("q56", "q108", "q121", "q242", "q244")
+  val lexConsumers: Set[String] = Set("q56", "q108", "q121", "q242", "q244", "q247")
 
   /** Kill switch for the store READ path. [[graft.ScaleSmoke]] sets it
     * false: its 1×-vs-10× ratios time the COLD tokenize on both sides.
@@ -83,8 +88,26 @@ object CorpusOps {
   private[queries] def lexBucketOf(term: String): Long =
     math.floorMod(h60Scala(term), LexPostingBuckets.toLong)
 
+  /** Quantized BM25 impact (Anh–Moffat): the q56 rational core's exact
+    * double, scaled by 10¹² and floored to a BIGINT. Every arithmetic
+    * step (BIGINT products, ONE double division, ×1e12, floor) is
+    * correctly rounded and restated in the identical order by the
+    * oracles, so both engines produce the same integer — which makes
+    * every downstream aggregate (sum per doc, max per term, the q247
+    * threshold compare) order-free integer math.
+    */
+  private[queries] def bm25ImpactQ(f: org.apache.spark.sql.Column,
+      dl: org.apache.spark.sql.Column, nT: org.apache.spark.sql.Column,
+      nDocs: org.apache.spark.sql.Column,
+      nTokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val num = lit(44L) * f * nTokens * (lit(2L) * (nDocs - nT) + lit(1L))
+    val den = (lit(20L) * f * nTokens + lit(6L) * nTokens
+      + lit(18L) * dl * nDocs) * (lit(2L) * nT + lit(1L))
+    floor(num.cast("double") / den.cast("double") * lit(1e12))
+  }
+
   /** Materialize the lexical store: ONE tokenize pass over the corpus
-    * feeds both tables (the token arrays persist across the two writes).
+    * feeds the tables (the token arrays persist across the writes).
     */
   def writeLexStore(spark: SparkSession, dir: String): Unit = {
     val store = lexStorePathFor(dir)
@@ -92,19 +115,55 @@ object CorpusOps {
       .select(col("doc_id"), wsTokens(normText(col("text"))).as("ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      toks.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
-        .write.mode("overwrite").parquet(s"$store/dl")
+      val dls = toks.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+      dls.write.mode("overwrite").parquet(s"$store/dl")
       // positional postings: the collect_list buffer is per (doc, term) —
       // bounded by ONE document's length, never corpus-sized (unlike the
       // per-TERM postings buffer q121 had to excise)
-      toks.select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "term")))
+      val posts = toks
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "term")))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"),
           sort_array(collect_list(col("p0") + 1)).as("positions"))
+      posts
         .withColumn("pbkt", pmod(h60(col("term")), lit(LexPostingBuckets.toLong)))
         .write.mode("overwrite").partitionBy("pbkt").parquet(s"$store/postings")
+      // per-term impact metadata (v3): df and the max quantized impact
+      // over the term's postings — Lucene's per-block impact analogue,
+      // computed ONCE at ingest with the global (N, T, df) so query-time
+      // upper bounds are exactly comparable to query-time scores. One
+      // full-postings scoring pass, paid at index build like a real
+      // engine's; the table is vocab-sized.
+      val stats = dls.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
+      val p = spark.read.parquet(s"$store/postings")
+        .select(col("doc_id"), col("term"), col("tf"))
+      // df via a map-side-combinable agg + term-keyed join, NOT a window:
+      // a stopword's term partition is corpus-sized and a window over it
+      // would sort the whole postings list in one task
+      val dfF = p.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+      p.join(dls, Seq("doc_id")).join(dfF, Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("q", bm25ImpactQ(col("tf"), col("dl"), col("n_t"),
+          col("n_docs"), col("n_tokens")))
+        .groupBy(col("term"))
+        .agg(max(col("n_t")).as("df"), max(col("q")).as("max_q"))
+        .withColumn("pbkt", pmod(h60(col("term")), lit(LexPostingBuckets.toLong)))
+        .write.mode("overwrite").partitionBy("pbkt").parquet(s"$store/maxscore")
     } finally { toks.unpersist(blocking = true); () }
   }
+
+  /** Per-term (df, max_q) impact metadata for literal `terms`, pruned to
+    * their hash partitions — None when the store is absent/stale (q247
+    * then derives the bounds from the query terms' scored postings:
+    * exact either way, the store just makes the prune free).
+    */
+  private[queries] def maxScoresFor(spark: SparkSession, dir: String,
+      terms: Seq[String]): Option[DataFrame] =
+    lexStored(spark, dir, "maxscore").map { m =>
+      val bkts = terms.map(lexBucketOf).distinct
+      m.filter(col("pbkt").isin(bkts: _*) && col("term").isin(terms: _*))
+        .select(col("term"), col("max_q"))
+    }
 
   /** One store table read back, or None when absent, disabled, or older
     * than the corpus parquet (the signature store's freshness contract).
@@ -444,6 +503,147 @@ object CorpusOps {
        |    FROM documents)
        |  GROUP BY doc_id, term)
        |GROUP BY term ORDER BY term""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q247: WAND/MaxScore pruned top-k — quantized-impact upper bounds
+  // ---------------------------------------------------------------------
+
+  /** Result depth for the pruned multi-term top-k. */
+  private[graft] val Q247K = 10
+
+  /** q247: TOP-K disjunctive retrieval with WAND/MaxScore pruning over
+    * QUANTIZED impacts — the doc score is Σ over matched query terms of
+    * [[bm25ImpactQ]] (integer impacts make every aggregate order-free and
+    * the prune an exact integer compare, no float epsilon). The pruning
+    * protocol, batch-shaped:
+    *
+    *   1. θ = the K-th best EXACT score among docs matching the RAREST
+    *      query term (a valid lower bound on the final K-th score —
+    *      K-th best of a subset ≤ K-th best overall);
+    *   2. every candidate's upper bound ub(d) = Σ max_q(t) over its
+    *      matched terms, with max_q from the store's ingest-time impact
+    *      metadata (Lucene per-block impacts analogue) — ub(d) ≥
+    *      score(d) because max is over the FULL term postings;
+    *   3. only survivors (ub ≥ θ) are ever scored: their postings join
+    *      doc lengths; pruned docs never touch the dl table.
+    *
+    * Safety: d in the true top-K ⇒ score(d) ≥ K-th overall ≥ θ and
+    * ub(d) ≥ score(d) ⇒ d survives — the pruned result EQUALS the brute
+    * one (spec-asserted, and the oracle restates the brute ranking, so
+    * any unsafe prune breaks the hash). Fewer than K seeds ⇒ θ = −∞ ⇒
+    * no pruning, still exact.
+    *
+    * Scale: the candidate frame is postings-of-query-terms-sized; the
+    * expensive stage (dl join + scoring) runs only on seeds + survivors.
+    * The two driver-side collects are bounded: 3 df rows, K seed rows —
+    * the documented q55/q220 pattern.
+    */
+  def q247WandTopK(spark: SparkSession, dir: String): DataFrame =
+    q247Pipeline(spark, dir)._2
+
+  /** Diagnostic for the spec: how many docs survive the upper-bound gate
+    * (must be strictly fewer than the docs matching any query term, or
+    * the prune stopped cutting).
+    */
+  private[graft] def q247SurvivorCount(spark: SparkSession, dir: String): Long =
+    q247Pipeline(spark, dir)._1.count()
+
+  private def q247Pipeline(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val docs = docLengths(spark, dir)
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
+    val tf = termFreqsFor(spark, dir, Q56Terms)
+      .select(col("doc_id"), col("term"), col("tf").as("f"))
+    // global df per query term (3 rows; NOT a within-subset count — the
+    // seed scoring must use the same idf the full scoring does)
+    val dfRows = tf.groupBy(col("term")).agg(count(lit(1)).as("n_t")).collect()
+    val dfF = spark.createDataFrame(
+      spark.sparkContext.parallelize(dfRows.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_t",
+          org.apache.spark.sql.types.LongType))))
+    // exact scores for a doc subset: postings ⋈ subset ⋈ df ⋈ dl — the dl
+    // lookup happens ONLY for these docs
+    def scoreDocs(sub: DataFrame): DataFrame =
+      tf.join(sub, Seq("doc_id"))
+        .join(broadcast(dfF), Seq("term"))
+        .join(docs, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("q", bm25ImpactQ(col("f"), col("dl"), col("n_t"),
+          col("n_docs"), col("n_tokens")))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("q")).cast("long").as("score"),
+          count(lit(1)).as("n_terms"))
+    val rarest = dfRows.map(r => (r.getLong(1), r.getString(0))).min._2
+    val seeds = tf.filter(col("term") === rarest).select(col("doc_id")).distinct()
+    val seedTop = scoreDocs(seeds)
+      .orderBy(col("score").desc, col("doc_id")).limit(Q247K).collect()
+    val theta =
+      if (seedTop.length >= Q247K) seedTop.last.getAs[Long]("score")
+      else Long.MinValue
+    // upper bounds from the ingest-time impact metadata (fallback: derive
+    // the same values from the query terms' scored postings — exact
+    // either way, the store just makes the prune free)
+    val maxs = maxScoresFor(spark, dir, Q56Terms).getOrElse(
+      scoreDocsAllContrib(tf, docs, stats, dfF))
+    val survivors = tf.join(broadcast(maxs), Seq("term"))
+      .groupBy(col("doc_id")).agg(sum(col("max_q")).as("ub"))
+      .filter(col("ub") >= theta)
+      .select(col("doc_id"))
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    val topk = scoreDocs(survivors)
+      .orderBy(col("score").desc, col("doc_id")).limit(Q247K)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("doc_id"), col("score"), col("n_terms"))
+      .orderBy(col("rk"))
+    (survivors, topk)
+  }
+
+  /** Fallback per-term upper bounds when the store is absent: max
+    * quantized impact over the QUERY terms' postings (same formula, same
+    * global df — identical values to the store's rows for these terms).
+    */
+  private def scoreDocsAllContrib(tf: DataFrame, docs: DataFrame,
+      stats: DataFrame, dfF: DataFrame): DataFrame =
+    tf.join(broadcast(dfF), Seq("term"))
+      .join(docs, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("q", bm25ImpactQ(col("f"), col("dl"), col("n_t"),
+        col("n_docs"), col("n_tokens")))
+      .groupBy(col("term")).agg(max(col("q")).as("max_q"))
+
+  val q247Sql: String = {
+    val in = Q56Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), t -> t <> '')) AS dl
+       |  FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_tokens FROM docs),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS f FROM (
+       |    SELECT doc_id,
+       |      unnest(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), t -> t <> '')) AS term
+       |    FROM documents)
+       |  WHERE term IN ($in)
+       |  GROUP BY doc_id, term),
+       |sc AS (
+       |  SELECT t.doc_id,
+       |    CAST(floor(
+       |      CAST(44 * t.f * s.n_tokens * (2 * (s.n_docs - count(*) OVER (PARTITION BY t.term)) + 1) AS DOUBLE)
+       |      / CAST((20 * t.f * s.n_tokens + 6 * s.n_tokens + 18 * d.dl * s.n_docs)
+       |             * (2 * count(*) OVER (PARTITION BY t.term) + 1) AS DOUBLE)
+       |      * 1e12) AS BIGINT) AS q
+       |  FROM tf t JOIN docs d USING (doc_id) CROSS JOIN stats s),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(q) AS BIGINT) AS score,
+       |    CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM sc GROUP BY doc_id)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+       |  doc_id, score, n_terms
+       |FROM agg ORDER BY score DESC, doc_id LIMIT $Q247K""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // q242: phrase retrieval over the positional postings store
@@ -847,6 +1047,7 @@ object CorpusOps {
     "q121_inverted_index" -> q121InvertedIndex _,
     "q242_phrase_search" -> q242PhraseSearch _,
     "q244_proximity_pairs" -> q244ProximityPairs _,
+    "q247_wand_topk" -> q247WandTopK _,
     "q56_bm25_search" -> q56Bm25 _,
     "q57_temperature_sample" -> q57TemperatureSample _,
     "q58_decontaminate" -> q58Decontaminate _,
@@ -859,6 +1060,7 @@ object CorpusOps {
     "q121_inverted_index" -> q121Sql,
     "q242_phrase_search" -> q242Sql,
     "q244_proximity_pairs" -> q244Sql,
+    "q247_wand_topk" -> q247Sql,
     "q56_bm25_search" -> q56Sql,
     "q57_temperature_sample" -> q57Sql,
     "q58_decontaminate" -> q58Sql,

@@ -100,6 +100,41 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("q247 WAND top-k: pruned result equals brute full scoring; the prune is load-bearing") {
+    // brute: score EVERY candidate doc in memory with the same quantized
+    // impact arithmetic and take the top-K
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("t").trim.split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    val terms = Seq("vector", "merge", "stream")
+    val n = docs.size.toLong
+    val tTot = docs.values.map(_.length.toLong).sum
+    val dfT = terms.map(t => t -> docs.values.count(_.contains(t)).toLong).toMap
+    def impact(f: Long, dl: Long, nT: Long): Long =
+      math.floor((44L * f * tTot * (2L * (n - nT) + 1L)).toDouble /
+        ((20L * f * tTot + 6L * tTot + 18L * dl * n) * (2L * nT + 1L)).toDouble
+        * 1e12).toLong
+    val brute = docs.toSeq.flatMap { case (id, toks) =>
+      val qs = terms.flatMap { t =>
+        val f = toks.count(_ == t).toLong
+        if (f == 0) None else Some(impact(f, toks.length.toLong, dfT(t)))
+      }
+      if (qs.isEmpty) None else Some((id, qs.sum, qs.size.toLong))
+    }.sortBy { case (id, s, _) => (-s, id) }.take(CorpusOps.Q247K)
+      .zipWithIndex.map { case ((id, s, nt), i) => (i + 1L, id, s, nt) }
+    val got = CorpusOps.q247WandTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == brute, s"pruned top-k must equal brute:\ngot   $got\nbrute $brute")
+    // the prune is load-bearing: strictly fewer docs survive the
+    // upper-bound gate than match the query at all (if this ever fails,
+    // θ stopped cutting and q247 is brute with extra steps)
+    val candidates = docs.count { case (_, toks) => terms.exists(toks.contains) }
+    val tf = graft.queries.CorpusOps.q247SurvivorCount(spark, sfDir)
+    assert(tf < candidates,
+      s"expected the ub gate to prune: $tf survivors of $candidates candidates")
+  }
+
   test("q57 temperature sampling: caps dominant languages, passes small ones whole") {
     val rows = CorpusOps.q57TemperatureSample(spark, sfDir).collect()
     val byLang = rows.map(r => r.getAs[String]("lang") ->

@@ -1090,6 +1090,24 @@ class PlanSpec extends SparkTestBase {
       s"q244 must read the positional store, not the corpus:\n$s")
   }
 
+  test("q247 WAND is served by the store: no corpus scan, impact metadata pruned, fallback identity") {
+    CorpusOps.writeLexStore(spark, sfDir)
+    val df = CorpusOps.q247WandTopK(spark, sfDir)
+    val rows = df.collect()
+    val s = finalPlan(df)
+    assert(!s.contains("documents.parquet"),
+      s"q247 must read the store (dl + postings + maxscore), not the corpus:\n$s")
+    assert(s.contains("maxscore"),
+      s"the upper bounds must come from the ingest-time impact metadata:\n$s")
+    // identity: store-served pruned top-k equals the tokenize-fallback's
+    CorpusOps.lexStoreEnabled = false
+    try {
+      val cold = CorpusOps.q247WandTopK(spark, sfDir).collect()
+      assert(rows.sameElements(cold),
+        "store-served WAND must equal the tokenize-path result")
+    } finally CorpusOps.lexStoreEnabled = true
+  }
+
   test("q226: the only cross product is the documented tiny hours x types grid") {
     val df = EventsOps.q226CorrMatrix(spark, sfDir)
     df.collect()
