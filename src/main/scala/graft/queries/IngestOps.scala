@@ -1050,6 +1050,7 @@ object IngestOps {
       case "q241" => q241Fixture(spark, dir); ()
       case "q245" => q245Fixture(spark, dir); ()
       case "q246" => q246Fixture(spark, dir); ()
+      case "q248" => q246Fixture(spark, dir); ()
       case "q215" => LayoutOps.q215Tables(spark, dir); ()
       case _ => ()
     }
@@ -1574,6 +1575,47 @@ object IngestOps {
     """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(length(text)) AS BIGINT) AS len_sum,
       |  CAST(6 AS BIGINT) AS last_version
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q248 — DELTA AS A STREAM SOURCE: the q246 commit history consumed
+    * through the engine's own micro-batch machinery via
+    * [[graft.streaming.DeltaStream]] (DSv2, offsets = log versions,
+    * executor-side parquet readers, one partition per changed file) into
+    * a checkpointed parquet sink. `maxVersionsPerTrigger = 2` forces the
+    * seven versions through four real triggers, two of which straddle the
+    * history's `dataChange=false` OPTIMIZE commits — a source that
+    * ingested their adds would double-count residues 0..3 and break the
+    * plain documents oracle, same contract as q246 but enforced by the
+    * engine's replay/checkpoint protocol instead of a hand-rolled cursor.
+    */
+  def q248DeltaStreamRead(spark: SparkSession, dir: String): DataFrame = {
+    val delta = s"${q246Fixture(spark, dir)}/delta"
+    val base = ReplayFixtures.runRoot(dir, "q248")
+    val ss = ReplayFixtures.replaySession(spark)
+    val stream = ss.readStream
+      .format(classOf[graft.streaming.DeltaStream].getName)
+      .option("path", delta)
+      .option("maxVersionsPerTrigger", 2L)
+      .load()
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    ss.read.parquet(s"$base/sink")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("len_sum"))
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle: the streamed accumulation is exactly the documents table —
+    * any ingested rewrite commit or dropped/replayed version breaks it.
+    */
+  val q248Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS len_sum
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   def q241DeltaAdopt(spark: SparkSession, dir: String): DataFrame = {
@@ -2364,6 +2406,7 @@ object IngestOps {
     "q241_delta_adopt" -> q241DeltaAdopt _,
     "q245_delta_optimize" -> q245DeltaOptimize _,
     "q246_delta_changes" -> q246DeltaChanges _,
+    "q248_delta_stream" -> q248DeltaStreamRead _,
     "q196_table_maintenance" -> q196TableMaintenance _,
     "q192_time_travel" -> q192TimeTravel _,
     "q189_schema_evolution" -> q189SchemaEvolution _,
@@ -2401,6 +2444,7 @@ object IngestOps {
     "q241_delta_adopt" -> q241Sql,
     "q245_delta_optimize" -> q245Sql,
     "q246_delta_changes" -> q246Sql,
+    "q248_delta_stream" -> q248Sql,
     "q196_table_maintenance" -> q196Sql,
     "q192_time_travel" -> q192Sql,
     "q189_schema_evolution" -> q189Sql,

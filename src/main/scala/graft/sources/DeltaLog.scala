@@ -317,25 +317,41 @@ object DeltaLog {
     * changes-sized, never snapshot-sized, which is what makes a log-
     * tailing consumer viable against a 100 TB table.
     */
-  def changesSince(spark: SparkSession, root: String,
-      fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
-    val cur = currentVersion(root)
-    val hi = toVersion.getOrElse(cur)
-    require(hi <= cur, s"version $hi out of range [0, $cur]")
-    val paths = (math.max(fromVersion + 1, 0L) to hi).flatMap { v =>
-      val lines = Files.readAllLines(commitPath(root, v)).asScala
-      lines.flatMap { line =>
+  /** Relative paths of files added by `dataChange=true` actions in
+    * versions (fromVersion, toVersion] — the file-level primitive behind
+    * [[changesSince]] and the [[graft.streaming.DeltaStream]] source.
+    */
+  private[graft] def changedFilePaths(root: String,
+      fromVersion: Long, toVersion: Long): Seq[String] =
+    (math.max(fromVersion + 1, 0L) to toVersion).flatMap { v =>
+      Files.readAllLines(commitPath(root, v)).asScala.flatMap { line =>
         if (line.isEmpty) None
         else {
           val node = mapper.readTree(line)
           if (node.has("add") &&
             (!node.get("add").has("dataChange") ||
               node.get("add").get("dataChange").asBoolean(true)))
-            Some(s"$root/${node.get("add").get("path").asText()}")
+            Some(node.get("add").get("path").asText())
           else None
         }
       }
     }
+
+  /** The table schema recorded by the newest metaData action at or below
+    * `version` (driver-side log replay only).
+    */
+  private[graft] def schemaAt(spark: SparkSession, root: String,
+      version: Option[Long] = None): StructType =
+    replay(spark, root, version).schemaJson
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse(new StructType())
+
+  def changesSince(spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    val cur = currentVersion(root)
+    val hi = toVersion.getOrElse(cur)
+    require(hi <= cur, s"version $hi out of range [0, $cur]")
+    val paths = changedFilePaths(root, fromVersion, hi).map(p => s"$root/$p")
     if (paths.nonEmpty) spark.read.parquet(paths: _*)
     else {
       val schema = replay(spark, root, Some(hi)).schemaJson

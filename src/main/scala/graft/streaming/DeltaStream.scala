@@ -1,0 +1,183 @@
+package graft.streaming
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.DeltaLog
+
+/** DELTA TABLE AS A STREAM SOURCE — a DataSource-v2 micro-batch format
+  * that tails a [[graft.sources.DeltaLog]] commit log: offsets ARE log
+  * versions, each trigger consumes the next ≤ `maxVersionsPerTrigger`
+  * commits, and `dataChange=false` OPTIMIZE commits contribute NOTHING
+  * (their adds re-house rows a consumer already ingested — the
+  * skip-this-commit decision q245's flag exists for, here wired into the
+  * engine's own replay/checkpoint machinery instead of a hand-rolled
+  * cursor). This is the delta-spark streaming-source contract rebuilt on
+  * the public DSv2 API with no foreign jar.
+  *
+  * Reader side: `planInputPartitions(start, end]` resolves the versions'
+  * `dataChange=true` add-files from the log (driver-side string work) and
+  * fans ONE partition per data file; executors read their file through
+  * parquet-mr's example Group API and convert to InternalRow — genuinely
+  * distributed, no driver collect of data. Supported leaf types: the
+  * primitive lattice the engine's Delta writer emits (long/int/double/
+  * float/boolean/string/binary). Restart replays exactly the committed
+  * version ranges (offsets come back through `deserializeOffset`), and
+  * content is whatever the immutable data files hold — so a checkpointed
+  * file sink downstream is exactly-once end to end.
+  *
+  * Scale: per-trigger work is changes-sized (the new commits' files),
+  * never snapshot-sized; a 100 TB table with small daily appends streams
+  * at the cost of the appends. Options: `path` (table root, required),
+  * `maxVersionsPerTrigger` (default 1).
+  */
+class DeltaStream extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DeltaStream.schemaFor(options.get("path"))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new DeltaStreamTable(new CaseInsensitiveStringMap(properties), schema)
+}
+
+object DeltaStream {
+  /** Driver-side schema resolution from the log's metaData action —
+    * no SparkSession needed (the schemaString is plain JSON in commit 0).
+    */
+  private[streaming] def schemaFor(root: String): StructType = {
+    require(root != null, "DeltaStream requires option 'path'")
+    val v0 = java.nio.file.Paths.get(root, "_delta_log", f"${0L}%020d.json")
+    require(java.nio.file.Files.isRegularFile(v0), s"no Delta log at $root")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val it = java.nio.file.Files.readAllLines(v0).iterator()
+    while (it.hasNext) {
+      val node = mapper.readTree(it.next())
+      if (node.has("metaData") && node.get("metaData").has("schemaString"))
+        return DataType.fromJson(
+          node.get("metaData").get("schemaString").asText()).asInstanceOf[StructType]
+    }
+    throw new IllegalArgumentException(s"no metaData action in $root commit 0")
+  }
+}
+
+final class DeltaStreamTable(options: CaseInsensitiveStringMap,
+    schema0: StructType) extends Table with SupportsRead {
+  override def name(): String = s"deltastream(${options.get("path")})"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val root = options.get("path")
+    val maxV = options.getLong("maxVersionsPerTrigger", 1L)
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema0
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new DeltaStreamStream(root, schema0, maxV)
+      }
+    }
+  }
+}
+
+private final case class DeltaStreamOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+private final case class DeltaFilePartition(path: String,
+    fields: Array[(String, String)]) extends InputPartition
+// fields: (name, typeName) pairs — serializable primitives only, so the
+// partition ships to executors without dragging StructType along
+
+final class DeltaStreamStream(root: String, schema: StructType,
+    maxVersionsPerTrigger: Long)
+  extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = DeltaStreamOffset(-1L)
+
+  /** Pacing rides the ENGINE's start offset, not a source-side committed
+    * tracker: a plain `latestOffset()` paced by our own state races the
+    * engine's commit timing (the availability poll for trigger N+1 can
+    * land before `commit(N)` does, and `processAllAvailable` then reads
+    * "no new data" and returns with the log half-consumed — observed).
+    * `SupportsAdmissionControl` hands us the authoritative start on every
+    * poll, so the next end is a pure function of engine state.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[DeltaStreamOffset].v
+    DeltaStreamOffset(
+      math.min(DeltaLog.currentVersion(root), s + maxVersionsPerTrigger))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "DeltaStreamStream paces via latestOffset(start, limit)")
+
+  override def deserializeOffset(json: String): Offset =
+    DeltaStreamOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[DeltaStreamOffset].v
+    val e = end.asInstanceOf[DeltaStreamOffset].v
+    val fields = schema.fields.map(f => (f.name, f.dataType.typeName))
+    DeltaLog.changedFilePaths(root, s, e)
+      .map(p => DeltaFilePartition(s"$root/$p", fields): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val fp = partition.asInstanceOf[DeltaFilePartition]
+        new PartitionReader[InternalRow] {
+          private val reader = org.apache.parquet.hadoop.ParquetReader
+            .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+              new org.apache.hadoop.fs.Path(fp.path))
+            .build()
+          private var group: org.apache.parquet.example.data.Group = _
+          override def next(): Boolean = {
+            group = reader.read()
+            group != null
+          }
+          override def get(): InternalRow = {
+            val vals = new Array[Any](fp.fields.length)
+            var i = 0
+            while (i < fp.fields.length) {
+              val (name, tpe) = fp.fields(i)
+              val idx = group.getType.getFieldIndex(name)
+              vals(i) =
+                if (group.getFieldRepetitionCount(idx) == 0) null
+                else tpe match {
+                  case "long" => group.getLong(idx, 0)
+                  case "integer" => group.getInteger(idx, 0)
+                  case "double" => group.getDouble(idx, 0)
+                  case "float" => group.getFloat(idx, 0)
+                  case "boolean" => group.getBoolean(idx, 0)
+                  case "string" =>
+                    UTF8String.fromBytes(group.getBinary(idx, 0).getBytes)
+                  case "binary" => group.getBinary(idx, 0).getBytes
+                  case other => throw new UnsupportedOperationException(
+                    s"DeltaStream reader: unsupported leaf type $other for $name")
+                }
+              i += 1
+            }
+            new GenericInternalRow(vals)
+          }
+          override def close(): Unit = reader.close()
+        }
+      }
+    }
+
+  override def stop(): Unit = ()
+}

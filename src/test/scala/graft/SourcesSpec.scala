@@ -270,6 +270,46 @@ class SourcesSpec extends SparkTestBase {
     assert(empty.isEmpty && empty.columns.contains("doc_id"))
   }
 
+  test("DeltaStream source: versions are offsets, OPTIMIZE skipped, restart resumes without replay") {
+    import graft.sources.DeltaLog
+    val root = Files.createTempDirectory("graft-deltastream").toString + "/tbl"
+    def part(i: Int) = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .filter(pmod(col("doc_id"), lit(3)) === i)
+    DeltaLog.commitAppend(root, part(0))            // v0
+    DeltaLog.commitAppend(root, part(1))            // v1
+    DeltaLog.commitOptimize(spark, root)            // v2: must contribute NOTHING
+    val run = Files.createTempDirectory("graft-deltastream-run").toString
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format(classOf[graft.streaming.DeltaStream].getName)
+        .option("path", root).option("maxVersionsPerTrigger", 1L)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$run/sink")
+        .option("checkpointLocation", s"$run/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    val n01 = part(0).count() + part(1).count()
+    val first = spark.read.parquet(s"$run/sink")
+    assert(first.count() == n01,
+      "the optimize commit's adds must not be ingested — each row exactly once")
+    assert(first.select(col("doc_id")).distinct().count() == n01,
+      "no duplicates from the rewrite commit")
+    // new commits land after the first drain; a restart from the same
+    // checkpoint must pick up ONLY the new versions (offsets restored
+    // through deserializeOffset, never rewound)
+    DeltaLog.commitAppend(root, part(2))            // v3
+    drain()
+    val all = spark.read.parquet(s"$run/sink")
+    val n = n01 + part(2).count()
+    assert(all.count() == n, "restart must resume at the committed version")
+    assert(all.select(col("doc_id")).distinct().count() == n,
+      "no version replayed across the restart")
+  }
+
   test("DeltaLog vacuum: frees pre-horizon files only; retained time travel survives, older reads fail") {
     import graft.sources.DeltaLog
     val root = Files.createTempDirectory("graft-deltavac").toString + "/tbl"
