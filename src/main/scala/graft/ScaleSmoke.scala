@@ -369,6 +369,10 @@ object ScaleSmoke {
       // clones the fragmented table and pays the full rewrite — reads and
       // rewrites every live file, data-sized by design, must tile ~Nx
       ("q245_delta_optimize", graft.queries.IngestOps.q245DeltaOptimize _, scaledDir),
+      // WAND top-k: cold-tokenize contract (store off) — the Nx cost is
+      // the postings-enumerating scan; seeds/survivors stay replica-0
+      // sized because rotated replicas never match the query terms
+      ("q247_wand_topk", graft.queries.CorpusOps.q247WandTopK _, scaledDir),
       // pointer doubling: ONE random recursive tree over Nx nodes; depth
       // grows by ln N, so the fixed log-depth round count must still
       // saturate (the require proves it) while each round's node-keyed

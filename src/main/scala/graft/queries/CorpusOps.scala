@@ -152,6 +152,42 @@ object CorpusOps {
     } finally { toks.unpersist(blocking = true); () }
   }
 
+  /** Append ONE micro-batch of documents to an incremental lexical store
+    * at `store` (q249's foreachBatch body): documents are immutable, so
+    * per-doc postings are disjoint across batches and APPEND IS MERGE —
+    * no read-modify-write, no compaction needed for correctness. Work is
+    * batch-sized; the postings stay hash-partitioned on the term so the
+    * incremental store prunes exactly like the batch-built one.
+    */
+  def appendLexStore(batch: DataFrame, store: String): Unit = {
+    val toks = batch
+      .select(col("doc_id"), wsTokens(normText(col("text"))).as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      toks.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+        .write.mode("append").parquet(s"$store/dl")
+      toks.select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "term")))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("p0") + 1)).as("positions"))
+        .withColumn("pbkt", pmod(h60(col("term")), lit(LexPostingBuckets.toLong)))
+        .write.mode("append").partitionBy("pbkt").parquet(s"$store/postings")
+    } finally { toks.unpersist(blocking = true); () }
+  }
+
+  /** q56's BM25 served from an INCREMENTALLY-built store (q249): dl and
+    * the query terms' pruned postings partitions, same pipeline, same
+    * oracle — how the store accumulated is invisible to retrieval.
+    */
+  def bm25FromIncremental(spark: SparkSession, store: String): DataFrame = {
+    val docs = spark.read.parquet(s"$store/dl")
+    val bkts = Q56Terms.map(lexBucketOf).distinct
+    val tf = spark.read.parquet(s"$store/postings")
+      .filter(col("pbkt").isin(bkts: _*) && col("term").isin(Q56Terms: _*))
+      .select(col("doc_id"), col("term").as("token"), col("tf").as("f"))
+    bm25From(docs, tf)
+  }
+
   /** Per-term (df, max_q) impact metadata for literal `terms`, pruned to
     * their hash partitions — None when the store is absent/stale (q247
     * then derives the bounds from the query terms' scored postings:
@@ -275,10 +311,17 @@ object CorpusOps {
     // postings partitions — the corpus TEXT is never read or tokenized;
     // PlanSpec gates that no documents scan appears in the plan), with a
     // tokenize fallback when the store is absent
-    val docs = docLengths(spark, dir)
+    bm25From(docLengths(spark, dir),
+      termFreqsFor(spark, dir, Q56Terms)
+        .select(col("doc_id"), col("term").as("token"), col("tf").as("f")))
+  }
+
+  /** The q56 scoring pipeline over explicit (doc_id, dl) and
+    * (doc_id, token, f) frames — shared by the per-corpus store path and
+    * q249's incrementally-maintained store.
+    */
+  private[queries] def bm25From(docs: DataFrame, tf: DataFrame): DataFrame = {
     val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
-    val tf = termFreqsFor(spark, dir, Q56Terms)
-      .select(col("doc_id"), col("term").as("token"), col("tf").as("f"))
     val postings = docs.join(broadcast(tf), Seq("doc_id"))
     val nT = count(lit(1)).over(Window.partitionBy(col("token")))
     val scored = postings.crossJoin(broadcast(stats))

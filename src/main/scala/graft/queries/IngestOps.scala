@@ -1051,6 +1051,7 @@ object IngestOps {
       case "q245" => q245Fixture(spark, dir); ()
       case "q246" => q246Fixture(spark, dir); ()
       case "q248" => q246Fixture(spark, dir); ()
+      case "q249" => q245Fixture(spark, dir); ()
       case "q215" => LayoutOps.q215Tables(spark, dir); ()
       case _ => ()
     }
@@ -1617,6 +1618,45 @@ object IngestOps {
     """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(length(text)) AS BIGINT) AS len_sum
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q249 — INCREMENTAL LEXICAL-STORE MAINTENANCE: the corpus arrives as
+    * Delta commits (q245's four-append fixture = the full documents
+    * table), streams through [[graft.streaming.DeltaStream]] one version
+    * per trigger, and `foreachBatch` appends each micro-batch's
+    * (doc_id, dl) rows and positional postings to an incremental store
+    * ([[CorpusOps.appendLexStore]]) — documents are immutable, so
+    * per-doc postings are disjoint across batches and append IS merge.
+    * The query then runs the FULL q56 BM25 pipeline against the
+    * incrementally-built store, and the standard q56 oracle must
+    * hash-match: how the retrieval artifact accumulated is provably
+    * invisible to ranking — q187's streamed-state-equals-batch claim
+    * applied to the retrieval stack.
+    *
+    * Scale: per-trigger work is batch-sized (tokenize + partial agg of
+    * the new docs only); the store stays term-hash-partitioned so query
+    * pruning is identical to the batch-built artifact. This is the
+    * production shape for a corpus that never stops growing: one ingest
+    * pipeline, no rebuild, retrieval always current.
+    */
+  def q249IncrementalLexStore(spark: SparkSession, dir: String): DataFrame = {
+    val delta = s"${q245Fixture(spark, dir)}/delta"
+    val base = ReplayFixtures.runRoot(dir, "q249")
+    val ss = ReplayFixtures.replaySession(spark)
+    val store = s"$base/lexstore"
+    val q = ss.readStream
+      .format(classOf[graft.streaming.DeltaStream].getName)
+      .option("path", delta)
+      .option("maxVersionsPerTrigger", 1L)
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        CorpusOps.appendLexStore(batch.toDF(), store)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    CorpusOps.bm25FromIncremental(ss, store)
+  }
 
   def q241DeltaAdopt(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.DeltaLog
@@ -2407,6 +2447,7 @@ object IngestOps {
     "q245_delta_optimize" -> q245DeltaOptimize _,
     "q246_delta_changes" -> q246DeltaChanges _,
     "q248_delta_stream" -> q248DeltaStreamRead _,
+    "q249_incremental_lexstore" -> q249IncrementalLexStore _,
     "q196_table_maintenance" -> q196TableMaintenance _,
     "q192_time_travel" -> q192TimeTravel _,
     "q189_schema_evolution" -> q189SchemaEvolution _,
@@ -2445,6 +2486,7 @@ object IngestOps {
     "q245_delta_optimize" -> q245Sql,
     "q246_delta_changes" -> q246Sql,
     "q248_delta_stream" -> q248Sql,
+    "q249_incremental_lexstore" -> CorpusOps.q56Sql,
     "q196_table_maintenance" -> q196Sql,
     "q192_time_travel" -> q192Sql,
     "q189_schema_evolution" -> q189Sql,
