@@ -286,6 +286,44 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$store/pairs")
   }
 
+  /** Append ONE micro-batch of documents to an incremental signature store
+    * at `store` (q250's foreachBatch body): per-doc signatures and UNCAPPED
+    * band rows are pure projections of the new docs, so append IS merge —
+    * the expensive stage (shingling + K hashes per shingle) is paid once
+    * per document ever. The bucket cap is NOT applied here because it is
+    * non-monotone under arrival: a bucket's fate is decided by its FINAL
+    * size, so capping per batch would emit pairs the batch build excludes;
+    * [[pairsFromIncremental]] applies it at read time over the accumulated
+    * table instead.
+    */
+  def appendSigStore(batch: DataFrame, store: String): Unit = {
+    val sigs = minhashSigRows(batch.sparkSession, batch, n = 3, k = K)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sigs.write.mode("append").parquet(s"$store/sigs")
+      sigs.select(col("doc_id"),
+          posexplode(bandKeys(col("sig"), BANDS, ROWS)).as(Seq("band", "key")))
+        .write.mode("append").partitionBy("band").parquet(s"$store/bands")
+    } finally { sigs.unpersist(blocking = true); () }
+  }
+
+  /** Candidate pairs from an incrementally-built store: the bucket cap and
+    * bucket-local pairing run over the ACCUMULATED sigs/bands tables —
+    * the same [[pairCandidates]] stage the batch build runs, over provably
+    * identical inputs, so the pair set cannot depend on how the corpus
+    * was batched.
+    */
+  def pairsFromIncremental(spark: SparkSession, store: String,
+      maxBucket: Int = 256): DataFrame = {
+    val sigs = spark.read.parquet(s"$store/sigs")
+    val buckets = spark.read.parquet(s"$store/bands")
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
+      .filter(col("bsz") <= maxBucket)
+      .select(col("band"), col("key"), col("doc_id"))
+    pairCandidates(sigs, buckets)
+  }
+
   /** One store table read back, or None when the store is absent, disabled,
     * or older than the corpus parquet (a rewritten corpus must never serve
     * stale state — same freshness contract a warehouse table carries).

@@ -1052,6 +1052,7 @@ object IngestOps {
       case "q246" => q246Fixture(spark, dir); ()
       case "q248" => q246Fixture(spark, dir); ()
       case "q249" => q245Fixture(spark, dir); ()
+      case "q250" => q245Fixture(spark, dir); ()
       case "q215" => LayoutOps.q215Tables(spark, dir); ()
       case _ => ()
     }
@@ -1656,6 +1657,39 @@ object IngestOps {
       .start()
     try q.processAllAvailable() finally q.stop()
     CorpusOps.bm25FromIncremental(ss, store)
+  }
+
+  /** q250 — INCREMENTAL MINHASH SIGNATURE STORE: the q249 pattern applied
+    * to the dedup stack. The corpus streams in as Delta commits;
+    * foreachBatch appends each micro-batch's signatures and UNCAPPED band
+    * rows ([[Dedup.appendSigStore]]) — the expensive hashing is paid once
+    * per document ever, per-trigger work is batch-sized. The bucket cap
+    * (non-monotone under arrival: a bucket's fate is decided by its FINAL
+    * size) and the bucket-local pairing run at read time over the
+    * accumulated tables, so the candidate pair set provably cannot depend
+    * on how the corpus was batched — and q40's oracle must hash-match
+    * verbatim.
+    */
+  def q250IncrementalSigStore(spark: SparkSession, dir: String): DataFrame = {
+    val delta = s"${q245Fixture(spark, dir)}/delta"
+    val base = ReplayFixtures.runRoot(dir, "q250")
+    val ss = ReplayFixtures.replaySession(spark)
+    val store = s"$base/sigstore"
+    val q = ss.readStream
+      .format(classOf[graft.streaming.DeltaStream].getName)
+      .option("path", delta)
+      .option("maxVersionsPerTrigger", 1L)
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Dedup.appendSigStore(batch.toDF(), store)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    Dedup.pairsFromIncremental(ss, store)
+      .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
+      .limit(100)
   }
 
   def q241DeltaAdopt(spark: SparkSession, dir: String): DataFrame = {
@@ -2448,6 +2482,7 @@ object IngestOps {
     "q246_delta_changes" -> q246DeltaChanges _,
     "q248_delta_stream" -> q248DeltaStreamRead _,
     "q249_incremental_lexstore" -> q249IncrementalLexStore _,
+    "q250_incremental_sigstore" -> q250IncrementalSigStore _,
     "q196_table_maintenance" -> q196TableMaintenance _,
     "q192_time_travel" -> q192TimeTravel _,
     "q189_schema_evolution" -> q189SchemaEvolution _,
@@ -2487,6 +2522,7 @@ object IngestOps {
     "q246_delta_changes" -> q246Sql,
     "q248_delta_stream" -> q248Sql,
     "q249_incremental_lexstore" -> CorpusOps.q56Sql,
+    "q250_incremental_sigstore" -> Dedup.q40Sql,
     "q196_table_maintenance" -> q196Sql,
     "q192_time_travel" -> q192Sql,
     "q189_schema_evolution" -> q189Sql,
