@@ -67,7 +67,8 @@ object CorpusOps {
   /** Query prefixes that consume the lexical store — harnesses consult
     * this to decide whether a run needs the store at all.
     */
-  val lexConsumers: Set[String] = Set("q56", "q108", "q121", "q242", "q244", "q247")
+  val lexConsumers: Set[String] =
+    Set("q56", "q108", "q121", "q242", "q244", "q247", "q251", "q252")
 
   /** Kill switch for the store READ path. [[graft.ScaleSmoke]] sets it
     * false: its 1×-vs-10× ratios time the COLD tokenize on both sides.
@@ -689,6 +690,179 @@ object CorpusOps {
   }
 
   // ---------------------------------------------------------------------
+  // q251: retrieval evaluation — exact precision/recall over the ranking
+  // ---------------------------------------------------------------------
+
+  /** Relevance threshold: a doc is relevant iff it matches at least this
+    * many of the query's terms (derived labels — deterministic, so both
+    * engines agree without a judgment file).
+    */
+  private[graft] val Q251RelMin = 2
+
+  /** q251: RANKING EVALUATION of the q247 top-K — the offline-eval table
+    * every retrieval pipeline materializes: per rank, the doc, its
+    * relevance label, precision@k and recall@k. Labels derive
+    * deterministically from the data (rel = matched query terms;
+    * relevant ⇔ rel ≥ [[Q251RelMin]]), so the oracle restates them with
+    * no judgment file. Metrics stay cross-engine exact by construction:
+    * precision@k = hits/k and recall@k = hits/total are ONE
+    * correctly-rounded division per row — never a float aggregate, and
+    * no nDCG-style `log2` whose libm result could differ by an ulp.
+    *
+    * Scale: the ranking is q247's (pruned, store-served); the label join
+    * touches only the K ranked docs; the relevant-total is one count over
+    * the query terms' postings frame. Eval cost is ranking cost + ε.
+    */
+  def q251RetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val topk = q247WandTopK(spark, dir)
+    val totalRel = termFreqsFor(spark, dir, Q56Terms)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+      .filter(col("nt") >= Q251RelMin).count()
+    val w = Window.orderBy(col("rk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    topk
+      .withColumn("rel", (col("n_terms") >= Q251RelMin).cast("int"))
+      .withColumn("hits", sum(col("rel")).over(w).cast("long"))
+      .withColumn("prec_at_k",
+        col("hits").cast("double") / col("rk").cast("double"))
+      .withColumn("recall_at_k",
+        col("hits").cast("double") / lit(totalRel).cast("double"))
+      .select(col("rk"), col("doc_id"), col("rel"), col("hits"),
+        col("prec_at_k"), col("recall_at_k"))
+      .orderBy(col("rk"))
+  }
+
+  val q251Sql: String = {
+    // the q247 ranking restated, then labels + running metrics
+    val in = Q56Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), t -> t <> '')) AS dl
+       |  FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_tokens FROM docs),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS f FROM (
+       |    SELECT doc_id,
+       |      unnest(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), t -> t <> '')) AS term
+       |    FROM documents)
+       |  WHERE term IN ($in)
+       |  GROUP BY doc_id, term),
+       |sc AS (
+       |  SELECT t.doc_id,
+       |    CAST(floor(
+       |      CAST(44 * t.f * s.n_tokens * (2 * (s.n_docs - count(*) OVER (PARTITION BY t.term)) + 1) AS DOUBLE)
+       |      / CAST((20 * t.f * s.n_tokens + 6 * s.n_tokens + 18 * d.dl * s.n_docs)
+       |             * (2 * count(*) OVER (PARTITION BY t.term) + 1) AS DOUBLE)
+       |      * 1e12) AS BIGINT) AS q
+       |  FROM tf t JOIN docs d USING (doc_id) CROSS JOIN stats s),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(q) AS BIGINT) AS score,
+       |    CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM sc GROUP BY doc_id),
+       |topk AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+       |    doc_id, n_terms
+       |  FROM agg ORDER BY score DESC, doc_id LIMIT $Q247K),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_rel FROM agg
+       |        WHERE n_terms >= $Q251RelMin)
+       |SELECT rk, doc_id, CAST(n_terms >= $Q251RelMin AS INT) AS rel,
+       |  CAST(sum(CAST(n_terms >= $Q251RelMin AS INT))
+       |       OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hits,
+       |  CAST(sum(CAST(n_terms >= $Q251RelMin AS INT))
+       |       OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+       |    / CAST(rk AS DOUBLE) AS prec_at_k,
+       |  CAST(sum(CAST(n_terms >= $Q251RelMin AS INT))
+       |       OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+       |    / CAST(t.total_rel AS DOUBLE) AS recall_at_k
+       |FROM topk CROSS JOIN tot t
+       |ORDER BY rk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q252: snippet spans — minimum covering window over the top-k docs
+  // ---------------------------------------------------------------------
+
+  /** q252: SNIPPET SPANS for the result page — for each q247 top-K doc
+    * that matches ALL query terms, the minimum-width token window
+    * containing one occurrence of each (the highlight primitive every
+    * search UI runs over its k results, never over the corpus). Spans
+    * come from the positional store: one pruned-partition read per query
+    * term, restricted to the K ranked docs, then a per-doc combination
+    * bounded by the doc's OWN occurrence counts (k · f_a·f_b·f_c rows —
+    * result-page-sized, corpus-independent). The argmin is the
+    * lexicographic (span, start) minimum, so ties break deterministically
+    * toward the earliest window.
+    */
+  def q252SnippetSpans(spark: SparkSession, dir: String): DataFrame = {
+    val topk = q247WandTopK(spark, dir).select(col("rk"), col("doc_id"))
+    val pos = termPositions(spark, dir, Q56Terms)
+      .join(broadcast(topk), Seq("doc_id"))
+    def occ(t: String, alias: String) =
+      pos.filter(col("term") === t).select(col("doc_id"), col("pos").as(alias))
+    val Seq(t0, t1, t2) = Q56Terms
+    val spans = occ(t0, "pa").join(occ(t1, "pb"), Seq("doc_id"))
+      .join(occ(t2, "pc"), Seq("doc_id"))
+      .withColumn("span",
+        (greatest(col("pa"), col("pb"), col("pc"))
+          - least(col("pa"), col("pb"), col("pc")) + 1).cast("long"))
+      .withColumn("start",
+        least(col("pa"), col("pb"), col("pc")).cast("long"))
+    spans.groupBy(col("doc_id"))
+      .agg(min(struct(col("span"), col("start"))).as("best"))
+      .select(col("doc_id"), col("best.span").as("span_len"),
+        col("best.start").as("span_start"))
+      .join(topk, Seq("doc_id"))
+      .select(col("rk"), col("doc_id"), col("span_len"), col("span_start"))
+      .orderBy(col("rk"))
+  }
+
+  val q252Sql: String = {
+    val Seq(t0, t1, t2) = Q56Terms
+    val in = Q56Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), t -> t <> '')) AS dl
+       |  FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_tokens FROM docs),
+       |toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS tl
+       |  FROM documents),
+       |p AS (SELECT doc_id, unnest(tl) AS term,
+       |        unnest(range(1, len(tl) + 1)) AS pos FROM toks),
+       |tf AS (SELECT doc_id, term, count(*) AS f FROM p
+       |       WHERE term IN ($in) GROUP BY doc_id, term),
+       |sc AS (
+       |  SELECT t.doc_id,
+       |    CAST(floor(
+       |      CAST(44 * t.f * s.n_tokens * (2 * (s.n_docs - count(*) OVER (PARTITION BY t.term)) + 1) AS DOUBLE)
+       |      / CAST((20 * t.f * s.n_tokens + 6 * s.n_tokens + 18 * d.dl * s.n_docs)
+       |             * (2 * count(*) OVER (PARTITION BY t.term) + 1) AS DOUBLE)
+       |      * 1e12) AS BIGINT) AS q
+       |  FROM tf t JOIN docs d USING (doc_id) CROSS JOIN stats s),
+       |agg AS (SELECT doc_id, CAST(sum(q) AS BIGINT) AS score FROM sc GROUP BY doc_id),
+       |topk AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+       |    doc_id
+       |  FROM agg ORDER BY score DESC, doc_id LIMIT $Q247K),
+       |spans AS (
+       |  SELECT a.doc_id,
+       |    greatest(a.pos, b.pos, c.pos) - least(a.pos, b.pos, c.pos) + 1 AS span,
+       |    least(a.pos, b.pos, c.pos) AS start
+       |  FROM (SELECT doc_id, pos FROM p WHERE term = '$t0') a
+       |  JOIN (SELECT doc_id, pos FROM p WHERE term = '$t1') b USING (doc_id)
+       |  JOIN (SELECT doc_id, pos FROM p WHERE term = '$t2') c USING (doc_id)
+       |  JOIN topk USING (doc_id)),
+       |m AS (SELECT doc_id, min(span) AS span_len FROM spans GROUP BY doc_id)
+       |SELECT t.rk, m.doc_id, CAST(m.span_len AS BIGINT) AS span_len,
+       |  CAST(min(s.start) AS BIGINT) AS span_start
+       |FROM spans s JOIN m ON s.doc_id = m.doc_id AND s.span = m.span_len
+       |JOIN topk t ON t.doc_id = m.doc_id
+       |GROUP BY t.rk, m.doc_id, m.span_len
+       |ORDER BY t.rk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q242: phrase retrieval over the positional postings store
   // ---------------------------------------------------------------------
 
@@ -1091,6 +1265,8 @@ object CorpusOps {
     "q242_phrase_search" -> q242PhraseSearch _,
     "q244_proximity_pairs" -> q244ProximityPairs _,
     "q247_wand_topk" -> q247WandTopK _,
+    "q251_retrieval_eval" -> q251RetrievalEval _,
+    "q252_snippet_spans" -> q252SnippetSpans _,
     "q56_bm25_search" -> q56Bm25 _,
     "q57_temperature_sample" -> q57TemperatureSample _,
     "q58_decontaminate" -> q58Decontaminate _,
@@ -1104,6 +1280,8 @@ object CorpusOps {
     "q242_phrase_search" -> q242Sql,
     "q244_proximity_pairs" -> q244Sql,
     "q247_wand_topk" -> q247Sql,
+    "q251_retrieval_eval" -> q251Sql,
+    "q252_snippet_spans" -> q252Sql,
     "q56_bm25_search" -> q56Sql,
     "q57_temperature_sample" -> q57Sql,
     "q58_decontaminate" -> q58Sql,

@@ -135,6 +135,28 @@ class CorpusOpsSpec extends SparkTestBase {
       s"expected the ub gate to prune: $tf survivors of $candidates candidates")
   }
 
+  test("q252 snippet spans equal a brute minimum-covering-window scan over the ranked docs") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("t").trim.split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    val terms = Seq("vector", "merge", "stream")
+    val got = CorpusOps.q252SnippetSpans(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (_, id, spanLen, spanStart) =>
+      val toks = docs(id)
+      val occ = terms.map(t =>
+        toks.zipWithIndex.collect { case (tok, i) if tok == t => (i + 1).toLong })
+      assert(occ.forall(_.nonEmpty), s"doc $id must contain all terms")
+      val combos = for (a <- occ(0); b <- occ(1); c <- occ(2))
+        yield (Seq(a, b, c).max - Seq(a, b, c).min + 1, Seq(a, b, c).min)
+      val best = combos.min // lexicographic: min span, then earliest start
+      assert((spanLen, spanStart) == best,
+        s"doc $id: got ($spanLen, $spanStart), brute $best")
+    }
+  }
+
   test("q57 temperature sampling: caps dominant languages, passes small ones whole") {
     val rows = CorpusOps.q57TemperatureSample(spark, sfDir).collect()
     val byLang = rows.map(r => r.getAs[String]("lang") ->
