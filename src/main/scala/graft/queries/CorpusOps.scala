@@ -158,7 +158,12 @@ object CorpusOps {
     * per-doc postings are disjoint across batches and APPEND IS MERGE —
     * no read-modify-write, no compaction needed for correctness. Work is
     * batch-sized; the postings stay hash-partitioned on the term so the
-    * incremental store prunes exactly like the batch-built one.
+    * incremental store prunes exactly like the batch-built one. The one
+    * cost correctness doesn't see is FILE COUNT — each trigger appends a
+    * file per partition — which is exactly what the engine's layout
+    * maintenance exists for: the q178 bin-packing planner schedules the
+    * rewrite and a q245-style dataChange=false pass publishes it without
+    * disturbing downstream consumers.
     */
   def appendLexStore(batch: DataFrame, store: String): Unit = {
     val toks = batch

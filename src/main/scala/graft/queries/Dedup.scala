@@ -294,7 +294,9 @@ object Dedup {
     * non-monotone under arrival: a bucket's fate is decided by its FINAL
     * size, so capping per batch would emit pairs the batch build excludes;
     * [[pairsFromIncremental]] applies it at read time over the accumulated
-    * table instead.
+    * table instead. Per-trigger file growth is layout maintenance's
+    * problem (q178 planner + q245-style dataChange=false rewrite), not a
+    * correctness concern — appends never conflict.
     */
   def appendSigStore(batch: DataFrame, store: String): Unit = {
     val sigs = minhashSigRows(batch.sparkSession, batch, n = 3, k = K)
