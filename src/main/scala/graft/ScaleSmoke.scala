@@ -300,6 +300,16 @@ object ScaleSmoke {
       // user_id offsets) but stay |users|/32 — the build and the 7-day
       // OR-merge must both scale with the word tables, never raw events
       ("q183_bitmap_distinct", graft.queries.SketchOps.q183BitmapDistinct _, scaledDir),
+      // sparse-id remap: the dictionary rank (per-bucket windows + <=256
+      // collected offsets) and the events remap join must both scale with
+      // 10x distinct users — the remap is the price of sparse ids and it
+      // must stay join-shaped, never sort-shaped
+      ("q243_bitmap_sparse", graft.queries.SketchOps.q243BitmapSparse _, scaledDir),
+      // incremental signature store: four Delta-stream triggers hash 10x
+      // documents into sigs/bands appends; read-time cap + pairing run the
+      // batch pipeline over the accumulated tables — hashing is the
+      // data-sized stage, trigger machinery the fixed one
+      ("q250_incremental_sigstore", graft.queries.IngestOps.q250IncrementalSigStore _, scaledDir),
       // DSIR importance resample: the 64-bucket score frame is corpus-size
       // independent; the explode + doc agg + global top-k heaps must all
       // scale with the scan (rotated replicas shift bucket contents, never
