@@ -274,6 +274,21 @@ class SketchSpec extends SparkTestBase {
       "sparse fixture must be sparse enough that unpacked words break the bound")
   }
 
+  test("q243 denseDict: partitioning-invariant, dense, order-preserving") {
+    val ids = Tables(spark, sfDir, "events")
+      .select((col("user_id") * lit(SketchOps.Q243Spread) + lit(7L)).as("sid"))
+      .distinct()
+    val a = SketchOps.denseDict(ids, "sid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = SketchOps.denseDict(ids.repartition(7), "sid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "the dictionary must not depend on input partitioning")
+    // dense [0, N) and order-preserving (= row_number over the global sort)
+    val sorted = a.toSeq.sortBy(_._1)
+    assert(sorted.map(_._2) == (0L until a.size.toLong),
+      "ranks must be the dense order-preserving enumeration")
+  }
+
   test("q177 HLL raw estimate lands within 1.5x in its proper (large-cardinality) regime") {
     val tmp = Files.createTempDirectory("graft-hll").toString
     val n = 50000L

@@ -308,6 +308,23 @@ class SourcesSpec extends SparkTestBase {
     assert(all.count() == n, "restart must resume at the committed version")
     assert(all.select(col("doc_id")).distinct().count() == n,
       "no version replayed across the restart")
+    // batching invariance: one big trigger (maxVersionsPerTrigger covers
+    // the whole log) accumulates the same set as version-per-trigger
+    val run2 = Files.createTempDirectory("graft-deltastream-one").toString
+    val q2 = spark.readStream
+      .format(classOf[graft.streaming.DeltaStream].getName)
+      .option("path", root).option("maxVersionsPerTrigger", 100L)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$run2/sink")
+      .option("checkpointLocation", s"$run2/ckpt")
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    val one = spark.read.parquet(s"$run2/sink")
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val many = all.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(one.sameElements(many),
+      "trigger batching must be invisible to the accumulated row set")
   }
 
   test("DeltaLog vacuum: frees pre-horizon files only; retained time travel survives, older reads fail") {
