@@ -310,6 +310,10 @@ object ScaleSmoke {
       // batch pipeline over the accumulated tables — hashing is the
       // data-sized stage, trigger machinery the fixed one
       ("q250_incremental_sigstore", graft.queries.IngestOps.q250IncrementalSigStore _, scaledDir),
+      // incremental lexical store: same replay shape; the data-sized stage
+      // is tokenize + postings partial agg of 10x docs, and the final BM25
+      // read must stay pruned-partition-sized
+      ("q249_incremental_lexstore", graft.queries.IngestOps.q249IncrementalLexStore _, scaledDir),
       // DSIR importance resample: the 64-bucket score frame is corpus-size
       // independent; the explode + doc agg + global top-k heaps must all
       // scale with the scan (rotated replicas shift bucket contents, never

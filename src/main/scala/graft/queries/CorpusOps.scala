@@ -164,6 +164,13 @@ object CorpusOps {
     * maintenance exists for: the q178 bin-packing planner schedules the
     * rewrite and a q245-style dataChange=false pass publishes it without
     * disturbing downstream consumers.
+    *
+    * Deliberately NOT appended here: the `maxscore/` impact metadata.
+    * Impacts depend on the GLOBAL (N, T, df), which drift with every
+    * batch, and the BM25 core is non-monotone in them — a stale max_q is
+    * not guaranteed to stay an upper bound. Recompute it at compaction
+    * cadence; q247 stays exact meanwhile because its fallback derives
+    * bounds from the current postings.
     */
   def appendLexStore(batch: DataFrame, store: String): Unit = {
     val toks = batch
