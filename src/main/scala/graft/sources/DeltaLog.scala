@@ -185,14 +185,18 @@ object DeltaLog {
       version: Option[Long] = None): DataFrame = {
     val snap = replay(spark, root, version)
     val paths = snap.adds.map { case (p, _) => s"$root/$p" }
-    if (paths.nonEmpty) spark.read.parquet(paths: _*)
-    else {
-      val schema = snap.schemaJson
-        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-        .getOrElse(new StructType())
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], schema)
-    }
+    val schema = snap.schemaJson
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    if (paths.nonEmpty)
+      // read under the snapshot's OWN metaData schema (never the first
+      // file's): after schema evolution a snapshot mixes file layouts,
+      // and columns absent from pre-evolution files must surface as
+      // nulls, not silently vanish
+      schema.map(s => spark.read.schema(s).parquet(paths: _*))
+        .getOrElse(spark.read.parquet(paths: _*))
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        schema.getOrElse(new StructType()))
   }
 
   private def jstr(s: String): String = mapper.writeValueAsString(s)
@@ -236,26 +240,66 @@ object DeltaLog {
   private def removeAction(path: String, dataChange: Boolean = true): String =
     s"""{"remove":{"path":${jstr(path)},"deletionTimestamp":0,"dataChange":$dataChange}}"""
 
+  private def metaDataAction(id: String, schemaJson: String): String =
+    s"""{"metaData":{"id":${jstr(id)},""" +
+      s""""format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${jstr(schemaJson)},""" +
+      """"partitionColumns":[],"configuration":{}}}"""
+
   private def headerActions(df: DataFrame): Seq[String] = Seq(
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-    s"""{"metaData":{"id":${jstr(java.util.UUID.randomUUID().toString)},""" +
-      s""""format":{"provider":"parquet","options":{}},""" +
-      s""""schemaString":${jstr(df.schema.json)},""" +
-      """"partitionColumns":[],"configuration":{}}}""")
+    metaDataAction(java.util.UUID.randomUUID().toString, df.schema.json))
+
+  /** The latest metaData action's (table id, schemaString) from the JSON
+    * commit tail alone — commits are never deleted (vacuum frees only
+    * data files), so a backward scan always terminates at commit 0's
+    * header. Driver string work, no SparkSession.
+    */
+  private def latestMetaData(root: String): Option[(String, String)] = {
+    val cur = currentVersion(root)
+    (cur to 0L by -1L).iterator.flatMap { v =>
+      Files.readAllLines(commitPath(root, v)).asScala.reverseIterator
+        .flatMap { line =>
+          if (line.isEmpty) None
+          else {
+            val node = mapper.readTree(line)
+            if (node.has("metaData") && node.get("metaData").has("schemaString"))
+              Some((node.get("metaData").get("id").asText(),
+                node.get("metaData").get("schemaString").asText()))
+            else None
+          }
+        }
+    }.nextOption()
+  }
+
+  /** A metaData action for this commit when `df`'s schema differs from
+    * the table's current one — SCHEMA EVOLUTION, published exactly as the
+    * Delta protocol prescribes (a fresh metaData action under the same
+    * table id; replay takes the latest ≤ v, so time travel keeps each
+    * version's own schema).
+    */
+  private def evolutionActions(root: String, df: DataFrame): Seq[String] =
+    latestMetaData(root) match {
+      case Some((id, schema)) if schema != df.schema.json =>
+        Seq(metaDataAction(id, df.schema.json))
+      case _ => Seq.empty
+    }
 
   /** Append `df` as the next commit (commit 0 creates the table and
-    * carries the protocol/metaData actions). `expectedVersion` is the
-    * optimistic-concurrency seam every Delta writer runs: pass the
-    * version the work was based on and the commit lands at exactly
-    * `expectedVersion + 1` or throws ConcurrentModificationException if
-    * another writer got there first; None means "latest right now".
-    * Returns the committed version.
+    * carries the protocol/metaData actions; a later commit whose schema
+    * differs carries a fresh metaData action — schema evolution).
+    * `expectedVersion` is the optimistic-concurrency seam every Delta
+    * writer runs: pass the version the work was based on and the commit
+    * lands at exactly `expectedVersion + 1` or throws
+    * ConcurrentModificationException if another writer got there first;
+    * None means "latest right now". Returns the committed version.
     */
   def commitAppend(root: String, df: DataFrame,
       expectedVersion: Option[Long] = None): Long = {
     val next = expectedVersion.getOrElse(currentVersion(root)) + 1
+    val header =
+      if (next == 0L) headerActions(df) else evolutionActions(root, df)
     val adds = writeDataFiles(root, next, df)
-    val header = if (next == 0L) headerActions(df) else Seq.empty
     publish(root, next,
       header ++ adds.map { case (p, s) => addAction(p, s) })
     next
@@ -271,7 +315,8 @@ object DeltaLog {
     val next = expectedVersion.getOrElse(currentVersion(root)) + 1
     val adds = writeDataFiles(root, next, addDf)
     publish(root, next,
-      removePaths.map(p => removeAction(p)) ++
+      evolutionActions(root, addDf) ++
+        removePaths.map(p => removeAction(p)) ++
         adds.map { case (p, s) => addAction(p, s) })
     next
   }
@@ -352,13 +397,16 @@ object DeltaLog {
     val hi = toVersion.getOrElse(cur)
     require(hi <= cur, s"version $hi out of range [0, $cur]")
     val paths = changedFilePaths(root, fromVersion, hi).map(p => s"$root/$p")
-    if (paths.nonEmpty) spark.read.parquet(paths: _*)
-    else {
-      val schema = replay(spark, root, Some(hi)).schemaJson
-        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-        .getOrElse(new StructType())
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    }
+    val schema = replay(spark, root, Some(hi)).schemaJson
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    if (paths.nonEmpty)
+      // the range's files may straddle a schema evolution — read under
+      // the upper version's metaData schema so early files null-fill
+      schema.map(s => spark.read.schema(s).parquet(paths: _*))
+        .getOrElse(spark.read.parquet(paths: _*))
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        schema.getOrElse(new StructType()))
   }
 
   /** VACUUM: physically delete data files that are live in NO version ≥

@@ -327,6 +327,46 @@ class SourcesSpec extends SparkTestBase {
       "trigger batching must be invisible to the accumulated row set")
   }
 
+  test("DeltaLog schema evolution: widened append emits metaData; old files null-fill; time travel keeps each version's schema") {
+    import graft.sources.DeltaLog
+    val root = Files.createTempDirectory("graft-deltaevo").toString + "/tbl"
+    val base = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang")).filter(col("doc_id") < 100)
+    val widened = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("score"))
+      .filter(col("doc_id") >= 100 && col("doc_id") < 200)
+    DeltaLog.commitAppend(root, base)       // v0: (doc_id, lang)
+    DeltaLog.commitAppend(root, widened)    // v1: + score — must evolve
+    // v1's commit carries a fresh metaData action under the SAME table id
+    val v0Meta = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+      root, "_delta_log", f"${0L}%020d.json")).get(1)
+    val v1Lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+      root, "_delta_log", f"${1L}%020d.json"))
+    assert(v1Lines.get(0).contains("\"metaData\"") && v1Lines.get(0).contains("score"),
+      s"widened append must publish the evolved schema: $v1Lines")
+    val id = "\"id\":\"[^\"]+\"".r
+    assert(id.findFirstIn(v0Meta) == id.findFirstIn(v1Lines.get(0)),
+      "evolution must keep the table id")
+    // latest snapshot: 3 columns, pre-evolution rows null-fill score
+    val latest = DeltaLog.read(spark, root)
+    assert(latest.columns.toSeq == Seq("doc_id", "lang", "score"))
+    assert(latest.filter(col("doc_id") < 100 && col("score").isNull).count() == base.count(),
+      "pre-evolution rows must surface the new column as null, not vanish")
+    assert(latest.filter(col("score").isNotNull).count() == widened.count())
+    // time travel to v0 reads v0's OWN schema
+    assert(DeltaLog.read(spark, root, Some(0L)).columns.toSeq == Seq("doc_id", "lang"))
+    // a same-schema append emits NO metaData action
+    DeltaLog.commitAppend(root, widened.limit(5))
+    val v2Lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+      root, "_delta_log", f"${2L}%020d.json"))
+    assert(!v2Lines.toString.contains("\"metaData\""),
+      "an unevolved append must not republish metaData")
+    // the CDC read straddling the evolution null-fills too
+    val cdc = DeltaLog.changesSince(spark, root, -1L)
+    assert(cdc.columns.contains("score") &&
+      cdc.filter(col("score").isNull).count() == base.count())
+  }
+
   test("DeltaLog vacuum: frees pre-horizon files only; retained time travel survives, older reads fail") {
     import graft.sources.DeltaLog
     val root = Files.createTempDirectory("graft-deltavac").toString + "/tbl"
