@@ -67,9 +67,14 @@ object DeltaLog {
       finally s.close()
     }
 
-  /** Highest committed version, -1 if the table does not exist. */
+  /** Highest committed version, -1 if the table does not exist. A
+    * checkpoint at V proves commit V happened even when log retention has
+    * trimmed the JSON commit itself, so the version lattice is the max
+    * over BOTH file families — otherwise an append to a fully-trimmed
+    * history would restart at version 0 and corrupt the table.
+    */
   def currentVersion(root: String): Long = {
-    val vs = listVersions(root, ".json")
+    val vs = listVersions(root, ".json") ++ checkpoints(root).keys
     if (vs.isEmpty) -1L else vs.max
   }
 
@@ -139,11 +144,24 @@ object DeltaLog {
         df.filter(col("add").isNotNull).select(col("add.path"), sz)
           .collect().foreach(r => live(r.getString(0)) = r.getLong(1))
       }
-      if (df.columns.contains("metaData") && fieldsOf("metaData")("schemaString"))
+      // metaData/protocol ride out of the checkpoint as full JSON — on a
+      // checkpoint-bounded history (pre-checkpoint JSON trimmed by log
+      // retention) the checkpoint is the ONLY carrier of both, and the
+      // protocol gate below must still see them
+      if (df.columns.contains("metaData")) {
         df.filter(col("metaData").isNotNull)
-          .select(col("metaData.schemaString")).collect()
-          .headOption.filterNot(_.isNullAt(0))
-          .foreach(r => schemaJson = Some(r.getString(0)))
+          .select(to_json(col("metaData")),
+            if (fieldsOf("metaData")("schemaString")) col("metaData.schemaString")
+            else lit(null).cast("string"))
+          .collect().headOption.foreach { r =>
+            metaDataJson = Some(r.getString(0))
+            if (!r.isNullAt(1)) schemaJson = Some(r.getString(1))
+          }
+      }
+      if (df.columns.contains("protocol"))
+        df.filter(col("protocol").isNotNull)
+          .select(to_json(col("protocol"))).collect()
+          .headOption.foreach(r => protocolJson = Some(r.getString(0)))
     }
     (ckpt.getOrElse(-1L) + 1L to v).foreach { i =>
       Files.readAllLines(commitPath(root, i)).forEach { line =>
@@ -164,7 +182,41 @@ object DeltaLog {
         }
       }
     }
+    validateReadable(root, protocolJson, metaDataJson)
     Snapshot(live.toSeq, schemaJson, metaDataJson, protocolJson)
+  }
+
+  /** PROTOCOL REFUSAL GATE — a loud, cheap error instead of a silent
+    * misread. This reader implements reader protocol 1 (plain parquet
+    * files, last-action-wins replay); a foreign table declaring
+    * minReaderVersion ≥ 2 (column mapping) or ≥ 3 (table features such as
+    * deletion vectors) stores data this replay would MISINTERPRET —
+    * physical column names diverge from logical ones, or add-file rows
+    * are partially invalidated by DV bitmaps — so the only correct cheap
+    * behavior is refusal, message pinned by SourcesSpec. The columnMapping
+    * metaData key is checked independently because a buggy writer can set
+    * it without raising the protocol version.
+    */
+  private def validateReadable(root: String, protocolJson: Option[String],
+      metaDataJson: Option[String]): Unit = {
+    protocolJson.map(mapper.readTree).foreach { p =>
+      val mrv = Option(p.get("minReaderVersion")).map(_.asInt()).getOrElse(1)
+      if (mrv > 1) {
+        val feats = Option(p.get("readerFeatures")).map(f => s", readerFeatures=$f").getOrElse("")
+        throw new UnsupportedOperationException(
+          s"DeltaLog $root: unsupported reader protocol minReaderVersion=$mrv$feats; " +
+            "this reader supports minReaderVersion<=1")
+      }
+    }
+    metaDataJson.map(mapper.readTree).foreach { m =>
+      val mode = Option(m.get("configuration"))
+        .flatMap(c => Option(c.get("delta.columnMapping.mode")))
+        .map(_.asText()).getOrElse("none")
+      if (mode != "none")
+        throw new UnsupportedOperationException(
+          s"DeltaLog $root: unsupported table feature delta.columnMapping.mode=$mode; " +
+            "this reader supports mode 'none'")
+    }
   }
 
   /** Live data-file paths (relative to `root`) at `version` (default:
@@ -250,26 +302,115 @@ object DeltaLog {
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
     metaDataAction(java.util.UUID.randomUUID().toString, df.schema.json))
 
-  /** The latest metaData action's (table id, schemaString) from the JSON
-    * commit tail alone — commits are never deleted (vacuum frees only
-    * data files), so a backward scan always terminates at commit 0's
-    * header. Driver string work, no SparkSession.
+  /** Newest checkpoint version at or below `v`, with its part files. */
+  private def newestCheckpointAtOrBelow(root: String,
+      v: Long): Option[(Long, Seq[Path])] = {
+    val cs = checkpoints(root).filter(_._1 <= v)
+    if (cs.isEmpty) None else Some(cs.maxBy(_._1))
+  }
+
+  /** Newest JSON action of `kind` scanning the commit tail BACKWARD from
+    * `cur` down to (and excluding) the newest checkpoint — never past it:
+    * standard Delta log retention may have trimmed pre-checkpoint JSON on
+    * a foreign table, and the scan must stay bounded by checkpoint
+    * cadence, not table lifetime. Missing commit files inside the scanned
+    * range are tolerated (a retention sweep is not atomic). Driver string
+    * work, no SparkSession.
     */
-  private def latestMetaData(root: String): Option[(String, String)] = {
+  private def latestTailAction(root: String,
+      kind: String): Option[com.fasterxml.jackson.databind.JsonNode] = {
     val cur = currentVersion(root)
-    (cur to 0L by -1L).iterator.flatMap { v =>
-      Files.readAllLines(commitPath(root, v)).asScala.reverseIterator
-        .flatMap { line =>
-          if (line.isEmpty) None
-          else {
-            val node = mapper.readTree(line)
-            if (node.has("metaData") && node.get("metaData").has("schemaString"))
-              Some((node.get("metaData").get("id").asText(),
-                node.get("metaData").get("schemaString").asText()))
-            else None
+    val lo = newestCheckpointAtOrBelow(root, cur).map(_._1 + 1).getOrElse(0L)
+    (cur to lo by -1L).iterator
+      .filter(v => Files.isRegularFile(commitPath(root, v)))
+      .flatMap { v =>
+        Files.readAllLines(commitPath(root, v)).asScala.reverseIterator
+          .flatMap { line =>
+            if (line.isEmpty) None
+            else {
+              val node = mapper.readTree(line)
+              if (node.has(kind)) Some(node.get(kind)) else None
+            }
           }
+      }.nextOption()
+  }
+
+  /** One action struct (`metaData` / `protocol`) out of a checkpoint's
+    * parquet parts, read DRIVER-SIDE through parquet-mr's example Group
+    * API — no SparkSession, so commit-path helpers stay plain driver work
+    * even when the checkpoint is the only carrier of the table header
+    * (pre-checkpoint JSON trimmed). Only the scalar leaves the callers
+    * consume are materialized; absent fields read as absent.
+    */
+  private def checkpointAction(parts: Seq[Path], kind: String,
+      fields: Seq[String]): Option[Map[String, String]] = {
+    val it = parts.iterator
+    while (it.hasNext) {
+      val p = it.next()
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(p.toString))
+        .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          if (g.getType.containsField(kind) &&
+            g.getFieldRepetitionCount(kind) > 0) {
+            val ag = g.getGroup(kind, 0)
+            val vals = fields.flatMap { f =>
+              if (ag.getType.containsField(f) && ag.getFieldRepetitionCount(f) > 0)
+                Some(f -> ag.getValueToString(ag.getType.getFieldIndex(f), 0))
+              else None
+            }.toMap
+            if (vals.nonEmpty) return Some(vals)
+          }
+          g = reader.read()
         }
-    }.nextOption()
+      } finally reader.close()
+    }
+    None
+  }
+
+  /** The latest metaData action's (table id, schemaString): the JSON
+    * commit tail first (bounded backward scan), the newest checkpoint's
+    * metaData row when the tail carries none — which is exactly the
+    * checkpoint-bounded-history case where pre-checkpoint JSON is absent.
+    */
+  private def latestMetaData(root: String): Option[(String, String)] =
+    latestTailAction(root, "metaData")
+      .filter(m => m.has("id") && m.has("schemaString"))
+      .map(m => (m.get("id").asText(), m.get("schemaString").asText()))
+      .orElse {
+        newestCheckpointAtOrBelow(root, currentVersion(root)).flatMap {
+          case (_, parts) =>
+            checkpointAction(parts, "metaData", Seq("id", "schemaString"))
+              .flatMap(m =>
+                for { id <- m.get("id"); s <- m.get("schemaString") } yield (id, s))
+        }
+      }
+
+  /** The table's CURRENT schema resolved entirely driver-side (tail scan
+    * bounded by the newest checkpoint, parquet-mr fallback into it) —
+    * what the streaming source binds to, so a stream over an EVOLVED
+    * table sees the latest field list, not commit 0's. Runs the protocol
+    * refusal gate first: a stream must refuse a deletion-vector or
+    * column-mapping table exactly like the batch reader.
+    */
+  private[graft] def latestSchema(root: String): StructType = {
+    require(currentVersion(root) >= 0, s"no Delta log at $root")
+    val protocolJson = latestTailAction(root, "protocol").map(_.toString)
+      .orElse(newestCheckpointAtOrBelow(root, currentVersion(root)).flatMap {
+        case (_, parts) =>
+          checkpointAction(parts, "protocol", Seq("minReaderVersion"))
+            .flatMap(_.get("minReaderVersion"))
+            .map(v => s"""{"minReaderVersion":$v}""")
+      })
+    val metaJson = latestTailAction(root, "metaData").map(_.toString)
+    validateReadable(root, protocolJson, metaJson)
+    latestMetaData(root)
+      .map(m => DataType.fromJson(m._2).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalArgumentException(
+        s"no metaData action in Delta log at $root"))
   }
 
   /** A metaData action for this commit when `df`'s schema differs from
@@ -369,7 +510,12 @@ object DeltaLog {
   private[graft] def changedFilePaths(root: String,
       fromVersion: Long, toVersion: Long): Seq[String] =
     (math.max(fromVersion + 1, 0L) to toVersion).flatMap { v =>
-      Files.readAllLines(commitPath(root, v)).asScala.flatMap { line =>
+      // a commit trimmed by log retention (pre-checkpoint JSON on a
+      // foreign table) reads as empty, not as an error: its adds are
+      // compacted into the checkpoint a caller consuming history from
+      // before the horizon must start from anyway
+      if (!Files.isRegularFile(commitPath(root, v))) Seq.empty
+      else Files.readAllLines(commitPath(root, v)).asScala.flatMap { line =>
         if (line.isEmpty) None
         else {
           val node = mapper.readTree(line)
@@ -424,9 +570,19 @@ object DeltaLog {
       s"retain horizon $retainFromVersion out of range [0, $cur]")
     val keep = (retainFromVersion to cur)
       .flatMap(v => snapshotFiles(spark, root, Some(v))).toSet
-    // every file any commit ever added
-    val all = (0L to cur).flatMap { v =>
-      Files.readAllLines(commitPath(root, v)).asScala.flatMap { line =>
+    // the ever-added candidate set: the newest checkpoint's live set (the
+    // only record of pre-horizon files once log retention trims JSON),
+    // plus adds from every still-present JSON commit. Missing commit
+    // files are tolerated, so a trimmed foreign history cannot fail the
+    // sweep, and on such a table the JSON scan IS bounded by retention
+    // (= checkpoint cadence); on an untrimmed local table the
+    // opportunistic full scan is what lets a first-ever vacuum reclaim
+    // files removed before the first checkpoint existed.
+    val ckptV = newestCheckpointAtOrBelow(root, cur).map(_._1)
+    val ckptLive = ckptV.toSeq.flatMap(c => snapshotFiles(spark, root, Some(c)))
+    val all = (ckptLive ++ (0L to cur).flatMap { v =>
+      if (!Files.isRegularFile(commitPath(root, v))) Seq.empty
+      else Files.readAllLines(commitPath(root, v)).asScala.flatMap { line =>
         if (line.isEmpty) None
         else {
           val node = mapper.readTree(line)
@@ -434,7 +590,7 @@ object DeltaLog {
           else None
         }
       }
-    }.distinct
+    }).distinct
     val doomed = all.filterNot(keep)
     doomed.foreach(p => Files.deleteIfExists(Paths.get(root, p)))
     doomed

@@ -49,22 +49,18 @@ class DeltaStream extends TableProvider {
 }
 
 object DeltaStream {
-  /** Driver-side schema resolution from the log's metaData action —
-    * no SparkSession needed (the schemaString is plain JSON in commit 0).
+  /** Driver-side schema resolution — the log's LATEST metaData action via
+    * [[DeltaLog.latestSchema]] (tail scan bounded by the newest
+    * checkpoint, parquet-mr fallback into it), never commit 0's: after
+    * schema evolution the stream must surface the evolved field list
+    * (pre-evolution files null-fill in the reader), and a type-changed
+    * column must dispatch on its CURRENT type. Also runs the protocol
+    * refusal gate, so a deletion-vector / column-mapping table refuses
+    * loudly instead of streaming misread rows.
     */
   private[streaming] def schemaFor(root: String): StructType = {
     require(root != null, "DeltaStream requires option 'path'")
-    val v0 = java.nio.file.Paths.get(root, "_delta_log", f"${0L}%020d.json")
-    require(java.nio.file.Files.isRegularFile(v0), s"no Delta log at $root")
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val it = java.nio.file.Files.readAllLines(v0).iterator()
-    while (it.hasNext) {
-      val node = mapper.readTree(it.next())
-      if (node.has("metaData") && node.get("metaData").has("schemaString"))
-        return DataType.fromJson(
-          node.get("metaData").get("schemaString").asText()).asInstanceOf[StructType]
-    }
-    throw new IllegalArgumentException(s"no metaData action in $root commit 0")
+    DeltaLog.latestSchema(root)
   }
 }
 
@@ -155,9 +151,14 @@ final class DeltaStreamStream(root: String, schema: StructType,
             var i = 0
             while (i < fp.fields.length) {
               val (name, tpe) = fp.fields(i)
-              val idx = group.getType.getFieldIndex(name)
+              // a column added by schema evolution is ABSENT from
+              // pre-evolution files entirely (not just null-valued) —
+              // null-fill it, the same contract the batch read's
+              // schema-first parquet scan applies
+              val idx = if (group.getType.containsField(name))
+                group.getType.getFieldIndex(name) else -1
               vals(i) =
-                if (group.getFieldRepetitionCount(idx) == 0) null
+                if (idx < 0 || group.getFieldRepetitionCount(idx) == 0) null
                 else tpe match {
                   case "long" => group.getLong(idx, 0)
                   case "integer" => group.getInteger(idx, 0)

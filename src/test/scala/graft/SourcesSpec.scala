@@ -535,6 +535,131 @@ class SourcesSpec extends SparkTestBase {
       DeltaLog.snapshotFiles(spark, root, Some(v)).toSet)
   }
 
+  test("DeltaLog: checkpoint-bounded history — append, changesSince and vacuum " +
+      "survive trimmed pre-checkpoint JSON (standard foreign log retention)") {
+    import graft.sources.DeltaLog
+    val root = Files.createTempDirectory("graft-delta-trimmed").toString + "/tbl"
+    def part(i: Int) = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .filter(pmod(col("doc_id"), lit(4)) === i)
+    DeltaLog.commitAppend(root, part(0))  // v0 (header)
+    DeltaLog.commitAppend(root, part(1))  // v1
+    val ckptV = DeltaLog.checkpoint(spark, root) // @ v1
+    assert(ckptV == 1L)
+    // log retention trims EVERY pre-checkpoint JSON commit — the
+    // checkpoint parquet is now the only carrier of protocol + metaData
+    (0L to 1L).foreach(v => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "_delta_log", f"$v%020d.json")))
+    // append still works: latestMetaData resolves through the checkpoint
+    // (driver-side parquet-mr, no SparkSession) instead of dying on the
+    // missing commit 0 — and a same-schema append must not republish
+    // metaData (it found the real schema, not "no metaData")
+    val v2 = DeltaLog.commitAppend(root, part(2))
+    assert(v2 == 2L)
+    assert(!java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+      root, "_delta_log", f"$v2%020d.json")).toString.contains("\"metaData\""),
+      "same-schema append on a trimmed history must not republish metaData")
+    val n = part(0).count() + part(1).count() + part(2).count()
+    assert(DeltaLog.read(spark, root).count() == n)
+    // an EVOLVED append still detects the schema change against the
+    // checkpoint-resolved schema and publishes fresh metaData
+    val widened = part(3).withColumn("score", length(col("lang")).cast("long"))
+    val v3 = DeltaLog.commitAppend(root, widened)
+    assert(java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+      root, "_delta_log", f"$v3%020d.json")).get(0).contains("score"))
+    assert(DeltaLog.read(spark, root).columns.contains("score"))
+    // the streaming-source schema follows the evolution (latest metaData,
+    // never commit 0's — which is gone here anyway)
+    assert(DeltaLog.latestSchema(root).fieldNames.toSeq ==
+      Seq("doc_id", "lang", "score"))
+    // CDC read across the trimmed range: missing commits read as empty,
+    // the post-checkpoint tail still serves
+    assert(DeltaLog.changesSince(spark, root, -1L).count() ==
+      part(2).count() + part(3).count())
+    // vacuum survives the trimmed history and deletes nothing live
+    val deleted = DeltaLog.vacuum(spark, root, retainFromVersion = 2L)
+    assert(deleted.isEmpty, s"nothing is pre-horizon garbage here: $deleted")
+    assert(DeltaLog.read(spark, root).count() == n + widened.count())
+  }
+
+  test("DeltaLog: protocol refusal gate — deletion-vector / column-mapping " +
+      "tables refuse loudly instead of misreading") {
+    import graft.sources.DeltaLog
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType))).json
+    def authorTable(protocol: String, configuration: String): String = {
+      val root = Files.createTempDirectory("graft-delta-proto").toString + "/tbl"
+      val logDir = java.nio.file.Paths.get(root, "_delta_log")
+      java.nio.file.Files.createDirectories(logDir)
+      val meta = """{"metaData":{"id":"cafe-0001","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${mapper.writeValueAsString(schemaJson)},""" +
+        s""""partitionColumns":[],"configuration":$configuration}}"""
+      java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"),
+        Seq(protocol, meta).mkString("", "\n", "\n").getBytes("UTF-8"))
+      root
+    }
+    // reader version 3 with deletion vectors: add-file rows are partially
+    // invalidated by DV bitmaps — replay would resurrect deleted rows
+    val dv = authorTable(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      "{}")
+    val e1 = intercept[UnsupportedOperationException] { DeltaLog.read(spark, dv) }
+    assert(e1.getMessage.contains("minReaderVersion=3") &&
+      e1.getMessage.contains("deletionVectors") &&
+      e1.getMessage.contains("supports minReaderVersion<=1"), e1.getMessage)
+    // the stream source refuses the same table at schema resolution
+    val e1s = intercept[UnsupportedOperationException] { DeltaLog.latestSchema(dv) }
+    assert(e1s.getMessage.contains("minReaderVersion=3"))
+    // column mapping: physical parquet names diverge from logical ones —
+    // a name-based read returns wrong/missing columns. Checked from the
+    // metaData key independently of the protocol version (buggy writers).
+    val cm = authorTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"delta.columnMapping.mode":"name"}""")
+    val e2 = intercept[UnsupportedOperationException] { DeltaLog.read(spark, cm) }
+    assert(e2.getMessage.contains("delta.columnMapping.mode=name") &&
+      e2.getMessage.contains("supports mode 'none'"), e2.getMessage)
+    // a plain reader-version-1 table with benign configuration still reads
+    val ok = authorTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"delta.appendOnly":"false"}""")
+    assert(DeltaLog.read(spark, ok).columns.toSeq == Seq("doc_id"))
+  }
+
+  test("DeltaStream: streams under the EVOLVED schema — post-evolution " +
+      "columns surface, pre-evolution files null-fill") {
+    import graft.sources.DeltaLog
+    val root = Files.createTempDirectory("graft-deltastream-evo").toString + "/tbl"
+    val base = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang")).filter(col("doc_id") < 50)
+    val widened = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("score"))
+      .filter(col("doc_id") >= 50 && col("doc_id") < 100)
+    DeltaLog.commitAppend(root, base)     // v0: (doc_id, lang)
+    DeltaLog.commitAppend(root, widened)  // v1: + score (evolution)
+    val run = Files.createTempDirectory("graft-deltastream-evo-run").toString
+    val q = spark.readStream
+      .format(classOf[graft.streaming.DeltaStream].getName)
+      .option("path", root).option("maxVersionsPerTrigger", 1L)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$run/sink")
+      .option("checkpointLocation", s"$run/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.read.parquet(s"$run/sink")
+    assert(out.columns.toSeq == Seq("doc_id", "lang", "score"),
+      "the stream must bind to the latest metaData schema, not commit 0's")
+    assert(out.count() == base.count() + widened.count())
+    assert(out.filter(col("doc_id") < 50 && col("score").isNull).count() == base.count(),
+      "pre-evolution files must null-fill the evolved column")
+    assert(out.filter(col("score").isNotNull).count() == widened.count())
+  }
+
   test("q189 schema evolution: merged read nulls missing columns, loses and invents nothing") {
     val rows = graft.queries.IngestOps.q189SchemaEvolution(spark, sfDir).collect()
     assert(rows.nonEmpty)
