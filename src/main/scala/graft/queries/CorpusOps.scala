@@ -68,7 +68,7 @@ object CorpusOps {
     * this to decide whether a run needs the store at all.
     */
   val lexConsumers: Set[String] =
-    Set("q56", "q108", "q121", "q242", "q244", "q247", "q251", "q252")
+    Set("q56", "q108", "q121", "q242", "q244", "q247", "q251", "q252", "q253")
 
   /** Kill switch for the store READ path. [[graft.ScaleSmoke]] sets it
     * false: its 1×-vs-10× ratios time the COLD tokenize on both sides.
@@ -89,22 +89,29 @@ object CorpusOps {
   private[queries] def lexBucketOf(term: String): Long =
     math.floorMod(h60Scala(term), LexPostingBuckets.toLong)
 
-  /** Quantized BM25 impact (Anh–Moffat): the q56 rational core's exact
-    * double, scaled by 10¹² and floored to a BIGINT. Every arithmetic
-    * step (BIGINT products, ONE double division, ×1e12, floor) is
-    * correctly rounded and restated in the identical order by the
-    * oracles, so both engines produce the same integer — which makes
-    * every downstream aggregate (sum per doc, max per term, the q247
-    * threshold compare) order-free integer math.
+  /** Quantized BM25 impact (Anh–Moffat): the q56 rational core's double,
+    * scaled by 10¹² and floored to a BIGINT. The products run in DOUBLE,
+    * not BIGINT: 44·f·nTokens·(2(nDocs−nT)+1) exceeds Long.MaxValue on
+    * large corpora (≈5·10²⁰ at ~100× with high-tf terms), where Spark's
+    * non-ANSI BIGINT would WRAP silently while the DuckDB oracle raises —
+    * a Spark-only score corruption no gate would trip on. Every IEEE-754
+    * double op (left-associated multiplies/adds, ONE division, ×1e12,
+    * floor) is correctly rounded and restated in the IDENTICAL order by
+    * the oracles, so both engines still produce the same integer — which
+    * keeps every downstream aggregate (sum per doc, max per term, the
+    * q247 threshold compare) order-free integer math. The two small
+    * factors (2(nDocs−nT)+1 and 2·nT+1) stay exact BIGINT and convert to
+    * double losslessly (≪ 2⁵³ at any supported scale).
     */
   private[queries] def bm25ImpactQ(f: org.apache.spark.sql.Column,
       dl: org.apache.spark.sql.Column, nT: org.apache.spark.sql.Column,
       nDocs: org.apache.spark.sql.Column,
       nTokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val num = lit(44L) * f * nTokens * (lit(2L) * (nDocs - nT) + lit(1L))
-    val den = (lit(20L) * f * nTokens + lit(6L) * nTokens
-      + lit(18L) * dl * nDocs) * (lit(2L) * nT + lit(1L))
-    floor(num.cast("double") / den.cast("double") * lit(1e12))
+    val num = lit(44.0) * f * nTokens *
+      (lit(2L) * (nDocs - nT) + lit(1L)).cast("double")
+    val den = (lit(20.0) * f * nTokens + lit(6.0) * nTokens
+      + lit(18.0) * dl * nDocs) * (lit(2L) * nT + lit(1L)).cast("double")
+    floor(num / den * lit(1e12))
   }
 
   /** Materialize the lexical store: ONE tokenize pass over the corpus
@@ -339,12 +346,16 @@ object CorpusOps {
     val nT = count(lit(1)).over(Window.partitionBy(col("token")))
     val scored = postings.crossJoin(broadcast(stats))
       .withColumn("n_t", nT)
+      // DOUBLE products for the same overflow reason as [[bm25ImpactQ]];
+      // order matches the oracle's restatement op for op
       .withColumn("num",
-        lit(44L) * col("f") * col("n_tokens") * (lit(2L) * (col("n_docs") - col("n_t")) + lit(1L)))
+        lit(44.0) * col("f") * col("n_tokens") *
+          (lit(2L) * (col("n_docs") - col("n_t")) + lit(1L)).cast("double"))
       .withColumn("den",
-        (lit(20L) * col("f") * col("n_tokens") + lit(6L) * col("n_tokens")
-          + lit(18L) * col("dl") * col("n_docs")) * (lit(2L) * col("n_t") + lit(1L)))
-      .withColumn("score", col("num").cast("double") / col("den").cast("double"))
+        (lit(20.0) * col("f") * col("n_tokens") + lit(6.0) * col("n_tokens")
+          + lit(18.0) * col("dl") * col("n_docs")) *
+          (lit(2L) * col("n_t") + lit(1L)).cast("double"))
+      .withColumn("score", col("num") / col("den"))
     val rk = row_number().over(
       Window.partitionBy(col("token")).orderBy(col("score").desc, col("doc_id")))
     scored.withColumn("rk", rk.cast("long"))
@@ -368,9 +379,9 @@ object CorpusOps {
       |  GROUP BY doc_id, token),
       |scored AS (
       |  SELECT t.token, t.doc_id,
-      |    CAST(44 * t.f * s.n_tokens * (2 * (s.n_docs - count(*) OVER (PARTITION BY t.token)) + 1) AS DOUBLE)
-      |    / CAST((20 * t.f * s.n_tokens + 6 * s.n_tokens + 18 * d.dl * s.n_docs)
-      |           * (2 * count(*) OVER (PARTITION BY t.token) + 1) AS DOUBLE) AS score
+      |    CAST(44 AS DOUBLE) * t.f * s.n_tokens * CAST(2 * (s.n_docs - count(*) OVER (PARTITION BY t.token)) + 1 AS DOUBLE)
+      |    / ((CAST(20 AS DOUBLE) * t.f * s.n_tokens + CAST(6 AS DOUBLE) * s.n_tokens + CAST(18 AS DOUBLE) * d.dl * s.n_docs)
+      |       * CAST(2 * count(*) OVER (PARTITION BY t.token) + 1 AS DOUBLE)) AS score
       |  FROM tf t JOIN docs d USING (doc_id) CROSS JOIN stats s)
       |SELECT token, CAST(rk AS BIGINT) AS rk, doc_id, score FROM (
       |  SELECT token, doc_id, score,
@@ -604,71 +615,234 @@ object CorpusOps {
   private[graft] def q247SurvivorCount(spark: SparkSession, dir: String): Long =
     q247Pipeline(spark, dir)._1.count()
 
+  /** The single query is the batch engine's 1-row special case: one
+    * literal query (query_id 0, [[Q56Terms]]) through [[wandTopKBatch]],
+    * query_id projected away. This retires the per-query driver
+    * round-trips the standalone pipeline used for θ and df — the batch
+    * path derives both inside the DAG — while the literal terms keep the
+    * store reads partition-pruned.
+    */
   private def q247Pipeline(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
+    val one = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Q56Terms.map(t => org.apache.spark.sql.Row(0L, t)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType))))
+    val (survivors, topk) =
+      wandTopKBatch(spark, dir, one, Q247K, literalTerms = Some(Q56Terms))
+    (survivors,
+      topk.select(col("rk"), col("doc_id"), col("score"), col("n_terms"))
+        .orderBy(col("rk")))
+  }
+
+  // ---------------------------------------------------------------------
+  // q253: batch-of-queries WAND — a fleet of queries scored in ONE DAG
+  // ---------------------------------------------------------------------
+
+  private[graft] val Q253NumQueries = 120
+  private[graft] val Q253TermsPerQuery = 3
+  private[graft] val Q253MaxVocab = 1024
+  private[graft] val Q253Strides = 5
+
+  /** The q253 query fleet, derived deterministically from the corpus
+    * vocabulary so the DuckDB oracle can restate it: rank the top
+    * [[Q253MaxVocab]] terms by (df DESC, term) — TakeOrdered, never a
+    * global vocab sort; the rank window sees only those ≤1024 rows —
+    * then assign query i the terms at ranks
+    * `(i + j·(i mod 5 + 1)) mod v + 1` for j = 0..2: three terms per
+    * query, bases sweeping the vocabulary, five stride shapes so the
+    * fleets overlap realistically. DISTINCT guards the (query_id, term)
+    * pair contract when a stride wraps onto itself on a tiny vocabulary.
+    * In production the queries table is an INPUT (decontamination
+    * probes, eval suites); this builder exists so the driver-checked
+    * query is self-contained and data-derived.
+    */
+  def q253Queries(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = termFreqs(spark, dir)
+      .groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+      .orderBy(col("n_t").desc, col("term")).limit(Q253MaxVocab)
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("n_t").desc, col("term"))).cast("long"))
+      .select(col("rn"), col("term"))
+    val v = ranked.agg(count(lit(1)).as("v"))
+    spark.range(Q253NumQueries).select(col("id").as("query_id"))
+      .crossJoin(spark.range(Q253TermsPerQuery).select(col("id").as("j")))
+      .crossJoin(broadcast(v))
+      .withColumn("r",
+        (col("query_id") + col("j") * (col("query_id") % Q253Strides + lit(1L)))
+          % col("v") + lit(1L))
+      .join(broadcast(ranked), col("rn") === col("r"))
+      .select(col("query_id"), col("term")).distinct()
+  }
+
+  /** BATCH WAND/MaxScore: the q247 pruning protocol applied per query_id
+    * over a `queries(query_id, term)` table (distinct pairs), every query
+    * scored in ONE DAG — zero per-query driver round-trips, and plan
+    * construction performs no Spark action (PlanSpec-gated). Returns
+    * (survivors, topk).
+    *
+    * Per query: θ = the k-th best EXACT score among the docs matching the
+    * query's rarest term — a windowed seed ranking (row_number ≤ k, the
+    * WindowGroupLimit idiom, then a per-query count/min agg); upper bound
+    * ub(q,d) = Σ max_q(t) over d's matched terms from the store's
+    * ingest-time impact metadata; only survivors (ub ≥ θ) reach the
+    * dl-join + scoring stage. Safety is q247's argument per query
+    * partition: d in query q's true top-k ⇒ score ≥ k-th ≥ θ_q and
+    * ub ≥ score ⇒ d survives, so the pruned result EQUALS the brute one
+    * (the oracle restates the brute ranking). A query with fewer than k
+    * seeds gets θ = −∞ — unpruned but exact — for that query alone.
+    *
+    * Scale: candidates live in (query_id, doc_id) space — postings of
+    * query terms fanned out only to the queries using them; df, θ, and
+    * rarest-term frames are queries-sized broadcasts derived inside the
+    * plan; the expensive scoring touches seeds + survivors only. The
+    * QUERY axis adds no driver work — 10⁴ decontamination probes cost
+    * the same number of Spark actions as one query: zero until collect.
+    * `literalTerms` (when the query terms are compile-time literals)
+    * keeps the posting/maxscore store reads pruned to the terms' hash
+    * partitions, exactly like the single-query path.
+    */
+  def wandTopKBatch(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int = Q247K,
+      literalTerms: Option[Seq[String]] = None): (DataFrame, DataFrame) = {
     val docs = docLengths(spark, dir)
     val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
-    val tf = termFreqsFor(spark, dir, Q56Terms)
-      .select(col("doc_id"), col("term"), col("tf").as("f"))
-    // global df per query term (3 rows; NOT a within-subset count — the
-    // seed scoring must use the same idf the full scoring does)
-    val dfRows = tf.groupBy(col("term")).agg(count(lit(1)).as("n_t")).collect()
-    val dfF = spark.createDataFrame(
-      spark.sparkContext.parallelize(dfRows.toIndexedSeq, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("term",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("n_t",
-          org.apache.spark.sql.types.LongType))))
-    // exact scores for a doc subset: postings ⋈ subset ⋈ df ⋈ dl — the dl
-    // lookup happens ONLY for these docs
-    def scoreDocs(sub: DataFrame): DataFrame =
-      tf.join(sub, Seq("doc_id"))
-        .join(broadcast(dfF), Seq("term"))
+    val qt = queries.select(col("query_id"), col("term"))
+    // postings of every query term (partition-pruned when terms are literal)
+    val tfq0 = literalTerms match {
+      case Some(ts) => termFreqsFor(spark, dir, ts)
+      case None => termFreqs(spark, dir)
+        .join(broadcast(qt.select(col("term")).distinct()), Seq("term"), "leftsemi")
+    }
+    // global df per query term — the same idf the full scoring uses
+    val dfQ = tfq0.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+    // candidate postings per (query, doc)
+    val tfq = tfq0.join(broadcast(qt), Seq("term"))
+      .select(col("query_id"), col("term"), col("doc_id"), col("tf").as("f"))
+    // exact scores for a (query_id, doc_id) subset: ONLY these pairs'
+    // postings ever join the dl table
+    def scorePairs(pairs: DataFrame): DataFrame =
+      tfq.join(pairs, Seq("query_id", "doc_id"))
+        .join(broadcast(dfQ), Seq("term"))
         .join(docs, Seq("doc_id"))
         .crossJoin(broadcast(stats))
         .withColumn("q", bm25ImpactQ(col("f"), col("dl"), col("n_t"),
           col("n_docs"), col("n_tokens")))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("q")).cast("long").as("score"),
-          count(lit(1)).as("n_terms"))
-    val rarest = dfRows.map(r => (r.getLong(1), r.getString(0))).min._2
-    val seeds = tf.filter(col("term") === rarest).select(col("doc_id")).distinct()
-    val seedTop = scoreDocs(seeds)
-      .orderBy(col("score").desc, col("doc_id")).limit(Q247K).collect()
-    val theta =
-      if (seedTop.length >= Q247K) seedTop.last.getAs[Long]("score")
-      else Long.MinValue
-    // upper bounds from the ingest-time impact metadata (fallback: derive
-    // the same values from the query terms' scored postings — exact
-    // either way, the store just makes the prune free)
-    val maxs = maxScoresFor(spark, dir, Q56Terms).getOrElse(
-      scoreDocsAllContrib(tf, docs, stats, dfF))
-    val survivors = tf.join(broadcast(maxs), Seq("term"))
-      .groupBy(col("doc_id")).agg(sum(col("max_q")).as("ub"))
-      .filter(col("ub") >= theta)
-      .select(col("doc_id"))
-    val w = Window.orderBy(col("score").desc, col("doc_id"))
-    val topk = scoreDocs(survivors)
-      .orderBy(col("score").desc, col("doc_id")).limit(Q247K)
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .select(col("rk"), col("doc_id"), col("score"), col("n_terms"))
-      .orderBy(col("rk"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("q")).cast("long").as("score"), count(lit(1)).as("n_terms"))
+    // rarest term per query — the batch twin of q247's (n_t, term) min
+    val qrare = qt.join(dfQ, Seq("term"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("n_t").asc, col("term"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("term"))
+    val seeds = tfq.join(broadcast(qrare), Seq("query_id", "term"))
+      .select(col("query_id"), col("doc_id"))
+    // θ per query from the windowed seed ranking: k-th best where a full
+    // top-k exists, −∞ otherwise
+    val thetas = scorePairs(seeds)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rn") <= k)
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("nseed"), min(col("score")).as("kth"))
+      .select(col("query_id"),
+        when(col("nseed") === k, col("kth"))
+          .otherwise(lit(Long.MinValue)).as("theta"))
+    // per-term upper bounds: the store's ingest-time metadata, else
+    // derived from the query terms' scored postings (identical values —
+    // the store just makes the prune free)
+    val maxs = (literalTerms match {
+      case Some(ts) => maxScoresFor(spark, dir, ts)
+      case None => lexStored(spark, dir, "maxscore").map(
+        _.join(broadcast(qt.select(col("term")).distinct()), Seq("term"), "leftsemi")
+          .select(col("term"), col("max_q")))
+    }).getOrElse(
+      tfq0.join(broadcast(dfQ), Seq("term"))
+        .join(docs, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("q", bm25ImpactQ(col("tf"), col("dl"), col("n_t"),
+          col("n_docs"), col("n_tokens")))
+        .groupBy(col("term")).agg(max(col("q")).as("max_q")))
+    val survivors = tfq.join(broadcast(maxs), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id")).agg(sum(col("max_q")).as("ub"))
+      .join(broadcast(thetas), Seq("query_id"))
+      .filter(col("ub") >= col("theta"))
+      .select(col("query_id"), col("doc_id"))
+    val topk = scorePairs(survivors)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id")))
+        .cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("score"), col("n_terms"))
+      .orderBy(col("query_id"), col("rk"))
     (survivors, topk)
   }
 
-  /** Fallback per-term upper bounds when the store is absent: max
-    * quantized impact over the QUERY terms' postings (same formula, same
-    * global df — identical values to the store's rows for these terms).
+  /** q253: the WAND fleet — [[Q253NumQueries]] data-derived queries
+    * through [[wandTopKBatch]] in one DAG. The driver's oracle restates
+    * the brute per-query ranking, so any unsafe prune on ANY query breaks
+    * the hash.
     */
-  private def scoreDocsAllContrib(tf: DataFrame, docs: DataFrame,
-      stats: DataFrame, dfF: DataFrame): DataFrame =
-    tf.join(broadcast(dfF), Seq("term"))
-      .join(docs, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("q", bm25ImpactQ(col("f"), col("dl"), col("n_t"),
-        col("n_docs"), col("n_tokens")))
-      .groupBy(col("term")).agg(max(col("q")).as("max_q"))
+  def q253WandBatch(spark: SparkSession, dir: String): DataFrame =
+    wandTopKBatch(spark, dir, q253Queries(spark, dir))._2
+
+  /** Brute restatement of the fleet: the same derived queries (row_number
+    * over (df DESC, term) restates TakeOrdered-then-rank exactly), every
+    * candidate scored, ranked per query. No pruning — so a WAND bug on
+    * any of the 120 queries is a hash mismatch.
+    */
+  val q253Sql: String = {
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), t -> t <> '')) AS dl
+       |  FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_tokens FROM docs),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS f FROM (
+       |    SELECT doc_id,
+       |      unnest(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), t -> t <> '')) AS term
+       |    FROM documents)
+       |  GROUP BY doc_id, term),
+       |vocab AS (SELECT term, count(*) AS n_t FROM tf GROUP BY term),
+       |cap AS (
+       |  SELECT term, n_t, rn FROM (
+       |    SELECT term, n_t,
+       |      row_number() OVER (ORDER BY n_t DESC, term) AS rn
+       |    FROM vocab)
+       |  WHERE rn <= $Q253MaxVocab),
+       |vc AS (SELECT count(*) AS v FROM cap),
+       |idx AS (
+       |  SELECT p.query_id,
+       |    (p.query_id + p.j * (p.query_id % $Q253Strides + 1)) % vc.v + 1 AS r
+       |  FROM (SELECT q.range AS query_id, j.range AS j
+       |        FROM range($Q253NumQueries) q, range($Q253TermsPerQuery) j) p
+       |  CROSS JOIN vc),
+       |qt AS (
+       |  SELECT DISTINCT i.query_id, c.term, c.n_t
+       |  FROM idx i JOIN cap c ON c.rn = i.r),
+       |sc AS (
+       |  SELECT q.query_id, t.doc_id,
+       |    CAST(floor(
+       |      CAST(44 AS DOUBLE) * t.f * s.n_tokens * CAST(2 * (s.n_docs - q.n_t) + 1 AS DOUBLE)
+       |      / ((CAST(20 AS DOUBLE) * t.f * s.n_tokens + CAST(6 AS DOUBLE) * s.n_tokens + CAST(18 AS DOUBLE) * d.dl * s.n_docs)
+       |         * CAST(2 * q.n_t + 1 AS DOUBLE))
+       |      * 1e12) AS BIGINT) AS qq
+       |  FROM tf t JOIN qt q USING (term) JOIN docs d USING (doc_id) CROSS JOIN stats s),
+       |agg AS (
+       |  SELECT query_id, doc_id, CAST(sum(qq) AS BIGINT) AS score,
+       |    CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM sc GROUP BY query_id, doc_id)
+       |SELECT query_id, rk, doc_id, score, n_terms FROM (
+       |  SELECT query_id, doc_id, score, n_terms,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+       |  FROM agg)
+       |WHERE rk <= $Q247K ORDER BY query_id, rk""".stripMargin
+  }
 
   val q247Sql: String = {
     val in = Q56Terms.map(t => s"'$t'").mkString(", ")
@@ -687,9 +861,9 @@ object CorpusOps {
        |sc AS (
        |  SELECT t.doc_id,
        |    CAST(floor(
-       |      CAST(44 * t.f * s.n_tokens * (2 * (s.n_docs - count(*) OVER (PARTITION BY t.term)) + 1) AS DOUBLE)
-       |      / CAST((20 * t.f * s.n_tokens + 6 * s.n_tokens + 18 * d.dl * s.n_docs)
-       |             * (2 * count(*) OVER (PARTITION BY t.term) + 1) AS DOUBLE)
+       |      CAST(44 AS DOUBLE) * t.f * s.n_tokens * CAST(2 * (s.n_docs - count(*) OVER (PARTITION BY t.term)) + 1 AS DOUBLE)
+       |      / ((CAST(20 AS DOUBLE) * t.f * s.n_tokens + CAST(6 AS DOUBLE) * s.n_tokens + CAST(18 AS DOUBLE) * d.dl * s.n_docs)
+       |         * CAST(2 * count(*) OVER (PARTITION BY t.term) + 1 AS DOUBLE))
        |      * 1e12) AS BIGINT) AS q
        |  FROM tf t JOIN docs d USING (doc_id) CROSS JOIN stats s),
        |agg AS (
@@ -762,9 +936,9 @@ object CorpusOps {
        |sc AS (
        |  SELECT t.doc_id,
        |    CAST(floor(
-       |      CAST(44 * t.f * s.n_tokens * (2 * (s.n_docs - count(*) OVER (PARTITION BY t.term)) + 1) AS DOUBLE)
-       |      / CAST((20 * t.f * s.n_tokens + 6 * s.n_tokens + 18 * d.dl * s.n_docs)
-       |             * (2 * count(*) OVER (PARTITION BY t.term) + 1) AS DOUBLE)
+       |      CAST(44 AS DOUBLE) * t.f * s.n_tokens * CAST(2 * (s.n_docs - count(*) OVER (PARTITION BY t.term)) + 1 AS DOUBLE)
+       |      / ((CAST(20 AS DOUBLE) * t.f * s.n_tokens + CAST(6 AS DOUBLE) * s.n_tokens + CAST(18 AS DOUBLE) * d.dl * s.n_docs)
+       |         * CAST(2 * count(*) OVER (PARTITION BY t.term) + 1 AS DOUBLE))
        |      * 1e12) AS BIGINT) AS q
        |  FROM tf t JOIN docs d USING (doc_id) CROSS JOIN stats s),
        |agg AS (
@@ -847,9 +1021,9 @@ object CorpusOps {
        |sc AS (
        |  SELECT t.doc_id,
        |    CAST(floor(
-       |      CAST(44 * t.f * s.n_tokens * (2 * (s.n_docs - count(*) OVER (PARTITION BY t.term)) + 1) AS DOUBLE)
-       |      / CAST((20 * t.f * s.n_tokens + 6 * s.n_tokens + 18 * d.dl * s.n_docs)
-       |             * (2 * count(*) OVER (PARTITION BY t.term) + 1) AS DOUBLE)
+       |      CAST(44 AS DOUBLE) * t.f * s.n_tokens * CAST(2 * (s.n_docs - count(*) OVER (PARTITION BY t.term)) + 1 AS DOUBLE)
+       |      / ((CAST(20 AS DOUBLE) * t.f * s.n_tokens + CAST(6 AS DOUBLE) * s.n_tokens + CAST(18 AS DOUBLE) * d.dl * s.n_docs)
+       |         * CAST(2 * count(*) OVER (PARTITION BY t.term) + 1 AS DOUBLE))
        |      * 1e12) AS BIGINT) AS q
        |  FROM tf t JOIN docs d USING (doc_id) CROSS JOIN stats s),
        |agg AS (SELECT doc_id, CAST(sum(q) AS BIGINT) AS score FROM sc GROUP BY doc_id),
@@ -1277,6 +1451,7 @@ object CorpusOps {
     "q242_phrase_search" -> q242PhraseSearch _,
     "q244_proximity_pairs" -> q244ProximityPairs _,
     "q247_wand_topk" -> q247WandTopK _,
+    "q253_wand_batch" -> q253WandBatch _,
     "q251_retrieval_eval" -> q251RetrievalEval _,
     "q252_snippet_spans" -> q252SnippetSpans _,
     "q56_bm25_search" -> q56Bm25 _,
@@ -1292,6 +1467,7 @@ object CorpusOps {
     "q242_phrase_search" -> q242Sql,
     "q244_proximity_pairs" -> q244Sql,
     "q247_wand_topk" -> q247Sql,
+    "q253_wand_batch" -> q253Sql,
     "q251_retrieval_eval" -> q251Sql,
     "q252_snippet_spans" -> q252Sql,
     "q56_bm25_search" -> q56Sql,

@@ -318,12 +318,24 @@ object Dedup {
   def pairsFromIncremental(spark: SparkSession, store: String,
       maxBucket: Int = 256): DataFrame = {
     val sigs = spark.read.parquet(s"$store/sigs")
-    val buckets = spark.read.parquet(s"$store/bands")
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
+    pairCandidates(sigs,
+      capBuckets(spark.read.parquet(s"$store/bands"), maxBucket))
+  }
+
+  /** The bucket cap as a map-side-combinable agg + equi-join, NOT a
+    * window over (band, key): a degenerate hot bucket under the window
+    * becomes ONE straggler task buffering the whole bucket, while the
+    * count agg partial-aggregates wherever its rows sit (the
+    * [[CorpusOps]] df idiom). Semantics identical — a bucket survives
+    * iff its FINAL size is ≤ maxBucket.
+    */
+  private def capBuckets(bands: DataFrame, maxBucket: Int): DataFrame = {
+    val sizes = bands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket)
+      .select(col("band"), col("key"))
+    bands.join(sizes, Seq("band", "key"))
       .select(col("band"), col("key"), col("doc_id"))
-    pairCandidates(sigs, buckets)
   }
 
   /** One store table read back, or None when the store is absent, disabled,
@@ -354,14 +366,14 @@ object Dedup {
     else if (f.isFile) f.lastModified
     else (f.lastModified +: f.listFiles().map(latestMtime)).max
 
-  /** Cap-filtered (band, key, doc_id) banding of a signature frame. */
+  /** Cap-filtered (band, key, doc_id) banding of a signature frame —
+    * the cap runs through [[capBuckets]]' agg + join (never a window).
+    */
   private def bandBuckets(sigs: DataFrame, maxBucket: Int): DataFrame =
-    sigs
-      .select(col("doc_id"), posexplode(bandKeys(col("sig"), BANDS, ROWS)).as(Seq("band", "key")))
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
-      .filter(col("bsz") <= maxBucket)
-      .select(col("band"), col("key"), col("doc_id"))
+    capBuckets(
+      sigs.select(col("doc_id"),
+        posexplode(bandKeys(col("sig"), BANDS, ROWS)).as(Seq("band", "key"))),
+      maxBucket)
 
   /** Bucket-local pairing + signature-match estimate over prepared
     * signature and banding frames — shared by the cold build and the store

@@ -135,6 +135,47 @@ class CorpusOpsSpec extends SparkTestBase {
       s"expected the ub gate to prune: $tf survivors of $candidates candidates")
   }
 
+  test("q253 batch WAND: the shared query's slice equals q247's single-query output; " +
+      "the per-query prune is load-bearing") {
+    // a fleet containing BOTH the derived queries and q247's literal
+    // query — per-query θ/df/ub must be independent of the other queries
+    val shared = 100000L
+    val extra = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq("vector", "merge", "stream").map(t =>
+          org.apache.spark.sql.Row(shared, t)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType))))
+    val fleet = CorpusOps.q253Queries(spark, sfDir).unionByName(extra)
+    val (survivors, topk) = CorpusOps.wandTopKBatch(spark, sfDir, fleet)
+    val sharedSlice = topk.filter(col("query_id") === shared)
+      .select(col("rk"), col("doc_id"), col("score"), col("n_terms"))
+      .orderBy(col("rk")).collect().toSeq
+    val single = CorpusOps.q247WandTopK(spark, sfDir).collect().toSeq
+    assert(sharedSlice == single,
+      s"batch slice must equal the single-query ranking:\n$sharedSlice\n$single")
+    // prune effectiveness on the QUERY axis: strictly fewer (query, doc)
+    // pairs survive the ub gate than match any query term at all
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("t").trim.split("\\s+").filter(_.nonEmpty).toSet).toMap
+    val qterms = fleet.collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (q, ts) => q -> ts.map(_._2).toSet }
+    val candidates = qterms.toSeq.map { case (_, ts) =>
+      docs.count { case (_, toks) => ts.exists(toks.contains) }.toLong
+    }.sum
+    val surv = survivors.count()
+    assert(surv < candidates,
+      s"expected the batch ub gate to prune: $surv survivors of $candidates candidate pairs")
+    // the fleet itself is fleet-sized: >= 100 distinct queries scored
+    assert(topk.select(col("query_id")).distinct().count() >= 100L)
+  }
+
   test("q252 snippet spans equal a brute minimum-covering-window scan over the ranked docs") {
     val docs = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), lower(col("text")).as("t")).collect()

@@ -594,6 +594,28 @@ class PlanSpec extends SparkTestBase {
     assert(fromStore == cold, "store read-back must equal the cold candidate build")
   }
 
+  test("LSH bucket cap: no Window over band buckets in any candidate read path") {
+    // the (band, key) bucket cap must run as a map-side-combinable
+    // groupBy().count() + equi-join — a window over (band, key) funnels a
+    // degenerate hot bucket into ONE straggler task buffering the whole
+    // bucket, so its survival in any candidate plan is a scale bug
+    val store = java.nio.file.Files.createTempDirectory("graft_incsig").toString
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    // two appends — the incremental path's plan shape must match the cold one
+    Dedup.appendSigStore(docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0), store)
+    Dedup.appendSigStore(docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1), store)
+    Dedup.clearCandidateCache()
+    Dedup.signatureStoreEnabled = false
+    val plans =
+      try Seq(
+        "pairsFromIncremental" -> finalPlan(Dedup.pairsFromIncremental(spark, store)),
+        "cold minhashCandidates" -> finalPlan(Dedup.minhashCandidates(spark, sfDir)))
+      finally { Dedup.signatureStoreEnabled = true; Dedup.clearCandidateCache() }
+    for ((name, s) <- plans)
+      assert(!s.contains("Window"),
+        s"$name must cap buckets via agg+join, not a window:\n$s")
+  }
+
   test("z-order write path: a 2-dim box predicate skips most row groups at scan time") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.functions.{col, max}
@@ -1106,6 +1128,47 @@ class PlanSpec extends SparkTestBase {
       assert(rows.sameElements(cold),
         "store-served WAND must equal the tokenize-path result")
     } finally CorpusOps.lexStoreEnabled = true
+  }
+
+  test("q253 batch WAND: plan construction performs ZERO Spark actions; store-served") {
+    CorpusOps.writeLexStore(spark, sfDir)
+    // the whole point of the batch surface: the QUERY axis adds zero
+    // driver work. The only construction-time jobs allowed are the
+    // store reads' distributed partition-discovery listings
+    // (InMemoryFileIndex — table-count-sized, and something we WANT
+    // distributed at scale); any per-query or per-fleet collect added to
+    // the pipeline surfaces as a non-listing job and trips this gate.
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        seen.add(js.stageInfos.map(_.name).mkString(";").take(120))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val df =
+      try {
+        val built = CorpusOps.q253WandBatch(spark, sfDir)
+        // marker action (plain RDD job — exactly one, unmistakable stage
+        // name): once it appears on the ordered listener bus, every
+        // construction-time job has already been recorded before it
+        spark.sparkContext.parallelize(Seq(1), 1).count()
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (!seen.toArray.exists(_.toString.contains("count at")) &&
+          System.nanoTime() < deadline) Thread.sleep(20)
+        val pre = seen.toArray.map(_.toString)
+          .takeWhile(!_.contains("count at"))
+        assert(pre.forall(_.startsWith("parquet at")),
+          s"fleet plan construction must submit no Spark jobs beyond store " +
+            s"partition listings, saw: ${pre.mkString(" // ")}")
+        assert(pre.length <= 6,
+          s"store listing jobs must stay table-count-sized, saw ${pre.length}")
+        built
+      } finally spark.sparkContext.removeSparkListener(listener)
+    val s = finalPlan(df)
+    assert(!s.contains("documents.parquet"),
+      s"q253 must read the store (dl + postings + maxscore), not the corpus:\n$s")
+    assert(s.contains("maxscore"),
+      s"the upper bounds must come from the ingest-time impact metadata:\n$s")
   }
 
   test("q226: the only cross product is the documented tiny hours x types grid") {
