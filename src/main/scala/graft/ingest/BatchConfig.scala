@@ -17,7 +17,8 @@ final case class BatchConfig(
     appBaseUrl: Option[String] = None,
     modelApi: Option[String] = None,
     accessToken: Option[String] = None,
-    batchResultLogItems: Set[String] = Set.empty)
+    batchResultLogItems: Set[String] = Set.empty,
+    logLevel: Option[String] = None)  // BATCH_LOGGER_CONFIG, lib/batchProcessing.js:34-35,59-60
 
 object BatchConfig {
 
@@ -54,6 +55,26 @@ object BatchConfig {
       accessToken = s("ACCESS_TOKEN", "access_token"),
       batchResultLogItems = resolve(env, "BATCH_RESULT_LOG_ITEMS",
         options.get("batchResultLogItems"), fileDefaults.get("batchResultLogItems"), "")(identity)
-        .split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .split(",").map(_.trim).filter(_.nonEmpty).toSet,
+      // BATCH_LOGGER_CONFIG maps to the job log level, trimmed + lowercased
+      // (lib/batchProcessing.js:34-35,59-60) — and, exactly as the
+      // reference guards, it is IGNORED when LOGGER_CONFIG is already set
+      // (the generic logger config wins over the batch-specific shorthand)
+      logLevel =
+        if (env.contains("LOGGER_CONFIG")) None
+        else env.get("BATCH_LOGGER_CONFIG").map(_.trim.toLowerCase))
   }
+
+  /** Apply a resolved [[BatchConfig.logLevel]] to the engine's log4j2
+    * root logger — the Spark-side counterpart of the reference wiring its
+    * env var into oe-logger's default level. No-op when unset or when the
+    * value is not a log4j level name (the reference passes the string
+    * through to its logger just as loosely).
+    */
+  def applyLogLevel(cfg: BatchConfig): Unit =
+    cfg.logLevel.map(_.toUpperCase).foreach { lvl =>
+      val parsed = org.apache.logging.log4j.Level.toLevel(lvl, null)
+      if (parsed != null)
+        org.apache.logging.log4j.core.config.Configurator.setRootLevel(parsed)
+    }
 }

@@ -118,6 +118,27 @@ class BatchPipelineSpec extends SparkTestBase {
     assert(cfg.modelApi.contains("/api/x"))
   }
 
+  test("BATCH_LOGGER_CONFIG maps to logLevel unless LOGGER_CONFIG wins (P20)") {
+    // lib/batchProcessing.js:34-35,59-60 — trimmed + lowercased, and only
+    // consulted when LOGGER_CONFIG is absent
+    assert(BatchConfig.load(env = Map("BATCH_LOGGER_CONFIG" -> " DEBUG "))
+      .logLevel.contains("debug"))
+    assert(BatchConfig.load(env = Map(
+      "LOGGER_CONFIG" -> """{"levels":{"default":"info"}}""",
+      "BATCH_LOGGER_CONFIG" -> "debug")).logLevel.isEmpty)
+    assert(BatchConfig.load(env = Map.empty).logLevel.isEmpty)
+    // applying an unset / unknown level is a no-op, a real one round-trips
+    BatchConfig.applyLogLevel(BatchConfig())
+    BatchConfig.applyLogLevel(BatchConfig(logLevel = Some("not-a-level")))
+    val before = org.apache.logging.log4j.LogManager.getRootLogger.getLevel
+    try {
+      BatchConfig.applyLogLevel(BatchConfig(logLevel = Some("warn")))
+      assert(org.apache.logging.log4j.LogManager.getRootLogger.getLevel ==
+        org.apache.logging.log4j.Level.WARN)
+    } finally
+      org.apache.logging.log4j.core.config.Configurator.setRootLevel(before)
+  }
+
   test("runCsvJob invokes hooks around the run (P18)") {
     var events = List.empty[String]
     val hooks = Hooks(
