@@ -4,8 +4,20 @@
 # each run's stderr progress + stdout JSON line to the log.
 set -u
 cd /root/repo
-LOG=/root/repo/scale100_r13.log
+LOG=/root/repo/scale100_r14.log
 : > "$LOG"
+# Freeze the classpath so a dev-loop `sbt compile` can't race a campaign
+# JVM's lazy classloading — and CREATE the snapshot if it isn't there yet
+# (exporting a dangling path would make every per-query JVM die with
+# ClassNotFound and the loop burn the whole campaign logging failures).
+if [ ! -d /tmp/graft_scale_classes ]; then
+  if [ -d target/scala-2.13/classes ]; then
+    cp -r target/scala-2.13/classes /tmp/graft_scale_classes
+  else
+    echo "no compiled classes at target/scala-2.13/classes — run sbt compile first" >&2
+    exit 1
+  fi
+fi
 export SPARK_GRAFT_CLASSES=/tmp/graft_scale_classes
 export SPARK_GRAFT_REPLICAS=100
 export SPARK_GRAFT_SHUFFLE=256
