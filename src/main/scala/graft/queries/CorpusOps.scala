@@ -136,28 +136,75 @@ object CorpusOps {
       posts
         .withColumn("pbkt", pmod(h60(col("term")), lit(LexPostingBuckets.toLong)))
         .write.mode("overwrite").partitionBy("pbkt").parquet(s"$store/postings")
-      // per-term impact metadata (v3): df and the max quantized impact
-      // over the term's postings — Lucene's per-block impact analogue,
-      // computed ONCE at ingest with the global (N, T, df) so query-time
-      // upper bounds are exactly comparable to query-time scores. One
-      // full-postings scoring pass, paid at index build like a real
-      // engine's; the table is vocab-sized.
-      val stats = dls.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
-      val p = spark.read.parquet(s"$store/postings")
-        .select(col("doc_id"), col("term"), col("tf"))
-      // df via a map-side-combinable agg + term-keyed join, NOT a window:
-      // a stopword's term partition is corpus-sized and a window over it
-      // would sort the whole postings list in one task
-      val dfF = p.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
-      p.join(dls, Seq("doc_id")).join(dfF, Seq("term"))
-        .crossJoin(broadcast(stats))
-        .withColumn("q", bm25ImpactQ(col("tf"), col("dl"), col("n_t"),
-          col("n_docs"), col("n_tokens")))
-        .groupBy(col("term"))
-        .agg(max(col("n_t")).as("df"), max(col("q")).as("max_q"))
-        .withColumn("pbkt", pmod(h60(col("term")), lit(LexPostingBuckets.toLong)))
-        .write.mode("overwrite").partitionBy("pbkt").parquet(s"$store/maxscore")
     } finally { toks.unpersist(blocking = true); () }
+    refreshMaxScores(spark, store)
+  }
+
+  /** (Re)compute the `maxscore/` per-term impact metadata from the
+    * store's CURRENT `dl/` + `postings/`: df and the max quantized impact
+    * over each term's postings — Lucene's per-block impact analogue,
+    * computed with the global (N, T, df) so query-time upper bounds are
+    * exactly comparable to query-time scores. One full-postings scoring
+    * pass, paid at index build / compaction cadence like a real engine's;
+    * the table is vocab-sized. This IS the refresh job the incremental
+    * store defers to: impacts are non-monotone in the drifting global
+    * stats, so they are recomputed here — never appended — and the
+    * read path ([[wandTopKBatchFrom]]) only trusts them when `maxscore/`
+    * is at least as new as `postings/`.
+    */
+  def refreshMaxScores(spark: SparkSession, store: String): Unit = {
+    val dls = spark.read.parquet(s"$store/dl")
+    val stats = dls.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
+    val p = spark.read.parquet(s"$store/postings")
+      .select(col("doc_id"), col("term"), col("tf"))
+    // df via a map-side-combinable agg + term-keyed join, NOT a window:
+    // a stopword's term partition is corpus-sized and a window over it
+    // would sort the whole postings list in one task
+    val dfF = p.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+    p.join(dls, Seq("doc_id")).join(dfF, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("q", bm25ImpactQ(col("tf"), col("dl"), col("n_t"),
+        col("n_docs"), col("n_tokens")))
+      .groupBy(col("term"))
+      .agg(max(col("n_t")).as("df"), max(col("q")).as("max_q"))
+      .withColumn("pbkt", pmod(h60(col("term")), lit(LexPostingBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("pbkt").parquet(s"$store/maxscore")
+  }
+
+  /** LAYOUT MAINTENANCE for an incrementally-built lexical store — the
+    * composition [[appendLexStore]] defers to, now wired: bin-pack the
+    * per-trigger small files of `dl/` and `postings/` into
+    * `targetBytes`-sized outputs ([[graft.table.StoreMaint.compact]] —
+    * the q178 next-fit discipline run by the scan's own split planner,
+    * zero shuffle), then recompute `maxscore/` with the post-append
+    * global (N, T, df) so the WAND read path gets store-served upper
+    * bounds again. Row contents are untouched; every retrieval oracle
+    * must hash-match across a compaction.
+    */
+  def compactLexStore(spark: SparkSession, store: String,
+      targetBytes: Long = 32L << 20): Unit = {
+    graft.table.StoreMaint.compact(spark, s"$store/dl", Seq.empty, targetBytes)
+    graft.table.StoreMaint.compact(spark, s"$store/postings", Seq("pbkt"), targetBytes)
+    refreshMaxScores(spark, store)
+  }
+
+  /** ERASURE PROPAGATION into the lexical store (the q214 "right to be
+    * forgotten" contract extended to the DERIVED artifact — at 100 TB the
+    * index that still serves an erased document's tokens and positions
+    * fails the obligation the table layer just honored): remove every
+    * trace of the docs matching `pred` from `dl/` and `postings/` via
+    * file-level copy-on-write (only files containing the subjects'
+    * rows rewrite — the postings footprint of a doc batch is bounded by
+    * its term buckets), then RECOMPUTE `maxscore/` from the surviving
+    * postings: the global (N, T, df) all shrank, and a term that
+    * occurred only in erased docs must vanish from the metadata too —
+    * per-term rows are themselves derived content.
+    */
+  def eraseLexStore(spark: SparkSession, store: String,
+      pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit = {
+    graft.table.StoreMaint.eraseWhere(spark, s"$store/dl", Seq.empty, pred(col("doc_id")))
+    graft.table.StoreMaint.eraseWhere(spark, s"$store/postings", Seq("pbkt"), pred(col("doc_id")))
+    refreshMaxScores(spark, store)
   }
 
   /** Append ONE micro-batch of documents to an incremental lexical store
@@ -710,7 +757,6 @@ object CorpusOps {
       k: Int = Q247K,
       literalTerms: Option[Seq[String]] = None): (DataFrame, DataFrame) = {
     val docs = docLengths(spark, dir)
-    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
     val qt = queries.select(col("query_id"), col("term"))
     // postings of every query term (partition-pruned when terms are literal)
     val tfq0 = literalTerms match {
@@ -718,6 +764,100 @@ object CorpusOps {
       case None => termFreqs(spark, dir)
         .join(broadcast(qt.select(col("term")).distinct()), Seq("term"), "leftsemi")
     }
+    // per-term upper bounds: the store's ingest-time metadata when fresh
+    val maxs = literalTerms match {
+      case Some(ts) => maxScoresFor(spark, dir, ts)
+      case None => lexStored(spark, dir, "maxscore").map(
+        _.join(broadcast(qt.select(col("term")).distinct()), Seq("term"), "leftsemi")
+          .select(col("term"), col("max_q")))
+    }
+    wandCore(docs, tfq0, qt, maxs, k)
+  }
+
+  /** [[wandTopKBatch]] served from an EXPLICIT store path (an
+    * incrementally-built / compacted / erased lexical store rather than
+    * the corpus dir's canonical fixture): `dl/` and the query terms'
+    * `postings/` partitions feed the identical pruning protocol. The
+    * `maxscore/` metadata is trusted ONLY when its `_SUCCESS` is at least
+    * as new as the newest `postings/` file — impacts are non-monotone in
+    * the global stats, so bounds computed before a later append are NOT
+    * valid upper bounds; a stale table falls back to deriving exact
+    * bounds from the current postings (same values the refresh would
+    * write), and [[compactLexStore]] / [[refreshMaxScores]] restores the
+    * store-served prune.
+    */
+  def wandTopKBatchFrom(spark: SparkSession, store: String, queries: DataFrame,
+      k: Int = Q247K,
+      literalTerms: Option[Seq[String]] = None): (DataFrame, DataFrame) = {
+    val docs = spark.read.parquet(s"$store/dl")
+    val posts = spark.read.parquet(s"$store/postings")
+    val qt = queries.select(col("query_id"), col("term"))
+    val tfq0 = literalTerms match {
+      case Some(ts) =>
+        val bkts = ts.map(lexBucketOf).distinct
+        posts.filter(col("pbkt").isin(bkts: _*) && col("term").isin(ts: _*))
+          .select(col("doc_id"), col("term"), col("tf"))
+      case None => posts.select(col("doc_id"), col("term"), col("tf"))
+        .join(broadcast(qt.select(col("term")).distinct()), Seq("term"), "leftsemi")
+    }
+    val msSuccess = new java.io.File(s"$store/maxscore/_SUCCESS")
+    val maxs =
+      if (msSuccess.exists() &&
+        msSuccess.lastModified >= Dedup.latestMtime(new java.io.File(s"$store/postings")))
+        Some {
+          val m = spark.read.parquet(s"$store/maxscore")
+          literalTerms match {
+            case Some(ts) =>
+              val bkts = ts.map(lexBucketOf).distinct
+              m.filter(col("pbkt").isin(bkts: _*) && col("term").isin(ts: _*))
+                .select(col("term"), col("max_q"))
+            case None => m
+              .join(broadcast(qt.select(col("term")).distinct()), Seq("term"), "leftsemi")
+              .select(col("term"), col("max_q"))
+          }
+        }
+      else None
+    wandCore(docs, tfq0, qt, maxs, k)
+  }
+
+  /** The q247-shaped single-query ranking ([[Q56Terms]], top [[Q247K]])
+    * served from an explicit store via [[wandTopKBatchFrom]] — the
+    * compaction / erasure queries' read surface. Must hash-match
+    * [[q247Sql]] restated over whatever corpus the store now indexes.
+    */
+  def wandTopKFromStore(spark: SparkSession, store: String): DataFrame =
+    wandTopKBatchFrom(spark, store, oneQueryFrame(spark),
+      Q247K, literalTerms = Some(Q56Terms))._2
+      .select(col("rk"), col("doc_id"), col("score"), col("n_terms"))
+      .orderBy(col("rk"))
+
+  /** Diagnostic twin of [[wandTopKFromStore]] for the prune-effectiveness
+    * gates: the (survivors, topk) pair.
+    */
+  private[graft] def wandFromStorePair(spark: SparkSession,
+      store: String): (DataFrame, DataFrame) =
+    wandTopKBatchFrom(spark, store, oneQueryFrame(spark),
+      Q247K, literalTerms = Some(Q56Terms))
+
+  private def oneQueryFrame(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Q56Terms.map(t => org.apache.spark.sql.Row(0L, t)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType))))
+
+  /** The shared pruning/scoring DAG over explicit frames: `docs`
+    * (doc_id, dl), `tfq0` (doc_id, term, tf) already restricted to the
+    * query terms, `qt` (query_id, term), and optional per-term stored
+    * bounds (term, max_q). See [[wandTopKBatch]] for the protocol and
+    * safety argument.
+    */
+  private def wandCore(docs: DataFrame, tfq0: DataFrame, qt: DataFrame,
+      storedMaxs: Option[DataFrame], k: Int): (DataFrame, DataFrame) = {
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
     // global df per query term — the same idf the full scoring uses
     val dfQ = tfq0.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
     // candidate postings per (query, doc)
@@ -756,12 +896,7 @@ object CorpusOps {
     // per-term upper bounds: the store's ingest-time metadata, else
     // derived from the query terms' scored postings (identical values —
     // the store just makes the prune free)
-    val maxs = (literalTerms match {
-      case Some(ts) => maxScoresFor(spark, dir, ts)
-      case None => lexStored(spark, dir, "maxscore").map(
-        _.join(broadcast(qt.select(col("term")).distinct()), Seq("term"), "leftsemi")
-          .select(col("term"), col("max_q")))
-    }).getOrElse(
+    val maxs = storedMaxs.getOrElse(
       tfq0.join(broadcast(dfQ), Seq("term"))
         .join(docs, Seq("doc_id"))
         .crossJoin(broadcast(stats))

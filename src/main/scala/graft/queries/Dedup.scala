@@ -309,6 +309,39 @@ object Dedup {
     } finally { sigs.unpersist(blocking = true); () }
   }
 
+  /** LAYOUT MAINTENANCE for an incrementally-built signature store: the
+    * per-trigger small files of `sigs/` and the band-partitioned `bands/`
+    * bin-pack into `targetBytes`-sized outputs
+    * ([[graft.table.StoreMaint.compact]] — q178's next-fit discipline run
+    * by the scan's split planner, zero shuffle). Row contents are
+    * untouched, so [[pairsFromIncremental]] — and q40's oracle — must
+    * hash-match across a compaction.
+    */
+  def compactSigStore(spark: SparkSession, store: String,
+      targetBytes: Long = 32L << 20): Unit = {
+    graft.table.StoreMaint.compact(spark, s"$store/sigs", Seq.empty, targetBytes)
+    graft.table.StoreMaint.compact(spark, s"$store/bands", Seq("band"), targetBytes)
+  }
+
+  /** ERASURE PROPAGATION into the signature store (q214's "right to be
+    * forgotten" contract on the DERIVED dedup artifact): remove the docs
+    * matching `pred` from `sigs/` and `bands/` — and from a materialized
+    * `pairs/` table, where a pair dies when EITHER side is erased — via
+    * file-level copy-on-write ([[graft.table.StoreMaint.eraseWhere]]):
+    * only files containing the subjects' rows rewrite, bounded by the
+    * erased docs' band footprint. A MinHash signature is derived content
+    * under every deletion regime — it reconstructs set membership of the
+    * doc's shingles — so it falls under the same obligation as the text.
+    */
+  def eraseSigStore(spark: SparkSession, store: String,
+      pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit = {
+    graft.table.StoreMaint.eraseWhere(spark, s"$store/sigs", Seq.empty, pred(col("doc_id")))
+    graft.table.StoreMaint.eraseWhere(spark, s"$store/bands", Seq("band"), pred(col("doc_id")))
+    if (new java.io.File(s"$store/pairs").isDirectory)
+      graft.table.StoreMaint.eraseWhere(spark, s"$store/pairs", Seq.empty,
+        pred(col("id_a")) || pred(col("id_b")))
+  }
+
   /** Candidate pairs from an incrementally-built store: the bucket cap and
     * bucket-local pairing run over the ACCUMULATED sigs/bands tables —
     * the same [[pairCandidates]] stage the batch build runs, over provably

@@ -1692,6 +1692,124 @@ object IngestOps {
       .limit(100)
   }
 
+  // -------------------------------------------------------------------
+  // q254/q255/q256: store layout maintenance + erasure propagation
+  // -------------------------------------------------------------------
+
+  /** Built-store fixture memo (JVM × sf dir): the store builds once, every
+    * rep / repeat invocation reads the published artifact — the same
+    * hoist-the-build contract as [[vtMemo]].
+    */
+  private val storeMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The derived-store erasure-request predicate: doc_ids with
+    * h60(id:gdpr) % 20 == 0 (~5%) file requests — deterministic, so the
+    * oracles recompute the request set from the documents table (the
+    * q214 idiom applied to the corpus).
+    */
+  private[graft] val EraseMod = 20L
+  private[graft] def erasePred(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.ColFns.h60(concat(id.cast("string"), lit(":gdpr"))) % EraseMod === 0
+  private val erasePredSql =
+    s"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':gdpr'), 1, 15))::BIGINT % $EraseMod = 0"
+
+  /** Restate `sql` over the erasure SURVIVORS: every corpus reference
+    * routes through a `q_survivors` CTE holding the not-erased documents,
+    * so the oracle's global stats (N, T, df) — and therefore every score —
+    * assume the erased docs are fully gone. Any residue the engine leaves
+    * in a store table shifts the Spark-side numbers and breaks the hash.
+    */
+  private def overSurvivors(sql: String): String =
+    sql.replace("FROM documents", "FROM q_survivors")
+      .replaceFirst("WITH ",
+        s"WITH q_survivors AS (SELECT * FROM documents WHERE NOT ($erasePredSql)),\n")
+
+  /** q254 — STORE COMPACTION + IMPACT REFRESH, the layout-maintenance
+    * composition the incremental store defers to, wired end to end: six
+    * [[CorpusOps.appendLexStore]] batches accrete a lexical store exactly
+    * the way q249's per-trigger appends do (a file per partition per
+    * batch, no `maxscore/`), then [[CorpusOps.compactLexStore]] bin-packs
+    * `dl/` + `postings/` (q178's next-fit discipline executed by the
+    * scan's split planner — zero shuffle) and recomputes `maxscore/` with
+    * the post-append global (N, T, df). The query serves the q247 WAND
+    * ranking from the compacted store: the store-served upper bounds are
+    * live again (PlanSpec gates the prune and file-count reduction), and
+    * the ranking must hash-match [[CorpusOps.q247Sql]] verbatim — layout
+    * maintenance is invisible to results, visible only to scan cost.
+    */
+  def q254CompactLexStore(spark: SparkSession, dir: String): DataFrame = {
+    val store = storeMemo.getOrElseUpdate(s"q254:$dir", {
+      val base = graft.Tables.fixtureRoot("q254", dir)
+      val baseDir = new java.io.File(base)
+      if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+      val s = s"$base/lexstore"
+      val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      (0L until 6L).foreach(i => CorpusOps.appendLexStore(
+        docs.filter(pmod(col("doc_id"), lit(6L)) === i), s))
+      CorpusOps.compactLexStore(spark, s)
+      s
+    })
+    CorpusOps.wandTopKFromStore(spark, store)
+  }
+
+  /** q255 — ERASURE PROPAGATION into the LEXICAL store: the q214 "right
+    * to be forgotten" contract extended to the derived retrieval
+    * artifact. The store is built whole (append + impact refresh, so the
+    * pre-erasure `maxscore/` EXISTS and must be invalidated), then
+    * [[CorpusOps.eraseLexStore]] removes the requested docs' dl rows,
+    * postings, and positions via file-level copy-on-write and recomputes
+    * the impact metadata from the survivors — a term occurring only in
+    * erased docs vanishes from `maxscore/` too, because per-term rows are
+    * themselves derived content. The query serves the WAND ranking from
+    * the cleaned store; the oracle restates q247 over `documents` MINUS
+    * the request set, so residue anywhere — a surviving posting, a stale
+    * doc count, an un-refreshed bound that mis-prunes — breaks the hash.
+    */
+  def q255EraseLexStore(spark: SparkSession, dir: String): DataFrame = {
+    val store = storeMemo.getOrElseUpdate(s"q255:$dir", {
+      val base = graft.Tables.fixtureRoot("q255", dir)
+      val baseDir = new java.io.File(base)
+      if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+      val s = s"$base/lexstore"
+      CorpusOps.appendLexStore(
+        Tables(spark, dir, "documents").select(col("doc_id"), col("text")), s)
+      CorpusOps.refreshMaxScores(spark, s)
+      CorpusOps.eraseLexStore(spark, s, erasePred)
+      s
+    })
+    CorpusOps.wandTopKFromStore(spark, store)
+  }
+
+  /** q256 — ERASURE PROPAGATION into the SIGNATURE store: same contract
+    * as q255 on the dedup artifact (a MinHash signature reconstructs
+    * shingle membership — derived content under every deletion regime).
+    * [[Dedup.eraseSigStore]] rewrites only the files carrying the
+    * subjects' signatures, band rows, and (in the materialized `pairs/`)
+    * any pair touching them. The query recomputes candidates from the
+    * cleaned sigs/bands — recomputation, not pair-table surgery, is the
+    * exact read path: the LSH bucket cap can only OPEN when docs leave a
+    * bucket, so a pairs table filtered in place is a subset fast-path
+    * while the recompute is exact by construction. Oracle: q40's full
+    * MinHash restatement over the surviving documents.
+    */
+  def q256EraseSigStore(spark: SparkSession, dir: String): DataFrame = {
+    val store = storeMemo.getOrElseUpdate(s"q256:$dir", {
+      val base = graft.Tables.fixtureRoot("q256", dir)
+      val baseDir = new java.io.File(base)
+      if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+      val s = s"$base/sigstore"
+      Dedup.appendSigStore(
+        Tables(spark, dir, "documents").select(col("doc_id"), col("text")), s)
+      Dedup.pairsFromIncremental(spark, s)
+        .write.mode("overwrite").parquet(s"$s/pairs")
+      Dedup.eraseSigStore(spark, s, erasePred)
+      s
+    })
+    Dedup.pairsFromIncremental(spark, store)
+      .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
+      .limit(100)
+  }
+
   def q241DeltaAdopt(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.DeltaLog
     val delta = s"${q241Fixture(spark, dir)}/delta"
@@ -2483,6 +2601,9 @@ object IngestOps {
     "q248_delta_stream" -> q248DeltaStreamRead _,
     "q249_incremental_lexstore" -> q249IncrementalLexStore _,
     "q250_incremental_sigstore" -> q250IncrementalSigStore _,
+    "q254_compact_lexstore" -> q254CompactLexStore _,
+    "q255_erase_lexstore" -> q255EraseLexStore _,
+    "q256_erase_sigstore" -> q256EraseSigStore _,
     "q196_table_maintenance" -> q196TableMaintenance _,
     "q192_time_travel" -> q192TimeTravel _,
     "q189_schema_evolution" -> q189SchemaEvolution _,
@@ -2523,6 +2644,9 @@ object IngestOps {
     "q248_delta_stream" -> q248Sql,
     "q249_incremental_lexstore" -> CorpusOps.q56Sql,
     "q250_incremental_sigstore" -> Dedup.q40Sql,
+    "q254_compact_lexstore" -> CorpusOps.q247Sql,
+    "q255_erase_lexstore" -> overSurvivors(CorpusOps.q247Sql),
+    "q256_erase_sigstore" -> overSurvivors(Dedup.q40Sql),
     "q196_table_maintenance" -> q196Sql,
     "q192_time_travel" -> q192Sql,
     "q189_schema_evolution" -> q189Sql,

@@ -1,0 +1,186 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.queries.{CorpusOps, Dedup, IngestOps}
+import graft.table.StoreMaint
+
+/** Layout maintenance + erasure propagation on the derived stores:
+  * compaction reduces the files every plan actually reads without moving
+  * a single result; erasure leaves NO residue in any store table,
+  * rewrites only the files that held the subjects' rows, and the cleaned
+  * store is indistinguishable from one built cold from the surviving
+  * corpus.
+  */
+class StoreMaintSpec extends SparkTestBase {
+
+  private def docs = Tables(spark, sfDir, "documents")
+    .select(col("doc_id"), col("text"))
+
+  private def pred(id: org.apache.spark.sql.Column) = IngestOps.erasePred(id)
+
+  /** Files the EXECUTED plan read, summed over every file scan (post
+    * partition-pruning — the store's hash-bucket pruning shows up here).
+    */
+  private def filesRead(df: DataFrame): Long = {
+    df.collect()
+    def all(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+      case _ => p +: p.children.flatMap(all)
+    }
+    all(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }
+      .sum
+  }
+
+  test("lex store compaction: >=4x fewer files read by q56/q247 plans, " +
+      "hash-equal results, refreshed bounds prune at least as hard") {
+    val store = Files.createTempDirectory("graft_lexcompact").toString + "/lexstore"
+    (0L until 8L).foreach(i =>
+      CorpusOps.appendLexStore(docs.filter(pmod(col("doc_id"), lit(8L)) === i), store))
+    val preBm25 = CorpusOps.bm25FromIncremental(spark, store).collect().toSeq
+    val (preSurvF, preTopkF) = CorpusOps.wandFromStorePair(spark, store)
+    val preTopk = preTopkF.collect().toSeq
+    val preSurv = preSurvF.count() // fallback-derived bounds: maxscore/ absent
+    val preFiles = filesRead(CorpusOps.bm25FromIncremental(spark, store)) +
+      filesRead(CorpusOps.wandFromStorePair(spark, store)._2)
+
+    CorpusOps.compactLexStore(spark, store)
+
+    val postBm25F = CorpusOps.bm25FromIncremental(spark, store)
+    val (postSurvF, postTopkF) = CorpusOps.wandFromStorePair(spark, store)
+    assert(postBm25F.collect().toSeq == preBm25,
+      "compaction must not move a single BM25 row")
+    assert(postTopkF.collect().toSeq == preTopk,
+      "compaction must not move the WAND ranking")
+    val postFiles = filesRead(CorpusOps.bm25FromIncremental(spark, store)) +
+      filesRead(CorpusOps.wandFromStorePair(spark, store)._2)
+    assert(preFiles >= 4 * postFiles,
+      s"post-compaction plans must read >=4x fewer files: $preFiles -> $postFiles")
+    // the physical store shrank too, not just the pruned read set
+    assert(StoreMaint.dataFileCount(s"$store/dl") <= 2,
+      "dl/ should compact from 8 append files to a couple")
+    // prune effectiveness: the refreshed metadata equals the bounds the
+    // fallback derives (recomputed from the same postings), so the
+    // survivor set must not grow — and the gate must actually cut
+    val postSurv = postSurvF.count()
+    assert(postSurv <= preSurv,
+      s"refreshed bounds must prune at least as hard: $preSurv -> $postSurv")
+    val candidates = spark.read.parquet(s"$store/dl").count()
+    assert(postSurv < candidates, "the ub gate must prune below the corpus size")
+  }
+
+  test("stale maxscore is never used: a post-refresh append falls back to " +
+      "derived bounds until the next refresh, results exact throughout") {
+    val store = Files.createTempDirectory("graft_lexstale").toString + "/lexstore"
+    (0L until 3L).foreach(i =>
+      CorpusOps.appendLexStore(docs.filter(pmod(col("doc_id"), lit(4L)) === i), store))
+    CorpusOps.refreshMaxScores(spark, store)
+    // one more append AFTER the refresh: the stored bounds are now computed
+    // from stale global stats — not valid upper bounds — and must be ignored
+    CorpusOps.appendLexStore(docs.filter(pmod(col("doc_id"), lit(4L)) === 3), store)
+    val staleServed = CorpusOps.wandTopKFromStore(spark, store).collect().toSeq
+    // reference: the same store with CURRENT metadata
+    CorpusOps.refreshMaxScores(spark, store)
+    val fresh = CorpusOps.wandTopKFromStore(spark, store).collect().toSeq
+    assert(staleServed == fresh,
+      "the stale-metadata read must fall back to exact derived bounds")
+    // and the full-corpus single-append store agrees (batching invariance)
+    val whole = Files.createTempDirectory("graft_lexwhole").toString + "/lexstore"
+    CorpusOps.appendLexStore(docs, whole)
+    assert(CorpusOps.wandTopKFromStore(spark, whole).collect().toSeq == fresh)
+  }
+
+  test("lex store erasure is file-level copy-on-write: a single doc's erase " +
+      "rewrites only its batch x term-bucket files, everything else stays put") {
+    val store = Files.createTempDirectory("graft_lexcow").toString + "/lexstore"
+    (0L until 8L).foreach(i =>
+      CorpusOps.appendLexStore(docs.filter(pmod(col("doc_id"), lit(8L)) === i), store))
+    val victim = docs.select(min(col("doc_id"))).collect()(0).getLong(0)
+    def inv(path: String): Map[String, Long] =
+      StoreMaint.dataFiles(path).map(p => p.toString -> Files.size(p)).toMap
+    val hitFiles = spark.read.parquet(s"$store/postings")
+      .withColumn("__f", input_file_name()).filter(col("doc_id") === victim)
+      .select("__f").distinct().collect()
+      .map(r => java.nio.file.Paths.get(java.net.URI.create(r.getString(0))).toString).toSet
+    val preInv = inv(s"$store/postings")
+    // one doc lives in ONE append batch: at least the other 7 batches'
+    // files — whatever bucket they are in — must be untouched
+    assert(hitFiles.nonEmpty && hitFiles.size * 2 < preInv.size,
+      s"fixture must leave most files unhit: ${hitFiles.size} of ${preInv.size}")
+
+    CorpusOps.eraseLexStore(spark, store, id => id === victim)
+
+    val postInv = inv(s"$store/postings")
+    for ((f, sz) <- preInv if !hitFiles.contains(f))
+      assert(postInv.get(f).contains(sz), s"untouched file rewritten or lost: $f")
+    assert(hitFiles.forall(f => !postInv.contains(f)), "hit files must be gone")
+    assert(spark.read.parquet(s"$store/postings")
+      .filter(col("doc_id") === victim).count() == 0)
+    assert(spark.read.parquet(s"$store/dl")
+      .filter(col("doc_id") === victim).count() == 0)
+  }
+
+  test("lex store erasure: zero residue in dl/postings/maxscore and the " +
+      "cleaned store equals a cold store built from the survivors") {
+    val store = Files.createTempDirectory("graft_lexerase").toString + "/lexstore"
+    CorpusOps.appendLexStore(docs, store)
+    CorpusOps.refreshMaxScores(spark, store)
+
+    CorpusOps.eraseLexStore(spark, store, pred)
+
+    // (a) no store table contains an erased doc_id — or a term that only
+    // erased docs carried (per-term metadata rows are derived content too)
+    assert(spark.read.parquet(s"$store/dl").filter(pred(col("doc_id"))).count() == 0)
+    assert(spark.read.parquet(s"$store/postings").filter(pred(col("doc_id"))).count() == 0)
+    val survivorVocab = docs.filter(!pred(col("doc_id")))
+      .select(explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), "\\s+")).as("t"))
+      .filter(col("t") =!= "").distinct().collect().map(_.getString(0)).toSet
+    val msTerms = spark.read.parquet(s"$store/maxscore")
+      .select("term").collect().map(_.getString(0)).toSet
+    assert(msTerms == survivorVocab,
+      "maxscore must cover exactly the surviving vocabulary")
+    // (b) results over the cleaned store == a store built cold from survivors
+    val cold = Files.createTempDirectory("graft_lexcold").toString + "/lexstore"
+    CorpusOps.appendLexStore(docs.filter(!pred(col("doc_id"))), cold)
+    CorpusOps.refreshMaxScores(spark, cold)
+    assert(CorpusOps.wandTopKFromStore(spark, store).collect().toSeq ==
+      CorpusOps.wandTopKFromStore(spark, cold).collect().toSeq)
+    assert(CorpusOps.bm25FromIncremental(spark, store).collect().toSeq ==
+      CorpusOps.bm25FromIncremental(spark, cold).collect().toSeq)
+  }
+
+  test("sig store erasure: zero residue in sigs/bands/pairs, candidates == " +
+      "cold survivor build; compaction leaves the pair set untouched") {
+    val store = Files.createTempDirectory("graft_sigerase").toString + "/sigstore"
+    (0L until 4L).foreach(i =>
+      Dedup.appendSigStore(docs.filter(pmod(col("doc_id"), lit(4L)) === i), store))
+    Dedup.pairsFromIncremental(spark, store)
+      .write.mode("overwrite").parquet(s"$store/pairs")
+
+    Dedup.eraseSigStore(spark, store, pred)
+
+    assert(spark.read.parquet(s"$store/sigs").filter(pred(col("doc_id"))).count() == 0)
+    assert(spark.read.parquet(s"$store/bands").filter(pred(col("doc_id"))).count() == 0)
+    assert(spark.read.parquet(s"$store/pairs")
+      .filter(pred(col("id_a")) || pred(col("id_b"))).count() == 0)
+    val cleaned = Dedup.pairsFromIncremental(spark, store)
+      .orderBy(col("id_a"), col("id_b")).collect().toSeq
+    val cold = Files.createTempDirectory("graft_sigcold").toString + "/sigstore"
+    Dedup.appendSigStore(docs.filter(!pred(col("doc_id"))), cold)
+    assert(cleaned == Dedup.pairsFromIncremental(spark, cold)
+      .orderBy(col("id_a"), col("id_b")).collect().toSeq,
+      "cleaned store must equal the cold survivor build")
+    // layout maintenance on the cleaned store: fewer files, same candidates
+    val preFiles = StoreMaint.dataFileCount(s"$store/bands")
+    Dedup.compactSigStore(spark, store)
+    assert(StoreMaint.dataFileCount(s"$store/bands") < preFiles)
+    assert(Dedup.pairsFromIncremental(spark, store)
+      .orderBy(col("id_a"), col("id_b")).collect().toSeq == cleaned)
+  }
+}
