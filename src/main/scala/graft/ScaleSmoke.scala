@@ -159,6 +159,29 @@ object ScaleSmoke {
     }
   }
 
+  /** NAIVE-tiled documents (doc_id offsets, text UNCHANGED): every replica
+    * repeats replica 0 verbatim. Wrong for any cross-document pipeline —
+    * the near-dup pair graph would grow quadratically, which is a
+    * different workload, not a scale-up — but exactly right for the
+    * per-document phrase/proximity rows: the literal query terms now
+    * match in EVERY replica, so the match set (and the banded position
+    * join feeding it) grows Nx. The bijection corpus cannot express this
+    * stress: rotated replicas never contain the query terms, so matches
+    * stay replica-0-local and output is constant by construction
+    * (BENCH_NOTES_r13 §5).
+    */
+  def synthesizePlain(spark: SparkSession, baseDir: String, outDir: String): Unit =
+    tiled(outDir, "documents") {
+      val docs = Tables(spark, baseDir, "documents")
+      (0 until Replicas).map { i =>
+        docs.select(docs.columns.toIndexedSeq.map {
+          case "doc_id" => (col("doc_id") + lit(i * IdStride)).as("doc_id")
+          case c        => col(c)
+        }: _*)
+      }.reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
+
   /** The skew corpus: the 10× documents with every row forced into ONE
     * language — a 100%-dominant-language shape.
     */
@@ -207,7 +230,12 @@ object ScaleSmoke {
 
     val scaledDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale${Replicas}x"
     val skewedDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale${Replicas}x_skew"
+    val plainDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale${Replicas}x_plain"
     synthesize(spark, baseDir, scaledDir)
+    // the naive-tiled corpus is read only by the dense phrase/proximity rows
+    if (Seq("q242_phrase_search_dense", "q244_proximity_pairs_dense")
+        .exists(SparkEntry.onlyFilter()))
+      synthesizePlain(spark, baseDir, plainDir)
     // the skew corpus is read only by the two packing-skew rows
     if (Seq("q97_sharded_packing_skewed", "q49_packing_skewed")
         .exists(SparkEntry.onlyFilter()))
@@ -379,6 +407,15 @@ object ScaleSmoke {
       // runs over the (constant) matching positions, so the Nx cost is the
       // position-enumerating scan, never the join
       ("q244_proximity_pairs", graft.queries.CorpusOps.q244ProximityPairs _, scaledDir),
+      // DATA-SIZED phrase output: on the naive-tiled corpus the query
+      // terms match in every replica, so the match set — and the banded
+      // position agg producing it — grows Nx with rows10x to prove it;
+      // this gates the position JOIN itself, where the bijection corpus
+      // above only gates the scan
+      ("q242_phrase_search_dense", graft.queries.CorpusOps.q242PhraseSearch _, plainDir),
+      // same contract for the proximity band join: Nx matching positions
+      // through the range-to-equi band join, output Nx
+      ("q244_proximity_pairs_dense", graft.queries.CorpusOps.q244ProximityPairs _, plainDir),
       // Delta OPTIMIZE: fixture hoisted untimed (warmFixture); each run
       // clones the fragmented table and pays the full rewrite — reads and
       // rewrites every live file, data-sized by design, must tile ~Nx

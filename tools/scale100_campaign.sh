@@ -22,9 +22,14 @@ export SPARK_GRAFT_CLASSES=/tmp/graft_scale_classes
 export SPARK_GRAFT_REPLICAS=100
 export SPARK_GRAFT_SHUFFLE=256
 export SPARK_GRAFT_CPUS=32
-for q in q237_gram_matrix q209_kneser_ney q182_setsim_join \
-         q240_stream_upsert q241_delta_adopt q216_link_prediction \
-         q211_containment_join; do
+# Round-14 targets: the round-13 operators that only had 10x rows
+# (q243 sparse-id remap, q247 WAND, q249/q250 incremental stores) plus
+# the dense-fixture phrase/proximity rows whose output grows with the
+# corpus (the bijection corpus keeps their output constant by
+# construction — BENCH_NOTES_r13 §5).
+for q in q243_bitmap_sparse q247_wand_topk q249_incremental_lexstore \
+         q250_incremental_sigstore q242_phrase_search_dense \
+         q244_proximity_pairs_dense; do
   echo "=== $q start $(date -u +%H:%M:%S) ===" >> "$LOG"
   SPARK_GRAFT_ONLY=$q bash tools/scale100.sh >> "$LOG" 2>&1
   echo "=== $q exit=$? $(date -u +%H:%M:%S) ===" >> "$LOG"
