@@ -374,6 +374,10 @@ object Dedup {
   /** One store table read back, or None when the store is absent, disabled,
     * or older than the corpus parquet (a rewritten corpus must never serve
     * stale state — same freshness contract a warehouse table carries).
+    * The probe is `_SUCCESS`-mtime-based, a LOCAL-FILESYSTEM contract; on
+    * object storage (no reliable mtime ordering) the same check reads a
+    * version/manifest stamp — e.g. the corpus Delta version recorded in
+    * the store at build time, compared to the table's current version.
     */
   private def storedPart(spark: SparkSession, dir: String, maxBucket: Int, part: String): Option[DataFrame] = {
     val path = s"${signatureStorePathFor(dir, maxBucket)}/$part"
