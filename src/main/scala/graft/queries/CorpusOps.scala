@@ -68,7 +68,7 @@ object CorpusOps {
     * this to decide whether a run needs the store at all.
     */
   val lexConsumers: Set[String] =
-    Set("q56", "q108", "q121", "q242", "q244", "q247", "q251", "q252", "q253")
+    Set("q56", "q108", "q121", "q242", "q244", "q247", "q251", "q252", "q253", "q257")
 
   /** Kill switch for the store READ path. [[graft.ScaleSmoke]] sets it
     * false: its 1×-vs-10× ratios time the COLD tokenize on both sides.
@@ -931,7 +931,11 @@ object CorpusOps {
     * candidate scored, ranked per query. No pruning — so a WAND bug on
     * any of the 120 queries is a hash mismatch.
     */
-  val q253Sql: String = {
+  /** The q253 fleet restatement's CTE chain through `agg` (query_id,
+    * doc_id, score, n_terms) — shared by the ranking oracle (q253) and
+    * the fleet-eval oracle (q257).
+    */
+  private val q253CtesSql: String = {
     s"""WITH docs AS (
        |  SELECT doc_id,
        |    len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), t -> t <> '')) AS dl
@@ -971,13 +975,16 @@ object CorpusOps {
        |agg AS (
        |  SELECT query_id, doc_id, CAST(sum(qq) AS BIGINT) AS score,
        |    CAST(count(*) AS BIGINT) AS n_terms
-       |  FROM sc GROUP BY query_id, doc_id)
+       |  FROM sc GROUP BY query_id, doc_id)""".stripMargin
+  }
+
+  val q253Sql: String =
+    s"""$q253CtesSql
        |SELECT query_id, rk, doc_id, score, n_terms FROM (
        |  SELECT query_id, doc_id, score, n_terms,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rk
        |  FROM agg)
        |WHERE rk <= $Q247K ORDER BY query_id, rk""".stripMargin
-  }
 
   val q247Sql: String = {
     val in = Q56Terms.map(t => s"'$t'").mkString(", ")
@@ -1098,6 +1105,80 @@ object CorpusOps {
        |FROM topk CROSS JOIN tot t
        |ORDER BY rk""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q257: fleet retrieval evaluation — q251's contract at batch scale
+  // ---------------------------------------------------------------------
+
+  /** q257 — FLEET RETRIEVAL EVALUATION: q251's offline-eval contract
+    * applied to the whole q253 fleet, one eval row per query, everything
+    * derived in DAGs with ZERO per-query driver work (q251's
+    * driver-counted `totalRel` becomes a per-query agg + join). Per
+    * query: its WAND top-k through [[wandTopKBatch]], the deterministic
+    * relevance label (matched terms ≥ [[Q251RelMin]] — no judgment
+    * file), hits@k, the per-query relevant-doc total over the FULL
+    * candidate set, and exact P@k / R@k as ONE correctly-rounded
+    * division each (R@k guarded to 0 for queries with no relevant doc —
+    * both engines restate the guard, so no inf/NaN divergence). This is
+    * the eval-suite shape a training-data pipeline actually runs:
+    * thousands of queries, one scorecard frame, no driver loop.
+    */
+  def q257FleetEval(spark: SparkSession, dir: String): DataFrame = {
+    val queries = q253Queries(spark, dir)
+    val qt = queries.select(col("query_id"), col("term"))
+    val (_, topk) = wandTopKBatch(spark, dir, queries)
+    // per-query relevant totals over ALL candidates (not just top-k):
+    // docs matching >= RelMin of the query's terms — agg + broadcast
+    // join, the batch twin of q251's bounded driver count
+    val nrel = termFreqs(spark, dir)
+      .join(broadcast(qt), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id")).agg(count(lit(1)).as("nt"))
+      .filter(col("nt") >= Q251RelMin)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    topk
+      .withColumn("rel", (col("n_terms") >= Q251RelMin).cast("int"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"), sum(col("rel")).cast("long").as("hits_at_k"))
+      .join(nrel, Seq("query_id"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .withColumn("p_at_k", col("hits_at_k").cast("double") / col("k").cast("double"))
+      .withColumn("r_at_k",
+        when(col("n_rel") > 0,
+          col("hits_at_k").cast("double") / col("n_rel").cast("double"))
+          .otherwise(lit(0.0)))
+      .select(col("query_id"), col("k"), col("hits_at_k"), col("n_rel"),
+        col("p_at_k"), col("r_at_k"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Oracle: the fleet CTE chain through `agg`, then per-query top-k,
+    * labels, totals, and the guarded divisions — brute per query, so a
+    * wrong ranking OR a wrong label total on any of the 120 queries
+    * breaks the hash.
+    */
+  val q257Sql: String =
+    s"""$q253CtesSql,
+       |topk AS (
+       |  SELECT query_id, doc_id, n_terms FROM (
+       |    SELECT query_id, doc_id, n_terms,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+       |    FROM agg)
+       |  WHERE rk <= $Q247K),
+       |nrel AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+       |  FROM agg WHERE n_terms >= $Q251RelMin GROUP BY query_id),
+       |ev AS (
+       |  SELECT t.query_id, CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(CAST(t.n_terms >= $Q251RelMin AS INT)) AS BIGINT) AS hits_at_k
+       |  FROM topk t GROUP BY t.query_id)
+       |SELECT e.query_id, e.k, e.hits_at_k,
+       |  CAST(coalesce(n.n_rel, 0) AS BIGINT) AS n_rel,
+       |  CAST(e.hits_at_k AS DOUBLE) / CAST(e.k AS DOUBLE) AS p_at_k,
+       |  CASE WHEN coalesce(n.n_rel, 0) > 0
+       |       THEN CAST(e.hits_at_k AS DOUBLE) / CAST(n.n_rel AS DOUBLE)
+       |       ELSE 0.0 END AS r_at_k
+       |FROM ev e LEFT JOIN nrel n USING (query_id)
+       |ORDER BY e.query_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // q252: snippet spans — minimum covering window over the top-k docs
@@ -1587,6 +1668,7 @@ object CorpusOps {
     "q244_proximity_pairs" -> q244ProximityPairs _,
     "q247_wand_topk" -> q247WandTopK _,
     "q253_wand_batch" -> q253WandBatch _,
+    "q257_fleet_eval" -> q257FleetEval _,
     "q251_retrieval_eval" -> q251RetrievalEval _,
     "q252_snippet_spans" -> q252SnippetSpans _,
     "q56_bm25_search" -> q56Bm25 _,
@@ -1603,6 +1685,7 @@ object CorpusOps {
     "q244_proximity_pairs" -> q244Sql,
     "q247_wand_topk" -> q247Sql,
     "q253_wand_batch" -> q253Sql,
+    "q257_fleet_eval" -> q257Sql,
     "q251_retrieval_eval" -> q251Sql,
     "q252_snippet_spans" -> q252Sql,
     "q56_bm25_search" -> q56Sql,

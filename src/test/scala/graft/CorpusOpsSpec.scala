@@ -176,6 +176,38 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(topk.select(col("query_id")).distinct().count() >= 100L)
   }
 
+  test("q257 fleet eval: per-query metrics are internally exact and match a " +
+      "brute per-query recomputation") {
+    val rows = CorpusOps.q257FleetEval(spark, sfDir).collect()
+    assert(rows.length >= 100, "the fleet scorecard must be fleet-sized")
+    for (r <- rows) {
+      val (k, hits, nrel) = (r.getAs[Long]("k"), r.getAs[Long]("hits_at_k"), r.getAs[Long]("n_rel"))
+      assert(hits <= math.min(k, nrel), s"hits bounded by k and n_rel: $r")
+      assert(r.getAs[Double]("p_at_k") == hits.toDouble / k.toDouble)
+      assert(r.getAs[Double]("r_at_k") ==
+        (if (nrel > 0) hits.toDouble / nrel.toDouble else 0.0))
+    }
+    // brute recomputation of n_rel and hits for every query from the raw text
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("t").trim.split("\\s+").filter(_.nonEmpty).toSet).toMap
+    val qterms = CorpusOps.q253Queries(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (q, ts) => q -> ts.map(_._2).toSet }
+    val topk = CorpusOps.q253WandBatch(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("n_terms")))
+      .groupBy(_._1)
+    for (r <- rows) {
+      val q = r.getAs[Long]("query_id")
+      val expectedNrel = docs.count { case (_, toks) =>
+        qterms(q).count(toks.contains) >= 2 }.toLong
+      assert(r.getAs[Long]("n_rel") == expectedNrel, s"n_rel mismatch for query $q")
+      val expectedHits = topk(q).count(_._2 >= 2).toLong
+      assert(r.getAs[Long]("hits_at_k") == expectedHits, s"hits mismatch for query $q")
+    }
+  }
+
   test("q252 snippet spans equal a brute minimum-covering-window scan over the ranked docs") {
     val docs = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), lower(col("text")).as("t")).collect()
