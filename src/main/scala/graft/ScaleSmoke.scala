@@ -424,6 +424,14 @@ object ScaleSmoke {
       // the postings-enumerating scan; seeds/survivors stay replica-0
       // sized because rotated replicas never match the query terms
       ("q247_wand_topk", graft.queries.CorpusOps.q247WandTopK _, scaledDir),
+      // batch WAND fleet: the 120-query fleet re-derives from the Nx
+      // corpus vocabulary (a full-postings df agg — the data-sized
+      // stage under the cold-tokenize contract), then every query scores
+      // in one DAG; per-replica vocabularies are disjoint so the top-df
+      // terms spread across replicas and each query's candidates stay
+      // home-replica-sized — the QUERY axis must add zero driver work at
+      // any corpus size
+      ("q253_wand_batch", graft.queries.CorpusOps.q253WandBatch _, scaledDir),
       // pointer doubling: ONE random recursive tree over Nx nodes; depth
       // grows by ln N, so the fixed log-depth round count must still
       // saturate (the require proves it) while each round's node-keyed

@@ -1053,6 +1053,11 @@ object IngestOps {
       case "q248" => q246Fixture(spark, dir); ()
       case "q249" => q245Fixture(spark, dir); ()
       case "q250" => q245Fixture(spark, dir); ()
+      // the store builds (append/compact/erase) are the INGEST side of
+      // q254-q256; the timed query is the read over the published store
+      case "q254" => q254Store(spark, dir); ()
+      case "q255" => q255Store(spark, dir); ()
+      case "q256" => q256Store(spark, dir); ()
       case "q215" => LayoutOps.q215Tables(spark, dir); ()
       case _ => ()
     }
@@ -1737,8 +1742,8 @@ object IngestOps {
     * the ranking must hash-match [[CorpusOps.q247Sql]] verbatim — layout
     * maintenance is invisible to results, visible only to scan cost.
     */
-  def q254CompactLexStore(spark: SparkSession, dir: String): DataFrame = {
-    val store = storeMemo.getOrElseUpdate(s"q254:$dir", {
+  private def q254Store(spark: SparkSession, dir: String): String =
+    storeMemo.getOrElseUpdate(s"q254:$dir", {
       val base = graft.Tables.fixtureRoot("q254", dir)
       val baseDir = new java.io.File(base)
       if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
@@ -1749,8 +1754,9 @@ object IngestOps {
       CorpusOps.compactLexStore(spark, s)
       s
     })
-    CorpusOps.wandTopKFromStore(spark, store)
-  }
+
+  def q254CompactLexStore(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.wandTopKFromStore(spark, q254Store(spark, dir))
 
   /** q255 — ERASURE PROPAGATION into the LEXICAL store: the q214 "right
     * to be forgotten" contract extended to the derived retrieval
@@ -1765,8 +1771,8 @@ object IngestOps {
     * the request set, so residue anywhere — a surviving posting, a stale
     * doc count, an un-refreshed bound that mis-prunes — breaks the hash.
     */
-  def q255EraseLexStore(spark: SparkSession, dir: String): DataFrame = {
-    val store = storeMemo.getOrElseUpdate(s"q255:$dir", {
+  private def q255Store(spark: SparkSession, dir: String): String =
+    storeMemo.getOrElseUpdate(s"q255:$dir", {
       val base = graft.Tables.fixtureRoot("q255", dir)
       val baseDir = new java.io.File(base)
       if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
@@ -1777,8 +1783,9 @@ object IngestOps {
       CorpusOps.eraseLexStore(spark, s, erasePred)
       s
     })
-    CorpusOps.wandTopKFromStore(spark, store)
-  }
+
+  def q255EraseLexStore(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.wandTopKFromStore(spark, q255Store(spark, dir))
 
   /** q256 — ERASURE PROPAGATION into the SIGNATURE store: same contract
     * as q255 on the dedup artifact (a MinHash signature reconstructs
@@ -1792,8 +1799,8 @@ object IngestOps {
     * while the recompute is exact by construction. Oracle: q40's full
     * MinHash restatement over the surviving documents.
     */
-  def q256EraseSigStore(spark: SparkSession, dir: String): DataFrame = {
-    val store = storeMemo.getOrElseUpdate(s"q256:$dir", {
+  private def q256Store(spark: SparkSession, dir: String): String =
+    storeMemo.getOrElseUpdate(s"q256:$dir", {
       val base = graft.Tables.fixtureRoot("q256", dir)
       val baseDir = new java.io.File(base)
       if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
@@ -1805,10 +1812,11 @@ object IngestOps {
       Dedup.eraseSigStore(spark, s, erasePred)
       s
     })
-    Dedup.pairsFromIncremental(spark, store)
+
+  def q256EraseSigStore(spark: SparkSession, dir: String): DataFrame =
+    Dedup.pairsFromIncremental(spark, q256Store(spark, dir))
       .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
       .limit(100)
-  }
 
   def q241DeltaAdopt(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.DeltaLog
