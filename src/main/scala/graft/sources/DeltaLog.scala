@@ -187,37 +187,103 @@ object DeltaLog {
   }
 
   /** PROTOCOL REFUSAL GATE — a loud, cheap error instead of a silent
-    * misread. This reader implements reader protocol 1 (plain parquet
-    * files, last-action-wins replay); a foreign table declaring
-    * minReaderVersion ≥ 2 (column mapping) or ≥ 3 (table features such as
-    * deletion vectors) stores data this replay would MISINTERPRET —
-    * physical column names diverge from logical ones, or add-file rows
-    * are partially invalidated by DV bitmaps — so the only correct cheap
-    * behavior is refusal, message pinned by SourcesSpec. The columnMapping
-    * metaData key is checked independently because a buggy writer can set
-    * it without raising the protocol version.
+    * misread. Supported reader surface: protocol 1 (plain parquet,
+    * last-action-wins replay), protocol 2 (column mapping — 'name' mode
+    * implemented in [[readUnderSchema]]: the scan binds physical names
+    * and the projection renames back to logical), and protocol 3 ONLY
+    * when every declared readerFeature is `columnMapping`. Everything
+    * else — deletion vectors (add-file rows partially invalidated by DV
+    * bitmaps; replay would resurrect deleted rows), 'id'-mode mapping
+    * (parquet field-id matching, not name matching) — refuses with a
+    * pinned message, because a silent misread is data corruption. The
+    * columnMapping metaData key is checked independently of the protocol
+    * version: a buggy writer can set one without the other.
     */
   private def validateReadable(root: String, protocolJson: Option[String],
       metaDataJson: Option[String]): Unit = {
     protocolJson.map(mapper.readTree).foreach { p =>
       val mrv = Option(p.get("minReaderVersion")).map(_.asInt()).getOrElse(1)
-      if (mrv > 1) {
-        val feats = Option(p.get("readerFeatures")).map(f => s", readerFeatures=$f").getOrElse("")
+      val feats = Option(p.get("readerFeatures")).toSeq
+        .flatMap(_.elements().asScala.map(_.asText()))
+      val unsupported = feats.filterNot(_ == "columnMapping")
+      if (mrv > 3 || (mrv == 3 && unsupported.nonEmpty)) {
+        val fs = if (feats.nonEmpty) s", readerFeatures=${feats.mkString("[", ",", "]")}" else ""
         throw new UnsupportedOperationException(
-          s"DeltaLog $root: unsupported reader protocol minReaderVersion=$mrv$feats; " +
-            "this reader supports minReaderVersion<=1")
+          s"DeltaLog $root: unsupported reader protocol minReaderVersion=$mrv$fs; " +
+            "this reader supports minReaderVersion<=2 and columnMapping as the only reader feature")
       }
     }
-    metaDataJson.map(mapper.readTree).foreach { m =>
-      val mode = Option(m.get("configuration"))
+    val mode = columnMappingMode(metaDataJson)
+    if (mode != "none" && mode != "name")
+      throw new UnsupportedOperationException(
+        s"DeltaLog $root: unsupported table feature delta.columnMapping.mode=$mode; " +
+          "this reader supports modes 'none' and 'name'")
+  }
+
+  // -----------------------------------------------------------------------
+  // Column mapping ('name' mode, reader protocol 2): parquet data files
+  // store PHYSICAL field names (delta.columnMapping.physicalName in the
+  // schemaString metadata — assigned at mapping-enable time, stable across
+  // logical RENAMEs, which is the feature's whole point); readers bind the
+  // physical schema and project back to logical names.
+  // -----------------------------------------------------------------------
+
+  private def columnMappingMode(metaDataJson: Option[String]): String =
+    metaDataJson.map(mapper.readTree).flatMap(m =>
+      Option(m.get("configuration"))
         .flatMap(c => Option(c.get("delta.columnMapping.mode")))
-        .map(_.asText()).getOrElse("none")
-      if (mode != "none")
-        throw new UnsupportedOperationException(
-          s"DeltaLog $root: unsupported table feature delta.columnMapping.mode=$mode; " +
-            "this reader supports mode 'none'")
+        .map(_.asText())).getOrElse("none")
+
+  private def physicalNameOf(f: StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** The schema as the DATA FILES spell it: every (arbitrarily nested)
+    * struct field renamed to its physicalName. Types and order untouched.
+    */
+  private def toPhysical(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(physicalNameOf(f), toPhysical(f.dataType), f.nullable, f.metadata)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = toPhysical(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = toPhysical(m.keyType), valueType = toPhysical(m.valueType))
+    case other => other
+  }
+
+  /** Read `paths` under the snapshot's metaData schema, honoring column
+    * mapping: in 'name' mode the scan binds the PHYSICAL schema (so
+    * schema-evolution null-fill works against the physical field names the
+    * files actually contain) and one projection renames back to logical —
+    * a positional struct cast, exact because physical and logical trees
+    * differ only in names. Empty file sets return an empty frame with the
+    * LOGICAL schema either way.
+    */
+  private def readUnderSchema(spark: SparkSession, paths: Seq[String],
+      schemaJson: Option[String], metaDataJson: Option[String]): DataFrame = {
+    val logical = schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    if (paths.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        logical.getOrElse(new StructType()))
+    (logical, columnMappingMode(metaDataJson)) match {
+      case (Some(ls), "name") =>
+        val ps = toPhysical(ls).asInstanceOf[StructType]
+        spark.read.schema(ps).parquet(paths: _*)
+          .select(ls.fields.zip(ps.fields).map { case (lf, pf) =>
+            col(pf.name).cast(lf.dataType).as(lf.name)
+          }.toIndexedSeq: _*)
+      case (Some(ls), _) => spark.read.schema(ls).parquet(paths: _*)
+      case (None, _) => spark.read.parquet(paths: _*)
     }
   }
+
+  /** Logical → physical field names at the LATEST version (identity map
+    * when mapping is off) — what the streaming source's partition readers
+    * look fields up by. Driver string work.
+    */
+  private[graft] def latestPhysicalNames(root: String): Map[String, String] =
+    latestSchema(root).fields.map(f => f.name -> physicalNameOf(f)).toMap
 
   /** Live data-file paths (relative to `root`) at `version` (default:
     * latest): replay from the newest checkpoint at or below the version,
@@ -236,19 +302,13 @@ object DeltaLog {
   def read(spark: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {
     val snap = replay(spark, root, version)
-    val paths = snap.adds.map { case (p, _) => s"$root/$p" }
-    val schema = snap.schemaJson
-      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-    if (paths.nonEmpty)
-      // read under the snapshot's OWN metaData schema (never the first
-      // file's): after schema evolution a snapshot mixes file layouts,
-      // and columns absent from pre-evolution files must surface as
-      // nulls, not silently vanish
-      schema.map(s => spark.read.schema(s).parquet(paths: _*))
-        .getOrElse(spark.read.parquet(paths: _*))
-    else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        schema.getOrElse(new StructType()))
+    // read under the snapshot's OWN metaData schema (never the first
+    // file's): after schema evolution a snapshot mixes file layouts, and
+    // columns absent from pre-evolution files must surface as nulls, not
+    // silently vanish; column-mapped tables bind physical names and
+    // project back to logical (readUnderSchema)
+    readUnderSchema(spark, snap.adds.map { case (p, _) => s"$root/$p" },
+      snap.schemaJson, snap.metaDataJson)
   }
 
   private def jstr(s: String): String = mapper.writeValueAsString(s)
@@ -419,12 +479,36 @@ object DeltaLog {
     * table id; replay takes the latest ≤ v, so time travel keeps each
     * version's own schema).
     */
-  private def evolutionActions(root: String, df: DataFrame): Seq[String] =
+  private def evolutionActions(root: String, df: DataFrame): Seq[String] = {
+    requireWritable(root)
     latestMetaData(root) match {
       case Some((id, schema)) if schema != df.schema.json =>
         Seq(metaDataAction(id, df.schema.json))
       case _ => Seq.empty
     }
+  }
+
+  /** WRITER GATE: this writer emits parquet with LOGICAL field names and
+    * no mapping bookkeeping, so committing into a column-mapped table
+    * would interleave unmapped files with mapped ones — readable by
+    * nobody. Column-mapped foreign tables are READ-ONLY here (the
+    * protocol agrees: mapping demands writer version ≥ 5 / the
+    * columnMapping writerFeature, which this writer does not declare).
+    */
+  private def requireWritable(root: String): Unit = {
+    val meta = latestTailAction(root, "metaData").map(_.toString)
+    val mode = columnMappingMode(meta)
+    val mapped = mode != "none" ||
+      latestMetaData(root).exists { case (_, s) =>
+        DataType.fromJson(s).asInstanceOf[StructType].fields.exists(f =>
+          f.metadata.contains("delta.columnMapping.physicalName"))
+      }
+    if (mapped)
+      throw new UnsupportedOperationException(
+        s"DeltaLog $root: refusing to write into a column-mapped table " +
+          "(delta.columnMapping); this writer supports mode 'none' — " +
+          "column-mapped foreign tables are read-only")
+  }
 
   /** Append `df` as the next commit (commit 0 creates the table and
     * carries the protocol/metaData actions; a later commit whose schema
@@ -478,6 +562,7 @@ object DeltaLog {
       targetFiles: Int = 1, expectedVersion: Option[Long] = None): Long = {
     val base = expectedVersion.getOrElse(currentVersion(root))
     require(base >= 0, s"no Delta log at $root to optimize")
+    requireWritable(root)
     val livePaths = snapshotFiles(spark, root, Some(base))
     require(livePaths.nonEmpty, s"nothing to optimize at $root@$base")
     val next = base + 1
@@ -543,16 +628,11 @@ object DeltaLog {
     val hi = toVersion.getOrElse(cur)
     require(hi <= cur, s"version $hi out of range [0, $cur]")
     val paths = changedFilePaths(root, fromVersion, hi).map(p => s"$root/$p")
-    val schema = replay(spark, root, Some(hi)).schemaJson
-      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-    if (paths.nonEmpty)
-      // the range's files may straddle a schema evolution — read under
-      // the upper version's metaData schema so early files null-fill
-      schema.map(s => spark.read.schema(s).parquet(paths: _*))
-        .getOrElse(spark.read.parquet(paths: _*))
-    else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        schema.getOrElse(new StructType()))
+    // the range's files may straddle a schema evolution — read under the
+    // upper version's metaData schema so early files null-fill; mapped
+    // tables rename physical -> logical exactly like the snapshot read
+    val snap = replay(spark, root, Some(hi))
+    readUnderSchema(spark, paths, snap.schemaJson, snap.metaDataJson)
   }
 
   /** VACUUM: physically delete data files that are live in NO version ≥

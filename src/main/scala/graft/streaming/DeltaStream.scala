@@ -55,8 +55,9 @@ object DeltaStream {
     * schema evolution the stream must surface the evolved field list
     * (pre-evolution files null-fill in the reader), and a type-changed
     * column must dispatch on its CURRENT type. Also runs the protocol
-    * refusal gate, so a deletion-vector / column-mapping table refuses
-    * loudly instead of streaming misread rows.
+    * refusal gate, so a deletion-vector or 'id'-mapped table refuses
+    * loudly instead of streaming misread rows; 'name'-mapped tables
+    * stream fine — the partition readers look fields up by physical name.
     */
   private[streaming] def schemaFor(root: String): StructType = {
     require(root != null, "DeltaStream requires option 'path'")
@@ -89,8 +90,11 @@ private final case class DeltaStreamOffset(v: Long) extends Offset {
 
 private final case class DeltaFilePartition(path: String,
     fields: Array[(String, String)]) extends InputPartition
-// fields: (name, typeName) pairs — serializable primitives only, so the
-// partition ships to executors without dragging StructType along
+// fields: (physicalName, typeName) pairs — serializable primitives only,
+// so the partition ships to executors without dragging StructType along.
+// The PHYSICAL name is what the parquet files spell (identical to the
+// logical name except on column-mapped tables); output order is the
+// logical schema's, so the engine binds columns positionally.
 
 final class DeltaStreamStream(root: String, schema: StructType,
     maxVersionsPerTrigger: Long)
@@ -126,7 +130,12 @@ final class DeltaStreamStream(root: String, schema: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[DeltaStreamOffset].v
     val e = end.asInstanceOf[DeltaStreamOffset].v
-    val fields = schema.fields.map(f => (f.name, f.dataType.typeName))
+    // partition readers look fields up by the PHYSICAL name the data
+    // files actually spell — on a column-mapped ('name' mode) table that
+    // differs from the logical name; resolution is driver string work
+    val phys = DeltaLog.latestPhysicalNames(root)
+    val fields = schema.fields.map(f =>
+      (phys.getOrElse(f.name, f.name), f.dataType.typeName))
     DeltaLog.changedFilePaths(root, s, e)
       .map(p => DeltaFilePartition(s"$root/$p", fields): InputPartition)
       .toArray

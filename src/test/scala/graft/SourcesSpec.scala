@@ -609,24 +609,110 @@ class SourcesSpec extends SparkTestBase {
     val e1 = intercept[UnsupportedOperationException] { DeltaLog.read(spark, dv) }
     assert(e1.getMessage.contains("minReaderVersion=3") &&
       e1.getMessage.contains("deletionVectors") &&
-      e1.getMessage.contains("supports minReaderVersion<=1"), e1.getMessage)
+      e1.getMessage.contains("columnMapping as the only reader feature"), e1.getMessage)
     // the stream source refuses the same table at schema resolution
     val e1s = intercept[UnsupportedOperationException] { DeltaLog.latestSchema(dv) }
     assert(e1s.getMessage.contains("minReaderVersion=3"))
-    // column mapping: physical parquet names diverge from logical ones —
-    // a name-based read returns wrong/missing columns. Checked from the
-    // metaData key independently of the protocol version (buggy writers).
+    // 'id'-mode column mapping: parquet FIELD-ID matching, which this
+    // name-matching reader does not implement — refuse, never misread.
+    // Checked from the metaData key independently of the protocol version
+    // (buggy writers); 'name' mode is SUPPORTED (its own test below).
     val cm = authorTable(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-      """{"delta.columnMapping.mode":"name"}""")
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      """{"delta.columnMapping.mode":"id"}""")
     val e2 = intercept[UnsupportedOperationException] { DeltaLog.read(spark, cm) }
-    assert(e2.getMessage.contains("delta.columnMapping.mode=name") &&
-      e2.getMessage.contains("supports mode 'none'"), e2.getMessage)
+    assert(e2.getMessage.contains("delta.columnMapping.mode=id") &&
+      e2.getMessage.contains("supports modes 'none' and 'name'"), e2.getMessage)
     // a plain reader-version-1 table with benign configuration still reads
     val ok = authorTable(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       """{"delta.appendOnly":"false"}""")
     assert(DeltaLog.read(spark, ok).columns.toSeq == Seq("doc_id"))
+  }
+
+  test("DeltaLog: column mapping 'name' mode — a foreign mapped table reads, " +
+      "CDC-reads and STREAMS under logical names; writes into it refuse") {
+    import graft.sources.DeltaLog
+    import org.apache.spark.sql.types._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // logical (doc_id BIGINT, lang STRING) stored physically as
+    // (col-7a3f, col-91bc) — the rename-stable indirection mapping exists for
+    def fieldMeta(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val logical = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true, fieldMeta(1, "col-7a3f")),
+      StructField("lang", StringType, nullable = true, fieldMeta(2, "col-91bc"))))
+    def authorMapped(protocol: String): String = {
+      val root = Files.createTempDirectory("graft-delta-cm").toString + "/tbl"
+      val logDir = java.nio.file.Paths.get(root, "_delta_log")
+      java.nio.file.Files.createDirectories(logDir)
+      // data files spell the PHYSICAL names
+      val sizes = Seq("f1.parquet" -> (0L until 4L), "f2.parquet" -> (10L until 13L))
+        .map { case (name, ids) =>
+          val df = spark.createDataFrame(ids.map(i => (i, s"l$i")))
+            .toDF("col-7a3f", "col-91bc")
+          val tmp = s"$root/.tmp"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(root, name))
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+          name -> java.nio.file.Paths.get(root, name).toFile.length()
+        }.toMap
+      val meta = """{"metaData":{"id":"cm-0001","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${mapper.writeValueAsString(logical.json)},""" +
+        """"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name",""" +
+        """"delta.columnMapping.maxColumnId":"2"}}}"""
+      def add(p: String) =
+        s"""{"add":{"path":"$p","partitionValues":{},"size":${sizes(p)},""" +
+          """"modificationTime":1700000000000,"dataChange":true}}"""
+      java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"),
+        Seq(protocol, meta, add("f1.parquet")).mkString("", "\n", "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(logDir.resolve(f"${1L}%020d.json"),
+        (add("f2.parquet") + "\n").getBytes("UTF-8"))
+      root
+    }
+    val root = authorMapped(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
+    // batch read: logical names, physical values
+    val out = DeltaLog.read(spark, root)
+    assert(out.columns.toSeq == Seq("doc_id", "lang"))
+    assert(out.orderBy(col("doc_id")).collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      ((0L until 4L) ++ (10L until 13L)).map(i => (i, s"l$i")))
+    // CDC read across the same mapping
+    assert(DeltaLog.changesSince(spark, root, 0L).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq == (10L until 13L))
+    // time travel keeps the mapping too
+    assert(DeltaLog.read(spark, root, Some(0L)).count() == 4)
+    // the STREAM source surfaces logical names and all rows
+    val run = Files.createTempDirectory("graft-delta-cm-run").toString
+    val q = spark.readStream
+      .format(classOf[graft.streaming.DeltaStream].getName)
+      .option("path", root).option("maxVersionsPerTrigger", 1L)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$run/sink").option("checkpointLocation", s"$run/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(s"$run/sink")
+    assert(streamed.columns.toSeq == Seq("doc_id", "lang"))
+    assert(streamed.orderBy(col("doc_id")).collect().map(_.getLong(0)).toSeq ==
+      ((0L until 4L) ++ (10L until 13L)))
+    // this writer emits logical-named unmapped parquet — committing into a
+    // mapped table would interleave unreadable files, so it must refuse
+    val e = intercept[UnsupportedOperationException] {
+      DeltaLog.commitAppend(root,
+        spark.range(1).select(col("id").as("doc_id"), lit("xx").as("lang")))
+    }
+    assert(e.getMessage.contains("column-mapped") && e.getMessage.contains("read-only"),
+      e.getMessage)
+    // reader protocol 3 with columnMapping as the ONLY reader feature is
+    // the same supported surface
+    val v3 = authorMapped(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""")
+    assert(DeltaLog.read(spark, v3).count() == 7)
   }
 
   test("DeltaStream: streams under the EVOLVED schema — post-evolution " +
