@@ -68,7 +68,7 @@ object CorpusOps {
     * this to decide whether a run needs the store at all.
     */
   val lexConsumers: Set[String] =
-    Set("q56", "q108", "q121", "q242", "q244", "q247", "q251", "q252", "q253", "q257")
+    Set("q56", "q108", "q121", "q242", "q244", "q247", "q251", "q252", "q253", "q257", "q258")
 
   /** Kill switch for the store READ path. [[graft.ScaleSmoke]] sets it
     * false: its 1×-vs-10× ratios time the COLD tokenize on both sides.
@@ -1181,6 +1181,128 @@ object CorpusOps {
        |ORDER BY e.query_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q258: fleet snippet spans — generic minimum covering window per query
+  // ---------------------------------------------------------------------
+
+  /** (doc_id, term, pos) for a DATA-DERIVED term set (a frame, not a
+    * literal list — so no partition pruning; the store still saves the
+    * tokenize): the batch twin of [[termPositions]].
+    */
+  private def termPositionsForSet(spark: SparkSession, dir: String,
+      terms: DataFrame): DataFrame = {
+    val all = lexStored(spark, dir, "postings") match {
+      case Some(p) if p.columns.contains("positions") =>
+        p.select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
+      case _ =>
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(wsTokens(normText(col("text")))).as(Seq("p0", "term")))
+          .select(col("doc_id"), col("term"), (col("p0") + 1).as("pos"))
+    }
+    all.join(broadcast(terms.select(col("term")).distinct()), Seq("term"), "leftsemi")
+  }
+
+  /** q258 — FLEET SNIPPET SPANS: q252's highlight primitive rebased on the
+    * batch surface — for every q253 query and each of its top-k docs
+    * matching ALL the query's terms, the minimum-width token window
+    * covering one occurrence of each term. q252's fixed three-way
+    * occurrence join cannot express a variable per-query term set, so the
+    * window comes from the CLASSIC minimum-covering construction instead:
+    * every occurrence is an END candidate; for each end e, the tightest
+    * covering window ending at e starts at min over terms of (that term's
+    * latest occurrence ≤ e); a window covers iff all plen terms have such
+    * an occurrence; the per-doc best is the lexicographic (span, start)
+    * min — ties break toward the earliest window, q252's rule. Every
+    * stage is per-(query, doc) equi-joined work bounded by the doc's OWN
+    * occurrence counts (P² pairs, P = the query terms' occurrences in one
+    * ranked doc), over at most fleet × k docs — result-page-sized, never
+    * corpus-shaped, and no per-query driver work anywhere.
+    */
+  def q258FleetSnippets(spark: SparkSession, dir: String): DataFrame = {
+    val queries = q253Queries(spark, dir)
+    val qt = queries.select(col("query_id"), col("term"))
+    val (_, topk) = wandTopKBatch(spark, dir, queries)
+    val qsz = qt.groupBy(col("query_id")).agg(count(lit(1)).as("plen"))
+    // ranked docs matching ALL the query's terms (q252's contract)
+    val full = topk.join(broadcast(qsz), Seq("query_id"))
+      .filter(col("n_terms") === col("plen"))
+      .select(col("query_id"), col("rk"), col("doc_id"))
+    val qp = termPositionsForSet(spark, dir, qt)
+      .join(broadcast(qt), Seq("term"))
+      .join(full.select(col("query_id"), col("doc_id")), Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("doc_id"), col("term"), col("pos").cast("long").as("pos"))
+    val ends = qp.select(col("query_id"), col("doc_id"), col("pos").as("endp"))
+    val lastp = ends.join(
+        qp.select(col("query_id"), col("doc_id"), col("term"), col("pos").as("p2")),
+        Seq("query_id", "doc_id"))
+      .filter(col("p2") <= col("endp"))
+      .groupBy(col("query_id"), col("doc_id"), col("endp"), col("term"))
+      .agg(max(col("p2")).as("lp"))
+    val spans = lastp.groupBy(col("query_id"), col("doc_id"), col("endp"))
+      .agg(count(lit(1)).as("ncov"), min(col("lp")).as("start"))
+      .join(broadcast(qsz), Seq("query_id"))
+      .filter(col("ncov") === col("plen"))
+      .withColumn("span", col("endp") - col("start") + 1)
+    spans.groupBy(col("query_id"), col("doc_id"))
+      .agg(min(struct(col("span"), col("start"))).as("best"))
+      .select(col("query_id"), col("doc_id"),
+        col("best.span").as("span_len"), col("best.start").as("span_start"))
+      .join(full, Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("rk"), col("doc_id"),
+        col("span_len"), col("span_start"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Oracle: the fleet CTE chain, then the identical classic construction
+    * brute per (query, doc) — per-end tightest windows, covering test
+    * against the query's term count, (span, start)-lexicographic best.
+    */
+  val q258Sql: String =
+    s"""$q253CtesSql,
+       |toks2 AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS tl
+       |  FROM documents),
+       |p AS (SELECT doc_id, unnest(tl) AS term,
+       |        unnest(range(1, len(tl) + 1)) AS pos FROM toks2),
+       |qsz AS (SELECT query_id, CAST(count(*) AS BIGINT) AS plen FROM qt GROUP BY query_id),
+       |topk AS (
+       |  SELECT query_id, doc_id, n_terms, rk FROM (
+       |    SELECT query_id, doc_id, n_terms, score,
+       |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+       |    FROM agg)
+       |  WHERE rk <= $Q247K),
+       |fullm AS (
+       |  SELECT t.query_id, t.rk, t.doc_id
+       |  FROM topk t JOIN qsz z USING (query_id) WHERE t.n_terms = z.plen),
+       |qp AS (
+       |  SELECT q.query_id, f.doc_id, f.rk, p.term, p.pos
+       |  FROM p JOIN qt q ON q.term = p.term
+       |  JOIN fullm f ON f.query_id = q.query_id AND f.doc_id = p.doc_id),
+       |lastp AS (
+       |  SELECT e.query_id, e.doc_id, e.pos AS endp, p2.term, max(p2.pos) AS lp
+       |  FROM qp e JOIN qp p2
+       |    ON p2.query_id = e.query_id AND p2.doc_id = e.doc_id AND p2.pos <= e.pos
+       |  GROUP BY 1, 2, 3, 4),
+       |cov AS (
+       |  SELECT query_id, doc_id, endp, count(*) AS ncov, min(lp) AS start
+       |  FROM lastp GROUP BY 1, 2, 3),
+       |spans AS (
+       |  SELECT c.query_id, c.doc_id, c.endp - c.start + 1 AS span, c.start
+       |  FROM cov c JOIN qsz z USING (query_id) WHERE c.ncov = z.plen),
+       |best AS (
+       |  SELECT query_id, doc_id, min(span) AS span_len FROM spans GROUP BY 1, 2)
+       |SELECT f.query_id, f.rk, f.doc_id,
+       |  CAST(b.span_len AS BIGINT) AS span_len,
+       |  CAST(min(s.start) AS BIGINT) AS span_start
+       |FROM best b
+       |JOIN spans s ON s.query_id = b.query_id AND s.doc_id = b.doc_id
+       |  AND s.span = b.span_len
+       |JOIN fullm f ON f.query_id = b.query_id AND f.doc_id = b.doc_id
+       |GROUP BY f.query_id, f.rk, f.doc_id, b.span_len
+       |ORDER BY f.query_id, f.rk""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q252: snippet spans — minimum covering window over the top-k docs
   // ---------------------------------------------------------------------
 
@@ -1669,6 +1791,7 @@ object CorpusOps {
     "q247_wand_topk" -> q247WandTopK _,
     "q253_wand_batch" -> q253WandBatch _,
     "q257_fleet_eval" -> q257FleetEval _,
+    "q258_fleet_snippets" -> q258FleetSnippets _,
     "q251_retrieval_eval" -> q251RetrievalEval _,
     "q252_snippet_spans" -> q252SnippetSpans _,
     "q56_bm25_search" -> q56Bm25 _,
@@ -1686,6 +1809,7 @@ object CorpusOps {
     "q247_wand_topk" -> q247Sql,
     "q253_wand_batch" -> q253Sql,
     "q257_fleet_eval" -> q257Sql,
+    "q258_fleet_snippets" -> q258Sql,
     "q251_retrieval_eval" -> q251Sql,
     "q252_snippet_spans" -> q252Sql,
     "q56_bm25_search" -> q56Sql,

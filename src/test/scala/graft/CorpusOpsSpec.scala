@@ -208,6 +208,57 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q258 fleet snippets: every row equals an independent two-pointer " +
+      "minimum-covering-window; coverage is exactly the full-match ranked docs") {
+    val rows = CorpusOps.q258FleetSnippets(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("t").trim.split("\\s+").filter(_.nonEmpty)).toMap
+    val qterms = CorpusOps.q253Queries(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (q, ts) => q -> ts.map(_._2).toSet }
+    // independent imperative check: classic two-pointer minimal window,
+    // lexicographic (span, start) best
+    def brute(toks: Array[String], need: Set[String]): Option[(Long, Long)] = {
+      val counts = scala.collection.mutable.Map.empty[String, Int]
+      var covered = 0
+      var best: Option[(Long, Long)] = None
+      var l = 0
+      for (r <- toks.indices) {
+        val t = toks(r)
+        if (need(t)) {
+          counts(t) = counts.getOrElse(t, 0) + 1
+          if (counts(t) == 1) covered += 1
+        }
+        while (covered == need.size) {
+          val cand = ((r - l + 1).toLong, (l + 1).toLong)
+          if (best.forall(b => cand._1 < b._1 || (cand._1 == b._1 && cand._2 < b._2)))
+            best = Some(cand)
+          val lt = toks(l)
+          if (need(lt)) { counts(lt) -= 1; if (counts(lt) == 0) covered -= 1 }
+          l += 1
+        }
+      }
+      best
+    }
+    for (r <- rows) {
+      val (q, d) = (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))
+      val expected = brute(docs(d), qterms(q))
+      assert(expected.contains((r.getAs[Long]("span_len"), r.getAs[Long]("span_start"))),
+        s"window mismatch for query $q doc $d: got " +
+          s"(${r.getAs[Long]("span_len")}, ${r.getAs[Long]("span_start")}), expected $expected")
+    }
+    // completeness: exactly the ranked docs matching ALL their query's terms
+    val ranked = CorpusOps.q253WandBatch(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")))
+    val expectedPairs = ranked.filter { case (q, d) =>
+      qterms(q).forall(docs(d).toSet.contains) }.toSet
+    assert(rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))).toSet ==
+      expectedPairs)
+  }
+
   test("q252 snippet spans equal a brute minimum-covering-window scan over the ranked docs") {
     val docs = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), lower(col("text")).as("t")).collect()
