@@ -155,6 +155,30 @@ class StoreMaintSpec extends SparkTestBase {
       CorpusOps.bm25FromIncremental(spark, cold).collect().toSeq)
   }
 
+  test("layout maintenance composes with the REAL q249 stream run: compacting " +
+      "the store the triggers built shrinks it, BM25 and WAND results unchanged") {
+    val bm = IngestOps.q249IncrementalLexStore(spark, sfDir).collect().toSeq
+    val store = graft.queries.ReplayFixtures.runRootFor(sfDir, "q249") + "/lexstore"
+    assert(new java.io.File(s"$store/postings").isDirectory,
+      "the q249 run must leave its incremental store behind")
+    val preFiles = StoreMaint.dataFileCount(s"$store/postings") +
+      StoreMaint.dataFileCount(s"$store/dl")
+    val preWand = CorpusOps.wandTopKFromStore(spark, store).collect().toSeq
+
+    CorpusOps.compactLexStore(spark, store)
+
+    val postFiles = StoreMaint.dataFileCount(s"$store/postings") +
+      StoreMaint.dataFileCount(s"$store/dl")
+    assert(postFiles < preFiles,
+      s"compaction must shrink the per-trigger file count: $preFiles -> $postFiles")
+    assert(CorpusOps.bm25FromIncremental(spark, store).collect().toSeq == bm,
+      "the q249 BM25 result must not move across compaction")
+    assert(CorpusOps.wandTopKFromStore(spark, store).collect().toSeq == preWand,
+      "the WAND ranking must not move across compaction")
+    // the refresh left store-served impact metadata behind
+    assert(new java.io.File(s"$store/maxscore/_SUCCESS").exists())
+  }
+
   test("sig store erasure: zero residue in sigs/bands/pairs, candidates == " +
       "cold survivor build; compaction leaves the pair set untouched") {
     val store = Files.createTempDirectory("graft_sigerase").toString + "/sigstore"
