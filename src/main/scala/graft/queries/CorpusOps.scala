@@ -1186,20 +1186,28 @@ object CorpusOps {
 
   /** (doc_id, term, pos) for a DATA-DERIVED term set (a frame, not a
     * literal list — so no partition pruning; the store still saves the
-    * tokenize): the batch twin of [[termPositions]].
+    * tokenize) restricted to a doc set, the batch twin of
+    * [[termPositions]]. `docs` prunes BEFORE the positions explode — the
+    * fleet's terms are top-df by construction, so an unpruned explode
+    * would enumerate a large fraction of all corpus positions only to
+    * throw away everything outside the k ranked docs per query.
     */
   private def termPositionsForSet(spark: SparkSession, dir: String,
-      terms: DataFrame): DataFrame = {
+      terms: DataFrame, docs: DataFrame): DataFrame = {
     val all = lexStored(spark, dir, "postings") match {
       case Some(p) if p.columns.contains("positions") =>
-        p.select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
+        p.select(col("doc_id"), col("term"), col("positions"))
       case _ =>
         Tables(spark, dir, "documents")
-          .select(col("doc_id"),
-            posexplode(wsTokens(normText(col("text")))).as(Seq("p0", "term")))
-          .select(col("doc_id"), col("term"), (col("p0") + 1).as("pos"))
+          .select(col("doc_id"), wsTokens(normText(col("text"))).as("ws"))
+          .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "term")))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(sort_array(collect_list(col("p0") + 1)).as("positions"))
     }
-    all.join(broadcast(terms.select(col("term")).distinct()), Seq("term"), "leftsemi")
+    all
+      .join(broadcast(docs.select(col("doc_id")).distinct()), Seq("doc_id"), "leftsemi")
+      .join(broadcast(terms.select(col("term")).distinct()), Seq("term"), "leftsemi")
+      .select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
   }
 
   /** q258 — FLEET SNIPPET SPANS: q252's highlight primitive rebased on the
@@ -1227,7 +1235,17 @@ object CorpusOps {
     val full = topk.join(broadcast(qsz), Seq("query_id"))
       .filter(col("n_terms") === col("plen"))
       .select(col("query_id"), col("rk"), col("doc_id"))
-    val qp = termPositionsForSet(spark, dir, qt)
+    // doc prune for the positions explode: a SUPERSET of full's docs that
+    // needs no scoring — docs matching ALL of some query's terms, straight
+    // off the tf prefix (one postings agg; re-deriving the top-k ranking
+    // for the prune would cost the whole fleet DAG a second time)
+    val candDocs = termFreqs(spark, dir)
+      .join(broadcast(qt), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id")).agg(count(lit(1)).as("nt"))
+      .join(broadcast(qsz), Seq("query_id"))
+      .filter(col("nt") === col("plen"))
+      .select(col("doc_id"))
+    val qp = termPositionsForSet(spark, dir, qt, candDocs)
       .join(broadcast(qt), Seq("term"))
       .join(full.select(col("query_id"), col("doc_id")), Seq("query_id", "doc_id"))
       .select(col("query_id"), col("doc_id"), col("term"), col("pos").cast("long").as("pos"))
