@@ -111,12 +111,27 @@ object DeltaLog {
       }
     }
 
-  /** Replayed state at a version: live (path, size) in first-add order
-    * plus the latest metaData schemaString seen (checkpoint or tail).
+  /** One live data file: relative path, size, and the add action's
+    * partitionValues (empty for unpartitioned tables; keys are PHYSICAL
+    * names on column-mapped tables; a null value is a null partition
+    * value).
     */
-  private case class Snapshot(adds: Seq[(String, Long)],
+  private[sources] case class AddFile(path: String, size: Long,
+      partitionValues: Map[String, String])
+
+  /** Replayed state at a version: live adds in first-add order plus the
+    * latest metaData schemaString seen (checkpoint or tail).
+    */
+  private case class Snapshot(adds: Seq[AddFile],
       schemaJson: Option[String], metaDataJson: Option[String],
       protocolJson: Option[String])
+
+  private def jsonPartitionValues(a: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+    Option(a.get("partitionValues")).map { pv =>
+      pv.fields().asScala.map { e =>
+        e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())
+      }.toMap
+    }.getOrElse(Map.empty)
 
   private def replay(spark: SparkSession, root: String,
       version: Option[Long]): Snapshot = {
@@ -124,7 +139,7 @@ object DeltaLog {
     require(cur >= 0, s"no Delta log at $root")
     val v = version.getOrElse(cur)
     require(v >= 0 && v <= cur, s"version $v out of range [0, $cur]")
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Map[String, String])]
     var schemaJson: Option[String] = None
     var metaDataJson: Option[String] = None
     var protocolJson: Option[String] = None
@@ -141,8 +156,14 @@ object DeltaLog {
       if (df.columns.contains("add")) {
         val sz = if (fieldsOf("add")("size")) col("add.size").cast("long")
           else lit(0L)
-        df.filter(col("add").isNotNull).select(col("add.path"), sz)
-          .collect().foreach(r => live(r.getString(0)) = r.getLong(1))
+        val pv = if (fieldsOf("add")("partitionValues")) col("add.partitionValues")
+          else lit(null).cast("map<string,string>")
+        df.filter(col("add").isNotNull).select(col("add.path"), sz, pv)
+          .collect().foreach { r =>
+            val m = if (r.isNullAt(2)) Map.empty[String, String]
+              else r.getMap[String, String](2).toMap
+            live(r.getString(0)) = (r.getLong(1), m)
+          }
       }
       // metaData/protocol ride out of the checkpoint as full JSON — on a
       // checkpoint-bounded history (pre-checkpoint JSON trimmed by log
@@ -170,7 +191,8 @@ object DeltaLog {
           if (node.has("add")) {
             val a = node.get("add")
             live(a.get("path").asText()) =
-              if (a.has("size")) a.get("size").asLong() else 0L
+              (if (a.has("size")) a.get("size").asLong() else 0L,
+                jsonPartitionValues(a))
           } else if (node.has("remove"))
             live.remove(node.get("remove").get("path").asText())
           else if (node.has("metaData")) {
@@ -183,7 +205,8 @@ object DeltaLog {
       }
     }
     validateReadable(root, protocolJson, metaDataJson)
-    Snapshot(live.toSeq, schemaJson, metaDataJson, protocolJson)
+    Snapshot(live.toSeq.map { case (p, (s, pv)) => AddFile(p, s, pv) },
+      schemaJson, metaDataJson, protocolJson)
   }
 
   /** PROTOCOL REFUSAL GATE — a loud, cheap error instead of a silent
@@ -252,30 +275,74 @@ object DeltaLog {
     case other => other
   }
 
-  /** Read `paths` under the snapshot's metaData schema, honoring column
-    * mapping: in 'name' mode the scan binds the PHYSICAL schema (so
-    * schema-evolution null-fill works against the physical field names the
-    * files actually contain) and one projection renames back to logical —
-    * a positional struct cast, exact because physical and logical trees
-    * differ only in names. Empty file sets return an empty frame with the
-    * LOGICAL schema either way.
+  /** The metaData's partitionColumns (logical names, empty when absent). */
+  private def partitionColumnsOf(metaDataJson: Option[String]): Seq[String] =
+    metaDataJson.map(mapper.readTree).flatMap(m =>
+      Option(m.get("partitionColumns")).map(_.elements().asScala.map(_.asText()).toSeq))
+      .getOrElse(Seq.empty)
+
+  /** Read a snapshot's / change-range's add files under the metaData
+    * schema, honoring BOTH reader-side layout indirections:
+    *
+    *  - COLUMN MAPPING ('name' mode): the scan binds the PHYSICAL schema
+    *    (so schema-evolution null-fill works against the field names the
+    *    files actually contain) and one projection renames back to
+    *    logical — a positional struct cast, exact because physical and
+    *    logical trees differ only in names;
+    *  - PARTITIONED tables: partition columns are NOT stored in the data
+    *    files — they live in each add action's partitionValues (keyed by
+    *    physical name on mapped tables), so files group by their
+    *    partition tuple, each group scans under the DATA schema with the
+    *    partition columns attached as typed literals, and the groups
+    *    union. Without this, a foreign partitioned table would silently
+    *    read its partition columns as all-null — a misread, not an error.
+    *    Group count is bounded by the partitioning cardinality of the
+    *    read's file set (what any engine's partition-aware FileIndex also
+    *    carries), and the per-group frame is a metadata-only decoration
+    *    of the same pruned scan.
+    *
+    * Empty file sets return an empty frame with the LOGICAL schema.
     */
-  private def readUnderSchema(spark: SparkSession, paths: Seq[String],
+  private def readAdds(spark: SparkSession, root: String, adds: Seq[AddFile],
       schemaJson: Option[String], metaDataJson: Option[String]): DataFrame = {
     val logical = schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
-    if (paths.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        logical.getOrElse(new StructType()))
-    (logical, columnMappingMode(metaDataJson)) match {
-      case (Some(ls), "name") =>
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      logical.getOrElse(new StructType()))
+    if (adds.isEmpty) return empty
+    val mapped = logical.isDefined && columnMappingMode(metaDataJson) == "name"
+    val partCols = partitionColumnsOf(metaDataJson)
+    def scanFlat(paths: Seq[String]): DataFrame = logical match {
+      case Some(ls) if mapped =>
         val ps = toPhysical(ls).asInstanceOf[StructType]
         spark.read.schema(ps).parquet(paths: _*)
           .select(ls.fields.zip(ps.fields).map { case (lf, pf) =>
             col(pf.name).cast(lf.dataType).as(lf.name)
           }.toIndexedSeq: _*)
-      case (Some(ls), _) => spark.read.schema(ls).parquet(paths: _*)
-      case (None, _) => spark.read.parquet(paths: _*)
+      case Some(ls) => spark.read.schema(ls).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
     }
+    if (partCols.isEmpty || logical.isEmpty)
+      return scanFlat(adds.map(a => s"$root/${a.path}"))
+    val ls = logical.get
+    val partSet = partCols.toSet
+    val dataSchema = StructType(ls.fields.filterNot(f => partSet(f.name)))
+    val dataPhys =
+      if (mapped) toPhysical(dataSchema).asInstanceOf[StructType] else dataSchema
+    adds.groupBy(_.partitionValues).map { case (pv, group) =>
+      val scan = spark.read.schema(dataPhys)
+        .parquet(group.map(a => s"$root/${a.path}"): _*)
+      val cols = ls.fields.map { f =>
+        if (partSet(f.name)) {
+          val key = if (mapped) physicalNameOf(f) else f.name
+          val raw = pv.get(key).orNull
+          (if (raw == null) lit(null) else lit(raw)).cast(f.dataType).as(f.name)
+        } else {
+          val phys = if (mapped) physicalNameOf(f) else f.name
+          col(phys).cast(f.dataType).as(f.name)
+        }
+      }
+      scan.select(cols.toIndexedSeq: _*)
+    }.reduce(_.unionByName(_))
   }
 
   /** Logical → physical field names at the LATEST version (identity map
@@ -292,7 +359,7 @@ object DeltaLog {
     */
   def snapshotFiles(spark: SparkSession, root: String,
       version: Option[Long] = None): Seq[String] =
-    replay(spark, root, version).adds.map(_._1)
+    replay(spark, root, version).adds.map(_.path)
 
   /** The snapshot exactly as `version` committed it — Delta time travel.
     * A snapshot with no live files returns an EMPTY frame typed by the
@@ -307,8 +374,7 @@ object DeltaLog {
     // columns absent from pre-evolution files must surface as nulls, not
     // silently vanish; column-mapped tables bind physical names and
     // project back to logical (readUnderSchema)
-    readUnderSchema(spark, snap.adds.map { case (p, _) => s"$root/$p" },
-      snap.schemaJson, snap.metaDataJson)
+    readAdds(spark, root, snap.adds, snap.schemaJson, snap.metaDataJson)
   }
 
   private def jstr(s: String): String = mapper.writeValueAsString(s)
@@ -508,7 +574,29 @@ object DeltaLog {
         s"DeltaLog $root: refusing to write into a column-mapped table " +
           "(delta.columnMapping); this writer supports mode 'none' — " +
           "column-mapped foreign tables are read-only")
+    // this writer emits unpartitioned files with empty partitionValues —
+    // appended into a partitioned table they would be unprunable (or
+    // worse, read with null partition columns) for every other reader
+    if (partitionColumnsOf(meta).nonEmpty)
+      throw new UnsupportedOperationException(
+        s"DeltaLog $root: refusing to write into a PARTITIONED table; " +
+          "this writer emits unpartitioned files — partitioned foreign " +
+          "tables are read-only")
   }
+
+  /** The latest metaData's partition columns — what the streaming source
+    * decorates its per-file rows with. Driver string work.
+    */
+  private[graft] def latestPartitionColumns(root: String): Seq[String] =
+    partitionColumnsOf(latestTailAction(root, "metaData").map(_.toString))
+
+  /** `dataChange=true` adds in (from, to] as (path, partitionValues) —
+    * the stream source's file inventory.
+    */
+  private[graft] def changedFileEntries(root: String,
+      fromVersion: Long, toVersion: Long): Seq[(String, Map[String, String])] =
+    changedFileAdds(root, fromVersion, toVersion)
+      .map(a => (a.path, a.partitionValues))
 
   /** Append `df` as the next commit (commit 0 creates the table and
     * carries the protocol/metaData actions; a later commit whose schema
@@ -594,6 +682,13 @@ object DeltaLog {
     */
   private[graft] def changedFilePaths(root: String,
       fromVersion: Long, toVersion: Long): Seq[String] =
+    changedFileAdds(root, fromVersion, toVersion).map(_.path)
+
+  /** `dataChange=true` adds in (fromVersion, toVersion], with their
+    * partitionValues — the CDC-read / stream-source file inventory.
+    */
+  private[sources] def changedFileAdds(root: String,
+      fromVersion: Long, toVersion: Long): Seq[AddFile] =
     (math.max(fromVersion + 1, 0L) to toVersion).flatMap { v =>
       // a commit trimmed by log retention (pre-checkpoint JSON on a
       // foreign table) reads as empty, not as an error: its adds are
@@ -606,9 +701,12 @@ object DeltaLog {
           val node = mapper.readTree(line)
           if (node.has("add") &&
             (!node.get("add").has("dataChange") ||
-              node.get("add").get("dataChange").asBoolean(true)))
-            Some(node.get("add").get("path").asText())
-          else None
+              node.get("add").get("dataChange").asBoolean(true))) {
+            val a = node.get("add")
+            Some(AddFile(a.get("path").asText(),
+              if (a.has("size")) a.get("size").asLong() else 0L,
+              jsonPartitionValues(a)))
+          } else None
         }
       }
     }
@@ -627,12 +725,12 @@ object DeltaLog {
     val cur = currentVersion(root)
     val hi = toVersion.getOrElse(cur)
     require(hi <= cur, s"version $hi out of range [0, $cur]")
-    val paths = changedFilePaths(root, fromVersion, hi).map(p => s"$root/$p")
     // the range's files may straddle a schema evolution — read under the
-    // upper version's metaData schema so early files null-fill; mapped
-    // tables rename physical -> logical exactly like the snapshot read
+    // upper version's metaData schema so early files null-fill; mapped /
+    // partitioned tables decode exactly like the snapshot read
     val snap = replay(spark, root, Some(hi))
-    readUnderSchema(spark, paths, snap.schemaJson, snap.metaDataJson)
+    readAdds(spark, root, changedFileAdds(root, fromVersion, hi),
+      snap.schemaJson, snap.metaDataJson)
   }
 
   /** VACUUM: physically delete data files that are live in NO version ≥
@@ -723,14 +821,24 @@ object DeltaLog {
     val metaRow = {
       val m = snap.metaDataJson.map(mapper.readTree)
       def str(f: String) = m.flatMap(n => Option(n.get(f))).map(_.asText()).orNull
+      // partitionColumns and configuration pass through VERBATIM: once
+      // log retention trims the JSON tail, the checkpoint is the only
+      // carrier — dropping them here would make a partitioned (or
+      // column-mapped) table silently read as a plain one after a trim
+      val partCols = m.flatMap(n => Option(n.get("partitionColumns")))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+      val conf = m.flatMap(n => Option(n.get("configuration")))
+        .map(_.fields().asScala.map(e =>
+          e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+        .getOrElse(Map.empty[String, String])
       Row(null, Row(
         Option(str("id")).getOrElse(java.util.UUID.randomUUID().toString),
         Row("parquet", Map.empty[String, String]),
         snap.schemaJson.orNull,
-        Seq.empty[String], Map.empty[String, String]), null)
+        partCols, conf), null)
     }
-    val addRows = snap.adds.map { case (p, s) =>
-      Row(null, null, Row(p, Map.empty[String, String], s, 0L, true))
+    val addRows = snap.adds.map { a =>
+      Row(null, null, Row(a.path, a.partitionValues, a.size, 0L, true))
     }
     // a single-part Delta checkpoint is ONE parquet file, not a
     // directory: write via a scratch dir and move the part into place

@@ -89,11 +89,14 @@ private final case class DeltaStreamOffset(v: Long) extends Offset {
 }
 
 private final case class DeltaFilePartition(path: String,
-    fields: Array[(String, String)]) extends InputPartition
-// fields: (physicalName, typeName) pairs — serializable primitives only,
-// so the partition ships to executors without dragging StructType along.
-// The PHYSICAL name is what the parquet files spell (identical to the
-// logical name except on column-mapped tables); output order is the
+    fields: Array[(String, String, Boolean, String)]) extends InputPartition
+// fields: (physicalName, typeName, isPartitionCol, partitionValue) —
+// serializable primitives only, so the partition ships to executors
+// without dragging StructType along. The PHYSICAL name is what the
+// parquet files spell (identical to the logical name except on
+// column-mapped tables); PARTITION columns are absent from the files
+// entirely — their per-file value rides in from the add action's
+// partitionValues (null = null partition value). Output order is the
 // logical schema's, so the engine binds columns positionally.
 
 final class DeltaStreamStream(root: String, schema: StructType,
@@ -132,12 +135,20 @@ final class DeltaStreamStream(root: String, schema: StructType,
     val e = end.asInstanceOf[DeltaStreamOffset].v
     // partition readers look fields up by the PHYSICAL name the data
     // files actually spell — on a column-mapped ('name' mode) table that
-    // differs from the logical name; resolution is driver string work
+    // differs from the logical name; PARTITION columns are not in the
+    // files at all and take each add's partitionValues entry (keyed by
+    // physical name). Resolution is driver string work.
     val phys = DeltaLog.latestPhysicalNames(root)
-    val fields = schema.fields.map(f =>
-      (phys.getOrElse(f.name, f.name), f.dataType.typeName))
-    DeltaLog.changedFilePaths(root, s, e)
-      .map(p => DeltaFilePartition(s"$root/$p", fields): InputPartition)
+    val partCols = DeltaLog.latestPartitionColumns(root).toSet
+    DeltaLog.changedFileEntries(root, s, e)
+      .map { case (p, pv) =>
+        val fields = schema.fields.map { f =>
+          val ph = phys.getOrElse(f.name, f.name)
+          if (partCols(f.name)) (ph, f.dataType.typeName, true, pv.get(ph).orNull)
+          else (ph, f.dataType.typeName, false, null: String)
+        }
+        DeltaFilePartition(s"$root/$p", fields): InputPartition
+      }
       .toArray
   }
 
@@ -159,27 +170,44 @@ final class DeltaStreamStream(root: String, schema: StructType,
             val vals = new Array[Any](fp.fields.length)
             var i = 0
             while (i < fp.fields.length) {
-              val (name, tpe) = fp.fields(i)
-              // a column added by schema evolution is ABSENT from
-              // pre-evolution files entirely (not just null-valued) —
-              // null-fill it, the same contract the batch read's
-              // schema-first parquet scan applies
-              val idx = if (group.getType.containsField(name))
-                group.getType.getFieldIndex(name) else -1
-              vals(i) =
-                if (idx < 0 || group.getFieldRepetitionCount(idx) == 0) null
-                else tpe match {
-                  case "long" => group.getLong(idx, 0)
-                  case "integer" => group.getInteger(idx, 0)
-                  case "double" => group.getDouble(idx, 0)
-                  case "float" => group.getFloat(idx, 0)
-                  case "boolean" => group.getBoolean(idx, 0)
-                  case "string" =>
-                    UTF8String.fromBytes(group.getBinary(idx, 0).getBytes)
-                  case "binary" => group.getBinary(idx, 0).getBytes
-                  case other => throw new UnsupportedOperationException(
-                    s"DeltaStream reader: unsupported leaf type $other for $name")
-                }
+              val (name, tpe, isPart, partValue) = fp.fields(i)
+              if (isPart) {
+                // partition columns never live in the data file — decode
+                // the add action's string value under the declared type
+                vals(i) =
+                  if (partValue == null) null
+                  else tpe match {
+                    case "long" => partValue.toLong
+                    case "integer" => partValue.toInt
+                    case "double" => partValue.toDouble
+                    case "float" => partValue.toFloat
+                    case "boolean" => partValue.toBoolean
+                    case "string" => UTF8String.fromString(partValue)
+                    case other => throw new UnsupportedOperationException(
+                      s"DeltaStream reader: unsupported partition type $other for $name")
+                  }
+              } else {
+                // a column added by schema evolution is ABSENT from
+                // pre-evolution files entirely (not just null-valued) —
+                // null-fill it, the same contract the batch read's
+                // schema-first parquet scan applies
+                val idx = if (group.getType.containsField(name))
+                  group.getType.getFieldIndex(name) else -1
+                vals(i) =
+                  if (idx < 0 || group.getFieldRepetitionCount(idx) == 0) null
+                  else tpe match {
+                    case "long" => group.getLong(idx, 0)
+                    case "integer" => group.getInteger(idx, 0)
+                    case "double" => group.getDouble(idx, 0)
+                    case "float" => group.getFloat(idx, 0)
+                    case "boolean" => group.getBoolean(idx, 0)
+                    case "string" =>
+                      UTF8String.fromBytes(group.getBinary(idx, 0).getBytes)
+                    case "binary" => group.getBinary(idx, 0).getBytes
+                    case other => throw new UnsupportedOperationException(
+                      s"DeltaStream reader: unsupported leaf type $other for $name")
+                  }
+              }
               i += 1
             }
             new GenericInternalRow(vals)

@@ -630,6 +630,98 @@ class SourcesSpec extends SparkTestBase {
     assert(DeltaLog.read(spark, ok).columns.toSeq == Seq("doc_id"))
   }
 
+  test("DeltaLog: PARTITIONED foreign tables — partition columns decode from " +
+      "partitionValues on batch/CDC/stream reads; writes refuse; checkpoint keeps them") {
+    import graft.sources.DeltaLog
+    import org.apache.spark.sql.types._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = Files.createTempDirectory("graft-delta-part").toString + "/tbl"
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    // logical schema INCLUDES the partition columns; the data files hold
+    // only doc_id — lang and bucket live in each add's partitionValues
+    val schemaJson = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("bucket", LongType))).json
+    val sizes = Seq("en0.parquet" -> (0L until 3L), "fr1.parquet" -> (10L until 14L),
+      "nn.parquet" -> (20L until 22L))
+      .map { case (name, ids) =>
+        val df = spark.createDataFrame(ids.map(Tuple1(_))).toDF("doc_id")
+        val tmp = s"$root/.tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(root, name))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        name -> java.nio.file.Paths.get(root, name).toFile.length()
+      }.toMap
+    val meta = """{"metaData":{"id":"part-0001","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${mapper.writeValueAsString(schemaJson)},""" +
+      """"partitionColumns":["lang","bucket"],"configuration":{}}}"""
+    def add(p: String, pv: String) =
+      s"""{"add":{"path":"$p","partitionValues":$pv,"size":${sizes(p)},""" +
+        """"modificationTime":1700000000000,"dataChange":true}}"""
+    java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"),
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta,
+        add("en0.parquet", """{"lang":"en","bucket":"0"}"""))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(logDir.resolve(f"${1L}%020d.json"),
+      // fr partition plus a NULL partition value (Delta spells it as JSON null)
+      Seq(add("fr1.parquet", """{"lang":"fr","bucket":"1"}"""),
+        add("nn.parquet", """{"lang":null,"bucket":"2"}"""))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    // batch read: partition columns populated and TYPED from the add actions
+    val out = DeltaLog.read(spark, root)
+    assert(out.columns.toSeq == Seq("doc_id", "lang", "bucket"))
+    val got = out.orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1), r.getLong(2)))
+    val expected =
+      (0L until 3L).map(i => (i, "en", 0L)) ++
+        (10L until 14L).map(i => (i, "fr", 1L)) ++
+        (20L until 22L).map(i => (i, null: String, 2L))
+    assert(got.toSeq == expected)
+    // partition-column predicates work (and prune to the right rows)
+    assert(DeltaLog.read(spark, root).filter(col("lang") === "fr").count() == 4)
+    // time travel sees only v0's partition
+    assert(DeltaLog.read(spark, root, Some(0L))
+      .select(col("lang")).distinct().collect().map(_.getString(0)).toSeq == Seq("en"))
+    // CDC read carries the partition columns too
+    assert(DeltaLog.changesSince(spark, root, 0L).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq ==
+      ((10L until 14L).map(i => (i, "fr")) ++ (20L until 22L).map(i => (i, null: String))))
+    // the STREAM source decodes partitionValues per file
+    val run = Files.createTempDirectory("graft-delta-part-run").toString
+    val q = spark.readStream
+      .format(classOf[graft.streaming.DeltaStream].getName)
+      .option("path", root).option("maxVersionsPerTrigger", 1L)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$run/sink").option("checkpointLocation", s"$run/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(s"$run/sink")
+    assert(streamed.columns.toSeq == Seq("doc_id", "lang", "bucket"))
+    assert(streamed.orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1), r.getLong(2)))
+      .toSeq == expected)
+    // our writer emits unpartitioned files with empty partitionValues —
+    // it must refuse the partitioned table
+    val e = intercept[UnsupportedOperationException] {
+      DeltaLog.commitAppend(root, spark.range(1).select(col("id").as("doc_id"),
+        lit("xx").as("lang"), lit(9L).as("bucket")))
+    }
+    assert(e.getMessage.contains("PARTITIONED") && e.getMessage.contains("read-only"),
+      e.getMessage)
+    // a checkpoint preserves partitionValues: trim the JSON history and
+    // the replay must still decode the partitions from the checkpoint
+    assert(DeltaLog.checkpoint(spark, root) == 1L)
+    (0L to 1L).foreach(v => java.nio.file.Files.delete(
+      logDir.resolve(f"$v%020d.json")))
+    assert(DeltaLog.read(spark, root).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1), r.getLong(2)))
+      .toSeq == expected)
+  }
+
   test("DeltaLog: column mapping 'name' mode — a foreign mapped table reads, " +
       "CDC-reads and STREAMS under logical names; writes into it refuse") {
     import graft.sources.DeltaLog
