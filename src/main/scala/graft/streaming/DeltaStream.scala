@@ -30,7 +30,9 @@ import graft.sources.DeltaLog
   * parquet-mr's example Group API and convert to InternalRow — genuinely
   * distributed, no driver collect of data. Supported leaf types: the
   * primitive lattice the engine's Delta writer emits (long/int/double/
-  * float/boolean/string/binary). Restart replays exactly the committed
+  * float/boolean/string/binary) plus date and INT64 timestamps
+  * (millis/micros/nanos units honored; legacy INT96 refuses loudly).
+  * Restart replays exactly the committed
   * version ranges (offsets come back through `deserializeOffset`), and
   * content is whatever the immutable data files hold — so a checkpointed
   * file sink downstream is exactly-once end to end.
@@ -174,6 +176,8 @@ final class DeltaStreamStream(root: String, schema: StructType,
               if (isPart) {
                 // partition columns never live in the data file — decode
                 // the add action's string value under the declared type
+                // (PROTOCOL.md partition-value serialization: ISO date,
+                // "yyyy-MM-dd HH:mm:ss[.S...]" timestamp, UTC session)
                 vals(i) =
                   if (partValue == null) null
                   else tpe match {
@@ -183,6 +187,12 @@ final class DeltaStreamStream(root: String, schema: StructType,
                     case "float" => partValue.toFloat
                     case "boolean" => partValue.toBoolean
                     case "string" => UTF8String.fromString(partValue)
+                    case "date" =>
+                      java.time.LocalDate.parse(partValue).toEpochDay.toInt
+                    case "timestamp" | "timestamp_ntz" =>
+                      val ldt = java.time.LocalDateTime.parse(partValue.replace(' ', 'T'))
+                      val inst = ldt.toInstant(java.time.ZoneOffset.UTC)
+                      inst.getEpochSecond * 1000000L + inst.getNano / 1000L
                     case other => throw new UnsupportedOperationException(
                       s"DeltaStream reader: unsupported partition type $other for $name")
                   }
@@ -204,6 +214,31 @@ final class DeltaStreamStream(root: String, schema: StructType,
                     case "string" =>
                       UTF8String.fromBytes(group.getBinary(idx, 0).getBytes)
                     case "binary" => group.getBinary(idx, 0).getBytes
+                    // Spark DateType is days-since-epoch int = parquet's
+                    // DATE-annotated INT32, no conversion
+                    case "date" => group.getInteger(idx, 0)
+                    // Spark TimestampType is epoch MICROS long; honor the
+                    // file's declared unit (a foreign writer may emit
+                    // millis); INT96 (legacy julian) refuses loudly
+                    case "timestamp" | "timestamp_ntz" =>
+                      import org.apache.parquet.schema.LogicalTypeAnnotation
+                      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+                      val pt = group.getType.getType(idx).asPrimitiveType()
+                      if (pt.getPrimitiveTypeName != PrimitiveTypeName.INT64)
+                        throw new UnsupportedOperationException(
+                          s"DeltaStream reader: unsupported timestamp encoding " +
+                            s"${pt.getPrimitiveTypeName} for $name (INT64 only; " +
+                            "legacy INT96 files are not supported)")
+                      val raw = group.getLong(idx, 0)
+                      pt.getLogicalTypeAnnotation match {
+                        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                          t.getUnit match {
+                            case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
+                            case LogicalTypeAnnotation.TimeUnit.MICROS => raw
+                            case LogicalTypeAnnotation.TimeUnit.NANOS => raw / 1000L
+                          }
+                        case _ => raw // unannotated INT64: micros by convention
+                      }
                     case other => throw new UnsupportedOperationException(
                       s"DeltaStream reader: unsupported leaf type $other for $name")
                   }

@@ -722,6 +722,62 @@ class SourcesSpec extends SparkTestBase {
       .toSeq == expected)
   }
 
+  test("DeltaStream: date partition values and INT64 timestamp columns decode; " +
+      "stream equals batch read") {
+    import graft.sources.DeltaLog
+    import org.apache.spark.sql.types._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = Files.createTempDirectory("graft-delta-ts").toString + "/tbl"
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    val schemaJson = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("day", DateType))).json
+    // data file: (doc_id, ts) as INT64 micros — the partitioned day is a
+    // partition value, not a file column
+    val saved = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    val size = try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      val df = spark.createDataFrame(Seq(
+        (1L, java.sql.Timestamp.valueOf("2024-03-01 10:30:00.123456")),
+        (2L, java.sql.Timestamp.valueOf("2024-03-01 23:59:59.0")))).toDF("doc_id", "ts")
+      val tmp = s"$root/.tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(root, "d0.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      java.nio.file.Paths.get(root, "d0.parquet").toFile.length()
+    } finally saved.fold(spark.conf.unset("spark.sql.parquet.outputTimestampType"))(
+      spark.conf.set("spark.sql.parquet.outputTimestampType", _))
+    val meta = """{"metaData":{"id":"ts-0001","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${mapper.writeValueAsString(schemaJson)},""" +
+      """"partitionColumns":["day"],"configuration":{}}}"""
+    java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"),
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta,
+        s"""{"add":{"path":"d0.parquet","partitionValues":{"day":"2024-03-01"},""" +
+          s""""size":$size,"modificationTime":1700000000000,"dataChange":true}}""")
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val batch = DeltaLog.read(spark, root).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getDate(2).toString))
+    assert(batch.toSeq == Seq(
+      (1L, "2024-03-01 10:30:00.123456", "2024-03-01"),
+      (2L, "2024-03-01 23:59:59.0", "2024-03-01")))
+    val run = Files.createTempDirectory("graft-delta-ts-run").toString
+    val q = spark.readStream
+      .format(classOf[graft.streaming.DeltaStream].getName)
+      .option("path", root).option("maxVersionsPerTrigger", 1L)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$run/sink").option("checkpointLocation", s"$run/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(s"$run/sink").orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getDate(2).toString))
+    assert(streamed.toSeq == batch.toSeq,
+      "the stream must decode timestamps and date partition values exactly like batch")
+  }
+
   test("DeltaLog: column mapping 'name' mode — a foreign mapped table reads, " +
       "CDC-reads and STREAMS under logical names; writes into it refuse") {
     import graft.sources.DeltaLog
