@@ -1171,6 +1171,44 @@ class PlanSpec extends SparkTestBase {
       s"the upper bounds must come from the ingest-time impact metadata:\n$s")
   }
 
+  test("q257/q258 fleet eval + snippets: plan construction performs ZERO Spark " +
+      "actions beyond store listings; store-served") {
+    CorpusOps.writeLexStore(spark, sfDir)
+    // the fleet scorecard and the fleet snippet table inherit q253's
+    // contract: the QUERY axis adds no driver work — q251's bounded
+    // driver-counted totalRel deliberately has NO fleet analogue, and a
+    // reintroduced per-query collect would surface here as a non-listing
+    // construction job
+    for ((name, build) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+      "q257" -> (() => CorpusOps.q257FleetEval(spark, sfDir)),
+      "q258" -> (() => CorpusOps.q258FleetSnippets(spark, sfDir)))) {
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          seen.add(js.stageInfos.map(_.name).mkString(";").take(120))
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val df =
+        try {
+          val built = build()
+          spark.sparkContext.parallelize(Seq(1), 1).count()
+          val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+          while (!seen.toArray.exists(_.toString.contains("count at")) &&
+            System.nanoTime() < deadline) Thread.sleep(20)
+          val pre = seen.toArray.map(_.toString)
+            .takeWhile(!_.contains("count at"))
+          assert(pre.forall(_.startsWith("parquet at")),
+            s"$name construction must submit no Spark jobs beyond store " +
+              s"partition listings, saw: ${pre.mkString(" // ")}")
+          built
+        } finally spark.sparkContext.removeSparkListener(listener)
+      val s = finalPlan(df)
+      assert(!s.contains("documents.parquet"),
+        s"$name must be served from the store, not the corpus text:\n$s")
+    }
+  }
+
   test("q226: the only cross product is the documented tiny hours x types grid") {
     val df = EventsOps.q226CorrMatrix(spark, sfDir)
     df.collect()
