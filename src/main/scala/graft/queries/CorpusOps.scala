@@ -1220,11 +1220,21 @@ object CorpusOps {
     * covering window ending at e starts at min over terms of (that term's
     * latest occurrence ≤ e); a window covers iff all plen terms have such
     * an occurrence; the per-doc best is the lexicographic (span, start)
-    * min — ties break toward the earliest window, q252's rule. Every
-    * stage is per-(query, doc) equi-joined work bounded by the doc's OWN
-    * occurrence counts (P² pairs, P = the query terms' occurrences in one
-    * ranked doc), over at most fleet × k docs — result-page-sized, never
-    * corpus-shaped, and no per-query driver work anywhere.
+    * min — ties break toward the earliest window, q252's rule.
+    *
+    * "Latest occurrence of term t ≤ end e" is computed with the as-of
+    * union + running-max idiom (the [[Temporal.q70]] shape), NOT a
+    * position self-join: replicate each end once per query term (occ
+    * NULL), union that with the terms' own occurrences (occ = pos), and a
+    * single running max per (query, doc, term) ordered by (pos, is_end)
+    * carries the term's latest position onto every end row it passes.
+    * That is O(P·|terms|) rows where P is the query terms' occurrence
+    * count in one ranked doc — the former qp⋈qp self-join on bare
+    * (query, doc) was O(P²), which tracks doc length squared for the
+    * fleet's top-df terms (PlanSpec gates the self-join's return). Every
+    * stage is bounded by the ranked docs' own occurrence counts over at
+    * most fleet × k docs — result-page-sized, never corpus-shaped, and no
+    * per-query driver work anywhere.
     */
   def q258FleetSnippets(spark: SparkSession, dir: String): DataFrame = {
     val queries = q253Queries(spark, dir)
@@ -1235,39 +1245,60 @@ object CorpusOps {
     val full = topk.join(broadcast(qsz), Seq("query_id"))
       .filter(col("n_terms") === col("plen"))
       .select(col("query_id"), col("rk"), col("doc_id"))
-    // doc prune for the positions explode: a SUPERSET of full's docs that
-    // needs no scoring — docs matching ALL of some query's terms, straight
-    // off the tf prefix (one postings agg; re-deriving the top-k ranking
-    // for the prune would cost the whole fleet DAG a second time)
-    val candDocs = termFreqs(spark, dir)
+    // doc prune for the positions explode: exactly the RANKED docs
+    // (fleet × k ids, broadcast). The fleet's terms are top-df by
+    // construction — their postings are the longest lists in the store —
+    // so any looser prune (e.g. "docs matching all of some query's
+    // terms") leaves the explode near-corpus-sized; this one bounds it by
+    // the result page. Referencing `full` twice is fine: Spark's
+    // ReuseExchange dedupes the fleet DAG's identical internal exchanges
+    // (measured: a second reference adds no wall time).
+    val qp = termPositionsForSet(spark, dir, qt, full)
       .join(broadcast(qt), Seq("term"))
-      .groupBy(col("query_id"), col("doc_id")).agg(count(lit(1)).as("nt"))
-      .join(broadcast(qsz), Seq("query_id"))
-      .filter(col("nt") === col("plen"))
-      .select(col("doc_id"))
-    val qp = termPositionsForSet(spark, dir, qt, candDocs)
-      .join(broadcast(qt), Seq("term"))
-      .join(full.select(col("query_id"), col("doc_id")), Seq("query_id", "doc_id"))
-      .select(col("query_id"), col("doc_id"), col("term"), col("pos").cast("long").as("pos"))
-    val ends = qp.select(col("query_id"), col("doc_id"), col("pos").as("endp"))
-    val lastp = ends.join(
-        qp.select(col("query_id"), col("doc_id"), col("term"), col("pos").as("p2")),
-        Seq("query_id", "doc_id"))
-      .filter(col("p2") <= col("endp"))
-      .groupBy(col("query_id"), col("doc_id"), col("endp"), col("term"))
-      .agg(max(col("p2")).as("lp"))
-    val spans = lastp.groupBy(col("query_id"), col("doc_id"), col("endp"))
-      .agg(count(lit(1)).as("ncov"), min(col("lp")).as("start"))
+      .join(full, Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("doc_id"), col("rk"), col("term"),
+        col("pos").cast("long").as("pos"))
+    // as-of union + running-max: occurrences carry their own position as
+    // occ; each end candidate is replicated once per query term with occ
+    // NULL. Both event kinds are generated in a SINGLE pass over qp (an
+    // array explode against the query's broadcast term list — a union of
+    // two selects over qp would execute the qp subtree, fleet DAG
+    // included, twice). Ordering occurrences (is_end=0) before the end
+    // row at the same position keeps the contract inclusive (an
+    // occurrence AT the end position covers it). After the window, each
+    // end row's lp IS "that term's latest occurrence ≤ end" — NULL when
+    // the term has not appeared yet, so count(lp) is the covering count.
+    val qterms = qt.groupBy(col("query_id"))
+      .agg(sort_array(collect_list(col("term"))).as("qterms"))
+    val ev = qp
+      .join(broadcast(qterms), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"), col("rk"), col("pos"),
+        explode(concat(
+          array(struct(col("term").as("term"),
+            col("pos").as("occ"), lit(0).as("is_end"))),
+          transform(col("qterms"), t => struct(t.as("term"),
+            lit(null).cast("long").as("occ"), lit(1).as("is_end")))
+        )).as("e"))
+      .select(col("query_id"), col("doc_id"), col("rk"), col("pos"),
+        col("e.term").as("term"), col("e.occ").as("occ"),
+        col("e.is_end").as("is_end"))
+    val asofW = Window.partitionBy(col("query_id"), col("doc_id"), col("term"))
+      .orderBy(col("pos"), col("is_end"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lastp = ev
+      .withColumn("lp", max(col("occ")).over(asofW))
+      .filter(col("is_end") === 1)
+      .select(col("query_id"), col("doc_id"), col("rk"),
+        col("pos").as("endp"), col("term"), col("lp"))
+    val spans = lastp.groupBy(col("query_id"), col("doc_id"), col("rk"), col("endp"))
+      .agg(count(col("lp")).as("ncov"), min(col("lp")).as("start"))
       .join(broadcast(qsz), Seq("query_id"))
       .filter(col("ncov") === col("plen"))
       .withColumn("span", col("endp") - col("start") + 1)
-    spans.groupBy(col("query_id"), col("doc_id"))
+    spans.groupBy(col("query_id"), col("doc_id"), col("rk"))
       .agg(min(struct(col("span"), col("start"))).as("best"))
-      .select(col("query_id"), col("doc_id"),
-        col("best.span").as("span_len"), col("best.start").as("span_start"))
-      .join(full, Seq("query_id", "doc_id"))
       .select(col("query_id"), col("rk"), col("doc_id"),
-        col("span_len"), col("span_start"))
+        col("best.span").as("span_len"), col("best.start").as("span_start"))
       .orderBy(col("query_id"), col("rk"))
   }
 

@@ -1209,6 +1209,35 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q258: no position-level self-join survives in the span stage") {
+    CorpusOps.writeLexStore(spark, sfDir)
+    // the covering-window stage must be the as-of union + running-max
+    // (O(P·|terms|)), never the former qp⋈qp self-join on bare
+    // (query_id, doc_id) whose row count is quadratic in a ranked doc's
+    // occurrence count. Signature of the quadratic shape: a Join whose
+    // BOTH sides still carry a token-position attribute. Position columns
+    // are only ever named pos/endp/p2/occ in this pipeline; every
+    // legitimate join keeps positions on at most one side (positions ⋈
+    // query terms, positions ⋈ ranked docs, spans ⋈ qsz).
+    val posNames = Set("pos", "endp", "p2", "occ", "positions")
+    val plan = CorpusOps.q258FleetSnippets(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val offenders = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.left.output.exists(a => posNames(a.name)) &&
+            j.right.output.exists(a => posNames(a.name)) => j
+    }
+    assert(offenders.isEmpty,
+      s"found position×position join(s) — the quadratic span shape:\n" +
+        offenders.map(_.simpleString(4)).mkString("\n"))
+    // and the rewrite's own signature must be present: a per-term window
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.exists(_.references.exists(_.name == "term")) => w
+    }
+    assert(windows.nonEmpty, "expected the (query, doc, term) running-max window")
+  }
+
   test("q226: the only cross product is the documented tiny hours x types grid") {
     val df = EventsOps.q226CorrMatrix(spark, sfDir)
     df.collect()
