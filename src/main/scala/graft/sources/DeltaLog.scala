@@ -185,7 +185,12 @@ object DeltaLog {
           .headOption.foreach(r => protocolJson = Some(r.getString(0)))
     }
     (ckpt.getOrElse(-1L) + 1L to v).foreach { i =>
-      Files.readAllLines(commitPath(root, i)).forEach { line =>
+      // a missing commit inside the range is tolerated exactly like
+      // latestTailAction/changedFileAdds tolerate it: a retention sweep
+      // is not atomic, and a mid-flight trim must not fail snapshot reads
+      // that every other path in this module survives
+      if (Files.isRegularFile(commitPath(root, i)))
+        Files.readAllLines(commitPath(root, i)).forEach { line =>
         if (line.nonEmpty) {
           val node = mapper.readTree(line)
           if (node.has("add")) {
@@ -226,11 +231,19 @@ object DeltaLog {
       metaDataJson: Option[String]): Unit = {
     protocolJson.map(mapper.readTree).foreach { p =>
       val mrv = Option(p.get("minReaderVersion")).map(_.asInt()).getOrElse(1)
-      val feats = Option(p.get("readerFeatures")).toSeq
+      val featsField = Option(p.get("readerFeatures"))
+      val feats = featsField.toSeq
         .flatMap(_.elements().asScala.map(_.asText()))
       val unsupported = feats.filterNot(_ == "columnMapping")
-      if (mrv > 3 || (mrv == 3 && unsupported.nonEmpty)) {
-        val fs = if (feats.nonEmpty) s", readerFeatures=${feats.mkString("[", ",", "]")}" else ""
+      // PROTOCOL.md: minReaderVersion>=3 REQUIRES readerFeatures — a
+      // protocol row where the list cannot be materialized (a lossy
+      // foreign checkpoint) must refuse, not default to "no features":
+      // the absent list is exactly where deletionVectors would hide.
+      if (mrv > 3 || (mrv == 3 && (featsField.isEmpty || unsupported.nonEmpty))) {
+        val fs =
+          if (feats.nonEmpty) s", readerFeatures=${feats.mkString("[", ",", "]")}"
+          else if (mrv >= 3 && featsField.isEmpty) ", readerFeatures=<absent>"
+          else ""
         throw new UnsupportedOperationException(
           s"DeltaLog $root: unsupported reader protocol minReaderVersion=$mrv$fs; " +
             "this reader supports minReaderVersion<=2 and columnMapping as the only reader feature")
@@ -461,15 +474,20 @@ object DeltaLog {
       }.nextOption()
   }
 
-  /** One action struct (`metaData` / `protocol`) out of a checkpoint's
-    * parquet parts, read DRIVER-SIDE through parquet-mr's example Group
-    * API — no SparkSession, so commit-path helpers stay plain driver work
-    * even when the checkpoint is the only carrier of the table header
-    * (pre-checkpoint JSON trimmed). Only the scalar leaves the callers
-    * consume are materialized; absent fields read as absent.
+  /** One action struct out of a checkpoint's parquet parts reconstructed
+    * as the FULL action JSON node (the same shape `latestTailAction`
+    * returns from the commit tail) — driver-side parquet-mr, no
+    * SparkSession. Scalars keep their parquet types (ints stay JSON
+    * numbers), Spark/delta-style 3-level LIST groups become JSON arrays,
+    * MAP key_value groups become JSON objects; other nested groups recurse.
+    * This is what lets every metaData-derived gate (partition columns,
+    * column-mapping mode, readerFeatures) survive a log-retention trim:
+    * after the trim, the checkpoint is the ONLY carrier of these fields,
+    * and a scalar-only fallback would silently report "unpartitioned,
+    * unmapped, featureless" — the exact misread the gates exist to stop.
     */
-  private def checkpointAction(parts: Seq[Path], kind: String,
-      fields: Seq[String]): Option[Map[String, String]] = {
+  private def checkpointActionJson(parts: Seq[Path],
+      kind: String): Option[com.fasterxml.jackson.databind.JsonNode] = {
     val it = parts.iterator
     while (it.hasNext) {
       val p = it.next()
@@ -481,15 +499,8 @@ object DeltaLog {
         var g = reader.read()
         while (g != null) {
           if (g.getType.containsField(kind) &&
-            g.getFieldRepetitionCount(kind) > 0) {
-            val ag = g.getGroup(kind, 0)
-            val vals = fields.flatMap { f =>
-              if (ag.getType.containsField(f) && ag.getFieldRepetitionCount(f) > 0)
-                Some(f -> ag.getValueToString(ag.getType.getFieldIndex(f), 0))
-              else None
-            }.toMap
-            if (vals.nonEmpty) return Some(vals)
-          }
+            g.getFieldRepetitionCount(kind) > 0)
+            return Some(groupToJson(g.getGroup(kind, 0)))
           g = reader.read()
         }
       } finally reader.close()
@@ -497,23 +508,99 @@ object DeltaLog {
     None
   }
 
-  /** The latest metaData action's (table id, schemaString): the JSON
-    * commit tail first (bounded backward scan), the newest checkpoint's
-    * metaData row when the tail carries none — which is exactly the
-    * checkpoint-bounded-history case where pre-checkpoint JSON is absent.
+  private def groupToJson(g: org.apache.parquet.example.data.Group)
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val node = mapper.createObjectNode()
+    val gt = g.getType
+    def primNode(i: Int, j: Int): com.fasterxml.jackson.databind.JsonNode = {
+      val pt = gt.getType(i).asPrimitiveType().getPrimitiveTypeName
+      pt match {
+        case INT32 => node.numberNode(g.getInteger(i, j))
+        case INT64 => node.numberNode(g.getLong(i, j))
+        case BOOLEAN => node.booleanNode(g.getBoolean(i, j))
+        case DOUBLE => node.numberNode(g.getDouble(i, j))
+        case FLOAT => node.numberNode(g.getFloat(i, j))
+        case _ => node.textNode(g.getValueToString(i, j))
+      }
+    }
+    (0 until gt.getFieldCount).foreach { i =>
+      val ft = gt.getType(i)
+      val n = g.getFieldRepetitionCount(i)
+      if (n > 0) {
+        val ann = Option(ft.getLogicalTypeAnnotation)
+        if (ft.isPrimitive) {
+          if (ft.isRepetition(org.apache.parquet.schema.Type.Repetition.REPEATED)) {
+            val arr = node.putArray(ft.getName)
+            (0 until n).foreach(j => arr.add(primNode(i, j)))
+          } else
+            // set[T] is generically typed — never ascribe its result
+            node.set[com.fasterxml.jackson.databind.JsonNode](
+              ft.getName, primNode(i, 0))
+        } else if (ann.contains(LogicalTypeAnnotation.listType())) {
+          // 3-level list: group (LIST) { repeated group list { element } }
+          val arr = node.putArray(ft.getName)
+          val lg = g.getGroup(i, 0)
+          (0 until lg.getFieldRepetitionCount(0)).foreach { j =>
+            val eg = lg.getGroup(0, j)
+            if (eg.getFieldRepetitionCount(0) > 0)
+              arr.add(eg.getValueToString(0, 0))
+            else arr.addNull()
+          }
+        } else if (ann.contains(LogicalTypeAnnotation.mapType())) {
+          // map: group (MAP) { repeated group key_value { key; value } }
+          val mg = g.getGroup(i, 0)
+          val obj = node.putObject(ft.getName)
+          (0 until mg.getFieldRepetitionCount(0)).foreach { j =>
+            val kv = mg.getGroup(0, j)
+            val key = kv.getValueToString(0, 0)
+            if (kv.getType.getFieldCount > 1 && kv.getFieldRepetitionCount(1) > 0)
+              obj.put(key, kv.getValueToString(1, 0))
+            else obj.putNull(key)
+          }
+        } else node.set[com.fasterxml.jackson.databind.JsonNode](
+          ft.getName, groupToJson(g.getGroup(i, 0)))
+      }
+    }
+    node
+  }
+
+  /** The latest metaData action as its full JSON string: the commit tail
+    * first (bounded backward scan), the newest checkpoint's reconstructed
+    * metaData row when the tail carries none — the checkpoint-bounded-
+    * history case, where a metaData action normally PRECEDES the
+    * checkpoint (foreign writers checkpoint every N commits) and the
+    * pre-checkpoint JSON may be trimmed. Every metaData-derived gate
+    * (schema, partition columns, column-mapping mode) resolves through
+    * this, so they agree with replay on checkpointed tables.
     */
-  private def latestMetaData(root: String): Option[(String, String)] =
-    latestTailAction(root, "metaData")
-      .filter(m => m.has("id") && m.has("schemaString"))
-      .map(m => (m.get("id").asText(), m.get("schemaString").asText()))
+  private def latestMetaDataJson(root: String): Option[String] =
+    latestTailAction(root, "metaData").map(_.toString)
       .orElse {
         newestCheckpointAtOrBelow(root, currentVersion(root)).flatMap {
-          case (_, parts) =>
-            checkpointAction(parts, "metaData", Seq("id", "schemaString"))
-              .flatMap(m =>
-                for { id <- m.get("id"); s <- m.get("schemaString") } yield (id, s))
-        }
+          case (_, parts) => checkpointActionJson(parts, "metaData")
+        }.map(_.toString)
       }
+
+  /** The latest protocol action as its full JSON string — tail first,
+    * reconstructed checkpoint row second, readerFeatures INCLUDED (a
+    * scalar-only fallback would let a checkpointed deletion-vector table
+    * pass the refusal gate and resurrect DV-deleted rows).
+    */
+  private def latestProtocolJson(root: String): Option[String] =
+    latestTailAction(root, "protocol").map(_.toString)
+      .orElse {
+        newestCheckpointAtOrBelow(root, currentVersion(root)).flatMap {
+          case (_, parts) => checkpointActionJson(parts, "protocol")
+        }.map(_.toString)
+      }
+
+  /** The latest metaData action's (table id, schemaString). */
+  private def latestMetaData(root: String): Option[(String, String)] =
+    latestMetaDataJson(root).map(mapper.readTree)
+      .filter(m => m.has("id") && m.has("schemaString"))
+      .map(m => (m.get("id").asText(), m.get("schemaString").asText()))
 
   /** The table's CURRENT schema resolved entirely driver-side (tail scan
     * bounded by the newest checkpoint, parquet-mr fallback into it) —
@@ -524,15 +611,7 @@ object DeltaLog {
     */
   private[graft] def latestSchema(root: String): StructType = {
     require(currentVersion(root) >= 0, s"no Delta log at $root")
-    val protocolJson = latestTailAction(root, "protocol").map(_.toString)
-      .orElse(newestCheckpointAtOrBelow(root, currentVersion(root)).flatMap {
-        case (_, parts) =>
-          checkpointAction(parts, "protocol", Seq("minReaderVersion"))
-            .flatMap(_.get("minReaderVersion"))
-            .map(v => s"""{"minReaderVersion":$v}""")
-      })
-    val metaJson = latestTailAction(root, "metaData").map(_.toString)
-    validateReadable(root, protocolJson, metaJson)
+    validateReadable(root, latestProtocolJson(root), latestMetaDataJson(root))
     latestMetaData(root)
       .map(m => DataType.fromJson(m._2).asInstanceOf[StructType])
       .getOrElse(throw new IllegalArgumentException(
@@ -562,7 +641,7 @@ object DeltaLog {
     * columnMapping writerFeature, which this writer does not declare).
     */
   private def requireWritable(root: String): Unit = {
-    val meta = latestTailAction(root, "metaData").map(_.toString)
+    val meta = latestMetaDataJson(root)
     val mode = columnMappingMode(meta)
     val mapped = mode != "none" ||
       latestMetaData(root).exists { case (_, s) =>
@@ -588,7 +667,7 @@ object DeltaLog {
     * decorates its per-file rows with. Driver string work.
     */
   private[graft] def latestPartitionColumns(root: String): Seq[String] =
-    partitionColumnsOf(latestTailAction(root, "metaData").map(_.toString))
+    partitionColumnsOf(latestMetaDataJson(root))
 
   /** `dataChange=true` adds in (from, to] as (path, partitionValues) —
     * the stream source's file inventory.
@@ -785,7 +864,9 @@ object DeltaLog {
   private val CkptSchema = StructType(Seq(
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))),
     StructField("metaData", StructType(Seq(
       StructField("id", StringType),
       StructField("format", StructType(Seq(
@@ -815,8 +896,15 @@ object DeltaLog {
     val snap = replay(spark, root, Some(v))
     val protoRow = {
       val p = snap.protocolJson.map(mapper.readTree)
+      // reader/writerFeatures pass through VERBATIM (null when absent):
+      // after a log trim the checkpoint is the only carrier, and a
+      // features-less protocol row would let a minReaderVersion=3 table
+      // slip past the refusal gate as "featureless"
+      def feats(f: String) = p.flatMap(n => Option(n.get(f)))
+        .map(_.elements().asScala.map(_.asText()).toSeq).orNull
       Row(Row(p.map(_.get("minReaderVersion").asInt()).getOrElse(1),
-        p.map(_.get("minWriterVersion").asInt()).getOrElse(2)), null, null)
+        p.map(_.get("minWriterVersion").asInt()).getOrElse(2),
+        feats("readerFeatures"), feats("writerFeatures")), null, null)
     }
     val metaRow = {
       val m = snap.metaDataJson.map(mapper.readTree)

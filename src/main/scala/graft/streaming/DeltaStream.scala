@@ -91,7 +91,8 @@ private final case class DeltaStreamOffset(v: Long) extends Offset {
 }
 
 private final case class DeltaFilePartition(path: String,
-    fields: Array[(String, String, Boolean, String)]) extends InputPartition
+    fields: Array[(String, String, Boolean, String)],
+    sessionTz: String) extends InputPartition
 // fields: (physicalName, typeName, isPartitionCol, partitionValue) —
 // serializable primitives only, so the partition ships to executors
 // without dragging StructType along. The PHYSICAL name is what the
@@ -142,6 +143,12 @@ final class DeltaStreamStream(root: String, schema: StructType,
     // physical name). Resolution is driver string work.
     val phys = DeltaLog.latestPhysicalNames(root)
     val partCols = DeltaLog.latestPartitionColumns(root).toSet
+    // captured DRIVER-side: timestamp partition values are interpreted in
+    // the session timezone (delta-spark's contract), and the batch path
+    // (readAdds) decodes them via lit(str).cast(timestamp) under the same
+    // conf — a hardcoded UTC here would make stream and batch disagree on
+    // the same table whenever spark.sql.session.timeZone is not UTC
+    val sessionTz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
     DeltaLog.changedFileEntries(root, s, e)
       .map { case (p, pv) =>
         val fields = schema.fields.map { f =>
@@ -149,7 +156,7 @@ final class DeltaStreamStream(root: String, schema: StructType,
           if (partCols(f.name)) (ph, f.dataType.typeName, true, pv.get(ph).orNull)
           else (ph, f.dataType.typeName, false, null: String)
         }
-        DeltaFilePartition(s"$root/$p", fields): InputPartition
+        DeltaFilePartition(s"$root/$p", fields, sessionTz): InputPartition
       }
       .toArray
   }
@@ -177,7 +184,10 @@ final class DeltaStreamStream(root: String, schema: StructType,
                 // partition columns never live in the data file — decode
                 // the add action's string value under the declared type
                 // (PROTOCOL.md partition-value serialization: ISO date,
-                // "yyyy-MM-dd HH:mm:ss[.S...]" timestamp, UTC session)
+                // "yyyy-MM-dd HH:mm:ss[.S...]" timestamp). TimestampType
+                // values are wall times in the SESSION timezone (matching
+                // the batch path's lit(str).cast(timestamp)); NTZ is
+                // zoneless — its micros encode the wall time itself
                 vals(i) =
                   if (partValue == null) null
                   else tpe match {
@@ -191,7 +201,9 @@ final class DeltaStreamStream(root: String, schema: StructType,
                       java.time.LocalDate.parse(partValue).toEpochDay.toInt
                     case "timestamp" | "timestamp_ntz" =>
                       val ldt = java.time.LocalDateTime.parse(partValue.replace(' ', 'T'))
-                      val inst = ldt.toInstant(java.time.ZoneOffset.UTC)
+                      val inst =
+                        if (tpe == "timestamp_ntz") ldt.toInstant(java.time.ZoneOffset.UTC)
+                        else ldt.atZone(java.time.ZoneId.of(fp.sessionTz)).toInstant
                       inst.getEpochSecond * 1000000L + inst.getNano / 1000L
                     case other => throw new UnsupportedOperationException(
                       s"DeltaStream reader: unsupported partition type $other for $name")

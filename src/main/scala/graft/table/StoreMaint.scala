@@ -89,9 +89,15 @@ object StoreMaint {
     */
   def eraseWhere(spark: SparkSession, path: String,
       partitionCols: Seq[String], hit: Column): Long = {
+    // null-safe on BOTH sides: a row where the predicate evaluates to
+    // NULL is not a hit (<=> true is false), and it must be KEPT when its
+    // file is rewritten for other rows' sake — a plain !hit would drop it
+    // from the survivors too, silently deleting rows the request never
+    // named. `hit <=> true` / `!(hit <=> true)` partition every row.
+    val hitTrue = hit <=> lit(true)
     val hitFiles = spark.read.parquet(path)
       .withColumn("__file", input_file_name())
-      .filter(hit)
+      .filter(hitTrue)
       .select(col("__file")).distinct()
       .collect().map(r => uriToPath(r.getString(0))).toSeq
     if (hitFiles.isEmpty) return 0L
@@ -99,7 +105,7 @@ object StoreMaint {
     deleteRecursively(staging)
     val survivors = spark.read.option("basePath", path)
       .parquet(hitFiles.map(_.toString): _*)
-      .filter(!hit)
+      .filter(!hitTrue)
     val w = survivors.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(staging.toString)

@@ -630,6 +630,85 @@ class SourcesSpec extends SparkTestBase {
     assert(DeltaLog.read(spark, ok).columns.toSeq == Seq("doc_id"))
   }
 
+  test("DeltaLog: protocol refusal survives a CHECKPOINTED history — readerFeatures " +
+      "recovered from the checkpoint row; mrv>=3 with unrecoverable features refuses") {
+    import graft.sources.DeltaLog
+    import org.apache.spark.sql.types._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schemaJson = StructType(Seq(StructField("doc_id", LongType))).json
+    // author a FOREIGN single-part checkpoint carrying the protocol row
+    // (the JSON tail above it holds only data commits — the normal shape
+    // after log retention trims the pre-checkpoint history)
+    def authorCheckpointed(protoRow: org.apache.spark.sql.Row,
+        protoSchema: StructType): String = {
+      val root = Files.createTempDirectory("graft-delta-ckpt-proto").toString + "/tbl"
+      val logDir = java.nio.file.Paths.get(root, "_delta_log")
+      java.nio.file.Files.createDirectories(logDir)
+      val ckptSchema = StructType(Seq(
+        StructField("protocol", protoSchema),
+        StructField("metaData", StructType(Seq(
+          StructField("id", StringType),
+          StructField("schemaString", StringType),
+          StructField("partitionColumns", ArrayType(StringType)),
+          StructField("configuration", MapType(StringType, StringType)))))))
+      val rows = Seq(
+        org.apache.spark.sql.Row(protoRow, null),
+        org.apache.spark.sql.Row(null, org.apache.spark.sql.Row(
+          "dv-0001", schemaJson, Seq.empty[String], Map.empty[String, String])))
+      val tmp = s"$root/.ckpt-tmp"
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), ckptSchema)
+        .write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        logDir.resolve(f"${0L}%020d.checkpoint.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      java.nio.file.Files.write(logDir.resolve("_last_checkpoint"),
+        """{"version":0,"size":2}""".getBytes("UTF-8"))
+      // post-checkpoint tail: one data-only commit — NO protocol/metaData
+      java.nio.file.Files.write(logDir.resolve(f"${1L}%020d.json"),
+        ("""{"add":{"path":"f1.parquet","partitionValues":{},"size":10,""" +
+          """"modificationTime":1700000000000,"dataChange":true}}""" + "\n")
+          .getBytes("UTF-8"))
+      root
+    }
+    // deletionVectors declared in the CHECKPOINT protocol row: the stream
+    // schema gate must refuse — a scalar-only fallback would reconstruct
+    // {"minReaderVersion":3} featureless and resurrect DV-deleted rows
+    val dvRoot = authorCheckpointed(
+      org.apache.spark.sql.Row(3, 7, Seq("deletionVectors"), Seq("deletionVectors")),
+      StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType)))))
+    val e1 = intercept[UnsupportedOperationException] { DeltaLog.latestSchema(dvRoot) }
+    assert(e1.getMessage.contains("minReaderVersion=3") &&
+      e1.getMessage.contains("deletionVectors"), e1.getMessage)
+    // mrv=3 whose checkpoint schema carries NO readerFeatures column at
+    // all (a lossy foreign checkpoint): the features CANNOT be
+    // materialized, so the gate must refuse rather than assume none
+    val lossyRoot = authorCheckpointed(
+      org.apache.spark.sql.Row(3, 7),
+      StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType))))
+    val e2 = intercept[UnsupportedOperationException] { DeltaLog.latestSchema(lossyRoot) }
+    assert(e2.getMessage.contains("minReaderVersion=3") &&
+      e2.getMessage.contains("<absent>"), e2.getMessage)
+    // and OUR OWN checkpoint round-trips features: a supported
+    // columnMapping-featured protocol checkpointed by this writer still
+    // resolves (no false refusal after the fallback)
+    val okRoot = authorCheckpointed(
+      org.apache.spark.sql.Row(3, 7, Seq("columnMapping"), Seq("columnMapping")),
+      StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType)))))
+    assert(DeltaLog.latestSchema(okRoot).fieldNames.toSeq == Seq("doc_id"))
+  }
+
   test("DeltaLog: PARTITIONED foreign tables — partition columns decode from " +
       "partitionValues on batch/CDC/stream reads; writes refuse; checkpoint keeps them") {
     import graft.sources.DeltaLog
@@ -720,6 +799,50 @@ class SourcesSpec extends SparkTestBase {
     assert(DeltaLog.read(spark, root).orderBy(col("doc_id")).collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1), r.getLong(2)))
       .toSeq == expected)
+    // CHECKPOINT-ONLY metaData (the normal foreign shape: metaData
+    // precedes the checkpoint, retention trims the JSON): every
+    // metaData-derived gate must resolve through the checkpoint —
+    // the writer must STILL refuse (not silently append unpartitioned
+    // files), and a fresh stream must STILL decode partition values
+    // (not silently null-fill them while the batch read stays correct)
+    val e2 = intercept[UnsupportedOperationException] {
+      DeltaLog.commitAppend(root, spark.range(1).select(col("id").as("doc_id"),
+        lit("xx").as("lang"), lit(9L).as("bucket")))
+    }
+    assert(e2.getMessage.contains("PARTITIONED"), e2.getMessage)
+    // a fresh post-trim commit: the stream's file inventory finds ONLY
+    // this JSON commit (pre-checkpoint files are the snapshot a new
+    // consumer bootstraps from), and its partition values must decode —
+    // which requires latestSchema/latestPartitionColumns to have found
+    // the partition columns in the checkpoint
+    val deDf = spark.createDataFrame(Seq(Tuple1(30L), Tuple1(31L))).toDF("doc_id")
+    val tmp2 = s"$root/.tmp2"
+    deDf.coalesce(1).write.mode("overwrite").parquet(tmp2)
+    val part2 = new java.io.File(tmp2).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part2.toPath, java.nio.file.Paths.get(root, "de3.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp2))
+    val deSize = java.nio.file.Paths.get(root, "de3.parquet").toFile.length()
+    java.nio.file.Files.write(logDir.resolve(f"${2L}%020d.json"),
+      (s"""{"add":{"path":"de3.parquet","partitionValues":{"lang":"de","bucket":"3"},""" +
+        s""""size":$deSize,"modificationTime":1700000000000,"dataChange":true}}""" + "\n")
+        .getBytes("UTF-8"))
+    assert(DeltaLog.latestPartitionColumns(root) == Seq("lang", "bucket"),
+      "partition columns must resolve through the checkpoint after a trim")
+    val run2 = Files.createTempDirectory("graft-delta-part-run2").toString
+    val q2 = spark.readStream
+      .format(classOf[graft.streaming.DeltaStream].getName)
+      .option("path", root).option("maxVersionsPerTrigger", 10L)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$run2/sink").option("checkpointLocation", s"$run2/ckpt")
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$run2/sink")
+      .filter(col("doc_id") >= 30L).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1), r.getLong(2)))
+      .toSeq == Seq((30L, "de", 3L), (31L, "de", 3L)),
+      "stream over a checkpoint-only partitioned table must decode partitionValues")
   }
 
   test("DeltaStream: date partition values and INT64 timestamp columns decode; " +
@@ -776,6 +899,60 @@ class SourcesSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getDate(2).toString))
     assert(streamed.toSeq == batch.toSeq,
       "the stream must decode timestamps and date partition values exactly like batch")
+  }
+
+  test("DeltaStream: TIMESTAMP partition values decode in the SESSION timezone — " +
+      "stream equals batch under a non-UTC spark.sql.session.timeZone") {
+    import graft.sources.DeltaLog
+    import org.apache.spark.sql.types._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = Files.createTempDirectory("graft-delta-tstz").toString + "/tbl"
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    val schemaJson = StructType(Seq(
+      StructField("doc_id", LongType), StructField("hr", TimestampType))).json
+    val df = spark.createDataFrame(Seq(Tuple1(1L), Tuple1(2L))).toDF("doc_id")
+    val tmp = s"$root/.tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(root, "h0.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    val size = java.nio.file.Paths.get(root, "h0.parquet").toFile.length()
+    val meta = """{"metaData":{"id":"tz-0001","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${mapper.writeValueAsString(schemaJson)},""" +
+      """"partitionColumns":["hr"],"configuration":{}}}"""
+    java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"),
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta,
+        s"""{"add":{"path":"h0.parquet","partitionValues":{"hr":"2024-03-01 10:30:00"},""" +
+          s""""size":$size,"modificationTime":1700000000000,"dataChange":true}}""")
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    // a partition-value wall time means DIFFERENT instants under
+    // different session zones; batch decodes via lit(str).cast(timestamp)
+    // under the session conf — the stream reader must agree, not pin UTC
+    val savedTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val batch = DeltaLog.read(spark, root).orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+      val run = Files.createTempDirectory("graft-delta-tstz-run").toString
+      val q = spark.readStream
+        .format(classOf[graft.streaming.DeltaStream].getName)
+        .option("path", root).option("maxVersionsPerTrigger", 1L)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$run/sink").option("checkpointLocation", s"$run/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = spark.read.parquet(s"$run/sink").orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+      assert(streamed.toSeq == batch.toSeq,
+        s"stream ${streamed.toSeq} must equal batch ${batch.toSeq} under a non-UTC session tz")
+      // and the instant itself is the New York reading of the wall time
+      val expectedMillis = java.time.LocalDateTime.parse("2024-03-01T10:30:00")
+        .atZone(java.time.ZoneId.of("America/New_York")).toInstant.toEpochMilli
+      assert(batch.head._2 == expectedMillis, s"batch instant ${batch.head._2}")
+    } finally spark.conf.set("spark.sql.session.timeZone", savedTz)
   }
 
   test("DeltaLog: column mapping 'name' mode — a foreign mapped table reads, " +

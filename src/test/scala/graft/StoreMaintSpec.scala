@@ -38,6 +38,24 @@ class StoreMaintSpec extends SparkTestBase {
       .sum
   }
 
+  test("eraseWhere: rows where the predicate evaluates to NULL are KEPT, " +
+      "even when their file is rewritten for other rows") {
+    val dir = Files.createTempDirectory("graft_erase_null").toString + "/t"
+    // one file holding a matching row, a non-matching row, AND a row
+    // whose predicate value is NULL — the CoW rewrite of that file must
+    // retain the NULL row (it was never named by the request)
+    spark.createDataFrame(Seq(
+      (1L, "bad"), (2L, "good"), (3L, null.asInstanceOf[String])))
+      .toDF("id", "tag").coalesce(1).write.parquet(dir)
+    val rewritten = StoreMaint.eraseWhere(spark, dir, Seq.empty,
+      col("tag") === "bad")
+    assert(rewritten == 1L)
+    val left = spark.read.parquet(dir).orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(left.toSeq == Seq((2L, "good"), (3L, null)),
+      s"null-predicate rows must survive the rewrite, got ${left.toSeq}")
+  }
+
   test("lex store compaction: >=4x fewer files read by q56/q247 plans, " +
       "hash-equal results, refreshed bounds prune at least as hard") {
     val store = Files.createTempDirectory("graft_lexcompact").toString + "/lexstore"
