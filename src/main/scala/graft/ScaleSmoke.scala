@@ -233,7 +233,8 @@ object ScaleSmoke {
     val plainDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale${Replicas}x_plain"
     synthesize(spark, baseDir, scaledDir)
     // the naive-tiled corpus is read only by the dense phrase/proximity rows
-    if (Seq("q242_phrase_search_dense", "q244_proximity_pairs_dense")
+    if (Seq("q242_phrase_search_dense", "q244_proximity_pairs_dense",
+        "q257_fleet_eval_dense", "q258_fleet_snippets_dense")
         .exists(SparkEntry.onlyFilter()))
       synthesizePlain(spark, baseDir, plainDir)
     // the skew corpus is read only by the two packing-skew rows
@@ -416,6 +417,19 @@ object ScaleSmoke {
       // same contract for the proximity band join: Nx matching positions
       // through the range-to-equi band join, output Nx
       ("q244_proximity_pairs_dense", graft.queries.CorpusOps.q244ProximityPairs _, plainDir),
+      // fleet eval on the naive-tiled corpus: every replica matches the
+      // fleet's top-df terms, so per-query candidate sets — and the
+      // n_rel relevant totals the scorecard reports — grow Nx while the
+      // top-k frame stays fleet x k; the row gates the candidate-axis
+      // scoring + label agg, the stage a 100 TB eval pays
+      ("q257_fleet_eval_dense", graft.queries.CorpusOps.q257FleetEval _, plainDir),
+      // fleet snippets on the same corpus: the cold tokenize + postings
+      // enumeration grow Nx, but the as-of covering-window stage is
+      // bounded by the RANKED docs' occurrence counts (fleet x k docs,
+      // broadcast-pruned before the positions explode) — the row that
+      // would have caught the former P^2 position self-join, whose pair
+      // count grows with doc count x doc length
+      ("q258_fleet_snippets_dense", graft.queries.CorpusOps.q258FleetSnippets _, plainDir),
       // Delta OPTIMIZE: fixture hoisted untimed (warmFixture); each run
       // clones the fragmented table and pays the full rewrite — reads and
       // rewrites every live file, data-sized by design, must tile ~Nx

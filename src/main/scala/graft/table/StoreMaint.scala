@@ -123,27 +123,49 @@ object StoreMaint {
   }
 
   /** BIN-PACKED SMALL-FILE COMPACTION of the parquet table at `path`:
-    * rewrite the accumulated per-trigger files into `targetBytes`-sized
-    * outputs, preserving `partitionCols` layout. This is the q178
-    * compaction planner made physical: with `openCostInBytes = 0` and
-    * `maxPartitionBytes = targetBytes`, Spark's FileSourceScan split
-    * planner runs EXACTLY the planner's discipline — cumulative bytes
-    * next-fit into target-sized bins, one scan task per bin — so each
-    * task reads one bin's small files and writes one compacted file,
-    * with NO shuffle anywhere (the rewrite moves bytes once, scan to
-    * writer, the Delta/Iceberg OPTIMIZE shape). Re-running on an
-    * unchanged listing reproduces the identical binning (idempotent
-    * maintenance).
+    * rewrite the accumulated per-trigger SMALL files into
+    * `targetBytes`-sized outputs, preserving `partitionCols` layout.
     *
-    * Publication is a directory swap (see class note for the object-store
-    * analogue). Results are byte-for-byte the same rows — callers'
-    * correctness gates (oracle hashes) must not move.
+    * SMALL-FILE-AWARE: only files under `targetBytes` are rewrite
+    * candidates, and only where merging is possible — a partition
+    * directory holding a single small file is already as packed as this
+    * pass can make it. Files at/over target (and lone small files) are
+    * CARRIED untouched: never read, never moved, byte-identical after
+    * the pass. That makes the maintenance job's own cost proportional to
+    * the small-file TAIL, not the store — a 100 TB postings store
+    * compacted nightly re-copies its fresh appends, not 100 TB — and a
+    * second pass over an already-compacted store is a literal no-op
+    * (returns 0, bumps nothing). This is the same candidate discipline
+    * Delta OPTIMIZE (minFileSize) and [[VersionedTable.compact]]
+    * (fragmented buckets only) apply.
+    *
+    * The rewrite itself is the q178 compaction planner made physical:
+    * with `openCostInBytes = 0` and `maxPartitionBytes = targetBytes`,
+    * Spark's FileSourceScan split planner runs EXACTLY the planner's
+    * discipline — cumulative bytes next-fit into target-sized bins, one
+    * scan task per bin — so each task reads one bin's small files and
+    * writes one compacted file, with NO shuffle anywhere (the rewrite
+    * moves bytes once, scan to writer, the Delta/Iceberg OPTIMIZE shape).
+    * Re-running on an unchanged listing reproduces the identical binning
+    * (idempotent maintenance).
+    *
+    * Publication is staged-file move-in + candidate delete (see class
+    * note for the object-store analogue). Results are byte-for-byte the
+    * same rows — callers' correctness gates (oracle hashes) must not
+    * move. Returns the number of small files rewritten (0 = no-op).
     */
   def compact(spark: SparkSession, path: String,
-      partitionCols: Seq[String], targetBytes: Long): Unit = {
+      partitionCols: Seq[String], targetBytes: Long): Long = {
+    val root = Paths.get(path)
+    // candidates: under-target files in directories where a merge is
+    // possible (>= 2 small files share the directory — with partitionBy
+    // output routing, files can only ever merge within their partition)
+    val candidates = dataFiles(path)
+      .filter(f => Files.size(f) < targetBytes)
+      .groupBy(_.getParent).values.filter(_.size >= 2).flatten.toSeq
+    if (candidates.isEmpty) return 0L
     val staging = Paths.get(path + ".opt")
-    val old = Paths.get(path + ".old")
-    deleteRecursively(staging); deleteRecursively(old)
+    deleteRecursively(staging)
     val conf = spark.conf
     // maxPartitionBytes = target and openCost = 0 make the split planner's
     // bin exactly `targetBytes` of real data; minPartitionNum = 1 stops the
@@ -156,7 +178,10 @@ object StoreMaint {
     val saved = tuned.map { case (k, _) => k -> conf.getOption(k) }
     try {
       tuned.foreach { case (k, v) => conf.set(k, v) }
-      val df = spark.read.parquet(path)
+      // basePath recovers the partition columns from the candidate
+      // files' directory layout, exactly like eraseWhere's hit read
+      val df = spark.read.option("basePath", path)
+        .parquet(candidates.map(_.toString): _*)
       val w = df.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(staging.toString)
@@ -164,9 +189,17 @@ object StoreMaint {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)
     }
-    Files.move(Paths.get(path), old)
-    Files.move(staging, Paths.get(path))
-    deleteRecursively(old)
+    // publish: staged outputs in (fresh UUID part names — no collision
+    // with carried files), candidates out, marker bumped
+    dataFiles(staging.toString).foreach { f =>
+      val rel = staging.relativize(f)
+      val dest = root.resolve(rel)
+      Files.createDirectories(dest.getParent)
+      Files.move(f, dest, StandardCopyOption.REPLACE_EXISTING)
+    }
+    candidates.foreach(Files.deleteIfExists(_))
+    deleteRecursively(staging)
     touchSuccess(path)
+    candidates.size.toLong
   }
 }

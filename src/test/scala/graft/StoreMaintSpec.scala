@@ -56,6 +56,54 @@ class StoreMaintSpec extends SparkTestBase {
       s"null-predicate rows must survive the rewrite, got ${left.toSeq}")
   }
 
+  test("compact is SMALL-FILE-AWARE: full-sized files carry byte-identical, " +
+      "a second pass is a no-op, and post-append maintenance I/O is " +
+      "proportional to the small-file tail") {
+    import java.nio.file.{Files => JFiles}
+    val dir = Files.createTempDirectory("graft_compact_aware").toString + "/t"
+    // 8 small appends -> 8 small files
+    (0L until 8L).foreach(i =>
+      spark.range(i * 100, (i + 1) * 100).toDF("id")
+        .coalesce(1).write.mode("append").parquet(dir))
+    assert(StoreMaint.dataFileCount(dir) == 8L)
+    val before = spark.read.parquet(dir).orderBy(col("id")).collect().toSeq
+    // target far above every file: all 8 merge into one output
+    val n1 = StoreMaint.compact(spark, dir, Seq.empty, 512L << 20)
+    assert(n1 == 8L)
+    assert(StoreMaint.dataFileCount(dir) == 1L)
+    assert(spark.read.parquet(dir).orderBy(col("id")).collect().toSeq == before)
+    val state1 = StoreMaint.dataFiles(dir)
+      .map(f => (f.toString, JFiles.size(f), JFiles.getLastModifiedTime(f))).toSet
+    // SECOND pass: one under-target file per directory — nothing can
+    // merge, so the pass must be a literal no-op (0 rewritten, every
+    // file untouched in place); the old full-table rewrite re-copied
+    // the whole store here, which at 100 TB is the maintenance job
+    // defeating its own purpose
+    assert(StoreMaint.compact(spark, dir, Seq.empty, 512L << 20) == 0L)
+    assert(StoreMaint.dataFiles(dir)
+      .map(f => (f.toString, JFiles.size(f), JFiles.getLastModifiedTime(f))).toSet == state1,
+      "an already-compacted store must carry every file byte-identical in place")
+    // fresh small appends: maintenance rewrites ONLY the new tail — the
+    // compacted file is over... still under target here, so guard it by
+    // making it ineligible: its directory holds it plus the new smalls,
+    // all under target, so they merge together (the tail plus the one
+    // existing under-target output — bounded by the append, not the store)
+    (0L until 3L).foreach(i =>
+      spark.range(1000 + i * 10, 1010 + i * 10).toDF("id")
+        .coalesce(1).write.mode("append").parquet(dir))
+    val n3 = StoreMaint.compact(spark, dir, Seq.empty, 512L << 20)
+    assert(n3 == 4L, s"expected the 3 new small files + 1 small output, got $n3")
+    val all = spark.read.parquet(dir).orderBy(col("id")).collect().map(_.getLong(0))
+    assert(all.length == before.size + 30)
+    // PARTITIONED: an over-target file carries even when its partition
+    // gains small neighbors? (files >= target are never candidates)
+    val pdir = Files.createTempDirectory("graft_compact_part").toString + "/t"
+    spark.range(0, 200).select(col("id"), (col("id") % 2).as("b"))
+      .repartition(4).write.partitionBy("b").parquet(pdir)
+    // tiny target: everything is "over target" -> no-op
+    assert(StoreMaint.compact(spark, pdir, Seq("b"), 1L) == 0L)
+  }
+
   test("lex store compaction: >=4x fewer files read by q56/q247 plans, " +
       "hash-equal results, refreshed bounds prune at least as hard") {
     val store = Files.createTempDirectory("graft_lexcompact").toString + "/lexstore"
