@@ -43,7 +43,7 @@ object CorpusOps {
     * ingest artifact that lets q247 prune candidates by score upper
     * bound without touching their postings.
     */
-  private val LexStoreFormatVersion = 3
+  private val LexStoreFormatVersion = 4
 
   /** `postings/` is hash-partitioned on the term, 64 ways: a keyword
     * query prunes to its terms' partitions at the FILE level — the
@@ -137,7 +137,12 @@ object CorpusOps {
         .withColumn("pbkt", pmod(h60(col("term")), lit(LexPostingBuckets.toLong)))
         .write.mode("overwrite").partitionBy("pbkt").parquet(s"$store/postings")
     } finally { toks.unpersist(blocking = true); () }
+    graft.table.StoreManifest.bump(store, Seq("dl", "postings"))
     refreshMaxScores(spark, store)
+    // pin the exact corpus file set this store indexes — the freshness
+    // probe is listing-fingerprint equality, never mtime ordering
+    graft.table.StoreManifest.recordCorpus(store,
+      graft.table.StoreManifest.corpusFingerprint(s"$dir/documents.parquet"))
   }
 
   /** (Re)compute the `maxscore/` per-term impact metadata from the
@@ -169,6 +174,7 @@ object CorpusOps {
       .agg(max(col("n_t")).as("df"), max(col("q")).as("max_q"))
       .withColumn("pbkt", pmod(h60(col("term")), lit(LexPostingBuckets.toLong)))
       .write.mode("overwrite").partitionBy("pbkt").parquet(s"$store/maxscore")
+    graft.table.StoreManifest.bump(store, Seq("maxscore"))
   }
 
   /** LAYOUT MAINTENANCE for an incrementally-built lexical store — the
@@ -240,6 +246,9 @@ object CorpusOps {
         .withColumn("pbkt", pmod(h60(col("term")), lit(LexPostingBuckets.toLong)))
         .write.mode("append").partitionBy("pbkt").parquet(s"$store/postings")
     } finally { toks.unpersist(blocking = true); () }
+    // the postings stamp moving past maxscore's is exactly what makes the
+    // read path distrust the (now stale-stats) impact bounds
+    graft.table.StoreManifest.bump(store, Seq("dl", "postings"))
   }
 
   /** q56's BM25 served from an INCREMENTALLY-built store (q249): dl and
@@ -268,14 +277,19 @@ object CorpusOps {
         .select(col("term"), col("max_q"))
     }
 
-  /** One store table read back, or None when absent, disabled, or older
-    * than the corpus parquet (the signature store's freshness contract).
+  /** One store table read back, or None when absent, disabled, or not
+    * derived from the corpus parquet's CURRENT file set. Freshness is the
+    * store manifest's recorded corpus LISTING FINGERPRINT compared to the
+    * corpus's current one ([[graft.table.StoreManifest]]) — pure LIST
+    * metadata, valid on object storage where mtimes carry no ordering
+    * contract; a store without a manifest is never trusted.
     */
   private def lexStored(spark: SparkSession, dir: String, part: String): Option[DataFrame] = {
-    val path = s"${lexStorePathFor(dir)}/$part"
-    val success = new java.io.File(s"$path/_SUCCESS")
-    if (lexStoreEnabled && success.exists() &&
-      success.lastModified >= Dedup.latestMtime(new java.io.File(s"$dir/documents.parquet")))
+    val store = lexStorePathFor(dir)
+    val path = s"$store/$part"
+    if (lexStoreEnabled && new java.io.File(s"$path/_SUCCESS").exists() &&
+      graft.table.StoreManifest.corpusMatches(store,
+        graft.table.StoreManifest.corpusFingerprint(s"$dir/documents.parquet")))
       Some(spark.read.parquet(path))
     else None
   }
@@ -778,8 +792,10 @@ object CorpusOps {
     * incrementally-built / compacted / erased lexical store rather than
     * the corpus dir's canonical fixture): `dl/` and the query terms'
     * `postings/` partitions feed the identical pruning protocol. The
-    * `maxscore/` metadata is trusted ONLY when its `_SUCCESS` is at least
-    * as new as the newest `postings/` file — impacts are non-monotone in
+    * `maxscore/` metadata is trusted ONLY when the store MANIFEST stamps
+    * it at least as new as `postings/` ([[graft.table.StoreManifest]] —
+    * an integer compare, never filesystem mtimes, which object storage
+    * does not order) — impacts are non-monotone in
     * the global stats, so bounds computed before a later append are NOT
     * valid upper bounds; a stale table falls back to deriving exact
     * bounds from the current postings (same values the refresh would
@@ -800,10 +816,8 @@ object CorpusOps {
       case None => posts.select(col("doc_id"), col("term"), col("tf"))
         .join(broadcast(qt.select(col("term")).distinct()), Seq("term"), "leftsemi")
     }
-    val msSuccess = new java.io.File(s"$store/maxscore/_SUCCESS")
     val maxs =
-      if (msSuccess.exists() &&
-        msSuccess.lastModified >= Dedup.latestMtime(new java.io.File(s"$store/postings")))
+      if (graft.table.StoreManifest.partFresh(store, "maxscore", "postings"))
         Some {
           val m = spark.read.parquet(s"$store/maxscore")
           literalTerms match {

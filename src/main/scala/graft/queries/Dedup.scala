@@ -234,7 +234,7 @@ object Dedup {
     * pair schema) changes shape — a store written by older code must read as
     * ABSENT, never as silently-wrong candidates.
     */
-  private val StoreFormatVersion = 1
+  private val StoreFormatVersion = 2
 
   /** On-disk signature store root for one (corpus, cap): the SURVEY §9
     * artifact. `sigs/` is the per-doc MinHash signature table; `bands/` the
@@ -284,6 +284,9 @@ object Dedup {
       .select(col("band"), col("key"), col("doc_id"))
     pairCandidates(sigs, buckets)
       .write.mode("overwrite").parquet(s"$store/pairs")
+    graft.table.StoreManifest.bump(store, Seq("sigs", "bands", "pairs"))
+    graft.table.StoreManifest.recordCorpus(store,
+      graft.table.StoreManifest.corpusFingerprint(s"$dir/documents.parquet"))
   }
 
   /** Append ONE micro-batch of documents to an incremental signature store
@@ -307,6 +310,7 @@ object Dedup {
           posexplode(bandKeys(col("sig"), BANDS, ROWS)).as(Seq("band", "key")))
         .write.mode("append").partitionBy("band").parquet(s"$store/bands")
     } finally { sigs.unpersist(blocking = true); () }
+    graft.table.StoreManifest.bump(store, Seq("sigs", "bands"))
   }
 
   /** LAYOUT MAINTENANCE for an incrementally-built signature store: the
@@ -372,18 +376,20 @@ object Dedup {
   }
 
   /** One store table read back, or None when the store is absent, disabled,
-    * or older than the corpus parquet (a rewritten corpus must never serve
-    * stale state — same freshness contract a warehouse table carries).
-    * The probe is `_SUCCESS`-mtime-based, a LOCAL-FILESYSTEM contract; on
-    * object storage (no reliable mtime ordering) the same check reads a
-    * version/manifest stamp — e.g. the corpus Delta version recorded in
-    * the store at build time, compared to the table's current version.
+    * or not derived from the corpus parquet's CURRENT file set (a
+    * rewritten corpus must never serve stale state — same freshness
+    * contract a warehouse table carries). The probe is the store
+    * manifest's recorded corpus LISTING FINGERPRINT compared to the
+    * corpus's current one ([[graft.table.StoreManifest]]) — pure LIST
+    * metadata, valid on object storage where mtimes carry no ordering
+    * contract; a store without a manifest is never trusted.
     */
   private def storedPart(spark: SparkSession, dir: String, maxBucket: Int, part: String): Option[DataFrame] = {
-    val path = s"${signatureStorePathFor(dir, maxBucket)}/$part"
-    val success = new java.io.File(s"$path/_SUCCESS")
-    if (signatureStoreEnabled && success.exists() &&
-      success.lastModified >= latestMtime(new java.io.File(s"$dir/documents.parquet")))
+    val store = signatureStorePathFor(dir, maxBucket)
+    val path = s"$store/$part"
+    if (signatureStoreEnabled && new java.io.File(s"$path/_SUCCESS").exists() &&
+      graft.table.StoreManifest.corpusMatches(store,
+        graft.table.StoreManifest.corpusFingerprint(s"$dir/documents.parquet")))
       Some(spark.read.parquet(path))
     else None
   }
@@ -397,11 +403,6 @@ object Dedup {
   private[queries] def corpusSigs(spark: SparkSession, dir: String): DataFrame =
     storedPart(spark, dir, 256, "sigs").getOrElse(
       minhashSigRows(spark, Tables(spark, dir, "documents"), n = 3, k = K))
-
-  private[queries] def latestMtime(f: java.io.File): Long =
-    if (!f.exists()) 0L
-    else if (f.isFile) f.lastModified
-    else (f.lastModified +: f.listFiles().map(latestMtime)).max
 
   /** Cap-filtered (band, key, doc_id) banding of a signature frame —
     * the cap runs through [[capBuckets]]' agg + join (never a window).

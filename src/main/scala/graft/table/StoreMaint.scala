@@ -119,6 +119,7 @@ object StoreMaint {
     hitFiles.foreach(Files.deleteIfExists(_))
     deleteRecursively(staging)
     touchSuccess(path)
+    StoreManifest.bumpPart(path)
     hitFiles.size.toLong
   }
 
@@ -200,6 +201,7 @@ object StoreMaint {
     candidates.foreach(Files.deleteIfExists(_))
     deleteRecursively(staging)
     touchSuccess(path)
+    StoreManifest.bumpPart(path)
     candidates.size.toLong
   }
 }

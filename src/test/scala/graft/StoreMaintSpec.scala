@@ -38,6 +38,62 @@ class StoreMaintSpec extends SparkTestBase {
       .sum
   }
 
+  test("freshness is MANIFEST-driven: forward/backdating file mtimes can no " +
+      "longer make a stale maxscore trusted; a corpus rewrite with backdated " +
+      "mtimes still invalidates the store") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    import java.nio.file.attribute.FileTime
+    def planOf(df: DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    def setAllMtimes(root: String, t: Long): Unit = {
+      import scala.jdk.CollectionConverters._
+      val s = JFiles.walk(JPaths.get(root))
+      try s.iterator().asScala.foreach(p =>
+        JFiles.setLastModifiedTime(p, FileTime.fromMillis(t)))
+      finally s.close()
+    }
+    // --- intra-store: maxscore vs postings -------------------------------
+    val store = Files.createTempDirectory("graft_manifest").toString + "/lexstore"
+    CorpusOps.appendLexStore(docs.filter(col("doc_id") % 2 === 0), store)
+    CorpusOps.refreshMaxScores(spark, store)
+    assert(planOf(CorpusOps.wandTopKFromStore(spark, store)).contains("maxscore"),
+      "a freshly refreshed store must serve the impact bounds")
+    // append AFTER the refresh -> bounds stale (global stats moved)
+    CorpusOps.appendLexStore(docs.filter(col("doc_id") % 2 === 1), store)
+    val expected = CorpusOps.wandTopKFromStore(spark, store).collect().toSeq
+    assert(!planOf(CorpusOps.wandTopKFromStore(spark, store)).contains("maxscore"),
+      "stale bounds must not be read")
+    // FORWARD-date everything under maxscore/ (and backdate postings/):
+    // under the old mtime probe this made the stale table look fresh —
+    // the manifest's integer stamps must be immune to both
+    setAllMtimes(s"$store/maxscore", System.currentTimeMillis() + 3600L * 1000)
+    setAllMtimes(s"$store/postings", 1000000000000L)
+    assert(!planOf(CorpusOps.wandTopKFromStore(spark, store)).contains("maxscore"),
+      "mtime forgery must not resurrect stale impact bounds")
+    assert(CorpusOps.wandTopKFromStore(spark, store).collect().toSeq == expected)
+    // a real refresh restores trust
+    CorpusOps.refreshMaxScores(spark, store)
+    assert(planOf(CorpusOps.wandTopKFromStore(spark, store)).contains("maxscore"))
+    assert(CorpusOps.wandTopKFromStore(spark, store).collect().toSeq == expected)
+    // --- store vs corpus: listing fingerprint ----------------------------
+    val corpus = Files.createTempDirectory("graft_manifest_corpus").toString
+    docs.limit(50).write.parquet(s"$corpus/documents.parquet")
+    CorpusOps.writeLexStore(spark, corpus)
+    assert(!planOf(CorpusOps.q56Bm25(spark, corpus)).contains("documents.parquet"),
+      "a just-built store must serve retrieval")
+    // REWRITE the corpus (different file set), then BACKDATE every file —
+    // the old probe compared store _SUCCESS mtime >= corpus mtime, so a
+    // backdated rewrite served stale state; the fingerprint can't be fooled
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$corpus/documents.parquet"))
+    docs.limit(20).write.parquet(s"$corpus/documents.parquet")
+    setAllMtimes(s"$corpus/documents.parquet", 1000000000000L)
+    assert(planOf(CorpusOps.q56Bm25(spark, corpus)).contains("documents.parquet"),
+      "a rewritten corpus must invalidate the store even with backdated mtimes")
+  }
+
   test("eraseWhere: rows where the predicate evaluates to NULL are KEPT, " +
       "even when their file is rewritten for other rows") {
     val dir = Files.createTempDirectory("graft_erase_null").toString + "/t"
