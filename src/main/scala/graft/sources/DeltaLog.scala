@@ -409,24 +409,59 @@ object DeltaLog {
   }
 
   /** Write `df`'s rows as parquet under a commit-unique subdirectory and
-    * return (relativePath, size) per data file.
+    * return (relativePath, size, partitionValues) per data file. With
+    * `partCols` non-empty the write is PARTITIONED exactly as the Delta
+    * protocol prescribes: the partition columns are NOT stored in the
+    * data files (Spark's partitionBy already excludes them — the same
+    * data schema [[readAdds]] reconstructs on read), and each file's
+    * values are decoded from its Hive-style directory segments
+    * (`col=value`, URL-encoded, `__HIVE_DEFAULT_PARTITION__` = null)
+    * into the add action's partitionValues map — the reader's own
+    * decode, inverted.
     */
-  private def writeDataFiles(root: String, v: Long,
-      df: DataFrame): Seq[(String, Long)] = {
+  private def writeDataFiles(root: String, v: Long, df: DataFrame,
+      partCols: Seq[String] = Seq.empty)
+      : Seq[(String, Long, Map[String, String])] = {
     val sub = f"c$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.parquet(s"$root/$sub")
-    val d = new java.io.File(s"$root/$sub")
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
-      .map(f => (s"$sub/${f.getName}", f.length()))
-      .toIndexedSeq
+    if (partCols.nonEmpty) {
+      val missing = partCols.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"commit into a partitioned table needs its partition columns; " +
+          s"missing: ${missing.mkString(", ")}")
+      df.write.partitionBy(partCols: _*).parquet(s"$root/$sub")
+    } else df.write.parquet(s"$root/$sub")
+    val base = Paths.get(root, sub)
+    val s = Files.walk(base)
+    val files =
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && {
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }).toSeq
+      finally s.close()
+    files.map { p =>
+      val rel = base.relativize(p)
+      val pv = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
+        .filter(_.contains("="))
+        .map { seg =>
+          val k = seg.substring(0, seg.indexOf('='))
+          val raw = java.net.URLDecoder.decode(
+            seg.substring(seg.indexOf('=') + 1), "UTF-8")
+          k -> (if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw)
+        }.toMap
+      (s"$sub/${rel.iterator().asScala.mkString("/")}", Files.size(p), pv)
+    }.sortBy(_._1).toIndexedSeq
   }
 
   private def addAction(path: String, size: Long,
-      dataChange: Boolean = true): String =
-    s"""{"add":{"path":${jstr(path)},"partitionValues":{},"size":$size,""" +
+      dataChange: Boolean = true,
+      partitionValues: Map[String, String] = Map.empty): String = {
+    val pv = partitionValues.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${jstr(k)}:${if (v == null) "null" else jstr(v)}"
+    }.mkString("{", ",", "}")
+    s"""{"add":{"path":${jstr(path)},"partitionValues":$pv,"size":$size,""" +
       s""""modificationTime":0,"dataChange":$dataChange}}"""
+  }
 
   private def removeAction(path: String, dataChange: Boolean = true): String =
     s"""{"remove":{"path":${jstr(path)},"deletionTimestamp":0,"dataChange":$dataChange}}"""
@@ -627,8 +662,15 @@ object DeltaLog {
   private def evolutionActions(root: String, df: DataFrame): Seq[String] = {
     requireWritable(root)
     latestMetaData(root) match {
-      case Some((id, schema)) if schema != df.schema.json =>
-        Seq(metaDataAction(id, df.schema.json))
+      case Some((_, schema)) if schema != df.schema.json =>
+        // update schemaString IN PLACE on the latest metaData node:
+        // id, format, partitionColumns and configuration pass through
+        // verbatim — a fresh minimal metaData here would silently strip
+        // a partitioned table's layout on its first schema evolution
+        val node = mapper.readTree(latestMetaDataJson(root).get)
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        node.put("schemaString", df.schema.json)
+        Seq(s"""{"metaData":${node.toString}}""")
       case _ => Seq.empty
     }
   }
@@ -653,14 +695,11 @@ object DeltaLog {
         s"DeltaLog $root: refusing to write into a column-mapped table " +
           "(delta.columnMapping); this writer supports mode 'none' — " +
           "column-mapped foreign tables are read-only")
-    // this writer emits unpartitioned files with empty partitionValues —
-    // appended into a partitioned table they would be unprunable (or
-    // worse, read with null partition columns) for every other reader
-    if (partitionColumnsOf(meta).nonEmpty)
-      throw new UnsupportedOperationException(
-        s"DeltaLog $root: refusing to write into a PARTITIONED table; " +
-          "this writer emits unpartitioned files — partitioned foreign " +
-          "tables are read-only")
+    // partitioned tables are WRITABLE: writeDataFiles hash-routes rows
+    // into Hive-style partition directories and emits one add action per
+    // file group with its partitionValues — the refusal gate narrowed to
+    // column mapping only (whose physical-name bookkeeping this writer
+    // genuinely does not produce)
   }
 
   /** The latest metaData's partition columns — what the streaming source
@@ -691,9 +730,10 @@ object DeltaLog {
     val next = expectedVersion.getOrElse(currentVersion(root)) + 1
     val header =
       if (next == 0L) headerActions(df) else evolutionActions(root, df)
-    val adds = writeDataFiles(root, next, df)
+    val partCols = if (next == 0L) Seq.empty else latestPartitionColumns(root)
+    val adds = writeDataFiles(root, next, df, partCols)
     publish(root, next,
-      header ++ adds.map { case (p, s) => addAction(p, s) })
+      header ++ adds.map { case (p, s, pv) => addAction(p, s, partitionValues = pv) })
     next
   }
 
@@ -705,11 +745,11 @@ object DeltaLog {
       removePaths: Seq[String], addDf: DataFrame,
       expectedVersion: Option[Long] = None): Long = {
     val next = expectedVersion.getOrElse(currentVersion(root)) + 1
-    val adds = writeDataFiles(root, next, addDf)
+    val adds = writeDataFiles(root, next, addDf, latestPartitionColumns(root))
     publish(root, next,
       evolutionActions(root, addDf) ++
         removePaths.map(p => removeAction(p)) ++
-        adds.map { case (p, s) => addAction(p, s) })
+        adds.map { case (p, s, pv) => addAction(p, s, partitionValues = pv) })
     next
   }
 
@@ -733,11 +773,16 @@ object DeltaLog {
     val livePaths = snapshotFiles(spark, root, Some(base))
     require(livePaths.nonEmpty, s"nothing to optimize at $root@$base")
     val next = base + 1
+    // on a partitioned table the rewrite re-partitions by the layout
+    // (targetFiles becomes per-partition); partition values re-derive
+    // from the directory segments exactly like an append's
     val adds = writeDataFiles(root, next,
-      read(spark, root, Some(base)).coalesce(targetFiles))
+      read(spark, root, Some(base)).coalesce(targetFiles),
+      latestPartitionColumns(root))
     publish(root, next,
       livePaths.map(p => removeAction(p, dataChange = false)) ++
-        adds.map { case (p, s) => addAction(p, s, dataChange = false) })
+        adds.map { case (p, s, pv) =>
+          addAction(p, s, dataChange = false, partitionValues = pv) })
     next
   }
 

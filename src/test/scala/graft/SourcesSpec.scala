@@ -783,14 +783,6 @@ class SourcesSpec extends SparkTestBase {
     assert(streamed.orderBy(col("doc_id")).collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1), r.getLong(2)))
       .toSeq == expected)
-    // our writer emits unpartitioned files with empty partitionValues —
-    // it must refuse the partitioned table
-    val e = intercept[UnsupportedOperationException] {
-      DeltaLog.commitAppend(root, spark.range(1).select(col("id").as("doc_id"),
-        lit("xx").as("lang"), lit(9L).as("bucket")))
-    }
-    assert(e.getMessage.contains("PARTITIONED") && e.getMessage.contains("read-only"),
-      e.getMessage)
     // a checkpoint preserves partitionValues: trim the JSON history and
     // the replay must still decode the partitions from the checkpoint
     assert(DeltaLog.checkpoint(spark, root) == 1L)
@@ -801,15 +793,27 @@ class SourcesSpec extends SparkTestBase {
       .toSeq == expected)
     // CHECKPOINT-ONLY metaData (the normal foreign shape: metaData
     // precedes the checkpoint, retention trims the JSON): every
-    // metaData-derived gate must resolve through the checkpoint —
-    // the writer must STILL refuse (not silently append unpartitioned
-    // files), and a fresh stream must STILL decode partition values
-    // (not silently null-fill them while the batch read stays correct)
-    val e2 = intercept[UnsupportedOperationException] {
-      DeltaLog.commitAppend(root, spark.range(1).select(col("id").as("doc_id"),
-        lit("xx").as("lang"), lit(9L).as("bucket")))
-    }
-    assert(e2.getMessage.contains("PARTITIONED"), e2.getMessage)
+    // metaData-derived gate must resolve through the checkpoint — the
+    // WRITER must route rows into partition directories and emit
+    // partitionValues per file group (with only-tail metaData resolution
+    // it saw "unpartitioned" here and wrote unprunable flat files), and
+    // a fresh stream must decode partition values (not null-fill them)
+    val appendV = DeltaLog.commitAppend(root, spark.createDataFrame(Seq(
+      (40L, "zz", 4L), (41L, null.asInstanceOf[String], 5L)))
+      .toDF("doc_id", "lang", "bucket"))
+    assert(appendV == 2L)
+    val afterAppend = DeltaLog.read(spark, root)
+      .filter(col("doc_id") >= 40L).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1), r.getLong(2)))
+    assert(afterAppend.toSeq == Seq((40L, "zz", 4L), (41L, null: String, 5L)),
+      "a partitioned append must round-trip, null partition values included")
+    // the committed add actions carry real partitionValues (not {})
+    val commit2 = new String(java.nio.file.Files.readAllBytes(
+      logDir.resolve(f"${2L}%020d.json")), "UTF-8")
+    assert(commit2.contains(""""lang":"zz"""") && commit2.contains(""""bucket":"4""""),
+      s"add actions must spell the partition values:\n$commit2")
+    assert(commit2.contains(""""lang":null"""),
+      s"a null partition value is JSON null:\n$commit2")
     // a fresh post-trim commit: the stream's file inventory finds ONLY
     // this JSON commit (pre-checkpoint files are the snapshot a new
     // consumer bootstraps from), and its partition values must decode —
@@ -823,7 +827,7 @@ class SourcesSpec extends SparkTestBase {
     java.nio.file.Files.move(part2.toPath, java.nio.file.Paths.get(root, "de3.parquet"))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp2))
     val deSize = java.nio.file.Paths.get(root, "de3.parquet").toFile.length()
-    java.nio.file.Files.write(logDir.resolve(f"${2L}%020d.json"),
+    java.nio.file.Files.write(logDir.resolve(f"${3L}%020d.json"),
       (s"""{"add":{"path":"de3.parquet","partitionValues":{"lang":"de","bucket":"3"},""" +
         s""""size":$deSize,"modificationTime":1700000000000,"dataChange":true}}""" + "\n")
         .getBytes("UTF-8"))
@@ -841,8 +845,10 @@ class SourcesSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$run2/sink")
       .filter(col("doc_id") >= 30L).orderBy(col("doc_id")).collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1), r.getLong(2)))
-      .toSeq == Seq((30L, "de", 3L), (31L, "de", 3L)),
-      "stream over a checkpoint-only partitioned table must decode partitionValues")
+      .toSeq == Seq((30L, "de", 3L), (31L, "de", 3L),
+        (40L, "zz", 4L), (41L, null: String, 5L)),
+      "stream over a checkpoint-only partitioned table must decode " +
+        "partitionValues from both foreign and own-writer commits")
   }
 
   test("DeltaStream: date partition values and INT64 timestamp columns decode; " +
