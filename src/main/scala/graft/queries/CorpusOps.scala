@@ -68,7 +68,8 @@ object CorpusOps {
     * this to decide whether a run needs the store at all.
     */
   val lexConsumers: Set[String] =
-    Set("q56", "q108", "q121", "q242", "q244", "q247", "q251", "q252", "q253", "q257", "q258")
+    Set("q56", "q108", "q121", "q242", "q244", "q247", "q251", "q252", "q253",
+      "q257", "q258", "q259")
 
   /** Kill switch for the store READ path. [[graft.ScaleSmoke]] sets it
     * false: its 1×-vs-10× ratios time the COLD tokenize on both sides.
@@ -1198,16 +1199,15 @@ object CorpusOps {
   // q258: fleet snippet spans — generic minimum covering window per query
   // ---------------------------------------------------------------------
 
-  /** (doc_id, term, pos) for a DATA-DERIVED term set (a frame, not a
-    * literal list — so no partition pruning; the store still saves the
-    * tokenize) restricted to a doc set, the batch twin of
-    * [[termPositions]]. `docs` prunes BEFORE the positions explode — the
-    * fleet's terms are top-df by construction, so an unpruned explode
-    * would enumerate a large fraction of all corpus positions only to
-    * throw away everything outside the k ranked docs per query.
+  /** (doc_id, term, pos) for DATA-DERIVED term/doc sets (frames, not
+    * literal lists — so no partition pruning; the store still saves the
+    * tokenize), the batch twin of [[termPositions]]. Both prunes apply
+    * BEFORE the positions explode — the fleet surfaces' terms are top-df
+    * by construction, so an unpruned explode would enumerate a large
+    * fraction of all corpus positions only to throw most of it away.
     */
-  private def termPositionsForSet(spark: SparkSession, dir: String,
-      terms: DataFrame, docs: DataFrame): DataFrame = {
+  private def positionsFor(spark: SparkSession, dir: String,
+      terms: Option[DataFrame], docs: Option[DataFrame]): DataFrame = {
     val all = lexStored(spark, dir, "postings") match {
       case Some(p) if p.columns.contains("positions") =>
         p.select(col("doc_id"), col("term"), col("positions"))
@@ -1218,10 +1218,11 @@ object CorpusOps {
           .groupBy(col("doc_id"), col("term"))
           .agg(sort_array(collect_list(col("p0") + 1)).as("positions"))
     }
-    all
-      .join(broadcast(docs.select(col("doc_id")).distinct()), Seq("doc_id"), "leftsemi")
-      .join(broadcast(terms.select(col("term")).distinct()), Seq("term"), "leftsemi")
-      .select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
+    val byDoc = docs.fold(all)(d =>
+      all.join(broadcast(d.select(col("doc_id")).distinct()), Seq("doc_id"), "leftsemi"))
+    val pruned = terms.fold(byDoc)(t =>
+      byDoc.join(broadcast(t.select(col("term")).distinct()), Seq("term"), "leftsemi"))
+    pruned.select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
   }
 
   /** q258 — FLEET SNIPPET SPANS: q252's highlight primitive rebased on the
@@ -1267,7 +1268,7 @@ object CorpusOps {
     // the result page. Referencing `full` twice is fine: Spark's
     // ReuseExchange dedupes the fleet DAG's identical internal exchanges
     // (measured: a second reference adds no wall time).
-    val qp = termPositionsForSet(spark, dir, qt, full)
+    val qp = positionsFor(spark, dir, Some(qt), Some(full))
       .join(broadcast(qt), Seq("term"))
       .join(full, Seq("query_id", "doc_id"))
       .select(col("query_id"), col("doc_id"), col("rk"), col("term"),
@@ -1481,20 +1482,113 @@ object CorpusOps {
     import spark.implicits._
     val qrows = Q242Phrases.flatMap { ph =>
       val ts = ph.split(" ")
-      ts.zipWithIndex.map { case (t, i) => (ph, t, i, ts.length) }
+      ts.zipWithIndex.map { case (t, i) => (ph, t.toLowerCase, i.toLong) }
     }
-    val q = qrows.toDF("phrase", "term", "idx", "plen")
+    // the literal special case of the FLEET matcher: query_id = the
+    // phrase string, positions read through the literal-term path so the
+    // postings scan keeps its hash-partition pruning
+    val ph = qrows.toDF("query_id", "term", "slot")
     val allTerms = qrows.map(_._2).distinct
-    val m = termPositions(spark, dir, allTerms)
-      .join(broadcast(q), Seq("term"))
-      .groupBy(col("phrase"), col("doc_id"),
-        (col("pos") - col("idx")).as("start"), col("plen"))
-      .agg(countDistinct(col("idx")).as("nidx"))
-      .filter(col("nidx") === col("plen"))
-    m.groupBy(col("phrase"), col("doc_id"))
-      .agg(count(lit(1)).as("hits"), min(col("start")).cast("long").as("first_pos"))
+    phraseMatchCore(termPositions(spark, dir, allTerms), ph)
+      .select(col("query_id").as("phrase"), col("doc_id"),
+        col("hits"), col("first_pos"))
       .orderBy(col("phrase"), col("doc_id"))
   }
+
+  /** The slot-keyed diagonal phrase intersect over a
+    * `phrases(query_id, slot, term)` frame — the FLEET-GENERIC core both
+    * [[q242PhraseSearch]] (literal phrases) and [[q259PhraseFleet]]
+    * (a data-derived phrase table) specialize. A phrase of terms
+    * t_0..t_{L-1} matches doc d at start s iff t_i occurs at position
+    * s+i for every slot i: shift every posting position by its slot
+    * (start = pos − slot) and a start where all L DISTINCT slots appear
+    * is a match (slot-keyed, so a repeated term cannot satisfy two slots
+    * with one occurrence). Per-query L comes from the frame itself, so
+    * term counts may vary across the fleet.
+    *
+    * Scale shape: ONE DAG for any number of phrases — the phrase frame
+    * broadcasts (query tokens by construction), the exploded position
+    * stream is O(matching postings), the (query, doc, start) partial agg
+    * is map-side combinable with one small slot-bitset per group, and
+    * the query axis adds zero driver work.
+    */
+  private def phraseMatchCore(positions: DataFrame, ph: DataFrame): DataFrame = {
+    val plen = ph.groupBy(col("query_id"))
+      .agg(countDistinct(col("slot")).as("plen"))
+    positions
+      .join(broadcast(ph), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"),
+        (col("pos").cast("long") - col("slot").cast("long")).as("start"))
+      .agg(countDistinct(col("slot")).as("nslot"))
+      .join(broadcast(plen), Seq("query_id"))
+      .filter(col("nslot") === col("plen"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("hits"), min(col("start")).cast("long").as("first_pos"))
+  }
+
+  private[graft] val Q259NumPhrases = 120
+  private[graft] val Q259PhraseLen = 3
+
+  /** q259 — FLEET PHRASE SEARCH: [[q242PhraseSearch]]'s exact-phrase
+    * matching generalized to a DATA-DERIVED phrase table, the same
+    * batch-axis move [[q253WandBatch]] made on q247. The fleet is the
+    * first [[Q259PhraseLen]] tokens of the [[Q259NumPhrases]]
+    * smallest-id documents long enough to donate one (decontamination's
+    * exact shape: benchmark prompts are themselves document prefixes
+    * probed against the training corpus in bulk) — derived from the
+    * store's own positional postings (positions ≤ L for the selected
+    * docs), never the corpus text. Every phrase matches at least its
+    * donor doc, so the output exercises hits/first_pos across the whole
+    * fleet. ONE DAG, zero per-phrase driver work (PlanSpec-gated);
+    * q242 is the literal 2-row special case of the same core.
+    */
+  def q259PhraseFleet(spark: SparkSession, dir: String): DataFrame = {
+    val donors = docLengths(spark, dir)
+      .filter(col("dl") >= Q259PhraseLen)
+      .orderBy(col("doc_id")).limit(Q259NumPhrases) // TakeOrdered, distributed
+      .select(col("doc_id"))
+    // rank the (tiny) selected frame into query ids; the window runs
+    // over Q259NumPhrases rows, never the corpus
+    val sel = donors.withColumn("query_id",
+      row_number().over(Window.orderBy(col("doc_id"))).cast("long") - 1L)
+    val ph = positionsFor(spark, dir, None, Some(sel))
+      .filter(col("pos") <= Q259PhraseLen)
+      .join(broadcast(sel), Seq("doc_id"))
+      .select(col("query_id"), (col("pos").cast("long") - 1L).as("slot"), col("term"))
+    val positions = positionsFor(spark, dir, Some(ph), None)
+    phraseMatchCore(positions, ph)
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
+  /** Oracle: tokenize, derive the same 120 document-prefix phrases, then
+    * the identical slot-keyed diagonal intersect brute per (phrase, doc,
+    * start) — a wrong slot key, a miscounted repeated term, or a wrong
+    * donor selection on any of the 120 breaks the hash.
+    */
+  val q259Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |sel AS (
+       |  SELECT doc_id, toks, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS query_id
+       |  FROM (SELECT doc_id, toks FROM t WHERE len(toks) >= $Q259PhraseLen
+       |        ORDER BY doc_id LIMIT $Q259NumPhrases)),
+       |ph AS (
+       |  SELECT query_id, unnest(toks[1:$Q259PhraseLen]) AS term,
+       |    unnest(range(0, $Q259PhraseLen)) AS slot
+       |  FROM sel),
+       |p AS (SELECT doc_id, unnest(toks) AS term,
+       |        unnest(range(1, len(toks) + 1)) AS pos FROM t),
+       |m AS (
+       |  SELECT ph.query_id, p.doc_id, p.pos - ph.slot AS start
+       |  FROM p JOIN ph ON ph.term = p.term
+       |  GROUP BY ph.query_id, p.doc_id, p.pos - ph.slot
+       |  HAVING count(DISTINCT ph.slot) = $Q259PhraseLen)
+       |SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS hits,
+       |  CAST(min(start) AS BIGINT) AS first_pos
+       |FROM m GROUP BY query_id, doc_id
+       |ORDER BY query_id, doc_id""".stripMargin
 
   val q242Sql: String = {
     val vals = Q242Phrases.flatMap { ph =>
@@ -1855,6 +1949,7 @@ object CorpusOps {
     "q253_wand_batch" -> q253WandBatch _,
     "q257_fleet_eval" -> q257FleetEval _,
     "q258_fleet_snippets" -> q258FleetSnippets _,
+    "q259_phrase_fleet" -> q259PhraseFleet _,
     "q251_retrieval_eval" -> q251RetrievalEval _,
     "q252_snippet_spans" -> q252SnippetSpans _,
     "q56_bm25_search" -> q56Bm25 _,
@@ -1873,6 +1968,7 @@ object CorpusOps {
     "q253_wand_batch" -> q253Sql,
     "q257_fleet_eval" -> q257Sql,
     "q258_fleet_snippets" -> q258Sql,
+    "q259_phrase_fleet" -> q259Sql,
     "q251_retrieval_eval" -> q251Sql,
     "q252_snippet_spans" -> q252Sql,
     "q56_bm25_search" -> q56Sql,

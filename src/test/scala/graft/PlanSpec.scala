@@ -1179,9 +1179,13 @@ class PlanSpec extends SparkTestBase {
     // driver-counted totalRel deliberately has NO fleet analogue, and a
     // reintroduced per-query collect would surface here as a non-listing
     // construction job
+    // q259 inherits the same contract: ≥100 phrases, ONE DAG, the phrase
+    // table itself derived from the store's positional postings — no
+    // corpus text read, no per-phrase driver work
     for ((name, build) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
       "q257" -> (() => CorpusOps.q257FleetEval(spark, sfDir)),
-      "q258" -> (() => CorpusOps.q258FleetSnippets(spark, sfDir)))) {
+      "q258" -> (() => CorpusOps.q258FleetSnippets(spark, sfDir)),
+      "q259" -> (() => CorpusOps.q259PhraseFleet(spark, sfDir)))) {
       val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       val listener = new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
