@@ -941,6 +941,24 @@ object CorpusOps {
   def q253WandBatch(spark: SparkSession, dir: String): DataFrame =
     wandTopKBatch(spark, dir, q253Queries(spark, dir))._2
 
+  /** MATERIALIZE the fleet artifacts once — `queries/` (query_id, term)
+    * and `topk/` (the ranked frame) under `out` — so every downstream
+    * consumer ([[q257FleetEvalFrom]] scorecard, [[q258FleetSnippetsFrom]]
+    * snippets, ad-hoc inspection) reads ONE ranking instead of
+    * re-deriving the fleet DAG per surface. The bench keeps the cold
+    * per-query derivation (its honesty rule: every row re-derives its
+    * own inputs); production pays the fleet DAG once per fleet, which is
+    * the whole point of batching the query axis. Versions stamp through
+    * the store manifest like every other derived artifact.
+    */
+  def fleetArtifacts(spark: SparkSession, dir: String, out: String): Unit = {
+    q253Queries(spark, dir).write.mode("overwrite").parquet(s"$out/queries")
+    val queries = spark.read.parquet(s"$out/queries")
+    wandTopKBatch(spark, dir, queries)._2
+      .write.mode("overwrite").parquet(s"$out/topk")
+    graft.table.StoreManifest.bump(out, Seq("queries", "topk"))
+  }
+
   /** Brute restatement of the fleet: the same derived queries (row_number
     * over (df DESC, term) restates TakeOrdered-then-rank exactly), every
     * candidate scored, ranked per query. No pruning — so a WAND bug on
@@ -1142,6 +1160,24 @@ object CorpusOps {
     val queries = q253Queries(spark, dir)
     val qt = queries.select(col("query_id"), col("term"))
     val (_, topk) = wandTopKBatch(spark, dir, queries)
+    fleetEvalCore(spark, dir, qt, topk)
+  }
+
+  /** [[q257FleetEval]] served from MATERIALIZED fleet artifacts (see
+    * [[fleetArtifacts]]): the scorecard re-derives nothing — queries and
+    * the ranked frame come off disk, only the label joins run. The cold
+    * entry point above stays the bench surface (the cold-sweep honesty
+    * rule); this is the production shape, where one ranked frame feeds
+    * scorecard + snippets.
+    */
+  def q257FleetEvalFrom(spark: SparkSession, dir: String,
+      artifacts: String): DataFrame =
+    fleetEvalCore(spark, dir,
+      spark.read.parquet(s"$artifacts/queries").select(col("query_id"), col("term")),
+      spark.read.parquet(s"$artifacts/topk"))
+
+  private def fleetEvalCore(spark: SparkSession, dir: String,
+      qt: DataFrame, topk: DataFrame): DataFrame = {
     // per-query relevant totals over ALL candidates (not just top-k):
     // docs matching >= RelMin of the query's terms — agg + broadcast
     // join, the batch twin of q251's bounded driver count
@@ -1255,6 +1291,21 @@ object CorpusOps {
     val queries = q253Queries(spark, dir)
     val qt = queries.select(col("query_id"), col("term"))
     val (_, topk) = wandTopKBatch(spark, dir, queries)
+    fleetSnippetsCore(spark, dir, qt, topk)
+  }
+
+  /** [[q258FleetSnippets]] served from MATERIALIZED fleet artifacts (see
+    * [[fleetArtifacts]]) — the span stage runs over the stored ranked
+    * frame instead of re-deriving the whole fleet DAG.
+    */
+  def q258FleetSnippetsFrom(spark: SparkSession, dir: String,
+      artifacts: String): DataFrame =
+    fleetSnippetsCore(spark, dir,
+      spark.read.parquet(s"$artifacts/queries").select(col("query_id"), col("term")),
+      spark.read.parquet(s"$artifacts/topk"))
+
+  private def fleetSnippetsCore(spark: SparkSession, dir: String,
+      qt: DataFrame, topk: DataFrame): DataFrame = {
     val qsz = qt.groupBy(col("query_id")).agg(count(lit(1)).as("plen"))
     // ranked docs matching ALL the query's terms (q252's contract)
     val full = topk.join(broadcast(qsz), Seq("query_id"))

@@ -499,6 +499,33 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(rows.length == 1, "every other bigram is below the min-count cut")
   }
 
+  test("fleetArtifacts: q257/q258 served from ONE materialized ranking equal " +
+      "their cold re-derivations row for row") {
+    CorpusOps.writeLexStore(spark, sfDir)
+    val out = java.nio.file.Files.createTempDirectory("graft_fleet_art").toString + "/fleet"
+    CorpusOps.fleetArtifacts(spark, sfDir, out)
+    // the artifacts themselves: one queries frame, one ranked frame
+    assert(spark.read.parquet(s"$out/queries").columns.toSet == Set("query_id", "term"))
+    assert(spark.read.parquet(s"$out/topk").columns.toSet ==
+      Set("query_id", "rk", "doc_id", "score", "n_terms"))
+    // scorecard + snippets off the SHARED frame vs their cold paths —
+    // byte-identical results, so production can pay the fleet DAG once
+    val evalCold = CorpusOps.q257FleetEval(spark, sfDir).collect().toSeq
+    val evalFrom = CorpusOps.q257FleetEvalFrom(spark, sfDir, out).collect().toSeq
+    assert(evalFrom == evalCold, "stored-ranking scorecard must equal the cold one")
+    val snipCold = CorpusOps.q258FleetSnippets(spark, sfDir).collect().toSeq
+    val snipFrom = CorpusOps.q258FleetSnippetsFrom(spark, sfDir, out).collect().toSeq
+    assert(snipFrom == snipCold, "stored-ranking snippets must equal the cold ones")
+    // and the stored variants genuinely skip the fleet derivation: the
+    // ranked frame comes off the artifact parquet, and no ranking window
+    // (seed θ / rk row_number) survives in the plan
+    val from = CorpusOps.q257FleetEvalFrom(spark, sfDir, out)
+    assert(from.inputFiles.exists(_.contains("/topk")),
+      "the ranked frame must come off disk")
+    assert(!from.queryExecution.optimizedPlan.toString.contains("Window"),
+      "the stored-ranking path must not re-run the fleet ranking windows")
+  }
+
   test("q68 incremental dedup: new-vs-existing split respected, one best match per new doc") {
     val rows = graft.queries.Dedup.q68IncrementalDedup(spark, sfDir).collect()
     assert(rows.nonEmpty, "the fixture's planted near-dups must cross the batch split")
