@@ -446,6 +446,22 @@ object ScaleSmoke {
       // home-replica-sized — the QUERY axis must add zero driver work at
       // any corpus size
       ("q253_wand_batch", graft.queries.CorpusOps.q253WandBatch _, scaledDir),
+      // fleet phrase search: cold-tokenize contract — the 120 donor
+      // prefixes come from the 120 smallest doc ids (replica 0 under the
+      // offset tiling), their rotated-alphabet terms match only
+      // replica-0-local docs, so the Nx cost is the position-enumerating
+      // scan while the phrase frame and match set stay fixed
+      ("q259_phrase_fleet", graft.queries.CorpusOps.q259PhraseFleet _, scaledDir),
+      // maintenance campaign: append 8 batches -> bin-pack compact ->
+      // CoW erase -> impact refresh -> q247 from the store, on a FRESH
+      // store per run. Every verb is data-sized (append tokenizes Nx,
+      // compact rewrites the small-file tail the appends just made, the
+      // erase hit-scan reads the store once and rewrites the subjects'
+      // files, refresh re-scores Nx postings) — the row gates that the
+      // maintenance verbs' own cost tiles with data, the claim the prose
+      // asserts everywhere; the audit frame records per-verb files/secs
+      ("q254_maintenance_campaign",
+        graft.queries.CorpusOps.maintenanceCampaign _, scaledDir),
       // pointer doubling: ONE random recursive tree over Nx nodes; depth
       // grows by ln N, so the fixed log-depth round count must still
       // saturate (the require proves it) while each round's node-keyed

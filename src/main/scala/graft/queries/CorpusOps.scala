@@ -69,7 +69,7 @@ object CorpusOps {
     */
   val lexConsumers: Set[String] =
     Set("q56", "q108", "q121", "q242", "q244", "q247", "q251", "q252", "q253",
-      "q257", "q258", "q259")
+      "q257", "q258", "q259", "q260")
 
   /** Kill switch for the store READ path. [[graft.ScaleSmoke]] sets it
     * false: its 1×-vs-10× ratios time the COLD tokenize on both sides.
@@ -193,6 +193,65 @@ object CorpusOps {
     graft.table.StoreMaint.compact(spark, s"$store/dl", Seq.empty, targetBytes)
     graft.table.StoreMaint.compact(spark, s"$store/postings", Seq("pbkt"), targetBytes)
     refreshMaxScores(spark, store)
+  }
+
+  /** END-TO-END MAINTENANCE CAMPAIGN over one fresh incremental store —
+    * the scale harness's audit surface for the maintenance verbs
+    * themselves (their cost model is asserted in prose everywhere else):
+    * append the corpus in 8 batches, bin-pack compact, erase a doc
+    * subset with copy-on-write, refresh the impact metadata, and serve
+    * q247 from the result. Runs EAGERLY (the verbs are writes) and
+    * returns a small AUDIT frame — one row per verb with the files it
+    * saw/rewrote and its wall seconds — so a 100× campaign row exposes
+    * each verb's own scaling, not just the total: append must tile with
+    * data, compact with the small-file tail it just created, erase with
+    * the subjects' file footprint, and the final read with the query
+    * terms' postings.
+    */
+  def maintenanceCampaign(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.StoreMaint
+    val store = s"${System.getProperty("java.io.tmpdir")}/graft_maintcamp_" +
+      s"${java.util.UUID.randomUUID().toString.take(8)}/lexstore"
+    def files() = StoreMaint.dataFileCount(s"$store/dl") +
+      StoreMaint.dataFileCount(s"$store/postings")
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    try {
+      val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      val (_, tAppend) = timed {
+        (0L until 8L).foreach(i =>
+          appendLexStore(docs.filter(pmod(col("doc_id"), lit(8L)) === i), store))
+      }
+      val preCompact = files()
+      val (nCompacted, tCompact) = timed {
+        StoreMaint.compact(spark, s"$store/dl", Seq.empty, 32L << 20) +
+          StoreMaint.compact(spark, s"$store/postings", Seq("pbkt"), 32L << 20)
+      }
+      val postCompact = files()
+      val pred = graft.queries.IngestOps.erasePred(col("doc_id"))
+      val (nErased, tErase) = timed {
+        StoreMaint.eraseWhere(spark, s"$store/dl", Seq.empty, pred) +
+          StoreMaint.eraseWhere(spark, s"$store/postings", Seq("pbkt"), pred)
+      }
+      val (_, tRefresh) = timed { refreshMaxScores(spark, store) }
+      val ((qRows, qTop), tQuery) = timed {
+        val rows = wandTopKFromStore(spark, store).collect()
+        (rows.length.toLong, rows.headOption.map(_.getLong(2)).getOrElse(-1L))
+      }
+      spark.createDataFrame(Seq(
+        ("append_8_batches", preCompact, preCompact, 0L, tAppend),
+        ("compact_binpack", preCompact, postCompact, nCompacted, tCompact),
+        ("erase_cow", postCompact, files(), nErased, tErase),
+        ("refresh_maxscore", files(), files(), 0L, tRefresh),
+        ("q247_from_store", qRows, qTop, 0L, tQuery)))
+        .toDF("verb", "files_before", "files_after", "files_rewritten", "secs")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(store).getParentFile)
+    }
   }
 
   /** ERASURE PROPAGATION into the lexical store (the q214 "right to be
@@ -1691,20 +1750,127 @@ object CorpusOps {
     * equi-join — O(matching postings), corpus never scanned.
     */
   def q244ProximityPairs(spark: SparkSession, dir: String): DataFrame = {
-    val w = Q244Window
-    val pos = termPositions(spark, dir, Q244Terms)
-    val right = pos.select(col("doc_id"), col("term").as("term_b"),
-      col("pos").as("pb"), expr(s"pos div $w").as("band"))
-    val left = pos.select(col("doc_id"), col("term").as("term_a"),
-        col("pos").as("pa"), expr(s"pos div $w").as("b0"))
-      .withColumn("band", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
-    left.join(right, Seq("doc_id", "band"))
-      .filter(col("term_a") < col("term_b") && abs(col("pa") - col("pb")) <= w)
-      .groupBy(col("term_a"), col("term_b"), col("doc_id"))
-      .agg(count(lit(1)).as("npairs"),
-        min(abs(col("pa") - col("pb"))).cast("long").as("min_dist"))
+    // the literal special case of the FLEET matcher: one query frame,
+    // positions through the literal path (hash-partition pruning kept),
+    // query_id projected away
+    val spark2 = spark
+    import spark2.implicits._
+    val qt = Q244Terms.map(t => (0L, t)).toDF("query_id", "term")
+    proximityCore(termPositions(spark, dir, Q244Terms), qt, Q244Window)
+      .select(col("term_a"), col("term_b"), col("doc_id"),
+        col("npairs"), col("min_dist"))
       .orderBy(col("term_a"), col("term_b"), col("doc_id"))
   }
+
+  /** The banded proximity intersect over a `queries(query_id, term)`
+    * frame — the FLEET-GENERIC core [[q244ProximityPairs]] (literal
+    * terms) and [[q260ProximityFleet]] (a data-derived query table)
+    * specialize. For every query and each unordered pair of ITS terms:
+    * per-doc count of position pairs within `w` tokens and the closest
+    * distance. The |pa − pb| ≤ w range predicate is made equi by BANDING
+    * (band = pos div w; a qualifying partner lies in band ± 1, left side
+    * explodes ×3, each pair found exactly once since pb's band is
+    * unique) and the join keys on (query_id, doc_id, band) so pairs
+    * never cross queries. ONE DAG for any number of queries; the
+    * per-term query assignment broadcasts; position rows fan out only by
+    * the queries actually sharing a term.
+    */
+  private def proximityCore(positions: DataFrame, qt: DataFrame,
+      w: Int): DataFrame = {
+    val withQ = positions.join(broadcast(qt), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("term"),
+        col("pos").cast("long").as("pos"))
+    val right = withQ.select(col("query_id"), col("doc_id"),
+      col("term").as("term_b"), col("pos").as("pb"),
+      expr(s"pos div $w").as("band"))
+    val left = withQ.select(col("query_id"), col("doc_id"),
+        col("term").as("term_a"), col("pos").as("pa"),
+        expr(s"pos div $w").as("b0"))
+      .withColumn("band", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+    left.join(right, Seq("query_id", "doc_id", "band"))
+      .filter(col("term_a") < col("term_b") && abs(col("pa") - col("pb")) <= w)
+      .groupBy(col("query_id"), col("term_a"), col("term_b"), col("doc_id"))
+      .agg(count(lit(1)).as("npairs"),
+        min(abs(col("pa") - col("pb"))).cast("long").as("min_dist"))
+  }
+
+  private[graft] val Q260NumQueries = 120
+  private[graft] val Q260VocabLo = 17L
+
+  /** The q260 fleet: [[Q260NumQueries]] 3-term queries over the
+    * MID-FREQUENCY vocabulary band (df ranks [[Q260VocabLo]]..
+    * [[Q253MaxVocab]], clamped for tiny corpora) — proximity queries in
+    * practice probe content words, not stopwords, and the band keeps the
+    * pair surface postings-shaped rather than stopword-quadratic. Same
+    * affine stride assignment as [[q253Queries]], restated verbatim by
+    * the oracle.
+    */
+  def q260Queries(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = termFreqs(spark, dir)
+      .groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+      .orderBy(col("n_t").desc, col("term")).limit(Q253MaxVocab)
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("n_t").desc, col("term"))).cast("long"))
+      .select(col("rn"), col("term"))
+    val v = ranked.agg(count(lit(1)).as("v"))
+    spark.range(Q260NumQueries.toLong).select(col("id").as("query_id"))
+      .crossJoin(spark.range(Q253TermsPerQuery.toLong).select(col("id").as("j")))
+      .crossJoin(broadcast(v))
+      .withColumn("lo", least(lit(Q260VocabLo), col("v")))
+      .withColumn("r", col("lo") +
+        (col("query_id") + col("j") * (col("query_id") % Q253Strides + lit(1L)))
+          % (col("v") - col("lo") + lit(1L)))
+      .join(broadcast(ranked), col("rn") === col("r"))
+      .select(col("query_id"), col("term")).distinct()
+  }
+
+  /** q260 — FLEET PROXIMITY: [[q244ProximityPairs]]'s banded
+    * co-occurrence generalized to a data-derived query table, completing
+    * the batch axis across the retrieval stack (q253 scoring, q257 eval,
+    * q258 snippets, q259 phrases, q260 proximity). One DAG, zero
+    * per-query driver work.
+    */
+  def q260ProximityFleet(spark: SparkSession, dir: String): DataFrame = {
+    val qt = q260Queries(spark, dir)
+    proximityCore(positionsFor(spark, dir, Some(qt), None), qt, Q244Window)
+      .orderBy(col("query_id"), col("term_a"), col("term_b"), col("doc_id"))
+  }
+
+  /** Oracle: the fleet construction restated over the q253 vocabulary
+    * CTEs (mid-band clamp included), then the brute per-(query, doc)
+    * position join — a banding bug on any query breaks the hash.
+    */
+  val q260Sql: String =
+    s"""$q253CtesSql,
+       |t2 AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |p2 AS (SELECT doc_id, unnest(toks) AS term,
+       |        unnest(range(1, len(toks) + 1)) AS pos FROM t2),
+       |idx2 AS (
+       |  SELECT q.range AS query_id, j.range AS j
+       |  FROM range($Q260NumQueries) q, range($Q253TermsPerQuery) j),
+       |qt2 AS (
+       |  SELECT DISTINCT i.query_id, c.term
+       |  FROM (SELECT query_id,
+       |          least($Q260VocabLo, vc.v)
+       |            + (query_id + j * (query_id % $Q253Strides + 1))
+       |              % (vc.v - least($Q260VocabLo, vc.v) + 1) AS r
+       |        FROM idx2 CROSS JOIN vc) i
+       |  JOIN cap c ON c.rn = i.r),
+       |f2 AS (SELECT q.query_id, p2.doc_id, p2.term, p2.pos
+       |       FROM p2 JOIN qt2 q USING (term)),
+       |j2 AS (
+       |  SELECT a.query_id, a.term AS term_a, b.term AS term_b, a.doc_id,
+       |    abs(a.pos - b.pos) AS d
+       |  FROM f2 a JOIN f2 b
+       |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+       |   AND a.term < b.term AND abs(a.pos - b.pos) <= $Q244Window)
+       |SELECT query_id, term_a, term_b, doc_id,
+       |  CAST(count(*) AS BIGINT) AS npairs, CAST(min(d) AS BIGINT) AS min_dist
+       |FROM j2 GROUP BY query_id, term_a, term_b, doc_id
+       |ORDER BY query_id, term_a, term_b, doc_id""".stripMargin
 
   val q244Sql: String = {
     val in = Q244Terms.map(t => s"'$t'").mkString(", ")
@@ -2001,6 +2167,7 @@ object CorpusOps {
     "q257_fleet_eval" -> q257FleetEval _,
     "q258_fleet_snippets" -> q258FleetSnippets _,
     "q259_phrase_fleet" -> q259PhraseFleet _,
+    "q260_proximity_fleet" -> q260ProximityFleet _,
     "q251_retrieval_eval" -> q251RetrievalEval _,
     "q252_snippet_spans" -> q252SnippetSpans _,
     "q56_bm25_search" -> q56Bm25 _,
@@ -2020,6 +2187,7 @@ object CorpusOps {
     "q257_fleet_eval" -> q257Sql,
     "q258_fleet_snippets" -> q258Sql,
     "q259_phrase_fleet" -> q259Sql,
+    "q260_proximity_fleet" -> q260Sql,
     "q251_retrieval_eval" -> q251Sql,
     "q252_snippet_spans" -> q252Sql,
     "q56_bm25_search" -> q56Sql,

@@ -1110,6 +1110,25 @@ class PlanSpec extends SparkTestBase {
     // corpus re-tokenize
     assert(!s.contains("documents.parquet"),
       s"q244 must read the positional store, not the corpus:\n$s")
+    // the fleet generalization inherits the banded-equi contract: the
+    // POSITION join keys on (query_id, doc_id, band) as an equi join;
+    // the only nested loops allowed are the query-construction grid's
+    // tiny range(120) x range(3) x count-row crossJoins (no position
+    // attribute on either side — same shape q253Queries carries)
+    val fdf = CorpusOps.q260ProximityFleet(spark, sfDir)
+    val posNames = Set("pos", "pa", "pb", "positions")
+    val loops = fdf.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.isEmpty ||
+            j.joinType == org.apache.spark.sql.catalyst.plans.Cross =>
+        j
+    }.filter(j => j.left.output.exists(a => posNames(a.name)) ||
+      j.right.output.exists(a => posNames(a.name)))
+    assert(loops.isEmpty,
+      s"q260's position join must be banded-equi, found non-equi join over positions:\n" +
+        loops.map(_.simpleString(4)).mkString("\n"))
+    val sf = finalPlan(fdf)
+    assert(sf.contains("band"), s"the banded key must survive to the physical join:\n$sf")
   }
 
   test("q247 WAND is served by the store: no corpus scan, impact metadata pruned, fallback identity") {
@@ -1185,7 +1204,8 @@ class PlanSpec extends SparkTestBase {
     for ((name, build) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
       "q257" -> (() => CorpusOps.q257FleetEval(spark, sfDir)),
       "q258" -> (() => CorpusOps.q258FleetSnippets(spark, sfDir)),
-      "q259" -> (() => CorpusOps.q259PhraseFleet(spark, sfDir)))) {
+      "q259" -> (() => CorpusOps.q259PhraseFleet(spark, sfDir)),
+      "q260" -> (() => CorpusOps.q260ProximityFleet(spark, sfDir)))) {
       val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       val listener = new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(

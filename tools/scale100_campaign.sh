@@ -4,7 +4,7 @@
 # each run's stderr progress + stdout JSON line to the log.
 set -u
 cd /root/repo
-LOG=/root/repo/scale100_r14.log
+LOG=/root/repo/scale100_r15.log
 : > "$LOG"
 # Freeze the classpath so a dev-loop `sbt compile` can't race a campaign
 # JVM's lazy classloading — and CREATE the snapshot if it isn't there yet
@@ -22,14 +22,14 @@ export SPARK_GRAFT_CLASSES=/tmp/graft_scale_classes
 export SPARK_GRAFT_REPLICAS=100
 export SPARK_GRAFT_SHUFFLE=256
 export SPARK_GRAFT_CPUS=32
-# Round-14 targets: the round-13 operators that only had 10x rows
-# (q243 sparse-id remap, q247 WAND, q249/q250 incremental stores) plus
-# the dense-fixture phrase/proximity rows whose output grows with the
-# corpus (the bijection corpus keeps their output constant by
-# construction — BENCH_NOTES_r13 §5).
-for q in q243_bitmap_sparse q247_wand_topk q249_incremental_lexstore \
-         q250_incremental_sigstore q242_phrase_search_dense \
-         q244_proximity_pairs_dense; do
+# Round-15 targets: the fleet rows the round-14 verdict flagged as
+# evidence gaps (q257/q258 on the dense fixture — output/candidates must
+# grow with the corpus), the new fleet phrase search, and the
+# maintenance campaign (append -> compact -> erase -> refresh -> q247,
+# per-verb audit columns — the verbs whose cost model was asserted in
+# prose but never measured at scale).
+for q in q257_fleet_eval_dense q258_fleet_snippets_dense \
+         q259_phrase_fleet q254_maintenance_campaign; do
   echo "=== $q start $(date -u +%H:%M:%S) ===" >> "$LOG"
   SPARK_GRAFT_ONLY=$q bash tools/scale100.sh >> "$LOG" 2>&1
   echo "=== $q exit=$? $(date -u +%H:%M:%S) ===" >> "$LOG"
