@@ -452,6 +452,11 @@ object ScaleSmoke {
       // replica-0-local docs, so the Nx cost is the position-enumerating
       // scan while the phrase frame and match set stay fixed
       ("q259_phrase_fleet", graft.queries.CorpusOps.q259PhraseFleet _, scaledDir),
+      // fleet proximity: cold-tokenize contract — the Nx cost is the
+      // position-enumerating scan for the fleet's vocabulary band; the
+      // banded pair join sees only same-replica co-occurrences (rotated
+      // alphabets keep cross-replica terms doc-disjoint)
+      ("q260_proximity_fleet", graft.queries.CorpusOps.q260ProximityFleet _, scaledDir),
       // maintenance campaign: append 8 batches -> bin-pack compact ->
       // CoW erase -> impact refresh -> q247 from the store, on a FRESH
       // store per run. Every verb is data-sized (append tokenizes Nx,

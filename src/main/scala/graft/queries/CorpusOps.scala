@@ -241,12 +241,20 @@ object CorpusOps {
         val rows = wandTopKFromStore(spark, store).collect()
         (rows.length.toLong, rows.headOption.map(_.getLong(2)).getOrElse(-1L))
       }
-      spark.createDataFrame(Seq(
+      val audit = Seq(
         ("append_8_batches", preCompact, preCompact, 0L, tAppend),
         ("compact_binpack", preCompact, postCompact, nCompacted, tCompact),
         ("erase_cow", postCompact, files(), nErased, tErase),
         ("refresh_maxscore", files(), files(), 0L, tRefresh),
-        ("q247_from_store", qRows, qTop, 0L, tQuery)))
+        ("q247_from_store", qRows, qTop, 0L, tQuery))
+      // per-verb audit to stderr so the scale harness's log carries the
+      // files/secs breakdown alongside the wall-ratio row
+      audit.foreach { case (v, fb, fa, fr, sec) =>
+        System.err.println(
+          f"[maint-campaign] $v%-18s files_before=$fb%-5d files_after=$fa%-5d " +
+            f"files_rewritten=$fr%-5d secs=$sec%.2f")
+      }
+      spark.createDataFrame(audit)
         .toDF("verb", "files_before", "files_after", "files_rewritten", "secs")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(
