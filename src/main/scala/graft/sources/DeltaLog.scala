@@ -466,15 +466,20 @@ object DeltaLog {
   private def removeAction(path: String, dataChange: Boolean = true): String =
     s"""{"remove":{"path":${jstr(path)},"deletionTimestamp":0,"dataChange":$dataChange}}"""
 
-  private def metaDataAction(id: String, schemaJson: String): String =
+  private def metaDataAction(id: String, schemaJson: String,
+      partitionColumns: Seq[String] = Seq.empty): String = {
+    val pc = partitionColumns.map(jstr).mkString("[", ",", "]")
     s"""{"metaData":{"id":${jstr(id)},""" +
       s""""format":{"provider":"parquet","options":{}},""" +
       s""""schemaString":${jstr(schemaJson)},""" +
-      """"partitionColumns":[],"configuration":{}}}"""
+      s""""partitionColumns":$pc,"configuration":{}}}"""
+  }
 
-  private def headerActions(df: DataFrame): Seq[String] = Seq(
+  private def headerActions(df: DataFrame,
+      partitionColumns: Seq[String] = Seq.empty): Seq[String] = Seq(
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-    metaDataAction(java.util.UUID.randomUUID().toString, df.schema.json))
+    metaDataAction(java.util.UUID.randomUUID().toString, df.schema.json,
+      partitionColumns))
 
   /** Newest checkpoint version at or below `v`, with its part files. */
   private def newestCheckpointAtOrBelow(root: String,
@@ -726,11 +731,29 @@ object DeltaLog {
     * None means "latest right now". Returns the committed version.
     */
   def commitAppend(root: String, df: DataFrame,
+      expectedVersion: Option[Long] = None): Long =
+    commitAppendPartitioned(root, df, Seq.empty, expectedVersion)
+
+  /** [[commitAppend]] that CREATES a partitioned table when it writes
+    * commit 0 (`createPartitionBy` names the layout columns, recorded in
+    * the metaData action's partitionColumns exactly as a foreign writer
+    * would). On an EXISTING table the layout always comes from the log's
+    * own metaData — a mismatched `createPartitionBy` is refused loudly
+    * rather than silently splitting the table across two layouts.
+    */
+  def commitAppendPartitioned(root: String, df: DataFrame,
+      createPartitionBy: Seq[String],
       expectedVersion: Option[Long] = None): Long = {
     val next = expectedVersion.getOrElse(currentVersion(root)) + 1
     val header =
-      if (next == 0L) headerActions(df) else evolutionActions(root, df)
-    val partCols = if (next == 0L) Seq.empty else latestPartitionColumns(root)
+      if (next == 0L) headerActions(df, createPartitionBy)
+      else evolutionActions(root, df)
+    val partCols =
+      if (next == 0L) createPartitionBy else latestPartitionColumns(root)
+    if (next > 0L && createPartitionBy.nonEmpty && createPartitionBy != partCols)
+      throw new IllegalArgumentException(
+        s"DeltaLog $root: table is partitioned by ${partCols.mkString(",")} — " +
+          s"cannot append with layout ${createPartitionBy.mkString(",")}")
     val adds = writeDataFiles(root, next, df, partCols)
     publish(root, next,
       header ++ adds.map { case (p, s, pv) => addAction(p, s, partitionValues = pv) })

@@ -709,6 +709,36 @@ class SourcesSpec extends SparkTestBase {
     assert(DeltaLog.latestSchema(okRoot).fieldNames.toSeq == Seq("doc_id"))
   }
 
+  test("DeltaLog: CREATE a partitioned table — commit 0 records partitionColumns, " +
+      "later appends route by the log's layout, mismatched layouts refuse") {
+    import graft.sources.DeltaLog
+    val root = Files.createTempDirectory("graft-delta-create-part").toString + "/tbl"
+    val df1 = spark.range(0L, 8L).select(col("id").as("doc_id"),
+      (col("id") % 2).cast("string").as("shard"))
+    assert(DeltaLog.commitAppendPartitioned(root, df1, Seq("shard")) == 0L)
+    // the metaData action spells the layout — any foreign reader sees it
+    val commit0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_delta_log", f"${0L}%020d.json")), "UTF-8")
+    assert(commit0.contains(""""partitionColumns":["shard"]"""), commit0)
+    assert(commit0.contains(""""shard":"0"""") && commit0.contains(""""shard":"1""""),
+      s"add actions must carry the partition values:\n$commit0")
+    // a LATER plain append routes by the log's own layout — no
+    // partitioning argument needed (or allowed to disagree)
+    val df2 = spark.range(8L, 12L).select(col("id").as("doc_id"),
+      (col("id") % 2).cast("string").as("shard"))
+    assert(DeltaLog.commitAppend(root, df2) == 1L)
+    val all = DeltaLog.read(spark, root).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(all.toSeq == (0L until 12L).map(i => (i, (i % 2).toString)))
+    // partition-pruned read sees only its shard
+    assert(DeltaLog.read(spark, root).filter(col("shard") === "1").count() == 6L)
+    // disagreeing layout on an existing table refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.commitAppendPartitioned(root, df2, Seq("doc_id"))
+    }
+    assert(e.getMessage.contains("partitioned by shard"), e.getMessage)
+  }
+
   test("DeltaLog: PARTITIONED foreign tables — partition columns decode from " +
       "partitionValues on batch/CDC/stream reads; writes refuse; checkpoint keeps them") {
     import graft.sources.DeltaLog
