@@ -1049,6 +1049,7 @@ object IngestOps {
       case "q240" => q240Fixture(spark, dir); ()
       case "q241" => q241Fixture(spark, dir); ()
       case "q245" => q245Fixture(spark, dir); ()
+      case "q261" => q261Fixture(spark, dir); ()
       case "q246" => q246Fixture(spark, dir); ()
       case "q248" => q246Fixture(spark, dir); ()
       case "q249" => q245Fixture(spark, dir); ()
@@ -1524,6 +1525,76 @@ object IngestOps {
       |  CAST(16 AS BIGINT) AS files_before,
       |  CAST(2 AS BIGINT) AS files_after
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q261 fixture: the documents table committed to a Delta log as 8
+    * doc_id-RANGE-DISJOINT files (chunk r = ids in (max*r/8, max*(r+1)/8],
+    * chunk 0 unbounded below; one file per commit) — the natural layout
+    * of any time- or id-ordered ingest, and the shape data skipping
+    * exists for: each add action's stats envelope covers a disjoint id
+    * range, so a selective id predicate maps to few files.
+    */
+  private[graft] def q261Fixture(spark: SparkSession, dir: String): String =
+    ReplayFixtures.ensure(dir, "q261", Seq("documents")) { root =>
+      import graft.sources.DeltaLog
+      val d = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val mx = d.agg(max(col("doc_id"))).head.getLong(0)
+      (0 until 8).foreach { r =>
+        val lo = mx * r / 8
+        val hi = mx * (r + 1) / 8
+        val chunk =
+          if (r == 0) d.filter(col("doc_id") <= hi)
+          else d.filter(col("doc_id") > lo && col("doc_id") <= hi)
+        DeltaLog.commitAppend(s"$root/delta", chunk.coalesce(1))
+      }
+    }
+
+  /** q261 — DELTA DATA SKIPPING: a selective range read over the
+    * 8-file range-disjoint fixture through [[graft.sources.DeltaLog
+    * .readWhere]], which prunes the FILE LIST from each add action's
+    * min/max stats envelope before any scan is planned — the lakehouse
+    * sibling of partition pruning, and at 100 TB the difference between
+    * a selective query reading its few matching files and scanning the
+    * table. The predicate is exactly one chunk's id range (boundaries
+    * computed with the fixture's own integer arithmetic), so precisely
+    * ONE of the 8 files may match — `files_read`/`files_total` ride as
+    * audit columns the oracle PINS: a skipping bug that reads extra
+    * files (or worse, skips a matching one) breaks the hash before it
+    * breaks the row set. The full predicate still applies to the
+    * surviving rows, so the result is exactly read().filter(...).
+    */
+  def q261DeltaSkipping(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLog
+    q261Fixture(spark, dir)
+    val delta = s"${ReplayFixtures.fixtureRootFor(dir, "q261")}/delta"
+    val mx = Tables(spark, dir, "documents")
+      .agg(max(col("doc_id"))).head.getLong(0) // one-row driver frame
+    val lo = mx * 4 / 8
+    val hi = mx * 5 / 8
+    val pred = col("doc_id") > lit(lo) && col("doc_id") <= lit(hi)
+    val total = DeltaLog.snapshotFiles(spark, delta).size.toLong
+    val read = DeltaLog.filesMatching(spark, delta, pred).size.toLong
+    DeltaLog.readWhere(spark, delta, pred)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("len_sum"))
+      .withColumn("files_read", lit(read))
+      .withColumn("files_total", lit(total))
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle: the identical range restated over the raw table, with the
+    * audit constants pinned — 1 file read of 8 written.
+    */
+  val q261Sql: String =
+    """WITH b AS (SELECT max(doc_id) AS mx FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS len_sum,
+      |  CAST(1 AS BIGINT) AS files_read,
+      |  CAST(8 AS BIGINT) AS files_total
+      |FROM documents, b
+      |WHERE doc_id > b.mx * 4 // 8 AND doc_id <= b.mx * 5 // 8
+      |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** q246 fixture: a Delta history with OPTIMIZE commits INTERLEAVED
     * between appends — the shape an incremental consumer actually tails.
@@ -2605,6 +2676,7 @@ object IngestOps {
     "q240_stream_upsert" -> q240StreamUpsert _,
     "q241_delta_adopt" -> q241DeltaAdopt _,
     "q245_delta_optimize" -> q245DeltaOptimize _,
+    "q261_delta_skipping" -> q261DeltaSkipping _,
     "q246_delta_changes" -> q246DeltaChanges _,
     "q248_delta_stream" -> q248DeltaStreamRead _,
     "q249_incremental_lexstore" -> q249IncrementalLexStore _,
@@ -2648,6 +2720,7 @@ object IngestOps {
     "q240_stream_upsert" -> q240Sql,
     "q241_delta_adopt" -> q241Sql,
     "q245_delta_optimize" -> q245Sql,
+    "q261_delta_skipping" -> q261Sql,
     "q246_delta_changes" -> q246Sql,
     "q248_delta_stream" -> q248Sql,
     "q249_incremental_lexstore" -> CorpusOps.q56Sql,

@@ -117,7 +117,8 @@ object DeltaLog {
     * value).
     */
   private[sources] case class AddFile(path: String, size: Long,
-      partitionValues: Map[String, String])
+      partitionValues: Map[String, String],
+      stats: Option[String] = None)
 
   /** Replayed state at a version: live adds in first-add order plus the
     * latest metaData schemaString seen (checkpoint or tail).
@@ -139,7 +140,8 @@ object DeltaLog {
     require(cur >= 0, s"no Delta log at $root")
     val v = version.getOrElse(cur)
     require(v >= 0 && v <= cur, s"version $v out of range [0, $cur]")
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Map[String, String])]
+    val live = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Map[String, String], Option[String])]
     var schemaJson: Option[String] = None
     var metaDataJson: Option[String] = None
     var protocolJson: Option[String] = None
@@ -158,11 +160,14 @@ object DeltaLog {
           else lit(0L)
         val pv = if (fieldsOf("add")("partitionValues")) col("add.partitionValues")
           else lit(null).cast("map<string,string>")
-        df.filter(col("add").isNotNull).select(col("add.path"), sz, pv)
+        val st = if (fieldsOf("add")("stats")) col("add.stats").cast("string")
+          else lit(null).cast("string")
+        df.filter(col("add").isNotNull).select(col("add.path"), sz, pv, st)
           .collect().foreach { r =>
             val m = if (r.isNullAt(2)) Map.empty[String, String]
               else r.getMap[String, String](2).toMap
-            live(r.getString(0)) = (r.getLong(1), m)
+            live(r.getString(0)) =
+              (r.getLong(1), m, if (r.isNullAt(3)) None else Some(r.getString(3)))
           }
       }
       // metaData/protocol ride out of the checkpoint as full JSON — on a
@@ -197,7 +202,10 @@ object DeltaLog {
             val a = node.get("add")
             live(a.get("path").asText()) =
               (if (a.has("size")) a.get("size").asLong() else 0L,
-                jsonPartitionValues(a))
+                jsonPartitionValues(a),
+                // delta-spark spells stats as a JSON STRING field
+                Option(a.get("stats")).filterNot(_.isNull).map(n =>
+                  if (n.isTextual) n.asText() else n.toString))
           } else if (node.has("remove"))
             live.remove(node.get("remove").get("path").asText())
           else if (node.has("metaData")) {
@@ -210,7 +218,7 @@ object DeltaLog {
       }
     }
     validateReadable(root, protocolJson, metaDataJson)
-    Snapshot(live.toSeq.map { case (p, (s, pv)) => AddFile(p, s, pv) },
+    Snapshot(live.toSeq.map { case (p, (s, pv, st)) => AddFile(p, s, pv, st) },
       schemaJson, metaDataJson, protocolJson)
   }
 
@@ -390,6 +398,218 @@ object DeltaLog {
     readAdds(spark, root, snap.adds, snap.schemaJson, snap.metaDataJson)
   }
 
+  /** DATA-SKIPPING read: a snapshot read whose file list is pruned by
+    * the predicate BEFORE any scan is planned — per-file min/max stats
+    * (the add actions' `stats` JSON, [[fileStatsJson]] on our own writes,
+    * delta-spark's on foreign tables) answer "can this file possibly hold
+    * a matching row?", and partition values answer it exactly for the
+    * layout columns. The full predicate is still applied to the surviving
+    * rows, so the result is EXACTLY `read(...).filter(predicate)` — the
+    * skipping is a pure I/O optimization, the lakehouse sibling of
+    * partition pruning, and at 100 TB the difference between a selective
+    * query reading its few matching files and scanning the table.
+    *
+    * Prunable conjuncts: `=`, `<`, `<=`, `>`, `>=` between a column and a
+    * literal (either order) over long/int/double/boolean/string columns.
+    * Anything else — and any file with no usable stats for the column —
+    * conservatively reads. NULL semantics make skipping safe: a
+    * comparison is never satisfied by a NULL row, so min/max over the
+    * non-null values bounds every row that could pass.
+    */
+  def readWhere(spark: SparkSession, root: String, predicate: org.apache.spark.sql.Column,
+      version: Option[Long] = None): DataFrame = {
+    val snap = replay(spark, root, version)
+    val partCols = partitionColumnsOf(snap.metaDataJson).toSet
+    val conjuncts = prunableConjuncts(spark, predicate, snap.schemaJson)
+    val kept = snap.adds.filter { a =>
+      conjuncts.forall { case (name, op, v) =>
+        fileMayMatch(a, name, op, v, partCols)
+      }
+    }
+    readAdds(spark, root, kept, snap.schemaJson, snap.metaDataJson)
+      .filter(predicate)
+  }
+
+  /** Files a [[readWhere]] with this predicate would read — the audit
+    * surface specs and scale rows gate skipping on.
+    */
+  private[graft] def filesMatching(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      version: Option[Long] = None): Seq[String] = {
+    val snap = replay(spark, root, version)
+    val partCols = partitionColumnsOf(snap.metaDataJson).toSet
+    val conjuncts = prunableConjuncts(spark, predicate, snap.schemaJson)
+    snap.adds.filter(a => conjuncts.forall { case (n, op, v) =>
+      fileMayMatch(a, n, op, v, partCols)
+    }).map(_.path)
+  }
+
+  /** Resolve + fold the predicate against a ONE-ROW dummy frame with the
+    * table's schema and harvest the optimized Filter condition — Spark's
+    * own analyzer does the name binding and literal casting (Spark 4
+    * Columns wrap lazy ColumnNodes, so the raw node tree is not the
+    * typed comparison classes). Driver-only: a LocalRelation analyzes
+    * and optimizes without submitting any job.
+    */
+  private def prunableConjuncts(spark: SparkSession,
+      predicate: org.apache.spark.sql.Column,
+      schemaJson: Option[String]): Seq[(String, CmpOp, Any)] =
+    schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType]) match {
+      case None => Seq.empty
+      case Some(st) =>
+        val dummy = spark.createDataFrame(
+          java.util.Arrays.asList(Row.fromSeq(Seq.fill(st.size)(null))), st)
+        // the ANALYZED plan — the optimizer would constant-fold the whole
+        // filter against the dummy LocalRelation's rows and erase it
+        val cond =
+          try dummy.filter(predicate).queryExecution.analyzed.collectFirst {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              f.condition
+          }
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        cond.toSeq.flatMap(splitConjuncts).flatMap(asSimpleComparison)
+    }
+
+  private sealed trait CmpOp
+  private case object CmpEq extends CmpOp
+  private case object CmpLt extends CmpOp
+  private case object CmpLe extends CmpOp
+  private case object CmpGt extends CmpOp
+  private case object CmpGe extends CmpOp
+
+  private def splitConjuncts(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** (column, op, literal) for the prunable comparison shapes; the
+    * literal normalizes to Long / Double / Boolean / String. Column
+    * references may be unresolved (col("x")) or resolved (df("x")).
+    */
+  private def asSimpleComparison(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[(String, CmpOp, Any)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def nameOf(x: Expression): Option[String] = x match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(u.nameParts.mkString("."))
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def litOf(x: Expression): Option[Any] = {
+      // the analyzed tree may wrap the literal in an implicit Cast for
+      // type promotion; any foldable side evaluates driver-side
+      val v = x match {
+        case Literal(l, _) => l
+        case other if other.foldable && other.deterministic =>
+          try other.eval(null) catch { case _: Throwable => null }
+        case _ => null
+      }
+      v match {
+        case null => None
+        case i: java.lang.Integer => Some(i.longValue())
+        case l: java.lang.Long => Some(l.longValue())
+        case s: java.lang.Short => Some(s.longValue())
+        case b: java.lang.Byte => Some(b.longValue())
+        case f: java.lang.Float => Some(f.doubleValue())
+        case d: java.lang.Double => Some(d.doubleValue())
+        case b: java.lang.Boolean => Some(b.booleanValue())
+        case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+        case s: String => Some(s)
+        case _ => None
+      }
+    }
+    def mk(l: Expression, r: Expression, op: CmpOp, flip: CmpOp) =
+      (nameOf(l), litOf(r), nameOf(r), litOf(l)) match {
+        case (Some(n), Some(v), _, _) => Some((n, op, v))
+        case (_, _, Some(n), Some(v)) => Some((n, flip, v))
+        case _ => None
+      }
+    e match {
+      case EqualTo(l, r) => mk(l, r, CmpEq, CmpEq)
+      case LessThan(l, r) => mk(l, r, CmpLt, CmpGt)
+      case LessThanOrEqual(l, r) => mk(l, r, CmpLe, CmpGe)
+      case GreaterThan(l, r) => mk(l, r, CmpGt, CmpLt)
+      case GreaterThanOrEqual(l, r) => mk(l, r, CmpGe, CmpLe)
+      case _ => None
+    }
+  }
+
+  /** Can `a` possibly hold a row satisfying (name op v)? Partition
+    * columns answer exactly (one value per file — a NULL partition value
+    * satisfies no comparison, so the file skips); data columns answer
+    * from the stats envelope; anything unresolvable reads.
+    */
+  private def fileMayMatch(a: AddFile, name: String, op: CmpOp, v: Any,
+      partCols: Set[String]): Boolean = {
+    def cmp(x: Any, y: Any): Option[Int] = (x, y) match {
+      case (a: Long, b: Long) => Some(java.lang.Long.compare(a, b))
+      case (a: Long, b: Double) => Some(java.lang.Double.compare(a.toDouble, b))
+      case (a: Double, b: Long) => Some(java.lang.Double.compare(a, b.toDouble))
+      case (a: Double, b: Double) => Some(java.lang.Double.compare(a, b))
+      case (a: Boolean, b: Boolean) => Some(java.lang.Boolean.compare(a, b))
+      case (a: String, b: String) => Some(a.compareTo(b))
+      case _ => None
+    }
+    def decide(lo: Any, hi: Any): Boolean =
+      (cmp(v, lo), cmp(v, hi)) match {
+        case (Some(cl), Some(ch)) => op match {
+          case CmpEq => cl >= 0 && ch <= 0
+          case CmpLt => cl > 0 // some value < v exists iff min < v
+          case CmpLe => cl >= 0
+          case CmpGt => ch < 0 // some value > v exists iff max > v
+          case CmpGe => ch <= 0
+        }
+        case _ => true
+      }
+    if (partCols(name)) {
+      a.partitionValues.get(name) match {
+        case None => true // layout unknown for this file: read
+        case Some(null) => false // all rows NULL here: no comparison passes
+        case Some(s) =>
+          val typed: Any = v match {
+            case _: Long => try s.toLong catch { case _: Throwable => return true }
+            case _: Double => try s.toDouble catch { case _: Throwable => return true }
+            case _: Boolean => try s.toBoolean catch { case _: Throwable => return true }
+            case _ => s
+          }
+          cmp(typed, v) match {
+            case Some(c) => op match {
+              case CmpEq => c == 0
+              case CmpLt => c < 0
+              case CmpLe => c <= 0
+              case CmpGt => c > 0
+              case CmpGe => c >= 0
+            }
+            case None => true
+          }
+      }
+    } else a.stats match {
+      case None => true
+      case Some(json) =>
+        val node = try mapper.readTree(json) catch { case _: Throwable => return true }
+        // a zero-row file matches nothing, whatever the predicate
+        if (Option(node.get("numRecords")).exists(n =>
+          n.isIntegralNumber && n.asLong() == 0L)) return false
+        def bound(kind: String): Option[Any] =
+          Option(node.get(kind)).flatMap(m => Option(m.get(name))).flatMap { n =>
+            if (n.isNull) None
+            else if (n.isIntegralNumber) Some(n.asLong())
+            else if (n.isNumber) Some(n.asDouble())
+            else if (n.isBoolean) Some(n.asBoolean())
+            else if (n.isTextual) Some(n.asText())
+            else None
+          }
+        (bound("minValues"), bound("maxValues")) match {
+          case (Some(lo), Some(hi)) => decide(lo, hi)
+          case _ => true
+        }
+    }
+  }
+
   private def jstr(s: String): String = mapper.writeValueAsString(s)
 
   /** Publish commit `v` atomically (put-if-absent on the commit file —
@@ -419,9 +639,11 @@ object DeltaLog {
     * into the add action's partitionValues map — the reader's own
     * decode, inverted.
     */
+  private case class WrittenFile(path: String, size: Long,
+      partitionValues: Map[String, String], stats: Option[String])
+
   private def writeDataFiles(root: String, v: Long, df: DataFrame,
-      partCols: Seq[String] = Seq.empty)
-      : Seq[(String, Long, Map[String, String])] = {
+      partCols: Seq[String] = Seq.empty): Seq[WrittenFile] = {
     val sub = f"c$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
     if (partCols.nonEmpty) {
       val missing = partCols.filterNot(df.columns.contains)
@@ -449,18 +671,108 @@ object DeltaLog {
             seg.substring(seg.indexOf('=') + 1), "UTF-8")
           k -> (if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw)
         }.toMap
-      (s"$sub/${rel.iterator().asScala.mkString("/")}", Files.size(p), pv)
-    }.sortBy(_._1).toIndexedSeq
+      WrittenFile(s"$sub/${rel.iterator().asScala.mkString("/")}",
+        Files.size(p), pv, fileStatsJson(p))
+    }.sortBy(_.path).toIndexedSeq
   }
 
   private def addAction(path: String, size: Long,
       dataChange: Boolean = true,
-      partitionValues: Map[String, String] = Map.empty): String = {
+      partitionValues: Map[String, String] = Map.empty,
+      stats: Option[String] = None): String = {
     val pv = partitionValues.toSeq.sortBy(_._1).map { case (k, v) =>
       s"${jstr(k)}:${if (v == null) "null" else jstr(v)}"
     }.mkString("{", ",", "}")
+    val st = stats.map(s => s""","stats":${jstr(s)}""").getOrElse("")
     s"""{"add":{"path":${jstr(path)},"partitionValues":$pv,"size":$size,""" +
-      s""""modificationTime":0,"dataChange":$dataChange}}"""
+      s""""modificationTime":0,"dataChange":$dataChange$st}}"""
+  }
+
+  /** Per-file DATA-SKIPPING STATS, computed driver-side from the parquet
+    * FOOTER (row-group column statistics aggregated across row groups —
+    * one footer read per file, never a data scan) and spelled exactly as
+    * delta-spark's add-action `stats` JSON string:
+    * `{"numRecords":N,"minValues":{..},"maxValues":{..},"nullCount":{..}}`.
+    * Only top-level primitive columns with valid footer statistics
+    * appear; a column absent from the maps simply cannot prune. This is
+    * the metadata half of data skipping — the lakehouse sibling of
+    * partition pruning, and at 100 TB the difference between a selective
+    * query reading its few matching files and reading the table.
+    */
+  private def fileStatsJson(file: Path): Option[String] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val footer =
+      try org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        new org.apache.hadoop.conf.Configuration(),
+        new org.apache.hadoop.fs.Path(file.toString))
+      catch { case _: Throwable => return None }
+    val md = footer.getFileMetaData
+    val schema = md.getSchema
+    var numRecords = 0L
+    val mins = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val maxs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val nulls = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val blocks = footer.getBlocks.asScala
+    blocks.foreach(b => numRecords += b.getRowCount)
+    (0 until schema.getFieldCount).foreach { i =>
+      val f = schema.getType(i)
+      if (f.isPrimitive) {
+        val name = f.getName
+        val prim = f.asPrimitiveType().getPrimitiveTypeName
+        val isString = Option(f.getLogicalTypeAnnotation).exists(_.isInstanceOf[
+          LogicalTypeAnnotation.StringLogicalTypeAnnotation])
+        val colStats = blocks.flatMap(_.getColumns.asScala
+          .find(_.getPath.toDotString == name).map(_.getStatistics))
+        if (colStats.nonEmpty && colStats.forall(s =>
+          s != null && !s.isEmpty && s.hasNonNullValue)) {
+          // aggregate min/max across row groups on RAW typed values,
+          // render (and quote strings) only at the end — aggregating
+          // rendered text would order escapes, not values
+          def typed(v: Any): Option[Any] = (prim, v) match {
+            case (INT32 | INT64, n: Number) => Some(n.longValue())
+            case (DOUBLE | FLOAT, n: Number) => Some(n.doubleValue())
+            case (BOOLEAN, b: java.lang.Boolean) => Some(b.booleanValue())
+            case (BINARY, b: org.apache.parquet.io.api.Binary) if isString =>
+              Some(b.toStringUsingUTF8)
+            case _ => None
+          }
+          val lo = colStats.flatMap(s => typed(s.genericGetMin))
+          val hi = colStats.flatMap(s => typed(s.genericGetMax))
+          if (lo.size == colStats.size && hi.size == colStats.size) {
+            def render(v: Any): String = v match {
+              case s: String => jstr(s)
+              case other => other.toString
+            }
+            // long string envelopes (a document text column) would bloat
+            // every commit; delta-spark truncates at 32 chars with a
+            // prefix-successor max — we simply omit the column (it then
+            // cannot prune, which is safe)
+            val tooLong = (lo ++ hi).exists {
+              case str: String => str.length > 64
+              case _ => false
+            }
+            val ord: Ordering[Any] = ((a: Any, b: Any) => (a, b) match {
+              case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+              case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+              case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+              case (x: String, y: String) => x.compareTo(y)
+              case _ => 0
+            }): Ordering[Any]
+            if (!tooLong) {
+              mins(name) = render(lo.min(ord))
+              maxs(name) = render(hi.max(ord))
+              nulls(name) = colStats.map(_.getNumNulls).sum
+            }
+          }
+        }
+      }
+    }
+    def obj(m: scala.collection.Map[String, String]) =
+      m.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    Some(s"""{"numRecords":$numRecords,"minValues":${obj(mins)},""" +
+      s""""maxValues":${obj(maxs)},""" +
+      s""""nullCount":{${nulls.map { case (k, v) => s"${jstr(k)}:$v" }.mkString(",")}}}""")
   }
 
   private def removeAction(path: String, dataChange: Boolean = true): String =
@@ -756,7 +1068,9 @@ object DeltaLog {
           s"cannot append with layout ${createPartitionBy.mkString(",")}")
     val adds = writeDataFiles(root, next, df, partCols)
     publish(root, next,
-      header ++ adds.map { case (p, s, pv) => addAction(p, s, partitionValues = pv) })
+      header ++ adds.map(w =>
+        addAction(w.path, w.size, partitionValues = w.partitionValues,
+          stats = w.stats)))
     next
   }
 
@@ -772,7 +1086,9 @@ object DeltaLog {
     publish(root, next,
       evolutionActions(root, addDf) ++
         removePaths.map(p => removeAction(p)) ++
-        adds.map { case (p, s, pv) => addAction(p, s, partitionValues = pv) })
+        adds.map(w =>
+          addAction(w.path, w.size, partitionValues = w.partitionValues,
+            stats = w.stats)))
     next
   }
 
@@ -804,8 +1120,8 @@ object DeltaLog {
       latestPartitionColumns(root))
     publish(root, next,
       livePaths.map(p => removeAction(p, dataChange = false)) ++
-        adds.map { case (p, s, pv) =>
-          addAction(p, s, dataChange = false, partitionValues = pv) })
+        adds.map(w => addAction(w.path, w.size, dataChange = false,
+          partitionValues = w.partitionValues, stats = w.stats)))
     next
   }
 
@@ -948,7 +1264,8 @@ object DeltaLog {
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType))))))
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType))))))
 
   /** Compact the live set at the current version into a parquet
     * checkpoint and point `_last_checkpoint` at it — future replays read
@@ -994,7 +1311,11 @@ object DeltaLog {
         partCols, conf), null)
     }
     val addRows = snap.adds.map { a =>
-      Row(null, null, Row(a.path, a.partitionValues, a.size, 0L, true))
+      // stats pass through VERBATIM — after a log trim the checkpoint is
+      // the only carrier, and dropping them would turn every selective
+      // read back into a full-table scan
+      Row(null, null, Row(a.path, a.partitionValues, a.size, 0L, true,
+        a.stats.orNull))
     }
     // a single-part Delta checkpoint is ONE parquet file, not a
     // directory: write via a scratch dir and move the part into place

@@ -13,4 +13,12 @@ object GraftPlanBridge {
       spark: org.apache.spark.sql.SparkSession,
       plan: LogicalPlan): org.apache.spark.sql.DataFrame =
     Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
+
+  /** The (unresolved) Catalyst expression behind a Column — Spark 4 wraps
+    * a ColumnNode; `ExpressionUtils.expression` is the blessed
+    * `private[sql]` converter. No logic here either.
+    */
+  def expressionOf(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    ExpressionUtils.expression(c)
 }

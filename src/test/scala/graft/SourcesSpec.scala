@@ -709,6 +709,86 @@ class SourcesSpec extends SparkTestBase {
     assert(DeltaLog.latestSchema(okRoot).fieldNames.toSeq == Seq("doc_id"))
   }
 
+  test("DeltaLog data skipping: stats prune files exactly; foreign stats honored; " +
+      "partition values prune; unsupported predicates read everything, correctly") {
+    import graft.sources.DeltaLog
+    val root = Files.createTempDirectory("graft-delta-skip").toString + "/tbl"
+    // three commits with disjoint id ranges and overlapping lang sets
+    DeltaLog.commitAppend(root, spark.createDataFrame(Seq(
+      (1L, "en", 1.5), (2L, "de", 2.5))).toDF("id", "lang", "w").coalesce(1))
+    DeltaLog.commitAppend(root, spark.createDataFrame(Seq(
+      (10L, "en", 0.5), (11L, "fr", 9.5))).toDF("id", "lang", "w").coalesce(1))
+    DeltaLog.commitAppend(root, spark.createDataFrame(Seq(
+      (20L, "zh", 5.0), (21L, null.asInstanceOf[String], 6.0)))
+      .toDF("id", "lang", "w").coalesce(1))
+    def filesFor(p: org.apache.spark.sql.Column) =
+      DeltaLog.filesMatching(spark, root, p).size
+    def same(p: org.apache.spark.sql.Column): Unit = {
+      val skip = DeltaLog.readWhere(spark, root, p)
+        .orderBy(col("id")).collect().map(_.toSeq).toSeq
+      val full = DeltaLog.read(spark, root).filter(p)
+        .orderBy(col("id")).collect().map(_.toSeq).toSeq
+      assert(skip == full, s"readWhere must equal read().filter for $p")
+    }
+    // long range: exactly one file each
+    assert(filesFor(col("id") === 10L) == 1)
+    assert(filesFor(col("id") > 11L) == 1)
+    assert(filesFor(col("id") <= 2L) == 1)
+    assert(filesFor(col("id") >= 2L && col("id") < 11L) == 2)
+    // string + double envelopes prune too (null in lang does not poison
+    // the envelope — nulls can never satisfy a comparison)
+    assert(filesFor(col("lang") === "fr") == 1)
+    assert(filesFor(col("w") > 6.5) == 1)
+    // reversed literal-first order
+    assert(filesFor(lit(20L) <= col("id")) == 1)
+    for (p <- Seq(col("id") === 10L, col("id") >= 2L && col("id") < 11L,
+      col("lang") === "fr", col("w") > 6.5, lit(20L) <= col("id"))) same(p)
+    // unsupported conjunct: everything reads, result exact
+    assert(filesFor(col("id") % 10L === 0L) == 3)
+    same(col("id") % 10L === 0L)
+    // no file matches: empty result, zero files
+    assert(filesFor(col("id") === 500L) == 0)
+    assert(DeltaLog.readWhere(spark, root, col("id") === 500L).count() == 0L)
+    // stats survive our own checkpoint + a full JSON trim
+    DeltaLog.checkpoint(spark, root)
+    (0L to 2L).foreach(v => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "_delta_log", f"$v%020d.json")))
+    assert(filesFor(col("id") === 10L) == 1,
+      "stats must ride the checkpoint across a log trim")
+    same(col("id") === 10L)
+    // FOREIGN stats: hand-author an add whose stats string delta-spark
+    // wrote — the reader must prune from it without ever opening the file
+    val froot = Files.createTempDirectory("graft-delta-skip-foreign").toString + "/tbl"
+    val logDir = java.nio.file.Paths.get(froot, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))).json
+    val meta = """{"metaData":{"id":"skip-1","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${mapper.writeValueAsString(schemaJson)},""" +
+      """"partitionColumns":[],"configuration":{}}}"""
+    val stats = """{\"numRecords\":3,\"minValues\":{\"id\":100},\"maxValues\":{\"id\":200},\"nullCount\":{\"id\":0}}"""
+    java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"),
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta,
+        s"""{"add":{"path":"ghost.parquet","partitionValues":{},"size":10,""" +
+          s""""modificationTime":0,"dataChange":true,"stats":"$stats"}}""")
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    // the data file does NOT exist — pruning must happen from the stats
+    // alone, so a predicate outside [100, 200] succeeds without touching it
+    assert(DeltaLog.filesMatching(spark, froot, col("id") === 5L).isEmpty)
+    assert(DeltaLog.readWhere(spark, froot, col("id") === 5L).count() == 0L)
+    // PARTITION-VALUE pruning: the layout columns answer exactly, null
+    // partition values skip (no row in such a file satisfies a comparison)
+    val proot = Files.createTempDirectory("graft-delta-skip-part").toString + "/tbl"
+    DeltaLog.commitAppendPartitioned(proot, spark.createDataFrame(Seq(
+      (1L, "en"), (2L, "de"), (3L, null.asInstanceOf[String])))
+      .toDF("id", "lang"), Seq("lang"))
+    assert(DeltaLog.filesMatching(spark, proot, col("lang") === "de").size == 1)
+    assert(DeltaLog.readWhere(spark, proot, col("lang") === "de")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("DeltaLog: CREATE a partitioned table — commit 0 records partitionColumns, " +
       "later appends route by the log's layout, mismatched layouts refuse") {
     import graft.sources.DeltaLog
