@@ -1275,7 +1275,18 @@ object DeltaLog {
     * so a foreign reader arriving mid-publish sees either the previous
     * pointer or the complete new one.
     */
-  def checkpoint(spark: SparkSession, root: String): Long = {
+  def checkpoint(spark: SparkSession, root: String): Long =
+    checkpoint(spark, root, parts = 1)
+
+  /** [[checkpoint]] with a MULTI-PART layout (`V.checkpoint.%010d.%010d
+    * .parquet`, PROTOCOL.md's large-table shape — delta-spark splits
+    * checkpoints so no single writer task owns a 100 TB table's whole
+    * action set): part 1 carries the protocol + metaData header, add
+    * rows round-robin across all parts, `_last_checkpoint` declares
+    * `parts`. The reader ([[checkpoints]]) already requires a COMPLETE
+    * part group, so an interrupted multi-part publish is invisible.
+    */
+  def checkpoint(spark: SparkSession, root: String, parts: Int): Long = {
     val v = currentVersion(root)
     require(v >= 0, s"no Delta log at $root to checkpoint")
     val snap = replay(spark, root, Some(v))
@@ -1317,22 +1328,35 @@ object DeltaLog {
       Row(null, null, Row(a.path, a.partitionValues, a.size, 0L, true,
         a.stats.orNull))
     }
-    // a single-part Delta checkpoint is ONE parquet file, not a
-    // directory: write via a scratch dir and move the part into place
-    val tmp = s"$root/_delta_log/.ckpt-${java.util.UUID.randomUUID().toString.take(8)}"
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(protoRow +: metaRow +: addRows, 1),
-      CkptSchema)
-      .write.parquet(tmp)
-    val part = Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .getOrElse(sys.error(s"checkpoint write produced no parquet part in $tmp"))
-    Files.move(part.toPath, checkpointPath(root, v),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    require(parts >= 1, s"checkpoint parts must be >= 1, got $parts")
+    // each Delta checkpoint part is ONE parquet file, not a directory:
+    // write via a scratch dir and move the part into place
+    def writeOnePart(rows: Seq[Row], dest: Path): Unit = {
+      val tmp = s"$root/_delta_log/.ckpt-${java.util.UUID.randomUUID().toString.take(8)}"
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), CkptSchema)
+        .write.parquet(tmp)
+      val part = Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"checkpoint write produced no parquet part in $tmp"))
+      Files.move(part.toPath, dest,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    if (parts == 1)
+      writeOnePart(protoRow +: metaRow +: addRows, checkpointPath(root, v))
+    else
+      (1 to parts).foreach { i =>
+        val mine = addRows.zipWithIndex.collect {
+          case (r, j) if j % parts == i - 1 => r
+        }
+        val header = if (i == 1) Seq(protoRow, metaRow) else Seq.empty
+        writeOnePart(header ++ mine,
+          logDir(root).resolve(f"$v%020d.checkpoint.$i%010d.$parts%010d.parquet"))
+      }
     val lcTmp = logDir(root).resolve(s".last_checkpoint.${java.util.UUID.randomUUID().toString.take(8)}")
+    val partsField = if (parts == 1) "" else s""","parts":$parts"""
     Files.write(lcTmp,
-      s"""{"version":$v,"size":${snap.adds.size + 2}}""".getBytes("UTF-8"))
+      s"""{"version":$v,"size":${snap.adds.size + 2}$partsField}""".getBytes("UTF-8"))
     Files.move(lcTmp, logDir(root).resolve("_last_checkpoint"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -709,6 +709,34 @@ class SourcesSpec extends SparkTestBase {
     assert(DeltaLog.latestSchema(okRoot).fieldNames.toSeq == Seq("doc_id"))
   }
 
+  test("DeltaLog: OWN multi-part checkpoint — header in part 1, adds round-robin, " +
+      "trimmed-history replay and stats skipping identical to single-part") {
+    import graft.sources.DeltaLog
+    val root = Files.createTempDirectory("graft-delta-mpc").toString + "/tbl"
+    (0 until 5).foreach(i =>
+      DeltaLog.commitAppend(root, spark.range(i * 10L, (i + 1) * 10L)
+        .select(col("id").as("doc_id")).coalesce(1)))
+    val before = DeltaLog.read(spark, root).orderBy(col("doc_id")).collect().toSeq
+    assert(DeltaLog.checkpoint(spark, root, parts = 3) == 4L)
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    (1 to 3).foreach(i => assert(java.nio.file.Files.isRegularFile(
+      logDir.resolve(f"${4L}%020d.checkpoint.$i%010d.${3}%010d.parquet")),
+      s"part $i of 3 must exist"))
+    val lc = new String(java.nio.file.Files.readAllBytes(
+      logDir.resolve("_last_checkpoint")), "UTF-8")
+    assert(lc.contains(""""parts":3"""), lc)
+    // trim EVERY JSON commit: the three parts are now the only carrier
+    (0L to 4L).foreach(v => java.nio.file.Files.delete(
+      logDir.resolve(f"$v%020d.json")))
+    assert(DeltaLog.read(spark, root).orderBy(col("doc_id")).collect().toSeq == before)
+    // stats still skip across the multi-part boundary
+    assert(DeltaLog.filesMatching(spark, root, col("doc_id") === 25L).size == 1)
+    assert(DeltaLog.readWhere(spark, root, col("doc_id") === 25L)
+      .collect().map(_.getLong(0)).toSeq == Seq(25L))
+    // and the metaData-derived gates still resolve (checkpoint fallback)
+    assert(DeltaLog.latestSchema(root).fieldNames.toSeq == Seq("doc_id"))
+  }
+
   test("DeltaLog data skipping: stats prune files exactly; foreign stats honored; " +
       "partition values prune; unsupported predicates read everything, correctly") {
     import graft.sources.DeltaLog
