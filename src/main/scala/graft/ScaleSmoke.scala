@@ -457,6 +457,11 @@ object ScaleSmoke {
       // banded pair join sees only same-replica co-occurrences (rotated
       // alphabets keep cross-replica terms doc-disjoint)
       ("q260_proximity_fleet", graft.queries.CorpusOps.q260ProximityFleet _, scaledDir),
+      // Delta data skipping: the 8-chunk fixture is hoisted untimed
+      // (warmFixture); the timed region is the bounds agg (data-sized
+      // corpus scan) + log replay + the STATS-PRUNED read of one chunk —
+      // the read side must scale with the matching 1/8th, never the table
+      ("q261_delta_skipping", graft.queries.IngestOps.q261DeltaSkipping _, scaledDir),
       // maintenance campaign: append 8 batches -> bin-pack compact ->
       // CoW erase -> impact refresh -> q247 from the store, on a FRESH
       // store per run. Every verb is data-sized (append tokenizes Nx,
