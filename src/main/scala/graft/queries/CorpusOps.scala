@@ -69,7 +69,7 @@ object CorpusOps {
     */
   val lexConsumers: Set[String] =
     Set("q56", "q108", "q121", "q242", "q244", "q247", "q251", "q252", "q253",
-      "q257", "q258", "q259", "q260")
+      "q257", "q258", "q259", "q260", "q262")
 
   /** Kill switch for the store READ path. [[graft.ScaleSmoke]] sets it
     * false: its 1×-vs-10× ratios time the COLD tokenize on both sides.
@@ -1484,6 +1484,51 @@ object CorpusOps {
        |GROUP BY f.query_id, f.rk, f.doc_id, b.span_len
        |ORDER BY f.query_id, f.rk""".stripMargin
 
+  /** q262 — FLEET SNIPPET TEXT: q258's minimum covering spans
+    * MATERIALIZED as the page-ready token windows — the last step of the
+    * retrieval product (a search UI renders strings, not offsets). The
+    * ranked docs' token streams are RECONSTRUCTED from the store's
+    * positional postings ((term, positions) exploded and re-sorted by
+    * position — the corpus text is never read), restricted to the fleet's
+    * ranked docs BEFORE the explode; each doc's tokens join its spans
+    * (the fleet × k span frame broadcasts) and one sorted collect per
+    * (query, doc) emits the window. Work is bounded by the ranked docs'
+    * lengths × their span count — result-page-sized, never corpus-shaped.
+    */
+  def q262FleetSnippetText(spark: SparkSession, dir: String): DataFrame = {
+    val spans = q258FleetSnippets(spark, dir)
+    val docs = spans.select(col("doc_id")).distinct()
+    val toks = positionsFor(spark, dir, None, Some(docs))
+    toks.join(broadcast(spans), Seq("doc_id"))
+      .filter(col("pos") >= col("span_start") &&
+        col("pos") < col("span_start") + col("span_len"))
+      .groupBy(col("query_id"), col("rk"), col("doc_id"),
+        col("span_len"), col("span_start"))
+      .agg(concat_ws(" ",
+        transform(sort_array(collect_list(struct(col("pos"), col("term")))),
+          e => e.getField("term"))).as("snippet"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Oracle: q258's whole CTE chain as `sp`, then the DuckDB list slice
+    * of the tokenized doc — a reconstruction bug (wrong order, missing
+    * token, off-by-one window) breaks the hash on any of the fleet's
+    * 1,100+ snippets.
+    */
+  val q262Sql: String = {
+    val body = q258Sql.stripSuffix("\nORDER BY f.query_id, f.rk")
+    val idx = body.lastIndexOf("SELECT f.query_id")
+    val ctes = body.substring(0, idx).trim.stripSuffix(",")
+    val select = body.substring(idx)
+    s"""$ctes,
+       |sp AS (
+       |$select)
+       |SELECT sp.query_id, sp.rk, sp.doc_id, sp.span_len, sp.span_start,
+       |  array_to_string(t.tl[sp.span_start:sp.span_start + sp.span_len - 1], ' ') AS snippet
+       |FROM sp JOIN toks2 t USING (doc_id)
+       |ORDER BY sp.query_id, sp.rk""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // q252: snippet spans — minimum covering window over the top-k docs
   // ---------------------------------------------------------------------
@@ -2175,6 +2220,7 @@ object CorpusOps {
     "q257_fleet_eval" -> q257FleetEval _,
     "q258_fleet_snippets" -> q258FleetSnippets _,
     "q259_phrase_fleet" -> q259PhraseFleet _,
+    "q262_fleet_snippet_text" -> q262FleetSnippetText _,
     "q260_proximity_fleet" -> q260ProximityFleet _,
     "q251_retrieval_eval" -> q251RetrievalEval _,
     "q252_snippet_spans" -> q252SnippetSpans _,
@@ -2195,6 +2241,7 @@ object CorpusOps {
     "q257_fleet_eval" -> q257Sql,
     "q258_fleet_snippets" -> q258Sql,
     "q259_phrase_fleet" -> q259Sql,
+    "q262_fleet_snippet_text" -> q262Sql,
     "q260_proximity_fleet" -> q260Sql,
     "q251_retrieval_eval" -> q251Sql,
     "q252_snippet_spans" -> q252Sql,

@@ -1218,7 +1218,8 @@ class PlanSpec extends SparkTestBase {
       "q257" -> (() => CorpusOps.q257FleetEval(spark, sfDir)),
       "q258" -> (() => CorpusOps.q258FleetSnippets(spark, sfDir)),
       "q259" -> (() => CorpusOps.q259PhraseFleet(spark, sfDir)),
-      "q260" -> (() => CorpusOps.q260ProximityFleet(spark, sfDir)))) {
+      "q260" -> (() => CorpusOps.q260ProximityFleet(spark, sfDir)),
+      "q262" -> (() => CorpusOps.q262FleetSnippetText(spark, sfDir)))) {
       val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       val listener = new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
