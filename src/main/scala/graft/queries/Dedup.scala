@@ -869,6 +869,89 @@ object Dedup {
     labels
   }
 
+  /** INCREMENTAL connected-components maintenance: fold a batch of NEW
+    * pairs into an existing (id, comp) labeling WITHOUT re-running CC
+    * over the old edge set — the label-graph CONTRACTION every
+    * incremental dedup pipeline needs (at 100 TB "a nightly batch
+    * arrived" must not mean "re-cluster the corpus"):
+    *
+    *  1. map each new pair's endpoints to their CURRENT component labels
+    *     (an id the labeling has never seen is its own label — exactly
+    *     how batch CC seeds);
+    *  2. the distinct (label_a, label_b) pairs form the CONTRACTED
+    *     label graph — nodes are components, sized by the components the
+    *     batch TOUCHES plus its new ids, never by the corpus;
+    *  3. run the ordinary min-label CC on that tiny graph (round count
+    *     bounded by the contracted diameter);
+    *  4. remap: every old id whose component merged takes the merged
+    *     minimum; new ids take theirs; untouched ids keep their rows.
+    *
+    * Labels stay the MIN id of each component (min over merged old
+    * minimums and new ids = the global min), so the result is
+    * bit-identical to a from-scratch CC over old ∪ new — which is
+    * exactly what the q263 oracle compares against.
+    */
+  def ccIncrementalUpdate(labels: DataFrame, newPairs: DataFrame): DataFrame = {
+    val l = labels.select(col("id"), col("comp"))
+    val contracted = newPairs
+      .join(l.select(col("id").as("id_a"), col("comp").as("ca")), Seq("id_a"), "left")
+      .join(l.select(col("id").as("id_b"), col("comp").as("cb")), Seq("id_b"), "left")
+      .select(coalesce(col("ca"), col("id_a")).as("id_a"),
+        coalesce(col("cb"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+    // merged: contracted-node (old label or new id) -> new minimum label
+    val merged = connectedComponents(contracted)
+      .select(col("id").as("node"), col("comp").as("mcomp"))
+    val updatedOld = l
+      .join(merged, l("comp") === merged("node"), "left")
+      .select(l("id"), coalesce(col("mcomp"), l("comp")).as("comp"))
+    val newIds = newPairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+      .join(l, Seq("id"), "left_anti")
+    val newLabeled = newIds
+      .join(merged, newIds("id") === merged("node"), "left")
+      .select(newIds("id"), coalesce(col("mcomp"), newIds("id")).as("comp"))
+    updatedOld.unionByName(newLabeled)
+  }
+
+  /** q263 — INCREMENTAL DEDUP-CC MAINTENANCE: the corpus's near-dup pairs
+    * split into an OLD edge set (both endpoints in the first 4/5 of doc
+    * ids) and a NEW batch (any pair touching the last fifth — the
+    * nightly-arrival shape); batch CC labels the old graph once, then
+    * [[ccIncrementalUpdate]] folds the new pairs in through the
+    * contracted label graph. The output is q46's per-lang survivor
+    * summary computed from the INCREMENTALLY-maintained labels — and the
+    * oracle is q46's own from-scratch loser set, so any divergence
+    * between maintenance and recompute (a missed merge, a stale remap, a
+    * wrong minimum) breaks the hash.
+    */
+  def q263IncrementalCC(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashCandidates(spark, dir)
+      .filter(col("est_jaccard") >= threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val isNew = (c: org.apache.spark.sql.Column) => pmod(c, lit(5L)) === 4L
+      val oldPairs = pairs.filter(!isNew(col("id_a")) && !isNew(col("id_b")))
+      val newPairs = pairs.filter(isNew(col("id_a")) || isNew(col("id_b")))
+      val labels = ccIncrementalUpdate(connectedComponents(oldPairs), newPairs)
+      val losers = labels.filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id"))
+      Tables(spark, dir, "documents")
+        .join(losers, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    } finally { pairs.unpersist(); () }
+  }
+
+  /** Oracle: identical to q46's — the from-scratch CC loser set. The
+    * registered query maintains labels incrementally; the oracle
+    * recomputes them whole. Equality IS the maintenance contract.
+    */
+  lazy val q263Sql: String = q46Sql
+
   /** Cluster-aware dedup: drop every doc that is not the minimum id of its
     * near-dup connected component (docs in no pair survive untouched).
     */
@@ -1605,6 +1688,7 @@ object Dedup {
     "q43_dedup_simhash_pairs" -> q43SimhashPairs _,
     "q44_dedup_embedding" -> q44EmbeddingNearDup _,
     "q68_incremental_dedup" -> q68IncrementalDedup _,
+    "q263_incremental_cc" -> ((s: SparkSession, d: String) => q263IncrementalCC(s, d)),
     "q98_semantic_dedup" -> q98SemanticDedup _,
     "q130_substring_dedup" -> q130SubstringDedup _,
     "q161_record_linkage" -> q161RecordLinkage _,
@@ -1628,6 +1712,7 @@ object Dedup {
     "q46_dedup_cc" -> q46Sql,
     "q41_dedup_ngram_jaccard" -> q41SqlFor(Q41MaxBlock),
     "q68_incremental_dedup" -> q68Sql,
+    "q263_incremental_cc" -> q263Sql,
     "q98_semantic_dedup" -> q98Sql,
     "q130_substring_dedup" -> q130Sql,
     "q161_record_linkage" -> q161Sql,

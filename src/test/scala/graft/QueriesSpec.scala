@@ -139,6 +139,44 @@ class QueriesSpec extends SparkTestBase {
     assert(survivors.size == total - ccLosers.size)
   }
 
+  test("incremental CC: label-graph contraction equals from-scratch CC — " +
+      "crafted merges, new-node chains, and the real corpus split") {
+    val s = spark
+    import s.implicits._
+    def labelsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+    // old graph: {1,2,3}, {10,11}, {20,21} labeled by batch CC
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val labels0 = Dedup.connectedComponents(oldPairs)
+    // the new batch: BRIDGES two old components (3-10), grows one (21-22),
+    // starts a brand-new chain (30-31, 31-32), and adds a new node whose
+    // id UNDERCUTS an old minimum (0-20: component {20,21,22?no} takes 0)
+    val newPairs = Seq((3L, 10L), (21L, 22L), (30L, 31L), (31L, 32L), (0L, 20L))
+      .toDF("id_a", "id_b")
+    val inc = labelsOf(Dedup.ccIncrementalUpdate(labels0, newPairs))
+    val full = labelsOf(Dedup.connectedComponents(oldPairs.unionByName(newPairs)))
+    assert(inc == full,
+      s"incremental labels must equal the from-scratch recompute:\ninc=$inc\nfull=$full")
+    // the bridged component took the global min, the undercut one took 0
+    assert(inc(10L) == 1L && inc(11L) == 1L && inc(3L) == 1L)
+    assert(inc(20L) == 0L && inc(21L) == 0L && inc(22L) == 0L && inc(0L) == 0L)
+    assert(inc(30L) == 30L && inc(32L) == 30L)
+    // and on the REAL corpus pairs with q263's old/new split: label-for-label
+    val pairs = Dedup.minhashCandidates(spark, sfDir)
+      .filter(col("est_jaccard") >= 0.8)
+      .persist()
+    try {
+      val isNew = (c: org.apache.spark.sql.Column) => pmod(c, lit(5L)) === 4L
+      val incReal = labelsOf(Dedup.ccIncrementalUpdate(
+        Dedup.connectedComponents(
+          pairs.filter(!isNew(col("id_a")) && !isNew(col("id_b")))),
+        pairs.filter(isNew(col("id_a")) || isNew(col("id_b")))))
+      val fullReal = labelsOf(Dedup.connectedComponents(pairs))
+      assert(incReal == fullReal,
+        "corpus-scale incremental maintenance must equal recompute label-for-label")
+    } finally { pairs.unpersist(); () }
+  }
+
   test("record linkage recovers every planted A->B match and nothing else") {
     val s = spark
     import s.implicits._
