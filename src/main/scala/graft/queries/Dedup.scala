@@ -252,7 +252,8 @@ object Dedup {
     * this to decide whether a run needs the signature store at all.
     */
   val candidateConsumers: Set[String] =
-    Set("q40", "q45", "q46", "q68", "q101", "q104", "q123", "q150", "q161", "q162", "q164", "q169", "q170")
+    Set("q40", "q45", "q46", "q68", "q101", "q104", "q123", "q150", "q161", "q162",
+      "q164", "q169", "q170", "q263")
 
   /** Kill switch for the store READ path. [[graft.ScaleSmoke]] sets it false:
     * its 1×-vs-10× ratios time the COLD candidate build on both sides, and a
