@@ -1596,6 +1596,87 @@ object IngestOps {
       |WHERE doc_id > b.mx * 4 // 8 AND doc_id <= b.mx * 5 // 8
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q264 fixture: the documents table committed to a Delta log as four
+    * files — the target of the deletion-vector DELETE, whose whole point
+    * is that these four files are never rewritten.
+    */
+  private[graft] def q264Fixture(spark: SparkSession, dir: String): String =
+    ReplayFixtures.ensure(dir, "q264", Seq("documents")) { root =>
+      import graft.sources.DeltaLog
+      DeltaLog.commitAppend(s"$root/delta",
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+          .repartition(4))
+    }
+
+  /** q264 — DELTA ROW-LEVEL DELETE VIA DELETION VECTORS
+    * ([[graft.sources.DeltaLog.deleteWhere]]): two successive DELETEs
+    * against a cloned copy of the frozen fixture (q239's honesty rule),
+    * each publishing per-hit-file remove+add pairs whose add carries a
+    * RoaringBitmapArray of deleted row indexes instead of rewritten
+    * bytes — at 100 TB the difference between a 100-row delete costing a
+    * few KB of bitmap and costing a gigabyte rewrite. The second DELETE
+    * overlaps the first (doc_id%6 hits both), exercising the
+    * union-and-count-only-new contract, and the audit columns pin the
+    * whole mechanism: `deleted_1`/`deleted_2` are the verbs' own hit
+    * counts, `files_live` proves the data file set was NOT rewritten
+    * (same 4 files), and `rows_v0` is a time-travel read through the
+    * pre-delete snapshot (removes are tombstones; DV'd incarnations
+    * replay by (path, dvId) exact match). A DV that dropped a wrong row,
+    * resurrected a deleted one, double-counted the overlap, or forced a
+    * file rewrite breaks the hash.
+    *
+    * Scale: the hit scan is predicate-pushed parquet over live files;
+    * bitmaps are built and written on executors (a file's positions
+    * never transit the driver); driver state is one descriptor per hit
+    * file — commit-sized, never data-sized.
+    */
+  def q264DeltaDeleteVectors(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLog
+    q264Fixture(spark, dir)
+    val base = ReplayFixtures.fixtureRootFor(dir, "q264")
+    val scratch = new java.io.File(s"${ReplayFixtures.runRoot(dir, "q264")}/delta")
+    linkTree(java.nio.file.Paths.get(s"$base/delta"), scratch.toPath)
+    val delta = scratch.getPath
+    val filesBefore = DeltaLog.snapshotFiles(spark, delta).toSet
+    val (_, del1) = DeltaLog.deleteWhere(spark, delta,
+      pmod(col("doc_id"), lit(3)) === 0)
+    val (v2, del2) = DeltaLog.deleteWhere(spark, delta,
+      pmod(col("doc_id"), lit(2)) === 0)
+    val filesAfter = DeltaLog.snapshotFiles(spark, delta, Some(v2)).toSet
+    val filesLive =
+      if (filesAfter == filesBefore) filesAfter.size.toLong else -1L
+    val rowsV0 = DeltaLog.read(spark, delta, Some(0L)).count()
+    DeltaLog.read(spark, delta, Some(v2))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("len_sum"))
+      .withColumn("deleted_1", lit(del1))
+      .withColumn("deleted_2", lit(del2))
+      .withColumn("files_live", lit(filesLive))
+      .withColumn("rows_v0", lit(rowsV0))
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle: survivors are the rows neither DELETE matched; the audit
+    * constants restate the verbs' contracts over the raw table —
+    * deleted_2 counts doc_id%2 hits NOT already deleted by doc_id%3.
+    */
+  val q264Sql: String =
+    """WITH d1 AS (SELECT count(*) AS c FROM documents WHERE doc_id % 3 = 0),
+      |d2 AS (SELECT count(*) AS c FROM documents
+      |       WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0),
+      |t AS (SELECT count(*) AS c FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS len_sum,
+      |  CAST(d1.c AS BIGINT) AS deleted_1,
+      |  CAST(d2.c AS BIGINT) AS deleted_2,
+      |  CAST(4 AS BIGINT) AS files_live,
+      |  CAST(t.c AS BIGINT) AS rows_v0
+      |FROM documents, d1, d2, t
+      |WHERE doc_id % 3 <> 0 AND doc_id % 2 <> 0
+      |GROUP BY lang, d1.c, d2.c, t.c ORDER BY lang""".stripMargin
+
   /** q246 fixture: a Delta history with OPTIMIZE commits INTERLEAVED
     * between appends — the shape an incremental consumer actually tails.
     * Versions: v0..v1 append residues 0..1 (mod 5), v2 = OPTIMIZE,
@@ -2677,6 +2758,7 @@ object IngestOps {
     "q241_delta_adopt" -> q241DeltaAdopt _,
     "q245_delta_optimize" -> q245DeltaOptimize _,
     "q261_delta_skipping" -> q261DeltaSkipping _,
+    "q264_delta_delete_vectors" -> q264DeltaDeleteVectors _,
     "q246_delta_changes" -> q246DeltaChanges _,
     "q248_delta_stream" -> q248DeltaStreamRead _,
     "q249_incremental_lexstore" -> q249IncrementalLexStore _,
@@ -2721,6 +2803,7 @@ object IngestOps {
     "q241_delta_adopt" -> q241Sql,
     "q245_delta_optimize" -> q245Sql,
     "q261_delta_skipping" -> q261Sql,
+    "q264_delta_delete_vectors" -> q264Sql,
     "q246_delta_changes" -> q246Sql,
     "q248_delta_stream" -> q248Sql,
     "q249_incremental_lexstore" -> CorpusOps.q56Sql,

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -118,7 +118,8 @@ object DeltaLog {
     */
   private[sources] case class AddFile(path: String, size: Long,
       partitionValues: Map[String, String],
-      stats: Option[String] = None)
+      stats: Option[String] = None,
+      dv: Option[DeletionVectors.Descriptor] = None)
 
   /** Replayed state at a version: live adds in first-add order plus the
     * latest metaData schemaString seen (checkpoint or tail).
@@ -126,6 +127,24 @@ object DeltaLog {
   private case class Snapshot(adds: Seq[AddFile],
       schemaJson: Option[String], metaDataJson: Option[String],
       protocolJson: Option[String])
+
+  /** Parse a `deletionVector` descriptor node (from an add/remove action
+    * or a checkpoint row rendered back to JSON). Absent/null → None.
+    */
+  private def parseDvNode(n: com.fasterxml.jackson.databind.JsonNode)
+      : Option[DeletionVectors.Descriptor] =
+    Option(n).filterNot(_.isNull).filter(_.has("storageType")).map { d =>
+      DeletionVectors.Descriptor(
+        d.get("storageType").asText(),
+        d.get("pathOrInlineDv").asText(),
+        Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
+        Option(d.get("sizeInBytes")).map(_.asInt()).getOrElse(0),
+        Option(d.get("cardinality")).map(_.asLong()).getOrElse(0L))
+    }
+
+  private def jsonDv(action: com.fasterxml.jackson.databind.JsonNode)
+      : Option[DeletionVectors.Descriptor] =
+    Option(action.get("deletionVector")).flatMap(parseDvNode)
 
   private def jsonPartitionValues(a: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
     Option(a.get("partitionValues")).map { pv =>
@@ -141,7 +160,8 @@ object DeltaLog {
     val v = version.getOrElse(cur)
     require(v >= 0 && v <= cur, s"version $v out of range [0, $cur]")
     val live = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Long, Map[String, String], Option[String])]
+      .empty[String, (Long, Map[String, String], Option[String],
+        Option[DeletionVectors.Descriptor])]
     var schemaJson: Option[String] = None
     var metaDataJson: Option[String] = None
     var protocolJson: Option[String] = None
@@ -162,12 +182,16 @@ object DeltaLog {
           else lit(null).cast("map<string,string>")
         val st = if (fieldsOf("add")("stats")) col("add.stats").cast("string")
           else lit(null).cast("string")
-        df.filter(col("add").isNotNull).select(col("add.path"), sz, pv, st)
+        val dvc = if (fieldsOf("add")("deletionVector"))
+          to_json(col("add.deletionVector")) else lit(null).cast("string")
+        df.filter(col("add").isNotNull).select(col("add.path"), sz, pv, st, dvc)
           .collect().foreach { r =>
             val m = if (r.isNullAt(2)) Map.empty[String, String]
               else r.getMap[String, String](2).toMap
+            val dv = if (r.isNullAt(4)) None
+              else parseDvNode(mapper.readTree(r.getString(4)))
             live(r.getString(0)) =
-              (r.getLong(1), m, if (r.isNullAt(3)) None else Some(r.getString(3)))
+              (r.getLong(1), m, if (r.isNullAt(3)) None else Some(r.getString(3)), dv)
           }
       }
       // metaData/protocol ride out of the checkpoint as full JSON — on a
@@ -205,10 +229,22 @@ object DeltaLog {
                 jsonPartitionValues(a),
                 // delta-spark spells stats as a JSON STRING field
                 Option(a.get("stats")).filterNot(_.isNull).map(n =>
-                  if (n.isTextual) n.asText() else n.toString))
-          } else if (node.has("remove"))
-            live.remove(node.get("remove").get("path").asText())
-          else if (node.has("metaData")) {
+                  if (n.isTextual) n.asText() else n.toString),
+                jsonDv(a))
+          } else if (node.has("remove")) {
+            // PROTOCOL.md action reconciliation keys the live set by
+            // (path, dvId): a remove kills exactly the incarnation whose
+            // deletionVector uniqueId it names (both-absent matches). A
+            // DELETE commit is {remove(P, oldDv), add(P, newDv)} and its
+            // line order is not guaranteed — exact matching makes replay
+            // order-independent: the stale remove never kills the new add.
+            val rm = node.get("remove")
+            val p = rm.get("path").asText()
+            val rid = jsonDv(rm).map(_.uniqueId).getOrElse("")
+            live.get(p).foreach { case (_, _, _, dv) =>
+              if (dv.map(_.uniqueId).getOrElse("") == rid) live.remove(p)
+            }
+          } else if (node.has("metaData")) {
             metaDataJson = Some(node.get("metaData").toString)
             if (node.get("metaData").has("schemaString"))
               schemaJson = Some(node.get("metaData").get("schemaString").asText())
@@ -218,7 +254,7 @@ object DeltaLog {
       }
     }
     validateReadable(root, protocolJson, metaDataJson)
-    Snapshot(live.toSeq.map { case (p, (s, pv, st)) => AddFile(p, s, pv, st) },
+    Snapshot(live.toSeq.map { case (p, (s, pv, st, dv)) => AddFile(p, s, pv, st, dv) },
       schemaJson, metaDataJson, protocolJson)
   }
 
@@ -227,11 +263,14 @@ object DeltaLog {
     * last-action-wins replay), protocol 2 (column mapping — 'name' mode
     * implemented in [[readUnderSchema]]: the scan binds physical names
     * and the projection renames back to logical), and protocol 3 ONLY
-    * when every declared readerFeature is `columnMapping`. Everything
-    * else — deletion vectors (add-file rows partially invalidated by DV
-    * bitmaps; replay would resurrect deleted rows), 'id'-mode mapping
-    * (parquet field-id matching, not name matching) — refuses with a
-    * pinned message, because a silent misread is data corruption. The
+    * when every declared readerFeature is `columnMapping` or
+    * `deletionVectors` (DV'd files are row-filtered through
+    * `_metadata.row_index` anti-joins in [[readAdds]]; incremental /
+    * stream consumption of DV commits still refuses — see
+    * [[changedFileAdds]]). Everything else — 'id'-mode mapping (parquet
+    * field-id matching, not name matching), unknown reader features —
+    * refuses with a pinned message, because a silent misread is data
+    * corruption. The
     * columnMapping metaData key is checked independently of the protocol
     * version: a buggy writer can set one without the other.
     */
@@ -242,11 +281,11 @@ object DeltaLog {
       val featsField = Option(p.get("readerFeatures"))
       val feats = featsField.toSeq
         .flatMap(_.elements().asScala.map(_.asText()))
-      val unsupported = feats.filterNot(_ == "columnMapping")
+      val unsupported = feats.filterNot(Set("columnMapping", "deletionVectors"))
       // PROTOCOL.md: minReaderVersion>=3 REQUIRES readerFeatures — a
       // protocol row where the list cannot be materialized (a lossy
       // foreign checkpoint) must refuse, not default to "no features":
-      // the absent list is exactly where deletionVectors would hide.
+      // an absent list is exactly where an unknown feature would hide.
       if (mrv > 3 || (mrv == 3 && (featsField.isEmpty || unsupported.nonEmpty))) {
         val fs =
           if (feats.nonEmpty) s", readerFeatures=${feats.mkString("[", ",", "]")}"
@@ -254,7 +293,8 @@ object DeltaLog {
           else ""
         throw new UnsupportedOperationException(
           s"DeltaLog $root: unsupported reader protocol minReaderVersion=$mrv$fs; " +
-            "this reader supports minReaderVersion<=2 and columnMapping as the only reader feature")
+            "this reader supports minReaderVersion<=2 and reader features " +
+            "columnMapping and deletionVectors")
       }
     }
     val mode = columnMappingMode(metaDataJson)
@@ -324,23 +364,68 @@ object DeltaLog {
     *
     * Empty file sets return an empty frame with the LOGICAL schema.
     */
-  private def readAdds(spark: SparkSession, root: String, adds: Seq[AddFile],
-      schemaJson: Option[String], metaDataJson: Option[String]): DataFrame = {
+  /** A scanned file's TABLE-RELATIVE path — `_metadata.file_path` with
+    * the scheme and table root stripped, matching the add action's own
+    * `path` spelling (basenames alone are ambiguous: a partitioned write
+    * reuses one task's part-file name across partition directories).
+    */
+  private def relPathCol(root: String): org.apache.spark.sql.Column =
+    regexp_replace(col("_metadata.file_path"),
+      lit("^.*?" + java.util.regex.Pattern.quote(
+        Paths.get(root).toAbsolutePath.normalize.toString + "/")),
+      lit(""))
+
+  /** The deleted (relative path, row index) pairs named by `dvAdds`'
+    * descriptors, decoded ON EXECUTORS (one task reads one bitmap; the
+    * positions of a file's DV never transit the driver). Broadcast when
+    * the descriptors' summed cardinality is join-build-side small — the
+    * common case: a DV holds the deleted MINORITY of a file's rows.
+    */
+  private def dvDeletedPositions(spark: SparkSession, root: String,
+      dvAdds: Seq[AddFile]): DataFrame = {
+    import spark.implicits._
+    val descs = dvAdds.map { a =>
+      val d = a.dv.get
+      (a.path, d.storageType, d.pathOrInlineDv,
+        d.offset.map(_.toLong).getOrElse(-1L), d.sizeInBytes, d.cardinality)
+    }
+    val df = spark.createDataset(descs)
+      .flatMap { case (name, st, p, off, sz, card) =>
+        val d = DeletionVectors.Descriptor(st, p,
+          if (off < 0L) None else Some(off.toInt), sz, card)
+        DeletionVectors.readPositions(root, d).iterator.map(pos => (name, pos))
+      }.toDF("__dv_file", "__dv_pos")
+    if (dvAdds.map(_.dv.get.cardinality).sum <= 4000000L) broadcast(df) else df
+  }
+
+  /** Scan `adds` under the snapshot schema (mapping + partition decode as
+    * documented on [[readAdds]]). With `withPos` the result carries two
+    * extra columns — `__dv_file` (table-relative path) and `__dv_pos`
+    * (0-based row index from `_metadata.row_index`) — the join key the
+    * deletion-vector anti-join and [[deleteWhere]]'s hit scan both use.
+    */
+  private def scanAdds(spark: SparkSession, root: String, adds: Seq[AddFile],
+      schemaJson: Option[String], metaDataJson: Option[String],
+      withPos: Boolean): DataFrame = {
     val logical = schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
-    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-      logical.getOrElse(new StructType()))
-    if (adds.isEmpty) return empty
     val mapped = logical.isDefined && columnMappingMode(metaDataJson) == "name"
     val partCols = partitionColumnsOf(metaDataJson)
+    val metaCols: Seq[org.apache.spark.sql.Column] =
+      if (!withPos) Seq.empty
+      else Seq(relPathCol(root).as("__dv_file"),
+        col("_metadata.row_index").as("__dv_pos"))
     def scanFlat(paths: Seq[String]): DataFrame = logical match {
       case Some(ls) if mapped =>
         val ps = toPhysical(ls).asInstanceOf[StructType]
         spark.read.schema(ps).parquet(paths: _*)
           .select(ls.fields.zip(ps.fields).map { case (lf, pf) =>
             col(pf.name).cast(lf.dataType).as(lf.name)
-          }.toIndexedSeq: _*)
-      case Some(ls) => spark.read.schema(ls).parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
+          }.toIndexedSeq ++ metaCols: _*)
+      case Some(ls) =>
+        spark.read.schema(ls).parquet(paths: _*)
+          .select(ls.fieldNames.map(col).toIndexedSeq ++ metaCols: _*)
+      case None =>
+        spark.read.parquet(paths: _*).select(col("*") +: metaCols: _*)
     }
     if (partCols.isEmpty || logical.isEmpty)
       return scanFlat(adds.map(a => s"$root/${a.path}"))
@@ -362,8 +447,33 @@ object DeltaLog {
           col(phys).cast(f.dataType).as(f.name)
         }
       }
-      scan.select(cols.toIndexedSeq: _*)
+      scan.select(cols.toIndexedSeq ++ metaCols: _*)
     }.reduce(_.unionByName(_))
+  }
+
+  private def readAdds(spark: SparkSession, root: String, adds: Seq[AddFile],
+      schemaJson: Option[String], metaDataJson: Option[String]): DataFrame = {
+    val logical = schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      logical.getOrElse(new StructType()))
+    if (adds.isEmpty) return empty
+    // deletion vectors: a DV'd file's rows are scanned WITH their row
+    // index and anti-joined against the decoded deleted positions —
+    // row-level invalidation without rewriting the gigabyte the rows
+    // live in. Plain files take the unchanged direct-scan path.
+    val (dvAdds, plain) = adds.partition(_.dv.exists(_.cardinality > 0))
+    val plainDf =
+      if (plain.isEmpty) None
+      else Some(scanAdds(spark, root, plain, schemaJson, metaDataJson, withPos = false))
+    val dvDf =
+      if (dvAdds.isEmpty) None
+      else {
+        Some(scanAdds(spark, root, dvAdds, schemaJson, metaDataJson, withPos = true)
+          .join(dvDeletedPositions(spark, root, dvAdds),
+            Seq("__dv_file", "__dv_pos"), "left_anti")
+          .drop("__dv_file", "__dv_pos"))
+      }
+    Seq(plainDf, dvDf).flatten.reduce(_.unionByName(_))
   }
 
   /** Logical → physical field names at the LATEST version (identity map
@@ -676,16 +786,24 @@ object DeltaLog {
     }.sortBy(_.path).toIndexedSeq
   }
 
+  private def dvJson(d: DeletionVectors.Descriptor): String =
+    s"""{"storageType":${jstr(d.storageType)},""" +
+      s""""pathOrInlineDv":${jstr(d.pathOrInlineDv)}""" +
+      d.offset.map(o => s""","offset":$o""").getOrElse("") +
+      s""","sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+
   private def addAction(path: String, size: Long,
       dataChange: Boolean = true,
       partitionValues: Map[String, String] = Map.empty,
-      stats: Option[String] = None): String = {
+      stats: Option[String] = None,
+      dv: Option[DeletionVectors.Descriptor] = None): String = {
     val pv = partitionValues.toSeq.sortBy(_._1).map { case (k, v) =>
       s"${jstr(k)}:${if (v == null) "null" else jstr(v)}"
     }.mkString("{", ",", "}")
     val st = stats.map(s => s""","stats":${jstr(s)}""").getOrElse("")
+    val dvs = dv.map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")
     s"""{"add":{"path":${jstr(path)},"partitionValues":$pv,"size":$size,""" +
-      s""""modificationTime":0,"dataChange":$dataChange$st}}"""
+      s""""modificationTime":0,"dataChange":$dataChange$st$dvs}}"""
   }
 
   /** Per-file DATA-SKIPPING STATS, computed driver-side from the parquet
@@ -775,8 +893,11 @@ object DeltaLog {
       s""""nullCount":{${nulls.map { case (k, v) => s"${jstr(k)}:$v" }.mkString(",")}}}""")
   }
 
-  private def removeAction(path: String, dataChange: Boolean = true): String =
-    s"""{"remove":{"path":${jstr(path)},"deletionTimestamp":0,"dataChange":$dataChange}}"""
+  private def removeAction(path: String, dataChange: Boolean = true,
+      dv: Option[DeletionVectors.Descriptor] = None): String = {
+    val dvs = dv.map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")
+    s"""{"remove":{"path":${jstr(path)},"deletionTimestamp":0,"dataChange":$dataChange$dvs}}"""
+  }
 
   private def metaDataAction(id: String, schemaJson: String,
       partitionColumns: Seq[String] = Seq.empty): String = {
@@ -1081,11 +1202,18 @@ object DeltaLog {
   def commitReplace(root: String,
       removePaths: Seq[String], addDf: DataFrame,
       expectedVersion: Option[Long] = None): Long = {
-    val next = expectedVersion.getOrElse(currentVersion(root)) + 1
+    val base = expectedVersion.getOrElse(currentVersion(root))
+    val next = base + 1
+    // resolve each removed path's LIVE incarnation so the remove carries
+    // its deletionVector when one exists — replay's exact-match rule
+    // would otherwise keep a DV'd file alive through a dv-less remove
+    val liveDv: Map[String, Option[DeletionVectors.Descriptor]] =
+      replay(addDf.sparkSession, root, Some(base)).adds
+        .map(a => a.path -> a.dv).toMap
     val adds = writeDataFiles(root, next, addDf, latestPartitionColumns(root))
     publish(root, next,
       evolutionActions(root, addDf) ++
-        removePaths.map(p => removeAction(p)) ++
+        removePaths.map(p => removeAction(p, dv = liveDv.getOrElse(p, None))) ++
         adds.map(w =>
           addAction(w.path, w.size, partitionValues = w.partitionValues,
             stats = w.stats)))
@@ -1109,17 +1237,160 @@ object DeltaLog {
     val base = expectedVersion.getOrElse(currentVersion(root))
     require(base >= 0, s"no Delta log at $root to optimize")
     requireWritable(root)
-    val livePaths = snapshotFiles(spark, root, Some(base))
-    require(livePaths.nonEmpty, s"nothing to optimize at $root@$base")
+    val liveAdds = replay(spark, root, Some(base)).adds
+    require(liveAdds.nonEmpty, s"nothing to optimize at $root@$base")
     val next = base + 1
     // on a partitioned table the rewrite re-partitions by the layout
     // (targetFiles becomes per-partition); partition values re-derive
-    // from the directory segments exactly like an append's
+    // from the directory segments exactly like an append's. On a DV'd
+    // table `read` already yields only SURVIVING rows, and each remove
+    // carries its incarnation's deletionVector so replay's exact-match
+    // rule retires it — OPTIMIZE doubles as a DV purge.
     val adds = writeDataFiles(root, next,
       read(spark, root, Some(base)).coalesce(targetFiles),
       latestPartitionColumns(root))
     publish(root, next,
-      livePaths.map(p => removeAction(p, dataChange = false)) ++
+      liveAdds.map(a => removeAction(a.path, dataChange = false, dv = a.dv)) ++
+        adds.map(w => addAction(w.path, w.size, dataChange = false,
+          partitionValues = w.partitionValues, stats = w.stats)))
+    next
+  }
+
+  /** The protocol action a DV-writing commit must carry when the table
+    * does not already declare the feature: PROTOCOL.md requires
+    * minReaderVersion=3 + readerFeatures∋deletionVectors and
+    * minWriterVersion=7 + writerFeatures∋deletionVectors before any add
+    * may reference a deletionVector. Existing feature lists are MERGED,
+    * never replaced — an upgrade must not undeclare what the table
+    * already uses. Empty when already declared.
+    */
+  private def dvProtocolActions(root: String): Seq[String] = {
+    val cur = latestProtocolJson(root).map(mapper.readTree)
+    val readerFeats = cur.toSeq.flatMap(p =>
+      Option(p.get("readerFeatures")).toSeq
+        .flatMap(_.elements().asScala.map(_.asText())))
+    if (readerFeats.contains("deletionVectors")) return Seq.empty
+    val writerFeats = cur.toSeq.flatMap(p =>
+      Option(p.get("writerFeatures")).toSeq
+        .flatMap(_.elements().asScala.map(_.asText())))
+    def jarr(xs: Seq[String]) = xs.distinct.sorted.map(jstr).mkString("[", ",", "]")
+    Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      s""""readerFeatures":${jarr(readerFeats :+ "deletionVectors")},""" +
+      s""""writerFeatures":${jarr(writerFeats :+ "deletionVectors")}}}""")
+  }
+
+  /** Row-level DELETE via deletion vectors — rows where `pred` is TRUE
+    * (null-safe: a NULL predicate keeps the row, SQL DELETE semantics)
+    * are invalidated by (re)writing each hit file's DV. No data file is
+    * read-modified-rewritten: a 100-row delete against a 1 GB file costs
+    * a few KB of bitmap plus one commit — at 100 TB the difference
+    * between row deletes being routine and being a table rewrite.
+    * Published exactly as delta-spark's DELETE: per hit file one remove
+    * carrying the OLD dv identity and one add of the SAME
+    * path/size/stats with the new DV (old deleted positions ∪ new hits —
+    * a file's descriptor names its COMPLETE deleted set), plus the
+    * protocol upgrade declaring the feature on first use. Returns
+    * (committedVersion, rowsDeleted); zero hits publishes nothing and
+    * returns (base, 0).
+    *
+    * Scale shape: the hit scan is predicate-pushed parquet over live
+    * files only; bitmaps are built and written ON EXECUTORS (rows
+    * clustered per file, one streamed pass — a file's positions never
+    * transit the driver); driver state is one descriptor row per HIT
+    * FILE, the same order as any commit's add list. Small DVs inline
+    * into the log itself ("i" storage); large ones become UUID-named
+    * sidecar files ("u").
+    */
+  def deleteWhere(spark: SparkSession, root: String, pred: Column,
+      expectedVersion: Option[Long] = None): (Long, Long) = {
+    import spark.implicits._
+    val base = expectedVersion.getOrElse(currentVersion(root))
+    require(base >= 0, s"no Delta log at $root to delete from")
+    requireWritable(root)
+    val snap = replay(spark, root, Some(base))
+    if (snap.adds.isEmpty) return (base, 0L)
+    val byPath: Map[String, AddFile] = snap.adds.map(a => a.path -> a).toMap
+    val dvAdds = snap.adds.filter(_.dv.exists(_.cardinality > 0))
+    val existing =
+      if (dvAdds.isEmpty)
+        spark.emptyDataset[(String, Long)].toDF("__dv_file", "__dv_pos")
+      else dvDeletedPositions(spark, root, dvAdds)
+    // hits = live rows matching pred: scan WITH row index, drop rows the
+    // current DVs already deleted (their re-matching must not count as
+    // new deletions or force a no-op DV rewrite)
+    val hits = scanAdds(spark, root, snap.adds, snap.schemaJson,
+        snap.metaDataJson, withPos = true)
+      .filter(pred <=> lit(true))
+      .select(col("__dv_file"), col("__dv_pos"))
+      .join(existing, Seq("__dv_file", "__dv_pos"), "left_anti")
+    // one streamed pass per file on executors: positions arrive clustered
+    // and sorted, each flush serializes one bitmap (task memory bounds at
+    // one file's deleted-row set, never the delete's total)
+    val descRows = hits.withColumn("__new", lit(true))
+      .union(existing.withColumn("__new", lit(false)))
+      .repartition(col("__dv_file"))
+      .sortWithinPartitions("__dv_file", "__dv_pos")
+      .as[(String, Long, Boolean)]
+      .mapPartitions { it =>
+        val out = Seq.newBuilder[(String, String, String, Long, Int, Long, Long)]
+        var cur: String = null
+        var pos = Array.newBuilder[Long]
+        var newCnt = 0L
+        def flush(): Unit = if (cur != null && newCnt > 0) {
+          val ps = pos.result()
+          val d =
+            if (ps.length <= 128) DeletionVectors.inlineDescriptor(ps)
+            else DeletionVectors.writeDvFile(root, ps)
+          out += ((cur, d.storageType, d.pathOrInlineDv,
+            d.offset.map(_.toLong).getOrElse(-1L), d.sizeInBytes,
+            d.cardinality, newCnt))
+        }
+        it.foreach { case (f, p, isNew) =>
+          if (f != cur) { flush(); cur = f; pos = Array.newBuilder[Long]; newCnt = 0L }
+          pos += p
+          if (isNew) newCnt += 1
+        }
+        flush()
+        out.result().iterator
+      }.collect()
+    if (descRows.isEmpty) return (base, 0L)
+    val rowsDeleted = descRows.map(_._7).sum
+    val next = base + 1
+    publish(root, next,
+      dvProtocolActions(root) ++ descRows.toSeq.flatMap {
+        case (name, st, p, off, sz, card, _) =>
+          val a = byPath(name)
+          val d = DeletionVectors.Descriptor(st, p,
+            if (off < 0L) None else Some(off.toInt), sz, card)
+          Seq(removeAction(a.path, dv = a.dv),
+            addAction(a.path, a.size, partitionValues = a.partitionValues,
+              stats = a.stats, dv = Some(d)))
+      })
+    (next, rowsDeleted)
+  }
+
+  /** PURGE deletion vectors (delta-spark's `REORG TABLE … APPLY (PURGE)`):
+    * rewrite ONLY the DV'd files' SURVIVING rows into fresh plain files in
+    * one `dataChange=false` commit. Unlike [[commitOptimize]] this never
+    * touches un-DV'd files — I/O is proportional to the DV'd subset, the
+    * small-file-aware-compaction doctrine applied to row-level deletes.
+    * After the purge the snapshot carries no DVs, so incremental/stream
+    * consumers refused by the DV gate can resume from it. Returns the
+    * committed version (= base when there is nothing to purge).
+    */
+  def purgeDeletionVectors(spark: SparkSession, root: String,
+      expectedVersion: Option[Long] = None): Long = {
+    val base = expectedVersion.getOrElse(currentVersion(root))
+    require(base >= 0, s"no Delta log at $root to purge")
+    requireWritable(root)
+    val snap = replay(spark, root, Some(base))
+    val dvAdds = snap.adds.filter(_.dv.exists(_.cardinality > 0))
+    if (dvAdds.isEmpty) return base
+    val next = base + 1
+    val survivors = readAdds(spark, root, dvAdds, snap.schemaJson, snap.metaDataJson)
+    val adds = writeDataFiles(root, next, survivors, latestPartitionColumns(root))
+    publish(root, next,
+      dvAdds.map(a => removeAction(a.path, dataChange = false, dv = a.dv)) ++
         adds.map(w => addAction(w.path, w.size, dataChange = false,
           partitionValues = w.partitionValues, stats = w.stats)))
     next
@@ -1166,6 +1437,15 @@ object DeltaLog {
             (!node.get("add").has("dataChange") ||
               node.get("add").get("dataChange").asBoolean(true))) {
             val a = node.get("add")
+            // a DV add row-level-invalidates a file an incremental
+            // consumer may have ALREADY DELIVERED — appends cannot
+            // express that, so refuse loudly instead of resurrecting
+            // deleted rows downstream (snapshot reads handle DVs fine)
+            if (jsonDv(a).exists(_.cardinality > 0))
+              throw new UnsupportedOperationException(
+                s"DeltaLog $root: commit $v adds ${a.get("path").asText()} " +
+                  "with a deletion vector — incremental/stream consumption " +
+                  "of DV commits is unsupported; read a snapshot instead")
             Some(AddFile(a.get("path").asText(),
               if (a.has("size")) a.get("size").asLong() else 0L,
               jsonPartitionValues(a)))
@@ -1209,8 +1489,9 @@ object DeltaLog {
     val cur = currentVersion(root)
     require(retainFromVersion >= 0 && retainFromVersion <= cur,
       s"retain horizon $retainFromVersion out of range [0, $cur]")
-    val keep = (retainFromVersion to cur)
-      .flatMap(v => snapshotFiles(spark, root, Some(v))).toSet
+    val retained = (retainFromVersion to cur)
+      .map(v => replay(spark, root, Some(v)))
+    val keep = retained.flatMap(_.adds.map(_.path)).toSet
     // the ever-added candidate set: the newest checkpoint's live set (the
     // only record of pre-horizon files once log retention trims JSON),
     // plus adds from every still-present JSON commit. Missing commit
@@ -1220,19 +1501,38 @@ object DeltaLog {
     // opportunistic full scan is what lets a first-ever vacuum reclaim
     // files removed before the first checkpoint existed.
     val ckptV = newestCheckpointAtOrBelow(root, cur).map(_._1)
-    val ckptLive = ckptV.toSeq.flatMap(c => snapshotFiles(spark, root, Some(c)))
-    val all = (ckptLive ++ (0L to cur).flatMap { v =>
+    val ckptSnap = ckptV.map(c => replay(spark, root, Some(c)))
+    val ckptLive = ckptSnap.toSeq.flatMap(_.adds.map(_.path))
+    // DV sidecars ride the same sweep, LOG-DERIVED like the data files
+    // (never a storage listing): a "u"/"p" descriptor on any add/remove
+    // action is a candidate; one referenced by a retained snapshot is
+    // kept. Only files under the table root are deleted — an absolute
+    // "p" descriptor may point outside the table.
+    def dvFileOf(d: DeletionVectors.Descriptor): Option[String] =
+      if (d.storageType == "i") None
+      else {
+        val p = DeletionVectors.dvPath(root, d).toAbsolutePath.normalize
+        val r = Paths.get(root).toAbsolutePath.normalize
+        if (p.startsWith(r)) Some(r.relativize(p).toString) else None
+      }
+    val keepDv = retained.flatMap(_.adds)
+      .flatMap(_.dv).flatMap(dvFileOf).toSet
+    val tailActions = (0L to cur).flatMap { v =>
       if (!Files.isRegularFile(commitPath(root, v))) Seq.empty
       else Files.readAllLines(commitPath(root, v)).asScala.flatMap { line =>
-        if (line.isEmpty) None
-        else {
-          val node = mapper.readTree(line)
-          if (node.has("add")) Some(node.get("add").get("path").asText())
-          else None
-        }
+        if (line.isEmpty) None else Some(mapper.readTree(line))
       }
+    }
+    val all = (ckptLive ++ tailActions.flatMap { node =>
+      if (node.has("add")) Some(node.get("add").get("path").asText())
+      else None
     }).distinct
-    val doomed = all.filterNot(keep)
+    val allDv = (ckptSnap.toSeq.flatMap(_.adds.flatMap(_.dv)) ++
+      tailActions.flatMap { node =>
+        Seq("add", "remove").flatMap(k =>
+          if (node.has(k)) jsonDv(node.get(k)) else None)
+      }).flatMap(dvFileOf).distinct
+    val doomed = all.filterNot(keep) ++ allDv.filterNot(keepDv)
     doomed.foreach(p => Files.deleteIfExists(Paths.get(root, p)))
     doomed
   }
@@ -1265,7 +1565,15 @@ object DeltaLog {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType))))))
+      StructField("stats", StringType),
+      // a DV'd add's descriptor — after a log trim the checkpoint is the
+      // only carrier, and dropping it would RESURRECT the deleted rows
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType)))))))))
 
   /** Compact the live set at the current version into a parquet
     * checkpoint and point `_last_checkpoint` at it — future replays read
@@ -1322,11 +1630,14 @@ object DeltaLog {
         partCols, conf), null)
     }
     val addRows = snap.adds.map { a =>
-      // stats pass through VERBATIM — after a log trim the checkpoint is
-      // the only carrier, and dropping them would turn every selective
-      // read back into a full-table scan
+      // stats and deletionVector pass through VERBATIM — after a log trim
+      // the checkpoint is the only carrier: dropped stats turn every
+      // selective read back into a full-table scan; a dropped DV
+      // resurrects its deleted rows
       Row(null, null, Row(a.path, a.partitionValues, a.size, 0L, true,
-        a.stats.orNull))
+        a.stats.orNull,
+        a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+          d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull))
     }
     require(parts >= 1, s"checkpoint parts must be >= 1, got $parts")
     // each Delta checkpoint part is ONE parquet file, not a directory:

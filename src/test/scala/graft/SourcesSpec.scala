@@ -600,18 +600,27 @@ class SourcesSpec extends SparkTestBase {
         Seq(protocol, meta).mkString("", "\n", "\n").getBytes("UTF-8"))
       root
     }
-    // reader version 3 with deletion vectors: add-file rows are partially
-    // invalidated by DV bitmaps — replay would resurrect deleted rows
+    // reader version 3 with deletionVectors is now SUPPORTED (the read
+    // path row-filters DV'd files — its own test below): declaration
+    // alone must not refuse
     val dv = authorTable(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
       "{}")
-    val e1 = intercept[UnsupportedOperationException] { DeltaLog.read(spark, dv) }
+    assert(DeltaLog.read(spark, dv).columns.toSeq == Seq("doc_id"))
+    assert(DeltaLog.latestSchema(dv).fieldNames.toSeq == Seq("doc_id"))
+    // an UNKNOWN reader feature: replay semantics this reader does not
+    // implement — refuse, never misread
+    val vc = authorTable(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      "{}")
+    val e1 = intercept[UnsupportedOperationException] { DeltaLog.read(spark, vc) }
     assert(e1.getMessage.contains("minReaderVersion=3") &&
-      e1.getMessage.contains("deletionVectors") &&
-      e1.getMessage.contains("columnMapping as the only reader feature"), e1.getMessage)
+      e1.getMessage.contains("v2Checkpoint") &&
+      e1.getMessage.contains("columnMapping and deletionVectors"), e1.getMessage)
     // the stream source refuses the same table at schema resolution
-    val e1s = intercept[UnsupportedOperationException] { DeltaLog.latestSchema(dv) }
+    val e1s = intercept[UnsupportedOperationException] { DeltaLog.latestSchema(vc) }
     assert(e1s.getMessage.contains("minReaderVersion=3"))
     // 'id'-mode column mapping: parquet FIELD-ID matching, which this
     // name-matching reader does not implement — refuse, never misread.
@@ -672,11 +681,11 @@ class SourcesSpec extends SparkTestBase {
           .getBytes("UTF-8"))
       root
     }
-    // deletionVectors declared in the CHECKPOINT protocol row: the stream
-    // schema gate must refuse — a scalar-only fallback would reconstruct
-    // {"minReaderVersion":3} featureless and resurrect DV-deleted rows
+    // an UNSUPPORTED feature declared in the CHECKPOINT protocol row: the
+    // stream schema gate must refuse — a scalar-only fallback would
+    // reconstruct {"minReaderVersion":3} featureless and misread
     val dvRoot = authorCheckpointed(
-      org.apache.spark.sql.Row(3, 7, Seq("deletionVectors"), Seq("deletionVectors")),
+      org.apache.spark.sql.Row(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint")),
       StructType(Seq(
         StructField("minReaderVersion", IntegerType),
         StructField("minWriterVersion", IntegerType),
@@ -684,7 +693,7 @@ class SourcesSpec extends SparkTestBase {
         StructField("writerFeatures", ArrayType(StringType)))))
     val e1 = intercept[UnsupportedOperationException] { DeltaLog.latestSchema(dvRoot) }
     assert(e1.getMessage.contains("minReaderVersion=3") &&
-      e1.getMessage.contains("deletionVectors"), e1.getMessage)
+      e1.getMessage.contains("v2Checkpoint"), e1.getMessage)
     // mrv=3 whose checkpoint schema carries NO readerFeatures column at
     // all (a lossy foreign checkpoint): the features CANNOT be
     // materialized, so the gate must refuse rather than assume none
