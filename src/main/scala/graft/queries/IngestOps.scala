@@ -1677,6 +1677,153 @@ object IngestOps {
       |WHERE doc_id % 3 <> 0 AND doc_id % 2 <> 0
       |GROUP BY lang, d1.c, d2.c, t.c ORDER BY lang""".stripMargin
 
+  /** q265 — DELTA MERGE INTO ([[graft.sources.DeltaLog.mergeInto]]):
+    * the lakehouse upsert (`WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    * MATCHED THEN INSERT *`) against a cloned copy of the q264 fixture.
+    * The source carries one update row per doc_id%5 target doc (text
+    * prefixed `U:`) and one brand-new doc per doc_id%9 (id shifted past
+    * max, text prefixed `I:`); the verb retracts the matched target
+    * rows via deletion vectors (their four data files are NOT
+    * rewritten — `old_files_kept` pins that) and lands the whole source
+    * as fresh files, ONE commit. `matched`/`inserted` are the verb's own
+    * counts restated by the oracle; a merge that updated the wrong
+    * rows, kept a stale copy, dropped an insert, or rewrote a target
+    * file breaks the hash. At 100 TB this is THE write verb: hit scan +
+    * KB of bitmaps + source-sized writes, never a hit-file rewrite.
+    */
+  def q265DeltaMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLog
+    q264Fixture(spark, dir)
+    val base = ReplayFixtures.fixtureRootFor(dir, "q264")
+    val scratch = new java.io.File(s"${ReplayFixtures.runRoot(dir, "q265")}/delta")
+    linkTree(java.nio.file.Paths.get(s"$base/delta"), scratch.toPath)
+    val delta = scratch.getPath
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0) // one-row driver frame
+    val source = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .withColumn("text", concat(lit("U:"), col("text")))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(mx + 1))
+        .withColumn("text", concat(lit("I:"), col("text"))))
+    val filesBefore = DeltaLog.snapshotFiles(spark, delta).toSet
+    val (v, matched, inserted) =
+      DeltaLog.mergeInto(spark, delta, source, Seq("doc_id"))
+    val filesAfter = DeltaLog.snapshotFiles(spark, delta, Some(v)).toSet
+    val kept =
+      if (filesBefore.subsetOf(filesAfter)) filesBefore.size.toLong else -1L
+    DeltaLog.read(spark, delta, Some(v))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("len_sum"))
+      .withColumn("matched", lit(matched))
+      .withColumn("inserted", lit(inserted))
+      .withColumn("old_files_kept", lit(kept))
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle: the merged table is source-wins-on-match ∪ unmatched
+    * target; the audit constants restate the verb's counts and the
+    * no-rewrite contract (all 4 target files still live).
+    */
+  val q265Sql: String =
+    """WITH m1 AS (SELECT count(*) AS c FROM documents WHERE doc_id % 5 = 0),
+      |i1 AS (SELECT count(*) AS c FROM documents WHERE doc_id % 9 = 0),
+      |mx AS (SELECT max(doc_id) AS m FROM documents),
+      |merged AS (
+      |  SELECT doc_id, 'U:' || text AS text, lang
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + mx.m + 1, 'I:' || text, lang
+      |  FROM documents, mx WHERE doc_id % 9 = 0
+      |  UNION ALL
+      |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 5 <> 0
+      |)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS len_sum,
+      |  CAST(m1.c AS BIGINT) AS matched,
+      |  CAST(i1.c AS BIGINT) AS inserted,
+      |  CAST(4 AS BIGINT) AS old_files_kept
+      |FROM merged, m1, i1
+      |GROUP BY lang, m1.c, i1.c ORDER BY lang""".stripMargin
+
+  /** q266 — DELTA CHANGE DATA FEED ([[graft.sources.DeltaLog
+    * .readChangeFeed]]): the typed row-level change stream the adds-only
+    * CDC read cannot serve. Against a cloned q264 fixture: v1 enables
+    * `delta.enableChangeDataFeed`, v2 is a DV DELETE (doc_id%3 — the
+    * change files carry the deleted rows), v3 a MERGE (updates on
+    * doc_id%5, inserts past max for doc_id%9; source rows whose %5
+    * target was already deleted at v2 INSERT instead of matching). The
+    * feed over (-1, 3] aggregates by (_change_type, _commit_version,
+    * lang), pinning version attribution: v0's inserts DERIVE from plain
+    * adds (no change files existed), v1 contributes nothing, v2's
+    * deletes and v3's update_preimage/update_postimage/insert rows come
+    * from the commits' own `_change_data` files. A feed that read DV'd
+    * rows as live, re-announced already-deleted rows, attributed a
+    * change to the wrong version, or mixed pre/post images breaks the
+    * hash. At 100 TB this is how downstream state (materialized views,
+    * sync targets, erasure propagation) tracks updates and deletes
+    * without rescanning the table: per-version work is changes-sized.
+    */
+  def q266ChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLog
+    q264Fixture(spark, dir)
+    val base = ReplayFixtures.fixtureRootFor(dir, "q264")
+    val scratch = new java.io.File(s"${ReplayFixtures.runRoot(dir, "q266")}/delta")
+    linkTree(java.nio.file.Paths.get(s"$base/delta"), scratch.toPath)
+    val delta = scratch.getPath
+    DeltaLog.setTableProperties(delta,
+      Map("delta.enableChangeDataFeed" -> "true"))            // v1
+    DeltaLog.deleteWhere(spark, delta,
+      pmod(col("doc_id"), lit(3)) === 0)                      // v2
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0) // one-row driver frame
+    val source = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .withColumn("text", concat(lit("U:"), col("text")))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(mx + 1))
+        .withColumn("text", concat(lit("I:"), col("text"))))
+    val (v3, _, _) = DeltaLog.mergeInto(spark, delta, source, Seq("doc_id"))
+    DeltaLog.readChangeFeed(spark, delta, -1L, v3)
+      .groupBy(col("_change_type"), col("_commit_version"), col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(length(col("text"))).as("len_sum"))
+      .orderBy(col("_change_type"), col("_commit_version"), col("lang"))
+  }
+
+  /** Oracle: the feed restated — v0 inserts are the whole table, v2
+    * deletes are doc_id%3, v3 updates pair pre/post images on the
+    * still-live %5 docs, v3 inserts are the %5∧%3 source rows (their
+    * targets were deleted) plus the shifted %9 docs.
+    */
+  val q266Sql: String =
+    """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+      |feed AS (
+      |  SELECT 'insert' AS ct, CAST(0 AS BIGINT) AS v, text, lang
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'delete', 2, text, lang FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT 'update_preimage', 3, text, lang
+      |  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 3 <> 0
+      |  UNION ALL
+      |  SELECT 'update_postimage', 3, 'U:' || text, lang
+      |  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 3 <> 0
+      |  UNION ALL
+      |  SELECT 'insert', 3, 'U:' || text, lang
+      |  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT 'insert', 3, 'I:' || text, lang
+      |  FROM documents WHERE doc_id % 9 = 0
+      |)
+      |SELECT ct AS _change_type, v AS _commit_version, lang,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(length(text)) AS BIGINT) AS len_sum
+      |FROM feed
+      |GROUP BY ct, v, lang
+      |ORDER BY ct, v, lang""".stripMargin
+
   /** q246 fixture: a Delta history with OPTIMIZE commits INTERLEAVED
     * between appends — the shape an incremental consumer actually tails.
     * Versions: v0..v1 append residues 0..1 (mod 5), v2 = OPTIMIZE,
@@ -2759,6 +2906,8 @@ object IngestOps {
     "q245_delta_optimize" -> q245DeltaOptimize _,
     "q261_delta_skipping" -> q261DeltaSkipping _,
     "q264_delta_delete_vectors" -> q264DeltaDeleteVectors _,
+    "q265_delta_merge" -> q265DeltaMerge _,
+    "q266_change_feed" -> q266ChangeFeed _,
     "q246_delta_changes" -> q246DeltaChanges _,
     "q248_delta_stream" -> q248DeltaStreamRead _,
     "q249_incremental_lexstore" -> q249IncrementalLexStore _,
@@ -2804,6 +2953,8 @@ object IngestOps {
     "q245_delta_optimize" -> q245Sql,
     "q261_delta_skipping" -> q261Sql,
     "q264_delta_delete_vectors" -> q264Sql,
+    "q265_delta_merge" -> q265Sql,
+    "q266_change_feed" -> q266Sql,
     "q246_delta_changes" -> q246Sql,
     "q248_delta_stream" -> q248Sql,
     "q249_incremental_lexstore" -> CorpusOps.q56Sql,

@@ -753,8 +753,10 @@ object DeltaLog {
       partitionValues: Map[String, String], stats: Option[String])
 
   private def writeDataFiles(root: String, v: Long, df: DataFrame,
-      partCols: Seq[String] = Seq.empty): Seq[WrittenFile] = {
-    val sub = f"c$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+      partCols: Seq[String] = Seq.empty,
+      dirPrefix: String = ""): Seq[WrittenFile] = {
+    val sub = s"${dirPrefix}c" +
+      f"$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
     if (partCols.nonEmpty) {
       val missing = partCols.filterNot(df.columns.contains)
       require(missing.isEmpty,
@@ -897,6 +899,78 @@ object DeltaLog {
       dv: Option[DeletionVectors.Descriptor] = None): String = {
     val dvs = dv.map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")
     s"""{"remove":{"path":${jstr(path)},"deletionTimestamp":0,"dataChange":$dataChange$dvs}}"""
+  }
+
+  /** A `cdc` action (PROTOCOL.md "Add CDC File"): names one change-data
+    * file under `_change_data/`. Always `dataChange=false` — the change
+    * files DESCRIBE the commit's logical change, they are not part of
+    * the table's data.
+    */
+  private def cdcAction(path: String, size: Long,
+      partitionValues: Map[String, String]): String = {
+    val pv = partitionValues.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${jstr(k)}:${if (v == null) "null" else jstr(v)}"
+    }.mkString("{", ",", "}")
+    s"""{"cdc":{"path":${jstr(path)},"partitionValues":$pv,"size":$size,""" +
+      """"dataChange":false}}"""
+  }
+
+  /** Whether the table opted into the change data feed
+    * (`delta.enableChangeDataFeed` in the metaData configuration —
+    * delta-spark's own switch). Row-retracting writers (deleteWhere,
+    * mergeInto) consult this to decide whether to publish change files.
+    */
+  private[graft] def cdfEnabled(root: String): Boolean =
+    latestMetaDataJson(root).map(mapper.readTree).exists { m =>
+      Option(m.get("configuration"))
+        .flatMap(c => Option(c.get("delta.enableChangeDataFeed")))
+        .exists(n => !n.isNull && n.asText() == "true")
+    }
+
+  /** Merge `props` into the table's metaData configuration in one
+    * commit (delta-spark's ALTER TABLE SET TBLPROPERTIES). Enabling the
+    * change data feed also raises the writer protocol to what the
+    * feature demands (minWriterVersion 4, or the `changeDataFeed`
+    * writerFeature on feature-listed protocols) so foreign writers
+    * below it refuse rather than commit feed-less changes.
+    */
+  def setTableProperties(root: String, props: Map[String, String]): Long = {
+    require(props.nonEmpty, "no properties to set")
+    require(currentVersion(root) >= 0, s"no Delta log at $root")
+    requireWritable(root)
+    val metaJson = latestMetaDataJson(root).getOrElse(
+      throw new IllegalArgumentException(s"no metaData action in Delta log at $root"))
+    val node = mapper.readTree(metaJson)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val conf = Option(node.get("configuration"))
+      .collect { case o: com.fasterxml.jackson.databind.node.ObjectNode => o }
+      .getOrElse(node.putObject("configuration"))
+    props.foreach { case (k, v) => conf.put(k, v) }
+    node.set[com.fasterxml.jackson.databind.JsonNode]("configuration", conf)
+    val protoUpgrade: Seq[String] =
+      if (props.get("delta.enableChangeDataFeed").contains("true")) {
+        val cur = latestProtocolJson(root).map(mapper.readTree)
+        val mrv = cur.map(_.get("minReaderVersion").asInt()).getOrElse(1)
+        val mwv = cur.map(_.get("minWriterVersion").asInt()).getOrElse(2)
+        val wfeats = cur.toSeq.flatMap(p =>
+          Option(p.get("writerFeatures")).toSeq
+            .flatMap(_.elements().asScala.map(_.asText())))
+        if (mwv >= 7 && !wfeats.contains("changeDataFeed")) {
+          val rfeats = cur.toSeq.flatMap(p =>
+            Option(p.get("readerFeatures")).toSeq
+              .flatMap(_.elements().asScala.map(_.asText())))
+          def jarr(xs: Seq[String]) =
+            xs.distinct.sorted.map(jstr).mkString("[", ",", "]")
+          Seq(s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":$mwv,""" +
+            s""""readerFeatures":${jarr(rfeats)},""" +
+            s""""writerFeatures":${jarr(wfeats :+ "changeDataFeed")}}}""")
+        } else if (mwv < 4)
+          Seq(s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":4}}""")
+        else Seq.empty
+      } else Seq.empty
+    val next = currentVersion(root) + 1
+    publish(root, next, protoUpgrade :+ s"""{"metaData":${node.toString}}""")
+    next
   }
 
   private def metaDataAction(id: String, schemaJson: String,
@@ -1317,16 +1391,50 @@ object DeltaLog {
       else dvDeletedPositions(spark, root, dvAdds)
     // hits = live rows matching pred: scan WITH row index, drop rows the
     // current DVs already deleted (their re-matching must not count as
-    // new deletions or force a no-op DV rewrite)
-    val hits = scanAdds(spark, root, snap.adds, snap.schemaJson,
+    // new deletions or force a no-op DV rewrite). With the change data
+    // feed on, the hit rows are consumed twice (bitmap pass + change
+    // files), so they persist — hit-sized, never table-sized.
+    val cdf = cdfEnabled(root)
+    val hitScan = scanAdds(spark, root, snap.adds, snap.schemaJson,
         snap.metaDataJson, withPos = true)
       .filter(pred <=> lit(true))
-      .select(col("__dv_file"), col("__dv_pos"))
-      .join(existing, Seq("__dv_file", "__dv_pos"), "left_anti")
-    // one streamed pass per file on executors: positions arrive clustered
-    // and sorted, each flush serializes one bitmap (task memory bounds at
-    // one file's deleted-row set, never the delete's total)
-    val descRows = hits.withColumn("__new", lit(true))
+    val hitRows0 =
+      (if (cdf) hitScan
+       else hitScan.select(col("__dv_file"), col("__dv_pos")))
+        .join(existing, Seq("__dv_file", "__dv_pos"), "left_anti")
+    val hitRows = if (cdf) hitRows0.persist() else hitRows0
+    try {
+      val descRows = dvRewriteRows(spark, root,
+        hitRows.select(col("__dv_file"), col("__dv_pos")), existing)
+      if (descRows.isEmpty) return (base, 0L)
+      val rowsDeleted = descRows.map(_._7).sum
+      val next = base + 1
+      val cdcActions =
+        if (!cdf) Seq.empty[String]
+        else writeDataFiles(root, next,
+          hitRows.drop("__dv_file", "__dv_pos")
+            .withColumn("_change_type", lit("delete")),
+          latestPartitionColumns(root), dirPrefix = "_change_data/")
+          .map(w => cdcAction(w.path, w.size, w.partitionValues))
+      publish(root, next,
+        dvProtocolActions(root) ++ dvPairActions(byPath, descRows) ++ cdcActions)
+      (next, rowsDeleted)
+    } finally { if (cdf) { hitRows.unpersist(); () } }
+  }
+
+  /** Per hit file, the NEW deletion-vector descriptor covering `hits` ∪
+    * `existing` — one streamed pass on executors: positions arrive
+    * clustered and sorted per file, each flush serializes one bitmap
+    * (task memory bounds at one file's deleted-row set, never the
+    * operation's total). Returns one driver row per file with ≥1 NEW
+    * hit: (relPath, storageType, pathOrInlineDv, offset|-1, sizeInBytes,
+    * cardinality, newHitCount) — commit-sized, never data-sized.
+    */
+  private def dvRewriteRows(spark: SparkSession, root: String,
+      hits: DataFrame, existing: DataFrame)
+      : Array[(String, String, String, Long, Int, Long, Long)] = {
+    import spark.implicits._
+    hits.withColumn("__new", lit(true))
       .union(existing.withColumn("__new", lit(false)))
       .repartition(col("__dv_file"))
       .sortWithinPartitions("__dv_file", "__dv_pos")
@@ -1353,21 +1461,23 @@ object DeltaLog {
         flush()
         out.result().iterator
       }.collect()
-    if (descRows.isEmpty) return (base, 0L)
-    val rowsDeleted = descRows.map(_._7).sum
-    val next = base + 1
-    publish(root, next,
-      dvProtocolActions(root) ++ descRows.toSeq.flatMap {
-        case (name, st, p, off, sz, card, _) =>
-          val a = byPath(name)
-          val d = DeletionVectors.Descriptor(st, p,
-            if (off < 0L) None else Some(off.toInt), sz, card)
-          Seq(removeAction(a.path, dv = a.dv),
-            addAction(a.path, a.size, partitionValues = a.partitionValues,
-              stats = a.stats, dv = Some(d)))
-      })
-    (next, rowsDeleted)
   }
+
+  /** The remove+add action pair per DV-rewritten file: the remove names
+    * the OLD incarnation's dv identity (replay's exact-match rule), the
+    * add re-publishes the SAME path/size/stats under the new descriptor.
+    */
+  private def dvPairActions(byPath: Map[String, AddFile],
+      descRows: Array[(String, String, String, Long, Int, Long, Long)])
+      : Seq[String] =
+    descRows.toSeq.flatMap { case (name, st, p, off, sz, card, _) =>
+      val a = byPath(name)
+      val d = DeletionVectors.Descriptor(st, p,
+        if (off < 0L) None else Some(off.toInt), sz, card)
+      Seq(removeAction(a.path, dv = a.dv),
+        addAction(a.path, a.size, partitionValues = a.partitionValues,
+          stats = a.stats, dv = Some(d)))
+    }
 
   /** PURGE deletion vectors (delta-spark's `REORG TABLE … APPLY (PURGE)`):
     * rewrite ONLY the DV'd files' SURVIVING rows into fresh plain files in
@@ -1394,6 +1504,204 @@ object DeltaLog {
         adds.map(w => addAction(w.path, w.size, dataChange = false,
           partitionValues = w.partitionValues, stats = w.stats)))
     next
+  }
+
+  /** MERGE INTO (upsert): `WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    * MATCHED THEN INSERT *` — target rows whose `keyCols` match a source
+    * row are REPLACED by it, source rows matching nothing are INSERTED,
+    * unmatched target rows are untouched. One commit: the matched target
+    * rows retract via deletion vectors (their files are NOT rewritten —
+    * the [[deleteWhere]] machinery fed by a key semi-join instead of a
+    * predicate) and the whole source lands as fresh data files. This is
+    * the lakehouse's most-used write verb, and the DV basis is what
+    * makes it affordable: a 1000-row upsert against a 100 TB target
+    * costs the hit scan + KB of bitmaps + source-sized writes, never a
+    * hit-file rewrite. Duplicate merge keys in the SOURCE refuse (the
+    * same ambiguity delta-spark rejects: which copy should win is
+    * undefined); duplicate keys in the TARGET are all retracted and
+    * replaced by the one source row. Returns (committedVersion,
+    * matchedTargetRows, insertedSourceRows); an empty source publishes
+    * nothing and returns (base, 0, 0).
+    *
+    * Scale shape: one live-row scan of the target (predicate/column
+    * pruning apply; the key join is AQE-planned), bitmaps built on
+    * executors, driver state one descriptor per hit file. The matched
+    * frame is persisted (matched-sized, not target-sized) because both
+    * the bitmap pass and the insert count consume it.
+    */
+  def mergeInto(spark: SparkSession, root: String, source: DataFrame,
+      keyCols: Seq[String],
+      expectedVersion: Option[Long] = None): (Long, Long, Long) = {
+    import spark.implicits._
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    val missing = keyCols.filterNot(source.columns.contains)
+    require(missing.isEmpty,
+      s"merge source lacks key columns: ${missing.mkString(", ")}")
+    val base = expectedVersion.getOrElse(currentVersion(root))
+    require(base >= 0, s"no Delta log at $root to merge into")
+    requireWritable(root)
+    val sourceCount = source.count()
+    if (sourceCount == 0L) return (base, 0L, 0L)
+    val dupKeys = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dupKeys == 0L,
+      s"merge source has duplicate keys on (${keyCols.mkString(", ")}) — " +
+        "which copy should win is undefined; de-duplicate the source first")
+    val snap = replay(spark, root, Some(base))
+    val next = base + 1
+    val partCols = latestPartitionColumns(root)
+    if (snap.adds.isEmpty) {
+      val adds = writeDataFiles(root, next, source, partCols)
+      publish(root, next,
+        evolutionActions(root, source) ++ adds.map(w =>
+          addAction(w.path, w.size, partitionValues = w.partitionValues,
+            stats = w.stats)))
+      return (next, 0L, sourceCount)
+    }
+    val byPath: Map[String, AddFile] = snap.adds.map(a => a.path -> a).toMap
+    val dvAdds = snap.adds.filter(_.dv.exists(_.cardinality > 0))
+    val existing =
+      if (dvAdds.isEmpty)
+        spark.emptyDataset[(String, Long)].toDF("__dv_file", "__dv_pos")
+      else dvDeletedPositions(spark, root, dvAdds)
+    val srcKeys = source.select(keyCols.map(col): _*)
+    // with the change data feed on the matched rows are also the
+    // update_preimage, so the scan keeps every column; otherwise it
+    // prunes to keys + position
+    val cdf = cdfEnabled(root)
+    val matched = scanAdds(spark, root, snap.adds, snap.schemaJson,
+        snap.metaDataJson, withPos = true)
+      .join(existing, Seq("__dv_file", "__dv_pos"), "left_anti")
+      .join(srcKeys, keyCols, "left_semi")
+      .select((if (cdf) Seq(col("*"))
+        else keyCols.map(col) ++ Seq(col("__dv_file"), col("__dv_pos"))): _*)
+      .persist()
+    try {
+      val matchedKeysDf = matched.select(keyCols.map(col): _*).distinct()
+      val matchedKeyCount = matchedKeysDf.count()
+      val descRows = dvRewriteRows(spark, root,
+        matched.select(col("__dv_file"), col("__dv_pos")), existing)
+      val matchedRows = descRows.map(_._7).sum
+      val adds = writeDataFiles(root, next, source, partCols)
+      val cdcActions =
+        if (!cdf) Seq.empty[String]
+        else {
+          val ct = "_change_type"
+          val changeDf = matched.drop("__dv_file", "__dv_pos")
+            .withColumn(ct, lit("update_preimage"))
+            .unionByName(source.join(matchedKeysDf, keyCols, "left_semi")
+              .withColumn(ct, lit("update_postimage")))
+            .unionByName(source.join(matchedKeysDf, keyCols, "left_anti")
+              .withColumn(ct, lit("insert")))
+          writeDataFiles(root, next, changeDf, partCols,
+            dirPrefix = "_change_data/")
+            .map(w => cdcAction(w.path, w.size, w.partitionValues))
+        }
+      publish(root, next,
+        evolutionActions(root, source) ++
+          (if (descRows.isEmpty) Seq.empty else dvProtocolActions(root)) ++
+          dvPairActions(byPath, descRows) ++
+          adds.map(w => addAction(w.path, w.size,
+            partitionValues = w.partitionValues, stats = w.stats)) ++
+          cdcActions)
+      (next, matchedRows, sourceCount - matchedKeyCount)
+    } finally { matched.unpersist(); () }
+  }
+
+  /** THE CHANGE DATA FEED (delta-spark's `readChangeFeed`): every
+    * row-level change committed in versions (fromVersion, toVersion],
+    * typed `_change_type` ∈ insert / delete / update_preimage /
+    * update_postimage, plus `_commit_version`. A commit carrying `cdc`
+    * actions is read from its change files ONLY — the writer's complete,
+    * authoritative change description ([[deleteWhere]]/[[mergeInto]]
+    * publish them when `delta.enableChangeDataFeed` is set). A commit
+    * without cdc actions DERIVES: `dataChange=true` adds are inserts;
+    * `dataChange=true` removes are full-file deletes, read from the
+    * removed incarnation at the PRIOR version with its deletion vector
+    * honored (already-deleted rows do not re-announce); a deletion-
+    * vector add in a cdc-less commit refuses loudly — the retraction is
+    * not derivable from file actions. `dataChange=false` commits
+    * (OPTIMIZE, purge) contribute nothing. This is the consumer the
+    * adds-only CDC read cannot serve: downstream state that must track
+    * updates and deletes (materialized views, sync targets, erasure
+    * propagation) without rescanning the table.
+    *
+    * Scale: per-version work is changes-sized (change files or the
+    * commit's own adds/removes), never snapshot-sized; the only replay
+    * is at a derived remove, bounded by checkpoint cadence.
+    */
+  def readChangeFeed(spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    val cur = currentVersion(root)
+    require(fromVersion >= -1 && fromVersion <= toVersion && toVersion <= cur,
+      s"feed range ($fromVersion, $toVersion] out of [0, $cur]")
+    val schemaJson = latestMetaData(root).map(_._2)
+    val metaJson = latestMetaDataJson(root)
+    val feedSchema = StructType(
+      schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType].fields)
+        .getOrElse(Array.empty[StructField]).toIndexedSeq :+
+        StructField("_change_type", StringType))
+    val feedSchemaJson = Some(feedSchema.json)
+    val frames = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val p = commitPath(root, v)
+      require(Files.isRegularFile(p),
+        s"DeltaLog $root: commit $v is missing — the feed range reaches " +
+          "past retained history; start from a snapshot instead")
+      val lines = Files.readAllLines(p).asScala
+        .filter(_.nonEmpty).map(mapper.readTree).toSeq
+      def changed(node: com.fasterxml.jackson.databind.JsonNode): Boolean =
+        !node.has("dataChange") || node.get("dataChange").asBoolean(true)
+      val cdcFiles = lines.filter(_.has("cdc")).map { n =>
+        val c = n.get("cdc")
+        AddFile(c.get("path").asText(),
+          Option(c.get("size")).map(_.asLong()).getOrElse(0L),
+          jsonPartitionValues(c))
+      }
+      if (cdcFiles.nonEmpty)
+        Seq(scanAdds(spark, root, cdcFiles, feedSchemaJson, metaJson,
+          withPos = false).withColumn("_commit_version", lit(v)))
+      else {
+        val adds = lines.collect {
+          case n if n.has("add") && changed(n.get("add")) =>
+            val a = n.get("add")
+            AddFile(a.get("path").asText(),
+              Option(a.get("size")).map(_.asLong()).getOrElse(0L),
+              jsonPartitionValues(a), None, jsonDv(a))
+        }
+        adds.find(_.dv.exists(_.cardinality > 0)).foreach { a =>
+          throw new UnsupportedOperationException(
+            s"DeltaLog $root: commit $v retracts rows via a deletion " +
+              s"vector on ${a.path} but published no change files — " +
+              "enable delta.enableChangeDataFeed before row-level writes " +
+              "to make them feed-consumable")
+        }
+        val removePaths = lines.collect {
+          case n if n.has("remove") && changed(n.get("remove")) =>
+            n.get("remove").get("path").asText()
+        }.toSet
+        val insDf =
+          if (adds.isEmpty) None
+          else Some(scanAdds(spark, root, adds, schemaJson, metaJson,
+              withPos = false)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v)))
+        val delDf =
+          if (removePaths.isEmpty) None
+          else {
+            val prior = replay(spark, root, Some(v - 1)).adds
+              .filter(a => removePaths(a.path))
+            Some(readAdds(spark, root, prior, schemaJson, metaJson)
+              .withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_version", lit(v)))
+          }
+        Seq(insDf, delDf).flatten
+      }
+    }
+    if (frames.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(feedSchema.fields.toIndexedSeq :+
+          StructField("_commit_version", LongType)))
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Rows ADDED by `dataChange=true` commits in versions (fromVersion,

@@ -254,6 +254,43 @@ class DeletionVectorsSpec extends SparkTestBase {
     assert(DeltaLog.read(spark, root).count() == 400L, "live data untouched")
   }
 
+  test("mergeInto: matched target rows retract via DVs (no file rewrite), " +
+      "source lands as new files; duplicate source keys refuse; DVs union " +
+      "across successive merges") {
+    val root = tmpTable("graft-dv-merge")
+    DeltaLog.commitAppend(root,
+      spark.range(0, 100).select(col("id"), lit("old").as("v")).repartition(2))
+    val filesBefore = DeltaLog.snapshotFiles(spark, root).toSet
+    val source = spark.range(50, 120).select(col("id"), lit("new").as("v"))
+    val (v1, matched, inserted) = DeltaLog.mergeInto(spark, root, source, Seq("id"))
+    assert(v1 == 1L && matched == 50L && inserted == 20L, s"($v1, $matched, $inserted)")
+    val t = DeltaLog.read(spark, root)
+    assert(t.count() == 120L)
+    assert(t.filter(col("v") === "new").count() == 70L)
+    assert(t.filter(col("id") < 50 && col("v") === "old").count() == 50L)
+    // the original data files were NOT rewritten — only DV'd
+    assert(filesBefore.subsetOf(DeltaLog.snapshotFiles(spark, root).toSet))
+    // time travel: the pre-merge snapshot has no 'new' rows
+    assert(DeltaLog.read(spark, root, Some(0L))
+      .filter(col("v") === "new").count() == 0L)
+    // duplicate source keys: which copy wins is undefined — refuse
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.mergeInto(spark, root, source.union(source), Seq("id"))
+    }
+    assert(e.getMessage.contains("duplicate keys"), e.getMessage)
+    // a second merge UNIONS DVs on already-DV'd files
+    val (v2, m2, i2) = DeltaLog.mergeInto(spark, root,
+      spark.range(0, 10).select(col("id"), lit("x").as("v")), Seq("id"))
+    assert(v2 == 2L && m2 == 10L && i2 == 0L, s"($v2, $m2, $i2)")
+    val t2 = DeltaLog.read(spark, root)
+    assert(t2.count() == 120L)
+    assert(t2.filter(col("v") === "x").count() == 10L)
+    assert(t2.filter(col("v") === "old").count() == 40L)
+    // empty source is a no-op
+    assert(DeltaLog.mergeInto(spark, root,
+      spark.range(0, 0).select(col("id"), lit("z").as("v")), Seq("id")) == ((2L, 0L, 0L)))
+  }
+
   test("OPTIMIZE on a DV'd table compacts to survivor rows and retires the DVs; " +
       "incremental consumption of a DV commit refuses loudly") {
     val root = tmpTable("graft-dv-opt")
