@@ -462,6 +462,22 @@ object ScaleSmoke {
       // corpus scan) + log replay + the STATS-PRUNED read of one chunk —
       // the read side must scale with the matching 1/8th, never the table
       ("q261_delta_skipping", graft.queries.IngestOps.q261DeltaSkipping _, scaledDir),
+      // DV row-level DELETE: the fixture (hoisted untimed) commits the Nx
+      // corpus as 4 files; the timed region is two predicate hit scans
+      // (data-sized) + executor-built bitmaps (hit-sized) + two commits
+      // whose driver state is one descriptor per hit file — a data-file
+      // rewrite would show up as a second data-sized write
+      ("q264_delta_delete_vectors",
+        graft.queries.IngestOps.q264DeltaDeleteVectors _, scaledDir),
+      // MERGE INTO: the source derives from the Nx corpus (%5 updates +
+      // %9 inserts), so the key semi-join hit scan, the bitmaps, and the
+      // source-sized writes all tile with data; hit files never rewrite
+      ("q265_delta_merge", graft.queries.IngestOps.q265DeltaMerge _, scaledDir),
+      // change data feed: enable + DELETE + MERGE publish change files
+      // (change-sized writes), then the feed reads v0's adds (data-sized)
+      // plus the commits' own change files — per-version work is
+      // changes-sized, never snapshot-sized
+      ("q266_change_feed", graft.queries.IngestOps.q266ChangeFeed _, scaledDir),
       // maintenance campaign: append 8 batches -> bin-pack compact ->
       // CoW erase -> impact refresh -> q247 from the store, on a FRESH
       // store per run. Every verb is data-sized (append tokenizes Nx,

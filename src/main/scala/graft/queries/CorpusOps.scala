@@ -319,6 +319,50 @@ object CorpusOps {
     graft.table.StoreManifest.bump(store, Seq("dl", "postings"))
   }
 
+  /** CDC-DRIVEN DERIVED-STORE SYNC: apply a Delta CHANGE DATA FEED
+    * ([[graft.sources.DeltaLog.readChangeFeed]]) to the lexical store —
+    * the consumer that keeps a retrieval index consistent with a table
+    * that takes row-level updates and deletes, paying CHANGES-SIZED work
+    * per version instead of the rebuild a snapshot diff would cost.
+    * Versions apply IN ORDER, retractions before arrivals within each
+    * (a merge's update is its preimage leaving and its postimage
+    * landing; a doc deleted at v and re-inserted at v' must survive):
+    * delete/update_preimage keys erase from `dl/` and `postings/` via
+    * the file-level copy-on-write semi-join ([[graft.table.StoreMaint
+    * .eraseKeys]] — subject keys stay a frame, never a driver list);
+    * insert/update_postimage rows append through [[appendLexStore]]
+    * (documents are immutable per incarnation, so append is merge).
+    * One impact recompute at the end — [[refreshMaxScores]]' globals
+    * drift with every slice, and stale bounds are not upper bounds.
+    * Driver state: the feed's distinct version list, checkpoint-cadence
+    * sized.
+    */
+  def syncLexStoreFromFeed(spark: SparkSession, store: String,
+      feed: DataFrame): Unit = {
+    val fd = feed.select(col("_commit_version"), col("_change_type"),
+        col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val versions = fd.select(col("_commit_version")).distinct()
+        .orderBy(col("_commit_version")).collect().map(_.getLong(0))
+      versions.foreach { v =>
+        val slice = fd.filter(col("_commit_version") === v)
+        val gone = slice
+          .filter(col("_change_type").isin("delete", "update_preimage"))
+          .select(col("doc_id")).distinct()
+        graft.table.StoreMaint.eraseKeys(spark, s"$store/dl", Seq.empty,
+          "doc_id", gone)
+        graft.table.StoreMaint.eraseKeys(spark, s"$store/postings",
+          Seq("pbkt"), "doc_id", gone)
+        val born = slice
+          .filter(col("_change_type").isin("insert", "update_postimage"))
+          .select(col("doc_id"), col("text"))
+        if (born.limit(1).count() > 0) appendLexStore(born, store)
+      }
+    } finally { fd.unpersist(); () }
+    refreshMaxScores(spark, store)
+  }
+
   /** q56's BM25 served from an INCREMENTALLY-built store (q249): dl and
     * the query terms' pruned postings partitions, same pipeline, same
     * oracle — how the store accumulated is invisible to retrieval.

@@ -1050,6 +1050,8 @@ object IngestOps {
       case "q241" => q241Fixture(spark, dir); ()
       case "q245" => q245Fixture(spark, dir); ()
       case "q261" => q261Fixture(spark, dir); ()
+      case "q264" | "q265" | "q266" => q264Fixture(spark, dir); ()
+      case "q267" => q267Store(spark, dir); ()
       case "q246" => q246Fixture(spark, dir); ()
       case "q248" => q246Fixture(spark, dir); ()
       case "q249" => q245Fixture(spark, dir); ()
@@ -2117,6 +2119,77 @@ object IngestOps {
       .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
       .limit(100)
 
+  /** q267 ingest side: a CDF-enabled Delta history (clone of the q264
+    * table → enable feed → DV DELETE doc_id%3 → MERGE %5-updates +
+    * %9-inserts) whose lexical store is built EXCLUSIVELY from
+    * [[graft.sources.DeltaLog.readChangeFeed]] through
+    * [[CorpusOps.syncLexStoreFromFeed]] — the store never reads the
+    * table. v0's derived inserts seed it, v2's delete rows erase the %3
+    * docs, v3's preimage/postimage/insert rows update the %5 docs in
+    * place (including re-inserting %5∧%3 docs deleted one version
+    * earlier — the ordering case) and add the shifted %9 docs.
+    */
+  private def q267Store(spark: SparkSession, dir: String): String =
+    storeMemo.getOrElseUpdate(s"q267:$dir", {
+      import graft.sources.DeltaLog
+      q264Fixture(spark, dir)
+      val base = graft.Tables.fixtureRoot("q267", dir)
+      val baseDir = new java.io.File(base)
+      if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+      val delta = s"$base/delta"
+      linkTree(java.nio.file.Paths.get(
+        s"${ReplayFixtures.fixtureRootFor(dir, "q264")}/delta"),
+        java.nio.file.Paths.get(delta))
+      DeltaLog.setTableProperties(delta,
+        Map("delta.enableChangeDataFeed" -> "true"))          // v1
+      DeltaLog.deleteWhere(spark, delta,
+        pmod(col("doc_id"), lit(3)) === 0)                    // v2
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val mx = docs.agg(max(col("doc_id"))).head.getLong(0) // one-row driver frame
+      val source = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .withColumn("text", concat(lit("U:"), col("text")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(mx + 1))
+          .withColumn("text", concat(lit("I:"), col("text"))))
+      val (v3, _, _) = DeltaLog.mergeInto(spark, delta, source, Seq("doc_id"))
+      val s = s"$base/lexstore"
+      CorpusOps.syncLexStoreFromFeed(spark, s,
+        DeltaLog.readChangeFeed(spark, delta, -1L, v3))
+      s
+    })
+
+  /** q267 — CHANGE-FEED-DRIVEN RETRIEVAL-INDEX SYNC: the q247 WAND
+    * ranking served from a lexical store that tracked the table ONLY
+    * through its change data feed (fixture above). The oracle restates
+    * q247 over the post-merge table contents reconstructed in SQL — a
+    * sync that missed a delete (ranks an erased doc), replayed an
+    * insert, applied versions out of order (the %5∧%3 docs delete at v2
+    * and RE-insert at v3), or kept a stale pre-update incarnation
+    * breaks the hash. At 100 TB this closes the loop the CDC stack
+    * exists for: row-level table writes flow to the derived index at
+    * changes-sized cost, no rebuild, no snapshot diff.
+    */
+  def q267FeedStoreSync(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.wandTopKFromStore(spark, q267Store(spark, dir))
+
+  /** [[CorpusOps.q247Sql]] restated over the feed-merged corpus. */
+  private def overFeedMerged(sql: String): String =
+    sql.replace("FROM documents", "FROM q_merged")
+      .replaceFirst("WITH ",
+        """WITH q_merged AS (
+          |  SELECT doc_id, 'U:' || text AS text
+          |  FROM documents WHERE doc_id % 5 = 0
+          |  UNION ALL
+          |  SELECT doc_id + (SELECT max(doc_id) FROM documents) + 1,
+          |    'I:' || text
+          |  FROM documents WHERE doc_id % 9 = 0
+          |  UNION ALL
+          |  SELECT doc_id, text FROM documents
+          |  WHERE doc_id % 5 <> 0 AND doc_id % 3 <> 0
+          |),
+          |""".stripMargin)
+
   def q241DeltaAdopt(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.DeltaLog
     val delta = s"${q241Fixture(spark, dir)}/delta"
@@ -2908,6 +2981,7 @@ object IngestOps {
     "q264_delta_delete_vectors" -> q264DeltaDeleteVectors _,
     "q265_delta_merge" -> q265DeltaMerge _,
     "q266_change_feed" -> q266ChangeFeed _,
+    "q267_feed_store_sync" -> q267FeedStoreSync _,
     "q246_delta_changes" -> q246DeltaChanges _,
     "q248_delta_stream" -> q248DeltaStreamRead _,
     "q249_incremental_lexstore" -> q249IncrementalLexStore _,
@@ -2955,6 +3029,7 @@ object IngestOps {
     "q264_delta_delete_vectors" -> q264Sql,
     "q265_delta_merge" -> q265Sql,
     "q266_change_feed" -> q266Sql,
+    "q267_feed_store_sync" -> overFeedMerged(CorpusOps.q247Sql),
     "q246_delta_changes" -> q246Sql,
     "q248_delta_stream" -> q248Sql,
     "q249_incremental_lexstore" -> CorpusOps.q56Sql,

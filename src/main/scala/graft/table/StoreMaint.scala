@@ -101,15 +101,47 @@ object StoreMaint {
       .select(col("__file")).distinct()
       .collect().map(r => uriToPath(r.getString(0))).toSeq
     if (hitFiles.isEmpty) return 0L
-    val staging = Paths.get(path + ".cow")
-    deleteRecursively(staging)
     val survivors = spark.read.option("basePath", path)
       .parquet(hitFiles.map(_.toString): _*)
       .filter(!hitTrue)
+    cowPublish(path, partitionCols, hitFiles, survivors)
+  }
+
+  /** [[eraseWhere]] keyed by a FRAME of subject keys instead of a Column
+    * predicate — the CDC-consumer shape: a change feed's deleted keys
+    * arrive as a DataFrame of arbitrary size, and an `isin` literal list
+    * would put every key on the driver and in the plan. The hit scan is
+    * a semi-join (AQE broadcasts a small key set; a huge erasure batch
+    * shuffles like any join), survivors anti-join, same file-level
+    * copy-on-write publish: only files holding a subject's rows rewrite.
+    */
+  def eraseKeys(spark: SparkSession, path: String, partitionCols: Seq[String],
+      keyCol: String, keys: org.apache.spark.sql.DataFrame): Long = {
+    if (!Files.isDirectory(Paths.get(path))) return 0L
+    val k = keys.select(col(keyCol)).distinct()
+    val hitFiles = spark.read.parquet(path)
+      .withColumn("__file", input_file_name())
+      .join(k, Seq(keyCol), "left_semi")
+      .select(col("__file")).distinct()
+      .collect().map(r => uriToPath(r.getString(0))).toSeq
+    if (hitFiles.isEmpty) return 0L
+    val survivors = spark.read.option("basePath", path)
+      .parquet(hitFiles.map(_.toString): _*)
+      .join(k, Seq(keyCol), "left_anti")
+    cowPublish(path, partitionCols, hitFiles, survivors)
+  }
+
+  /** The copy-on-write publish both erase verbs share: staged survivors
+    * in, hit files out, marker + manifest bumped.
+    */
+  private def cowPublish(path: String, partitionCols: Seq[String],
+      hitFiles: Seq[Path],
+      survivors: org.apache.spark.sql.DataFrame): Long = {
+    val staging = Paths.get(path + ".cow")
+    deleteRecursively(staging)
     val w = survivors.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(staging.toString)
-    // publish: staged survivors in, hit files out, marker bumped
     dataFiles(staging.toString).foreach { f =>
       val rel = staging.relativize(f)
       val dest = Paths.get(path).resolve(rel)

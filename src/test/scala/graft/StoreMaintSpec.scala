@@ -112,6 +112,49 @@ class StoreMaintSpec extends SparkTestBase {
       s"null-predicate rows must survive the rewrite, got ${left.toSeq}")
   }
 
+  test("eraseKeys: frame-keyed erase rewrites only files holding a subject, " +
+      "matches the predicate erase, and is a no-op on a miss") {
+    def keyDf(ids: Long*): DataFrame =
+      spark.range(0, 1000).filter(col("id").isin(ids: _*)).select(col("id"))
+    val dir = Files.createTempDirectory("graft_erase_keys").toString + "/t"
+    // two files: ids 0-9 and 10-19 — keys hitting only the first file
+    // must leave the second byte-identical in place
+    spark.range(0, 10).select(col("id"), lit("a").as("tag"))
+      .coalesce(1).write.parquet(dir)
+    spark.range(10, 20).select(col("id"), lit("b").as("tag"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val before = StoreMaint.dataFiles(dir)
+      .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p)).toMap
+    val rewritten = StoreMaint.eraseKeys(spark, dir, Seq.empty, "id",
+      keyDf(2L, 5L, 7L))
+    assert(rewritten == 1L, s"only the file holding ids 2/5/7: $rewritten")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 17L)
+    assert(after.filter(col("id").isin(2L, 5L, 7L)).count() == 0L)
+    // the untouched file is the SAME file (not rewritten bytes)
+    val untouched = before.filter { case (n, _) =>
+      StoreMaint.dataFiles(dir).exists(p =>
+        p.getFileName.toString == n &&
+          Files.getLastModifiedTime(p) == before(n))
+    }
+    assert(untouched.nonEmpty, "the b-file must carry byte-identical")
+    // missing keys: no file rewrites
+    assert(StoreMaint.eraseKeys(spark, dir, Seq.empty, "id",
+      keyDf(999L)) == 0L)
+    // equivalence with the predicate erase on a fresh copy
+    val dir2 = Files.createTempDirectory("graft_erase_keys2").toString + "/t"
+    spark.range(0, 20).select(col("id"), lit("x").as("tag"))
+      .repartition(2).write.parquet(dir2)
+    StoreMaint.eraseWhere(spark, dir2, Seq.empty, col("id") % 4 === 0)
+    val dir3 = Files.createTempDirectory("graft_erase_keys3").toString + "/t"
+    spark.range(0, 20).select(col("id"), lit("x").as("tag"))
+      .repartition(2).write.parquet(dir3)
+    StoreMaint.eraseKeys(spark, dir3, Seq.empty, "id",
+      spark.range(0, 20).filter(col("id") % 4 === 0).select(col("id")))
+    assert(spark.read.parquet(dir2).orderBy("id").collect().toSeq ==
+      spark.read.parquet(dir3).orderBy("id").collect().toSeq)
+  }
+
   test("compact is SMALL-FILE-AWARE: full-sized files carry byte-identical, " +
       "a second pass is a no-op, and post-append maintenance I/O is " +
       "proportional to the small-file tail") {
