@@ -1052,6 +1052,7 @@ object IngestOps {
       case "q261" => q261Fixture(spark, dir); ()
       case "q264" | "q265" | "q266" => q264Fixture(spark, dir); ()
       case "q267" => q267Store(spark, dir); ()
+      case "q268" => q200Fixture(spark, dir); ()
       case "q246" => q246Fixture(spark, dir); ()
       case "q248" => q246Fixture(spark, dir); ()
       case "q249" => q245Fixture(spark, dir); ()
@@ -2484,6 +2485,72 @@ object IngestOps {
       |  min(event_id) AS min_id, max(event_id) AS max_id
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q268 — EXACTLY-ONCE STREAMING SINK into a DELTA table: the q200
+    * contract re-run against the wire format any Delta reader shares.
+    * The events fixture replays as real micro-batches, and foreachBatch
+    * commits each through [[graft.sources.DeltaLog
+    * .commitAppendIdempotent]] — a `txn {appId, version}` action rides
+    * every commit, and the immediately re-delivered duplicate (the
+    * at-least-once failure simulation) is a DETECTED NO-OP because the
+    * app's cursor already covers it. After the stream, the table
+    * checkpoints, the ENTIRE JSON tail is trimmed (standard log
+    * retention), and batch 0 is delivered a THIRD time: the checkpoint
+    * carries the txn rows, so the replay still refuses — `replay_noop`
+    * pins it. Exactly-once table contents from an at-least-once world,
+    * end to end in the public protocol; idempotence costs a driver-side
+    * log replay, never a data read.
+    */
+  def q268DeltaIdempotentSink(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLog
+    val fix = q200Fixture(spark, dir)
+    val base = ReplayFixtures.runRoot(dir, "q268")
+    val ss = ReplayFixtures.replaySession(spark)
+    val delta = s"$base/delta"
+    val sch = ss.read.parquet(s"$fix/watch").schema
+    val q = ss.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(s"$fix/watch")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        DeltaLog.commitAppendIdempotent(batch.sparkSession, delta,
+          batch.toDF(), "q268-sink", bid)
+        // at-least-once redelivery: same (appId, version) — detected no-op
+        DeltaLog.commitAppendIdempotent(batch.sparkSession, delta,
+          batch.toDF(), "q268-sink", bid)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // checkpoint + trim the whole JSON tail, then deliver batch 0 AGAIN:
+    // the cursor must survive in the checkpoint's txn rows
+    val cv = DeltaLog.checkpoint(spark, delta)
+    (0L to cv).foreach(v => java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(delta, "_delta_log", f"$v%020d.json")))
+    val vAfter = DeltaLog.commitAppendIdempotent(spark, delta,
+      spark.read.parquet(s"$fix/watch").limit(0), "q268-sink", 0L)
+    DeltaLog.read(spark, delta)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("sum_value"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .withColumn("replay_noop", lit(if (vAfter == cv) 1L else 0L))
+      .orderBy(col("event_type"))
+  }
+
+  /** Oracle: q200's — exactly-once means the streamed Delta table IS the
+    * source — plus the post-trim replay refusal pinned.
+    */
+  val q268Sql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  round(sum(value), 2) AS sum_value,
+      |  min(event_id) AS min_id, max(event_id) AS max_id,
+      |  CAST(1 AS BIGINT) AS replay_noop
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q202 — IVM FROM THE CHANGE FEED: the consumer loop the table layer
     * exists for. A per-lang (doc count, char sum) rollup is materialized
     * at snapshot v1, then refreshed to v4 by aggregating ONLY
@@ -2982,6 +3049,7 @@ object IngestOps {
     "q265_delta_merge" -> q265DeltaMerge _,
     "q266_change_feed" -> q266ChangeFeed _,
     "q267_feed_store_sync" -> q267FeedStoreSync _,
+    "q268_delta_idempotent_sink" -> q268DeltaIdempotentSink _,
     "q246_delta_changes" -> q246DeltaChanges _,
     "q248_delta_stream" -> q248DeltaStreamRead _,
     "q249_incremental_lexstore" -> q249IncrementalLexStore _,
@@ -3030,6 +3098,7 @@ object IngestOps {
     "q265_delta_merge" -> q265Sql,
     "q266_change_feed" -> q266Sql,
     "q267_feed_store_sync" -> overFeedMerged(CorpusOps.q247Sql),
+    "q268_delta_idempotent_sink" -> q268Sql,
     "q246_delta_changes" -> q246Sql,
     "q248_delta_stream" -> q248Sql,
     "q249_incremental_lexstore" -> CorpusOps.q56Sql,

@@ -122,11 +122,13 @@ object DeltaLog {
       dv: Option[DeletionVectors.Descriptor] = None)
 
   /** Replayed state at a version: live adds in first-add order plus the
-    * latest metaData schemaString seen (checkpoint or tail).
+    * latest metaData schemaString seen (checkpoint or tail), and the
+    * latest txn (SetTransaction) version per application id.
     */
   private case class Snapshot(adds: Seq[AddFile],
       schemaJson: Option[String], metaDataJson: Option[String],
-      protocolJson: Option[String])
+      protocolJson: Option[String],
+      txns: Map[String, Long] = Map.empty)
 
   /** Parse a `deletionVector` descriptor node (from an add/remove action
     * or a checkpoint row rendered back to JSON). Absent/null → None.
@@ -165,6 +167,7 @@ object DeltaLog {
     var schemaJson: Option[String] = None
     var metaDataJson: Option[String] = None
     var protocolJson: Option[String] = None
+    val txns = scala.collection.mutable.Map.empty[String, Long]
     val ckpts = checkpoints(root)
     val ckpt = ckpts.keys.filter(_ <= v).toSeq.sorted.lastOption
     ckpt.foreach { c =>
@@ -212,6 +215,13 @@ object DeltaLog {
         df.filter(col("protocol").isNotNull)
           .select(to_json(col("protocol"))).collect()
           .headOption.foreach(r => protocolJson = Some(r.getString(0)))
+      // txn rows: one per appId (PROTOCOL.md requires checkpoints carry
+      // the latest SetTransaction per app — a trimmed history must not
+      // reset a sink's idempotence cursor and re-admit a replayed batch)
+      if (df.columns.contains("txn"))
+        df.filter(col("txn").isNotNull)
+          .select(col("txn.appId"), col("txn.version").cast("long"))
+          .collect().foreach(r => txns(r.getString(0)) = r.getLong(1))
     }
     (ckpt.getOrElse(-1L) + 1L to v).foreach { i =>
       // a missing commit inside the range is tolerated exactly like
@@ -250,12 +260,16 @@ object DeltaLog {
               schemaJson = Some(node.get("metaData").get("schemaString").asText())
           } else if (node.has("protocol"))
             protocolJson = Some(node.get("protocol").toString)
+          else if (node.has("txn")) {
+            val t = node.get("txn")
+            txns(t.get("appId").asText()) = t.get("version").asLong()
+          }
         }
       }
     }
     validateReadable(root, protocolJson, metaDataJson)
     Snapshot(live.toSeq.map { case (p, (s, pv, st, dv)) => AddFile(p, s, pv, st, dv) },
-      schemaJson, metaDataJson, protocolJson)
+      schemaJson, metaDataJson, protocolJson, txns.toMap)
   }
 
   /** PROTOCOL REFUSAL GATE — a loud, cheap error instead of a silent
@@ -1269,6 +1283,48 @@ object DeltaLog {
     next
   }
 
+  /** The latest committed SetTransaction version for `appId`, or None if
+    * the app never committed — the read half of the txn idempotence
+    * protocol. Driver-side log replay (checkpoints carry txn rows, so a
+    * trimmed history keeps the cursor).
+    */
+  def txnVersion(spark: SparkSession, root: String, appId: String): Option[Long] =
+    if (currentVersion(root) < 0) None
+    else replay(spark, root, None).txns.get(appId)
+
+  /** IDEMPOTENT APPEND — the Delta streaming-sink exactly-once protocol
+    * (PROTOCOL.md SetTransaction; delta-spark's `txnAppId`/`txnVersion`
+    * options): the commit carries a `txn {appId, version}` action, and a
+    * re-delivered batch whose version is ≤ the app's recorded cursor is
+    * a DETECTED NO-OP (returns the current table version, writes
+    * nothing). At-least-once delivery + this check = exactly-once table
+    * contents — the same contract [[graft.table.VersionedTable
+    * .appendBatch]] implements on the native substrate, here in the wire
+    * format any Delta reader/writer shares. The check and the publish
+    * race safely: the commit lands via put-if-absent at the version the
+    * cursor was read at, so a concurrent writer advancing the log forces
+    * ConcurrentModificationException and the retry re-reads the cursor.
+    */
+  def commitAppendIdempotent(spark: SparkSession, root: String,
+      df: DataFrame, appId: String, version: Long): Long = {
+    val base = currentVersion(root)
+    val already = base >= 0 &&
+      replay(spark, root, Some(base)).txns.get(appId).exists(_ >= version)
+    if (already) return base
+    val next = base + 1
+    val header =
+      if (next == 0L) headerActions(df, Seq.empty)
+      else evolutionActions(root, df)
+    val partCols = if (next == 0L) Seq.empty else latestPartitionColumns(root)
+    val adds = writeDataFiles(root, next, df, partCols)
+    publish(root, next,
+      header ++
+        Seq(s"""{"txn":{"appId":${jstr(appId)},"version":$version,"lastUpdated":0}}""") ++
+        adds.map(w => addAction(w.path, w.size,
+          partitionValues = w.partitionValues, stats = w.stats)))
+    next
+  }
+
   /** Remove `removePaths` (relative) and append `addDf`'s files in ONE
     * commit — the rewrite shape (compaction, copy-on-write update) every
     * Delta writer publishes. Returns the committed version.
@@ -1881,7 +1937,12 @@ object DeltaLog {
         StructField("pathOrInlineDv", StringType),
         StructField("offset", IntegerType),
         StructField("sizeInBytes", IntegerType),
-        StructField("cardinality", LongType)))))))))
+        StructField("cardinality", LongType))))))),
+    // latest SetTransaction per appId — a trimmed history must not reset
+    // a streaming sink's idempotence cursor
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType))))))
 
   /** Compact the live set at the current version into a parquet
     * checkpoint and point `_last_checkpoint` at it — future replays read
@@ -1916,7 +1977,7 @@ object DeltaLog {
         .map(_.elements().asScala.map(_.asText()).toSeq).orNull
       Row(Row(p.map(_.get("minReaderVersion").asInt()).getOrElse(1),
         p.map(_.get("minWriterVersion").asInt()).getOrElse(2),
-        feats("readerFeatures"), feats("writerFeatures")), null, null)
+        feats("readerFeatures"), feats("writerFeatures")), null, null, null)
     }
     val metaRow = {
       val m = snap.metaDataJson.map(mapper.readTree)
@@ -1935,7 +1996,7 @@ object DeltaLog {
         Option(str("id")).getOrElse(java.util.UUID.randomUUID().toString),
         Row("parquet", Map.empty[String, String]),
         snap.schemaJson.orNull,
-        partCols, conf), null)
+        partCols, conf), null, null)
     }
     val addRows = snap.adds.map { a =>
       // stats and deletionVector pass through VERBATIM — after a log trim
@@ -1945,7 +2006,11 @@ object DeltaLog {
       Row(null, null, Row(a.path, a.partitionValues, a.size, 0L, true,
         a.stats.orNull,
         a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
-          d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull))
+          d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull),
+        null)
+    }
+    val txnRows = snap.txns.toSeq.sortBy(_._1).map { case (app, tv) =>
+      Row(null, null, null, Row(app, tv))
     }
     require(parts >= 1, s"checkpoint parts must be >= 1, got $parts")
     // each Delta checkpoint part is ONE parquet file, not a directory:
@@ -1962,20 +2027,22 @@ object DeltaLog {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
     if (parts == 1)
-      writeOnePart(protoRow +: metaRow +: addRows, checkpointPath(root, v))
+      writeOnePart(protoRow +: metaRow +: (txnRows ++ addRows),
+        checkpointPath(root, v))
     else
       (1 to parts).foreach { i =>
         val mine = addRows.zipWithIndex.collect {
           case (r, j) if j % parts == i - 1 => r
         }
-        val header = if (i == 1) Seq(protoRow, metaRow) else Seq.empty
+        val header = if (i == 1) Seq(protoRow, metaRow) ++ txnRows else Seq.empty
         writeOnePart(header ++ mine,
           logDir(root).resolve(f"$v%020d.checkpoint.$i%010d.$parts%010d.parquet"))
       }
     val lcTmp = logDir(root).resolve(s".last_checkpoint.${java.util.UUID.randomUUID().toString.take(8)}")
     val partsField = if (parts == 1) "" else s""","parts":$parts"""
     Files.write(lcTmp,
-      s"""{"version":$v,"size":${snap.adds.size + 2}$partsField}""".getBytes("UTF-8"))
+      s"""{"version":$v,"size":${snap.adds.size + snap.txns.size + 2}$partsField}"""
+        .getBytes("UTF-8"))
     Files.move(lcTmp, logDir(root).resolve("_last_checkpoint"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -582,6 +582,34 @@ class SourcesSpec extends SparkTestBase {
     assert(DeltaLog.read(spark, root).count() == n + widened.count())
   }
 
+  test("DeltaLog txn (SetTransaction): re-delivered batches are detected no-ops, " +
+      "apps have independent cursors, and the cursor survives checkpoint + trim") {
+    import graft.sources.DeltaLog
+    val root = Files.createTempDirectory("graft-delta-txn").toString + "/tbl"
+    def ids(a: Long, b: Long) = spark.range(a, b).select(col("id"))
+    assert(DeltaLog.txnVersion(spark, root, "appA").isEmpty)
+    assert(DeltaLog.commitAppendIdempotent(spark, root, ids(0, 10), "appA", 0L) == 0L)
+    assert(DeltaLog.txnVersion(spark, root, "appA").contains(0L))
+    // at-least-once redelivery: same (app, version) — nothing written
+    assert(DeltaLog.commitAppendIdempotent(spark, root, ids(0, 10), "appA", 0L) == 0L)
+    assert(DeltaLog.read(spark, root).count() == 10L)
+    assert(DeltaLog.commitAppendIdempotent(spark, root, ids(10, 20), "appA", 1L) == 1L)
+    // a different app id is an independent cursor
+    assert(DeltaLog.commitAppendIdempotent(spark, root, ids(20, 25), "appB", 0L) == 2L)
+    assert(DeltaLog.read(spark, root).count() == 25L)
+    // the cursor survives a checkpoint + full JSON trim — a trimmed
+    // history must not re-admit a replayed batch
+    val cv = DeltaLog.checkpoint(spark, root)
+    (0L to cv).foreach(v => Files.delete(
+      java.nio.file.Paths.get(root, "_delta_log", f"$v%020d.json")))
+    assert(DeltaLog.txnVersion(spark, root, "appA").contains(1L))
+    assert(DeltaLog.commitAppendIdempotent(spark, root, ids(0, 10), "appA", 1L) == cv)
+    assert(DeltaLog.read(spark, root).count() == 25L, "replayed batch must not land")
+    // a genuinely new version still commits
+    DeltaLog.commitAppendIdempotent(spark, root, ids(25, 30), "appA", 2L)
+    assert(DeltaLog.read(spark, root).count() == 30L)
+  }
+
   test("DeltaLog: protocol refusal gate — deletion-vector / column-mapping " +
       "tables refuse loudly instead of misreading") {
     import graft.sources.DeltaLog
