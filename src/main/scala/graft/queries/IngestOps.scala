@@ -1053,6 +1053,7 @@ object IngestOps {
       case "q264" | "q265" | "q266" => q264Fixture(spark, dir); ()
       case "q267" => q267Store(spark, dir); ()
       case "q268" => q200Fixture(spark, dir); ()
+      case "q269" => q269Fixture(spark, dir); ()
       case "q246" => q246Fixture(spark, dir); ()
       case "q248" => q246Fixture(spark, dir); ()
       case "q249" => q245Fixture(spark, dir); ()
@@ -1826,6 +1827,74 @@ object IngestOps {
       |FROM feed
       |GROUP BY ct, v, lang
       |ORDER BY ct, v, lang""".stripMargin
+
+  /** q269 fixture root: the q266 history (clone q264 → enable CDF →
+    * DV DELETE → MERGE) built ONCE per dir for the streaming consumer —
+    * mutation happened at build time, so each bench run streams a frozen
+    * log (the q239 honesty rule applied to a read-only consumer).
+    */
+  private def q269Fixture(spark: SparkSession, dir: String): String =
+    storeMemo.getOrElseUpdate(s"q269:$dir", {
+      import graft.sources.DeltaLog
+      q264Fixture(spark, dir)
+      val base = graft.Tables.fixtureRoot("q269", dir)
+      val baseDir = new java.io.File(base)
+      if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+      val delta = s"$base/delta"
+      linkTree(java.nio.file.Paths.get(
+        s"${ReplayFixtures.fixtureRootFor(dir, "q264")}/delta"),
+        java.nio.file.Paths.get(delta))
+      DeltaLog.setTableProperties(delta,
+        Map("delta.enableChangeDataFeed" -> "true"))
+      DeltaLog.deleteWhere(spark, delta, pmod(col("doc_id"), lit(3)) === 0)
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val source = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .withColumn("text", concat(lit("U:"), col("text")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(mx + 1))
+          .withColumn("text", concat(lit("I:"), col("text"))))
+      DeltaLog.mergeInto(spark, delta, source, Seq("doc_id"))
+      delta
+    })
+
+  /** q269 — the CHANGE DATA FEED AS A STREAM: [[graft.streaming
+    * .DeltaStream]] with `readChangeFeed=true` tails the q266 history
+    * one version per trigger, surfacing typed `_change_type` /
+    * `_commit_version` rows — cdc change files read as published
+    * (authoritative), cdc-less commits deriving inserts, all through the
+    * same DSv2 micro-batch machinery as q248 (offsets are versions,
+    * executor-side parquet-mr readers, derived deletes honoring the
+    * removed incarnation's deletion vector ON THE EXECUTOR). The
+    * accumulated sink must hash-match q266's batch-feed oracle exactly —
+    * streamed and batch consumption of the same feed are provably the
+    * same rows. This is the consumer loop a 100 TB deployment actually
+    * runs: a continuously-running sync job paying changes-sized work per
+    * trigger, exactly-once into a checkpointed sink.
+    */
+  def q269ChangeFeedStream(spark: SparkSession, dir: String): DataFrame = {
+    val delta = q269Fixture(spark, dir)
+    val base = ReplayFixtures.runRoot(dir, "q269")
+    val ss = ReplayFixtures.replaySession(spark)
+    val q = ss.readStream
+      .format(classOf[graft.streaming.DeltaStream].getName)
+      .option("path", delta)
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", 1L)
+      .load()
+      .writeStream
+      .format("parquet")
+      .option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    ss.read.parquet(s"$base/sink")
+      .groupBy(col("_change_type"), col("_commit_version"), col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(length(col("text"))).as("len_sum"))
+      .orderBy(col("_change_type"), col("_commit_version"), col("lang"))
+  }
 
   /** q246 fixture: a Delta history with OPTIMIZE commits INTERLEAVED
     * between appends — the shape an incremental consumer actually tails.
@@ -3050,6 +3119,7 @@ object IngestOps {
     "q266_change_feed" -> q266ChangeFeed _,
     "q267_feed_store_sync" -> q267FeedStoreSync _,
     "q268_delta_idempotent_sink" -> q268DeltaIdempotentSink _,
+    "q269_change_feed_stream" -> q269ChangeFeedStream _,
     "q246_delta_changes" -> q246DeltaChanges _,
     "q248_delta_stream" -> q248DeltaStreamRead _,
     "q249_incremental_lexstore" -> q249IncrementalLexStore _,
@@ -3099,6 +3169,7 @@ object IngestOps {
     "q266_change_feed" -> q266Sql,
     "q267_feed_store_sync" -> overFeedMerged(CorpusOps.q247Sql),
     "q268_delta_idempotent_sink" -> q268Sql,
+    "q269_change_feed_stream" -> q266Sql,
     "q246_delta_changes" -> q246Sql,
     "q248_delta_stream" -> q248Sql,
     "q249_incremental_lexstore" -> CorpusOps.q56Sql,

@@ -1643,12 +1643,16 @@ object DeltaLog {
         if (!cdf) Seq.empty[String]
         else {
           val ct = "_change_type"
+          // allowMissingColumns: a schema-evolving merge's preimage rows
+          // carry the PRE-evolution fields — they null-fill the new ones
           val changeDf = matched.drop("__dv_file", "__dv_pos")
             .withColumn(ct, lit("update_preimage"))
             .unionByName(source.join(matchedKeysDf, keyCols, "left_semi")
-              .withColumn(ct, lit("update_postimage")))
+              .withColumn(ct, lit("update_postimage")),
+              allowMissingColumns = true)
             .unionByName(source.join(matchedKeysDf, keyCols, "left_anti")
-              .withColumn(ct, lit("insert")))
+              .withColumn(ct, lit("insert")),
+              allowMissingColumns = true)
           writeDataFiles(root, next, changeDf, partCols,
             dirPrefix = "_change_data/")
             .map(w => cdcAction(w.path, w.size, w.partitionValues))
@@ -1663,6 +1667,65 @@ object DeltaLog {
       (next, matchedRows, sourceCount - matchedKeyCount)
     } finally { matched.unpersist(); () }
   }
+
+  /** One change-feed FILE entry per data/change file in versions
+    * (fromVersion, toVersion] — the STREAMING source's inventory (the
+    * file-level counterpart of [[readChangeFeed]], same
+    * authoritative-cdc / derived / refusal rules). `changeType` None =
+    * a cdc change file whose `_change_type` column rides IN the file;
+    * Some("insert"/"delete") = derived from a cdc-less commit's
+    * dataChange=true adds/removes, a derived delete carrying the removed
+    * incarnation's deletion vector so the executor-side reader can skip
+    * the already-deleted row indexes. Driver-side string work; replay
+    * only at a derived remove.
+    */
+  private[graft] final case class FeedFileEntry(version: Long, path: String,
+      partitionValues: Map[String, String], changeType: Option[String],
+      dv: Option[DeletionVectors.Descriptor])
+
+  private[graft] def changeFeedFileEntries(spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long): Seq[FeedFileEntry] =
+    ((fromVersion + 1) to toVersion).flatMap { v =>
+      val p = commitPath(root, v)
+      require(Files.isRegularFile(p),
+        s"DeltaLog $root: commit $v is missing — the feed range reaches " +
+          "past retained history; start from a snapshot instead")
+      val lines = Files.readAllLines(p).asScala
+        .filter(_.nonEmpty).map(mapper.readTree).toSeq
+      def changed(node: com.fasterxml.jackson.databind.JsonNode): Boolean =
+        !node.has("dataChange") || node.get("dataChange").asBoolean(true)
+      val cdc = lines.filter(_.has("cdc")).map { n =>
+        val c = n.get("cdc")
+        FeedFileEntry(v, c.get("path").asText(), jsonPartitionValues(c),
+          None, None)
+      }
+      if (cdc.nonEmpty) cdc
+      else {
+        val adds = lines.collect {
+          case n if n.has("add") && changed(n.get("add")) => n.get("add")
+        }
+        adds.find(a => jsonDv(a).exists(_.cardinality > 0)).foreach { a =>
+          throw new UnsupportedOperationException(
+            s"DeltaLog $root: commit $v retracts rows via a deletion " +
+              s"vector on ${a.get("path").asText()} but published no " +
+              "change files — enable delta.enableChangeDataFeed before " +
+              "row-level writes to make them feed-consumable")
+        }
+        val ins = adds.map(a => FeedFileEntry(v, a.get("path").asText(),
+          jsonPartitionValues(a), Some("insert"), None))
+        val removePaths = lines.collect {
+          case n if n.has("remove") && changed(n.get("remove")) =>
+            n.get("remove").get("path").asText()
+        }.toSet
+        val dels =
+          if (removePaths.isEmpty) Seq.empty
+          else replay(spark, root, Some(v - 1)).adds
+            .filter(a => removePaths(a.path))
+            .map(a => FeedFileEntry(v, a.path, a.partitionValues,
+              Some("delete"), a.dv))
+        ins ++ dels
+      }
+    }
 
   /** THE CHANGE DATA FEED (delta-spark's `readChangeFeed`): every
     * row-level change committed in versions (fromVersion, toVersion],

@@ -44,7 +44,8 @@ import graft.sources.DeltaLog
   */
 class DeltaStream extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    DeltaStream.schemaFor(options.get("path"))
+    DeltaStream.schemaFor(options.get("path"),
+      options.getBoolean("readChangeFeed", false))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     new DeltaStreamTable(new CaseInsensitiveStringMap(properties), schema)
@@ -57,13 +58,24 @@ object DeltaStream {
     * schema evolution the stream must surface the evolved field list
     * (pre-evolution files null-fill in the reader), and a type-changed
     * column must dispatch on its CURRENT type. Also runs the protocol
-    * refusal gate, so a deletion-vector or 'id'-mapped table refuses
+    * refusal gate, so an 'id'-mapped or unknown-feature table refuses
     * loudly instead of streaming misread rows; 'name'-mapped tables
     * stream fine — the partition readers look fields up by physical name.
+    * With `readChangeFeed=true` the schema gains the feed's typed
+    * columns (`_change_type`, `_commit_version`).
     */
-  private[streaming] def schemaFor(root: String): StructType = {
+  private[streaming] def schemaFor(root: String, cdf: Boolean): StructType = {
     require(root != null, "DeltaStream requires option 'path'")
-    DeltaLog.latestSchema(root)
+    // every field reads NULLABLE regardless of the declared schema — a
+    // column added by schema evolution null-fills in pre-evolution files
+    // even when the evolving writer recorded it non-nullable (the same
+    // asNullable contract Spark's own file sources apply on read)
+    val base = StructType(
+      DeltaLog.latestSchema(root).fields.toIndexedSeq.map(_.copy(nullable = true)))
+    if (!cdf) base
+    else StructType(base.fields.toIndexedSeq :+
+      StructField("_change_type", StringType) :+
+      StructField("_commit_version", LongType))
   }
 }
 
@@ -76,11 +88,12 @@ final class DeltaStreamTable(options: CaseInsensitiveStringMap,
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     val root = options.get("path")
     val maxV = options.getLong("maxVersionsPerTrigger", 1L)
+    val cdf = options.getBoolean("readChangeFeed", false)
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema0
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new DeltaStreamStream(root, schema0, maxV)
+          new DeltaStreamStream(root, schema0, maxV, cdf)
       }
     }
   }
@@ -92,7 +105,19 @@ private final case class DeltaStreamOffset(v: Long) extends Offset {
 
 private final case class DeltaFilePartition(path: String,
     fields: Array[(String, String, Boolean, String)],
-    sessionTz: String) extends InputPartition
+    sessionTz: String,
+    // CHANGE-FEED extras (null/absent on a plain table stream):
+    // changeType — the derived constant, or null when the file is a cdc
+    // change file carrying its own _change_type column; commitVersion —
+    // the feed's _commit_version (null = not a feed partition); tableRoot
+    // + dv — the removed incarnation's deletion-vector descriptor
+    // (storageType, pathOrInlineDv, offset|-1, sizeInBytes, cardinality),
+    // decoded ON THE EXECUTOR so a derived delete never re-announces
+    // already-deleted rows
+    changeType: String = null,
+    commitVersion: java.lang.Long = null,
+    tableRoot: String = null,
+    dv: (String, String, Long, Int, Long) = null) extends InputPartition
 // fields: (physicalName, typeName, isPartitionCol, partitionValue) —
 // serializable primitives only, so the partition ships to executors
 // without dragging StructType along. The PHYSICAL name is what the
@@ -103,7 +128,7 @@ private final case class DeltaFilePartition(path: String,
 // logical schema's, so the engine binds columns positionally.
 
 final class DeltaStreamStream(root: String, schema: StructType,
-    maxVersionsPerTrigger: Long)
+    maxVersionsPerTrigger: Long, cdf: Boolean = false)
   extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = DeltaStreamOffset(-1L)
@@ -149,14 +174,31 @@ final class DeltaStreamStream(root: String, schema: StructType,
     // conf — a hardcoded UTC here would make stream and batch disagree on
     // the same table whenever spark.sql.session.timeZone is not UTC
     val sessionTz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
-    DeltaLog.changedFileEntries(root, s, e)
-      .map { case (p, pv) =>
-        val fields = schema.fields.map { f =>
-          val ph = phys.getOrElse(f.name, f.name)
-          if (partCols(f.name)) (ph, f.dataType.typeName, true, pv.get(ph).orNull)
-          else (ph, f.dataType.typeName, false, null: String)
+    // CDF mode synthesizes _change_type/_commit_version — they are never
+    // data-file fields
+    val dataSchema = if (cdf) schema.fields.dropRight(2) else schema.fields
+    def fieldsFor(pv: Map[String, String]) = dataSchema.map { f =>
+      val ph = phys.getOrElse(f.name, f.name)
+      if (partCols(f.name)) (ph, f.dataType.typeName, true, pv.get(ph).orNull)
+      else (ph, f.dataType.typeName, false, null: String)
+    }
+    if (cdf)
+      DeltaLog.changeFeedFileEntries(
+        org.apache.spark.sql.SparkSession.active, root, s, e)
+        .map { fe =>
+          DeltaFilePartition(s"$root/${fe.path}", fieldsFor(fe.partitionValues),
+            sessionTz,
+            changeType = fe.changeType.orNull,
+            commitVersion = java.lang.Long.valueOf(fe.version),
+            tableRoot = root,
+            dv = fe.dv.map(d => (d.storageType, d.pathOrInlineDv,
+              d.offset.map(_.toLong).getOrElse(-1L), d.sizeInBytes,
+              d.cardinality)).orNull): InputPartition
         }
-        DeltaFilePartition(s"$root/$p", fields, sessionTz): InputPartition
+        .toArray
+    else DeltaLog.changedFileEntries(root, s, e)
+      .map { case (p, pv) =>
+        DeltaFilePartition(s"$root/$p", fieldsFor(pv), sessionTz): InputPartition
       }
       .toArray
   }
@@ -171,12 +213,33 @@ final class DeltaStreamStream(root: String, schema: StructType,
               new org.apache.hadoop.fs.Path(fp.path))
             .build()
           private var group: org.apache.parquet.example.data.Group = _
+          // a derived-delete partition's deletion vector, decoded HERE on
+          // the executor: already-deleted row indexes never re-announce
+          private val deleted: java.util.HashSet[java.lang.Long] =
+            if (fp.dv == null) null
+            else {
+              val (st, p, off, sz, card) = fp.dv
+              val d = graft.sources.DeletionVectors.Descriptor(st, p,
+                if (off < 0L) None else Some(off.toInt), sz, card)
+              val set = new java.util.HashSet[java.lang.Long]()
+              graft.sources.DeletionVectors.readPositions(fp.tableRoot, d)
+                .foreach(pos => set.add(pos))
+              set
+            }
+          private var rowIdx = -1L
           override def next(): Boolean = {
             group = reader.read()
+            rowIdx += 1
+            while (group != null && deleted != null &&
+                deleted.contains(rowIdx)) {
+              group = reader.read()
+              rowIdx += 1
+            }
             group != null
           }
           override def get(): InternalRow = {
-            val vals = new Array[Any](fp.fields.length)
+            val extra = if (fp.commitVersion == null) 0 else 2
+            val vals = new Array[Any](fp.fields.length + extra)
             var i = 0
             while (i < fp.fields.length) {
               val (name, tpe, isPart, partValue) = fp.fields(i)
@@ -256,6 +319,22 @@ final class DeltaStreamStream(root: String, schema: StructType,
                   }
               }
               i += 1
+            }
+            if (fp.commitVersion != null) {
+              // _change_type: the derived constant, or the cdc change
+              // file's own column; _commit_version: the partition's
+              vals(fp.fields.length) =
+                if (fp.changeType != null) UTF8String.fromString(fp.changeType)
+                else {
+                  val t = group.getType
+                  if (t.containsField("_change_type") &&
+                      group.getFieldRepetitionCount(
+                        t.getFieldIndex("_change_type")) > 0)
+                    UTF8String.fromBytes(group.getBinary(
+                      t.getFieldIndex("_change_type"), 0).getBytes)
+                  else null
+                }
+              vals(fp.fields.length + 1) = fp.commitVersion.longValue()
             }
             new GenericInternalRow(vals)
           }

@@ -87,6 +87,49 @@ class ChangeDataFeedSpec extends SparkTestBase {
     assert(e.getMessage.contains("enableChangeDataFeed"), e.getMessage)
   }
 
+  test("STREAMED change feed == batch readChangeFeed — cdc files, derived " +
+      "inserts, and executor-side DV-honoring derived deletes") {
+    val root = tmpTable("graft-cdf-stream")
+    DeltaLog.commitAppend(root,
+      spark.range(0, 30).select(col("id")).coalesce(1))                    // v0
+    DeltaLog.setTableProperties(root,
+      Map("delta.enableChangeDataFeed" -> "true"))                         // v1
+    DeltaLog.deleteWhere(spark, root, col("id") < 10)                      // v2: cdc
+    // v3: cdc-LESS rewrite of the DV'd file — the stream must DERIVE the
+    // deletes and skip the DV'd row indexes on the executor
+    val paths = DeltaLog.snapshotFiles(spark, root)
+    DeltaLog.commitReplace(root, paths, DeltaLog.read(spark, root))
+    // v4: merge — cdc pre/post/insert rows
+    val (v4, m4, i4) = DeltaLog.mergeInto(spark, root,
+      spark.range(25, 35).select(col("id"), lit("m").as("v")), Seq("id"))
+    val base = Files.createTempDirectory("graft-cdf-stream-run").toString
+    val q = spark.readStream
+      .format(classOf[graft.streaming.DeltaStream].getName)
+      .option("path", root)
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", 2L)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("_change_type"), col("_commit_version"))
+        .orderBy(col("_commit_version"), col("_change_type"), col("id"))
+        .collect().toSeq
+    val streamed = canon(spark.read.parquet(s"$base/sink"))
+    val batch = canon(DeltaLog.readChangeFeed(spark, root, -1L, v4))
+    assert(streamed == batch,
+      s"stream and batch feed must agree: ${streamed.size} vs ${batch.size}")
+    // the derived delete at v3 must not re-announce the DV'd rows
+    assert(!streamed.exists(r => r.getLong(2) == 3L &&
+      r.getString(1) == "delete" && r.getLong(0) < 10L),
+      "executor-side DV skip failed: already-deleted rows re-announced")
+    assert(streamed.count(r => r.getLong(2) == 3L && r.getString(1) == "delete") == 20)
+    assert(m4 == 5L && i4 == 5L)
+  }
+
   test("feed on a PARTITIONED table: change files route through the table layout " +
       "and partition columns reconstruct on read") {
     val root = tmpTable("graft-cdf-part")

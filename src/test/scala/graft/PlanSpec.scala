@@ -1298,6 +1298,33 @@ class PlanSpec extends SparkTestBase {
       s"data skipping must leave ONE of 8 files in the scan, read $filesRead")
   }
 
+  test("deletion-vector read: DV positions anti-join as BROADCAST; plain files " +
+      "keep the direct scan (no join on their branch)") {
+    import graft.sources.DeltaLog
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-plan-dv")
+      .toString + "/tbl"
+    // file A (0..499) takes a DV; file B (500..999) stays plain
+    DeltaLog.commitAppend(root, spark.range(0, 500).select(col("id")).coalesce(1))
+    DeltaLog.commitAppend(root, spark.range(500, 1000).select(col("id")).coalesce(1))
+    DeltaLog.deleteWhere(spark, root, col("id") < 50)
+    val df = DeltaLog.read(spark, root)
+    assert(df.count() == 950L)
+    // exactly ONE anti-join (the DV'd branch), and it broadcasts the
+    // decoded positions — a DV is the deleted MINORITY of a file, so the
+    // row filter must never shuffle the data side; the plain file's
+    // branch is a bare scan under the union
+    val joins = collectAll(executed(df)).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.length == 1,
+      s"one join total (the DV branch), got ${joins.map(_.nodeName)}")
+    assert(joins.head.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastHashJoinExec] &&
+      joins.head.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti,
+      s"DV anti-join must broadcast: ${joins.head.nodeName} ${joins.head.joinType}")
+  }
+
   test("q226: the only cross product is the documented tiny hours x types grid") {
     val df = EventsOps.q226CorrMatrix(spark, sfDir)
     df.collect()
