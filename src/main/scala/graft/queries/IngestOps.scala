@@ -1054,6 +1054,7 @@ object IngestOps {
       case "q267" => q267Store(spark, dir); ()
       case "q268" => q200Fixture(spark, dir); ()
       case "q269" => q269Fixture(spark, dir); ()
+      case "q270" => LayoutOps.q270Fixture(spark, dir); ()
       case "q246" => q246Fixture(spark, dir); ()
       case "q248" => q246Fixture(spark, dir); ()
       case "q249" => q245Fixture(spark, dir); ()
@@ -1273,7 +1274,7 @@ object IngestOps {
     * repeat compacted the memoized fixture and repeats 2..N timed the
     * idempotent no-op, so the committed median measured nothing.
     */
-  private def linkTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+  private[queries] def linkTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, Path}
     Files.walk(src).forEach { (p: Path) =>
       val rel = dst.resolve(src.relativize(p).toString)

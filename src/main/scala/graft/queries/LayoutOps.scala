@@ -407,10 +407,97 @@ object LayoutOps {
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_name")
   }
 
+  /** OPTIMIZE ZORDER BY (xCol, yCol) on a Delta table: the
+    * [[writeZordered]] Morton layout routed through
+    * [[graft.sources.DeltaLog.commitRewriteLayout]] — one
+    * `dataChange=false` rewrite whose output files each cover a
+    * contiguous zkey range, so every file's add-action stats envelope is
+    * tight in BOTH dimensions at once and
+    * [[graft.sources.DeltaLog.readWhere]]'s 2-dim box predicates skip
+    * files, not just row groups.
+    */
+  def zorderDelta(spark: SparkSession, root: String, xCol: String,
+      yCol: String, nFiles: Int): Long =
+    graft.sources.DeltaLog.commitRewriteLayout(spark, root, df =>
+      withZkey(df, xCol, yCol)
+        .repartitionByRange(nFiles, col("zkey"))
+        .sortWithinPartitions(col("zkey"))
+        .drop("zkey"))
+
+  /** q270 fixture: lineitem's join-key columns committed to a Delta log
+    * as 16 RANDOMLY-partitioned files — the worst layout for selective
+    * reads: every file's (partkey, suppkey) stats envelope spans
+    * essentially the full range, so every box predicate reads all 16.
+    */
+  private[queries] def q270Fixture(spark: SparkSession, dir: String): String =
+    ReplayFixtures.ensure(dir, "q270", Seq("lineitem")) { root =>
+      graft.sources.DeltaLog.commitAppend(s"$root/delta",
+        Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("l_quantity"))
+          .repartition(16))
+    }
+
+  /** q270 — DELTA OPTIMIZE ZORDER: clone the frozen random-layout
+    * fixture (the q239 honesty rule), Z-ORDER it on
+    * (l_partkey, l_suppkey) via [[zorderDelta]], and run a 2-dim box
+    * predicate through the stats-pruned read. The audit columns pin the
+    * mechanism: `files_before` = 16 (the random layout's envelopes all
+    * intersect any interior box — the pre-rewrite read prunes NOTHING),
+    * `zorder_skips` = 1 asserts the post-rewrite read pruned at least
+    * half the files (a 1/64-area box against 16 zkey-range files
+    * typically touches 1–4 — ≤8 is sampling-safe). The box aggregate
+    * itself restates in DuckDB, so a rewrite that lost, duplicated, or
+    * mis-clustered a row breaks the hash before the file counts do. At
+    * 100 TB this is the maintenance verb that turns multi-dimension
+    * selective scans from table-sized into box-sized — paid once at
+    * OPTIMIZE cadence, collected on every read.
+    */
+  def q270ZorderOptimize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLog
+    q270Fixture(spark, dir)
+    val base = ReplayFixtures.fixtureRootFor(dir, "q270")
+    val scratch = new java.io.File(s"${ReplayFixtures.runRoot(dir, "q270")}/delta")
+    IngestOps.linkTree(java.nio.file.Paths.get(s"$base/delta"), scratch.toPath)
+    val delta = scratch.getPath
+    val b = Tables(spark, dir, "lineitem")
+      .agg(max(col("l_partkey")), max(col("l_suppkey"))).head // one-row driver frame
+    val (mp, ms) = (b.getAs[Number](0).longValue(), b.getAs[Number](1).longValue())
+    val pred = col("l_partkey") > lit(mp * 3 / 8) &&
+      col("l_partkey") <= lit(mp * 4 / 8) &&
+      col("l_suppkey") > lit(ms * 3 / 8) &&
+      col("l_suppkey") <= lit(ms * 4 / 8)
+    val before = DeltaLog.filesMatching(spark, delta, pred).size.toLong
+    zorderDelta(spark, delta, "l_partkey", "l_suppkey", 16)
+    val after = DeltaLog.filesMatching(spark, delta, pred).size.toLong
+    DeltaLog.readWhere(spark, delta, pred)
+      .groupBy(col("l_linenumber"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .withColumn("files_before", lit(before))
+      .withColumn("zorder_skips", lit(if (after * 2 <= before) 1L else 0L))
+      .orderBy(col("l_linenumber"))
+  }
+
+  /** Oracle: the box aggregate over raw lineitem; file-count constants
+    * pinned (16 random files all intersect; the z-ordered read skips).
+    */
+  val q270Sql: String =
+    """WITH b AS (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem)
+      |SELECT l_linenumber, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  CAST(16 AS BIGINT) AS files_before,
+      |  CAST(1 AS BIGINT) AS zorder_skips
+      |FROM lineitem, b
+      |WHERE l_partkey > b.mp * 3 // 8 AND l_partkey <= b.mp * 4 // 8
+      |  AND l_suppkey > b.ms * 3 // 8 AND l_suppkey <= b.ms * 4 // 8
+      |GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q231_encoding_estimate" -> q231EncodingEstimate _,
     "q215_bucketed_join" -> q215BucketedJoin _,
     "q107_zorder_layout" -> q107ZorderLayout _,
+    "q270_zorder_optimize" -> q270ZorderOptimize _,
     "q178_compaction_plan" -> q178CompactionPlan _,
     "q180_orc_roundtrip" -> q180OrcRoundtrip _,
     "q193_avro_roundtrip" -> q193AvroRoundtrip _)
@@ -419,6 +506,7 @@ object LayoutOps {
     "q231_encoding_estimate" -> q231Sql,
     "q215_bucketed_join" -> q215Sql,
     "q107_zorder_layout" -> q107Sql,
+    "q270_zorder_optimize" -> q270Sql,
     "q178_compaction_plan" -> q178Sql,
     "q180_orc_roundtrip" -> q180Sql,
     "q193_avro_roundtrip" -> q180Sql)

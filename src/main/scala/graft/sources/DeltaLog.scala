@@ -1363,21 +1363,44 @@ object DeltaLog {
     * real deployment; the log cost is one commit regardless of data size.
     */
   def commitOptimize(spark: SparkSession, root: String,
-      targetFiles: Int = 1, expectedVersion: Option[Long] = None): Long = {
+      targetFiles: Int = 1, expectedVersion: Option[Long] = None): Long =
+    commitRewriteLayout(spark, root, _.coalesce(targetFiles), expectedVersion)
+
+  /** OPTIMIZE under a caller-supplied LAYOUT: rewrite the live snapshot
+    * through `layout` — any pure row-preserving reordering/partitioning,
+    * Z-ORDER clustering being the canonical one — in one
+    * `dataChange=false` commit. Identical protocol contract to plain
+    * [[commitOptimize]] (its `coalesce` IS this verb's trivial layout):
+    * streams/CDC skip the commit, time travel keeps the old files,
+    * removes carry DV identities so the rewrite doubles as a purge. The
+    * rewritten files' stats recompute from their own footers, so the
+    * envelopes are exactly as tight as the layout makes them — which is
+    * the point: OPTIMIZE ZORDER BY buys every future multi-dimension
+    * predicate its file skipping ([[graft.queries.LayoutOps
+    * .zorderDelta]] supplies the Morton layout).
+    *
+    * Scale: the rewrite reads one snapshot's live files once and writes
+    * them once; a range layout adds one sampling pass + one exchange —
+    * the price is paid at maintenance cadence, the skipping is collected
+    * on every read after.
+    */
+  def commitRewriteLayout(spark: SparkSession, root: String,
+      layout: DataFrame => DataFrame,
+      expectedVersion: Option[Long] = None): Long = {
     val base = expectedVersion.getOrElse(currentVersion(root))
     require(base >= 0, s"no Delta log at $root to optimize")
     requireWritable(root)
     val liveAdds = replay(spark, root, Some(base)).adds
     require(liveAdds.nonEmpty, s"nothing to optimize at $root@$base")
     val next = base + 1
-    // on a partitioned table the rewrite re-partitions by the layout
-    // (targetFiles becomes per-partition); partition values re-derive
-    // from the directory segments exactly like an append's. On a DV'd
-    // table `read` already yields only SURVIVING rows, and each remove
-    // carries its incarnation's deletionVector so replay's exact-match
-    // rule retires it — OPTIMIZE doubles as a DV purge.
+    // on a partitioned table the rewrite re-partitions by the table
+    // layout (the supplied layout applies within it); partition values
+    // re-derive from the directory segments exactly like an append's. On
+    // a DV'd table `read` already yields only SURVIVING rows, and each
+    // remove carries its incarnation's deletionVector so replay's
+    // exact-match rule retires it — OPTIMIZE doubles as a DV purge.
     val adds = writeDataFiles(root, next,
-      read(spark, root, Some(base)).coalesce(targetFiles),
+      layout(read(spark, root, Some(base))),
       latestPartitionColumns(root))
     publish(root, next,
       liveAdds.map(a => removeAction(a.path, dataChange = false, dv = a.dv)) ++
