@@ -347,6 +347,48 @@ object Dedup {
         pred(col("id_a")) || pred(col("id_b")))
   }
 
+  /** CDC-DRIVEN SYNC of the signature store — [[graft.queries.CorpusOps
+    * .syncLexStoreFromFeed]]'s contract on the dedup artifact: versions
+    * in order, retractions before arrivals (a deleted-then-reinserted
+    * doc survives with its NEW signature), delete/update_preimage keys
+    * erasing from `sigs/`, `bands/`, and a materialized `pairs/` (a pair
+    * dies when EITHER side retracts) via the frame-keyed copy-on-write
+    * [[graft.table.StoreMaint.eraseKeys]]; insert/update_postimage rows
+    * re-hash through [[appendSigStore]] — an UPDATED doc's signature is
+    * recomputed from its new text, not patched. Per-version work is
+    * changes-sized; the store never reads the table.
+    */
+  def syncSigStoreFromFeed(spark: SparkSession, store: String,
+      feed: DataFrame): Unit = {
+    val fd = feed.select(col("_commit_version"), col("_change_type"),
+        col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val versions = fd.select(col("_commit_version")).distinct()
+        .orderBy(col("_commit_version")).collect().map(_.getLong(0))
+      versions.foreach { v =>
+        val slice = fd.filter(col("_commit_version") === v)
+        val gone = slice
+          .filter(col("_change_type").isin("delete", "update_preimage"))
+          .select(col("doc_id")).distinct()
+        graft.table.StoreMaint.eraseKeys(spark, s"$store/sigs", Seq.empty,
+          "doc_id", gone)
+        graft.table.StoreMaint.eraseKeys(spark, s"$store/bands", Seq("band"),
+          "doc_id", gone)
+        if (new java.io.File(s"$store/pairs").isDirectory) {
+          graft.table.StoreMaint.eraseKeys(spark, s"$store/pairs", Seq.empty,
+            "id_a", gone.withColumnRenamed("doc_id", "id_a"))
+          graft.table.StoreMaint.eraseKeys(spark, s"$store/pairs", Seq.empty,
+            "id_b", gone.withColumnRenamed("doc_id", "id_b"))
+        }
+        val born = slice
+          .filter(col("_change_type").isin("insert", "update_postimage"))
+          .select(col("doc_id"), col("text"))
+        if (born.limit(1).count() > 0) appendSigStore(born, store)
+      }
+    } finally { fd.unpersist(); () }
+  }
+
   /** Candidate pairs from an incrementally-built store: the bucket cap and
     * bucket-local pairing run over the ACCUMULATED sigs/bands tables —
     * the same [[pairCandidates]] stage the batch build runs, over provably
@@ -901,6 +943,11 @@ object Dedup {
         coalesce(col("cb"), col("id_b")).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .distinct()
+      // EAGER lineage cut: the contracted graph is batch-sized, and its
+      // plan drags the full labeling + candidate lineage into every CC
+      // round below — localCheckpoint pins the tiny edge list as concrete
+      // partitions so the loop's per-round work is loop-sized
+      .localCheckpoint(true)
     // merged: contracted-node (old label or new id) -> new minimum label
     val merged = connectedComponents(contracted)
       .select(col("id").as("node"), col("comp").as("mcomp"))

@@ -1055,6 +1055,7 @@ object IngestOps {
       case "q268" => q200Fixture(spark, dir); ()
       case "q269" => q269Fixture(spark, dir); ()
       case "q270" => LayoutOps.q270Fixture(spark, dir); ()
+      case "q271" => q271Store(spark, dir); ()
       case "q246" => q246Fixture(spark, dir); ()
       case "q248" => q246Fixture(spark, dir); ()
       case "q249" => q245Fixture(spark, dir); ()
@@ -1896,6 +1897,38 @@ object IngestOps {
         sum(length(col("text"))).as("len_sum"))
       .orderBy(col("_change_type"), col("_commit_version"), col("lang"))
   }
+
+  /** q271 ingest side: the signature store built EXCLUSIVELY from the
+    * q269 history's change data feed ([[Dedup.syncSigStoreFromFeed]]) —
+    * the q267 loop on the dedup artifact.
+    */
+  private def q271Store(spark: SparkSession, dir: String): String =
+    storeMemo.getOrElseUpdate(s"q271:$dir", {
+      import graft.sources.DeltaLog
+      val delta = q269Fixture(spark, dir)
+      val base = graft.Tables.fixtureRoot("q271", dir)
+      val baseDir = new java.io.File(base)
+      if (baseDir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(baseDir)
+      val s = s"$base/sigstore"
+      Dedup.syncSigStoreFromFeed(spark, s,
+        DeltaLog.readChangeFeed(spark, delta, -1L, DeltaLog.currentVersion(delta)))
+      s
+    })
+
+  /** q271 — CHANGE-FEED-DRIVEN DEDUP-STORE SYNC: q40's MinHash+LSH
+    * candidate pairs recomputed from a signature store that tracked the
+    * table only through its feed. The oracle restates q40 over the
+    * feed-merged corpus — a sync that kept an erased doc's signature,
+    * missed a re-insert, or served a stale pre-update signature (the
+    * updated `U:` texts hash differently) surfaces as a wrong pair set.
+    * With q267 this closes the loop for BOTH derived stores: row-level
+    * table writes flow to retrieval and dedup artifacts at
+    * changes-sized cost.
+    */
+  def q271FeedSigSync(spark: SparkSession, dir: String): DataFrame =
+    Dedup.pairsFromIncremental(spark, q271Store(spark, dir))
+      .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
+      .limit(100)
 
   /** q246 fixture: a Delta history with OPTIMIZE commits INTERLEAVED
     * between appends — the shape an incremental consumer actually tails.
@@ -3121,6 +3154,7 @@ object IngestOps {
     "q267_feed_store_sync" -> q267FeedStoreSync _,
     "q268_delta_idempotent_sink" -> q268DeltaIdempotentSink _,
     "q269_change_feed_stream" -> q269ChangeFeedStream _,
+    "q271_feed_sig_sync" -> q271FeedSigSync _,
     "q246_delta_changes" -> q246DeltaChanges _,
     "q248_delta_stream" -> q248DeltaStreamRead _,
     "q249_incremental_lexstore" -> q249IncrementalLexStore _,
@@ -3171,6 +3205,7 @@ object IngestOps {
     "q267_feed_store_sync" -> overFeedMerged(CorpusOps.q247Sql),
     "q268_delta_idempotent_sink" -> q268Sql,
     "q269_change_feed_stream" -> q266Sql,
+    "q271_feed_sig_sync" -> overFeedMerged(Dedup.q40Sql),
     "q246_delta_changes" -> q246Sql,
     "q248_delta_stream" -> q248Sql,
     "q249_incremental_lexstore" -> CorpusOps.q56Sql,
