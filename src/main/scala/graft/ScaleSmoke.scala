@@ -96,10 +96,10 @@ object ScaleSmoke {
         stride = Tables(spark, baseDir, "customer").count())
     // orders/lineitem keep the sparse IdStride: q216 needs replica-LOCAL
     // co-purchase graphs (disjoint key ranges), not density
-    if (keep("q216_link_prediction")) {
+    if (keep("q216_link_prediction"))
       tile("orders", Set("o_orderkey", "o_custkey"), IdStride)
+    if (keep("q216_link_prediction") || keep("q270_zorder_optimize"))
       tile("lineitem", Set("l_orderkey", "l_partkey"), IdStride)
-    }
   }
 
   /** One-per-(outDir, table) tiling guard: a 100x campaign run one scoped
@@ -241,8 +241,8 @@ object ScaleSmoke {
     if (Seq("q97_sharded_packing_skewed", "q49_packing_skewed")
         .exists(SparkEntry.onlyFilter()))
       synthesizeSkewed(spark, scaledDir, skewedDir)
-    // relational tiles only when a kept query reads them (q216/q222)
-    if (Seq("q216_link_prediction", "q222_hierarchy")
+    // relational tiles only when a kept query reads them (q216/q222/q270)
+    if (Seq("q216_link_prediction", "q222_hierarchy", "q270_zorder_optimize")
         .exists(SparkEntry.onlyFilter()))
       synthesizeRelational(spark, baseDir, scaledDir)
 
@@ -478,6 +478,14 @@ object ScaleSmoke {
       // plus the commits' own change files — per-version work is
       // changes-sized, never snapshot-sized
       ("q266_change_feed", graft.queries.IngestOps.q266ChangeFeed _, scaledDir),
+      // OPTIMIZE ZORDER: fixture hoisted untimed; the timed region is the
+      // clone + stats probe + the FULL z-order rewrite (one read + one
+      // range exchange + one write of the Nx table — data-sized by
+      // design) + the box read. The sparse lineitem tiling may land the
+      // box in an inter-replica key gap, so output rows can shrink; the
+      // gate is the rewrite's wall ratio, not the row count
+      ("q270_zorder_optimize",
+        graft.queries.LayoutOps.q270ZorderOptimize _, scaledDir),
       // maintenance campaign: append 8 batches -> bin-pack compact ->
       // CoW erase -> impact refresh -> q247 from the store, on a FRESH
       // store per run. Every verb is data-sized (append tokenizes Nx,
