@@ -234,7 +234,8 @@ object ScaleSmoke {
     synthesize(spark, baseDir, scaledDir)
     // the naive-tiled corpus is read only by the dense phrase/proximity rows
     if (Seq("q242_phrase_search_dense", "q244_proximity_pairs_dense",
-        "q257_fleet_eval_dense", "q258_fleet_snippets_dense")
+        "q257_fleet_eval_dense", "q258_fleet_snippets_dense",
+        "q260_proximity_fleet_dense")
         .exists(SparkEntry.onlyFilter()))
       synthesizePlain(spark, baseDir, plainDir)
     // the skew corpus is read only by the two packing-skew rows
@@ -452,11 +453,18 @@ object ScaleSmoke {
       // replica-0-local docs, so the Nx cost is the position-enumerating
       // scan while the phrase frame and match set stay fixed
       ("q259_phrase_fleet", graft.queries.CorpusOps.q259PhraseFleet _, scaledDir),
-      // fleet proximity: cold-tokenize contract — the Nx cost is the
-      // position-enumerating scan for the fleet's vocabulary band; the
-      // banded pair join sees only same-replica co-occurrences (rotated
-      // alphabets keep cross-replica terms doc-disjoint)
-      ("q260_proximity_fleet", graft.queries.CorpusOps.q260ProximityFleet _, scaledDir),
+      // fleet proximity on the NAIVE-tiled corpus — the round-15 lesson:
+      // on the bijection corpus the data-derived fleet vocabulary (top-df
+      // band) interleaves the replicas' disjoint alphabets at high N, so
+      // each query's 3 terms land in DIFFERENT replicas and the banded
+      // join matches NOTHING (rows100x = 0) — a ratio measured on a join
+      // that did zero work is vacuous, and the guard below now fails such
+      // a row. Naive tiling keeps the vocabulary (and the fleet) identical
+      // to 1x while every replica matches, so the banded pair join's
+      // probe volume AND output both grow ~Nx — the join axis is what
+      // this row gates (the scan axis is q244's rotated row above)
+      ("q260_proximity_fleet_dense",
+        graft.queries.CorpusOps.q260ProximityFleet _, plainDir),
       // Delta data skipping: the 8-chunk fixture is hoisted untimed
       // (warmFixture); the timed region is the bounds agg (data-sized
       // corpus scan) + log replay + the STATS-PRUNED read of one chunk —
@@ -556,6 +564,27 @@ object ScaleSmoke {
     if (blown.nonEmpty) {
       blown.foreach { case (name, t1, t10, _, _) =>
         System.err.println(f"[scale-smoke] $name super-linear: ${t10 / t1}%.1fx (1x=$t1%.2fs 10x=$t10%.2fs)")
+      }
+      spark.stop()
+      sys.exit(1)
+    }
+    // VACUOUS-ROW GUARD (round 15): a scale row whose Nx side returned
+    // ZERO rows while the 1x side matched is timing an operator that did
+    // no work at scale — its ratio proves nothing and must never look
+    // green (q260's 100x banded join matched nothing on the bijection
+    // corpus and the super-linear gate "passed"). q270 is the one
+    // documented exemption: its post-rewrite box read may legitimately
+    // shrink to zero rows in an inter-replica key gap of the sparse
+    // lineitem tiling — its gate is the rewrite's wall ratio.
+    val zeroExempt = Set("q270_zorder_optimize")
+    val vacuous = results.filter { case (name, _, _, r1, rN) =>
+      r1 > 0L && rN == 0L && !zeroExempt(name)
+    }
+    if (vacuous.nonEmpty) {
+      vacuous.foreach { case (name, _, _, r1, _) =>
+        System.err.println(s"[scale-smoke] $name VACUOUS: rows1x=$r1 but " +
+          s"rows${Replicas}x=0 — the ${Replicas}x side did no work; " +
+          "fix the fixture so the operator has matches at scale")
       }
       spark.stop()
       sys.exit(1)
