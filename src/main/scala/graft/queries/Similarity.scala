@@ -155,7 +155,13 @@ object Similarity {
     * them.
     */
   private[queries] def centsModel(e: DataFrame): DataFrame =
-    labelCentroids(e)
+    centsModelFrom(labelCentroids(e))
+
+  /** [[centsModel]] from an ALREADY-MATERIALIZED (c_label, centroid)
+    * frame — the ANN store's frozen coarse quantizer read back from disk.
+    */
+  private[queries] def centsModelFrom(cent: DataFrame): DataFrame =
+    cent
       .select(col("c_label"), col("centroid"), norm(toDouble(col("centroid"))).as("cnorm"))
       .agg(collect_list(struct(col("c_label"), col("centroid"), col("cnorm"))).as("cents"))
 
@@ -245,6 +251,166 @@ object Similarity {
        |    CAST(row_number() OVER (PARTITION BY p.query_id ORDER BY $cos DESC, e.vec_id) AS BIGINT) AS rk
        |  FROM probes p
        |  JOIN embeddings e ON e.label = p.label
+       |  JOIN embeddings q ON q.vec_id = p.query_id
+       |  WHERE e.vec_id <> p.query_id)
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q272: the PERSISTED INCREMENTAL ANN (IVF) STORE — the embedding-side
+  // sibling of the lexical/signature stores. Until now IVF re-derived
+  // centroids and assignments per query (fine for a bench row, wrong for
+  // a 100 TB corpus); the store materializes the index once and gives it
+  // the full maintenance discipline: append batches against FROZEN
+  // centroids, manifest freshness, file-level CoW erasure, and
+  // change-data-feed-driven sync (the q267/q271 idiom).
+  // ---------------------------------------------------------------------
+
+  /** Assignment of each vector to its nearest centroid LIST (IVF's coarse
+    * quantization, q52's argmax — highest cosine, smallest label on ties)
+    * against an explicit centroid frame: the build assigns the base
+    * corpus, every later append assigns its batch against the SAME frozen
+    * centroids (IVF's standard online path — new vectors route to
+    * existing lists; re-training the quantizer is a separate rebuild
+    * decision a drift monitor like q190 triggers).
+    */
+  private def assignLists(batch: DataFrame, cent: DataFrame): DataFrame =
+    batch.crossJoin(broadcast(centsModelFrom(cent)))
+      .select(col("vec_id"), col("embedding"), bestCentroid.as("best"))
+      .select(col("vec_id"), col("embedding"),
+        (-col("best.col2")).cast("long").as("list"))
+
+  /** BUILD the IVF store at `store`: `centroids/` (the frozen coarse
+    * quantizer) and `postings/` (assignment lists, PARTITIONED by list id
+    * — the read-side locality that lets a probe read nprobe/k of the
+    * corpus, local-mode's analogue of warehouse bucketing).
+    */
+  def buildAnnStore(spark: SparkSession, store: String, base: DataFrame): Unit = {
+    val cent = labelCentroids(base)
+    cent.write.mode("overwrite").parquet(s"$store/centroids")
+    assignLists(base, spark.read.parquet(s"$store/centroids"))
+      .write.mode("overwrite").partitionBy("list").parquet(s"$store/postings")
+    graft.table.StoreManifest.bump(store, Seq("centroids", "postings"))
+    ()
+  }
+
+  /** APPEND one batch: assign against the FROZEN stored centroids, append
+    * into the list partitions. Append IS merge (postings are per-vector
+    * rows); per-trigger small files are layout maintenance's problem
+    * ([[graft.table.StoreMaint.compact]]), not a correctness concern.
+    */
+  def appendAnnStore(batch: DataFrame, store: String): Unit = {
+    val spark = batch.sparkSession
+    assignLists(batch, spark.read.parquet(s"$store/centroids"))
+      .write.mode("append").partitionBy("list").parquet(s"$store/postings")
+    graft.table.StoreManifest.bump(store, Seq("postings"))
+    ()
+  }
+
+  /** CHANGE-FEED-DRIVEN SYNC: the feed's deleted keys erase from the
+    * postings via file-level copy-on-write — only files holding a deleted
+    * vector's row rewrite, bounded by the subjects' footprint, never a
+    * corpus rescan. An embedding is derived content under every deletion
+    * regime (it reconstructs the text's semantics), so it carries the
+    * same erasure obligation as the text itself.
+    */
+  def syncAnnStoreFromFeed(spark: SparkSession, store: String,
+      feed: DataFrame): Long =
+    graft.table.StoreMaint.eraseKeys(spark, s"$store/postings", Seq("list"),
+      "vec_id", feed.filter(col("_change_type") === "delete").select(col("vec_id")))
+
+  /** One fixture per (JVM, corpus): build from the base 4/5ths, append
+    * the last 5th against the frozen centroids, then erase the
+    * `vec_id % 37 == 3` subjects through a Delta CHANGE DATA FEED (the
+    * corpus owner deletes from a CDF-enabled keys table; the store syncs
+    * through the feed).
+    */
+  private val annStoreMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def q272Store(spark: SparkSession, dir: String): String =
+    annStoreMemo.getOrElseUpdate(s"q272:$dir", {
+      import graft.sources.DeltaLog
+      val base = graft.Tables.fixtureRoot("q272", dir)
+      val f = new java.io.File(base)
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+      val store = s"$base/annstore"
+      val e = Tables(spark, dir, "embeddings")
+      buildAnnStore(spark, store, e.filter(pmod(col("vec_id"), lit(5)) =!= 4))
+      appendAnnStore(e.filter(pmod(col("vec_id"), lit(5)) === 4), store)
+      val delta = s"$base/delta"
+      DeltaLog.commitAppend(delta, e.select(col("vec_id")))
+      DeltaLog.setTableProperties(delta,
+        Map("delta.enableChangeDataFeed" -> "true"))
+      val v1 = DeltaLog.currentVersion(delta)
+      DeltaLog.deleteWhere(spark, delta, pmod(col("vec_id"), lit(37)) === 3)
+      syncAnnStoreFromFeed(spark, store,
+        DeltaLog.readChangeFeed(spark, delta, v1, DeltaLog.currentVersion(delta)))
+      store
+    })
+
+  /** q272 — ANN SEARCH SERVED BY THE STORE: q54's IVF probe + score over
+    * the persisted index after an append and a feed-driven erasure. The
+    * probed list ids (queries × nprobe, tiny) prune the postings read to
+    * their PARTITION DIRECTORIES — the scan touches nprobe/k of the
+    * store, the corpus parquet is read only for the 10 query vectors
+    * (pushed-down `vec_id < 10`). Freshness is manifest-gated: postings
+    * older than the centroids they were assigned under REFUSE (a rebuilt
+    * quantizer with stale assignments would mis-route probes — wrong
+    * results, not slow ones).
+    */
+  def q272AnnStoreSearch(spark: SparkSession, dir: String): DataFrame = {
+    val store = q272Store(spark, dir)
+    require(graft.table.StoreManifest.partFresh(store, "postings", "centroids"),
+      s"ANN store $store: postings are STALE relative to centroids — " +
+        "reassign (rebuild or re-append) before serving")
+    val cent = spark.read.parquet(s"$store/centroids")
+    val probes = ivfProbes(spark, dir, 2, Some(cent))
+    val lists = probes.select(col("label").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val dirs = lists.map(l => s"$store/postings/list=$l")
+      .filter(graft.table.Fs.isDir)
+    val postings = spark.read.option("basePath", s"$store/postings")
+      .parquet(dirs.toIndexedSeq: _*)
+    rankTop5(postings.join(broadcast(probes), col("list") === col("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos")))
+  }
+
+  /** Oracle: centroids over the BASE corpus (the frozen quantizer),
+    * assignment of every SURVIVOR (vec_id % 37 != 3 — the feed-erased
+    * subjects are gone whatever 5th they arrived in) against those
+    * centroids, q54's probe + top-5 over the assigned lists.
+    */
+  val q272Sql: String = {
+    val pcos = cosineSql("q.embedding", "c.centroid")
+    val acos = cosineSql("e.embedding", "c.centroid")
+    val cos = cosineSql("q.embedding", "e.embedding")
+    s"""WITH cent AS (
+       |  SELECT label, list(cx ORDER BY pos) AS centroid FROM (
+       |    SELECT label, t.pos, avg(CAST(embedding[t.pos] AS DOUBLE)) AS cx
+       |    FROM embeddings, range(1, 65) t(pos)
+       |    WHERE vec_id % 5 <> 4
+       |    GROUP BY label, t.pos)
+       |  GROUP BY label),
+       |asg AS (
+       |  SELECT vec_id, embedding, list FROM (
+       |    SELECT e.vec_id, e.embedding, c.label AS list,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $acos DESC, c.label) AS ark
+       |    FROM (SELECT * FROM embeddings WHERE vec_id % 37 <> 3) e CROSS JOIN cent c)
+       |  WHERE ark = 1),
+       |probes AS (
+       |  SELECT query_id, label FROM (
+       |    SELECT q.vec_id AS query_id, c.label,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY $pcos DESC, c.label) AS prk
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) q CROSS JOIN cent c)
+       |  WHERE prk <= 2)
+       |SELECT query_id, rk, neighbor_id, cosine FROM (
+       |  SELECT p.query_id, e.vec_id AS neighbor_id,
+       |    round($cos, 4) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY p.query_id ORDER BY $cos DESC, e.vec_id) AS BIGINT) AS rk
+       |  FROM probes p
+       |  JOIN asg e ON e.list = p.label
        |  JOIN embeddings q ON q.vec_id = p.query_id
        |  WHERE e.vec_id <> p.query_id)
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
@@ -1058,7 +1224,8 @@ object Similarity {
     "q54_ivf_search" -> q54IvfSearch _,
     "q67_kmeans_step" -> q67KmeansStep _,
     "q69_pq_search" -> q69PqSearch _,
-    "q129_ivf_pq_search" -> q129IvfPqSearch _)
+    "q129_ivf_pq_search" -> q129IvfPqSearch _,
+    "q272_ann_store_search" -> q272AnnStoreSearch _)
 
   val oracles: Map[String, String] = Map(
     "q237_gram_matrix" -> q237Sql,
@@ -1074,5 +1241,6 @@ object Similarity {
     "q54_ivf_search" -> q54Sql,
     "q67_kmeans_step" -> q67Sql,
     "q69_pq_search" -> q69Sql,
-    "q129_ivf_pq_search" -> q129Sql)
+    "q129_ivf_pq_search" -> q129Sql,
+    "q272_ann_store_search" -> q272Sql)
 }

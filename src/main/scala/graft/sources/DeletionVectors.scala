@@ -1,7 +1,6 @@
 package graft.sources
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Path, Paths}
 import java.util.zip.CRC32
 
 /** Deletion-vector codec and storage — the Delta protocol's row-level
@@ -249,8 +248,8 @@ object DeletionVectors {
     * optional directory prefix (object stores use it to spread load
     * across key ranges); the file is `deletion_vector_<uuid>.bin`.
     */
-  def dvPath(root: String, d: Descriptor): Path = d.storageType match {
-    case "p" => Paths.get(d.pathOrInlineDv)
+  def dvPath(root: String, d: Descriptor): String = d.storageType match {
+    case "p" => d.pathOrInlineDv
     case "u" =>
       val s = d.pathOrInlineDv
       require(s.length >= 20, s"u-storage pathOrInlineDv too short: '$s'")
@@ -259,7 +258,8 @@ object DeletionVectors {
       val bb = ByteBuffer.wrap(uuidBytes)
       val uuid = new java.util.UUID(bb.getLong, bb.getLong)
       val name = s"deletion_vector_$uuid.bin"
-      if (prefix.isEmpty) Paths.get(root, name) else Paths.get(root, prefix, name)
+      if (prefix.isEmpty) graft.table.Fs.resolve(root, name)
+      else graft.table.Fs.resolve(graft.table.Fs.resolve(root, prefix), name)
     case other =>
       throw new IllegalArgumentException(s"storageType '$other' has no path")
   }
@@ -274,7 +274,7 @@ object DeletionVectors {
         z85Decode(d.pathOrInlineDv).take(d.sizeInBytes)
       case "u" | "p" =>
         val path = dvPath(root, d)
-        val all = Files.readAllBytes(path)
+        val all = graft.table.Fs.readBytes(path)
         require(all.nonEmpty && all(0) == 1.toByte,
           s"DV file $path: unsupported format version ${if (all.isEmpty) "<empty>" else all(0)}")
         val off = d.offset.getOrElse(1)
@@ -319,7 +319,8 @@ object DeletionVectors {
     out.putInt(data.length) // big-endian
     out.put(data)
     out.putInt(crc.getValue.toInt) // big-endian
-    Files.write(Paths.get(root, s"deletion_vector_$uuid.bin"), out.array())
+    graft.table.Fs.write(
+      graft.table.Fs.resolve(root, s"deletion_vector_$uuid.bin"), out.array())
     Descriptor("u", enc, Some(1), data.length, positions.distinct.length.toLong)
   }
 

@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
-
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
@@ -48,24 +46,22 @@ import org.apache.spark.sql.types._
   */
 object DeltaLog {
 
-  private def logDir(root: String): Path = Paths.get(root, "_delta_log")
-  private def commitPath(root: String, v: Long): Path =
-    logDir(root).resolve(f"$v%020d.json")
-  private def checkpointPath(root: String, v: Long): Path =
-    logDir(root).resolve(f"$v%020d.checkpoint.parquet")
+  import StatsPrune.{CmpOp, CmpEq, CmpLt, CmpLe, CmpGt, CmpGe}
+  import graft.table.Fs
+
+  private def logDir(root: String): String = Fs.resolve(root, "_delta_log")
+  private def commitPath(root: String, v: Long): String =
+    Fs.resolve(logDir(root), f"$v%020d.json")
+  private def checkpointPath(root: String, v: Long): String =
+    Fs.resolve(logDir(root), f"$v%020d.checkpoint.parquet")
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def listVersions(root: String, suffix: String): Seq[Long] =
-    if (!Files.isDirectory(logDir(root))) Seq.empty
-    else {
-      val s = Files.list(logDir(root))
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(n => n.endsWith(suffix) && n.length > suffix.length &&
-          n.dropRight(suffix.length).forall(_.isDigit))
-        .map(_.dropRight(suffix.length).toLong).toSeq
-      finally s.close()
-    }
+    Fs.list(logDir(root)).map(Fs.name)
+      .filter(n => n.endsWith(suffix) && n.length > suffix.length &&
+        n.dropRight(suffix.length).forall(_.isDigit))
+      .map(_.dropRight(suffix.length).toLong)
 
   /** Highest committed version, -1 if the table does not exist. A
     * checkpoint at V proves commit V happened even when log retention has
@@ -86,30 +82,25 @@ object DeltaLog {
   private val CkptName =
     """^(\d{20})\.checkpoint(?:\.(\d{10})\.(\d{10}))?\.parquet$""".r
 
-  private def checkpoints(root: String): Map[Long, Seq[Path]] =
-    if (!Files.isDirectory(logDir(root))) Map.empty
-    else {
-      val s = Files.list(logDir(root))
-      val named =
-        try s.iterator().asScala.flatMap { p =>
-          p.getFileName.toString match {
-            case CkptName(v, part, of) =>
-              Some((v.toLong, Option(of).map(_.toInt), p))
-            case _ => None
-          }
-        }.toSeq
-        finally s.close()
-      named.groupBy(_._1).flatMap { case (v, grp) =>
-        val parts = grp.sortBy(_._3.getFileName.toString).map(_._3)
-        val declared = grp.flatMap(_._2).headOption
-        declared match {
-          case Some(n) if grp.count(_._2.isDefined) == n =>
-            Some(v -> grp.filter(_._2.isDefined).sortBy(_._3.getFileName.toString).map(_._3))
-          case Some(_) => None // incomplete multi-part group
-          case None => Some(v -> parts)
-        }
+  private def checkpoints(root: String): Map[Long, Seq[String]] = {
+    val named = Fs.list(logDir(root)).flatMap { p =>
+      Fs.name(p) match {
+        case CkptName(v, part, of) =>
+          Some((v.toLong, Option(of).map(_.toInt), p))
+        case _ => None
       }
     }
+    named.groupBy(_._1).flatMap { case (v, grp) =>
+      val parts = grp.sortBy(t => Fs.name(t._3)).map(_._3)
+      val declared = grp.flatMap(_._2).headOption
+      declared match {
+        case Some(n) if grp.count(_._2.isDefined) == n =>
+          Some(v -> grp.filter(_._2.isDefined).sortBy(t => Fs.name(t._3)).map(_._3))
+        case Some(_) => None // incomplete multi-part group
+        case None => Some(v -> parts)
+      }
+    }
+  }
 
   /** One live data file: relative path, size, and the add action's
     * partitionValues (empty for unpartitioned tables; keys are PHYSICAL
@@ -131,17 +122,27 @@ object DeltaLog {
       txns: Map[String, Long] = Map.empty)
 
   /** Parse a `deletionVector` descriptor node (from an add/remove action
-    * or a checkpoint row rendered back to JSON). Absent/null → None.
+    * or a checkpoint row rendered back to JSON). Absent/null → None. A
+    * PRESENT node missing any required field (PROTOCOL.md: storageType,
+    * pathOrInlineDv, sizeInBytes, cardinality) refuses loudly — treating
+    * a malformed foreign descriptor as "no DV" would resurrect every row
+    * that DV deletes, a silent misread this reader never risks.
     */
   private def parseDvNode(n: com.fasterxml.jackson.databind.JsonNode)
       : Option[DeletionVectors.Descriptor] =
-    Option(n).filterNot(_.isNull).filter(_.has("storageType")).map { d =>
+    Option(n).filterNot(_.isNull).map { d =>
+      val missing = Seq("storageType", "pathOrInlineDv", "sizeInBytes",
+        "cardinality").filterNot(k => d.has(k) && !d.get(k).isNull)
+      if (missing.nonEmpty) throw new IllegalArgumentException(
+        "DeltaLog: malformed deletionVector descriptor (missing " +
+          s"${missing.mkString(", ")}): $d — refusing rather than " +
+          "resurrecting its deleted rows")
       DeletionVectors.Descriptor(
         d.get("storageType").asText(),
         d.get("pathOrInlineDv").asText(),
         Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
-        Option(d.get("sizeInBytes")).map(_.asInt()).getOrElse(0),
-        Option(d.get("cardinality")).map(_.asLong()).getOrElse(0L))
+        d.get("sizeInBytes").asInt(),
+        d.get("cardinality").asLong())
     }
 
   private def jsonDv(action: com.fasterxml.jackson.databind.JsonNode)
@@ -155,12 +156,50 @@ object DeltaLog {
       }.toMap
     }.getOrElse(Map.empty)
 
+  /** Bounded per-(table, version) SNAPSHOT CACHE. A committed version's
+    * log content is immutable (publish is create-new), so (root, version)
+    * identifies a snapshot — fingerprinted by the version's commit-file
+    * (size, mtime) so a table recreated at the same path cannot serve a
+    * stale entry. Without it every read re-reads the checkpoint parquet
+    * and re-parses the JSON tail — minutes of driver work PER QUERY on a
+    * 10⁵-file table. LRU-bounded; the kill switch exists for scale
+    * measurements that contract to time the COLD replay.
+    */
+  private val SnapCacheCap = 32
+  @volatile private[graft] var snapshotCacheEnabled = true
+  private val snapCache =
+    new java.util.LinkedHashMap[(String, Long, Boolean, Long, Long), Snapshot](
+        SnapCacheCap, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Boolean, Long, Long), Snapshot])
+          : Boolean = size() > SnapCacheCap
+    }
+
+  private def snapKey(root: String, v: Long, withAdds: Boolean)
+      : (String, Long, Boolean, Long, Long) = {
+    val p = commitPath(root, v)
+    val (sz, mt) =
+      if (Fs.isFile(p)) (Fs.size(p), Fs.mtimeMillis(p))
+      else (-1L, -1L)
+    (Fs.qualified(root), v, withAdds, sz, mt)
+  }
+
+  /** Replay the log into a [[Snapshot]]. With `withAdds = false` only the
+    * metaData/protocol/txn state materializes (adds skipped end-to-end) —
+    * the cheap half [[readWhere]]'s distributed-pruning path needs before
+    * it decides which add rows ever reach the driver.
+    */
   private def replay(spark: SparkSession, root: String,
-      version: Option[Long]): Snapshot = {
+      version: Option[Long], withAdds: Boolean = true): Snapshot = {
     val cur = currentVersion(root)
     require(cur >= 0, s"no Delta log at $root")
     val v = version.getOrElse(cur)
     require(v >= 0 && v <= cur, s"version $v out of range [0, $cur]")
+    val key = snapKey(root, v, withAdds)
+    if (snapshotCacheEnabled) {
+      val hit = snapCache.synchronized(Option(snapCache.get(key)))
+      if (hit.isDefined) return hit.get
+    }
     val live = scala.collection.mutable.LinkedHashMap
       .empty[String, (Long, Map[String, String], Option[String],
         Option[DeletionVectors.Descriptor])]
@@ -171,14 +210,14 @@ object DeltaLog {
     val ckpts = checkpoints(root)
     val ckpt = ckpts.keys.filter(_ <= v).toSeq.sorted.lastOption
     ckpt.foreach { c =>
-      val df = spark.read.parquet(ckpts(c).map(_.toString): _*)
+      val df = spark.read.parquet(ckpts(c): _*)
       def fieldsOf(column: String): Set[String] =
         df.schema(column).dataType.asInstanceOf[StructType].fieldNames.toSet
       // adds: live set as of the checkpoint (removes in a checkpoint are
       // VACUUM tombstones, not live-set state — ignored for replay);
       // column presence is probed, never assumed — pre-round-13
       // checkpoints carried only an add.path column
-      if (df.columns.contains("add")) {
+      if (withAdds && df.columns.contains("add")) {
         val sz = if (fieldsOf("add")("size")) col("add.size").cast("long")
           else lit(0L)
         val pv = if (fieldsOf("add")("partitionValues")) col("add.partitionValues")
@@ -228,11 +267,12 @@ object DeltaLog {
       // latestTailAction/changedFileAdds tolerate it: a retention sweep
       // is not atomic, and a mid-flight trim must not fail snapshot reads
       // that every other path in this module survives
-      if (Files.isRegularFile(commitPath(root, i)))
-        Files.readAllLines(commitPath(root, i)).forEach { line =>
+      if (Fs.isFile(commitPath(root, i)))
+        Fs.readLines(commitPath(root, i)).foreach { line =>
         if (line.nonEmpty) {
           val node = mapper.readTree(line)
           if (node.has("add")) {
+            if (withAdds) {
             val a = node.get("add")
             live(a.get("path").asText()) =
               (if (a.has("size")) a.get("size").asLong() else 0L,
@@ -241,7 +281,9 @@ object DeltaLog {
                 Option(a.get("stats")).filterNot(_.isNull).map(n =>
                   if (n.isTextual) n.asText() else n.toString),
                 jsonDv(a))
+            }
           } else if (node.has("remove")) {
+            if (withAdds) {
             // PROTOCOL.md action reconciliation keys the live set by
             // (path, dvId): a remove kills exactly the incarnation whose
             // deletionVector uniqueId it names (both-absent matches). A
@@ -253,6 +295,7 @@ object DeltaLog {
             val rid = jsonDv(rm).map(_.uniqueId).getOrElse("")
             live.get(p).foreach { case (_, _, _, dv) =>
               if (dv.map(_.uniqueId).getOrElse("") == rid) live.remove(p)
+            }
             }
           } else if (node.has("metaData")) {
             metaDataJson = Some(node.get("metaData").toString)
@@ -268,8 +311,12 @@ object DeltaLog {
       }
     }
     validateReadable(root, protocolJson, metaDataJson)
-    Snapshot(live.toSeq.map { case (p, (s, pv, st, dv)) => AddFile(p, s, pv, st, dv) },
+    val snap = Snapshot(
+      live.toSeq.map { case (p, (s, pv, st, dv)) => AddFile(p, s, pv, st, dv) },
       schemaJson, metaDataJson, protocolJson, txns.toMap)
+    if (snapshotCacheEnabled)
+      snapCache.synchronized { snapCache.put(key, snap); () }
+    snap
   }
 
   /** PROTOCOL REFUSAL GATE — a loud, cheap error instead of a silent
@@ -366,15 +413,17 @@ object DeltaLog {
     *    logical trees differ only in names;
     *  - PARTITIONED tables: partition columns are NOT stored in the data
     *    files — they live in each add action's partitionValues (keyed by
-    *    physical name on mapped tables), so files group by their
-    *    partition tuple, each group scans under the DATA schema with the
-    *    partition columns attached as typed literals, and the groups
-    *    union. Without this, a foreign partitioned table would silently
-    *    read its partition columns as all-null — a misread, not an error.
-    *    Group count is bounded by the partitioning cardinality of the
-    *    read's file set (what any engine's partition-aware FileIndex also
-    *    carries), and the per-group frame is a metadata-only decoration
-    *    of the same pruned scan.
+    *    physical name on mapped tables). The read is ONE flat scan of
+    *    every file plus a BROADCAST (file → partition values) frame
+    *    joined on the scanned file identity and cast to the logical
+    *    types — plan size independent of the partition-value count (a
+    *    union-per-value plan blows up driver planning on a
+    *    date-partitioned table). Without the decoration, a foreign
+    *    partitioned table would silently read its partition columns as
+    *    all-null — a misread, not an error. Partition PRUNING is
+    *    log-based, not plan-based: [[readWhere]] prunes the add list by
+    *    partitionValues (exact) and stats (bounding) BEFORE this scan is
+    *    planned, the same split delta-spark makes.
     *
     * Empty file sets return an empty frame with the LOGICAL schema.
     */
@@ -383,11 +432,26 @@ object DeltaLog {
     * `path` spelling (basenames alone are ambiguous: a partitioned write
     * reuses one task's part-file name across partition directories).
     */
-  private def relPathCol(root: String): org.apache.spark.sql.Column =
-    regexp_replace(col("_metadata.file_path"),
-      lit("^.*?" + java.util.regex.Pattern.quote(
-        Paths.get(root).toAbsolutePath.normalize.toString + "/")),
-      lit(""))
+  private def relPathCol(root: String): org.apache.spark.sql.Column = {
+    // `_metadata.file_path` renders as a PERCENT-ENCODED URI (SparkPath),
+    // so a root or partition directory containing a space / '%' /
+    // non-ASCII char would never match the add action's raw path — and a
+    // never-matching anti-join key silently resurrects DV-deleted rows.
+    // Decode first. Literal '+' is legal unencoded in a URI path and must
+    // survive (url_decode is form-decoding where '+' means space), so it
+    // is pre-escaped to %2B before decoding.
+    val decoded = url_decode(regexp_replace(col("_metadata.file_path"),
+      lit("\\+"), lit("%2B")))
+    val prefix = Fs.absPathNoScheme(root) + "/"
+    val stripped = regexp_replace(decoded,
+      lit("^.*?" + java.util.regex.Pattern.quote(prefix)), lit(""))
+    // loud guard: a scanned path that does not contain the table root
+    // refuses instead of feeding a never-matching join key downstream
+    when(stripped === decoded, raise_error(concat(
+        lit(s"DeltaLog: scanned file path outside table root $prefix: "),
+        decoded)))
+      .otherwise(stripped)
+  }
 
   /** The deleted (relative path, row index) pairs named by `dvAdds`'
     * descriptors, decoded ON EXECUTORS (one task reads one bitmap; the
@@ -409,7 +473,14 @@ object DeltaLog {
           if (off < 0L) None else Some(off.toInt), sz, card)
         DeletionVectors.readPositions(root, d).iterator.map(pos => (name, pos))
       }.toDF("__dv_file", "__dv_pos")
-    if (dvAdds.map(_.dv.get.cardinality).sum <= 4000000L) broadcast(df) else df
+    // broadcast gate in BYTES, not positions: each row carries the full
+    // relative file path string, so a wide delete across many files can
+    // dwarf the 8-byte position — estimate (path + long + row overhead)
+    // per position and fall back to a shuffle join above ~128 MB
+    val estBytes = dvAdds.map { a =>
+      a.dv.get.cardinality * (8L + a.path.length + 16L)
+    }.sum
+    if (estBytes <= (128L << 20)) broadcast(df) else df
   }
 
   /** Scan `adds` under the snapshot schema (mapping + partition decode as
@@ -443,26 +514,54 @@ object DeltaLog {
     }
     if (partCols.isEmpty || logical.isEmpty)
       return scanFlat(adds.map(a => s"$root/${a.path}"))
+    // PARTITIONED read: ONE flat scan of every file + a BROADCAST
+    // (file → partitionValues) frame joined on the scanned file identity.
+    // The former union-of-one-scan-per-partition-value plan was
+    // partition-COUNT-dependent — a date-partitioned table with a
+    // thousand values planned a thousand-child union of FileSourceScans
+    // (driver planning blowup, codegen splits, no shared scan). This plan
+    // is one scan + one broadcast hash join whatever the layout: the
+    // partition columns decode from the add actions' strings exactly as
+    // the typed literals did (same cast, same session-timezone rules).
     val ls = logical.get
     val partSet = partCols.toSet
     val dataSchema = StructType(ls.fields.filterNot(f => partSet(f.name)))
     val dataPhys =
       if (mapped) toPhysical(dataSchema).asInstanceOf[StructType] else dataSchema
-    adds.groupBy(_.partitionValues).map { case (pv, group) =>
-      val scan = spark.read.schema(dataPhys)
-        .parquet(group.map(a => s"$root/${a.path}"): _*)
-      val cols = ls.fields.map { f =>
-        if (partSet(f.name)) {
-          val key = if (mapped) physicalNameOf(f) else f.name
-          val raw = pv.get(key).orNull
-          (if (raw == null) lit(null) else lit(raw)).cast(f.dataType).as(f.name)
-        } else {
-          val phys = if (mapped) physicalNameOf(f) else f.name
-          col(phys).cast(f.dataType).as(f.name)
-        }
+    val partFields = ls.fields.filter(f => partSet(f.name))
+    val pvSchema = StructType(
+      StructField("__pv_file", org.apache.spark.sql.types.StringType,
+        nullable = false) +:
+      partFields.map(f => StructField(s"__pv_${f.name}",
+        org.apache.spark.sql.types.StringType, nullable = true)).toIndexedSeq)
+    val pvRows = adds.map { a =>
+      Row.fromSeq(a.path +: partFields.map { f =>
+        val key = if (mapped) physicalNameOf(f) else f.name
+        a.partitionValues.get(key).orNull
+      }.toIndexedSeq)
+    }
+    val pvDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(pvRows.toIndexedSeq, 1), pvSchema))
+    // `_metadata.*` resolves on the scan relation — capture the file
+    // identity (and row index) BEFORE the join
+    val scanBase = spark.read.schema(dataPhys)
+      .parquet(adds.map(a => s"$root/${a.path}"): _*)
+      .withColumn("__pv_file", relPathCol(root))
+    val scanPos =
+      if (withPos) scanBase.withColumn("__dv_pos", col("_metadata.row_index"))
+      else scanBase
+    val joined = scanPos.join(pvDf, Seq("__pv_file"))
+    val cols = ls.fields.map { f =>
+      if (partSet(f.name)) col(s"__pv_${f.name}").cast(f.dataType).as(f.name)
+      else {
+        val phys = if (mapped) physicalNameOf(f) else f.name
+        col(phys).cast(f.dataType).as(f.name)
       }
-      scan.select(cols.toIndexedSeq ++ metaCols: _*)
-    }.reduce(_.unionByName(_))
+    }
+    val posCols: Seq[org.apache.spark.sql.Column] =
+      if (withPos) Seq(col("__pv_file").as("__dv_file"), col("__dv_pos"))
+      else Seq.empty
+    joined.select(cols.toIndexedSeq ++ posCols: _*)
   }
 
   private def readAdds(spark: SparkSession, root: String, adds: Seq[AddFile],
@@ -482,7 +581,23 @@ object DeltaLog {
     val dvDf =
       if (dvAdds.isEmpty) None
       else {
-        Some(scanAdds(spark, root, dvAdds, schemaJson, metaDataJson, withPos = true)
+        // membership guard on the anti-join key: every scanned __dv_file
+        // must be one of the DV'd add paths — a derivation mismatch (e.g.
+        // an encoding scheme this reader has not seen) must refuse, not
+        // silently return the deleted rows. InSet-sized; above the cap the
+        // root-containment guard inside relPathCol still applies.
+        val known = dvAdds.map(_.path)
+        val scanned = scanAdds(spark, root, dvAdds, schemaJson, metaDataJson,
+          withPos = true)
+        val guarded =
+          if (known.size > 65536) scanned
+          else scanned.withColumn("__dv_file",
+            when(col("__dv_file").isin(known: _*), col("__dv_file"))
+              .otherwise(raise_error(concat(
+                lit("DeltaLog: DV scan surfaced a file outside the DV'd " +
+                  "add set (path-derivation mismatch would resurrect " +
+                  "deleted rows): "), col("__dv_file")))))
+        Some(guarded
           .join(dvDeletedPositions(spark, root, dvAdds),
             Seq("__dv_file", "__dv_pos"), "left_anti")
           .drop("__dv_file", "__dv_pos"))
@@ -542,15 +657,8 @@ object DeltaLog {
     */
   def readWhere(spark: SparkSession, root: String, predicate: org.apache.spark.sql.Column,
       version: Option[Long] = None): DataFrame = {
-    val snap = replay(spark, root, version)
-    val partCols = partitionColumnsOf(snap.metaDataJson).toSet
-    val conjuncts = prunableConjuncts(spark, predicate, snap.schemaJson)
-    val kept = snap.adds.filter { a =>
-      conjuncts.forall { case (name, op, v) =>
-        fileMayMatch(a, name, op, v, partCols)
-      }
-    }
-    readAdds(spark, root, kept, snap.schemaJson, snap.metaDataJson)
+    val (kept, meta) = prunedSnapshot(spark, root, predicate, version)
+    readAdds(spark, root, kept, meta.schemaJson, meta.metaDataJson)
       .filter(predicate)
   }
 
@@ -559,13 +667,138 @@ object DeltaLog {
     */
   private[graft] def filesMatching(spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column,
-      version: Option[Long] = None): Seq[String] = {
-    val snap = replay(spark, root, version)
-    val partCols = partitionColumnsOf(snap.metaDataJson).toSet
-    val conjuncts = prunableConjuncts(spark, predicate, snap.schemaJson)
-    snap.adds.filter(a => conjuncts.forall { case (n, op, v) =>
-      fileMayMatch(a, n, op, v, partCols)
-    }).map(_.path)
+      version: Option[Long] = None): Seq[String] =
+    prunedSnapshot(spark, root, predicate, version)._1.map(_.path)
+
+  /** Add rows the last [[prunedAdds]] checkpoint filter COLLECTED to the
+    * driver — the audit counter the bounded-driver gate reads (-1: the
+    * last pruned read never touched a checkpoint distributively, e.g. a
+    * cache hit or a checkpoint-less table).
+    */
+  @volatile private[graft] var lastPrunedCollectedAdds: Long = -1L
+
+  /** The (pruned live adds, meta-only snapshot) a predicate read needs.
+    * BOUNDED-DRIVER contract: on a checkpointed table the add rows are
+    * filtered DISTRIBUTED over the checkpoint parquet (stats JSON parsed
+    * on executors, [[StatsPrune.mayMatch]] verbatim) and only the
+    * SURVIVORS are collected — driver state and JSON parsing scale with
+    * the pruned set plus the commit tail, never the table's file count
+    * (10⁵–10⁶ add rows at 100 TB). A cached full snapshot short-circuits
+    * to a driver filter (already materialized, no job needed); a
+    * checkpoint-less table replays its (tail-sized) log as before.
+    */
+  private def prunedSnapshot(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column, version: Option[Long])
+      : (Seq[AddFile], Snapshot) = {
+    val cur = currentVersion(root)
+    require(cur >= 0, s"no Delta log at $root")
+    val v = version.getOrElse(cur)
+    require(v >= 0 && v <= cur, s"version $v out of range [0, $cur]")
+    def driverFilter(snap: Snapshot): (Seq[AddFile], Snapshot) = {
+      val partCols = partitionColumnsOf(snap.metaDataJson).toSet
+      val conjuncts = prunableConjuncts(spark, predicate, snap.schemaJson)
+      lastPrunedCollectedAdds = -1L
+      (snap.adds.filter(a => conjuncts.forall { case (n, op, vv) =>
+        fileMayMatch(a, n, op, vv, partCols)
+      }), snap)
+    }
+    val cachedFull =
+      if (snapshotCacheEnabled)
+        snapCache.synchronized(Option(snapCache.get(snapKey(root, v, true))))
+      else None
+    cachedFull match {
+      case Some(snap) => driverFilter(snap)
+      case None => newestCheckpointAtOrBelow(root, v) match {
+        case None => driverFilter(replay(spark, root, Some(v)))
+        case Some((cv, parts)) =>
+          val meta = replay(spark, root, Some(v), withAdds = false)
+          val partCols = partitionColumnsOf(meta.metaDataJson).toSet
+          val conjuncts = prunableConjuncts(spark, predicate, meta.schemaJson)
+          if (conjuncts.isEmpty) driverFilter(replay(spark, root, Some(v)))
+          else (prunedAdds(spark, root, v, cv, parts, conjuncts, partCols), meta)
+      }
+    }
+  }
+
+  /** The live adds at `v` that can possibly satisfy `conjuncts`, with the
+    * checkpoint side evaluated on EXECUTORS and only survivors collected.
+    * The commit tail (checkpoint-cadence-sized) applies the same
+    * (path, dvId) reconciliation as [[replay]], with tail adds pruned
+    * driver-side through the identical [[fileMayMatch]].
+    */
+  private def prunedAdds(spark: SparkSession, root: String, v: Long,
+      ckptVersion: Long, ckptParts: Seq[String],
+      conjuncts: Seq[(String, CmpOp, Any)], partCols: Set[String])
+      : Seq[AddFile] = {
+    val df = spark.read.parquet(ckptParts: _*)
+    def fieldsOf(column: String): Set[String] =
+      df.schema(column).dataType.asInstanceOf[StructType].fieldNames.toSet
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    if (df.columns.contains("add")) {
+      val sz = if (fieldsOf("add")("size")) col("add.size").cast("long")
+        else lit(0L)
+      val pv = if (fieldsOf("add")("partitionValues")) col("add.partitionValues")
+        else lit(null).cast("map<string,string>")
+      val st = if (fieldsOf("add")("stats")) col("add.stats").cast("string")
+        else lit(null).cast("string")
+      val dvc = if (fieldsOf("add")("deletionVector"))
+        to_json(col("add.deletionVector")) else lit(null).cast("string")
+      val cj = conjuncts
+      val pc = partCols
+      val keptRows = df.filter(col("add").isNotNull)
+        .select(col("add.path"), sz, pv, st, dvc)
+        .filter { (r: Row) =>
+          val pvm = if (r.isNullAt(2)) Map.empty[String, String]
+            else r.getMap[String, String](2).toMap
+          val sto = if (r.isNullAt(3)) None else Some(r.getString(3))
+          cj.forall { case (n, op, vv) =>
+            StatsPrune.mayMatch(pvm, sto, n, op, vv, pc)
+          }
+        }
+        .collect()
+      lastPrunedCollectedAdds = keptRows.length.toLong
+      keptRows.foreach { r =>
+        val pvm = if (r.isNullAt(2)) Map.empty[String, String]
+          else r.getMap[String, String](2).toMap
+        live(r.getString(0)) = AddFile(r.getString(0), r.getLong(1), pvm,
+          if (r.isNullAt(3)) None else Some(r.getString(3)),
+          if (r.isNullAt(4)) None else parseDvNode(mapper.readTree(r.getString(4))))
+      }
+    } else lastPrunedCollectedAdds = 0L
+    ((ckptVersion + 1L) to v).foreach { i =>
+      if (Fs.isFile(commitPath(root, i)))
+        Fs.readLines(commitPath(root, i)).foreach { line =>
+          if (line.nonEmpty) {
+            val node = mapper.readTree(line)
+            if (node.has("add")) {
+              val a = node.get("add")
+              val p = a.get("path").asText()
+              val af = AddFile(p,
+                if (a.has("size")) a.get("size").asLong() else 0L,
+                jsonPartitionValues(a),
+                Option(a.get("stats")).filterNot(_.isNull).map(n =>
+                  if (n.isTextual) n.asText() else n.toString),
+                jsonDv(a))
+              // the new incarnation replaces any prior one; if IT prunes
+              // out, the prior (now dead) entry must not linger
+              if (conjuncts.forall { case (n, op, vv) =>
+                  fileMayMatch(af, n, op, vv, partCols) })
+                live(p) = af
+              else { live.remove(p); () }
+            } else if (node.has("remove")) {
+              val rm = node.get("remove")
+              val p = rm.get("path").asText()
+              val rid = jsonDv(rm).map(_.uniqueId).getOrElse("")
+              live.get(p).foreach { af =>
+                if (af.dv.map(_.uniqueId).getOrElse("") == rid) {
+                  live.remove(p); ()
+                }
+              }
+            }
+          }
+        }
+    }
+    live.values.toSeq
   }
 
   /** Resolve + fold the predicate against a ONE-ROW dummy frame with the
@@ -593,13 +826,6 @@ object DeltaLog {
           catch { case _: org.apache.spark.sql.AnalysisException => None }
         cond.toSeq.flatMap(splitConjuncts).flatMap(asSimpleComparison)
     }
-
-  private sealed trait CmpOp
-  private case object CmpEq extends CmpOp
-  private case object CmpLt extends CmpOp
-  private case object CmpLe extends CmpOp
-  private case object CmpGt extends CmpOp
-  private case object CmpGe extends CmpOp
 
   private def splitConjuncts(
       e: org.apache.spark.sql.catalyst.expressions.Expression)
@@ -668,71 +894,8 @@ object DeltaLog {
     * from the stats envelope; anything unresolvable reads.
     */
   private def fileMayMatch(a: AddFile, name: String, op: CmpOp, v: Any,
-      partCols: Set[String]): Boolean = {
-    def cmp(x: Any, y: Any): Option[Int] = (x, y) match {
-      case (a: Long, b: Long) => Some(java.lang.Long.compare(a, b))
-      case (a: Long, b: Double) => Some(java.lang.Double.compare(a.toDouble, b))
-      case (a: Double, b: Long) => Some(java.lang.Double.compare(a, b.toDouble))
-      case (a: Double, b: Double) => Some(java.lang.Double.compare(a, b))
-      case (a: Boolean, b: Boolean) => Some(java.lang.Boolean.compare(a, b))
-      case (a: String, b: String) => Some(a.compareTo(b))
-      case _ => None
-    }
-    def decide(lo: Any, hi: Any): Boolean =
-      (cmp(v, lo), cmp(v, hi)) match {
-        case (Some(cl), Some(ch)) => op match {
-          case CmpEq => cl >= 0 && ch <= 0
-          case CmpLt => cl > 0 // some value < v exists iff min < v
-          case CmpLe => cl >= 0
-          case CmpGt => ch < 0 // some value > v exists iff max > v
-          case CmpGe => ch <= 0
-        }
-        case _ => true
-      }
-    if (partCols(name)) {
-      a.partitionValues.get(name) match {
-        case None => true // layout unknown for this file: read
-        case Some(null) => false // all rows NULL here: no comparison passes
-        case Some(s) =>
-          val typed: Any = v match {
-            case _: Long => try s.toLong catch { case _: Throwable => return true }
-            case _: Double => try s.toDouble catch { case _: Throwable => return true }
-            case _: Boolean => try s.toBoolean catch { case _: Throwable => return true }
-            case _ => s
-          }
-          cmp(typed, v) match {
-            case Some(c) => op match {
-              case CmpEq => c == 0
-              case CmpLt => c < 0
-              case CmpLe => c <= 0
-              case CmpGt => c > 0
-              case CmpGe => c >= 0
-            }
-            case None => true
-          }
-      }
-    } else a.stats match {
-      case None => true
-      case Some(json) =>
-        val node = try mapper.readTree(json) catch { case _: Throwable => return true }
-        // a zero-row file matches nothing, whatever the predicate
-        if (Option(node.get("numRecords")).exists(n =>
-          n.isIntegralNumber && n.asLong() == 0L)) return false
-        def bound(kind: String): Option[Any] =
-          Option(node.get(kind)).flatMap(m => Option(m.get(name))).flatMap { n =>
-            if (n.isNull) None
-            else if (n.isIntegralNumber) Some(n.asLong())
-            else if (n.isNumber) Some(n.asDouble())
-            else if (n.isBoolean) Some(n.asBoolean())
-            else if (n.isTextual) Some(n.asText())
-            else None
-          }
-        (bound("minValues"), bound("maxValues")) match {
-          case (Some(lo), Some(hi)) => decide(lo, hi)
-          case _ => true
-        }
-    }
-  }
+      partCols: Set[String]): Boolean =
+    StatsPrune.mayMatch(a.partitionValues, a.stats, name, op, v, partCols)
 
   private def jstr(s: String): String = mapper.writeValueAsString(s)
 
@@ -740,13 +903,12 @@ object DeltaLog {
     * the same single-winner race Delta writers run on object stores).
     */
   private def publish(root: String, v: Long, actions: Seq[String]): Unit = {
-    Files.createDirectories(logDir(root))
+    Fs.mkdirs(logDir(root))
     try
-      Files.write(commitPath(root, v),
-        actions.mkString("", "\n", "\n").getBytes("UTF-8"),
-        StandardOpenOption.CREATE_NEW)
+      Fs.createNew(commitPath(root, v),
+        actions.mkString("", "\n", "\n").getBytes("UTF-8"))
     catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
           s"DeltaLog $root: version $v was committed concurrently")
     }
@@ -778,18 +940,15 @@ object DeltaLog {
           s"missing: ${missing.mkString(", ")}")
       df.write.partitionBy(partCols: _*).parquet(s"$root/$sub")
     } else df.write.parquet(s"$root/$sub")
-    val base = Paths.get(root, sub)
-    val s = Files.walk(base)
-    val files =
-      try s.iterator().asScala
-        .filter(p => Files.isRegularFile(p) && {
-          val n = p.getFileName.toString
-          n.startsWith("part-") && n.endsWith(".parquet")
-        }).toSeq
-      finally s.close()
-    files.map { p =>
-      val rel = base.relativize(p)
-      val pv = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
+    val base = Fs.resolve(root, sub)
+    val files = Fs.listFilesRecursive(base).filter { case (p, _) =>
+      val n = Fs.name(p)
+      n.startsWith("part-") && n.endsWith(".parquet")
+    }
+    files.map { case (p, size) =>
+      val rel = Fs.relativize(base, p)
+      val segs = rel.split("/")
+      val pv = segs.dropRight(1).toSeq
         .filter(_.contains("="))
         .map { seg =>
           val k = seg.substring(0, seg.indexOf('='))
@@ -797,8 +956,7 @@ object DeltaLog {
             seg.substring(seg.indexOf('=') + 1), "UTF-8")
           k -> (if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw)
         }.toMap
-      WrittenFile(s"$sub/${rel.iterator().asScala.mkString("/")}",
-        Files.size(p), pv, fileStatsJson(p))
+      WrittenFile(s"$sub/$rel", size, pv, fileStatsJson(p))
     }.sortBy(_.path).toIndexedSeq
   }
 
@@ -833,7 +991,7 @@ object DeltaLog {
     * partition pruning, and at 100 TB the difference between a selective
     * query reading its few matching files and reading the table.
     */
-  private def fileStatsJson(file: Path): Option[String] = {
+  private def fileStatsJson(file: String): Option[String] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val footer =
@@ -975,9 +1133,13 @@ object DeltaLog {
               .flatMap(_.elements().asScala.map(_.asText())))
           def jarr(xs: Seq[String]) =
             xs.distinct.sorted.map(jstr).mkString("[", ",", "]")
+          // PROTOCOL.md allows a readerFeatures array ONLY at
+          // minReaderVersion 3 — emitting one on a lower reader version
+          // makes strict foreign readers reject the upgraded table
+          val rf = if (mrv >= 3) s""""readerFeatures":${jarr(rfeats)},"""
+            else ""
           Seq(s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":$mwv,""" +
-            s""""readerFeatures":${jarr(rfeats)},""" +
-            s""""writerFeatures":${jarr(wfeats :+ "changeDataFeed")}}}""")
+            rf + s""""writerFeatures":${jarr(wfeats :+ "changeDataFeed")}}}""")
         } else if (mwv < 4)
           Seq(s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":4}}""")
         else Seq.empty
@@ -1004,7 +1166,7 @@ object DeltaLog {
 
   /** Newest checkpoint version at or below `v`, with its part files. */
   private def newestCheckpointAtOrBelow(root: String,
-      v: Long): Option[(Long, Seq[Path])] = {
+      v: Long): Option[(Long, Seq[String])] = {
     val cs = checkpoints(root).filter(_._1 <= v)
     if (cs.isEmpty) None else Some(cs.maxBy(_._1))
   }
@@ -1022,9 +1184,9 @@ object DeltaLog {
     val cur = currentVersion(root)
     val lo = newestCheckpointAtOrBelow(root, cur).map(_._1 + 1).getOrElse(0L)
     (cur to lo by -1L).iterator
-      .filter(v => Files.isRegularFile(commitPath(root, v)))
+      .filter(v => Fs.isFile(commitPath(root, v)))
       .flatMap { v =>
-        Files.readAllLines(commitPath(root, v)).asScala.reverseIterator
+        Fs.readLines(commitPath(root, v)).reverseIterator
           .flatMap { line =>
             if (line.isEmpty) None
             else {
@@ -1047,7 +1209,7 @@ object DeltaLog {
     * and a scalar-only fallback would silently report "unpartitioned,
     * unmapped, featureless" — the exact misread the gates exist to stop.
     */
-  private def checkpointActionJson(parts: Seq[Path],
+  private def checkpointActionJson(parts: Seq[String],
       kind: String): Option[com.fasterxml.jackson.databind.JsonNode] = {
     val it = parts.iterator
     while (it.hasNext) {
@@ -1619,6 +1781,19 @@ object DeltaLog {
     val base = expectedVersion.getOrElse(currentVersion(root))
     require(base >= 0, s"no Delta log at $root to merge into")
     requireWritable(root)
+    // the source is consumed by the count, the duplicate-key check, two
+    // key joins, the data-file write, and the CDC write — persist it so
+    // a nondeterministic source cannot make those views of it mutually
+    // inconsistent (delta-spark materializes the merge source for the
+    // same reason)
+    source.persist()
+    try { mergeIntoPersisted(spark, root, source, keyCols, base) }
+    finally { source.unpersist(); () }
+  }
+
+  private def mergeIntoPersisted(spark: SparkSession, root: String,
+      source: DataFrame, keyCols: Seq[String], base: Long): (Long, Long, Long) = {
+    import spark.implicits._
     val sourceCount = source.count()
     if (sourceCount == 0L) return (base, 0L, 0L)
     val dupKeys = source.groupBy(keyCols.map(col): _*)
@@ -1710,11 +1885,10 @@ object DeltaLog {
       fromVersion: Long, toVersion: Long): Seq[FeedFileEntry] =
     ((fromVersion + 1) to toVersion).flatMap { v =>
       val p = commitPath(root, v)
-      require(Files.isRegularFile(p),
+      require(Fs.isFile(p),
         s"DeltaLog $root: commit $v is missing — the feed range reaches " +
           "past retained history; start from a snapshot instead")
-      val lines = Files.readAllLines(p).asScala
-        .filter(_.nonEmpty).map(mapper.readTree).toSeq
+      val lines = Fs.readLines(p).map(mapper.readTree)
       def changed(node: com.fasterxml.jackson.databind.JsonNode): Boolean =
         !node.has("dataChange") || node.get("dataChange").asBoolean(true)
       val cdc = lines.filter(_.has("cdc")).map { n =>
@@ -1786,11 +1960,10 @@ object DeltaLog {
     val feedSchemaJson = Some(feedSchema.json)
     val frames = ((fromVersion + 1) to toVersion).flatMap { v =>
       val p = commitPath(root, v)
-      require(Files.isRegularFile(p),
+      require(Fs.isFile(p),
         s"DeltaLog $root: commit $v is missing — the feed range reaches " +
           "past retained history; start from a snapshot instead")
-      val lines = Files.readAllLines(p).asScala
-        .filter(_.nonEmpty).map(mapper.readTree).toSeq
+      val lines = Fs.readLines(p).map(mapper.readTree)
       def changed(node: com.fasterxml.jackson.databind.JsonNode): Boolean =
         !node.has("dataChange") || node.get("dataChange").asBoolean(true)
       val cdcFiles = lines.filter(_.has("cdc")).map { n =>
@@ -1878,8 +2051,8 @@ object DeltaLog {
       // foreign table) reads as empty, not as an error: its adds are
       // compacted into the checkpoint a caller consuming history from
       // before the horizon must start from anyway
-      if (!Files.isRegularFile(commitPath(root, v))) Seq.empty
-      else Files.readAllLines(commitPath(root, v)).asScala.flatMap { line =>
+      if (!Fs.isFile(commitPath(root, v))) Seq.empty
+      else Fs.readLines(commitPath(root, v)).flatMap { line =>
         if (line.isEmpty) None
         else {
           val node = mapper.readTree(line)
@@ -1961,15 +2134,15 @@ object DeltaLog {
     def dvFileOf(d: DeletionVectors.Descriptor): Option[String] =
       if (d.storageType == "i") None
       else {
-        val p = DeletionVectors.dvPath(root, d).toAbsolutePath.normalize
-        val r = Paths.get(root).toAbsolutePath.normalize
-        if (p.startsWith(r)) Some(r.relativize(p).toString) else None
+        val p = graft.table.Fs.absPathNoScheme(DeletionVectors.dvPath(root, d))
+        val r = graft.table.Fs.absPathNoScheme(root).stripSuffix("/") + "/"
+        if (p.startsWith(r)) Some(p.drop(r.length)) else None
       }
     val keepDv = retained.flatMap(_.adds)
       .flatMap(_.dv).flatMap(dvFileOf).toSet
     val tailActions = (0L to cur).flatMap { v =>
-      if (!Files.isRegularFile(commitPath(root, v))) Seq.empty
-      else Files.readAllLines(commitPath(root, v)).asScala.flatMap { line =>
+      if (!Fs.isFile(commitPath(root, v))) Seq.empty
+      else Fs.readLines(commitPath(root, v)).flatMap { line =>
         if (line.isEmpty) None else Some(mapper.readTree(line))
       }
     }
@@ -1983,7 +2156,7 @@ object DeltaLog {
           if (node.has(k)) jsonDv(node.get(k)) else None)
       }).flatMap(dvFileOf).distinct
     val doomed = all.filterNot(keep) ++ allDv.filterNot(keepDv)
-    doomed.foreach(p => Files.deleteIfExists(Paths.get(root, p)))
+    doomed.foreach(p => Fs.delete(Fs.resolve(root, p)))
     doomed
   }
 
@@ -2101,16 +2274,15 @@ object DeltaLog {
     require(parts >= 1, s"checkpoint parts must be >= 1, got $parts")
     // each Delta checkpoint part is ONE parquet file, not a directory:
     // write via a scratch dir and move the part into place
-    def writeOnePart(rows: Seq[Row], dest: Path): Unit = {
+    def writeOnePart(rows: Seq[Row], dest: String): Unit = {
       val tmp = s"$root/_delta_log/.ckpt-${java.util.UUID.randomUUID().toString.take(8)}"
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), CkptSchema)
         .write.parquet(tmp)
-      val part = Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      val part = Fs.listFilesRecursive(tmp).map(_._1)
+        .find(f => Fs.name(f).startsWith("part-") && f.endsWith(".parquet"))
         .getOrElse(sys.error(s"checkpoint write produced no parquet part in $tmp"))
-      Files.move(part.toPath, dest,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      Fs.rename(part, dest, overwrite = true)
+      Fs.deleteRecursive(tmp)
     }
     if (parts == 1)
       writeOnePart(protoRow +: metaRow +: (txnRows ++ addRows),
@@ -2122,16 +2294,108 @@ object DeltaLog {
         }
         val header = if (i == 1) Seq(protoRow, metaRow) ++ txnRows else Seq.empty
         writeOnePart(header ++ mine,
-          logDir(root).resolve(f"$v%020d.checkpoint.$i%010d.$parts%010d.parquet"))
+          Fs.resolve(logDir(root), f"$v%020d.checkpoint.$i%010d.$parts%010d.parquet"))
       }
-    val lcTmp = logDir(root).resolve(s".last_checkpoint.${java.util.UUID.randomUUID().toString.take(8)}")
+    // _last_checkpoint publishes via write-temp + atomic rename: a reader
+    // sees the previous pointer or the complete new one, never torn bytes
     val partsField = if (parts == 1) "" else s""","parts":$parts"""
-    Files.write(lcTmp,
+    Fs.replaceAtomic(Fs.resolve(logDir(root), "_last_checkpoint"),
       s"""{"version":$v,"size":${snap.adds.size + snap.txns.size + 2}$partsField}"""
         .getBytes("UTF-8"))
-    Files.move(lcTmp, logDir(root).resolve("_last_checkpoint"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     v
+  }
+}
+
+/** The stats/partition skipping decision — "can this file possibly hold
+  * a row satisfying (column op literal)?" — factored OUT of [[DeltaLog]]
+  * into its own serializable-by-static-access module so the DISTRIBUTED
+  * checkpoint-pruning path can run it inside a task closure without
+  * capturing (or serializing) the DeltaLog singleton and its driver
+  * state (snapshot cache, etc.). Shared verbatim by the driver path
+  * ([[DeltaLog.readWhere]]'s tail pruning) and the executor path, so the
+  * two can never drift.
+  */
+private[sources] object StatsPrune {
+
+  sealed trait CmpOp extends Serializable
+  case object CmpEq extends CmpOp
+  case object CmpLt extends CmpOp
+  case object CmpLe extends CmpOp
+  case object CmpGt extends CmpOp
+  case object CmpGe extends CmpOp
+
+  // per-JVM (module init on each executor) — never serialized
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Partition columns answer exactly (one value per file — a NULL
+    * partition value satisfies no comparison, so the file skips); data
+    * columns answer from the stats envelope; anything unresolvable reads.
+    */
+  def mayMatch(partitionValues: Map[String, String],
+      stats: Option[String], name: String, op: CmpOp, v: Any,
+      partCols: Set[String]): Boolean = {
+    def cmp(x: Any, y: Any): Option[Int] = (x, y) match {
+      case (a: Long, b: Long) => Some(java.lang.Long.compare(a, b))
+      case (a: Long, b: Double) => Some(java.lang.Double.compare(a.toDouble, b))
+      case (a: Double, b: Long) => Some(java.lang.Double.compare(a, b.toDouble))
+      case (a: Double, b: Double) => Some(java.lang.Double.compare(a, b))
+      case (a: Boolean, b: Boolean) => Some(java.lang.Boolean.compare(a, b))
+      case (a: String, b: String) => Some(a.compareTo(b))
+      case _ => None
+    }
+    def decide(lo: Any, hi: Any): Boolean =
+      (cmp(v, lo), cmp(v, hi)) match {
+        case (Some(cl), Some(ch)) => op match {
+          case CmpEq => cl >= 0 && ch <= 0
+          case CmpLt => cl > 0 // some value < v exists iff min < v
+          case CmpLe => cl >= 0
+          case CmpGt => ch < 0 // some value > v exists iff max > v
+          case CmpGe => ch <= 0
+        }
+        case _ => true
+      }
+    if (partCols(name)) {
+      partitionValues.get(name) match {
+        case None => true // layout unknown for this file: read
+        case Some(null) => false // all rows NULL here: no comparison passes
+        case Some(s) =>
+          val typed: Any = v match {
+            case _: Long => try s.toLong catch { case _: Throwable => return true }
+            case _: Double => try s.toDouble catch { case _: Throwable => return true }
+            case _: Boolean => try s.toBoolean catch { case _: Throwable => return true }
+            case _ => s
+          }
+          cmp(typed, v) match {
+            case Some(c) => op match {
+              case CmpEq => c == 0
+              case CmpLt => c < 0
+              case CmpLe => c <= 0
+              case CmpGt => c > 0
+              case CmpGe => c >= 0
+            }
+            case None => true
+          }
+      }
+    } else stats match {
+      case None => true
+      case Some(json) =>
+        val node = try mapper.readTree(json) catch { case _: Throwable => return true }
+        // a zero-row file matches nothing, whatever the predicate
+        if (Option(node.get("numRecords")).exists(n =>
+          n.isIntegralNumber && n.asLong() == 0L)) return false
+        def bound(kind: String): Option[Any] =
+          Option(node.get(kind)).flatMap(m => Option(m.get(name))).flatMap { n =>
+            if (n.isNull) None
+            else if (n.isIntegralNumber) Some(n.asLong())
+            else if (n.isNumber) Some(n.asDouble())
+            else if (n.isBoolean) Some(n.asBoolean())
+            else if (n.isTextual) Some(n.asText())
+            else None
+          }
+        (bound("minValues"), bound("maxValues")) match {
+          case (Some(lo), Some(hi)) => decide(lo, hi)
+          case _ => true
+        }
+    }
   }
 }

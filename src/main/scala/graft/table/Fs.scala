@@ -1,0 +1,231 @@
+package graft.table
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
+import org.apache.spark.sql.SparkSession
+
+/** THE OBJECT-STORAGE SEAM — every filesystem touch of the table/store
+  * layer (Delta log commits and checkpoints, store maintenance staging,
+  * manifests, versioned-table markers) routed through the Hadoop
+  * `FileSystem` API instead of `java.nio.file`. The DataFrame reads and
+  * writes were always FS-agnostic (Spark paths); this closes the gap for
+  * the COMMIT and MAINTENANCE surface, so a cluster whose tables live on
+  * HDFS/S3A/GCS can run every verb the local sandbox runs:
+  *
+  *   - [[createNew]] is create-no-overwrite — the single-winner commit
+  *     race. Atomic on HDFS (namenode create); on S3A it maps to
+  *     conditional PUT on recent Hadoop versions; on the local FS it is
+  *     what `CREATE_NEW` was.
+  *   - [[replaceAtomic]] is write-temp + rename-with-OVERWRITE via
+  *     `FileContext` — the pointer-swap publish (`_last_checkpoint`,
+  *     `_store_manifest.json`) where a reader must see the old or the
+  *     complete new content, never a torn write.
+  *   - Listings ([[listFiles]]) use the FS LIST contract — the only
+  *     metadata source that is contractual on object stores (mtimes are
+  *     not, which is why freshness lives in [[StoreManifest]] counters).
+  *
+  * Paths are plain strings: scheme-less strings resolve against
+  * `fs.defaultFS` (the local FS in the sandbox, so every existing caller
+  * is unchanged), `file://` / `hdfs://` / `s3a://` URIs route to their
+  * scheme's FileSystem. The Hadoop configuration comes from the active
+  * SparkSession when one exists (cluster credentials, endpoint overrides)
+  * and a vanilla `Configuration` otherwise (driver-side string work
+  * before any session, and executor-side sidecar reads).
+  */
+object Fs {
+
+  private def conf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  /** Hadoop path from a string spelling (scheme-less → default FS). */
+  def hp(s: String): HPath = new HPath(s)
+
+  private def fsOf(p: HPath): FileSystem = p.getFileSystem(conf) match {
+    // the checksummed local wrapper shadows every write with a `.crc`
+    // sidecar — java.nio-equivalent semantics (and listing/fingerprint
+    // hygiene) want the RAW filesystem; HDFS/S3A pass through untouched
+    case l: org.apache.hadoop.fs.LocalFileSystem => l.getRawFileSystem
+    case other => other
+  }
+
+  /** The fully-qualified spelling (scheme + authority resolved). */
+  def qualified(s: String): String = {
+    val p = hp(s)
+    fsOf(p).makeQualified(p).toString
+  }
+
+  /** The DECODED absolute path component, scheme stripped — what a
+    * decoded `_metadata.file_path` contains for this root, whatever URI
+    * spelling the caller used (`/x`, `file:///x`, `hdfs://nn/x`).
+    */
+  def absPathNoScheme(s: String): String = {
+    val p = hp(s)
+    fsOf(p).makeQualified(p).toUri.getPath
+  }
+
+  def exists(s: String): Boolean = { val p = hp(s); fsOf(p).exists(p) }
+
+  def isFile(s: String): Boolean = {
+    val p = hp(s)
+    val fs = fsOf(p)
+    fs.exists(p) && fs.getFileStatus(p).isFile
+  }
+
+  def isDir(s: String): Boolean = {
+    val p = hp(s)
+    val fs = fsOf(p)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
+  }
+
+  def size(s: String): Long = { val p = hp(s); fsOf(p).getFileStatus(p).getLen }
+
+  def mtimeMillis(s: String): Long = {
+    val p = hp(s)
+    fsOf(p).getFileStatus(p).getModificationTime
+  }
+
+  def setMtimeMillis(s: String, t: Long): Unit = {
+    val p = hp(s)
+    fsOf(p).setTimes(p, t, -1L)
+  }
+
+  /** Immediate children (files and directories) as full path strings;
+    * empty for a missing or non-directory path.
+    */
+  def list(dir: String): Seq[String] = {
+    val p = hp(dir)
+    val fs = fsOf(p)
+    if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory) Seq.empty
+    else fs.listStatus(p).toIndexedSeq.map(_.getPath.toString)
+  }
+
+  /** Every FILE under `dir`, recursive, as (full path, size) — one LIST
+    * walk, the manifest-sized frame maintenance verbs plan from.
+    */
+  def listFilesRecursive(dir: String): Seq[(String, Long)] = {
+    val p = hp(dir)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) return Seq.empty
+    if (fs.getFileStatus(p).isFile)
+      return Seq((fs.makeQualified(p).toString, fs.getFileStatus(p).getLen))
+    val it = fs.listFiles(p, true)
+    val out = Seq.newBuilder[(String, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) out += ((st.getPath.toString, st.getLen))
+    }
+    out.result()
+  }
+
+  def readBytes(s: String): Array[Byte] = {
+    val p = hp(s)
+    val in = fsOf(p).open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](64 * 1024)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+  }
+
+  def readString(s: String): String = new String(readBytes(s), "UTF-8")
+
+  def readLines(s: String): Seq[String] =
+    readString(s).split("\n", -1).toIndexedSeq.filter(_.nonEmpty)
+
+  /** Overwrite-or-create write (NOT a publish primitive — use
+    * [[createNew]] for commits and [[replaceAtomic]] for pointer swaps).
+    */
+  def write(s: String, bytes: Array[Byte]): Unit = {
+    val p = hp(s)
+    val out = fsOf(p).create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** CREATE-NO-OVERWRITE — the single-winner commit race. Throws
+    * `org.apache.hadoop.fs.FileAlreadyExistsException` (or the raw
+    * `java.nio.file` one the local FS surfaces) when the path exists.
+    */
+  def createNew(s: String, bytes: Array[Byte]): Unit = {
+    val p = hp(s)
+    val fs = fsOf(p)
+    // probe first so the local RawLocalFileSystem (which happily
+    // truncates on create) still refuses; HDFS/S3A enforce natively too
+    if (fs.exists(p))
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(s)
+    val out = fs.create(p, false)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** Write-temp + rename-with-OVERWRITE: the atomic pointer swap. */
+  def replaceAtomic(s: String, bytes: Array[Byte]): Unit = {
+    val p = hp(s)
+    val tmp = new HPath(p.getParent,
+      s".${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}")
+    write(tmp.toString, bytes)
+    rename(tmp.toString, s, overwrite = true)
+  }
+
+  /** Rename within one filesystem. `overwrite = true` uses the
+    * `FileContext` OVERWRITE rename (atomic where the FS supports it);
+    * without it an existing destination refuses.
+    */
+  def rename(src: String, dst: String, overwrite: Boolean = false): Unit = {
+    val sp = hp(src); val dp = hp(dst)
+    if (overwrite) {
+      val fc = FileContext.getFileContext(fsOf(sp).getUri, conf)
+      fc.rename(fc.makeQualified(sp), fc.makeQualified(dp),
+        Options.Rename.OVERWRITE)
+    } else {
+      val fs = fsOf(sp)
+      if (fs.exists(dp))
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(dst)
+      if (!fs.rename(sp, dp))
+        throw new java.io.IOException(s"rename $src -> $dst failed")
+    }
+  }
+
+  def mkdirs(s: String): Unit = { val p = hp(s); fsOf(p).mkdirs(p); () }
+
+  def delete(s: String): Boolean = {
+    val p = hp(s)
+    fsOf(p).delete(p, false)
+  }
+
+  def deleteRecursive(s: String): Boolean = {
+    val p = hp(s)
+    fsOf(p).delete(p, true)
+  }
+
+  /** Create-if-absent then bump mtime — the `_SUCCESS` marker verb. */
+  def touch(s: String): Unit = {
+    val p = hp(s)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) { val out = fs.create(p, false); out.close() }
+    fs.setTimes(p, System.currentTimeMillis(), -1L)
+  }
+
+  /** Parent path string (empty for a root). */
+  def parent(s: String): String =
+    Option(hp(s).getParent).map(_.toString).getOrElse("")
+
+  /** Last path segment. */
+  def name(s: String): String = hp(s).getName
+
+  /** `child` resolved under `dir`. */
+  def resolve(dir: String, child: String): String =
+    new HPath(hp(dir), child).toString
+
+  /** `full` relative to `base` (both qualified first) — the staging-dir
+    * relativize used when staged outputs move into a store.
+    */
+  def relativize(base: String, full: String): String = {
+    val b = absPathNoScheme(base).stripSuffix("/") + "/"
+    val f = absPathNoScheme(full)
+    require(f.startsWith(b), s"$full is not under $base")
+    f.drop(b.length)
+  }
+}

@@ -1,9 +1,5 @@
 package graft.table
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,48 +15,28 @@ import org.apache.spark.sql.functions._
   * is a distributed Spark job — the driver handles only the file
   * MANIFEST (the listing), never rows.
   *
-  * Local-filesystem note: publication here is directory swap / file move
-  * plus a `_SUCCESS` mtime bump — the sandbox analogue of publishing the
-  * rewritten file set via a `dataChange=false` Delta commit
-  * ([[graft.sources.DeltaLog.commitRewrite]]), which is how the same
-  * protocol lands on object storage where renames are not atomic.
+  * All filesystem verbs route through [[Fs]] (the Hadoop `FileSystem`
+  * seam): publication here is staged-file move-in + candidate delete —
+  * on HDFS the renames are atomic; on an object store where they are
+  * not, the same file-set change publishes as a `dataChange=false` Delta
+  * commit ([[graft.sources.DeltaLog.commitRewrite]]) and this module's
+  * staging protocol is the mechanical half it shares.
   */
 object StoreMaint {
 
   /** Every data file under `path` (recursive), excluding markers. */
-  def dataFiles(path: String): Seq[Path] = {
-    val root = Paths.get(path)
-    if (!Files.isDirectory(root)) return Seq.empty
-    val s = Files.walk(root)
-    try s.iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-      .toSeq
-    finally s.close()
-  }
+  def dataFiles(path: String): Seq[String] =
+    Fs.listFilesRecursive(path).collect {
+      case (p, _) if p.endsWith(".parquet") => p
+    }
 
   /** Count of data files under `path` — the quantity scan cost degrades
     * with (footer reads, task scheduling) and compaction exists to bound.
     */
   def dataFileCount(path: String): Long = dataFiles(path).size.toLong
 
-  private def uriToPath(fileName: String): Path = {
-    val u = java.net.URI.create(fileName)
-    if (u.getScheme == null) Paths.get(fileName) else Paths.get(u)
-  }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally s.close()
-    }
-
-  private def touchSuccess(path: String): Unit = {
-    val m = Paths.get(path, "_SUCCESS")
-    if (!Files.exists(m)) Files.createFile(m)
-    Files.setLastModifiedTime(m,
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-  }
+  private def touchSuccess(path: String): Unit =
+    Fs.touch(Fs.resolve(path, "_SUCCESS"))
 
   /** FILE-LEVEL COPY-ON-WRITE ERASURE: remove every row matching `hit`
     * from the parquet table at `path`, rewriting ONLY the files that
@@ -99,10 +75,10 @@ object StoreMaint {
       .withColumn("__file", input_file_name())
       .filter(hitTrue)
       .select(col("__file")).distinct()
-      .collect().map(r => uriToPath(r.getString(0))).toSeq
+      .collect().map(_.getString(0)).toSeq
     if (hitFiles.isEmpty) return 0L
     val survivors = spark.read.option("basePath", path)
-      .parquet(hitFiles.map(_.toString): _*)
+      .parquet(hitFiles: _*)
       .filter(!hitTrue)
     cowPublish(path, partitionCols, hitFiles, survivors)
   }
@@ -117,16 +93,16 @@ object StoreMaint {
     */
   def eraseKeys(spark: SparkSession, path: String, partitionCols: Seq[String],
       keyCol: String, keys: org.apache.spark.sql.DataFrame): Long = {
-    if (!Files.isDirectory(Paths.get(path))) return 0L
+    if (!Fs.isDir(path)) return 0L
     val k = keys.select(col(keyCol)).distinct()
     val hitFiles = spark.read.parquet(path)
       .withColumn("__file", input_file_name())
       .join(k, Seq(keyCol), "left_semi")
       .select(col("__file")).distinct()
-      .collect().map(r => uriToPath(r.getString(0))).toSeq
+      .collect().map(_.getString(0)).toSeq
     if (hitFiles.isEmpty) return 0L
     val survivors = spark.read.option("basePath", path)
-      .parquet(hitFiles.map(_.toString): _*)
+      .parquet(hitFiles: _*)
       .join(k, Seq(keyCol), "left_anti")
     cowPublish(path, partitionCols, hitFiles, survivors)
   }
@@ -135,21 +111,21 @@ object StoreMaint {
     * in, hit files out, marker + manifest bumped.
     */
   private def cowPublish(path: String, partitionCols: Seq[String],
-      hitFiles: Seq[Path],
+      hitFiles: Seq[String],
       survivors: org.apache.spark.sql.DataFrame): Long = {
-    val staging = Paths.get(path + ".cow")
-    deleteRecursively(staging)
+    val staging = path + ".cow"
+    Fs.deleteRecursive(staging)
     val w = survivors.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(staging.toString)
-    dataFiles(staging.toString).foreach { f =>
-      val rel = staging.relativize(f)
-      val dest = Paths.get(path).resolve(rel)
-      Files.createDirectories(dest.getParent)
-      Files.move(f, dest, StandardCopyOption.REPLACE_EXISTING)
+      .parquet(staging)
+    dataFiles(staging).foreach { f =>
+      val rel = Fs.relativize(staging, f)
+      val dest = Fs.resolve(path, rel)
+      Fs.mkdirs(Fs.parent(dest))
+      Fs.rename(f, dest, overwrite = true)
     }
-    hitFiles.foreach(Files.deleteIfExists(_))
-    deleteRecursively(staging)
+    hitFiles.foreach(Fs.delete(_))
+    Fs.deleteRecursive(staging)
     touchSuccess(path)
     StoreManifest.bumpPart(path)
     hitFiles.size.toLong
@@ -189,16 +165,15 @@ object StoreMaint {
     */
   def compact(spark: SparkSession, path: String,
       partitionCols: Seq[String], targetBytes: Long): Long = {
-    val root = Paths.get(path)
     // candidates: under-target files in directories where a merge is
     // possible (>= 2 small files share the directory — with partitionBy
     // output routing, files can only ever merge within their partition)
-    val candidates = dataFiles(path)
-      .filter(f => Files.size(f) < targetBytes)
-      .groupBy(_.getParent).values.filter(_.size >= 2).flatten.toSeq
+    val candidates = Fs.listFilesRecursive(path)
+      .collect { case (p, sz) if p.endsWith(".parquet") && sz < targetBytes => p }
+      .groupBy(Fs.parent).values.filter(_.size >= 2).flatten.toSeq
     if (candidates.isEmpty) return 0L
-    val staging = Paths.get(path + ".opt")
-    deleteRecursively(staging)
+    val staging = path + ".opt"
+    Fs.deleteRecursive(staging)
     val conf = spark.conf
     // maxPartitionBytes = target and openCost = 0 make the split planner's
     // bin exactly `targetBytes` of real data; minPartitionNum = 1 stops the
@@ -214,24 +189,24 @@ object StoreMaint {
       // basePath recovers the partition columns from the candidate
       // files' directory layout, exactly like eraseWhere's hit read
       val df = spark.read.option("basePath", path)
-        .parquet(candidates.map(_.toString): _*)
+        .parquet(candidates: _*)
       val w = df.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-        .parquet(staging.toString)
+        .parquet(staging)
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)
     }
     // publish: staged outputs in (fresh UUID part names — no collision
     // with carried files), candidates out, marker bumped
-    dataFiles(staging.toString).foreach { f =>
-      val rel = staging.relativize(f)
-      val dest = root.resolve(rel)
-      Files.createDirectories(dest.getParent)
-      Files.move(f, dest, StandardCopyOption.REPLACE_EXISTING)
+    dataFiles(staging).foreach { f =>
+      val rel = Fs.relativize(staging, f)
+      val dest = Fs.resolve(path, rel)
+      Fs.mkdirs(Fs.parent(dest))
+      Fs.rename(f, dest, overwrite = true)
     }
-    candidates.foreach(Files.deleteIfExists(_))
-    deleteRecursively(staging)
+    candidates.foreach(Fs.delete(_))
+    Fs.deleteRecursive(staging)
     touchSuccess(path)
     StoreManifest.bumpPart(path)
     candidates.size.toLong

@@ -1,7 +1,5 @@
 package graft.table
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-
 import scala.jdk.CollectionConverters._
 
 /** PER-STORE VERSION MANIFEST — the freshness contract for the engine's
@@ -26,26 +24,29 @@ import scala.jdk.CollectionConverters._
   *     LIST results are contractual where mtimes are not. (The real-infra
   *     analogue is recording the corpus Delta/Iceberg snapshot id.)
   *
-  * Publication is temp-file + ATOMIC_MOVE, same as every other marker in
-  * the repo: a reader sees the previous manifest or the complete new one.
-  * Writers bump through [[bump]]/[[bumpPart]]; a store WITHOUT a manifest
-  * is simply never trusted (readers fall back to their exact cold paths),
-  * so a legacy or foreign directory can't serve stale state.
+  * All I/O goes through [[Fs]] (the Hadoop `FileSystem` seam), so a store
+  * rooted at `file://`, `hdfs://` or `s3a://` runs the same protocol.
+  * Publication is temp-file + atomic rename: a reader sees the previous
+  * manifest or the complete new one. Writers bump through
+  * [[bump]]/[[bumpPart]]; a store WITHOUT a manifest is simply never
+  * trusted (readers fall back to their exact cold paths), so a legacy or
+  * foreign directory can't serve stale state.
   */
 object StoreManifest {
 
   private val Name = "_store_manifest.json"
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private def manifestPath(storeRoot: String): Path = Paths.get(storeRoot, Name)
+  private def manifestPath(storeRoot: String): String =
+    Fs.resolve(storeRoot, Name)
 
   private case class State(counter: Long, versions: Map[String, Long],
       corpus: Option[String])
 
   private def readState(storeRoot: String): State = {
     val p = manifestPath(storeRoot)
-    if (!Files.isRegularFile(p)) return State(0L, Map.empty, None)
-    val node = mapper.readTree(Files.readAllBytes(p))
+    if (!Fs.isFile(p)) return State(0L, Map.empty, None)
+    val node = mapper.readTree(Fs.readBytes(p))
     val versions = Option(node.get("versions")).map { v =>
       v.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
     }.getOrElse(Map.empty[String, Long])
@@ -54,17 +55,13 @@ object StoreManifest {
   }
 
   private def writeState(storeRoot: String, s: State): Unit = {
-    Files.createDirectories(Paths.get(storeRoot))
+    Fs.mkdirs(storeRoot)
     val root = mapper.createObjectNode()
     root.put("counter", s.counter)
     val v = root.putObject("versions")
     s.versions.toSeq.sortBy(_._1).foreach { case (k, n) => v.put(k, n) }
     s.corpus.foreach(root.put("corpus", _))
-    val tmp = Paths.get(storeRoot,
-      s".$Name.${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.write(tmp, mapper.writeValueAsBytes(root))
-    Files.move(tmp, manifestPath(storeRoot), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    Fs.replaceAtomic(manifestPath(storeRoot), mapper.writeValueAsBytes(root))
   }
 
   /** Record that `parts` were just (re)written: one counter increment,
@@ -81,10 +78,8 @@ object StoreManifest {
   /** [[bump]] keyed by a part DIRECTORY path (`<store>/<part>`) — the
     * shape [[StoreMaint]]'s generic per-part maintenance verbs see.
     */
-  def bumpPart(partPath: String): Long = {
-    val p = Paths.get(partPath)
-    bump(p.getParent.toString, Seq(p.getFileName.toString))
-  }
+  def bumpPart(partPath: String): Long =
+    bump(Fs.parent(partPath), Seq(Fs.name(partPath)))
 
   /** True iff BOTH parts are stamped and `part` is at least as new as
     * `baseline`. Absent manifest / absent stamps → false (never trust).
@@ -104,17 +99,14 @@ object StoreManifest {
     * was built from.
     */
   def corpusFingerprint(tablePath: String): String = {
-    val root = Paths.get(tablePath)
-    if (!Files.isDirectory(root)) return "absent"
-    val s = Files.walk(root)
-    val listing =
-      try s.iterator().asScala
-        .filter(p => Files.isRegularFile(p) &&
-          !p.getFileName.toString.startsWith("_") &&
-          !p.getFileName.toString.startsWith("."))
-        .map(p => s"${root.relativize(p)}:${Files.size(p)}")
-        .toSeq.sorted.mkString("\n")
-      finally s.close()
+    if (!Fs.isDir(tablePath)) return "absent"
+    val listing = Fs.listFilesRecursive(tablePath)
+      .filter { case (p, _) =>
+        val n = Fs.name(p)
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map { case (p, sz) => s"${Fs.relativize(tablePath, p)}:$sz" }
+      .sorted.mkString("\n")
     java.security.MessageDigest.getInstance("MD5")
       .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }

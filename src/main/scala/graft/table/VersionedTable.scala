@@ -1,7 +1,5 @@
 package graft.table
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -34,17 +32,16 @@ import org.apache.spark.sql.functions._
   * == Commit protocol (put-if-absent) ==
   * Data files are written FIRST, under a directory only this commit uses
   * (`data/c<N>/`); the commit becomes visible only when
-  * `_log/v<N>.manifest` is published with an ATOMIC create-new
-  * (`StandardOpenOption.CREATE_NEW` — the local-FS analogue of an object
-  * store's if-none-match put or a log service's conditional append). Two
-  * writers who both read version v and both try to publish v+1 race on
-  * that create: exactly one wins, the loser gets
-  * [[java.util.ConcurrentModificationException]] and its orphaned data
-  * directory is invisible to every reader (GC'd out of band, as in any
-  * lakehouse). The conflict check is therefore not a lock around the
-  * merge work — both writers do their copy-on-write in parallel — but a
-  * single atomic point at publication, which is what lets a 1000-executor
-  * merge run lock-free.
+  * `_log/v<N>.manifest` is published with an atomic create-no-overwrite
+  * through [[Fs]] (HDFS namenode create; an object store's if-none-match
+  * put; `CREATE_NEW` on the local FS). Two writers who both read version
+  * v and both try to publish v+1 race on that create: exactly one wins,
+  * the loser gets [[java.util.ConcurrentModificationException]] and its
+  * orphaned data directory is invisible to every reader (GC'd out of
+  * band, as in any lakehouse). The conflict check is therefore not a lock
+  * around the merge work — both writers do their copy-on-write in
+  * parallel — but a single atomic point at publication, which is what
+  * lets a 1000-executor merge run lock-free.
   *
   * == Copy-on-write merge, bucket-pruned ==
   * Rows hash into [[nBuckets]] buckets by key (`pmod(key, nBuckets)`), and
@@ -90,23 +87,17 @@ final class VersionedTable(
     keyCol: String,
     nBuckets: Int = 16) {
 
-  private val logDir = Paths.get(root, "_log")
+  private val logDir = Fs.resolve(root, "_log")
   private def manifestPath(v: Long) =
-    logDir.resolve(f"v$v%08d.manifest")
+    Fs.resolve(logDir, f"v$v%08d.manifest")
   private def checkpointPath(v: Long) =
-    logDir.resolve(f"v$v%08d.checkpoint")
+    Fs.resolve(logDir, f"v$v%08d.checkpoint")
 
   private def listLog(suffix: String): Seq[Long] =
-    if (!Files.isDirectory(logDir)) Seq.empty
-    else {
-      val stream = Files.list(logDir)
-      try stream.toArray.map(_.toString)
-        .map(p => Paths.get(p).getFileName.toString)
-        .collect { case s if s.startsWith("v") && s.endsWith(suffix) =>
-          s.stripPrefix("v").stripSuffix(suffix).toLong
-        }.toSeq
-      finally stream.close()
-    }
+    Fs.list(logDir).map(Fs.name)
+      .collect { case s if s.startsWith("v") && s.endsWith(suffix) =>
+        s.stripPrefix("v").stripSuffix(suffix).toLong
+      }
 
   /** Highest committed version, 0 if the table doesn't exist yet. */
   def currentVersion(): Long = {
@@ -126,7 +117,7 @@ final class VersionedTable(
     val live = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val ckpt = listLog(".checkpoint").filter(_ <= v).sorted.lastOption
     ckpt.foreach { c =>
-      Files.readAllLines(checkpointPath(c)).forEach { line =>
+      Fs.readLines(checkpointPath(c)).foreach { line =>
         line.split(" ", 3) match {
           case Array("add", b, p) => live(p) = b.toInt
           case _ =>
@@ -134,7 +125,7 @@ final class VersionedTable(
       }
     }
     (ckpt.getOrElse(0L) + 1L to v).foreach { i =>
-      Files.readAllLines(manifestPath(i)).forEach { line =>
+      Fs.readLines(manifestPath(i)).foreach { line =>
         line.split(" ", 3) match {
           case Array("add", b, p) => live(p) = b.toInt
           case Array("remove", p) => live.remove(p)
@@ -155,9 +146,12 @@ final class VersionedTable(
     require(v >= 1, s"table $root has no commits to checkpoint")
     val lines = liveFiles(v).map { case (b, p) => s"add $b $p" }
     val body = (s"checkpoint $v" +: lines).mkString("", "\n", "\n")
-    if (!Files.exists(checkpointPath(v)))
-      Files.write(checkpointPath(v), body.getBytes("UTF-8"),
-        StandardOpenOption.CREATE_NEW)
+    if (!Fs.exists(checkpointPath(v)))
+      try Fs.createNew(checkpointPath(v), body.getBytes("UTF-8"))
+      catch {
+        // a concurrent checkpointer beat us — the content is identical
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+      }
     v
   }
 
@@ -232,7 +226,7 @@ final class VersionedTable(
     headerTokenStr(v, token).map(_.toLong)
 
   private def headerTokenStr(v: Long, token: String): Option[String] = {
-    val header = Files.readAllLines(manifestPath(v)).get(0)
+    val header = Fs.readLines(manifestPath(v)).head
     val parts = header.split(" ")
     parts.indexOf(token) match {
       case -1 => None
@@ -262,11 +256,10 @@ final class VersionedTable(
     df.withColumn("b", bucketOf(col(keyCol), nB))
       .repartition(col("b")) // one shuffle: co-locate each bucket's rows
       .write.partitionBy("b").parquet(s"$root/$dataDir")
-    val out = new java.io.File(s"$root/$dataDir")
-    Option(out.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("b="))
-      .map(f => (f.getName.stripPrefix("b=").toInt, s"$dataDir/${f.getName}"))
-      .toSeq.sortBy(_._1)
+    Fs.list(s"$root/$dataDir").map(Fs.name)
+      .filter(_.startsWith("b="))
+      .map(nm => (nm.stripPrefix("b=").toInt, s"$dataDir/$nm"))
+      .sortBy(_._1)
   }
 
   /** Publish manifest `v` atomically; throws
@@ -276,14 +269,12 @@ final class VersionedTable(
     */
   private def publish(v: Long, basedOn: Long, lines: Seq[String],
       extraHeader: String = ""): Unit = {
-    Files.createDirectories(logDir)
+    Fs.mkdirs(logDir)
     val body = (s"version $v basedOn $basedOn$extraHeader" +: lines)
       .mkString("", "\n", "\n")
-    try
-      Files.write(manifestPath(v), body.getBytes("UTF-8"),
-        StandardOpenOption.CREATE_NEW)
+    try Fs.createNew(manifestPath(v), body.getBytes("UTF-8"))
     catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
           s"VersionedTable $root: cannot commit version $v based on " +
             s"$basedOn — a concurrent writer already committed $v; " +
@@ -407,7 +398,7 @@ final class VersionedTable(
   private def touchedBetween(vA: Long, vB: Long): Set[Int] = {
     val out = scala.collection.mutable.Set.empty[Int]
     (vA + 1 to vB).foreach { i =>
-      Files.readAllLines(manifestPath(i)).forEach { line =>
+      Fs.readLines(manifestPath(i)).foreach { line =>
         line.split(" ", 3) match {
           case Array("add", b, _) => out += b.toInt
           case Array("remove", p) =>
@@ -556,13 +547,11 @@ final class VersionedTable(
     require(version >= 1 && version <= currentVersion(),
       s"cannot tag version $version of [1, ${currentVersion()}]")
     require(name.matches("[A-Za-z0-9._-]+"), s"illegal tag name '$name'")
-    val dir = logDir.resolve("tags")
-    Files.createDirectories(dir)
-    try
-      Files.write(dir.resolve(name), s"$version\n".getBytes("UTF-8"),
-        StandardOpenOption.CREATE_NEW)
+    val dir = Fs.resolve(logDir, "tags")
+    Fs.mkdirs(dir)
+    try Fs.createNew(Fs.resolve(dir, name), s"$version\n".getBytes("UTF-8"))
     catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
         throw new IllegalStateException(
           s"tag '$name' already exists (tags are immutable; pick a new name)")
     }
@@ -570,9 +559,9 @@ final class VersionedTable(
 
   /** Resolve a tag to its pinned version. */
   def tagVersion(name: String): Long = {
-    val p = logDir.resolve("tags").resolve(name)
-    require(Files.exists(p), s"no such tag '$name'")
-    Files.readAllLines(p).get(0).trim.toLong
+    val p = Fs.resolve(Fs.resolve(logDir, "tags"), name)
+    require(Fs.exists(p), s"no such tag '$name'")
+    Fs.readLines(p).head.trim.toLong
   }
 
   /** Read the snapshot a tag pins — `read(tagVersion(name))`. */
@@ -598,36 +587,22 @@ final class VersionedTable(
     (retainFrom to cur).foreach { v =>
       liveFiles(v).foreach { case (_, p) => keep += p }
     }
-    val dataRoot = Paths.get(root, "data")
-    if (!Files.isDirectory(dataRoot)) return 0
+    val dataRoot = Fs.resolve(root, "data")
+    if (!Fs.isDir(dataRoot)) return 0
     // bucket dirs on disk: data/c*/b=*; delete those not in the keep set
-    val commits = {
-      val s = Files.list(dataRoot)
-      try s.toArray.map(p => Paths.get(p.toString)).toSeq finally s.close()
-    }
     var deleted = 0
-    commits.foreach { cdir =>
-      val buckets = {
-        val s = Files.list(cdir)
-        try s.toArray.map(p => Paths.get(p.toString)).toSeq finally s.close()
-      }
-      buckets.filter(b => b.getFileName.toString.startsWith("b=")).foreach { b =>
-        val rel = s"data/${cdir.getFileName}/${b.getFileName}"
+    Fs.list(dataRoot).foreach { cdir =>
+      Fs.list(cdir).filter(b => Fs.name(b).startsWith("b=")).foreach { b =>
+        val rel = s"data/${Fs.name(cdir)}/${Fs.name(b)}"
         if (!keep(rel)) {
-          org.apache.commons.io.FileUtils.deleteDirectory(b.toFile)
+          Fs.deleteRecursive(b)
           deleted += 1
         }
       }
       // a commit dir with no bucket data left is itself reclaimed (stray
       // write markers like _SUCCESS go with it)
-      val bucketsLeft = {
-        val s = Files.list(cdir)
-        try s.toArray.map(_.toString)
-          .count(p => Paths.get(p).getFileName.toString.startsWith("b="))
-        finally s.close()
-      }
-      if (bucketsLeft == 0)
-        org.apache.commons.io.FileUtils.deleteDirectory(cdir.toFile)
+      if (!Fs.list(cdir).exists(p => Fs.name(p).startsWith("b=")))
+        Fs.deleteRecursive(cdir)
     }
     deleted
   }

@@ -149,4 +149,33 @@ class ChangeDataFeedSpec extends SparkTestBase {
     assert(cd.exists() && cd.listFiles().exists(d =>
       d.isDirectory && d.listFiles().exists(_.getName.startsWith("p="))))
   }
+
+  test("CDF protocol upgrade on a feature-listed table: readerFeatures " +
+      "emitted ONLY at minReaderVersion >= 3 (PROTOCOL.md), preserved at 3") {
+    // mwv=7 with mrv=1 is legal (writer features without reader features);
+    // the upgrade must not invent a readerFeatures array strict foreign
+    // readers would reject
+    val root = tmpTable("graft-cdf-proto1")
+    DeltaLog.commitAppend(root, spark.range(0, 5).toDF("id"))
+    Files.write(java.nio.file.Paths.get(root, "_delta_log", f"${1L}%020d.json"),
+      java.util.Arrays.asList("""{"protocol":{"minReaderVersion":1,""" +
+        """"minWriterVersion":7,"writerFeatures":["invariants"]}}"""))
+    val v = DeltaLog.setTableProperties(root,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    val pj = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      root, "_delta_log", f"$v%020d.json")), "UTF-8")
+    assert(pj.contains(""""changeDataFeed"""") &&
+      !pj.contains(""""readerFeatures""""), pj)
+    assert(DeltaLog.read(spark, root).count() == 5L)
+    // at mrv=3 (a DV'd table) the existing readerFeatures ARE carried
+    val root3 = tmpTable("graft-cdf-proto3")
+    DeltaLog.commitAppend(root3, spark.range(0, 10).toDF("id"))
+    DeltaLog.deleteWhere(spark, root3, col("id") === 0) // upgrades to mrv 3
+    val v3 = DeltaLog.setTableProperties(root3,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    val pj3 = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      root3, "_delta_log", f"$v3%020d.json")), "UTF-8")
+    assert(pj3.contains(""""readerFeatures":["deletionVectors"]""") &&
+      pj3.contains(""""changeDataFeed""""), pj3)
+  }
 }

@@ -68,7 +68,7 @@ class DeletionVectorsSpec extends SparkTestBase {
     assert(d.storageType == "u" && d.cardinality == 4L)
     assert(DeletionVectors.readPositions(root, d).toSeq == pos.sorted.toSeq)
     // corrupt one payload byte → CRC refusal (silent misread is data loss)
-    val path = DeletionVectors.dvPath(root, d)
+    val path = java.nio.file.Paths.get(DeletionVectors.dvPath(root, d))
     val bytes = Files.readAllBytes(path)
     bytes(6) = (bytes(6) ^ 0x1).toByte
     Files.write(path, bytes)
@@ -309,5 +309,41 @@ class DeletionVectorsSpec extends SparkTestBase {
     // post-optimize snapshot has no DVs → incremental reads work again
     // (from the optimize version on; the optimize itself is dataChange=false)
     assert(DeltaLog.changedFilePaths(root, dv, ov).isEmpty)
+  }
+
+  test("DV delete in a table root containing URI-encodable characters " +
+      "(space, '%', '+'): deleted rows stay deleted — the anti-join key " +
+      "decodes _metadata.file_path before stripping the root") {
+    // _metadata.file_path renders percent-encoded; an undecoded strip
+    // would produce a never-matching join key and silently RESURRECT
+    // every DV-deleted row in such a root
+    val root = Files.createTempDirectory("graft dv %enc").toString + "/t bl+x"
+    DeltaLog.commitAppend(root, spark.range(0, 50).toDF("id").repartition(2))
+    val (_, n) = DeltaLog.deleteWhere(spark, root, col("id") < 10)
+    assert(n == 10L)
+    val after = DeltaLog.read(spark, root)
+    assert(after.count() == 40L,
+      "DV-deleted rows resurrected in a URI-encodable table root")
+    assert(after.filter(col("id") < 10).count() == 0L)
+    // second delete unions correctly through the same decoded key
+    val (_, n2) = DeltaLog.deleteWhere(spark, root, col("id") < 20)
+    assert(n2 == 10L && DeltaLog.read(spark, root).count() == 30L)
+  }
+
+  test("a foreign add whose deletionVector node is malformed (missing " +
+      "required fields) refuses loudly instead of resurrecting its rows") {
+    val root = tmpTable("graft-dv-malformed")
+    DeltaLog.commitAppend(root, spark.range(0, 10).toDF("id"))
+    val file = DeltaLog.snapshotFiles(spark, root).head
+    // a descriptor node PRESENT but lacking storageType/pathOrInlineDv:
+    // defaulting cardinality to 0 would read it as "no DV" — a misread
+    val line = s"""{"add":{"path":"$file","size":1,"partitionValues":{},""" +
+      """"dataChange":true,"deletionVector":{"cardinality":5}}}"""
+    Files.write(java.nio.file.Paths.get(root, "_delta_log", f"${1L}%020d.json"),
+      java.util.Arrays.asList(line))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.read(spark, root).count()
+    }
+    assert(e.getMessage.contains("malformed deletionVector"), e.getMessage)
   }
 }

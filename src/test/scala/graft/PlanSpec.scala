@@ -1325,6 +1325,69 @@ class PlanSpec extends SparkTestBase {
       s"DV anti-join must broadcast: ${joins.head.nodeName} ${joins.head.joinType}")
   }
 
+  test("partitioned Delta read: ONE file scan regardless of partition-value " +
+      "count; partition decoration is a broadcast join") {
+    import graft.sources.DeltaLog
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-plan-part")
+      .toString + "/tbl"
+    // 40 distinct partition values — the former union-per-value plan
+    // built 40 FileSourceScan children (driver planning blowup on a
+    // date-partitioned table); the flat plan must stay ONE scan + one
+    // broadcast (file → partitionValues) decoration at ANY value count
+    DeltaLog.commitAppendPartitioned(root,
+      spark.range(0, 1000).select(col("id"), (col("id") % 40).as("p")),
+      createPartitionBy = Seq("p"))
+    val df = DeltaLog.read(spark, root)
+    assert(df.count() == 1000L)
+    val plan = executed(df)
+    val scans = collectAll(plan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.length == 1,
+      s"one flat scan expected over 40 partition values, got ${scans.length}")
+    val joins = collectAll(plan).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty && joins.forall(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"partition decoration must broadcast, got ${joins.map(_.nodeName)}")
+    // the decoded partition column round-trips typed values exactly
+    assert(df.filter(col("p") === 7).count() == 25L)
+    assert(df.groupBy().sum("p").collect()(0).getLong(0) ==
+      (0L until 1000L).map(_ % 40).sum)
+  }
+
+  test("q272 ANN search is served by the store: postings scan reads ONLY the " +
+      "probed list partitions, the corpus scan is the pushed-down query set") {
+    import graft.queries.Similarity
+    val df = Similarity.q272AnnStoreSearch(spark, sfDir)
+    df.collect()
+    val scans = collectAll(executed(df)).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // the scoring side reads the persisted postings, never the corpus
+    val postingsFiles = scans
+      .flatMap(_.relation.location.inputFiles)
+      .filter(_.contains("annstore/postings"))
+    assert(postingsFiles.nonEmpty, "the search must be served by the store")
+    assert(postingsFiles.forall(_.contains("/list=")),
+      s"every postings input must be a pruned list partition:\n" +
+        postingsFiles.take(5).mkString("\n"))
+    val probedLists = postingsFiles
+      .map(p => p.substring(p.indexOf("list=") + 5).takeWhile(_ != '/')).toSet
+    assert(probedLists.size <= 20,
+      s"at most queries x nprobe = 20 list partitions, got ${probedLists.size}")
+    // the corpus parquet appears only for the 10 query vectors — the
+    // vec_id predicate must reach the scan
+    val corpusScans = scans.filter(_.relation.location.inputFiles
+      .exists(f => f.contains("embeddings.parquet")))
+    assert(corpusScans.nonEmpty)
+    assert(corpusScans.forall(_.metadata.get("PushedFilters")
+        .exists(_.contains("vec_id"))),
+      "the query-set read must push vec_id < 10 into the corpus scan")
+  }
+
   test("q226: the only cross product is the documented tiny hours x types grid") {
     val df = EventsOps.q226CorrMatrix(spark, sfDir)
     df.collect()

@@ -112,6 +112,13 @@ class StoreMaintSpec extends SparkTestBase {
       s"null-predicate rows must survive the rewrite, got ${left.toSeq}")
   }
 
+  /** nio view of an Fs-listing path string (file:/... or plain). */
+  private def nio(p: String): java.nio.file.Path = {
+    val u = java.net.URI.create(p)
+    if (u.getScheme == null) java.nio.file.Paths.get(p)
+    else java.nio.file.Paths.get(u)
+  }
+
   test("eraseKeys: frame-keyed erase rewrites only files holding a subject, " +
       "matches the predicate erase, and is a no-op on a miss") {
     def keyDf(ids: Long*): DataFrame =
@@ -124,7 +131,7 @@ class StoreMaintSpec extends SparkTestBase {
     spark.range(10, 20).select(col("id"), lit("b").as("tag"))
       .coalesce(1).write.mode("append").parquet(dir)
     val before = StoreMaint.dataFiles(dir)
-      .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p)).toMap
+      .map(p => nio(p).getFileName.toString -> Files.getLastModifiedTime(nio(p))).toMap
     val rewritten = StoreMaint.eraseKeys(spark, dir, Seq.empty, "id",
       keyDf(2L, 5L, 7L))
     assert(rewritten == 1L, s"only the file holding ids 2/5/7: $rewritten")
@@ -134,8 +141,8 @@ class StoreMaintSpec extends SparkTestBase {
     // the untouched file is the SAME file (not rewritten bytes)
     val untouched = before.filter { case (n, _) =>
       StoreMaint.dataFiles(dir).exists(p =>
-        p.getFileName.toString == n &&
-          Files.getLastModifiedTime(p) == before(n))
+        nio(p).getFileName.toString == n &&
+          Files.getLastModifiedTime(nio(p)) == before(n))
     }
     assert(untouched.nonEmpty, "the b-file must carry byte-identical")
     // missing keys: no file rewrites
@@ -172,7 +179,7 @@ class StoreMaintSpec extends SparkTestBase {
     assert(StoreMaint.dataFileCount(dir) == 1L)
     assert(spark.read.parquet(dir).orderBy(col("id")).collect().toSeq == before)
     val state1 = StoreMaint.dataFiles(dir)
-      .map(f => (f.toString, JFiles.size(f), JFiles.getLastModifiedTime(f))).toSet
+      .map(f => (nio(f).toString, JFiles.size(nio(f)), JFiles.getLastModifiedTime(nio(f)))).toSet
     // SECOND pass: one under-target file per directory — nothing can
     // merge, so the pass must be a literal no-op (0 rewritten, every
     // file untouched in place); the old full-table rewrite re-copied
@@ -180,7 +187,7 @@ class StoreMaintSpec extends SparkTestBase {
     // defeating its own purpose
     assert(StoreMaint.compact(spark, dir, Seq.empty, 512L << 20) == 0L)
     assert(StoreMaint.dataFiles(dir)
-      .map(f => (f.toString, JFiles.size(f), JFiles.getLastModifiedTime(f))).toSet == state1,
+      .map(f => (nio(f).toString, JFiles.size(nio(f)), JFiles.getLastModifiedTime(nio(f)))).toSet == state1,
       "an already-compacted store must carry every file byte-identical in place")
     // fresh small appends: maintenance rewrites ONLY the new tail — the
     // compacted file is over... still under target here, so guard it by
@@ -268,7 +275,7 @@ class StoreMaintSpec extends SparkTestBase {
       CorpusOps.appendLexStore(docs.filter(pmod(col("doc_id"), lit(8L)) === i), store))
     val victim = docs.select(min(col("doc_id"))).collect()(0).getLong(0)
     def inv(path: String): Map[String, Long] =
-      StoreMaint.dataFiles(path).map(p => p.toString -> Files.size(p)).toMap
+      StoreMaint.dataFiles(path).map(p => nio(p).toString -> Files.size(nio(p))).toMap
     val hitFiles = spark.read.parquet(s"$store/postings")
       .withColumn("__f", input_file_name()).filter(col("doc_id") === victim)
       .select("__f").distinct().collect()
@@ -371,5 +378,38 @@ class StoreMaintSpec extends SparkTestBase {
     assert(StoreMaint.dataFileCount(s"$store/bands") < preFiles)
     assert(Dedup.pairsFromIncremental(spark, store)
       .orderBy(col("id_a"), col("id_b")).collect().toSeq == cleaned)
+  }
+
+  test("q272 ANN store: erased subjects never surface as neighbors, appended " +
+      "vectors do, and a stale postings manifest REFUSES to serve") {
+    import graft.queries.Similarity
+    val out = Similarity.q272AnnStoreSearch(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // the CDF-erased subjects (vec_id % 37 == 3) must never be neighbors
+    assert(!out.exists(_.getAs[Number]("neighbor_id").longValue % 37 == 3),
+      "a feed-erased vector surfaced as a neighbor — erasure did not propagate")
+    // the store postings hold no erased rows and DO hold appended ones
+    val store = Similarity.q272Store(spark, sfDir)
+    val postings = spark.read.parquet(s"$store/postings")
+    assert(postings.filter(col("vec_id") % 37 === 3).count() == 0L)
+    assert(postings.filter(col("vec_id") % 5 === 4).count() > 0L,
+      "the appended 5th of the corpus must be searchable")
+    // every posting's list id is a known centroid label
+    val cents = spark.read.parquet(s"$store/centroids")
+      .select(col("c_label").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(postings.select(col("list").cast("long")).distinct().collect()
+      .forall(r => cents(r.getLong(0))))
+    // STALENESS REFUSAL: centroids newer than postings means assignments
+    // were made under a different quantizer — serving would mis-route
+    graft.table.StoreManifest.bump(store, Seq("centroids"))
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.q272AnnStoreSearch(spark, sfDir)
+      }
+      assert(e.getMessage.contains("STALE"), e.getMessage)
+    } finally {
+      graft.table.StoreManifest.bump(store, Seq("postings")); ()
+    }
+    assert(Similarity.q272AnnStoreSearch(spark, sfDir).collect().length == out.length)
   }
 }
