@@ -504,6 +504,14 @@ object ScaleSmoke {
       // asserts everywhere; the audit frame records per-verb files/secs
       ("q254_maintenance_campaign",
         graft.queries.CorpusOps.maintenanceCampaign _, scaledDir),
+      // ANN-store maintenance campaign: build (4/5 of Nx embeddings) ->
+      // append (1/5, assigned against the frozen centroids) -> CDF-driven
+      // erase -> probe-pruned search, every verb COLD on a fresh store on
+      // BOTH sides. Build/append/erase are data-sized by design; the
+      // serve stage reads nprobe/k of the postings; output stays
+      // queries x 5 whatever the corpus (the ratio gates the verbs)
+      ("q272_ann_campaign",
+        graft.queries.Similarity.annMaintenanceCampaign _, scaledDir),
       // pointer doubling: ONE random recursive tree over Nx nodes; depth
       // grows by ln N, so the fixed log-depth round count must still
       // saturate (the require proves it) while each round's node-keyed

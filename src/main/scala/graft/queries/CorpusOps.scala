@@ -1068,7 +1068,21 @@ object CorpusOps {
     wandTopKBatch(spark, dir, queries)._2
       .write.mode("overwrite").parquet(s"$out/topk")
     graft.table.StoreManifest.bump(out, Seq("queries", "topk"))
+    // pin the corpus the ranking was computed over: a consumer must be
+    // able to tell "this topk ranks THAT corpus" without trusting mtimes
+    graft.table.StoreManifest.recordCorpus(out,
+      graft.table.StoreManifest.corpusFingerprint(s"$dir/documents.parquet"))
   }
+
+  /** Refuse artifacts whose recorded corpus fingerprint no longer matches
+    * the corpus — a ranking over yesterday's corpus silently serving
+    * today's queries is wrong results, not slow ones.
+    */
+  private def requireFleetArtifactsFresh(dir: String, artifacts: String): Unit =
+    require(graft.table.StoreManifest.corpusMatches(artifacts,
+        graft.table.StoreManifest.corpusFingerprint(s"$dir/documents.parquet")),
+      s"fleet artifacts at $artifacts are STALE: the corpus at $dir has " +
+        "changed since they were materialized — re-run fleetArtifacts")
 
   /** Brute restatement of the fleet: the same derived queries (row_number
     * over (df DESC, term) restates TakeOrdered-then-rank exactly), every
@@ -1539,8 +1553,24 @@ object CorpusOps {
     * (query, doc) emits the window. Work is bounded by the ranked docs'
     * lengths × their span count — result-page-sized, never corpus-shaped.
     */
-  def q262FleetSnippetText(spark: SparkSession, dir: String): DataFrame = {
-    val spans = q258FleetSnippets(spark, dir)
+  def q262FleetSnippetText(spark: SparkSession, dir: String): DataFrame =
+    snippetTextCore(spark, dir, q258FleetSnippets(spark, dir))
+
+  /** [[q262FleetSnippetText]] served from MATERIALIZED fleet artifacts
+    * (see [[fleetArtifacts]]): the spans come from
+    * [[q258FleetSnippetsFrom]]'s stored-ranking path, so the heaviest
+    * bench row's production shape re-derives NO fleet DAG — one ranked
+    * frame feeds scorecard, spans and page text. Freshness-gated on the
+    * recorded corpus fingerprint (stale artifacts REFUSE).
+    */
+  def q262FleetSnippetTextFrom(spark: SparkSession, dir: String,
+      artifacts: String): DataFrame = {
+    requireFleetArtifactsFresh(dir, artifacts)
+    snippetTextCore(spark, dir, q258FleetSnippetsFrom(spark, dir, artifacts))
+  }
+
+  private def snippetTextCore(spark: SparkSession, dir: String,
+      spans: DataFrame): DataFrame = {
     val docs = spans.select(col("doc_id")).distinct()
     val toks = positionsFor(spark, dir, None, Some(docs))
     toks.join(broadcast(spans), Seq("doc_id"))

@@ -358,8 +358,38 @@ object Similarity {
     * quantizer with stale assignments would mis-route probes — wrong
     * results, not slow ones).
     */
-  def q272AnnStoreSearch(spark: SparkSession, dir: String): DataFrame = {
-    val store = q272Store(spark, dir)
+  def q272AnnStoreSearch(spark: SparkSession, dir: String): DataFrame =
+    annSearchFrom(spark, dir, q272Store(spark, dir))
+
+  /** The ANN store's MAINTENANCE CAMPAIGN as one cold pipeline — build
+    * from the base 4/5ths, append the last 5th against the frozen
+    * centroids, CDF-driven erase, then serve — on a FRESH store every
+    * call, so a scale row times every verb on both its sides: the claim
+    * under test is that index build, append, erasure and serve are all
+    * data-sized (the q254 contract, applied to the embedding store).
+    */
+  def annMaintenanceCampaign(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLog
+    val root = graft.Tables.fixtureRoot("q272camp", dir)
+    val f = new java.io.File(root)
+    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    val store = s"$root/annstore"
+    val e = Tables(spark, dir, "embeddings")
+    buildAnnStore(spark, store, e.filter(pmod(col("vec_id"), lit(5)) =!= 4))
+    appendAnnStore(e.filter(pmod(col("vec_id"), lit(5)) === 4), store)
+    val delta = s"$root/delta"
+    DeltaLog.commitAppend(delta, e.select(col("vec_id")))
+    DeltaLog.setTableProperties(delta,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    val v1 = DeltaLog.currentVersion(delta)
+    DeltaLog.deleteWhere(spark, delta, pmod(col("vec_id"), lit(37)) === 3)
+    syncAnnStoreFromFeed(spark, store,
+      DeltaLog.readChangeFeed(spark, delta, v1, DeltaLog.currentVersion(delta)))
+    annSearchFrom(spark, dir, store)
+  }
+
+  private def annSearchFrom(spark: SparkSession, dir: String,
+      store: String): DataFrame = {
     require(graft.table.StoreManifest.partFresh(store, "postings", "centroids"),
       s"ANN store $store: postings are STALE relative to centroids — " +
         "reassign (rebuild or re-append) before serving")

@@ -524,6 +524,23 @@ class CorpusOpsSpec extends SparkTestBase {
       "the ranked frame must come off disk")
     assert(!from.queryExecution.optimizedPlan.toString.contains("Window"),
       "the stored-ranking path must not re-run the fleet ranking windows")
+    // q262 (page text, the heaviest bench row) also has a production
+    // shape off the same one ranking
+    val textCold = CorpusOps.q262FleetSnippetText(spark, sfDir).collect().toSeq
+    val textFrom = CorpusOps.q262FleetSnippetTextFrom(spark, sfDir, out)
+      .collect().toSeq
+    assert(textFrom == textCold, "stored-ranking page text must equal the cold one")
+    // STALENESS REFUSAL: artifacts pinned to a different corpus
+    // fingerprint must refuse, not silently rank yesterday's corpus
+    val stale = java.nio.file.Files.createTempDirectory("graft_fleet_stale")
+      .toString + "/fleet"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(out), new java.io.File(stale))
+    graft.table.StoreManifest.recordCorpus(stale, "not-the-corpus")
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.q262FleetSnippetTextFrom(spark, sfDir, stale)
+    }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
   }
 
   test("q68 incremental dedup: new-vs-existing split respected, one best match per new doc") {
