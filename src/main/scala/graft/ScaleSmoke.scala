@@ -559,8 +559,12 @@ object ScaleSmoke {
         graft.queries.Dedup.q41DroppedBlocks(spark, scaledDir).count()
       else -1L
 
+    // key names carry the REAL replica count (a 100x row must not label
+    // its numbers t10x — the r15 artifact-hygiene lesson: committed JSON
+    // is emitted by the harness verbatim, never hand-renamed)
     val parts = results.map { case (name, t1, t10, r1, r10) =>
-      s""""$name":{"t1x":$t1,"t10x":$t10,"ratio":${t10 / t1},"rows1x":$r1,"rows10x":$r10}"""
+      s""""$name":{"t1x":$t1,"t${Replicas}x":$t10,"ratio":${t10 / t1},""" +
+        s""""rows1x":$r1,"rows${Replicas}x":$r10}"""
     }
     // parts may be empty under SPARK_GRAFT_ONLY — prefix each entry with
     // its own comma so the JSON never grows a trailing one

@@ -180,7 +180,16 @@ object DeltaLog {
     val p = commitPath(root, v)
     val (sz, mt) =
       if (Fs.isFile(p)) (Fs.size(p), Fs.mtimeMillis(p))
-      else (-1L, -1L)
+      else newestCheckpointAtOrBelow(root, v) match {
+        // the version's JSON was trimmed by retention — fingerprint the
+        // checkpoint that now carries it instead. A table deleted and
+        // REBUILT at the same path/version (fixtures do this) must never
+        // serve the old build's snapshot: its checkpoint differs in
+        // bytes/mtime even when its version number does not.
+        case Some((_, parts)) if parts.nonEmpty && Fs.isFile(parts.head) =>
+          (Fs.size(parts.head), Fs.mtimeMillis(parts.head))
+        case _ => (-1L, -1L)
+      }
     (Fs.qualified(root), v, withAdds, sz, mt)
   }
 
@@ -359,10 +368,10 @@ object DeltaLog {
       }
     }
     val mode = columnMappingMode(metaDataJson)
-    if (mode != "none" && mode != "name")
+    if (mode != "none" && mode != "name" && mode != "id")
       throw new UnsupportedOperationException(
         s"DeltaLog $root: unsupported table feature delta.columnMapping.mode=$mode; " +
-          "this reader supports modes 'none' and 'name'")
+          "this reader supports modes 'none', 'name' and 'id'")
   }
 
   // -----------------------------------------------------------------------
@@ -372,6 +381,14 @@ object DeltaLog {
   // logical RENAMEs, which is the feature's whole point); readers bind the
   // physical schema and project back to logical names.
   // -----------------------------------------------------------------------
+
+  /** The LATEST metaData's mapping mode — the stream source's id-mode
+    * refusal gate reads it (its partition readers bind by physical NAME;
+    * a true id-mode file's names match nothing and would null-fill —
+    * a silent misread the batch path avoids by field-id binding).
+    */
+  private[graft] def latestColumnMappingMode(root: String): String =
+    columnMappingMode(latestMetaDataJson(root))
 
   private def columnMappingMode(metaDataJson: Option[String]): String =
     metaDataJson.map(mapper.readTree).flatMap(m =>
@@ -385,17 +402,33 @@ object DeltaLog {
     else f.name
 
   /** The schema as the DATA FILES spell it: every (arbitrarily nested)
-    * struct field renamed to its physicalName. Types and order untouched.
+    * struct field renamed to its physicalName, CARRYING the mapping id as
+    * `parquet.field.id` metadata — on 'id'-mode tables Spark's parquet
+    * reader (with `spark.sql.parquet.fieldId.read.enabled`) binds columns
+    * by that id rather than by name, and the writer stamps it into new
+    * files so foreign id-mode readers bind them too. Types and order
+    * untouched.
     */
-  private def toPhysical(dt: DataType): DataType = dt match {
-    case s: StructType => StructType(s.fields.map(f =>
-      StructField(physicalNameOf(f), toPhysical(f.dataType), f.nullable, f.metadata)))
-    case a: org.apache.spark.sql.types.ArrayType =>
-      a.copy(elementType = toPhysical(a.elementType))
-    case m: org.apache.spark.sql.types.MapType =>
-      m.copy(keyType = toPhysical(m.keyType), valueType = toPhysical(m.valueType))
-    case other => other
-  }
+  private def toPhysical(dt: DataType, withFieldIds: Boolean = false): DataType =
+    dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        val b = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        // stamped ONLY where id binding is wanted: id-mode reads and all
+        // mapped writes — a name-mode READ schema carrying ids would make
+        // Spark refuse the foreign table's id-less files outright
+        if (withFieldIds && f.metadata.contains("delta.columnMapping.id"))
+          b.putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+        StructField(physicalNameOf(f), toPhysical(f.dataType, withFieldIds),
+          f.nullable, b.build())
+      })
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = toPhysical(a.elementType, withFieldIds))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = toPhysical(m.keyType, withFieldIds),
+          valueType = toPhysical(m.valueType, withFieldIds))
+      case other => other
+    }
 
   /** The metaData's partitionColumns (logical names, empty when absent). */
   private def partitionColumnsOf(metaDataJson: Option[String]): Seq[String] =
@@ -493,7 +526,18 @@ object DeltaLog {
       schemaJson: Option[String], metaDataJson: Option[String],
       withPos: Boolean): DataFrame = {
     val logical = schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
-    val mapped = logical.isDefined && columnMappingMode(metaDataJson) == "name"
+    val mode = columnMappingMode(metaDataJson)
+    val mapped = logical.isDefined && (mode == "name" || mode == "id")
+    // id mode binds parquet columns by FIELD ID, not name: the physical
+    // schema [[toPhysical]] builds carries `parquet.field.id` metadata,
+    // and this flag makes Spark's parquet reader honor it. ignoreMissing
+    // keeps id-less files on name matching against physicalName — both
+    // for id-mode files a sloppy writer produced AND for name-mode
+    // tables read later in the same session (the flag is session-global)
+    if (mapped && mode == "id") {
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+    }
     val partCols = partitionColumnsOf(metaDataJson)
     val metaCols: Seq[org.apache.spark.sql.Column] =
       if (!withPos) Seq.empty
@@ -501,7 +545,7 @@ object DeltaLog {
         col("_metadata.row_index").as("__dv_pos"))
     def scanFlat(paths: Seq[String]): DataFrame = logical match {
       case Some(ls) if mapped =>
-        val ps = toPhysical(ls).asInstanceOf[StructType]
+        val ps = toPhysical(ls, withFieldIds = mode == "id").asInstanceOf[StructType]
         spark.read.schema(ps).parquet(paths: _*)
           .select(ls.fields.zip(ps.fields).map { case (lf, pf) =>
             col(pf.name).cast(lf.dataType).as(lf.name)
@@ -527,7 +571,8 @@ object DeltaLog {
     val partSet = partCols.toSet
     val dataSchema = StructType(ls.fields.filterNot(f => partSet(f.name)))
     val dataPhys =
-      if (mapped) toPhysical(dataSchema).asInstanceOf[StructType] else dataSchema
+      if (mapped) toPhysical(dataSchema, withFieldIds = mode == "id").asInstanceOf[StructType]
+      else dataSchema
     val partFields = ls.fields.filter(f => partSet(f.name))
     val pvSchema = StructType(
       StructField("__pv_file", org.apache.spark.sql.types.StringType,
@@ -1348,27 +1393,59 @@ object DeltaLog {
     * version's own schema).
     */
   private def evolutionActions(root: String, df: DataFrame): Seq[String] = {
-    requireWritable(root)
-    latestMetaData(root) match {
-      case Some((_, schema)) if schema != df.schema.json =>
-        // update schemaString IN PLACE on the latest metaData node:
-        // id, format, partitionColumns and configuration pass through
-        // verbatim — a fresh minimal metaData here would silently strip
-        // a partitioned table's layout on its first schema evolution
-        val node = mapper.readTree(latestMetaDataJson(root).get)
-          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-        node.put("schemaString", df.schema.json)
-        Seq(s"""{"metaData":${node.toString}}""")
-      case _ => Seq.empty
+    if (columnMappingMode(latestMetaDataJson(root)) != "none") {
+      // MAPPED tables accept appends (commitAppendPartitioned writes the
+      // physical layout) but NOT schema evolution: a new column needs a
+      // fresh mapping id from delta.columnMapping.maxColumnId, an
+      // explicit-evolution verb this writer does not implement — refuse
+      // rather than emit files no mapped reader can bind
+      val ls = latestMetaData(root)
+        .map(m => DataType.fromJson(m._2).asInstanceOf[StructType])
+        .getOrElse(new StructType())
+      val same = ls.fields.map(f => (f.name, f.dataType)).toSeq ==
+        df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      if (!same) throw new UnsupportedOperationException(
+        s"DeltaLog $root: schema evolution on a column-mapped table needs " +
+          "fresh mapping ids — evolve the table with its owning engine; " +
+          s"append columns ${df.schema.fieldNames.mkString(",")} vs table " +
+          s"${ls.fieldNames.mkString(",")}")
+      Seq.empty
+    } else {
+      requireWritable(root)
+      latestMetaData(root) match {
+        case Some((_, schema)) if schema != df.schema.json =>
+          // update schemaString IN PLACE on the latest metaData node:
+          // id, format, partitionColumns and configuration pass through
+          // verbatim — a fresh minimal metaData here would silently strip
+          // a partitioned table's layout on its first schema evolution
+          val node = mapper.readTree(latestMetaDataJson(root).get)
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          node.put("schemaString", df.schema.json)
+          Seq(s"""{"metaData":${node.toString}}""")
+        case _ => Seq.empty
+      }
     }
   }
 
-  /** WRITER GATE: this writer emits parquet with LOGICAL field names and
-    * no mapping bookkeeping, so committing into a column-mapped table
-    * would interleave unmapped files with mapped ones — readable by
-    * nobody. Column-mapped foreign tables are READ-ONLY here (the
-    * protocol agrees: mapping demands writer version ≥ 5 / the
-    * columnMapping writerFeature, which this writer does not declare).
+  /** `df` respelled as the DATA FILES of a mapped table must spell it:
+    * physical field names + `parquet.field.id` metadata (stamped into
+    * the written footers so id-mode readers bind the new files). Nested
+    * renames ride the positional struct cast.
+    */
+  private def toPhysicalDf(df: DataFrame, ls: StructType): DataFrame = {
+    val phys = toPhysical(ls, withFieldIds = true).asInstanceOf[StructType]
+    df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    df.select(ls.fields.zip(phys.fields).map { case (lf, pf) =>
+      col(lf.name).cast(pf.dataType).as(pf.name, pf.metadata)
+    }.toIndexedSeq: _*)
+  }
+
+  /** ROW-LEVEL-VERB GATE for column-mapped tables: APPENDS into mapped
+    * tables are supported (commitAppendPartitioned writes the physical
+    * layout), but the row-level verbs this gate guards (DELETE, MERGE,
+    * OPTIMIZE, property commits) also rewrite/derive per-file state whose
+    * mapped spelling this writer has not implemented end-to-end — they
+    * refuse rather than risk a mixed-layout table.
     */
   private def requireWritable(root: String): Unit = {
     val meta = latestMetaDataJson(root)
@@ -1380,9 +1457,9 @@ object DeltaLog {
       }
     if (mapped)
       throw new UnsupportedOperationException(
-        s"DeltaLog $root: refusing to write into a column-mapped table " +
-          "(delta.columnMapping); this writer supports mode 'none' — " +
-          "column-mapped foreign tables are read-only")
+        s"DeltaLog $root: refusing this verb on a column-mapped table " +
+          "(delta.columnMapping); appends are supported, row-level " +
+          "rewrites of column-mapped foreign tables are read-only surface")
     // partitioned tables are WRITABLE: writeDataFiles hash-routes rows
     // into Hive-style partition directories and emits one add action per
     // file group with its partitionValues — the refusal gate narrowed to
@@ -1437,7 +1514,18 @@ object DeltaLog {
       throw new IllegalArgumentException(
         s"DeltaLog $root: table is partitioned by ${partCols.mkString(",")} — " +
           s"cannot append with layout ${createPartitionBy.mkString(",")}")
-    val adds = writeDataFiles(root, next, df, partCols)
+    // COLUMN-MAPPED tables: write the PHYSICAL layout — fields renamed to
+    // their physicalName with parquet field ids stamped, partition
+    // directories (and thus partitionValues keys) physical-named — so the
+    // new files interleave with the foreign ones indistinguishably
+    val (wdf, wPartCols) =
+      if (next == 0L || columnMappingMode(latestMetaDataJson(root)) == "none")
+        (df, partCols)
+      else {
+        val ls = latestSchema(root)
+        (toPhysicalDf(df, ls), partCols.map(c => physicalNameOf(ls(c))))
+      }
+    val adds = writeDataFiles(root, next, wdf, wPartCols)
     publish(root, next,
       header ++ adds.map(w =>
         addAction(w.path, w.size, partitionValues = w.partitionValues,

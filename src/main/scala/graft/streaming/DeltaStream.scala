@@ -64,8 +64,16 @@ object DeltaStream {
     * With `readChangeFeed=true` the schema gains the feed's typed
     * columns (`_change_type`, `_commit_version`).
     */
-  private[streaming] def schemaFor(root: String, cdf: Boolean): StructType = {
+  private[graft] def schemaFor(root: String, cdf: Boolean): StructType = {
     require(root != null, "DeltaStream requires option 'path'")
+    // id-mode tables bind parquet columns by FIELD ID; this source's
+    // partition readers bind by physical NAME and null-fill absences
+    // (the evolution contract) — on a true id-mode file that is a silent
+    // misread, so refuse loudly (batch [[DeltaLog.read]] supports id mode)
+    if (DeltaLog.latestColumnMappingMode(root) == "id")
+      throw new UnsupportedOperationException(
+        s"DeltaStream $root: streaming reads of 'id'-mode column-mapped " +
+          "tables are not supported — use the batch reader")
     // every field reads NULLABLE regardless of the declared schema — a
     // column added by schema evolution null-fills in pre-evolution files
     // even when the evolving writer recorded it non-nullable (the same

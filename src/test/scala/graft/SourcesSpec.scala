@@ -650,16 +650,15 @@ class SourcesSpec extends SparkTestBase {
     // the stream source refuses the same table at schema resolution
     val e1s = intercept[UnsupportedOperationException] { DeltaLog.latestSchema(vc) }
     assert(e1s.getMessage.contains("minReaderVersion=3"))
-    // 'id'-mode column mapping: parquet FIELD-ID matching, which this
-    // name-matching reader does not implement — refuse, never misread.
-    // Checked from the metaData key independently of the protocol version
-    // (buggy writers); 'name' mode is SUPPORTED (its own test below).
+    // an UNKNOWN column-mapping mode (a future protocol's) still refuses —
+    // 'none', 'name' AND 'id' are the supported set (id-mode reads bind by
+    // parquet field id; its own test below)
     val cm = authorTable(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-      """{"delta.columnMapping.mode":"id"}""")
+      """{"delta.columnMapping.mode":"fancy-future-mode"}""")
     val e2 = intercept[UnsupportedOperationException] { DeltaLog.read(spark, cm) }
-    assert(e2.getMessage.contains("delta.columnMapping.mode=id") &&
-      e2.getMessage.contains("supports modes 'none' and 'name'"), e2.getMessage)
+    assert(e2.getMessage.contains("delta.columnMapping.mode=fancy-future-mode") &&
+      e2.getMessage.contains("supports modes 'none', 'name' and 'id'"), e2.getMessage)
     // a plain reader-version-1 table with benign configuration still reads
     val ok = authorTable(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
@@ -1205,20 +1204,103 @@ class SourcesSpec extends SparkTestBase {
     assert(streamed.columns.toSeq == Seq("doc_id", "lang"))
     assert(streamed.orderBy(col("doc_id")).collect().map(_.getLong(0)).toSeq ==
       ((0L until 4L) ++ (10L until 13L)))
-    // this writer emits logical-named unmapped parquet — committing into a
-    // mapped table would interleave unreadable files, so it must refuse
+    // APPENDS into a mapped table write the PHYSICAL layout: the new
+    // file carries physical column names (+ field ids), interleaving
+    // with the foreign files indistinguishably; the logical read unions
+    val av = DeltaLog.commitAppend(root,
+      spark.range(1).select((col("id") + 100L).as("doc_id"), lit("xx").as("lang"))
+        .coalesce(1))
+    val merged = DeltaLog.read(spark, root)
+    assert(merged.count() == 8)
+    assert(merged.filter(col("lang") === "xx").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq == Seq(100L))
+    val newFile = DeltaLog.snapshotFiles(spark, root, Some(av))
+      .filterNot(Set("f1.parquet", "f2.parquet"))
+    assert(newFile.size == 1)
+    val rawNew = spark.read.parquet(s"$root/${newFile.head}")
+    assert(rawNew.columns.toSeq == Seq("col-7a3f", "col-91bc"),
+      s"appended file must spell PHYSICAL names, got ${rawNew.columns.toSeq}")
+    // schema EVOLUTION on a mapped table still refuses (needs fresh ids)
     val e = intercept[UnsupportedOperationException] {
       DeltaLog.commitAppend(root,
-        spark.range(1).select(col("id").as("doc_id"), lit("xx").as("lang")))
+        spark.range(1).select(col("id").as("doc_id"), lit("xx").as("lang"),
+          lit(1L).as("extra")))
     }
-    assert(e.getMessage.contains("column-mapped") && e.getMessage.contains("read-only"),
-      e.getMessage)
+    assert(e.getMessage.contains("mapping ids"), e.getMessage)
+    // row-level verbs on mapped tables keep refusing
+    val e2 = intercept[UnsupportedOperationException] {
+      DeltaLog.deleteWhere(spark, root, col("doc_id") === 0L)
+    }
+    assert(e2.getMessage.contains("column-mapped"), e2.getMessage)
     // reader protocol 3 with columnMapping as the ONLY reader feature is
     // the same supported surface
     val v3 = authorMapped(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""")
     assert(DeltaLog.read(spark, v3).count() == 7)
+  }
+
+  test("DeltaLog: column mapping 'id' mode — parquet columns bind by FIELD " +
+      "ID even when file names differ from the recorded physicalName; " +
+      "appends stamp ids into new files") {
+    import graft.sources.DeltaLog
+    import org.apache.spark.sql.types._
+    val jm = new com.fasterxml.jackson.databind.ObjectMapper()
+    def fieldMeta(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val logical = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true, fieldMeta(1, "col-aaaa")),
+      StructField("lang", StringType, nullable = true, fieldMeta(2, "col-bbbb"))))
+    val root = Files.createTempDirectory("graft-delta-cmid").toString + "/tbl"
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    // the data file's column NAMES are neither logical nor physicalName —
+    // only the FIELD IDS match the mapping (the true id-mode shape: a
+    // name-based bind would read nulls or throw)
+    def idMeta(id: Long) = new MetadataBuilder().putLong("parquet.field.id", id).build()
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val fileSchema = StructType(Seq(
+      StructField("weird_x", LongType, nullable = true, idMeta(1)),
+      StructField("weird_y", StringType, nullable = true, idMeta(2))))
+    val rows = (0L until 5L).map(i => org.apache.spark.sql.Row(i, s"l$i"))
+    val tmp = s"$root/.tmp"
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), fileSchema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(root, "f1.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    val meta = """{"metaData":{"id":"cmid-01","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${jm.writeValueAsString(logical.json)},""" +
+      """"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id",""" +
+      """"delta.columnMapping.maxColumnId":"2"}}}"""
+    val sz = java.nio.file.Paths.get(root, "f1.parquet").toFile.length()
+    java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"),
+      Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""", meta,
+        s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$sz,""" +
+          """"modificationTime":1700000000000,"dataChange":true}}""")
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val out = DeltaLog.read(spark, root)
+    assert(out.columns.toSeq == Seq("doc_id", "lang"))
+    assert(out.orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      (0L until 5L).map(i => (i, s"l$i")),
+      "id-mode columns must bind by field id, not by name")
+    // append: the new file carries the physical names AND the field ids,
+    // so both id-binding and name-binding foreign readers accept it
+    DeltaLog.commitAppend(root,
+      spark.range(1).select((col("id") + 50L).as("doc_id"), lit("zz").as("lang")))
+    val merged = DeltaLog.read(spark, root)
+    assert(merged.count() == 6)
+    assert(merged.filter(col("lang") === "zz").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq == Seq(50L))
+    // the STREAM source binds by physical name and null-fills absences —
+    // on id-mode files that is a silent misread, so it must refuse
+    val es = intercept[UnsupportedOperationException] {
+      graft.streaming.DeltaStream.schemaFor(root, cdf = false)
+    }
+    assert(es.getMessage.contains("'id'-mode"), es.getMessage)
   }
 
   test("DeltaStream: streams under the EVOLVED schema — post-evolution " +
@@ -1319,6 +1401,36 @@ class SourcesSpec extends SparkTestBase {
     assert(DeltaLog.filesMatching(spark, root, col("k") === 55555L) ==
       Seq("r0.parquet"))
     assert(DeltaLog.lastPrunedCollectedAdds == 1L)
+  }
+
+  test("snapshot cache: a table DELETED and REBUILT at the same path and " +
+      "version — with its commit JSON trimmed behind a checkpoint — never " +
+      "serves the old build's snapshot") {
+    import graft.sources.DeltaLog
+    val base = Files.createTempDirectory("graft-snapcache").toString
+    val root = s"$base/tbl"
+    def build(tag: String): Unit = {
+      DeltaLog.commitAppend(root,
+        spark.range(0, 10).select(col("id"), lit(tag).as("tag")))
+      DeltaLog.commitAppend(root,
+        spark.range(10, 20).select(col("id"), lit(tag).as("tag")))
+      DeltaLog.checkpoint(spark, root)
+      // trim the JSON tail — the checkpoint now carries the history, so
+      // the cache fingerprint cannot come from the commit files
+      (0L to 1L).foreach { v =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+          root, "_delta_log", f"$v%020d.json")); ()
+      }
+    }
+    build("first")
+    assert(DeltaLog.read(spark, root).filter(col("tag") === "first").count() == 20L)
+    // rebuild at the SAME path, same version count, different data files
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    build("second")
+    val again = DeltaLog.read(spark, root)
+    assert(again.count() == 20L &&
+      again.filter(col("tag") === "second").count() == 20L,
+      "a rebuilt table served the previous build's cached snapshot")
   }
 
   test("OBJECT-STORE SEAM: the commit/maintenance layer (sources/ + table/) " +
