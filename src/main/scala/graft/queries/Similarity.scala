@@ -327,26 +327,36 @@ object Similarity {
     */
   private val annStoreMemo = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** The SHARED fixture pipeline: build from the base 4/5ths, append the
+    * last 5th against the frozen centroids, erase the `vec_id % 37 == 3`
+    * subjects through a Delta CHANGE DATA FEED (the corpus owner deletes
+    * from a CDF-enabled keys table; the store syncs through the feed).
+    * Both the once-per-JVM q272 fixture and the always-cold campaign row
+    * run THIS — they must never diverge.
+    */
+  private def buildCampaignStore(spark: SparkSession, dir: String,
+      base: String): String = {
+    import graft.sources.DeltaLog
+    val f = new java.io.File(base)
+    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    val store = s"$base/annstore"
+    val e = Tables(spark, dir, "embeddings")
+    buildAnnStore(spark, store, e.filter(pmod(col("vec_id"), lit(5)) =!= 4))
+    appendAnnStore(e.filter(pmod(col("vec_id"), lit(5)) === 4), store)
+    val delta = s"$base/delta"
+    DeltaLog.commitAppend(delta, e.select(col("vec_id")))
+    DeltaLog.setTableProperties(delta,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    val v1 = DeltaLog.currentVersion(delta)
+    DeltaLog.deleteWhere(spark, delta, pmod(col("vec_id"), lit(37)) === 3)
+    syncAnnStoreFromFeed(spark, store,
+      DeltaLog.readChangeFeed(spark, delta, v1, DeltaLog.currentVersion(delta)))
+    store
+  }
+
   private[graft] def q272Store(spark: SparkSession, dir: String): String =
-    annStoreMemo.getOrElseUpdate(s"q272:$dir", {
-      import graft.sources.DeltaLog
-      val base = graft.Tables.fixtureRoot("q272", dir)
-      val f = new java.io.File(base)
-      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
-      val store = s"$base/annstore"
-      val e = Tables(spark, dir, "embeddings")
-      buildAnnStore(spark, store, e.filter(pmod(col("vec_id"), lit(5)) =!= 4))
-      appendAnnStore(e.filter(pmod(col("vec_id"), lit(5)) === 4), store)
-      val delta = s"$base/delta"
-      DeltaLog.commitAppend(delta, e.select(col("vec_id")))
-      DeltaLog.setTableProperties(delta,
-        Map("delta.enableChangeDataFeed" -> "true"))
-      val v1 = DeltaLog.currentVersion(delta)
-      DeltaLog.deleteWhere(spark, delta, pmod(col("vec_id"), lit(37)) === 3)
-      syncAnnStoreFromFeed(spark, store,
-        DeltaLog.readChangeFeed(spark, delta, v1, DeltaLog.currentVersion(delta)))
-      store
-    })
+    annStoreMemo.getOrElseUpdate(s"q272:$dir",
+      buildCampaignStore(spark, dir, graft.Tables.fixtureRoot("q272", dir)))
 
   /** q272 — ANN SEARCH SERVED BY THE STORE: q54's IVF probe + score over
     * the persisted index after an append and a feed-driven erasure. The
@@ -368,25 +378,9 @@ object Similarity {
     * under test is that index build, append, erasure and serve are all
     * data-sized (the q254 contract, applied to the embedding store).
     */
-  def annMaintenanceCampaign(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sources.DeltaLog
-    val root = graft.Tables.fixtureRoot("q272camp", dir)
-    val f = new java.io.File(root)
-    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
-    val store = s"$root/annstore"
-    val e = Tables(spark, dir, "embeddings")
-    buildAnnStore(spark, store, e.filter(pmod(col("vec_id"), lit(5)) =!= 4))
-    appendAnnStore(e.filter(pmod(col("vec_id"), lit(5)) === 4), store)
-    val delta = s"$root/delta"
-    DeltaLog.commitAppend(delta, e.select(col("vec_id")))
-    DeltaLog.setTableProperties(delta,
-      Map("delta.enableChangeDataFeed" -> "true"))
-    val v1 = DeltaLog.currentVersion(delta)
-    DeltaLog.deleteWhere(spark, delta, pmod(col("vec_id"), lit(37)) === 3)
-    syncAnnStoreFromFeed(spark, store,
-      DeltaLog.readChangeFeed(spark, delta, v1, DeltaLog.currentVersion(delta)))
-    annSearchFrom(spark, dir, store)
-  }
+  def annMaintenanceCampaign(spark: SparkSession, dir: String): DataFrame =
+    annSearchFrom(spark, dir,
+      buildCampaignStore(spark, dir, graft.Tables.fixtureRoot("q272camp", dir)))
 
   private def annSearchFrom(spark: SparkSession, dir: String,
       store: String): DataFrame = {

@@ -177,19 +177,21 @@ object DeltaLog {
 
   private def snapKey(root: String, v: Long, withAdds: Boolean)
       : (String, Long, Boolean, Long, Long) = {
-    val p = commitPath(root, v)
-    val (sz, mt) =
-      if (Fs.isFile(p)) (Fs.size(p), Fs.mtimeMillis(p))
-      else newestCheckpointAtOrBelow(root, v) match {
+    // ONE metadata call per probe (not isFile + size + mtime separately —
+    // three round-trips per cache lookup on an object store)
+    def fp(path: String): Option[(Long, Long)] =
+      Fs.fileStatus(path).collect { case (true, len, mt) => (len, mt) }
+    val (sz, mt) = fp(commitPath(root, v))
+      .orElse {
         // the version's JSON was trimmed by retention — fingerprint the
         // checkpoint that now carries it instead. A table deleted and
         // REBUILT at the same path/version (fixtures do this) must never
         // serve the old build's snapshot: its checkpoint differs in
         // bytes/mtime even when its version number does not.
-        case Some((_, parts)) if parts.nonEmpty && Fs.isFile(parts.head) =>
-          (Fs.size(parts.head), Fs.mtimeMillis(parts.head))
-        case _ => (-1L, -1L)
+        newestCheckpointAtOrBelow(root, v)
+          .flatMap(_._2.headOption).flatMap(fp)
       }
+      .getOrElse((-1L, -1L))
     (Fs.qualified(root), v, withAdds, sz, mt)
   }
 
@@ -530,10 +532,13 @@ object DeltaLog {
     val mapped = logical.isDefined && (mode == "name" || mode == "id")
     // id mode binds parquet columns by FIELD ID, not name: the physical
     // schema [[toPhysical]] builds carries `parquet.field.id` metadata,
-    // and this flag makes Spark's parquet reader honor it. ignoreMissing
-    // keeps id-less files on name matching against physicalName — both
-    // for id-mode files a sloppy writer produced AND for name-mode
-    // tables read later in the same session (the flag is session-global)
+    // and this flag makes Spark's parquet reader honor it. The flag is
+    // SQLConf-scoped (no per-read parquet option exists) so it is STICKY
+    // for the session — safe by construction: only schemas that carry
+    // parquet.field.id metadata are affected, this module stamps them
+    // only on id-mode reads, and ignoreMissing keeps id-less files on
+    // name matching (both for id-mode files a sloppy writer produced and
+    // for any other read in the session)
     if (mapped && mode == "id") {
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
       spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
@@ -1040,8 +1045,13 @@ object DeltaLog {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val footer =
+      // the SESSION Hadoop configuration, never a bare Configuration: a
+      // table on s3a/hdfs whose credentials live in spark.hadoop.* would
+      // otherwise fail the footer read into the catch-all and silently
+      // commit STATS-LESS adds — every selective read degrades to a
+      // table scan with no error surfaced
       try org.apache.parquet.hadoop.ParquetFileReader.readFooter(
-        new org.apache.hadoop.conf.Configuration(),
+        Fs.hadoopConf,
         new org.apache.hadoop.fs.Path(file.toString))
       catch { case _: Throwable => return None }
     val md = footer.getFileMetaData
@@ -1402,8 +1412,12 @@ object DeltaLog {
       val ls = latestMetaData(root)
         .map(m => DataType.fromJson(m._2).asInstanceOf[StructType])
         .getOrElse(new StructType())
-      val same = ls.fields.map(f => (f.name, f.dataType)).toSeq ==
-        df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      // compare names + TYPE TEXT: the table schema's nested fields carry
+      // delta.columnMapping metadata the user's frame never has, and
+      // StructField equality includes metadata — `.sql` renders types
+      // metadata-free at every nesting level
+      val same = ls.fields.map(f => (f.name, f.dataType.sql)).toSeq ==
+        df.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq
       if (!same) throw new UnsupportedOperationException(
         s"DeltaLog $root: schema evolution on a column-mapped table needs " +
           "fresh mapping ids — evolve the table with its owning engine; " +

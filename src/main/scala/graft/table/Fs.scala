@@ -37,7 +37,27 @@ object Fs {
   private def conf: Configuration =
     SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new Configuration())
+      .getOrElse {
+        // EXECUTOR-SIDE fallback (task threads have no active session):
+        // rebuild the session's `spark.hadoop.*` overlay from the
+        // executor's SparkConf — SparkEnv ships it to every executor, so
+        // credentials/endpoints configured on the driver reach the
+        // executor-side sidecar reads (DV bitmap decode) too
+        val c = new Configuration()
+        Option(org.apache.spark.SparkEnv.get).foreach { env =>
+          env.conf.getAll.foreach { case (k, v) =>
+            if (k.startsWith("spark.hadoop."))
+              c.set(k.stripPrefix("spark.hadoop."), v)
+          }
+        }
+        c
+      }
+
+  /** Session Hadoop configuration (driver) / reconstructed overlay
+    * (executor) — for callers that drive Hadoop APIs directly (parquet
+    * footer reads) and must see the same credentials this seam uses.
+    */
+  private[graft] def hadoopConf: Configuration = conf
 
   /** Hadoop path from a string spelling (scheme-less → default FS). */
   def hp(s: String): HPath = new HPath(s)
@@ -66,6 +86,28 @@ object Fs {
   }
 
   def exists(s: String): Boolean = { val p = hp(s); fsOf(p).exists(p) }
+
+  /** (isFile, length, mtimeMillis) in ONE metadata call, None when the
+    * path does not exist — callers probing a file's fingerprint must not
+    * pay three round-trips on an object store.
+    */
+  def fileStatus(s: String): Option[(Boolean, Long, Long)] = {
+    val p = hp(s)
+    try {
+      val st = fsOf(p).getFileStatus(p)
+      Some((st.isFile, st.getLen, st.getModificationTime))
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** A path string as returned by Spark's `input_file_name()` — a
+    * PERCENT-ENCODED URI — normalized to the decoded Path spelling the
+    * rest of this seam (and Spark's own path resolution) expects. A
+    * scheme-less string passes through unchanged.
+    */
+  def fromUriString(s: String): String = {
+    val u = try java.net.URI.create(s) catch { case _: Throwable => return s }
+    if (u.getScheme == null) s else new HPath(u).toString
+  }
 
   def isFile(s: String): Boolean = {
     val p = hp(s)
@@ -146,18 +188,30 @@ object Fs {
   }
 
   /** CREATE-NO-OVERWRITE — the single-winner commit race. Throws
-    * `org.apache.hadoop.fs.FileAlreadyExistsException` (or the raw
-    * `java.nio.file` one the local FS surfaces) when the path exists.
+    * `org.apache.hadoop.fs.FileAlreadyExistsException` when the path
+    * exists. On the LOCAL filesystem this must be a true O_EXCL create:
+    * RawLocalFileSystem's `create(overwrite = false)` is check-then-act,
+    * so two racing commit publishers could BOTH win and silently clobber
+    * each other — `File.createNewFile()` (atomic at the OS level)
+    * restores the exclusive-create guarantee `CREATE_NEW` provided.
+    * HDFS enforces exclusivity at the namenode; S3A maps to a
+    * conditional PUT on recent Hadoop versions.
     */
   def createNew(s: String, bytes: Array[Byte]): Unit = {
     val p = hp(s)
-    val fs = fsOf(p)
-    // probe first so the local RawLocalFileSystem (which happily
-    // truncates on create) still refuses; HDFS/S3A enforce natively too
-    if (fs.exists(p))
-      throw new org.apache.hadoop.fs.FileAlreadyExistsException(s)
-    val out = fs.create(p, false)
-    try out.write(bytes) finally out.close()
+    fsOf(p) match {
+      case _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        val f = new java.io.File(absPathNoScheme(s))
+        if (!f.createNewFile())
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(s)
+        val out = new java.io.FileOutputStream(f)
+        try out.write(bytes) finally out.close()
+      case fs =>
+        if (fs.exists(p))
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(s)
+        val out = fs.create(p, false)
+        try out.write(bytes) finally out.close()
+    }
   }
 
   /** Write-temp + rename-with-OVERWRITE: the atomic pointer swap. */

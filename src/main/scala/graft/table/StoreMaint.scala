@@ -75,7 +75,11 @@ object StoreMaint {
       .withColumn("__file", input_file_name())
       .filter(hitTrue)
       .select(col("__file")).distinct()
-      .collect().map(_.getString(0)).toSeq
+      // input_file_name() renders a PERCENT-ENCODED URI — decode it, or a
+      // store path containing a space/'%' makes the hit re-read fail and
+      // the delete a silent no-op (the erasure verb must never "succeed"
+      // while the subject's rows remain)
+      .collect().map(r => Fs.fromUriString(r.getString(0))).toSeq
     if (hitFiles.isEmpty) return 0L
     val survivors = spark.read.option("basePath", path)
       .parquet(hitFiles: _*)
@@ -99,7 +103,11 @@ object StoreMaint {
       .withColumn("__file", input_file_name())
       .join(k, Seq(keyCol), "left_semi")
       .select(col("__file")).distinct()
-      .collect().map(_.getString(0)).toSeq
+      // input_file_name() renders a PERCENT-ENCODED URI — decode it, or a
+      // store path containing a space/'%' makes the hit re-read fail and
+      // the delete a silent no-op (the erasure verb must never "succeed"
+      // while the subject's rows remain)
+      .collect().map(r => Fs.fromUriString(r.getString(0))).toSeq
     if (hitFiles.isEmpty) return 0L
     val survivors = spark.read.option("basePath", path)
       .parquet(hitFiles: _*)

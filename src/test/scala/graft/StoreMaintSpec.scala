@@ -380,6 +380,24 @@ class StoreMaintSpec extends SparkTestBase {
       .orderBy(col("id_a"), col("id_b")).collect().toSeq == cleaned)
   }
 
+  test("eraseWhere in a store path containing URI-encodable characters: the " +
+      "hit re-read works and the hit files are genuinely deleted") {
+    // input_file_name() renders a percent-encoded URI; an undecoded hit
+    // list makes the re-read fail or — worse — the delete a silent no-op
+    // while the erasure verb reports success
+    val dir = Files.createTempDirectory("graft erase %enc").toString + "/s tore"
+    spark.range(0, 100).select(col("id"), (col("id") % 4).as("g"))
+      .repartition(4).write.parquet(dir)
+    val filesBefore = StoreMaint.dataFileCount(dir)
+    val n = StoreMaint.eraseWhere(spark, dir, Seq.empty, col("g") === 1)
+    assert(n > 0L)
+    assert(spark.read.parquet(dir).filter(col("g") === 1).count() == 0L,
+      "erased rows must be gone from an encodable-path store")
+    assert(spark.read.parquet(dir).count() == 75L)
+    assert(StoreMaint.dataFileCount(dir) <= filesBefore,
+      "hit files must be deleted, not duplicated beside their rewrites")
+  }
+
   test("q272 ANN store: erased subjects never surface as neighbors, appended " +
       "vectors do, and a stale postings manifest REFUSES to serve") {
     import graft.queries.Similarity
