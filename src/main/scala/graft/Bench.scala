@@ -240,8 +240,12 @@ object Bench {
     // reserve digits for the WORST-case omitted count (= entries.size), so
     // the require can't fire after a full run no matter how many queries
     // the suite grows to
+    // strictly UNDER the reserve (the require below is `<`): packing to
+    // exactly tailRoom emits a line of exactly `budget` chars when the
+    // omitted count uses its full reserved digits — the off-by-one that
+    // cost this round's first bench run at 279 queries
     val tailRoom =
-      budget - head.length - s"""},"omitted":${entries.size}}""".length
+      budget - head.length - s"""},"omitted":${entries.size}}""".length - 1
     val packed = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     entries.foreach { e =>

@@ -1050,7 +1050,11 @@ object IngestOps {
       case "q241" => q241Fixture(spark, dir); ()
       case "q245" => q245Fixture(spark, dir); ()
       case "q261" => q261Fixture(spark, dir); ()
-      case "q264" | "q265" | "q266" => q264Fixture(spark, dir); ()
+      case "q264" | "q265" | "q266" | "q277" => q264Fixture(spark, dir); ()
+      case "q273" | "q274" | "q275" => q273Fixture(spark, dir); ()
+      case "q276" => q276Fixture(spark, dir); ()
+      case "q278" => q278Fixture(spark, dir); ()
+      case "q279" => Similarity.q279Store(spark, dir); ()
       case "q267" => q267Store(spark, dir); ()
       case "q268" => q200Fixture(spark, dir); ()
       case "q269" => q269Fixture(spark, dir); ()
@@ -1929,6 +1933,440 @@ object IngestOps {
     Dedup.pairsFromIncremental(spark, q271Store(spark, dir))
       .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
       .limit(100)
+
+  // -----------------------------------------------------------------------
+  // q273–q278: COLUMN-MAPPED tables as FIRST-CLASS WRITE TARGETS, the
+  // DV-commit change feed, and the id-mode stream. The mapped fixtures are
+  // authored FOREIGN-style (hand-written commit 0 with physical names and
+  // mapping ids — the shape delta-spark leaves behind the moment anyone
+  // renames a column); every verb under test is then the engine's own:
+  // DELETE/MERGE retract via deletion vectors without touching the foreign
+  // files, evolution MINTS fresh mapping ids, skipping prunes through the
+  // PHYSICAL spelling of partitionValues and stats.
+  // -----------------------------------------------------------------------
+
+  private def mappedFieldMeta(id: Long, phys: String) =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+
+  private def mappedDocsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType, nullable = true,
+        mappedFieldMeta(1, "col-d0001")),
+      StructField("text", StringType, nullable = true,
+        mappedFieldMeta(2, "col-t0002")),
+      StructField("lang", StringType, nullable = true,
+        mappedFieldMeta(3, "col-l0003"))))
+  }
+
+  /** Hand-author commit 0 of a NAME-mapped documents table — protocol 2/5
+    * + a metaData whose schemaString carries the physical names and
+    * mapping ids (maxColumnId pinned at 3, so the first evolution must
+    * mint 4). No adds: the data arrives through the engine's own mapped
+    * append, which writes the physical layout.
+    */
+  private def authorMappedDocsTable(root: String, partitioned: Boolean): Unit = {
+    val jm = new com.fasterxml.jackson.databind.ObjectMapper()
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    val pc = if (partitioned) """["lang"]""" else "[]"
+    val meta =
+      """{"metaData":{"id":"mapped-docs","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jm.writeValueAsString(mappedDocsSchema.json)},""" +
+        s""""partitionColumns":$pc,""" +
+        """"configuration":{"delta.columnMapping.mode":"name",""" +
+        """"delta.columnMapping.maxColumnId":"3"}}}"""
+    java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"),
+      Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""", meta)
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    ()
+  }
+
+  /** q273 fixture: the mapped-table twin of [[q264Fixture]] — a foreign
+    * NAME-mapped header, then the documents table appended through the
+    * engine's mapped write path as four physical-named files.
+    */
+  private[graft] def q273Fixture(spark: SparkSession, dir: String): String =
+    ReplayFixtures.ensure(dir, "q273", Seq("documents")) { root =>
+      import graft.sources.DeltaLog
+      authorMappedDocsTable(s"$root/delta", partitioned = false)
+      DeltaLog.commitAppend(s"$root/delta",
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+          .repartition(4))
+      ()
+    }
+
+  /** Clone the q273 mapped fixture into a per-run scratch root (hard
+    * links — the q239 honesty rule: every run pays the real verb).
+    */
+  private def clonedMappedDocs(spark: SparkSession, dir: String,
+      runName: String): String = {
+    q273Fixture(spark, dir)
+    val base = ReplayFixtures.fixtureRootFor(dir, "q273")
+    val scratch = new java.io.File(
+      s"${ReplayFixtures.runRoot(dir, runName)}/delta")
+    linkTree(java.nio.file.Paths.get(s"$base/delta"), scratch.toPath)
+    scratch.getPath
+  }
+
+  /** q273 — DELETION-VECTOR DELETE ON A COLUMN-MAPPED TABLE: exactly
+    * q264's two overlapping DELETEs, against a table whose data files
+    * spell physical names. The hit scan binds the physical schema and
+    * projects back to logical (the predicate is written logically), the
+    * DV pairs re-publish the SAME foreign-shaped files, and the audits
+    * pin the contract: `files_live` proves no data file was rewritten,
+    * `rows_v0` time-travels through the pre-delete mapped snapshot. This
+    * is the interop hole a real 100 TB user hits first — a renamed
+    * column makes every delta-spark table mapped, and GDPR erasure must
+    * still run.
+    */
+  def q273MappedDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLog
+    val delta = clonedMappedDocs(spark, dir, "q273")
+    val filesBefore = DeltaLog.snapshotFiles(spark, delta).toSet
+    val (_, del1) = DeltaLog.deleteWhere(spark, delta,
+      pmod(col("doc_id"), lit(3)) === 0)
+    val (v2, del2) = DeltaLog.deleteWhere(spark, delta,
+      pmod(col("doc_id"), lit(2)) === 0)
+    val filesAfter = DeltaLog.snapshotFiles(spark, delta, Some(v2)).toSet
+    val filesLive =
+      if (filesAfter == filesBefore) filesAfter.size.toLong else -1L
+    // v1 is the append (v0 is the foreign header) — the pre-delete state
+    val rowsV0 = DeltaLog.read(spark, delta, Some(1L)).count()
+    DeltaLog.read(spark, delta, Some(v2))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("len_sum"))
+      .withColumn("deleted_1", lit(del1))
+      .withColumn("deleted_2", lit(del2))
+      .withColumn("files_live", lit(filesLive))
+      .withColumn("rows_v0", lit(rowsV0))
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle: q264's, verbatim — the mapped table must behave bit-for-bit
+    * like the plain one under the same verbs.
+    */
+  val q273Sql: String = q264Sql
+
+  /** q274 — MERGE INTO A COLUMN-MAPPED TABLE: q265's upsert against the
+    * mapped fixture — matched targets retract via DVs (foreign files
+    * kept), the source lands as fresh PHYSICAL-named files
+    * indistinguishable from the foreign ones. `old_files_kept` pins the
+    * no-rewrite contract across the mapping.
+    */
+  def q274MappedMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLog
+    val delta = clonedMappedDocs(spark, dir, "q274")
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0) // one-row driver frame
+    val source = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .withColumn("text", concat(lit("U:"), col("text")))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(mx + 1))
+        .withColumn("text", concat(lit("I:"), col("text"))))
+    val filesBefore = DeltaLog.snapshotFiles(spark, delta).toSet
+    val (v, matched, inserted) =
+      DeltaLog.mergeInto(spark, delta, source, Seq("doc_id"))
+    val filesAfter = DeltaLog.snapshotFiles(spark, delta, Some(v)).toSet
+    val kept =
+      if (filesBefore.subsetOf(filesAfter)) filesBefore.size.toLong else -1L
+    DeltaLog.read(spark, delta, Some(v))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("len_sum"))
+      .withColumn("matched", lit(matched))
+      .withColumn("inserted", lit(inserted))
+      .withColumn("old_files_kept", lit(kept))
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle: q265's, verbatim. */
+  val q274Sql: String = q265Sql
+
+  /** q275 — SCHEMA EVOLUTION ON A MAPPED TABLE (add-column MINTING): an
+    * append carrying a new `score` column into the mapped fixture mints
+    * mapping id 4 (continuing `delta.columnMapping.maxColumnId`) with a
+    * fresh `col-<uuid>` physical name, in the same commit as the files.
+    * The read-back unions pre-evolution files (score null-fills) with the
+    * new physical-named ones; `mint_ok` pins the minted id/physicalName
+    * and the advanced counter. A writer that re-used an id, bound the new
+    * column by name, or dropped the old files' rows breaks the hash.
+    */
+  def q275MappedEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLog
+    val delta = clonedMappedDocs(spark, dir, "q275")
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0) // one-row driver frame
+    val extra = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .withColumn("doc_id", col("doc_id") + lit(mx + 1))
+      .withColumn("score", length(col("text")).cast("long"))
+    val v = DeltaLog.commitAppend(delta, extra)
+    val sf = DeltaLog.latestSchema(delta)("score")
+    val mintOk =
+      DeltaLog.latestColumnMappingMode(delta) == "name" &&
+        sf.metadata.contains("delta.columnMapping.id") &&
+        sf.metadata.getLong("delta.columnMapping.id") == 4L &&
+        sf.metadata.getString("delta.columnMapping.physicalName")
+          .startsWith("col-") &&
+        sf.metadata.getString("delta.columnMapping.physicalName") != "score"
+    DeltaLog.read(spark, delta, Some(v))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("len_sum"),
+        sum(when(col("score").isNull, 1L).otherwise(0L)).as("score_nulls"),
+        coalesce(sum(col("score")), lit(0L)).as("score_sum"))
+      .withColumn("mint_ok", lit(if (mintOk) 1L else 0L))
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle: the table ∪ the shifted %7 slice; pre-evolution rows are
+    * exactly the null-score ones, the new rows' score is length(text).
+    */
+  val q275Sql: String =
+    """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+      |merged AS (
+      |  SELECT doc_id, text, lang, CAST(NULL AS BIGINT) AS score
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + mx.m + 1, text, lang, CAST(length(text) AS BIGINT)
+      |  FROM documents, mx WHERE doc_id % 7 = 0
+      |)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS len_sum,
+      |  CAST(sum(CASE WHEN score IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS score_nulls,
+      |  CAST(coalesce(sum(score), 0) AS BIGINT) AS score_sum,
+      |  CAST(1 AS BIGINT) AS mint_ok
+      |FROM merged
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q276 fixture: a PARTITIONED mapped table (layout column `lang`,
+    * physical directories `col-l0003=…`) written as two commits split at
+    * doc_id ≤ mx/2 — one file per (lang, commit), so partition pruning
+    * and stats pruning each have an exact, deterministic file set.
+    */
+  private[graft] def q276Fixture(spark: SparkSession, dir: String): String =
+    ReplayFixtures.ensure(dir, "q276", Seq("documents")) { root =>
+      import graft.sources.DeltaLog
+      authorMappedDocsTable(s"$root/delta", partitioned = true)
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val mid = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+      DeltaLog.commitAppend(s"$root/delta",
+        docs.filter(col("doc_id") <= mid).repartition(col("lang")))
+      DeltaLog.commitAppend(s"$root/delta",
+        docs.filter(col("doc_id") > mid).repartition(col("lang")))
+      ()
+    }
+
+  /** q276 — DATA SKIPPING THROUGH THE MAPPING: a selective read of the
+    * partitioned mapped table where BOTH pruning tiers must translate
+    * logical names to physical before touching file metadata — the
+    * partition tier (add actions' partitionValues are keyed
+    * `col-l0003`), and the stats tier (footer-derived envelopes name
+    * `col-d0001`). `files_read` = 1 pins both: the lang partition prunes
+    * every other language's files exactly, the doc_id envelope prunes
+    * the upper-half commit. Without the translation the engine silently
+    * reads everything — correct rows, 100 TB cost.
+    */
+  def q276MappedSkipping(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLog
+    q276Fixture(spark, dir)
+    val delta = s"${ReplayFixtures.fixtureRootFor(dir, "q276")}/delta"
+    val docs = Tables(spark, dir, "documents")
+    val mid = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+    val pred = col("lang") === "en" && col("doc_id") <= mid
+    val filesRead = DeltaLog.filesMatching(spark, delta, pred).size.toLong
+    val filesTotal = DeltaLog.snapshotFiles(spark, delta).size.toLong
+    DeltaLog.readWhere(spark, delta, pred)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("len_sum"))
+      .withColumn("files_read", lit(filesRead))
+      .withColumn("files_total", lit(filesTotal))
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle: the low-half en slice; files_total restates one file per
+    * (lang, half) and files_read the single (en, low) survivor.
+    */
+  val q276Sql: String =
+    """WITH mx AS (SELECT max(doc_id) // 2 AS mid FROM documents),
+      |lo AS (SELECT count(DISTINCT lang) AS c FROM documents, mx
+      |       WHERE doc_id <= mx.mid),
+      |hi AS (SELECT count(DISTINCT lang) AS c FROM documents, mx
+      |       WHERE doc_id > mx.mid)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS len_sum,
+      |  CAST(1 AS BIGINT) AS files_read,
+      |  CAST(lo.c + hi.c AS BIGINT) AS files_total
+      |FROM documents, mx, lo, hi
+      |WHERE lang = 'en' AND doc_id <= mx.mid
+      |GROUP BY lang, lo.c, hi.c ORDER BY lang""".stripMargin
+
+  /** q277 — DV-COMMIT RETRACTIONS THROUGH THE CHANGE-FEED STREAM: a
+    * deletion-vector DELETE lands on a table that NEVER enabled the
+    * change data feed (no change files exist), and the feed stream must
+    * DERIVE the retraction — the {remove(P, oldDv), add(P, newDv)} pair
+    * resolves to exactly the rows at positions newDv \ oldDv, decoded
+    * and diffed ON THE EXECUTOR (the keep-only partition reader). Before
+    * round 17 this commit shape stopped every incremental consumer (the
+    * store syncs all ride the feed); now one DELETE on an un-instrumented
+    * table feeds downstream state its exact change set. The second
+    * DELETE overlaps the first, so a reader that emitted the full new DV
+    * (not the diff) double-announces and breaks the hash.
+    */
+  def q277DvFeedStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLog
+    q264Fixture(spark, dir)
+    val base = ReplayFixtures.runRoot(dir, "q277")
+    val delta = s"$base/delta"
+    linkTree(java.nio.file.Paths.get(
+      s"${ReplayFixtures.fixtureRootFor(dir, "q264")}/delta"),
+      java.nio.file.Paths.get(delta))
+    DeltaLog.deleteWhere(spark, delta, pmod(col("doc_id"), lit(3)) === 0) // v1
+    DeltaLog.deleteWhere(spark, delta, pmod(col("doc_id"), lit(2)) === 0) // v2
+    val ss = ReplayFixtures.replaySession(spark)
+    val q = ss.readStream
+      .format(classOf[graft.streaming.DeltaStream].getName)
+      .option("path", delta)
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", 1L)
+      .load()
+      .writeStream
+      .format("parquet")
+      .option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    ss.read.parquet(s"$base/sink")
+      .groupBy(col("_change_type"), col("_commit_version"), col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(length(col("text"))).as("len_sum"))
+      .orderBy(col("_change_type"), col("_commit_version"), col("lang"))
+  }
+
+  /** Oracle: v0 inserts the whole table; v1 deletes the %3 rows; v2
+    * deletes the %2 rows NOT already deleted at v1 (the DV diff).
+    */
+  val q277Sql: String =
+    """WITH feed AS (
+      |  SELECT 'insert' AS ct, CAST(0 AS BIGINT) AS v, text, lang
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'delete', 1, text, lang FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT 'delete', 2, text, lang
+      |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0
+      |)
+      |SELECT ct AS _change_type, v AS _commit_version, lang,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(length(text)) AS BIGINT) AS len_sum
+      |FROM feed
+      |GROUP BY ct, v, lang
+      |ORDER BY ct, v, lang""".stripMargin
+
+  /** q278 fixture: an 'id'-mode mapped table whose foreign data file
+    * spells column names matching NEITHER the logical nor the recorded
+    * physical names — only the parquet FIELD IDS bind it (the true
+    * id-mode shape) — plus one append through the engine's own mapped
+    * writer (physical names + stamped ids).
+    */
+  private[graft] def q278Fixture(spark: SparkSession, dir: String): String =
+    ReplayFixtures.ensure(dir, "q278", Seq("documents")) { root =>
+      import graft.sources.DeltaLog
+      import org.apache.spark.sql.types._
+      val tbl = s"$root/delta"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tbl))
+      val jm = new com.fasterxml.jackson.databind.ObjectMapper()
+      val logical = StructType(Seq(
+        StructField("doc_id", LongType, nullable = true,
+          mappedFieldMeta(1, "col-a0001")),
+        StructField("lang", StringType, nullable = true,
+          mappedFieldMeta(2, "col-b0002"))))
+      def idMeta(id: Long) = new MetadataBuilder()
+        .putLong("parquet.field.id", id).build()
+      val fileSchema = StructType(Seq(
+        StructField("weird_x", LongType, nullable = true, idMeta(1)),
+        StructField("weird_y", StringType, nullable = true, idMeta(2))))
+      // Spark's write default stamps parquet.field.id metadata into the
+      // footer — no session conf needed
+      val tmp = s"$tbl/.tmp"
+      Tables(spark, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id").as("weird_x"), col("lang").as("weird_y"))
+        .select(fileSchema.fields.map(f =>
+          col(f.name).as(f.name, f.metadata)).toIndexedSeq: _*)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(tbl, "f1.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      val sz = java.nio.file.Paths.get(tbl, "f1.parquet").toFile.length()
+      val logDir = java.nio.file.Paths.get(tbl, "_delta_log")
+      java.nio.file.Files.createDirectories(logDir)
+      val meta =
+        """{"metaData":{"id":"idmode-docs","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${jm.writeValueAsString(logical.json)},""" +
+          """"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id",""" +
+          """"delta.columnMapping.maxColumnId":"2"}}}"""
+      java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"),
+        Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          meta,
+          s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$sz,""" +
+            """"modificationTime":0,"dataChange":true}}""")
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+      DeltaLog.commitAppend(tbl,
+        Tables(spark, dir, "documents")
+          .filter(col("doc_id") >= 40 && col("doc_id") < 80)
+          .select(col("doc_id"), col("lang")))
+      ()
+    }
+
+  /** q278 — STREAMING AN 'id'-MODE TABLE: the partition readers bind
+    * each column by the file footer's parquet FIELD ID (the foreign
+    * file's names match nothing — a name bind would null-fill every
+    * row), falling back to physical-name matching on id-less files. Both
+    * commits stream; the aggregate restates the two slices. Before
+    * round 17 id-mode tables refused to stream; now the stream serves
+    * the same rows the batch field-id read does.
+    */
+  def q278IdModeStream(spark: SparkSession, dir: String): DataFrame = {
+    q278Fixture(spark, dir)
+    val delta = s"${ReplayFixtures.fixtureRootFor(dir, "q278")}/delta"
+    val base = ReplayFixtures.runRoot(dir, "q278")
+    val ss = ReplayFixtures.replaySession(spark)
+    val q = ss.readStream
+      .format(classOf[graft.streaming.DeltaStream].getName)
+      .option("path", delta)
+      .option("maxVersionsPerTrigger", 1L)
+      .load()
+      .writeStream
+      .format("parquet")
+      .option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    ss.read.parquet(s"$base/sink")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle: the doc_id < 80 slice — wrong-column binding (null doc_ids
+    * or shuffled langs) breaks both aggregates.
+    */
+  val q278Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM documents WHERE doc_id < 80
+      |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** q246 fixture: a Delta history with OPTIMIZE commits INTERLEAVED
     * between appends — the shape an incremental consumer actually tails.
@@ -3155,6 +3593,12 @@ object IngestOps {
     "q268_delta_idempotent_sink" -> q268DeltaIdempotentSink _,
     "q269_change_feed_stream" -> q269ChangeFeedStream _,
     "q271_feed_sig_sync" -> q271FeedSigSync _,
+    "q273_mapped_delete" -> q273MappedDelete _,
+    "q274_mapped_merge" -> q274MappedMerge _,
+    "q275_mapped_evolution" -> q275MappedEvolution _,
+    "q276_mapped_skipping" -> q276MappedSkipping _,
+    "q277_dv_feed_stream" -> q277DvFeedStream _,
+    "q278_idmode_stream" -> q278IdModeStream _,
     "q246_delta_changes" -> q246DeltaChanges _,
     "q248_delta_stream" -> q248DeltaStreamRead _,
     "q249_incremental_lexstore" -> q249IncrementalLexStore _,
@@ -3206,6 +3650,12 @@ object IngestOps {
     "q268_delta_idempotent_sink" -> q268Sql,
     "q269_change_feed_stream" -> q266Sql,
     "q271_feed_sig_sync" -> overFeedMerged(Dedup.q40Sql),
+    "q273_mapped_delete" -> q273Sql,
+    "q274_mapped_merge" -> q274Sql,
+    "q275_mapped_evolution" -> q275Sql,
+    "q276_mapped_skipping" -> q276Sql,
+    "q277_dv_feed_stream" -> q277Sql,
+    "q278_idmode_stream" -> q278Sql,
     "q246_delta_changes" -> q246Sql,
     "q248_delta_stream" -> q248Sql,
     "q249_incremental_lexstore" -> CorpusOps.q56Sql,

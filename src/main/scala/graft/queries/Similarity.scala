@@ -280,6 +280,27 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         (-col("best.col2")).cast("long").as("list"))
 
+  /** The store's ACTIVE GENERATION: 0 reads the original `centroids/` +
+    * `postings/` layout; a [[rebuildAnnStore]] cutover publishes
+    * generation n > 0 under `centroids-g<n>/` + `postings-g<n>/` and
+    * swaps the `_active_gen` pointer ATOMICALLY (write-temp + rename, the
+    * `_last_checkpoint` idiom) — a reader mid-cutover sees the previous
+    * generation whole, never a half-built one.
+    */
+  private def annActiveGen(store: String): Long = {
+    val p = s"$store/_active_gen"
+    if (graft.table.Fs.isFile(p))
+      graft.table.Fs.readString(p).trim.toLong
+    else 0L
+  }
+
+  /** (centroids part, postings part) directory NAMES of a generation —
+    * also the manifest part keys its freshness is stamped under.
+    */
+  private def annGenParts(gen: Long): (String, String) =
+    if (gen == 0L) ("centroids", "postings")
+    else (s"centroids-g$gen", s"postings-g$gen")
+
   /** BUILD the IVF store at `store`: `centroids/` (the frozen coarse
     * quantizer) and `postings/` (assignment lists, PARTITIONED by list id
     * — the read-side locality that lets a probe read nprobe/k of the
@@ -294,30 +315,73 @@ object Similarity {
     ()
   }
 
-  /** APPEND one batch: assign against the FROZEN stored centroids, append
-    * into the list partitions. Append IS merge (postings are per-vector
-    * rows); per-trigger small files are layout maintenance's problem
-    * ([[graft.table.StoreMaint.compact]]), not a correctness concern.
+  /** APPEND one batch: assign against the FROZEN stored centroids (of the
+    * active generation), append into its list partitions. Append IS merge
+    * (postings are per-vector rows); per-trigger small files are layout
+    * maintenance's problem ([[graft.table.StoreMaint.compact]]), not a
+    * correctness concern.
     */
   def appendAnnStore(batch: DataFrame, store: String): Unit = {
     val spark = batch.sparkSession
-    assignLists(batch, spark.read.parquet(s"$store/centroids"))
-      .write.mode("append").partitionBy("list").parquet(s"$store/postings")
-    graft.table.StoreManifest.bump(store, Seq("postings"))
+    val (cPart, pPart) = annGenParts(annActiveGen(store))
+    assignLists(batch, spark.read.parquet(s"$store/$cPart"))
+      .write.mode("append").partitionBy("list").parquet(s"$store/$pPart")
+    graft.table.StoreManifest.bump(store, Seq(pPart))
     ()
   }
 
   /** CHANGE-FEED-DRIVEN SYNC: the feed's deleted keys erase from the
-    * postings via file-level copy-on-write — only files holding a deleted
-    * vector's row rewrite, bounded by the subjects' footprint, never a
-    * corpus rescan. An embedding is derived content under every deletion
-    * regime (it reconstructs the text's semantics), so it carries the
-    * same erasure obligation as the text itself.
+    * active generation's postings via file-level copy-on-write — only
+    * files holding a deleted vector's row rewrite, bounded by the
+    * subjects' footprint, never a corpus rescan. An embedding is derived
+    * content under every deletion regime (it reconstructs the text's
+    * semantics), so it carries the same erasure obligation as the text
+    * itself.
     */
   def syncAnnStoreFromFeed(spark: SparkSession, store: String,
-      feed: DataFrame): Long =
-    graft.table.StoreMaint.eraseKeys(spark, s"$store/postings", Seq("list"),
+      feed: DataFrame): Long = {
+    val (_, pPart) = annGenParts(annActiveGen(store))
+    graft.table.StoreMaint.eraseKeys(spark, s"$store/$pPart", Seq("list"),
       "vec_id", feed.filter(col("_change_type") === "delete").select(col("vec_id")))
+  }
+
+  /** REBUILD the coarse quantizer — the verb the frozen-centroid design
+    * defers to ([[assignLists]]'s "separate rebuild decision", triggered
+    * by a drift monitor like q190): one Lloyd step from the CURRENT
+    * state. New centroid = mean of each list's currently-assigned
+    * vectors (the k-means update), every surviving vector REASSIGNED
+    * against the new centroids (the assignment step) — both
+    * deterministic, so the oracle restates them exactly. The new
+    * generation builds OFFLINE under `centroids-g<n>/` +
+    * `postings-g<n>/`, is manifest-stamped, and only then does the
+    * `_active_gen` pointer swap (atomic rename): searches during the
+    * rebuild serve the old generation; a crash mid-rebuild leaves the
+    * pointer untouched and the half-built dirs unreferenced. Returns the
+    * new generation id.
+    *
+    * Scale shape: the update step is one groupBy over the postings (mean
+    * per (list, position)); reassignment is the same broadcast-centroid
+    * scan every append runs — both data-sized, no driver-side vectors.
+    */
+  def rebuildAnnStore(spark: SparkSession, store: String): Long = {
+    val gen0 = annActiveGen(store)
+    val (_, pPart0) = annGenParts(gen0)
+    val postings = spark.read.option("basePath", s"$store/$pPart0")
+      .parquet(s"$store/$pPart0")
+    val gen = gen0 + 1
+    val (cPart, pPart) = annGenParts(gen)
+    // Lloyd update: the current assignment IS the clustering being
+    // refined — labelCentroids over (list → label) is the mean step
+    labelCentroids(postings.select(col("list").as("label"), col("embedding")))
+      .write.mode("overwrite").parquet(s"$store/$cPart")
+    assignLists(postings.select(col("vec_id"), col("embedding")),
+        spark.read.parquet(s"$store/$cPart"))
+      .write.mode("overwrite").partitionBy("list").parquet(s"$store/$pPart")
+    graft.table.StoreManifest.bump(store, Seq(cPart, pPart))
+    graft.table.Fs.replaceAtomic(s"$store/_active_gen",
+      gen.toString.getBytes("UTF-8"))
+    gen
+  }
 
   /** One fixture per (JVM, corpus): build from the base 4/5ths, append
     * the last 5th against the frozen centroids, then erase the
@@ -382,18 +446,54 @@ object Similarity {
     annSearchFrom(spark, dir,
       buildCampaignStore(spark, dir, graft.Tables.fixtureRoot("q272camp", dir)))
 
-  private def annSearchFrom(spark: SparkSession, dir: String,
+  /** The REBUILD campaign — build over the full corpus, then
+    * [[rebuildAnnStore]] (Lloyd update + full reassignment + pointer
+    * cutover), then serve from generation 1, on a FRESH store every call:
+    * the scale row times the retrain verbs cold on both sides. Build and
+    * rebuild are data-sized by design (two corpus scans + two partitioned
+    * writes); the serve stage stays probe-pruned.
+    */
+  def annRebuildCampaign(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Tables.fixtureRoot("q279camp", dir)
+    val f = new java.io.File(base)
+    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    val store = s"$base/annstore"
+    buildAnnStore(spark, store, Tables(spark, dir, "embeddings"))
+    rebuildAnnStore(spark, store)
+    annSearchFrom(spark, dir, store)
+  }
+
+  private[graft] def annSearchFrom(spark: SparkSession, dir: String,
       store: String): DataFrame = {
-    require(graft.table.StoreManifest.partFresh(store, "postings", "centroids"),
-      s"ANN store $store: postings are STALE relative to centroids — " +
+    val (cPart, pPart) = annGenParts(annActiveGen(store))
+    require(graft.table.StoreManifest.partFresh(store, pPart, cPart),
+      s"ANN store $store: $pPart is STALE relative to $cPart — " +
         "reassign (rebuild or re-append) before serving")
-    val cent = spark.read.parquet(s"$store/centroids")
+    val cent = spark.read.parquet(s"$store/$cPart")
     val probes = ivfProbes(spark, dir, 2, Some(cent))
     val lists = probes.select(col("label").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val dirs = lists.map(l => s"$store/postings/list=$l")
-      .filter(graft.table.Fs.isDir)
-    val postings = spark.read.option("basePath", s"$store/postings")
+    // a probed list directory may be ABSENT (no vector ever assigned) or
+    // EMPTIED by a CoW erasure that rewrote away its last file — both
+    // must serve an empty list, not throw "unable to infer schema", so
+    // dirs qualify on holding ≥1 parquet file and zero survivors return
+    // the typed empty top-k
+    val dirs = lists.map(l => s"$store/$pPart/list=$l")
+      .filter(d => graft.table.Fs.listFilesRecursive(d)
+        .exists(_._1.endsWith(".parquet")))
+    if (dirs.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rk",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("neighbor_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cosine",
+            org.apache.spark.sql.types.DoubleType))))
+    val postings = spark.read.option("basePath", s"$store/$pPart")
       .parquet(dirs.toIndexedSeq: _*)
     rankTop5(postings.join(broadcast(probes), col("list") === col("label"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -435,6 +535,84 @@ object Similarity {
        |    CAST(row_number() OVER (PARTITION BY p.query_id ORDER BY $cos DESC, e.vec_id) AS BIGINT) AS rk
        |  FROM probes p
        |  JOIN asg e ON e.list = p.label
+       |  JOIN embeddings q ON q.vec_id = p.query_id
+       |  WHERE e.vec_id <> p.query_id)
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** q279 fixture: build the store over the FULL corpus (generation 0,
+    * frozen per-label quantizer), then [[rebuildAnnStore]] — one Lloyd
+    * step + full reassignment, cut over atomically to generation 1.
+    */
+  private[graft] def q279Store(spark: SparkSession, dir: String): String =
+    annStoreMemo.getOrElseUpdate(s"q279:$dir", {
+      val base = graft.Tables.fixtureRoot("q279", dir)
+      val f = new java.io.File(base)
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+      val store = s"$base/annstore"
+      buildAnnStore(spark, store, Tables(spark, dir, "embeddings"))
+      rebuildAnnStore(spark, store)
+      store
+    })
+
+  /** q279 — ANN SEARCH OVER A REBUILT QUANTIZER: the q272 search served
+    * by generation 1 of the store — centroids RETRAINED by one
+    * deterministic Lloyd step from generation 0's assignment, every
+    * vector reassigned, pointer-swapped cutover. This is the verb the
+    * frozen-centroid append path defers to when q190's drift monitor
+    * fires; the oracle restates both k-means steps exactly, so a rebuild
+    * that trained on the wrong generation, reassigned against stale
+    * centroids, or served mid-cutover state breaks the hash.
+    */
+  def q279AnnRebuildSearch(spark: SparkSession, dir: String): DataFrame =
+    annSearchFrom(spark, dir, q279Store(spark, dir))
+
+  /** Oracle: cent0 = per-label means (the g0 quantizer), asg0 = argmax
+    * assignment against cent0, cent1 = per-asg0-list means (the Lloyd
+    * update), asg1 = reassignment against cent1, then q54's probe +
+    * top-5 over the g1 lists.
+    */
+  val q279Sql: String = {
+    val acos0 = cosineSql("e.embedding", "c.centroid")
+    val acos1 = cosineSql("e.embedding", "c.centroid")
+    val pcos = cosineSql("q.embedding", "c.centroid")
+    val cos = cosineSql("q.embedding", "e.embedding")
+    s"""WITH cent0 AS (
+       |  SELECT label, list(cx ORDER BY pos) AS centroid FROM (
+       |    SELECT label, t.pos, avg(CAST(embedding[t.pos] AS DOUBLE)) AS cx
+       |    FROM embeddings, range(1, 65) t(pos)
+       |    GROUP BY label, t.pos)
+       |  GROUP BY label),
+       |asg0 AS (
+       |  SELECT vec_id, embedding, list FROM (
+       |    SELECT e.vec_id, e.embedding, c.label AS list,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $acos0 DESC, c.label) AS ark
+       |    FROM embeddings e CROSS JOIN cent0 c)
+       |  WHERE ark = 1),
+       |cent1 AS (
+       |  SELECT list AS label, list(cx ORDER BY pos) AS centroid FROM (
+       |    SELECT a.list, t.pos, avg(CAST(a.embedding[t.pos] AS DOUBLE)) AS cx
+       |    FROM asg0 a, range(1, 65) t(pos)
+       |    GROUP BY a.list, t.pos)
+       |  GROUP BY list),
+       |asg1 AS (
+       |  SELECT vec_id, embedding, list FROM (
+       |    SELECT e.vec_id, e.embedding, c.label AS list,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $acos1 DESC, c.label) AS ark
+       |    FROM embeddings e CROSS JOIN cent1 c)
+       |  WHERE ark = 1),
+       |probes AS (
+       |  SELECT query_id, label FROM (
+       |    SELECT q.vec_id AS query_id, c.label,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY $pcos DESC, c.label) AS prk
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) q CROSS JOIN cent1 c)
+       |  WHERE prk <= 2)
+       |SELECT query_id, rk, neighbor_id, cosine FROM (
+       |  SELECT p.query_id, e.vec_id AS neighbor_id,
+       |    round($cos, 4) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY p.query_id ORDER BY $cos DESC, e.vec_id) AS BIGINT) AS rk
+       |  FROM probes p
+       |  JOIN asg1 e ON e.list = p.label
        |  JOIN embeddings q ON q.vec_id = p.query_id
        |  WHERE e.vec_id <> p.query_id)
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
@@ -1249,7 +1427,8 @@ object Similarity {
     "q67_kmeans_step" -> q67KmeansStep _,
     "q69_pq_search" -> q69PqSearch _,
     "q129_ivf_pq_search" -> q129IvfPqSearch _,
-    "q272_ann_store_search" -> q272AnnStoreSearch _)
+    "q272_ann_store_search" -> q272AnnStoreSearch _,
+    "q279_ann_rebuild_search" -> q279AnnRebuildSearch _)
 
   val oracles: Map[String, String] = Map(
     "q237_gram_matrix" -> q237Sql,
@@ -1266,5 +1445,6 @@ object Similarity {
     "q67_kmeans_step" -> q67Sql,
     "q69_pq_search" -> q69Sql,
     "q129_ivf_pq_search" -> q129Sql,
-    "q272_ann_store_search" -> q272Sql)
+    "q272_ann_store_search" -> q272Sql,
+    "q279_ann_rebuild_search" -> q279Sql)
 }

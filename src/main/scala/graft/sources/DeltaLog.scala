@@ -149,6 +149,30 @@ object DeltaLog {
       : Option[DeletionVectors.Descriptor] =
     Option(action.get("deletionVector")).flatMap(parseDvNode)
 
+  /** Tolerant read of a maybe-present commit file. Every "is the commit
+    * still there?" probe in this module is check-then-act against a
+    * concurrent retention trim — [[Fs.isFile]] can say yes and the read
+    * still find nothing. The FileNotFound catch IS the probe, one RPC
+    * cheaper and race-free: a mid-flight trim reads as the missing-file
+    * case the caller already tolerates, never as an error.
+    */
+  private def readLinesIfExists(path: String): Seq[String] =
+    try Fs.readLines(path)
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+
+  /** A commit file the caller REQUIRES (change-feed ranges must not
+    * silently skip a version): missing — including deleted between any
+    * earlier probe and this read — refuses with the feed-range message.
+    */
+  private def readCommitLinesOrRefuse(root: String, v: Long): Seq[String] =
+    try Fs.readLines(commitPath(root, v))
+    catch {
+      case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(
+          s"DeltaLog $root: commit $v is missing — the feed range reaches " +
+            "past retained history; start from a snapshot instead")
+    }
+
   private def jsonPartitionValues(a: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
     Option(a.get("partitionValues")).map { pv =>
       pv.fields().asScala.map { e =>
@@ -158,9 +182,9 @@ object DeltaLog {
 
   /** Bounded per-(table, version) SNAPSHOT CACHE. A committed version's
     * log content is immutable (publish is create-new), so (root, version)
-    * identifies a snapshot — fingerprinted by the version's commit-file
-    * (size, mtime) so a table recreated at the same path cannot serve a
-    * stale entry. Without it every read re-reads the checkpoint parquet
+    * identifies a snapshot — fingerprinted by a hash over the ≤-version
+    * slice of the log LISTING (names, sizes, mtimes) so a table recreated
+    * at the same path cannot serve a stale entry. Without it every read re-reads the checkpoint parquet
     * and re-parses the JSON tail — minutes of driver work PER QUERY on a
     * 10⁵-file table. LRU-bounded; the kill switch exists for scale
     * measurements that contract to time the COLD replay.
@@ -177,22 +201,37 @@ object DeltaLog {
 
   private def snapKey(root: String, v: Long, withAdds: Boolean)
       : (String, Long, Boolean, Long, Long) = {
-    // ONE metadata call per probe (not isFile + size + mtime separately —
-    // three round-trips per cache lookup on an object store)
-    def fp(path: String): Option[(Long, Long)] =
-      Fs.fileStatus(path).collect { case (true, len, mt) => (len, mt) }
-    val (sz, mt) = fp(commitPath(root, v))
-      .orElse {
-        // the version's JSON was trimmed by retention — fingerprint the
-        // checkpoint that now carries it instead. A table deleted and
-        // REBUILT at the same path/version (fixtures do this) must never
-        // serve the old build's snapshot: its checkpoint differs in
-        // bytes/mtime even when its version number does not.
-        newestCheckpointAtOrBelow(root, v)
-          .flatMap(_._2.headOption).flatMap(fp)
-      }
-      .getOrElse((-1L, -1L))
-    (Fs.qualified(root), v, withAdds, sz, mt)
+    // Fingerprint = (count, 64-bit hash) over the (name, size, mtime) of
+    // EVERY log entry at version ≤ v — commit JSON and checkpoint parts —
+    // from ONE list call. A table deleted and REBUILT at the same path
+    // (fixtures do this) must never serve the old build's snapshot: a
+    // single file's (size, mtime) can collide under coarse object-store
+    // mtime granularity, but colliding on the whole listing requires
+    // every file to collide at once, and the listing also changes when a
+    // late checkpoint compacts versions ≤ v (then the miss just replays).
+    var n = 0L
+    var h = 1125899906842597L
+    def mix(x: Long): Unit = { h = h * 31 + x }
+    Fs.listDetailed(logDir(root)).sortBy(_._1).foreach {
+      case (path, isFile, len, mt) =>
+        if (isFile) {
+          val name = Fs.name(path)
+          val ver: Option[Long] =
+            if (name.endsWith(".json") &&
+                name.length > 5 && name.dropRight(5).forall(_.isDigit))
+              Some(name.dropRight(5).toLong)
+            else name match {
+              case CkptName(vv, _, _) => Some(vv.toLong)
+              case _ => None
+            }
+          if (ver.exists(_ <= v)) {
+            n += 1
+            name.foreach(c => mix(c.toLong))
+            mix(len); mix(mt)
+          }
+        }
+    }
+    (Fs.qualified(root), v, withAdds, n, h)
   }
 
   /** Replay the log into a [[Snapshot]]. With `withAdds = false` only the
@@ -278,8 +317,7 @@ object DeltaLog {
       // latestTailAction/changedFileAdds tolerate it: a retention sweep
       // is not atomic, and a mid-flight trim must not fail snapshot reads
       // that every other path in this module survives
-      if (Fs.isFile(commitPath(root, i)))
-        Fs.readLines(commitPath(root, i)).foreach { line =>
+      readLinesIfExists(commitPath(root, i)).foreach { line =>
         if (line.nonEmpty) {
           val node = mapper.readTree(line)
           if (node.has("add")) {
@@ -533,12 +571,17 @@ object DeltaLog {
     // id mode binds parquet columns by FIELD ID, not name: the physical
     // schema [[toPhysical]] builds carries `parquet.field.id` metadata,
     // and this flag makes Spark's parquet reader honor it. The flag is
-    // SQLConf-scoped (no per-read parquet option exists) so it is STICKY
-    // for the session — safe by construction: only schemas that carry
-    // parquet.field.id metadata are affected, this module stamps them
-    // only on id-mode reads, and ignoreMissing keeps id-less files on
-    // name matching (both for id-mode files a sloppy writer produced and
-    // for any other read in the session)
+    // SQLConf-scoped and therefore STICKY for the session — a per-read
+    // `.option(...)` was MEASURED and does not work (ParquetFileFormat
+    // re-reads the session SQLConf at planning time, overriding reader
+    // options), and save/restore would break the LAZY frame this method
+    // returns (the scan plans at first action, after any restore). Safe
+    // by construction: only schemas that carry parquet.field.id metadata
+    // are affected, this module stamps them only on id-mode reads (the
+    // logical projection below strips them from the returned frame), and
+    // ignoreMissing keeps id-less files on name matching (both for
+    // id-mode files a sloppy writer produced and for any other read in
+    // the session)
     if (mapped && mode == "id") {
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
       spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
@@ -662,6 +705,19 @@ object DeltaLog {
   private[graft] def latestPhysicalNames(root: String): Map[String, String] =
     latestSchema(root).fields.map(f => f.name -> physicalNameOf(f)).toMap
 
+  /** Logical name → column-mapping FIELD ID at the latest version —
+    * what the streaming source's partition readers bind 'id'-mode files
+    * by (parquet field ids, not names). Empty unless the table's mapping
+    * mode is 'id'. Driver string work.
+    */
+  private[graft] def latestFieldIds(root: String): Map[String, Long] =
+    if (latestColumnMappingMode(root) != "id") Map.empty
+    else latestSchema(root).fields.toSeq.flatMap { f =>
+      if (f.metadata.contains("delta.columnMapping.id"))
+        Some(f.name -> f.metadata.getLong("delta.columnMapping.id"))
+      else None
+    }.toMap
+
   /** Live data-file paths (relative to `root`) at `version` (default:
     * latest): replay from the newest checkpoint at or below the version,
     * then the JSON commit tail. Order is first-add order, stable across
@@ -745,8 +801,8 @@ object DeltaLog {
     val v = version.getOrElse(cur)
     require(v >= 0 && v <= cur, s"version $v out of range [0, $cur]")
     def driverFilter(snap: Snapshot): (Seq[AddFile], Snapshot) = {
-      val partCols = partitionColumnsOf(snap.metaDataJson).toSet
-      val conjuncts = prunableConjuncts(spark, predicate, snap.schemaJson)
+      val (conjuncts, partCols) =
+        prunablePhysical(spark, predicate, snap.schemaJson, snap.metaDataJson)
       lastPrunedCollectedAdds = -1L
       (snap.adds.filter(a => conjuncts.forall { case (n, op, vv) =>
         fileMayMatch(a, n, op, vv, partCols)
@@ -762,11 +818,39 @@ object DeltaLog {
         case None => driverFilter(replay(spark, root, Some(v)))
         case Some((cv, parts)) =>
           val meta = replay(spark, root, Some(v), withAdds = false)
-          val partCols = partitionColumnsOf(meta.metaDataJson).toSet
-          val conjuncts = prunableConjuncts(spark, predicate, meta.schemaJson)
+          val (conjuncts, partCols) =
+            prunablePhysical(spark, predicate, meta.schemaJson, meta.metaDataJson)
           if (conjuncts.isEmpty) driverFilter(replay(spark, root, Some(v)))
           else (prunedAdds(spark, root, v, cv, parts, conjuncts, partCols), meta)
       }
+    }
+  }
+
+  /** Prunable conjuncts + partition columns spelled PHYSICALLY. On a
+    * column-mapped table the add actions' partitionValues keys and the
+    * stats JSON columns carry physical names, so the logical conjunct
+    * names must translate before [[StatsPrune.mayMatch]] sees them —
+    * without this a mapped table silently loses ALL data skipping (the
+    * logical names match nothing, every file conservatively reads). A
+    * conjunct whose column has no top-level physical spelling drops,
+    * which only widens the read.
+    */
+  private def prunablePhysical(spark: SparkSession,
+      predicate: org.apache.spark.sql.Column,
+      schemaJson: Option[String], metaDataJson: Option[String])
+      : (Seq[(String, CmpOp, Any)], Set[String]) = {
+    val conjuncts = prunableConjuncts(spark, predicate, schemaJson)
+    val partColsLogical = partitionColumnsOf(metaDataJson)
+    if (columnMappingMode(metaDataJson) == "none")
+      (conjuncts, partColsLogical.toSet)
+    else {
+      val ls = schemaJson
+        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+        .getOrElse(new StructType())
+      val phys = ls.fields.map(f => f.name -> physicalNameOf(f)).toMap
+      (conjuncts.flatMap { case (n, op, vv) =>
+        phys.get(n).map(p => (p, op, vv))
+      }, partColsLogical.flatMap(phys.get).toSet)
     }
   }
 
@@ -816,8 +900,7 @@ object DeltaLog {
       }
     } else lastPrunedCollectedAdds = 0L
     ((ckptVersion + 1L) to v).foreach { i =>
-      if (Fs.isFile(commitPath(root, i)))
-        Fs.readLines(commitPath(root, i)).foreach { line =>
+      readLinesIfExists(commitPath(root, i)).foreach { line =>
           if (line.nonEmpty) {
             val node = mapper.readTree(line)
             if (node.has("add")) {
@@ -983,13 +1066,32 @@ object DeltaLog {
       dirPrefix: String = ""): Seq[WrittenFile] = {
     val sub = s"${dirPrefix}c" +
       f"$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
-    if (partCols.nonEmpty) {
-      val missing = partCols.filterNot(df.columns.contains)
-      require(missing.isEmpty,
-        s"commit into a partitioned table needs its partition columns; " +
-          s"missing: ${missing.mkString(", ")}")
-      df.write.partitionBy(partCols: _*).parquet(s"$root/$sub")
-    } else df.write.parquet(s"$root/$sub")
+    def doWrite(): Unit =
+      if (partCols.nonEmpty) {
+        val missing = partCols.filterNot(df.columns.contains)
+        require(missing.isEmpty,
+          s"commit into a partitioned table needs its partition columns; " +
+            s"missing: ${missing.mkString(", ")}")
+        df.write.partitionBy(partCols: _*).parquet(s"$root/$sub")
+      } else df.write.parquet(s"$root/$sub")
+    if (df.schema.fields.exists(_.metadata.contains("parquet.field.id"))) {
+      // a mapped-layout frame ([[toPhysicalDf]] stamped ids into its
+      // schema metadata) must land with ids in the FOOTERS so id-mode
+      // readers bind the new files. Spark's write default already stamps
+      // them, but a session that disabled the flag must not silently
+      // produce id-less mapped files — force it for exactly this (eager)
+      // write and restore the caller's setting after, never leaving a
+      // sticky session conf behind.
+      val spark = df.sparkSession
+      val key = "spark.sql.parquet.fieldId.write.enabled"
+      val saved = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try doWrite()
+      finally saved match {
+        case Some(prev) => spark.conf.set(key, prev)
+        case None => spark.conf.unset(key)
+      }
+    } else doWrite()
     val base = Fs.resolve(root, sub)
     val files = Fs.listFilesRecursive(base).filter { case (p, _) =>
       val n = Fs.name(p)
@@ -1164,7 +1266,6 @@ object DeltaLog {
   def setTableProperties(root: String, props: Map[String, String]): Long = {
     require(props.nonEmpty, "no properties to set")
     require(currentVersion(root) >= 0, s"no Delta log at $root")
-    requireWritable(root)
     val metaJson = latestMetaDataJson(root).getOrElse(
       throw new IllegalArgumentException(s"no metaData action in Delta log at $root"))
     val node = mapper.readTree(metaJson)
@@ -1239,9 +1340,8 @@ object DeltaLog {
     val cur = currentVersion(root)
     val lo = newestCheckpointAtOrBelow(root, cur).map(_._1 + 1).getOrElse(0L)
     (cur to lo by -1L).iterator
-      .filter(v => Fs.isFile(commitPath(root, v)))
       .flatMap { v =>
-        Fs.readLines(commitPath(root, v)).reverseIterator
+        readLinesIfExists(commitPath(root, v)).reverseIterator
           .flatMap { line =>
             if (line.isEmpty) None
             else {
@@ -1396,89 +1496,142 @@ object DeltaLog {
         s"no metaData action in Delta log at $root"))
   }
 
-  /** A metaData action for this commit when `df`'s schema differs from
-    * the table's current one — SCHEMA EVOLUTION, published exactly as the
-    * Delta protocol prescribes (a fresh metaData action under the same
-    * table id; replay takes the latest ≤ v, so time travel keeps each
-    * version's own schema).
+  /** SCHEMA EVOLUTION for this commit: the (metaData actions, logical
+    * WRITE schema) an append of `df` into `root` publishes — empty
+    * actions + the table's own schema when nothing evolves.
+    *
+    * PLAIN tables: a differing frame schema replaces the schemaString IN
+    * PLACE on the latest metaData node (id, format, partitionColumns and
+    * configuration pass through verbatim — a fresh minimal metaData here
+    * would silently strip a partitioned table's layout on its first
+    * evolution), and the frame's own schema is the write schema.
+    *
+    * COLUMN-MAPPED tables: evolution means MINTING — each field the
+    * table has never seen gets a fresh mapping id continuing from
+    * `delta.columnMapping.maxColumnId` and a `col-<uuid>` physical name
+    * (delta-spark's own algorithm), existing fields keep their ids, and
+    * the configuration's maxColumnId advances in the same metaData
+    * action. Only ADD-column evolution is supported: a rename, retype or
+    * drop needs the owning engine's intent, not an append's, so those
+    * still refuse loudly. Field comparison is by name + TYPE TEXT
+    * (`.sql` renders metadata-free at every nesting level — the table's
+    * fields carry delta.columnMapping metadata the user's frame never
+    * has). The returned schema carries the mapping metadata the physical
+    * write ([[toPhysicalDf]]) spells; minted fields are nullable, since
+    * pre-evolution files null-fill them on read.
     */
-  private def evolutionActions(root: String, df: DataFrame): Seq[String] = {
-    if (columnMappingMode(latestMetaDataJson(root)) != "none") {
-      // MAPPED tables accept appends (commitAppendPartitioned writes the
-      // physical layout) but NOT schema evolution: a new column needs a
-      // fresh mapping id from delta.columnMapping.maxColumnId, an
-      // explicit-evolution verb this writer does not implement — refuse
-      // rather than emit files no mapped reader can bind
-      val ls = latestMetaData(root)
-        .map(m => DataType.fromJson(m._2).asInstanceOf[StructType])
-        .getOrElse(new StructType())
-      // compare names + TYPE TEXT: the table schema's nested fields carry
-      // delta.columnMapping metadata the user's frame never has, and
-      // StructField equality includes metadata — `.sql` renders types
-      // metadata-free at every nesting level
-      val same = ls.fields.map(f => (f.name, f.dataType.sql)).toSeq ==
-        df.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq
-      if (!same) throw new UnsupportedOperationException(
-        s"DeltaLog $root: schema evolution on a column-mapped table needs " +
-          "fresh mapping ids — evolve the table with its owning engine; " +
-          s"append columns ${df.schema.fieldNames.mkString(",")} vs table " +
-          s"${ls.fieldNames.mkString(",")}")
-      Seq.empty
-    } else {
-      requireWritable(root)
+  private def evolutionFor(root: String, df: DataFrame)
+      : (Seq[String], StructType) = {
+    val metaJson = latestMetaDataJson(root)
+    val ls = latestMetaData(root)
+      .map(m => DataType.fromJson(m._2).asInstanceOf[StructType])
+      .getOrElse(new StructType())
+    if (columnMappingMode(metaJson) == "none") {
       latestMetaData(root) match {
         case Some((_, schema)) if schema != df.schema.json =>
-          // update schemaString IN PLACE on the latest metaData node:
-          // id, format, partitionColumns and configuration pass through
-          // verbatim — a fresh minimal metaData here would silently strip
-          // a partitioned table's layout on its first schema evolution
-          val node = mapper.readTree(latestMetaDataJson(root).get)
+          val node = mapper.readTree(metaJson.get)
             .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
           node.put("schemaString", df.schema.json)
-          Seq(s"""{"metaData":${node.toString}}""")
-        case _ => Seq.empty
+          (Seq(s"""{"metaData":${node.toString}}"""), df.schema)
+        case _ => (Seq.empty, df.schema)
+      }
+    } else {
+      val dfTypes = df.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+      val tblNames = ls.fields.map(_.name).toSet
+      val missing = ls.fields.map(_.name).filterNot(dfTypes.contains)
+      val retyped = ls.fields
+        .filter(f => dfTypes.get(f.name).exists(_ != f.dataType.sql))
+        .map(_.name)
+      if (missing.nonEmpty || retyped.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"DeltaLog $root: this write would drop or retype mapped " +
+            s"columns (absent: ${missing.mkString(",")}; retyped: " +
+            s"${retyped.mkString(",")}) — renames/retypes/drops on a " +
+            "column-mapped table need the owning engine's intent; only " +
+            "add-column evolution (fresh mapping ids) is supported")
+      val fresh = df.schema.fields.filterNot(f => tblNames(f.name))
+      if (fresh.isEmpty) (Seq.empty, ls)
+      else {
+        // ids continue from the configuration's maxColumnId, floored by
+        // the highest id the schema itself carries — a foreign table
+        // whose writer under-maintained the counter must never mint a
+        // DUPLICATE id (id-mode readers would bind two columns)
+        val confNode0 = metaJson.map(mapper.readTree)
+          .flatMap(m => Option(m.get("configuration")))
+        val confMax = confNode0
+          .flatMap(c => Option(c.get("delta.columnMapping.maxColumnId")))
+          .filterNot(_.isNull)
+          .flatMap(n => scala.util.Try(n.asText().toLong).toOption)
+          .getOrElse(0L)
+        def maxIdIn(dt: DataType): Long = dt match {
+          case s: StructType => (0L +: s.fields.toSeq.map { f =>
+            math.max(
+              if (f.metadata.contains("delta.columnMapping.id"))
+                f.metadata.getLong("delta.columnMapping.id") else 0L,
+              maxIdIn(f.dataType))
+          }).max
+          case a: org.apache.spark.sql.types.ArrayType => maxIdIn(a.elementType)
+          case m: org.apache.spark.sql.types.MapType =>
+            math.max(maxIdIn(m.keyType), maxIdIn(m.valueType))
+          case _ => 0L
+        }
+        val base = math.max(confMax, maxIdIn(ls))
+        val minted = fresh.zipWithIndex.map { case (f, i) =>
+          val meta = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("delta.columnMapping.id", base + 1 + i)
+            .putString("delta.columnMapping.physicalName",
+              s"col-${java.util.UUID.randomUUID()}")
+            .build()
+          StructField(f.name, f.dataType, nullable = true, meta)
+        }
+        val evolved = StructType(ls.fields ++ minted)
+        val node = mapper.readTree(metaJson.get)
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        node.put("schemaString", evolved.json)
+        val confNode = Option(node.get("configuration"))
+          .collect { case o: com.fasterxml.jackson.databind.node.ObjectNode => o }
+          .getOrElse(node.putObject("configuration"))
+        confNode.put("delta.columnMapping.maxColumnId",
+          (base + fresh.length).toString)
+        node.set[com.fasterxml.jackson.databind.JsonNode]("configuration", confNode)
+        (Seq(s"""{"metaData":${node.toString}}"""), evolved)
       }
     }
   }
 
   /** `df` respelled as the DATA FILES of a mapped table must spell it:
     * physical field names + `parquet.field.id` metadata (stamped into
-    * the written footers so id-mode readers bind the new files). Nested
-    * renames ride the positional struct cast.
+    * the written footers so id-mode readers bind the new files — the
+    * stamping conf is forced, scoped and restored inside
+    * [[writeDataFiles]]). Nested renames ride the positional struct
+    * cast. `extraCols` pass through UNMAPPED — the CDC `_change_type`
+    * column is not a table column and rides change files under its own
+    * name, exactly as delta-spark spells it on mapped tables.
     */
-  private def toPhysicalDf(df: DataFrame, ls: StructType): DataFrame = {
+  private def toPhysicalDf(df: DataFrame, ls: StructType,
+      extraCols: Seq[String] = Seq.empty): DataFrame = {
     val phys = toPhysical(ls, withFieldIds = true).asInstanceOf[StructType]
-    df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     df.select(ls.fields.zip(phys.fields).map { case (lf, pf) =>
       col(lf.name).cast(pf.dataType).as(pf.name, pf.metadata)
-    }.toIndexedSeq: _*)
+    }.toIndexedSeq ++ extraCols.map(col): _*)
   }
 
-  /** ROW-LEVEL-VERB GATE for column-mapped tables: APPENDS into mapped
-    * tables are supported (commitAppendPartitioned writes the physical
-    * layout), but the row-level verbs this gate guards (DELETE, MERGE,
-    * OPTIMIZE, property commits) also rewrite/derive per-file state whose
-    * mapped spelling this writer has not implemented end-to-end — they
-    * refuse rather than risk a mixed-layout table.
+  /** The (frame, partition columns) as the table's data files must spell
+    * them: on a column-mapped table the PHYSICAL layout under
+    * `writeSchema` — the table's logical schema, or the EVOLVED one when
+    * this commit evolves ([[evolutionFor]] returns it) — with partition
+    * directories keyed by physicalName; on a plain table the identity.
+    * Every data-file-writing verb routes through this, which is what
+    * makes DELETE/MERGE/OPTIMIZE/purge first-class on mapped tables.
     */
-  private def requireWritable(root: String): Unit = {
-    val meta = latestMetaDataJson(root)
-    val mode = columnMappingMode(meta)
-    val mapped = mode != "none" ||
-      latestMetaData(root).exists { case (_, s) =>
-        DataType.fromJson(s).asInstanceOf[StructType].fields.exists(f =>
-          f.metadata.contains("delta.columnMapping.physicalName"))
-      }
-    if (mapped)
-      throw new UnsupportedOperationException(
-        s"DeltaLog $root: refusing this verb on a column-mapped table " +
-          "(delta.columnMapping); appends are supported, row-level " +
-          "rewrites of column-mapped foreign tables are read-only surface")
-    // partitioned tables are WRITABLE: writeDataFiles hash-routes rows
-    // into Hive-style partition directories and emits one add action per
-    // file group with its partitionValues — the refusal gate narrowed to
-    // column mapping only (whose physical-name bookkeeping this writer
-    // genuinely does not produce)
+  private def toWriteLayout(root: String, df: DataFrame,
+      writeSchema: StructType, extraCols: Seq[String] = Seq.empty)
+      : (DataFrame, Seq[String]) = {
+    val partCols = latestPartitionColumns(root)
+    if (columnMappingMode(latestMetaDataJson(root)) == "none") (df, partCols)
+    else (toPhysicalDf(df, writeSchema, extraCols),
+      partCols.map(c => physicalNameOf(writeSchema(c))))
   }
 
   /** The latest metaData's partition columns — what the streaming source
@@ -1519,9 +1672,9 @@ object DeltaLog {
       createPartitionBy: Seq[String],
       expectedVersion: Option[Long] = None): Long = {
     val next = expectedVersion.getOrElse(currentVersion(root)) + 1
-    val header =
-      if (next == 0L) headerActions(df, createPartitionBy)
-      else evolutionActions(root, df)
+    val (header, wls) =
+      if (next == 0L) (headerActions(df, createPartitionBy), df.schema)
+      else evolutionFor(root, df)
     val partCols =
       if (next == 0L) createPartitionBy else latestPartitionColumns(root)
     if (next > 0L && createPartitionBy.nonEmpty && createPartitionBy != partCols)
@@ -1531,14 +1684,10 @@ object DeltaLog {
     // COLUMN-MAPPED tables: write the PHYSICAL layout — fields renamed to
     // their physicalName with parquet field ids stamped, partition
     // directories (and thus partitionValues keys) physical-named — so the
-    // new files interleave with the foreign ones indistinguishably
+    // new files interleave with the foreign ones indistinguishably. The
+    // write schema is the EVOLVED one when this commit minted new ids.
     val (wdf, wPartCols) =
-      if (next == 0L || columnMappingMode(latestMetaDataJson(root)) == "none")
-        (df, partCols)
-      else {
-        val ls = latestSchema(root)
-        (toPhysicalDf(df, ls), partCols.map(c => physicalNameOf(ls(c))))
-      }
+      if (next == 0L) (df, partCols) else toWriteLayout(root, df, wls)
     val adds = writeDataFiles(root, next, wdf, wPartCols)
     publish(root, next,
       header ++ adds.map(w =>
@@ -1576,11 +1725,12 @@ object DeltaLog {
       replay(spark, root, Some(base)).txns.get(appId).exists(_ >= version)
     if (already) return base
     val next = base + 1
-    val header =
-      if (next == 0L) headerActions(df, Seq.empty)
-      else evolutionActions(root, df)
-    val partCols = if (next == 0L) Seq.empty else latestPartitionColumns(root)
-    val adds = writeDataFiles(root, next, df, partCols)
+    val (header, wls) =
+      if (next == 0L) (headerActions(df, Seq.empty), df.schema)
+      else evolutionFor(root, df)
+    val (wdf, wPartCols) =
+      if (next == 0L) (df, Seq.empty[String]) else toWriteLayout(root, df, wls)
+    val adds = writeDataFiles(root, next, wdf, wPartCols)
     publish(root, next,
       header ++
         Seq(s"""{"txn":{"appId":${jstr(appId)},"version":$version,"lastUpdated":0}}""") ++
@@ -1604,9 +1754,11 @@ object DeltaLog {
     val liveDv: Map[String, Option[DeletionVectors.Descriptor]] =
       replay(addDf.sparkSession, root, Some(base)).adds
         .map(a => a.path -> a.dv).toMap
-    val adds = writeDataFiles(root, next, addDf, latestPartitionColumns(root))
+    val (header, wls) = evolutionFor(root, addDf)
+    val (wdf, wPartCols) = toWriteLayout(root, addDf, wls)
+    val adds = writeDataFiles(root, next, wdf, wPartCols)
     publish(root, next,
-      evolutionActions(root, addDf) ++
+      header ++
         removePaths.map(p => removeAction(p, dv = liveDv.getOrElse(p, None))) ++
         adds.map(w =>
           addAction(w.path, w.size, partitionValues = w.partitionValues,
@@ -1653,7 +1805,6 @@ object DeltaLog {
       expectedVersion: Option[Long] = None): Long = {
     val base = expectedVersion.getOrElse(currentVersion(root))
     require(base >= 0, s"no Delta log at $root to optimize")
-    requireWritable(root)
     val liveAdds = replay(spark, root, Some(base)).adds
     require(liveAdds.nonEmpty, s"nothing to optimize at $root@$base")
     val next = base + 1
@@ -1662,10 +1813,12 @@ object DeltaLog {
     // re-derive from the directory segments exactly like an append's. On
     // a DV'd table `read` already yields only SURVIVING rows, and each
     // remove carries its incarnation's deletionVector so replay's
-    // exact-match rule retires it — OPTIMIZE doubles as a DV purge.
-    val adds = writeDataFiles(root, next,
-      layout(read(spark, root, Some(base))),
-      latestPartitionColumns(root))
+    // exact-match rule retires it — OPTIMIZE doubles as a DV purge. On a
+    // column-mapped table the read is logical and the write re-spells the
+    // physical layout (toWriteLayout), so OPTIMIZE is mapping-preserving.
+    val (wdf, wPartCols) = toWriteLayout(root,
+      layout(read(spark, root, Some(base))), latestSchema(root))
+    val adds = writeDataFiles(root, next, wdf, wPartCols)
     publish(root, next,
       liveAdds.map(a => removeAction(a.path, dataChange = false, dv = a.dv)) ++
         adds.map(w => addAction(w.path, w.size, dataChange = false,
@@ -1723,7 +1876,6 @@ object DeltaLog {
     import spark.implicits._
     val base = expectedVersion.getOrElse(currentVersion(root))
     require(base >= 0, s"no Delta log at $root to delete from")
-    requireWritable(root)
     val snap = replay(spark, root, Some(base))
     if (snap.adds.isEmpty) return (base, 0L)
     val byPath: Map[String, AddFile] = snap.adds.map(a => a.path -> a).toMap
@@ -1754,11 +1906,16 @@ object DeltaLog {
       val next = base + 1
       val cdcActions =
         if (!cdf) Seq.empty[String]
-        else writeDataFiles(root, next,
-          hitRows.drop("__dv_file", "__dv_pos")
-            .withColumn("_change_type", lit("delete")),
-          latestPartitionColumns(root), dirPrefix = "_change_data/")
-          .map(w => cdcAction(w.path, w.size, w.partitionValues))
+        else {
+          // change files spell the same layout as data files — physical
+          // names on a mapped table, `_change_type` riding through as-is
+          val (cdcDf, cdcPart) = toWriteLayout(root,
+            hitRows.drop("__dv_file", "__dv_pos")
+              .withColumn("_change_type", lit("delete")),
+            latestSchema(root), extraCols = Seq("_change_type"))
+          writeDataFiles(root, next, cdcDf, cdcPart, dirPrefix = "_change_data/")
+            .map(w => cdcAction(w.path, w.size, w.partitionValues))
+        }
       publish(root, next,
         dvProtocolActions(root) ++ dvPairActions(byPath, descRows) ++ cdcActions)
       (next, rowsDeleted)
@@ -1835,13 +1992,13 @@ object DeltaLog {
       expectedVersion: Option[Long] = None): Long = {
     val base = expectedVersion.getOrElse(currentVersion(root))
     require(base >= 0, s"no Delta log at $root to purge")
-    requireWritable(root)
     val snap = replay(spark, root, Some(base))
     val dvAdds = snap.adds.filter(_.dv.exists(_.cardinality > 0))
     if (dvAdds.isEmpty) return base
     val next = base + 1
     val survivors = readAdds(spark, root, dvAdds, snap.schemaJson, snap.metaDataJson)
-    val adds = writeDataFiles(root, next, survivors, latestPartitionColumns(root))
+    val (wdf, wPartCols) = toWriteLayout(root, survivors, latestSchema(root))
+    val adds = writeDataFiles(root, next, wdf, wPartCols)
     publish(root, next,
       dvAdds.map(a => removeAction(a.path, dataChange = false, dv = a.dv)) ++
         adds.map(w => addAction(w.path, w.size, dataChange = false,
@@ -1882,7 +2039,6 @@ object DeltaLog {
       s"merge source lacks key columns: ${missing.mkString(", ")}")
     val base = expectedVersion.getOrElse(currentVersion(root))
     require(base >= 0, s"no Delta log at $root to merge into")
-    requireWritable(root)
     // the source is consumed by the count, the duplicate-key check, two
     // key joins, the data-file write, and the CDC write — persist it so
     // a nondeterministic source cannot make those views of it mutually
@@ -1905,11 +2061,14 @@ object DeltaLog {
         "which copy should win is undefined; de-duplicate the source first")
     val snap = replay(spark, root, Some(base))
     val next = base + 1
-    val partCols = latestPartitionColumns(root)
+    // evolution + mapped layout resolve ONCE: the source lands under the
+    // evolved logical schema, physically spelled on mapped tables
+    val (evoActions, wls) = evolutionFor(root, source)
+    val (srcW, wPartCols) = toWriteLayout(root, source, wls)
     if (snap.adds.isEmpty) {
-      val adds = writeDataFiles(root, next, source, partCols)
+      val adds = writeDataFiles(root, next, srcW, wPartCols)
       publish(root, next,
-        evolutionActions(root, source) ++ adds.map(w =>
+        evoActions ++ adds.map(w =>
           addAction(w.path, w.size, partitionValues = w.partitionValues,
             stats = w.stats)))
       return (next, 0L, sourceCount)
@@ -1938,7 +2097,7 @@ object DeltaLog {
       val descRows = dvRewriteRows(spark, root,
         matched.select(col("__dv_file"), col("__dv_pos")), existing)
       val matchedRows = descRows.map(_._7).sum
-      val adds = writeDataFiles(root, next, source, partCols)
+      val adds = writeDataFiles(root, next, srcW, wPartCols)
       val cdcActions =
         if (!cdf) Seq.empty[String]
         else {
@@ -1953,12 +2112,14 @@ object DeltaLog {
             .unionByName(source.join(matchedKeysDf, keyCols, "left_anti")
               .withColumn(ct, lit("insert")),
               allowMissingColumns = true)
-          writeDataFiles(root, next, changeDf, partCols,
+          val (cdcDf, cdcPart) = toWriteLayout(root, changeDf, wls,
+            extraCols = Seq(ct))
+          writeDataFiles(root, next, cdcDf, cdcPart,
             dirPrefix = "_change_data/")
             .map(w => cdcAction(w.path, w.size, w.partitionValues))
         }
       publish(root, next,
-        evolutionActions(root, source) ++
+        evoActions ++
           (if (descRows.isEmpty) Seq.empty else dvProtocolActions(root)) ++
           dvPairActions(byPath, descRows) ++
           adds.map(w => addAction(w.path, w.size,
@@ -1974,23 +2135,24 @@ object DeltaLog {
     * authoritative-cdc / derived / refusal rules). `changeType` None =
     * a cdc change file whose `_change_type` column rides IN the file;
     * Some("insert"/"delete") = derived from a cdc-less commit's
-    * dataChange=true adds/removes, a derived delete carrying the removed
-    * incarnation's deletion vector so the executor-side reader can skip
-    * the already-deleted row indexes. Driver-side string work; replay
-    * only at a derived remove.
+    * dataChange=true adds/removes: an insert's `dv` is a SKIP set (rows
+    * the file's own deletion vector already invalidates never announce);
+    * a full-file delete carries the removed incarnation's dv the same
+    * way; a DV-REWRITE pair {remove(P, oldDv), add(P, newDv)} becomes a
+    * delete entry whose `dvEmitOnly` is the NEW descriptor and `dv` the
+    * OLD — the executor-side reader emits exactly the rows at positions
+    * newDv \ oldDv, the commit's true retraction set. Driver-side string
+    * work; replay only at a derived remove.
     */
   private[graft] final case class FeedFileEntry(version: Long, path: String,
       partitionValues: Map[String, String], changeType: Option[String],
-      dv: Option[DeletionVectors.Descriptor])
+      dv: Option[DeletionVectors.Descriptor],
+      dvEmitOnly: Option[DeletionVectors.Descriptor] = None)
 
   private[graft] def changeFeedFileEntries(spark: SparkSession, root: String,
       fromVersion: Long, toVersion: Long): Seq[FeedFileEntry] =
     ((fromVersion + 1) to toVersion).flatMap { v =>
-      val p = commitPath(root, v)
-      require(Fs.isFile(p),
-        s"DeltaLog $root: commit $v is missing — the feed range reaches " +
-          "past retained history; start from a snapshot instead")
-      val lines = Fs.readLines(p).map(mapper.readTree)
+      val lines = readCommitLinesOrRefuse(root, v).map(mapper.readTree)
       def changed(node: com.fasterxml.jackson.databind.JsonNode): Boolean =
         !node.has("dataChange") || node.get("dataChange").asBoolean(true)
       val cdc = lines.filter(_.has("cdc")).map { n =>
@@ -2001,28 +2163,37 @@ object DeltaLog {
       if (cdc.nonEmpty) cdc
       else {
         val adds = lines.collect {
-          case n if n.has("add") && changed(n.get("add")) => n.get("add")
+          case n if n.has("add") && changed(n.get("add")) =>
+            val a = n.get("add")
+            AddFile(a.get("path").asText(),
+              if (a.has("size")) a.get("size").asLong() else 0L,
+              jsonPartitionValues(a), None, jsonDv(a))
         }
-        adds.find(a => jsonDv(a).exists(_.cardinality > 0)).foreach { a =>
-          throw new UnsupportedOperationException(
-            s"DeltaLog $root: commit $v retracts rows via a deletion " +
-              s"vector on ${a.get("path").asText()} but published no " +
-              "change files — enable delta.enableChangeDataFeed before " +
-              "row-level writes to make them feed-consumable")
-        }
-        val ins = adds.map(a => FeedFileEntry(v, a.get("path").asText(),
-          jsonPartitionValues(a), Some("insert"), None))
-        val removePaths = lines.collect {
-          case n if n.has("remove") && changed(n.get("remove")) =>
-            n.get("remove").get("path").asText()
-        }.toSet
+        val removeDvByPath: Map[String, Option[DeletionVectors.Descriptor]] =
+          lines.collect {
+            case n if n.has("remove") && changed(n.get("remove")) =>
+              val rm = n.get("remove")
+              rm.get("path").asText() -> jsonDv(rm)
+          }.toMap
+        // a {remove(P, oldDv), add(P, newDv)} pair is a DV REWRITE — the
+        // commit's retraction is exactly the positions newDv \ oldDv
+        val (dvRewrites, freshAdds) = adds.partition(a =>
+          a.dv.exists(_.cardinality > 0) && removeDvByPath.contains(a.path))
+        val ins = freshAdds.map(a => FeedFileEntry(v, a.path,
+          a.partitionValues, Some("insert"), a.dv))
+        val rewriteDels = dvRewrites.map(a => FeedFileEntry(v, a.path,
+          a.partitionValues, Some("delete"),
+          removeDvByPath(a.path).filter(_.cardinality > 0),
+          dvEmitOnly = a.dv))
+        val fullRemovePaths =
+          removeDvByPath.keySet -- adds.map(_.path).toSet
         val dels =
-          if (removePaths.isEmpty) Seq.empty
+          if (fullRemovePaths.isEmpty) Seq.empty
           else replay(spark, root, Some(v - 1)).adds
-            .filter(a => removePaths(a.path))
+            .filter(a => fullRemovePaths(a.path))
             .map(a => FeedFileEntry(v, a.path, a.partitionValues,
               Some("delete"), a.dv))
-        ins ++ dels
+        ins ++ rewriteDels ++ dels
       }
     }
 
@@ -2033,13 +2204,15 @@ object DeltaLog {
     * actions is read from its change files ONLY — the writer's complete,
     * authoritative change description ([[deleteWhere]]/[[mergeInto]]
     * publish them when `delta.enableChangeDataFeed` is set). A commit
-    * without cdc actions DERIVES: `dataChange=true` adds are inserts;
-    * `dataChange=true` removes are full-file deletes, read from the
-    * removed incarnation at the PRIOR version with its deletion vector
-    * honored (already-deleted rows do not re-announce); a deletion-
-    * vector add in a cdc-less commit refuses loudly — the retraction is
-    * not derivable from file actions. `dataChange=false` commits
-    * (OPTIMIZE, purge) contribute nothing. This is the consumer the
+    * without cdc actions DERIVES: `dataChange=true` adds are inserts of
+    * their SURVIVING rows; `dataChange=true` removes with no same-commit
+    * re-add are full-file deletes, read from the removed incarnation at
+    * the PRIOR version with its deletion vector honored (already-deleted
+    * rows do not re-announce); a {remove(P, oldDv), add(P, newDv)} DV
+    * REWRITE pair — a cdc-less [[deleteWhere]]/[[mergeInto]] commit, or
+    * a foreign writer's — derives its deletes as exactly the rows at
+    * positions newDv \ oldDv, decoded on executors.
+    * `dataChange=false` commits (OPTIMIZE, purge) contribute nothing. This is the consumer the
     * adds-only CDC read cannot serve: downstream state that must track
     * updates and deletes (materialized views, sync targets, erasure
     * propagation) without rescanning the table.
@@ -2061,11 +2234,7 @@ object DeltaLog {
         StructField("_change_type", StringType))
     val feedSchemaJson = Some(feedSchema.json)
     val frames = ((fromVersion + 1) to toVersion).flatMap { v =>
-      val p = commitPath(root, v)
-      require(Fs.isFile(p),
-        s"DeltaLog $root: commit $v is missing — the feed range reaches " +
-          "past retained history; start from a snapshot instead")
-      val lines = Fs.readLines(p).map(mapper.readTree)
+      val lines = readCommitLinesOrRefuse(root, v).map(mapper.readTree)
       def changed(node: com.fasterxml.jackson.databind.JsonNode): Boolean =
         !node.has("dataChange") || node.get("dataChange").asBoolean(true)
       val cdcFiles = lines.filter(_.has("cdc")).map { n =>
@@ -2085,33 +2254,52 @@ object DeltaLog {
               Option(a.get("size")).map(_.asLong()).getOrElse(0L),
               jsonPartitionValues(a), None, jsonDv(a))
         }
-        adds.find(_.dv.exists(_.cardinality > 0)).foreach { a =>
-          throw new UnsupportedOperationException(
-            s"DeltaLog $root: commit $v retracts rows via a deletion " +
-              s"vector on ${a.path} but published no change files — " +
-              "enable delta.enableChangeDataFeed before row-level writes " +
-              "to make them feed-consumable")
-        }
-        val removePaths = lines.collect {
-          case n if n.has("remove") && changed(n.get("remove")) =>
-            n.get("remove").get("path").asText()
-        }.toSet
+        val removeDvByPath: Map[String, Option[DeletionVectors.Descriptor]] =
+          lines.collect {
+            case n if n.has("remove") && changed(n.get("remove")) =>
+              val rm = n.get("remove")
+              rm.get("path").asText() -> jsonDv(rm)
+          }.toMap
+        // {remove(P, oldDv), add(P, newDv)} pairs are DV REWRITES: the
+        // retraction is exactly the rows at positions newDv \ oldDv
+        val (dvRewrites, freshAdds) = adds.partition(a =>
+          a.dv.exists(_.cardinality > 0) && removeDvByPath.contains(a.path))
         val insDf =
-          if (adds.isEmpty) None
-          else Some(scanAdds(spark, root, adds, schemaJson, metaJson,
-              withPos = false)
+          if (freshAdds.isEmpty) None
+          // readAdds (not a bare scan): a fresh file CARRYING a deletion
+          // vector announces only its surviving rows
+          else Some(readAdds(spark, root, freshAdds, schemaJson, metaJson)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
+        val dvDelDf =
+          if (dvRewrites.isEmpty) None
+          else {
+            val newPos = dvDeletedPositions(spark, root, dvRewrites)
+            val olds = dvRewrites.flatMap(a => removeDvByPath(a.path)
+              .filter(_.cardinality > 0).map(d => a.copy(dv = Some(d))))
+            val diff =
+              if (olds.isEmpty) newPos
+              else newPos.join(dvDeletedPositions(spark, root, olds),
+                Seq("__dv_file", "__dv_pos"), "left_anti")
+            val scan = scanAdds(spark, root, dvRewrites.map(_.copy(dv = None)),
+              schemaJson, metaJson, withPos = true)
+            Some(scan.join(diff, Seq("__dv_file", "__dv_pos"), "left_semi")
+              .drop("__dv_file", "__dv_pos")
+              .withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_version", lit(v)))
+          }
+        val fullRemovePaths =
+          removeDvByPath.keySet -- adds.map(_.path).toSet
         val delDf =
-          if (removePaths.isEmpty) None
+          if (fullRemovePaths.isEmpty) None
           else {
             val prior = replay(spark, root, Some(v - 1)).adds
-              .filter(a => removePaths(a.path))
+              .filter(a => fullRemovePaths(a.path))
             Some(readAdds(spark, root, prior, schemaJson, metaJson)
               .withColumn("_change_type", lit("delete"))
               .withColumn("_commit_version", lit(v)))
           }
-        Seq(insDf, delDf).flatten
+        Seq(insDf, dvDelDf, delDf).flatten
       }
     }
     if (frames.isEmpty)
@@ -2153,8 +2341,7 @@ object DeltaLog {
       // foreign table) reads as empty, not as an error: its adds are
       // compacted into the checkpoint a caller consuming history from
       // before the horizon must start from anyway
-      if (!Fs.isFile(commitPath(root, v))) Seq.empty
-      else Fs.readLines(commitPath(root, v)).flatMap { line =>
+      readLinesIfExists(commitPath(root, v)).flatMap { line =>
         if (line.isEmpty) None
         else {
           val node = mapper.readTree(line)
@@ -2169,8 +2356,10 @@ object DeltaLog {
             if (jsonDv(a).exists(_.cardinality > 0))
               throw new UnsupportedOperationException(
                 s"DeltaLog $root: commit $v adds ${a.get("path").asText()} " +
-                  "with a deletion vector — incremental/stream consumption " +
-                  "of DV commits is unsupported; read a snapshot instead")
+                  "with a deletion vector — an adds-only incremental read " +
+                  "cannot express the retraction; consume the change feed " +
+                  "instead (readChangeFeed / stream option " +
+                  "readChangeFeed=true, which derives the deleted rows)")
             Some(AddFile(a.get("path").asText(),
               if (a.has("size")) a.get("size").asLong() else 0L,
               jsonPartitionValues(a)))
@@ -2243,8 +2432,7 @@ object DeltaLog {
     val keepDv = retained.flatMap(_.adds)
       .flatMap(_.dv).flatMap(dvFileOf).toSet
     val tailActions = (0L to cur).flatMap { v =>
-      if (!Fs.isFile(commitPath(root, v))) Seq.empty
-      else Fs.readLines(commitPath(root, v)).flatMap { line =>
+      readLinesIfExists(commitPath(root, v)).flatMap { line =>
         if (line.isEmpty) None else Some(mapper.readTree(line))
       }
     }

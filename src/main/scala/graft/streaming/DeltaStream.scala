@@ -58,22 +58,15 @@ object DeltaStream {
     * schema evolution the stream must surface the evolved field list
     * (pre-evolution files null-fill in the reader), and a type-changed
     * column must dispatch on its CURRENT type. Also runs the protocol
-    * refusal gate, so an 'id'-mapped or unknown-feature table refuses
-    * loudly instead of streaming misread rows; 'name'-mapped tables
-    * stream fine — the partition readers look fields up by physical name.
-    * With `readChangeFeed=true` the schema gains the feed's typed
-    * columns (`_change_type`, `_commit_version`).
+    * refusal gate, so an unknown-feature table refuses loudly instead of
+    * streaming misread rows; 'name'-mapped tables stream by physical
+    * name, 'id'-mapped tables by parquet field id — both decided per
+    * field in the partition reader. With `readChangeFeed=true` the
+    * schema gains the feed's typed columns (`_change_type`,
+    * `_commit_version`).
     */
   private[graft] def schemaFor(root: String, cdf: Boolean): StructType = {
     require(root != null, "DeltaStream requires option 'path'")
-    // id-mode tables bind parquet columns by FIELD ID; this source's
-    // partition readers bind by physical NAME and null-fill absences
-    // (the evolution contract) — on a true id-mode file that is a silent
-    // misread, so refuse loudly (batch [[DeltaLog.read]] supports id mode)
-    if (DeltaLog.latestColumnMappingMode(root) == "id")
-      throw new UnsupportedOperationException(
-        s"DeltaStream $root: streaming reads of 'id'-mode column-mapped " +
-          "tables are not supported — use the batch reader")
     // every field reads NULLABLE regardless of the declared schema — a
     // column added by schema evolution null-fills in pre-evolution files
     // even when the evolving writer recorded it non-nullable (the same
@@ -112,28 +105,33 @@ private final case class DeltaStreamOffset(v: Long) extends Offset {
 }
 
 private final case class DeltaFilePartition(path: String,
-    fields: Array[(String, String, Boolean, String)],
+    fields: Array[(String, String, Boolean, String, Long)],
     sessionTz: String,
     // CHANGE-FEED extras (null/absent on a plain table stream):
     // changeType — the derived constant, or null when the file is a cdc
     // change file carrying its own _change_type column; commitVersion —
     // the feed's _commit_version (null = not a feed partition); tableRoot
-    // + dv — the removed incarnation's deletion-vector descriptor
-    // (storageType, pathOrInlineDv, offset|-1, sizeInBytes, cardinality),
-    // decoded ON THE EXECUTOR so a derived delete never re-announces
-    // already-deleted rows
+    // + dv — a deletion-vector descriptor (storageType, pathOrInlineDv,
+    // offset|-1, sizeInBytes, cardinality) decoded ON THE EXECUTOR: with
+    // dvEmitOnly null it is a SKIP set (a derived delete/insert never
+    // re-announces already-deleted rows); with dvEmitOnly set the
+    // partition is a DV-REWRITE delete and the reader emits EXACTLY the
+    // rows at positions dvEmitOnly \ dv — the commit's true retraction
     changeType: String = null,
     commitVersion: java.lang.Long = null,
     tableRoot: String = null,
-    dv: (String, String, Long, Int, Long) = null) extends InputPartition
-// fields: (physicalName, typeName, isPartitionCol, partitionValue) —
-// serializable primitives only, so the partition ships to executors
-// without dragging StructType along. The PHYSICAL name is what the
-// parquet files spell (identical to the logical name except on
-// column-mapped tables); PARTITION columns are absent from the files
-// entirely — their per-file value rides in from the add action's
-// partitionValues (null = null partition value). Output order is the
-// logical schema's, so the engine binds columns positionally.
+    dv: (String, String, Long, Int, Long) = null,
+    dvEmitOnly: (String, String, Long, Int, Long) = null) extends InputPartition
+// fields: (physicalName, typeName, isPartitionCol, partitionValue,
+// fieldId|-1) — serializable primitives only, so the partition ships to
+// executors without dragging StructType along. The PHYSICAL name is what
+// the parquet files spell (identical to the logical name except on
+// column-mapped tables); fieldId ≥ 0 ('id'-mode tables) binds the column
+// by the file footer's parquet field id, name as the ignoreMissing
+// fallback; PARTITION columns are absent from the files entirely — their
+// per-file value rides in from the add action's partitionValues (null =
+// null partition value). Output order is the logical schema's, so the
+// engine binds columns positionally.
 
 final class DeltaStreamStream(root: String, schema: StructType,
     maxVersionsPerTrigger: Long, cdf: Boolean = false)
@@ -175,6 +173,7 @@ final class DeltaStreamStream(root: String, schema: StructType,
     // files at all and take each add's partitionValues entry (keyed by
     // physical name). Resolution is driver string work.
     val phys = DeltaLog.latestPhysicalNames(root)
+    val fieldIds = DeltaLog.latestFieldIds(root)
     val partCols = DeltaLog.latestPartitionColumns(root).toSet
     // captured DRIVER-side: timestamp partition values are interpreted in
     // the session timezone (delta-spark's contract), and the batch path
@@ -187,9 +186,16 @@ final class DeltaStreamStream(root: String, schema: StructType,
     val dataSchema = if (cdf) schema.fields.dropRight(2) else schema.fields
     def fieldsFor(pv: Map[String, String]) = dataSchema.map { f =>
       val ph = phys.getOrElse(f.name, f.name)
-      if (partCols(f.name)) (ph, f.dataType.typeName, true, pv.get(ph).orNull)
-      else (ph, f.dataType.typeName, false, null: String)
+      val fid = fieldIds.getOrElse(f.name, -1L)
+      if (partCols(f.name))
+        (ph, f.dataType.typeName, true, pv.get(ph).orNull, fid)
+      else (ph, f.dataType.typeName, false, null: String, fid)
     }
+    def dvTuple(d: Option[graft.sources.DeletionVectors.Descriptor])
+        : (String, String, Long, Int, Long) =
+      d.map(x => (x.storageType, x.pathOrInlineDv,
+        x.offset.map(_.toLong).getOrElse(-1L), x.sizeInBytes,
+        x.cardinality)).orNull
     if (cdf)
       DeltaLog.changeFeedFileEntries(
         org.apache.spark.sql.SparkSession.active, root, s, e)
@@ -199,9 +205,8 @@ final class DeltaStreamStream(root: String, schema: StructType,
             changeType = fe.changeType.orNull,
             commitVersion = java.lang.Long.valueOf(fe.version),
             tableRoot = root,
-            dv = fe.dv.map(d => (d.storageType, d.pathOrInlineDv,
-              d.offset.map(_.toLong).getOrElse(-1L), d.sizeInBytes,
-              d.cardinality)).orNull): InputPartition
+            dv = dvTuple(fe.dv),
+            dvEmitOnly = dvTuple(fe.dvEmitOnly)): InputPartition
         }
         .toArray
     else DeltaLog.changedFileEntries(root, s, e)
@@ -221,28 +226,45 @@ final class DeltaStreamStream(root: String, schema: StructType,
               new org.apache.hadoop.fs.Path(fp.path))
             .build()
           private var group: org.apache.parquet.example.data.Group = _
-          // a derived-delete partition's deletion vector, decoded HERE on
-          // the executor: already-deleted row indexes never re-announce
-          private val deleted: java.util.HashSet[java.lang.Long] =
-            if (fp.dv == null) null
+          private def dvSet(t: (String, String, Long, Int, Long))
+              : java.util.HashSet[java.lang.Long] = {
+            val (st, p, off, sz, card) = t
+            val d = graft.sources.DeletionVectors.Descriptor(st, p,
+              if (off < 0L) None else Some(off.toInt), sz, card)
+            val set = new java.util.HashSet[java.lang.Long]()
+            graft.sources.DeletionVectors.readPositions(fp.tableRoot, d)
+              .foreach(pos => set.add(pos))
+            set
+          }
+          // DV semantics, decoded HERE on the executor: with keepOnly
+          // set (a DV-rewrite delete) ONLY the rows at positions
+          // newDv \ oldDv emit — the commit's true retraction; otherwise
+          // `deleted` is a skip set and already-deleted row indexes
+          // never (re-)announce
+          private val keepOnly: java.util.HashSet[java.lang.Long] =
+            if (fp.dvEmitOnly == null) null
             else {
-              val (st, p, off, sz, card) = fp.dv
-              val d = graft.sources.DeletionVectors.Descriptor(st, p,
-                if (off < 0L) None else Some(off.toInt), sz, card)
-              val set = new java.util.HashSet[java.lang.Long]()
-              graft.sources.DeletionVectors.readPositions(fp.tableRoot, d)
-                .foreach(pos => set.add(pos))
-              set
+              val s = dvSet(fp.dvEmitOnly)
+              if (fp.dv != null) s.removeAll(dvSet(fp.dv))
+              s
             }
+          private val deleted: java.util.HashSet[java.lang.Long] =
+            if (fp.dv == null || keepOnly != null) null else dvSet(fp.dv)
           private var rowIdx = -1L
           override def next(): Boolean = {
             group = reader.read()
             rowIdx += 1
-            while (group != null && deleted != null &&
-                deleted.contains(rowIdx)) {
-              group = reader.read()
-              rowIdx += 1
-            }
+            if (keepOnly != null)
+              while (group != null && !keepOnly.contains(rowIdx)) {
+                group = reader.read()
+                rowIdx += 1
+              }
+            else
+              while (group != null && deleted != null &&
+                  deleted.contains(rowIdx)) {
+                group = reader.read()
+                rowIdx += 1
+              }
             group != null
           }
           override def get(): InternalRow = {
@@ -250,7 +272,7 @@ final class DeltaStreamStream(root: String, schema: StructType,
             val vals = new Array[Any](fp.fields.length + extra)
             var i = 0
             while (i < fp.fields.length) {
-              val (name, tpe, isPart, partValue) = fp.fields(i)
+              val (name, tpe, isPart, partValue, fieldId) = fp.fields(i)
               if (isPart) {
                 // partition columns never live in the data file — decode
                 // the add action's string value under the declared type
@@ -283,9 +305,26 @@ final class DeltaStreamStream(root: String, schema: StructType,
                 // a column added by schema evolution is ABSENT from
                 // pre-evolution files entirely (not just null-valued) —
                 // null-fill it, the same contract the batch read's
-                // schema-first parquet scan applies
-                val idx = if (group.getType.containsField(name))
-                  group.getType.getFieldIndex(name) else -1
+                // schema-first parquet scan applies. On 'id'-mode tables
+                // the bind is by the file footer's parquet FIELD ID (the
+                // file's names can be anything); an id-less file falls
+                // back to physical-name matching — the same ignoreMissing
+                // contract the batch reader's flag pair applies
+                val t = group.getType
+                val idx =
+                  if (fieldId >= 0L) {
+                    var j = 0; var found = -1
+                    while (found < 0 && j < t.getFieldCount) {
+                      val id = t.getType(j).getId
+                      if (id != null && id.intValue().toLong == fieldId)
+                        found = j
+                      j += 1
+                    }
+                    if (found >= 0) found
+                    else if (t.containsField(name)) t.getFieldIndex(name)
+                    else -1
+                  } else if (t.containsField(name)) t.getFieldIndex(name)
+                  else -1
                 vals(i) =
                   if (idx < 0 || group.getFieldRepetitionCount(idx) == 0) null
                   else tpe match {

@@ -143,6 +143,17 @@ object Fs {
     else fs.listStatus(p).toIndexedSeq.map(_.getPath.toString)
   }
 
+  /** Immediate children with (path, isFile, length, mtimeMillis) in ONE
+    * list call — the fingerprint listing cache keys are built from.
+    */
+  def listDetailed(dir: String): Seq[(String, Boolean, Long, Long)] = {
+    val p = hp(dir)
+    val fs = fsOf(p)
+    try fs.listStatus(p).toIndexedSeq.map(st =>
+      (st.getPath.toString, st.isFile, st.getLen, st.getModificationTime))
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+  }
+
   /** Every FILE under `dir`, recursive, as (full path, size) — one LIST
     * walk, the manifest-sized frame maintenance verbs plan from.
     */
@@ -187,15 +198,44 @@ object Fs {
     try out.write(bytes) finally out.close()
   }
 
+  /** Hadoop path capabilities an atomic create-no-overwrite is accepted
+    * under on a non-local, non-HDFS store: the conditional-create
+    * capability (S3A with conditional-PUT support publishes it) in both
+    * spellings recent Hadoop lines have used. Probing is by STRING —
+    * `hasPathCapability` takes any key, so a newer store's capability is
+    * honored even though the constant is absent from the bundled Hadoop.
+    */
+  private val ConditionalCreateCapabilities = Seq(
+    "fs.capability.conditional.create",
+    "fs.capability.create.conditional.overwrite")
+
+  /** Hadoop configuration key that OVERRIDES the conditional-create
+    * probe — the operator's documented escape hatch for a store whose
+    * create(overwrite=false) is known-atomic but which predates the
+    * capability strings. Setting it on a store where the create is
+    * check-then-act re-opens the two-winner commit race; that trade is
+    * the operator's to make, never this seam's default.
+    */
+  private[graft] val AssumeAtomicCreateKey = "graft.fs.assume.atomic.create"
+
   /** CREATE-NO-OVERWRITE — the single-winner commit race. Throws
     * `org.apache.hadoop.fs.FileAlreadyExistsException` when the path
-    * exists. On the LOCAL filesystem this must be a true O_EXCL create:
-    * RawLocalFileSystem's `create(overwrite = false)` is check-then-act,
-    * so two racing commit publishers could BOTH win and silently clobber
-    * each other — `File.createNewFile()` (atomic at the OS level)
-    * restores the exclusive-create guarantee `CREATE_NEW` provided.
-    * HDFS enforces exclusivity at the namenode; S3A maps to a
-    * conditional PUT on recent Hadoop versions.
+    * exists. The guarantee must be ATOMIC, and each substrate earns it
+    * differently:
+    *
+    *  - LOCAL: a true O_EXCL create — RawLocalFileSystem's
+    *    `create(overwrite = false)` is check-then-act, so two racing
+    *    commit publishers could BOTH win and silently clobber each
+    *    other; `File.createNewFile()` (atomic at the OS level) restores
+    *    the exclusive-create guarantee `CREATE_NEW` provided.
+    *  - HDFS: the namenode makes `create(p, false)` exclusive.
+    *  - OBJECT STORES: `create(p, false)` is only atomic where the store
+    *    implements a conditional PUT — PROBED via `hasPathCapability`
+    *    ([[ConditionalCreateCapabilities]]); a store that cannot declare
+    *    it REFUSES loudly (a check-then-act fallback here would let two
+    *    Delta/VersionedTable committers of the same version both "win").
+    *    [[AssumeAtomicCreateKey]] is the operator override for stores
+    *    with known-atomic creates and no capability string.
     */
   def createNew(s: String, bytes: Array[Byte]): Unit = {
     val p = hp(s)
@@ -207,8 +247,23 @@ object Fs {
         val out = new java.io.FileOutputStream(f)
         try out.write(bytes) finally out.close()
       case fs =>
-        if (fs.exists(p))
-          throw new org.apache.hadoop.fs.FileAlreadyExistsException(s)
+        val scheme = Option(fs.getUri).flatMap(u => Option(u.getScheme))
+          .getOrElse("")
+        val atomic = scheme == "hdfs" ||
+          conf.getBoolean(AssumeAtomicCreateKey, false) ||
+          ConditionalCreateCapabilities.exists(c =>
+            try fs.hasPathCapability(p, c)
+            catch { case _: IllegalArgumentException => false })
+        if (!atomic)
+          throw new UnsupportedOperationException(
+            s"Fs.createNew $s: filesystem scheme '$scheme' declares no " +
+              "atomic create-no-overwrite (probed " +
+              ConditionalCreateCapabilities.mkString(", ") + ") — an " +
+              "exists()+create() fallback would let two racing committers " +
+              "of the same version both win, silently clobbering a " +
+              s"commit. Set $AssumeAtomicCreateKey=true in the Hadoop " +
+              "configuration ONLY if this store's create(overwrite=false) " +
+              "is known to be atomic")
         val out = fs.create(p, false)
         try out.write(bytes) finally out.close()
     }

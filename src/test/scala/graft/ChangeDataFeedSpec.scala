@@ -63,7 +63,7 @@ class ChangeDataFeedSpec extends SparkTestBase {
   }
 
   test("derived full-file deletes honor the removed incarnation's deletion vector; " +
-      "cdc-less DV commits refuse") {
+      "cdc-less DV commits derive exactly the newDv \\ oldDv rows") {
     val root = tmpTable("graft-cdf-derived")
     DeltaLog.commitAppend(root,
       spark.range(0, 30).select(col("id")).coalesce(1))
@@ -77,14 +77,23 @@ class ChangeDataFeedSpec extends SparkTestBase {
     assert(f.filter(col("_change_type") === "delete").count() == 20L)
     assert(f.filter(col("_change_type") === "delete" && col("id") < 10).count() == 0L)
     assert(f.filter(col("_change_type") === "insert").count() == 20L)
-    // a DV retraction with NO change files is not derivable — refuse
+    // a DV retraction with NO change files DERIVES: the {remove(P, oldDv),
+    // add(P, newDv)} pair resolves to the rows at positions newDv \ oldDv
     val root2 = tmpTable("graft-cdf-nofeed")
-    DeltaLog.commitAppend(root2, spark.range(0, 20).select(col("id")))
-    DeltaLog.deleteWhere(spark, root2, col("id") < 5)
-    val e = intercept[UnsupportedOperationException] {
-      DeltaLog.readChangeFeed(spark, root2, -1L, 1L).count()
-    }
-    assert(e.getMessage.contains("enableChangeDataFeed"), e.getMessage)
+    DeltaLog.commitAppend(root2,
+      spark.range(0, 20).select(col("id")).coalesce(1))               // v0
+    DeltaLog.deleteWhere(spark, root2, col("id") < 5)                 // v1
+    DeltaLog.deleteWhere(spark, root2, col("id") < 8)                 // v2 (overlap)
+    val f2 = DeltaLog.readChangeFeed(spark, root2, -1L, 2L)
+    assert(f2.filter(col("_change_type") === "insert").count() == 20L)
+    assert(f2.filter(col("_change_type") === "delete" &&
+      col("_commit_version") === 1L).select(col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq == (0L until 5L))
+    // v2 announces ONLY the newly-deleted rows 5..7 — emitting the full
+    // new DV would re-announce 0..4
+    assert(f2.filter(col("_change_type") === "delete" &&
+      col("_commit_version") === 2L).select(col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq == (5L until 8L))
   }
 
   test("STREAMED change feed == batch readChangeFeed — cdc files, derived " +

@@ -1298,6 +1298,28 @@ class PlanSpec extends SparkTestBase {
       s"data skipping must leave ONE of 8 files in the scan, read $filesRead")
   }
 
+  test("q276 mapped skipping: the EXECUTED scan reads exactly ONE file and " +
+      "binds PHYSICAL field names — pruning translated through the mapping") {
+    val df = IngestOps.q276MappedSkipping(spark, sfDir)
+    df.collect()
+    val scans = collectAll(executed(df)).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.inputFiles.exists(_.contains("graft_fix_q276")) => f
+    }
+    assert(scans.nonEmpty, "expected a mapped-table file scan under graft_fix_q276")
+    // both pruning tiers survive the logical→physical translation: the
+    // lang partition (partitionValues keyed col-l0003) prunes every other
+    // language, the doc_id stats envelope (footer keys col-d0001) prunes
+    // the upper-half commit — one file survives
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    assert(filesRead == 1L,
+      s"mapped skipping must leave ONE file in the scan, read $filesRead")
+    // the scan itself binds the files' OWN spelling — physical names
+    val readFields = scans.flatMap(_.requiredSchema.fieldNames)
+    assert(readFields.exists(_.startsWith("col-")),
+      s"mapped scan must read physical field names, got ${readFields.mkString(",")}")
+  }
+
   test("deletion-vector read: DV positions anti-join as BROADCAST; plain files " +
       "keep the direct scan (no join on their branch)") {
     import graft.sources.DeltaLog

@@ -1220,18 +1220,37 @@ class SourcesSpec extends SparkTestBase {
     val rawNew = spark.read.parquet(s"$root/${newFile.head}")
     assert(rawNew.columns.toSeq == Seq("col-7a3f", "col-91bc"),
       s"appended file must spell PHYSICAL names, got ${rawNew.columns.toSeq}")
-    // schema EVOLUTION on a mapped table still refuses (needs fresh ids)
+    // schema EVOLUTION on a mapped table MINTS a fresh mapping id from
+    // delta.columnMapping.maxColumnId and a col-<uuid> physical name
+    val ev = DeltaLog.commitAppend(root,
+      spark.range(1).select((col("id") + 200L).as("doc_id"),
+        lit("yy").as("lang"), lit(7L).as("extra")))
+    val evolved = DeltaLog.read(spark, root, Some(ev))
+    assert(evolved.columns.toSeq == Seq("doc_id", "lang", "extra"))
+    assert(evolved.filter(col("extra").isNotNull).count() == 1L,
+      "the minted column must bind the new file's physical name")
+    assert(evolved.filter(col("doc_id") === 200L && col("extra") === 7L).count() == 1L)
+    assert(evolved.filter(col("extra").isNull).count() == 8L,
+      "pre-evolution files must null-fill the minted column")
+    val extraField = DeltaLog.latestSchema(root)("extra")
+    assert(extraField.metadata.getLong("delta.columnMapping.id") == 3L,
+      "id must continue from maxColumnId=2")
+    assert(extraField.metadata.getString("delta.columnMapping.physicalName")
+      .startsWith("col-"))
+    // dropping or retyping a mapped column still refuses (owner's intent)
     val e = intercept[UnsupportedOperationException] {
       DeltaLog.commitAppend(root,
-        spark.range(1).select(col("id").as("doc_id"), lit("xx").as("lang"),
-          lit(1L).as("extra")))
+        spark.range(1).select(col("id").as("doc_id")))
     }
-    assert(e.getMessage.contains("mapping ids"), e.getMessage)
-    // row-level verbs on mapped tables keep refusing
-    val e2 = intercept[UnsupportedOperationException] {
-      DeltaLog.deleteWhere(spark, root, col("doc_id") === 0L)
-    }
-    assert(e2.getMessage.contains("column-mapped"), e2.getMessage)
+    assert(e.getMessage.contains("drop or retype"), e.getMessage)
+    // row-level verbs run on mapped tables: DELETE retracts via DVs
+    // without rewriting the foreign files
+    val filesBefore = DeltaLog.snapshotFiles(spark, root).toSet
+    val (dv, nDel) = DeltaLog.deleteWhere(spark, root, col("doc_id") === 0L)
+    assert(nDel == 1L)
+    assert(DeltaLog.snapshotFiles(spark, root, Some(dv)).toSet == filesBefore,
+      "mapped DELETE must not rewrite data files")
+    assert(DeltaLog.read(spark, root).filter(col("doc_id") === 0L).count() == 0L)
     // reader protocol 3 with columnMapping as the ONLY reader feature is
     // the same supported surface
     val v3 = authorMapped(
@@ -1295,12 +1314,26 @@ class SourcesSpec extends SparkTestBase {
     assert(merged.count() == 6)
     assert(merged.filter(col("lang") === "zz").select(col("doc_id"))
       .collect().map(_.getLong(0)).toSeq == Seq(50L))
-    // the STREAM source binds by physical name and null-fills absences —
-    // on id-mode files that is a silent misread, so it must refuse
-    val es = intercept[UnsupportedOperationException] {
-      graft.streaming.DeltaStream.schemaFor(root, cdf = false)
-    }
-    assert(es.getMessage.contains("'id'-mode"), es.getMessage)
+    // the STREAM source binds id-mode columns by the file footer's
+    // parquet FIELD ID (the foreign file's names — weird_x/weird_y —
+    // match neither logical nor physical names, so a name bind would
+    // null-fill every row), and physical-name-binds the engine-appended
+    // file the same way its stamped ids allow
+    val run = Files.createTempDirectory("graft-delta-cmid-run").toString
+    val q = spark.readStream
+      .format(classOf[graft.streaming.DeltaStream].getName)
+      .option("path", root).option("maxVersionsPerTrigger", 1L)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$run/sink").option("checkpointLocation", s"$run/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(s"$run/sink")
+    assert(streamed.columns.toSeq == Seq("doc_id", "lang"))
+    assert(streamed.orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      ((0L until 5L).map(i => (i, s"l$i")) :+ ((50L, "zz"))),
+      "id-mode stream must bind by field id, not by name")
   }
 
   test("DeltaStream: streams under the EVOLVED schema — post-evolution " +
@@ -1491,6 +1524,46 @@ class SourcesSpec extends SparkTestBase {
     assert(vt.read(v1).filter(col("v") === -1).count() == 0L)
   }
 
+  test("Fs.createNew on a non-local filesystem: PROBE-OR-REFUSE — a store " +
+      "that declares no conditional-create capability refuses (two racing " +
+      "committers could both win); with the capability — or the explicit " +
+      "operator override — it commits and still excludes the loser") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.mockcap.impl", classOf[MockCapFs].getName)
+    hconf.setBoolean("fs.mockcap.impl.disable.cache", true)
+    val dir = Files.createTempDirectory("graft-mockcap").toString
+    val commit = s"mockcap:$dir/00000000000000000001.json"
+    // capability absent: refuse LOUDLY, leave nothing behind
+    MockCapFs.capable = false
+    val e = intercept[UnsupportedOperationException] {
+      graft.table.Fs.createNew(commit, "x".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains("atomic create-no-overwrite"), e.getMessage)
+    assert(!new java.io.File(s"$dir/00000000000000000001.json").exists(),
+      "a refused commit must not leave bytes behind")
+    // capability declared: the happy path commits...
+    MockCapFs.capable = true
+    graft.table.Fs.createNew(commit, "winner".getBytes("UTF-8"))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/00000000000000000001.json")),
+      "UTF-8") == "winner")
+    // ...and an existing path still excludes the second writer
+    intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
+      graft.table.Fs.createNew(commit, "loser".getBytes("UTF-8"))
+    }
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/00000000000000000001.json")),
+      "UTF-8") == "winner", "the losing writer must not clobber the commit")
+    // operator override: a capability-less store admits commits ONLY when
+    // the configuration says its create(overwrite=false) is known-atomic
+    MockCapFs.capable = false
+    hconf.setBoolean(graft.table.Fs.AssumeAtomicCreateKey, true)
+    try graft.table.Fs.createNew(s"mockcap:$dir/00000000000000000002.json",
+      "y".getBytes("UTF-8"))
+    finally hconf.unset(graft.table.Fs.AssumeAtomicCreateKey)
+    assert(new java.io.File(s"$dir/00000000000000000002.json").exists())
+  }
+
   test("q189 schema evolution: merged read nulls missing columns, loses and invents nothing") {
     val rows = graft.queries.IngestOps.q189SchemaEvolution(spark, sfDir).collect()
     assert(rows.nonEmpty)
@@ -1505,4 +1578,27 @@ class SourcesSpec extends SparkTestBase {
         "every row is exactly one generation")
     }
   }
+}
+
+/** A non-local test FileSystem for the createNew probe spec: delegates
+  * storage to RawLocalFileSystem but reports scheme `mockcap` (so
+  * [[graft.table.Fs.createNew]] takes its object-store branch, not the
+  * O_EXCL local one) and answers the conditional-create capability probe
+  * from the [[MockCapFs.capable]] switch — a store that can, or cannot,
+  * guarantee atomic create-no-overwrite, at the test's choosing.
+  */
+class MockCapFs extends org.apache.hadoop.fs.FilterFileSystem(
+    new org.apache.hadoop.fs.RawLocalFileSystem()) {
+  override def getScheme: String = "mockcap"
+  override def getUri: java.net.URI = java.net.URI.create("mockcap:///")
+  // RawLocal's checkPath would reject the mockcap scheme; paths delegate
+  // by their absolute component, so the check is safely vacuous here
+  override def checkPath(path: org.apache.hadoop.fs.Path): Unit = ()
+  override def hasPathCapability(path: org.apache.hadoop.fs.Path,
+      capability: String): Boolean =
+    capability == "fs.capability.conditional.create" && MockCapFs.capable
+}
+
+object MockCapFs {
+  @volatile var capable: Boolean = false
 }

@@ -430,4 +430,52 @@ class StoreMaintSpec extends SparkTestBase {
     }
     assert(Similarity.q272AnnStoreSearch(spark, sfDir).collect().length == out.length)
   }
+
+  test("q279 ANN quantizer REBUILD: generation-1 dirs + atomic pointer cutover, " +
+      "old generation untouched, staleness refusal on the NEW parts, and " +
+      "fully-erased probed lists serve an empty top-k (never throw)") {
+    import graft.queries.Similarity
+    val out = Similarity.q279AnnRebuildSearch(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val store = Similarity.q279Store(spark, sfDir)
+    // the cutover swapped the pointer to generation 1 and left the old
+    // generation's dirs on disk, whole (a crash mid-rebuild would have
+    // left the pointer on them)
+    assert(graft.table.Fs.readString(s"$store/_active_gen").trim == "1")
+    assert(graft.table.Fs.isDir(s"$store/centroids-g1") &&
+      graft.table.Fs.isDir(s"$store/postings-g1"))
+    assert(graft.table.Fs.isDir(s"$store/centroids") &&
+      graft.table.Fs.isDir(s"$store/postings"),
+      "the rebuild must not destroy the previous generation")
+    // g1 postings were reassigned against g1 centroids: manifest-fresh
+    assert(graft.table.StoreManifest.partFresh(store, "postings-g1", "centroids-g1"))
+    // the Lloyd step conserves vectors: g1 postings hold exactly the g0 set
+    val g0 = spark.read.parquet(s"$store/postings").select(col("vec_id"))
+    val g1 = spark.read.parquet(s"$store/postings-g1").select(col("vec_id"))
+    assert(g1.count() == g0.count() && g1.except(g0).count() == 0L)
+    // staleness refusal tracks the ACTIVE generation's parts
+    graft.table.StoreManifest.bump(store, Seq("centroids-g1"))
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.q279AnnRebuildSearch(spark, sfDir)
+      }
+      assert(e.getMessage.contains("STALE"), e.getMessage)
+    } finally {
+      graft.table.StoreManifest.bump(store, Seq("postings-g1")); ()
+    }
+    assert(Similarity.q279AnnRebuildSearch(spark, sfDir).collect().length == out.length)
+    // ADVICE r16: a probed list directory emptied of every file (a CoW
+    // erase of its last row) or never created must serve an EMPTY top-k,
+    // not throw "unable to infer schema" — erase EVERY vector and search
+    val base = java.nio.file.Files.createTempDirectory("graft-ann-empty").toString
+    val empty = s"$base/annstore"
+    val e = Tables(spark, sfDir, "embeddings")
+    Similarity.buildAnnStore(spark, empty, e)
+    import org.apache.spark.sql.functions.lit
+    graft.table.StoreMaint.eraseKeys(spark, s"$empty/postings", Seq("list"),
+      "vec_id", e.select(col("vec_id")))
+    val res = Similarity.annSearchFrom(spark, sfDir, empty)
+    assert(res.columns.toSeq == Seq("query_id", "rk", "neighbor_id", "cosine"))
+    assert(res.count() == 0L, "an emptied store must serve zero neighbors")
+  }
 }
