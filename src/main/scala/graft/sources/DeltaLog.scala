@@ -375,12 +375,12 @@ object DeltaLog {
     * and the projection renames back to logical), and protocol 3 ONLY
     * when every declared readerFeature is `columnMapping` or
     * `deletionVectors` (DV'd files are row-filtered through
-    * `_metadata.row_index` anti-joins in [[readAdds]]; incremental /
-    * stream consumption of DV commits still refuses — see
-    * [[changedFileAdds]]). Everything else — 'id'-mode mapping (parquet
-    * field-id matching, not name matching), unknown reader features —
-    * refuses with a pinned message, because a silent misread is data
-    * corruption. The
+    * `_metadata.row_index` anti-joins in [[readAdds]]; the adds-only
+    * incremental path still refuses DV commits — see [[changedFileAdds]]
+    * — while the change feed, batch and streamed, DERIVES their
+    * retractions; 'id'-mode mapping reads via parquet field-id binding).
+    * Everything else — unknown reader features — refuses with a pinned
+    * message, because a silent misread is data corruption. The
     * columnMapping metaData key is checked independently of the protocol
     * version: a buggy writer can set one without the other.
     */

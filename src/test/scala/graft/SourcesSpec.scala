@@ -1591,9 +1591,21 @@ class MockCapFs extends org.apache.hadoop.fs.FilterFileSystem(
     new org.apache.hadoop.fs.RawLocalFileSystem()) {
   override def getScheme: String = "mockcap"
   override def getUri: java.net.URI = java.net.URI.create("mockcap:///")
-  // RawLocal's checkPath would reject the mockcap scheme; paths delegate
-  // by their absolute component, so the check is safely vacuous here
+  // RawLocal's own checkPath rejects the mockcap scheme (pathToFile runs
+  // it internally), so delegation strips the scheme down to the absolute
+  // path component — this FS's whole job is to be "not local" to the
+  // probe while storing bytes locally
   override def checkPath(path: org.apache.hadoop.fs.Path): Unit = ()
+  private def local(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(p.toUri.getPath)
+  override def create(f: org.apache.hadoop.fs.Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    super.create(local(f), permission, overwrite, bufferSize, replication,
+      blockSize, progress)
   override def hasPathCapability(path: org.apache.hadoop.fs.Path,
       capability: String): Boolean =
     capability == "fs.capability.conditional.create" && MockCapFs.capable
