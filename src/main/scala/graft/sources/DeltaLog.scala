@@ -2185,8 +2185,12 @@ object DeltaLog {
           a.partitionValues, Some("delete"),
           removeDvByPath(a.path).filter(_.cardinality > 0),
           dvEmitOnly = a.dv))
+        // only a DV-REWRITE pair folds its remove into the diff above: a
+        // remove whose path is re-added WITHOUT a new DV (a same-path
+        // overwrite, pathological but legal) still deletes its prior
+        // incarnation in full
         val fullRemovePaths =
-          removeDvByPath.keySet -- adds.map(_.path).toSet
+          removeDvByPath.keySet -- dvRewrites.map(_.path).toSet
         val dels =
           if (fullRemovePaths.isEmpty) Seq.empty
           else replay(spark, root, Some(v - 1)).adds
@@ -2288,8 +2292,11 @@ object DeltaLog {
               .withColumn("_change_type", lit("delete"))
               .withColumn("_commit_version", lit(v)))
           }
+        // a remove re-added WITHOUT a new DV (same-path overwrite) still
+        // deletes its prior incarnation in full — only DV-rewrite pairs
+        // fold their remove into the position diff
         val fullRemovePaths =
-          removeDvByPath.keySet -- adds.map(_.path).toSet
+          removeDvByPath.keySet -- dvRewrites.map(_.path).toSet
         val delDf =
           if (fullRemovePaths.isEmpty) None
           else {
