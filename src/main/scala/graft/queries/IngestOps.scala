@@ -1054,7 +1054,10 @@ object IngestOps {
       case "q273" | "q274" | "q275" => q273Fixture(spark, dir); ()
       case "q276" => q276Fixture(spark, dir); ()
       case "q278" => q278Fixture(spark, dir); ()
-      case "q279" => Similarity.q279Store(spark, dir); ()
+      // q279 deliberately has NO case: the Bench query memoizes its store
+      // per JVM (the q272 pattern), and the SCALE row is the always-cold
+      // rebuild CAMPAIGN — a warm hoist here would build a full unused
+      // store on both campaign corpora before the timed region
       case "q267" => q267Store(spark, dir); ()
       case "q268" => q200Fixture(spark, dir); ()
       case "q269" => q269Fixture(spark, dir); ()

@@ -340,9 +340,45 @@ object Similarity {
     */
   def syncAnnStoreFromFeed(spark: SparkSession, store: String,
       feed: DataFrame): Long = {
-    val (_, pPart) = annGenParts(annActiveGen(store))
-    graft.table.StoreMaint.eraseKeys(spark, s"$store/$pPart", Seq("list"),
-      "vec_id", feed.filter(col("_change_type") === "delete").select(col("vec_id")))
+    val keys = feed.filter(col("_change_type") === "delete")
+      .select(col("vec_id")).persist()
+    // EVERY generation still on disk, not just the active one: erasure is
+    // an obligation on the subject's bytes wherever they live — the
+    // pre-rebuild generation kept for crash safety still holds the erased
+    // embeddings, and a sync that cleaned only the active postings would
+    // leave them readable forever ([[vacuumAnnStoreGenerations]] is the
+    // reclaim verb that retires old generations outright)
+    try annPostingsParts(store)
+      .map(p => graft.table.StoreMaint.eraseKeys(spark, s"$store/$p",
+        Seq("list"), "vec_id", keys))
+      .sum
+    finally { keys.unpersist(); () }
+  }
+
+  /** Every generation's postings directory present on disk (the active
+    * one included) — the erasure surface.
+    */
+  private def annPostingsParts(store: String): Seq[String] =
+    graft.table.Fs.list(store).map(graft.table.Fs.name)
+      .filter(n => n == "postings" || n.startsWith("postings-g"))
+      .sorted
+
+  /** Drop every NON-ACTIVE generation's centroids/postings directories —
+    * the storage-reclaim half of [[rebuildAnnStore]]: old generations
+    * survive the cutover for crash safety, but once the new generation
+    * serves they are dead weight and (until dropped) an extra erasure
+    * surface every feed sync must sweep. Returns the deleted directory
+    * names.
+    */
+  def vacuumAnnStoreGenerations(store: String): Seq[String] = {
+    val (cKeep, pKeep) = annGenParts(annActiveGen(store))
+    val doomed = graft.table.Fs.list(store).map(graft.table.Fs.name)
+      .filter(n => (n == "centroids" || n.startsWith("centroids-g") ||
+        n == "postings" || n.startsWith("postings-g")) &&
+        n != cKeep && n != pKeep)
+      .sorted
+    doomed.foreach(n => graft.table.Fs.deleteRecursive(s"$store/$n"))
+    doomed
   }
 
   /** REBUILD the coarse quantizer — the verb the frozen-centroid design
@@ -366,6 +402,14 @@ object Similarity {
   def rebuildAnnStore(spark: SparkSession, store: String): Long = {
     val gen0 = annActiveGen(store)
     val (_, pPart0) = annGenParts(gen0)
+    // a store whose postings were fully erased has nothing to retrain on —
+    // refuse loudly (the serving path's empty-dir contract returns an
+    // empty top-k; a RETRAIN over nothing would otherwise die in schema
+    // inference or publish an empty quantizer that mis-routes everything)
+    require(graft.table.Fs.listFilesRecursive(s"$store/$pPart0")
+        .exists(_._1.endsWith(".parquet")),
+      s"ANN store $store: $pPart0 holds no postings — nothing to retrain; " +
+        "rebuild after the next append")
     val postings = spark.read.option("basePath", s"$store/$pPart0")
       .parquet(s"$store/$pPart0")
     val gen = gen0 + 1

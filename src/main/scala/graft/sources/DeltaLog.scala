@@ -182,9 +182,10 @@ object DeltaLog {
 
   /** Bounded per-(table, version) SNAPSHOT CACHE. A committed version's
     * log content is immutable (publish is create-new), so (root, version)
-    * identifies a snapshot — fingerprinted by a hash over the ≤-version
-    * slice of the log LISTING (names, sizes, mtimes) so a table recreated
-    * at the same path cannot serve a stale entry. Without it every read re-reads the checkpoint parquet
+    * identifies a snapshot — fingerprinted by a hash over the REPLAY
+    * SLICE of the log listing (the newest checkpoint group ≤ v + the
+    * JSON tail; names, sizes, mtimes) so a table recreated at the same
+    * path cannot serve a stale entry. Without it every read re-reads the checkpoint parquet
     * and re-parses the JSON tail — minutes of driver work PER QUERY on a
     * 10⁵-file table. LRU-bounded; the kill switch exists for scale
     * measurements that contract to time the COLD replay.
@@ -202,34 +203,52 @@ object DeltaLog {
   private def snapKey(root: String, v: Long, withAdds: Boolean)
       : (String, Long, Boolean, Long, Long) = {
     // Fingerprint = (count, 64-bit hash) over the (name, size, mtime) of
-    // EVERY log entry at version ≤ v — commit JSON and checkpoint parts —
-    // from ONE list call. A table deleted and REBUILT at the same path
-    // (fixtures do this) must never serve the old build's snapshot: a
-    // single file's (size, mtime) can collide under coarse object-store
-    // mtime granularity, but colliding on the whole listing requires
-    // every file to collide at once, and the listing also changes when a
-    // late checkpoint compacts versions ≤ v (then the miss just replays).
+    // EXACTLY the files a replay of version v reads — the newest COMPLETE
+    // checkpoint group ≤ v plus the JSON tail above it — from ONE list
+    // call. A table deleted and REBUILT at the same path (fixtures do
+    // this) must never serve the old build's snapshot: a single file's
+    // (size, mtime) can collide under coarse object-store mtime
+    // granularity, but colliding on replay's whole input set at once is
+    // another matter. Hashing ONLY the replay slice (not every file ≤ v)
+    // keeps the per-probe driver work bounded by checkpoint cadence, not
+    // table lifetime — 10⁵ retained commits cost the LIST they always
+    // cost, never 10⁵ hash rounds; a checkpoint landing later at some
+    // c ≤ v changes the slice, and that miss just replays to the same
+    // snapshot.
+    val entries = Fs.listDetailed(logDir(root)).collect {
+      case (p, true, len, mt) => (Fs.name(p), len, mt)
+    }
+    // newest complete checkpoint group ≤ v — the same completeness rule
+    // as [[checkpoints]] (an interrupted multi-part group is invisible)
+    val ckptV = entries.map(_._1).flatMap {
+      case CkptName(vv, _, of) => Some((vv.toLong, Option(of).map(_.toInt)))
+      case _ => None
+    }.groupBy(_._1).collect {
+      case (vv, grp) if vv <= v &&
+          grp.flatMap(_._2).headOption.forall(d =>
+            grp.count(_._2.isDefined) == d) => vv
+    } match {
+      case s if s.isEmpty => -1L
+      case s => s.max
+    }
+    def inSlice(name: String): Boolean =
+      (name.endsWith(".json") && name.length > 5 &&
+        name.dropRight(5).forall(_.isDigit) && {
+          val jv = name.dropRight(5).toLong
+          jv > ckptV && jv <= v
+        }) ||
+        (name match {
+          case CkptName(vv, _, _) => vv.toLong == ckptV
+          case _ => false
+        })
     var n = 0L
     var h = 1125899906842597L
     def mix(x: Long): Unit = { h = h * 31 + x }
-    Fs.listDetailed(logDir(root)).sortBy(_._1).foreach {
-      case (path, isFile, len, mt) =>
-        if (isFile) {
-          val name = Fs.name(path)
-          val ver: Option[Long] =
-            if (name.endsWith(".json") &&
-                name.length > 5 && name.dropRight(5).forall(_.isDigit))
-              Some(name.dropRight(5).toLong)
-            else name match {
-              case CkptName(vv, _, _) => Some(vv.toLong)
-              case _ => None
-            }
-          if (ver.exists(_ <= v)) {
-            n += 1
-            name.foreach(c => mix(c.toLong))
-            mix(len); mix(mt)
-          }
-        }
+    entries.filter(e => inSlice(e._1)).sortBy(_._1).foreach {
+      case (name, len, mt) =>
+        n += 1
+        name.foreach(c => mix(c.toLong))
+        mix(len); mix(mt)
     }
     (Fs.qualified(root), v, withAdds, n, h)
   }
@@ -422,10 +441,9 @@ object DeltaLog {
   // physical schema and project back to logical names.
   // -----------------------------------------------------------------------
 
-  /** The LATEST metaData's mapping mode — the stream source's id-mode
-    * refusal gate reads it (its partition readers bind by physical NAME;
-    * a true id-mode file's names match nothing and would null-fill —
-    * a silent misread the batch path avoids by field-id binding).
+  /** The LATEST metaData's mapping mode — [[latestFieldIds]] keys off it
+    * (the stream's partition readers bind 'id'-mode columns by parquet
+    * field id, physical name elsewhere).
     */
   private[graft] def latestColumnMappingMode(root: String): String =
     columnMappingMode(latestMetaDataJson(root))
@@ -1576,14 +1594,36 @@ object DeltaLog {
           case _ => 0L
         }
         val base = math.max(confMax, maxIdIn(ls))
-        val minted = fresh.zipWithIndex.map { case (f, i) =>
-          val meta = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata)
-            .putLong("delta.columnMapping.id", base + 1 + i)
+        // minting RECURSES: PROTOCOL.md requires EVERY nested field of a
+        // mapped schema to carry its own id + physicalName — a minted
+        // struct column whose children stay bare would publish a
+        // schemaString the owning engine's own mapping checks reject,
+        // bricking the table. Ids assign in traversal order (field before
+        // its children), the counter shared across the whole mint.
+        var cursor = base
+        def nextId(): Long = { cursor += 1; cursor }
+        def mintMeta(m: org.apache.spark.sql.types.Metadata)
+            : org.apache.spark.sql.types.Metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(m)
+            .putLong("delta.columnMapping.id", nextId())
             .putString("delta.columnMapping.physicalName",
               s"col-${java.util.UUID.randomUUID()}")
             .build()
-          StructField(f.name, f.dataType, nullable = true, meta)
+        def mintDt(dt: DataType): DataType = dt match {
+          case s: StructType => StructType(s.fields.map { nf =>
+            val meta = mintMeta(nf.metadata)
+            StructField(nf.name, mintDt(nf.dataType), nullable = true, meta)
+          })
+          case a: org.apache.spark.sql.types.ArrayType =>
+            a.copy(elementType = mintDt(a.elementType))
+          case m: org.apache.spark.sql.types.MapType =>
+            m.copy(keyType = mintDt(m.keyType), valueType = mintDt(m.valueType))
+          case other => other
+        }
+        val minted = fresh.map { f =>
+          val meta = mintMeta(f.metadata)
+          StructField(f.name, mintDt(f.dataType), nullable = true, meta)
         }
         val evolved = StructType(ls.fields ++ minted)
         val node = mapper.readTree(metaJson.get)
@@ -1592,8 +1632,7 @@ object DeltaLog {
         val confNode = Option(node.get("configuration"))
           .collect { case o: com.fasterxml.jackson.databind.node.ObjectNode => o }
           .getOrElse(node.putObject("configuration"))
-        confNode.put("delta.columnMapping.maxColumnId",
-          (base + fresh.length).toString)
+        confNode.put("delta.columnMapping.maxColumnId", cursor.toString)
         node.set[com.fasterxml.jackson.databind.JsonNode]("configuration", confNode)
         (Seq(s"""{"metaData":${node.toString}}"""), evolved)
       }
@@ -2149,52 +2188,81 @@ object DeltaLog {
       dv: Option[DeletionVectors.Descriptor],
       dvEmitOnly: Option[DeletionVectors.Descriptor] = None)
 
+  /** ONE cdc-less commit's change classification — the single place the
+    * feed's derivation rules live, shared by the batch feed
+    * ([[readChangeFeed]]) and the stream inventory
+    * ([[changeFeedFileEntries]]) so the cdc short-circuit, the DV-rewrite
+    * pairing and the same-path-overwrite rule can never drift between
+    * them (this round's overwrite fix had to land twice before the
+    * extraction). `cdc` non-empty short-circuits everything else — a
+    * commit's change files are its complete, authoritative description.
+    * `dvRewrites` pairs each {remove(P, oldDv), add(P, newDv)} as
+    * (the add carrying the NEW descriptor, the OLD descriptor): the
+    * commit's retraction is exactly the positions newDv \ oldDv.
+    * `freshAdds` keep their own DV (inserts announce only surviving
+    * rows). `fullRemovePaths` excludes ONLY the rewrite paths: a remove
+    * whose path is re-added WITHOUT a new DV (a same-path overwrite,
+    * pathological but legal) still deletes its prior incarnation in full.
+    */
+  private final case class FeedCommitChanges(
+      cdc: Seq[AddFile],
+      dvRewrites: Seq[(AddFile, Option[DeletionVectors.Descriptor])],
+      freshAdds: Seq[AddFile],
+      fullRemovePaths: Set[String])
+
+  private def classifyFeedCommit(
+      lines: Seq[com.fasterxml.jackson.databind.JsonNode]): FeedCommitChanges = {
+    def changed(node: com.fasterxml.jackson.databind.JsonNode): Boolean =
+      !node.has("dataChange") || node.get("dataChange").asBoolean(true)
+    val cdc = lines.filter(_.has("cdc")).map { n =>
+      val c = n.get("cdc")
+      AddFile(c.get("path").asText(),
+        Option(c.get("size")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L),
+        jsonPartitionValues(c))
+    }
+    if (cdc.nonEmpty) return FeedCommitChanges(cdc, Seq.empty, Seq.empty, Set.empty)
+    val adds = lines.collect {
+      case n if n.has("add") && changed(n.get("add")) =>
+        val a = n.get("add")
+        AddFile(a.get("path").asText(),
+          if (a.has("size")) a.get("size").asLong() else 0L,
+          jsonPartitionValues(a), None, jsonDv(a))
+    }
+    val removeDvByPath: Map[String, Option[DeletionVectors.Descriptor]] =
+      lines.collect {
+        case n if n.has("remove") && changed(n.get("remove")) =>
+          val rm = n.get("remove")
+          rm.get("path").asText() -> jsonDv(rm)
+      }.toMap
+    val (dvRewrites, freshAdds) = adds.partition(a =>
+      a.dv.exists(_.cardinality > 0) && removeDvByPath.contains(a.path))
+    FeedCommitChanges(
+      Seq.empty,
+      dvRewrites.map(a =>
+        (a, removeDvByPath(a.path).filter(_.cardinality > 0))),
+      freshAdds,
+      removeDvByPath.keySet -- dvRewrites.map(_.path).toSet)
+  }
+
   private[graft] def changeFeedFileEntries(spark: SparkSession, root: String,
       fromVersion: Long, toVersion: Long): Seq[FeedFileEntry] =
     ((fromVersion + 1) to toVersion).flatMap { v =>
-      val lines = readCommitLinesOrRefuse(root, v).map(mapper.readTree)
-      def changed(node: com.fasterxml.jackson.databind.JsonNode): Boolean =
-        !node.has("dataChange") || node.get("dataChange").asBoolean(true)
-      val cdc = lines.filter(_.has("cdc")).map { n =>
-        val c = n.get("cdc")
-        FeedFileEntry(v, c.get("path").asText(), jsonPartitionValues(c),
-          None, None)
-      }
-      if (cdc.nonEmpty) cdc
+      val fc = classifyFeedCommit(
+        readCommitLinesOrRefuse(root, v).map(mapper.readTree))
+      if (fc.cdc.nonEmpty)
+        fc.cdc.map(c =>
+          FeedFileEntry(v, c.path, c.partitionValues, None, None))
       else {
-        val adds = lines.collect {
-          case n if n.has("add") && changed(n.get("add")) =>
-            val a = n.get("add")
-            AddFile(a.get("path").asText(),
-              if (a.has("size")) a.get("size").asLong() else 0L,
-              jsonPartitionValues(a), None, jsonDv(a))
-        }
-        val removeDvByPath: Map[String, Option[DeletionVectors.Descriptor]] =
-          lines.collect {
-            case n if n.has("remove") && changed(n.get("remove")) =>
-              val rm = n.get("remove")
-              rm.get("path").asText() -> jsonDv(rm)
-          }.toMap
-        // a {remove(P, oldDv), add(P, newDv)} pair is a DV REWRITE — the
-        // commit's retraction is exactly the positions newDv \ oldDv
-        val (dvRewrites, freshAdds) = adds.partition(a =>
-          a.dv.exists(_.cardinality > 0) && removeDvByPath.contains(a.path))
-        val ins = freshAdds.map(a => FeedFileEntry(v, a.path,
+        val ins = fc.freshAdds.map(a => FeedFileEntry(v, a.path,
           a.partitionValues, Some("insert"), a.dv))
-        val rewriteDels = dvRewrites.map(a => FeedFileEntry(v, a.path,
-          a.partitionValues, Some("delete"),
-          removeDvByPath(a.path).filter(_.cardinality > 0),
-          dvEmitOnly = a.dv))
-        // only a DV-REWRITE pair folds its remove into the diff above: a
-        // remove whose path is re-added WITHOUT a new DV (a same-path
-        // overwrite, pathological but legal) still deletes its prior
-        // incarnation in full
-        val fullRemovePaths =
-          removeDvByPath.keySet -- dvRewrites.map(_.path).toSet
+        val rewriteDels = fc.dvRewrites.map { case (a, oldDv) =>
+          FeedFileEntry(v, a.path, a.partitionValues, Some("delete"),
+            oldDv, dvEmitOnly = a.dv)
+        }
         val dels =
-          if (fullRemovePaths.isEmpty) Seq.empty
+          if (fc.fullRemovePaths.isEmpty) Seq.empty
           else replay(spark, root, Some(v - 1)).adds
-            .filter(a => fullRemovePaths(a.path))
+            .filter(a => fc.fullRemovePaths(a.path))
             .map(a => FeedFileEntry(v, a.path, a.partitionValues,
               Some("delete"), a.dv))
         ins ++ rewriteDels ++ dels
@@ -2238,70 +2306,43 @@ object DeltaLog {
         StructField("_change_type", StringType))
     val feedSchemaJson = Some(feedSchema.json)
     val frames = ((fromVersion + 1) to toVersion).flatMap { v =>
-      val lines = readCommitLinesOrRefuse(root, v).map(mapper.readTree)
-      def changed(node: com.fasterxml.jackson.databind.JsonNode): Boolean =
-        !node.has("dataChange") || node.get("dataChange").asBoolean(true)
-      val cdcFiles = lines.filter(_.has("cdc")).map { n =>
-        val c = n.get("cdc")
-        AddFile(c.get("path").asText(),
-          Option(c.get("size")).map(_.asLong()).getOrElse(0L),
-          jsonPartitionValues(c))
-      }
-      if (cdcFiles.nonEmpty)
-        Seq(scanAdds(spark, root, cdcFiles, feedSchemaJson, metaJson,
+      val fc = classifyFeedCommit(
+        readCommitLinesOrRefuse(root, v).map(mapper.readTree))
+      if (fc.cdc.nonEmpty)
+        Seq(scanAdds(spark, root, fc.cdc, feedSchemaJson, metaJson,
           withPos = false).withColumn("_commit_version", lit(v)))
       else {
-        val adds = lines.collect {
-          case n if n.has("add") && changed(n.get("add")) =>
-            val a = n.get("add")
-            AddFile(a.get("path").asText(),
-              Option(a.get("size")).map(_.asLong()).getOrElse(0L),
-              jsonPartitionValues(a), None, jsonDv(a))
-        }
-        val removeDvByPath: Map[String, Option[DeletionVectors.Descriptor]] =
-          lines.collect {
-            case n if n.has("remove") && changed(n.get("remove")) =>
-              val rm = n.get("remove")
-              rm.get("path").asText() -> jsonDv(rm)
-          }.toMap
-        // {remove(P, oldDv), add(P, newDv)} pairs are DV REWRITES: the
-        // retraction is exactly the rows at positions newDv \ oldDv
-        val (dvRewrites, freshAdds) = adds.partition(a =>
-          a.dv.exists(_.cardinality > 0) && removeDvByPath.contains(a.path))
         val insDf =
-          if (freshAdds.isEmpty) None
+          if (fc.freshAdds.isEmpty) None
           // readAdds (not a bare scan): a fresh file CARRYING a deletion
           // vector announces only its surviving rows
-          else Some(readAdds(spark, root, freshAdds, schemaJson, metaJson)
+          else Some(readAdds(spark, root, fc.freshAdds, schemaJson, metaJson)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
         val dvDelDf =
-          if (dvRewrites.isEmpty) None
+          if (fc.dvRewrites.isEmpty) None
           else {
-            val newPos = dvDeletedPositions(spark, root, dvRewrites)
-            val olds = dvRewrites.flatMap(a => removeDvByPath(a.path)
-              .filter(_.cardinality > 0).map(d => a.copy(dv = Some(d))))
+            val newAdds = fc.dvRewrites.map(_._1)
+            val newPos = dvDeletedPositions(spark, root, newAdds)
+            val olds = fc.dvRewrites.flatMap { case (a, oldDv) =>
+              oldDv.map(d => a.copy(dv = Some(d)))
+            }
             val diff =
               if (olds.isEmpty) newPos
               else newPos.join(dvDeletedPositions(spark, root, olds),
                 Seq("__dv_file", "__dv_pos"), "left_anti")
-            val scan = scanAdds(spark, root, dvRewrites.map(_.copy(dv = None)),
+            val scan = scanAdds(spark, root, newAdds.map(_.copy(dv = None)),
               schemaJson, metaJson, withPos = true)
             Some(scan.join(diff, Seq("__dv_file", "__dv_pos"), "left_semi")
               .drop("__dv_file", "__dv_pos")
               .withColumn("_change_type", lit("delete"))
               .withColumn("_commit_version", lit(v)))
           }
-        // a remove re-added WITHOUT a new DV (same-path overwrite) still
-        // deletes its prior incarnation in full — only DV-rewrite pairs
-        // fold their remove into the position diff
-        val fullRemovePaths =
-          removeDvByPath.keySet -- dvRewrites.map(_.path).toSet
         val delDf =
-          if (fullRemovePaths.isEmpty) None
+          if (fc.fullRemovePaths.isEmpty) None
           else {
             val prior = replay(spark, root, Some(v - 1)).adds
-              .filter(a => fullRemovePaths(a.path))
+              .filter(a => fc.fullRemovePaths(a.path))
             Some(readAdds(spark, root, prior, schemaJson, metaJson)
               .withColumn("_change_type", lit("delete"))
               .withColumn("_commit_version", lit(v)))

@@ -199,15 +199,18 @@ object Fs {
   }
 
   /** Hadoop path capabilities an atomic create-no-overwrite is accepted
-    * under on a non-local, non-HDFS store: the conditional-create
-    * capability (S3A with conditional-PUT support publishes it) in both
-    * spellings recent Hadoop lines have used. Probing is by STRING —
-    * `hasPathCapability` takes any key, so a newer store's capability is
-    * honored even though the constant is absent from the bundled Hadoop.
+    * under on a non-local, non-HDFS store. The spelling is Hadoop's own
+    * `Options.CreateFileOptionKeys.FS_OPTION_CREATE_CONDITIONAL_OVERWRITE`
+    * (verified against the bundled hadoop-client-api 3.4.2 jar — the
+    * builder-option key doubles as the `hasPathCapability` probe under
+    * Hadoop's shared option/capability namespace convention; S3A with
+    * conditional-PUT support answers it). The `.etag` variant is the
+    * etag-conditioned overwrite, also sufficient evidence the store does
+    * conditional writes.
     */
   private val ConditionalCreateCapabilities = Seq(
-    "fs.capability.conditional.create",
-    "fs.capability.create.conditional.overwrite")
+    "fs.option.create.conditional.overwrite",
+    "fs.option.create.conditional.overwrite.etag")
 
   /** Hadoop configuration key that OVERRIDES the conditional-create
     * probe — the operator's documented escape hatch for a store whose

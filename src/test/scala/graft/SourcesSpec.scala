@@ -1251,6 +1251,41 @@ class SourcesSpec extends SparkTestBase {
     assert(DeltaLog.snapshotFiles(spark, root, Some(dv)).toSet == filesBefore,
       "mapped DELETE must not rewrite data files")
     assert(DeltaLog.read(spark, root).filter(col("doc_id") === 0L).count() == 0L)
+    // nested minting: a struct-typed fresh column mints an id +
+    // physicalName for EVERY nested field (PROTOCOL.md requires it — a
+    // bare-children schemaString bricks the table for its owning engine),
+    // the counter advancing across the whole mint
+    DeltaLog.commitAppend(root,
+      spark.range(1).select((col("id") + 300L).as("doc_id"),
+        lit("ww").as("lang"), lit(5L).as("extra"),
+        struct(lit(1L).as("a"), lit("x").as("b")).as("meta")))
+    val metaField = DeltaLog.latestSchema(root)("meta")
+    assert(metaField.metadata.getLong("delta.columnMapping.id") == 4L)
+    val inner = metaField.dataType.asInstanceOf[StructType]
+    inner.fields.foreach { nf =>
+      assert(nf.metadata.contains("delta.columnMapping.id") &&
+        nf.metadata.getString("delta.columnMapping.physicalName")
+          .startsWith("col-"),
+        s"nested field ${nf.name} must mint its own id + physicalName")
+    }
+    val allIds = {
+      def ids(dt: org.apache.spark.sql.types.DataType): Seq[Long] = dt match {
+        case s: StructType => s.fields.toSeq.flatMap(f =>
+          (if (f.metadata.contains("delta.columnMapping.id"))
+            Seq(f.metadata.getLong("delta.columnMapping.id")) else Seq.empty) ++
+            ids(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType => ids(a.elementType)
+        case m: org.apache.spark.sql.types.MapType =>
+          ids(m.keyType) ++ ids(m.valueType)
+        case _ => Seq.empty
+      }
+      ids(DeltaLog.latestSchema(root))
+    }
+    assert(allIds.distinct.size == allIds.size,
+      s"mapping ids must be unique across the whole schema: $allIds")
+    // the read binds the nested PHYSICAL names back to logical
+    assert(DeltaLog.read(spark, root)
+      .filter(col("meta.a") === 1L && col("meta.b") === "x").count() == 1L)
     // reader protocol 3 with columnMapping as the ONLY reader feature is
     // the same supported surface
     val v3 = authorMapped(
@@ -1608,7 +1643,7 @@ class MockCapFs extends org.apache.hadoop.fs.FilterFileSystem(
       blockSize, progress)
   override def hasPathCapability(path: org.apache.hadoop.fs.Path,
       capability: String): Boolean =
-    capability == "fs.capability.conditional.create" && MockCapFs.capable
+    capability == "fs.option.create.conditional.overwrite" && MockCapFs.capable
 }
 
 object MockCapFs {

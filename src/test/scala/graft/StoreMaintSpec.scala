@@ -477,5 +477,41 @@ class StoreMaintSpec extends SparkTestBase {
     val res = Similarity.annSearchFrom(spark, sfDir, empty)
     assert(res.columns.toSeq == Seq("query_id", "rk", "neighbor_id", "cosine"))
     assert(res.count() == 0L, "an emptied store must serve zero neighbors")
+    // ...and a RETRAIN over nothing refuses loudly instead of dying in
+    // schema inference or publishing an empty quantizer
+    val er = intercept[IllegalArgumentException] {
+      Similarity.rebuildAnnStore(spark, empty)
+    }
+    assert(er.getMessage.contains("nothing to retrain"), er.getMessage)
+  }
+
+  test("ANN erasure covers EVERY generation (the old one kept for crash " +
+      "safety included); vacuumAnnStoreGenerations retires it afterwards") {
+    import graft.queries.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft-ann-gens").toString
+    val store = s"$base/annstore"
+    val e = Tables(spark, sfDir, "embeddings")
+    Similarity.buildAnnStore(spark, store, e)                    // gen 0
+    Similarity.rebuildAnnStore(spark, store)                     // gen 1 active
+    val subject = e.agg(min(col("vec_id"))).head.getLong(0)
+    val feed = e.filter(col("vec_id") === subject)
+      .select(col("vec_id"), lit("delete").as("_change_type"))
+    val rewritten = Similarity.syncAnnStoreFromFeed(spark, store, feed)
+    assert(rewritten >= 2L,
+      s"the erase must rewrite files in BOTH generations, rewrote $rewritten")
+    // zero residue in EITHER generation — the pre-rebuild postings kept
+    // for crash safety carry the same erasure obligation
+    Seq("postings", "postings-g1").foreach { p =>
+      assert(spark.read.parquet(s"$store/$p")
+        .filter(col("vec_id") === subject).count() == 0L,
+        s"erased subject still readable in $p")
+    }
+    // the reclaim verb drops exactly the non-active generation
+    val dropped = Similarity.vacuumAnnStoreGenerations(store)
+    assert(dropped == Seq("centroids", "postings"), dropped.toString)
+    assert(!graft.table.Fs.isDir(s"$store/postings") &&
+      graft.table.Fs.isDir(s"$store/postings-g1"))
+    // the active generation still serves after the vacuum
+    assert(Similarity.annSearchFrom(spark, sfDir, store).count() > 0L)
   }
 }
