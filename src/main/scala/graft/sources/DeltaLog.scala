@@ -1683,8 +1683,9 @@ object DeltaLog {
     * the stream source's file inventory.
     */
   private[graft] def changedFileEntries(root: String,
-      fromVersion: Long, toVersion: Long): Seq[(String, Map[String, String])] =
-    changedFileAdds(root, fromVersion, toVersion)
+      fromVersion: Long, toVersion: Long,
+      skipChangeCommits: Boolean = false): Seq[(String, Map[String, String])] =
+    changedFileAdds(root, fromVersion, toVersion, skipChangeCommits)
       .map(a => (a.path, a.partitionValues))
 
   /** Append `df` as the next commit (commit 0 creates the table and
@@ -2382,37 +2383,47 @@ object DeltaLog {
   /** `dataChange=true` adds in (fromVersion, toVersion], with their
     * partitionValues — the CDC-read / stream-source file inventory.
     */
+  /** With `skipChangeCommits` (delta-spark's own stream option) a commit
+    * that RETRACTS rows — any `dataChange=true` remove, or any add
+    * carrying a deletion vector — contributes NOTHING instead of
+    * refusing: the consumer has declared it only wants appends and
+    * accepts missing the rewritten rows. Without it a DV add refuses
+    * loudly (an adds-only read cannot express the retraction).
+    */
   private[sources] def changedFileAdds(root: String,
-      fromVersion: Long, toVersion: Long): Seq[AddFile] =
+      fromVersion: Long, toVersion: Long,
+      skipChangeCommits: Boolean = false): Seq[AddFile] =
     (math.max(fromVersion + 1, 0L) to toVersion).flatMap { v =>
       // a commit trimmed by log retention (pre-checkpoint JSON on a
       // foreign table) reads as empty, not as an error: its adds are
       // compacted into the checkpoint a caller consuming history from
       // before the horizon must start from anyway
-      readLinesIfExists(commitPath(root, v)).flatMap { line =>
-        if (line.isEmpty) None
-        else {
-          val node = mapper.readTree(line)
-          if (node.has("add") &&
-            (!node.get("add").has("dataChange") ||
-              node.get("add").get("dataChange").asBoolean(true))) {
-            val a = node.get("add")
-            // a DV add row-level-invalidates a file an incremental
-            // consumer may have ALREADY DELIVERED — appends cannot
-            // express that, so refuse loudly instead of resurrecting
-            // deleted rows downstream (snapshot reads handle DVs fine)
-            if (jsonDv(a).exists(_.cardinality > 0))
-              throw new UnsupportedOperationException(
-                s"DeltaLog $root: commit $v adds ${a.get("path").asText()} " +
-                  "with a deletion vector — an adds-only incremental read " +
-                  "cannot express the retraction; consume the change feed " +
-                  "instead (readChangeFeed / stream option " +
-                  "readChangeFeed=true, which derives the deleted rows)")
-            Some(AddFile(a.get("path").asText(),
-              if (a.has("size")) a.get("size").asLong() else 0L,
-              jsonPartitionValues(a)))
-          } else None
-        }
+      val lines = readLinesIfExists(commitPath(root, v))
+        .filter(_.nonEmpty).map(mapper.readTree)
+      def changed(node: com.fasterxml.jackson.databind.JsonNode): Boolean =
+        !node.has("dataChange") || node.get("dataChange").asBoolean(true)
+      val adds = lines.collect {
+        case n if n.has("add") && changed(n.get("add")) => n.get("add")
+      }
+      val retracts =
+        adds.exists(a => jsonDv(a).exists(_.cardinality > 0)) ||
+          lines.exists(n => n.has("remove") && changed(n.get("remove")))
+      if (skipChangeCommits && retracts) Seq.empty
+      else adds.map { a =>
+        // a DV add row-level-invalidates a file an incremental
+        // consumer may have ALREADY DELIVERED — appends cannot
+        // express that, so refuse loudly instead of resurrecting
+        // deleted rows downstream (snapshot reads handle DVs fine)
+        if (jsonDv(a).exists(_.cardinality > 0))
+          throw new UnsupportedOperationException(
+            s"DeltaLog $root: commit $v adds ${a.get("path").asText()} " +
+              "with a deletion vector — an adds-only incremental read " +
+              "cannot express the retraction; consume the change feed " +
+              "(readChangeFeed, which derives the deleted rows) or opt " +
+              "into skipChangeCommits to drop retracting commits entirely")
+        AddFile(a.get("path").asText(),
+          if (a.has("size")) a.get("size").asLong() else 0L,
+          jsonPartitionValues(a))
       }
     }
 

@@ -40,7 +40,11 @@ import graft.sources.DeltaLog
   * Scale: per-trigger work is changes-sized (the new commits' files),
   * never snapshot-sized; a 100 TB table with small daily appends streams
   * at the cost of the appends. Options: `path` (table root, required),
-  * `maxVersionsPerTrigger` (default 1).
+  * `maxVersionsPerTrigger` (default 1), `readChangeFeed` (typed
+  * `_change_type`/`_commit_version` rows — cdc files authoritative,
+  * cdc-less commits derived, DV rewrites diffed), `skipChangeCommits`
+  * (delta-spark's append-only opt-in: retracting commits contribute
+  * nothing instead of refusing).
   */
 class DeltaStream extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -90,11 +94,12 @@ final class DeltaStreamTable(options: CaseInsensitiveStringMap,
     val root = options.get("path")
     val maxV = options.getLong("maxVersionsPerTrigger", 1L)
     val cdf = options.getBoolean("readChangeFeed", false)
+    val skip = options.getBoolean("skipChangeCommits", false)
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema0
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new DeltaStreamStream(root, schema0, maxV, cdf)
+          new DeltaStreamStream(root, schema0, maxV, cdf, skip)
       }
     }
   }
@@ -134,7 +139,8 @@ private final case class DeltaFilePartition(path: String,
 // engine binds columns positionally.
 
 final class DeltaStreamStream(root: String, schema: StructType,
-    maxVersionsPerTrigger: Long, cdf: Boolean = false)
+    maxVersionsPerTrigger: Long, cdf: Boolean = false,
+    skipChangeCommits: Boolean = false)
   extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = DeltaStreamOffset(-1L)
@@ -209,7 +215,7 @@ final class DeltaStreamStream(root: String, schema: StructType,
             dvEmitOnly = dvTuple(fe.dvEmitOnly)): InputPartition
         }
         .toArray
-    else DeltaLog.changedFileEntries(root, s, e)
+    else DeltaLog.changedFileEntries(root, s, e, skipChangeCommits)
       .map { case (p, pv) =>
         DeltaFilePartition(s"$root/$p", fieldsFor(pv), sessionTz): InputPartition
       }

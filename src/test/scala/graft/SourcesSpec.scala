@@ -1559,6 +1559,40 @@ class SourcesSpec extends SparkTestBase {
     assert(vt.read(v1).filter(col("v") === -1).count() == 0L)
   }
 
+  test("DeltaStream skipChangeCommits: retracting commits (DV rewrites, " +
+      "dataChange removes) contribute NOTHING instead of refusing; later " +
+      "appends still stream") {
+    import graft.sources.DeltaLog
+    val root = Files.createTempDirectory("graft-skipchange").toString + "/tbl"
+    DeltaLog.commitAppend(root,
+      spark.range(0, 30).select(col("id")).coalesce(1))            // v0
+    DeltaLog.deleteWhere(spark, root, col("id") < 10)              // v1: DV
+    DeltaLog.commitAppend(root,
+      spark.range(100, 110).select(col("id")).coalesce(1))         // v2
+    // without the option the adds-only read refuses on the DV commit
+    val e = intercept[UnsupportedOperationException] {
+      DeltaLog.changesSince(spark, root, -1L).count()
+    }
+    assert(e.getMessage.contains("skipChangeCommits"), e.getMessage)
+    // with it, the stream drains v0 + v2 and silently drops v1 — the
+    // consumer declared appends-only and accepts missing the retraction
+    val run = Files.createTempDirectory("graft-skipchange-run").toString
+    val q = spark.readStream
+      .format(classOf[graft.streaming.DeltaStream].getName)
+      .option("path", root)
+      .option("skipChangeCommits", "true")
+      .option("maxVersionsPerTrigger", 1L)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$run/sink").option("checkpointLocation", s"$run/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.read.parquet(s"$run/sink")
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == ((0L until 30L) ++ (100L until 110L)),
+      s"v0 and v2 appends must stream, the v1 DV rewrite must be skipped: $ids")
+  }
+
   test("Fs.createNew on a non-local filesystem: PROBE-OR-REFUSE — a store " +
       "that declares no conditional-create capability refuses (two racing " +
       "committers could both win); with the capability — or the explicit " +
