@@ -1559,6 +1559,48 @@ class SourcesSpec extends SparkTestBase {
     assert(vt.read(v1).filter(col("v") === -1).count() == 0L)
   }
 
+  test("mapped + PARTITIONED table: DELETE retracts via DVs keeping the " +
+      "physical-named layout; OPTIMIZE re-spells it; time travel intact") {
+    import graft.sources.DeltaLog
+    graft.queries.IngestOps.q276Fixture(spark, sfDir)
+    val root = Files.createTempDirectory("graft-mapped-part").toString + "/delta"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(
+        graft.queries.ReplayFixtures.fixtureRootFor(sfDir, "q276") + "/delta"),
+      new java.io.File(root))
+    val before = DeltaLog.read(spark, root).count()
+    val hits = DeltaLog.read(spark, root)
+      .filter(pmod(col("doc_id"), lit(7)) === 0).count()
+    assert(hits > 0)
+    val filesBefore = DeltaLog.snapshotFiles(spark, root).toSet
+    assert(filesBefore.forall(_.contains("col-l0003=")),
+      "fixture files must live in physical-named partition directories")
+    // DELETE through the mapping + the layout: hit files DV'd in place
+    val (dv, nDel) = DeltaLog.deleteWhere(spark, root,
+      pmod(col("doc_id"), lit(7)) === 0)
+    assert(nDel == hits)
+    assert(DeltaLog.snapshotFiles(spark, root, Some(dv)).toSet == filesBefore,
+      "mapped partitioned DELETE must not rewrite data files")
+    val after = DeltaLog.read(spark, root)
+    assert(after.count() == before - hits)
+    assert(after.filter(pmod(col("doc_id"), lit(7)) === 0).count() == 0L)
+    // OPTIMIZE rewrites survivors into fresh files that keep the PHYSICAL
+    // partition spelling (a logical-named directory would split the
+    // table across two layouts) and purges the DVs
+    val ov = DeltaLog.commitOptimize(spark, root)
+    val filesAfter = DeltaLog.snapshotFiles(spark, root, Some(ov))
+    assert(filesAfter.forall(_.contains("col-l0003=")),
+      s"optimized files must keep physical partition dirs: $filesAfter")
+    assert(filesAfter.toSet.intersect(filesBefore).isEmpty,
+      "OPTIMIZE must publish fresh files")
+    assert(DeltaLog.read(spark, root, Some(ov)).count() == before - hits)
+    // partition pruning still works on the rewritten layout
+    assert(DeltaLog.filesMatching(spark, root, col("lang") === "en",
+      Some(ov)).forall(_.contains("col-l0003=en")))
+    // time travel through the mapped history: pre-delete snapshot intact
+    assert(DeltaLog.read(spark, root, Some(dv - 1)).count() == before)
+  }
+
   test("DeltaStream skipChangeCommits: retracting commits (DV rewrites, " +
       "dataChange removes) contribute NOTHING instead of refusing; later " +
       "appends still stream") {
