@@ -82,15 +82,32 @@ object DeltaLog {
   private val CkptName =
     """^(\d{20})\.checkpoint(?:\.(\d{10})\.(\d{10}))?\.parquet$""".r
 
+  /** V2-spec checkpoint MANIFEST: `V.checkpoint.<uuid>.{parquet,json}`
+    * (PROTOCOL.md v2Checkpoint). One segment between `checkpoint` and the
+    * extension — a classic multi-part name has TWO ten-digit segments, so
+    * the patterns never overlap (UUIDs carry dashes). The manifest holds
+    * protocol/metaData/txn plus `sidecar` actions naming the add-row
+    * parquet files under `_delta_log/_sidecars/`; adds may also ride
+    * inline (the no-sidecar compat shape).
+    */
+  private val V2CkptName =
+    """^(\d{20})\.checkpoint\.([0-9a-zA-Z_-]+)\.(parquet|json)$""".r
+
+  private[sources] def isV2Manifest(name: String): Boolean = name match {
+    case V2CkptName(_, _, _) => true
+    case _ => false
+  }
+
   private def checkpoints(root: String): Map[Long, Seq[String]] = {
-    val named = Fs.list(logDir(root)).flatMap { p =>
+    val listing = Fs.list(logDir(root))
+    val named = listing.flatMap { p =>
       Fs.name(p) match {
         case CkptName(v, part, of) =>
           Some((v.toLong, Option(of).map(_.toInt), p))
         case _ => None
       }
     }
-    named.groupBy(_._1).flatMap { case (v, grp) =>
+    val v1 = named.groupBy(_._1).flatMap { case (v, grp) =>
       val parts = grp.sortBy(t => Fs.name(t._3)).map(_._3)
       val declared = grp.flatMap(_._2).headOption
       declared match {
@@ -100,6 +117,70 @@ object DeltaLog {
         case None => Some(v -> parts)
       }
     }
+    // v2 manifests: one entry per version (parquet preferred over json
+    // when a writer left both); a classic checkpoint at the same version
+    // wins — both are complete snapshots, and the classic read is cheaper
+    val v2 = listing.flatMap { p =>
+      Fs.name(p) match {
+        case V2CkptName(v, _, ext) => Some((v.toLong, ext, p))
+        case _ => None
+      }
+    }.groupBy(_._1).map { case (v, grp) =>
+      v -> Seq(grp.sortBy(t => (if (t._2 == "parquet") 0 else 1,
+        Fs.name(t._3))).head._3)
+    }
+    v2 ++ v1
+  }
+
+  /** Resolve one checkpoint's part list into (spark-readable parquet
+    * parts, driver-parsed manifest action lines). Classic checkpoints:
+    * the parts verbatim. V2 PARQUET manifest: the manifest plus its
+    * sidecar files (the `sidecar` actions scanned driver-side via
+    * parquet-mr — sidecar counts are bounded by checkpoint part sizing,
+    * never by table file counts), read together under mergeSchema. V2
+    * JSON manifest: the sidecar parquet files, plus the manifest's own
+    * action lines (protocol/metaData/txn — and inline adds on the
+    * no-sidecar compat shape) handed back for driver-side processing.
+    */
+  private def checkpointContent(root: String, parts: Seq[String])
+      : (Seq[String], Seq[com.fasterxml.jackson.databind.JsonNode]) = {
+    if (parts.size != 1 || !isV2Manifest(Fs.name(parts.head)))
+      return (parts, Seq.empty)
+    val manifest = parts.head
+    def sidecarFull(p: String): String =
+      if (p.contains("://") || p.startsWith("/")) p
+      else Fs.resolve(Fs.resolve(logDir(root), "_sidecars"), p)
+    if (Fs.name(manifest).endsWith(".json")) {
+      val nodes = Fs.readLines(manifest).filter(_.nonEmpty).map(mapper.readTree)
+      val (sidecars, actions) = nodes.partition(_.has("sidecar"))
+      (sidecars.map(n => sidecarFull(n.get("sidecar").get("path").asText())),
+        actions)
+    } else
+      (manifest +: checkpointSidecarPaths(manifest).map(sidecarFull), Seq.empty)
+  }
+
+  /** Every `sidecar` action's path in a parquet v2 manifest — driver-side
+    * parquet-mr, no SparkSession.
+    */
+  private def checkpointSidecarPaths(manifest: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(manifest)).build()
+    try {
+      var g = reader.read()
+      while (g != null) {
+        if (g.getType.containsField("sidecar") &&
+            g.getFieldRepetitionCount("sidecar") > 0) {
+          val sg = g.getGroup("sidecar", 0)
+          if (sg.getType.containsField("path") &&
+              sg.getFieldRepetitionCount("path") > 0)
+            out += sg.getString("path", 0)
+        }
+        g = reader.read()
+      }
+    } finally reader.close()
+    out.toSeq
   }
 
   /** One live data file: relative path, size, and the add action's
@@ -222,6 +303,10 @@ object DeltaLog {
     // as [[checkpoints]] (an interrupted multi-part group is invisible)
     val ckptV = entries.map(_._1).flatMap {
       case CkptName(vv, _, of) => Some((vv.toLong, Option(of).map(_.toInt)))
+      // a v2 manifest is complete by itself (missing sidecars fail the
+      // read loudly, never silently) — same completeness stance as
+      // [[checkpoints]]
+      case V2CkptName(vv, _, _) => Some((vv.toLong, None))
       case _ => None
     }.groupBy(_._1).collect {
       case (vv, grp) if vv <= v &&
@@ -239,6 +324,7 @@ object DeltaLog {
         }) ||
         (name match {
           case CkptName(vv, _, _) => vv.toLong == ckptV
+          case V2CkptName(vv, _, _) => vv.toLong == ckptV
           case _ => false
         })
     var n = 0L
@@ -279,7 +365,38 @@ object DeltaLog {
     val ckpts = checkpoints(root)
     val ckpt = ckpts.keys.filter(_ <= v).toSeq.sorted.lastOption
     ckpt.foreach { c =>
-      val df = spark.read.parquet(ckpts(c): _*)
+      val (dataParts, manifestActions) = checkpointContent(root, ckpts(c))
+      // v2 JSON manifest lines: protocol/metaData/txn (and inline adds on
+      // the no-sidecar shape) land driver-side; removes in a checkpoint
+      // are VACUUM tombstones, not live-set state — ignored, same as the
+      // parquet path below
+      manifestActions.foreach { node =>
+        if (node.has("metaData")) {
+          metaDataJson = Some(node.get("metaData").toString)
+          if (node.get("metaData").has("schemaString"))
+            schemaJson = Some(node.get("metaData").get("schemaString").asText())
+        } else if (node.has("protocol"))
+          protocolJson = Some(node.get("protocol").toString)
+        else if (node.has("txn")) {
+          val t = node.get("txn")
+          txns(t.get("appId").asText()) = t.get("version").asLong()
+        } else if (node.has("add") && withAdds) {
+          val a = node.get("add")
+          live(a.get("path").asText()) =
+            (if (a.has("size")) a.get("size").asLong() else 0L,
+              jsonPartitionValues(a),
+              Option(a.get("stats")).filterNot(_.isNull).map(n =>
+                if (n.isTextual) n.asText() else n.toString),
+              jsonDv(a))
+        }
+      }
+      if (dataParts.nonEmpty) {
+      // mergeSchema: a v2 manifest and its sidecars spell DIFFERENT
+      // column sets (manifest: protocol/metaData/sidecar; sidecars:
+      // add/remove) — classic same-schema parts merge to themselves
+      val df = spark.read
+        .option("mergeSchema", isV2Manifest(Fs.name(ckpts(c).head)).toString)
+        .parquet(dataParts: _*)
       def fieldsOf(column: String): Set[String] =
         df.schema(column).dataType.asInstanceOf[StructType].fieldNames.toSet
       // adds: live set as of the checkpoint (removes in a checkpoint are
@@ -330,6 +447,7 @@ object DeltaLog {
         df.filter(col("txn").isNotNull)
           .select(col("txn.appId"), col("txn.version").cast("long"))
           .collect().foreach(r => txns(r.getString(0)) = r.getLong(1))
+      }
     }
     (ckpt.getOrElse(-1L) + 1L to v).foreach { i =>
       // a missing commit inside the range is tolerated exactly like
@@ -387,13 +505,129 @@ object DeltaLog {
     snap
   }
 
+  /** [[replay]] restricted to `paths` — the live INCARNATIONS of exactly
+    * those paths at `version`, reconciled under the same (path, dvId)
+    * last-action-wins rule. The change feed's full-remove derivation
+    * needs ONLY the removed paths' prior state (their partitionValues +
+    * deletion vector), and a full replay(v-1) materializes the ENTIRE
+    * live add set driver-side — O(files) work per derived remove on a
+    * 10⁶-file table. Here the checkpoint half stays DISTRIBUTED (the
+    * path predicate pushes into the checkpoint parquet scan; only
+    * matching rows reach the driver) and the JSON tail filters as it
+    * parses, so the driver cost is changes-sized: O(|paths| + tail).
+    * Never cached — each call is one bounded probe, and caching keyed on
+    * arbitrary path sets would just thrash the snapshot LRU.
+    */
+  private def replayForPaths(spark: SparkSession, root: String,
+      version: Long, paths: Set[String]): Seq[AddFile] = {
+    if (paths.isEmpty) return Seq.empty
+    var collected = 0L
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    val ckpts = checkpoints(root)
+    val ckpt = ckpts.keys.filter(_ <= version).toSeq.sorted.lastOption
+    ckpt.foreach { c =>
+      val (dataParts, manifestActions) = checkpointContent(root, ckpts(c))
+      manifestActions.foreach { node =>
+        if (node.has("add")) {
+          val a = node.get("add")
+          val p = a.get("path").asText()
+          if (paths(p)) {
+            collected += 1
+            live(p) = AddFile(p,
+              if (a.has("size")) a.get("size").asLong() else 0L,
+              jsonPartitionValues(a),
+              Option(a.get("stats")).filterNot(_.isNull).map(n =>
+                if (n.isTextual) n.asText() else n.toString),
+              jsonDv(a))
+          }
+        }
+      }
+      if (dataParts.nonEmpty) {
+      val df = spark.read
+        .option("mergeSchema", isV2Manifest(Fs.name(ckpts(c).head)).toString)
+        .parquet(dataParts: _*)
+      def fieldsOf(column: String): Set[String] =
+        df.schema(column).dataType.asInstanceOf[StructType].fieldNames.toSet
+      if (df.columns.contains("add")) {
+        val sz = if (fieldsOf("add")("size")) col("add.size").cast("long")
+          else lit(0L)
+        val pv = if (fieldsOf("add")("partitionValues")) col("add.partitionValues")
+          else lit(null).cast("map<string,string>")
+        val st = if (fieldsOf("add")("stats")) col("add.stats").cast("string")
+          else lit(null).cast("string")
+        val dvc = if (fieldsOf("add")("deletionVector"))
+          to_json(col("add.deletionVector")) else lit(null).cast("string")
+        // isInCollection compiles to InSet above Spark's in-threshold —
+        // a 10⁴-path remove commit probes as ONE distributed filter, and
+        // only the matching add rows ever transit to the driver
+        df.filter(col("add").isNotNull &&
+            col("add.path").isInCollection(paths))
+          .select(col("add.path"), sz, pv, st, dvc)
+          .collect().foreach { r =>
+            collected += 1
+            val m = if (r.isNullAt(2)) Map.empty[String, String]
+              else r.getMap[String, String](2).toMap
+            val dv = if (r.isNullAt(4)) None
+              else parseDvNode(mapper.readTree(r.getString(4)))
+            live(r.getString(0)) = AddFile(r.getString(0), r.getLong(1), m,
+              if (r.isNullAt(3)) None else Some(r.getString(3)), dv)
+          }
+      }
+      }
+    }
+    (ckpt.getOrElse(-1L) + 1L to version).foreach { i =>
+      readLinesIfExists(commitPath(root, i)).foreach { line =>
+        // same per-line JSON parse cost replay() pays on the tail; the
+        // set-membership check (not an O(|paths|) substring scan) keeps
+        // a 10⁴-path probe linear in the tail
+        if (line.nonEmpty) {
+          val node = mapper.readTree(line)
+          if (node.has("add")) {
+            val a = node.get("add")
+            val p = a.get("path").asText()
+            if (paths(p)) {
+              collected += 1
+              live(p) = AddFile(p,
+                if (a.has("size")) a.get("size").asLong() else 0L,
+                jsonPartitionValues(a),
+                Option(a.get("stats")).filterNot(_.isNull).map(n =>
+                  if (n.isTextual) n.asText() else n.toString),
+                jsonDv(a))
+            }
+          } else if (node.has("remove")) {
+            val rm = node.get("remove")
+            val p = rm.get("path").asText()
+            if (paths(p)) {
+              val rid = jsonDv(rm).map(_.uniqueId).getOrElse("")
+              live.get(p).foreach { a =>
+                if (a.dv.map(_.uniqueId).getOrElse("") == rid) live.remove(p)
+              }
+            }
+          }
+        }
+      }
+    }
+    lastFeedReplayCollectedAdds = collected
+    live.values.toIndexedSeq
+  }
+
+  /** Add rows the last [[replayForPaths]] materialized driver-side —
+    * the audit counter the bounded-driver FEED gate reads: a derived
+    * full-remove on a 10⁴-file table must collect O(removed paths), not
+    * O(files). -1 until the first pruned feed replay runs.
+    */
+  @volatile private[graft] var lastFeedReplayCollectedAdds: Long = -1L
+
   /** PROTOCOL REFUSAL GATE — a loud, cheap error instead of a silent
     * misread. Supported reader surface: protocol 1 (plain parquet,
     * last-action-wins replay), protocol 2 (column mapping — 'name' mode
     * implemented in [[readUnderSchema]]: the scan binds physical names
     * and the projection renames back to logical), and protocol 3 ONLY
-    * when every declared readerFeature is `columnMapping` or
-    * `deletionVectors` (DV'd files are row-filtered through
+    * when every declared readerFeature is `columnMapping`,
+    * `deletionVectors`, `timestampNtz` (one more leaf type — batch scan,
+    * partition decode, and the stream reader's INT64 lattice all carry
+    * it) or `v2Checkpoint` (manifest + sidecar layout, read by
+    * [[checkpointContent]]) (DV'd files are row-filtered through
     * `_metadata.row_index` anti-joins in [[readAdds]]; the adds-only
     * incremental path still refuses DV commits — see [[changedFileAdds]]
     * — while the change feed, batch and streamed, DERIVES their
@@ -410,7 +644,8 @@ object DeltaLog {
       val featsField = Option(p.get("readerFeatures"))
       val feats = featsField.toSeq
         .flatMap(_.elements().asScala.map(_.asText()))
-      val unsupported = feats.filterNot(Set("columnMapping", "deletionVectors"))
+      val unsupported = feats.filterNot(
+        Set("columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint"))
       // PROTOCOL.md: minReaderVersion>=3 REQUIRES readerFeatures — a
       // protocol row where the list cannot be materialized (a lossy
       // foreign checkpoint) must refuse, not default to "no features":
@@ -423,7 +658,7 @@ object DeltaLog {
         throw new UnsupportedOperationException(
           s"DeltaLog $root: unsupported reader protocol minReaderVersion=$mrv$fs; " +
             "this reader supports minReaderVersion<=2 and reader features " +
-            "columnMapping and deletionVectors")
+            "columnMapping, deletionVectors, timestampNtz and v2Checkpoint")
       }
     }
     val mode = columnMappingMode(metaDataJson)
@@ -574,15 +809,44 @@ object DeltaLog {
     if (estBytes <= (128L << 20)) broadcast(df) else df
   }
 
+  /** [[dvDeletedPositions]] with a COMMIT-VERSION tag per row — the
+    * grouped change-feed read diffs every version's {newDv \ oldDv} in
+    * ONE frame keyed (`__dv_v`, `__dv_file`, `__dv_pos`) instead of one
+    * positions frame per version. Same executor-side decode, same
+    * broadcast-bytes gate.
+    */
+  private def dvDeletedPositionsTagged(spark: SparkSession, root: String,
+      entries: Seq[(Long, AddFile)]): DataFrame = {
+    import spark.implicits._
+    val descs = entries.map { case (v, a) =>
+      val d = a.dv.get
+      (v, a.path, d.storageType, d.pathOrInlineDv,
+        d.offset.map(_.toLong).getOrElse(-1L), d.sizeInBytes, d.cardinality)
+    }
+    val df = spark.createDataset(descs)
+      .flatMap { case (v, name, st, p, off, sz, card) =>
+        val d = DeletionVectors.Descriptor(st, p,
+          if (off < 0L) None else Some(off.toInt), sz, card)
+        DeletionVectors.readPositions(root, d).iterator.map(pos => (v, name, pos))
+      }.toDF("__dv_v", "__dv_file", "__dv_pos")
+    val estBytes = entries.map { case (_, a) =>
+      a.dv.get.cardinality * (16L + a.path.length + 16L)
+    }.sum
+    if (estBytes <= (128L << 20)) broadcast(df) else df
+  }
+
   /** Scan `adds` under the snapshot schema (mapping + partition decode as
     * documented on [[readAdds]]). With `withPos` the result carries two
     * extra columns — `__dv_file` (table-relative path) and `__dv_pos`
     * (0-based row index from `_metadata.row_index`) — the join key the
     * deletion-vector anti-join and [[deleteWhere]]'s hit scan both use.
+    * With `withFile` (implied by `withPos`) only `__dv_file` rides along —
+    * the decoration key the grouped change-feed read joins its broadcast
+    * file→version frame on.
     */
   private def scanAdds(spark: SparkSession, root: String, adds: Seq[AddFile],
       schemaJson: Option[String], metaDataJson: Option[String],
-      withPos: Boolean): DataFrame = {
+      withPos: Boolean, withFile: Boolean = false): DataFrame = {
     val logical = schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
     val mode = columnMappingMode(metaDataJson)
     val mapped = logical.isDefined && (mode == "name" || mode == "id")
@@ -606,9 +870,10 @@ object DeltaLog {
     }
     val partCols = partitionColumnsOf(metaDataJson)
     val metaCols: Seq[org.apache.spark.sql.Column] =
-      if (!withPos) Seq.empty
-      else Seq(relPathCol(root).as("__dv_file"),
+      if (withPos) Seq(relPathCol(root).as("__dv_file"),
         col("_metadata.row_index").as("__dv_pos"))
+      else if (withFile) Seq(relPathCol(root).as("__dv_file"))
+      else Seq.empty
     def scanFlat(paths: Seq[String]): DataFrame = logical match {
       case Some(ls) if mapped =>
         val ps = toPhysical(ls, withFieldIds = mode == "id").asInstanceOf[StructType]
@@ -671,12 +936,19 @@ object DeltaLog {
     }
     val posCols: Seq[org.apache.spark.sql.Column] =
       if (withPos) Seq(col("__pv_file").as("__dv_file"), col("__dv_pos"))
+      else if (withFile) Seq(col("__pv_file").as("__dv_file"))
       else Seq.empty
     joined.select(cols.toIndexedSeq ++ posCols: _*)
   }
 
+  /** With `keepFile` each surviving row also carries `__dv_file` (its
+    * table-relative source path) — the grouped change-feed read's
+    * decoration key; both the plain and the DV-survivor branch emit it,
+    * so the union stays name-aligned.
+    */
   private def readAdds(spark: SparkSession, root: String, adds: Seq[AddFile],
-      schemaJson: Option[String], metaDataJson: Option[String]): DataFrame = {
+      schemaJson: Option[String], metaDataJson: Option[String],
+      keepFile: Boolean = false): DataFrame = {
     val logical = schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       logical.getOrElse(new StructType()))
@@ -688,7 +960,8 @@ object DeltaLog {
     val (dvAdds, plain) = adds.partition(_.dv.exists(_.cardinality > 0))
     val plainDf =
       if (plain.isEmpty) None
-      else Some(scanAdds(spark, root, plain, schemaJson, metaDataJson, withPos = false))
+      else Some(scanAdds(spark, root, plain, schemaJson, metaDataJson,
+        withPos = false, withFile = keepFile))
     val dvDf =
       if (dvAdds.isEmpty) None
       else {
@@ -708,10 +981,12 @@ object DeltaLog {
                 lit("DeltaLog: DV scan surfaced a file outside the DV'd " +
                   "add set (path-derivation mismatch would resurrect " +
                   "deleted rows): "), col("__dv_file")))))
-        Some(guarded
+        val survivors = guarded
           .join(dvDeletedPositions(spark, root, dvAdds),
             Seq("__dv_file", "__dv_pos"), "left_anti")
-          .drop("__dv_file", "__dv_pos"))
+        Some(
+          if (keepFile) survivors.drop("__dv_pos")
+          else survivors.drop("__dv_file", "__dv_pos"))
       }
     Seq(plainDf, dvDf).flatten.reduce(_.unionByName(_))
   }
@@ -744,6 +1019,18 @@ object DeltaLog {
   def snapshotFiles(spark: SparkSession, root: String,
       version: Option[Long] = None): Seq[String] =
     replay(spark, root, version).adds.map(_.path)
+
+  /** The snapshot's live adds at `version` as (relative path,
+    * partitionValues, deletion-vector descriptor) — what the streaming
+    * source's `startingVersion=latest` initial batch fans partitions
+    * over (each file one partition; its DV rides as the reader's skip
+    * set). Driver-side log replay.
+    */
+  private[graft] def snapshotFileEntries(spark: SparkSession, root: String,
+      version: Long): Seq[(String, Map[String, String],
+        Option[DeletionVectors.Descriptor])] =
+    replay(spark, root, Some(version)).adds
+      .map(a => (a.path, a.partitionValues, a.dv))
 
   /** The snapshot exactly as `version` committed it — Delta time travel.
     * A snapshot with no live files returns an EMPTY frame typed by the
@@ -882,11 +1169,32 @@ object DeltaLog {
       ckptVersion: Long, ckptParts: Seq[String],
       conjuncts: Seq[(String, CmpOp, Any)], partCols: Set[String])
       : Seq[AddFile] = {
-    val df = spark.read.parquet(ckptParts: _*)
+    val (dataParts, manifestActions) = checkpointContent(root, ckptParts)
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    // v2 JSON-manifest inline adds (the no-sidecar compat shape) prune
+    // driver-side through the identical fileMayMatch — a shape bounded by
+    // a writer that chose an inline JSON manifest, not by this reader
+    manifestActions.foreach { node =>
+      if (node.has("add")) {
+        val a = node.get("add")
+        val af = AddFile(a.get("path").asText(),
+          if (a.has("size")) a.get("size").asLong() else 0L,
+          jsonPartitionValues(a),
+          Option(a.get("stats")).filterNot(_.isNull).map(n =>
+            if (n.isTextual) n.asText() else n.toString),
+          jsonDv(a))
+        if (conjuncts.forall { case (n, op, vv) =>
+            fileMayMatch(af, n, op, vv, partCols) })
+          live(af.path) = af
+      }
+    }
+    val df = if (dataParts.isEmpty) null
+      else spark.read
+        .option("mergeSchema", isV2Manifest(Fs.name(ckptParts.head)).toString)
+        .parquet(dataParts: _*)
     def fieldsOf(column: String): Set[String] =
       df.schema(column).dataType.asInstanceOf[StructType].fieldNames.toSet
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
-    if (df.columns.contains("add")) {
+    if (df != null && df.columns.contains("add")) {
       val sz = if (fieldsOf("add")("size")) col("add.size").cast("long")
         else lit(0L)
       val pv = if (fieldsOf("add")("partitionValues")) col("add.partitionValues")
@@ -1079,6 +1387,11 @@ object DeltaLog {
   private case class WrittenFile(path: String, size: Long,
       partitionValues: Map[String, String], stats: Option[String])
 
+  /** Serializes the session-conf save/force/restore around mapped
+    * (field-id-stamped) data-file writes — see [[writeDataFiles]].
+    */
+  private object FieldIdWriteLock
+
   private def writeDataFiles(root: String, v: Long, df: DataFrame,
       partCols: Seq[String] = Seq.empty,
       dirPrefix: String = ""): Seq[WrittenFile] = {
@@ -1099,15 +1412,23 @@ object DeltaLog {
       // them, but a session that disabled the flag must not silently
       // produce id-less mapped files — force it for exactly this (eager)
       // write and restore the caller's setting after, never leaving a
-      // sticky session conf behind.
+      // sticky session conf behind. The save/set/restore mutates the
+      // SHARED session SQLConf, which is not thread-safe — serialized
+      // under [[FieldIdWriteLock]] so two concurrent mapped writes in
+      // one session cannot interleave a restore into each other's write
+      // (a truly concurrent UNRELATED write on the same session could
+      // still observe the forced value mid-flight; for it the flag is
+      // also Spark's own default, so the observation is harmless).
       val spark = df.sparkSession
       val key = "spark.sql.parquet.fieldId.write.enabled"
-      val saved = spark.conf.getOption(key)
-      spark.conf.set(key, "true")
-      try doWrite()
-      finally saved match {
-        case Some(prev) => spark.conf.set(key, prev)
-        case None => spark.conf.unset(key)
+      FieldIdWriteLock.synchronized {
+        val saved = spark.conf.getOption(key)
+        spark.conf.set(key, "true")
+        try doWrite()
+        finally saved match {
+          case Some(prev) => spark.conf.set(key, prev)
+          case None => spark.conf.unset(key)
+        }
       }
     } else doWrite()
     val base = Fs.resolve(root, sub)
@@ -1323,6 +1644,131 @@ object DeltaLog {
     next
   }
 
+  /** RENAME a column on a COLUMN-MAPPED table — a metaData-ONLY commit
+    * rewriting the field's LOGICAL name while `physicalName` and the
+    * mapping id stay fixed, which is the entire point of name mapping:
+    * every existing data file keeps binding, zero bytes rewrite, and the
+    * next read (old files and new) surfaces the new name. Nested fields
+    * via a dotted path (`a.b`). Refuses on unmapped tables (a plain
+    * table's files spell logical names — renaming would orphan every
+    * file; delta-spark refuses identically), on a missing source field,
+    * and on a sibling-name collision. Partition-column renames update
+    * the metaData's partitionColumns list in the same action (the list
+    * is logical; partitionValues keys are physical and unaffected).
+    */
+  def renameColumn(root: String, oldName: String, newName: String): Long = {
+    val (node, schema) = mappedSchemaForEdit(root, s"rename $oldName")
+    val path = oldName.split('.').toSeq
+    require(newName.nonEmpty && !newName.contains("."),
+      s"new name must be a bare field name, got '$newName'")
+    var found = false
+    val edited = editFieldAt(schema, path) { f =>
+      found = true
+      Some(f.copy(name = newName))
+    }
+    require(found, s"DeltaLog $root: no column '$oldName' to rename")
+    publishMetaDataEdit(root, node, edited, renames = Map(path.last -> newName),
+      renamedPath = path)
+  }
+
+  /** DROP columns on a COLUMN-MAPPED table — a metaData-ONLY commit
+    * removing the fields from the schemaString; data files are untouched
+    * (readers simply stop binding the dropped physical columns — the
+    * mapped sibling of delta-spark's DROP COLUMN). The dropped bytes
+    * still exist in the files: physical erasure stays [[purgeDeletionVectors]]
+    * / rewrite territory, exactly as in delta-spark. Refuses on unmapped
+    * tables, partition columns, missing fields, and dropping the last
+    * column.
+    */
+  def dropColumns(root: String, names: Seq[String]): Long = {
+    require(names.nonEmpty, "no columns to drop")
+    val (node, schema) = mappedSchemaForEdit(root,
+      s"drop ${names.mkString(",")}")
+    val partCols = partitionColumnsOf(Some(node.toString)).toSet
+    names.foreach(n => require(!partCols(n),
+      s"DeltaLog $root: cannot drop partition column '$n' — rewrite the " +
+        "layout (commitRewriteLayout) first"))
+    var edited = schema
+    names.foreach { n =>
+      var found = false
+      edited = editFieldAt(edited, n.split('.').toSeq) { _ =>
+        found = true; None
+      }
+      require(found, s"DeltaLog $root: no column '$n' to drop")
+    }
+    require(edited.fields.nonEmpty,
+      s"DeltaLog $root: dropping ${names.mkString(",")} would leave an " +
+        "empty schema")
+    publishMetaDataEdit(root, node, edited)
+  }
+
+  /** The (metaData node, typed schema) of a table whose schema may be
+    * EDITED in place — refuses unmapped tables: their files spell
+    * logical names, so a rename/drop would orphan or resurrect columns.
+    */
+  private def mappedSchemaForEdit(root: String, what: String)
+      : (com.fasterxml.jackson.databind.node.ObjectNode, StructType) = {
+    require(currentVersion(root) >= 0, s"no Delta log at $root")
+    val metaJson = latestMetaDataJson(root).getOrElse(
+      throw new IllegalArgumentException(s"no metaData action in Delta log at $root"))
+    val mode = columnMappingMode(Some(metaJson))
+    if (mode == "none")
+      throw new UnsupportedOperationException(
+        s"DeltaLog $root: cannot $what — the table is not column-mapped; " +
+          "its data files spell logical names, so a metaData-only " +
+          "rename/drop would orphan them (enable column mapping first)")
+    val node = mapper.readTree(metaJson)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val schema = DataType.fromJson(
+      node.get("schemaString").asText()).asInstanceOf[StructType]
+    (node, schema)
+  }
+
+  /** Apply `f` to the field at `path` (dotted-nested); `None` drops it.
+    * Collision-checked: the edited level must not end with two fields of
+    * one name.
+    */
+  private def editFieldAt(schema: StructType, path: Seq[String])(
+      f: StructField => Option[StructField]): StructType = {
+    def editStruct(st: StructType, p: Seq[String]): StructType = {
+      val out = st.fields.toSeq.flatMap { sf =>
+        if (sf.name != p.head) Some(sf)
+        else if (p.size == 1) f(sf)
+        else sf.dataType match {
+          case inner: StructType =>
+            Some(sf.copy(dataType = editStruct(inner, p.tail)))
+          case other => throw new IllegalArgumentException(
+            s"field '${p.head}' is not a struct (${other.simpleString}) — " +
+              s"cannot descend to '${p.tail.mkString(".")}'")
+        }
+      }
+      val dup = out.groupBy(_.name).collectFirst { case (n, fs) if fs.size > 1 => n }
+      dup.foreach(n => throw new IllegalArgumentException(
+        s"rename collides with existing column '$n'"))
+      StructType(out)
+    }
+    editStruct(schema, path)
+  }
+
+  private def publishMetaDataEdit(root: String,
+      node: com.fasterxml.jackson.databind.node.ObjectNode,
+      schema: StructType,
+      renames: Map[String, String] = Map.empty,
+      renamedPath: Seq[String] = Seq.empty): Long = {
+    node.put("schemaString", schema.json)
+    // a TOP-LEVEL partition-column rename updates the logical list
+    if (renames.nonEmpty && renamedPath.size == 1) {
+      val pcs = partitionColumnsOf(Some(node.toString))
+      if (pcs.exists(renames.contains)) {
+        val arr = node.putArray("partitionColumns")
+        pcs.foreach(p => arr.add(renames.getOrElse(p, p)))
+      }
+    }
+    val next = currentVersion(root) + 1
+    publish(root, next, Seq(s"""{"metaData":${node.toString}}"""))
+    next
+  }
+
   private def metaDataAction(id: String, schemaJson: String,
       partitionColumns: Seq[String] = Seq.empty): String = {
     val pc = partitionColumns.map(jstr).mkString("[", ",", "]")
@@ -1332,11 +1778,49 @@ object DeltaLog {
       s""""partitionColumns":$pc,"configuration":{}}}"""
   }
 
+  /** TimestampNTZType anywhere in the schema (nested included) —
+    * PROTOCOL.md gates the type behind the `timestampNtz` feature, so a
+    * writer emitting it must declare reader 3 / writer 7.
+    */
+  private def containsNtz(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.TimestampNTZType => true
+    case s: StructType => s.fields.exists(f => containsNtz(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => containsNtz(a.elementType)
+    case m: org.apache.spark.sql.types.MapType =>
+      containsNtz(m.keyType) || containsNtz(m.valueType)
+    case _ => false
+  }
+
   private def headerActions(df: DataFrame,
       partitionColumns: Seq[String] = Seq.empty): Seq[String] = Seq(
-    """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+    if (containsNtz(df.schema))
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}"""
+    else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
     metaDataAction(java.util.UUID.randomUUID().toString, df.schema.json,
       partitionColumns))
+
+  /** The protocol upgrade an append EVOLVING a timestamp_ntz column into
+    * an existing table must carry (the [[dvProtocolActions]] idiom:
+    * feature lists merged, never replaced; empty when already declared
+    * or when the write schema has no NTZ).
+    */
+  private def ntzProtocolActions(root: String,
+      writeSchema: StructType): Seq[String] = {
+    if (!containsNtz(writeSchema)) return Seq.empty
+    val cur = latestProtocolJson(root).map(mapper.readTree)
+    val readerFeats = cur.toSeq.flatMap(p =>
+      Option(p.get("readerFeatures")).toSeq
+        .flatMap(_.elements().asScala.map(_.asText())))
+    if (readerFeats.contains("timestampNtz")) return Seq.empty
+    val writerFeats = cur.toSeq.flatMap(p =>
+      Option(p.get("writerFeatures")).toSeq
+        .flatMap(_.elements().asScala.map(_.asText())))
+    def jarr(xs: Seq[String]) = xs.distinct.sorted.map(jstr).mkString("[", ",", "]")
+    Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      s""""readerFeatures":${jarr(readerFeats :+ "timestampNtz")},""" +
+      s""""writerFeatures":${jarr(writerFeats :+ "timestampNtz")}}}""")
+  }
 
   /** Newest checkpoint version at or below `v`, with its part files. */
   private def newestCheckpointAtOrBelow(root: String,
@@ -1387,19 +1871,29 @@ object DeltaLog {
     val it = parts.iterator
     while (it.hasNext) {
       val p = it.next()
-      val reader = org.apache.parquet.hadoop.ParquetReader
-        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
-          new org.apache.hadoop.fs.Path(p.toString))
-        .build()
-      try {
-        var g = reader.read()
-        while (g != null) {
-          if (g.getType.containsField(kind) &&
-            g.getFieldRepetitionCount(kind) > 0)
-            return Some(groupToJson(g.getGroup(kind, 0)))
-          g = reader.read()
+      // a v2 JSON manifest carries its actions as JSON lines directly
+      if (Fs.name(p).endsWith(".json")) {
+        Fs.readLines(p).foreach { line =>
+          if (line.nonEmpty) {
+            val node = mapper.readTree(line)
+            if (node.has(kind)) return Some(node.get(kind))
+          }
         }
-      } finally reader.close()
+      } else {
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+            new org.apache.hadoop.fs.Path(p.toString))
+          .build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            if (g.getType.containsField(kind) &&
+              g.getFieldRepetitionCount(kind) > 0)
+              return Some(groupToJson(g.getGroup(kind, 0)))
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
     }
     None
   }
@@ -1714,7 +2208,10 @@ object DeltaLog {
     val next = expectedVersion.getOrElse(currentVersion(root)) + 1
     val (header, wls) =
       if (next == 0L) (headerActions(df, createPartitionBy), df.schema)
-      else evolutionFor(root, df)
+      else {
+        val (h, s) = evolutionFor(root, df)
+        (ntzProtocolActions(root, s) ++ h, s)
+      }
     val partCols =
       if (next == 0L) createPartitionBy else latestPartitionColumns(root)
     if (next > 0L && createPartitionBy.nonEmpty && createPartitionBy != partCols)
@@ -1767,7 +2264,10 @@ object DeltaLog {
     val next = base + 1
     val (header, wls) =
       if (next == 0L) (headerActions(df, Seq.empty), df.schema)
-      else evolutionFor(root, df)
+      else {
+        val (h, s) = evolutionFor(root, df)
+        (ntzProtocolActions(root, s) ++ h, s)
+      }
     val (wdf, wPartCols) =
       if (next == 0L) (df, Seq.empty[String]) else toWriteLayout(root, df, wls)
     val adds = writeDataFiles(root, next, wdf, wPartCols)
@@ -1794,7 +2294,8 @@ object DeltaLog {
     val liveDv: Map[String, Option[DeletionVectors.Descriptor]] =
       replay(addDf.sparkSession, root, Some(base)).adds
         .map(a => a.path -> a.dv).toMap
-    val (header, wls) = evolutionFor(root, addDf)
+    val (header0, wls) = evolutionFor(root, addDf)
+    val header = ntzProtocolActions(root, wls) ++ header0
     val (wdf, wPartCols) = toWriteLayout(root, addDf, wls)
     val adds = writeDataFiles(root, next, wdf, wPartCols)
     publish(root, next,
@@ -2260,12 +2761,11 @@ object DeltaLog {
           FeedFileEntry(v, a.path, a.partitionValues, Some("delete"),
             oldDv, dvEmitOnly = a.dv)
         }
-        val dels =
-          if (fc.fullRemovePaths.isEmpty) Seq.empty
-          else replay(spark, root, Some(v - 1)).adds
-            .filter(a => fc.fullRemovePaths(a.path))
-            .map(a => FeedFileEntry(v, a.path, a.partitionValues,
-              Some("delete"), a.dv))
+        // pruned reconciliation: only the REMOVED paths' prior
+        // incarnations replay — never the full snapshot's add set
+        val dels = replayForPaths(spark, root, v - 1, fc.fullRemovePaths)
+          .map(a => FeedFileEntry(v, a.path, a.partitionValues,
+            Some("delete"), a.dv))
         ins ++ rewriteDels ++ dels
       }
     }
@@ -2290,15 +2790,36 @@ object DeltaLog {
     * updates and deletes (materialized views, sync targets, erasure
     * propagation) without rescanning the table.
     *
+    * PLAN SHAPE — O(1) scans whatever the version count: the per-version
+    * classification is driver-side JSON work, but the FRAMES group across
+    * the whole range — one scan over every cdc change file + a broadcast
+    * file→version decoration joined on the scanned file identity (the
+    * [[scanAdds]] partitioned-read idiom), one grouped read for fresh
+    * adds, one grouped read for derived full-file removes (their prior
+    * incarnations resolved by the PRUNED [[replayForPaths]], never a full
+    * snapshot), and ONE scan of the distinct DV-rewritten paths joined to
+    * a version-tagged {newDv \ oldDv} positions frame (a DV rewrite
+    * re-adds the SAME physical file, so its data scan is
+    * version-independent — the version rides in on the positions join).
+    * A consumer catching up over thousands of commits used to plan a
+    * thousands-child union of separate scans (driver planning blowup,
+    * codegen splits, no shared scan); now it plans ≤4 grouped frames.
+    * The one escape hatch: a path touched the SAME WAY in several
+    * versions of the range (re-added after a full remove, cdc path
+    * reuse) makes the file→version decoration non-functional for that
+    * path, so exactly those paths fall back to per-version frames —
+    * pathological layouts stay correct, common histories stay O(1).
+    *
     * Scale: per-version work is changes-sized (change files or the
     * commit's own adds/removes), never snapshot-sized; the only replay
-    * is at a derived remove, bounded by checkpoint cadence.
+    * is at a derived remove, pruned to the removed paths.
     */
   def readChangeFeed(spark: SparkSession, root: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
     val cur = currentVersion(root)
     require(fromVersion >= -1 && fromVersion <= toVersion && toVersion <= cur,
       s"feed range ($fromVersion, $toVersion] out of [0, $cur]")
+    validateReadable(root, latestProtocolJson(root), latestMetaDataJson(root))
     val schemaJson = latestMetaData(root).map(_._2)
     val metaJson = latestMetaDataJson(root)
     val feedSchema = StructType(
@@ -2306,51 +2827,85 @@ object DeltaLog {
         .getOrElse(Array.empty[StructField]).toIndexedSeq :+
         StructField("_change_type", StringType))
     val feedSchemaJson = Some(feedSchema.json)
-    val frames = ((fromVersion + 1) to toVersion).flatMap { v =>
-      val fc = classifyFeedCommit(
+    // ---- classification: driver-side, changes-sized ----
+    val classified = ((fromVersion + 1) to toVersion).map { v =>
+      v -> classifyFeedCommit(
         readCommitLinesOrRefuse(root, v).map(mapper.readTree))
-      if (fc.cdc.nonEmpty)
-        Seq(scanAdds(spark, root, fc.cdc, feedSchemaJson, metaJson,
-          withPos = false).withColumn("_commit_version", lit(v)))
-      else {
-        val insDf =
-          if (fc.freshAdds.isEmpty) None
-          // readAdds (not a bare scan): a fresh file CARRYING a deletion
-          // vector announces only its surviving rows
-          else Some(readAdds(spark, root, fc.freshAdds, schemaJson, metaJson)
-            .withColumn("_change_type", lit("insert"))
-            .withColumn("_commit_version", lit(v)))
-        val dvDelDf =
-          if (fc.dvRewrites.isEmpty) None
-          else {
-            val newAdds = fc.dvRewrites.map(_._1)
-            val newPos = dvDeletedPositions(spark, root, newAdds)
-            val olds = fc.dvRewrites.flatMap { case (a, oldDv) =>
-              oldDv.map(d => a.copy(dv = Some(d)))
-            }
-            val diff =
-              if (olds.isEmpty) newPos
-              else newPos.join(dvDeletedPositions(spark, root, olds),
-                Seq("__dv_file", "__dv_pos"), "left_anti")
-            val scan = scanAdds(spark, root, newAdds.map(_.copy(dv = None)),
-              schemaJson, metaJson, withPos = true)
-            Some(scan.join(diff, Seq("__dv_file", "__dv_pos"), "left_semi")
-              .drop("__dv_file", "__dv_pos")
-              .withColumn("_change_type", lit("delete"))
-              .withColumn("_commit_version", lit(v)))
-          }
-        val delDf =
-          if (fc.fullRemovePaths.isEmpty) None
-          else {
-            val prior = replay(spark, root, Some(v - 1)).adds
-              .filter(a => fc.fullRemovePaths(a.path))
-            Some(readAdds(spark, root, prior, schemaJson, metaJson)
-              .withColumn("_change_type", lit("delete"))
-              .withColumn("_commit_version", lit(v)))
-          }
-        Seq(insDf, dvDelDf, delDf).flatten
-      }
     }
+    val cdcAll = classified.flatMap { case (v, fc) => fc.cdc.map(v -> _) }
+    val freshAll = classified.flatMap { case (v, fc) => fc.freshAdds.map(v -> _) }
+    val rewriteAll = classified.flatMap { case (v, fc) =>
+      fc.dvRewrites.map { case (a, o) => (v, a, o) }
+    }
+    val removeAll = classified.flatMap { case (v, fc) =>
+      replayForPaths(spark, root, v - 1, fc.fullRemovePaths).map(v -> _)
+    }
+    // ---- grouped frames ----
+    def versionFrame(entries: Seq[(Long, AddFile)]): DataFrame =
+      broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(entries.map { case (v, a) =>
+          Row(a.path, v)
+        }.toIndexedSeq, 1),
+        StructType(Seq(
+          StructField("__dv_file", StringType, nullable = false),
+          StructField("_commit_version", LongType, nullable = false)))))
+    def grouped(entries: Seq[(Long, AddFile)],
+        scan: Seq[AddFile] => DataFrame,
+        changeType: Option[String]): Seq[DataFrame] = {
+      if (entries.isEmpty) return Seq.empty
+      def typed(df: DataFrame): DataFrame =
+        changeType.fold(df)(ct => df.withColumn("_change_type", lit(ct)))
+      val dup = entries.groupBy(_._2.path).filter(_._2.size > 1).keySet
+      val (coll, uniq) = entries.partition(e => dup(e._2.path))
+      val uniqDf =
+        if (uniq.isEmpty) Seq.empty
+        else Seq(typed(scan(uniq.map(_._2))
+          .join(versionFrame(uniq), Seq("__dv_file"))
+          .drop("__dv_file")))
+      // per-version fallback for same-path-several-versions collisions
+      val collDf = coll.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, es) =>
+        typed(scan(es.map(_._2)).drop("__dv_file")
+          .withColumn("_commit_version", lit(v)))
+      }
+      uniqDf ++ collDf
+    }
+    val cdcDf = grouped(cdcAll,
+      adds => scanAdds(spark, root, adds, feedSchemaJson, metaJson,
+        withPos = false, withFile = true),
+      changeType = None)
+    // readAdds (not a bare scan): a fresh file CARRYING a deletion vector
+    // announces only its surviving rows
+    val insDf = grouped(freshAll,
+      adds => readAdds(spark, root, adds, schemaJson, metaJson,
+        keepFile = true),
+      changeType = Some("insert"))
+    val remDf = grouped(removeAll,
+      adds => readAdds(spark, root, adds, schemaJson, metaJson,
+        keepFile = true),
+      changeType = Some("delete"))
+    val dvDf =
+      if (rewriteAll.isEmpty) Seq.empty
+      else {
+        val newPos = dvDeletedPositionsTagged(spark, root,
+          rewriteAll.map { case (v, a, _) => (v, a) })
+        val olds = rewriteAll.flatMap { case (v, a, oldDv) =>
+          oldDv.map(d => (v, a.copy(dv = Some(d))))
+        }
+        val diff =
+          if (olds.isEmpty) newPos
+          else newPos.join(dvDeletedPositionsTagged(spark, root, olds),
+            Seq("__dv_v", "__dv_file", "__dv_pos"), "left_anti")
+        val distinctAdds = rewriteAll.map(_._2)
+          .groupBy(_.path).toSeq.sortBy(_._1)
+          .map(_._2.head.copy(dv = None))
+        val scan = scanAdds(spark, root, distinctAdds,
+          schemaJson, metaJson, withPos = true)
+        Seq(scan.join(diff, Seq("__dv_file", "__dv_pos"))
+          .drop("__dv_file", "__dv_pos")
+          .withColumnRenamed("__dv_v", "_commit_version")
+          .withColumn("_change_type", lit("delete")))
+      }
+    val frames = cdcDf ++ insDf ++ dvDf ++ remDf
     if (frames.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(feedSchema.fields.toIndexedSeq :+
@@ -2387,8 +2942,11 @@ object DeltaLog {
     * that RETRACTS rows — any `dataChange=true` remove, or any add
     * carrying a deletion vector — contributes NOTHING instead of
     * refusing: the consumer has declared it only wants appends and
-    * accepts missing the rewritten rows. Without it a DV add refuses
-    * loudly (an adds-only read cannot express the retraction).
+    * accepts missing the rewritten rows. Without it EVERY retracting
+    * commit refuses loudly — a DV add and a dataChange=true remove alike
+    * (an adds-only read cannot express the retraction; delivering a
+    * rewrite commit's adds would double-deliver its rows, and dropping
+    * a pure remove would miss a DELETE).
     */
   private[sources] def changedFileAdds(root: String,
       fromVersion: Long, toVersion: Long,
@@ -2405,10 +2963,25 @@ object DeltaLog {
       val adds = lines.collect {
         case n if n.has("add") && changed(n.get("add")) => n.get("add")
       }
+      val hasRemove =
+        lines.exists(n => n.has("remove") && changed(n.get("remove")))
       val retracts =
-        adds.exists(a => jsonDv(a).exists(_.cardinality > 0)) ||
-          lines.exists(n => n.has("remove") && changed(n.get("remove")))
+        adds.exists(a => jsonDv(a).exists(_.cardinality > 0)) || hasRemove
       if (skipChangeCommits && retracts) Seq.empty
+      else if (hasRemove)
+        // a dataChange=true REMOVE retracts rows an incremental consumer
+        // may have already delivered: silently dropping it would MISS a
+        // full-file DELETE, and delivering the commit's adds would
+        // DOUBLE-DELIVER a remove+re-add rewrite's rows — both silent
+        // corruption. Refuse by default (delta-spark's own stream
+        // contract); skipChangeCommits is the explicit appends-only
+        // opt-in, readChangeFeed the consumer that serves the retraction.
+        throw new UnsupportedOperationException(
+          s"DeltaLog $root: commit $v removes data (dataChange=true) — " +
+            "an adds-only incremental read cannot express the " +
+            "retraction; consume the change feed (readChangeFeed, which " +
+            "derives the deleted rows) or opt into skipChangeCommits to " +
+            "drop retracting commits entirely")
       else adds.map { a =>
         // a DV add row-level-invalidates a file an incremental
         // consumer may have ALREADY DELIVERED — appends cannot

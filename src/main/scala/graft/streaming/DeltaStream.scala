@@ -44,7 +44,10 @@ import graft.sources.DeltaLog
   * `_change_type`/`_commit_version` rows — cdc files authoritative,
   * cdc-less commits derived, DV rewrites diffed), `skipChangeCommits`
   * (delta-spark's append-only opt-in: retracting commits contribute
-  * nothing instead of refusing).
+  * nothing instead of refusing), `startingVersion` (`<n>` tails from
+  * version n; `latest` serves the pinned current snapshot as batch zero
+  * then tails only new commits — the new-consumer bootstrap that makes
+  * a 500-version table cost one snapshot pass, not 500 micro-batches).
   */
 class DeltaStream extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -95,18 +98,31 @@ final class DeltaStreamTable(options: CaseInsensitiveStringMap,
     val maxV = options.getLong("maxVersionsPerTrigger", 1L)
     val cdf = options.getBoolean("readChangeFeed", false)
     val skip = options.getBoolean("skipChangeCommits", false)
+    val startV = Option(options.get("startingVersion")).map(_.trim)
+    startV.foreach(s => require(s == "latest" ||
+      scala.util.Try(s.toLong).toOption.exists(_ >= 0L),
+      s"startingVersion must be a version >= 0 or 'latest', got '$s'"))
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema0
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new DeltaStreamStream(root, schema0, maxV, cdf, skip)
+          new DeltaStreamStream(root, schema0, maxV, cdf, skip, startV)
       }
     }
   }
 }
 
-private final case class DeltaStreamOffset(v: Long) extends Offset {
-  override def json(): String = v.toString
+/** `snapshotPending`: the offset BEFORE the `startingVersion=latest`
+  * initial batch — version v's whole snapshot has not been delivered
+  * yet. The batch (snapshotPending(v) → plain(v)] IS the snapshot;
+  * after it the stream tails commits > v like any other consumer.
+  * Serialized as `snap:<v>` so a restart mid-initial-batch replays the
+  * identical snapshot range.
+  */
+private final case class DeltaStreamOffset(v: Long,
+    snapshotPending: Boolean = false) extends Offset {
+  override def json(): String =
+    if (snapshotPending) s"snap:$v" else v.toString
 }
 
 private final case class DeltaFilePartition(path: String,
@@ -140,10 +156,29 @@ private final case class DeltaFilePartition(path: String,
 
 final class DeltaStreamStream(root: String, schema: StructType,
     maxVersionsPerTrigger: Long, cdf: Boolean = false,
-    skipChangeCommits: Boolean = false)
+    skipChangeCommits: Boolean = false,
+    startingVersion: Option[String] = None)
   extends MicroBatchStream with SupportsAdmissionControl {
 
-  override def initialOffset(): Offset = DeltaStreamOffset(-1L)
+  /** `startingVersion` semantics (delta-spark's option): absent → replay
+    * the whole history from v0 (the engine's historical default);
+    * `<n>` → deliver commits from version n on (a consumer resuming at a
+    * known cursor pays only the tail); `latest` → pin the CURRENT
+    * version at stream start, serve that snapshot as batch ZERO (each
+    * live file one partition, DVs honored as skip sets), then tail only
+    * NEW commits — the only viable start for a NEW consumer of a
+    * long-history table: replaying a 100 TB table's every commit through
+    * micro-batches is a non-starter when the snapshot read costs one
+    * pass over the live set.
+    */
+  override def initialOffset(): Offset = startingVersion match {
+    case Some("latest") =>
+      val cur = DeltaLog.currentVersion(root)
+      if (cur < 0L) DeltaStreamOffset(-1L)
+      else DeltaStreamOffset(cur, snapshotPending = true)
+    case Some(n) => DeltaStreamOffset(n.toLong - 1L)
+    case None => DeltaStreamOffset(-1L)
+  }
 
   /** Pacing rides the ENGINE's start offset, not a source-side committed
     * tracker: a plain `latestOffset()` paced by our own state races the
@@ -154,9 +189,12 @@ final class DeltaStreamStream(root: String, schema: StructType,
     * poll, so the next end is a pure function of engine state.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[DeltaStreamOffset].v
+    val so = start.asInstanceOf[DeltaStreamOffset]
+    // a pending snapshot is always the next batch, whole — pacing
+    // applies to the commit tail that follows it
+    if (so.snapshotPending) return DeltaStreamOffset(so.v)
     DeltaStreamOffset(
-      math.min(DeltaLog.currentVersion(root), s + maxVersionsPerTrigger))
+      math.min(DeltaLog.currentVersion(root), so.v + maxVersionsPerTrigger))
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
@@ -165,13 +203,18 @@ final class DeltaStreamStream(root: String, schema: StructType,
     throw new UnsupportedOperationException(
       "DeltaStreamStream paces via latestOffset(start, limit)")
 
-  override def deserializeOffset(json: String): Offset =
-    DeltaStreamOffset(json.trim.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.trim
+    if (t.startsWith("snap:"))
+      DeltaStreamOffset(t.stripPrefix("snap:").toLong, snapshotPending = true)
+    else DeltaStreamOffset(t.toLong)
+  }
 
   override def commit(end: Offset): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[DeltaStreamOffset].v
+    val so = start.asInstanceOf[DeltaStreamOffset]
+    val s = so.v
     val e = end.asInstanceOf[DeltaStreamOffset].v
     // partition readers look fields up by the PHYSICAL name the data
     // files actually spell — on a column-mapped ('name' mode) table that
@@ -202,6 +245,21 @@ final class DeltaStreamStream(root: String, schema: StructType,
       d.map(x => (x.storageType, x.pathOrInlineDv,
         x.offset.map(_.toLong).getOrElse(-1L), x.sizeInBytes,
         x.cardinality)).orNull
+    // the pinned-snapshot INITIAL batch: every live file at version s,
+    // DVs as executor-side skip sets — identical rows to the batch read.
+    // In feed mode the snapshot announces as inserts at _commit_version s
+    // (the feed a new consumer bootstraps from).
+    if (so.snapshotPending)
+      return DeltaLog.snapshotFileEntries(
+        org.apache.spark.sql.SparkSession.active, root, s)
+        .map { case (p, pv, dv) =>
+          DeltaFilePartition(s"$root/$p", fieldsFor(pv), sessionTz,
+            changeType = if (cdf) "insert" else null,
+            commitVersion = if (cdf) java.lang.Long.valueOf(s) else null,
+            tableRoot = root,
+            dv = dvTuple(dv)): InputPartition
+        }
+        .toArray
     if (cdf)
       DeltaLog.changeFeedFileEntries(
         org.apache.spark.sql.SparkSession.active, root, s, e)

@@ -252,7 +252,14 @@ object Fs {
       case fs =>
         val scheme = Option(fs.getUri).flatMap(u => Option(u.getScheme))
           .getOrElse("")
-        val atomic = scheme == "hdfs" ||
+        // known-atomic schemes beyond the capability probe: HDFS (namenode
+        // exclusivity), ABFS/ABFSS (hierarchical-namespace create is
+        // atomic — ADLS Gen2's whole pitch), viewfs (delegates to mounts
+        // that are themselves HDFS-class). GCS and S3A stay probe-or-
+        // refuse: their atomicity is a conditional-PUT capability, not a
+        // namespace property.
+        val KnownAtomicSchemes = Set("hdfs", "abfs", "abfss", "viewfs")
+        val atomic = KnownAtomicSchemes(scheme) ||
           conf.getBoolean(AssumeAtomicCreateKey, false) ||
           ConditionalCreateCapabilities.exists(c =>
             try fs.hasPathCapability(p, c)

@@ -1380,6 +1380,48 @@ class PlanSpec extends SparkTestBase {
       (0L until 1000L).map(_ % 40).sum)
   }
 
+  test("readChangeFeed catch-up over a 52-version history plans O(1) " +
+      "grouped scans + broadcast version decoration, never a per-version union") {
+    import graft.sources.DeltaLog
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = java.nio.file.Files.createTempDirectory("graft-plan-feed")
+      .toString + "/tbl"
+    // 50 appends (one file each) + 2 deletion-vector DELETEs — the
+    // catch-up shape a derived-store sync reads after a day offline. The
+    // former plan built one-to-three frames PER VERSION
+    // (frames.reduce(unionByName)): a 50-child union of separate
+    // FileSourceScans — driver planning blowup, no shared scan.
+    (0 until 50).foreach { i =>
+      DeltaLog.commitAppend(root,
+        spark.range(i * 10, i * 10 + 10).select(col("id").as("k")))
+    }
+    DeltaLog.deleteWhere(spark, root, col("k") % 100 === 7L)
+    DeltaLog.deleteWhere(spark, root, col("k") % 100 === 57L)
+    val hi = DeltaLog.currentVersion(root)
+    val feed = DeltaLog.readChangeFeed(spark, root, -1L, hi)
+    // correctness first: 500 inserts + 5 + 5 derived deletes, versioned
+    assert(feed.count() == 510L)
+    assert(feed.filter(col("_change_type") === "insert").count() == 500L)
+    assert(feed.select(col("_commit_version")).distinct().count() == 52L)
+    assert(feed.filter(col("_change_type") === "delete" &&
+      col("_commit_version") === lit(hi)).count() == 5L)
+    val plan = executed(feed)
+    val scans = collectAll(plan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // one grouped insert scan + one distinct-rewritten-paths scan — the
+    // bound is structural (per change CLASS), not per version
+    assert(scans.length <= 3,
+      s"grouped feed read must plan O(1) scans over 52 versions, " +
+        s"got ${scans.length}")
+    val joins = collectAll(plan).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty && joins.forall(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"version decoration + DV diff must broadcast, got ${joins.map(_.nodeName)}")
+  }
+
   test("q272 ANN search is served by the store: postings scan reads ONLY the " +
       "probed list partitions, the corpus scan is the pushed-down query set") {
     import graft.queries.Similarity
