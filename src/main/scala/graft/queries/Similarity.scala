@@ -321,13 +321,35 @@ object Similarity {
     * maintenance's problem ([[graft.table.StoreMaint.compact]]), not a
     * correctness concern.
     */
+  /** Concurrency with [[rebuildAnnStore]]: after the append lands, the
+    * `_active_gen` pointer is RE-READ — a rebuild that cut over while
+    * this batch was writing stranded it in the retired generation, so
+    * the batch REPLAYS into the new active one (the retired copy is dead
+    * weight [[vacuumAnnStoreGenerations]] reclaims; the erasure sweep
+    * covers every generation either way). The residual window — an
+    * append whose bump lands after the rebuild's postings scan but
+    * before its pointer swap, with the swap completing before this
+    * re-read — still loses the batch: one logical WRITER (appends +
+    * rebuilds serialized by the owner) remains the store's contract,
+    * exactly as for the lexical/signature stores.
+    */
   def appendAnnStore(batch: DataFrame, store: String): Unit = {
     val spark = batch.sparkSession
-    val (cPart, pPart) = annGenParts(annActiveGen(store))
-    assignLists(batch, spark.read.parquet(s"$store/$cPart"))
-      .write.mode("append").partitionBy("list").parquet(s"$store/$pPart")
-    graft.table.StoreManifest.bump(store, Seq(pPart))
-    ()
+    var attempts = 0
+    var landedGen = -1L
+    do {
+      val gen = annActiveGen(store)
+      val (cPart, pPart) = annGenParts(gen)
+      assignLists(batch, spark.read.parquet(s"$store/$cPart"))
+        .write.mode("append").partitionBy("list").parquet(s"$store/$pPart")
+      graft.table.StoreManifest.bump(store, Seq(pPart))
+      landedGen = gen
+      attempts += 1
+    } while (annActiveGen(store) != landedGen && attempts < 3)
+    if (annActiveGen(store) != landedGen)
+      throw new IllegalStateException(
+        s"ANN store $store: generations cut over faster than the append " +
+          "could land (3 attempts) — serialize appends and rebuilds")
   }
 
   /** CHANGE-FEED-DRIVEN SYNC: the feed's deleted keys erase from the
@@ -383,25 +405,43 @@ object Similarity {
 
   /** REBUILD the coarse quantizer — the verb the frozen-centroid design
     * defers to ([[assignLists]]'s "separate rebuild decision", triggered
-    * by a drift monitor like q190): one Lloyd step from the CURRENT
-    * state. New centroid = mean of each list's currently-assigned
-    * vectors (the k-means update), every surviving vector REASSIGNED
-    * against the new centroids (the assignment step) — both
-    * deterministic, so the oracle restates them exactly. The new
+    * by a drift monitor like q190): BOUNDED LLOYD from the CURRENT
+    * state. Each round: new centroid = mean of each list's
+    * currently-assigned vectors (the k-means update, EMPTY lists
+    * re-seeded from the largest list's spread so the quantizer's arity
+    * never silently shrinks), every surviving vector REASSIGNED against
+    * the new centroids; rounds repeat until the reassigned fraction is
+    * ≤ `moveTol` or `maxIters` caps them — all deterministic, so a
+    * fixed-iteration oracle restates the verb exactly. The new
     * generation builds OFFLINE under `centroids-g<n>/` +
-    * `postings-g<n>/`, is manifest-stamped, and only then does the
-    * `_active_gen` pointer swap (atomic rename): searches during the
-    * rebuild serve the old generation; a crash mid-rebuild leaves the
-    * pointer untouched and the half-built dirs unreferenced. Returns the
-    * new generation id.
+    * `postings-g<n>/`, must pass the RECALL@k acceptance gate
+    * ([[rebuildRecall]] vs brute force on a deterministic sample — a
+    * mis-routing quantizer ABORTS, old generation keeps serving), is
+    * manifest-stamped, and only then does the `_active_gen` pointer
+    * swap (atomic rename): searches during the rebuild serve the old
+    * generation; a crash mid-rebuild leaves the pointer untouched and
+    * the half-built dirs unreferenced. Returns the new generation id.
     *
-    * Scale shape: the update step is one groupBy over the postings (mean
-    * per (list, position)); reassignment is the same broadcast-centroid
-    * scan every append runs — both data-sized, no driver-side vectors.
+    * Scale shape: each round is one groupBy over the postings (mean per
+    * (list, position)) plus the same broadcast-centroid scan every
+    * append runs — data-sized, no driver-side vectors (re-seeding and
+    * the gate collect k- and nQueries-bounded rows only); the gate's
+    * brute-force side is nQueries × corpus, the q50 cost class.
     */
-  def rebuildAnnStore(spark: SparkSession, store: String): Long = {
+  /** `recallGate` is OPERATOR POLICY, not physics: nprobe/k bounds the
+    * achievable recall of ANY healthy IVF store (measured healthy
+    * fixtures at nprobe=2/k=5 sit 0.375-0.45), so the default bar (0.3)
+    * is set BELOW the healthy band and far above a COLLAPSED quantizer
+    * (mis-routing measures near zero); a deployment wanting a harder bar
+    * raises the gate and `maxIters` together.
+    */
+  def rebuildAnnStore(spark: SparkSession, store: String,
+      maxIters: Int = 1, moveTol: Double = 0.0,
+      recallGate: Double = 0.3, recallK: Int = 5, recallProbe: Int = 2,
+      recallQueries: Int = 16): Long = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     val gen0 = annActiveGen(store)
-    val (_, pPart0) = annGenParts(gen0)
+    val (cPart0, pPart0) = annGenParts(gen0)
     // a store whose postings were fully erased has nothing to retrain on —
     // refuse loudly (the serving path's empty-dir contract returns an
     // empty top-k; a RETRAIN over nothing would otherwise die in schema
@@ -412,19 +452,181 @@ object Similarity {
         "rebuild after the next append")
     val postings = spark.read.option("basePath", s"$store/$pPart0")
       .parquet(s"$store/$pPart0")
+    // the quantizer's ARITY is the stored centroid set's, not the
+    // surviving postings': a list erased empty must be RE-SEEDED, never
+    // silently dropped (k shrinking under erasure degrades every probe)
+    val storedLabels = spark.read.parquet(s"$store/$cPart0")
+      .select(col("c_label").cast("long")).collect().map(_.getLong(0))
+      .sorted.toSeq
+    // BOUNDED LLOYD: iterate mean -> (re-seed) -> reassign until the
+    // reassigned fraction drops to `moveTol` or `maxIters` caps it. One
+    // step from severely drifted assignments leaves centroids mid-drift
+    // (the r17 gap); iterating to tolerance converges them, and each
+    // iteration is the same two data-sized shuffles the build pays —
+    // localCheckpoint truncates the growing lineage per round.
+    var current = postings.select(col("vec_id"), col("embedding"), col("list"))
+      .localCheckpoint()
+    var cent: DataFrame = null
+    var iter = 0
+    var converged = false
+    val total = math.max(current.count(), 1L)
+    while (iter < maxIters && !converged) {
+      iter += 1
+      val mean = labelCentroids(
+        current.select(col("list").as("label"), col("embedding")))
+      cent = reseedEmptyLists(spark, mean, storedLabels, current)
+        .localCheckpoint()
+      val next = assignLists(
+          current.select(col("vec_id"), col("embedding")), cent)
+        .localCheckpoint()
+      if (iter < maxIters) {
+        val moved = next.select(col("vec_id"), col("list").as("nl"))
+          .join(current.select(col("vec_id"), col("list").as("cl")), "vec_id")
+          .filter(col("nl") =!= col("cl")).count()
+        converged = moved.toDouble / total <= moveTol
+      }
+      current = next
+    }
     val gen = gen0 + 1
     val (cPart, pPart) = annGenParts(gen)
-    // Lloyd update: the current assignment IS the clustering being
-    // refined — labelCentroids over (list → label) is the mean step
-    labelCentroids(postings.select(col("list").as("label"), col("embedding")))
-      .write.mode("overwrite").parquet(s"$store/$cPart")
-    assignLists(postings.select(col("vec_id"), col("embedding")),
-        spark.read.parquet(s"$store/$cPart"))
-      .write.mode("overwrite").partitionBy("list").parquet(s"$store/$pPart")
+    cent.write.mode("overwrite").parquet(s"$store/$cPart")
+    current.write.mode("overwrite").partitionBy("list").parquet(s"$store/$pPart")
+    // RECALL ACCEPTANCE GATE — measured BEFORE the pointer swap, on a
+    // deterministic sample (the lowest vec_ids), approx = the same
+    // probe-nprobe-lists search the store serves, truth = brute-force
+    // top-k over the retrained postings. A rebuild that mis-routes
+    // (recall below the gate) must never start serving: the half-built
+    // generation is torn down and the OLD generation keeps serving.
+    if (recallGate > 0.0) {
+      val recall = rebuildRecall(spark, current, cent,
+        recallK, recallProbe, recallQueries)
+      if (recall < recallGate) {
+        graft.table.Fs.deleteRecursive(s"$store/$cPart")
+        graft.table.Fs.deleteRecursive(s"$store/$pPart")
+        throw new IllegalStateException(
+          f"ANN store $store: rebuilt quantizer recall@$recallK%d = " +
+            f"$recall%.3f < gate $recallGate%.3f — generation $gen%d " +
+            "ABORTED (old generation keeps serving); retrain with more " +
+            "iterations (maxIters) or loosen the gate")
+      }
+    }
     graft.table.StoreManifest.bump(store, Seq(cPart, pPart))
     graft.table.Fs.replaceAtomic(s"$store/_active_gen",
       gen.toString.getBytes("UTF-8"))
     gen
+  }
+
+  /** Re-seed labels the mean step lost (every member erased or
+    * reassigned away): GREEDY MAX-MIN over the LARGEST list's members —
+    * each missing label takes the member FARTHEST from every existing
+    * centroid AND every seed already chosen (lowest max-cosine, vec_id
+    * tie-break). k-means++'s spread intuition without its randomness:
+    * a naive "m farthest from the old centroid" picks m near-duplicates
+    * from one extreme, and the re-seeded lists collapse back next
+    * round. Each pick is one data-sized scan of the largest list (m ≤ k
+    * picks); driver state is k-bounded.
+    */
+  private def reseedEmptyLists(spark: SparkSession, mean: DataFrame,
+      storedLabels: Seq[Long], current: DataFrame): DataFrame = {
+    val have = mean.select(col("c_label").cast("long"))
+      .collect().map(_.getLong(0)).toSet // k-sized
+    val missing = storedLabels.filterNot(have)
+    if (missing.isEmpty) return mean
+    // partition-dir inference reads `list` back as INT — normalize
+    val counts = current.groupBy(col("list").cast("long").as("list")).count()
+      .orderBy(col("count").desc, col("list")).head() // one-row driver frame
+    val largest = counts.getLong(0)
+    val members = current.filter(col("list").cast("long") === largest)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+      .localCheckpoint() // scanned once per pick, m <= k picks
+    // reference set starts as the surviving means (k-sized driver state)
+    var refs: Seq[Seq[Double]] = mean
+      .select(toDouble(col("centroid"))).collect()
+      .map(_.getSeq[Double](0)).toSeq
+    val refSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rc",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+    missing.foreach { _ =>
+      val refDf = broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          refs.map(r => org.apache.spark.sql.Row(r)).toIndexedSeq, 1),
+        refSchema))
+      val pick = members.crossJoin(refDf)
+        .groupBy(col("vec_id"))
+        .agg(max(cosine(col("emb"), col("rc"))).as("worst"),
+          first(col("emb")).as("emb"))
+        .orderBy(col("worst").asc, col("vec_id").asc)
+        .head() // one-row driver frame
+      val emb = pick.getSeq[Double](2)
+      refs = refs :+ emb
+      picked += emb
+    }
+    val labelType = mean.schema("c_label").dataType
+    import org.apache.spark.sql.Row
+    val rows = missing.zip(picked.toSeq).map { case (lbl, emb) =>
+      Row(lbl, emb)
+    }
+    val seeded = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_label",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+      .select(col("c_label").cast(labelType).as("c_label"), col("centroid"))
+    mean.unionByName(seeded)
+  }
+
+  /** recall@k of a PUBLISHED store's active generation (the spec-side
+    * measurement behind the rebuild-hardening gates).
+    */
+  private[graft] def annStoreRecall(spark: SparkSession, store: String,
+      k: Int = 5, nprobe: Int = 2, nQueries: Int = 16): Double = {
+    val (cPart, pPart) = annGenParts(annActiveGen(store))
+    val posts = spark.read.option("basePath", s"$store/$pPart")
+      .parquet(s"$store/$pPart")
+    rebuildRecall(spark,
+      posts.select(col("vec_id"), col("embedding"), col("list")),
+      spark.read.parquet(s"$store/$cPart"), k, nprobe, nQueries)
+  }
+
+  /** recall@k of the candidate generation's probe-served search vs
+    * brute force over the SAME retrained postings, averaged over the
+    * `nQueries` lowest vec_ids — the deterministic acceptance metric
+    * [[rebuildAnnStore]] gates the pointer swap on.
+    */
+  private def rebuildRecall(spark: SparkSession, current: DataFrame,
+      cent: DataFrame, k: Int, nprobe: Int, nQueries: Int): Double = {
+    val queries = current.orderBy(col("vec_id").asc).limit(nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .localCheckpoint() // tiny, reused by both sides
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    def topk(cands: DataFrame): DataFrame = cands
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val brute = topk(current.crossJoin(broadcast(queries)))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("c_label"))
+    val probes = queries
+      .crossJoin(broadcast(cent))
+      .select(col("query_id"), col("q_emb"),
+        cosine(col("q_emb"), col("centroid")).as("pcos"), col("c_label"))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= nprobe)
+      .select(col("query_id"), col("q_emb"),
+        col("c_label").cast("long").as("list"))
+    val approx = topk(current.join(broadcast(probes), Seq("list")))
+    val hits = approx.join(brute, Seq("query_id", "vec_id"), "left_semi").count()
+    val denom = brute.count() // a query with < k candidates caps its share
+    if (denom == 0L) 1.0 else hits.toDouble / denom.toDouble
   }
 
   /** One fixture per (JVM, corpus): build from the base 4/5ths, append
@@ -657,6 +859,96 @@ object Similarity {
        |    CAST(row_number() OVER (PARTITION BY p.query_id ORDER BY $cos DESC, e.vec_id) AS BIGINT) AS rk
        |  FROM probes p
        |  JOIN asg1 e ON e.list = p.label
+       |  JOIN embeddings q ON q.vec_id = p.query_id
+       |  WHERE e.vec_id <> p.query_id)
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** q285 fixture: the q279 build followed by an ITERATED rebuild — TWO
+    * bounded Lloyd rounds (`maxIters = 2, moveTol = 0` pins both rounds
+    * deterministically), recall-gated cutover to generation 1.
+    */
+  private[graft] def q285Store(spark: SparkSession, dir: String): String =
+    annStoreMemo.getOrElseUpdate(s"q285:$dir", {
+      val base = graft.Tables.fixtureRoot("q285", dir)
+      val f = new java.io.File(base)
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+      val store = s"$base/annstore"
+      buildAnnStore(spark, store, Tables(spark, dir, "embeddings"))
+      rebuildAnnStore(spark, store, maxIters = 2, moveTol = 0.0)
+      store
+    })
+
+  /** q285 — ANN SEARCH OVER AN ITERATED REBUILD: q279's verb with the
+    * round-18 hardening exercised end-to-end — two Lloyd rounds instead
+    * of one (mean → reassign → mean → reassign, the drift cure one step
+    * cannot deliver), the recall@k acceptance gate passed before the
+    * pointer swap, then the probe-pruned search over generation 1. The
+    * oracle restates BOTH rounds exactly (cent0→asg0→cent1→asg1→cent2→
+    * asg2): a rebuild that ran one round too few/many, reassigned
+    * against a stale round's centroids, or served ungated state breaks
+    * the hash.
+    */
+  def q285AnnRebuildIterated(spark: SparkSession, dir: String): DataFrame =
+    annSearchFrom(spark, dir, q285Store(spark, dir))
+
+  /** Oracle: q279's chain extended one round — probes and scores bind
+    * cent2/asg2.
+    */
+  val q285Sql: String = {
+    val acos0 = cosineSql("e.embedding", "c.centroid")
+    val acos1 = cosineSql("e.embedding", "c.centroid")
+    val acos2 = cosineSql("e.embedding", "c.centroid")
+    val pcos = cosineSql("q.embedding", "c.centroid")
+    val cos = cosineSql("q.embedding", "e.embedding")
+    s"""WITH cent0 AS (
+       |  SELECT label, list(cx ORDER BY pos) AS centroid FROM (
+       |    SELECT label, t.pos, avg(CAST(embedding[t.pos] AS DOUBLE)) AS cx
+       |    FROM embeddings, range(1, 65) t(pos)
+       |    GROUP BY label, t.pos)
+       |  GROUP BY label),
+       |asg0 AS (
+       |  SELECT vec_id, embedding, list FROM (
+       |    SELECT e.vec_id, e.embedding, c.label AS list,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $acos0 DESC, c.label) AS ark
+       |    FROM embeddings e CROSS JOIN cent0 c)
+       |  WHERE ark = 1),
+       |cent1 AS (
+       |  SELECT list AS label, list(cx ORDER BY pos) AS centroid FROM (
+       |    SELECT a.list, t.pos, avg(CAST(a.embedding[t.pos] AS DOUBLE)) AS cx
+       |    FROM asg0 a, range(1, 65) t(pos)
+       |    GROUP BY a.list, t.pos)
+       |  GROUP BY list),
+       |asg1 AS (
+       |  SELECT vec_id, embedding, list FROM (
+       |    SELECT e.vec_id, e.embedding, c.label AS list,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $acos1 DESC, c.label) AS ark
+       |    FROM embeddings e CROSS JOIN cent1 c)
+       |  WHERE ark = 1),
+       |cent2 AS (
+       |  SELECT list AS label, list(cx ORDER BY pos) AS centroid FROM (
+       |    SELECT a.list, t.pos, avg(CAST(a.embedding[t.pos] AS DOUBLE)) AS cx
+       |    FROM asg1 a, range(1, 65) t(pos)
+       |    GROUP BY a.list, t.pos)
+       |  GROUP BY list),
+       |asg2 AS (
+       |  SELECT vec_id, embedding, list FROM (
+       |    SELECT e.vec_id, e.embedding, c.label AS list,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $acos2 DESC, c.label) AS ark
+       |    FROM embeddings e CROSS JOIN cent2 c)
+       |  WHERE ark = 1),
+       |probes AS (
+       |  SELECT query_id, label FROM (
+       |    SELECT q.vec_id AS query_id, c.label,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY $pcos DESC, c.label) AS prk
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) q CROSS JOIN cent2 c)
+       |  WHERE prk <= 2)
+       |SELECT query_id, rk, neighbor_id, cosine FROM (
+       |  SELECT p.query_id, e.vec_id AS neighbor_id,
+       |    round($cos, 4) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY p.query_id ORDER BY $cos DESC, e.vec_id) AS BIGINT) AS rk
+       |  FROM probes p
+       |  JOIN asg2 e ON e.list = p.label
        |  JOIN embeddings q ON q.vec_id = p.query_id
        |  WHERE e.vec_id <> p.query_id)
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
@@ -1472,7 +1764,8 @@ object Similarity {
     "q69_pq_search" -> q69PqSearch _,
     "q129_ivf_pq_search" -> q129IvfPqSearch _,
     "q272_ann_store_search" -> q272AnnStoreSearch _,
-    "q279_ann_rebuild_search" -> q279AnnRebuildSearch _)
+    "q279_ann_rebuild_search" -> q279AnnRebuildSearch _,
+    "q285_ann_rebuild_iterated" -> q285AnnRebuildIterated _)
 
   val oracles: Map[String, String] = Map(
     "q237_gram_matrix" -> q237Sql,
@@ -1490,5 +1783,6 @@ object Similarity {
     "q69_pq_search" -> q69Sql,
     "q129_ivf_pq_search" -> q129Sql,
     "q272_ann_store_search" -> q272Sql,
-    "q279_ann_rebuild_search" -> q279Sql)
+    "q279_ann_rebuild_search" -> q279Sql,
+    "q285_ann_rebuild_iterated" -> q285Sql)
 }

@@ -514,4 +514,103 @@ class StoreMaintSpec extends SparkTestBase {
     // the active generation still serves after the vacuum
     assert(Similarity.annSearchFrom(spark, sfDir, store).count() > 0L)
   }
+
+  test("ANN rebuild HARDENING on a severely drifted store: re-seed keeps the " +
+      "quantizer's arity, the recall gate ABORTS a one-step rebuild at a bar " +
+      "the ITERATED rebuild clears, and an aborted generation never serves") {
+    import graft.queries.Similarity
+    import org.apache.spark.sql.functions.col
+    def vec(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array.tabulate(64)(d =>
+        if (d == 0) math.cos(r).toFloat
+        else if (d == 1) math.sin(r).toFloat else 0f)
+    }
+    val ss = spark
+    import ss.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-ann-drift").toString
+    val store = s"$base/annstore"
+    // generation 0: tight clusters at 0° and 76° — a sane quantizer for
+    // the ORIGINAL corpus, whose 38° midline will mis-split the drifted
+    // one
+    val init = ((0 until 10).map(i => (5000L + i, 0L, vec(0.1 * i))) ++
+      (0 until 10).map(i => (6000L + i, 1L, vec(76.0 + 0.1 * i)))).toDF(
+      "vec_id", "label", "embedding")
+    Similarity.buildAnnStore(spark, store, init)
+    // DRIFT: the originals are erased; the new corpus is two moderate
+    // clusters G1 (30°..46°) and G2 (54°..70°) with a 46°–54° gap. The
+    // frozen 38° boundary splits G1 mid-cluster, so the CURRENT
+    // assignment is stale in exactly the way one mean step cannot fully
+    // cure: after one Lloyd round the boundary lands ~45° — still inside
+    // G1 — and only further rounds walk it into the gap. The SENTINEL
+    // queries (lowest vec_ids 0..3 = 46°,45°,44°,43°) sit on that
+    // mid-drift boundary: their true top-5 straddle it, so nprobe=1
+    // recall is ruined by the one-step quantizer and whole under the
+    // converged one.
+    graft.table.StoreMaint.eraseKeys(spark, s"$store/postings",
+      Seq("list"), "vec_id", init.select(col("vec_id")))
+    val g1 = (0 until 4).map(i => (i.toLong, 0L, vec(46.0 - i))) ++
+      (0 until 13).map(j => (100L + j, 0L, vec(30.0 + j)))
+    val g2 = (0 until 17).map(j => (200L + j, 0L, vec(54.0 + j)))
+    val drifted = (g1 ++ g2).toDF("vec_id", "label", "embedding")
+    Similarity.appendAnnStore(drifted.select(col("vec_id"), col("embedding")),
+      store)
+    // A/B the candidate quantizers WITHOUT a gate on cloned stores: one
+    // Lloyd step from the stale assignment vs iterate-to-tolerance
+    def clone(tag: String): String = {
+      val c = s"$base/$tag"
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(store), new java.io.File(c))
+      c
+    }
+    val s1 = clone("one-step")
+    Similarity.rebuildAnnStore(spark, s1, maxIters = 1, recallGate = 0.0)
+    val s8 = clone("iterated")
+    Similarity.rebuildAnnStore(spark, s8, maxIters = 8, moveTol = 0.0,
+      recallGate = 0.0)
+    val r1 = Similarity.annStoreRecall(spark, s1, k = 5, nprobe = 1,
+      nQueries = 4)
+    val r8 = Similarity.annStoreRecall(spark, s8, k = 5, nprobe = 1,
+      nQueries = 4)
+    assert(r8 > r1 + 0.05,
+      f"iterating must materially improve drifted recall: one-step $r1%.3f " +
+        f"vs iterated $r8%.3f")
+    // THE GATE, on the original store: a bar between the two measured
+    // recalls refuses the one-step rebuild...
+    val bar = (r1 + r8) / 2.0
+    val e = intercept[IllegalStateException] {
+      Similarity.rebuildAnnStore(spark, store, maxIters = 1,
+        recallGate = bar, recallProbe = 1, recallQueries = 4)
+    }
+    assert(e.getMessage.contains("ABORTED"), e.getMessage)
+    // ...the aborted generation is torn down, the pointer never moved,
+    // and generation 0 still serves
+    assert(!graft.table.Fs.isFile(s"$store/_active_gen"),
+      "an aborted rebuild must not move the active-generation pointer")
+    assert(!graft.table.Fs.isDir(s"$store/postings-g1") &&
+      !graft.table.Fs.isDir(s"$store/centroids-g1"),
+      "an aborted generation's dirs must be torn down")
+    assert(spark.read.parquet(s"$store/postings").count() == 34L,
+      "generation 0 must keep serving after an aborted rebuild")
+    // ...and the ITERATED rebuild clears the same bar and cuts over
+    val gen = Similarity.rebuildAnnStore(spark, store, maxIters = 8,
+      moveTol = 0.0, recallGate = bar, recallProbe = 1, recallQueries = 4)
+    assert(gen == 1L)
+    assert(graft.table.Fs.readString(s"$store/_active_gen").trim == "1")
+    assert(spark.read.parquet(s"$store/centroids-g1").count() == 2L)
+    // RE-SEED keeps the quantizer's arity: a store whose erasure emptied
+    // one list entirely must rebuild back to k centroids, max-min-seeded
+    // from the surviving list's spread — never silently shrink
+    val store2 = s"$base/reseed"
+    Similarity.buildAnnStore(spark, store2, init)
+    graft.table.StoreMaint.eraseKeys(spark, s"$store2/postings",
+      Seq("list"), "vec_id", init.select(col("vec_id")))
+    Similarity.appendAnnStore(
+      (0 until 10).map(i => (i.toLong, 0L, vec(60.0 + 0.1 * i)))
+        .toDF("vec_id", "label", "embedding")
+        .select(col("vec_id"), col("embedding")), store2)
+    Similarity.rebuildAnnStore(spark, store2, maxIters = 1, recallGate = 0.0)
+    assert(spark.read.parquet(s"$store2/centroids-g1").count() == 2L,
+      "re-seed must keep the stored arity after a list empties")
+  }
 }
