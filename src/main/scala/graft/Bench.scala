@@ -232,28 +232,43 @@ object Bench {
     // query that regressed still surfaces in the detail file), and an
     // "omitted" count so a reader knows the map is a prefix, not the suite.
     val budget = 1800
-    val entries = results.sortBy(-_._2).map { case (k, secs, _, _) =>
+    val bySlowest = results.sortBy(-_._2)
+    val entries = bySlowest.map { case (k, secs, _, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt(secs)
+    }
+    // RAW REPEATS for the slowest queries, IN the driver-committed line
+    // (round-17 lesson: a contended sweep inflated a q-block 4-8x and
+    // adjudicating it took a scoped re-run + an A/B — with the repeats
+    // visible, [30.2, 3.9, 4.1] reads as contention in one look while
+    // [30.2, 29.8, 31.0] reads as a real regression)
+    val repEntries = bySlowest.map { case (k, _, _, runs) =>
+      "\"" + k.takeWhile(_ != '_') + "\":[" + runs.map(r => fmt(r._1)).mkString(",") + "]"
     }
     val head =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfName","n":${results.size},"queries":{"""
-    // reserve digits for the WORST-case omitted count (= entries.size), so
-    // the require can't fire after a full run no matter how many queries
-    // the suite grows to
-    // strictly UNDER the reserve (the require below is `<`): packing to
-    // exactly tailRoom emits a line of exactly `budget` chars when the
-    // omitted count uses its full reserved digits — the off-by-one that
-    // cost this round's first bench run at 279 queries
-    val tailRoom =
-      budget - head.length - s"""},"omitted":${entries.size}}""".length - 1
-    val packed = scala.collection.mutable.ArrayBuffer.empty[String]
-    var used = 0
-    entries.foreach { e =>
-      val cost = e.length + (if (packed.isEmpty) 0 else 1)
-      if (used + cost <= tailRoom) { packed += e; used += cost }
+    // reserve digits for the WORST-case omitted counts, so the require
+    // can't fire after a full run no matter how many queries the suite
+    // grows to; strictly UNDER the reserve (the require below is `<`)
+    val trailerReserve =
+      s"""},"omitted":${entries.size},"repeats":{},"omitted_repeats":${entries.size}}""".length + 1
+    val room = budget - head.length - trailerReserve
+    def pack(xs: Seq[String], cap: Int): (Seq[String], Int) = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var used = 0
+      xs.foreach { e =>
+        val cost = e.length + (if (out.isEmpty) 0 else 1)
+        if (used + cost <= cap) { out += e; used += cost }
+      }
+      (out.toSeq, used)
     }
-    val line = head + packed.mkString(",") +
-      s"""},"omitted":${entries.size - packed.size}}"""
+    // medians get ~60% of the room (the round-over-round signal), the
+    // repeats the rest (the contention self-adjudication)
+    val (medPacked, medUsed) = pack(entries, (room * 3) / 5)
+    val (repPacked, _) = pack(repEntries, room - medUsed)
+    val line = head + medPacked.mkString(",") +
+      s"""},"omitted":${entries.size - medPacked.size},"repeats":{""" +
+      repPacked.mkString(",") +
+      s"""},"omitted_repeats":${repEntries.size - repPacked.size}}"""
     require(line.length < budget, s"bench line ${line.length} chars breaches tail budget")
     println(line)
     spark.stop()

@@ -554,6 +554,15 @@ object ScaleSmoke {
       // fresh store on BOTH sides; retrain cost must tile with data
       ("q279_ann_rebuild_campaign",
         graft.queries.Similarity.annRebuildCampaign _, scaledDir),
+      // FEED CATCH-UP campaign: bootstrap a FRESH lexical store from a
+      // 120-commit feed (110 appends + 10 DV deletes, the history
+      // hoisted untimed as ingest) in ONE grouped readChangeFeed + ONE
+      // net-effect apply + the q56 probe. The r17-weak union plan paid
+      // 120 per-version scan setups before reading a row; the grouped
+      // plan's catch-up cost must tile with CHANGE VOLUME (the corpus),
+      // never version count x table size
+      ("q286_feed_catchup_campaign",
+        graft.queries.CorpusOps.feedCatchupCampaign _, scaledDir),
       // pointer doubling: ONE random recursive tree over Nx nodes; depth
       // grows by ln N, so the fixed log-depth round count must still
       // saturate (the require proves it) while each round's node-keyed

@@ -363,6 +363,94 @@ object CorpusOps {
     refreshMaxScores(spark, store)
   }
 
+  /** CATCH-UP feed apply — the consumer shape for a derived store that
+    * slept through MANY commits: instead of [[syncLexStoreFromFeed]]'s
+    * per-version replay (correct for small deltas, O(versions) CoW
+    * rewrites on a long range), the feed COLLAPSES to its net effect per
+    * doc — the newest change wins (within one version a postimage beats
+    * its preimage; a same-version delete+insert nets to the insert, the
+    * remove+re-add commit shape) — then ONE erase of every touched doc
+    * and ONE append of the final-born rows. Cost is changes-sized
+    * whatever the version count, the apply-side twin of
+    * [[graft.sources.DeltaLog.readChangeFeed]]'s O(1)-scan grouped plan.
+    * An EMPTY store bootstraps for free (the erase verbs no-op on absent
+    * dirs), so this is also the from-scratch derive.
+    */
+  def catchupLexStoreFromFeed(spark: SparkSession, store: String,
+      feed: DataFrame): Unit = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("_commit_version").desc, col("__born").desc)
+    val net = feed.select(col("doc_id"), col("text"),
+        col("_commit_version"),
+        when(col("_change_type").isin("insert", "update_postimage"), 1)
+          .otherwise(0).as("__born"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = net.select(col("doc_id"))
+      graft.table.StoreMaint.eraseKeys(spark, s"$store/dl", Seq.empty,
+        "doc_id", touched)
+      graft.table.StoreMaint.eraseKeys(spark, s"$store/postings",
+        Seq("pbkt"), "doc_id", touched)
+      val born = net.filter(col("__born") === 1)
+        .select(col("doc_id"), col("text"))
+      if (born.limit(1).count() > 0) appendLexStore(born, store)
+    } finally { net.unpersist(); () }
+    refreshMaxScores(spark, store)
+  }
+
+  /** The 120-commit catch-up fixture, one per (JVM, dir): the documents
+    * corpus committed into a Delta table as 110 per-residue appends plus
+    * 10 deletion-vector DELETEs (each retracting one doc_id%100 residue
+    * of 90..99) — the month-offline history a derived-store consumer
+    * catches up over. Immutable to its consumers.
+    */
+  private val catchupDeltaMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[queries] def catchupDelta(spark: SparkSession, dir: String): String =
+    catchupDeltaMemo.getOrElseUpdate(s"catchup:$dir", {
+      import graft.sources.DeltaLog
+      val base = graft.Tables.fixtureRoot("q280camp", dir)
+      val f = new java.io.File(base)
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+      val delta = s"$base/delta"
+      val d = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      (0 until 110).foreach { r =>
+        DeltaLog.commitAppend(delta, d.filter(pmod(col("doc_id"), lit(110)) === r))
+      }
+      (0 until 10).foreach { k =>
+        DeltaLog.deleteWhere(spark, delta,
+          pmod(col("doc_id"), lit(100)) === (90 + k))
+      }
+      delta
+    })
+
+  /** The CATCH-UP CAMPAIGN (scale row): bootstrap a FRESH lexical store
+    * from the 120-commit feed in one read — the grouped-plan
+    * [[graft.sources.DeltaLog.readChangeFeed]] over every version, the
+    * net-effect [[catchupLexStoreFromFeed]] apply, then the q56 probe
+    * served from the caught-up store. The commit history is a hoisted
+    * ingest fixture (one per JVM+dir); the TIMED region is exactly what
+    * a consumer pays after a long sleep. The scale claim: cost tiles
+    * with CHANGE VOLUME (the corpus), never with version count × table
+    * size — the per-version union plan this round replaced would pay 120
+    * scan setups before reading a row.
+    */
+  def feedCatchupCampaign(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLog
+    val delta = catchupDelta(spark, dir)
+    val base = graft.Tables.fixtureRoot("q280run", dir)
+    val f = new java.io.File(base)
+    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    val store = s"$base/lexstore"
+    val feed = DeltaLog.readChangeFeed(spark, delta, -1L,
+      DeltaLog.currentVersion(delta))
+    catchupLexStoreFromFeed(spark, store, feed)
+    bm25FromIncremental(spark, store)
+  }
+
   /** q56's BM25 served from an INCREMENTALLY-built store (q249): dl and
     * the query terms' pruned postings partitions, same pipeline, same
     * oracle — how the store accumulated is invisible to retrieval.

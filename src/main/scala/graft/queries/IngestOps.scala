@@ -1054,6 +1054,14 @@ object IngestOps {
       case "q273" | "q274" | "q275" => q273Fixture(spark, dir); ()
       case "q276" => q276Fixture(spark, dir); ()
       case "q278" => q278Fixture(spark, dir); ()
+      case "q280" => q280Fixture(spark, dir); ()
+      case "q281" => q281Fixture(spark, dir); ()
+      case "q282" => q282Fixture(spark, dir); ()
+      case "q283" => q283Fixture(spark, dir); ()
+      case "q284" => q273Fixture(spark, dir); ()
+      // the catch-up campaign's 120-commit delta (scale row q286): the
+      // commit history is ingest, the timed region is the catch-up
+      case "q286" => CorpusOps.catchupDelta(spark, dir); ()
       // q279 deliberately has NO case: the Bench query memoizes its store
       // per JVM (the q272 pattern), and the SCALE row is the always-cold
       // rebuild CAMPAIGN — a warm hoist here would build a full unused
@@ -2371,6 +2379,428 @@ object IngestOps {
       |FROM documents WHERE doc_id < 80
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q280 fixture: a 32-version history — the documents table appended in
+    * THIRTY per-bucket commits (doc_id % 30, so every version holds rows
+    * and the version tag is oracle-derivable), then two overlapping
+    * deletion-vector DELETEs (v30, v31). The catch-up shape a derived
+    * store reads after a day offline.
+    */
+  private[graft] def q280Fixture(spark: SparkSession, dir: String): String =
+    ReplayFixtures.ensure(dir, "q280", Seq("documents")) { root =>
+      import graft.sources.DeltaLog
+      val delta = s"$root/delta"
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      (0 until 30).foreach { b =>
+        DeltaLog.commitAppend(delta,
+          docs.filter(pmod(col("doc_id"), lit(30)) === b))
+      }
+      DeltaLog.deleteWhere(spark, delta, pmod(col("doc_id"), lit(7)) === 3) // v30
+      DeltaLog.deleteWhere(spark, delta, pmod(col("doc_id"), lit(5)) === 2) // v31
+      ()
+    }
+
+  /** q280 — CHANGE-FEED CATCH-UP over a 32-version history in ONE read:
+    * the consumer shape [[graft.sources.DeltaLog.readChangeFeed]]'s
+    * grouped plan exists for — a derived store syncing after thousands
+    * of missed commits must plan O(1) scans (one grouped fresh-add scan
+    * + one distinct-DV-rewritten-path scan + broadcast version
+    * decoration), not a per-version union; the PlanSpec gate pins that
+    * shape on this exact history. `sum(_commit_version)` makes the
+    * oracle version-sensitive: a feed that mis-attributes a row's commit
+    * (or re-announces an already-deleted row at v31) breaks the hash.
+    */
+  def q280FeedCatchup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLog
+    q280Fixture(spark, dir)
+    val delta = s"${ReplayFixtures.fixtureRootFor(dir, "q280")}/delta"
+    DeltaLog.readChangeFeed(spark, delta, -1L, DeltaLog.currentVersion(delta))
+      .groupBy(col("_change_type"), col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(length(col("text"))).as("len_sum"),
+        sum(col("_commit_version")).as("v_sum"))
+      .orderBy(col("_change_type"), col("lang"))
+  }
+
+  /** Oracle: inserts land at version doc_id % 30; v30 deletes the %7=3
+    * rows; v31 deletes the %5=2 rows NOT already deleted (the DV diff).
+    */
+  val q280Sql: String =
+    """WITH feed AS (
+      |  SELECT 'insert' AS ct, CAST(doc_id % 30 AS BIGINT) AS v, text, lang
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'delete', 30, text, lang FROM documents WHERE doc_id % 7 = 3
+      |  UNION ALL
+      |  SELECT 'delete', 31, text, lang
+      |  FROM documents WHERE doc_id % 5 = 2 AND doc_id % 7 <> 3
+      |)
+      |SELECT ct AS _change_type, lang,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(length(text)) AS BIGINT) AS len_sum,
+      |  CAST(sum(v) AS BIGINT) AS v_sum
+      |FROM feed
+      |GROUP BY ct, lang
+      |ORDER BY ct, lang""".stripMargin
+
+  /** q281 fixture: a FOREIGN table gated behind the `timestampNtz`
+    * reader feature (minReaderVersion 3) — schema (doc_id, ts
+    * timestamp_ntz, tlen), one Spark-written data file whose ts is the
+    * deterministic `2024-01-01 + doc_id minutes` wall time.
+    */
+  private[graft] def q281Fixture(spark: SparkSession, dir: String): String =
+    ReplayFixtures.ensure(dir, "q281", Seq("documents")) { root =>
+      import org.apache.spark.sql.types._
+      val tbl = s"$root/delta"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tbl))
+      val jm = new com.fasterxml.jackson.databind.ObjectMapper()
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = true),
+        StructField("ts", TimestampNTZType, nullable = true),
+        StructField("tlen", LongType, nullable = true)))
+      val tmp = s"$tbl/.tmp"
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          expr("timestampadd(MINUTE, doc_id, " +
+            "to_timestamp_ntz('2024-01-01 00:00:00'))").as("ts"),
+          length(col("text")).cast("long").as("tlen"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(tbl, "f1.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      val sz = java.nio.file.Paths.get(tbl, "f1.parquet").toFile.length()
+      val logDir = java.nio.file.Paths.get(tbl, "_delta_log")
+      java.nio.file.Files.createDirectories(logDir)
+      java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"), (
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""" + "\n" +
+        """{"metaData":{"id":"ntz-docs","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${jm.writeValueAsString(schema.json)},""" +
+          """"partitionColumns":[],"configuration":{}}}""" + "\n" +
+        s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$sz,""" +
+          """"modificationTime":0,"dataChange":true}}""" + "\n")
+        .getBytes("UTF-8"))
+      ()
+    }
+
+  /** q281 — TIMESTAMP-NTZ FOREIGN TABLE READ: the `timestampNtz` reader
+    * feature admitted end-to-end — the feature-listed protocol passes
+    * the refusal gate, the batch scan surfaces the zoneless leaf type,
+    * and the day-grain aggregate restates wall-time arithmetic a
+    * session-timezone shift would break (the type's whole point: the
+    * same bytes read identically in every timezone). Before round 18
+    * one NTZ column made a table fully unreadable here.
+    */
+  def q281NtzForeignRead(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLog
+    q281Fixture(spark, dir)
+    val delta = s"${ReplayFixtures.fixtureRootFor(dir, "q281")}/delta"
+    DeltaLog.read(spark, delta)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tlen")).as("len_sum"),
+        min(col("ts")).as("ts_min"),
+        max(col("ts")).as("ts_max"))
+      .orderBy(col("hr"))
+  }
+
+  /** Oracle: the same wall-time derivation in DuckDB (naive TIMESTAMP —
+    * DuckDB's TIMESTAMP is zoneless, exactly NTZ's semantics).
+    */
+  val q281Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id) AS ts,
+      |    CAST(length(text) AS BIGINT) AS tlen
+      |  FROM documents)
+      |SELECT date_trunc('hour', ts) AS hr,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(tlen) AS BIGINT) AS len_sum,
+      |  min(ts) AS ts_min, max(ts) AS ts_max
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Author a v2-spec checkpoint at `v` for `root`: the live adds moved
+    * into a sidecar parquet under `_delta_log/_sidecars/`, the manifest
+    * (parquet or JSON lines) carrying protocol (readerFeatures
+    * [v2Checkpoint]) + metaData + the `sidecar` pointer — the layout
+    * recent delta-spark writers leave behind. Shared by the q282 fixture
+    * and SourcesSpec's round-trip gates.
+    */
+  private[graft] def authorV2Checkpoint(spark: SparkSession, root: String,
+      v: Long, jsonManifest: Boolean): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val jm = new com.fasterxml.jackson.databind.ObjectMapper()
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    val addStrs = scala.collection.mutable.ArrayBuffer.empty[String]
+    var metaStr: String = null
+    (0L to v).foreach { i =>
+      java.nio.file.Files.readAllLines(logDir.resolve(f"$i%020d.json"))
+        .forEach { line =>
+          if (line.nonEmpty) {
+            val n = jm.readTree(line)
+            if (n.has("add")) { addStrs += n.get("add").toString; () }
+            else if (n.has("metaData")) metaStr = n.get("metaData").toString
+          }
+        }
+    }
+    val scDir = logDir.resolve("_sidecars")
+    java.nio.file.Files.createDirectories(scDir)
+    val fAdd = StructType(Seq(StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType), StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))
+    val scSchema = StructType(Seq(StructField("add", fAdd)))
+    val addRows = addStrs.toSeq.map { s =>
+      val a = jm.readTree(s)
+      Row(Row(a.get("path").asText(),
+        Map.empty[String, String],
+        if (a.has("size")) a.get("size").asLong() else 0L, true,
+        if (a.has("stats") && !a.get("stats").isNull) a.get("stats").asText()
+        else null))
+    }
+    val scTmp = s"$root/.sc-tmp"
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(addRows, 1), scSchema)
+      .coalesce(1).write.mode("overwrite").parquet(scTmp)
+    val scPart = new java.io.File(scTmp).listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    val scName = "sc-0001.parquet"
+    java.nio.file.Files.move(scPart.toPath, scDir.resolve(scName))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scTmp))
+    val scSize = scDir.resolve(scName).toFile.length()
+    val protoStr =
+      """{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}"""
+    val uuid = "aaaa1111-2222-3333-4444-555566667777"
+    if (jsonManifest) {
+      java.nio.file.Files.write(
+        logDir.resolve(f"$v%020d.checkpoint.$uuid%s.json"), (
+        s"""{"protocol":$protoStr}""" + "\n" +
+        s"""{"metaData":$metaStr}""" + "\n" +
+        s"""{"sidecar":{"path":"$scName","sizeInBytes":$scSize,"modificationTime":0}}""" +
+        "\n").getBytes("UTF-8"))
+      ()
+    } else {
+      val meta = jm.readTree(metaStr)
+      val fProto = StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))
+      val fMeta = StructType(Seq(StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))
+      val fSidecar = StructType(Seq(StructField("path", StringType),
+        StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType)))
+      val mSchema = StructType(Seq(StructField("protocol", fProto),
+        StructField("metaData", fMeta), StructField("sidecar", fSidecar)))
+      val rows = Seq(
+        Row(Row(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint")), null, null),
+        Row(null, Row(meta.get("id").asText(),
+          meta.get("schemaString").asText(), Seq.empty[String],
+          Map.empty[String, String]), null),
+        Row(null, null, Row(scName, scSize, 0L)))
+      val mTmp = s"$root/.m-tmp"
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), mSchema)
+        .coalesce(1).write.mode("overwrite").parquet(mTmp)
+      val mPart = new java.io.File(mTmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(mPart.toPath,
+        logDir.resolve(f"$v%020d.checkpoint.$uuid%s.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(mTmp))
+      ()
+    }
+  }
+
+  /** q282 fixture: two appends (residues 0,1 of doc_id mod 3), a v2
+    * checkpoint at v1 with the JSON commits TRIMMED (retention: the
+    * checkpoint is the only carrier of v0/v1 state), then a tail append
+    * of residue 2.
+    */
+  private[graft] def q282Fixture(spark: SparkSession, dir: String): String =
+    ReplayFixtures.ensure(dir, "q282", Seq("documents")) { root =>
+      import graft.sources.DeltaLog
+      val delta = s"$root/delta"
+      val d = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      DeltaLog.commitAppend(delta, d.filter(pmod(col("doc_id"), lit(3)) === 0))
+      DeltaLog.commitAppend(delta, d.filter(pmod(col("doc_id"), lit(3)) === 1))
+      authorV2Checkpoint(spark, delta, 1L, jsonManifest = false)
+      val logDir = java.nio.file.Paths.get(delta, "_delta_log")
+      java.nio.file.Files.delete(logDir.resolve(f"${0L}%020d.json"))
+      java.nio.file.Files.delete(logDir.resolve(f"${1L}%020d.json"))
+      DeltaLog.commitAppend(delta, d.filter(pmod(col("doc_id"), lit(3)) === 2))
+      ()
+    }
+
+  /** q282 — V2-CHECKPOINT TABLE READ: replay through the manifest +
+    * sidecar layout (the `v2Checkpoint` reader feature) on a table whose
+    * pre-checkpoint JSON history is GONE — the checkpoint is the only
+    * carrier of two thirds of the rows, and the post-checkpoint tail
+    * commit composes on top. A reader that ignored the sidecar, the
+    * manifest's metaData, or the tail misses rows and breaks the hash.
+    * Before round 18 this layout refused outright.
+    */
+  def q282V2CheckpointRead(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLog
+    q282Fixture(spark, dir)
+    val delta = s"${ReplayFixtures.fixtureRootFor(dir, "q282")}/delta"
+    DeltaLog.read(spark, delta)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("len_sum"))
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle: all three residues = the full documents table. */
+  val q282Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS len_sum
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q283 fixture (shared, immutable): four appends (doc_id mod 5
+    * residues 0..3) then a DV DELETE of the %7 subjects — a history the
+    * default v0-replay stream CANNOT serve (the DV commit refuses the
+    * adds-only path), so only the snapshot bootstrap reads it.
+    */
+  private[graft] def q283Fixture(spark: SparkSession, dir: String): String =
+    ReplayFixtures.ensure(dir, "q283", Seq("documents")) { root =>
+      import graft.sources.DeltaLog
+      val delta = s"$root/delta"
+      val d = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      (0 until 4).foreach { r =>
+        DeltaLog.commitAppend(delta, d.filter(pmod(col("doc_id"), lit(5)) === r))
+      }
+      DeltaLog.deleteWhere(spark, delta, pmod(col("doc_id"), lit(7)) === 0)
+      ()
+    }
+
+  /** q283 — STREAM BOOTSTRAP FROM THE LATEST SNAPSHOT
+    * (`startingVersion=latest`): batch zero is the PINNED snapshot (DV
+    * survivors only — the delete never re-announces), then a post-pin
+    * append tails through a RESTARTED query from the same checkpoint —
+    * the new-consumer shape that makes a long-history table cost one
+    * snapshot pass instead of a commit-by-commit replay (which this
+    * history refuses anyway: it ends in a DV commit).
+    */
+  def q283StreamLatestStart(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLog
+    q283Fixture(spark, dir)
+    val base = ReplayFixtures.runRoot(dir, "q283")
+    val delta = s"$base/delta"
+    linkTree(java.nio.file.Paths.get(
+      s"${ReplayFixtures.fixtureRootFor(dir, "q283")}/delta"),
+      java.nio.file.Paths.get(delta))
+    val ss = ReplayFixtures.replaySession(spark)
+    def drain(): Unit = {
+      val q = ss.readStream
+        .format(classOf[graft.streaming.DeltaStream].getName)
+        .option("path", delta)
+        .option("startingVersion", "latest")
+        .option("maxVersionsPerTrigger", 1L)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$base/sink")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain() // batch zero: the pinned snapshot
+    DeltaLog.commitAppend(delta, Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .filter(pmod(col("doc_id"), lit(5)) === 4))
+    drain() // restart: tails ONLY the post-pin commit
+    ss.read.parquet(s"$base/sink")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("len_sum"))
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle: the snapshot's DV survivors (%5 in 0..3, %7 <> 0) plus the
+    * post-pin %5=4 slice (appended AFTER the delete, so its %7 rows
+    * live).
+    */
+  val q283Sql: String =
+    """WITH rows_seen AS (
+      |  SELECT text, lang FROM documents
+      |  WHERE doc_id % 5 < 4 AND doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT text, lang FROM documents WHERE doc_id % 5 = 4
+      |)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS len_sum
+      |FROM rows_seen GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q284 — MAPPED RENAME + DROP AS FIRST-CLASS VERBS: two metaData-only
+    * RENAMEs (text→body, lang→language — physicalName/id fixed, zero
+    * files rewritten, old AND new files bind), an append under the
+    * renamed names (binds the SAME mapping, no re-mint), an evolution
+    * minting `score`, then DROP of the minted column (readers stop
+    * binding it; its bytes stay until a rewrite). `schema_ok` pins the
+    * mapping invariants — a rename that re-minted, a drop that
+    * resurrected, or an append that minted a duplicate breaks it.
+    * Before round 18 self-owned mapped tables refused these verbs.
+    */
+  def q284MappedRenameDrop(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLog
+    val delta = clonedMappedDocs(spark, dir, "q284")
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0) // one-row driver frame
+    DeltaLog.renameColumn(delta, "text", "body")                       // v2
+    DeltaLog.commitAppend(delta, docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+      .select((col("doc_id") + lit(mx + 1)).as("doc_id"),
+        concat(lit("R:"), col("text")).as("body"), col("lang")))       // v3
+    DeltaLog.renameColumn(delta, "lang", "language")                   // v4
+    DeltaLog.commitAppend(delta, docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + lit(2L * (mx + 1))).as("doc_id"),
+        concat(lit("S:"), col("text")).as("body"),
+        col("lang").as("language"),
+        length(col("text")).cast("long").as("score")))                 // v5: mint
+    DeltaLog.dropColumns(delta, Seq("score"))                          // v6
+    val sch = DeltaLog.latestSchema(delta)
+    val schemaOk =
+      sch.fieldNames.toSeq == Seq("doc_id", "body", "language") &&
+        sch("body").metadata.getString(
+          "delta.columnMapping.physicalName") == "col-t0002" &&
+        sch("body").metadata.getLong("delta.columnMapping.id") == 2L &&
+        sch("language").metadata.getString(
+          "delta.columnMapping.physicalName") == "col-l0003"
+    DeltaLog.read(spark, delta)
+      .groupBy(col("language"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("body"))).as("len_sum"))
+      .withColumn("schema_ok", lit(if (schemaOk) 1L else 0L))
+      .orderBy(col("language"))
+  }
+
+  /** Oracle: the table ∪ the two shifted slices under the renamed
+    * spellings; the dropped column never surfaces.
+    */
+  val q284Sql: String =
+    """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+      |merged AS (
+      |  SELECT text AS body, lang AS language FROM documents
+      |  UNION ALL
+      |  SELECT 'R:' || text, lang FROM documents, mx WHERE doc_id % 9 = 0
+      |  UNION ALL
+      |  SELECT 'S:' || text, lang FROM documents, mx WHERE doc_id % 10 = 0
+      |)
+      |SELECT language, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(length(body)) AS BIGINT) AS len_sum,
+      |  CAST(1 AS BIGINT) AS schema_ok
+      |FROM merged GROUP BY language ORDER BY language""".stripMargin
+
   /** q246 fixture: a Delta history with OPTIMIZE commits INTERLEAVED
     * between appends — the shape an incremental consumer actually tails.
     * Versions: v0..v1 append residues 0..1 (mod 5), v2 = OPTIMIZE,
@@ -3602,6 +4032,11 @@ object IngestOps {
     "q276_mapped_skipping" -> q276MappedSkipping _,
     "q277_dv_feed_stream" -> q277DvFeedStream _,
     "q278_idmode_stream" -> q278IdModeStream _,
+    "q280_feed_catchup" -> q280FeedCatchup _,
+    "q281_ntz_foreign_read" -> q281NtzForeignRead _,
+    "q282_v2_checkpoint_read" -> q282V2CheckpointRead _,
+    "q283_stream_latest_start" -> q283StreamLatestStart _,
+    "q284_mapped_rename_drop" -> q284MappedRenameDrop _,
     "q246_delta_changes" -> q246DeltaChanges _,
     "q248_delta_stream" -> q248DeltaStreamRead _,
     "q249_incremental_lexstore" -> q249IncrementalLexStore _,
@@ -3659,6 +4094,11 @@ object IngestOps {
     "q276_mapped_skipping" -> q276Sql,
     "q277_dv_feed_stream" -> q277Sql,
     "q278_idmode_stream" -> q278Sql,
+    "q280_feed_catchup" -> q280Sql,
+    "q281_ntz_foreign_read" -> q281Sql,
+    "q282_v2_checkpoint_read" -> q282Sql,
+    "q283_stream_latest_start" -> q283Sql,
+    "q284_mapped_rename_drop" -> q284Sql,
     "q246_delta_changes" -> q246Sql,
     "q248_delta_stream" -> q248Sql,
     "q249_incremental_lexstore" -> CorpusOps.q56Sql,

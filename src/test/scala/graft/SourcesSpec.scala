@@ -641,12 +641,13 @@ class SourcesSpec extends SparkTestBase {
     // implement — refuse, never misread
     val vc = authorTable(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+        """"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""",
       "{}")
     val e1 = intercept[UnsupportedOperationException] { DeltaLog.read(spark, vc) }
     assert(e1.getMessage.contains("minReaderVersion=3") &&
-      e1.getMessage.contains("v2Checkpoint") &&
-      e1.getMessage.contains("columnMapping and deletionVectors"), e1.getMessage)
+      e1.getMessage.contains("typeWidening") &&
+      e1.getMessage.contains("columnMapping, deletionVectors, timestampNtz"),
+      e1.getMessage)
     // the stream source refuses the same table at schema resolution
     val e1s = intercept[UnsupportedOperationException] { DeltaLog.latestSchema(vc) }
     assert(e1s.getMessage.contains("minReaderVersion=3"))
@@ -712,7 +713,7 @@ class SourcesSpec extends SparkTestBase {
     // stream schema gate must refuse — a scalar-only fallback would
     // reconstruct {"minReaderVersion":3} featureless and misread
     val dvRoot = authorCheckpointed(
-      org.apache.spark.sql.Row(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint")),
+      org.apache.spark.sql.Row(3, 7, Seq("typeWidening"), Seq("typeWidening")),
       StructType(Seq(
         StructField("minReaderVersion", IntegerType),
         StructField("minWriterVersion", IntegerType),
@@ -720,7 +721,7 @@ class SourcesSpec extends SparkTestBase {
         StructField("writerFeatures", ArrayType(StringType)))))
     val e1 = intercept[UnsupportedOperationException] { DeltaLog.latestSchema(dvRoot) }
     assert(e1.getMessage.contains("minReaderVersion=3") &&
-      e1.getMessage.contains("v2Checkpoint"), e1.getMessage)
+      e1.getMessage.contains("typeWidening"), e1.getMessage)
     // mrv=3 whose checkpoint schema carries NO readerFeatures column at
     // all (a lossy foreign checkpoint): the features CANNOT be
     // materialized, so the gate must refuse rather than assume none
@@ -1402,12 +1403,12 @@ class SourcesSpec extends SparkTestBase {
     assert(out.filter(col("score").isNotNull).count() == widened.count())
   }
 
-  test("BOUNDED-DRIVER replay: a 10⁴-add checkpoint prunes DISTRIBUTED — " +
-      "the driver collects only the pruned set, tail reconciliation intact") {
-    import graft.sources.DeltaLog
+  /** A table whose v0 checkpoint carries `n` add rows (file i covers
+    * k ∈ [10i, 10i+9]) — the bounded-driver fixtures' shared builder.
+    */
+  private def writeBigCheckpointTable(root: String, n: Int): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val root = Files.createTempDirectory("graft-delta-bigckpt").toString + "/tbl"
     val logDir = java.nio.file.Paths.get(root, "_delta_log")
     java.nio.file.Files.createDirectories(logDir)
     val schemaJson = StructType(Seq(StructField("k", LongType))).json
@@ -1417,7 +1418,6 @@ class SourcesSpec extends SparkTestBase {
     java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"),
       ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" + "\n" +
         metaStr + "\n").getBytes("UTF-8"))
-    // checkpoint @ v0: 10,000 add rows, file i covering k ∈ [10i, 10i+9]
     val fAdd = StructType(Seq(StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType), StructField("dataChange", BooleanType),
@@ -1428,7 +1428,6 @@ class SourcesSpec extends SparkTestBase {
       StructField("minWriterVersion", IntegerType)))
     val ckptSchema = StructType(Seq(StructField("protocol", fProto),
       StructField("metaData", fMeta), StructField("add", fAdd)))
-    val n = 10000
     val addRows = (0 until n).map { i =>
       Row(null, null, Row(f"f$i%05d.parquet", Map.empty[String, String], 100L,
         true,
@@ -1447,6 +1446,15 @@ class SourcesSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     java.nio.file.Files.write(logDir.resolve("_last_checkpoint"),
       s"""{"version":0,"size":${n + 2}}""".getBytes("UTF-8"))
+    ()
+  }
+
+  test("BOUNDED-DRIVER replay: a 10⁴-add checkpoint prunes DISTRIBUTED — " +
+      "the driver collects only the pruned set, tail reconciliation intact") {
+    import graft.sources.DeltaLog
+    val root = Files.createTempDirectory("graft-delta-bigckpt").toString + "/tbl"
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    writeBigCheckpointTable(root, 10000)
 
     // point lookup: ONE file survives, and the driver collected ONE row
     // of the 10⁴ — replay state bounded by the PRUNED set, not the table
@@ -1469,6 +1477,43 @@ class SourcesSpec extends SparkTestBase {
     assert(DeltaLog.filesMatching(spark, root, col("k") === 55555L) ==
       Seq("r0.parquet"))
     assert(DeltaLog.lastPrunedCollectedAdds == 1L)
+  }
+
+  test("BOUNDED-DRIVER feed derivation: a full-file remove on a 10⁴-add " +
+      "table replays ONLY the removed paths — never the snapshot") {
+    import graft.sources.DeltaLog
+    val root = Files.createTempDirectory("graft-feed-bigrm").toString + "/tbl"
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    writeBigCheckpointTable(root, 10000)
+    // v1: a dataChange=true FULL remove of two files, no re-add — the feed
+    // must derive two delete entries from their prior incarnations
+    java.nio.file.Files.write(logDir.resolve(f"${1L}%020d.json"),
+      ("""{"remove":{"path":"f00007.parquet","dataChange":true}}""" + "\n" +
+        """{"remove":{"path":"f09998.parquet","dataChange":true}}""" +
+        "\n").getBytes("UTF-8"))
+    val entries = DeltaLog.changeFeedFileEntries(spark, root, 0L, 1L)
+    assert(entries.map(e => (e.version, e.path, e.changeType)).toSet ==
+      Set((1L, "f00007.parquet", Some("delete")),
+        (1L, "f09998.parquet", Some("delete"))))
+    // the pruned replay collected exactly the removed paths' add rows —
+    // a full replay(v0) here would have materialized all 10⁴
+    assert(DeltaLog.lastFeedReplayCollectedAdds == 2L,
+      s"driver materialized ${DeltaLog.lastFeedReplayCollectedAdds} add " +
+        "rows for a 2-path remove derivation — feed replay must prune")
+    // tail reconciliation: a remove of a path RE-ADDED in the tail (with
+    // a replacement DV-less add) derives the re-added incarnation, and a
+    // remove of a never-lived path derives nothing
+    java.nio.file.Files.write(logDir.resolve(f"${2L}%020d.json"),
+      ("""{"add":{"path":"g0.parquet","partitionValues":{},"size":64,"dataChange":true}}""" +
+        "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(logDir.resolve(f"${3L}%020d.json"),
+      ("""{"remove":{"path":"g0.parquet","dataChange":true}}""" + "\n" +
+        """{"remove":{"path":"never-lived.parquet","dataChange":true}}""" +
+        "\n").getBytes("UTF-8"))
+    val e3 = DeltaLog.changeFeedFileEntries(spark, root, 2L, 3L)
+    assert(e3.map(e => (e.version, e.path, e.changeType)) ==
+      Seq((3L, "g0.parquet", Some("delete"))))
+    assert(DeltaLog.lastFeedReplayCollectedAdds == 1L)
   }
 
   test("snapshot cache: a table DELETED and REBUILT at the same path and " +
@@ -1633,6 +1678,316 @@ class SourcesSpec extends SparkTestBase {
       .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == ((0L until 30L) ++ (100L until 110L)),
       s"v0 and v2 appends must stream, the v1 DV rewrite must be skipped: $ids")
+  }
+
+  test("mapped RENAME/DROP: metaData-only commits — physicalName and id " +
+      "stay fixed so OLD and NEW files bind; partition list renames; " +
+      "re-added dropped names re-mint; plain tables refuse") {
+    import graft.sources.DeltaLog
+    graft.queries.IngestOps.q273Fixture(spark, sfDir)
+    val root = Files.createTempDirectory("graft-renamedrop").toString + "/delta"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(
+        graft.queries.ReplayFixtures.fixtureRootFor(sfDir, "q273") + "/delta"),
+      new java.io.File(root))
+    val before = DeltaLog.read(spark, root).count()
+    val lenBefore = DeltaLog.read(spark, root)
+      .agg(sum(length(col("text")))).head.getLong(0)
+    val filesBefore = DeltaLog.snapshotFiles(spark, root).toSet
+    // RENAME text -> body: zero data files touched, same rows, old files
+    // bind through the unchanged physicalName
+    DeltaLog.renameColumn(root, "text", "body")
+    assert(DeltaLog.snapshotFiles(spark, root).toSet == filesBefore,
+      "rename must be metaData-only")
+    val renamed = DeltaLog.read(spark, root)
+    assert(renamed.columns.toSeq == Seq("doc_id", "body", "lang"))
+    assert(renamed.count() == before)
+    assert(renamed.agg(sum(length(col("body")))).head.getLong(0) == lenBefore)
+    val bodyField = DeltaLog.latestSchema(root)("body")
+    assert(bodyField.metadata.getString("delta.columnMapping.physicalName")
+      == "col-t0002" &&
+      bodyField.metadata.getLong("delta.columnMapping.id") == 2L,
+      "rename must keep physicalName + id — that IS the feature")
+    // appends under the NEW name bind the SAME mapping (no mint)
+    val extra = Tables(spark, sfDir, "documents")
+      .filter(pmod(col("doc_id"), lit(11)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text").as("body"), col("lang"))
+    DeltaLog.commitAppend(root, extra)
+    assert(DeltaLog.read(spark, root).count() == before + extra.count())
+    assert(DeltaLog.latestSchema(root)("body")
+      .metadata.getString("delta.columnMapping.physicalName") == "col-t0002")
+    // rename collision refuses
+    intercept[IllegalArgumentException] {
+      DeltaLog.renameColumn(root, "doc_id", "body")
+    }
+    // DROP lang: metaData-only; re-appending a column NAMED lang re-mints
+    // a FRESH id + physicalName (old bytes never resurrect)
+    DeltaLog.dropColumns(root, Seq("lang"))
+    val dropped = DeltaLog.read(spark, root)
+    assert(dropped.columns.toSeq == Seq("doc_id", "body"))
+    assert(dropped.count() == before + extra.count())
+    DeltaLog.commitAppend(root,
+      extra.select((col("doc_id") + 2000000L).as("doc_id"), col("body"),
+        lit("zz").as("lang")))
+    val relang = DeltaLog.latestSchema(root)("lang")
+    assert(relang.metadata.getLong("delta.columnMapping.id") > 3L &&
+      relang.metadata.getString("delta.columnMapping.physicalName") != "col-l0003",
+      "a re-added dropped name must mint fresh, never rebind old bytes")
+    // old rows' re-added lang null-fills; only the new slice carries zz
+    assert(DeltaLog.read(spark, root).filter(col("lang") === "zz").count() ==
+      extra.count())
+    // PARTITION-column rename updates the logical list and pruning follows
+    graft.queries.IngestOps.q276Fixture(spark, sfDir)
+    val proot = Files.createTempDirectory("graft-renpart").toString + "/delta"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(
+        graft.queries.ReplayFixtures.fixtureRootFor(sfDir, "q276") + "/delta"),
+      new java.io.File(proot))
+    DeltaLog.renameColumn(proot, "lang", "language")
+    assert(DeltaLog.latestPartitionColumns(proot) == Seq("language"))
+    val en = DeltaLog.read(spark, proot).filter(col("language") === "en").count()
+    assert(en > 0)
+    assert(DeltaLog.filesMatching(spark, proot, col("language") === "en")
+      .forall(_.contains("col-l0003=en")),
+      "pruning must translate the RENAMED logical name to the fixed physical")
+    // dropping a partition column refuses; plain tables refuse outright
+    intercept[IllegalArgumentException] {
+      DeltaLog.dropColumns(proot, Seq("language"))
+    }
+    val plain = Files.createTempDirectory("graft-renplain").toString + "/tbl"
+    DeltaLog.commitAppend(plain, spark.range(0, 5).select(col("id").as("k")))
+    val e = intercept[UnsupportedOperationException] {
+      DeltaLog.renameColumn(plain, "k", "kk")
+    }
+    assert(e.getMessage.contains("not column-mapped"), e.getMessage)
+  }
+
+  test("DeltaStream startingVersion: 'latest' serves the PINNED snapshot " +
+      "(DVs honored) as batch zero then tails only NEW commits; a numeric " +
+      "start tails from that version; offsets restart-stable") {
+    import graft.sources.DeltaLog
+    val root = Files.createTempDirectory("graft-startv").toString + "/tbl"
+    // a 21-version history a naive v0-replay consumer CANNOT serve: the
+    // last commit is a DV DELETE, which the adds-only path refuses — only
+    // the snapshot bootstrap reads this table as a stream
+    (0 until 20).foreach { i =>
+      DeltaLog.commitAppend(root,
+        spark.range(i * 10L, i * 10L + 10L).select(col("id").as("k")).coalesce(1))
+    }
+    DeltaLog.deleteWhere(spark, root, col("k") % 10 === 3L) // v20: DV
+    val expectSnap = DeltaLog.read(spark, root)
+      .select(col("k")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(expectSnap.size == 180)
+    val run = Files.createTempDirectory("graft-startv-run").toString
+    def startStream() = spark.readStream
+      .format(classOf[graft.streaming.DeltaStream].getName)
+      .option("path", root)
+      .option("startingVersion", "latest")
+      .option("maxVersionsPerTrigger", 1L)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$run/sink").option("checkpointLocation", s"$run/ckpt")
+      .start()
+    val q1 = startStream()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(s"$run/sink")
+      .select(col("k")).collect().map(_.getLong(0)).sorted.toSeq == expectSnap,
+      "batch zero must be exactly the pinned snapshot, DV-deleted rows excluded")
+    // new commits after the pin tail normally — RESTARTED from the same
+    // checkpoint (offsets must deserialize and resume past the snapshot)
+    DeltaLog.commitAppend(root,
+      spark.range(1000L, 1010L).select(col("id").as("k")).coalesce(1)) // v21
+    val q2 = startStream()
+    try q2.processAllAvailable() finally q2.stop()
+    val after = spark.read.parquet(s"$run/sink")
+      .select(col("k")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == (expectSnap ++ (1000L until 1010L)).sorted,
+      "the restart must deliver ONLY the post-pin commit — no snapshot replay")
+    // numeric startingVersion: a consumer resuming at a known cursor
+    val run2 = Files.createTempDirectory("graft-startv-num").toString
+    val q3 = spark.readStream
+      .format(classOf[graft.streaming.DeltaStream].getName)
+      .option("path", root)
+      .option("startingVersion", "21")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$run2/sink").option("checkpointLocation", s"$run2/ckpt")
+      .start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(spark.read.parquet(s"$run2/sink")
+      .select(col("k")).collect().map(_.getLong(0)).sorted.toSeq ==
+      (1000L until 1010L),
+      "startingVersion=21 must deliver exactly commit 21")
+    // the snapshot-pending offset round-trips its wire form
+    val ss = new graft.streaming.DeltaStreamStream(root,
+      new org.apache.spark.sql.types.StructType(), 1L)
+    assert(ss.deserializeOffset("snap:7").json() == "snap:7")
+    assert(ss.deserializeOffset("7").json() == "7")
+  }
+
+  test("timestampNtz reader feature: a feature-listed foreign table batch-reads, " +
+      "partition-decodes and STREAMS; the writer declares the feature on NTZ " +
+      "schemas; unknown reader features still refuse") {
+    import graft.sources.DeltaLog
+    import org.apache.spark.sql.types._
+    val jm = new com.fasterxml.jackson.databind.ObjectMapper()
+    val base = Files.createTempDirectory("graft-ntz").toString
+    val root = s"$base/tbl"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    // foreign-authored: schema (k long, ts timestamp_ntz), partitioned by
+    // an NTZ day column — minReaderVersion 3 + readerFeatures [timestampNtz]
+    val schema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("ts", TimestampNTZType),
+      StructField("day", TimestampNTZType)))
+    val data = spark.range(0, 6).select(col("id").as("k"),
+      to_timestamp_ntz(concat(lit("2024-03-01 10:00:0"), col("id"))).as("ts"))
+    val tmp = s"$root/.tmp"
+    data.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(root, "f1.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    val sz = new java.io.File(s"$root/f1.parquet").length()
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"), (
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""" + "\n" +
+      """{"metaData":{"id":"ntz-tbl","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jm.writeValueAsString(schema.json)},""" +
+        """"partitionColumns":["day"],"configuration":{}}}""" + "\n" +
+      s"""{"add":{"path":"f1.parquet","partitionValues":{"day":"2024-03-01 00:00:00"},""" +
+        s""""size":$sz,"modificationTime":0,"dataChange":true}}""" + "\n"
+      ).getBytes("UTF-8"))
+    // batch: NTZ data column round-trips, NTZ partition value decodes as
+    // a ZONELESS wall time (no session-timezone shift)
+    val out = DeltaLog.read(spark, root)
+    assert(out.schema("ts").dataType == TimestampNTZType)
+    assert(out.count() == 6L)
+    assert(out.filter(col("ts") === to_timestamp_ntz(lit("2024-03-01 10:00:03")))
+      .select(col("k")).collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(out.select(col("day")).distinct().collect()
+      .map(_.getAs[java.time.LocalDateTime](0)).toSeq ==
+      Seq(java.time.LocalDateTime.parse("2024-03-01T00:00")))
+    // stream equals batch (the partition reader's INT64 NTZ lattice)
+    val run = Files.createTempDirectory("graft-ntz-run").toString
+    val q = spark.readStream
+      .format(classOf[graft.streaming.DeltaStream].getName)
+      .option("path", root).option("maxVersionsPerTrigger", 1L)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$run/sink").option("checkpointLocation", s"$run/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(s"$run/sink")
+    assert(streamed.schema("ts").dataType == TimestampNTZType)
+    assert(streamed.select(col("k"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1))).sortBy(_._1).toSeq ==
+      out.select(col("k"), col("ts")).collect()
+        .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1))).sortBy(_._1).toSeq)
+    // our own writer: a fresh table created from an NTZ frame DECLARES the
+    // feature (reader 3 / writer 7) — the schemaString alone would be a
+    // protocol violation a strict foreign reader rejects
+    val own = s"$base/own"
+    DeltaLog.commitAppend(own, data)
+    val v0 = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(own, "_delta_log", f"${0L}%020d.json"))
+    assert(v0.get(0).contains("\"timestampNtz\"") &&
+      v0.get(0).contains("\"minReaderVersion\":3"), v0.get(0))
+    assert(DeltaLog.read(spark, own).count() == 6L)
+    // an UNKNOWN feature alongside still refuses
+    val bad = s"$base/bad"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(bad, "_delta_log"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(bad, "_delta_log", f"${0L}%020d.json"), (
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["timestampNtz","typeWidening"]}}""" + "\n" +
+      """{"metaData":{"id":"bad","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jm.writeValueAsString(schema.json)},""" +
+        """"partitionColumns":[],"configuration":{}}}""" + "\n").getBytes("UTF-8"))
+    val e = intercept[UnsupportedOperationException] {
+      DeltaLog.read(spark, bad).count()
+    }
+    assert(e.getMessage.contains("typeWidening"), e.getMessage)
+  }
+
+  /** Author a v2-spec checkpoint — delegates to the shared
+    * [[graft.queries.IngestOps.authorV2Checkpoint]] (the q282 fixture's
+    * author), so the spec and the oracle fixture can never diverge.
+    */
+  private def writeV2Checkpoint(root: String, v: Long,
+      jsonManifest: Boolean): Unit =
+    graft.queries.IngestOps.authorV2Checkpoint(spark, root, v, jsonManifest)
+
+  test("v2Checkpoint: manifest + sidecar layout replays — PARQUET and JSON " +
+      "manifests, trimmed history reads through it, stats still prune, " +
+      "tail commits compose") {
+    import graft.sources.DeltaLog
+    Seq(false, true).foreach { jsonManifest =>
+      val root = Files.createTempDirectory(
+        s"graft-v2ckpt-$jsonManifest").toString + "/tbl"
+      DeltaLog.commitAppend(root,
+        spark.range(0, 50).select(col("id").as("k")).coalesce(1))   // v0
+      DeltaLog.commitAppend(root,
+        spark.range(50, 100).select(col("id").as("k")).coalesce(1)) // v1
+      writeV2Checkpoint(root, 1L, jsonManifest)
+      // retention trim: the JSON commits are GONE — the v2 checkpoint is
+      // the only carrier of the table state
+      val logDir = java.nio.file.Paths.get(root, "_delta_log")
+      java.nio.file.Files.delete(logDir.resolve(f"${0L}%020d.json"))
+      java.nio.file.Files.delete(logDir.resolve(f"${1L}%020d.json"))
+      assert(DeltaLog.currentVersion(root) == 1L)
+      assert(DeltaLog.read(spark, root).count() == 100L,
+        s"manifest flavor jsonManifest=$jsonManifest")
+      assert(DeltaLog.read(spark, root)
+        .agg(sum(col("k"))).head.getLong(0) == (0L until 100L).sum)
+      // stats written by the original appends still prune through the
+      // sidecar read (distributed for the parquet path)
+      val hit = DeltaLog.filesMatching(spark, root, col("k") === 75L)
+      assert(hit.size == 1, s"stats must prune to one file, got $hit")
+      // a tail append composes with the checkpoint replay
+      DeltaLog.commitAppend(root,
+        spark.range(100, 120).select(col("id").as("k")).coalesce(1)) // v2
+      assert(DeltaLog.read(spark, root).count() == 120L)
+      assert(DeltaLog.read(spark, root, Some(1L)).count() == 100L)
+    }
+  }
+
+  test("adds-only read refuses by DEFAULT on dataChange=true removes — a " +
+      "pure remove would be silently MISSED, a remove+re-add rewrite " +
+      "DOUBLE-DELIVERED; skipChangeCommits is the explicit opt-in") {
+    import graft.sources.DeltaLog
+    // pure full-file remove (no re-add): previously dropped silently
+    val root1 = Files.createTempDirectory("graft-rmrefuse1").toString + "/tbl"
+    DeltaLog.commitAppend(root1,
+      spark.range(0, 20).select(col("id")).coalesce(1))            // v0
+    val doomed = DeltaLog.snapshotFiles(spark, root1)
+    DeltaLog.commitReplace(root1, doomed,
+      spark.range(0, 0).select(col("id")))                          // v1
+    val e1 = intercept[UnsupportedOperationException] {
+      DeltaLog.changesSince(spark, root1, -1L).count()
+    }
+    assert(e1.getMessage.contains("removes data") &&
+      e1.getMessage.contains("skipChangeCommits"), e1.getMessage)
+    // dataChange=true remove+re-add rewrite (no DV): previously the adds
+    // were delivered AGAIN — rows the consumer already ingested at v0
+    val root2 = Files.createTempDirectory("graft-rmrefuse2").toString + "/tbl"
+    DeltaLog.commitAppend(root2,
+      spark.range(0, 20).select(col("id")).coalesce(1))            // v0
+    DeltaLog.commitReplace(root2, DeltaLog.snapshotFiles(spark, root2),
+      spark.range(0, 20).select(col("id")).coalesce(1))            // v1
+    val e2 = intercept[UnsupportedOperationException] {
+      DeltaLog.changesSince(spark, root2, -1L).count()
+    }
+    assert(e2.getMessage.contains("removes data"), e2.getMessage)
+    // a range that stops BEFORE the retracting commit still serves the
+    // append-only prefix (the refusal is per-range, not per-table); the
+    // skipChangeCommits opt-in path is pinned by the stream test above
+    assert(DeltaLog.changesSince(spark, root2, -1L, Some(0L)).count() == 20L)
   }
 
   test("Fs.createNew on a non-local filesystem: PROBE-OR-REFUSE — a store " +
