@@ -397,7 +397,11 @@ object CorpusOps {
         .select(col("doc_id"), col("text"))
       if (born.limit(1).count() > 0) appendLexStore(born, store)
     } finally { net.unpersist(); () }
-    refreshMaxScores(spark, store)
+    // a FRESH store catching up over a delete-only range never created
+    // dl/ (erase no-ops on absent dirs, nothing was born) — an empty
+    // store is the correct outcome, not a PATH_NOT_FOUND in the
+    // max-score refresh
+    if (graft.table.Fs.isDir(s"$store/dl")) refreshMaxScores(spark, store)
   }
 
   /** The 120-commit catch-up fixture, one per (JVM, dir): the documents

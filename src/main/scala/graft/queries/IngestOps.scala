@@ -2535,17 +2535,27 @@ object IngestOps {
     import org.apache.spark.sql.types._
     val jm = new com.fasterxml.jackson.databind.ObjectMapper()
     val logDir = java.nio.file.Paths.get(root, "_delta_log")
-    val addStrs = scala.collection.mutable.ArrayBuffer.empty[String]
+    // LIVE set at v: adds accumulate BY PATH, removes retract — a
+    // checkpoint is the reconciled state, not the add history
+    val liveAdds = new java.util.LinkedHashMap[String, String]()
     var metaStr: String = null
     (0L to v).foreach { i =>
       java.nio.file.Files.readAllLines(logDir.resolve(f"$i%020d.json"))
         .forEach { line =>
           if (line.nonEmpty) {
             val n = jm.readTree(line)
-            if (n.has("add")) { addStrs += n.get("add").toString; () }
-            else if (n.has("metaData")) metaStr = n.get("metaData").toString
+            if (n.has("add")) {
+              liveAdds.put(n.get("add").get("path").asText(),
+                n.get("add").toString); ()
+            } else if (n.has("remove")) {
+              liveAdds.remove(n.get("remove").get("path").asText()); ()
+            } else if (n.has("metaData")) metaStr = n.get("metaData").toString
           }
         }
+    }
+    val addStrs = {
+      import scala.jdk.CollectionConverters._
+      liveAdds.values().asScala.toSeq
     }
     val scDir = logDir.resolve("_sidecars")
     java.nio.file.Files.createDirectories(scDir)
@@ -2554,10 +2564,19 @@ object IngestOps {
       StructField("size", LongType), StructField("dataChange", BooleanType),
       StructField("stats", StringType)))
     val scSchema = StructType(Seq(StructField("add", fAdd)))
-    val addRows = addStrs.toSeq.map { s =>
+    val addRows = addStrs.map { s =>
       val a = jm.readTree(s)
-      Row(Row(a.get("path").asText(),
-        Map.empty[String, String],
+      // partitionValues COPIED THROUGH, not blanked: a checkpoint that
+      // drops them reconstructs a partitioned table's files as
+      // unpartitioned — null partition columns, broken pruning
+      val pv: Map[String, String] =
+        if (a.has("partitionValues") && !a.get("partitionValues").isNull) {
+          import scala.jdk.CollectionConverters._
+          a.get("partitionValues").properties().asScala
+            .map(e => e.getKey -> (if (e.getValue.isNull) null
+              else e.getValue.asText())).toMap
+        } else Map.empty[String, String]
+      Row(Row(a.get("path").asText(), pv,
         if (a.has("size")) a.get("size").asLong() else 0L, true,
         if (a.has("stats") && !a.get("stats").isNull) a.get("stats").asText()
         else null))
@@ -2601,11 +2620,24 @@ object IngestOps {
         StructField("modificationTime", LongType)))
       val mSchema = StructType(Seq(StructField("protocol", fProto),
         StructField("metaData", fMeta), StructField("sidecar", fSidecar)))
+      // partitionColumns / configuration carried from the source
+      // metaData (the JSON branch inherits metaStr whole; the parquet
+      // row must not silently flatten a partitioned table)
+      val metaPc: Seq[String] = {
+        import scala.jdk.CollectionConverters._
+        Option(meta.get("partitionColumns")).toSeq
+          .flatMap(_.elements().asScala.map(_.asText()))
+      }
+      val metaConf: Map[String, String] = {
+        import scala.jdk.CollectionConverters._
+        Option(meta.get("configuration")).map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap)
+          .getOrElse(Map.empty)
+      }
       val rows = Seq(
         Row(Row(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint")), null, null),
         Row(null, Row(meta.get("id").asText(),
-          meta.get("schemaString").asText(), Seq.empty[String],
-          Map.empty[String, String]), null),
+          meta.get("schemaString").asText(), metaPc, metaConf), null),
         Row(null, null, Row(scName, scSize, 0L)))
       val mTmp = s"$root/.m-tmp"
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), mSchema)

@@ -323,34 +323,71 @@ object Similarity {
     */
   /** Concurrency with [[rebuildAnnStore]]: after the append lands, the
     * `_active_gen` pointer is RE-READ — a rebuild that cut over while
-    * this batch was writing stranded it in the retired generation, so
-    * the batch REPLAYS into the new active one (the retired copy is dead
-    * weight [[vacuumAnnStoreGenerations]] reclaims; the erasure sweep
-    * covers every generation either way). The residual window — an
-    * append whose bump lands after the rebuild's postings scan but
-    * before its pointer swap, with the swap completing before this
-    * re-read — still loses the batch: one logical WRITER (appends +
-    * rebuilds serialized by the owner) remains the store's contract,
-    * exactly as for the lexical/signature stores.
+    * this batch was writing may have stranded it in the retired
+    * generation. Whether it DID is decided against the rebuild's
+    * `_source_files-g<n>` stamp (the exact postings listing its scan
+    * froze): batch files IN the stamp were carried into the new
+    * generation by the rebuild itself — replaying them would DOUBLE
+    * every vector and break top-k — while files NOT in the stamp landed
+    * after the scan and must replay. Only the stranded files' rows
+    * re-assign into the new generation. One logical WRITER (appends +
+    * rebuilds serialized by the owner) remains the store's contract;
+    * this seam keeps the append-vs-rebuild interleaving lossless AND
+    * duplicate-free either way.
     */
   def appendAnnStore(batch: DataFrame, store: String): Unit = {
     val spark = batch.sparkSession
+    def fileNames(pPart: String): Map[String, String] =
+      graft.table.Fs.listFilesRecursive(s"$store/$pPart")
+        .map(_._1).filter(_.endsWith(".parquet"))
+        .map(p => graft.table.Fs.name(p) -> p).toMap
+    var landedGen = annActiveGen(store)
+    var landedPart = annGenParts(landedGen)._2
+    val before = fileNames(landedPart).keySet
+    assignLists(batch,
+        spark.read.parquet(s"$store/${annGenParts(landedGen)._1}"))
+      .write.mode("append").partitionBy("list").parquet(s"$store/$landedPart")
+    graft.table.StoreManifest.bump(store, Seq(landedPart))
+    // part-file names carry a task UUID — name identity is global
+    var landedFiles = fileNames(landedPart).filter(kv => !before(kv._1))
     var attempts = 0
-    var landedGen = -1L
-    do {
-      val gen = annActiveGen(store)
-      val (cPart, pPart) = annGenParts(gen)
-      assignLists(batch, spark.read.parquet(s"$store/$cPart"))
-        .write.mode("append").partitionBy("list").parquet(s"$store/$pPart")
-      graft.table.StoreManifest.bump(store, Seq(pPart))
-      landedGen = gen
+    while (annActiveGen(store) != landedGen && attempts < 3) {
       attempts += 1
-    } while (annActiveGen(store) != landedGen && attempts < 3)
+      val g = annActiveGen(store)
+      val stampPath = s"$store/${sourceStampName(g)}"
+      val scanned: Set[String] =
+        if (graft.table.Fs.isFile(stampPath))
+          graft.table.Fs.readString(stampPath)
+            .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
+        else Set.empty // a stamp-less (legacy) rebuild: replay everything
+      val stranded = landedFiles.filterNot(kv => scanned(kv._1))
+      val (cPart, pPart) = annGenParts(g)
+      if (stranded.isEmpty) landedFiles = Map.empty
+      else {
+        val beforeG = fileNames(pPart).keySet
+        val rows = spark.read
+          .option("basePath", s"$store/${annGenParts(landedGen)._2}")
+          .parquet(stranded.values.toSeq: _*)
+          .select(col("vec_id"), col("embedding"))
+        assignLists(rows, spark.read.parquet(s"$store/$cPart"))
+          .write.mode("append").partitionBy("list").parquet(s"$store/$pPart")
+        graft.table.StoreManifest.bump(store, Seq(pPart))
+        landedFiles = fileNames(pPart).filter(kv => !beforeG(kv._1))
+      }
+      landedGen = g
+      landedPart = pPart
+    }
     if (annActiveGen(store) != landedGen)
       throw new IllegalStateException(
         s"ANN store $store: generations cut over faster than the append " +
           "could land (3 attempts) — serialize appends and rebuilds")
   }
+
+  /** The rebuild's frozen-scan stamp for generation `gen`: the postings
+    * file names its retrain read, the evidence [[appendAnnStore]] uses
+    * to decide replay-vs-already-carried after a cutover.
+    */
+  private def sourceStampName(gen: Long): String = s"_source_files-g$gen"
 
   /** CHANGE-FEED-DRIVEN SYNC: the feed's deleted keys erase from the
     * active generation's postings via file-level copy-on-write — only
@@ -393,10 +430,13 @@ object Similarity {
     * names.
     */
   def vacuumAnnStoreGenerations(store: String): Seq[String] = {
-    val (cKeep, pKeep) = annGenParts(annActiveGen(store))
+    val active = annActiveGen(store)
+    val (cKeep, pKeep) = annGenParts(active)
+    val stampKeep = sourceStampName(active)
     val doomed = graft.table.Fs.list(store).map(graft.table.Fs.name)
       .filter(n => (n == "centroids" || n.startsWith("centroids-g") ||
-        n == "postings" || n.startsWith("postings-g")) &&
+        n == "postings" || n.startsWith("postings-g") ||
+        (n.startsWith("_source_files-g") && n != stampKeep)) &&
         n != cKeep && n != pKeep)
       .sorted
     doomed.foreach(n => graft.table.Fs.deleteRecursive(s"$store/$n"))
@@ -452,6 +492,12 @@ object Similarity {
         "rebuild after the next append")
     val postings = spark.read.option("basePath", s"$store/$pPart0")
       .parquet(s"$store/$pPart0")
+    // the file listing this retrain FROZE (a parquet read's index is
+    // fixed at relation resolution): stamped beside the new generation
+    // so a concurrent append can tell carried-by-the-rebuild from
+    // stranded-after-the-scan — see [[appendAnnStore]]
+    val sourceNames = postings.inputFiles.toSeq
+      .map(graft.table.Fs.name).filter(_.endsWith(".parquet"))
     // the quantizer's ARITY is the stored centroid set's, not the
     // surviving postings': a list erased empty must be RE-SEEDED, never
     // silently dropped (k shrinking under erasure degrades every probe)
@@ -510,6 +556,8 @@ object Similarity {
             "iterations (maxIters) or loosen the gate")
       }
     }
+    graft.table.Fs.replaceAtomic(s"$store/${sourceStampName(gen)}",
+      sourceNames.sorted.mkString("\n").getBytes("UTF-8"))
     graft.table.StoreManifest.bump(store, Seq(cPart, pPart))
     graft.table.Fs.replaceAtomic(s"$store/_active_gen",
       gen.toString.getBytes("UTF-8"))

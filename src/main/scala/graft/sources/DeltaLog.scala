@@ -505,6 +505,20 @@ object DeltaLog {
     snap
   }
 
+  /** One add-action JSON node as an [[AddFile]] — THE parse, shared by
+    * every replay/prune/feed path that meets an add as JSON (checkpoint
+    * manifest inline adds, commit-tail adds). A new add field (stats
+    * spelling, baseRowId, ...) lands here once instead of drifting
+    * across copies.
+    */
+  private def jsonAddFile(a: com.fasterxml.jackson.databind.JsonNode): AddFile =
+    AddFile(a.get("path").asText(),
+      if (a.has("size")) a.get("size").asLong() else 0L,
+      jsonPartitionValues(a),
+      Option(a.get("stats")).filterNot(_.isNull).map(n =>
+        if (n.isTextual) n.asText() else n.toString),
+      jsonDv(a))
+
   /** [[replay]] restricted to `paths` — the live INCARNATIONS of exactly
     * those paths at `version`, reconciled under the same (path, dvId)
     * last-action-wins rule. The change feed's full-remove derivation
@@ -533,12 +547,7 @@ object DeltaLog {
           val p = a.get("path").asText()
           if (paths(p)) {
             collected += 1
-            live(p) = AddFile(p,
-              if (a.has("size")) a.get("size").asLong() else 0L,
-              jsonPartitionValues(a),
-              Option(a.get("stats")).filterNot(_.isNull).map(n =>
-                if (n.isTextual) n.asText() else n.toString),
-              jsonDv(a))
+            live(p) = jsonAddFile(a)
           }
         }
       }
@@ -587,12 +596,7 @@ object DeltaLog {
             val p = a.get("path").asText()
             if (paths(p)) {
               collected += 1
-              live(p) = AddFile(p,
-                if (a.has("size")) a.get("size").asLong() else 0L,
-                jsonPartitionValues(a),
-                Option(a.get("stats")).filterNot(_.isNull).map(n =>
-                  if (n.isTextual) n.asText() else n.toString),
-                jsonDv(a))
+              live(p) = jsonAddFile(a)
             }
           } else if (node.has("remove")) {
             val rm = node.get("remove")
@@ -1176,13 +1180,7 @@ object DeltaLog {
     // a writer that chose an inline JSON manifest, not by this reader
     manifestActions.foreach { node =>
       if (node.has("add")) {
-        val a = node.get("add")
-        val af = AddFile(a.get("path").asText(),
-          if (a.has("size")) a.get("size").asLong() else 0L,
-          jsonPartitionValues(a),
-          Option(a.get("stats")).filterNot(_.isNull).map(n =>
-            if (n.isTextual) n.asText() else n.toString),
-          jsonDv(a))
+        val af = jsonAddFile(node.get("add"))
         if (conjuncts.forall { case (n, op, vv) =>
             fileMayMatch(af, n, op, vv, partCols) })
           live(af.path) = af
@@ -1230,14 +1228,8 @@ object DeltaLog {
           if (line.nonEmpty) {
             val node = mapper.readTree(line)
             if (node.has("add")) {
-              val a = node.get("add")
-              val p = a.get("path").asText()
-              val af = AddFile(p,
-                if (a.has("size")) a.get("size").asLong() else 0L,
-                jsonPartitionValues(a),
-                Option(a.get("stats")).filterNot(_.isNull).map(n =>
-                  if (n.isTextual) n.asText() else n.toString),
-                jsonDv(a))
+              val af = jsonAddFile(node.get("add"))
+              val p = af.path
               // the new incarnation replaces any prior one; if IT prunes
               // out, the prior (now dead) entry must not linger
               if (conjuncts.forall { case (n, op, vv) =>
@@ -1801,25 +1793,64 @@ object DeltaLog {
       partitionColumns))
 
   /** The protocol upgrade an append EVOLVING a timestamp_ntz column into
-    * an existing table must carry (the [[dvProtocolActions]] idiom:
-    * feature lists merged, never replaced; empty when already declared
-    * or when the write schema has no NTZ).
+    * an existing table must carry (the [[featureProtocolUpgrade]] rule:
+    * feature lists merged, legacy-implied features folded in, never
+    * replaced; empty when already declared or when the write schema has
+    * no NTZ).
     */
   private def ntzProtocolActions(root: String,
-      writeSchema: StructType): Seq[String] = {
-    if (!containsNtz(writeSchema)) return Seq.empty
+      writeSchema: StructType): Seq[String] =
+    if (!containsNtz(writeSchema)) Seq.empty
+    else featureProtocolUpgrade(root, "timestampNtz", readerGated = true)
+
+  /** The one table-features protocol upgrade rule (PROTOCOL.md): moving
+    * a table to minReaderVersion 3 / minWriterVersion 7 must DECLARE
+    * every feature the table already uses — the explicit lists when the
+    * old protocol had them, plus the features its LEGACY version pair
+    * implied (reader 2 = columnMapping; writer 2..6 accumulate
+    * appendOnly/invariants, checkConstraints, changeDataFeed/
+    * generatedColumns, columnMapping, identityColumns). An upgrade that
+    * listed only the new feature would UNDECLARE e.g. columnMapping on a
+    * (2, 5) mapped table — a spec-compliant foreign reader then binds
+    * logical names against physical col-XXXX files and reads all-null.
+    * Empty when `feature` is already declared (reader-gated features
+    * check readerFeatures; writer-only ones check writerFeatures).
+    */
+  private def featureProtocolUpgrade(root: String, feature: String,
+      readerGated: Boolean): Seq[String] = {
     val cur = latestProtocolJson(root).map(mapper.readTree)
-    val readerFeats = cur.toSeq.flatMap(p =>
-      Option(p.get("readerFeatures")).toSeq
+    def feats(key: String): Seq[String] = cur.toSeq.flatMap(p =>
+      Option(p.get(key)).toSeq
         .flatMap(_.elements().asScala.map(_.asText())))
-    if (readerFeats.contains("timestampNtz")) return Seq.empty
-    val writerFeats = cur.toSeq.flatMap(p =>
-      Option(p.get("writerFeatures")).toSeq
-        .flatMap(_.elements().asScala.map(_.asText())))
+    val readerFeats = feats("readerFeatures")
+    val writerFeats = feats("writerFeatures")
+    if ((if (readerGated) readerFeats else writerFeats).contains(feature))
+      return Seq.empty
+    def ver(key: String, dflt: Int): Int =
+      cur.flatMap(p => Option(p.get(key)).map(_.asInt(dflt))).getOrElse(dflt)
+    val mrv = ver("minReaderVersion", 1)
+    val mwv = ver("minWriterVersion", 2)
+    // legacy-implied features: only when the OLD protocol predates the
+    // features lists (a features-era protocol's lists are authoritative)
+    val impliedReader =
+      if (mrv >= 3) Seq.empty
+      else if (mrv >= 2) Seq("columnMapping") else Seq.empty
+    val impliedWriter =
+      if (mwv >= 7) Seq.empty
+      else Seq(
+        2 -> Seq("appendOnly", "invariants"),
+        3 -> Seq("checkConstraints"),
+        4 -> Seq("changeDataFeed", "generatedColumns"),
+        5 -> Seq("columnMapping"),
+        6 -> Seq("identityColumns")
+      ).collect { case (v, fs) if mwv >= v => fs }.flatten
     def jarr(xs: Seq[String]) = xs.distinct.sorted.map(jstr).mkString("[", ",", "]")
+    val newReader =
+      readerFeats ++ impliedReader ++ (if (readerGated) Seq(feature) else Seq.empty)
+    val newWriter = writerFeats ++ impliedWriter :+ feature
     Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-      s""""readerFeatures":${jarr(readerFeats :+ "timestampNtz")},""" +
-      s""""writerFeatures":${jarr(writerFeats :+ "timestampNtz")}}}""")
+      s""""readerFeatures":${jarr(newReader)},""" +
+      s""""writerFeatures":${jarr(newWriter)}}}""")
   }
 
   /** Newest checkpoint version at or below `v`, with its part files. */
@@ -2371,24 +2402,12 @@ object DeltaLog {
     * does not already declare the feature: PROTOCOL.md requires
     * minReaderVersion=3 + readerFeatures∋deletionVectors and
     * minWriterVersion=7 + writerFeatures∋deletionVectors before any add
-    * may reference a deletionVector. Existing feature lists are MERGED,
-    * never replaced — an upgrade must not undeclare what the table
-    * already uses. Empty when already declared.
+    * may reference a deletionVector ([[featureProtocolUpgrade]] — lists
+    * merged, legacy-implied features folded in, never replaced; empty
+    * when already declared).
     */
-  private def dvProtocolActions(root: String): Seq[String] = {
-    val cur = latestProtocolJson(root).map(mapper.readTree)
-    val readerFeats = cur.toSeq.flatMap(p =>
-      Option(p.get("readerFeatures")).toSeq
-        .flatMap(_.elements().asScala.map(_.asText())))
-    if (readerFeats.contains("deletionVectors")) return Seq.empty
-    val writerFeats = cur.toSeq.flatMap(p =>
-      Option(p.get("writerFeatures")).toSeq
-        .flatMap(_.elements().asScala.map(_.asText())))
-    def jarr(xs: Seq[String]) = xs.distinct.sorted.map(jstr).mkString("[", ",", "]")
-    Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-      s""""readerFeatures":${jarr(readerFeats :+ "deletionVectors")},""" +
-      s""""writerFeatures":${jarr(writerFeats :+ "deletionVectors")}}}""")
-  }
+  private def dvProtocolActions(root: String): Seq[String] =
+    featureProtocolUpgrade(root, "deletionVectors", readerGated = true)
 
   /** Row-level DELETE via deletion vectors — rows where `pred` is TRUE
     * (null-safe: a NULL predicate keeps the row, SQL DELETE semantics)

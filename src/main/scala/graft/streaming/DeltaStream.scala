@@ -245,17 +245,24 @@ final class DeltaStreamStream(root: String, schema: StructType,
       d.map(x => (x.storageType, x.pathOrInlineDv,
         x.offset.map(_.toLong).getOrElse(-1L), x.sizeInBytes,
         x.cardinality)).orNull
-    // the pinned-snapshot INITIAL batch: every live file at version s,
-    // DVs as executor-side skip sets — identical rows to the batch read.
-    // In feed mode the snapshot announces as inserts at _commit_version s
-    // (the feed a new consumer bootstraps from).
+    // the pinned-snapshot INITIAL batch: every live file at the pinned
+    // version, DVs as executor-side skip sets — identical rows to the
+    // batch read. In feed mode the snapshot announces as inserts at the
+    // pinned _commit_version (the feed a new consumer bootstraps from).
+    // The pin is the END offset's version, NOT the start's: on a
+    // crash-before-commit restart the engine re-runs batch zero with the
+    // WAL'd end but a RECOMPUTED initialOffset()-derived start — if a
+    // writer committed meanwhile, start.v is newer than the WAL'd pin,
+    // and serving start.v's snapshot would both deliver the new commit's
+    // rows in batch zero AND re-deliver them when the tail reads
+    // (end.v, newV]. The end offset is the replay-stable pin.
     if (so.snapshotPending)
       return DeltaLog.snapshotFileEntries(
-        org.apache.spark.sql.SparkSession.active, root, s)
+        org.apache.spark.sql.SparkSession.active, root, e)
         .map { case (p, pv, dv) =>
           DeltaFilePartition(s"$root/$p", fieldsFor(pv), sessionTz,
             changeType = if (cdf) "insert" else null,
-            commitVersion = if (cdf) java.lang.Long.valueOf(s) else null,
+            commitVersion = if (cdf) java.lang.Long.valueOf(e) else null,
             tableRoot = root,
             dv = dvTuple(dv)): InputPartition
         }

@@ -254,11 +254,15 @@ object Fs {
           .getOrElse("")
         // known-atomic schemes beyond the capability probe: HDFS (namenode
         // exclusivity), ABFS/ABFSS (hierarchical-namespace create is
-        // atomic — ADLS Gen2's whole pitch), viewfs (delegates to mounts
-        // that are themselves HDFS-class). GCS and S3A stay probe-or-
-        // refuse: their atomicity is a conditional-PUT capability, not a
+        // atomic — ADLS Gen2's whole pitch). NOT viewfs: a mount table is
+        // a generic client-side indirection whose entries can point at
+        // s3a/gs where create-exclusive is NOT atomic — trusting the
+        // viewfs scheme would reopen the doubled-commit race behind an
+        // alias; a viewfs-over-HDFS deployment opts in via
+        // [[AssumeAtomicCreateKey]]. GCS and S3A stay probe-or-refuse:
+        // their atomicity is a conditional-PUT capability, not a
         // namespace property.
-        val KnownAtomicSchemes = Set("hdfs", "abfs", "abfss", "viewfs")
+        val KnownAtomicSchemes = Set("hdfs", "abfs", "abfss")
         val atomic = KnownAtomicSchemes(scheme) ||
           conf.getBoolean(AssumeAtomicCreateKey, false) ||
           ConditionalCreateCapabilities.exists(c =>

@@ -297,12 +297,15 @@ class DeletionVectorsSpec extends SparkTestBase {
     DeltaLog.commitAppend(root,
       spark.range(0, 200).select(col("id")).repartition(3))
     val (dv, _) = DeltaLog.deleteWhere(spark, root, col("id") % 2 === 0)
-    // the DV commit is dataChange=true with a deletionVector add: an
-    // incremental consumer would resurrect deleted rows — refuse
+    // the DV commit retracts rows (dataChange=true remove + DV'd re-add):
+    // an incremental consumer would resurrect deleted rows — refuse and
+    // point at the consumers that CAN serve it
     val e = intercept[UnsupportedOperationException] {
       DeltaLog.changedFilePaths(root, 0L, dv)
     }
-    assert(e.getMessage.contains("deletion vector"), e.getMessage)
+    assert(e.getMessage.contains("removes data") &&
+      e.getMessage.contains("readChangeFeed") &&
+      e.getMessage.contains("skipChangeCommits"), e.getMessage)
     val ov = DeltaLog.commitOptimize(spark, root, targetFiles = 1)
     assert(DeltaLog.read(spark, root).count() == 100L)
     assert(DeltaLog.read(spark, root).filter(col("id") % 2 === 0).count() == 0L)

@@ -1824,6 +1824,18 @@ class SourcesSpec extends SparkTestBase {
       new org.apache.spark.sql.types.StructType(), 1L)
     assert(ss.deserializeOffset("snap:7").json() == "snap:7")
     assert(ss.deserializeOffset("7").json() == "7")
+    // CRASH-BEFORE-COMMIT restart: the engine re-runs batch zero with
+    // the WAL'd END offset but a start derived from a RECOMPUTED
+    // initialOffset() — if a writer committed meanwhile, start.v is
+    // NEWER than the WAL'd pin. The snapshot must serve at the END pin:
+    // at start.v it would deliver the new commit's rows in batch zero
+    // AND again when the tail reads past the pin. v20 has 20 live files
+    // (the DV delete rewrites no paths); v21 would have 21.
+    val parts = ss.planInputPartitions(
+      ss.deserializeOffset("snap:21"), ss.deserializeOffset("20"))
+    assert(parts.length == 20,
+      s"batch zero must pin to the WAL'd end version (20 files at v20), " +
+        s"got ${parts.length} partitions")
   }
 
   test("timestampNtz reader feature: a feature-listed foreign table batch-reads, " +
@@ -2028,6 +2040,62 @@ class SourcesSpec extends SparkTestBase {
       "y".getBytes("UTF-8"))
     finally hconf.unset(graft.table.Fs.AssumeAtomicCreateKey)
     assert(new java.io.File(s"$dir/00000000000000000002.json").exists())
+  }
+
+  test("table-features protocol upgrade DECLARES legacy-implied features: a " +
+      "(2,5) mapped table's first DV delete lists columnMapping alongside " +
+      "deletionVectors — never undeclares what the table uses") {
+    import graft.sources.DeltaLog
+    import org.apache.spark.sql.types._
+    val jm = new com.fasterxml.jackson.databind.ObjectMapper()
+    def fieldMeta(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val logical = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true, fieldMeta(1, "col-aa11")),
+      StructField("lang", StringType, nullable = true, fieldMeta(2, "col-bb22"))))
+    val root = Files.createTempDirectory("graft-cm-upg").toString + "/tbl"
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    val df = spark.createDataFrame((0L until 6L).map(i => (i, s"l$i")))
+      .toDF("col-aa11", "col-bb22")
+    val tmp = s"$root/.tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(root, "f1.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    val sz = java.nio.file.Paths.get(root, "f1.parquet").toFile.length()
+    java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"), (
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""" + "\n" +
+      """{"metaData":{"id":"cm-upg","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jm.writeValueAsString(logical.json)},""" +
+        """"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name",""" +
+        """"delta.columnMapping.maxColumnId":"2"}}}""" + "\n" +
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$sz,""" +
+        """"modificationTime":1700000000000,"dataChange":true}}""" +
+      "\n").getBytes("UTF-8"))
+    val (dv, n) = DeltaLog.deleteWhere(spark, root, col("doc_id") === 3L)
+    assert(n == 1L)
+    // the upgrade commit's protocol: reader 2 implied columnMapping,
+    // writer 5 implied appendOnly/invariants/checkConstraints/
+    // changeDataFeed/generatedColumns/columnMapping — ALL must survive
+    // the move to (3,7), or a spec-compliant foreign reader sees an
+    // un-mapped table and binds logical names against col-XXXX files
+    val proto = java.nio.file.Files
+      .readAllLines(logDir.resolve(f"$dv%020d.json")).toArray.map(_.toString)
+      .find(_.contains("\"protocol\"")).map(jm.readTree).get.get("protocol")
+    import scala.jdk.CollectionConverters._
+    val rf = proto.get("readerFeatures").elements().asScala.map(_.asText()).toSet
+    val wf = proto.get("writerFeatures").elements().asScala.map(_.asText()).toSet
+    assert(rf == Set("columnMapping", "deletionVectors"), rf.toString)
+    assert(Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+      "generatedColumns", "columnMapping", "deletionVectors").subsetOf(wf),
+      wf.toString)
+    // and the table still reads correctly under the mapping
+    assert(DeltaLog.read(spark, root).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 4L, 5L))
   }
 
   test("q189 schema evolution: merged read nulls missing columns, loses and invents nothing") {
