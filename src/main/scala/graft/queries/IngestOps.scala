@@ -1059,6 +1059,7 @@ object IngestOps {
       case "q282" => q282Fixture(spark, dir); ()
       case "q283" => q283Fixture(spark, dir); ()
       case "q284" => q273Fixture(spark, dir); ()
+      case "q287" => q287Fixture(spark, dir); ()
       // the catch-up campaign's 120-commit delta (scale row q286): the
       // commit history is ingest, the timed region is the catch-up
       case "q286" => CorpusOps.catchupDelta(spark, dir); ()
@@ -2833,6 +2834,114 @@ object IngestOps {
       |  CAST(1 AS BIGINT) AS schema_ok
       |FROM merged GROUP BY language ORDER BY language""".stripMargin
 
+  /** q287 fixture: a foreign table whose schema was TYPE-WIDENED after
+    * its first file — f1 carries the NARROW physical types (k INT32,
+    * score FLOAT, d DATE) under the v0 schema; v1 commits a metaData
+    * whose schemaString is the WIDE spelling (k BIGINT, score DOUBLE,
+    * d TIMESTAMP_NTZ) plus f2 written wide. The `typeWidening` reader
+    * feature's contract: old files' narrow values read as the wide type
+    * (lossless promotions only) — refusing the table, or re-reading f1
+    * as-written, both lose.
+    */
+  private[graft] def q287Fixture(spark: SparkSession, dir: String): String =
+    ReplayFixtures.ensure(dir, "q287", Seq("documents")) { root =>
+      import org.apache.spark.sql.types._
+      val tbl = s"$root/delta"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tbl))
+      val jm = new com.fasterxml.jackson.databind.ObjectMapper()
+      def moveIn(df: DataFrame, name: String): Long = {
+        val tmp = s"$tbl/.tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(tbl, name))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        java.nio.file.Paths.get(tbl, name).toFile.length()
+      }
+      val docs = Tables(spark, dir, "documents")
+      val sz1 = moveIn(docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id").cast("int").as("k"),
+          length(col("text")).cast("float").as("score"),
+          expr("date_add(date'2024-01-01', cast(doc_id % 300 as int))")
+            .as("d")), "f1.parquet")
+      val sz2 = moveIn(docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id").as("k"),
+          length(col("text")).cast("double").as("score"),
+          expr("timestampadd(MINUTE, doc_id, " +
+            "to_timestamp_ntz('2024-01-01 00:00:00'))").as("d")), "f2.parquet")
+      val narrow = StructType(Seq(
+        StructField("k", IntegerType), StructField("score", FloatType),
+        StructField("d", DateType)))
+      val wide = StructType(Seq(
+        StructField("k", LongType), StructField("score", DoubleType),
+        StructField("d", TimestampNTZType)))
+      def metaOf(s: StructType) =
+        """{"metaData":{"id":"widen-docs","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${jm.writeValueAsString(s.json)},""" +
+          """"partitionColumns":[],"configuration":{}}}"""
+      val logDir = java.nio.file.Paths.get(tbl, "_delta_log")
+      java.nio.file.Files.createDirectories(logDir)
+      java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"), (
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["timestampNtz","typeWidening"],""" +
+          """"writerFeatures":["timestampNtz","typeWidening"]}}""" + "\n" +
+        metaOf(narrow) + "\n" +
+        s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$sz1,""" +
+          """"modificationTime":0,"dataChange":true}}""" + "\n")
+        .getBytes("UTF-8"))
+      java.nio.file.Files.write(logDir.resolve(f"${1L}%020d.json"), (
+        metaOf(wide) + "\n" +
+        s"""{"add":{"path":"f2.parquet","partitionValues":{},"size":$sz2,""" +
+          """"modificationTime":0,"dataChange":true}}""" + "\n")
+        .getBytes("UTF-8"))
+      ()
+    }
+
+  /** q287 — TYPE-WIDENED FOREIGN TABLE READ: the pre-widen file's INT32/
+    * FLOAT/DATE values surface as BIGINT/DOUBLE/TIMESTAMP_NTZ (dates at
+    * midnight) beside the post-widen file, one schema, one scan. Before
+    * round 18 the `typeWidening` feature made the table fully unreadable
+    * here; mis-handling (re-reading f1 narrow, or null-filling) breaks
+    * every aggregate below.
+    */
+  def q287TypeWideningRead(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLog
+    q287Fixture(spark, dir)
+    val delta = s"${ReplayFixtures.fixtureRootFor(dir, "q287")}/delta"
+    DeltaLog.read(spark, delta)
+      .groupBy(pmod(col("k"), lit(2)).as("par"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("k")).as("k_sum"),
+        sum(col("score")).as("score_sum"),
+        min(col("d")).as("d_min"),
+        max(col("d")).as("d_max"))
+      .orderBy(col("par"))
+  }
+
+  /** Oracle: both halves re-derived from `documents` in DuckDB, the
+    * even half's DATE re-spelled as its midnight naive timestamp (the
+    * date→timestampNTZ promotion's defined value). Lengths are exact
+    * small integers, so the float→double promotion and the sum are
+    * bit-exact.
+    */
+  val q287Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN TIMESTAMP '2024-01-01 00:00:00'
+      |        + to_days(CAST(doc_id % 300 AS INT))
+      |      ELSE TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id) END AS d,
+      |    CAST(length(text) AS DOUBLE) AS score
+      |  FROM documents)
+      |SELECT CAST(doc_id % 2 AS BIGINT) AS par,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS k_sum,
+      |  sum(score) AS score_sum,
+      |  min(d) AS d_min, max(d) AS d_max
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q246 fixture: a Delta history with OPTIMIZE commits INTERLEAVED
     * between appends — the shape an incremental consumer actually tails.
     * Versions: v0..v1 append residues 0..1 (mod 5), v2 = OPTIMIZE,
@@ -4069,6 +4178,7 @@ object IngestOps {
     "q282_v2_checkpoint_read" -> q282V2CheckpointRead _,
     "q283_stream_latest_start" -> q283StreamLatestStart _,
     "q284_mapped_rename_drop" -> q284MappedRenameDrop _,
+    "q287_type_widening_read" -> q287TypeWideningRead _,
     "q246_delta_changes" -> q246DeltaChanges _,
     "q248_delta_stream" -> q248DeltaStreamRead _,
     "q249_incremental_lexstore" -> q249IncrementalLexStore _,
@@ -4131,6 +4241,7 @@ object IngestOps {
     "q282_v2_checkpoint_read" -> q282Sql,
     "q283_stream_latest_start" -> q283Sql,
     "q284_mapped_rename_drop" -> q284Sql,
+    "q287_type_widening_read" -> q287Sql,
     "q246_delta_changes" -> q246Sql,
     "q248_delta_stream" -> q248Sql,
     "q249_incremental_lexstore" -> CorpusOps.q56Sql,

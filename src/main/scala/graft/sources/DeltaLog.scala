@@ -649,7 +649,8 @@ object DeltaLog {
       val feats = featsField.toSeq
         .flatMap(_.elements().asScala.map(_.asText()))
       val unsupported = feats.filterNot(
-        Set("columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint"))
+        Set("columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint",
+          "typeWidening", "typeWidening-preview"))
       // PROTOCOL.md: minReaderVersion>=3 REQUIRES readerFeatures — a
       // protocol row where the list cannot be materialized (a lossy
       // foreign checkpoint) must refuse, not default to "no features":
@@ -662,7 +663,8 @@ object DeltaLog {
         throw new UnsupportedOperationException(
           s"DeltaLog $root: unsupported reader protocol minReaderVersion=$mrv$fs; " +
             "this reader supports minReaderVersion<=2 and reader features " +
-            "columnMapping, deletionVectors, timestampNtz and v2Checkpoint")
+            "columnMapping, deletionVectors, timestampNtz, v2Checkpoint " +
+            "and typeWidening")
       }
     }
     val mode = columnMappingMode(metaDataJson)

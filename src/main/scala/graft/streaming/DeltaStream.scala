@@ -396,12 +396,30 @@ final class DeltaStreamStream(root: String, schema: StructType,
                     else -1
                   } else if (t.containsField(name)) t.getFieldIndex(name)
                   else -1
+                // typeWidening: a file written BEFORE a widen carries the
+                // NARROWER physical type; the read schema's wide leaf must
+                // accept it (byte/short/int→long, int/float→double,
+                // date→timestampNTZ — the protocol's lossless promotions)
+                def prim = group.getType.getType(idx).asPrimitiveType()
+                  .getPrimitiveTypeName
                 vals(i) =
                   if (idx < 0 || group.getFieldRepetitionCount(idx) == 0) null
                   else tpe match {
-                    case "long" => group.getLong(idx, 0)
+                    case "long" =>
+                      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+                      if (prim == PrimitiveTypeName.INT32)
+                        group.getInteger(idx, 0).toLong
+                      else group.getLong(idx, 0)
                     case "integer" => group.getInteger(idx, 0)
-                    case "double" => group.getDouble(idx, 0)
+                    case "double" =>
+                      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+                      prim match {
+                        case PrimitiveTypeName.INT32 =>
+                          group.getInteger(idx, 0).toDouble
+                        case PrimitiveTypeName.FLOAT =>
+                          group.getFloat(idx, 0).toDouble
+                        case _ => group.getDouble(idx, 0)
+                      }
                     case "float" => group.getFloat(idx, 0)
                     case "boolean" => group.getBoolean(idx, 0)
                     case "string" =>
@@ -417,20 +435,28 @@ final class DeltaStreamStream(root: String, schema: StructType,
                       import org.apache.parquet.schema.LogicalTypeAnnotation
                       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
                       val pt = group.getType.getType(idx).asPrimitiveType()
-                      if (pt.getPrimitiveTypeName != PrimitiveTypeName.INT64)
-                        throw new UnsupportedOperationException(
-                          s"DeltaStream reader: unsupported timestamp encoding " +
-                            s"${pt.getPrimitiveTypeName} for $name (INT64 only; " +
-                            "legacy INT96 files are not supported)")
-                      val raw = group.getLong(idx, 0)
-                      pt.getLogicalTypeAnnotation match {
-                        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-                          t.getUnit match {
-                            case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
-                            case LogicalTypeAnnotation.TimeUnit.MICROS => raw
-                            case LogicalTypeAnnotation.TimeUnit.NANOS => raw / 1000L
-                          }
-                        case _ => raw // unannotated INT64: micros by convention
+                      if (tpe == "timestamp_ntz" &&
+                          pt.getPrimitiveTypeName == PrimitiveTypeName.INT32 &&
+                          pt.getLogicalTypeAnnotation.isInstanceOf[
+                            LogicalTypeAnnotation.DateLogicalTypeAnnotation]) {
+                        // date→timestampNTZ widen: days at midnight
+                        group.getInteger(idx, 0).toLong * 86400000000L
+                      } else {
+                        if (pt.getPrimitiveTypeName != PrimitiveTypeName.INT64)
+                          throw new UnsupportedOperationException(
+                            s"DeltaStream reader: unsupported timestamp encoding " +
+                              s"${pt.getPrimitiveTypeName} for $name (INT64 only; " +
+                              "legacy INT96 files are not supported)")
+                        val raw = group.getLong(idx, 0)
+                        pt.getLogicalTypeAnnotation match {
+                          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                            t.getUnit match {
+                              case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
+                              case LogicalTypeAnnotation.TimeUnit.MICROS => raw
+                              case LogicalTypeAnnotation.TimeUnit.NANOS => raw / 1000L
+                            }
+                          case _ => raw // unannotated INT64: micros by convention
+                        }
                       }
                     case other => throw new UnsupportedOperationException(
                       s"DeltaStream reader: unsupported leaf type $other for $name")

@@ -641,11 +641,11 @@ class SourcesSpec extends SparkTestBase {
     // implement — refuse, never misread
     val vc = authorTable(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""",
+        """"readerFeatures":["variantType-preview"],"writerFeatures":["variantType-preview"]}}""",
       "{}")
     val e1 = intercept[UnsupportedOperationException] { DeltaLog.read(spark, vc) }
     assert(e1.getMessage.contains("minReaderVersion=3") &&
-      e1.getMessage.contains("typeWidening") &&
+      e1.getMessage.contains("variantType-preview") &&
       e1.getMessage.contains("columnMapping, deletionVectors, timestampNtz"),
       e1.getMessage)
     // the stream source refuses the same table at schema resolution
@@ -713,7 +713,7 @@ class SourcesSpec extends SparkTestBase {
     // stream schema gate must refuse — a scalar-only fallback would
     // reconstruct {"minReaderVersion":3} featureless and misread
     val dvRoot = authorCheckpointed(
-      org.apache.spark.sql.Row(3, 7, Seq("typeWidening"), Seq("typeWidening")),
+      org.apache.spark.sql.Row(3, 7, Seq("variantType-preview"), Seq("variantType-preview")),
       StructType(Seq(
         StructField("minReaderVersion", IntegerType),
         StructField("minWriterVersion", IntegerType),
@@ -721,7 +721,7 @@ class SourcesSpec extends SparkTestBase {
         StructField("writerFeatures", ArrayType(StringType)))))
     val e1 = intercept[UnsupportedOperationException] { DeltaLog.latestSchema(dvRoot) }
     assert(e1.getMessage.contains("minReaderVersion=3") &&
-      e1.getMessage.contains("typeWidening"), e1.getMessage)
+      e1.getMessage.contains("variantType-preview"), e1.getMessage)
     // mrv=3 whose checkpoint schema carries NO readerFeatures column at
     // all (a lossy foreign checkpoint): the features CANNOT be
     // materialized, so the gate must refuse rather than assume none
@@ -1917,14 +1917,96 @@ class SourcesSpec extends SparkTestBase {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(bad, "_delta_log", f"${0L}%020d.json"), (
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["timestampNtz","typeWidening"]}}""" + "\n" +
+        """"readerFeatures":["timestampNtz","icebergCompatV9"]}}""" + "\n" +
       """{"metaData":{"id":"bad","format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":${jm.writeValueAsString(schema.json)},""" +
         """"partitionColumns":[],"configuration":{}}}""" + "\n").getBytes("UTF-8"))
     val e = intercept[UnsupportedOperationException] {
       DeltaLog.read(spark, bad).count()
     }
-    assert(e.getMessage.contains("typeWidening"), e.getMessage)
+    assert(e.getMessage.contains("icebergCompatV9"), e.getMessage)
+  }
+
+  test("typeWidening reader feature: a pre-widen file's INT32/FLOAT/DATE " +
+      "values read as BIGINT/DOUBLE/TIMESTAMP_NTZ beside the post-widen " +
+      "file — batch and stream agree; narrow values promote losslessly") {
+    import graft.sources.DeltaLog
+    import org.apache.spark.sql.types._
+    val jm = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = Files.createTempDirectory("graft-widen").toString + "/tbl"
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    def moveIn(df: org.apache.spark.sql.DataFrame, name: String): Long = {
+      val tmp = s"$root/.tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(root, name))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      java.nio.file.Paths.get(root, name).toFile.length()
+    }
+    // narrow file: k INT32, score FLOAT, d DATE
+    val sz1 = moveIn(spark.range(0, 5).select(
+      col("id").cast("int").as("k"),
+      (col("id") * 3).cast("float").as("score"),
+      expr("date_add(date'2024-01-01', cast(id as int))").as("d")),
+      "f1.parquet")
+    // wide file: k INT64, score DOUBLE, d TIMESTAMP_NTZ
+    val sz2 = moveIn(spark.range(5, 8).select(
+      col("id").as("k"),
+      (col("id") * 3).cast("double").as("score"),
+      expr("timestampadd(HOUR, cast(id as int), " +
+        "to_timestamp_ntz('2024-02-01 00:00:00'))").as("d")),
+      "f2.parquet")
+    val narrow = StructType(Seq(StructField("k", IntegerType),
+      StructField("score", FloatType), StructField("d", DateType)))
+    val wide = StructType(Seq(StructField("k", LongType),
+      StructField("score", DoubleType), StructField("d", TimestampNTZType)))
+    def metaOf(s: StructType) =
+      """{"metaData":{"id":"widen","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jm.writeValueAsString(s.json)},""" +
+        """"partitionColumns":[],"configuration":{}}}"""
+    java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"), (
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["timestampNtz","typeWidening"],""" +
+        """"writerFeatures":["timestampNtz","typeWidening"]}}""" + "\n" +
+      metaOf(narrow) + "\n" +
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$sz1,""" +
+        """"modificationTime":0,"dataChange":true}}""" + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(logDir.resolve(f"${1L}%020d.json"), (
+      metaOf(wide) + "\n" +
+      s"""{"add":{"path":"f2.parquet","partitionValues":{},"size":$sz2,""" +
+        """"modificationTime":0,"dataChange":true}}""" + "\n").getBytes("UTF-8"))
+    val out = DeltaLog.read(spark, root)
+    assert(out.schema("k").dataType == LongType)
+    assert(out.schema("score").dataType == DoubleType)
+    assert(out.schema("d").dataType == TimestampNTZType)
+    val rows = out.orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getAs[java.time.LocalDateTime](2)))
+    assert(rows.map(_._1).toSeq == (0L until 8L), rows.mkString(","))
+    assert(rows.map(_._2).toSeq == (0L until 8L).map(_ * 3.0))
+    // pre-widen DATEs surface as their midnight naive timestamp
+    assert(rows(2)._3 == java.time.LocalDateTime.parse("2024-01-03T00:00"))
+    assert(rows(6)._3 == java.time.LocalDateTime.parse("2024-02-01T06:00"))
+    // the stream partition reader promotes the same lattice
+    val run = Files.createTempDirectory("graft-widen-run").toString
+    val q = spark.readStream
+      .format(classOf[graft.streaming.DeltaStream].getName)
+      .option("path", root).option("maxVersionsPerTrigger", 1L)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$run/sink").option("checkpointLocation", s"$run/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(s"$run/sink")
+    assert(streamed.schema("k").dataType == LongType &&
+      streamed.schema("d").dataType == TimestampNTZType)
+    assert(streamed.orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getAs[java.time.LocalDateTime](2))).toSeq == rows.toSeq,
+      "stream must equal batch across the widened schema")
   }
 
   /** Author a v2-spec checkpoint — delegates to the shared
