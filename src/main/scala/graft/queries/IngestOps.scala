@@ -1060,6 +1060,7 @@ object IngestOps {
       case "q283" => q283Fixture(spark, dir); ()
       case "q284" => q273Fixture(spark, dir); ()
       case "q287" => q287Fixture(spark, dir); ()
+      case "q288" => q288Fixture(spark, dir); ()
       // the catch-up campaign's 120-commit delta (scale row q286): the
       // commit history is ingest, the timed region is the catch-up
       case "q286" => CorpusOps.catchupDelta(spark, dir); ()
@@ -2942,6 +2943,76 @@ object IngestOps {
       |  min(d) AS d_min, max(d) AS d_max
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q288 fixture: a foreign table carrying a VARIANT column (the
+    * `variantType` reader feature, minReaderVersion 3) — semi-structured
+    * values stored as the parquet VARIANT group (metadata+value
+    * binaries), the open-format spelling of a JSON column that needs no
+    * per-row re-parse. Schema (doc_id BIGINT, v VARIANT) where v packs
+    * {doc_id, lang, tlen} parsed from JSON.
+    */
+  private[graft] def q288Fixture(spark: SparkSession, dir: String): String =
+    ReplayFixtures.ensure(dir, "q288", Seq("documents")) { root =>
+      import org.apache.spark.sql.types._
+      val tbl = s"$root/delta"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tbl))
+      val jm = new com.fasterxml.jackson.databind.ObjectMapper()
+      val tmp = s"$tbl/.tmp"
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          parse_json(to_json(struct(col("doc_id"), col("lang"),
+            length(col("text")).cast("long").as("tlen")))).as("v"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(tbl, "f1.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      val sz = java.nio.file.Paths.get(tbl, "f1.parquet").toFile.length()
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = true),
+        StructField("v", VariantType, nullable = true)))
+      val logDir = java.nio.file.Paths.get(tbl, "_delta_log")
+      java.nio.file.Files.createDirectories(logDir)
+      java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"), (
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["variantType-preview"],""" +
+          """"writerFeatures":["variantType-preview"]}}""" + "\n" +
+        """{"metaData":{"id":"variant-docs","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${jm.writeValueAsString(schema.json)},""" +
+          """"partitionColumns":[],"configuration":{}}}""" + "\n" +
+        s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$sz,""" +
+          """"modificationTime":0,"dataChange":true}}""" + "\n")
+        .getBytes("UTF-8"))
+      ()
+    }
+
+  /** q288 — VARIANT FOREIGN TABLE READ: the `variantType` reader feature
+    * admitted — typed extraction (`variant_get`) over the binary-encoded
+    * semi-structured column, no per-row JSON re-parse in the plan.
+    * Before round 18 one variant column made the table unreadable here.
+    * (The custom STREAM partition reader still refuses the leaf loudly —
+    * a binary it cannot decode must never pass through silently.)
+    */
+  def q288VariantRead(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaLog
+    q288Fixture(spark, dir)
+    val delta = s"${ReplayFixtures.fixtureRootFor(dir, "q288")}/delta"
+    DeltaLog.read(spark, delta)
+      .groupBy(expr("variant_get(v, '$.lang', 'string')").as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("variant_get(v, '$.tlen', 'long')")).as("len_sum"),
+        min(col("doc_id")).as("doc_min"))
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle: the packed fields re-derived from `documents` directly. */
+  val q288Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS len_sum,
+      |  min(doc_id) AS doc_min
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** q246 fixture: a Delta history with OPTIMIZE commits INTERLEAVED
     * between appends — the shape an incremental consumer actually tails.
     * Versions: v0..v1 append residues 0..1 (mod 5), v2 = OPTIMIZE,
@@ -4179,6 +4250,7 @@ object IngestOps {
     "q283_stream_latest_start" -> q283StreamLatestStart _,
     "q284_mapped_rename_drop" -> q284MappedRenameDrop _,
     "q287_type_widening_read" -> q287TypeWideningRead _,
+    "q288_variant_read" -> q288VariantRead _,
     "q246_delta_changes" -> q246DeltaChanges _,
     "q248_delta_stream" -> q248DeltaStreamRead _,
     "q249_incremental_lexstore" -> q249IncrementalLexStore _,
@@ -4242,6 +4314,7 @@ object IngestOps {
     "q283_stream_latest_start" -> q283Sql,
     "q284_mapped_rename_drop" -> q284Sql,
     "q287_type_widening_read" -> q287Sql,
+    "q288_variant_read" -> q288Sql,
     "q246_delta_changes" -> q246Sql,
     "q248_delta_stream" -> q248Sql,
     "q249_incremental_lexstore" -> CorpusOps.q56Sql,

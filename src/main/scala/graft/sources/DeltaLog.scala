@@ -74,6 +74,29 @@ object DeltaLog {
     if (vs.isEmpty) -1L else vs.max
   }
 
+  /** Lowest version whose commit landed at or after `tsMillis` — the
+    * stream's `startingTimestamp` resolver (delta-spark's semantics:
+    * changes committed at or after the timestamp deliver). Resolution is
+    * by commit-file modification time, the only clock a foreign table is
+    * guaranteed to carry; ONE log listing, no file reads. None when every
+    * commit predates the timestamp (the consumer tails from now) or the
+    * table has no JSON commits. Commit mtimes are non-decreasing on any
+    * sanely-clocked store, so the scan takes the min matching version.
+    */
+  private[graft] def versionAtOrAfterTimestamp(root: String,
+      tsMillis: Long): Option[Long] = {
+    val hits = Fs.listDetailed(logDir(root)).flatMap {
+      case (p, isFile, _, mtime) if isFile && mtime >= tsMillis =>
+        val n = Fs.name(p)
+        if (n.endsWith(".json") && n.length > 5 &&
+            n.dropRight(5).forall(_.isDigit))
+          Some(n.dropRight(5).toLong)
+        else None
+      case _ => None
+    }
+    if (hits.isEmpty) None else Some(hits.min)
+  }
+
   /** Checkpoint part files per version: single-part
     * `V.checkpoint.parquet` and multi-part `V.checkpoint.I.N.parquet`
     * (PROTOCOL.md both). A multi-part group missing any of its N parts is
@@ -650,7 +673,8 @@ object DeltaLog {
         .flatMap(_.elements().asScala.map(_.asText()))
       val unsupported = feats.filterNot(
         Set("columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint",
-          "typeWidening", "typeWidening-preview"))
+          "typeWidening", "typeWidening-preview",
+          "variantType", "variantType-preview"))
       // PROTOCOL.md: minReaderVersion>=3 REQUIRES readerFeatures — a
       // protocol row where the list cannot be materialized (a lossy
       // foreign checkpoint) must refuse, not default to "no features":
@@ -663,8 +687,8 @@ object DeltaLog {
         throw new UnsupportedOperationException(
           s"DeltaLog $root: unsupported reader protocol minReaderVersion=$mrv$fs; " +
             "this reader supports minReaderVersion<=2 and reader features " +
-            "columnMapping, deletionVectors, timestampNtz, v2Checkpoint " +
-            "and typeWidening")
+            "columnMapping, deletionVectors, timestampNtz, v2Checkpoint, " +
+            "typeWidening and variantType")
       }
     }
     val mode = columnMappingMode(metaDataJson)

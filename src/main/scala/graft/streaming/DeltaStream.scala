@@ -47,7 +47,9 @@ import graft.sources.DeltaLog
   * nothing instead of refusing), `startingVersion` (`<n>` tails from
   * version n; `latest` serves the pinned current snapshot as batch zero
   * then tails only new commits — the new-consumer bootstrap that makes
-  * a 500-version table cost one snapshot pass, not 500 micro-batches).
+  * a 500-version table cost one snapshot pass, not 500 micro-batches),
+  * `startingTimestamp` (commits at or after the timestamp deliver,
+  * resolved by commit-file mtime; exclusive with startingVersion).
   */
 class DeltaStream extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -102,11 +104,25 @@ final class DeltaStreamTable(options: CaseInsensitiveStringMap,
     startV.foreach(s => require(s == "latest" ||
       scala.util.Try(s.toLong).toOption.exists(_ >= 0L),
       s"startingVersion must be a version >= 0 or 'latest', got '$s'"))
+    // startingTimestamp (delta-spark's option): commits at or after the
+    // timestamp deliver; resolved against commit-file mtimes at stream
+    // start. Mutually exclusive with startingVersion.
+    val startTs = Option(options.get("startingTimestamp")).map(_.trim)
+    require(startV.isEmpty || startTs.isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    val startTsMs = startTs.map { s =>
+      val t = scala.util.Try(java.time.Instant.parse(s).toEpochMilli)
+        .orElse(scala.util.Try(java.sql.Timestamp.valueOf(s).getTime))
+      require(t.isSuccess,
+        s"startingTimestamp must be ISO-8601 or 'yyyy-MM-dd HH:mm:ss', got '$s'")
+      t.get
+    }
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema0
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new DeltaStreamStream(root, schema0, maxV, cdf, skip, startV)
+          new DeltaStreamStream(root, schema0, maxV, cdf, skip, startV,
+            startTsMs)
       }
     }
   }
@@ -157,7 +173,8 @@ private final case class DeltaFilePartition(path: String,
 final class DeltaStreamStream(root: String, schema: StructType,
     maxVersionsPerTrigger: Long, cdf: Boolean = false,
     skipChangeCommits: Boolean = false,
-    startingVersion: Option[String] = None)
+    startingVersion: Option[String] = None,
+    startingTimestampMs: Option[Long] = None)
   extends MicroBatchStream with SupportsAdmissionControl {
 
   /** `startingVersion` semantics (delta-spark's option): absent → replay
@@ -177,7 +194,17 @@ final class DeltaStreamStream(root: String, schema: StructType,
       if (cur < 0L) DeltaStreamOffset(-1L)
       else DeltaStreamOffset(cur, snapshotPending = true)
     case Some(n) => DeltaStreamOffset(n.toLong - 1L)
-    case None => DeltaStreamOffset(-1L)
+    case None => startingTimestampMs match {
+      case Some(ts) =>
+        // first version whose commit landed at or after ts delivers;
+        // older history is the consumer's declared don't-care. All
+        // commits older → tail only what arrives next.
+        DeltaStreamOffset(
+          DeltaLog.versionAtOrAfterTimestamp(root, ts)
+            .map(_ - 1L)
+            .getOrElse(DeltaLog.currentVersion(root)))
+      case None => DeltaStreamOffset(-1L)
+    }
   }
 
   /** Pacing rides the ENGINE's start offset, not a source-side committed

@@ -641,11 +641,11 @@ class SourcesSpec extends SparkTestBase {
     // implement — refuse, never misread
     val vc = authorTable(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["variantType-preview"],"writerFeatures":["variantType-preview"]}}""",
+        """"readerFeatures":["icebergCompatV9"],"writerFeatures":["icebergCompatV9"]}}""",
       "{}")
     val e1 = intercept[UnsupportedOperationException] { DeltaLog.read(spark, vc) }
     assert(e1.getMessage.contains("minReaderVersion=3") &&
-      e1.getMessage.contains("variantType-preview") &&
+      e1.getMessage.contains("icebergCompatV9") &&
       e1.getMessage.contains("columnMapping, deletionVectors, timestampNtz"),
       e1.getMessage)
     // the stream source refuses the same table at schema resolution
@@ -713,7 +713,7 @@ class SourcesSpec extends SparkTestBase {
     // stream schema gate must refuse — a scalar-only fallback would
     // reconstruct {"minReaderVersion":3} featureless and misread
     val dvRoot = authorCheckpointed(
-      org.apache.spark.sql.Row(3, 7, Seq("variantType-preview"), Seq("variantType-preview")),
+      org.apache.spark.sql.Row(3, 7, Seq("icebergCompatV9"), Seq("icebergCompatV9")),
       StructType(Seq(
         StructField("minReaderVersion", IntegerType),
         StructField("minWriterVersion", IntegerType),
@@ -721,7 +721,7 @@ class SourcesSpec extends SparkTestBase {
         StructField("writerFeatures", ArrayType(StringType)))))
     val e1 = intercept[UnsupportedOperationException] { DeltaLog.latestSchema(dvRoot) }
     assert(e1.getMessage.contains("minReaderVersion=3") &&
-      e1.getMessage.contains("variantType-preview"), e1.getMessage)
+      e1.getMessage.contains("icebergCompatV9"), e1.getMessage)
     // mrv=3 whose checkpoint schema carries NO readerFeatures column at
     // all (a lossy foreign checkpoint): the features CANNOT be
     // materialized, so the gate must refuse rather than assume none
@@ -1838,6 +1838,71 @@ class SourcesSpec extends SparkTestBase {
         s"got ${parts.length} partitions")
   }
 
+  test("DeltaStream startingTimestamp: commits at or after the timestamp " +
+      "deliver; an all-older history tails only NEW commits; exclusive " +
+      "with startingVersion") {
+    import graft.sources.DeltaLog
+    val root = Files.createTempDirectory("graft-startts").toString + "/tbl"
+    (0 until 3).foreach { i =>
+      DeltaLog.commitAppend(root,
+        spark.range(i * 10L, i * 10L + 10L).select(col("id").as("k"))
+          .coalesce(1))
+    }
+    // force the commit clock: v0=t1000, v1=t2000, v2=t3000 (seconds)
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    (0 until 3).foreach { v =>
+      assert(logDir.resolve(f"$v%020d.json").toFile
+        .setLastModified((v + 1) * 1000000L))
+    }
+    def drain(opts: Map[String, String], runTag: String): Seq[Long] = {
+      val run = Files.createTempDirectory(s"graft-startts-$runTag").toString
+      var r = spark.readStream
+        .format(classOf[graft.streaming.DeltaStream].getName)
+        .option("path", root)
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load().writeStream.format("parquet")
+        .option("path", s"$run/sink")
+        .option("checkpointLocation", s"$run/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(s"$run/sink")
+        .select(col("k")).collect().map(_.getLong(0)).sorted.toSeq
+    }
+    // at-or-after t2000: v1 and v2 deliver, v0 does not
+    assert(drain(Map("startingTimestamp" -> "1970-01-01T00:33:20Z"), "mid")
+      == (10L until 30L), "commits at or after the timestamp must deliver")
+    // every commit predates the timestamp: NOTHING replays — the stream
+    // tails only commits that land after it starts
+    val run = Files.createTempDirectory("graft-startts-far").toString
+    def startFar() = spark.readStream
+      .format(classOf[graft.streaming.DeltaStream].getName)
+      .option("path", root)
+      .option("startingTimestamp", "2099-01-01T00:00:00Z")
+      .load().writeStream.format("parquet")
+      .option("path", s"$run/sink")
+      .option("checkpointLocation", s"$run/ckpt").start()
+    val qf = startFar()
+    try {
+      qf.processAllAvailable() // pre-start history: nothing available
+      DeltaLog.commitAppend(root,
+        spark.range(100L, 105L).select(col("id").as("k")).coalesce(1)) // v3
+      qf.processAllAvailable() // the live tail delivers the new commit
+    } finally qf.stop()
+    assert(spark.read.parquet(s"$run/sink")
+      .select(col("k")).collect().map(_.getLong(0)).sorted.toSeq ==
+      (100L until 105L),
+      "an all-older history must deliver only post-start commits")
+    // exclusive with startingVersion — refuses at stream start
+    val e = intercept[Exception] {
+      drain(Map("startingTimestamp" -> "2099-01-01T00:00:00Z",
+        "startingVersion" -> "1"), "both")
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("mutually exclusive")),
+      chain(e).mkString(" | "))
+  }
+
   test("timestampNtz reader feature: a feature-listed foreign table batch-reads, " +
       "partition-decodes and STREAMS; the writer declares the feature on NTZ " +
       "schemas; unknown reader features still refuse") {
@@ -2007,6 +2072,66 @@ class SourcesSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getDouble(1),
         r.getAs[java.time.LocalDateTime](2))).toSeq == rows.toSeq,
       "stream must equal batch across the widened schema")
+  }
+
+  test("variantType reader feature: a foreign table's VARIANT column " +
+      "batch-reads with typed extraction; the custom stream reader refuses " +
+      "the leaf loudly instead of passing opaque bytes") {
+    import graft.sources.DeltaLog
+    import org.apache.spark.sql.types._
+    val jm = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = Files.createTempDirectory("graft-variant").toString + "/tbl"
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    val tmp = s"$root/.tmp"
+    spark.range(0, 6).select(col("id").as("k"),
+        expr("parse_json(to_json(named_struct('a', id * 2, 'b', " +
+          "concat('x', cast(id as string)))))").as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(root, "f1.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    val sz = java.nio.file.Paths.get(root, "f1.parquet").toFile.length()
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", VariantType)))
+    java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"), (
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["variantType-preview"],""" +
+        """"writerFeatures":["variantType-preview"]}}""" + "\n" +
+      """{"metaData":{"id":"variant","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jm.writeValueAsString(schema.json)},""" +
+        """"partitionColumns":[],"configuration":{}}}""" + "\n" +
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$sz,""" +
+        """"modificationTime":0,"dataChange":true}}""" + "\n").getBytes("UTF-8"))
+    val out = DeltaLog.read(spark, root)
+    assert(out.schema("v").dataType == VariantType)
+    val got = out.select(col("k"),
+        expr("variant_get(v, '$.a', 'long')").as("a"),
+        expr("variant_get(v, '$.b', 'string')").as("b"))
+      .orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == (0L until 6L).map(i => (i, i * 2, s"x$i")),
+      got.mkString(","))
+    // the stream's parquet-mr reader cannot decode the leaf — loud
+    // refusal, never silent bytes
+    val run = Files.createTempDirectory("graft-variant-run").toString
+    val q = spark.readStream
+      .format(classOf[graft.streaming.DeltaStream].getName)
+      .option("path", root).load()
+      .writeStream.format("parquet")
+      .option("path", s"$run/sink").option("checkpointLocation", s"$run/ckpt")
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("unsupported leaf type")),
+      chain(e).mkString(" | "))
   }
 
   /** Author a v2-spec checkpoint — delegates to the shared
