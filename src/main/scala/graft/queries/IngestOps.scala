@@ -2850,17 +2850,8 @@ object IngestOps {
       val tbl = s"$root/delta"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tbl))
       val jm = new com.fasterxml.jackson.databind.ObjectMapper()
-      def moveIn(df: DataFrame, name: String): Long = {
-        val tmp = s"$tbl/.tmp"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(tbl, name))
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-        java.nio.file.Paths.get(tbl, name).toFile.length()
-      }
+      def moveIn(df: DataFrame, name: String): Long =
+        ReplayFixtures.moveInParquet(df, tbl, name)
       val docs = Tables(spark, dir, "documents")
       val sz1 = moveIn(docs.filter(pmod(col("doc_id"), lit(2)) === 0)
         .select(col("doc_id").cast("int").as("k"),
@@ -2956,19 +2947,12 @@ object IngestOps {
       val tbl = s"$root/delta"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tbl))
       val jm = new com.fasterxml.jackson.databind.ObjectMapper()
-      val tmp = s"$tbl/.tmp"
-      Tables(spark, dir, "documents")
-        .select(col("doc_id"),
-          parse_json(to_json(struct(col("doc_id"), col("lang"),
-            length(col("text")).cast("long").as("tlen")))).as("v"))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(tbl, "f1.parquet"))
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-      val sz = java.nio.file.Paths.get(tbl, "f1.parquet").toFile.length()
+      val sz = ReplayFixtures.moveInParquet(
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"),
+            parse_json(to_json(struct(col("doc_id"), col("lang"),
+              length(col("text")).cast("long").as("tlen")))).as("v")),
+        tbl, "f1.parquet")
       val schema = StructType(Seq(
         StructField("doc_id", LongType, nullable = true),
         StructField("v", VariantType, nullable = true)))

@@ -43,6 +43,28 @@ private[graft] object ReplayFixtures {
   def runRootFor(dir: String, name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_run_${name}_${sfTag(dir)}"
 
+  /** Write `df` as ONE parquet file named `name` directly under `dir`
+    * and return its size — the foreign-table-fixture primitive (a
+    * hand-authored Delta log needs files at exact paths, not a Spark
+    * output directory). One definition instead of a per-fixture copy of
+    * the write-to-temp / find-the-part / move / clean dance.
+    */
+  def moveInParquet(df: org.apache.spark.sql.DataFrame, dir: String,
+      name: String): Long = {
+    val tmp = s"$dir/.tmp-movein"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"no parquet part written under $tmp"))
+    val dest = Paths.get(dir, name)
+    Files.createDirectories(dest.getParent)
+    Files.move(part.toPath, dest)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    dest.toFile.length()
+  }
+
   private def latestMtime(f: java.io.File): Long =
     if (!f.exists()) 0L
     else if (f.isFile) f.lastModified

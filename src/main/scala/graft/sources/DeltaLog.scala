@@ -74,27 +74,47 @@ object DeltaLog {
     if (vs.isEmpty) -1L else vs.max
   }
 
-  /** Lowest version whose commit landed at or after `tsMillis` — the
-    * stream's `startingTimestamp` resolver (delta-spark's semantics:
-    * changes committed at or after the timestamp deliver). Resolution is
-    * by commit-file modification time, the only clock a foreign table is
-    * guaranteed to carry; ONE log listing, no file reads. None when every
-    * commit predates the timestamp (the consumer tails from now) or the
-    * table has no JSON commits. Commit mtimes are non-decreasing on any
-    * sanely-clocked store, so the scan takes the min matching version.
+  /** The stream start OFFSET for `startingTimestamp` = `tsMillis`
+    * (delta-spark's semantics: changes committed at or after the
+    * timestamp deliver): (lowest version whose commit-file mtime is
+    * ≥ tsMillis) − 1, or — when every commit predates the timestamp —
+    * the newest version seen, so the consumer tails only what arrives
+    * next. Resolution is by commit-file modification time, the only
+    * clock a foreign table is guaranteed to carry. Both halves derive
+    * from ONE log listing: a second currentVersion() listing would race
+    * a commit landing in between — its mtime is ≥ ts, yet the fallback
+    * would skip past it forever. Commit mtimes are non-decreasing on any
+    * sanely-clocked store, so the scan takes the min matching version;
+    * a clock wobble over-delivers, never under-delivers.
     */
-  private[graft] def versionAtOrAfterTimestamp(root: String,
-      tsMillis: Long): Option[Long] = {
-    val hits = Fs.listDetailed(logDir(root)).flatMap {
-      case (p, isFile, _, mtime) if isFile && mtime >= tsMillis =>
-        val n = Fs.name(p)
-        if (n.endsWith(".json") && n.length > 5 &&
-            n.dropRight(5).forall(_.isDigit))
-          Some(n.dropRight(5).toLong)
-        else None
-      case _ => None
+  private[graft] def startOffsetForTimestamp(root: String,
+      tsMillis: Long): Long = {
+    val entries = Fs.listDetailed(logDir(root))
+    def jsonVer(n: String): Option[Long] =
+      if (n.endsWith(".json") && n.length > 5 &&
+          n.dropRight(5).forall(_.isDigit))
+        Some(n.dropRight(5).toLong)
+      else None
+    val jsons = entries.collect {
+      case (p, true, _, mtime) => (Fs.name(p), mtime)
     }
-    if (hits.isEmpty) None else Some(hits.min)
+    val hits = jsons.flatMap { case (n, m) =>
+      jsonVer(n).filter(_ => m >= tsMillis)
+    }
+    if (hits.nonEmpty) hits.min - 1L
+    else {
+      // all-older history: tail from the newest version in the SAME
+      // listing — JSON commits plus checkpoint families (a fully
+      // retention-trimmed table's version floor is its checkpoint)
+      val ckVers = entries.flatMap { case (p, _, _, _) =>
+        Fs.name(p) match {
+          case CkptName(v, _, _) => Some(v.toLong)
+          case V2CkptName(v, _, _) => Some(v.toLong)
+          case _ => None
+        }
+      }
+      (jsons.flatMap(j => jsonVer(j._1)) ++ ckVers).foldLeft(-1L)(math.max)
+    }
   }
 
   /** Checkpoint part files per version: single-part

@@ -106,15 +106,27 @@ final class DeltaStreamTable(options: CaseInsensitiveStringMap,
       s"startingVersion must be a version >= 0 or 'latest', got '$s'"))
     // startingTimestamp (delta-spark's option): commits at or after the
     // timestamp deliver; resolved against commit-file mtimes at stream
-    // start. Mutually exclusive with startingVersion.
+    // start. Mutually exclusive with startingVersion. Zone-less forms
+    // ('yyyy-MM-dd [HH:mm:ss[.S]]') resolve in the SPARK SESSION
+    // timezone — the same clock the batch reader's timestamp partition
+    // values use — never the JVM default (a driver in New York and a
+    // driver in UTC must resolve the same option string to the same
+    // boundary).
     val startTs = Option(options.get("startingTimestamp")).map(_.trim)
     require(startV.isEmpty || startTs.isEmpty,
       "startingVersion and startingTimestamp are mutually exclusive")
     val startTsMs = startTs.map { s =>
+      val tz = java.time.ZoneId.of(
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
       val t = scala.util.Try(java.time.Instant.parse(s).toEpochMilli)
-        .orElse(scala.util.Try(java.sql.Timestamp.valueOf(s).getTime))
+        .orElse(scala.util.Try(
+          java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+            .atZone(tz).toInstant.toEpochMilli))
+        .orElse(scala.util.Try(java.time.LocalDate.parse(s)
+          .atStartOfDay(tz).toInstant.toEpochMilli))
       require(t.isSuccess,
-        s"startingTimestamp must be ISO-8601 or 'yyyy-MM-dd HH:mm:ss', got '$s'")
+        s"startingTimestamp must be ISO-8601, 'yyyy-MM-dd HH:mm:ss' or " +
+          s"'yyyy-MM-dd', got '$s'")
       t.get
     }
     new ScanBuilder {
@@ -196,13 +208,11 @@ final class DeltaStreamStream(root: String, schema: StructType,
     case Some(n) => DeltaStreamOffset(n.toLong - 1L)
     case None => startingTimestampMs match {
       case Some(ts) =>
-        // first version whose commit landed at or after ts delivers;
-        // older history is the consumer's declared don't-care. All
-        // commits older → tail only what arrives next.
-        DeltaStreamOffset(
-          DeltaLog.versionAtOrAfterTimestamp(root, ts)
-            .map(_ - 1L)
-            .getOrElse(DeltaLog.currentVersion(root)))
+        // commits at or after ts deliver; older history is the
+        // consumer's declared don't-care. One listing resolves both the
+        // first-hit and the all-older fallback (two would race a commit
+        // landing in between — skipped forever).
+        DeltaStreamOffset(DeltaLog.startOffsetForTimestamp(root, ts))
       case None => DeltaStreamOffset(-1L)
     }
   }

@@ -9,6 +9,14 @@ import graft.sources.{Sinks, Sources}
 
 class SourcesSpec extends SparkTestBase {
 
+  /** Every message down a throwable's cause chain — refusal assertions
+    * on stream failures, which arrive wrapped in engine exceptions.
+    */
+  private def chain(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).toSeq
+
+
   test("csv source: PERMISSIVE mode captures corrupt records as rows") {
     val dir = Files.createTempDirectory("graft-csv")
     Files.write(dir.resolve("d.csv"), "1,aa\n2,bb\nnotanum,cc\n".getBytes)
@@ -1876,7 +1884,7 @@ class SourcesSpec extends SparkTestBase {
     def startFar() = spark.readStream
       .format(classOf[graft.streaming.DeltaStream].getName)
       .option("path", root)
-      .option("startingTimestamp", "2099-01-01T00:00:00Z")
+      .option("startingTimestamp", "2099-01-01") // the bare-date form
       .load().writeStream.format("parquet")
       .option("path", s"$run/sink")
       .option("checkpointLocation", s"$run/ckpt").start()
@@ -1896,9 +1904,6 @@ class SourcesSpec extends SparkTestBase {
       drain(Map("startingTimestamp" -> "2099-01-01T00:00:00Z",
         "startingVersion" -> "1"), "both")
     }
-    def chain(t: Throwable): Seq[String] =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-        .map(x => Option(x.getMessage).getOrElse("")).toSeq
     assert(chain(e).exists(_.contains("mutually exclusive")),
       chain(e).mkString(" | "))
   }
@@ -2001,16 +2006,8 @@ class SourcesSpec extends SparkTestBase {
     val root = Files.createTempDirectory("graft-widen").toString + "/tbl"
     val logDir = java.nio.file.Paths.get(root, "_delta_log")
     java.nio.file.Files.createDirectories(logDir)
-    def moveIn(df: org.apache.spark.sql.DataFrame, name: String): Long = {
-      val tmp = s"$root/.tmp"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(root, name))
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-      java.nio.file.Paths.get(root, name).toFile.length()
-    }
+    def moveIn(df: org.apache.spark.sql.DataFrame, name: String): Long =
+      graft.queries.ReplayFixtures.moveInParquet(df, root, name)
     // narrow file: k INT32, score FLOAT, d DATE
     val sz1 = moveIn(spark.range(0, 5).select(
       col("id").cast("int").as("k"),
@@ -2083,18 +2080,11 @@ class SourcesSpec extends SparkTestBase {
     val root = Files.createTempDirectory("graft-variant").toString + "/tbl"
     val logDir = java.nio.file.Paths.get(root, "_delta_log")
     java.nio.file.Files.createDirectories(logDir)
-    val tmp = s"$root/.tmp"
-    spark.range(0, 6).select(col("id").as("k"),
+    val sz = graft.queries.ReplayFixtures.moveInParquet(
+      spark.range(0, 6).select(col("id").as("k"),
         expr("parse_json(to_json(named_struct('a', id * 2, 'b', " +
-          "concat('x', cast(id as string)))))").as("v"))
-      .coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .find(f => f.getName.startsWith("part-") &&
-        f.getName.endsWith(".parquet")).get
-    java.nio.file.Files.move(part.toPath,
-      java.nio.file.Paths.get(root, "f1.parquet"))
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-    val sz = java.nio.file.Paths.get(root, "f1.parquet").toFile.length()
+          "concat('x', cast(id as string)))))").as("v")),
+      root, "f1.parquet")
     val schema = StructType(Seq(StructField("k", LongType),
       StructField("v", VariantType)))
     java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"), (
@@ -2127,9 +2117,6 @@ class SourcesSpec extends SparkTestBase {
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       try q.processAllAvailable() finally q.stop()
     }
-    def chain(t: Throwable): Seq[String] =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-        .map(x => Option(x.getMessage).getOrElse("")).toSeq
     assert(chain(e).exists(_.contains("unsupported leaf type")),
       chain(e).mkString(" | "))
   }
