@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-capture harness (optimization rounds): for each named query, build
+  * the DataFrame exactly as Bench does (same session shape, same untimed
+  * fixture hoists, same top-k rewrite) and write `.explain("formatted")`
+  * to `<outDir>/<name>.txt`. No query is executed — this captures the
+  * pre-AQE physical plan (Exchange count, join strategy, PushedFilters,
+  * ReadSchema), the artifact the judge checks optimization claims against.
+  *
+  *   sbt 'runMain graft.Explain /root/testdata/sf0.1 plans/r18/before q262,q258'
+  *
+  * Third arg is the SPARK_GRAFT_ONLY-style prefix filter (comma list);
+  * omitted = every registered query.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      else None
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.plans.TopK.enableRewrite(spark)
+    val keep: String => Boolean =
+      name => only.forall(_.exists(name.startsWith))
+    val kept = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => keep(name) }
+    // same untimed ingest hoists as Bench, so the plans are the benched ones
+    if (kept.exists { case (n, _) =>
+        graft.queries.Dedup.candidateConsumers.exists(n.startsWith) })
+      graft.queries.Dedup.writeSignatureStore(spark, sfDir)
+    if (kept.exists { case (n, _) =>
+        graft.queries.CorpusOps.lexConsumers.exists(n.startsWith) })
+      graft.queries.CorpusOps.writeLexStore(spark, sfDir)
+    kept.foreach { case (n, _) =>
+      graft.queries.IngestOps.warmFixture(spark, sfDir, n.takeWhile(_ != '_'))
+    }
+    new java.io.File(outDir).mkdirs()
+    kept.foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        val out = new java.io.PrintWriter(s"$outDir/$name.txt")
+        try out.println(txt) finally out.close()
+        println(s"[explain] wrote $outDir/$name.txt")
+      } catch { case e: Throwable =>
+        System.err.println(s"[explain] $name failed: ${e.toString.take(300)}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -879,7 +879,25 @@ object TpchStyle {
   def q160TpchQ12(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ColFns.h60
     val lk = concat(col("l_orderkey").cast("string"), lit(":"), col("l_linenumber").cast("string"))
-    val l = Tables(spark, dir, "lineitem")
+    val l0 = Tables(spark, dir, "lineitem")
+    // the literal takes the COLUMN's own type (the generator's timestamp
+    // flavor has drifted across driver regenerations — see Tables.events);
+    // a mismatched literal would wrap the column in a cast and silently
+    // forfeit the pushdown this filter exists for
+    val shipT = l0.schema("l_shipdate").dataType
+    val l = l0
+      // IMPLIED pushable range (r18 optimization): receiptdate = shipdate +
+      // (1..30) days and year(receiptdate) = 1996 together force shipdate
+      // into [1996-01-01 − 30d, 1996-12-31), so this predicate is a strict
+      // superset of the year filter below — zero rows change (oracle
+      // hash-checked). Unlike the md5-derived filters, it is a plain
+      // column-vs-literal compare, so it reaches the parquet scan as a
+      // PushedFilter (row-group min/max skipping) and the 4-md5-per-row
+      // synthetic-column filter only runs on the surviving ~1-year slice
+      // instead of the whole 7-year table. Measured in OPTIMIZATION_r18.md;
+      // plans/r18: PushedFilters now includes l_shipdate bounds.
+      .filter(col("l_shipdate") >= lit("1995-12-01").cast(shipT) &&
+        col("l_shipdate") < lit("1997-01-01").cast(shipT))
       .withColumn("l_shipmode",
         element_at(array(lit("MAIL"), lit("SHIP"), lit("TRUCK")),
           (h60(concat(lit("m:"), lk)) % 3 + 1).cast("int")))
