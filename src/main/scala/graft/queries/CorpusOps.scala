@@ -1996,18 +1996,19 @@ object CorpusOps {
     */
   private def proximityCore(positions: DataFrame, qt: DataFrame,
       w: Int): DataFrame = {
-    // Both sides of the banded self-join are THIS frame, but the two
+    // Both sides of the banded self-join are THIS frame; the two
     // references are NOT identical subtrees (the left adds the ×3 band
-    // explode), so AQE's runtime exchange reuse — which already dedupes
-    // the identical fleet subtrees elsewhere in this file — cannot
-    // collapse them, and each side re-ran the store read + positions
-    // explode + query fanout (measured r18: q260 4.2 s → 3.0 s with the
-    // one materialization). Sized by the query terms' positions, never
-    // the corpus; the bench's cold sweep drops it between repeats.
+    // explode), so AQE's runtime exchange reuse cannot collapse them and
+    // each side recomputes the store read + positions explode + fanout.
+    // A MEMORY_AND_DISK persist here was MEASURED BOTH WAYS in r18 and
+    // rejected: sf0.1 bench 4.2 → 3.4 s, but the 100× campaign's
+    // steady-state wall rose ~16 % (176 → 204 s; materializing the
+    // exploded positions costs more than re-running the map-only explode
+    // once the frame is big) — a local-only win that regresses at scale.
+    // The recompute is the scale-correct trade.
     val withQ = positions.join(broadcast(qt), Seq("term"))
       .select(col("query_id"), col("doc_id"), col("term"),
         col("pos").cast("long").as("pos"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val right = withQ.select(col("query_id"), col("doc_id"),
       col("term").as("term_b"), col("pos").as("pb"),
       expr(s"pos div $w").as("band"))

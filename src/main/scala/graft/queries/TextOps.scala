@@ -96,7 +96,9 @@ object TextOps {
     * (heuristic, not ANSI-expressible compactly) — rows-only check.
     */
   def q33LangId(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir, "documents")
+    // fanOut: 20+ rlike probes per row over the single-file corpus
+    // otherwise run in one task (guarded no-op on a split corpus)
+    val d = graft.Tables.fanOut(spark, Tables(spark, dir, "documents"))
     val t = normText(col("text"))
     def hits(words: Seq[String]): Column =
       words.map(w => when(t.rlike(s"\\b$w\\b"), 1).otherwise(0)).reduce(_ + _)
