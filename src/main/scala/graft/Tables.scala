@@ -36,22 +36,6 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir) else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Fan `df` out to the session's full parallelism when its planned scan
-    * has FEWER partitions than cores — the guide-§2.5 "one unsplittable
-    * input file" fix. The driver-generated corpus is one single-row-group
-    * parquet file, so every CPU-heavy derivation over it (tokenize,
-    * shingling, hashing) otherwise runs as ONE task while 31 cores idle
-    * (r18 event-log: q211's shingle build = 5 concurrent single-task
-    * stages of 10-12 s each). The exchange moves only the raw input rows
-    * (sub-MB here) and is GUARDED: a corpus already split across >= cores
-    * partitions — any real 100 TB table — passes through untouched, so
-    * the scan stays a pure map stage at scale.
-    */
-  private[graft] def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
-    val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
-
   /** Normalize `events.ts` to a microsecond TimestampType regardless of the
     * generator's on-disk flavor, so every downstream query sees one shape:
     *   - TIMESTAMP(NANOS): Spark 4 rejects it outright (PARQUET_TYPE_ILLEGAL)

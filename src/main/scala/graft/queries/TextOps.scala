@@ -96,9 +96,10 @@ object TextOps {
     * (heuristic, not ANSI-expressible compactly) — rows-only check.
     */
   def q33LangId(spark: SparkSession, dir: String): DataFrame = {
-    // fanOut: 20+ rlike probes per row over the single-file corpus
-    // otherwise run in one task (guarded no-op on a split corpus)
-    val d = graft.Tables.fanOut(spark, Tables(spark, dir, "documents"))
+    // rebalance: 20+ rlike probes per row are fan-out work inside the
+    // scan stage — on the single-row-group corpus file they otherwise run
+    // in ONE task (r18: 2.2 s → 0.6 s; exact no-op on a many-split table)
+    val d = graft.operators.Fanout.rebalance(Tables(spark, dir, "documents"))
     val t = normText(col("text"))
     def hits(words: Seq[String]): Column =
       words.map(w => when(t.rlike(s"\\b$w\\b"), 1).otherwise(0)).reduce(_ + _)
