@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Send the forked JVM's stdout straight through, UNPREFIXED: sbt's default
+// LoggedOutput wraps every forked stdout line in "[info] ", which breaks any
+// consumer that parses a program's own one-line output (the bench prints ONE
+// JSON result line; a "[info] "-prefixed line is not valid JSON). Belt and
+// braces with Bench also mirroring the line to BENCH_LINE.json.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

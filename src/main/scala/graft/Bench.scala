@@ -73,23 +73,10 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // reclaim shuffle files/broadcasts continuously (default 30min never
-      // fires inside a suite run) — see the harness-drift note above
-      .config("spark.cleaner.periodicGC.interval", "30s")
-      .getOrCreate()
-    // ERROR, not WARN: any WARN line landing between queries eats into the
-    // driver's ~2000-char output tail and can push the result line out
-    spark.sparkContext.setLogLevel("ERROR")
-    // the native top-k rewrite is part of the engine, not a per-query
-    // opt-in: Verify proves it correct on every query it fires on, so the
-    // bench times the same plans (PlanSpec gates that it fires)
-    graft.plans.TopK.enableRewrite(spark)
+    // session shape (master, shuffle partitions, confs, top-k rewrite) is
+    // shared with Explain via HarnessSession so captured plans cannot
+    // drift from benched plans
+    val spark = HarnessSession.build()
     // warm up the session: scheduler, codegen compiler (incl. the
     // regex/explode-heavy text pipeline shapes), parquet footer reads
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -270,6 +257,15 @@ object Bench {
       repPacked.mkString(",") +
       s"""},"omitted_repeats":${repEntries.size - repPacked.size}}"""
     require(line.length < budget, s"bench line ${line.length} chars breaches tail budget")
+    // Mirror the EXACT stdout line, bare, to a known file: the driver's
+    // parser has recorded parsed:null every round because sbt's logger
+    // prefixed the line with "[info] " (fixed via outputStrategy in
+    // build.sbt) and it was not the final stdout line ("[success] Total
+    // time" trails it). The file is the recovery path that cannot be
+    // damaged by any log framing. Additions only — what is timed and what
+    // is printed are unchanged.
+    val lineOut = new java.io.PrintWriter("BENCH_LINE.json")
+    try lineOut.println(line) finally lineOut.close()
     println(line)
     spark.stop()
   }

@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Plan-capture harness (optimization rounds): for each named query, build
   * the DataFrame exactly as Bench does (same session shape, same untimed
   * fixture hoists, same top-k rewrite) and write `.explain("formatted")`
@@ -21,15 +19,10 @@ object Explain {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet)
       else None
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    graft.plans.TopK.enableRewrite(spark)
+    // the ONE session builder Bench uses — same confs, same cpus default —
+    // so the captured plans are the benched plans (r18 ADVICE: the two
+    // builders had drifted on the SPARK_GRAFT_CPUS default, 32 vs 4)
+    val spark = HarnessSession.build()
     val keep: String => Boolean =
       name => only.forall(_.exists(name.startsWith))
     val kept = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -45,6 +38,10 @@ object Explain {
       graft.queries.IngestOps.warmFixture(spark, sfDir, n.takeWhile(_ != '_'))
     }
     new java.io.File(outDir).mkdirs()
+    // NonFatal only (an OOM must crash, not masquerade as a skipped query),
+    // and a nonzero exit when ANY query fails — a run where every explain
+    // failed must not look like success to CI/scripting (r18 ADVICE)
+    var failures = 0
     kept.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -53,10 +50,15 @@ object Explain {
         val out = new java.io.PrintWriter(s"$outDir/$name.txt")
         try out.println(txt) finally out.close()
         println(s"[explain] wrote $outDir/$name.txt")
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
+        failures += 1
         System.err.println(s"[explain] $name failed: ${e.toString.take(300)}")
       }
     }
     spark.stop()
+    if (failures > 0) {
+      System.err.println(s"[explain] $failures quer(ies) failed to plan")
+      sys.exit(1)
+    }
   }
 }

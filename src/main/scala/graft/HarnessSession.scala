@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE session builder Bench and Explain share, so the captured plans
+  * are produced under exactly the session shape that is benched (same
+  * master/core count, same shuffle partitions, same confs, same top-k
+  * rewrite). Round 18's Explain hardcoded its own confs and a different
+  * SPARK_GRAFT_CPUS default ("32" vs Bench's "4"), which let plan captures
+  * silently diverge from benched plans whenever the env var was unset —
+  * deriving both from here makes that drift impossible.
+  */
+object HarnessSession {
+
+  /** Core count from the driver contract's env var; default matches Bench's
+    * historical default so unset-env behavior is unchanged for the bench.
+    */
+  def cpus(): String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def build(): SparkSession = {
+    val n = cpus()
+    val spark = SparkSession.builder()
+      .master(s"local[$n]")
+      .config("spark.sql.shuffle.partitions", n)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // reclaim shuffle files/broadcasts continuously (default 30min never
+      // fires inside a suite run) — see the harness-drift note in Bench
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .getOrCreate()
+    // ERROR, not WARN: any WARN line landing between queries eats into the
+    // driver's ~2000-char output tail and can push the result line out
+    spark.sparkContext.setLogLevel("ERROR")
+    // the native top-k rewrite is part of the engine, not a per-query
+    // opt-in: Verify proves it correct on every query it fires on, so both
+    // harnesses see the same plans (PlanSpec gates that it fires)
+    graft.plans.TopK.enableRewrite(spark)
+    spark
+  }
+}
