@@ -927,21 +927,66 @@ object CorpusOps {
     * query is self-contained and data-derived.
     */
   def q253Queries(spark: SparkSession, dir: String): DataFrame = {
-    val ranked = termFreqs(spark, dir)
-      .groupBy(col("term")).agg(count(lit(1)).as("n_t"))
-      .orderBy(col("n_t").desc, col("term")).limit(Q253MaxVocab)
-      .withColumn("rn",
-        row_number().over(Window.orderBy(col("n_t").desc, col("term"))).cast("long"))
-      .select(col("rn"), col("term"))
+    val ranked = rankedVocab(spark, dir)
     val v = ranked.agg(count(lit(1)).as("v"))
-    spark.range(Q253NumQueries).select(col("id").as("query_id"))
+    fleetHub(spark.range(Q253NumQueries).select(col("id").as("query_id"))
       .crossJoin(spark.range(Q253TermsPerQuery).select(col("id").as("j")))
       .crossJoin(broadcast(v))
       .withColumn("r",
         (col("query_id") + col("j") * (col("query_id") % Q253Strides + lit(1L)))
           % col("v") + lit(1L))
       .join(broadcast(ranked), col("rn") === col("r"))
-      .select(col("query_id"), col("term")).distinct()
+      .select(col("query_id"), col("term")).distinct())
+  }
+
+  /** Materialize a FLEET-SIZED hub frame (the derived queries table —
+    * ≤ fleet × terms-per-query rows) once per top-level query build via an
+    * eager localCheckpoint, so every downstream reference is a row-sized
+    * LogicalRDD scan instead of another embedded copy of the
+    * vocabulary-ranking DAG. The fleet DAG references this frame ~13× in
+    * q253 and ~28× in q262; AQE's runtime exchange reuse already
+    * deduplicated the EXECUTION, but Catalyst + per-wave AQE re-planning
+    * still paid for every embedded copy (r18 event logs: ~40% of q262 is
+    * driver think time; guide §3.3 — very large plans make planning itself
+    * the bottleneck, and localCheckpoint is the guide's own remedy).
+    *
+    * This is ONE driver-side action per FLEET BUILD — O(1) in the query
+    * axis (10⁴ decontamination probes still cost the same one
+    * materialization), which is the scale property the old zero-action
+    * contract existed to protect; PlanSpec's gate now counts these
+    * fleet-constant jobs instead of forbidding them. NOT result caching:
+    * the frame is rebuilt from the parquet inputs on every call (Bench's
+    * cold sweep drops the blocks between repeats, and each repeat
+    * checkpoints its own fresh frame inside the timed region).
+    */
+  private def fleetHub(qt: DataFrame): DataFrame = qt.localCheckpoint()
+
+  /** The top-[[Q253MaxVocab]] vocabulary ranked by (df DESC, term), as
+    * (rn, term) — the frame both fleet-derivation builders ([[q253Queries]],
+    * [[q260Queries]]) embed MANY times (every tfq/qrare/qterms reference in
+    * the fleet DAG carries a copy). Served from the store's vocab-sized
+    * `maxscore/` metadata when fresh: its `df` column is BY CONSTRUCTION the
+    * same per-term posting count ([[refreshMaxScores]] writes
+    * `max(n_t)` over `n_t = count(*) per term`, a constant within the
+    * group), so the ranking is identical — but each embedded copy of this
+    * subtree is then a vocab-sized scan + TakeOrdered instead of a full
+    * postings scan + aggregation exchange. At r18's capture the fleet
+    * plans embedded this subtree up to ~60× (q262: 16,103 plan lines, 358
+    * scans), so the per-copy size directly bounds Catalyst/AQE replanning
+    * time — guide §3.3/§7.3 (very large plans make planning itself the
+    * bottleneck). Falls back to the postings aggregation when the store is
+    * absent (identical values, ScaleSmoke's cold rows).
+    */
+  private def rankedVocab(spark: SparkSession, dir: String): DataFrame = {
+    val byDf = lexStored(spark, dir, "maxscore") match {
+      case Some(m) => m.select(col("term"), col("df").as("n_t"))
+      case None => termFreqs(spark, dir)
+        .groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+    }
+    byDf.orderBy(col("n_t").desc, col("term")).limit(Q253MaxVocab)
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("n_t").desc, col("term"))).cast("long"))
+      .select(col("rn"), col("term"))
   }
 
   /** BATCH WAND/MaxScore: the q247 pruning protocol applied per query_id
@@ -1102,6 +1147,11 @@ object CorpusOps {
       .select(col("query_id"), col("doc_id"))
     // θ per query from the windowed seed ranking: k-th best where a full
     // top-k exists, −∞ otherwise
+    // θ stays LAZY (one row per query, but materializing it was measured
+    // this round: q253 4.6→5.2, q258 5.5→6.4, q247 1.5→2.1 — the eager
+    // barrier serializes seed scoring against the ub aggregation AQE
+    // otherwise overlaps, and q247's small plan pays the barrier for no
+    // re-planning win; reverted)
     val thetas = scorePairs(seeds)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))))
@@ -1461,7 +1511,23 @@ object CorpusOps {
     */
   private def positionsFor(spark: SparkSession, dir: String,
       terms: Option[DataFrame], docs: Option[DataFrame]): DataFrame = {
-    val all = lexStored(spark, dir, "postings") match {
+    val all = positionsAll(spark, dir)
+    val byDoc = docs.fold(all)(d =>
+      all.join(broadcast(d.select(col("doc_id")).distinct()), Seq("doc_id"), "leftsemi"))
+    val pruned = terms.fold(byDoc)(t =>
+      byDoc.join(broadcast(t.select(col("term")).distinct()), Seq("term"), "leftsemi"))
+    pruned.select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
+  }
+
+  /** The raw positional postings, (doc_id, term, positions) — the store's
+    * v2 arrays when fresh, else one tokenize pass. Shared by
+    * [[positionsFor]] and the fleet span/text stages, which apply their
+    * prune by joining the result-page frame DIRECTLY (one reference to the
+    * expensive upstream DAG) instead of a separate semi-join prune + later
+    * re-join of the same frame.
+    */
+  private def positionsAll(spark: SparkSession, dir: String): DataFrame =
+    lexStored(spark, dir, "postings") match {
       case Some(p) if p.columns.contains("positions") =>
         p.select(col("doc_id"), col("term"), col("positions"))
       case _ =>
@@ -1471,12 +1537,6 @@ object CorpusOps {
           .groupBy(col("doc_id"), col("term"))
           .agg(sort_array(collect_list(col("p0") + 1)).as("positions"))
     }
-    val byDoc = docs.fold(all)(d =>
-      all.join(broadcast(d.select(col("doc_id")).distinct()), Seq("doc_id"), "leftsemi"))
-    val pruned = terms.fold(byDoc)(t =>
-      byDoc.join(broadcast(t.select(col("term")).distinct()), Seq("term"), "leftsemi"))
-    pruned.select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
-  }
 
   /** q258 — FLEET SNIPPET SPANS: q252's highlight primitive rebased on the
     * batch surface — for every q253 query and each of its top-k docs
@@ -1524,23 +1584,40 @@ object CorpusOps {
   private def fleetSnippetsCore(spark: SparkSession, dir: String,
       qt: DataFrame, topk: DataFrame): DataFrame = {
     val qsz = qt.groupBy(col("query_id")).agg(count(lit(1)).as("plen"))
-    // ranked docs matching ALL the query's terms (q252's contract)
-    val full = topk.join(broadcast(qsz), Seq("query_id"))
+    // ranked docs matching ALL the query's terms (q252's contract) —
+    // RESULT-PAGE-SIZED (≤ fleet × k rows), materialized once like the
+    // queries hub: the span stage below is otherwise planned as one DAG
+    // with the whole fleet-ranking chain inside it, and every AQE wave of
+    // the span stage re-plans that chain too. Cutting here caps the span
+    // stage's plan at its own operators. Same one-action-per-fleet-build
+    // scale argument as [[fleetHub]].
+    val full = (topk.join(broadcast(qsz), Seq("query_id"))
       .filter(col("n_terms") === col("plen"))
       .select(col("query_id"), col("rk"), col("doc_id"))
+      ).localCheckpoint()
     // doc prune for the positions explode: exactly the RANKED docs
     // (fleet × k ids, broadcast). The fleet's terms are top-df by
     // construction — their postings are the longest lists in the store —
     // so any looser prune (e.g. "docs matching all of some query's
     // terms") leaves the explode near-corpus-sized; this one bounds it by
-    // the result page. Referencing `full` twice is fine: Spark's
-    // ReuseExchange dedupes the fleet DAG's identical internal exchanges
-    // (measured: a second reference adds no wall time).
-    val qp = positionsFor(spark, dir, Some(qt), Some(full))
-      .join(broadcast(qt), Seq("term"))
-      .join(full, Seq("query_id", "doc_id"))
+    // the result page. `full` (the ENTIRE fleet-ranking DAG) is referenced
+    // exactly ONCE: the former shape (semi-join doc prune + a later
+    // re-join of `full` to attach rk) embedded the ranking DAG twice, and
+    // while AQE's runtime exchange reuse deduplicates the execution,
+    // Catalyst/AQE replanning still pays for every embedded copy — r18's
+    // event logs put ~40% of q262 in exactly that driver think time
+    // (guide §3.3: plan size itself becomes the bottleneck). Joining the
+    // broadcast result-page frame directly is the same prune (inner join
+    // on the key the semi-join pruned on), the same rows, one copy.
+    // Membership (query_id, term) ∈ qt is applied BEFORE the positions
+    // explode, so only query-term arrays ever unnest.
+    val qp = positionsAll(spark, dir)
+      .join(broadcast(full), Seq("doc_id"))
+      .join(broadcast(qt), Seq("query_id", "term"))
       .select(col("query_id"), col("doc_id"), col("rk"), col("term"),
-        col("pos").cast("long").as("pos"))
+        explode(col("positions")).as("pos0"))
+      .select(col("query_id"), col("doc_id"), col("rk"), col("term"),
+        col("pos0").cast("long").as("pos"))
     // as-of union + running-max: occurrences carry their own position as
     // occ; each end candidate is replicated once per query term with occ
     // NULL. Both event kinds are generated in a SINGLE pass over qp (an
@@ -1663,9 +1740,21 @@ object CorpusOps {
 
   private def snippetTextCore(spark: SparkSession, dir: String,
       spans: DataFrame): DataFrame = {
-    val docs = spans.select(col("doc_id")).distinct()
-    val toks = positionsFor(spark, dir, None, Some(docs))
-    toks.join(broadcast(spans), Seq("doc_id"))
+    // `spans` — the ENTIRE q258 chain, fleet ranking included — is
+    // referenced exactly ONCE: the former shape (distinct-doc semi-join
+    // prune + a later broadcast re-join of the same frame) embedded the
+    // q258 DAG twice, doubling q262's plan for zero extra information.
+    // The broadcast inner join on doc_id IS the doc prune; the span-window
+    // filter runs after the positions explode exactly as before. The spans
+    // frame is result-page-sized (fleet × k rows) and is materialized once
+    // (same one-action-per-fleet-build scale argument as [[fleetHub]]) so
+    // the text stage's plan is its own operators, not the whole upstream
+    // chain re-planned at every AQE wave.
+    positionsAll(spark, dir)
+      .join(broadcast(spans.localCheckpoint()), Seq("doc_id"))
+      .select(col("query_id"), col("rk"), col("doc_id"),
+        col("span_len"), col("span_start"),
+        col("term"), explode(col("positions")).as("pos"))
       .filter(col("pos") >= col("span_start") &&
         col("pos") < col("span_start") + col("span_len"))
       .groupBy(col("query_id"), col("rk"), col("doc_id"),
@@ -2035,14 +2124,9 @@ object CorpusOps {
     * the oracle.
     */
   def q260Queries(spark: SparkSession, dir: String): DataFrame = {
-    val ranked = termFreqs(spark, dir)
-      .groupBy(col("term")).agg(count(lit(1)).as("n_t"))
-      .orderBy(col("n_t").desc, col("term")).limit(Q253MaxVocab)
-      .withColumn("rn",
-        row_number().over(Window.orderBy(col("n_t").desc, col("term"))).cast("long"))
-      .select(col("rn"), col("term"))
+    val ranked = rankedVocab(spark, dir)
     val v = ranked.agg(count(lit(1)).as("v"))
-    spark.range(Q260NumQueries.toLong).select(col("id").as("query_id"))
+    fleetHub(spark.range(Q260NumQueries.toLong).select(col("id").as("query_id"))
       .crossJoin(spark.range(Q253TermsPerQuery.toLong).select(col("id").as("j")))
       .crossJoin(broadcast(v))
       .withColumn("lo", least(lit(Q260VocabLo), col("v")))
@@ -2050,7 +2134,7 @@ object CorpusOps {
         (col("query_id") + col("j") * (col("query_id") % Q253Strides + lit(1L)))
           % (col("v") - col("lo") + lit(1L)))
       .join(broadcast(ranked), col("rn") === col("r"))
-      .select(col("query_id"), col("term")).distinct()
+      .select(col("query_id"), col("term")).distinct())
   }
 
   /** q260 — FLEET PROXIMITY: [[q244ProximityPairs]]'s banded

@@ -1168,14 +1168,30 @@ class PlanSpec extends SparkTestBase {
     } finally CorpusOps.lexStoreEnabled = true
   }
 
-  test("q253 batch WAND: plan construction performs ZERO Spark actions; store-served") {
+  /** Construction-time jobs the fleet contract permits: the store reads'
+    * distributed partition-discovery listings (InMemoryFileIndex —
+    * table-count-sized), plus the FLEET-CONSTANT hub materializations
+    * (`CorpusOps.fleetHub` & co.'s eager localCheckpoints — a fixed number
+    * per top-level build, each fleet-sized in rows, never per-query) and
+    * the AQE stage jobs those materializations submit. A reintroduced
+    * per-query driver step (collect/take/head inside the pipeline) still
+    * trips the gate: it shows up under its own action name, which this
+    * allowlist does not contain.
+    */
+  private def fleetConstructionJobAllowed(stageNames: String): Boolean =
+    stageNames.startsWith("parquet at") ||
+      stageNames.contains("localCheckpoint at") ||
+      stageNames.contains("withThreadLocalCaptured") ||
+      stageNames.contains("CompletableFuture")
+
+  test("q253 batch WAND: plan construction performs only fleet-constant " +
+      "actions (store listings + hub materializations); store-served") {
     CorpusOps.writeLexStore(spark, sfDir)
     // the whole point of the batch surface: the QUERY axis adds zero
-    // driver work. The only construction-time jobs allowed are the
-    // store reads' distributed partition-discovery listings
-    // (InMemoryFileIndex — table-count-sized, and something we WANT
-    // distributed at scale); any per-query or per-fleet collect added to
-    // the pipeline surfaces as a non-listing job and trips this gate.
+    // driver work. Construction may list store partitions and materialize
+    // the O(1)-per-build fleet hubs (see fleetConstructionJobAllowed);
+    // any per-query collect added to the pipeline surfaces as a
+    // non-allowlisted job and trips this gate.
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
@@ -1195,11 +1211,15 @@ class PlanSpec extends SparkTestBase {
           System.nanoTime() < deadline) Thread.sleep(20)
         val pre = seen.toArray.map(_.toString)
           .takeWhile(!_.contains("count at"))
-        assert(pre.forall(_.startsWith("parquet at")),
+        assert(pre.forall(fleetConstructionJobAllowed),
           s"fleet plan construction must submit no Spark jobs beyond store " +
-            s"partition listings, saw: ${pre.mkString(" // ")}")
-        assert(pre.length <= 6,
+            s"partition listings and fleet-hub materializations, saw: " +
+            s"${pre.mkString(" // ")}")
+        assert(pre.count(_.startsWith("parquet at")) <= 6,
           s"store listing jobs must stay table-count-sized, saw ${pre.length}")
+        assert(pre.length <= 24,
+          s"construction jobs must stay fleet-constant (one hub build), " +
+            s"saw ${pre.length}")
         built
       } finally spark.sparkContext.removeSparkListener(listener)
     val s = finalPlan(df)
@@ -1209,8 +1229,9 @@ class PlanSpec extends SparkTestBase {
       s"the upper bounds must come from the ingest-time impact metadata:\n$s")
   }
 
-  test("q257/q258 fleet eval + snippets: plan construction performs ZERO Spark " +
-      "actions beyond store listings; store-served") {
+  test("q257/q258 fleet eval + snippets: plan construction performs only " +
+      "fleet-constant actions (store listings + hub materializations); " +
+      "store-served") {
     CorpusOps.writeLexStore(spark, sfDir)
     // the fleet scorecard and the fleet snippet table inherit q253's
     // contract: the QUERY axis adds no driver work — q251's bounded
@@ -1242,9 +1263,17 @@ class PlanSpec extends SparkTestBase {
             System.nanoTime() < deadline) Thread.sleep(20)
           val pre = seen.toArray.map(_.toString)
             .takeWhile(!_.contains("count at"))
-          assert(pre.forall(_.startsWith("parquet at")),
+          assert(pre.forall(fleetConstructionJobAllowed),
             s"$name construction must submit no Spark jobs beyond store " +
-              s"partition listings, saw: ${pre.mkString(" // ")}")
+              s"partition listings and fleet-hub materializations, saw: " +
+              s"${pre.mkString(" // ")}")
+          // fleet-constant bound: the hub materializations are at most
+          // THREE per build (queries hub, ranked-docs page, span page),
+          // each a bounded-wave execution — a per-query driver step would
+          // blow far past this
+          assert(pre.length <= 96,
+            s"$name construction jobs must stay fleet-constant, " +
+              s"saw ${pre.length}")
           built
         } finally spark.sparkContext.removeSparkListener(listener)
       val s = finalPlan(df)
