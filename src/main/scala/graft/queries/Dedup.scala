@@ -1663,9 +1663,18 @@ object Dedup {
       .withColumn("rn", row_number().over(wOrd))
       .filter(col("rn") <= col("sz") - expr(s"($Q211ContainTenths * sz + 9) div 10") + 1)
       .select(col("doc_id").as("id_a"), col("token"), col("sz").as("sz_a"))
+    // SIZE FILTER ahead of the exploded verify (guide §3 — reduce the big
+    // side before shuffling it): shared ≤ |Sb|, so 10·shared ≥ 8·|Sa|
+    // requires 10·|Sb| ≥ 8·|Sa| — a candidate with a too-small b can never
+    // verify. `sz` already rides on every shingle row, so the bound costs
+    // one comparison per candidate row and prunes BEFORE the distinct
+    // exchange and the Σ sz_a verification join. Values unchanged (the
+    // dropped pairs fail the final filter identically — oracle re-checked).
     val cand = pref
-      .join(sh.select(col("doc_id").as("id_b"), col("token")), "token")
-      .filter(col("id_a") =!= col("id_b"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sz").as("sz_b"),
+        col("token")), "token")
+      .filter(col("id_a") =!= col("id_b") &&
+        lit(10) * col("sz_b") >= lit(Q211ContainTenths) * col("sz_a"))
       .select(col("id_a"), col("id_b"), col("sz_a"))
       .distinct()
     // verification counts shared shingles per candidate via the EXPLODED
