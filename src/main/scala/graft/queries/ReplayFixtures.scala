@@ -139,15 +139,29 @@ private[graft] object ReplayFixtures {
     * 100 TB feed's billions of keys, down for a replay), not a global.
     * Isolated per query so concurrently-running suites on the shared
     * session never see the override.
+    *
+    * Default = 2, measured this round over the replay block
+    * (q174/q240/q112/q208/q206/q200/q140/q165, sf0.1, 32 cores, scoped
+    * medians): 8 partitions → 30.5 s, 4 → 26.3, 2 → 25.4, 1 → 26.2 —
+    * per-trigger store-commit overhead dominates down to 2, below which
+    * the lost cross-store parallelism wins. State partitioning never
+    * changes results (hash layout only); every replay oracle re-verified.
     */
   def replaySession(spark: org.apache.spark.sql.SparkSession,
-      statePartitions: Int = 8): org.apache.spark.sql.SparkSession = {
+      statePartitions: Int = 2): org.apache.spark.sql.SparkSession = {
     val s = spark.newSession()
     spark.conf.getAll.foreach { case (k, v) =>
       try s.conf.set(k, v)
       catch { case _: org.apache.spark.sql.AnalysisException => } // static conf
     }
     s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // The state-store PROVIDER stays the HDFS-backed default here: switching
+    // every replay to RocksDB was measured this round (sf0.1, 32 cores,
+    // scoped medians) and REGRESSED the block 25.4 → 28.9 s — worst on the
+    // stream-stream join (q174 4.1 → 6.1 s), whose four stores per
+    // partition each pay RocksDB instance setup per trigger for state that
+    // fits in a few KB. The transformWithState queries (q206/q208) keep
+    // their per-query RocksDB override — the v2 API requires it.
     s
   }
 }
