@@ -27,6 +27,17 @@ object HarnessSession {
       // reclaim shuffle files/broadcasts continuously (default 30min never
       // fires inside a suite run) — see the harness-drift note in Bench
       .config("spark.cleaner.periodicGC.interval", "30s")
+      // AQE partition coalescing stays at its default parallelism-first
+      // behavior. The r19 adjudication of the r18 "8 cores beats 32 at
+      // sf0.1" inversion A/B'ed parallelismFirst=false (coalesce every
+      // below-advisory shuffle to advisory size — 1 partition at sf0.1)
+      // over a 39-query mixed scope, back-to-back: 62.7 s → 64.2 s.
+      // Fixed-wave queries improved slightly (q27 2.1→1.6, q164 3.7→2.7)
+      // but compute-dense small-data queries lost real parallelism
+      // (q74 percentiles 1.7→3.8, q19 2.6→3.6, q158 1.9→3.0): the
+      // inversion is per-stage scheduling overhead, not partition count,
+      // and trading away in-stage parallelism costs more than the
+      // scheduling it saves. Committed as a negative result.
       .getOrCreate()
     // ERROR, not WARN: any WARN line landing between queries eats into the
     // driver's ~2000-char output tail and can push the result line out

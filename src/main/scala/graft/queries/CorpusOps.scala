@@ -498,12 +498,26 @@ object CorpusOps {
     else None
   }
 
+  /** The corpus (doc_id, text) scan for the STORE-OFF tokenize fallbacks,
+    * fanned out when (and only when) its physical split count is below the
+    * session's parallelism ([[graft.operators.Fanout.rebalance]] — an
+    * exact no-op at scale, where the corpus has more row groups than
+    * cores). The r18 verdict's #5: a single-row-group corpus file
+    * otherwise runs the whole tokenize (regex normalize + split + explode)
+    * in ONE task — the same unsplittable-input hazard q33 had. Only
+    * ScaleSmoke's cold (store-disabled) rows pay these paths today; the
+    * bench/Verify always run store-served.
+    */
+  private def corpusTextFanned(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Fanout.rebalance(
+      Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
+
   /** (doc_id, dl) — the store's `dl/` when fresh, else one scan-side pass
     * over the corpus text.
     */
   private[queries] def docLengths(spark: SparkSession, dir: String): DataFrame =
     lexStored(spark, dir, "dl").getOrElse(
-      Tables(spark, dir, "documents").select(col("doc_id"),
+      corpusTextFanned(spark, dir).select(col("doc_id"),
         size(wsTokens(normText(col("text")))).cast("long").as("dl")))
 
   /** (doc_id, term, tf) over the whole vocabulary — the store's
@@ -513,7 +527,7 @@ object CorpusOps {
     lexStored(spark, dir, "postings")
       .map(_.select(col("doc_id"), col("term"), col("tf")))
       .getOrElse(
-        Tables(spark, dir, "documents")
+        corpusTextFanned(spark, dir)
           .select(col("doc_id"), explode(wsTokens(normText(col("text")))).as("term"))
           .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
 
@@ -530,7 +544,7 @@ object CorpusOps {
         p.filter(col("pbkt").isin(bkts: _*) && col("term").isin(terms: _*))
           .select(col("doc_id"), col("term"), col("tf"))
       case None =>
-        Tables(spark, dir, "documents")
+        corpusTextFanned(spark, dir)
           .select(col("doc_id"), explode(wsTokens(normText(col("text")))).as("term"))
           .filter(col("term").isin(terms: _*))
           .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -551,7 +565,7 @@ object CorpusOps {
         p.filter(col("pbkt").isin(bkts: _*) && col("term").isin(terms: _*))
           .select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
       case _ =>
-        Tables(spark, dir, "documents")
+        corpusTextFanned(spark, dir)
           .select(col("doc_id"),
             posexplode(wsTokens(normText(col("text")))).as(Seq("p0", "term")))
           .filter(col("term").isin(terms: _*))
@@ -1531,7 +1545,7 @@ object CorpusOps {
       case Some(p) if p.columns.contains("positions") =>
         p.select(col("doc_id"), col("term"), col("positions"))
       case _ =>
-        Tables(spark, dir, "documents")
+        corpusTextFanned(spark, dir)
           .select(col("doc_id"), wsTokens(normText(col("text"))).as("ws"))
           .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "term")))
           .groupBy(col("doc_id"), col("term"))
